@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One judge-facing query: a Spark-first implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
+  * Column names/aliases MUST match between the two — the driver's compare
+  * sorts columns by name before hashing. */
+final case class QuerySpec(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object QuerySpec {
+  /** Oracle-checked query. */
+  def apply(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, Some(oracle), run)
+
+  /** Rows-only-checked query (semantics not expressible in DuckDB SQL —
+    * sketches, hashes, ANN, …). */
+  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, None, run)
+
+  /** Prepare a session for a query run: ensure the engine's function
+    * surface is registered and the sf-dir tables are visible as views. */
+  def prepared(spark: SparkSession, dir: String): SparkSession = {
+    graft.engine.GraftSession.attach(spark)
+    graft.sources.TestTables.register(spark, dir)
+    spark
+  }
+}

@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with Impala-compatible semantics.
+  *
+  * The reference frontend (924060929/impala-frontend) implements its own
+  * parser/analyzer/planner (fe/src/main/java/org/apache/impala/service/
+  * Frontend.java:1037, planner/Planner.java:84). On Spark all of that is
+  * Catalyst; what remains of "the engine" at session level is configuration:
+  *
+  *  - timezone-less TIMESTAMP semantics (Impala TIMESTAMP has no tz) →
+  *    session timezone pinned to UTC.
+  *  - Impala's permissive cast/arithmetic (string→int of '1.1' yields NULL,
+  *    overflow wraps; CastExpr.java:36-313) → non-ANSI mode.
+  *  - the distributed planner's broadcast-vs-partitioned join choice and
+  *    join inversion (planner/DistributedPlanner.java:420-560,
+  *    Planner.invertJoins:433-488) → AQE + autoBroadcastJoinThreshold.
+  *  - runtime bloom/min-max filters pushed to probe-side scans
+  *    (planner/RuntimeFilterGenerator.java:46-593) → Spark runtime bloom
+  *    filter + dynamic partition pruning.
+  *  - cost-based join ordering (SingleNodePlanner.createCheapestJoinPlan:349)
+  *    → CBO + join reorder (effective once tables are ANALYZEd).
+  */
+object GraftSession {
+
+  /** Apply engine configuration to a builder (idempotent). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.sql.cbo.enabled", "true")
+    .config("spark.sql.cbo.joinReorder.enabled", "true")
+    .config("spark.sql.statistics.histogram.enabled", "true")
+    // events.parquet stores TIMESTAMP(NANOS); see sources.TestTables.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.compression.codec", "snappy")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  /** Local session sized for this container; on a real cluster use
+    * `configure(SparkSession.builder())` with cluster master/conf. */
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .appName("graft")
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "4g")
+    ).getOrCreate()
+    attach(s)
+  }
+
+  /** Register the engine's function surface onto an existing session. */
+  def attach(s: SparkSession): SparkSession = {
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.ImpalaFunctions.registerAll(s)
+    s
+  }
+}

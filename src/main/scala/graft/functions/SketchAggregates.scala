@@ -1,0 +1,199 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference's sketch aggregates that have no Spark builtin:
+  * `distinctpc` / `distinctpcsa` (Flajolet-Martin probabilistic counting,
+  * catalog/BuiltinsDb.java:772-790), `sample` (reservoir sample,
+  * BuiltinsDb.java:721-750) and `histogram` (equi-height buckets from the
+  * reservoir, same lines).
+  *
+  * Distributed-determinism design (SURVEY §7 hard part e): instead of a
+  * random reservoir — whose contents depend on partition split and row
+  * order — `sample`/`histogram` keep the K values with the smallest FNV-1a
+  * hash (a uniform "bottom-k" sample). Bottom-k is a commutative,
+  * idempotent merge (union → keep K smallest), so the result is identical
+  * on 1 partition or 10,000: exactly what a 100 TB run needs.
+  */
+object SketchAggregates {
+
+  def register(reg: FunctionRegistry): Unit = {
+    reg.createOrReplaceTempFunction("distinctpc",
+      { case Seq(e) => DistinctPC(FnvHash(e), numBitmaps = 1) }, "scala_udf")
+    reg.createOrReplaceTempFunction("distinctpcsa",
+      { case Seq(e) => DistinctPC(FnvHash(e), numBitmaps = 64) }, "scala_udf")
+    reg.createOrReplaceTempFunction("sample",
+      { case Seq(e) => BottomKSample(toStr(e), FnvHash(e), k = 20, histogram = false) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("histogram",
+      { case Seq(e) => BottomKSample(toStr(e), FnvHash(e), k = 4096, histogram = true) },
+      "scala_udf")
+  }
+
+  private def toStr(e: Expression): Expression = Cast(e, StringType)
+}
+
+/** Flajolet-Martin probabilistic distinct counting over an FNV64 hash.
+  * `numBitmaps = 1` → plain PC (Impala `distinctpc`); `numBitmaps = 64` →
+  * stochastic averaging (Impala `distinctpcsa`). Buffer = bitmap array;
+  * merge = bitwise OR (associative + commutative → partition-order
+  * independent). */
+case class DistinctPC(
+    child: Expression,
+    numBitmaps: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private final val Phi = 0.77351d
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBitmaps)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val idx = if (numBitmaps == 1) 0 else (h & (numBitmaps - 1)).toInt
+      val rest = h >>> 6
+      val bit = if (rest == 0) 57 else java.lang.Long.numberOfTrailingZeros(rest)
+      buf(idx) |= 1L << bit
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    // R_i = position of the lowest zero bit; estimate = m/φ · 2^(ΣR_i/m)
+    var sumR = 0.0
+    var i = 0
+    while (i < buf.length) {
+      sumR += java.lang.Long.numberOfTrailingZeros(~buf(i)); i += 1
+    }
+    val m = buf.length.toDouble
+    math.round(m / Phi * math.pow(2.0, sumR / m))
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DistinctPC = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DistinctPC = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): DistinctPC =
+    copy(child = c.head)
+  override def prettyName: String = if (numBitmaps == 1) "distinctpc" else "distinctpcsa"
+}
+
+/** Bottom-k (min-hash) sample of column values; backs both `sample`
+  * (emit the sampled values) and `histogram` (emit 100 equi-height bucket
+  * bounds computed from the sample). Output: comma-separated string, like
+  * the reference's (BuiltinsDb.java:721-750). */
+case class BottomKSample(
+    child: Expression,
+    hashExpr: Expression,
+    k: Int,
+    histogram: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, String]] {
+
+  type Buf = java.util.TreeMap[java.lang.Long, String]
+
+  override def children: Seq[Expression] = Seq(child, hashExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StringType
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  private def insert(buf: Buf, h: Long, s: String): Unit = {
+    if (buf.size < k) buf.putIfAbsent(h, s)
+    else if (h < buf.lastKey()) {
+      if (buf.putIfAbsent(h, s) == null) buf.remove(buf.lastKey())
+    }
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hashExpr.eval(input).asInstanceOf[Long]
+      insert(buf, h, v.asInstanceOf[UTF8String].toString)
+    }
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    other.forEach((h, s) => insert(buf, h, s))
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    import scala.jdk.CollectionConverters._
+    val values = buf.values().asScala.toSeq
+    val out =
+      if (!histogram) values.sorted
+      else {
+        // numeric sort when possible, else lexical; 100 equi-height bounds
+        val sorted =
+          if (values.forall(s => scala.util.Try(s.toDouble).isSuccess))
+            values.sortBy(_.toDouble)
+          else values.sorted
+        if (sorted.isEmpty) Seq.empty
+        else (1 to 100).map(i => sorted(((i.toLong * (sorted.size - 1)) / 100).toInt))
+      }
+    UTF8String.fromString(out.mkString(", "))
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.forEach { (h, s) =>
+      out.writeLong(h)
+      val b = s.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Buf()
+    val n = in.readInt()
+    (1 to n).foreach { _ =>
+      val h = in.readLong()
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.put(h, new String(b, "UTF-8"))
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BottomKSample = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKSample = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BottomKSample =
+    copy(child = c(0), hashExpr = c(1))
+  override def prettyName: String = if (histogram) "histogram" else "sample"
+}

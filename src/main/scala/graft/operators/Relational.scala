@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/** Core relational operator corpus — one judge-facing query per plan-node /
+  * statement row of SURVEY.md §2, each implemented Spark-first (DataFrame
+  * DSL; Catalyst supplies the planning the reference does by hand) with a
+  * DuckDB oracle. */
+object Relational {
+  import Num._
+
+  /** TPC-H Q1 shape: scan → pushed filter → two-phase hash agg → sort.
+    * Exercises reference plan nodes HdfsScanNode/SelectNode/
+    * AggregationNode/SortNode/ExchangeNode (planner/AggregationNode.java,
+    * DistributedPlanner.java:747-948 two-phase agg). */
+  val q01AggTpchQ1: QuerySpec = QuerySpec(
+    "q01_agg_tpch_q1",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS $MoneySql)) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS $MoneySql)) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS $MoneySql) * (CAST(1 AS $RateSql) - CAST(l_discount AS $RateSql)) AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS $MoneySql) * (CAST(1 AS $RateSql) - CAST(l_discount AS $RateSql)) AS DECIMAL(19,8)) * (CAST(1 AS $RateSql) + CAST(l_tax AS $RateSql)) AS DECIMAL(28,14))) AS DOUBLE) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS $MoneySql)) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS $MoneySql)) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       |  CAST(SUM(CAST(l_discount AS $RateSql)) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val one = lit(1).cast(Rate)
+    sp.table("lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(money(col("l_quantity"))).as("sum_qty"),
+        dsum(money(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount")))).as("sum_disc_price"),
+        dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))) * (one + rate(col("l_tax")))).as("sum_charge"),
+        davg(money(col("l_quantity"))).as("avg_qty"),
+        davg(money(col("l_extendedprice"))).as("avg_price"),
+        davg(rate(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Projection + pushed predicate: both must reach the parquet scan
+    * (reference: HdfsScanNode predicate assignment + slot materialization,
+    * planner/HdfsScanNode.java:1-666). */
+  val q02ScanPushdown: QuerySpec = QuerySpec(
+    "q02_scan_pushdown",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    sp.table("orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Broadcast-able dimension join + agg: customer⋈nation⋈region.
+    * Reference: HashJoinNode broadcast mode
+    * (planner/DistributedPlanner.java:420-560). */
+  val q03JoinInner: QuerySpec = QuerySpec(
+    "q03_join_inner",
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    sp.table("customer")
+      .join(broadcast(sp.table("nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(sp.table("region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(money(col("c_acctbal"))).as("total_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** ORDER BY + LIMIT → TopN (reference: SortNode.useTopN_,
+    * planner/SortNode.java:50-78); Spark plans TakeOrderedAndProject.
+    * Unique sort key (o_orderkey) keeps the result deterministic. */
+  val q04TopN: QuerySpec = QuerySpec(
+    "q04_sort_topn",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    sp.table("orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  val all: Seq[QuerySpec] = Seq(q01AggTpchQ1, q02ScanPushdown, q03JoinInner, q04TopN)
+}
