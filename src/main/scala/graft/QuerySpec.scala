@@ -9,7 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QuerySpec(
     name: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame)
+    run: (SparkSession, String) => DataFrame,
+    bench: Boolean = false) {
+  /** Mark this query as part of the Bench headline set. */
+  def benched: QuerySpec = copy(bench = true)
+}
 
 object QuerySpec {
   /** Oracle-checked query. */

@@ -22,4 +22,9 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     specs.flatMap(s => s.oracle.map(o => s.name -> o)).toMap
+
+  /** Headline subset timed by [[Bench]] at sf0.1 — one representative per
+    * heavy plan shape (scan/agg, join, topn, window, dedup, ANN, …). */
+  def benchQueries: Seq[String] =
+    specs.filter(_.bench).map(_.name)
 }

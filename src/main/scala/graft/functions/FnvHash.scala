@@ -28,6 +28,27 @@ object FnvHashUtil {
   }
   def hashDouble(v: Double): Long = hashLong(java.lang.Double.doubleToLongBits(v), 8)
   def hashFloat(v: Float): Long = hashLong(java.lang.Float.floatToIntBits(v).toLong & 0xffffffffL, 4)
+
+  /** Impala stores DECIMAL(p,s) as a little-endian 4/8/16-byte two's
+    * complement integer of the unscaled value (Decimal4/8/16Value; the
+    * builtin registry declares fnv_hash over each width,
+    * catalog/BuiltinsDb.java:48-61). Hash that byte image. */
+  def hashDecimal(d: org.apache.spark.sql.types.Decimal, precision: Int): Long = {
+    if (precision <= 9) hashLong(d.toUnscaledLong, 4)
+    else if (precision <= 18) hashLong(d.toUnscaledLong, 8)
+    else {
+      val bi = d.toJavaBigDecimal.unscaledValue()
+      val lo = bi.longValue()
+      val hi = bi.shiftRight(64).longValue()
+      // little-endian int128: low 8 bytes then high 8 bytes, one FNV stream
+      var h = Seed
+      var i = 0
+      while (i < 8) { h = (h ^ ((lo >>> (8 * i)) & 0xffL)) * Prime; i += 1 }
+      i = 0
+      while (i < 8) { h = (h ^ ((hi >>> (8 * i)) & 0xffL)) * Prime; i += 1 }
+      h
+    }
+  }
 }
 
 /** `fnv_hash(expr)` — Impala's FNV-1a hash builtin
@@ -44,10 +65,14 @@ case class FnvHash(child: Expression) extends UnaryExpression {
     case ByteType => FnvHashUtil.hashLong(v.asInstanceOf[Byte].toLong, 1)
     case ShortType => FnvHashUtil.hashLong(v.asInstanceOf[Short].toLong, 2)
     case IntegerType | DateType => FnvHashUtil.hashLong(v.asInstanceOf[Int].toLong, 4)
+    // Timestamps hash their 8-byte microsecond value. Documented divergence:
+    // Impala's BE hashes its 16-byte boost TimestampValue layout (not
+    // defined in the frontend-only reference repo), so timestamp hash
+    // values differ from Impala while remaining stable within this engine.
     case LongType | TimestampType | TimestampNTZType => FnvHashUtil.hashLong(v.asInstanceOf[Long], 8)
     case FloatType => FnvHashUtil.hashFloat(v.asInstanceOf[Float])
     case DoubleType => FnvHashUtil.hashDouble(v.asInstanceOf[Double])
-    case _: DecimalType => FnvHashUtil.hashUtf8(UTF8String.fromString(v.toString))
+    case d: DecimalType => FnvHashUtil.hashDecimal(v.asInstanceOf[Decimal], d.precision)
     case other => throw new UnsupportedOperationException(s"fnv_hash: $other")
   }
 
@@ -63,8 +88,8 @@ case class FnvHash(child: Expression) extends UnaryExpression {
       case LongType | TimestampType | TimestampNTZType => c => s"$u.hashLong($c, 8)"
       case FloatType => c => s"$u.hashFloat($c)"
       case DoubleType => c => s"$u.hashDouble($c)"
-      case _: DecimalType =>
-        c => s"$u.hashUtf8(org.apache.spark.unsafe.types.UTF8String.fromString($c.toString()))"
+      case d: DecimalType =>
+        c => s"$u.hashDecimal($c, ${d.precision})"
       case other => throw new UnsupportedOperationException(s"fnv_hash: $other")
     }
     defineCodeGen(ctx, ev, call)

@@ -24,15 +24,21 @@ object ImpalaFunctions {
 
   /** Truncation-unit map for Impala `trunc(ts, fmt)`
     * (BuiltinsDb/ScalarBuiltins; units per Impala 2.x docs). Impala's
-    * 'DAY'/'DY' truncate to the start of the week. */
-  private val truncUnits: Map[String, String] = Map(
-    "SYYYY" -> "year", "YYYY" -> "year", "YEAR" -> "year", "YY" -> "year",
-    "Q" -> "quarter",
-    "MONTH" -> "month", "MON" -> "month", "MM" -> "month",
+    * 'DAY'/'DY' truncate to the start of the week. Spark's native unit
+    * spellings pass through so existing trunc callers keep working; any
+    * other unit is an analysis error (Impala raises too — never NULL). */
+  private[functions] val truncUnits: Map[String, String] = Map(
+    "SYYYY" -> "year", "YYYY" -> "year", "YEAR" -> "year", "SYEAR" -> "year",
+    "YY" -> "year", "Y" -> "year",
+    "Q" -> "quarter", "QUARTER" -> "quarter",
+    "MONTH" -> "month", "MON" -> "month", "MM" -> "month", "RM" -> "month",
     "DDD" -> "day", "DD" -> "day", "J" -> "day",
-    "DAY" -> "week", "DY" -> "week", "D" -> "week", "WW" -> "week", "W" -> "week",
-    "HH" -> "hour", "HH12" -> "hour", "HH24" -> "hour",
-    "MI" -> "minute")
+    "DAY" -> "week", "DY" -> "week", "D" -> "week",
+    "WW" -> "week", "W" -> "week", "WEEK" -> "week",
+    "HH" -> "hour", "HH12" -> "hour", "HH24" -> "hour", "HOUR" -> "hour",
+    "MI" -> "minute", "MINUTE" -> "minute",
+    "SECOND" -> "second", "MILLISECOND" -> "millisecond",
+    "MICROSECOND" -> "microsecond")
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -105,15 +111,10 @@ object ImpalaFunctions {
       }
     }
     // Impala trunc(ts, 'UNIT') — truncate timestamp (argument order is
-    // (ts, fmt), same as Spark's trunc(date, fmt), so one name serves both).
-    add("trunc") { case Seq(ts, fmt) =>
-      val unit = fmt match {
-        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
-          truncUnits.getOrElse(u.toString.toUpperCase, u.toString)
-        case _ => throw new IllegalArgumentException("trunc: literal unit required")
-      }
-      TruncTimestamp(Literal(unit), ts)
-    }
+    // (ts, fmt), same as Spark's trunc(date, fmt), so one name serves both;
+    // ImpalaTrunc dispatches on the input type after resolution so date
+    // callers keep Spark's DATE-returning TruncDate).
+    add("trunc") { case Seq(ts, fmt) => ImpalaTrunc(ts, fmt) }
 
     // sketch aggregates: histogram / sample / distinctpc / distinctpcsa
     SketchAggregates.register(reg)

@@ -79,6 +79,10 @@ case class DistinctPC(
   }
 
   override def eval(buf: Array[Long]): Any = {
+    // Empty / all-NULL group: no update ever set a bit → 0 distinct values
+    // (update() always sets exactly one bit per non-null input, so all-zero
+    // bitmaps ⇔ empty).
+    if (buf.forall(_ == 0L)) return 0L
     // R_i = position of the lowest zero bit; estimate = m/φ · 2^(ΣR_i/m)
     var sumR = 0.0
     var i = 0

@@ -101,5 +101,6 @@ object Relational {
       .limit(25)
   }
 
-  val all: Seq[QuerySpec] = Seq(q01AggTpchQ1, q02ScanPushdown, q03JoinInner, q04TopN)
+  val all: Seq[QuerySpec] =
+    Seq(q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched, q04TopN.benched)
 }

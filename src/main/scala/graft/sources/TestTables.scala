@@ -25,7 +25,14 @@ object TestTables {
     df
   }
 
-  /** Register all tables as temp views (idempotent). */
-  def register(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  /** Register all tables as temp views. Idempotent and cheap on repeat
+    * calls for the same dir (each query's run() prepares its session; only
+    * the first registration per (session, dir) reads parquet footers). */
+  def register(spark: SparkSession, dir: String): Unit = {
+    val key = "graft.registered.dir"
+    if (!spark.conf.getOption(key).contains(dir)) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      spark.conf.set(key, dir)
+    }
+  }
 }
