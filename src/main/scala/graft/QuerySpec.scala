@@ -25,6 +25,18 @@ object QuerySpec {
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, None, run)
 
+  /** Query written in engine-portable ANSI SQL: the same text runs on
+    * Spark (via spark.sql over the registered views) and on the DuckDB
+    * oracle. The natural form for the reference's SQL-surface rows
+    * (SURVEY §2.2) — subqueries, CTEs, VALUES, set ops. */
+  def sql(name: String, text: String): QuerySpec =
+    QuerySpec(name, Some(text), (s, dir) => prepared(s, dir).sql(text))
+
+  /** SQL query whose Spark text must differ from the DuckDB oracle text
+    * (dialect gaps: TRY_CAST spellings, function names, …). */
+  def sql2(name: String, sparkText: String, oracleText: String): QuerySpec =
+    QuerySpec(name, Some(oracleText), (s, dir) => prepared(s, dir).sql(sparkText))
+
   /** Prepare a session for a query run: ensure the engine's function
     * surface is registered and the sf-dir tables are visible as views. */
   def prepared(spark: SparkSession, dir: String): SparkSession = {

@@ -8,7 +8,9 @@ object SparkEntry {
 
   /** Registry of all implemented queries (SURVEY.md §2 inventory). */
   def specs: Seq[QuerySpec] =
-    operators.Relational.all
+    operators.Relational.all ++
+      operators.Joins.all ++
+      operators.Subqueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
