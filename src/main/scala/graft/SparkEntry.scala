@@ -10,7 +10,10 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     operators.Relational.all ++
       operators.Joins.all ++
-      operators.Subqueries.all
+      operators.Subqueries.all ++
+      operators.SetOps.all ++
+      operators.Aggregates.all ++
+      operators.Windows.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

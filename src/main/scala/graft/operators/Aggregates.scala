@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/** Aggregate surface — catalog/BuiltinsDb.java:679-950: count/min/max/sum/
+  * avg, stddev/variance families, DISTINCT via two-phase rewrite
+  * (AggregateInfo.java:143-262), group_concat, ndv/appx_median/sample/
+  * histogram/distinctpc sketches; HAVING; aggregation over empty inputs.
+  * Catalyst plans the same partial→shuffle→final split the reference's
+  * DistributedPlanner emits (DistributedPlanner.java:747-948).
+  */
+object Aggregates {
+
+  /** COUNT(DISTINCT …) incl. the multi-argument form
+    * (SelectStmt.analyzeAggregation allows count(distinct a,b)); Spark's
+    * RewriteDistinctAggregates handles several distinct groups at once —
+    * a superset of the reference's one-group restriction. DuckDB spells
+    * multi-arg distinct as a row value. */
+  val q28CountDistinct: QuerySpec = QuerySpec.sql2(
+    "q28_agg_count_distinct",
+    """SELECT c_mktsegment AS segment,
+      |       COUNT(*) AS n_rows,
+      |       COUNT(DISTINCT c_nationkey) AS n_nations,
+      |       COUNT(DISTINCT c_nationkey, c_acctbal > 0) AS n_nation_sign
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY segment""".stripMargin,
+    """SELECT c_mktsegment AS segment,
+      |       COUNT(*) AS n_rows,
+      |       COUNT(DISTINCT c_nationkey) AS n_nations,
+      |       COUNT(DISTINCT (c_nationkey, c_acctbal > 0)) AS n_nation_sign
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY segment""".stripMargin)
+
+  /** HAVING — conjunct on the agg output (reference folds it into a
+    * SelectNode above the AggregationNode). */
+  val q29Having: QuerySpec = QuerySpec.sql(
+    "q29_agg_having",
+    """SELECT l_orderkey, COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |HAVING COUNT(*) = 7 AND SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200
+      |ORDER BY l_orderkey""".stripMargin)
+
+  /** stddev/variance family (BuiltinsDb.java:793-857). One-pass merged
+    * moments drift in the last ulps vs a serial oracle, so results are
+    * rounded to 4 decimals — still plenty to catch a wrong formula. */
+  val q30StatsFamily: QuerySpec = QuerySpec.sql(
+    "q30_agg_stats_family",
+    """SELECT c_nationkey AS nationkey,
+      |       COUNT(*) AS n,
+      |       ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_samp,
+      |       ROUND(STDDEV_POP(c_acctbal), 4) AS sd_pop,
+      |       ROUND(VAR_SAMP(c_acctbal), 4) AS v_samp,
+      |       ROUND(VAR_POP(c_acctbal), 4) AS v_pop
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY nationkey""".stripMargin)
+
+  /** group_concat with pinned (sorted) element order — the reference's is
+    * order-undefined (BuiltinsDb.java:928-950); we define the sorted
+    * variant so results are identical under any partitioning (SURVEY §7
+    * hard part b). Oracle: DuckDB string_agg with ORDER BY. */
+  val q31GroupConcat: QuerySpec = QuerySpec.sql2(
+    "q31_agg_group_concat",
+    """SELECT r_name, group_concat(n_name, ', ') AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin,
+    """SELECT r_name, STRING_AGG(n_name, ', ' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin)
+
+  /** Aggregation over zero rows: global agg returns one row of
+    * count=0 / NULL sums (EmptySetNode under an AggregationNode —
+    * SingleNodePlanner.createEmptyNode:204-246). */
+  val q32EmptyInput: QuerySpec = QuerySpec.sql(
+    "q32_agg_empty_input",
+    """SELECT COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |       MAX(o_orderpriority) AS max_pri
+      |FROM orders
+      |WHERE o_orderkey < 0""".stripMargin)
+
+  /** Global (no GROUP BY) aggregate with mixed types — min/max over
+    * strings and timestamps, exact decimal sum. */
+  val q33GlobalAgg: QuerySpec = QuerySpec.sql(
+    "q33_agg_global",
+    """SELECT COUNT(*) AS n_orders,
+      |       MIN(o_orderpriority) AS min_pri,
+      |       MAX(o_orderpriority) AS max_pri,
+      |       MIN(o_orderdate) AS first_date,
+      |       MAX(o_orderdate) AS last_date,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM orders""".stripMargin)
+
+  /** The sketch aggregates (ndv / appx_median / distinctpc / distinctpcsa
+    * / sample / histogram — BuiltinsDb.java:721-790). Approximate →
+    * rows-only driver check; exact values pinned in SketchSpec tests. */
+  val q34Sketches: QuerySpec = QuerySpec.noOracle("q34_agg_sketches") { (s, dir) =>
+    QuerySpec.prepared(s, dir).sql(
+      """SELECT c_mktsegment AS segment,
+        |       ndv(c_custkey) AS ndv_cust,
+        |       distinctpc(c_nationkey) AS pc_nations,
+        |       distinctpcsa(c_custkey) AS pcsa_cust,
+        |       CAST(appx_median(c_acctbal) AS DOUBLE) AS med_bal,
+        |       sample(c_nationkey) AS sample_nations
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY segment""".stripMargin)
+  }
+
+  /** min/max/sum/avg/count as plain column aggregates per group with
+    * grouping by an expression (year(o_orderdate)) — GROUP BY expr is in
+    * the grammar (sql-parser.cup:6669-6684). */
+  val q35GroupByExpr: QuerySpec = QuerySpec.sql(
+    "q35_agg_group_by_expr",
+    """SELECT YEAR(o_orderdate) AS order_year,
+      |       COUNT(*) AS n,
+      |       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+      |       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY YEAR(o_orderdate)
+      |ORDER BY order_year""".stripMargin)
+
+  val all: Seq[QuerySpec] = Seq(
+    q28CountDistinct, q29Having, q30StatsFamily, q31GroupConcat,
+    q32EmptyInput, q33GlobalAgg, q34Sketches, q35GroupByExpr.benched)
+}
