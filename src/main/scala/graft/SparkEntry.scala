@@ -13,7 +13,10 @@ object SparkEntry {
       operators.Subqueries.all ++
       operators.SetOps.all ++
       operators.Aggregates.all ++
-      operators.Windows.all
+      operators.Windows.all ++
+      operators.Functions.all ++
+      operators.Nested.all ++
+      operators.Events.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

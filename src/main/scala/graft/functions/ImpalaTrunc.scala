@@ -1,7 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, RuntimeReplaceable, TruncDate, TruncTimestamp}
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, RuntimeReplaceable, TruncDate, TruncTimestamp}
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Impala-style `trunc(ts_or_date, 'UNIT')`.
@@ -31,12 +31,26 @@ case class ImpalaTrunc(ts: Expression, fmt: Expression) extends RuntimeReplaceab
       throw new IllegalArgumentException("trunc: unit must be a string literal")
   }
 
-  override lazy val replacement: Expression = ts.dataType match {
-    case DateType =>
-      if (Set("hour", "minute", "second", "millisecond", "microsecond")(unit))
-        throw new IllegalArgumentException(s"trunc: unit '$unit' not valid for DATE input")
-      else TruncDate(ts, Literal(unit))
-    case _ => TruncTimestamp(Literal(unit), ts)
+  // def, not lazy val: the analyzer may consult replacement while `ts` is
+  // still an UnresolvedAttribute; caching that state would pin an
+  // unresolved replacement forever.
+  override def replacement: Expression = {
+    // The replacement is expanded after analysis, so neither the
+    // analyzer's ResolveTimeZone nor its implicit type coercion will touch
+    // it — set the session zone and insert NTZ↔LTZ casts explicitly (the
+    // session runs in UTC, making the round-trip lossless; Impala
+    // TIMESTAMP is timezone-less, SURVEY §1.2).
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    ts.dataType match {
+      case DateType =>
+        if (Set("hour", "minute", "second", "millisecond", "microsecond")(unit))
+          throw new IllegalArgumentException(s"trunc: unit '$unit' not valid for DATE input")
+        else TruncDate(ts, Literal(unit))
+      case TimestampNTZType =>
+        Cast(TruncTimestamp(Literal(unit), Cast(ts, TimestampType, tz), tz),
+          TimestampNTZType, tz)
+      case _ => TruncTimestamp(Literal(unit), ts, tz)
+    }
   }
 
   override def children: Seq[Expression] = Seq(ts, fmt)

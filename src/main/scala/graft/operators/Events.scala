@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/** Time-series analytics over the `events` table. The reference has no
+  * streaming operators (Impala 2.x is batch-only; SURVEY §2.4) — the
+  * harness's events stream is a timestamped table, and these are the batch
+  * shapes a 100 TB event pipeline needs: tumbling-window rollups (shuffle
+  * on (window, key) — embarrassingly parallel), sessionization via window
+  * functions (one shuffle on user_id), top-k per key (partial TopN under
+  * AQE), daily conditional rollups. Structured Streaming versions of the
+  * same ops live in graft.streaming.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows via Spark's window() grouping — DSL form;
+    * oracle: date_trunc to the hour. */
+  val q65Tumbling: QuerySpec = QuerySpec(
+    "q65_events_tumbling",
+    """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    sp.table("events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Sessionization: a 30-minute inactivity gap opens a new session —
+    * lag + running sum over one user_id shuffle, then a session-level
+    * rollup. The scale-safe shape: no self-join, no collect. */
+  val q66Sessionize: QuerySpec = QuerySpec.sql(
+    "q66_events_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |), sess AS (
+      |  SELECT user_id, event_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_no, COUNT(*) AS n_events
+      |FROM sess
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin)
+
+  /** Top-3 purchases per user (row_number partition + filter — the
+    * reference plans this as AnalyticEvalNode + SelectNode). */
+  val q67TopKPerUser: QuerySpec = QuerySpec.sql(
+    "q67_events_topk_per_user",
+    """SELECT user_id, event_id, value, rn
+      |FROM (SELECT user_id, event_id, value,
+      |             ROW_NUMBER() OVER (PARTITION BY user_id
+      |                                ORDER BY value DESC, event_id) AS rn
+      |      FROM events WHERE event_type = 'purchase') t
+      |WHERE rn <= 3
+      |ORDER BY user_id, rn""".stripMargin)
+
+  /** Daily rollup with conditional aggregates (count/sum over CASE). */
+  val q68DailyRollup: QuerySpec = QuerySpec.sql(
+    "q68_events_daily_rollup",
+    """SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+      |  COUNT(*) AS n_events,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase'
+      |                THEN CAST(value AS DECIMAL(12,2))
+      |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin)
+
+  val all: Seq[QuerySpec] = Seq(
+    q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup)
+}

@@ -1,0 +1,273 @@
+package graft.operators
+
+import graft.QuerySpec
+
+/** Scalar expression/function surface — the reference's operator-backed
+  * builtins (ArithmeticExpr/BinaryPredicate/CaseExpr/CastExpr/
+  * LikePredicate/TimestampArithmeticExpr, impala/analysis/) plus the
+  * generated scalar library (catalog/BuiltinsDb.java:48-61; callable set =
+  * Impala 2.x docs). ~95% maps to Spark builtins under the same names;
+  * graft.functions.ImpalaFunctions closes the gaps (nvl, isnull,
+  * zeroifnull, nullifzero, decode, strleft/strright, iregexp, trunc,
+  * units_add/_sub). Oracle texts adapt to DuckDB spellings where dialects
+  * diverge (TRY_CAST, TRUNC-before-int-cast — DuckDB rounds where
+  * Spark/Impala truncate — regexp 'g' flag, dayofweek origin, …).
+  */
+object Functions {
+
+  /** CASE (simple + searched) and Impala decode()
+    * (CaseExpr.java:68-379, decode at 99-150). */
+  val q50CaseDecode: QuerySpec = QuerySpec.sql2(
+    "q50_expr_case_decode",
+    """SELECT o_orderkey,
+      |  CASE o_orderpriority WHEN '1-URGENT' THEN 'hot' WHEN '2-HIGH' THEN 'warm' ELSE 'cold' END AS pri_class,
+      |  CASE WHEN o_totalprice > 250000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS size_class,
+      |  decode(o_orderstatus, 'F', 'final', 'O', 'open', 'P', 'pending', 'unknown') AS status_word
+      |FROM orders ORDER BY o_orderkey""".stripMargin,
+    """SELECT o_orderkey,
+      |  CASE o_orderpriority WHEN '1-URGENT' THEN 'hot' WHEN '2-HIGH' THEN 'warm' ELSE 'cold' END AS pri_class,
+      |  CASE WHEN o_totalprice > 250000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS size_class,
+      |  CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open' WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_word
+      |FROM orders ORDER BY o_orderkey""".stripMargin)
+
+  /** Cast lattice incl. Impala's permissive failures-to-NULL
+    * (CastExpr.java:36-313; we run non-ANSI so bad string→int is NULL,
+    * float→int truncates — DuckDB TRY_CAST + TRUNC mirror it). */
+  val q51Cast: QuerySpec = QuerySpec.sql2(
+    "q51_expr_cast",
+    """SELECT id,
+      |  CAST(s AS INT) AS s_int,
+      |  CAST(d AS INT) AS d_int,
+      |  CAST(i AS STRING) AS i_str,
+      |  CAST(s2 AS DOUBLE) AS s_dbl,
+      |  CAST(b AS INT) AS b_int,
+      |  CAST('2024-03-05 06:07:08' AS TIMESTAMP) AS ts1
+      |FROM VALUES
+      |  (1, '42',  2.7D,  7,  '3.14', true),
+      |  (2, '1.1', -2.7D, -7, '1e3',  false),
+      |  (3, 'abc', 0.5D,  0,  'x',    true)
+      |  AS t(id, s, d, i, s2, b)
+      |ORDER BY id""".stripMargin,
+    """SELECT id,
+      |  TRY_CAST(s AS INT) AS s_int,
+      |  CAST(TRUNC(d) AS INT) AS d_int,
+      |  CAST(i AS VARCHAR) AS i_str,
+      |  TRY_CAST(s2 AS DOUBLE) AS s_dbl,
+      |  CAST(b AS INT) AS b_int,
+      |  CAST('2024-03-05 06:07:08' AS TIMESTAMP) AS ts1
+      |FROM (VALUES
+      |  (1, '42',  2.7,  7,  '3.14', true),
+      |  (2, '1.1', -2.7, -7, '1e3',  false),
+      |  (3, 'abc', 0.5,  0,  'x',    true))
+      |  t(id, s, d, i, s2, b)
+      |ORDER BY id""".stripMargin)
+
+  /** String function library (concat/substr/pad/trim/case/regexp/
+    * translate/split_part + Impala strleft/strright). */
+  val q52String: QuerySpec = QuerySpec.sql2(
+    "q52_expr_string_fns",
+    """SELECT p_partkey,
+      |  CONCAT(p_brand, ':', p_type) AS label,
+      |  CONCAT_WS('-', p_brand, p_type) AS label2,
+      |  SUBSTR(p_name, 1, 8) AS name8,
+      |  LENGTH(p_name) AS name_len,
+      |  UPPER(p_name) AS up, LOWER(p_type) AS lo,
+      |  TRIM(CONCAT(' ', p_brand, ' ')) AS trimmed,
+      |  LPAD(CAST(p_size AS STRING), 4, '0') AS size4,
+      |  REVERSE(p_brand) AS rev,
+      |  REPLACE(p_name, ' ', '_') AS underscored,
+      |  SPLIT_PART(p_name, ' ', 1) AS first_word,
+      |  INSTR(p_name, 'e') AS e_pos,
+      |  REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_alpha,
+      |  REGEXP_REPLACE(p_name, '[aeiou]', '*') AS starred,
+      |  TRANSLATE(p_brand, 'B#', 'b_') AS translated,
+      |  INITCAP(SPLIT_PART(p_name, ' ', 1)) AS capped,
+      |  strleft(p_name, 5) AS l5, strright(p_name, 5) AS r5,
+      |  REPEAT(p_brand, 2) AS doubled
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    """SELECT p_partkey,
+      |  CONCAT(p_brand, ':', p_type) AS label,
+      |  CONCAT_WS('-', p_brand, p_type) AS label2,
+      |  SUBSTR(p_name, 1, 8) AS name8,
+      |  LENGTH(p_name) AS name_len,
+      |  UPPER(p_name) AS up, LOWER(p_type) AS lo,
+      |  TRIM(CONCAT(' ', p_brand, ' ')) AS trimmed,
+      |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+      |  REVERSE(p_brand) AS rev,
+      |  REPLACE(p_name, ' ', '_') AS underscored,
+      |  SPLIT_PART(p_name, ' ', 1) AS first_word,
+      |  INSTR(p_name, 'e') AS e_pos,
+      |  REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_alpha,
+      |  REGEXP_REPLACE(p_name, '[aeiou]', '*', 'g') AS starred,
+      |  TRANSLATE(p_brand, 'B#', 'b_') AS translated,
+      |  UPPER(SUBSTR(SPLIT_PART(p_name, ' ', 1), 1, 1)) || SUBSTR(SPLIT_PART(p_name, ' ', 1), 2) AS capped,
+      |  LEFT(p_name, 5) AS l5, RIGHT(p_name, 5) AS r5,
+      |  REPEAT(p_brand, 2) AS doubled
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
+  /** Math + bit operators (ops table sql-parser.cup:7409-7576: + - * /
+    * DIV % & | ^ ~ !, factorial; BuiltinsDb math library). sqrt is IEEE
+    * exact; ln/exp are rounded to dodge last-ulp libm differences. */
+  val q53Math: QuerySpec = QuerySpec.sql2(
+    "q53_expr_math_fns",
+    """SELECT p_partkey,
+      |  ABS(p_size - 25) AS dist25,
+      |  CEIL(p_retailprice / 100) AS ceil_h,
+      |  FLOOR(p_retailprice / 100) AS floor_h,
+      |  ROUND(p_retailprice / 7, 2) AS div7,
+      |  POWER(p_size, 2) AS sq,
+      |  SQRT(CAST(p_size AS DOUBLE)) AS rt,
+      |  ROUND(LN(p_size), 8) AS ln_sz,
+      |  ROUND(EXP(p_size % 5), 6) AS exp_m5,
+      |  SIGN(p_size - 25) AS sgn,
+      |  PMOD(p_size - 25, 7) AS pm7,
+      |  p_size % 7 AS m7,
+      |  p_size DIV 7 AS d7,
+      |  p_size & 15 AS band, p_size | 16 AS bor, p_size ^ 21 AS bxor,
+      |  SHIFTLEFT(p_size, 2) AS shl,
+      |  FACTORIAL(p_size % 10) AS fact,
+      |  GREATEST(p_size, 25) AS gst, LEAST(p_size, 25) AS lst
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    """SELECT p_partkey,
+      |  ABS(p_size - 25) AS dist25,
+      |  CEIL(p_retailprice / 100) AS ceil_h,
+      |  FLOOR(p_retailprice / 100) AS floor_h,
+      |  ROUND(p_retailprice / 7, 2) AS div7,
+      |  POWER(p_size, 2) AS sq,
+      |  SQRT(CAST(p_size AS DOUBLE)) AS rt,
+      |  ROUND(LN(p_size), 8) AS ln_sz,
+      |  ROUND(EXP(p_size % 5), 6) AS exp_m5,
+      |  SIGN(p_size - 25) AS sgn,
+      |  ((p_size - 25) % 7 + 7) % 7 AS pm7,
+      |  p_size % 7 AS m7,
+      |  p_size // 7 AS d7,
+      |  p_size & 15 AS band, p_size | 16 AS bor, XOR(p_size, 21) AS bxor,
+      |  p_size << 2 AS shl,
+      |  FACTORIAL(p_size % 10) AS fact,
+      |  GREATEST(p_size, 25) AS gst, LEAST(p_size, 25) AS lst
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
+  /** Date/time library + INTERVAL arithmetic + EXTRACT + Impala trunc
+    * units (TimestampArithmeticExpr.java:38-48, ExtractFromExpr.java). */
+  val q54Date: QuerySpec = QuerySpec.sql2(
+    "q54_expr_date_fns",
+    """SELECT o_orderkey,
+      |  YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d,
+      |  QUARTER(o_orderdate) AS q,
+      |  DAYOFWEEK(o_orderdate) AS dow,
+      |  WEEKOFYEAR(o_orderdate) AS woy,
+      |  EXTRACT(YEAR FROM o_orderdate) AS ey,
+      |  o_orderdate + INTERVAL 45 DAY AS plus45,
+      |  o_orderdate - INTERVAL 2 HOUR AS minus2h,
+      |  o_orderdate + INTERVAL 3 MONTH AS plus3m,
+      |  DATEDIFF(TIMESTAMP '1996-01-01 00:00:00', o_orderdate) AS days_to_96,
+      |  UNIX_TIMESTAMP(o_orderdate) AS epoch_s,
+      |  FROM_UNIXTIME(UNIX_TIMESTAMP(o_orderdate)) AS rendered,
+      |  trunc(o_orderdate, 'Q') AS quarter_start,
+      |  trunc(o_orderdate, 'MM') AS month_start,
+      |  LAST_DAY(o_orderdate) AS month_end,
+      |  weeks_add(o_orderdate, 2) AS plus2w,
+      |  days_sub(o_orderdate, 7) AS minus7d
+      |FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin,
+    """SELECT o_orderkey,
+      |  YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d,
+      |  QUARTER(o_orderdate) AS q,
+      |  DAYOFWEEK(o_orderdate) + 1 AS dow,
+      |  WEEKOFYEAR(o_orderdate) AS woy,
+      |  EXTRACT(YEAR FROM o_orderdate) AS ey,
+      |  o_orderdate + INTERVAL 45 DAY AS plus45,
+      |  o_orderdate - INTERVAL 2 HOUR AS minus2h,
+      |  o_orderdate + INTERVAL 3 MONTH AS plus3m,
+      |  DATE_DIFF('day', o_orderdate, TIMESTAMP '1996-01-01 00:00:00') AS days_to_96,
+      |  CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s,
+      |  STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS rendered,
+      |  CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+      |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  LAST_DAY(o_orderdate) AS month_end,
+      |  o_orderdate + INTERVAL 14 DAY AS plus2w,
+      |  o_orderdate - INTERVAL 7 DAY AS minus7d
+      |FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin)
+
+  /** Conditional family: if / nullif / nvl / isnull (1- and 2-arg) /
+    * coalesce / zeroifnull / nullifzero (CaseExpr.initBuiltins +
+    * conditional builtins). */
+  val q55Conditional: QuerySpec = QuerySpec.sql2(
+    "q55_expr_conditional",
+    """SELECT c_custkey,
+      |  IF(c_acctbal > 0, 'pos', 'nonpos') AS sign_class,
+      |  NULLIF(c_mktsegment, 'BUILDING') AS seg_nb,
+      |  nvl(NULLIF(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_filled,
+      |  isnull(NULLIF(c_nationkey, 3)) AS is_n3,
+      |  isnull(NULLIF(c_nationkey, 3), -1) AS n_or_neg1,
+      |  zeroifnull(NULLIF(c_nationkey, 5)) AS z5,
+      |  nullifzero(c_nationkey % 5) AS nz5,
+      |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), c_name) AS coal
+      |FROM customer ORDER BY c_custkey""".stripMargin,
+    """SELECT c_custkey,
+      |  IF(c_acctbal > 0, 'pos', 'nonpos') AS sign_class,
+      |  NULLIF(c_mktsegment, 'BUILDING') AS seg_nb,
+      |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_filled,
+      |  (NULLIF(c_nationkey, 3) IS NULL) AS is_n3,
+      |  COALESCE(NULLIF(c_nationkey, 3), -1) AS n_or_neg1,
+      |  COALESCE(NULLIF(c_nationkey, 5), 0) AS z5,
+      |  NULLIF(c_nationkey % 5, 0) AS nz5,
+      |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), c_name) AS coal
+      |FROM customer ORDER BY c_custkey""".stripMargin)
+
+  /** Pattern predicates: LIKE / NOT LIKE / ILIKE / RLIKE / iregexp /
+    * BETWEEN / IN / IS DISTINCT FROM (LikePredicate.java:35-39,
+    * BetweenPredicate, InPredicate, BinaryPredicate <=>). */
+  val q56Pattern: QuerySpec = QuerySpec.sql2(
+    "q56_expr_pattern",
+    """SELECT p_partkey,
+      |  p_name LIKE '%bolt%' AS has_bolt,
+      |  p_name NOT LIKE 'red%' AS not_red,
+      |  p_name ILIKE '%WIDGET%' AS has_widget_ci,
+      |  p_name RLIKE '^(red|blue) ' AS rb_prefix,
+      |  iregexp(p_name, '^RED|BLUE') AS rb_ci,
+      |  p_size BETWEEN 10 AND 20 AS mid_size,
+      |  p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AS low_brand,
+      |  NULLIF(p_size, 25) IS DISTINCT FROM NULLIF(p_size, 30) AS distinct_nulls
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    """SELECT p_partkey,
+      |  p_name LIKE '%bolt%' AS has_bolt,
+      |  p_name NOT LIKE 'red%' AS not_red,
+      |  p_name ILIKE '%WIDGET%' AS has_widget_ci,
+      |  REGEXP_MATCHES(p_name, '^(red|blue) ') AS rb_prefix,
+      |  REGEXP_MATCHES(p_name, '^RED|BLUE', 'i') AS rb_ci,
+      |  p_size BETWEEN 10 AND 20 AS mid_size,
+      |  p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AS low_brand,
+      |  NULLIF(p_size, 25) IS DISTINCT FROM NULLIF(p_size, 30) AS distinct_nulls
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
+  /** JSON path extraction over the events.props column. */
+  val q57Json: QuerySpec = QuerySpec.sql2(
+    "q57_expr_json",
+    """SELECT event_id,
+      |  GET_JSON_OBJECT(props, '$.k') AS k_str,
+      |  CAST(GET_JSON_OBJECT(props, '$.k') AS INT) AS k_int
+      |FROM events ORDER BY event_id""".stripMargin,
+    """SELECT event_id,
+      |  JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+      |  TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_int
+      |FROM events ORDER BY event_id""".stripMargin)
+
+  /** fnv_hash (custom codegen Expression) + typeof — engine-specific
+    * values, rows-only driver check; exact values pinned in FunctionsSpec. */
+  val q58HashTypeof: QuerySpec = QuerySpec.noOracle("q58_expr_fnv_hash") { (s, dir) =>
+    QuerySpec.prepared(s, dir).sql(
+      """SELECT c_custkey,
+        |  fnv_hash(c_custkey) AS h_bigint,
+        |  fnv_hash(CAST(c_nationkey AS INT)) AS h_int,
+        |  fnv_hash(c_name) AS h_string,
+        |  fnv_hash(c_acctbal) AS h_double,
+        |  fnv_hash(CAST(c_acctbal AS DECIMAL(12,2))) AS h_dec,
+        |  fnv_hash(c_acctbal > 0) AS h_bool,
+        |  typeof(c_acctbal) AS t_dbl
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin)
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q50CaseDecode, q51Cast, q52String, q53Math, q54Date, q55Conditional,
+    q56Pattern, q57Json, q58HashTypeof)
+}
