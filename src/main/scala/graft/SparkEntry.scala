@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Windows.all ++
       operators.Functions.all ++
       operators.Nested.all ++
-      operators.Events.all
+      operators.Events.all ++
+      operators.Dml.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
