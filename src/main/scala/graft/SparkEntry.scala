@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Functions.all ++
       operators.Nested.all ++
       operators.Events.all ++
-      operators.Dml.all
+      operators.Dml.all ++
+      llmops.Dedup.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

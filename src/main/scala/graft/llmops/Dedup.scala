@@ -1,0 +1,175 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * the LLM-ops extension beyond the reference's own surface (SURVEY §7,
+  * llmops module). Every operator is designed 100 TB-first:
+  *
+  *  - exact dedup = hash-groupBy (one shuffle on the normalized key);
+  *  - MinHash+LSH = shingle → signature → band-bucket join: candidate
+  *    generation cost is O(docs × bands), never O(docs²) — the shuffle key
+  *    is the band hash, and only bucket-colliding pairs are verified;
+  *  - SimHash = per-row 64-bit signature + byte-pigeonhole bucket join
+  *    (hamming ≤ 7 is guaranteed to collide on ≥ 1 of 8 bytes);
+  *  - n-gram Jaccard = exact verification, blocked by a partition key so
+  *    the pair space stays bounded per block;
+  *  - embedding near-dup = cosine within a blocking key (label/LSH bucket).
+  *
+  * All hash functions are seeded deterministic (xxhash64), so results are
+  * identical on 1 or 10,000 partitions.
+  */
+object Dedup {
+
+  /** Exact deduplication on normalized text (lowercase + whitespace
+    * collapse): the survivors-per-language report. One hash shuffle. */
+  val q80Exact: QuerySpec = QuerySpec.sql2(
+    "q80_dedup_exact",
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT regexp_replace(lower(text), ' +', ' ')) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT regexp_replace(lower(text), ' +', ' ')) AS n_dups
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin,
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT regexp_replace(lower(text), ' +', ' ', 'g')) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT regexp_replace(lower(text), ' +', ' ', 'g')) AS n_dups
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin)
+
+  /** Spark-side word-3-gram shingle set (distinct, hashed to i64). */
+  private val shingleSql =
+    """array_distinct(transform(
+      |  sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
+      |  i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3)))))""".stripMargin
+
+  /** MinHash + LSH near-duplicate pairs at Jaccard ≥ 0.8.
+    *
+    * Pipeline: shingle (word 3-grams, hashed) → 64-hash MinHash signature
+    * → 16 bands × 4 rows → band-bucket self-join → exact-Jaccard verify.
+    * With r=4, b=16 a pair at J=0.9 is missed with prob (1-0.9⁴)¹⁶ ≈ 4e-8,
+    * so the exact all-pairs DuckDB oracle is a safe differential check at
+    * test scale while the Spark plan stays O(n·bands) at 100 TB. */
+  val q81MinHashLsh: QuerySpec = QuerySpec(
+    "q81_dedup_minhash_lsh",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+      |      i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.8
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val docs = sp.table("documents")
+      .select(col("doc_id"), expr(shingleSql).as("sh"))
+    // 64 minhashes; band b hashes signature rows [4b, 4b+4).
+    val sig = docs.select(col("doc_id"), col("sh"),
+      expr("transform(sequence(0, 63), j -> array_min(transform(sh, s -> xxhash64(s, j))))").as("sig"))
+    val bands = sig.select(col("doc_id"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 15), b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 4 + 1, 4))))")).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col("band"), col("key"), col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val b = bands.select(col("band"), col("key"), col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .distinct()
+      .filter(col("j") >= 0.8)
+      .select(col("doc_id_a"), col("doc_id_b"), round(col("j"), 4).as("jaccard"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  /** SimHash near-duplicate pairs: per-row 64-bit signature over word
+    * hashes (custom Expression, graft.functions.SimHash64), then a
+    * byte-pigeonhole bucket join — any pair at hamming ≤ 7 shares at
+    * least one of the 8 signature bytes, so candidate generation is
+    * O(docs × 8), not O(docs²). Engine-specific bits → rows-only driver
+    * check; recall vs exact Jaccard pinned in DedupSpec. */
+  val q82SimHash: QuerySpec = QuerySpec.noOracle("q82_dedup_simhash") { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val docs = sp.table("documents").select(col("doc_id"),
+      expr("simhash64(transform(split(text, ' '), w -> xxhash64(w)))").as("sh"))
+    val bytes = docs.select(col("doc_id"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 7), i -> named_struct('bi', i, 'bv', (sh >> (i * 8)) & 255))")).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.bi").as("bi"), col("bk.bv").as("bv"))
+    val a = bytes.select(col("bi"), col("bv"), col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val b = bytes.select(col("bi"), col("bv"), col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 7)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  /** Exact character-3-gram Jaccard, blocked by `source` (the bounded
+    * verify stage of a dedup pipeline — per-block pair space only). */
+  val q83NgramJaccard: QuerySpec = QuerySpec.sql2(
+    "q83_dedup_ngram_jaccard",
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    array_distinct(transform(sequence(0, length(text) - 3),
+      |      i -> substr(text, i + 1, 3))) AS gr
+      |  FROM documents)
+      |SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |  ROUND(CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE)
+      |        / size(array_union(a.gr, b.gr)), 4) AS jaccard3
+      |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE)
+      |      / size(array_union(a.gr, b.gr)) >= 0.6
+      |ORDER BY source, doc_id_a, doc_id_b""".stripMargin,
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(length(text) - 2),
+      |      i -> substr(text, i + 1, 3))) AS gr
+      |  FROM documents)
+      |SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |  ROUND(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+      |        / len(list_distinct(a.gr || b.gr)), 4) AS jaccard3
+      |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+      |      / len(list_distinct(a.gr || b.gr)) >= 0.6
+      |ORDER BY source, doc_id_a, doc_id_b""".stripMargin)
+
+  /** Embedding cosine near-duplicates within a blocking key (label):
+    * double-precision dot/norms evaluated element-in-order on both
+    * engines, so values agree bit-for-bit before rounding. */
+  val q84EmbeddingCosine: QuerySpec = QuerySpec.sql2(
+    "q84_dedup_embedding_cosine",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)
+      |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)
+      |    / (SQRT(aggregate(a.v, 0D, (acc, x) -> acc + x * x))
+      |       * SQRT(aggregate(b.v, 0D, (acc, x) -> acc + x * x))), 6) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)
+      |    / (SQRT(aggregate(a.v, 0D, (acc, x) -> acc + x * x))
+      |       * SQRT(aggregate(b.v, 0D, (acc, x) -> acc + x * x))) >= 0.4
+      |ORDER BY label, id_a, id_b""".stripMargin,
+    """SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+      |ORDER BY label, id_a, id_b""".stripMargin)
+
+  val all: Seq[QuerySpec] = Seq(
+    q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
+    q84EmbeddingCosine)
+}
