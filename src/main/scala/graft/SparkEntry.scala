@@ -18,7 +18,10 @@ object SparkEntry {
       operators.Nested.all ++
       operators.Events.all ++
       operators.Dml.all ++
-      llmops.Dedup.all
+      llmops.Dedup.all ++
+      llmops.Similarity.all ++
+      llmops.TextAnalysis.all ++
+      llmops.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

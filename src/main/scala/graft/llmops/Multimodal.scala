@@ -1,0 +1,88 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/** Multimodal-column plumbing — images/audio/video as opaque `binary`
+  * columns with typed metadata (llmops extension). The decode itself is a
+  * clearly-marked deterministic STUB (no codec libraries in this
+  * environment); everything around it — the binary column, the typed
+  * Dataset schema, the partition-wise batch processing via mapPartitions
+  * (the JVM analogue of arrow-batched UDFs), the frame-sampling fan-out —
+  * is real and oracle-checked.
+  *
+  * Scale shape: decode is per-row/per-partition (no shuffle); frame
+  * sampling fans out rows with a generator (Catalyst Generate), keeping
+  * memory bounded per batch regardless of corpus size.
+  */
+object Multimodal {
+
+  /** Raw media row: id + opaque payload bytes. */
+  final case class RawMedia(doc_id: Long, media: Array[Byte])
+
+  /** Decoded metadata produced by the (stub) decoder. */
+  final case class DecodedMedia(
+      doc_id: Long, byte_len: Int, width: Int, height: Int, channel_mean: Double)
+
+  /** STUB DECODER — deterministic fake standing in for a real image
+    * decode (e.g. JPEG dims + mean pixel). Derives "dimensions" from the
+    * payload length and the "channel mean" from raw byte values, so the
+    * pipeline is end-to-end testable; swap this single function for a
+    * real codec on a cluster with native libs. */
+  private def decodeStub(rows: Iterator[RawMedia]): Iterator[DecodedMedia] =
+    rows.map { r =>
+      val n = r.media.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += r.media(i) & 0xff; i += 1 }
+      DecodedMedia(
+        doc_id = r.doc_id,
+        byte_len = n,
+        width = 64 * (1 + n % 16),
+        height = 64 * (1 + n % 9),
+        channel_mean = sum.toDouble / n)
+    }
+
+  /** Binary decode pipeline: text → bytes (the opaque media payload) →
+    * typed Dataset → partition-wise stub decode → metadata table. */
+  val q92DecodePipeline: QuerySpec = QuerySpec(
+    "q92_mm_decode_pipeline",
+    """SELECT doc_id,
+      |  LENGTH(text) AS byte_len,
+      |  64 * (1 + LENGTH(text) % 16) AS width,
+      |  64 * (1 + LENGTH(text) % 9) AS height,
+      |  ROUND(CAST(list_aggregate(list_transform(range(LENGTH(text)),
+      |          i -> ascii(substr(text, i + 1, 1))), 'sum') AS DOUBLE)
+      |        / LENGTH(text), 6) AS channel_mean
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    import sp.implicits._
+    val raw = sp.table("documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[RawMedia]
+    raw.mapPartitions(decodeStub)
+      .toDF()
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        round(col("channel_mean"), 6).as("channel_mean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: split the payload into fixed-size "frames" and emit
+    * one fingerprint row per frame (video → frame batch shape). */
+  val q93FrameSample: QuerySpec = QuerySpec.sql2(
+    "q93_mm_frame_sample",
+    """SELECT doc_id, frame_no,
+      |  md5(substr(text, frame_no * 100 + 1, 100)) AS frame_md5
+      |FROM documents
+      |LATERAL VIEW explode(sequence(0, CAST(CEIL(LENGTH(text) / 100.0) AS INT) - 1)) t AS frame_no
+      |ORDER BY doc_id, frame_no""".stripMargin,
+    """SELECT doc_id,
+      |  unnest(range(CAST(CEIL(LENGTH(text) / 100.0) AS INT))) AS frame_no,
+      |  unnest(list_transform(range(CAST(CEIL(LENGTH(text) / 100.0) AS INT)),
+      |    f -> md5(substr(text, f * 100 + 1, 100)))) AS frame_md5
+      |FROM documents
+      |ORDER BY doc_id, frame_no""".stripMargin)
+
+  val all: Seq[QuerySpec] = Seq(q92DecodePipeline, q93FrameSample)
+}

@@ -1,0 +1,145 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (`embedding: array<float>`, 64-dim unit vectors) — LLM-ops extension.
+  *
+  * Three tiers, mirroring how an ANN service scales:
+  *  - brute-force cosine top-k: the exactness baseline. Scale shape:
+  *    broadcast the (small) query set, scan the corpus once, per-query
+  *    top-k via window — corpus-side work is a single pass, no corpus
+  *    self-join;
+  *  - random-hyperplane LSH buckets: deterministic ±1 hyperplanes from
+  *    seeded hashes; candidates only from matching buckets → corpus scan
+  *    + bucket-key shuffle, constant work per row at any scale;
+  *  - IVF (inverted-file) probing: coarse centroids → nearest-centroid
+  *    assignment (the inverted lists), queries probe the 2 nearest lists.
+  *    At 100 TB the lists are the partitioning key, so a probe touches
+  *    2/nlist of the data.
+  */
+object Similarity {
+
+  /** Element-ordered double cosine; identical evaluation order on both
+    * engines so oracle values agree bit-for-bit before rounding. */
+  private def cosSql(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)
+       | / (SQRT(aggregate($a, 0D, (acc, x) -> acc + x * x))
+       |    * SQRT(aggregate($b, 0D, (acc, x) -> acc + x * x)))""".stripMargin
+
+  private def vecs(sp: org.apache.spark.sql.SparkSession): DataFrame =
+    sp.table("embeddings").select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** Brute-force cosine top-10 for query vectors (vec_id < 5). */
+  val q85BruteTopK: QuerySpec = QuerySpec(
+    "q85_ann_brute_topk",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+      |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val e = vecs(sp)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(cosSql("qv", "v")).as("c"))
+    scored.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("c"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH, 4 tables × 6-bit signatures from seeded ±1
+    * hyperplanes; a query probes its bucket in every table and candidates
+    * are the (deduplicated) union — the standard multi-table trade-off
+    * between recall and bucket fan-in. Approximate → rows-only driver
+    * check; recall vs brute force pinned in SimilaritySpec. */
+  val q86LshBucketed: QuerySpec = QuerySpec.noOracle("q86_ann_lsh_bucketed") { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    // Table t, bit j: sign of <v, h_tj>, h_tj[i] = ±1 from
+    // xxhash64(t*8+j, i) — deterministic, no stored model.
+    val bucketsSql =
+      """transform(sequence(0, 3), t -> named_struct(
+        |  'tbl', t,
+        |  'bucket', aggregate(
+        |    transform(sequence(0, 5), j ->
+        |      CASE WHEN aggregate(
+        |        zip_with(v, sequence(0, 63), (x, i) ->
+        |          CASE WHEN pmod(xxhash64(t * 8 + j, i), 2) = 0 THEN x ELSE -x END),
+        |        0D, (acc, p) -> acc + p) > 0 THEN shiftleft(1L, j) ELSE 0L END),
+        |    0L, (acc, b) -> acc + b)))""".stripMargin
+    val e = vecs(sp).select(col("vec_id"), col("v"),
+      explode(expr(bucketsSql)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    broadcast(q).join(e, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v")).distinct()
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(cosSql("qv", "v")).as("c"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("c"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF probing: coarse centroids (deterministic sample: vec_id % 50 = 0)
+    * → nearest-centroid inverted lists → queries probe the 2 nearest
+    * lists and rank true cosine inside them. */
+  val q87IvfProbe: QuerySpec = QuerySpec.noOracle("q87_ann_ivf_probe") { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val e = vecs(sp)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+    // inverted lists: every vector → nearest centroid
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        expr(cosSql("v", "cv")).as("cc"))
+      .withColumn("crank", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+    // queries probe their 2 nearest lists
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        expr(cosSql("qv", "cv")).as("qc"))
+      .withColumn("crank", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("qc").desc, col("cent_id"))))
+      .filter(col("crank") <= 2)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    broadcast(probes).join(assigned, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(cosSql("qv", "v")).as("c"))
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("c"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q85BruteTopK.benched, q86LshBucketed, q87IvfProbe)
+}

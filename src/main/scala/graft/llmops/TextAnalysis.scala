@@ -1,0 +1,107 @@
+package graft.llmops
+
+import graft.QuerySpec
+
+/** Text-analysis operators for training-data curation — language ID,
+  * quality scoring, token counting, document fingerprinting (llmops
+  * extension; no reference equivalent). All are single-pass, per-row
+  * expression pipelines: at 100 TB they run inside whole-stage codegen on
+  * the scan with zero shuffles (the rollups shuffle only the grouped
+  * summaries).
+  */
+object TextAnalysis {
+
+  /** Function-word-profile language ID with a deterministic arg-max
+    * (ties broken by fixed language order). The profiles are standard
+    * public function-word lists; scores are word-boundary regexp counts,
+    * identical on both engines. */
+  val q88LangId: QuerySpec = {
+    // language → function-word alternation (kept tiny & public-knowledge)
+    val profiles = Seq(
+      "de" -> "(der|die|das|und|ist|nicht|mit|ein)",
+      "en" -> "(the|and|of|to|is|in|that|it)",
+      "es" -> "(el|la|los|de|que|y|en|un)",
+      "fr" -> "(le|la|les|et|de|un|que|pour)",
+      "zh" -> "(的|是|了|在|我|有|和|不)")
+    def scoreCol(spark: Boolean, pat: String): String =
+      if (spark) s"size(regexp_extract_all(text, '(^| )$pat( |$$)', 0))"
+      else s"len(regexp_extract_all(text, '(^| )$pat( |$$)'))"
+    def selects(spark: Boolean): String = profiles.map { case (l, p) =>
+      s"  ${scoreCol(spark, p)} AS s_$l"
+    }.mkString(",\n")
+    val pred =
+      """CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr'
+        |  ELSE 'zh' END""".stripMargin
+    def text(spark: Boolean): String =
+      s"""SELECT doc_id, lang, pred_lang, (lang = pred_lang) AS hit
+         |FROM (SELECT doc_id, lang, $pred AS pred_lang
+         |      FROM (SELECT doc_id, lang,
+         |${selects(spark)}
+         |            FROM documents) scored) p
+         |ORDER BY doc_id""".stripMargin
+    QuerySpec.sql2("q88_text_langid", text(spark = true), text(spark = false))
+  }
+
+  /** Quality scoring: length, word, punctuation/digit/whitespace ratios,
+    * mean word length, and a composite quality bucket — the standard
+    * pre-training filter features. */
+  val q89Quality: QuerySpec = {
+    def n(spark: Boolean, pat: String): String =
+      if (spark) s"size(regexp_extract_all(text, '$pat', 0))"
+      else s"len(regexp_extract_all(text, '$pat'))"
+    def text(spark: Boolean): String =
+      s"""SELECT doc_id, n_chars, n_words,
+         |  ROUND(CAST(n_chars AS DOUBLE) / n_words, 6) AS chars_per_word,
+         |  ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+         |  ROUND(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_ratio,
+         |  CASE WHEN n_words >= 40 AND CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 'good'
+         |       WHEN n_words >= 10 THEN 'fair'
+         |       ELSE 'poor' END AS quality
+         |FROM (SELECT doc_id, LENGTH(text) AS n_chars,
+         |        ${n(spark, "[a-zA-Z0-9]+")} AS n_words,
+         |        ${n(spark, "[^a-zA-Z0-9 ]")} AS n_punct,
+         |        ${n(spark, "[0-9]")} AS n_digit
+         |      FROM documents) f
+         |ORDER BY doc_id""".stripMargin
+    QuerySpec.sql2("q89_text_quality", text(spark = true), text(spark = false))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * (alnum runs / single non-alnum), and the chars/4 heuristic. */
+  val q90Tokens: QuerySpec = {
+    def n(spark: Boolean, pat: String): String =
+      if (spark) s"size(regexp_extract_all(text, '$pat', 0))"
+      else s"len(regexp_extract_all(text, '$pat'))"
+    def text(spark: Boolean): String =
+      s"""SELECT doc_id,
+         |  ${n(spark, "[^ ]+")} AS ws_tokens,
+         |  ${n(spark, "[a-z0-9]+|[^a-z0-9 ]")} AS re_tokens,
+         |  CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS est_tokens
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    QuerySpec.sql2("q90_text_tokens", text(spark = true), text(spark = false))
+  }
+
+  /** Document fingerprint: bottom-4 sketch of per-word MD5 hashes — a
+    * winnowing-style content fingerprint that is stable under word
+    * reordering and partitioning, portable across engines. */
+  val q91Fingerprint: QuerySpec = QuerySpec.sql2(
+    "q91_text_fingerprint",
+    """SELECT doc_id,
+      |  array_join(slice(sort_array(transform(array_distinct(split(text, ' ')),
+      |    w -> md5(w))), 1, 4), '') AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    """SELECT doc_id,
+      |  array_to_string(list_sort(list_transform(list_distinct(string_split(text, ' ')),
+      |    w -> md5(w)))[1:4], '') AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin)
+
+  val all: Seq[QuerySpec] = Seq(
+    q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint)
+}
