@@ -77,7 +77,9 @@ case class FnvHash(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val u = FnvHashUtil.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // static forwarders on the companion class — janino can't resolve the
+    // Scala MODULE$ field through the dollar-suffixed object class name
+    val u = "graft.functions.FnvHashUtil"
     val call: String => String = child.dataType match {
       case StringType => c => s"$u.hashUtf8($c)"
       case BinaryType => c => s"$u.hashBytes($c)"

@@ -51,10 +51,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(v: Any): Any =
     SimHash64Util.simhash(v.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val u = SimHash64Util.getClass.getName.stripSuffix("$") + ".MODULE$"
-    defineCodeGen(ctx, ev, c => s"$u.simhash($c)")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // static forwarder on the companion class — janino can't resolve the
+    // Scala MODULE$ field through the dollar-suffixed object class name
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Util.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
   override def prettyName: String = "simhash64"

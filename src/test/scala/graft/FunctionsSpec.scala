@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Pins exact semantics of the custom function surface
+  * (graft.functions.ImpalaFunctions + expressions). */
+class FunctionsSpec extends EngineSuite {
+
+  private def one(sql: String): Row = {
+    graft.engine.GraftSession.attach(spark)
+    spark.sql(sql).collect().head
+  }
+
+  test("fnv_hash known vectors (FNV-1a 64)") {
+    // public FNV-1a test vectors: hash of empty = offset basis; "a"; "abc"
+    assert(functions.FnvHashUtil.hashBytes(Array.empty) == 0xcbf29ce484222325L)
+    assert(functions.FnvHashUtil.hashBytes("a".getBytes) == 0xaf63dc4c8601ec8cL)
+    assert(functions.FnvHashUtil.hashBytes("abc".getBytes) == 0xe71fa2190541574bL)
+  }
+
+  test("fnv_hash decimal uses byte-image layout, not string") {
+    // DECIMAL(9,2) value 1.00 → unscaled 100 as 4-byte little-endian
+    val h = one("SELECT fnv_hash(CAST(1.00 AS DECIMAL(9,2))) h").getLong(0)
+    assert(h == functions.FnvHashUtil.hashLong(100L, 4))
+    // 18-digit precision → 8-byte image
+    val h8 = one("SELECT fnv_hash(CAST(1.00 AS DECIMAL(18,2))) h").getLong(0)
+    assert(h8 == functions.FnvHashUtil.hashLong(100L, 8))
+    assert(h != h8)
+  }
+
+  test("trunc dispatches on type and rejects bad units") {
+    val r = one(
+      """SELECT trunc(TIMESTAMP '2024-05-05 10:11:12', 'Q') q,
+        |       trunc(TIMESTAMP '2024-05-08 10:11:12', 'DAY') wk,
+        |       trunc(DATE '2024-05-05', 'YYYY') y""".stripMargin)
+    assert(r.get(0).toString.startsWith("2024-04-01 00:00")) // quarter start
+    assert(r.get(1).toString.startsWith("2024-05-06 00:00")) // Impala DAY = week start
+    assert(r.get(2).toString == "2024-01-01")                // DATE in, DATE out
+    val e = intercept[Exception](one("SELECT trunc(TIMESTAMP '2024-05-05 10:11:12', 'BOGUS')"))
+    assert(e.getMessage.contains("BOGUS"))
+  }
+
+  test("decode matches NULL keys null-safely (Impala semantics)") {
+    val r = one(
+      """SELECT decode(x, NULL, 'was_null', 1, 'one', 'other') d
+        |FROM VALUES (CAST(NULL AS INT)), (1), (2) AS t(x)
+        |ORDER BY x NULLS FIRST LIMIT 1""".stripMargin)
+    assert(r.getString(0) == "was_null")
+  }
+
+  test("conditional family") {
+    val r = one(
+      """SELECT nvl(NULL, 7) a, isnull(NULL) b, isnull(3, 9) c,
+        |       zeroifnull(CAST(NULL AS INT)) d, nullifzero(0) e, nullifzero(5) f""".stripMargin)
+    assert(r.getInt(0) == 7 && r.getBoolean(1) && r.getInt(2) == 3)
+    assert(r.getInt(3) == 0 && r.isNullAt(4) && r.getInt(5) == 5)
+  }
+
+  test("simhash64 is order-insensitive and sensitive to content") {
+    val a = one("SELECT simhash64(transform(split('x y z w', ' '), w -> xxhash64(w))) h").getLong(0)
+    val b = one("SELECT simhash64(transform(split('w z y x', ' '), w -> xxhash64(w))) h").getLong(0)
+    val c = one("SELECT simhash64(transform(split('x y z q', ' '), w -> xxhash64(w))) h").getLong(0)
+    assert(a == b, "simhash must ignore word order")
+    assert(a != c, "simhash must change with content")
+  }
+
+  test("timestamp arithmetic aliases") {
+    val r = one(
+      """SELECT weeks_add(TIMESTAMP '2024-01-01 00:00:00', 2) a,
+        |       days_sub(TIMESTAMP '2024-01-01 00:00:00', 1) b,
+        |       hours_add(TIMESTAMP '2024-01-01 00:00:00', 25) c""".stripMargin)
+    assert(r.get(0).toString.startsWith("2024-01-15"))
+    assert(r.get(1).toString.startsWith("2023-12-31"))
+    assert(r.get(2).toString.startsWith("2024-01-02"))
+  }
+}

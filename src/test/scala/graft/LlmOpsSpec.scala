@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks on the LLM-ops operators: MinHash recall vs exact
+  * Jaccard, SimHash recall on true near-dups, LSH/IVF ANN recall vs
+  * brute force — the properties an oracle row-compare can't express. */
+class LlmOpsSpec extends EngineSuite {
+
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    // exact all-pairs word-3-gram Jaccard ≥ 0.8 (tiny at sf0.001)
+    QuerySpec.prepared(spark, sfDir)
+    spark.sql(
+      """WITH g AS (
+        |  SELECT doc_id, array_distinct(transform(
+        |    sequence(0, greatest(size(split(text,' ')) - 3, 0)),
+        |    i -> concat_ws(' ', slice(split(text,' '), i + 1, 3)))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id a, b.doc_id b
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / size(array_union(a.sh, b.sh)) >= 0.8""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH finds exactly the exact-Jaccard pairs") {
+    val got = llmops.Dedup.q81MinHashLsh.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactPairs, s"LSH=${got.size} exact=${exactPairs.size}")
+  }
+
+  test("simhash recall on true near-dups") {
+    val sim = llmops.Dedup.q82SimHash.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // SimHash at hamming ≤ 7 is a recall/precision trade-off, not a
+    // guarantee: a J=0.9 pair's differing words can flip > 7 bits. Require
+    // high-but-not-perfect recall to catch broken signatures or joins.
+    if (exactPairs.nonEmpty) {
+      val found = exactPairs.count(sim.contains)
+      assert(found.toDouble / exactPairs.size >= 0.6,
+        s"simhash found $found of ${exactPairs.size} true near-dups")
+    }
+  }
+
+  test("LSH ANN recall@10 vs brute force") {
+    val brute = llmops.Similarity.q85BruteTopK.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = llmops.Similarity.q86LshBucketed.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // the synthetic embeddings are near-uniform on the sphere (no tight
+    // clusters), the hardest case for hyperplane LSH — a low floor just
+    // guards against a broken bucket join returning nothing relevant
+    assert(recall >= 0.1, s"LSH recall@10 $recall implausibly low")
+  }
+
+  test("IVF probe returns descending-cosine ranks per query") {
+    val rows = llmops.Similarity.q87IvfProbe.run(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("multimodal stub decode matches SQL-side byte math") {
+    QuerySpec.prepared(spark, sfDir)
+    val dec = llmops.Multimodal.q92DecodePipeline.run(spark, sfDir)
+    val viaSql = spark.table("documents")
+      .select(col("doc_id"), length(col("text")).as("n"))
+    val joined = dec.join(viaSql, "doc_id")
+      .filter(col("byte_len") =!= col("n") ||
+        col("width") =!= lit(64) * (lit(1) + col("n") % 16))
+    assert(joined.count() == 0)
+  }
+}
