@@ -17,6 +17,12 @@ object FnvHashUtil {
     h
   }
   def hashUtf8(s: UTF8String): Long = hashBytes(s.getBytes)
+  def hashRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = Seed
+    var i = from
+    while (i < until) { h = (h ^ (bytes(i) & 0xffL)) * Prime; i += 1 }
+    h
+  }
   // Fixed-width numerics hash their little-endian representation, matching
   // the byte-image hashing the reference's builtin registry declares for
   // fnv_hash over each primitive type (catalog/BuiltinsDb.java:48-61).

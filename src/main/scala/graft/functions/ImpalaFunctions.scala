@@ -87,8 +87,10 @@ object ImpalaFunctions {
 
     // --- hashing ---
     add("fnv_hash") { case Seq(e) => FnvHash(e) }
-    // llmops: 64-bit SimHash over a feature-hash array (graft.llmops.Dedup)
+    // llmops: SimHash / MinHash over a feature-hash array (graft.llmops.Dedup)
     add("simhash64") { case Seq(e) => SimHash64(e) }
+    add("minhash64") { case Seq(e) => MinHash64(e) }
+    add("shingles64") { case Seq(e) => Shingles64(e) }
 
     // --- pattern matching: iregexp = case-insensitive regexp ---
     add("iregexp") { case Seq(s, p) =>

@@ -41,11 +41,9 @@ object Dedup {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin)
 
-  /** Spark-side word-3-gram shingle set (distinct, hashed to i64). */
-  private val shingleSql =
-    """array_distinct(transform(
-      |  sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
-      |  i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3)))))""".stripMargin
+  /** Spark-side word-3-gram shingle set (distinct, hashed to i64) — a
+    * single-pass custom expression (graft.functions.Shingles64). */
+  private val shingleSql = "shingles64(text)"
 
   /** MinHash + LSH near-duplicate pairs at Jaccard ≥ 0.8.
     *
@@ -69,23 +67,39 @@ object Dedup {
       |      / len(list_distinct(a.sh || b.sh)) >= 0.8
       |ORDER BY doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    val docs = sp.table("documents")
-      .select(col("doc_id"), expr(shingleSql).as("sh"))
-    // 64 minhashes; band b hashes signature rows [4b, 4b+4).
-    val sig = docs.select(col("doc_id"), col("sh"),
-      expr("transform(sequence(0, 63), j -> array_min(transform(sh, s -> xxhash64(s, j))))").as("sig"))
-    val bands = sig.select(col("doc_id"), col("sh"),
-      explode(expr(
+    // 64 minhashes in one pass (graft.functions.MinHash64); band b hashes
+    // signature rows [4b, 4b+4). ONE corpus-wide shingle+signature pass:
+    // buckets are formed by groupBy (not a self-join, which would evaluate
+    // the whole upstream twice), pairs expand inside each bucket, and the
+    // exact-Jaccard verify recomputes shingles only for the (few)
+    // candidate docs after a broadcast semi-join. Bucket pair expansion is
+    // O(k²) in bucket size — at larger scale cap/salt degenerate buckets
+    // (a bucket of identical boilerplate) before expanding.
+    val bands = sp.table("documents")
+      .select(col("doc_id"), expr(s"minhash64($shingleSql)").as("sig"))
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(0, 15), b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 4 + 1, 4))))")).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bands.select(col("band"), col("key"), col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = bands.select(col("band"), col("key"), col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = bands
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, x -> transform(ids, y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .filter(col("p.a") < col("p.b"))
+      .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
+      .distinct()
+    val candIds = pairs.select(col("doc_id_a").as("doc_id"))
+      .union(pairs.select(col("doc_id_b").as("doc_id"))).distinct()
+    val g = sp.table("documents")
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr(shingleSql).as("sh"))
+    pairs
+      .join(g.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+      .join(g.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("j"))
-      .distinct()
       .filter(col("j") >= 0.8)
       .select(col("doc_id_a"), col("doc_id_b"), round(col("j"), 4).as("jaccard"))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
