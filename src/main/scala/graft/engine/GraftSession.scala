@@ -50,6 +50,9 @@ object GraftSession {
         .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
+        // saveAsTable/ANALYZE targets (COMPUTE STATS analogue) — keep the
+        // managed-table warehouse out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     ).getOrCreate()
     attach(s)
   }

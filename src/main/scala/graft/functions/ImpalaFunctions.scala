@@ -87,6 +87,7 @@ object ImpalaFunctions {
 
     // --- hashing ---
     add("fnv_hash") { case Seq(e) => FnvHash(e) }
+    add("murmur_hash") { case Seq(e) => MurmurHash2(e) }
     // llmops: SimHash / MinHash over a feature-hash array (graft.llmops.Dedup)
     add("simhash64") { case Seq(e) => SimHash64(e) }
     add("minhash64") { case Seq(e) => MinHash64(e) }

@@ -263,11 +263,42 @@ object Functions {
         |  fnv_hash(c_acctbal) AS h_double,
         |  fnv_hash(CAST(c_acctbal AS DECIMAL(12,2))) AS h_dec,
         |  fnv_hash(c_acctbal > 0) AS h_bool,
+        |  murmur_hash(c_name) AS mh_string,
+        |  murmur_hash(c_custkey) AS mh_bigint,
         |  typeof(c_acctbal) AS t_dbl
         |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin)
   }
 
+  /** parse_url (Impala/Hive-style URL part extraction — Spark has the
+    * same builtin; the oracle rebuilds each part with regexps). */
+  val q59ParseUrl: QuerySpec = QuerySpec.sql2(
+    "q59_expr_parse_url",
+    """SELECT id,
+      |  parse_url(url, 'HOST') AS host,
+      |  parse_url(url, 'PATH') AS path,
+      |  parse_url(url, 'QUERY') AS query,
+      |  parse_url(url, 'QUERY', 'k') AS k_param,
+      |  parse_url(url, 'PROTOCOL') AS protocol
+      |FROM VALUES
+      |  (1, 'https://data.example.com/corpus/shard1?k=7&lang=en'),
+      |  (2, 'http://mirror.example.org/a/b/c?x=1&k=42'),
+      |  (3, 'https://example.net/path?k=abc')
+      |  AS t(id, url)
+      |ORDER BY id""".stripMargin,
+    """SELECT id,
+      |  regexp_extract(url, '//([^/]+)', 1) AS host,
+      |  regexp_extract(url, '//[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, '\?(.*)$', 1) AS query,
+      |  regexp_extract(url, '[?&]k=([^&]*)', 1) AS k_param,
+      |  regexp_extract(url, '^([a-z]+):', 1) AS protocol
+      |FROM (VALUES
+      |  (1, 'https://data.example.com/corpus/shard1?k=7&lang=en'),
+      |  (2, 'http://mirror.example.org/a/b/c?x=1&k=42'),
+      |  (3, 'https://example.net/path?k=abc'))
+      |  t(id, url)
+      |ORDER BY id""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q50CaseDecode, q51Cast, q52String, q53Math, q54Date, q55Conditional,
-    q56Pattern, q57Json, q58HashTypeof)
+    q56Pattern, q57Json, q58HashTypeof, q59ParseUrl)
 }
