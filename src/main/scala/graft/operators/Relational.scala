@@ -101,6 +101,115 @@ object Relational {
       .limit(25)
   }
 
-  val all: Seq[QuerySpec] =
-    Seq(q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched, q04TopN.benched)
+  /** TPC-H Q5 shape (local supplier volume): 6-way join with an extra
+    * cross-table equi-conjunct (c_nationkey = s_nationkey) — the
+    * reference's join-order stress test (PlannerTest TPC-H corpus).
+    * Dims broadcast; the fact-side joins shuffle on their keys. */
+  val q05TpchQ5: QuerySpec = QuerySpec.sql(
+    "q05_join_tpch_q5",
+    s"""SELECT n_name,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS $MoneySql) * (CAST(1 AS $RateSql) - CAST(l_discount AS $RateSql)) AS DECIMAL(19,8))) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin)
+
+  /** TPC-H Q6 shape (forecast revenue change): tight multi-predicate
+    * scan + global agg — pure pushdown + partial-agg path. */
+  val q06TpchQ6: QuerySpec = QuerySpec.sql(
+    "q06_agg_tpch_q6",
+    s"""SELECT CAST(SUM(CAST(CAST(l_extendedprice AS $MoneySql) * CAST(l_discount AS $RateSql) AS DECIMAL(19,8))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin)
+
+  /** TPC-H Q10 shape (returned items): join + group + revenue TopN. */
+  val q07TpchQ10: QuerySpec = QuerySpec.sql(
+    "q07_join_tpch_q10",
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS $MoneySql) * (CAST(1 AS $RateSql) - CAST(l_discount AS $RateSql)) AS DECIMAL(19,8))) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin)
+
+  /** RIGHT SEMI: emit build-side rows with probe matches — Spark plans it
+    * as the flipped LEFT SEMI (SURVEY §2.1 join matrix). */
+  val q08RightSemi: QuerySpec = QuerySpec(
+    "q08_join_right_semi",
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_suppkey = s_suppkey
+      |                AND l_quantity >= 50 AND l_discount >= 0.09)
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    // right-semi(lineitem, supplier) ≡ left-semi(supplier, lineitem)
+    sp.table("supplier")
+      .join(sp.table("lineitem")
+          .filter(col("l_quantity") >= 50 && col("l_discount") >= 0.09),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** RIGHT ANTI: build-side rows with no probe match (flipped LEFT ANTI). */
+  val q09RightAnti: QuerySpec = QuerySpec(
+    "q09_join_right_anti",
+    """SELECT p_partkey, p_name
+      |FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey AND l_quantity >= 45)
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    sp.table("part")
+      .join(sp.table("lineitem").filter(col("l_quantity") >= 45),
+        col("l_partkey") === col("p_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  /** Skew-safe aggregation: explicit salt → partial agg on (key, salt) →
+    * final agg on key. On skewed keys at cluster scale this bounds any
+    * single reducer's input to 1/N_SALT of the hot key (AQE skew handling
+    * covers joins; salting is the portable pattern for hot-key aggs).
+    * Results are exactly the plain groupBy's — verified by the oracle. */
+  val q10SaltedAgg: QuerySpec = QuerySpec(
+    "q10_agg_salted_skew",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val nSalt = 16
+    sp.table("events")
+      .withColumn("salt", pmod(col("event_id"), lit(nSalt)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(14,2)")).as("pt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("pt")).cast("double").as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
+    q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
+    q08RightSemi, q09RightAnti, q10SaltedAgg)
 }
