@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape assertions: the physical plans carry the optimizations the
+  * reference implements by hand (§4.2) — pushdown to the scan, column
+  * pruning, broadcast dimension joins, TopN — so a regression in any of
+  * them fails loudly rather than just running slower. */
+class PlanSpec extends EngineSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to parquet scan; unused columns pruned") {
+    val p = plan("q01_agg_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "scan reads a column the query never uses")
+  }
+
+  test("q02: projection pruned to exactly the selected columns") {
+    val p = plan("q02_scan_pushdown")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"), p)
+  }
+
+  test("q03: dimension joins broadcast, no sort-merge") {
+    val p = plan("q03_join_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to sort-merge")
+  }
+
+  test("q04: ORDER BY + LIMIT plans TopN, not a global sort") {
+    val p = plan("q04_sort_topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q19: multiway join broadcasts dims and keeps TopN") {
+    val p = plan("q19_join_multiway_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q71: partition filter prunes to one partition directory") {
+    val df = SparkEntry.queries("q71_dml_insert_partitioned")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
+  }
+
+  test("engine session has the reference's runtime optimizations on") {
+    val c = spark.conf
+    assert(c.get("spark.sql.adaptive.enabled") == "true")
+    assert(c.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+    assert(c.get("spark.sql.cbo.enabled") == "true")
+    assert(c.get("spark.sql.ansi.enabled") == "false")
+    assert(c.get("spark.sql.session.timeZone") == "UTC")
+  }
+}
