@@ -90,7 +90,16 @@ object SetOps {
       |ORDER BY o_orderkey
       |LIMIT 20 OFFSET 40""".stripMargin)
 
+  /** GROUP BY / ORDER BY by ordinal and by select-list alias
+    * (QueryStmt.java:170-300 substitutes ordinals and aliases). */
+  val q76Ordinals: QuerySpec = QuerySpec.sql(
+    "q76_group_order_ordinals",
+    """SELECT c_mktsegment AS seg, COUNT(*) AS n
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY 2 DESC, seg""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q21UnionAll, q22UnionDistinct, q23Values, q24WithCte, q25InlineView,
-    q26SortNulls, q27LimitOffset)
+    q26SortNulls, q27LimitOffset, q76Ordinals)
 }

@@ -43,6 +43,20 @@ class PlanSpec extends EngineSuite {
     assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
   }
 
+  test("join distribution hints steer the planner (TableRef.java:374-390)") {
+    QuerySpec.prepared(spark, sfDir)
+    val b = spark.sql(
+      """SELECT /*+ BROADCAST(nation) */ c_custkey, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(b.contains("BroadcastHashJoin"), b)
+    val m = spark.sql(
+      """SELECT /*+ MERGE(nation) */ c_custkey, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(m.contains("SortMergeJoin"), m)
+  }
+
   test("engine session has the reference's runtime optimizations on") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
