@@ -102,6 +102,33 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin)
 
+  /** Quality-quantile pruning: keep the top half per language by a
+    * quality score, via percent_rank — the windowed form is exact and
+    * engine-portable (approx-percentile thresholds are not), and at scale
+    * it is one shuffle on the stratum key. */
+  val q94QualityPrune: QuerySpec = QuerySpec.sql(
+    "q94_text_quality_prune",
+    """SELECT lang, doc_id, n_chars
+      |FROM (SELECT lang, doc_id, n_chars,
+      |             PERCENT_RANK() OVER (PARTITION BY lang
+      |                                  ORDER BY n_chars DESC, doc_id) AS pr
+      |      FROM documents) t
+      |WHERE pr <= 0.5
+      |ORDER BY lang, doc_id""".stripMargin)
+
+  /** Deterministic stratified sampling: a Knuth-multiplicative key hash
+    * selects ~20% per language — reproducible on any engine or cluster
+    * (no RNG), the property a curation pipeline needs for auditability. */
+  val q95StratifiedSample: QuerySpec = QuerySpec.sql(
+    "q95_text_stratified_sample",
+    """SELECT lang, COUNT(*) AS n_sampled,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 100 < 20
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
-    q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint)
+    q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
+    q94QualityPrune, q95StratifiedSample)
 }
