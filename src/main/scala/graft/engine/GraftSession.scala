@@ -57,9 +57,17 @@ object GraftSession {
     attach(s)
   }
 
-  /** Register the engine's function surface onto an existing session. */
+  /** Register the engine's function surface onto an existing session.
+    * Also applies the runtime-settable engine confs so a session built
+    * WITHOUT [[configure]] (e.g. a harness-owned bare session calling
+    * SparkEntry.entry) still reads the testdata and matches the verified
+    * semantics: nanosAsLong is required to read events.parquet
+    * (TIMESTAMP nanos), and UTC/non-ANSI pin the comparison semantics. */
   def attach(s: SparkSession): SparkSession = {
     s.sparkContext.setLogLevel("WARN")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.ansi.enabled", "false")
     graft.functions.ImpalaFunctions.registerAll(s)
     s
   }
