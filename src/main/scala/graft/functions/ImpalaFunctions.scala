@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Registers the Impala builtin-function surface that Spark lacks (or names
   * differently) onto a session's FunctionRegistry.
@@ -80,9 +81,10 @@ object ImpalaFunctions {
     // group_concat with deterministic (sorted) order; Impala's is
     // order-undefined (BuiltinsDb.java:928-950) — we pin a total order so
     // results are reproducible across partitionings (SURVEY §7 hard part b).
+    // A real AggregateFunction, so group_concat(DISTINCT x) works.
     add("group_concat") {
-      case Seq(e) => groupConcatExpr(e, Literal.create(", "))
-      case Seq(e, sep) => groupConcatExpr(e, sep)
+      case Seq(e) => GroupConcat(e)
+      case Seq(e, sep) => GroupConcat(e, sep)
     }
 
     // --- hashing ---
@@ -115,6 +117,22 @@ object ImpalaFunctions {
         TimestampAdd(unit, UnaryMinus(n, failOnError = false), ts)
       }
     }
+    // NANOSECOND truncates to microseconds (Spark timestamps are µs;
+    // documented divergence from Impala's ns-resolution timestamps).
+    add("nanoseconds_add") { case Seq(ts, n) =>
+      TimestampAdd("MICROSECOND",
+        IntegralDivide(Cast(n, LongType), Literal(1000L), EvalMode.LEGACY), ts)
+    }
+    add("nanoseconds_sub") { case Seq(ts, n) =>
+      TimestampAdd("MICROSECOND",
+        UnaryMinus(IntegralDivide(Cast(n, LongType), Literal(1000L), EvalMode.LEGACY),
+          failOnError = false), ts)
+    }
+    // quotient(a, b) — integer division after bigint coercion (Impala
+    // math builtin; doubles truncate to bigint first).
+    add("quotient") { case Seq(a, b) =>
+      IntegralDivide(Cast(a, LongType), Cast(b, LongType), EvalMode.LEGACY)
+    }
     // Impala trunc(ts, 'UNIT') — truncate timestamp (argument order is
     // (ts, fmt), same as Spark's trunc(date, fmt), so one name serves both;
     // ImpalaTrunc dispatches on the input type after resolution so date
@@ -124,9 +142,6 @@ object ImpalaFunctions {
     // sketch aggregates: histogram / sample / distinctpc / distinctpcsa
     SketchAggregates.register(reg)
   }
-
-  private def groupConcatExpr(e: Expression, sep: Expression): Expression =
-    ConcatWs(Seq(sep, new SortArray(CollectList(e).toAggregateExpression(), Literal(true))))
 
   // ------------------------------------------------------------------
   // Column DSL mirrors (Spark-first callers use these instead of SQL text)

@@ -66,11 +66,13 @@ object Aggregates {
     * hard part b). Oracle: DuckDB string_agg with ORDER BY. */
   val q31GroupConcat: QuerySpec = QuerySpec.sql2(
     "q31_agg_group_concat",
-    """SELECT r_name, group_concat(n_name, ', ') AS nations
+    """SELECT r_name, group_concat(n_name, ', ') AS nations,
+      |  group_concat(DISTINCT substr(n_name, 1, 1), '') AS initials
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin,
-    """SELECT r_name, STRING_AGG(n_name, ', ' ORDER BY n_name) AS nations
+    """SELECT r_name, STRING_AGG(n_name, ', ' ORDER BY n_name) AS nations,
+      |  STRING_AGG(DISTINCT substr(n_name, 1, 1), '' ORDER BY substr(n_name, 1, 1)) AS initials
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin)

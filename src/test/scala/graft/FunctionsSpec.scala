@@ -64,6 +64,26 @@ class FunctionsSpec extends EngineSuite {
     assert(a != c, "simhash must change with content")
   }
 
+  test("group_concat: plain, custom sep, DISTINCT, all-NULL → NULL") {
+    val r = one(
+      """SELECT group_concat(x) a, group_concat(x, '|') b,
+        |       group_concat(DISTINCT x, ',') c,
+        |       group_concat(CAST(NULL AS STRING)) d
+        |FROM VALUES ('b'), ('a'), ('b') AS t(x)""".stripMargin)
+    assert(r.getString(0) == "a, b, b")
+    assert(r.getString(1) == "a|b|b")
+    assert(r.getString(2) == "a,b")
+    assert(r.isNullAt(3))
+  }
+
+  test("quotient and nanoseconds_add close the math/timestamp surface") {
+    val r = one(
+      """SELECT quotient(7, 2) q, quotient(-7.9, 2) qd,
+        |       nanoseconds_add(TIMESTAMP '2024-01-01 00:00:00', 1500) n""".stripMargin)
+    assert(r.getLong(0) == 3L && r.getLong(1) == -3L)
+    assert(r.get(2).toString.contains("00:00:00.000001")) // 1500ns truncates to 1µs
+  }
+
   test("timestamp arithmetic aliases") {
     val r = one(
       """SELECT weeks_add(TIMESTAMP '2024-01-01 00:00:00', 2) a,
