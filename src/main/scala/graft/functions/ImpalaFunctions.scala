@@ -94,6 +94,7 @@ object ImpalaFunctions {
     add("simhash64") { case Seq(e) => SimHash64(e) }
     add("minhash64") { case Seq(e) => MinHash64(e) }
     add("shingles64") { case Seq(e) => Shingles64(e) }
+    add("vec_cosine") { case Seq(a, b) => VecCosine(a, b) }
 
     // --- pattern matching: iregexp = case-insensitive regexp ---
     add("iregexp") { case Seq(s, p) =>

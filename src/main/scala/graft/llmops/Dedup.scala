@@ -168,14 +168,11 @@ object Dedup {
       |  SELECT vec_id, label,
       |    transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings)
-      |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-      |  ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)
-      |    / (SQRT(aggregate(a.v, 0D, (acc, x) -> acc + x * x))
-      |       * SQRT(aggregate(b.v, 0D, (acc, x) -> acc + x * x))), 6) AS cos
-      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)
-      |    / (SQRT(aggregate(a.v, 0D, (acc, x) -> acc + x * x))
-      |       * SQRT(aggregate(b.v, 0D, (acc, x) -> acc + x * x))) >= 0.4
+      |SELECT label, id_a, id_b, ROUND(cos, 6) AS cos FROM (
+      |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    vec_cosine(a.v, b.v) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) p
+      |WHERE cos >= 0.4
       |ORDER BY label, id_a, id_b""".stripMargin,
     """SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
       |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
@@ -185,5 +182,5 @@ object Dedup {
 
   val all: Seq[QuerySpec] = Seq(
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
-    q84EmbeddingCosine)
+    q84EmbeddingCosine.benched)
 }

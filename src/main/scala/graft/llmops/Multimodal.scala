@@ -84,5 +84,5 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id, frame_no""".stripMargin)
 
-  val all: Seq[QuerySpec] = Seq(q92DecodePipeline, q93FrameSample)
+  val all: Seq[QuerySpec] = Seq(q92DecodePipeline.benched, q93FrameSample)
 }

@@ -22,12 +22,11 @@ import graft.QuerySpec
   */
 object Similarity {
 
-  /** Element-ordered double cosine; identical evaluation order on both
-    * engines so oracle values agree bit-for-bit before rounding. */
-  private def cosSql(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)
-       | / (SQRT(aggregate($a, 0D, (acc, x) -> acc + x * x))
-       |    * SQRT(aggregate($b, 0D, (acc, x) -> acc + x * x)))""".stripMargin
+  /** Element-ordered double cosine (graft.functions.VecCosine — fused
+    * single pass, same accumulation order as DuckDB's
+    * list_cosine_similarity over DOUBLE[], so oracle values agree
+    * bit-for-bit before rounding). */
+  private def cosSql(a: String, b: String): String = s"vec_cosine($a, $b)"
 
   private def vecs(sp: org.apache.spark.sql.SparkSession): DataFrame =
     sp.table("embeddings").select(col("vec_id"), col("label"),
