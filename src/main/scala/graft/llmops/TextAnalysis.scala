@@ -128,7 +128,34 @@ object TextAnalysis {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin)
 
+  /** TF-IDF keyword extraction: term frequency per doc × inverse document
+    * frequency, top-3 terms per doc. Ranking uses the exact integer pair
+    * (tf DESC, df ASC) — monotone in the tf·ln(N/df) score for fixed
+    * vocabularies — so ordering never hinges on last-ulp ln() differences
+    * between engines; the rounded score is still emitted. Two shuffles
+    * (per-doc terms, per-term doc counts) + a broadcast of the doc count. */
+  val q96TfIdf: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val wordsRel =
+        if (spark) "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents"
+        else "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+      s"""WITH words AS ($wordsRel),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+         |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word),
+         |total AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT doc_id, word, tf, df,
+         |       ROUND(tf * LN(CAST(n AS DOUBLE) / df), 6) AS tfidf, rnk
+         |FROM (SELECT tf.doc_id, tf.word, tf.tf, df.df, total.n,
+         |             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |                                ORDER BY tf.tf DESC, df.df ASC, tf.word) AS rnk
+         |      FROM tf JOIN df ON tf.word = df.word CROSS JOIN total) ranked
+         |WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin
+    }
+    QuerySpec.sql2("q96_text_tfidf", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
-    q94QualityPrune, q95StratifiedSample)
+    q94QualityPrune, q95StratifiedSample, q96TfIdf)
 }
