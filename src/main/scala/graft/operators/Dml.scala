@@ -138,7 +138,38 @@ object Dml {
     sp.sql("SHOW TABLES").select("tableName", "isTemporary").orderBy("tableName")
   }
 
+  /** File-format surface (catalog/HdfsFileFormat.java:42-116: PARQUET,
+    * TEXTFILE, …): the same relation round-trips through parquet, CSV
+    * (the TEXTFILE analogue, explicit schema on read), ORC, and JSON,
+    * and every copy must agree with the oracle. */
+  val q77Formats: QuerySpec = QuerySpec(
+    "q77_dml_formats",
+    """SELECT fmt, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM (SELECT 'csv' AS fmt, o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      |      UNION ALL SELECT 'json', o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      |      UNION ALL SELECT 'orc', o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      |      UNION ALL SELECT 'parquet', o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F') t
+      |GROUP BY fmt
+      |ORDER BY fmt""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val src = sp.table("orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val schema = src.schema
+    val copies = Seq("csv", "json", "orc", "parquet").map { fmt =>
+      val path = outDir(s"fmt_$fmt", dir)
+      src.write.mode("overwrite").format(fmt).save(path)
+      sp.read.schema(schema).format(fmt).load(path)
+        .select(lit(fmt).as("fmt"), col("o_orderkey"), col("o_totalprice"))
+    }
+    copies.reduce(_.unionAll(_))
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+      .orderBy(col("fmt"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q70Ctas, q71InsertPartitioned, q72UpdateMerge, q73Delete, q74Views,
-    q75Catalog)
+    q75Catalog, q77Formats)
 }
