@@ -45,6 +45,18 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast on a cluster — the dimension doesn't grow with
+    * the stream) and roll up per enrichment key. The standard shape for
+    * joining unbounded facts to reference data without stateful join
+    * bookkeeping. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+
   /** Gap-based sessionization (30-minute inactivity) — streaming twin of
     * q66_events_sessionize. Emits a SessionSummary when a gap closes a
     * session; the open session lives in per-user GroupState. */

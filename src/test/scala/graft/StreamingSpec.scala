@@ -58,6 +58,24 @@ class StreamingSpec extends EngineSuite {
     assert(r.getLong(0) == 1L && r.getInt(1) == 1 && r.getInt(2) == 2)
   }
 
+  test("stream-static enrichment joins the broadcast dimension") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "pro"), (2L, "free")).toDF("user_id", "segment")
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, 1, ts(0), "click", 2.0), Event(1, 2, ts(1), "click", 3.0),
+      Event(2, 3, ts(2), "view", 5.0))
+    val q = EventStreams.enriched(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val rows = s.table("enriched_out").orderBy("segment", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == Seq(("free", "view", 1L, 5.0), ("pro", "click", 2L, 5.0)))
+  }
+
   test("sessionize session numbering matches the batch q66 shape") {
     val s = spark
     import s.implicits._
