@@ -66,22 +66,28 @@ object Windows {
     "q39_win_first_last",
     """SELECT event_id,
       |       FIRST_VALUE(v) IGNORE NULLS OVER w AS first_v,
-      |       LAST_VALUE(v)  IGNORE NULLS OVER w AS last_v
+      |       LAST_VALUE(v)  IGNORE NULLS OVER w AS last_v,
+      |       LAG(v)  IGNORE NULLS OVER w2 AS prev_v,
+      |       LEAD(v) IGNORE NULLS OVER w2 AS next_v
       |FROM (SELECT event_id, user_id, ts,
       |             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
       |      FROM events) t
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |       w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin,
     // DuckDB spells IGNORE NULLS inside the call parens.
     """SELECT event_id,
       |       FIRST_VALUE(v IGNORE NULLS) OVER w AS first_v,
-      |       LAST_VALUE(v IGNORE NULLS)  OVER w AS last_v
+      |       LAST_VALUE(v IGNORE NULLS)  OVER w AS last_v,
+      |       LAG(v IGNORE NULLS)  OVER w2 AS prev_v,
+      |       LEAD(v IGNORE NULLS) OVER w2 AS next_v
       |FROM (SELECT event_id, user_id, ts,
       |             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
       |      FROM events) t
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |       w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin)
 
   /** ROWS frames: running total + bounded moving window (exact decimal
