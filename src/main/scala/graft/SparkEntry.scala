@@ -21,7 +21,8 @@ object SparkEntry {
       llmops.Dedup.all ++
       llmops.Similarity.all ++
       llmops.TextAnalysis.all ++
-      llmops.Multimodal.all
+      llmops.Multimodal.all ++
+      llmops.Clustering.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

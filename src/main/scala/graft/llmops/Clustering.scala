@@ -1,0 +1,72 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/** Embedding clustering + cluster-balanced sampling — the curation step
+  * that keeps a training mix diverse: cluster the corpus, then draw a
+  * bounded, reproducible sample from every cluster.
+  *
+  * Deterministic Lloyd iterations (k-means without RNG):
+  *  - seeds: fixed arithmetic selection (vec_id % 50 = 0), no sampling;
+  *  - assignment: broadcast the k centroids, one corpus pass with
+  *    vec_cosine, argmax with a fixed tie-break;
+  *  - update: element-wise mean computed over exact DECIMAL sums, so the
+  *    centroid bytes are identical under any partitioning — float drift
+  *    in the mean could otherwise flip an assignment and cascade.
+  *
+  * Scale shape: each iteration is one broadcast + one shuffle on
+  * (cluster, pos); nothing is ever collected to the driver.
+  */
+object Clustering {
+
+  private def vecs(sp: SparkSession): DataFrame =
+    sp.table("embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** One assignment pass: nearest centroid per vector (ties → lowest id). */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("cluster"),
+        expr("vec_cosine(v, cv)").as("cc"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cluster"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+
+  /** Element-wise mean of assigned vectors via exact decimal sums. */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("x").cast("decimal(27,18)")) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+
+  /** k-means (2 Lloyd iterations) + balanced sample of 3 ids per cluster
+    * selected by a deterministic multiplicative hash. Rows-only driver
+    * check; determinism under repartitioning pinned in ClusteringSpec. */
+  val q97KmeansBalanced: QuerySpec = QuerySpec.noOracle("q97_embed_kmeans_balanced") { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val e = vecs(sp)
+    var cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+    for (_ <- 1 to 2)
+      cents = recompute(assign(e, cents))
+    val fin = assign(e, cents)
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(pmod(col("vec_id") * 2654435761L, lit(99991)), col("vec_id"))))
+    fin.groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(when(col("pick") <= 3, col("vec_id")))), ",")
+          .as("sampled_ids"))
+      .orderBy(col("cluster"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q97KmeansBalanced)
+}
