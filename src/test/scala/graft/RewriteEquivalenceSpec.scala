@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Rewrite-equivalence properties (ExprRewriteRulesTest analogue,
+  * rewrite/BetweenToCompoundRule.java etc.): for random data, a query and
+  * its reference-rewritten form return identical results. Deterministic
+  * seed → reproducible. */
+class RewriteEquivalenceSpec extends EngineSuite {
+
+  private lazy val t: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(300) { i =>
+      (i.toLong,
+        if (rnd.nextInt(10) == 0) null else rnd.nextInt(20).toString,
+        rnd.nextInt(100),
+        rnd.nextDouble() * 100 - 50)
+    }
+    val df = rows.toDF("id", "s", "k", "x")
+    df.createOrReplaceTempView("rw_t")
+    df
+  }
+
+  private def same(q1: String, q2: String): Unit = {
+    t // force view
+    val a = spark.sql(q1).collect().map(_.toString).sorted.toSeq
+    val b = spark.sql(q2).collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"rewrite changed results:\n$q1\nvs\n$q2")
+  }
+
+  test("BETWEEN ≡ compound comparison (BetweenToCompoundRule)") {
+    same("SELECT id FROM rw_t WHERE k BETWEEN 20 AND 60",
+      "SELECT id FROM rw_t WHERE k >= 20 AND k <= 60")
+    same("SELECT id FROM rw_t WHERE k NOT BETWEEN 20 AND 60",
+      "SELECT id FROM rw_t WHERE k < 20 OR k > 60")
+  }
+
+  test("decode ≡ null-safe CASE (CaseExpr.java:99-150)") {
+    graft.engine.GraftSession.attach(spark)
+    same("SELECT id, decode(s, NULL, 'n', '5', 'five', 'other') AS d FROM rw_t",
+      """SELECT id, CASE WHEN s IS NULL THEN 'n' WHEN s = '5' THEN 'five'
+        |ELSE 'other' END AS d FROM rw_t""".stripMargin)
+  }
+
+  test("IN list ≡ OR chain (InPredicate)") {
+    same("SELECT id FROM rw_t WHERE k IN (3, 17, 42)",
+      "SELECT id FROM rw_t WHERE k = 3 OR k = 17 OR k = 42")
+  }
+
+  test("EXISTS ≡ LEFT SEMI, NOT EXISTS ≡ LEFT ANTI (StmtRewriter)") {
+    same(
+      "SELECT a.id FROM rw_t a WHERE EXISTS (SELECT 1 FROM rw_t b WHERE b.k = a.k AND b.x > 25)",
+      "SELECT a.id FROM rw_t a LEFT SEMI JOIN (SELECT k FROM rw_t WHERE x > 25) b ON a.k = b.k")
+    same(
+      "SELECT a.id FROM rw_t a WHERE NOT EXISTS (SELECT 1 FROM rw_t b WHERE b.k = a.k AND b.x > 25)",
+      "SELECT a.id FROM rw_t a LEFT ANTI JOIN (SELECT k FROM rw_t WHERE x > 25) b ON a.k = b.k")
+  }
+
+  test("null-safe equality: <=> ≡ IS NOT DISTINCT FROM") {
+    same("SELECT id FROM rw_t WHERE s <=> '5'",
+      "SELECT id FROM rw_t WHERE s IS NOT DISTINCT FROM '5'")
+    same("SELECT id FROM rw_t WHERE s <=> NULL",
+      "SELECT id FROM rw_t WHERE s IS NULL")
+  }
+
+  test("distinct UNION ≡ group-by-all-columns agg (UnionStmt.java:137-144)") {
+    same(
+      "SELECT k FROM rw_t WHERE x > 0 UNION SELECT k FROM rw_t WHERE x < -25",
+      """SELECT k FROM (SELECT k FROM rw_t WHERE x > 0
+        |UNION ALL SELECT k FROM rw_t WHERE x < -25) u GROUP BY k""".stripMargin)
+  }
+
+  test("uuid() exists and produces well-formed ids") {
+    val u = spark.sql("SELECT uuid() AS u").collect().head.getString(0)
+    assert(u.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+  }
+}
