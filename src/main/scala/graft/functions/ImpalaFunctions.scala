@@ -93,6 +93,7 @@ object ImpalaFunctions {
     // llmops: SimHash / MinHash over a feature-hash array (graft.llmops.Dedup)
     add("simhash64") { case Seq(e) => SimHash64(e) }
     add("minhash64") { case Seq(e) => MinHash64(e) }
+    add("lshbands64") { case Seq(e) => LshBands64(e) }
     add("shingles64") { case Seq(e) => Shingles64(e) }
     add("vec_cosine") { case Seq(a, b) => VecCosine(a, b) }
 

@@ -76,10 +76,8 @@ object Dedup {
     // O(k²) in bucket size — at larger scale cap/salt degenerate buckets
     // (a bucket of identical boilerplate) before expanding.
     val bands = sp.table("documents")
-      .select(col("doc_id"), expr(s"minhash64($shingleSql)").as("sig"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 15), b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 4 + 1, 4))))")).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"),
+        posexplode(expr(s"lshbands64(minhash64($shingleSql))")).as(Seq("band", "key")))
     val pairs = bands
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

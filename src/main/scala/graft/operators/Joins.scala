@@ -220,8 +220,39 @@ object Joins {
       .orderBy(col("nationkey"))
   }
 
+  /** Skew-safe salted join: the probe side adds a salt, the build side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — the portable hot-key pattern when AQE's skew-join
+    * split isn't available (e.g. a broadcast-ineligible build side with
+    * one dominant key). Results provably equal the plain join. */
+  val q78SaltedJoin: QuerySpec = QuerySpec(
+    "q78_join_salted_skew",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM orders
+      |JOIN (VALUES ('1-URGENT', 10), ('2-HIGH', 5)) AS w(pri, weight)
+      |  ON o_orderpriority = w.pri
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    import sp.implicits._
+    val nSalt = 8
+    val weights = Seq(("1-URGENT", 10), ("2-HIGH", 5)).toDF("pri", "weight")
+    val salted = sp.table("orders")
+      .withColumn("salt", pmod(col("o_orderkey"), lit(nSalt)))
+    val replicated = weights
+      .withColumn("salt", explode(expr(s"sequence(0, ${nSalt - 1})")))
+    salted
+      .join(replicated,
+        col("o_orderpriority") === col("pri") && salted("salt") === replicated("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q11LeftOuter, q12RightOuter, q13FullOuter, q14LeftSemi, q15LeftAnti,
     q16NullAwareAnti, q17Cross, q18RangeBucket, q19MultiwayTpchQ3.benched,
-    q20ThetaInequality)
+    q20ThetaInequality, q78SaltedJoin)
 }
