@@ -208,8 +208,53 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** TPC-H Q4 shape (order priority checking): EXISTS-filtered count per
+    * priority — semi-join + agg. */
+  val q98TpchQ4: QuerySpec = QuerySpec.sql(
+    "q98_agg_tpch_q4",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin)
+
+  /** TPC-H Q14 shape (promotion effect): conditional revenue ratio over a
+    * lineitem⋈part join. */
+  val q99TpchQ14: QuerySpec = QuerySpec.sql(
+    "q99_join_tpch_q14",
+    s"""SELECT
+       |  100.00 * CAST(SUM(CASE WHEN p_type LIKE 'ECO%'
+       |      THEN CAST(CAST(l_extendedprice AS $MoneySql) * (CAST(1 AS $RateSql) - CAST(l_discount AS $RateSql)) AS DECIMAL(19,8))
+       |      ELSE CAST(0 AS DECIMAL(19,8)) END) AS DOUBLE)
+       |    / CAST(SUM(CAST(CAST(l_extendedprice AS $MoneySql) * (CAST(1 AS $RateSql) - CAST(l_discount AS $RateSql)) AS DECIMAL(19,8))) AS DOUBLE)
+       |    AS promo_revenue_pct
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+
+  /** TPC-H Q18 shape (large-volume customers): HAVING over a per-order
+    * agg, joined back to orders+customer, TopN. */
+  val q100TpchQ18: QuerySpec = QuerySpec.sql(
+    "q100_join_tpch_q18",
+    """SELECT c_custkey, o_orderkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 280)
+      |GROUP BY c_custkey, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 25""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
-    q08RightSemi, q09RightAnti, q10SaltedAgg)
+    q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
+    q100TpchQ18.benched)
 }
