@@ -178,7 +178,37 @@ object Dedup {
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
       |ORDER BY label, id_a, id_b""".stripMargin)
 
+  /** Near-duplicate clusters: connected components over the verified
+    * MinHash pairs by iterative min-label propagation (each round: every
+    * doc adopts the smallest cluster id among itself and its neighbors).
+    * Four rounds close chains up to length 2⁴ — ample for near-dup
+    * clusters, which are cliques-ish; the loop is the standard scalable
+    * CC shape (one join + groupBy per round, no driver iteration over
+    * rows). Output: every clustered doc with its canonical (min) id, so
+    * "keep one per cluster" is a filter on doc_id = cluster_id. */
+  val q79DedupClusters: QuerySpec = QuerySpec.noOracle("q79_dedup_clusters") { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val pairs = q81MinHashLsh.run(sp, dir).select("doc_id_a", "doc_id_b")
+    // undirected edge list incl. self-loops so isolated-after-filter docs
+    // keep their own label
+    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionAll(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id"), col("src").as("cluster"))
+      .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("cluster")))
+      .groupBy("doc_id").agg(min("cluster").as("cluster"))
+    for (_ <- 1 to 4) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster"))
+      labels = labels.unionAll(viaNeighbor)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+    }
+    labels
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy("cluster", "doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
-    q84EmbeddingCosine.benched)
+    q84EmbeddingCosine.benched, q79DedupClusters)
 }

@@ -62,6 +62,17 @@ class LlmOpsSpec extends EngineSuite {
     }
   }
 
+  test("dedup clusters: every pair shares a cluster; canonical is the min id") {
+    val labels = llmops.Dedup.q79DedupClusters.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exactPairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+      assert(labels(a) <= a && labels(b) <= b, "canonical id must be the min")
+    }
+    // each cluster's canonical member is in the cluster
+    labels.values.toSet.foreach { (c: Long) => assert(labels(c) == c) }
+  }
+
   test("multimodal stub decode matches SQL-side byte math") {
     QuerySpec.prepared(spark, sfDir)
     val dec = llmops.Multimodal.q92DecodePipeline.run(spark, sfDir)
