@@ -1,0 +1,34 @@
+package graft
+
+/** Catalog/metadata statement surface — SHOW FUNCTIONS / DESCRIBE /
+  * TRUNCATE / REFRESH (service/MetadataOp.java:53-645,
+  * TruncateStmt/ResetMetadataStmt). */
+class CatalogSpec extends EngineSuite {
+
+  test("SHOW FUNCTIONS lists the engine's registered surface") {
+    graft.engine.GraftSession.attach(spark)
+    val fns = spark.sql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
+    Seq("fnv_hash", "murmur_hash", "group_concat", "distinctpc", "ndv",
+      "zeroifnull", "decode", "minhash64", "vec_cosine")
+      .foreach(f => assert(fns.contains(f), s"missing $f"))
+  }
+
+  test("DESCRIBE shows the schema of a registered table") {
+    QuerySpec.prepared(spark, sfDir)
+    val cols = spark.sql("DESCRIBE nation").collect().map(_.getString(0)).toSet
+    assert(Set("n_nationkey", "n_name", "n_regionkey").subsetOf(cols))
+  }
+
+  test("TRUNCATE TABLE empties a managed table; REFRESH re-reads it") {
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_trunc_t")
+    s.table("region").write.saveAsTable("graft_trunc_t")
+    assert(s.table("graft_trunc_t").count() == 5)
+    s.sql("TRUNCATE TABLE graft_trunc_t")
+    assert(s.table("graft_trunc_t").count() == 0)
+    s.sql("REFRESH TABLE graft_trunc_t") // ResetMetadataStmt analogue
+    assert(s.table("graft_trunc_t").count() == 0)
+    s.sql("DROP TABLE IF EXISTS graft_trunc_t")
+  }
+}
