@@ -208,7 +208,36 @@ object Dedup {
       .orderBy("cluster", "doc_id")
   }
 
+  /** Cross-language near-dup report: operator composition — the verified
+    * LSH pairs joined back to document metadata, counting same- vs
+    * cross-language duplicate pairs (the translation-leakage check of a
+    * curation pipeline). The oracle recomputes from exact all-pairs
+    * Jaccard, so it also re-validates LSH completeness. */
+  val q101CrossLang: QuerySpec = QuerySpec(
+    "q101_dedup_crosslang",
+    """WITH g AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+      |      i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS sh
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(a.sh || b.sh)) >= 0.8)
+      |SELECT (lang_a = lang_b) AS same_lang, COUNT(*) AS n_pairs
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val langs = sp.table("documents").select(col("doc_id"), col("lang"))
+    q81MinHashLsh.run(sp, dir)
+      .join(langs.select(col("doc_id").as("doc_id_a"), col("lang").as("lang_a")), Seq("doc_id_a"))
+      .join(langs.select(col("doc_id").as("doc_id_b"), col("lang").as("lang_b")), Seq("doc_id_b"))
+      .groupBy((col("lang_a") === col("lang_b")).as("same_lang"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("same_lang"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
-    q84EmbeddingCosine.benched, q79DedupClusters)
+    q84EmbeddingCosine.benched, q79DedupClusters, q101CrossLang)
 }

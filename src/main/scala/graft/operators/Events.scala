@@ -83,6 +83,20 @@ object Events {
       |GROUP BY 1
       |ORDER BY day""".stripMargin)
 
+  /** Rank-based outlier detection: the top 1% of purchase values per
+    * event day — percent_rank is exact (no mean/stddev float drift), and
+    * the shuffle key (day) bounds every partition's sort. */
+  val q69Outliers: QuerySpec = QuerySpec.sql(
+    "q69_events_outliers",
+    """SELECT day, event_id, value
+      |FROM (SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_id, value,
+      |             PERCENT_RANK() OVER (PARTITION BY CAST(DATE_TRUNC('day', ts) AS DATE)
+      |                                  ORDER BY value, event_id) AS pr
+      |      FROM events WHERE event_type = 'purchase') t
+      |WHERE pr >= 0.99
+      |ORDER BY day, event_id""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
-    q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup)
+    q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
+    q69Outliers)
 }
