@@ -21,6 +21,9 @@ case class GroupConcat(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.ArrayList[String]] {
+  // Callers register via ImpalaFunctions, which casts the child to string
+  // (Impala group_concat accepts any arg by implicit cast); update()
+  // assumes StringType input.
 
   private lazy val sepStr: String = sep match {
     case Literal(u: UTF8String, StringType) => u.toString

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Registers the Impala builtin-function surface that Spark lacks (or names
   * differently) onto a session's FunctionRegistry.
@@ -82,9 +82,11 @@ object ImpalaFunctions {
     // order-undefined (BuiltinsDb.java:928-950) — we pin a total order so
     // results are reproducible across partitionings (SURVEY §7 hard part b).
     // A real AggregateFunction, so group_concat(DISTINCT x) works.
+    // cast any child to string (Impala-style implicit cast) — a bare
+    // non-string child would ClassCastException at runtime otherwise
     add("group_concat") {
-      case Seq(e) => GroupConcat(e)
-      case Seq(e, sep) => GroupConcat(e, sep)
+      case Seq(e) => GroupConcat(Cast(e, StringType))
+      case Seq(e, sep) => GroupConcat(Cast(e, StringType), sep)
     }
 
     // --- hashing ---

@@ -45,6 +45,9 @@ case class ImpalaTrunc(ts: Expression, fmt: Expression) extends RuntimeReplaceab
       case DateType =>
         if (Set("hour", "minute", "second", "millisecond", "microsecond")(unit))
           throw new IllegalArgumentException(s"trunc: unit '$unit' not valid for DATE input")
+        // day-level truncation of a DATE is the identity — Spark's
+        // TruncDate would silently return NULL for units below week
+        else if (unit == "day") ts
         else TruncDate(ts, Literal(unit))
       case TimestampNTZType =>
         Cast(TruncTimestamp(Literal(unit), Cast(ts, TimestampType, tz), tz),

@@ -56,8 +56,9 @@ object Dedup {
     "q81_dedup_minhash_lsh",
     """WITH g AS (
       |  SELECT doc_id,
-      |    list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
-      |      i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS sh
+      |    CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+      |         ELSE list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+      |           i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) END AS sh
       |  FROM documents)
       |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -78,6 +79,9 @@ object Dedup {
     val bands = sp.table("documents")
       .select(col("doc_id"),
         posexplode(expr(s"lshbands64(minhash64($shingleSql))")).as(Seq("band", "key")))
+    // localCheckpoint: `pairs` is consumed three times below (both candId
+    // branches + the verify join) — without materialization the whole
+    // corpus scan+shuffle pipeline would re-execute per consumer.
     val pairs = bands
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -87,6 +91,7 @@ object Dedup {
       .filter(col("p.a") < col("p.b"))
       .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
       .distinct()
+      .localCheckpoint()
     val candIds = pairs.select(col("doc_id_a").as("doc_id"))
       .union(pairs.select(col("doc_id_b").as("doc_id"))).distinct()
     val g = sp.table("documents")
@@ -181,27 +186,32 @@ object Dedup {
   /** Near-duplicate clusters: connected components over the verified
     * MinHash pairs by iterative min-label propagation (each round: every
     * doc adopts the smallest cluster id among itself and its neighbors).
-    * Four rounds close chains up to length 2⁴ — ample for near-dup
-    * clusters, which are cliques-ish; the loop is the standard scalable
-    * CC shape (one join + groupBy per round, no driver iteration over
-    * rows). Output: every clustered doc with its canonical (min) id, so
-    * "keep one per cluster" is a filter on doc_id = cluster_id. */
+    * Each round closes one hop, so 6 rounds converge components of
+    * diameter ≤ 6 — near-dup components at J ≥ 0.8 are clique-like
+    * (diameter 1-2); for adversarially long chains switch to pointer
+    * doubling. The loop is the standard scalable CC shape (one join +
+    * groupBy per round, labels checkpointed so lineage stays flat).
+    * Output: every clustered doc with its canonical (min) id, so "keep
+    * one per cluster" is a filter on doc_id = cluster_id. */
   val q79DedupClusters: QuerySpec = QuerySpec.noOracle("q79_dedup_clusters") { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val pairs = q81MinHashLsh.run(sp, dir).select("doc_id_a", "doc_id_b")
     // undirected edge list incl. self-loops so isolated-after-filter docs
-    // keep their own label
+    // keep their own label; checkpointed — reused every round
     val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       .unionAll(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id"), col("src").as("cluster"))
       .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("cluster")))
       .groupBy("doc_id").agg(min("cluster").as("cluster"))
-    for (_ <- 1 to 4) {
+      .localCheckpoint()
+    for (_ <- 1 to 6) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster"))
       labels = labels.unionAll(viaNeighbor)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
     }
     labels
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
@@ -217,8 +227,9 @@ object Dedup {
     "q101_dedup_crosslang",
     """WITH g AS (
       |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
-      |      i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS sh
+      |    CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+      |         ELSE list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+      |           i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) END AS sh
       |  FROM documents),
       |p AS (
       |  SELECT a.lang AS lang_a, b.lang AS lang_b

@@ -44,7 +44,11 @@ object Multimodal {
     }
 
   /** Binary decode pipeline: text → bytes (the opaque media payload) →
-    * typed Dataset → partition-wise stub decode → metadata table. */
+    * typed Dataset → partition-wise stub decode → metadata table.
+    * Oracle note: the DuckDB side counts characters/code points, the stub
+    * counts UTF-8 bytes — equivalent because the documents fixture is
+    * pure ASCII (asserted in LlmOpsSpec); a multi-byte corpus would need
+    * a byte-based oracle. */
   val q92DecodePipeline: QuerySpec = QuerySpec(
     "q92_mm_decode_pipeline",
     """SELECT doc_id,
@@ -72,14 +76,17 @@ object Multimodal {
     * one fingerprint row per frame (video → frame batch shape). */
   val q93FrameSample: QuerySpec = QuerySpec.sql2(
     "q93_mm_frame_sample",
+    // greatest(…, 1): an empty payload still yields one (empty) frame on
+    // both engines — Spark's sequence(0, -1) would otherwise produce the
+    // descending array [0, -1].
     """SELECT doc_id, frame_no,
       |  md5(substr(text, frame_no * 100 + 1, 100)) AS frame_md5
       |FROM documents
-      |LATERAL VIEW explode(sequence(0, CAST(CEIL(LENGTH(text) / 100.0) AS INT) - 1)) t AS frame_no
+      |LATERAL VIEW explode(sequence(0, GREATEST(CAST(CEIL(LENGTH(text) / 100.0) AS INT), 1) - 1)) t AS frame_no
       |ORDER BY doc_id, frame_no""".stripMargin,
     """SELECT doc_id,
-      |  unnest(range(CAST(CEIL(LENGTH(text) / 100.0) AS INT))) AS frame_no,
-      |  unnest(list_transform(range(CAST(CEIL(LENGTH(text) / 100.0) AS INT)),
+      |  unnest(range(GREATEST(CAST(CEIL(LENGTH(text) / 100.0) AS INT), 1))) AS frame_no,
+      |  unnest(list_transform(range(GREATEST(CAST(CEIL(LENGTH(text) / 100.0) AS INT), 1)),
       |    f -> md5(substr(text, f * 100 + 1, 100)))) AS frame_md5
       |FROM documents
       |ORDER BY doc_id, frame_no""".stripMargin)

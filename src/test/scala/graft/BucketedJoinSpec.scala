@@ -26,7 +26,8 @@ class BucketedJoinSpec extends EngineSuite {
     // exchange allowed is the final aggregation's (and even that is
     // avoided since grouping matches the bucket key)
     val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
-    assert(!joinSection.contains("ShuffleExchange"),
+    // ShuffleExchangeExec prints as "Exchange hashpartitioning(...)"
+    assert(!joinSection.contains("Exchange hashpartitioning"),
       "bucketed join still shuffles:\n" + joinSection.take(800))
     assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
       "scan is not bucket-aware")

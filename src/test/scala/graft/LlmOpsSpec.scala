@@ -73,6 +73,14 @@ class LlmOpsSpec extends EngineSuite {
     labels.values.toSet.foreach { (c: Long) => assert(labels(c) == c) }
   }
 
+  test("documents fixture is pure ASCII (q92 byte/char oracle equivalence)") {
+    QuerySpec.prepared(spark, sfDir)
+    val nonAscii = spark.sql(
+      "SELECT COUNT(*) FROM documents WHERE length(text) != octet_length(text)")
+      .collect().head.getLong(0)
+    assert(nonAscii == 0, "q92's char-based oracle requires ASCII text")
+  }
+
   test("multimodal stub decode matches SQL-side byte math") {
     QuerySpec.prepared(spark, sfDir)
     val dec = llmops.Multimodal.q92DecodePipeline.run(spark, sfDir)
