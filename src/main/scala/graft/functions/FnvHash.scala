@@ -38,23 +38,28 @@ object FnvHashUtil {
   /** Impala stores DECIMAL(p,s) as a little-endian 4/8/16-byte two's
     * complement integer of the unscaled value (Decimal4/8/16Value; the
     * builtin registry declares fnv_hash over each width,
-    * catalog/BuiltinsDb.java:48-61). Hash that byte image. */
-  def hashDecimal(d: org.apache.spark.sql.types.Decimal, precision: Int): Long = {
-    if (precision <= 9) hashLong(d.toUnscaledLong, 4)
-    else if (precision <= 18) hashLong(d.toUnscaledLong, 8)
-    else {
+    * catalog/BuiltinsDb.java:48-61). This byte image is the single
+    * source of truth for every hash function over decimals. */
+  def decimalImage(d: org.apache.spark.sql.types.Decimal, precision: Int): Array[Byte] = {
+    val width = if (precision <= 9) 4 else if (precision <= 18) 8 else 16
+    val b = new Array[Byte](width)
+    if (width <= 8) {
+      val v = d.toUnscaledLong
+      var i = 0
+      while (i < width) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    } else {
       val bi = d.toJavaBigDecimal.unscaledValue()
       val lo = bi.longValue()
       val hi = bi.shiftRight(64).longValue()
-      // little-endian int128: low 8 bytes then high 8 bytes, one FNV stream
-      var h = Seed
       var i = 0
-      while (i < 8) { h = (h ^ ((lo >>> (8 * i)) & 0xffL)) * Prime; i += 1 }
-      i = 0
-      while (i < 8) { h = (h ^ ((hi >>> (8 * i)) & 0xffL)) * Prime; i += 1 }
-      h
+      while (i < 8) { b(i) = ((lo >>> (8 * i)) & 0xff).toByte; i += 1 }
+      while (i < 16) { b(i) = ((hi >>> (8 * (i - 8))) & 0xff).toByte; i += 1 }
     }
+    b
   }
+
+  def hashDecimal(d: org.apache.spark.sql.types.Decimal, precision: Int): Long =
+    hashBytes(decimalImage(d, precision))
 }
 
 /** `fnv_hash(expr)` — Impala's FNV-1a hash builtin

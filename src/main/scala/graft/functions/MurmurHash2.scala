@@ -50,20 +50,9 @@ object MurmurHash2Util {
   }
   def hashDouble(v: Double): Long = hashLong(java.lang.Double.doubleToLongBits(v), 8)
   def hashFloat(v: Float): Long = hashLong(java.lang.Float.floatToIntBits(v).toLong & 0xffffffffL, 4)
-  def hashDecimal(d: Decimal, precision: Int): Long = {
-    if (precision <= 9) hashLong(d.toUnscaledLong, 4)
-    else if (precision <= 18) hashLong(d.toUnscaledLong, 8)
-    else {
-      val bi = d.toJavaBigDecimal.unscaledValue()
-      val lo = bi.longValue()
-      val hi = bi.shiftRight(64).longValue()
-      val b = new Array[Byte](16)
-      var i = 0
-      while (i < 8) { b(i) = ((lo >>> (8 * i)) & 0xff).toByte; i += 1 }
-      while (i < 16) { b(i) = ((hi >>> (8 * (i - 8))) & 0xff).toByte; i += 1 }
-      hashBytes(b)
-    }
-  }
+  // single source of truth for the decimal byte layout: FnvHashUtil
+  def hashDecimal(d: Decimal, precision: Int): Long =
+    hashBytes(FnvHashUtil.decimalImage(d, precision))
 }
 
 /** `murmur_hash(expr)` — Impala's murmur_hash builtin (same registration

@@ -20,28 +20,57 @@ object Multimodal {
   /** Raw media row: id + opaque payload bytes. */
   final case class RawMedia(doc_id: Long, media: Array[Byte])
 
-  /** Decoded metadata produced by the (stub) decoder. */
+  /** Decoded metadata produced by the (stub) decoder, including the
+    * "resized" fixed-size feature vector. */
   final case class DecodedMedia(
-      doc_id: Long, byte_len: Int, width: Int, height: Int, channel_mean: Double)
+      doc_id: Long, byte_len: Int, width: Int, height: Int,
+      channel_mean: Double, thumb: Array[Double])
 
-  /** STUB DECODER — deterministic fake standing in for a real image
-    * decode (e.g. JPEG dims + mean pixel). Derives "dimensions" from the
-    * payload length and the "channel mean" from raw byte values, so the
-    * pipeline is end-to-end testable; swap this single function for a
-    * real codec on a cluster with native libs. */
+  /** STUB DECODER + RESIZE — deterministic fake standing in for a real
+    * image decode + downscale (e.g. JPEG dims, mean pixel, 8-bucket
+    * thumbnail). Derives "dimensions" from the payload length, the
+    * "channel mean" from raw byte values, and the "resized" feature
+    * vector as 8 chunk means over the payload — so the full
+    * decode→feature-extract→resize plumbing is end-to-end testable; swap
+    * this single function for a real codec on a cluster with native libs. */
   private def decodeStub(rows: Iterator[RawMedia]): Iterator[DecodedMedia] =
     rows.map { r =>
       val n = r.media.length
       var sum = 0L
       var i = 0
       while (i < n) { sum += r.media(i) & 0xff; i += 1 }
+      val thumb = new Array[Double](8)
+      if (n > 0) {
+        val chunk = math.max(1, n / 8)
+        var c = 0
+        while (c < 8) {
+          val from = math.min(c * chunk, n)
+          val until = if (c == 7) n else math.min((c + 1) * chunk, n)
+          var s = 0L
+          var j = from
+          while (j < until) { s += r.media(j) & 0xff; j += 1 }
+          thumb(c) = if (until > from) s.toDouble / (until - from) else 0.0
+          c += 1
+        }
+      }
       DecodedMedia(
         doc_id = r.doc_id,
         byte_len = n,
         width = 64 * (1 + n % 16),
         height = 64 * (1 + n % 9),
-        channel_mean = sum.toDouble / n)
+        channel_mean = sum.toDouble / n,
+        thumb = thumb)
     }
+
+  /** The typed decode pipeline, reusable by queries and specs. */
+  def decoded(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.Dataset[DecodedMedia] = {
+    val sp = QuerySpec.prepared(s, dir)
+    import sp.implicits._
+    sp.table("documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[RawMedia]
+      .mapPartitions(decodeStub)
+  }
 
   /** Binary decode pipeline: text → bytes (the opaque media payload) →
     * typed Dataset → partition-wise stub decode → metadata table.
@@ -60,12 +89,7 @@ object Multimodal {
       |        / LENGTH(text), 6) AS channel_mean
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val sp = QuerySpec.prepared(s, dir)
-    import sp.implicits._
-    val raw = sp.table("documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-      .as[RawMedia]
-    raw.mapPartitions(decodeStub)
+    decoded(s, dir)
       .toDF()
       .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
         round(col("channel_mean"), 6).as("channel_mean"))

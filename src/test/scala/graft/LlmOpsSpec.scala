@@ -81,6 +81,17 @@ class LlmOpsSpec extends EngineSuite {
     assert(nonAscii == 0, "q92's char-based oracle requires ASCII text")
   }
 
+  test("multimodal resize stage: 8-chunk thumbnails are valid byte means") {
+    val rows = llmops.Multimodal.decoded(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { d =>
+      assert(d.thumb.length == 8)
+      d.thumb.foreach(v => assert(v >= 0.0 && v < 256.0))
+      // chunk means must bracket the global mean
+      assert(d.thumb.min <= d.channel_mean && d.channel_mean <= d.thumb.max)
+    }
+  }
+
   test("multimodal stub decode matches SQL-side byte math") {
     QuerySpec.prepared(spark, sfDir)
     val dec = llmops.Multimodal.q92DecodePipeline.run(spark, sfDir)
