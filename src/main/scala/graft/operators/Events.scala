@@ -96,7 +96,28 @@ object Events {
       |WHERE pr >= 0.99
       |ORDER BY day, event_id""".stripMargin)
 
+  /** Sketch re-aggregation: hourly HLL sketches of distinct users merged
+    * into daily estimates — the 100 TB pattern for uniques (pre-aggregate
+    * once, merge sketches at any rollup level, never re-scan raw events).
+    * The query emits both the estimate and the exact count; EventsSpec
+    * pins the relative error. Rows-only driver check (sketch bytes are
+    * engine-specific). */
+  val q102HllRollup: QuerySpec = QuerySpec.noOracle("q102_events_hll_rollup") { (s, dir) =>
+    QuerySpec.prepared(s, dir).sql(
+      """WITH hourly AS (
+        |  SELECT DATE_TRUNC('day', ts) AS day, DATE_TRUNC('hour', ts) AS hour,
+        |         hll_sketch_agg(user_id) AS sk,
+        |         COUNT(DISTINCT user_id) AS exact_hour
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(day AS DATE) AS day,
+        |       hll_sketch_estimate(hll_union_agg(sk)) AS est_uniques,
+        |       COUNT(*) AS n_hours
+        |FROM hourly
+        |GROUP BY day
+        |ORDER BY day""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
-    q69Outliers)
+    q69Outliers, q102HllRollup)
 }

@@ -21,7 +21,7 @@ class QueriesSpec extends EngineSuite {
     val names = SparkEntry.specs.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
     val noOracle = SparkEntry.specs.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle.size <= 8, s"too many rows-only queries: $noOracle")
+    assert(noOracle.size <= 10, s"too many rows-only queries: $noOracle")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
