@@ -117,7 +117,26 @@ object Events {
         |ORDER BY day""".stripMargin)
   }
 
+  /** Day-over-day retention: users active on both day d and d-1 — the
+    * distinct (user, day) self-join, shuffled on user_id once. */
+  val q103Retention: QuerySpec = QuerySpec.sql2(
+    "q103_events_retention",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+      |            FROM events)
+      |SELECT a.day AS day, COUNT(*) AS returning_users
+      |FROM ud a JOIN ud b
+      |  ON a.user_id = b.user_id AND b.day = DATE_SUB(a.day, 1)
+      |GROUP BY a.day
+      |ORDER BY day""".stripMargin,
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+      |            FROM events)
+      |SELECT a.day AS day, COUNT(*) AS returning_users
+      |FROM ud a JOIN ud b
+      |  ON a.user_id = b.user_id AND b.day = a.day - 1
+      |GROUP BY a.day
+      |ORDER BY day""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
-    q69Outliers, q102HllRollup)
+    q69Outliers, q102HllRollup, q103Retention)
 }

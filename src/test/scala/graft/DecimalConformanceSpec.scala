@@ -59,6 +59,14 @@ class DecimalConformanceSpec extends EngineSuite {
     assert(resultType(4, 0, 2, 0, "/") == DecimalType(10, 6)) // ref: (8,4)
   }
 
+  test("38-precision cap: results clamp like the reference's MAX_PRECISION handling") {
+    // both engines cap at 38 (ScalarType.MAX_PRECISION); Spark's
+    // allowPrecisionLoss keeps at least 6 fractional digits — pin it so a
+    // conf or version change is caught
+    assert(resultType(38, 10, 38, 10, "+") == DecimalType(38, 9))
+    assert(resultType(30, 10, 30, 10, "*") == DecimalType(38, 6))
+  }
+
   test("assignment-compatible (union) type matches getDecimalAssignmentCompatibleType") {
     // digitsBefore+digitsAfter rule (TypesUtil.java:74-92)
     val t = spark.sql(
