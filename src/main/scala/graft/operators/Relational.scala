@@ -237,18 +237,21 @@ object Relational {
        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
 
   /** TPC-H Q18 shape (large-volume customers): HAVING over a per-order
-    * agg, joined back to orders+customer, TopN. */
+    * agg joined to orders+customer, TopN. Written as aggregate-once —
+    * the textbook IN-subquery form scans lineitem twice; aggregating
+    * first and joining the (tiny) qualifying set is the single-scan plan
+    * that matters at fact-table scale. Equivalent because an order maps
+    * to exactly one customer. */
   val q100TpchQ18: QuerySpec = QuerySpec.sql(
     "q100_join_tpch_q18",
-    """SELECT c_custkey, o_orderkey,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
-      |FROM customer
-      |JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON o_orderkey = l_orderkey
-      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-      |                     GROUP BY l_orderkey
-      |                     HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 280)
-      |GROUP BY c_custkey, o_orderkey
+    """SELECT c_custkey, o_orderkey, total_qty
+      |FROM (SELECT l_orderkey,
+      |             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |      FROM lineitem
+      |      GROUP BY l_orderkey
+      |      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 280) big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
       |ORDER BY total_qty DESC, o_orderkey
       |LIMIT 25""".stripMargin)
 
