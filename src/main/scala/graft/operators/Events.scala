@@ -136,7 +136,20 @@ object Events {
       |GROUP BY a.day
       |ORDER BY day""".stripMargin)
 
+  /** Funnel conversion: users whose first purchase strictly follows
+    * their first signup — one conditional-min aggregation per user, no
+    * self-join (the scalable funnel shape). */
+  val q105Funnel: QuerySpec = QuerySpec.sql(
+    "q105_events_funnel",
+    """SELECT COUNT(*) AS n_signed_up,
+      |  COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+      |FROM (SELECT user_id,
+      |        MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+      |        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      |      FROM events GROUP BY user_id) u
+      |WHERE first_signup IS NOT NULL""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
-    q69Outliers, q102HllRollup, q103Retention)
+    q69Outliers, q102HllRollup, q103Retention, q105Funnel)
 }

@@ -116,7 +116,23 @@ object Windows {
       |FROM events
       |ORDER BY event_id""".stripMargin)
 
+  /** Window over an aggregate (TPC-DS-style share-of-parent): per-nation
+    * revenue and its share of the region total, computed by a window over
+    * the agg output — AnalyticEvalNode above AggregationNode. */
+  val q104ShareOfRegion: QuerySpec = QuerySpec.sql(
+    "q104_win_share_of_region",
+    """SELECT r_name, n_name, revenue,
+      |  ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6) AS region_share
+      |FROM (SELECT r_name, n_name,
+      |        CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |      FROM customer
+      |      JOIN nation ON c_nationkey = n_nationkey
+      |      JOIN region ON n_regionkey = r_regionkey
+      |      WHERE c_acctbal > 0
+      |      GROUP BY r_name, n_name) per_nation
+      |ORDER BY r_name, n_name""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q36Rank, q37NtilePct, q38LagLead, q39FirstLast, q40Frames.benched,
-    q47RangeFrame)
+    q47RangeFrame, q104ShareOfRegion)
 }
