@@ -19,6 +19,27 @@ class CatalogSpec extends EngineSuite {
     assert(Set("n_nationkey", "n_name", "n_regionkey").subsetOf(cols))
   }
 
+  test("LOAD DATA analogue: move files into a table location + refresh") {
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_load").toFile
+    try {
+      s.table("region").limit(3).write.mode("overwrite").parquet(dir.getPath)
+      val t = s.read.parquet(dir.getPath)
+      t.createOrReplaceTempView("loaded_t")
+      assert(s.table("loaded_t").count() == 3)
+      // LOAD DATA INPATH = drop new files into the location, then refresh
+      s.table("region").write.mode("append").parquet(dir.getPath)
+      s.catalog.refreshByPath(dir.getPath)
+      assert(s.read.parquet(dir.getPath).count() == 8)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("TRUNCATE TABLE empties a managed table; REFRESH re-reads it") {
     val s = spark
     QuerySpec.prepared(s, sfDir)
