@@ -20,7 +20,7 @@ case class GroupConcat(
     sep: Expression = Literal.create(", "),
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.ArrayList[String]] {
+  extends TypedImperativeAggregate[java.util.ArrayList[UTF8String]] {
   // Callers register via ImpalaFunctions, which casts the child to string
   // (Impala group_concat accepts any arg by implicit cast); update()
   // assumes StringType input.
@@ -34,32 +34,37 @@ case class GroupConcat(
   override def nullable: Boolean = true
   override def dataType: DataType = StringType
 
-  override def createAggregationBuffer(): java.util.ArrayList[String] =
-    new java.util.ArrayList[String]()
+  override def createAggregationBuffer(): java.util.ArrayList[UTF8String] =
+    new java.util.ArrayList[UTF8String]()
 
-  override def update(buf: java.util.ArrayList[String], input: InternalRow): java.util.ArrayList[String] = {
+  override def update(buf: java.util.ArrayList[UTF8String], input: InternalRow): java.util.ArrayList[UTF8String] = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    // clone(): the eval result may be backed by a reused UnsafeRow buffer.
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].clone())
     buf
   }
 
-  override def merge(buf: java.util.ArrayList[String], other: java.util.ArrayList[String]): java.util.ArrayList[String] = {
+  override def merge(buf: java.util.ArrayList[UTF8String], other: java.util.ArrayList[UTF8String]): java.util.ArrayList[UTF8String] = {
     buf.addAll(other); buf
   }
 
-  override def eval(buf: java.util.ArrayList[String]): Any = {
+  override def eval(buf: java.util.ArrayList[UTF8String]): Any = {
     if (buf.isEmpty) return null
-    val arr = buf.toArray(new Array[String](buf.size))
-    scala.util.Sorting.quickSort(arr)
-    UTF8String.fromString(arr.mkString(sepStr))
+    // UTF8String.compareTo is unsigned-byte (binary/UTF-8) order — the
+    // engine's binary collation, matching STRING_AGG ... ORDER BY in the
+    // oracle; java.lang.String order (UTF-16 code units) diverges for
+    // supplementary-plane characters.
+    java.util.Collections.sort(buf)
+    val sepU = UTF8String.fromString(sepStr)
+    UTF8String.concatWs(sepU, buf.toArray(new Array[UTF8String](buf.size)): _*)
   }
 
-  override def serialize(buf: java.util.ArrayList[String]): Array[Byte] = {
+  override def serialize(buf: java.util.ArrayList[UTF8String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.forEach { s =>
-      val b = s.getBytes("UTF-8")
+      val b = s.getBytes
       out.writeInt(b.length)
       out.write(b)
     }
@@ -67,14 +72,14 @@ case class GroupConcat(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.ArrayList[String] = {
+  override def deserialize(bytes: Array[Byte]): java.util.ArrayList[UTF8String] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = new java.util.ArrayList[String](n)
+    val buf = new java.util.ArrayList[UTF8String](n)
     (1 to n).foreach { _ =>
       val b = new Array[Byte](in.readInt())
       in.readFully(b)
-      buf.add(new String(b, "UTF-8"))
+      buf.add(UTF8String.fromBytes(b))
     }
     buf
   }

@@ -58,7 +58,8 @@ object Multimodal {
         byte_len = n,
         width = 64 * (1 + n % 16),
         height = 64 * (1 + n % 9),
-        channel_mean = sum.toDouble / n,
+        // Empty payload → 0.0 (not NaN); mirrored by the q92 oracle's CASE.
+        channel_mean = if (n == 0) 0.0 else sum.toDouble / n,
         thumb = thumb)
     }
 
@@ -84,9 +85,10 @@ object Multimodal {
       |  LENGTH(text) AS byte_len,
       |  64 * (1 + LENGTH(text) % 16) AS width,
       |  64 * (1 + LENGTH(text) % 9) AS height,
-      |  ROUND(CAST(list_aggregate(list_transform(range(LENGTH(text)),
-      |          i -> ascii(substr(text, i + 1, 1))), 'sum') AS DOUBLE)
-      |        / LENGTH(text), 6) AS channel_mean
+      |  CASE WHEN LENGTH(text) = 0 THEN 0.0
+      |       ELSE ROUND(CAST(list_aggregate(list_transform(range(LENGTH(text)),
+      |              i -> ascii(substr(text, i + 1, 1))), 'sum') AS DOUBLE)
+      |            / LENGTH(text), 6) END AS channel_mean
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     decoded(s, dir)

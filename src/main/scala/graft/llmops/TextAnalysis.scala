@@ -118,13 +118,17 @@ object TextAnalysis {
 
   /** Deterministic stratified sampling: a Knuth-multiplicative key hash
     * selects ~20% per language — reproducible on any engine or cluster
-    * (no RNG), the property a curation pipeline needs for auditability. */
+    * (no RNG), the property a curation pipeline needs for auditability.
+    * The key is reduced mod a prime BEFORE the multiply so the product
+    * stays < 2^63 for any BIGINT doc_id: an unbounded doc_id * 2654435761
+    * overflows at doc_id ≳ 3.47e9 — Spark (non-ANSI) would wrap silently
+    * while DuckDB/ANSI engines raise, breaking the portability contract. */
   val q95StratifiedSample: QuerySpec = QuerySpec.sql(
     "q95_text_stratified_sample",
     """SELECT lang, COUNT(*) AS n_sampled,
       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
       |FROM documents
-      |WHERE (doc_id * 2654435761) % 100 < 20
+      |WHERE ((doc_id % 1000003) * 2654435761) % 100 < 20
       |GROUP BY lang
       |ORDER BY lang""".stripMargin)
 

@@ -49,8 +49,9 @@ object Events {
       |  FROM events
       |), sess AS (
       |  SELECT user_id, event_id,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS session_no
       |  FROM flagged
       |)
       |SELECT user_id, session_no, COUNT(*) AS n_events

@@ -130,21 +130,21 @@ object Functions {
       |FROM part ORDER BY p_partkey""".stripMargin,
     """SELECT p_partkey,
       |  ABS(p_size - 25) AS dist25,
-      |  CEIL(p_retailprice / 100) AS ceil_h,
-      |  FLOOR(p_retailprice / 100) AS floor_h,
+      |  CAST(CEIL(p_retailprice / 100) AS BIGINT) AS ceil_h,
+      |  CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS floor_h,
       |  ROUND(p_retailprice / 7, 2) AS div7,
       |  POWER(p_size, 2) AS sq,
       |  SQRT(CAST(p_size AS DOUBLE)) AS rt,
       |  ROUND(LN(p_size), 8) AS ln_sz,
       |  ROUND(EXP(p_size % 5), 6) AS exp_m5,
-      |  SIGN(p_size - 25) AS sgn,
+      |  CAST(SIGN(p_size - 25) AS DOUBLE) AS sgn,
       |  ((p_size - 25) % 7 + 7) % 7 AS pm7,
       |  p_size % 7 AS m7,
-      |  p_size // 7 AS d7,
+      |  CAST(p_size // 7 AS BIGINT) AS d7,
       |  p_size & 15 AS band, p_size | 16 AS bor, XOR(p_size, 21) AS bxor,
       |  p_size << 2 AS shl,
-      |  FACTORIAL(p_size % 10) AS fact,
-      |  GREATEST(p_size, 25) AS gst, LEAST(p_size, 25) AS lst
+      |  CAST(FACTORIAL(p_size % 10) AS BIGINT) AS fact,
+      |  CAST(GREATEST(p_size, 25) AS INT) AS gst, CAST(LEAST(p_size, 25) AS INT) AS lst
       |FROM part ORDER BY p_partkey""".stripMargin)
 
   /** Date/time library + INTERVAL arithmetic + EXTRACT + Impala trunc
