@@ -9,6 +9,7 @@ object SparkEntry {
   /** Registry of all implemented queries (SURVEY.md §2 inventory). */
   def specs: Seq[QuerySpec] =
     operators.Relational.all ++
+      operators.TpchFull.all ++
       operators.Joins.all ++
       operators.Subqueries.all ++
       operators.SetOps.all ++
