@@ -269,6 +269,59 @@ object Functions {
         |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin)
   }
 
+  /** Cross-engine oracle for the custom fnv_hash codegen Expression
+    * (graft.functions.FnvHash; reference registers fnv_hash per primitive
+    * width, catalog/BuiltinsDb.java:48-61): the DuckDB side re-derives
+    * FNV-1a 64 from first principles — byte images built with arithmetic
+    * shifts (two's complement for negative decimals), the hash loop as a
+    * list_reduce in HUGEINT with an explicit mod-2^64, then a signed
+    * reinterpretation. Proves the Expression's byte-image contract
+    * (little-endian fixed-width numerics, UTF-8 strings, unscaled
+    * decimals) on real data, not just the pinned vectors in
+    * FunctionsSpec. h_double is excluded — DuckDB 1.0 has no
+    * float-bit-image function (those stay pinned in FunctionsSpec). */
+  val q120FnvOracle: QuerySpec = {
+    def reduce(bytes: String): String =
+      s"""list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), $bytes),
+         |      (h, x) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT))) * 1099511628211)
+         |                % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+    def signed(h: String): String =
+      s"""CAST(CASE WHEN $h >= CAST('9223372036854775808' AS HUGEINT)
+         |          THEN $h - CAST('18446744073709551616' AS HUGEINT) ELSE $h END AS BIGINT)""".stripMargin
+    QuerySpec.sql2(
+      "q120_expr_fnv_oracle",
+      """SELECT c_custkey,
+        |  fnv_hash(c_custkey) AS h_bigint,
+        |  fnv_hash(CAST(c_nationkey AS INT)) AS h_int,
+        |  fnv_hash(c_name) AS h_string,
+        |  fnv_hash(CAST(c_acctbal AS DECIMAL(12,2))) AS h_dec,
+        |  fnv_hash(c_acctbal > 0) AS h_bool
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin,
+      s"""WITH b AS (
+         |  SELECT c_custkey,
+         |    list_transform(range(8), i -> CAST((c_custkey >> CAST(i*8 AS INT)) & 255 AS HUGEINT)) AS bytes_key,
+         |    list_transform(range(4), i -> CAST((CAST(c_nationkey AS BIGINT) >> CAST(i*8 AS INT)) & 255 AS HUGEINT)) AS bytes_nat,
+         |    list_transform(range(length(c_name)), i -> CAST(ascii(substr(c_name, CAST(i+1 AS INT), 1)) AS HUGEINT)) AS bytes_name,
+         |    list_transform(range(8), i -> CAST((CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) >> CAST(i*8 AS INT)) & 255 AS HUGEINT)) AS bytes_dec,
+         |    [CAST(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS HUGEINT)] AS bytes_bool
+         |  FROM customer ORDER BY c_custkey LIMIT 100)
+         |SELECT c_custkey,
+         |  ${signed("h_key")} AS h_bigint,
+         |  ${signed("h_nat")} AS h_int,
+         |  ${signed("h_name")} AS h_string,
+         |  ${signed("h_acct")} AS h_dec,
+         |  ${signed("h_b")} AS h_bool
+         |FROM (
+         |  SELECT c_custkey,
+         |    ${reduce("bytes_key")} AS h_key,
+         |    ${reduce("bytes_nat")} AS h_nat,
+         |    ${reduce("bytes_name")} AS h_name,
+         |    ${reduce("bytes_dec")} AS h_acct,
+         |    ${reduce("bytes_bool")} AS h_b
+         |  FROM b) t
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** parse_url (Impala/Hive-style URL part extraction — Spark has the
     * same builtin; the oracle rebuilds each part with regexps). */
   val q59ParseUrl: QuerySpec = QuerySpec.sql2(
@@ -300,5 +353,5 @@ object Functions {
 
   val all: Seq[QuerySpec] = Seq(
     q50CaseDecode, q51Cast, q52String, q53Math, q54Date, q55Conditional,
-    q56Pattern, q57Json, q58HashTypeof, q59ParseUrl)
+    q56Pattern, q57Json, q58HashTypeof, q59ParseUrl, q120FnvOracle)
 }
