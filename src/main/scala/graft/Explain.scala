@@ -1,0 +1,31 @@
+package graft
+
+/** Plan-inspection main: prints the formatted physical plan of each named
+  * query (all queries when no names are given) without executing it.
+  *
+  *   runMain graft.Explain /root/testdata/sf0.01 q114,q116
+  *
+  * The per-operator review loop from the build brief: after a query is
+  * correct, read its plan — are filters pushed to the scan, are dimension
+  * joins broadcast, do whole-stage-codegen spans cover the hot path, does
+  * a shuffle repeat that an earlier stage already produced? */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val prefixes = if (args.length > 1) args(1).split(",").toSeq else Seq.empty
+    val spark = graft.engine.GraftSession.local(cores = 8, shufflePartitions = 8)
+    val selected = SparkEntry.specs
+      .filter(s => prefixes.isEmpty || prefixes.exists(s.name.startsWith))
+    selected.foreach { s =>
+      println(s"[explain] ========== ${s.name} ==========")
+      try {
+        val df = s.run(spark, sfDir)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch {
+        case e: Throwable => println(s"[explain] ERROR: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

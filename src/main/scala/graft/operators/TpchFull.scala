@@ -216,16 +216,18 @@ object TpchFull {
     * anti branch.
     *
     * The oracle keeps the literal EXISTS/NOT EXISTS statement; the Spark
-    * text runs the aggregate-once equivalent: group the joined fact table
-    * by (order, supplier) with a late-lineitem count, derive per-order
-    * supplier/late-supplier counts from that, and filter. The naive form
-    * shuffles lineitem three times (semi + anti + main); here the single
-    * lineitem⋈orders shuffle on l_orderkey is reused by BOTH follow-up
-    * aggregations and the self-join (HashPartitioning(l_orderkey)
-    * satisfies every downstream distribution), so at 100 TB the fact
-    * table crosses the network exactly once. Equivalence of the two
-    * forms is oracle-checked (numwait counts late lineitems, so
-    * multiplicity is preserved). */
+    * text runs a single-pass equivalent: group the joined fact table by
+    * (order, supplier) with a late-lineitem count, then derive per-order
+    * supplier/late-supplier counts with WINDOW functions over the same
+    * relation — not a second aggregation, which Spark would satisfy by
+    * rebuilding the inlined CTE and scanning lineitem⋈orders twice
+    * (verified via graft.Explain). The naive form shuffles lineitem three
+    * times (semi + anti + main); here the fact table is scanned once and
+    * shuffled once — on l_orderkey at the join — after which the grouping
+    * keys and the window partition reuse that partitioning, so at 100 TB
+    * the fact table crosses the network exactly once. Equivalence is
+    * oracle-checked (numwait counts late lineitems, so multiplicity is
+    * preserved). */
   val q116TpchQ21: QuerySpec = QuerySpec.sql2(
     "q116_sub_tpch_q21",
     """WITH li AS (
@@ -235,17 +237,18 @@ object TpchFull {
       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       |  WHERE o_orderstatus = 'F'
       |  GROUP BY l_orderkey, l_suppkey),
-      |ord AS (
-      |  SELECT l_orderkey, COUNT(*) AS n_supp,
-      |         CAST(SUM(CASE WHEN n_late_items > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_supp
-      |  FROM li GROUP BY l_orderkey)
-      |SELECT s_name, CAST(SUM(li.n_late_items) AS BIGINT) AS numwait
-      |FROM li
-      |JOIN ord ON li.l_orderkey = ord.l_orderkey
-      |JOIN supplier ON s_suppkey = li.l_suppkey
+      |w AS (
+      |  SELECT l_suppkey, n_late_items,
+      |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+      |         SUM(CASE WHEN n_late_items > 0 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY l_orderkey) AS n_late_supp
+      |  FROM li)
+      |SELECT s_name, CAST(SUM(n_late_items) AS BIGINT) AS numwait
+      |FROM w
+      |JOIN supplier ON s_suppkey = l_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
-      |WHERE li.n_late_items > 0 AND ord.n_supp > 1 AND ord.n_late_supp = 1 AND r_name = 'ASIA'
+      |WHERE n_late_items > 0 AND n_supp > 1 AND n_late_supp = 1 AND r_name = 'ASIA'
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name""".stripMargin,
     """SELECT s_name, COUNT(*) AS numwait

@@ -37,6 +37,26 @@ class PlanSpec extends EngineSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q114 (TPC-H Q19): disjunctive predicate still plans a hash join") {
+    // The OR of AND-groups mixes both join sides; the planner must extract
+    // the common p_partkey = l_partkey equi-conjunct and keep the
+    // disjunction as a residual — not fall back to a nested-loop join
+    // (reference: HashJoinNode eq + "other" conjuncts, HashJoinNode.java).
+    val p = plan("q114_join_tpch_q19")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "disjunctive join predicate fell back to a nested-loop join")
+  }
+
+  test("q116 (TPC-H Q21): single-pass plan scans each table exactly once") {
+    // The EXISTS/NOT EXISTS oracle form would scan lineitem three times;
+    // the window rewrite must keep one scan per table (5 total).
+    val p = plan("q116_sub_tpch_q21")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 5, s"expected 5 parquet scans, got $scans\n$p")
+  }
+
   test("q71: partition filter prunes to one partition directory") {
     val df = SparkEntry.queries("q71_dml_insert_partitioned")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
