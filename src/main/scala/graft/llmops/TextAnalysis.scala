@@ -159,7 +159,45 @@ object TextAnalysis {
     QuerySpec.sql2("q96_text_tfidf", text(spark = true), text(spark = false))
   }
 
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 3-gram with the held-out eval slice (doc_id % 100 = 0 — a
+    * deterministic stand-in for a benchmark suite). The canonical
+    * train/test-overlap check of an LLM curation pipeline. Scale shape:
+    * the eval side's distinct n-grams are tiny relative to the corpus
+    * (benchmarks are ~1e5 docs vs 1e9+), so the join broadcasts them and
+    * the training corpus streams through map-side — one wide shuffle on
+    * ngram only if the bench set outgrows the broadcast threshold.
+    * The explicit size guard keeps Spark's sequence() from producing a
+    * descending range on short documents. */
+  val q122Decontaminate: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val g =
+        if (spark)
+          """SELECT doc_id, ngram
+            |  FROM (SELECT doc_id,
+            |          CASE WHEN size(split(text, ' ')) >= 3
+            |               THEN transform(sequence(0, size(split(text, ' ')) - 3),
+            |                      i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+            |               ELSE array() END AS ngrams
+            |        FROM documents) t
+            |  LATERAL VIEW explode(ngrams) x AS ngram""".stripMargin
+        else
+          """SELECT doc_id, unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+            |         i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS ngram
+            |  FROM documents""".stripMargin
+      s"""WITH g AS (
+         |$g),
+         |bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 100 = 0),
+         |train AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 100 <> 0)
+         |SELECT train.doc_id, COUNT(*) AS n_shared_ngrams
+         |FROM train JOIN bench ON train.ngram = bench.ngram
+         |GROUP BY train.doc_id
+         |ORDER BY train.doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q122_text_decontaminate", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
-    q94QualityPrune, q95StratifiedSample, q96TfIdf)
+    q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate)
 }

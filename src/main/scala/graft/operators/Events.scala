@@ -150,7 +150,47 @@ object Events {
       |      FROM events GROUP BY user_id) u
       |WHERE first_signup IS NOT NULL""".stripMargin)
 
+  /** As-of join: attach each view event's most recent prior purchase
+    * (ts-inclusive) for the same user. The reference has no as-of
+    * operator; per the build brief's preference order this composes
+    * existing ops rather than adding a plan node: build and probe streams
+    * are UNIONed with a side tag (build sorts before probe at equal ts,
+    * giving inclusive semantics) and a last_value(IGNORE NULLS) running
+    * window carries the build value forward — ONE shuffle on user_id,
+    * one local sort, no range self-join (which would be O(n·m) per user
+    * and is the classic as-of scaling trap). Purchases are pre-aggregated
+    * per (user, ts) so window order is total and the result is identical
+    * under any partitioning. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val q121AsofJoin: QuerySpec = QuerySpec(
+    "q121_join_asof",
+    """WITH p AS (
+      |  SELECT user_id, ts, MAX(value) AS value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, ts)
+      |SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'view') e
+      |ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val e = sp.table("events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("bigint").as("event_id"), col("value"))
+    val probes = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("double").as("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionAll(probes)
+      .withColumn("last_purchase_value", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
-    q69Outliers, q102HllRollup, q103Retention, q105Funnel)
+    q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin)
 }
