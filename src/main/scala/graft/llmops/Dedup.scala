@@ -193,7 +193,35 @@ object Dedup {
     * groupBy per round, labels checkpointed so lineage stays flat).
     * Output: every clustered doc with its canonical (min) id, so "keep
     * one per cluster" is a filter on doc_id = cluster_id. */
-  val q79DedupClusters: QuerySpec = QuerySpec.noOracle("q79_dedup_clusters") { (s, dir) =>
+  val q79DedupClusters: QuerySpec = QuerySpec(
+    "q79_dedup_clusters",
+    // Oracle: exact all-pairs Jaccard (the q81 oracle shape) → undirected
+    // edge list with self-loops → WITH RECURSIVE transitive closure →
+    // min reachable id per node. The closure is the ground-truth fixpoint,
+    // so this also guards the iteration count of the Spark side's label
+    // propagation (a component with diameter > 6 would diverge from it).
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+      |         ELSE list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+      |           i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) END AS sh
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(a.sh || b.sh)) >= 0.8),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM p
+      |  UNION SELECT b, a FROM p
+      |  UNION SELECT a, a FROM p
+      |  UNION SELECT b, b FROM p),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, MIN(dst) AS cluster, (src = MIN(dst)) AS is_canonical
+      |FROM reach GROUP BY src ORDER BY cluster, doc_id""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val pairs = q81MinHashLsh.run(sp, dir).select("doc_id_a", "doc_id_b")
     // undirected edge list incl. self-loops so isolated-after-filter docs
