@@ -86,4 +86,16 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming ingest dedup — the streaming twin of exact dedup (q80):
+    * drop re-deliveries of the same event_id, keeping state only for the
+    * watermark horizon. dropDuplicatesWithinWatermark is the Spark-native
+    * shape for at-least-once sources (a Kafka replay of yesterday's ids
+    * is outside the horizon and its state is long evicted — state size is
+    * bounded by arrival rate × watermark, not by stream history, which is
+    * what lets it run forever at 100 TB/day). */
+  def deduplicated(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 }

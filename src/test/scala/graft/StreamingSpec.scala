@@ -94,4 +94,26 @@ class StreamingSpec extends EngineSuite {
     val rows = s.table("sessions_out2").collect().toSeq
     assert(rows.size == 1 && rows.head.getInt(1) == 1 && rows.head.getInt(2) == 2)
   }
+
+  test("deduplicated: re-delivered event_ids emit once within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, 10, ts(0), "click", 1.0),
+      Event(1, 10, ts(1), "click", 1.0), // re-delivery, same id
+      Event(2, 11, ts(2), "view", 2.0))
+    val q = EventStreams.deduplicated(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Event(1, 10, ts(3), "click", 1.0)) // second batch replay
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = s.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(10L, 11L), s"expected one row per id, got $ids")
+  }
 }
