@@ -41,7 +41,13 @@ object Bench {
     val total = cold.collect { case (_, v) if v >= 0 => v }.sum
     val warmTotal = warm.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(cold)},"warm_total":$warmTotal,"queries_warm":${json(warm)},"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(cold)},"warm_total":$warmTotal,"queries_warm":${json(warm)},"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // sbt prefixes stdout with "[info] ", which can defeat line-oriented
+    // JSON parsing downstream — also drop the bare line in a file.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -197,7 +197,45 @@ object TextAnalysis {
     QuerySpec.sql2("q122_text_decontaminate", text(spark = true), text(spark = false))
   }
 
+  /** Repetition-based quality filter (the Gopher/C4-style rule): flag
+    * documents whose most frequent word bigram accounts for more than 20%
+    * of all bigrams — the signature of boilerplate and degenerate
+    * generation. One explode + two aggregations, all partitioned by
+    * doc_id (the second groupBy reuses the first's partitioning), so at
+    * corpus scale this is a single shuffle keyed on doc_id. */
+  val q123Repetition: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val g =
+        if (spark)
+          """SELECT doc_id, ngram
+            |  FROM (SELECT doc_id,
+            |          CASE WHEN size(split(text, ' ')) >= 2
+            |               THEN transform(sequence(0, size(split(text, ' ')) - 2),
+            |                      i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))
+            |               ELSE array() END AS ngrams
+            |        FROM documents) t
+            |  LATERAL VIEW explode(ngrams) x AS ngram""".stripMargin
+        else
+          """SELECT doc_id, unnest(list_transform(range(len(string_split(text, ' ')) - 1),
+            |         i -> array_to_string(string_split(text, ' ')[i+1:i+2], ' '))) AS ngram
+            |  FROM documents""".stripMargin
+      s"""WITH g AS (
+         |$g),
+         |c AS (SELECT doc_id, ngram, COUNT(*) AS n FROM g GROUP BY doc_id, ngram),
+         |t AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |             CAST(MAX(n) AS BIGINT) AS top_count
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, top_count,
+         |       ROUND(CAST(top_count AS DOUBLE) / n_bigrams, 6) AS top_frac,
+         |       (CAST(top_count AS DOUBLE) / n_bigrams > 0.2) AS flagged
+         |FROM t
+         |ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q123_text_repetition", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
-    q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate)
+    q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
+    q123Repetition)
 }

@@ -190,7 +190,32 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Sliding (hopping) windows: 2-hour windows every hour via Spark's
+    * window(slide) — each event lands in exactly two windows. The oracle
+    * materializes the same two hop starts per event with unnest. Shuffle
+    * is on (window, nothing else) — the fan-out factor is window/slide,
+    * paid before the shuffle (map-side), not as a self-join. */
+  val q124Sliding: QuerySpec = QuerySpec(
+    "q124_events_sliding",
+    """SELECT win_start, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM (SELECT unnest([date_trunc('hour', ts),
+      |                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+      |             value
+      |      FROM events) h
+      |GROUP BY win_start
+      |ORDER BY win_start""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    sp.table("events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("n"), col("total"))
+      .orderBy(col("win_start"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
-    q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin)
+    q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
+    q124Sliding)
 }
