@@ -158,9 +158,13 @@ object Events {
     * giving inclusive semantics) and a last_value(IGNORE NULLS) running
     * window carries the build value forward — ONE shuffle on user_id,
     * one local sort, no range self-join (which would be O(n·m) per user
-    * and is the classic as-of scaling trap). Purchases are pre-aggregated
-    * per (user, ts) so window order is total and the result is identical
-    * under any partitioning. Oracle: DuckDB's native ASOF LEFT JOIN. */
+    * and is the classic as-of scaling trap). Ties are pinned by ordering
+    * the window by (ts, side, value): among same-(user, ts) purchases the
+    * running last_value lands on the MAX value — identical to the
+    * oracle's per-(user, ts) MAX pre-aggregation but without the extra
+    * shuffle a pre-aggregation would plan (verified via graft.Explain:
+    * exactly one wide exchange before the window). Oracle: DuckDB's
+    * native ASOF LEFT JOIN over the pre-aggregated build side. */
   val q121AsofJoin: QuerySpec = QuerySpec(
     "q121_join_asof",
     """WITH p AS (
@@ -175,13 +179,12 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     val e = sp.table("events")
     val purchases = e.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
       .select(col("user_id"), col("ts"), lit(0).as("side"),
         lit(null).cast("bigint").as("event_id"), col("value"))
     val probes = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), lit(1).as("side"),
         col("event_id"), lit(null).cast("double").as("value"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "side")
+    val w = Window.partitionBy("user_id").orderBy("ts", "side", "value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     purchases.unionAll(probes)
       .withColumn("last_purchase_value", last(col("value"), ignoreNulls = true).over(w))

@@ -57,6 +57,16 @@ class PlanSpec extends EngineSuite {
     assert(scans == 5, s"expected 5 parquet scans, got $scans\n$p")
   }
 
+  test("q121 (as-of join): one wide shuffle plus the output sort, no join") {
+    // The union+window as-of composition must not plan a range self-join,
+    // and the only exchanges are the user_id window shuffle and the final
+    // ORDER BY — the shape that keeps as-of O(n log n) per partition.
+    val p = plan("q121_join_asof")
+    assert(!p.contains("Join"), s"as-of should be join-free\n$p")
+    val exchanges = "(?m)^\\s*\\+?- Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected at most 2 exchanges, got $exchanges\n$p")
+  }
+
   test("q71: partition filter prunes to one partition directory") {
     val df = SparkEntry.queries("q71_dml_insert_partitioned")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
