@@ -52,4 +52,74 @@ class CatalogSpec extends EngineSuite {
     assert(s.table("graft_trunc_t").count() == 0)
     s.sql("DROP TABLE IF EXISTS graft_trunc_t")
   }
+
+  test("CREATE TABLE LIKE PARQUET: schema inferred from a data file") {
+    // CreateTableLikeFileStmt.java:1-372 — the reference infers a table
+    // schema from a Parquet footer. Spark analogue: read the footer, use
+    // the schema for an empty table.
+    val s = spark
+    val inferred = s.read.parquet(s"$sfDir/nation.parquet").schema
+    s.sql("DROP TABLE IF EXISTS graft_like_parquet_t")
+    s.catalog.createTable("graft_like_parquet_t", "parquet", inferred,
+      Map.empty[String, String])
+    try {
+      val cols = s.table("graft_like_parquet_t").schema.fieldNames.toSeq
+      assert(cols == Seq("n_nationkey", "n_name", "n_regionkey"))
+      assert(s.table("graft_like_parquet_t").count() == 0)
+    } finally s.sql("DROP TABLE IF EXISTS graft_like_parquet_t")
+  }
+
+  test("ALTER TABLE: add columns, set/unset tblproperties, rename") {
+    // AlterTable*Stmt.java family (sql-parser.cup:1823-2240).
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS graft_alter_t")
+    s.sql("DROP TABLE IF EXISTS graft_alter_renamed")
+    s.sql("CREATE TABLE graft_alter_t (id INT, name STRING) USING parquet")
+    try {
+      s.sql("ALTER TABLE graft_alter_t ADD COLUMNS (extra DOUBLE)")
+      assert(s.table("graft_alter_t").schema.fieldNames.contains("extra"))
+      s.sql("ALTER TABLE graft_alter_t SET TBLPROPERTIES ('graft.note' = 'kudu-style')")
+      val props = s.sql("SHOW TBLPROPERTIES graft_alter_t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.note").contains("kudu-style"))
+      s.sql("ALTER TABLE graft_alter_t RENAME TO graft_alter_renamed")
+      assert(s.catalog.tableExists("graft_alter_renamed"))
+      assert(!s.catalog.tableExists("graft_alter_t"))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_alter_t")
+      s.sql("DROP TABLE IF EXISTS graft_alter_renamed")
+    }
+  }
+
+  test("CREATE DATABASE / USE / SHOW TABLES IN / DROP DATABASE") {
+    val s = spark
+    s.sql("DROP DATABASE IF EXISTS graft_db CASCADE")
+    s.sql("CREATE DATABASE graft_db")
+    try {
+      s.sql("CREATE TABLE graft_db.t1 (id INT) USING parquet")
+      val tables = s.sql("SHOW TABLES IN graft_db").collect()
+        .map(_.getString(1)).toSet
+      assert(tables.contains("t1"))
+      s.sql("USE graft_db")
+      assert(s.catalog.currentDatabase == "graft_db")
+      s.sql("USE default")
+    } finally {
+      s.sql("USE default")
+      s.sql("DROP DATABASE IF EXISTS graft_db CASCADE")
+    }
+  }
+
+  test("SHOW PARTITIONS and SHOW CREATE TABLE round-trip a partitioned table") {
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_part_t")
+    s.table("region").write.partitionBy("r_name").saveAsTable("graft_part_t")
+    try {
+      val parts = s.sql("SHOW PARTITIONS graft_part_t").collect()
+        .map(_.getString(0)).toSet
+      assert(parts.size == 5 && parts.exists(_.startsWith("r_name=")), parts)
+      val ddl = s.sql("SHOW CREATE TABLE graft_part_t").collect().head.getString(0)
+      assert(ddl.contains("graft_part_t") && ddl.contains("PARTITIONED BY"), ddl)
+    } finally s.sql("DROP TABLE IF EXISTS graft_part_t")
+  }
 }
