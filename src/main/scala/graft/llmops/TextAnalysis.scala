@@ -234,8 +234,34 @@ object TextAnalysis {
     QuerySpec.sql2("q123_text_repetition", text(spark = true), text(spark = false))
   }
 
+  /** Sequence packing: assign documents to training batches of ≤ 4096
+    * whitespace tokens by exclusive running sum over a deterministic
+    * order — the contiguous-packing planner a pretraining data loader
+    * runs (greedy bin packing is inherently sequential; ordered
+    * contiguous packing is its scalable stand-in and what streaming
+    * packers actually do). One window pass; at corpus scale the ordering
+    * key would be (shard, doc_id) so each shard packs independently —
+    * partition by a shard key and the plan is embarrassingly parallel.
+    * The windowed SUM is cast to BIGINT (DuckDB windows sum to HUGEINT). */
+  val q125PackBatches: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val nTokens =
+        if (spark) "size(split(text, ' '))"
+        else "len(string_split(text, ' '))"
+      s"""SELECT doc_id, n_tokens,
+         |  CAST(FLOOR(CAST(cum_before AS DOUBLE) / 4096) AS BIGINT) AS batch_id
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM (SELECT doc_id, CAST($nTokens AS BIGINT) AS n_tokens FROM documents) t) w
+         |ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q125_text_pack_batches", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
-    q123Repetition)
+    q123Repetition, q125PackBatches)
 }

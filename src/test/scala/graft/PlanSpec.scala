@@ -73,6 +73,36 @@ class PlanSpec extends EngineSuite {
     assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
   }
 
+  test("partition pruning handles IN and BETWEEN on partition columns") {
+    // HdfsPartitionPruner.java:40-472 prunes with =, IN, BETWEEN, IS NULL
+    // on partition columns; Spark's catalog file index must do the same —
+    // the scan's partition count, not a post-scan filter, is the proof.
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_prune_t")
+    s.table("orders")
+      .withColumn("o_year", org.apache.spark.sql.functions.year(org.apache.spark.sql.functions.col("o_orderdate")))
+      .write.partitionBy("o_year").saveAsTable("graft_prune_t")
+    try {
+      val years = s.sql("SHOW PARTITIONS graft_prune_t").count()
+      assert(years >= 3, s"fixture should span years, got $years")
+      def scannedPartitions(sql: String): Long = {
+        // sparkPlan (pre-AQE) exposes the FileSourceScanExec directly
+        val scan = s.sql(sql).queryExecution.sparkPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        scan.map(f => f.relation.location.listFiles(f.partitionFilters, Nil).size.toLong)
+          .getOrElse(-1L)
+      }
+      val inCount = scannedPartitions(
+        "SELECT COUNT(*) FROM graft_prune_t WHERE o_year IN (1996, 1997)")
+      assert(inCount == 2, s"IN should prune to 2 partitions, scanned $inCount")
+      val betweenCount = scannedPartitions(
+        "SELECT COUNT(*) FROM graft_prune_t WHERE o_year BETWEEN 1996 AND 1998")
+      assert(betweenCount == 3, s"BETWEEN should prune to 3 partitions, scanned $betweenCount")
+    } finally s.sql("DROP TABLE IF EXISTS graft_prune_t")
+  }
+
   test("join distribution hints steer the planner (TableRef.java:374-390)") {
     QuerySpec.prepared(spark, sfDir)
     val b = spark.sql(
