@@ -41,11 +41,14 @@ object ImpalaFunctions {
     "SECOND" -> "second", "MILLISECOND" -> "millisecond",
     "MICROSECOND" -> "microsecond")
 
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  /** The full gap-closing builder list, consumed by [[registerAll]]
+    * (session-level) and [[graft.engine.GraftExtensions]]
+    * (spark.sql.extensions — cluster-wide, no code call needed). */
+  lazy val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val acc = Seq.newBuilder[(String, Seq[Expression] => Expression)]
 
     def add(name: String)(builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      acc += (name -> builder)
 
     // --- conditional (BuiltinsDb CaseExpr.initBuiltins + conditional fns) ---
     // isnull(a, b) is Impala's 2-arg null-substitution; keep Spark's 1-arg
@@ -143,8 +146,14 @@ object ImpalaFunctions {
     // callers keep Spark's DATE-returning TruncDate).
     add("trunc") { case Seq(ts, fmt) => ImpalaTrunc(ts, fmt) }
 
-    // sketch aggregates: histogram / sample / distinctpc / distinctpcsa
-    SketchAggregates.register(reg)
+    acc.result() ++ SketchAggregates.builders
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 
   // ------------------------------------------------------------------

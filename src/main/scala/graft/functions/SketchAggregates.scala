@@ -24,18 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchAggregates {
 
-  def register(reg: FunctionRegistry): Unit = {
-    reg.createOrReplaceTempFunction("distinctpc",
-      { case Seq(e) => DistinctPC(FnvHash(e), numBitmaps = 1) }, "scala_udf")
-    reg.createOrReplaceTempFunction("distinctpcsa",
-      { case Seq(e) => DistinctPC(FnvHash(e), numBitmaps = 64) }, "scala_udf")
-    reg.createOrReplaceTempFunction("sample",
-      { case Seq(e) => BottomKSample(toStr(e), FnvHash(e), k = 20, histogram = false) },
-      "scala_udf")
-    reg.createOrReplaceTempFunction("histogram",
-      { case Seq(e) => BottomKSample(toStr(e), FnvHash(e), k = 4096, histogram = true) },
-      "scala_udf")
-  }
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "distinctpc" -> { case Seq(e) => DistinctPC(FnvHash(e), numBitmaps = 1) },
+    "distinctpcsa" -> { case Seq(e) => DistinctPC(FnvHash(e), numBitmaps = 64) },
+    "sample" -> { case Seq(e) =>
+      BottomKSample(toStr(e), FnvHash(e), k = 20, histogram = false) },
+    "histogram" -> { case Seq(e) =>
+      BottomKSample(toStr(e), FnvHash(e), k = 4096, histogram = true) })
+
+  def register(reg: FunctionRegistry): Unit =
+    builders.foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
 
   private def toStr(e: Expression): Expression = Cast(e, StringType)
 }

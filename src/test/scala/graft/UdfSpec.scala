@@ -25,6 +25,32 @@ object UdfSpec {
 
 class UdfSpec extends EngineSuite {
 
+  test("spark.sql.extensions=GraftExtensions installs the function surface") {
+    // A session built ONLY with the extensions hook — no attach() call —
+    // must resolve the engine's functions. Temporarily clear the default
+    // session so the builder creates a fresh one (over the same
+    // SparkContext) instead of returning ours.
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val clean = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.engine.GraftExtensions())
+        .getOrCreate()
+      val r = clean.sql(
+        "SELECT fnv_hash(CAST(7 AS BIGINT)) AS h, zeroifnull(CAST(NULL AS INT)) AS z")
+        .collect().head
+      assert(r.getLong(0) == graft.functions.FnvHashUtil.hashLong(7L, 8))
+      assert(r.getInt(1) == 0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("scalar JVM UDF registers and runs in SQL") {
     val s = spark
     s.udf.register("graft_plus_one", (x: Long) => x + 1)
