@@ -255,9 +255,35 @@ object Relational {
       |ORDER BY total_qty DESC, o_orderkey
       |LIMIT 25""".stripMargin)
 
+  /** External data source scan (reference DataSourceScanNode +
+    * ExternalDataSourceExecutor prepare/open/getNext/close): reads the
+    * DSv2 [[graft.sources.ExtDataSource]], whose generated relation a
+    * SQL oracle re-derives from range(). The id-range conjuncts are
+    * ACCEPTED by the source (narrowing the served range before any row
+    * is produced); the tag conjunct is REJECTED and evaluated by Spark —
+    * the reference's accepted/rejected conjunct split. The val sum is
+    * over exact halves, so double summation is order-independent. */
+  val q126ExtSource: QuerySpec = QuerySpec(
+    "q126_ext_datasource",
+    """SELECT tag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(id AS DOUBLE) * 0.5) AS DOUBLE) AS total
+      |FROM (SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag
+      |      FROM range(1000) t(id)) src
+      |WHERE id >= 100 AND id < 900
+      |GROUP BY tag
+      |ORDER BY tag""".stripMargin) { (s, dir) =>
+    QuerySpec.prepared(s, dir)
+    s.read.format("graft.sources.ExtDataSource")
+      .option("rows", "1000").option("partitions", "4").load()
+      .filter(col("id") >= 100 && col("id") < 900)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("total"))
+      .orderBy(col("tag"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
-    q100TpchQ18.benched)
+    q100TpchQ18.benched, q126ExtSource)
 }

@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 implementation of the reference's external-data-source
+  * API (catalog/DataSourceTable.java:1-260; executor contract
+  * prepare/open/getNext/close in
+  * extdatasource/ExternalDataSourceExecutor.java:171-207, planned by
+  * DataSourceScanNode.java:1-375):
+  *
+  *  - prepare() "offers" the query's conjuncts to the source, which
+  *    ACCEPTS the ones it can evaluate and leaves the rest to the engine
+  *    → [[SupportsPushDownFilters]]: range/equality conjuncts on `id`
+  *    are accepted (evaluated inside the source by narrowing the served
+  *    id range); everything else is returned as residual for Spark.
+  *  - slot materialization (only referenced columns are served)
+  *    → [[SupportsPushDownRequiredColumns]].
+  *  - scan-range generation (HdfsScanNode.computeScanRangeLocations
+  *    analogue) → the id range is split into [[ExtInputPartition]]s.
+  *
+  * The table is a deterministic generated relation, so a SQL oracle can
+  * re-derive it exactly:
+  *   id BIGINT = 0..rows-1, val DOUBLE = id * 0.5,
+  *   tag STRING = 'even' | 'odd'.
+  * Usage: spark.read.format("graft.sources.ExtDataSource")
+  *   .option("rows", n).option("partitions", p).load()
+  */
+class ExtDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExtDataSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ExtTable(
+      rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(4))
+}
+
+object ExtDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("val", DoubleType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+}
+
+private[sources] class ExtTable(rows: Long, partitions: Int)
+  extends Table with SupportsRead {
+  override def name(): String = s"ext_source($rows rows)"
+  override def schema(): StructType = ExtDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ExtScanBuilder(rows, partitions)
+}
+
+private[sources] class ExtScanBuilder(rows: Long, partitions: Int)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L            // inclusive
+  private var hi: Long = rows          // exclusive
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = ExtDataSource.schema
+
+  // prepare(): accept range/equality conjuncts on id, reject the rest
+  // (ExternalDataSourceExecutor offers each conjunct; rejected ones stay
+  // with the engine — DataSourceScanNode keeps them as residuals).
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); true
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    accepted = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new ExtScan(lo, math.max(lo, hi), partitions, required)
+}
+
+private[sources] case class ExtRange(from: Long, until: Long) extends InputPartition
+
+private[sources] class ExtScan(
+    lo: Long, hi: Long, partitions: Int, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ext_source range [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+
+  // scan-range generation: split the (already filter-narrowed) id range
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, partitions)
+    val span = math.max(0L, hi - lo)
+    val step = math.max(1L, (span + n - 1) / n)
+    (lo until hi by step).map(s => ExtRange(s, math.min(s + step, hi))).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExtReaderFactory(required)
+}
+
+private[sources] class ExtReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ExtRange(from, until) = partition.asInstanceOf[ExtRange]
+    new PartitionReader[InternalRow] {
+      private var id = from - 1
+      override def next(): Boolean = { id += 1; id < until }
+      override def get(): InternalRow = {
+        val values = required.fieldNames.map {
+          case "id" => id
+          case "val" => id * 0.5
+          case "tag" => UTF8String.fromString(if (id % 2 == 0) "even" else "odd")
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

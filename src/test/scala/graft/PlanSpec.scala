@@ -103,6 +103,20 @@ class PlanSpec extends EngineSuite {
     } finally s.sql("DROP TABLE IF EXISTS graft_prune_t")
   }
 
+  test("DSv2 ext source: accepted conjuncts narrow the scan, rejected stay with Spark") {
+    // ExternalDataSourceExecutor.prepare() semantics: the source accepts
+    // the id-range conjuncts (scan narrows before producing rows) and
+    // rejects the tag conjunct (a residual Filter above the scan).
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft.sources.ExtDataSource")
+      .option("rows", "1000").load()
+      .filter(col("id") >= 100 && col("id") < 200 && col("tag") === "even")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("range [100, 200)"), s"id conjuncts not pushed:\n$p")
+    assert(p.contains("Filter"), s"tag residual filter missing:\n$p")
+    assert(df.count() == 50)
+  }
+
   test("join distribution hints steer the planner (TableRef.java:374-390)") {
     QuerySpec.prepared(spark, sfDir)
     val b = spark.sql(
