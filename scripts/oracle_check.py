@@ -44,6 +44,25 @@ def main(sf_dir, out_dir):
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             continue
+        # dtype-KIND guard: the driver compares exact rendered values, so an
+        # int column on one side vs a float column on the other ('1' vs
+        # '1.0') fails its gate even when 10-sig-fig normalization below
+        # would mask it (round-2 q53/q66 failure class). bool is 'b';
+        # int i/u; float f; datetime M; object O.
+        kind_groups = {"i": "int", "u": "int", "b": "bool", "f": "float"}
+        kinds_bad = [
+            c for c in gc
+            if kind_groups.get(got[c].dtype.kind, "other")
+            != kind_groups.get(want[c].dtype.kind, "other")
+            # datetime-vs-date renders through duckdb equivalently (driver-
+            # verified in round 2); object covers str/date/decimal
+            and not {got[c].dtype.kind, want[c].dtype.kind} <= {"M", "O", "m"}
+        ]
+        if kinds_bad:
+            details = ", ".join(
+                f"{c}: spark={got[c].dtype} duck={want[c].dtype}" for c in kinds_bad)
+            print(f"FAIL {name}: dtype kind mismatch ({details})")
+            continue
         g = sorted(tuple(norm(v) for v in row) for row in got[gc].itertuples(index=False))
         w = sorted(tuple(norm(v) for v in row) for row in want[wc].itertuples(index=False))
         if g != w:
