@@ -165,6 +165,26 @@ object Events {
     * shuffle a pre-aggregation would plan (verified via graft.Explain:
     * exactly one wide exchange before the window). Oracle: DuckDB's
     * native ASOF LEFT JOIN over the pre-aggregated build side. */
+  /** Reusable as-of composition: for each probe row, the value of the
+    * latest build row with the same user_id and build.ts <= probe.ts
+    * (ties at equal ts resolve to the MAX build value — a total order).
+    * build: (user_id, ts, value); probe: (user_id, ts, event_id).
+    * Output: (event_id, user_id, last_value). One user_id shuffle. */
+  def asofLastValue(build: org.apache.spark.sql.DataFrame,
+      probe: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = build.select(col("user_id"), col("ts"), lit(0).as("side"),
+      lit(null).cast("bigint").as("event_id"), col("value"))
+    val p = probe.select(col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id"), lit(null).cast("double").as("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "side", "value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.unionAll(p)
+      .withColumn("last_value", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("last_value"))
+  }
+
   val q121AsofJoin: QuerySpec = QuerySpec(
     "q121_join_asof",
     """WITH p AS (
@@ -176,20 +196,11 @@ object Events {
       |ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
       |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    import org.apache.spark.sql.expressions.Window
     val e = sp.table("events")
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(0).as("side"),
-        lit(null).cast("bigint").as("event_id"), col("value"))
-    val probes = e.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"), lit(1).as("side"),
-        col("event_id"), lit(null).cast("double").as("value"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "side", "value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    purchases.unionAll(probes)
-      .withColumn("last_purchase_value", last(col("value"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
-      .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+    asofLastValue(
+      e.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
+      e.filter(col("event_type") === "view").select("user_id", "ts", "event_id"))
+      .withColumnRenamed("last_value", "last_purchase_value")
       .orderBy(col("event_id"))
   }
 

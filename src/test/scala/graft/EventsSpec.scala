@@ -18,4 +18,37 @@ class EventsSpec extends EngineSuite {
       assert(math.abs(e - x).toDouble / x < 0.05, s"$day: est $e vs exact $x")
     }
   }
+
+  test("asofLastValue matches brute force on random data (ties included)") {
+    // Seeded-random property check of the union+window as-of composition
+    // against a per-probe brute-force reference, with deliberate ts
+    // collisions to exercise the (ts, side, value) tie order.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1234)
+    // small ts domain (20 values) over 8 users forces same-user same-ts
+    // collisions between builds and probes and among builds
+    val builds = Seq.tabulate(120) { _ =>
+      (rnd.nextInt(8).toLong, new java.sql.Timestamp(rnd.nextInt(20) * 60000L),
+        (rnd.nextInt(100) + 1).toDouble)
+    }
+    val probes = Seq.tabulate(150) { i =>
+      (rnd.nextInt(8).toLong, new java.sql.Timestamp(rnd.nextInt(20) * 60000L), i.toLong)
+    }
+    val bDf = builds.toDF("user_id", "ts", "value")
+    val pDf = probes.toDF("user_id", "ts", "event_id")
+    val got = operators.Events.asofLastValue(bDf, pDf)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    probes.foreach { case (u, ts, id) =>
+      val eligible = builds.filter { case (bu, bts, _) => bu == u && !bts.after(ts) }
+      val expected = if (eligible.isEmpty) None
+        else {
+          val maxTs = eligible.map(_._2.getTime).max
+          Some(eligible.filter(_._2.getTime == maxTs).map(_._3).max)
+        }
+      assert(got(id) == expected, s"probe $id (user $u, ts $ts): got ${got(id)}, expected $expected")
+    }
+  }
 }
