@@ -67,6 +67,17 @@ class PlanSpec extends EngineSuite {
     assert(exchanges <= 2, s"expected at most 2 exchanges, got $exchanges\n$p")
   }
 
+  test("q67 (top-k per user): rank filter plans a two-phase WindowGroupLimit") {
+    // rn <= 3 over row_number must become a group limit evaluated BOTH
+    // map-side (before the user_id exchange — each task keeps 3 rows per
+    // user) and reduce-side, so the shuffle carries k rows per key, not
+    // the whole partition's history. The 100 TB difference between
+    // "window then filter" and a real distributed top-k.
+    val p = plan("q67_events_topk_per_user")
+    val n = "WindowGroupLimit".r.findAllIn(p).size
+    assert(n == 2, s"expected partial+final WindowGroupLimit, got $n\n$p")
+  }
+
   test("q71: partition filter prunes to one partition directory") {
     val df = SparkEntry.queries("q71_dml_insert_partitioned")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
