@@ -239,22 +239,28 @@ object TextAnalysis {
     * order — the contiguous-packing planner a pretraining data loader
     * runs (greedy bin packing is inherently sequential; ordered
     * contiguous packing is its scalable stand-in and what streaming
-    * packers actually do). One window pass; at corpus scale the ordering
-    * key would be (shard, doc_id) so each shard packs independently —
-    * partition by a shard key and the plan is embarrassingly parallel.
-    * The windowed SUM is cast to BIGINT (DuckDB windows sum to HUGEINT). */
+    * packers actually do). Packing is per SHARD (doc_id % 8; a real
+    * corpus would use its file/shard id): each shard's running sum is an
+    * independent window partition, so the plan is one shuffle on the
+    * shard key and embarrassingly parallel — a global ORDER BY window
+    * would serialize the whole corpus through one task. Shard-local
+    * batch ids are offset by shard * 1e6 so ids never collide across
+    * shards. The windowed SUM is cast to BIGINT (DuckDB windows sum to
+    * HUGEINT). */
   val q125PackBatches: QuerySpec = {
     def text(spark: Boolean): String = {
       val nTokens =
         if (spark) "size(split(text, ' '))"
         else "len(string_split(text, ' '))"
       s"""SELECT doc_id, n_tokens,
-         |  CAST(FLOOR(CAST(cum_before AS DOUBLE) / 4096) AS BIGINT) AS batch_id
+         |  CAST(shard * 1000000 + FLOOR(CAST(cum_before AS DOUBLE) / 4096) AS BIGINT) AS batch_id
          |FROM (
-         |  SELECT doc_id, n_tokens,
-         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |  SELECT doc_id, n_tokens, shard,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |  FROM (SELECT doc_id, CAST($nTokens AS BIGINT) AS n_tokens FROM documents) t) w
+         |  FROM (SELECT doc_id, CAST($nTokens AS BIGINT) AS n_tokens,
+         |               doc_id % 8 AS shard
+         |        FROM documents) t) w
          |ORDER BY doc_id""".stripMargin
     }
     QuerySpec.sql2("q125_text_pack_batches", text(spark = true), text(spark = false))
