@@ -200,9 +200,10 @@ object TextAnalysis {
   /** Repetition-based quality filter (the Gopher/C4-style rule): flag
     * documents whose most frequent word bigram accounts for more than 20%
     * of all bigrams — the signature of boilerplate and degenerate
-    * generation. One explode + two aggregations, all partitioned by
-    * doc_id (the second groupBy reuses the first's partitioning), so at
-    * corpus scale this is a single shuffle keyed on doc_id. */
+    * generation. One explode + two two-phase aggregations: the first
+    * exchange carries map-side-combined distinct (doc, bigram) counts;
+    * the second only per-doc partial (sum, max) pairs — a few rows per
+    * doc per task — so the corpus-sized data crosses the network once. */
   val q123Repetition: QuerySpec = {
     def text(spark: Boolean): String = {
       val g =
