@@ -3,7 +3,6 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -31,9 +30,6 @@ object SketchAggregates {
       BottomKSample(toStr(e), FnvHash(e), k = 20, histogram = false) },
     "histogram" -> { case Seq(e) =>
       BottomKSample(toStr(e), FnvHash(e), k = 4096, histogram = true) })
-
-  def register(reg: FunctionRegistry): Unit =
-    builders.foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "scala_udf") }
 
   private def toStr(e: Expression): Expression = Cast(e, StringType)
 }

@@ -167,22 +167,28 @@ object Events {
     * native ASOF LEFT JOIN over the pre-aggregated build side. */
   /** Reusable as-of composition: for each probe row, the value of the
     * latest build row with the same user_id and build.ts <= probe.ts
-    * (ties at equal ts resolve to the MAX build value — a total order).
+    * (ties at equal ts resolve to the MAX build value, nulls-first — a
+    * total order). A build row whose value is NULL still matches and
+    * yields NULL, distinguishing "latest build value is NULL" from "no
+    * build row": build values ride in a non-null struct wrapper, so the
+    * null-skipping last_value skips only probe rows, never build rows.
     * build: (user_id, ts, value); probe: (user_id, ts, event_id).
     * Output: (event_id, user_id, last_value). One user_id shuffle. */
   def asofLastValue(build: org.apache.spark.sql.DataFrame,
       probe: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = build.select(col("user_id"), col("ts"), lit(0).as("side"),
-      lit(null).cast("bigint").as("event_id"), col("value"))
+      lit(null).cast("bigint").as("event_id"), struct(col("value")).as("carried"))
     val p = probe.select(col("user_id"), col("ts"), lit(1).as("side"),
-      col("event_id"), lit(null).cast("double").as("value"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "side", "value")
+      col("event_id"), lit(null).cast("struct<value:double>").as("carried"))
+    val w = Window.partitionBy("user_id").orderBy(
+        col("ts"), col("side"), col("carried.value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.unionAll(p)
-      .withColumn("last_value", last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("last_carried", last(col("carried"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
-      .select(col("event_id"), col("user_id"), col("last_value"))
+      .select(col("event_id"), col("user_id"),
+        col("last_carried.value").as("last_value"))
   }
 
   val q121AsofJoin: QuerySpec = QuerySpec(

@@ -78,12 +78,16 @@ private[sources] class ExtScanBuilder(rows: Long, partitions: Int)
   // (ExternalDataSourceExecutor offers each conjunct; rejected ones stay
   // with the engine — DataSourceScanNode keeps them as residuals).
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // saturating successor: v + 1 on Long.MaxValue must not wrap (an
+    // accepted conjunct is never re-evaluated by Spark, so an overflow
+    // here silently returns wrong rows)
+    def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     val (ok, residual) = filters.partition {
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("id", v: Long) => lo = math.max(lo, succ(v)); true
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
       case LessThan("id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); true
-      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, succ(v)); true
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, succ(v)); true
       case _ => false
     }
     accepted = ok

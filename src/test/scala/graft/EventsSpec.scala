@@ -27,10 +27,13 @@ class EventsSpec extends EngineSuite {
     import s.implicits._
     val rnd = new scala.util.Random(1234)
     // small ts domain (20 values) over 8 users forces same-user same-ts
-    // collisions between builds and probes and among builds
+    // collisions between builds and probes and among builds; ~15% of
+    // build values are NULL (a matching null-valued build row must yield
+    // NULL, not fall back to an earlier value)
     val builds = Seq.tabulate(120) { _ =>
       (rnd.nextInt(8).toLong, new java.sql.Timestamp(rnd.nextInt(20) * 60000L),
-        (rnd.nextInt(100) + 1).toDouble)
+        if (rnd.nextInt(7) == 0) Option.empty[Double]
+        else Some((rnd.nextInt(100) + 1).toDouble))
     }
     val probes = Seq.tabulate(150) { i =>
       (rnd.nextInt(8).toLong, new java.sql.Timestamp(rnd.nextInt(20) * 60000L), i.toLong)
@@ -43,10 +46,14 @@ class EventsSpec extends EngineSuite {
       .toMap
     probes.foreach { case (u, ts, id) =>
       val eligible = builds.filter { case (bu, bts, _) => bu == u && !bts.after(ts) }
-      val expected = if (eligible.isEmpty) None
+      // expected: among latest-ts builds, MAX value with nulls-first (all
+      // null → the match yields Some-row-with-null ≡ None result value
+      // is ambiguous; model it as the operator does: null result)
+      val expected: Option[Double] = if (eligible.isEmpty) None
         else {
           val maxTs = eligible.map(_._2.getTime).max
-          Some(eligible.filter(_._2.getTime == maxTs).map(_._3).max)
+          val nonNull = eligible.filter(_._2.getTime == maxTs).flatMap(_._3)
+          if (nonNull.isEmpty) None else Some(nonNull.max)
         }
       assert(got(id) == expected, s"probe $id (user $u, ts $ts): got ${got(id)}, expected $expected")
     }
