@@ -97,6 +97,42 @@ object Nested {
       |GROUP BY r_regionkey
       |ORDER BY r_regionkey""".stripMargin)
 
+  /** TPC-H-nested shape (the reference's PlannerTest.testTpchNested runs
+    * TPC-H over a nested schema where each customer embeds its orders as
+    * ARRAY<STRUCT>): build the nested form with collect_list(struct(..)),
+    * then flatten it back through explode (SubplanNode + UnnestNode +
+    * struct-path access on the exploded element) and aggregate. The
+    * oracle is the equivalent FLAT query — nesting and unnesting must be
+    * a lossless round-trip, including struct field access after the
+    * Generate. Scale: the nest groupBy shuffles on c_custkey once; the
+    * explode is map-side; per-customer arrays are order-bounded (TPC-H
+    * ~10 orders/customer), so no skew concern. */
+  val q127NestedTpch: QuerySpec = QuerySpec(
+    "q127_nested_tpch_shape",
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_urgent_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS urgent_revenue
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val sp = QuerySpec.prepared(s, dir)
+    val nested = sp.table("customer")
+      .join(sp.table("orders"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(collect_list(struct(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))).as("orders_arr"))
+    nested
+      .select(col("c_mktsegment"), explode(col("orders_arr")).as("o"))
+      .filter(col("o.o_orderpriority") === "1-URGENT")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_urgent_orders"),
+        sum(col("o.o_totalprice").cast("decimal(14,2)")).cast("double")
+          .as("urgent_revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q60Explode, q61Posexplode, q62ArrayOps, q63StructMap, q64CollectSort)
+    q60Explode, q61Posexplode, q62ArrayOps, q63StructMap, q64CollectSort,
+    q127NestedTpch)
 }
