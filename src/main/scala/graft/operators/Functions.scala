@@ -322,6 +322,74 @@ object Functions {
          |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Cross-engine oracle for the murmur_hash codegen Expression
+    * (MurmurHash2 64A, the variant Impala's hash-util uses): DuckDB
+    * re-derives the full algorithm in HUGEINT — 64-bit little-endian
+    * block loads, the k-mix (k*M, k ^= k>>47, k*M), the fold, the tail
+    * and the 3-step finalization. 64-bit wrap-around multiply is done as
+    * a 32-bit split ((lo*M + ((hi*M) mod 2^32)*2^32) mod 2^64) because a
+    * full 64x64 product overflows even INT128; XOR round-trips through
+    * signed BIGINT (two's complement preserves bits). String and bigint
+    * inputs ride one pipeline as tagged byte lists (strings exercise the
+    * tail path — name length 18 = 2 blocks + 2 tail bytes). */
+  val q128MurmurOracle: QuerySpec = {
+    val P64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val P63 = "CAST('9223372036854775808' AS HUGEINT)"
+    val M = "14313749767032793493" // 0xc6a4a7935bd1e995 unsigned
+    def mul(x: String): String =
+      s"((($x) % 4294967296) * $M + (((($x) // 4294967296) * $M) % 4294967296) * 4294967296) % $P64"
+    def sg(x: String): String =
+      s"CAST(CASE WHEN ($x) >= $P63 THEN ($x) - $P64 ELSE ($x) END AS BIGINT)"
+    def un(x: String): String =
+      s"CAST(CASE WHEN ($x) < 0 THEN CAST($x AS HUGEINT) + $P64 ELSE CAST($x AS HUGEINT) END AS HUGEINT)"
+    def xor64(a: String, b: String): String = un(s"xor(${sg(a)}, ${sg(b)})")
+    def shr47(x: String): String = s"(($x) // 140737488355328)"
+    val load = (0 until 8).map(j => s"bts[8*i+${j + 1}] * ${1L << (8 * j)}").mkString(" + ")
+    val tailv =
+      "COALESCE(list_aggregate(list_transform(range(rem), j -> bts[nb*8 + j + 1] * power2[j+1]), 'sum'), CAST(0 AS HUGEINT))"
+    QuerySpec.sql2(
+      "q128_expr_murmur_oracle",
+      """SELECT c_custkey,
+        |  murmur_hash(c_name) AS mh_string,
+        |  murmur_hash(c_custkey) AS mh_bigint
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin,
+      s"""WITH b AS (
+         |  SELECT c_custkey, kind, bts, CAST(len(bts) AS HUGEINT) AS len
+         |  FROM (
+         |    SELECT c_custkey, 'str' AS kind,
+         |      list_transform(range(length(c_name)), i -> CAST(ascii(substr(c_name, CAST(i+1 AS INT), 1)) AS HUGEINT)) AS bts
+         |    FROM customer
+         |    UNION ALL
+         |    SELECT c_custkey, 'int' AS kind,
+         |      list_transform(range(8), i -> CAST((c_custkey >> CAST(i*8 AS INT)) & 255 AS HUGEINT)) AS bts
+         |    FROM customer) src
+         |  WHERE c_custkey < 100),
+         |l1 AS (
+         |  SELECT c_custkey, kind, bts, len,
+         |    CAST(len // 8 AS BIGINT) AS nb, CAST(len % 8 AS BIGINT) AS rem,
+         |    [CAST(1 AS HUGEINT), 256, 65536, 16777216, 4294967296, 1099511627776, 281474976710656, 72057594037927936] AS power2,
+         |    list_transform(range(CAST(len // 8 AS BIGINT)), i -> $load) AS ks
+         |  FROM b),
+         |l2 AS (
+         |  SELECT c_custkey, kind, nb, rem, bts, power2,
+         |    list_reduce(
+         |      list_prepend(${mul("len")},
+         |        list_transform(ks, k -> ${mul(xor64(mul("k"), shr47(mul("k"))))})),
+         |      (h, k) -> ${mul(xor64("h", "k"))}) AS h1
+         |  FROM l1),
+         |l3 AS (
+         |  SELECT c_custkey, kind,
+         |    CASE WHEN rem > 0 THEN ${mul(xor64("h1", tailv))} ELSE h1 END AS h2
+         |  FROM l2),
+         |l4 AS (SELECT c_custkey, kind, ${mul(xor64("h2", shr47("h2")))} AS h3 FROM l3),
+         |l5 AS (SELECT c_custkey, kind, ${xor64("h3", shr47("h3"))} AS h4 FROM l4)
+         |SELECT c_custkey,
+         |  MAX(CASE WHEN kind = 'str' THEN ${sg("h4")} END) AS mh_string,
+         |  MAX(CASE WHEN kind = 'int' THEN ${sg("h4")} END) AS mh_bigint
+         |FROM l5 GROUP BY c_custkey
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** parse_url (Impala/Hive-style URL part extraction — Spark has the
     * same builtin; the oracle rebuilds each part with regexps). */
   val q59ParseUrl: QuerySpec = QuerySpec.sql2(
@@ -353,5 +421,6 @@ object Functions {
 
   val all: Seq[QuerySpec] = Seq(
     q50CaseDecode, q51Cast, q52String, q53Math, q54Date, q55Conditional,
-    q56Pattern, q57Json, q58HashTypeof, q59ParseUrl, q120FnvOracle)
+    q56Pattern, q57Json, q58HashTypeof, q59ParseUrl, q120FnvOracle,
+    q128MurmurOracle)
 }
