@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output is normally re-logged line-by-line with an "[info] "
+// prefix, which breaks the driver's line-oriented parse of Bench's JSON
+// stdout (BENCH_r03.json recorded parsed:null). StdoutOutput inherits the
+// parent process's stdout/stderr verbatim instead.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
