@@ -19,6 +19,8 @@ object SparkEntry {
       operators.Nested.all ++
       operators.Events.all ++
       operators.Dml.all ++
+      operators.Layout.all ++
+      llmops.Sharding.all ++
       llmops.Dedup.all ++
       llmops.Similarity.all ++
       llmops.TextAnalysis.all ++

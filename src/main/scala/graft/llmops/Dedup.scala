@@ -112,12 +112,45 @@ object Dedup {
     * hashes (custom Expression, graft.functions.SimHash64), then a
     * byte-pigeonhole bucket join — any pair at hamming ≤ 7 shares at
     * least one of the 8 signature bytes, so candidate generation is
-    * O(docs × 8), not O(docs²). Engine-specific bits → rows-only driver
-    * check; recall vs exact Jaccard pinned in DedupSpec. */
-  val q82SimHash: QuerySpec = QuerySpec.noOracle("q82_dedup_simhash") { (s, dir) =>
+    * O(docs × 8), not O(docs²), with 100% recall (≤7 flipped bits
+    * cannot touch all 8 bytes). Because recall is exact, the all-pairs
+    * DuckDB oracle is the *same* result set, not an approximation: the
+    * oracle re-derives the per-word FNV-1a 64 feature hash in HUGEINT
+    * (the q120 recipe), takes the bit-majority per doc, and compares
+    * every pair's popcount(xor). Word hash is our portable fnv_hash —
+    * deterministic across engines and partitionings. */
+  val q82SimHash: QuerySpec = {
+    val fnvWord =
+      """list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(length(word)), i -> CAST(ascii(substr(word, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+        |      (h, x) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT))) * 1099511628211)
+        |                % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+    def signed(h: String): String =
+      s"""CAST(CASE WHEN $h >= CAST('9223372036854775808' AS HUGEINT)
+         |          THEN $h - CAST('18446744073709551616' AS HUGEINT) ELSE $h END AS BIGINT)""".stripMargin
+    QuerySpec(
+      "q82_dedup_simhash",
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |h AS (
+         |  SELECT doc_id, ${signed(fnvWord)} AS h FROM w),
+         |bits AS (
+         |  SELECT doc_id, r.b,
+         |    SUM(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) r
+         |  GROUP BY doc_id, r.b),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${signed("SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END)")} AS sh
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  bit_count(xor(a.sh, b.sh)) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 7
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val docs = sp.table("documents").select(col("doc_id"),
-      expr("simhash64(transform(split(text, ' '), w -> xxhash64(w)))").as("sh"))
+      expr("simhash64(transform(split(text, ' '), w -> fnv_hash(w)))").as("sh"))
     val bytes = docs.select(col("doc_id"), col("sh"),
       explode(expr(
         "transform(sequence(0, 7), i -> named_struct('bi', i, 'bv', (sh >> (i * 8)) & 255))")).as("bk"))
@@ -131,6 +164,7 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 7)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
+    }
   }
 
   /** Exact character-3-gram Jaccard, blocked by `source` (the bounded

@@ -1,0 +1,88 @@
+package graft.llmops
+
+import graft.QuerySpec
+
+/** Corpus sharding and split assignment for training pipelines — the
+  * operations between "curated corpus" and "training job": reproducible
+  * train/val/test splits, a deterministic global shuffle into shards, and
+  * weighted source mixing. All selection is by multiplicative hashing of
+  * the stable doc_id (the q95 scheme: product bounded by a prior modulo so
+  * 64-bit arithmetic never wraps on either engine), so every operation is
+  * a map-side decision — no shuffle to *assign*, one shuffle to *report* —
+  * and the assignment of any document is identical on 1 or 10,000
+  * executors, across reruns, and across engines (no rand(), no
+  * partition-index dependence).
+  */
+object Sharding {
+
+  /** h(doc_id) in [0, 100): the q95 multiplicative hash — Knuth's 2654435761
+    * with the product pre-bounded (doc_id % 1000003 < 2^20, so the product
+    * stays < 2^52 — exact in BIGINT on both engines, non-ANSI-safe). */
+  private def h100(col: String) = s"(($col % 1000003) * 2654435761) % 100"
+
+  /** Reproducible train/val/test split (80/10/10) with per-language
+    * accounting — the split of any doc is a pure function of doc_id, so
+    * adding data never reshuffles existing assignments (critical when the
+    * eval set must stay frozen across corpus versions). */
+  val q130SplitTrainValTest: QuerySpec = QuerySpec.sql(
+    "q130_split_train_val_test",
+    s"""WITH t AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    CASE WHEN ${h100("doc_id")} < 80 THEN 'train'
+       |         WHEN ${h100("doc_id")} < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM t GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin)
+
+  /** Deterministic global shuffle into training shards: shard = hash
+    * bucket, within-shard order = (secondary hash, doc_id). The checksum
+    * SUM(pos * doc_id) is order-sensitive through pos, so it pins the full
+    * permutation, not just membership. At 100 TB the same expression
+    * drives `repartition(N, shard)` + `sortWithinPartitions(h2, doc_id)` —
+    * one shuffle, each shard written independently. */
+  val q131ShuffleShards: QuerySpec = QuerySpec.sql(
+    "q131_shuffle_shards",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    ((doc_id % 1000003) * 2654435761) % 16 AS shard,
+      |    ((doc_id % 999983) * 40503) % 65536 AS h2
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, shard,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos
+      |  FROM t)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum,
+      |  MIN(doc_id) AS min_doc
+      |FROM p GROUP BY shard
+      |ORDER BY shard""".stripMargin)
+
+  /** Weighted source mixing (curriculum/mixture weights): per-source
+    * sampling rates applied by hash threshold — src0 keeps 100%, src1 50%,
+    * src2 25%, everything else 10%. Map-side selection; the report joins
+    * kept counts against totals per source. */
+  val q135SourceMix: QuerySpec = QuerySpec.sql(
+    "q135_text_source_mix",
+    s"""WITH rates AS (
+       |  SELECT source, doc_id,
+       |    CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+       |                WHEN 'src2' THEN 25 ELSE 10 END AS rate_pct
+       |  FROM documents),
+       |kept AS (
+       |  SELECT source, COUNT(*) AS n_kept
+       |  FROM rates WHERE ${h100("doc_id")} < rate_pct
+       |  GROUP BY source)
+       |SELECT r.source, COUNT(*) AS n_total,
+       |  MAX(COALESCE(k.n_kept, 0)) AS n_kept,
+       |  MAX(r.rate_pct) AS rate_pct
+       |FROM rates r LEFT JOIN kept k ON r.source = k.source
+       |GROUP BY r.source
+       |ORDER BY r.source""".stripMargin)
+
+  val all: Seq[QuerySpec] = Seq(
+    q130SplitTrainValTest, q131ShuffleShards, q135SourceMix)
+}

@@ -64,12 +64,55 @@ object Similarity {
   /** Random-hyperplane LSH, 4 tables × 6-bit signatures from seeded ±1
     * hyperplanes; a query probes its bucket in every table and candidates
     * are the (deduplicated) union — the standard multi-table trade-off
-    * between recall and bucket fan-in. Approximate → rows-only driver
-    * check; recall vs brute force pinned in SimilaritySpec. */
-  val q86LshBucketed: QuerySpec = QuerySpec.noOracle("q86_ann_lsh_bucketed") { (s, dir) =>
+    * between recall and bucket fan-in. The hyperplane component for
+    * (table t, bit j, dim i) is the parity of our portable fnv_hash of
+    * t*512+j*64+i, and the dot product folds element-in-order — so the
+    * DuckDB oracle re-derives the identical buckets (FNV-1a in HUGEINT,
+    * q120 recipe) and the approximate index becomes exactly checkable:
+    * same candidates, same ranks, same cosines. Recall vs brute force is
+    * still pinned in LlmOpsSpec. */
+  val q86LshBucketed: QuerySpec = QuerySpec(
+    "q86_ann_lsh_bucketed",
+    {
+      val fnvParity =
+        """list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+          |        list_transform(range(8), b -> CAST(((t.t*512 + j.j*64 + i.i) >> CAST(b*8 AS INT)) & 255 AS HUGEINT))),
+          |        (h, x) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT))) * 1099511628211)
+          |                  % CAST('18446744073709551616' AS HUGEINT)) % 2""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |hp AS (
+         |  SELECT t, j, list(s ORDER BY i) AS s FROM (
+         |    SELECT t.t AS t, j.j AS j, i.i AS i,
+         |      CASE WHEN $fnvParity = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+         |    FROM range(4) t(t) CROSS JOIN range(6) j(j) CROSS JOIN range(64) i(i)) c
+         |  GROUP BY t, j),
+         |sig AS (
+         |  SELECT vec_id, t AS tbl, CAST(SUM(bit) AS BIGINT) AS bucket FROM (
+         |    SELECT e.vec_id, hp.t, hp.j,
+         |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(range(64), i -> e.v[i+1] * hp.s[i+1])),
+         |             (acc, p) -> acc + p) > 0
+         |           THEN (1 << hp.j) ELSE 0 END AS bit
+         |    FROM e CROSS JOIN hp) parts
+         |  GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ROUND(list_cosine_similarity(qe.v, ce.v), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+         |      ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, cand.neighbor_id) AS rank
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.query_id
+         |  JOIN e ce ON ce.vec_id = cand.neighbor_id) t
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    // Table t, bit j: sign of <v, h_tj>, h_tj[i] = ±1 from
-    // xxhash64(t*8+j, i) — deterministic, no stored model.
+    // Table t, bit j: sign of <v, h_tj>, h_tj[i] = ±1 from the parity of
+    // fnv_hash(t*512 + j*64 + i) — deterministic, portable, no stored model.
     val bucketsSql =
       """transform(sequence(0, 3), t -> named_struct(
         |  'tbl', t,
@@ -77,7 +120,7 @@ object Similarity {
         |    transform(sequence(0, 5), j ->
         |      CASE WHEN aggregate(
         |        zip_with(v, sequence(0, 63), (x, i) ->
-        |          CASE WHEN pmod(xxhash64(t * 8 + j, i), 2) = 0 THEN x ELSE -x END),
+        |          CASE WHEN pmod(fnv_hash(CAST(t * 512 + j * 64 + i AS BIGINT)), 2) = 0 THEN x ELSE -x END),
         |        0D, (acc, p) -> acc + p) > 0 THEN shiftleft(1L, j) ELSE 0L END),
         |    0L, (acc, b) -> acc + b)))""".stripMargin
     val e = vecs(sp).select(col("vec_id"), col("v"),
@@ -102,8 +145,34 @@ object Similarity {
 
   /** IVF probing: coarse centroids (deterministic sample: vec_id % 50 = 0)
     * → nearest-centroid inverted lists → queries probe the 2 nearest
-    * lists and rank true cosine inside them. */
-  val q87IvfProbe: QuerySpec = QuerySpec.noOracle("q87_ann_ivf_probe") { (s, dir) =>
+    * lists and rank true cosine inside them. Every step is deterministic
+    * (modular centroid sample + exact cosines + total tie orders), so the
+    * DuckDB oracle replays the whole index build + probe. */
+  val q87IvfProbe: QuerySpec = QuerySpec(
+    "q87_ann_ivf_probe",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+      |assigned AS (
+      |  SELECT vec_id, v, cent_id FROM (
+      |    SELECT e.vec_id, e.v, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS crank
+      |    FROM e CROSS JOIN cents c) t WHERE crank = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cent_id FROM (
+      |    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cent_id) AS crank
+      |    FROM e q CROSS JOIN cents c WHERE q.vec_id < 5) t WHERE crank <= 2)
+      |SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id) AS rank
+      |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      |  WHERE a.vec_id <> p.query_id) t
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val e = vecs(sp)
     val cents = e.filter(col("vec_id") % 50 === 0)

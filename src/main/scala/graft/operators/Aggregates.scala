@@ -130,7 +130,27 @@ object Aggregates {
       |GROUP BY YEAR(o_orderdate)
       |ORDER BY order_year""".stripMargin)
 
+  /** Exact inverse-distribution aggregates — percentile_disc picks an
+    * actual input value (no interpolation), so DOUBLE results are
+    * bit-identical across engines; percentile_cont is pinned through the
+    * same WITHIN GROUP surface (the exact twin of the reference's
+    * appx_median, BuiltinsDb.java:721-750). Exact percentiles need the
+    * full group sorted — fine per-group here; at 100 TB per-key use the
+    * approx sketch (q34) or a two-pass histogram refinement instead. */
+  val q132Percentiles: QuerySpec = QuerySpec.sql(
+    "q132_agg_percentiles",
+    """SELECT l_returnflag,
+      |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+      |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+      |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+      |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity DESC) AS p50_desc,
+      |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS median_cont
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q28CountDistinct, q29Having, q30StatsFamily, q31GroupConcat,
-    q32EmptyInput, q33GlobalAgg, q34Sketches, q35GroupByExpr.benched)
+    q32EmptyInput, q33GlobalAgg, q34Sketches, q35GroupByExpr.benched,
+    q132Percentiles)
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/** Physical data layout for scale: bucketing (hash-clustered storage).
+  *
+  * The reference's planner spends most of its distributed-planning effort
+  * deciding between broadcast and partitioned joins and re-using existing
+  * data partitionings (DistributedPlanner.java:432-512 — `lhsBytes = 0`
+  * when the left side is already compatibly partitioned). Spark's storage
+  * analogue is the bucketed table: both join sides written `bucketBy(n,
+  * key)` expose `HashPartitioning(key, n)` at scan time, so the fact-fact
+  * join plans with ZERO exchanges — the layout is the 100 TB answer to
+  * "this join's shuffle is the bottleneck" (shuffle cost paid once at
+  * write, amortized over every subsequent join/agg on the key).
+  *
+  * Plan shapes pinned in PlanSpec (no Exchange before the join / the
+  * bucket-key agg).
+  */
+object Layout {
+
+  /** Drop a managed table AND its warehouse directory: the test metastore
+    * is session-scoped, so a fresh session can find a leftover location
+    * from a previous run that the catalog no longer knows about
+    * (LOCATION_ALREADY_EXISTS on saveAsTable otherwise). */
+  private def dropTable(sp: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    sp.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new java.net.URI(sp.conf.get("spark.sql.warehouse.dir"))
+    val dir = new java.io.File(
+      if (wh.getScheme == null) wh.getPath else new java.io.File(wh).getPath, name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(dir)
+  }
+
+  /** Write both fact tables bucketed on the join key, then join them.
+    * The read-side plan must contain no shuffle on either join input
+    * (SortMergeJoin directly over the bucketed scans); the only exchange
+    * is the one the final small group-by needs. */
+  val q129BucketedJoin: QuerySpec = QuerySpec(
+    "q129_join_bucketed",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    dropTable(sp, "g_bucketed_orders")
+    dropTable(sp, "g_bucketed_lineitem")
+    sp.table("orders").select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("g_bucketed_orders")
+    sp.table("lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("g_bucketed_lineitem")
+    sp.table("g_bucketed_orders")
+      .join(sp.table("g_bucketed_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Aggregation on the bucket key over a bucketed table: the scan's
+    * HashPartitioning already satisfies the group-by distribution, so the
+    * plan has no exchange at all — the map-side/merge-side split
+    * (AggregationNode FIRST/MERGE phases, AggregationNode.java:103-119)
+    * stays but runs pipelined inside one stage. */
+  val q136BucketedAgg: QuerySpec = QuerySpec(
+    "q136_agg_bucketed",
+    """SELECT l_orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |HAVING COUNT(*) = 7
+      |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    dropTable(sp, "g_bucketed_lineitem_agg")
+    sp.table("lineitem").select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("g_bucketed_lineitem_agg")
+    sp.table("g_bucketed_lineitem_agg")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("sum_qty"))
+      .filter(col("n_items") === 7)
+      .orderBy("l_orderkey")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q129BucketedJoin, q136BucketedAgg)
+}

@@ -99,7 +99,37 @@ object SetOps {
       |GROUP BY 1
       |ORDER BY 2 DESC, seg""".stripMargin)
 
+  /** INTERSECT [ALL] — beyond the reference's grammar (UnionStmt handles
+    * only UNION, sql-parser.cup:5085-5278); Spark plans it as a left-semi
+    * join over distinct inputs (ReplaceIntersectWithSemiJoin), which is
+    * the shuffle-minimal shape at scale. nation keys present in both
+    * customer and supplier, with ALL multiplicity on a bounded slice. */
+  val q133Intersect: QuerySpec = QuerySpec.sql(
+    "q133_set_intersect",
+    """SELECT nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 7500
+      |  INTERSECT
+      |  SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 2500) t
+      |ORDER BY nk""".stripMargin)
+
+  /** EXCEPT [ALL] — Spark rewrites to left-anti join
+    * (ReplaceExceptWithAntiJoin); EXCEPT ALL keeps multiplicity via the
+    * generated sum-of-counts plan. Distinct + ALL variants unioned so one
+    * result pins both rewrites. */
+  val q134Except: QuerySpec = QuerySpec.sql(
+    "q134_set_except",
+    """SELECT 'distinct' AS variant, nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  EXCEPT
+      |  SELECT s_nationkey AS nk FROM supplier) d
+      |UNION ALL
+      |SELECT 'all' AS variant, nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer WHERE c_custkey <= 60
+      |  EXCEPT ALL
+      |  SELECT s_nationkey AS nk FROM supplier) a
+      |ORDER BY variant, nk""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q21UnionAll, q22UnionDistinct, q23Values, q24WithCte, q25InlineView,
-    q26SortNulls, q27LimitOffset, q76Ordinals)
+    q26SortNulls, q27LimitOffset, q76Ordinals, q133Intersect, q134Except)
 }

@@ -142,6 +142,34 @@ class PlanSpec extends EngineSuite {
     assert(m.contains("SortMergeJoin"), m)
   }
 
+  test("q129 (bucketed join): co-located scans join with no exchange below the join") {
+    // Broadcast disabled so the test exercises the case bucketing exists
+    // for: both sides too big to broadcast. The bucketed scans expose
+    // HashPartitioning(key, 8), so the join needs no shuffle — the only
+    // hash exchange left is the final small group-by.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q129_join_bucketed")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), s"scan did not use buckets:\n$p")
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashExchanges == 1,
+        s"expected 1 hash exchange (group-by only), got $hashExchanges:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q136 (bucketed agg): group-by on the bucket key needs no exchange") {
+    // Spark keeps the partial/final HashAggregate pair but EnsureRequirements
+    // inserts no exchange between them — the scan's bucket partitioning
+    // already satisfies the distribution (the FIRST/MERGE phases run
+    // pipelined in one stage).
+    val p = plan("q136_agg_bucketed")
+    assert(p.contains("Bucketed: true"), s"scan did not use buckets:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 0, s"bucket-key agg still shuffles:\n$p")
+  }
+
   test("engine session has the reference's runtime optimizations on") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
