@@ -36,20 +36,58 @@ object Clustering {
       .filter(col("r") === 1)
       .select(col("vec_id"), col("v"), col("cluster"))
 
-  /** Element-wise mean of assigned vectors via exact decimal sums. */
+  /** Element-wise mean of assigned vectors via exact decimal sums. The
+    * division happens AFTER casting the exact sum to double (double ÷ int
+    * is one IEEE operation, identical on every engine), not in decimal —
+    * decimal-division scale rules are engine-specific. */
   private def recompute(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cluster"), col("pos"))
-      .agg((sum(col("x").cast("decimal(27,18)")) / count(lit(1)))
-        .cast("double").as("m"))
+      .agg((sum(col("x").cast("decimal(27,18)")).cast("double") / count(lit(1)))
+        .as("m"))
       .groupBy(col("cluster"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
 
   /** k-means (2 Lloyd iterations) + balanced sample of 3 ids per cluster
-    * selected by a deterministic multiplicative hash. Rows-only driver
-    * check; determinism under repartitioning pinned in ClusteringSpec. */
-  val q97KmeansBalanced: QuerySpec = QuerySpec.noOracle("q97_embed_kmeans_balanced") { (s, dir) =>
+    * selected by a deterministic multiplicative hash. Every step is
+    * RNG-free with total tie orders, so the DuckDB oracle replays the
+    * whole algorithm — seeds, both Lloyd rounds (exact DECIMAL(27,18)
+    * sums, double division), final assignment, and the hash-picked
+    * sample. Determinism under repartitioning pinned in ClusteringSpec. */
+  val q97KmeansBalanced: QuerySpec = {
+    // one assignment pass: nearest centroid per vector (ties → lowest id)
+    def assignSql(cents: String): String =
+      s"""SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cluster) AS r
+         |    FROM e CROSS JOIN $cents c) t WHERE r = 1""".stripMargin
+    // element-wise mean via exact decimal sums, divided as doubles
+    def recomputeSql(assigned: String): String =
+      s"""SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cluster, i.i AS pos,
+         |      CAST(SUM(CAST(v[i.i + 1] AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM $assigned CROSS JOIN range(64) i(i)
+         |    GROUP BY cluster, i.i) t GROUP BY cluster""".stripMargin
+    QuerySpec(
+      "q97_embed_kmeans_balanced",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e WHERE vec_id % 50 = 0),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (${recomputeSql("a1")}),
+         |a2 AS (${assignSql("c1")}),
+         |c2 AS (${recomputeSql("a2")}),
+         |fin AS (${assignSql("c2")}),
+         |picked AS (
+         |  SELECT vec_id, cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster
+         |      ORDER BY (vec_id * 2654435761) % 99991, vec_id) AS pick
+         |  FROM fin)
+         |SELECT cluster, COUNT(*) AS n_members,
+         |  COALESCE(array_to_string(list(vec_id ORDER BY vec_id) FILTER (pick <= 3), ','), '') AS sampled_ids
+         |FROM picked GROUP BY cluster
+         |ORDER BY cluster""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val e = vecs(sp)
     var cents = e.filter(col("vec_id") % 50 === 0)
@@ -66,6 +104,7 @@ object Clustering {
         array_join(sort_array(collect_list(when(col("pick") <= 3, col("vec_id")))), ",")
           .as("sampled_ids"))
       .orderBy(col("cluster"))
+    }
   }
 
   val all: Seq[QuerySpec] = Seq(q97KmeansBalanced)
