@@ -267,8 +267,30 @@ object TextAnalysis {
     QuerySpec.sql2("q125_text_pack_batches", text(spark = true), text(spark = false))
   }
 
+  /** Corpus vocabulary: top-50 words by total frequency (ties broken by
+    * word) with document frequency — the seed statistics of a tokenizer/
+    * BPE build. One word-keyed shuffle with map-side partial aggregation;
+    * the top-k is ORDER BY + LIMIT, which Spark plans as
+    * TakeOrderedAndProject (per-partition heaps + a k-row merge — no
+    * global sort, no single-partition window), so the same plan holds at
+    * any corpus size. */
+  val q138Vocab: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val wordsRel =
+        if (spark) "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents"
+        else "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+      s"""WITH words AS ($wordsRel)
+         |SELECT word, n_total, n_docs
+         |FROM (SELECT word, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+         |      FROM words GROUP BY word) c
+         |ORDER BY n_total DESC, word
+         |LIMIT 50""".stripMargin
+    }
+    QuerySpec.sql2("q138_text_vocab", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
-    q123Repetition, q125PackBatches)
+    q123Repetition, q125PackBatches, q138Vocab)
 }

@@ -98,4 +98,28 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join — click→purchase attribution: every
+    * purchase within 1 hour of a same-user click. Both sides carry a
+    * watermark and the join condition bounds purchase_ts to a window
+    * after click_ts, so each side's buffered state is evicted once the
+    * other side's watermark passes the interval — state is
+    * arrival-rate × horizon, independent of stream history (the property
+    * that makes the join runnable forever at cluster scale). Inner join ⇒
+    * matches emit immediately; the watermark only drives eviction. */
+  def clickToPurchase(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
 }

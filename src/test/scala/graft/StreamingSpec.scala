@@ -116,4 +116,35 @@ class StreamingSpec extends EngineSuite {
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(ids == Seq(10L, 11L), s"expected one row per id, got $ids")
   }
+
+  test("clickToPurchase: stream-stream interval join matches the batch join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // NB: keep event times strictly after the epoch — a record whose
+    // event time equals the initial watermark (0) is dropped as late.
+    val events = Seq(
+      Event(1, 1, ts(500), "click", 0.0),
+      Event(1, 2, ts(530), "purchase", 9.99),  // within 1h of click 1
+      Event(1, 3, ts(570), "purchase", 5.00),  // outside 1h of click 1
+      Event(2, 4, ts(510), "click", 0.0),
+      Event(2, 5, ts(565), "purchase", 1.25),  // within 1h of click 4
+      Event(3, 6, ts(500), "purchase", 2.50))  // no click at all
+
+    val batch = EventStreams.clickToPurchase(events.toDF())
+      .orderBy("user_id", "purchase_id").collect().toSeq
+
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.clickToPurchase(mem.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.table("attr_out")
+      .orderBy("user_id", "purchase_id").collect().toSeq
+
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.map(r => (r.getLong(0), r.getLong(2))) ==
+      Seq((1L, 2L), (2L, 5L)), s"unexpected attribution pairs: $batch")
+  }
 }
