@@ -97,5 +97,37 @@ object Layout {
       .orderBy("l_orderkey")
   }
 
-  val all: Seq[QuerySpec] = Seq(q129BucketedJoin, q136BucketedAgg)
+  /** Partitioned AND bucketed layout — directory partitioning by the
+    * coarse filter column plus hash bucketing by the heavy key: the scan
+    * prunes to one partition directory (PartitionFilters) and the
+    * bucket-key aggregation still needs no exchange. This is the full
+    * 100 TB layout recipe: prune what you can at the directory level,
+    * pre-cluster what you aggregate/join on. */
+  val q139PartitionedBucketed: QuerySpec = QuerySpec(
+    "q139_layout_partitioned_bucketed",
+    """SELECT l_orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_linestatus = 'F'
+      |GROUP BY l_orderkey
+      |HAVING COUNT(*) >= 6
+      |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    dropTable(sp, "g_pb_lineitem")
+    sp.table("lineitem").select("l_orderkey", "l_extendedprice", "l_linestatus")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("l_linestatus")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("g_pb_lineitem")
+    sp.table("g_pb_lineitem")
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .filter(col("n_items") >= 6)
+      .orderBy("l_orderkey")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q129BucketedJoin, q136BucketedAgg, q139PartitionedBucketed)
 }

@@ -170,6 +170,15 @@ class PlanSpec extends EngineSuite {
     assert(hashExchanges == 0, s"bucket-key agg still shuffles:\n$p")
   }
 
+  test("q139 (partitioned+bucketed): partition pruned AND agg shuffle-free") {
+    val p = plan("q139_layout_partitioned_bucketed")
+    assert(p.contains("PartitionFilters: [isnotnull(l_linestatus"),
+      s"partition filter not pushed:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan did not use buckets:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 0, s"bucket-key agg still shuffles:\n$p")
+  }
+
   test("engine session has the reference's runtime optimizations on") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
