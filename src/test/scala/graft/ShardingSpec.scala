@@ -1,0 +1,43 @@
+package graft
+
+/** Properties of the corpus-sharding operators: assignments are pure
+  * functions of doc_id (partitioning-independent), split fractions land
+  * near their targets, and shards stay balanced. */
+class ShardingSpec extends EngineSuite {
+
+  test("split/shard/mix outputs are identical under different parallelism") {
+    val names = Seq("q130_split_train_val_test", "q131_shuffle_shards",
+      "q135_text_source_mix")
+    val run1 = names.map(n => SparkEntry.queries(n)(spark, sfDir)
+      .collect().map(_.toSeq).toSeq)
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val run2 = names.map(n => SparkEntry.queries(n)(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
+      assert(run1 == run2, "shard assignment must be partitioning-independent")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+  }
+
+  test("train/val/test fractions approximate 80/10/10") {
+    val rows = SparkEntry.queries("q130_split_train_val_test")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(total > 0)
+    // multiplicative hashing is not perfectly uniform at tiny SF — wide bands
+    assert(bySplit.getOrElse("train", 0L) / total > 0.6, bySplit.toString)
+    assert(bySplit.getOrElse("val", 0L) / total < 0.25, bySplit.toString)
+    assert(bySplit.getOrElse("test", 0L) / total < 0.25, bySplit.toString)
+  }
+
+  test("shards partition the corpus with bounded skew") {
+    val rows = SparkEntry.queries("q131_shuffle_shards")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = rows.map(_._2).sum
+    val docs = QuerySpec.prepared(spark, sfDir).table("documents").count()
+    assert(total == docs, s"shards must cover every doc exactly once ($total vs $docs)")
+    val max = rows.map(_._2).max.toDouble
+    assert(max / (total.toDouble / rows.length) < 3.0,
+      s"shard skew too high: $rows")
+  }
+}
