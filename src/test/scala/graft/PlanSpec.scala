@@ -179,6 +179,34 @@ class PlanSpec extends EngineSuite {
     assert(hashExchanges == 0, s"bucket-key agg still shuffles:\n$p")
   }
 
+  test("runtime bloom filter injects on a selective dim join (runtime-filter analogue)") {
+    // Impala pushes runtime filters from the join build side into the
+    // probe-side scan (§4.3); Spark's analogue is the injected bloom
+    // filter. Size thresholds gate it at production scale — force them to
+    // zero here so the tiny fixture still demonstrates the rewrite.
+    QuerySpec.prepared(spark, sfDir)
+    val conf = Map(
+      // creation side must be UNDER its threshold, application side must
+      // be OVER its — relax both so the tiny fixture qualifies
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = spark.sql(
+        """SELECT l_orderkey, o_orderpriority
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+        .queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("engine session has the reference's runtime optimizations on") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
