@@ -149,8 +149,27 @@ object Aggregates {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin)
 
+  /** ROLLUP with GROUPING() disambiguation — beyond the reference's
+    * grammar (group_by_clause is plain expr_list, sql-parser.cup:6669-6684;
+    * Impala users emulate this with UNION ALL of re-aggregations, i.e.
+    * N fact scans). Spark plans it as ONE scan + Expand(levels), so the
+    * hierarchy costs one extra shuffle row per level, not one extra pass
+    * per level — the shape that matters at 100 TB. GROUPING() separates
+    * subtotal NULLs from data NULLs. */
+  val q140Rollup: QuerySpec = QuerySpec.sql(
+    "q140_agg_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, flag, status""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q28CountDistinct, q29Having, q30StatsFamily, q31GroupConcat,
     q32EmptyInput, q33GlobalAgg, q34Sketches, q35GroupByExpr.benched,
-    q132Percentiles)
+    q132Percentiles, q140Rollup)
 }
