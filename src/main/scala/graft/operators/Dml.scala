@@ -131,11 +131,24 @@ object Dml {
   }
 
   /** Catalog/metadata surface (SHOW TABLES / DESCRIBE —
-    * service/MetadataOp.java:53-645): rows-only check, exact content
-    * pinned in DmlSpec. */
-  val q75Catalog: QuerySpec = QuerySpec.noOracle("q75_dml_catalog") { (s, dir) =>
+    * service/MetadataOp.java:53-645). The registered test-table set is a
+    * static contract, so the oracle is its literal VALUES listing — a real
+    * differential on the catalog surface (a missed or renamed registration
+    * fails the compare). Layout/DML queries create `g_*` managed tables in
+    * the same session; they are session-order-dependent noise here and are
+    * filtered out. */
+  val q75Catalog: QuerySpec = QuerySpec(
+    "q75_dml_catalog",
+    graft.sources.TestTables.names.sorted
+      .map(n => s"('$n', true)")
+      .mkString(
+        "SELECT tableName, isTemporary FROM (VALUES ",
+        ", ",
+        ") t(tableName, isTemporary) ORDER BY tableName")) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    sp.sql("SHOW TABLES").select("tableName", "isTemporary").orderBy("tableName")
+    sp.sql("SHOW TABLES").select("tableName", "isTemporary")
+      .filter(!col("tableName").startsWith("g_"))
+      .orderBy("tableName")
   }
 
   /** File-format surface (catalog/HdfsFileFormat.java:42-116: PARQUET,

@@ -281,9 +281,59 @@ object Relational {
       .orderBy(col("tag"))
   }
 
+  /** PIVOT — rows→columns reshaping (beyond the reference's grammar;
+    * Spark ≥3.4 SQL PIVOT clause). Catalyst rewrites it to one grouped
+    * aggregation with pivot-filtered aggregates — a single shuffle
+    * regardless of the number of pivoted columns, which is why the
+    * conditional-aggregation oracle is also its literal execution plan. */
+  val q141Pivot: QuerySpec = QuerySpec.sql2(
+    "q141_reshape_pivot",
+    """SELECT * FROM (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders)
+      |PIVOT (CAST(SUM(price) AS DOUBLE)
+      |       FOR o_orderpriority IN ('1-URGENT' AS urgent, '2-HIGH' AS high,
+      |                               '5-LOW' AS low))
+      |ORDER BY o_orderstatus""".stripMargin,
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+      |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS high,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+      |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS low
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin)
+
+  /** UNPIVOT — columns→rows (Spark ≥3.4 SQL UNPIVOT clause; planned as a
+    * per-row Expand, no shuffle beyond the feeding aggregation). The
+    * oracle spells it as the UNION ALL it is semantically — N passes
+    * there vs Expand's one pass here. */
+  val q142Unpivot: QuerySpec = QuerySpec.sql2(
+    "q142_reshape_unpivot",
+    """SELECT c_mktsegment, metric, val FROM (
+      |  SELECT c_mktsegment,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_cust,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+      |  FROM customer GROUP BY c_mktsegment)
+      |UNPIVOT (val FOR metric IN (n_cust, total_bal))
+      |ORDER BY c_mktsegment, metric""".stripMargin,
+    """WITH a AS (
+      |  SELECT c_mktsegment,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_cust,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+      |  FROM customer GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, metric, val FROM (
+      |  SELECT c_mktsegment, 'n_cust' AS metric, n_cust AS val FROM a
+      |  UNION ALL
+      |  SELECT c_mktsegment, 'total_bal' AS metric, total_bal AS val FROM a) u
+      |ORDER BY c_mktsegment, metric""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
-    q100TpchQ18.benched, q126ExtSource)
+    q100TpchQ18.benched, q126ExtSource, q141Pivot, q142Unpivot)
 }
