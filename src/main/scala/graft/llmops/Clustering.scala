@@ -63,13 +63,15 @@ object Clustering {
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cluster) AS r
          |    FROM e CROSS JOIN $cents c) t WHERE r = 1""".stripMargin
-    // element-wise mean via exact decimal sums, divided as doubles
+    // element-wise mean via exact decimal sums, divided as doubles;
+    // dimension derived from the vectors themselves (range(len(v))),
+    // matching the Spark side's posexplode — no hardcoded fixture dim
     def recomputeSql(assigned: String): String =
       s"""SELECT cluster, list(m ORDER BY pos) AS cv FROM (
-         |    SELECT cluster, i.i AS pos,
-         |      CAST(SUM(CAST(v[i.i + 1] AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
-         |    FROM $assigned CROSS JOIN range(64) i(i)
-         |    GROUP BY cluster, i.i) t GROUP BY cluster""".stripMargin
+         |    SELECT cluster, pos,
+         |      CAST(SUM(CAST(v[pos + 1] AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM (SELECT cluster, v, unnest(range(len(v))) AS pos FROM $assigned) x
+         |    GROUP BY cluster, pos) t GROUP BY cluster""".stripMargin
     QuerySpec(
       "q97_embed_kmeans_balanced",
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

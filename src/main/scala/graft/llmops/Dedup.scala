@@ -120,6 +120,14 @@ object Dedup {
     * every pair's popcount(xor). Word hash is our portable fnv_hash —
     * deterministic across engines and partitionings. */
   val q82SimHash: QuerySpec = {
+    // ASCII-corpus assumption: this oracle hashes per-CHARACTER code
+    // points (ascii(substr(...))), while Spark's fnv_hash hashes UTF-8
+    // BYTES — identical only while every word is pure ASCII, which the
+    // synthetic documents fixture guarantees (TESTDATA.md). DuckDB
+    // cannot subscript BLOB bytes, so a byte-exact replay would need a
+    // manual code-point→UTF-8 expansion (see q120's explicit byte-image
+    // recipe for the general pattern). Revisit if the fixture ever
+    // grows non-ASCII words.
     val fnvWord =
       """list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
         |      list_transform(range(length(word)), i -> CAST(ascii(substr(word, CAST(i+1 AS INT), 1)) AS HUGEINT))),

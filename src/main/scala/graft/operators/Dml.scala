@@ -147,7 +147,7 @@ object Dml {
         ") t(tableName, isTemporary) ORDER BY tableName")) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     sp.sql("SHOW TABLES").select("tableName", "isTemporary")
-      .filter(!col("tableName").startsWith("g_"))
+      .filter(col("tableName").isin(graft.sources.TestTables.names: _*))
       .orderBy("tableName")
   }
 

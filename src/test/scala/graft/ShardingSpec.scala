@@ -10,12 +10,13 @@ class ShardingSpec extends EngineSuite {
       "q135_text_source_mix")
     val run1 = names.map(n => SparkEntry.queries(n)(spark, sfDir)
       .collect().map(_.toSeq).toSeq)
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "3")
     try {
       val run2 = names.map(n => SparkEntry.queries(n)(spark, sfDir)
         .collect().map(_.toSeq).toSeq)
       assert(run1 == run2, "shard assignment must be partitioning-independent")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
   test("train/val/test fractions approximate 80/10/10") {
