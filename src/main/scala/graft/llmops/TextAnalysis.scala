@@ -289,8 +289,50 @@ object TextAnalysis {
     QuerySpec.sql2("q138_text_vocab", text(spark = true), text(spark = false))
   }
 
+  /** Cross-corpus boilerplate detector (the C4 "frequent line" rule,
+    * re-keyed on word 3-grams since the fixture has no line structure):
+    * a doc's shared_frac is the fraction of its 3-gram INSTANCES whose
+    * 3-gram also occurs in at least one other document. Complements
+    * q122 (overlap vs a fixed eval slice) and q123 (repetition WITHIN a
+    * doc). Single fact scan, zero self-joins: (doc,ngram) counts in one
+    * shuffle, document frequency via a COUNT window over the already-
+    * distinct (doc,ngram) relation (no second scan, no join back), then
+    * a per-doc re-aggregation — corpus-sized data crosses the network
+    * once, the rest is per-gram/per-doc rows. */
+  val q146Boilerplate: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val g =
+        if (spark)
+          """SELECT doc_id, ngram
+            |  FROM (SELECT doc_id,
+            |          CASE WHEN size(split(text, ' ')) >= 3
+            |               THEN transform(sequence(0, size(split(text, ' ')) - 3),
+            |                      i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+            |               ELSE array() END AS ngrams
+            |        FROM documents) t
+            |  LATERAL VIEW explode(ngrams) x AS ngram""".stripMargin
+        else
+          """SELECT doc_id, unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+            |         i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS ngram
+            |  FROM documents""".stripMargin
+      s"""WITH g AS (
+         |$g),
+         |c AS (SELECT doc_id, ngram, COUNT(*) AS n FROM g GROUP BY doc_id, ngram),
+         |w AS (SELECT doc_id, n, COUNT(*) OVER (PARTITION BY ngram) AS df FROM c),
+         |d AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+         |             CAST(SUM(CASE WHEN df >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_shared
+         |      FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_shared,
+         |       ROUND(CAST(n_shared AS DOUBLE) / n_grams, 6) AS shared_frac,
+         |       (CAST(n_shared AS DOUBLE) / n_grams > 0.8) AS flagged
+         |FROM d
+         |ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q146_text_boilerplate", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
-    q123Repetition, q125PackBatches, q138Vocab)
+    q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate)
 }

@@ -168,8 +168,41 @@ object Aggregates {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY g_flag, g_status, flag, status""".stripMargin)
 
+  /** CUBE — the full 2^k subtotal lattice (here 4 grouping levels) in
+    * ONE scan + Expand, like [[q140Rollup]]. The reference's grammar has
+    * no CUBE (sql-parser.cup:6669-6684); the Impala-era emulation is a
+    * UNION ALL of 4 re-aggregations = 4 fact scans. At 100 TB the Expand
+    * plan reads the fact table once and pays one extra shuffle row per
+    * level instead. */
+  val q143Cube: QuerySpec = QuerySpec.sql(
+    "q143_agg_cube",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin)
+
+  /** Explicit GROUPING SETS with NON-hierarchical sets — two independent
+    * one-dimension aggregations from a single scan (ROLLUP/CUBE can't
+    * express this lattice). Same Expand machinery as q140/q143. */
+  val q144GroupingSets: QuerySpec = QuerySpec.sql(
+    "q144_agg_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY g_flag, g_status, flag, status""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q28CountDistinct, q29Having, q30StatsFamily, q31GroupConcat,
     q32EmptyInput, q33GlobalAgg, q34Sketches, q35GroupByExpr.benched,
-    q132Percentiles, q140Rollup)
+    q132Percentiles, q140Rollup, q143Cube, q144GroupingSets)
 }

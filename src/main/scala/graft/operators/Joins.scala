@@ -251,8 +251,53 @@ object Joins {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Interval (range) join via bucket blocking — the scale-path twin of
+    * [[q18RangeBucket]]'s broadcast theta join. Each time window
+    * explodes into the 15-minute buckets it covers; the probe side keys
+    * each event by its single bucket; the range predicate then refines
+    * an EQUI-join match. The reference has no range join at all (theta
+    * goes through NestedLoopJoinNode, planner/NestedLoopJoinNode.java:
+    * 1-133 — O(N·M) pairs); the bucketed form is a hash join whose cost
+    * is O(N + M·buckets_per_window), which is what survives 1M windows ×
+    * 100 TB of events — no nested loop anywhere in the plan. With 10
+    * windows Spark broadcasts the build side; at scale the same plan
+    * shuffles both sides on the bucket key. */
+  val q147IntervalBucketJoin: QuerySpec = QuerySpec(
+    "q147_join_interval_bucket",
+    """WITH w AS (
+      |  SELECT event_id AS window_id,
+      |         ts - INTERVAL 15 MINUTE AS lo, ts + INTERVAL 15 MINUTE AS hi
+      |  FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+      |        ORDER BY value DESC, event_id LIMIT 10) t)
+      |SELECT w.window_id, COUNT(*) AS n_events,
+      |       COUNT(DISTINCT e.user_id) AS n_users
+      |FROM w JOIN events e ON e.ts >= w.lo AND e.ts <= w.hi
+      |GROUP BY w.window_id
+      |ORDER BY w.window_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    import sp.implicits._
+    val bucketSec = 900L
+    val ev = sp.table("events")
+    val wins = ev.filter($"event_type" === "purchase")
+      .orderBy($"value".desc, $"event_id")
+      .limit(10)
+      .select($"event_id".as("window_id"),
+        ($"ts" - expr("INTERVAL 15 MINUTE")).as("lo"),
+        ($"ts" + expr("INTERVAL 15 MINUTE")).as("hi"))
+      .withColumn("bucket",
+        explode(sequence(floor($"lo".cast("long") / bucketSec),
+          floor($"hi".cast("long") / bucketSec))))
+    ev.withColumn("ev_bucket", floor($"ts".cast("long") / bucketSec))
+      .join(broadcast(wins),
+        $"ev_bucket" === wins("bucket") && $"ts" >= $"lo" && $"ts" <= $"hi")
+      .groupBy($"window_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"window_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q11LeftOuter, q12RightOuter, q13FullOuter, q14LeftSemi, q15LeftAnti,
     q16NullAwareAnti, q17Cross, q18RangeBucket, q19MultiwayTpchQ3.benched,
-    q20ThetaInequality, q78SaltedJoin)
+    q20ThetaInequality, q78SaltedJoin, q147IntervalBucketJoin)
 }

@@ -73,7 +73,26 @@ object Subqueries {
       |       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) >= 8
       |ORDER BY c_custkey""".stripMargin)
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-k per
+    * outer row, the modern spelling of the reference's SubplanNode
+    * (planner/SubplanNode.java:27-109: evaluate right subtree per input
+    * row). Spark decorrelates it into a ranked join (one shuffle on the
+    * correlation key), not a per-row re-execution — at 100 TB the outer
+    * table drives a single window pass instead of N subplan runs. */
+  val q145LateralTopK: QuerySpec = QuerySpec.sql(
+    "q145_sub_lateral_topk",
+    """SELECT r.r_name, t.c_name, t.c_acctbal
+      |FROM region r,
+      |LATERAL (
+      |  SELECT c.c_name, c.c_acctbal
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  ORDER BY c.c_acctbal DESC, c.c_name
+      |  LIMIT 2) t
+      |ORDER BY r.r_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q41ScalarUncorrelated, q42InSubquery, q43ExistsCorrelated,
-    q44NotExistsCorrelated, q45ScalarCorrelated, q46CountSubquery)
+    q44NotExistsCorrelated, q45ScalarCorrelated, q46CountSubquery,
+    q145LateralTopK)
 }
