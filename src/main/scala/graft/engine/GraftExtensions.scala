@@ -17,11 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * for harness-owned sessions that are created without extension confs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     graft.functions.ImpalaFunctions.builders.foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.ImpalaFunctions", name),
         builder))
     }
+    extensions.injectOptimizerRule(_ => graft.plans.RangeBucketJoinRewrite)
+  }
 }

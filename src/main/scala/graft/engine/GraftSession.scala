@@ -69,6 +69,9 @@ object GraftSession {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.ansi.enabled", "false")
     graft.functions.ImpalaFunctions.registerAll(s)
+    if (!s.experimental.extraOptimizations.contains(graft.plans.RangeBucketJoinRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RangeBucketJoinRewrite
     s
   }
 }

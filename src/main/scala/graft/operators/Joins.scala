@@ -296,8 +296,36 @@ object Joins {
       .orderBy($"window_id")
   }
 
+  /** The same range-join semantics as [[q147IntervalBucketJoin]], but
+    * written as the PLAIN inequality join a user would type — the
+    * bucket blocking is applied automatically by the engine's
+    * [[graft.plans.RangeBucketJoinRewrite]] optimizer rule once
+    * `spark.graft.rangeJoin.bucketSeconds` is set (the reference's SET
+    * query-option surface). One SQL text serves both engines; Spark
+    * plans a hash join, DuckDB its own IEJoin. Plan pinned hash-join in
+    * PlanSpec. */
+  val q148AutoRangeJoin: QuerySpec = {
+    val text =
+      """WITH w AS (
+        |  SELECT event_id AS window_id,
+        |         ts - INTERVAL 30 MINUTE AS lo, ts + INTERVAL 30 MINUTE AS hi
+        |  FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup'
+        |        ORDER BY value DESC, event_id LIMIT 20) t)
+        |SELECT w.window_id, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT e.user_id) AS n_users
+        |FROM w JOIN events e ON e.ts >= w.lo AND e.ts <= w.hi
+        |GROUP BY w.window_id
+        |ORDER BY w.window_id""".stripMargin
+    QuerySpec("q148_join_auto_range", text) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      sp.conf.set(graft.plans.RangeBucketJoinRewrite.WidthKey, "900")
+      sp.sql(text)
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q11LeftOuter, q12RightOuter, q13FullOuter, q14LeftSemi, q15LeftAnti,
     q16NullAwareAnti, q17Cross, q18RangeBucket, q19MultiwayTpchQ3.benched,
-    q20ThetaInequality, q78SaltedJoin, q147IntervalBucketJoin)
+    q20ThetaInequality, q78SaltedJoin, q147IntervalBucketJoin,
+    q148AutoRangeJoin)
 }

@@ -207,6 +207,47 @@ class PlanSpec extends EngineSuite {
     }
   }
 
+  test("q145 (lateral top-k): decorrelated to WindowGroupLimit, no per-row subplan") {
+    val p = plan("q145_sub_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), "lateral fell back to a cartesian product")
+  }
+
+  test("q147 (interval bucket join): pure hash join, no nested loop") {
+    val p = plan("q147_join_interval_bucket")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join fell back to a nested loop: " + p)
+  }
+
+  test("q143 (CUBE): one scan + Expand, not N re-aggregations") {
+    val p = plan("q143_agg_cube")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, "CUBE should scan the fact table once")
+  }
+
+  test("q148 (auto range join): optimizer rule turns the nested loop into a hash join") {
+    val wk = graft.plans.RangeBucketJoinRewrite.WidthKey
+    try {
+      // rule off: Spark has no better plan than a nested loop
+      spark.conf.unset(wk)
+      val off = SparkEntry.queries("q148_join_auto_range")(spark, sfDir)
+      // the query's own run() re-sets the conf, so unset again to probe
+      spark.conf.unset(wk)
+      val offPlan = off.queryExecution.executedPlan.toString
+      val offRows = off.collect().map(_.toSeq).toSeq
+      assert(offPlan.contains("BroadcastNestedLoopJoin"), offPlan)
+
+      val on = SparkEntry.queries("q148_join_auto_range")(spark, sfDir)
+      val onPlan = on.queryExecution.executedPlan.toString
+      assert(onPlan.contains("BroadcastHashJoin"), onPlan)
+      assert(!onPlan.contains("BroadcastNestedLoopJoin") && !onPlan.contains("CartesianProduct"),
+        "rule did not rewrite the range join: " + onPlan)
+      assert(on.collect().map(_.toSeq).toSeq == offRows,
+        "bucket-blocked rewrite changed the result")
+    } finally spark.conf.unset(wk)
+  }
+
   test("engine session has the reference's runtime optimizations on") {
     val c = spark.conf
     assert(c.get("spark.sql.adaptive.enabled") == "true")
