@@ -208,6 +208,109 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product quantization (PQ) with asymmetric-distance (ADC) search —
+    * the fourth classic ANN tier (after brute/LSH/IVF): 64 dims split
+    * into 8 blocks of 8; per block, a codebook of sampled sub-vectors
+    * (deterministic modular sample, vec_id % 40 = 0); every corpus
+    * vector is encoded as 8 small codes (nearest codebook entry per
+    * block by squared L2, ties → lowest cent_id). A query precomputes
+    * its tiny ADC lookup table (blocks × codebook sub-distances) and a
+    * candidate's approximate distance is the SUM of 8 table lookups —
+    * at 100 TB the corpus is scanned as codes (8 ints/vector, ~32× less
+    * IO than raw floats), the lookup table broadcasts, and the exact
+    * re-rank touches only the top-20 candidates. Every step is
+    * deterministic (element-in-order double folds, block-ordered ADC
+    * sum, total tie orders), so the DuckDB oracle replays codebook
+    * build, encoding, ADC, and re-rank exactly. */
+  val q149PqAdc: QuerySpec = QuerySpec(
+    "q149_ann_pq_adc",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 40 = 0),
+      |enc AS (
+      |  SELECT vec_id, m, cent_id, d2 FROM (
+      |    SELECT e.vec_id, m.m AS m, c.cent_id,
+      |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(8), i ->
+      |          (e.v[m.m*8 + i + 1] - c.cv[m.m*8 + i + 1])
+      |          * (e.v[m.m*8 + i + 1] - c.cv[m.m*8 + i + 1]))),
+      |        (acc, x) -> acc + x) AS d2
+      |    FROM e CROSS JOIN range(8) m(m) CROSS JOIN cents c) t),
+      |codes AS (
+      |  SELECT vec_id, m, cent_id AS code FROM (
+      |    SELECT vec_id, m, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS r
+      |    FROM enc) t WHERE r = 1),
+      |qd AS (SELECT vec_id AS query_id, m, cent_id, d2 FROM enc WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT qd.query_id, codes.vec_id AS neighbor_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qd.d2 ORDER BY qd.m)),
+      |      (acc, x) -> acc + x) AS dist
+      |  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cent_id
+      |  WHERE codes.vec_id <> qd.query_id
+      |  GROUP BY qd.query_id, codes.vec_id),
+      |cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS r
+      |    FROM adc) t WHERE r <= 20)
+      |SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    ROUND(list_cosine_similarity(qe.v, ce.v), 6) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+      |      ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, cand.neighbor_id) AS rank
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+      |            JOIN e ce ON ce.vec_id = cand.neighbor_id) t
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+    val e = vecs(sp).select(col("vec_id"), col("v"))
+    val cents = e.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // per (vector, block, codebook entry) sub-vector squared L2 —
+    // zip_with + aggregate folds element-in-order, matching the oracle
+    val enc = e.select(col("vec_id"), col("v"),
+        explode(expr("sequence(0, 7)")).as("m"))
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("m"), col("cent_id"),
+        expr("""aggregate(
+                  zip_with(slice(v, m*8 + 1, 8), slice(cv, m*8 + 1, 8),
+                           (x, y) -> (x - y) * (x - y)),
+                  0D, (acc, p) -> acc + p)""").as("d2"))
+    val codes = enc
+      .withColumn("r", row_number().over(
+        w.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cent_id"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+    val qd = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"),
+        col("cent_id"), col("d2"))
+    // ADC: 8 lookups per (query, vector), summed in block order
+    val adc = codes.join(broadcast(qd),
+        col("m") === col("qm") && col("code") === col("cent_id") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(expr("""aggregate(
+                     transform(sort_array(collect_list(struct(m, d2))), s -> s.d2),
+                     0D, (acc, x) -> acc + x)""").as("dist"))
+    val cand = adc
+      .withColumn("r", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("r") <= 20)
+      .select(col("query_id"), col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr(cosSql("qv", "v")).as("c"))
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("c"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q85BruteTopK.benched, q86LshBucketed, q87IvfProbe)
+    q85BruteTopK.benched, q86LshBucketed, q87IvfProbe, q149PqAdc)
 }

@@ -54,6 +54,21 @@ class LlmOpsSpec extends EngineSuite {
     assert(recall >= 0.1, s"LSH recall@10 $recall implausibly low")
   }
 
+  test("PQ/ADC candidates overlap brute-force top-5 and ranks descend") {
+    val brute = llmops.Similarity.q85BruteTopK.run(spark, sfDir)
+      .collect().filter(_.getInt(1) <= 5).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = llmops.Similarity.q149PqAdc.run(spark, sfDir).collect()
+    val pq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    // 8×8 PQ with a sampled codebook on near-uniform sphere vectors is
+    // coarse; the floor guards against an ADC join returning garbage
+    assert(recall >= 0.1, s"PQ recall@5 $recall implausibly low")
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("IVF probe returns descending-cosine ranks per query") {
     val rows = llmops.Similarity.q87IvfProbe.run(spark, sfDir).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
