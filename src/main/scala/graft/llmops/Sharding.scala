@@ -83,6 +83,51 @@ object Sharding {
        |GROUP BY r.source
        |ORDER BY r.source""".stripMargin)
 
+  /** Weighted sampling without replacement by sequential Poisson
+    * sampling (Ohlsson): each doc gets priority = h(doc_id)/weight for a
+    * uniform-ish integer hash h, and the sample is the k smallest
+    * priorities — inclusion probability is approximately proportional to
+    * the weight (here n_chars, a stand-in for a quality score). No
+    * rand(): the priority is a pure function of doc_id, so the sample is
+    * identical across reruns, engines, and partitionings, and adding new
+    * data never evicts more than the displaced tail. Scale shape: the
+    * priority is map-side; global smallest-k plans as
+    * TakeOrderedAndProject (no global sort, no corpus shuffle); the
+    * oracle's ROW_NUMBER() spelling is the portable SQL equivalent. The
+    * one double division per row is a single IEEE op — bit-identical on
+    * both engines, so the oracle replays the exact sample. */
+  val q150WeightedSample: QuerySpec = {
+    val prioritySql =
+      "CAST(((doc_id % 999983) * 40503) % 65536 AS DOUBLE) / n_chars"
+    QuerySpec(
+      "q150_sample_weighted",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars, $prioritySql AS priority
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, n_chars, priority,
+         |    ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rank
+         |  FROM t)
+         |SELECT rank, doc_id, lang, n_chars, ROUND(priority, 8) AS priority
+         |FROM s WHERE rank <= 100
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("priority"), col("doc_id"))
+      val t = sp.table("documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr(prioritySql).as("priority"))
+      // TakeOrderedAndProject first; the rank window touches only k rows
+      t.orderBy(col("priority"), col("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"),
+          round(col("priority"), 8).as("priority"))
+        .orderBy(col("rank"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q130SplitTrainValTest, q131ShuffleShards, q135SourceMix)
+    q130SplitTrainValTest, q131ShuffleShards, q135SourceMix,
+    q150WeightedSample)
 }

@@ -7,7 +7,7 @@ class ShardingSpec extends EngineSuite {
 
   test("split/shard/mix outputs are identical under different parallelism") {
     val names = Seq("q130_split_train_val_test", "q131_shuffle_shards",
-      "q135_text_source_mix")
+      "q135_text_source_mix", "q150_sample_weighted")
     val run1 = names.map(n => SparkEntry.queries(n)(spark, sfDir)
       .collect().map(_.toSeq).toSeq)
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
@@ -29,6 +29,18 @@ class ShardingSpec extends EngineSuite {
     assert(bySplit.getOrElse("train", 0L) / total > 0.6, bySplit.toString)
     assert(bySplit.getOrElse("val", 0L) / total < 0.25, bySplit.toString)
     assert(bySplit.getOrElse("test", 0L) / total < 0.25, bySplit.toString)
+  }
+
+  test("weighted sample over-represents heavy documents") {
+    val sample = SparkEntry.queries("q150_sample_weighted")(spark, sfDir)
+      .collect().map(_.getLong(3))
+    assert(sample.length == 100)
+    val corpus = QuerySpec.prepared(spark, sfDir).table("documents")
+      .collect().map(_.getAs[Long]("n_chars"))
+    val sampleAvg = sample.sum.toDouble / sample.length
+    val corpusAvg = corpus.sum.toDouble / corpus.length
+    assert(sampleAvg > corpusAvg,
+      s"weight-proportional sample should skew heavy: $sampleAvg vs $corpusAvg")
   }
 
   test("shards partition the corpus with bounded skew") {
