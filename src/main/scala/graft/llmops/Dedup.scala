@@ -318,7 +318,87 @@ object Dedup {
       .orderBy(col("same_lang"))
   }
 
+  /** Incremental dedup: a NEW batch (doc_id % 10 = 9, standing in for
+    * "this week's crawl") is LSH-probed against the EXISTING corpus —
+    * only the delta is shingled, signed, and joined, never
+    * delta × delta or corpus × corpus. This is the shape that keeps a
+    * 100 TB corpus maintainable: the standing corpus contributes its
+    * (band, key) index (in production: precomputed and stored), the
+    * delta streams through it, and the exact verify touches only
+    * colliding pairs. Same 16×4 band scheme and the same exact
+    * all-pairs oracle argument as [[q81MinHashLsh]], restricted to
+    * new × old pairs. */
+  val q151IncrementalDedup: QuerySpec = QuerySpec(
+    "q151_dedup_incremental",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+      |         ELSE list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+      |           i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) END AS sh
+      |  FROM documents)
+      |SELECT n.doc_id AS new_doc_id, o.doc_id AS dup_of,
+      |  ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+      |        / len(list_distinct(n.sh || o.sh)), 4) AS jaccard
+      |FROM g n JOIN g o ON n.doc_id % 10 = 9 AND o.doc_id % 10 <> 9
+      |WHERE CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+      |      / len(list_distinct(n.sh || o.sh)) >= 0.8
+      |ORDER BY new_doc_id, dup_of""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val bands = sp.table("documents")
+      .select(col("doc_id"),
+        posexplode(expr(s"lshbands64(minhash64($shingleSql))")).as(Seq("band", "key")))
+    val newB = bands.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id").as("new_doc_id"), col("band"), col("key"))
+    val oldB = bands.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id").as("dup_of"), col("band"), col("key"))
+    val pairs = newB.join(oldB, Seq("band", "key"))
+      .select(col("new_doc_id"), col("dup_of"))
+      .distinct()
+      .localCheckpoint()
+    val candIds = pairs.select(col("new_doc_id").as("doc_id"))
+      .union(pairs.select(col("dup_of").as("doc_id"))).distinct()
+    val g = sp.table("documents")
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr(shingleSql).as("sh"))
+    pairs
+      .join(g.select(col("doc_id").as("new_doc_id"), col("sh").as("sh_n")), Seq("new_doc_id"))
+      .join(g.select(col("doc_id").as("dup_of"), col("sh").as("sh_o")), Seq("dup_of"))
+      .select(col("new_doc_id"), col("dup_of"),
+        (size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_o")))).as("j"))
+      .filter(col("j") >= 0.8)
+      .select(col("new_doc_id"), col("dup_of"), round(col("j"), 4).as("jaccard"))
+      .orderBy(col("new_doc_id"), col("dup_of"))
+  }
+
+  /** Corpus-version diff: two corpus versions (v1 = all docs, v2 = docs
+    * surviving a re-crawl filter with some texts "revised") compared by
+    * full outer join on doc_id + content-hash equality — the dataset-
+    * versioning report (added/removed/changed/unchanged) that gates an
+    * incremental training-data release. One doc_id-keyed shuffle; text
+    * equality is compared through a hash, never by shipping both texts
+    * to one node. */
+  val q152CorpusDiff: QuerySpec = QuerySpec.sql(
+    "q152_corpus_diff",
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents
+      |            WHERE doc_id % 7 <> 0),
+      |v2 AS (SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 11 = 0 THEN concat(text, ' rev2')
+      |                  ELSE text END) AS h
+      |       FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM (
+      |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+      |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |         WHEN v2.doc_id IS NULL THEN 'removed'
+      |         WHEN v1.h <> v2.h THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id) t
+      |GROUP BY status
+      |ORDER BY status""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
-    q84EmbeddingCosine.benched, q79DedupClusters, q101CrossLang)
+    q84EmbeddingCosine.benched, q79DedupClusters, q101CrossLang,
+    q151IncrementalDedup, q152CorpusDiff)
 }
