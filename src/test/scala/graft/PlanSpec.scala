@@ -207,6 +207,79 @@ class PlanSpec extends EngineSuite {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
+    // the runtime analogue of HdfsPartitionPruner: partition values to
+    // scan are only known after the dim filter runs — Spark injects a
+    // dynamicpruning subquery into the fact scan's PartitionFilters
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_dpp_fact")
+    s.sql("DROP TABLE IF EXISTS graft_dpp_dim")
+    import org.apache.spark.sql.functions.{col, year}
+    s.table("orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").saveAsTable("graft_dpp_fact")
+    s.table("orders")
+      .select(year(col("o_orderdate")).as("d_year")).distinct()
+      .withColumn("tag", (col("d_year") % 2 === 0).cast("string"))
+      .write.saveAsTable("graft_dpp_dim")
+    try {
+      val df = s.sql(
+        """SELECT COUNT(*) FROM graft_dpp_fact f
+          |JOIN graft_dpp_dim d ON f.o_year = d.d_year
+          |WHERE d.tag = 'true'""".stripMargin)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"), "no DPP subquery in fact scan: " + p)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_dpp_fact")
+      s.sql("DROP TABLE IF EXISTS graft_dpp_dim")
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key (every document shares it) → one giant shuffle
+    // partition; with scaled-down thresholds AQE must mark the join
+    // skewed and split the partition — the local[32] stand-in for the
+    // 100 TB hot-key scenario (salting covers the planned path, q78)
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "200b")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions.{col, expr, lit}
+      // real (non-foldable) keys with one hot value holding ~80% of the
+      // rows, so its shuffle partition dwarfs the median and trips the
+      // scaled-down skew thresholds
+      val hotKey = expr("CASE WHEN doc_id % 10 < 8 THEN 0L ELSE doc_id % 10 END")
+      // skew splits are by upstream MAP ranges: a single-file scan is one
+      // mapper and cannot be split, so spread the scan over 8 mappers
+      val hot = s.table("documents").repartition(8, col("doc_id"))
+        .withColumn("k", hotKey)
+      val dim = s.table("documents").limit(200)
+        .select(hotKey.as("k"), col("doc_id").as("rhs_id"))
+      val joined = hot.join(dim, Seq("k")).groupBy(col("lang"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      joined.collect() // AQE decides skew handling at runtime
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE did not mark the skewed join: " + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("q145 (lateral top-k): decorrelated to WindowGroupLimit, no per-row subplan") {
     val p = plan("q145_sub_lateral_topk")
     assert(p.contains("WindowGroupLimit"), p)
