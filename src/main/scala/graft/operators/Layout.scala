@@ -128,6 +128,93 @@ object Layout {
       .orderBy("l_orderkey")
   }
 
+  /** Small-file compaction (the OPTIMIZE/bin-packing maintenance op): a
+    * fragmented ingest (64 tiny files — the hourly-streaming-sink
+    * pathology; at 100 TB this is millions of files and a dead name
+    * node) is rewritten into a few target-sized files with
+    * `repartitionByRange` on the primary access key, so post-compaction
+    * min/max file statistics stay selective for key-range scans. The
+    * query output is the content checksum — compaction must be
+    * byte-preserving, so the oracle is the same aggregate over the
+    * ORIGINAL table. File-count reduction + range-locality are pinned in
+    * BucketedJoinSpec. */
+  val q153Compaction: QuerySpec = QuerySpec(
+    "q153_layout_compaction",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    sp.table("documents").repartition(64)
+      .write.mode("overwrite").parquet(FragmentedDir)
+    sp.read.parquet(FragmentedDir)
+      .repartitionByRange(2, col("doc_id"))
+      .write.mode("overwrite").parquet(CompactedDir)
+    sp.read.parquet(CompactedDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(col("doc_id")).cast("bigint").as("id_checksum"))
+      .orderBy("lang")
+  }
+
+  /** Directories [[q153Compaction]] writes; the spec inspects them. */
+  val FragmentedDir = "/tmp/graft-compact/fragmented"
+  val CompactedDir = "/tmp/graft-compact/compacted"
+
+  /** Z-order (Morton) clustering: interleave the bits of two access
+    * dimensions and range-partition + sort the data by the interleaved
+    * value, so files are simultaneously clustered on BOTH columns — the
+    * data-skipping layout for two-dimensional scan predicates (each file
+    * covers a narrow user_id span AND a narrow time span, so min/max
+    * stats prune on either predicate). The interleave is pure integer
+    * bit math folded element-in-order, so the DuckDB oracle re-derives
+    * the exact z-values and bucket histogram. Per-file span narrowing is
+    * pinned in BucketedJoinSpec. */
+  val q154ZOrder: QuerySpec = {
+    // 16-bit × 16-bit Morton interleave of (user_id, hour-of-epoch)
+    def zSpark(u: String, h: String): String =
+      s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
+         |  acc + shiftleft(($u >> i) & 1L, 2 * i)
+         |      + shiftleft(($h >> i) & 1L, 2 * i + 1))""".stripMargin
+    def zDuck(u: String, h: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), range(16)),
+         |  (acc, i) -> acc + ((($u >> CAST(i AS INT)) & 1) << CAST(2*i AS INT))
+         |            + ((($h >> CAST(i AS INT)) & 1) << CAST(2*i + 1 AS INT)))""".stripMargin
+    QuerySpec(
+      "q154_layout_zorder",
+      s"""WITH z AS (
+         |  SELECT user_id,
+         |    ${zDuck("user_id", "(CAST(floor(epoch(ts)) AS BIGINT) // 3600) & 65535")} AS zval
+         |  FROM events)
+         |SELECT zval // 262144 AS z_bucket, COUNT(*) AS n_events,
+         |  CAST(MIN(user_id) AS BIGINT) AS min_user,
+         |  CAST(MAX(user_id) AS BIGINT) AS max_user
+         |FROM z
+         |GROUP BY z_bucket
+         |ORDER BY z_bucket""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val z = sp.table("events")
+        .withColumn("zval", expr(
+          zSpark("user_id", "((cast(ts as long) div 3600) & 65535)")))
+      z.repartitionByRange(4, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .write.mode("overwrite").parquet(ZOrderDir)
+      sp.read.parquet(ZOrderDir)
+        .groupBy(expr("zval div 262144").as("z_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("user_id")).cast("bigint").as("min_user"),
+          max(col("user_id")).cast("bigint").as("max_user"))
+        .orderBy("z_bucket")
+    }
+  }
+
+  /** Directory [[q154ZOrder]] writes; the spec inspects per-file spans. */
+  val ZOrderDir = "/tmp/graft-zorder/events"
+
   val all: Seq[QuerySpec] = Seq(
-    q129BucketedJoin, q136BucketedAgg, q139PartitionedBucketed)
+    q129BucketedJoin, q136BucketedAgg, q139PartitionedBucketed,
+    q153Compaction, q154ZOrder)
 }

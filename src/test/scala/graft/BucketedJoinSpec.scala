@@ -42,4 +42,40 @@ class BucketedJoinSpec extends EngineSuite {
     s.sql("DROP TABLE IF EXISTS b_orders")
     s.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  private def parquetFiles(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+
+  test("compaction collapses the fragmented ingest into a few files") {
+    operators.Layout.q153Compaction.run(spark, sfDir).collect()
+    val before = parquetFiles(operators.Layout.FragmentedDir).size
+    val after = parquetFiles(operators.Layout.CompactedDir).size
+    assert(before >= 32, s"fragmented ingest should be many files, got $before")
+    assert(after <= 4, s"compaction should bin-pack to a few files, got $after")
+  }
+
+  test("z-ordered files each cover a narrow time span") {
+    // at test SF user_id has only ~4 bits, so the z-value's high bits —
+    // the ones range-partitioning splits on — come from the hour
+    // dimension: the verifiable skipping property here is that every
+    // file covers a fraction of the time range (at production scale,
+    // with comparable bit-widths, the same holds for both dimensions)
+    operators.Layout.q154ZOrder.run(spark, sfDir).collect()
+    val s = spark
+    val files = parquetFiles(operators.Layout.ZOrderDir)
+    assert(files.size >= 2, s"z-order layout should write multiple files, got ${files.size}")
+    import org.apache.spark.sql.functions.{expr, max, min}
+    val spans = files.map { f =>
+      val r = s.read.parquet(f.getPath)
+        .select(expr("cast(ts as long) div 3600").as("h"))
+        .agg(min("h"), max("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val globalSpan = spans.map(_._2).max - spans.map(_._1).min
+    spans.foreach { case (lo, hi) =>
+      assert(hi - lo <= globalSpan / 2,
+        s"file hour-span [$lo,$hi] not narrowed vs global $globalSpan")
+    }
+  }
 }
