@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Opt-in optimizer rule: plan a pure timestamp *range* join as a
   * bucket-blocked EQUI join.
@@ -80,10 +80,10 @@ object RangeBucketJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _                        => None
   }
 
-  private def isTimestamp(e: Expression): Boolean = e.dataType match {
-    case TimestampType | TimestampNTZType => true
-    case _                                => false
-  }
+  // TimestampType only: cast-to-long (epoch seconds) is guaranteed
+  // resolvable; NTZ would need its own epoch extraction
+  private def isTimestamp(e: Expression): Boolean =
+    e.dataType == TimestampType
 
   private def bucket(point: Expression, width: Long): Expression =
     IntegralDivide(Cast(point, LongType), Literal(width))
