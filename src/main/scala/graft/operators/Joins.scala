@@ -318,8 +318,21 @@ object Joins {
         |ORDER BY w.window_id""".stripMargin
     QuerySpec("q148_join_auto_range", text) { (s, dir) =>
       val sp = QuerySpec.prepared(s, dir)
-      sp.conf.set(graft.plans.RangeBucketJoinRewrite.WidthKey, "900")
-      sp.sql(text)
+      // Scope the opt-in width to THIS query: the rewrite rule reads the
+      // conf at optimization time, so force optimizedPlan (a cached lazy
+      // val) while the conf is set, then restore — no session-wide leak
+      // into later pure-range joins.
+      val key = graft.plans.RangeBucketJoinRewrite.WidthKey
+      val prev = sp.conf.getOption(key)
+      sp.conf.set(key, "900")
+      try {
+        val df = sp.sql(text)
+        df.queryExecution.optimizedPlan
+        df
+      } finally prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None    => sp.conf.unset(key)
+      }
     }
   }
 

@@ -160,9 +160,15 @@ object Layout {
       .orderBy("lang")
   }
 
+  /** Per-JVM unique scratch root, so a correctness run racing a test run
+    * (or two concurrent harness runs) never stomp each other's files —
+    * stable within one JVM because the specs inspect these same vals. */
+  private val runTmp: String =
+    java.nio.file.Files.createTempDirectory("graft-layout-").toString
+
   /** Directories [[q153Compaction]] writes; the spec inspects them. */
-  val FragmentedDir = "/tmp/graft-compact/fragmented"
-  val CompactedDir = "/tmp/graft-compact/compacted"
+  val FragmentedDir = s"$runTmp/compact/fragmented"
+  val CompactedDir = s"$runTmp/compact/compacted"
 
   /** Z-order (Morton) clustering: interleave the bits of two access
     * dimensions and range-partition + sort the data by the interleaved
@@ -212,7 +218,7 @@ object Layout {
   }
 
   /** Directory [[q154ZOrder]] writes; the spec inspects per-file spans. */
-  val ZOrderDir = "/tmp/graft-zorder/events"
+  val ZOrderDir = s"$runTmp/zorder/events"
 
   val all: Seq[QuerySpec] = Seq(
     q129BucketedJoin, q136BucketedAgg, q139PartitionedBucketed,

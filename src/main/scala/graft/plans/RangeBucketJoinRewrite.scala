@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
 
 /** Opt-in optimizer rule: plan a pure timestamp *range* join as a
   * bucket-blocked EQUI join.
@@ -94,8 +94,10 @@ object RangeBucketJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case EqualTo(a, b) =>
         (a.references.subsetOf(j.left.outputSet) && b.references.subsetOf(j.right.outputSet)) ||
           (b.references.subsetOf(j.left.outputSet) && a.references.subsetOf(j.right.outputSet))
-      case EqualNullSafe(_, _) => true
-      case _                   => false
+      case EqualNullSafe(a, b) =>
+        (a.references.subsetOf(j.left.outputSet) && b.references.subsetOf(j.right.outputSet)) ||
+          (b.references.subsetOf(j.left.outputSet) && a.references.subsetOf(j.right.outputSet))
+      case _ => false
     }
     if (hasEqui) return None
 
@@ -126,9 +128,19 @@ object RangeBucketJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val pBucket = Alias(bucket(point, width), "__graft_pbucket")()
       val pointProj = Project(pointPlan.output :+ pBucket, pointPlan)
 
-      // Sequence is TimeZoneAwareExpression: resolved only with a zone id
-      val seq = Sequence(bucket(lo, width), bucket(hi, width), None,
-        Some(conf.sessionLocalTimeZone))
+      // Sequence is TimeZoneAwareExpression: resolved only with a zone id.
+      // A reversed/empty interval (lo > hi) must yield an EMPTY bucket set,
+      // not a descending enumeration (default step -1 walks DOWN, possibly
+      // materializing a huge array) and not an error (explicit step 1 makes
+      // Sequence throw on start > stop) — so guard with a conditional. Null
+      // bounds also land in the else branch: no buckets, row drops, same as
+      // the original join condition evaluating to null.
+      val bLo = bucket(lo, width)
+      val bHi = bucket(hi, width)
+      val seq = If(
+        LessThanOrEqual(bLo, bHi),
+        Sequence(bLo, bHi, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+        Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
       val bBucket = AttributeReference("__graft_bucket", LongType, nullable = true)()
       val boundsGen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
         qualifier = None, generatorOutput = Seq(bBucket), child = boundsPlan)

@@ -302,11 +302,13 @@ class PlanSpec extends EngineSuite {
   test("q148 (auto range join): optimizer rule turns the nested loop into a hash join") {
     val wk = graft.plans.RangeBucketJoinRewrite.WidthKey
     try {
-      // rule off: Spark has no better plan than a nested loop
+      // rule off: Spark has no better plan than a nested loop. q148's own
+      // builder now scopes the conf to itself (set → optimize → restore),
+      // so probe the un-rewritten plan by running the same shared SQL text
+      // directly with the conf unset.
       spark.conf.unset(wk)
-      val off = SparkEntry.queries("q148_join_auto_range")(spark, sfDir)
-      // the query's own run() re-sets the conf, so unset again to probe
-      spark.conf.unset(wk)
+      val text = SparkEntry.oracleSql("q148_join_auto_range")
+      val off = QuerySpec.prepared(spark, sfDir).sql(text)
       val offPlan = off.queryExecution.executedPlan.toString
       val offRows = off.collect().map(_.toSeq).toSeq
       assert(offPlan.contains("BroadcastNestedLoopJoin"), offPlan)
@@ -318,6 +320,27 @@ class PlanSpec extends EngineSuite {
         "rule did not rewrite the range join: " + onPlan)
       assert(on.collect().map(_.toSeq).toSeq == offRows,
         "bucket-blocked rewrite changed the result")
+    } finally spark.conf.unset(wk)
+  }
+
+  test("q148 rule: reversed interval (lo > hi) yields zero buckets, not a huge descending array") {
+    val wk = graft.plans.RangeBucketJoinRewrite.WidthKey
+    try {
+      spark.conf.set(wk, "900")
+      import org.apache.spark.sql.functions.{col, timestamp_seconds}
+      val sess = spark
+      import sess.implicits._
+      val pts = Seq(1000L, 5000L).toDF("v").select(timestamp_seconds(col("v")).as("ts"))
+      // one good window and one REVERSED window whose lo is ~12 days after
+      // hi — step -1 would enumerate ~1100 buckets downward; the guard must
+      // emit none and simply match nothing for that row
+      val wins = Seq((1L, 900L, 1100L), (2L, 1000000L, 0L)).toDF("wid", "lo_s", "hi_s")
+        .select(col("wid"), timestamp_seconds(col("lo_s")).as("lo"),
+          timestamp_seconds(col("hi_s")).as("hi"))
+      val joined = pts.join(wins, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(joined.select(col("wid")).as[Long].collect().toSeq == Seq(1L))
     } finally spark.conf.unset(wk)
   }
 
