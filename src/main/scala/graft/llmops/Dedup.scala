@@ -1,5 +1,6 @@
 package graft.llmops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.QuerySpec
 
@@ -13,14 +14,59 @@ import graft.QuerySpec
   *    is the band hash, and only bucket-colliding pairs are verified;
   *  - SimHash = per-row 64-bit signature + byte-pigeonhole bucket join
   *    (hamming ≤ 7 is guaranteed to collide on ≥ 1 of 8 bytes);
-  *  - n-gram Jaccard = exact verification, blocked by a partition key so
-  *    the pair space stays bounded per block;
-  *  - embedding near-dup = cosine within a blocking key (label/LSH bucket).
+  *  - n-gram Jaccard = exact verification over MinHash-band candidate
+  *    blocks (never all-pairs within a raw partition key);
+  *  - embedding near-dup = exact cosine over hyperplane-LSH candidate
+  *    blocks, with the semantic key (label) demoted to a secondary key.
+  *
+  * Every candidate-expansion stage goes through [[boundedPairs]], which
+  * triangle-salts oversized blocks so per-task memory and pair compute
+  * stay capped no matter how degenerate the key distribution is.
   *
   * All hash functions are seeded deterministic (xxhash64), so results are
   * identical on 1 or 10,000 partitions.
   */
 object Dedup {
+
+  /** Candidate-pair expansion from blocking keys with a HARD per-task
+    * bound, the skew armor for every verify stage here: a degenerate
+    * block (identical boilerplate, one dominant label) must not become
+    * one task holding k ids and computing k² pairs.
+    *
+    * Input: columns (`bkey`: any blocking key, `id`: bigint). Output:
+    * distinct (id_a < id_b) pairs of ids sharing a bkey — EXACTLY the
+    * pairs of the naive per-block expansion, independent of `cap`.
+    *
+    * Blocks over `cap` are triangle-salted: each id gets a deterministic
+    * salt g ∈ [0, s) with s = ceil(size/cap) and is replicated into the
+    * s sub-blocks (min(g,b), max(g,b)); a pair with salts (gᵢ, gⱼ) meets
+    * in exactly the sub-block (min, max), so recall is 100% while every
+    * collected array stays ≤ ~2·cap regardless of block size. Total pair
+    * work is unchanged (the candidate set itself is quadratic in a
+    * degenerate block — that is inherent) but it is now spread across s²
+    * bounded tasks instead of one unbounded one. Block sizes come from a
+    * map-side-combined groupBy + join (not a window, which would buffer
+    * the whole degenerate block in one partition; the join is AQE
+    * skew-splittable). */
+  def boundedPairs(keyed: DataFrame, cap: Int): DataFrame = {
+    val sizes = keyed.groupBy("bkey").agg(count(lit(1)).as("cnt"))
+    val salted = keyed.join(sizes, Seq("bkey"))
+      .withColumn("s", ceil(col("cnt").cast("double") / cap).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("id")), col("s")).cast("int"))
+    salted
+      .select(col("bkey"), col("id"), col("g"), explode(expr("sequence(0, s - 1)")).as("b"))
+      .select(col("bkey"), least(col("g"), col("b")).as("bi"),
+        greatest(col("g"), col("b")).as("bj"), col("id"), col("g"))
+      .groupBy(col("bkey"), col("bi"), col("bj"))
+      .agg(
+        sort_array(collect_list(when(col("g") === col("bi"), col("id")))).as("ls"),
+        sort_array(collect_list(when(col("g") === col("bj"), col("id")))).as("rs"))
+      .select(explode(expr(
+        "flatten(transform(ls, x -> transform(rs, y -> named_struct('a', least(x, y), 'b', greatest(x, y)))))")).as("p"))
+      .filter(col("p.a") < col("p.b"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+  }
 
   /** Exact deduplication on normalized text (lowercase + whitespace
     * collapse): the survivors-per-language report. One hash shuffle. */
@@ -175,55 +221,117 @@ object Dedup {
     }
   }
 
-  /** Exact character-3-gram Jaccard, blocked by `source` (the bounded
-    * verify stage of a dedup pipeline — per-block pair space only). */
-  val q83NgramJaccard: QuerySpec = QuerySpec.sql2(
-    "q83_dedup_ngram_jaccard",
-    """WITH g AS (
-      |  SELECT doc_id, source,
-      |    array_distinct(transform(sequence(0, length(text) - 3),
-      |      i -> substr(text, i + 1, 3))) AS gr
-      |  FROM documents)
-      |SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-      |  ROUND(CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE)
-      |        / size(array_union(a.gr, b.gr)), 4) AS jaccard3
-      |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE)
-      |      / size(array_union(a.gr, b.gr)) >= 0.6
-      |ORDER BY source, doc_id_a, doc_id_b""".stripMargin,
-    """WITH g AS (
-      |  SELECT doc_id, source,
-      |    list_distinct(list_transform(range(length(text) - 2),
-      |      i -> substr(text, i + 1, 3))) AS gr
-      |  FROM documents)
-      |SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-      |  ROUND(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
-      |        / len(list_distinct(a.gr || b.gr)), 4) AS jaccard3
-      |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
-      |      / len(list_distinct(a.gr || b.gr)) >= 0.6
-      |ORDER BY source, doc_id_a, doc_id_b""".stripMargin)
+  /** Exact character-3-gram Jaccard near-duplicate pairs within a
+    * `source` (threshold 0.6). The pair space is NOT all-pairs-per-
+    * source (a dominant crawl source would make that O(k²) over most of
+    * the corpus): candidates come from MinHash band buckets — 64 bands
+    * of width 1 over the fnv-hashed gram set, keyed (band, minhash,
+    * source) — expanded through [[boundedPairs]], then exact Jaccard
+    * verifies only the colliding pairs. A pair at J ≥ 0.6 shares a
+    * given minhash with prob ≥ 0.6, so it is missed by all 64 bands
+    * with prob ≤ 0.4⁶⁴ ≈ 1e-25: the exact all-pairs DuckDB oracle
+    * remains a safe differential check while the Spark plan stays
+    * O(docs × 64) with bounded per-task blocks at 100 TB. */
+  val q83NgramJaccard: QuerySpec = {
+    val grams = "array_distinct(transform(sequence(0, length(text) - 3), i -> substr(text, i + 1, 3)))"
+    QuerySpec(
+      "q83_dedup_ngram_jaccard",
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(length(text) - 2),
+        |      i -> substr(text, i + 1, 3))) AS gr
+        |  FROM documents)
+        |SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  ROUND(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+        |        / len(list_distinct(a.gr || b.gr)), 4) AS jaccard3
+        |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+        |      / len(list_distinct(a.gr || b.gr)) >= 0.6
+        |ORDER BY source, doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val keyed = sp.table("documents")
+        .filter(col("source").isNotNull)
+        .select(col("doc_id"), col("source"),
+          posexplode(expr(s"minhash64(transform($grams, g -> fnv_hash(g)))")).as(Seq("band", "key")))
+        .select(struct(col("band"), col("key"), col("source")).as("bkey"),
+          col("doc_id").as("id"))
+      val pairs = boundedPairs(keyed, cap = 256).localCheckpoint()
+      val candIds = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+      val g = sp.table("documents")
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), expr(grams).as("gr"))
+      pairs
+        .join(g.select(col("doc_id").as("id_a"), col("source"), col("gr").as("gr_a")), Seq("id_a"))
+        .join(g.select(col("doc_id").as("id_b"), col("gr").as("gr_b")), Seq("id_b"))
+        .select(col("source"), col("id_a"), col("id_b"),
+          (size(array_intersect(col("gr_a"), col("gr_b"))).cast("double") /
+            size(array_union(col("gr_a"), col("gr_b")))).as("j"))
+        .filter(col("j") >= 0.6)
+        .select(col("source"), col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+          round(col("j"), 4).as("jaccard3"))
+        .orderBy(col("source"), col("doc_id_a"), col("doc_id_b"))
+    }
+  }
 
-  /** Embedding cosine near-duplicates within a blocking key (label):
+  /** Embedding cosine near-duplicates within a `label` (threshold 0.4),
     * double-precision dot/norms evaluated element-in-order on both
-    * engines, so values agree bit-for-bit before rounding. */
-  val q84EmbeddingCosine: QuerySpec = QuerySpec.sql2(
+    * engines so values agree bit-for-bit before rounding.
+    *
+    * The pair space is NOT all-pairs-per-label (one dominant label makes
+    * that O(k²)): candidates come from random-hyperplane LSH — 32 bands
+    * of 2 sign bits each, hyperplane component (k, i) = ±1 from the
+    * parity of xxhash64(k*64 + i) — keyed (band, 2-bit key, label) and
+    * expanded through [[boundedPairs]]; exact cosine then verifies only
+    * colliding pairs. NOT fnv parity (the q86 seed recipe): FNV-1a's low
+    * bit is linear in its input bytes (lsb(h·odd prime) = lsb(h), so the
+    * parity is just XOR of the seed's byte lsbs), which makes fnv-parity
+    * hyperplanes over consecutive seeds collapse to ONE hyperplane up to
+    * global sign; xxhash64's avalanche finalizer gives independent sign
+    * bits. The oracle never replays the hyperplanes (it is exact
+    * all-pairs), so hash portability does not matter here — only
+    * determinism and independence do.
+    * A pair at cos ≥ 0.4 disagrees on one hyperplane bit with prob
+    * acos(0.4)/π ≈ 0.369, so it collides in a band with prob 0.631² ≈
+    * 0.398 and is missed by all 32 bands with prob 0.602³² ≈ 9e-8 — the
+    * exact all-pairs DuckDB oracle stays a safe differential check while
+    * the Spark plan is O(vecs × 32) with bounded blocks. */
+  val q84EmbeddingCosine: QuerySpec = QuerySpec(
     "q84_dedup_embedding_cosine",
-    """WITH e AS (
-      |  SELECT vec_id, label,
-      |    transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings)
-      |SELECT label, id_a, id_b, ROUND(cos, 6) AS cos FROM (
-      |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-      |    vec_cosine(a.v, b.v) AS cos
-      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) p
-      |WHERE cos >= 0.4
-      |ORDER BY label, id_a, id_b""".stripMargin,
     """SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
       |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-      |ORDER BY label, id_a, id_b""".stripMargin)
+      |ORDER BY label, id_a, id_b""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val bitsSql =
+      """transform(sequence(0, 63), k ->
+        |  CASE WHEN aggregate(
+        |    zip_with(v, sequence(0, size(v) - 1), (x, i) ->
+        |      CASE WHEN pmod(xxhash64(CAST(k * 64 + i AS BIGINT)), 2) = 0 THEN x ELSE -x END),
+        |    0D, (acc, p) -> acc + p) > 0 THEN 1L ELSE 0L END)""".stripMargin
+    val e = sp.table("embeddings")
+      .filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val keyed = e.withColumn("bits", expr(bitsSql))
+      .select(col("vec_id"), col("label"),
+        posexplode(expr("transform(sequence(0, 31), b -> bits[2*b] * 2 + bits[2*b+1])"))
+          .as(Seq("band", "key")))
+      .select(struct(col("band"), col("key"), col("label")).as("bkey"),
+        col("vec_id").as("id"))
+    val pairs = boundedPairs(keyed, cap = 256).localCheckpoint()
+    val candIds = pairs.select(col("id_a").as("vec_id"))
+      .union(pairs.select(col("id_b").as("vec_id"))).distinct()
+    val ev = e.join(broadcast(candIds), Seq("vec_id"), "left_semi")
+    pairs
+      .join(ev.select(col("vec_id").as("id_a"), col("label"), col("v").as("v_a")), Seq("id_a"))
+      .join(ev.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"), expr("vec_cosine(v_a, v_b)").as("c"))
+      .filter(col("c") >= 0.4)
+      .select(col("label"), col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
 
   /** Near-duplicate clusters: connected components over the verified
     * MinHash pairs by iterative min-label propagation (each round: every

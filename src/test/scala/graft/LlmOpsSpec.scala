@@ -29,6 +29,32 @@ class LlmOpsSpec extends EngineSuite {
     assert(got == exactPairs, s"LSH=${got.size} exact=${exactPairs.size}")
   }
 
+  test("boundedPairs: skewed block is salted — same pairs, capped per-task arrays") {
+    val sess = spark
+    import sess.implicits._
+    // one degenerate block of 200 ids (identical-boilerplate pathology),
+    // one normal block of 10, one singleton — cap far below the big block
+    val keyed = ((1L to 200L).map(("hot", _)) ++ (301L to 310L).map(("warm", _)) :+ (("cold", 999L)))
+      .toDF("bkey", "id")
+    val cap = 20
+    val got = llmops.Dedup.boundedPairs(keyed, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      ids <- Seq((1L to 200L), (301L to 310L)); a <- ids; b <- ids if a < b
+    } yield (a, b)).toSet
+    assert(got == want, s"salting changed the pair set: got=${got.size} want=${want.size}")
+    // the bound itself: no collected sub-block array may exceed ~2·cap
+    // (salt-hash imbalance slack), i.e. the degenerate block never lands
+    // in one task as 200 ids / 19900 pairs
+    val sizes = keyed.groupBy("bkey").agg(count(lit(1)).as("cnt"))
+    val maxArr = keyed.join(sizes, Seq("bkey"))
+      .withColumn("s", ceil(col("cnt").cast("double") / cap).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("id")), col("s")).cast("int"))
+      .groupBy("bkey", "g").agg(count(lit(1)).as("n"))
+      .agg(max("n")).as[Long].head()
+    assert(maxArr <= 2L * cap, s"a salted sub-block holds $maxArr ids (cap $cap)")
+  }
+
   test("simhash recall on true near-dups") {
     val sim = llmops.Dedup.q82SimHash.run(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
