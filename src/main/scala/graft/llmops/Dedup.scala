@@ -333,14 +333,41 @@ object Dedup {
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }
 
-  /** Near-duplicate clusters: connected components over the verified
-    * MinHash pairs by iterative min-label propagation (each round: every
-    * doc adopts the smallest cluster id among itself and its neighbors).
-    * Each round closes one hop, so 6 rounds converge components of
-    * diameter ≤ 6 — near-dup components at J ≥ 0.8 are clique-like
-    * (diameter 1-2); for adversarially long chains switch to pointer
-    * doubling. The loop is the standard scalable CC shape (one join +
-    * groupBy per round, labels checkpointed so lineage stays flat).
+  /** Connected components by min-label propagation iterated TO FIXPOINT:
+    * each round every node adopts the smallest label among itself and
+    * its neighbors; the loop stops when a round changes zero labels, so
+    * a path component of any diameter converges (a fixed round count
+    * silently under-merges anything longer — caught at test scale by
+    * the WITH RECURSIVE oracle, but not at 100 TB where there is no
+    * oracle). One join + groupBy per round plus an O(1)-result count
+    * action for the convergence probe; labels are localCheckpoint-ed so
+    * lineage stays flat. Rounds needed = component diameter + 1. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("src").as("doc_id"), col("src").as("cluster"))
+      .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("cluster")))
+      .groupBy("doc_id").agg(min("cluster").as("cluster"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster"))
+      val next = labels.unionAll(viaNeighbor)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
+        .filter(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters: [[connectedComponents]] over the verified
+    * MinHash pairs — near-dup components at J ≥ 0.8 are clique-like
+    * (diameter 1-2), so the fixpoint loop typically runs 2-3 rounds, but
+    * an adversarially long chain now converges instead of under-merging.
     * Output: every clustered doc with its canonical (min) id, so "keep
     * one per cluster" is a filter on doc_id = cluster_id. */
   val q79DedupClusters: QuerySpec = QuerySpec(
@@ -379,19 +406,7 @@ object Dedup {
     val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       .unionAll(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id"), col("src").as("cluster"))
-      .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("cluster")))
-      .groupBy("doc_id").agg(min("cluster").as("cluster"))
-      .localCheckpoint()
-    for (_ <- 1 to 6) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-        .select(col("src").as("doc_id"), col("cluster"))
-      labels = labels.unionAll(viaNeighbor)
-        .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
-    }
-    labels
+    connectedComponents(edges)
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .orderBy("cluster", "doc_id")
   }

@@ -103,6 +103,19 @@ class LlmOpsSpec extends EngineSuite {
     }
   }
 
+  test("connected components converge on a path graph of diameter > 6") {
+    val sess = spark
+    import sess.implicits._
+    // path 1-2-...-20 (diameter 19): a fixed 6-round propagation would
+    // leave the far end labeled > 1; the fixpoint loop must not
+    val path = (1L until 20L).map(i => (i, i + 1))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val labels = llmops.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (1L to 20L).toSet)
+    assert(labels.values.forall(_ == 1L), s"under-merged: $labels")
+  }
+
   test("dedup clusters: every pair shares a cluster; canonical is the min id") {
     val labels = llmops.Dedup.q79DedupClusters.run(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
