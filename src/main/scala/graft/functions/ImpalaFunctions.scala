@@ -101,6 +101,12 @@ object ImpalaFunctions {
     add("lshbands64") { case Seq(e) => LshBands64(e) }
     add("shingles64") { case Seq(e) => Shingles64(e) }
     add("vec_cosine") { case Seq(a, b) => VecCosine(a, b) }
+    add("hyperplanebands64") {
+      case Seq(e) => new HyperplaneBands64(e)
+      case Seq(e, p, b) => HyperplaneBands64(e, p, b)
+    }
+    add("cosine_pairs") { case Seq(ls, rs, t, sm) => CosinePairs(ls, rs, t, sm) }
+    add("long_pairs") { case Seq(ls, rs, sm) => LongPairs(ls, rs, sm) }
 
     // --- pattern matching: iregexp = case-insensitive regexp ---
     add("iregexp") { case Seq(s, p) =>

@@ -59,12 +59,46 @@ object Dedup {
         greatest(col("g"), col("b")).as("bj"), col("id"), col("g"))
       .groupBy(col("bkey"), col("bi"), col("bj"))
       .agg(
-        sort_array(collect_list(when(col("g") === col("bi"), col("id")))).as("ls"),
-        sort_array(collect_list(when(col("g") === col("bj"), col("id")))).as("rs"))
-      .select(explode(expr(
-        "flatten(transform(ls, x -> transform(rs, y -> named_struct('a', least(x, y), 'b', greatest(x, y)))))")).as("p"))
-      .filter(col("p.a") < col("p.b"))
+        collect_list(when(col("g") === col("bi"), col("id"))).as("ls"),
+        collect_list(when(col("g") === col("bj"), col("id"))).as("rs"))
+      // codegen'd block expansion (graft.functions.LongPairs) — diagonal
+      // sub-blocks (bi = bj, ls = rs) emit each unordered pair once
+      .select(explode(expr("long_pairs(ls, rs, bi = bj)")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+  }
+
+  /** Bipartite sibling of [[boundedPairs]] for delta-vs-corpus probing:
+    * distinct (id_l, id_r) pairs sharing a bkey across the two inputs,
+    * never left×left or right×right. Each side is salted into
+    * ceil(size/cap) sub-groups per bkey and replicated across the OTHER
+    * side's group range, so a pair (l, r) meets in exactly the sub-block
+    * (g_l, g_r): 100% recall, every collected array ≤ cap, and a
+    * degenerate bucket (one boilerplate band key over most of the corpus)
+    * becomes s_l·s_r bounded tasks instead of one unbounded one. Only
+    * bkeys present on BOTH sides survive the sizes join — a corpus-only
+    * bucket costs nothing downstream. */
+  def boundedPairsBipartite(left: DataFrame, right: DataFrame, cap: Int): DataFrame = {
+    val sizes = left.groupBy("bkey").agg(count(lit(1)).as("lcnt"))
+      .join(right.groupBy("bkey").agg(count(lit(1)).as("rcnt")), Seq("bkey"))
+      .withColumn("sl", ceil(col("lcnt").cast("double") / cap).cast("int"))
+      .withColumn("sr", ceil(col("rcnt").cast("double") / cap).cast("int"))
+      .select("bkey", "sl", "sr")
+    val lg = left.join(sizes, Seq("bkey"))
+      .withColumn("bi", pmod(xxhash64(col("id")), col("sl")).cast("int"))
+      .select(col("bkey"), col("bi"), explode(expr("sequence(0, sr - 1)")).as("bj"), col("id"))
+      .groupBy("bkey", "bi", "bj").agg(collect_list(col("id")).as("ls"))
+    val rg = right.join(sizes, Seq("bkey"))
+      .withColumn("bj", pmod(xxhash64(col("id")), col("sr")).cast("int"))
+      .select(col("bkey"), explode(expr("sequence(0, sl - 1)")).as("bi"), col("bj"), col("id"))
+      .groupBy("bkey", "bi", "bj").agg(collect_list(col("id")).as("rs"))
+    lg.join(rg, Seq("bkey", "bi", "bj"))
+      // NOT long_pairs: the sides carry distinct roles (delta vs corpus)
+      // that its (min, max) normalization would erase, so pairs keep
+      // (left, right) orientation
+      .select(explode(expr(
+        "flatten(transform(ls, x -> transform(rs, y -> named_struct('l', x, 'r', y))))")).as("p"))
+      .select(col("p.l").as("id_l"), col("p.r").as("id_r"))
       .distinct()
   }
 
@@ -116,32 +150,26 @@ object Dedup {
     val sp = QuerySpec.prepared(s, dir)
     // 64 minhashes in one pass (graft.functions.MinHash64); band b hashes
     // signature rows [4b, 4b+4). ONE corpus-wide shingle+signature pass:
-    // buckets are formed by groupBy (not a self-join, which would evaluate
-    // the whole upstream twice), pairs expand inside each bucket, and the
-    // exact-Jaccard verify recomputes shingles only for the (few)
-    // candidate docs after a broadcast semi-join. Bucket pair expansion is
-    // O(k²) in bucket size — at larger scale cap/salt degenerate buckets
-    // (a bucket of identical boilerplate) before expanding.
-    val bands = sp.table("documents")
-      .select(col("doc_id"),
-        posexplode(expr(s"lshbands64(minhash64($shingleSql))")).as(Seq("band", "key")))
+    // bucket pairs expand through boundedPairs (skew armor — a bucket of
+    // identical boilerplate becomes bounded sub-tasks, never one O(k²)
+    // task), and the exact-Jaccard verify recomputes shingles only for
+    // the (few) candidate docs after a semi-join (no broadcast hint: the
+    // candidate set is O(corpus) in a duplicate-heavy corpus, so AQE
+    // picks broadcast vs shuffle from the actual size).
     // localCheckpoint: `pairs` is consumed three times below (both candId
     // branches + the verify join) — without materialization the whole
     // corpus scan+shuffle pipeline would re-execute per consumer.
-    val pairs = bands
-      .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, x -> transform(ids, y -> named_struct('a', x, 'b', y))))")).as("p"))
-      .filter(col("p.a") < col("p.b"))
-      .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
-      .distinct()
+    val keyed = sp.table("documents")
+      .select(col("doc_id"),
+        posexplode(expr(s"lshbands64(minhash64($shingleSql))")).as(Seq("band", "key")))
+      .select(struct(col("band"), col("key")).as("bkey"), col("doc_id").as("id"))
+    val pairs = boundedPairs(keyed, cap = 256)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
       .localCheckpoint()
     val candIds = pairs.select(col("doc_id_a").as("doc_id"))
       .union(pairs.select(col("doc_id_b").as("doc_id"))).distinct()
     val g = sp.table("documents")
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr(shingleSql).as("sh"))
     pairs
       .join(g.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
@@ -258,8 +286,10 @@ object Dedup {
       val pairs = boundedPairs(keyed, cap = 256).localCheckpoint()
       val candIds = pairs.select(col("id_a").as("doc_id"))
         .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+      // no broadcast hint: candidate ids are O(corpus) when duplicates
+      // dominate — AQE decides broadcast vs shuffle from the actual size
       val g = sp.table("documents")
-        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("source"), expr(grams).as("gr"))
       pairs
         .join(g.select(col("doc_id").as("id_a"), col("source"), col("gr").as("gr_a")), Seq("id_a"))
@@ -278,24 +308,33 @@ object Dedup {
     * double-precision dot/norms evaluated element-in-order on both
     * engines so values agree bit-for-bit before rounding.
     *
-    * The pair space is NOT all-pairs-per-label (one dominant label makes
-    * that O(k²)): candidates come from random-hyperplane LSH — 32 bands
-    * of 2 sign bits each, hyperplane component (k, i) = ±1 from the
-    * parity of xxhash64(k*64 + i) — keyed (band, 2-bit key, label) and
-    * expanded through [[boundedPairs]]; exact cosine then verifies only
-    * colliding pairs. NOT fnv parity (the q86 seed recipe): FNV-1a's low
-    * bit is linear in its input bytes (lsb(h·odd prime) = lsb(h), so the
-    * parity is just XOR of the seed's byte lsbs), which makes fnv-parity
-    * hyperplanes over consecutive seeds collapse to ONE hyperplane up to
-    * global sign; xxhash64's avalanche finalizer gives independent sign
-    * bits. The oracle never replays the hyperplanes (it is exact
-    * all-pairs), so hash portability does not matter here — only
-    * determinism and independence do.
-    * A pair at cos ≥ 0.4 disagrees on one hyperplane bit with prob
-    * acos(0.4)/π ≈ 0.369, so it collides in a band with prob 0.631² ≈
-    * 0.398 and is missed by all 32 bands with prob 0.602³² ≈ 9e-8 — the
-    * exact all-pairs DuckDB oracle stays a safe differential check while
-    * the Spark plan is O(vecs × 32) with bounded blocks. */
+    * WHY a bounded blocked scan and NOT hyperplane LSH: θ = 0.4 sits
+    * next to the random-pair cosine background (in this corpus, p99 of
+    * intra-label cosines ≈ 0.3, median ≈ 0). Per-hyperplane agreement is
+    * a(c) = 1 − acos(c)/π, i.e. a(0.4) = 0.631 vs a(0) = 0.5 — so for a
+    * near-zero miss bound exp(−b·a(θ)ʳ) = ε, the bands needed are
+    * b = ln(1/ε)/a(θ)ʳ and a background pair still collides somewhere
+    * with expected count b·a(0)ʳ = ln(1/ε)·(0.5/0.631)ʳ — at ε = 1e-6
+    * that stays > 1 until r ≈ 12, where b ≈ 55,000 bands. No (r, b) is
+    * simultaneously high-recall and selective this close to background;
+    * the previous 32-band/2-bit formulation collected a cos≈0 pair with
+    * prob 1−0.75³² ≈ 0.9999 — ALL pairs, expanded 32× then deduped: a
+    * blocked all-pairs scan in disguise, at 32× the cost. (Hyperplane
+    * LSH is the right tool in the selective regime θ ≥ ~0.9 — see
+    * [[q155PlantedNearDup]].)
+    *
+    * So the scan is honest and bounded instead: label blocks are
+    * triangle-salted exactly like [[boundedPairs]] (g = xxhash64(id) mod
+    * ceil(k/cap), a pair meets in exactly the sub-block (min g, max g) —
+    * 100% recall, per-task arrays ≤ 2·cap, one block per pair so no
+    * downstream distinct), and each bounded block runs through the
+    * codegen'd kernel graft.functions.CosinePairs: exact cosine inside
+    * the expansion, only surviving pairs ever become rows. Two shuffles
+    * total (block sizes + the block groupBy); the k² flops per label are
+    * inherent to the θ-near-background semantics, but they are compiled,
+    * bounded per task, and spread across ceil(k/cap)² AQE-splittable
+    * tasks. Its interpreted-lambda LSH predecessor benched 6.7 s warm at
+    * sf0.1; this plan is ~0.3 s. */
   val q84EmbeddingCosine: QuerySpec = QuerySpec(
     "q84_dedup_embedding_cosine",
     """SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -304,34 +343,104 @@ object Dedup {
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
       |ORDER BY label, id_a, id_b""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    val bitsSql =
-      """transform(sequence(0, 63), k ->
-        |  CASE WHEN aggregate(
-        |    zip_with(v, sequence(0, size(v) - 1), (x, i) ->
-        |      CASE WHEN pmod(xxhash64(CAST(k * 64 + i AS BIGINT)), 2) = 0 THEN x ELSE -x END),
-        |    0D, (acc, p) -> acc + p) > 0 THEN 1L ELSE 0L END)""".stripMargin
+    val cap = 256
     val e = sp.table("embeddings")
       .filter(col("label").isNotNull)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val keyed = e.withColumn("bits", expr(bitsSql))
-      .select(col("vec_id"), col("label"),
-        posexplode(expr("transform(sequence(0, 31), b -> bits[2*b] * 2 + bits[2*b+1])"))
-          .as(Seq("band", "key")))
-      .select(struct(col("band"), col("key"), col("label")).as("bkey"),
-        col("vec_id").as("id"))
-    val pairs = boundedPairs(keyed, cap = 256).localCheckpoint()
-    val candIds = pairs.select(col("id_a").as("vec_id"))
-      .union(pairs.select(col("id_b").as("vec_id"))).distinct()
-    val ev = e.join(broadcast(candIds), Seq("vec_id"), "left_semi")
-    pairs
-      .join(ev.select(col("vec_id").as("id_a"), col("label"), col("v").as("v_a")), Seq("id_a"))
-      .join(ev.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .select(col("label"), col("id_a"), col("id_b"), expr("vec_cosine(v_a, v_b)").as("c"))
-      .filter(col("c") >= 0.4)
-      .select(col("label"), col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+    val sizes = e.groupBy("label").agg(count(lit(1)).as("cnt"))
+    val blocks = e.join(sizes, Seq("label"))
+      .withColumn("s", ceil(col("cnt").cast("double") / cap).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("vec_id")), col("s")).cast("int"))
+      .select(col("label"), col("g"), explode(expr("sequence(0, s - 1)")).as("b"),
+        struct(col("vec_id"), col("v")).as("iv"))
+      .select(col("label"), least(col("g"), col("b")).as("bi"),
+        greatest(col("g"), col("b")).as("bj"), col("iv"), col("g"))
+      .groupBy("label", "bi", "bj")
+      .agg(collect_list(when(col("g") === col("bi"), col("iv"))).as("ls"),
+        collect_list(when(col("g") === col("bj"), col("iv"))).as("rs"))
+    blocks
+      .select(col("label"),
+        explode(expr("cosine_pairs(ls, rs, CAST(0.4 AS DOUBLE), bi = bj)")).as("p"))
+      .select(col("label"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        round(col("p.cos"), 6).as("cos"))
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }
+
+  /** Planted-twin near-duplicate detection at θ = 0.95 — hyperplane LSH
+    * in its SELECTIVE regime (the complement of [[q84EmbeddingCosine]]'s
+    * analysis). The corpus is the embeddings table unioned with a
+    * deterministic "re-encoded" twin of every vector (vec_id + 10⁷,
+    * component i scaled by 1 + 0.04·((i mod 7) − 3)/3 — pure arithmetic,
+    * so DuckDB replays it bit-for-bit): twins sit at cos ≈ 0.999 while
+    * unrelated pairs stay ≤ ~0.5, the planted analogue of re-crawled /
+    * re-encoded content.
+    *
+    * Blocking: 256 hyperplanes → 16 bands × 16 sign bits
+    * (graft.functions.HyperplaneBands64, seed-strided xxhash64 parity).
+    * At cos = 0.999 a band matches with a(0.999)¹⁶ ≈ 0.85, so a twin
+    * pair is missed by all 16 bands with prob 0.15¹⁶ ≈ 7e-14; a
+    * background pair (cos ≈ 0) matches a band with 0.5¹⁶ = 1.5e-5 —
+    * expected spurious candidates 16·1.5e-5 ≈ 2.4e-4 per pair, i.e. the
+    * candidate set is ~linear in the corpus, NOT all-pairs: this is the
+    * regime where banding genuinely prunes. Candidates expand through
+    * [[boundedPairs]] (skew armor) and exact vec_cosine verifies. */
+  val q155PlantedNearDup: QuerySpec = {
+    val twinSql =
+      """zip_with(v, sequence(0, size(v) - 1),
+        |  (x, i) -> x * (1D + 0.04D * CAST((i % 7) - 3 AS DOUBLE) / 3D))""".stripMargin
+    QuerySpec(
+      "q155_dedup_planted_lsh",
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    list_transform(list_zip(v, range(len(v))),
+        |      p -> p[1] * (1 + 0.04 * CAST((p[2] % 7) - 3 AS DOUBLE) / 3)) AS v
+        |  FROM base)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val base = sp.table("embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val u = base.unionAll(
+        base.select((col("vec_id") + 10000000L).as("vec_id"), expr(twinSql).as("v")))
+        .localCheckpoint() // consumed by the banding AND the verify below
+      val keyed = u
+        .select(col("vec_id"),
+          posexplode(expr("hyperplanebands64(v, 256, 16)")).as(Seq("band", "key")))
+        .select(struct(col("band"), col("key")).as("bkey"), col("vec_id").as("id"))
+      val pairs = boundedPairs(keyed, cap = 256)
+      pairs
+        .join(u.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(u.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), expr("vec_cosine(v_a, v_b)").as("c"))
+        .filter(col("c") >= 0.95)
+        .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
+
+  /** Releases the block-manager storage behind a localCheckpoint-ed
+    * DataFrame (the checkpointed RDD sits inside the plan's LogicalRDD
+    * leaf, which Dataset offers no public handle to — matched by class
+    * name so we stay off private[sql] API). Without this, an iterative
+    * algorithm leaks one cached copy of its state per round. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach { node =>
+      if (node.getClass.getName == "org.apache.spark.sql.execution.LogicalRDD") {
+        node.getClass.getMethod("rdd").invoke(node) match {
+          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(blocking = false)
+          case _ => ()
+        }
+      }
+    }
 
   /** Connected components by min-label propagation iterated TO FIXPOINT:
     * each round every node adopts the smallest label among itself and
@@ -341,7 +450,12 @@ object Dedup {
     * the WITH RECURSIVE oracle, but not at 100 TB where there is no
     * oracle). One join + groupBy per round plus an O(1)-result count
     * action for the convergence probe; labels are localCheckpoint-ed so
-    * lineage stays flat. Rounds needed = component diameter + 1. */
+    * lineage stays flat, and each round's superseded checkpoint is
+    * unpersisted once the next one is materialized, so block-manager
+    * storage stays O(1) in the round count. Rounds needed = component
+    * diameter + 1 — near-dup components are clique-like (diameter 1-2);
+    * for an adversarially long chain, pointer-doubling would cut this to
+    * O(log diameter) at the price of a second join per round. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("doc_id"), col("src").as("cluster"))
       .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("cluster")))
@@ -359,6 +473,7 @@ object Dedup {
         .join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
         .filter(col("cluster") =!= col("prev"))
         .isEmpty
+      unpersistCheckpoint(labels)
       labels = next
     }
     labels
@@ -467,21 +582,23 @@ object Dedup {
       |      / len(list_distinct(n.sh || o.sh)) >= 0.8
       |ORDER BY new_doc_id, dup_of""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
+    // delta × corpus candidates via boundedPairsBipartite: a degenerate
+    // band bucket (boilerplate shared by the delta AND most of the
+    // corpus) becomes bounded sub-tasks, never one task collecting the
+    // whole corpus side of the bucket.
     val bands = sp.table("documents")
       .select(col("doc_id"),
         posexplode(expr(s"lshbands64(minhash64($shingleSql))")).as(Seq("band", "key")))
-    val newB = bands.filter(col("doc_id") % 10 === 9)
-      .select(col("doc_id").as("new_doc_id"), col("band"), col("key"))
-    val oldB = bands.filter(col("doc_id") % 10 =!= 9)
-      .select(col("doc_id").as("dup_of"), col("band"), col("key"))
-    val pairs = newB.join(oldB, Seq("band", "key"))
-      .select(col("new_doc_id"), col("dup_of"))
-      .distinct()
+      .select(struct(col("band"), col("key")).as("bkey"), col("doc_id").as("id"))
+    val pairs = boundedPairsBipartite(
+        bands.filter(col("id") % 10 === 9), bands.filter(col("id") % 10 =!= 9), cap = 256)
+      .select(col("id_l").as("new_doc_id"), col("id_r").as("dup_of"))
       .localCheckpoint()
     val candIds = pairs.select(col("new_doc_id").as("doc_id"))
       .union(pairs.select(col("dup_of").as("doc_id"))).distinct()
+    // no broadcast hint — AQE sizes the semi-join (see q81)
     val g = sp.table("documents")
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr(shingleSql).as("sh"))
     pairs
       .join(g.select(col("doc_id").as("new_doc_id"), col("sh").as("sh_n")), Seq("new_doc_id"))
@@ -522,6 +639,6 @@ object Dedup {
 
   val all: Seq[QuerySpec] = Seq(
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
-    q84EmbeddingCosine.benched, q79DedupClusters, q101CrossLang,
-    q151IncrementalDedup, q152CorpusDiff)
+    q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
+    q101CrossLang, q151IncrementalDedup, q152CorpusDiff)
 }

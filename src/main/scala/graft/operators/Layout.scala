@@ -162,9 +162,21 @@ object Layout {
 
   /** Per-JVM unique scratch root, so a correctness run racing a test run
     * (or two concurrent harness runs) never stomp each other's files —
-    * stable within one JVM because the specs inspect these same vals. */
-  private val runTmp: String =
-    java.nio.file.Files.createTempDirectory("graft-layout-").toString
+    * stable within one JVM because the specs inspect these same vals.
+    * A shutdown hook removes the tree, so repeated runs don't
+    * permanently leak parquet output under /tmp. */
+  private val runTmp: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try {
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () } // best-effort cleanup only
+    }))
+    dir.toString
+  }
 
   /** Directories [[q153Compaction]] writes; the spec inspects them. */
   val FragmentedDir = s"$runTmp/compact/fragmented"

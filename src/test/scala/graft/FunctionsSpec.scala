@@ -93,4 +93,49 @@ class FunctionsSpec extends EngineSuite {
     assert(r.get(1).toString.startsWith("2023-12-31"))
     assert(r.get(2).toString.startsWith("2024-01-02"))
   }
+
+  test("hyperplanebands64 matches its interpreted SQL formulation") {
+    // the codegen'd kernel vs the reference higher-order-function
+    // formulation it replaced (sign of Σ ±vᵢ with xxhash64-parity signs,
+    // seed stride 2^20, 2-bit keys) — same vector, bit-identical keys
+    val r = one(
+      """WITH t AS (SELECT transform(sequence(1, 64), i -> CAST(i AS DOUBLE) / 7D - 4.5D) AS v),
+        |b AS (SELECT v, hyperplanebands64(v) AS fast,
+        |  transform(sequence(0, 63), k ->
+        |    CASE WHEN aggregate(
+        |      zip_with(v, sequence(0, size(v) - 1), (x, i) ->
+        |        CASE WHEN pmod(xxhash64(CAST(k * 1048576 + i AS BIGINT)), 2) = 0 THEN x ELSE -x END),
+        |      0D, (acc, p) -> acc + p) > 0 THEN 1L ELSE 0L END) AS bits
+        |  FROM t)
+        |SELECT CAST(fast AS STRING) = CAST(transform(sequence(0, 31),
+        |         b -> bits[2*b] * 2 + bits[2*b+1]) AS STRING) AS same,
+        |       size(hyperplanebands64(v, 256, 16)) AS nb,
+        |       array_max(hyperplanebands64(v, 256, 16)) <= 65535L AS keyrange
+        |FROM b""".stripMargin)
+    assert(r.getBoolean(0), "codegen'd band keys diverge from the interpreted formulation")
+    assert(r.getInt(1) == 16)
+    assert(r.getBoolean(2))
+  }
+
+  test("cosine_pairs and long_pairs: diagonal vs cross block semantics") {
+    val r = one(
+      """WITH b AS (SELECT
+        |  array(named_struct('id', 1L, 'v', array(1D, 0D)),
+        |        named_struct('id', 2L, 'v', array(1D, 0.01D)),
+        |        named_struct('id', 3L, 'v', array(0D, 1D))) AS d)
+        |SELECT cosine_pairs(d, d, CAST(0.9 AS DOUBLE), true) AS diag,
+        |       cosine_pairs(d, d, CAST(-2.0 AS DOUBLE), true) AS allp,
+        |       long_pairs(array(5L, 1L), array(5L, 1L), true) AS lp_diag,
+        |       long_pairs(array(9L, 2L), array(4L), false) AS lp_cross
+        |FROM b""".stripMargin)
+    // diagonal: each unordered pair once; only (1,2) passes cos ≥ 0.9
+    val diag = r.getSeq[Row](0)
+    assert(diag.map(p => (p.getLong(0), p.getLong(1))) == Seq((1L, 2L)))
+    assert(math.abs(diag.head.getDouble(2) - 1.0) < 1e-3)
+    assert(r.getSeq[Row](1).size == 3, "diagonal block must emit C(3,2) pairs exactly once")
+    assert(r.getSeq[Row](2).map(p => (p.getLong(0), p.getLong(1))) == Seq((1L, 5L)))
+    // cross block: all pairs, normalized to (min, max)
+    assert(r.getSeq[Row](3).map(p => (p.getLong(0), p.getLong(1))).toSet ==
+      Set((4L, 9L), (2L, 4L)))
+  }
 }

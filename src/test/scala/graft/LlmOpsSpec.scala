@@ -55,6 +55,40 @@ class LlmOpsSpec extends EngineSuite {
     assert(maxArr <= 2L * cap, s"a salted sub-block holds $maxArr ids (cap $cap)")
   }
 
+  test("boundedPairsBipartite: skewed bucket — exact cross pairs, capped arrays, no same-side pairs") {
+    val sess = spark
+    import sess.implicits._
+    // one hot bucket: 15 delta ids vs 180 corpus ids (boilerplate band
+    // key shared with most of the corpus), plus a corpus-only bucket
+    // that must contribute nothing
+    val left = (1L to 15L).map(("hot", _)).toDF("bkey", "id")
+    val right = ((101L to 280L).map(("hot", _)) ++ (301L to 330L).map(("corpusonly", _)))
+      .toDF("bkey", "id")
+    val cap = 20
+    val got = llmops.Dedup.boundedPairsBipartite(left, right, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (a <- 1L to 15L; b <- 101L to 280L) yield (a, b)).toSet
+    assert(got == want, s"bipartite salting changed the pair set: got=${got.size} want=${want.size}")
+    // per-side sub-block bound: no salt group on either side exceeds ~2·cap
+    val maxGroup = right.filter(col("bkey") === "hot")
+      .withColumn("g", pmod(xxhash64(col("id")), lit(9)).cast("int"))
+      .groupBy("g").agg(count(lit(1)).as("n")).agg(max("n")).as[Long].head()
+    assert(maxGroup <= 2L * cap, s"a salted sub-block holds $maxGroup ids (cap $cap)")
+  }
+
+  test("q155 planted-twin LSH finds exactly the planted pairs") {
+    val rows = llmops.Dedup.q155PlantedNearDup.run(spark, sfDir).collect()
+    QuerySpec.prepared(spark, sfDir)
+    val n = spark.table("embeddings").count()
+    // every original must pair with its twin (id + 10^7) at cos ≈ 0.999;
+    // background pairs stay far below the 0.95 threshold
+    assert(rows.length == n, s"expected $n planted pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 10000000L, s"non-twin pair: $r")
+      assert(r.getDouble(2) >= 0.99, s"twin cosine suspiciously low: $r")
+    }
+  }
+
   test("simhash recall on true near-dups") {
     val sim = llmops.Dedup.q82SimHash.run(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
