@@ -101,9 +101,31 @@ object Aggregates {
       |FROM orders""".stripMargin)
 
   /** The sketch aggregates (ndv / appx_median / distinctpc / distinctpcsa
-    * / sample / histogram — BuiltinsDb.java:721-790). Approximate →
-    * rows-only driver check; exact values pinned in SketchSpec tests. */
-  val q34Sketches: QuerySpec = QuerySpec.noOracle("q34_agg_sketches") { (s, dir) =>
+    * / sample — BuiltinsDb.java:721-790). All seeded/deterministic
+    * (HLL max-merge, bitmap OR, bottom-k sample — verified invariant
+    * across 3/8/32-way parallelism), so the oracle pins the exact sf0.01
+    * outputs as literals: a golden differential that catches sketch
+    * drift, which a rows-only check would not. Edge/merge behavior is
+    * property-tested in SketchesSpec. */
+  val q34Sketches: QuerySpec = QuerySpec(
+    "q34_agg_sketches",
+    """SELECT segment, CAST(ndv_cust AS BIGINT) AS ndv_cust,
+      |  CAST(pc_nations AS BIGINT) AS pc_nations,
+      |  CAST(pcsa_cust AS BIGINT) AS pcsa_cust,
+      |  CAST(med_bal AS DOUBLE) AS med_bal, sample_nations
+      |FROM (VALUES
+      |  ('AUTOMOBILE', 304, 21, 353, 4754.0,
+      |   '1, 10, 11, 12, 13, 14, 16, 17, 18, 19, 2, 20, 21, 22, 24, 3, 4, 5, 6, 9'),
+      |  ('BUILDING',   295, 21, 310, 4277.78,
+      |   '1, 10, 11, 12, 13, 14, 16, 17, 18, 19, 2, 20, 21, 22, 24, 3, 4, 5, 6, 9'),
+      |  ('FURNITURE',  313, 21, 346, 4020.44,
+      |   '1, 10, 11, 12, 13, 14, 16, 17, 18, 19, 2, 20, 21, 22, 24, 3, 4, 5, 6, 9'),
+      |  ('HOUSEHOLD',  286, 21, 303, 4072.09,
+      |   '1, 10, 11, 12, 13, 14, 16, 17, 18, 19, 2, 20, 21, 22, 24, 3, 4, 5, 6, 9'),
+      |  ('MACHINERY',  295, 21, 342, 4388.07,
+      |   '1, 10, 11, 12, 13, 14, 16, 17, 18, 19, 2, 20, 21, 22, 24, 3, 4, 5, 6, 9'))
+      |  t(segment, ndv_cust, pc_nations, pcsa_cust, med_bal, sample_nations)
+      |ORDER BY segment""".stripMargin) { (s, dir) =>
     QuerySpec.prepared(s, dir).sql(
       """SELECT c_mktsegment AS segment,
         |       ndv(c_custkey) AS ndv_cust,

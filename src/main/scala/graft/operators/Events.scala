@@ -101,9 +101,33 @@ object Events {
     * into daily estimates — the 100 TB pattern for uniques (pre-aggregate
     * once, merge sketches at any rollup level, never re-scan raw events).
     * The query emits both the estimate and the exact count; EventsSpec
-    * pins the relative error. Rows-only driver check (sketch bytes are
-    * engine-specific). */
-  val q102HllRollup: QuerySpec = QuerySpec.noOracle("q102_events_hll_rollup") { (s, dir) =>
+    * pins the relative error. The estimates are deterministic (Spark's
+    * HLL registers merge by max — verified invariant across 3/8/32-way
+    * parallelism), so the oracle pins the exact sf0.01 values as
+    * literals: a golden differential that catches any drift in the
+    * sketch implementation, which a rows-only check would not. */
+  val q102HllRollup: QuerySpec = QuerySpec(
+    "q102_events_hll_rollup",
+    """SELECT day, CAST(est_uniques AS BIGINT) AS est_uniques,
+      |  CAST(n_hours AS BIGINT) AS n_hours
+      |FROM (VALUES
+      |  (DATE '2024-01-01', 134, 24), (DATE '2024-01-02', 138, 24),
+      |  (DATE '2024-01-03', 128, 24), (DATE '2024-01-04', 136, 24),
+      |  (DATE '2024-01-05', 132, 24), (DATE '2024-01-06', 129, 24),
+      |  (DATE '2024-01-07', 125, 24), (DATE '2024-01-08', 135, 24),
+      |  (DATE '2024-01-09', 136, 24), (DATE '2024-01-10', 133, 24),
+      |  (DATE '2024-01-11', 132, 24), (DATE '2024-01-12', 135, 24),
+      |  (DATE '2024-01-13', 141, 24), (DATE '2024-01-14', 131, 24),
+      |  (DATE '2024-01-15', 129, 24), (DATE '2024-01-16', 130, 24),
+      |  (DATE '2024-01-17', 135, 24), (DATE '2024-01-18', 138, 24),
+      |  (DATE '2024-01-19', 133, 24), (DATE '2024-01-20', 136, 24),
+      |  (DATE '2024-01-21', 134, 24), (DATE '2024-01-22', 131, 24),
+      |  (DATE '2024-01-23', 135, 24), (DATE '2024-01-24', 135, 24),
+      |  (DATE '2024-01-25', 137, 24), (DATE '2024-01-26', 131, 24),
+      |  (DATE '2024-01-27', 140, 24), (DATE '2024-01-28', 129, 24),
+      |  (DATE '2024-01-29', 135, 24), (DATE '2024-01-30', 133, 24))
+      |  t(day, est_uniques, n_hours)
+      |ORDER BY day""".stripMargin) { (s, dir) =>
     QuerySpec.prepared(s, dir).sql(
       """WITH hourly AS (
         |  SELECT DATE_TRUNC('day', ts) AS day, DATE_TRUNC('hour', ts) AS hour,

@@ -252,21 +252,69 @@ object Functions {
       |  TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_int
       |FROM events ORDER BY event_id""".stripMargin)
 
-  /** fnv_hash (custom codegen Expression) + typeof — engine-specific
-    * values, rows-only driver check; exact values pinned in FunctionsSpec. */
-  val q58HashTypeof: QuerySpec = QuerySpec.noOracle("q58_expr_fnv_hash") { (s, dir) =>
-    QuerySpec.prepared(s, dir).sql(
+  /** The float-bit hash surface — fnv_hash / murmur_hash over DOUBLE —
+    * plus typeof. Integer/string/decimal/bool images are oracled by
+    * [[q120FnvOracle]] / [[q128MurmurOracle]]; this query covers the one
+    * input class those cannot: IEEE-754 bit images. The DuckDB oracle
+    * reconstructs the double's bit pattern with EXACT arithmetic — the
+    * exponent from floor(log2(|v|)) with a one-step boundary adjustment
+    * (log2 is inexact at powers of two; comparing |v| against 2^e0 and
+    * 2^(e0+1) repairs it), then mantissa = (|v|/2^e − 1)·2^52, exact
+    * because |v|/2^e ∈ [1,2) makes the subtraction Sterbenz-exact and
+    * the scaling a power-of-two shift — and replays FNV-1a (q120 recipe)
+    * and MurmurHash2 64A (q128 recipe, single 8-byte block whose LE word
+    * IS the bit pattern) over those bytes in HUGEINT. typeof values are
+    * pinned as literals. Normals only — the corpus has no subnormals /
+    * zeros / NaNs (|c_acctbal| ∈ [0.01, 10⁴]). */
+  val q58HashTypeof: QuerySpec = {
+    val P64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val P63 = "CAST('9223372036854775808' AS HUGEINT)"
+    val M = "14313749767032793493" // murmur2 64A constant, unsigned
+    def mul(x: String): String =
+      s"((($x) % 4294967296) * $M + (((($x) // 4294967296) * $M) % 4294967296) * 4294967296) % $P64"
+    def sg(x: String): String =
+      s"CAST(CASE WHEN ($x) >= $P63 THEN ($x) - $P64 ELSE ($x) END AS BIGINT)"
+    def un(x: String): String =
+      s"CAST(CASE WHEN ($x) < 0 THEN CAST($x AS HUGEINT) + $P64 ELSE CAST($x AS HUGEINT) END AS HUGEINT)"
+    def xor64(a: String, b: String): String = un(s"xor(${sg(a)}, ${sg(b)})")
+    def shr47(x: String): String = s"(($x) // 140737488355328)"
+    QuerySpec.sql2(
+      "q58_expr_fnv_hash",
       """SELECT c_custkey,
-        |  fnv_hash(c_custkey) AS h_bigint,
-        |  fnv_hash(CAST(c_nationkey AS INT)) AS h_int,
-        |  fnv_hash(c_name) AS h_string,
         |  fnv_hash(c_acctbal) AS h_double,
-        |  fnv_hash(CAST(c_acctbal AS DECIMAL(12,2))) AS h_dec,
-        |  fnv_hash(c_acctbal > 0) AS h_bool,
-        |  murmur_hash(c_name) AS mh_string,
-        |  murmur_hash(c_custkey) AS mh_bigint,
-        |  typeof(c_acctbal) AS t_dbl
-        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin)
+        |  murmur_hash(c_acctbal) AS mh_double,
+        |  typeof(c_acctbal) AS t_dbl,
+        |  typeof(c_custkey) AS t_key,
+        |  typeof(c_name) AS t_str
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin,
+      s"""WITH t0 AS (
+         |  SELECT c_custkey, c_acctbal, abs(c_acctbal) AS a
+         |  FROM customer ORDER BY c_custkey LIMIT 100),
+         |t1 AS (SELECT *, CAST(floor(log2(a)) AS INT) AS e0 FROM t0),
+         |t2 AS (SELECT *, CASE WHEN a < power(2, e0) THEN e0 - 1
+         |                      WHEN a >= power(2, e0 + 1) THEN e0 + 1
+         |                      ELSE e0 END AS e FROM t1),
+         |t3 AS (SELECT *, CAST(round((a / power(2, e) - 1) * 4503599627370496, 0) AS HUGEINT) AS mant FROM t2),
+         |t4 AS (SELECT *,
+         |    CASE WHEN c_acctbal = 0 THEN CAST(0 AS HUGEINT)
+         |         ELSE CASE WHEN c_acctbal < 0 THEN $P63 ELSE CAST(0 AS HUGEINT) END
+         |              + CAST(e + 1023 AS HUGEINT) * CAST('4503599627370496' AS HUGEINT) + mant
+         |    END AS bits FROM t3),
+         |f1 AS (SELECT *,
+         |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         |      list_transform(range(8), i -> (bits // (CAST(1 AS HUGEINT) << CAST(8*i AS INT))) % 256)),
+         |      (h, x) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT))) * 1099511628211)
+         |                % $P64) AS hf FROM t4),
+         |m1 AS (SELECT *, ${mul("bits")} AS k1 FROM f1),
+         |m2 AS (SELECT *, ${mul(xor64("k1", shr47("k1")))} AS k3 FROM m1),
+         |m3 AS (SELECT *, ${mul(xor64(mul("CAST(8 AS HUGEINT)"), "k3"))} AS mh1 FROM m2),
+         |m4 AS (SELECT *, ${mul(xor64("mh1", shr47("mh1")))} AS mh2 FROM m3),
+         |m5 AS (SELECT *, ${xor64("mh2", shr47("mh2"))} AS mh3 FROM m4)
+         |SELECT c_custkey,
+         |  ${sg("hf")} AS h_double,
+         |  ${sg("mh3")} AS mh_double,
+         |  'double' AS t_dbl, 'bigint' AS t_key, 'string' AS t_str
+         |FROM m5 ORDER BY c_custkey""".stripMargin)
   }
 
   /** Cross-engine oracle for the custom fnv_hash codegen Expression
