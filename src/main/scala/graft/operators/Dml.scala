@@ -182,7 +182,66 @@ object Dml {
       .orderBy(col("fmt"))
   }
 
+  private def dropManaged(sp: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    sp.sql(s"DROP TABLE IF EXISTS $name")
+    // the session-scoped metastore forgets tables but their warehouse
+    // dirs survive — delete the location too or the next run fails with
+    // LOCATION_ALREADY_EXISTS
+    val wh = new java.net.URI(sp.conf.get("spark.sql.warehouse.dir"))
+    val dir = new java.io.File(
+      if (wh.getScheme == null) wh.getPath else new java.io.File(wh).getPath, name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(dir)
+  }
+
+  /** CHAR(n)/VARCHAR(n) semantics (catalog/ScalarType.java:252-370;
+    * grammar sql-parser.cup:8600-8718): CHAR is fixed-width — written
+    * values are space-padded to n, reads return the padded form
+    * (spark.sql.readSideCharPadding), and comparisons pad the shorter
+    * side (ApplyCharTypePadding), so `c = 'ab'` is TRUE against CHAR(5)
+    * 'ab   ' while the CAST-to-STRING comparison is FALSE; VARCHAR(n)
+    * stores verbatim (trailing spaces kept) and only enforces the
+    * length limit on write. DuckDB's CHAR(n) is a bare VARCHAR alias
+    * with neither padding nor enforcement, so the oracle emulates every
+    * rule explicitly with rpad over the same VALUES — the oracle text
+    * IS the semantics contract. Over-limit write rejection (both types)
+    * is spec-tested in CatalogSpec. */
+  val q156CharVarchar: QuerySpec = QuerySpec(
+    "q156_dml_char_varchar",
+    """WITH src AS (SELECT * FROM (VALUES
+      |    (1, 'ab', 'ab'), (2, 'abcde', 'abcde'), (3, 'x y', 'x y'),
+      |    (4, '', ''), (5, 'ab ', 'ab ')) t(id, cin, vin)),
+      |p AS (SELECT id, rpad(cin, 5, ' ') AS c, vin AS v FROM src)
+      |SELECT id, c AS c_read, length(c) AS c_len, v AS v_read,
+      |  length(v) AS v_len,
+      |  c = rpad('ab', 5, ' ') AS c_eq_short,
+      |  c = 'ab   ' AS c_eq_padded,
+      |  v = 'ab' AS v_eq_short,
+      |  c || '|' AS c_concat,
+      |  c = 'ab' AS cast_eq_short
+      |FROM p ORDER BY id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    dropManaged(sp, "g_chars")
+    sp.sql("CREATE TABLE g_chars (id INT, c CHAR(5), v VARCHAR(5)) USING parquet")
+    sp.sql(
+      """INSERT INTO g_chars VALUES
+        |  (1, 'ab', 'ab'), (2, 'abcde', 'abcde'), (3, 'x y', 'x y'),
+        |  (4, '', ''), (5, 'ab ', 'ab ')""".stripMargin)
+    sp.sql(
+      """SELECT id, c AS c_read, length(c) AS c_len, v AS v_read,
+        |  length(v) AS v_len,
+        |  c = 'ab' AS c_eq_short,
+        |  c = 'ab   ' AS c_eq_padded,
+        |  v = 'ab' AS v_eq_short,
+        |  concat(c, '|') AS c_concat,
+        |  CAST(c AS STRING) = 'ab' AS cast_eq_short
+        |FROM g_chars ORDER BY id""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q70Ctas, q71InsertPartitioned, q72UpdateMerge, q73Delete, q74Views,
-    q75Catalog, q77Formats)
+    q75Catalog, q77Formats, q156CharVarchar)
 }

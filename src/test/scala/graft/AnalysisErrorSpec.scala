@@ -43,4 +43,52 @@ class AnalysisErrorSpec extends EngineSuite {
     fails("SELECT n_name FROM nation WHERE ROW_NUMBER() OVER (ORDER BY n_name) = 1",
       "window")
   }
+
+  // --- type-keyword rejection family (catalog/Type.java:92-110:
+  // the reference rejects unsupported column types at parse/analysis).
+  // DATETIME is not a type in this engine either — rejected at parse.
+  // DATE and BINARY are a documented superset (first-class here), so no
+  // rejection is pinned for them; they get positive round-trips instead.
+  test("DATETIME is not a valid column type") {
+    fails("CREATE TABLE g_bad_dt (x DATETIME) USING parquet", "DATETIME")
+  }
+
+  test("DATE and BINARY are a supported superset of the reference's rejection list") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = spark.sql(
+      """SELECT CAST('2024-05-05' AS DATE) AS d, CAST('ab' AS BINARY) AS b,
+        |       length(CAST('ab' AS BINARY)) AS blen""".stripMargin).collect().head
+    assert(r.get(0).toString == "2024-05-05" && r.getInt(2) == 2)
+  }
+
+  // --- RANGE-frame restriction family (analysis/AnalyticWindow.java:
+  // 363-390: RANGE with an offset boundary requires exactly one
+  // numeric ORDER BY expression)
+  test("RANGE offset frame with multiple ORDER BY expressions") {
+    fails(
+      """SELECT SUM(n_nationkey) OVER (ORDER BY n_regionkey, n_name
+        |RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation""".stripMargin,
+      "RANGE")
+  }
+
+  test("RANGE offset frame over a non-numeric ORDER BY key") {
+    fails(
+      """SELECT SUM(n_nationkey) OVER (ORDER BY n_name
+        |RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation""".stripMargin,
+      "RANGE")
+  }
+
+  // --- single-distinct-group rule (analysis/SelectStmt.java,
+  // analyzeAggregation: the reference requires all DISTINCT aggregates
+  // to share one expression list). This engine is a documented superset
+  // — multiple DISTINCT groups plan through Expand — so the pin is the
+  // correct ANSWER, not a rejection.
+  test("multiple DISTINCT aggregate groups are a supported superset") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = spark.sql(
+      """SELECT COUNT(DISTINCT n_regionkey) AS a, COUNT(DISTINCT n_name) AS b,
+        |       SUM(DISTINCT n_regionkey) AS c FROM nation""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 25 && r.getLong(2) == 10)
+  }
 }

@@ -53,6 +53,32 @@ class CatalogSpec extends EngineSuite {
     s.sql("DROP TABLE IF EXISTS graft_trunc_t")
   }
 
+  test("CHAR/VARCHAR enforce their length limit on write; CHAR pads, VARCHAR keeps spaces") {
+    // catalog/ScalarType.java:252-370 — fixed/var-length char semantics.
+    // Value-level behavior is oracle-checked end-to-end by q156; this
+    // pins the write-side rejection, which no oracle row can express.
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_char_t")
+    s.sql("CREATE TABLE graft_char_t (c CHAR(3), v VARCHAR(3)) USING parquet")
+    try {
+      val ce = intercept[Exception](
+        s.sql("INSERT INTO graft_char_t VALUES ('abcd', 'ab')").collect())
+      assert(ce.getMessage.contains("EXCEED_LIMIT_LENGTH") ||
+        ce.getMessage.toLowerCase.contains("length"), ce.getMessage.take(200))
+      val ve = intercept[Exception](
+        s.sql("INSERT INTO graft_char_t VALUES ('ab', 'abcd')").collect())
+      assert(ve.getMessage.contains("EXCEED_LIMIT_LENGTH") ||
+        ve.getMessage.toLowerCase.contains("length"), ve.getMessage.take(200))
+      // exactly-at-limit and under-limit both write; CHAR reads padded
+      s.sql("INSERT INTO graft_char_t VALUES ('abc', 'abc'), ('a', 'a ')")
+      val rows = s.sql(
+        "SELECT c, v, length(c) AS lc, length(v) AS lv FROM graft_char_t ORDER BY c")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      assert(rows.toSeq == Seq(("a  ", "a ", 3, 2), ("abc", "abc", 3, 3)))
+    } finally s.sql("DROP TABLE IF EXISTS graft_char_t")
+  }
+
   test("CREATE TABLE LIKE PARQUET: schema inferred from a data file") {
     // CreateTableLikeFileStmt.java:1-372 — the reference infers a table
     // schema from a Parquet footer. Spark analogue: read the footer, use

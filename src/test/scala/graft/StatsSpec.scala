@@ -26,6 +26,35 @@ class StatsSpec extends EngineSuite {
     s.sql("DROP TABLE IF EXISTS graft_stats_nation")
   }
 
+  test("COMPUTE INCREMENTAL STATS analogue: per-partition ANALYZE lands partition row counts") {
+    // ComputeStatsStmt.java:79-83 — incremental stats run the stats child
+    // query only for (new) partitions instead of rescanning the table.
+    // Spark analogue: ANALYZE TABLE ... PARTITION (p=...) — per-partition
+    // row counts land in the catalog, and a later unqualified PARTITION(p)
+    // pass fills the remaining partitions without disturbing the first.
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_stats_part")
+    s.table("region").select(col("r_regionkey"), col("r_name"))
+      .withColumn("p", (col("r_regionkey") % 2).cast("int"))
+      .write.mode("overwrite").partitionBy("p").saveAsTable("graft_stats_part")
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    def rowCounts: Map[String, Option[BigInt]] =
+      s.sessionState.catalog.listPartitions(TableIdentifier("graft_stats_part"))
+        .map(pt => pt.spec("p") -> pt.stats.flatMap(_.rowCount)).toMap
+    // increment 1: only the fresh partition is analyzed
+    s.sql("ANALYZE TABLE graft_stats_part PARTITION (p=0) COMPUTE STATISTICS")
+    val first = rowCounts
+    assert(first("0").contains(BigInt(3)), s"p=0 stats missing: $first")
+    assert(first("1").isEmpty, s"p=1 must not be analyzed yet: $first")
+    // increment 2: the unqualified partition spec sweeps the rest
+    s.sql("ANALYZE TABLE graft_stats_part PARTITION (p) COMPUTE STATISTICS")
+    val second = rowCounts
+    assert(second("0").contains(BigInt(3)) && second("1").contains(BigInt(2)),
+      s"incremental sweep incomplete: $second")
+    s.sql("DROP TABLE IF EXISTS graft_stats_part")
+  }
+
   test("murmur_hash and fnv_hash are deterministic and distinct per layout") {
     val s = spark
     graft.engine.GraftSession.attach(s)

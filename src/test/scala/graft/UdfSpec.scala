@@ -23,7 +23,53 @@ object UdfSpec {
   }
 }
 
+/** Hive-convention UDF classes for the CREATE FUNCTION ... AS 'class'
+  * bridge (instantiated by UdfDdl via Class.forName + reflection). */
+class TestHiveUdf {
+  def evaluate(s: String): String = if (s == null) null else s.reverse
+  def evaluate(x: java.lang.Long, y: java.lang.Long): java.lang.Long = x + y
+}
+class TestHiveUdfSingle {
+  def evaluate(x: java.lang.Double): java.lang.Double = x * 2.0
+}
+
 class UdfSpec extends EngineSuite {
+
+  test("CREATE FUNCTION ... AS 'class': typed form binds the matching evaluate()") {
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    functions.UdfDdl(s, "CREATE FUNCTION g_rev(STRING) RETURNS STRING AS 'graft.TestHiveUdf'")
+    functions.UdfDdl(s, "CREATE FUNCTION g_add(BIGINT, BIGINT) RETURNS BIGINT AS 'graft.TestHiveUdf'")
+    val r = s.sql(
+      """SELECT g_rev(n_name) AS rev, g_add(n_nationkey, 100) AS a,
+        |       g_rev(CAST(NULL AS STRING)) AS nul
+        |FROM nation WHERE n_nationkey = 3""".stripMargin).collect().head
+    assert(r.getString(0) == s.sql(
+      "SELECT n_name FROM nation WHERE n_nationkey = 3").collect().head.getString(0).reverse)
+    assert(r.getLong(1) == 103L)
+    assert(r.isNullAt(2), "null-in must be null-out without invoking evaluate()")
+  }
+
+  test("CREATE FUNCTION bare form: single overload resolves, ambiguous rejects") {
+    val s = spark
+    functions.UdfDdl(s, "CREATE FUNCTION g_dbl AS 'graft.TestHiveUdfSingle'")
+    val r = s.sql("SELECT g_dbl(CAST(21 AS DOUBLE)) AS d").collect().head
+    assert(r.getDouble(0) == 42.0)
+    val e = intercept[IllegalArgumentException](
+      functions.UdfDdl(s, "CREATE FUNCTION g_amb AS 'graft.TestHiveUdf'"))
+    assert(e.getMessage.contains("overloads"))
+    val m = intercept[IllegalArgumentException](
+      functions.UdfDdl(s, "CREATE FUNCTION g_no(INT) RETURNS INT AS 'graft.TestHiveUdf'"))
+    assert(m.getMessage.contains("no evaluate"))
+  }
+
+  test("DROP FUNCTION unregisters the bridged UDF") {
+    val s = spark
+    functions.UdfDdl(s, "CREATE FUNCTION g_tmp(DOUBLE) RETURNS DOUBLE AS 'graft.TestHiveUdfSingle'")
+    assert(s.sql("SELECT g_tmp(1.5D) AS d").collect().head.getDouble(0) == 3.0)
+    functions.UdfDdl(s, "DROP FUNCTION g_tmp")
+    intercept[Exception](s.sql("SELECT g_tmp(1.5D)").collect())
+  }
 
   test("spark.sql.extensions=GraftExtensions installs the function surface") {
     // A session built ONLY with the extensions hook — no attach() call —
