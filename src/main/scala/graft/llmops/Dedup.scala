@@ -49,21 +49,39 @@ object Dedup {
     * the whole degenerate block in one partition; the join is AQE
     * skew-splittable). */
   def boundedPairs(keyed: DataFrame, cap: Int): DataFrame = {
-    val sizes = keyed.groupBy("bkey").agg(count(lit(1)).as("cnt"))
-    val salted = keyed.join(sizes, Seq("bkey"))
-      .withColumn("s", ceil(col("cnt").cast("double") / cap).cast("int"))
-      .withColumn("g", pmod(xxhash64(col("id")), col("s")).cast("int"))
-    salted
-      .select(col("bkey"), col("id"), col("g"), explode(expr("sequence(0, s - 1)")).as("b"))
-      .select(col("bkey"), least(col("g"), col("b")).as("bi"),
-        greatest(col("g"), col("b")).as("bj"), col("id"), col("g"))
-      .groupBy(col("bkey"), col("bi"), col("bj"))
-      .agg(
-        collect_list(when(col("g") === col("bi"), col("id"))).as("ls"),
-        collect_list(when(col("g") === col("bj"), col("id"))).as("rs"))
-      // codegen'd block expansion (graft.functions.LongPairs) — diagonal
-      // sub-blocks (bi = bj, ls = rs) emit each unordered pair once
-      .select(explode(expr("long_pairs(ls, rs, bi = bj)")).as("p"))
+    // materialize the blocking keys once: they are consumed twice (block
+    // sizes + the expansion), and the upstream is typically the corpus
+    // scan + signature pipeline — without this the whole shingle/minhash
+    // pass would execute twice
+    val k = keyed.localCheckpoint()
+    val sizes = k.groupBy("bkey").agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // probe-and-branch: one O(1)-result action on the (already needed)
+    // size aggregate. The common case — no block over cap — skips the
+    // salt join and the replication explode entirely; the pair set is
+    // IDENTICAL either way (spec-pinned), only the task bound changes.
+    val maxCnt = sizes.agg(coalesce(max("cnt"), lit(0L))).head().getLong(0)
+    val blocks =
+      if (maxCnt <= cap) {
+        k.groupBy(col("bkey"))
+          .agg(collect_list(col("id")).as("ls"))
+          .select(col("ls"), col("ls").as("rs"), lit(true).as("same"))
+      } else {
+        k.join(sizes, Seq("bkey"))
+          .withColumn("s", ceil(col("cnt").cast("double") / cap).cast("int"))
+          .withColumn("g", pmod(xxhash64(col("id")), col("s")).cast("int"))
+          .select(col("bkey"), col("id"), col("g"), explode(expr("sequence(0, s - 1)")).as("b"))
+          .select(col("bkey"), least(col("g"), col("b")).as("bi"),
+            greatest(col("g"), col("b")).as("bj"), col("id"), col("g"))
+          .groupBy(col("bkey"), col("bi"), col("bj"))
+          .agg(
+            collect_list(when(col("g") === col("bi"), col("id"))).as("ls"),
+            collect_list(when(col("g") === col("bj"), col("id"))).as("rs"))
+          .select(col("ls"), col("rs"), (col("bi") === col("bj")).as("same"))
+      }
+    // codegen'd block expansion (graft.functions.LongPairs) — diagonal
+    // sub-blocks (same, ls = rs) emit each unordered pair once
+    blocks
+      .select(explode(expr("long_pairs(ls, rs, same)")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
@@ -78,21 +96,37 @@ object Dedup {
     * becomes s_l·s_r bounded tasks instead of one unbounded one. Only
     * bkeys present on BOTH sides survive the sizes join — a corpus-only
     * bucket costs nothing downstream. */
-  def boundedPairsBipartite(left: DataFrame, right: DataFrame, cap: Int): DataFrame = {
+  def boundedPairsBipartite(leftKeyed: DataFrame, rightKeyed: DataFrame, cap: Int): DataFrame = {
+    // both sides are consumed twice (sizes + expansion) — see boundedPairs
+    val left = leftKeyed.localCheckpoint()
+    val right = rightKeyed.localCheckpoint()
     val sizes = left.groupBy("bkey").agg(count(lit(1)).as("lcnt"))
       .join(right.groupBy("bkey").agg(count(lit(1)).as("rcnt")), Seq("bkey"))
-      .withColumn("sl", ceil(col("lcnt").cast("double") / cap).cast("int"))
-      .withColumn("sr", ceil(col("rcnt").cast("double") / cap).cast("int"))
-      .select("bkey", "sl", "sr")
-    val lg = left.join(sizes, Seq("bkey"))
-      .withColumn("bi", pmod(xxhash64(col("id")), col("sl")).cast("int"))
-      .select(col("bkey"), col("bi"), explode(expr("sequence(0, sr - 1)")).as("bj"), col("id"))
-      .groupBy("bkey", "bi", "bj").agg(collect_list(col("id")).as("ls"))
-    val rg = right.join(sizes, Seq("bkey"))
-      .withColumn("bj", pmod(xxhash64(col("id")), col("sr")).cast("int"))
-      .select(col("bkey"), explode(expr("sequence(0, sl - 1)")).as("bi"), col("bj"), col("id"))
-      .groupBy("bkey", "bi", "bj").agg(collect_list(col("id")).as("rs"))
-    lg.join(rg, Seq("bkey", "bi", "bj"))
+      .localCheckpoint()
+    // probe-and-branch as in boundedPairs: identical pairs, bounded tasks
+    // only when some bucket actually needs them
+    val maxCnt = sizes.agg(coalesce(greatest(max("lcnt"), max("rcnt")), lit(0L)))
+      .head().getLong(0)
+    val blocks =
+      if (maxCnt <= cap) {
+        left.groupBy("bkey").agg(collect_list(col("id")).as("ls"))
+          .join(right.groupBy("bkey").agg(collect_list(col("id")).as("rs")), Seq("bkey"))
+      } else {
+        val sized = sizes
+          .withColumn("sl", ceil(col("lcnt").cast("double") / cap).cast("int"))
+          .withColumn("sr", ceil(col("rcnt").cast("double") / cap).cast("int"))
+          .select("bkey", "sl", "sr")
+        val lg = left.join(sized, Seq("bkey"))
+          .withColumn("bi", pmod(xxhash64(col("id")), col("sl")).cast("int"))
+          .select(col("bkey"), col("bi"), explode(expr("sequence(0, sr - 1)")).as("bj"), col("id"))
+          .groupBy("bkey", "bi", "bj").agg(collect_list(col("id")).as("ls"))
+        val rg = right.join(sized, Seq("bkey"))
+          .withColumn("bj", pmod(xxhash64(col("id")), col("sr")).cast("int"))
+          .select(col("bkey"), explode(expr("sequence(0, sl - 1)")).as("bi"), col("bj"), col("id"))
+          .groupBy("bkey", "bi", "bj").agg(collect_list(col("id")).as("rs"))
+        lg.join(rg, Seq("bkey", "bi", "bj"))
+      }
+    blocks
       // NOT long_pairs: the sides carry distinct roles (delta vs corpus)
       // that its (min, max) normalization would erase, so pairs keep
       // (left, right) orientation
@@ -590,6 +624,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(expr(s"lshbands64(minhash64($shingleSql))")).as(Seq("band", "key")))
       .select(struct(col("band"), col("key")).as("bkey"), col("doc_id").as("id"))
+      .localCheckpoint() // sliced into BOTH bipartite sides below — one signature pass
     val pairs = boundedPairsBipartite(
         bands.filter(col("id") % 10 === 9), bands.filter(col("id") % 10 =!= 9), cap = 256)
       .select(col("id_l").as("new_doc_id"), col("id_r").as("dup_of"))
