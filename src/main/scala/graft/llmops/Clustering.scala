@@ -24,7 +24,7 @@ object Clustering {
 
   private def vecs(sp: SparkSession): DataFrame =
     sp.table("embeddings").select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
 
   /** One assignment pass: nearest centroid per vector (ties → lowest id). */
   private def assign(e: DataFrame, cents: DataFrame): DataFrame =

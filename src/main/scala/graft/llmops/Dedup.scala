@@ -381,7 +381,7 @@ object Dedup {
     val e = sp.table("embeddings")
       .filter(col("label").isNotNull)
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
     val sizes = e.groupBy("label").agg(count(lit(1)).as("cnt"))
     val blocks = e.join(sizes, Seq("label"))
       .withColumn("s", ceil(col("cnt").cast("double") / cap).cast("int"))
@@ -442,7 +442,7 @@ object Dedup {
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val sp = QuerySpec.prepared(s, dir)
       val base = sp.table("embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
       val u = base.unionAll(
         base.select((col("vec_id") + 10000000L).as("vec_id"), expr(twinSql).as("v")))
         .localCheckpoint() // consumed by the banding AND the verify below

@@ -30,7 +30,7 @@ object Similarity {
 
   private def vecs(sp: org.apache.spark.sql.SparkSession): DataFrame =
     sp.table("embeddings").select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
 
   /** Brute-force cosine top-10 for query vectors (vec_id < 5). */
   val q85BruteTopK: QuerySpec = QuerySpec(

@@ -241,7 +241,27 @@ object Dml {
         |FROM g_chars ORDER BY id""".stripMargin)
   }
 
+  /** CREATE FUNCTION ... AS 'class' exercised end-to-end through the
+    * correctness gate: the Java-UDF DDL bridge (graft.functions.UdfDdl;
+    * hive/executor/UdfExecutor.java:61-290) resolves the evaluate()
+    * symbol by reflection and the bridged function runs inside a real
+    * query over the documents table. The oracle re-expresses the UDF's
+    * semantics (trim + lowercase + whitespace collapse) in portable SQL,
+    * so the reflective invocation path itself is value-checked. */
+  val q157UdfBridge: QuerySpec = QuerySpec(
+    "q157_dml_create_function",
+    """SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
+      |  length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n
+      |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    graft.functions.UdfDdl(sp,
+      "CREATE FUNCTION g_norm_ws(STRING) RETURNS STRING AS 'graft.functions.NormalizeWs'")
+    sp.sql(
+      """SELECT doc_id, g_norm_ws(text) AS norm_text, length(g_norm_ws(text)) AS n
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q70Ctas, q71InsertPartitioned, q72UpdateMerge, q73Delete, q74Views,
-    q75Catalog, q77Formats, q156CharVarchar)
+    q75Catalog, q77Formats, q156CharVarchar, q157UdfBridge)
 }

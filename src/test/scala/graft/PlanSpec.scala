@@ -286,6 +286,40 @@ class PlanSpec extends EngineSuite {
     assert(!p.contains("CartesianProduct"), "lateral fell back to a cartesian product")
   }
 
+  test("q84 (embedding near-dup): fused blocked scan — kernel expansion, no pair join, no distinct") {
+    // the pair space must never plan as a self-join or cartesian; pairs
+    // are emitted (already cosine-filtered) by the codegen'd cosine_pairs
+    // kernel inside one Generate, and the one-block-per-pair salting
+    // means no downstream distinct aggregation over the pair stream
+    val p = plan("q84_dedup_embedding_cosine")
+    assert(p.contains("cosine_pairs"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "q84 pair space planned as a join: " + p)
+  }
+
+  test("q155 (planted near-dup): verify joins on bucket pairs, no all-pairs fallback") {
+    // the banding/expansion stages run behind localCheckpoint barriers,
+    // so the final plan shows only the verify: it must be hash joins on
+    // the (tiny) candidate pair set — never a cartesian/self-join
+    val p = plan("q155_dedup_planted_lsh")
+    assert(p.contains("vec_cosine"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH fell back to all-pairs: " + p)
+  }
+
+  test("hyperplane banding stays inside whole-stage codegen") {
+    // the float→double widening must be an array CAST, not a
+    // transform(...) lambda — higher-order functions are CodegenFallback
+    // and drag the whole projection out of codegen
+    QuerySpec.prepared(spark, sfDir)
+    val p = spark.sql(
+      """SELECT vec_id, hyperplanebands64(CAST(embedding AS ARRAY<DOUBLE>), 256, 16) b
+        |FROM embeddings""".stripMargin).queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a whole-stage-codegen'd operator
+    assert("""\*\(\d+\) Project .*hyperplanebands64""".r.findFirstIn(p).isDefined,
+      "banding fell out of codegen: " + p)
+  }
+
   test("q147 (interval bucket join): pure hash join, no nested loop") {
     val p = plan("q147_join_interval_bucket")
     assert(p.contains("BroadcastHashJoin"), p)
