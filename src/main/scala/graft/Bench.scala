@@ -33,9 +33,16 @@ object Bench {
       }
     }
     // cold = first execution (includes planning + codegen, the
-    // interactive-latency number); warm = second execution (steady state)
+    // interactive-latency number); warm = best of three post-cold
+    // executions (steady state — the min filters scheduler/GC noise so
+    // round-over-round comparisons track code changes, not machine load;
+    // observed run-to-run drift on this container is ±15-20%)
     val cold = names.map(n => n -> run(n))
-    val warm = names.map(n => n -> run(n))
+    val warmRuns = Seq.fill(3)(names.map(n => n -> run(n)).toMap)
+    val warm = names.map { n =>
+      val ok = warmRuns.map(_(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = cold.collect { case (_, v) if v >= 0 => v }.sum
