@@ -99,6 +99,34 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-dup probe — the streaming twin of incremental
+    * delta-vs-corpus dedup (q151): a document stream is shingled, MinHash-
+    * signed and band-keyed PER ROW (all map-side, codegen'd expressions),
+    * then stream-static joined against the standing corpus's precomputed
+    * (band, key) → doc index. No streaming state at all: the corpus index
+    * is the static side (on a cluster: a bucketed table on (band, key),
+    * refreshed per corpus release), so each micro-batch does one index
+    * probe and emits (new doc, duplicate-of) candidates. Exact-verify
+    * happens downstream exactly as in q151. A pair colliding in several
+    * bands is emitted once per band — deliberately NOT deduplicated
+    * here: streaming dropDuplicates without a watermark key would keep
+    * state for every pair ever seen (unbounded), and the downstream
+    * exact-verify is idempotent per pair anyway. */
+  def nearDupProbe(docs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(expr("lshbands64(minhash64(shingles64(text)))")).as(Seq("band", "key")))
+      .join(corpusIndex, Seq("band", "key"))
+      .select(col("doc_id").as("new_doc_id"), col("corpus_doc_id").as("dup_of"))
+
+  /** The standing corpus's LSH band index consumed by [[nearDupProbe]] —
+    * in production this is materialized once per corpus release (and
+    * bucketed on (band, key)); here derived from the documents table. */
+  def corpusBandIndex(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id").as("corpus_doc_id"),
+        posexplode(expr("lshbands64(minhash64(shingles64(text)))")).as(Seq("band", "key")))
+
   /** Stream-stream interval join — click→purchase attribution: every
     * purchase within 1 hour of a same-user click. Both sides carry a
     * watermark and the join condition bounds purchase_ts to a window

@@ -76,6 +76,53 @@ class LlmOpsSpec extends EngineSuite {
     assert(maxGroup <= 2L * cap, s"a salted sub-block holds $maxGroup ids (cap $cap)")
   }
 
+  test("boundedPairs == naive expansion across random block structures and caps (seeded)") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      // random bucket layout: a few keys, sizes spanning under/over cap,
+      // ids overlapping across keys (a pair can meet in several buckets)
+      val rows = (0 until 1 + rnd.nextInt(5)).flatMap { k =>
+        val size = 1 + rnd.nextInt(120)
+        val base = rnd.nextInt(300)
+        (0 until size).map(i => (s"k$k", (base + i).toLong))
+      }
+      val cap = Seq(3, 17, 50, 1000)(rnd.nextInt(4))
+      val got = llmops.Dedup.boundedPairs(rows.toDF("bkey", "id"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = rows.groupBy(_._1).values.flatMap { b =>
+        val ids = b.map(_._2).distinct
+        for (a <- ids; c <- ids if a < c) yield (a, c)
+      }.toSet
+      assert(got == want, s"cap=$cap layout=${rows.size}: got=${got.size} want=${want.size}")
+    }
+  }
+
+  test("boundedPairsBipartite == naive cross expansion across random layouts (seeded)") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val keys = (0 until 1 + rnd.nextInt(4)).map(k => s"k$k")
+      def side(off: Long) = keys.flatMap { k =>
+        if (rnd.nextInt(5) == 0) Nil // some keys exist on one side only
+        else (0 until 1 + rnd.nextInt(90)).map(i => (k, off + rnd.nextInt(200)))
+      }.distinct
+      val l = side(0L)
+      val r = side(10000L)
+      val cap = Seq(5, 23, 1000)(rnd.nextInt(3))
+      val got = llmops.Dedup.boundedPairsBipartite(
+        l.toDF("bkey", "id"), r.toDF("bkey", "id"), cap)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val rByKey = r.groupBy(_._1)
+      val want = l.flatMap { case (k, a) =>
+        rByKey.getOrElse(k, Nil).map { case (_, b) => (a, b) }
+      }.toSet
+      assert(got == want, s"cap=$cap: got=${got.size} want=${want.size}")
+    }
+  }
+
   test("q155 planted-twin LSH finds exactly the planted pairs") {
     val rows = llmops.Dedup.q155PlantedNearDup.run(spark, sfDir).collect()
     QuerySpec.prepared(spark, sfDir)

@@ -6,6 +6,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 
+/** MemoryStream row type for the near-dup probe parity test (top-level
+  * so the product encoder derives cleanly). */
+final case class DocRow(doc_id: Long, text: String)
+
 /** Streaming parity: the Structured Streaming operators produce the same
   * answers as their batch twins. */
 class StreamingSpec extends EngineSuite {
@@ -146,5 +150,37 @@ class StreamingSpec extends EngineSuite {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
     assert(batch.map(r => (r.getLong(0), r.getLong(2))) ==
       Seq((1L, 2L), (2L, 5L)), s"unexpected attribution pairs: $batch")
+  }
+
+  test("nearDupProbe: streamed delta candidates match the batch probe and cover q151's pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    QuerySpec.prepared(s, sfDir)
+    import org.apache.spark.sql.functions.col
+    val docs = s.table("documents").select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    // the static side: materialized once per corpus release in production
+    val index = EventStreams.corpusBandIndex(corpus).localCheckpoint()
+
+    val batch = EventStreams.nearDupProbe(delta, index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val mem = MemoryStream[DocRow]
+    mem.addData(delta.collect().map(r => DocRow(r.getLong(0), r.getString(1))).toSeq: _*)
+    val q = EventStreams.nearDupProbe(mem.toDF(), index)
+      .writeStream.format("memory").queryName("ndp_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.table("ndp_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+
+    // every verified incremental duplicate must appear among candidates
+    val verified = SparkEntry.queries("q151_dedup_incremental")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(streamed),
+      s"probe missed verified pairs: ${verified -- streamed}")
   }
 }
