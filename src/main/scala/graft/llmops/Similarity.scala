@@ -311,6 +311,102 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Int8 scalar quantization (SQ8) ANN — the fifth ANN tier and the one
+    * vector stores ship first: per-dimension global [min, max] ranges map
+    * every component to an 8-bit code (floor-quantized, clamped); the
+    * candidate scan DEQUANTIZES the codes on the fly and ranks by the
+    * reconstructed dot product (the corpus is unit vectors, so dot ≈
+    * cosine); only the top-20 candidates are re-ranked with exact
+    * cosine. The approximate dot folds element-in-order over identical
+    * double arithmetic, so the DuckDB oracle reproduces it bit-for-bit
+    * (the q149 ADC recipe). Scale shape: the 64×2 range stats are one
+    * tiny global aggregate (broadcast back), the corpus is scanned as
+    * int8 codes (4× less IO than float32), dequantization is a map-side
+    * array transform, and re-rank touches 20 rows per query. */
+  val q161AnnInt8: QuerySpec = QuerySpec(
+    "q161_ann_int8_quant",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (SELECT d, MIN(v[d + 1]) AS mn, MAX(v[d + 1]) AS mx
+      |         FROM e CROSS JOIN range(64) t(d) GROUP BY d),
+      |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM dims),
+      |codes AS (
+      |  SELECT vec_id, list_transform(range(64), d ->
+      |           CASE WHEN mxs[d + 1] > mns[d + 1]
+      |                THEN CAST(LEAST(255, GREATEST(0, FLOOR(
+      |                       255 * (v[d + 1] - mns[d + 1]) / (mxs[d + 1] - mns[d + 1])))) AS BIGINT)
+      |                ELSE CAST(0 AS BIGINT) END) AS c
+      |  FROM e CROSS JOIN st),
+      |dq AS (
+      |  SELECT vec_id, list_transform(range(64), d ->
+      |           mns[d + 1] + c[d + 1] * (mxs[d + 1] - mns[d + 1]) / 255.0) AS r
+      |  FROM codes CROSS JOIN st),
+      |adot AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(64), i -> q.r[i + 1] * c.r[i + 1])),
+      |      (acc, x) -> acc + x) AS ad
+      |  FROM dq q JOIN dq c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |cand AS (
+      |  SELECT query_id, neighbor_id, ad FROM (
+      |    SELECT query_id, neighbor_id, ad,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY ad DESC, neighbor_id) AS r
+      |    FROM adot) t WHERE r <= 20)
+      |SELECT query_id, rank, neighbor_id, approx_dot, cos FROM (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    ROUND(cand.ad, 6) AS approx_dot,
+      |    ROUND(list_cosine_similarity(qe.v, ce.v), 6) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+      |      ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, cand.neighbor_id) AS rank
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+      |            JOIN e ce ON ce.vec_id = cand.neighbor_id) t
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+    val e = vecs(sp).select(col("vec_id"), col("v"))
+    // per-dimension global [min, max] — one tiny aggregate, collected
+    // into ordered arrays so quantization is a map-side array transform
+    val dims = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+    val st = dims.agg(
+      expr("transform(sort_array(collect_list(struct(d, mn))), s -> s.mn)").as("mns"),
+      expr("transform(sort_array(collect_list(struct(d, mx))), s -> s.mx)").as("mxs"))
+    // Spark array subscripts are 0-based (DuckDB's are 1-based)
+    val codes = e.join(broadcast(st), lit(true))
+      .select(col("vec_id"), col("mns"), col("mxs"),
+        expr("""transform(sequence(0, 63), d ->
+                  CASE WHEN mxs[d] > mns[d]
+                       THEN CAST(LEAST(255, GREATEST(0, FLOOR(
+                              255 * (v[d] - mns[d]) / (mxs[d] - mns[d])))) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END)""").as("c"))
+    val dq = codes.select(col("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+                mns[d] + c[d] * (mxs[d] - mns[d]) / 255.0)""").as("r"))
+    val q = dq.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("r").as("qr"))
+    // reconstructed dot product — element-in-order fold, oracle-identical
+    val adot = broadcast(q).join(dq, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("aggregate(zip_with(qr, r, (a, b) -> a * b), 0D, (acc, x) -> acc + x)").as("ad"))
+    val cand = adot
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("ad").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("query_id"), col("neighbor_id"), col("ad"))
+    cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("ad"),
+        expr(cosSql("qv", "v")).as("cs"))
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("cs").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("ad"), 6).as("approx_dot"), round(col("cs"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q85BruteTopK.benched, q86LshBucketed, q87IvfProbe, q149PqAdc)
+    q85BruteTopK.benched, q86LshBucketed, q87IvfProbe, q149PqAdc, q161AnnInt8)
 }

@@ -331,8 +331,160 @@ object TextAnalysis {
     QuerySpec.sql2("q146_text_boilerplate", text(spark = true), text(spark = false))
   }
 
+  /** RAG/window chunking with overlap: fixed 32-token windows on a
+    * 24-token stride (striding keeps every token in ≥1 chunk and gives
+    * 8-token overlaps for boundary-robust retrieval). Purely map-side —
+    * chunk starts come from a per-row sequence, so at 100 TB this is a
+    * zero-shuffle scan emitting ~n_tokens/24 rows per doc; the chunk
+    * content is carried as an md5 so the result stays narrow. Short docs
+    * get exactly one chunk (start 0). */
+  val q158ChunkOverlap: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+      val nw = if (spark) "size(w)" else "len(w)"
+      val starts =
+        if (spark) "explode(sequence(0, size(w) - 1, 24))"
+        else "unnest(range(0, len(w), 24))"
+      val chunk =
+        if (spark) "concat_ws(' ', slice(w, start + 1, 32))"
+        else "array_to_string(w[start + 1 : start + 32], ' ')"
+      s"""SELECT doc_id, CAST(start / 24 AS INT) AS chunk_idx,
+         |  CAST(start AS INT) AS start_tok,
+         |  CAST(LEAST(32, $nw - start) AS INT) AS n_tok,
+         |  md5($chunk) AS chunk_md5
+         |FROM (SELECT doc_id, w, $starts AS start
+         |      FROM (SELECT doc_id, $split AS w FROM documents) t) u
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    }
+    QuerySpec.sql2("q158_text_chunk_overlap", text(spark = true), text(spark = false))
+  }
+
+  /** PII detection + redaction over an inline fixture (the driver corpus
+    * is digit-free synthetic text, so the fixture carries the PII shapes:
+    * emails, NANP phones, SSNs, IPv4s — the standard pre-training scrub
+    * list). Counts come from regexp_extract_all and the redacted text
+    * from chained regexp_replace; category patterns are disjoint
+    * (3-2-4 SSN vs 3-3-4 phone) so replacement order cannot cascade.
+    * Both engines use leftmost-first regex semantics (Java regex / RE2),
+    * so counts and redactions agree exactly. At corpus scale this is the
+    * same zero-shuffle map-side scan as q89. */
+  val q159PiiRedact: QuerySpec = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "\\d{3}-\\d{2}-\\d{4}"
+    val phone = "\\d{3}-\\d{3}-\\d{4}"
+    val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val fixture =
+      """(VALUES (1, 'contact john.doe@example.com or jane_smith99@mail.co.uk for details'),
+        |        (2, 'call 555-867-5309 or 415-555-0100 now'),
+        |        (3, 'ssn 123-45-6789 leaked from host 10.0.0.1'),
+        |        (4, 'servers at 192.168.1.100 and 8.8.8.8'),
+        |        (5, 'no pii here just plain text'),
+        |        (6, 'mixed: a@b.io, 212-555-1212, 987-65-4321, 127.0.0.1')) AS t(id, s)""".stripMargin
+    def text(spark: Boolean): String = {
+      // Spark SQL string literals process escapes, DuckDB's are literal
+      def p(raw: String): String = if (spark) raw.replace("\\", "\\\\") else raw
+      def n(raw: String): String =
+        if (spark) s"size(regexp_extract_all(s, '${p(raw)}', 0))"
+        else s"len(regexp_extract_all(s, '${p(raw)}'))"
+      def repl(src: String, raw: String, tag: String): String =
+        if (spark) s"regexp_replace($src, '${p(raw)}', '$tag')"
+        else s"regexp_replace($src, '${p(raw)}', '$tag', 'g')"
+      val redacted =
+        repl(repl(repl(repl("s", email, "<EMAIL>"), ssn, "<SSN>"), phone, "<PHONE>"), ip, "<IP>")
+      s"""SELECT id,
+         |  CAST(${n(email)} AS INT) AS n_email,
+         |  CAST(${n(ssn)} AS INT) AS n_ssn,
+         |  CAST(${n(phone)} AS INT) AS n_phone,
+         |  CAST(${n(ip)} AS INT) AS n_ip,
+         |  $redacted AS redacted
+         |FROM $fixture
+         |ORDER BY id""".stripMargin
+    }
+    QuerySpec.sql2("q159_text_pii_redact", text(spark = true), text(spark = false))
+  }
+
+  /** Exact-substring dedup statistics (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" formulation, at word-8-
+    * gram granularity): a token position is duplicate-covered when it
+    * falls inside an 8-gram whose occurrence is not the corpus-global
+    * first (first = min (doc_id, pos) via one window). Distributed shape:
+    * one shuffle keyed on the gram (the window), an 8× position fan-out
+    * on duplicate instances only, and a per-doc re-aggregation — no
+    * suffix array and no self-join, which is how the MapReduce variant of
+    * the paper's algorithm scales. Docs shorter than 8 tokens have no
+    * 8-grams and report 0. */
+  val q160SubstringDedup: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val (split, size) =
+        if (spark) ("split(text, ' ')", "size(w)") else ("string_split(text, ' ')", "len(w)")
+      val g =
+        if (spark)
+          """SELECT doc_id, pos, concat_ws(' ', slice(w, pos + 1, 8)) AS gram
+            |  FROM (SELECT doc_id, w,
+            |          CASE WHEN size(w) >= 8 THEN sequence(0, size(w) - 8)
+            |               ELSE array() END AS ps
+            |        FROM t) x
+            |  LATERAL VIEW explode(ps) p AS pos""".stripMargin
+        else
+          """SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 8], ' ') AS gram
+            |  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS pos FROM t) x""".stripMargin
+      val cov =
+        if (spark)
+          """SELECT DISTINCT doc_id, cp
+            |  FROM (SELECT doc_id, pos FROM r WHERE rn > 1) d
+            |  LATERAL VIEW explode(sequence(pos, pos + 7)) c AS cp""".stripMargin
+        else
+          """SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS cp
+            |  FROM (SELECT doc_id, pos FROM r WHERE rn > 1) d""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
+         |g AS (
+         |$g),
+         |r AS (SELECT doc_id, pos,
+         |             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |      FROM g),
+         |cov AS (
+         |$cov),
+         |d AS (SELECT doc_id, COUNT(*) AS n_dup FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, CAST($size AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+         |       ROUND(COALESCE(d.n_dup, 0) / CAST($size AS DOUBLE), 6) AS dup_frac
+         |FROM t LEFT JOIN d ON t.doc_id = d.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q160_dedup_substring", text(spark = true), text(spark = false))
+  }
+
+  /** Unigram-LM cross-entropy scoring — the cheap perplexity proxy a
+    * curation pipeline uses for fluency/outlier filtering: score each doc
+    * by the mean negative log-probability of its words under the corpus's
+    * own unigram MLE. Two shuffles (word counts, per-doc mean) with the
+    * tiny vocabulary joined map-side at scale; the threshold flag
+    * compares the ROUNDED score so both engines branch on the identical
+    * value. */
+  val q162UnigramLm: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents"
+        else "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+      s"""WITH words AS ($words),
+         |f AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM words),
+         |s AS (SELECT w.doc_id, COUNT(*) AS n_words,
+         |             -AVG(LN(f.cnt / tot.n)) AS xent
+         |      FROM words w JOIN f ON w.word = f.word CROSS JOIN tot
+         |      GROUP BY w.doc_id)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |       ROUND(xent, 6) AS xent_nats,
+         |       (ROUND(xent, 6) > 3.5) AS flagged
+         |FROM s
+         |ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q162_text_unigram_lm", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
-    q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate)
+    q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
+    q158ChunkOverlap, q159PiiRedact, q160SubstringDedup, q162UnigramLm)
 }

@@ -78,6 +78,87 @@ class AnalysisErrorSpec extends EngineSuite {
       "RANGE")
   }
 
+  // --- set-operation conformance family (AnalyzeStmtsTest.java
+  // TestUnion: operand arity and type compatibility are analysis-time
+  // errors in the reference)
+  test("UNION operands with different column counts") {
+    fails("SELECT n_nationkey FROM nation UNION ALL SELECT n_nationkey, n_name FROM nation",
+      "NUM_COLUMNS_MISMATCH")
+  }
+
+  test("UNION operands with incompatible column types") {
+    fails("SELECT n_nationkey FROM nation UNION ALL SELECT array(n_nationkey) FROM nation",
+      "INCOMPATIBLE_COLUMN_TYPE")
+  }
+
+  // --- aggregate-nesting family (AnalyzeExprsTest.java testAggregates:
+  // "aggregate function must not contain aggregate parameters")
+  test("aggregate of an aggregate") {
+    fails("SELECT SUM(COUNT(*)) FROM nation", "NESTED_AGGREGATE_FUNCTION")
+  }
+
+  test("HAVING references a non-grouped column") {
+    fails(
+      "SELECT n_regionkey, COUNT(*) FROM nation GROUP BY n_regionkey HAVING n_name = 'x'",
+      "n_name")
+  }
+
+  test("star select-list with aggregation") {
+    fails("SELECT *, COUNT(*) FROM nation", "MISSING_GROUP_BY")
+  }
+
+  // --- generator/placement family (the reference rejects collection-
+  // producing exprs outside FROM; Spark mirrors with generator rules)
+  test("generator in WHERE clause") {
+    fails("SELECT n_name FROM nation WHERE explode(array(1, 2)) = 1",
+      "GENERATOR")
+  }
+
+  // --- LIMIT/OFFSET constant family (AnalyzeStmtsTest testLimitOffset:
+  // LIMIT must be a non-negative constant)
+  test("negative LIMIT") {
+    fails("SELECT n_name FROM nation LIMIT -1", "LIMIT")
+  }
+
+  test("non-constant LIMIT") {
+    fails("SELECT n_name FROM nation LIMIT n_nationkey", "LIMIT")
+  }
+
+  // --- name-resolution family (AnalyzeStmtsTest: ambiguous column/alias
+  // errors)
+  test("ambiguous column reference in a self-join") {
+    fails(
+      """SELECT n_name FROM nation a JOIN nation b
+        |ON a.n_nationkey = b.n_nationkey""".stripMargin,
+      "AMBIGUOUS_REFERENCE")
+  }
+
+  test("duplicate CTE name") {
+    fails(
+      "WITH t AS (SELECT 1 AS x), t AS (SELECT 2 AS x) SELECT * FROM t",
+      "duplicate")
+  }
+
+  test("SELECT DISTINCT with ORDER BY on a non-selected column") {
+    fails("SELECT DISTINCT n_name FROM nation ORDER BY n_regionkey",
+      "n_regionkey")
+  }
+
+  // --- grouping-function family (the reference ties grouping() to
+  // GROUP BY presence)
+  test("grouping() without GROUP BY context") {
+    fails("SELECT grouping(n_name) FROM nation", "GROUPING")
+  }
+
+  // --- window-frame validity (analysis/AnalyticWindow.java boundary
+  // order checks)
+  test("window frame starting at UNBOUNDED FOLLOWING") {
+    fails(
+      """SELECT SUM(n_nationkey) OVER (ORDER BY n_nationkey
+        |ROWS BETWEEN UNBOUNDED FOLLOWING AND CURRENT ROW) FROM nation""".stripMargin,
+      "frame")
+  }
+
   // --- single-distinct-group rule (analysis/SelectStmt.java,
   // analyzeAggregation: the reference requires all DISTINCT aggregates
   // to share one expression list). This engine is a documented superset

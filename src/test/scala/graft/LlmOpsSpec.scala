@@ -227,6 +227,72 @@ class LlmOpsSpec extends EngineSuite {
     }
   }
 
+  test("q158 chunking: stride-24 starts tile every token into at least one chunk") {
+    QuerySpec.prepared(spark, sfDir)
+    val chunks = SparkEntry.queries("q158_text_chunk_overlap")(spark, sfDir)
+    val perDoc = chunks.groupBy("doc_id").agg(
+        max(col("start_tok") + col("n_tok")).as("covered_to"),
+        max("start_tok").as("last_start"), count(lit(1)).as("n_chunks"))
+      .join(spark.table("documents")
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens"), "doc_id")
+    // the last chunk ends exactly at the token count (full coverage, no
+    // overrun) and starts form the arithmetic stride: n_chunks = ⌈n/24⌉
+    val bad = perDoc.filter(col("covered_to") =!= col("n_tokens") ||
+      col("n_chunks") =!= ceil(col("n_tokens").cast("double") / 24).cast("long") ||
+      col("last_start") =!= (col("n_chunks") - 1) * 24)
+    assert(bad.count() == 0, bad.collect().take(3).mkString(", "))
+  }
+
+  test("q159 PII redaction leaves no addressable identifiers behind") {
+    val out = SparkEntry.queries("q159_text_pii_redact")(spark, sfDir).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val red = r.getString(r.fieldIndex("redacted"))
+      assert(!red.contains("@"), s"email survived: $red")
+      assert(!red.exists(_.isDigit), s"digits survived: $red")
+    }
+    // fixture exercises every category at least twice corpus-wide
+    Seq("n_email", "n_ssn", "n_phone", "n_ip").foreach { c =>
+      assert(out.map(r => r.getInt(r.fieldIndex(c))).sum >= 2, s"$c never fired")
+    }
+  }
+
+  test("q160 substring dedup: exact-copy docs are fully duplicate-covered") {
+    QuerySpec.prepared(spark, sfDir)
+    val stats = SparkEntry.queries("q160_dedup_substring")(spark, sfDir)
+    // docs whose full text equals an EARLIER doc's text: every 8-gram in
+    // them is a repeat occurrence, so dup_frac must be exactly 1.0
+    val copies = spark.sql(
+      """SELECT b.doc_id FROM documents a JOIN documents b
+        |ON a.text = b.text AND a.doc_id < b.doc_id
+        |WHERE size(split(b.text, ' ')) >= 8""".stripMargin)
+    val n = copies.distinct().count()
+    val full = stats.join(copies.distinct(), "doc_id").filter(col("dup_frac") === 1.0)
+    assert(full.count() == n, s"an exact copy was not fully covered (of $n)")
+    // and nothing exceeds its own length
+    assert(stats.filter(col("n_dup_tokens") > col("n_tokens")).count() == 0)
+  }
+
+  test("q161 SQ8 ANN: top-5 after re-rank equals brute-force top-5") {
+    val brute = SparkEntry.queries("q85_ann_brute_topk")(spark, sfDir)
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = SparkEntry.queries("q161_ann_int8_quant")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(sq == brute, s"SQ8 recall@5 ${((brute & sq).size)}/${brute.size}")
+  }
+
+  test("q162 unigram LM: flag is consistent with the rounded score and splits the corpus") {
+    val out = SparkEntry.queries("q162_text_unigram_lm")(spark, sfDir).collect()
+    out.foreach { r =>
+      val x = r.getDouble(r.fieldIndex("xent_nats"))
+      assert(x > 0 && x < 20, s"implausible cross-entropy $x")
+      assert(r.getBoolean(r.fieldIndex("flagged")) == (x > 3.5))
+    }
+    val n = out.count(_.getBoolean(3))
+    assert(n > 0 && n < out.length, s"flag does not split the corpus ($n/${out.length})")
+  }
+
   test("multimodal stub decode matches SQL-side byte math") {
     QuerySpec.prepared(spark, sfDir)
     val dec = llmops.Multimodal.q92DecodePipeline.run(spark, sfDir)
