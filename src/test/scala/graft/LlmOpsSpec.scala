@@ -184,17 +184,18 @@ class LlmOpsSpec extends EngineSuite {
     }
   }
 
-  test("connected components converge on a path graph of diameter > 6") {
+  test("connected components converge on a long path in O(log diameter) rounds") {
     val sess = spark
     import sess.implicits._
-    // path 1-2-...-20 (diameter 19): a fixed 6-round propagation would
-    // leave the far end labeled > 1; the fixpoint loop must not
-    val path = (1L until 20L).map(i => (i, i + 1))
+    // path 1-2-...-100 (diameter 99): plain min-label propagation needs
+    // ~100 rounds; pointer doubling must land the full merge in O(log d)
+    val path = (1L until 100L).map(i => (i, i + 1))
     val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
-    val labels = llmops.Dedup.connectedComponents(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.keySet == (1L to 20L).toSet)
+    val (labelDf, rounds) = llmops.Dedup.connectedComponentsWithRounds(edges)
+    val labels = labelDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (1L to 100L).toSet)
     assert(labels.values.forall(_ == 1L), s"under-merged: $labels")
+    assert(rounds <= 12, s"pointer doubling degraded to linear rounds: $rounds")
   }
 
   test("dedup clusters: every pair shares a cluster; canonical is the min id") {
