@@ -127,6 +127,25 @@ object EventStreams {
       .select(col("doc_id").as("corpus_doc_id"),
         posexplode(expr("lshbands64(minhash64(shingles64(text)))")).as(Seq("band", "key")))
 
+  /** Streaming sketch rollup — the streaming twin of the q102 batch
+    * pattern: hourly HLL sketches of distinct users merged into daily
+    * estimates, expressed as CHAINED windowed aggregations (hour → day,
+    * the multiple-stateful-operator shape Spark supports in append
+    * mode). The hourly sketch state is bounded by the watermark; the
+    * daily level merges SKETCHES (hll_union_agg), never re-scans raw
+    * events — at 100 TB the hourly pre-aggregation is the only pass
+    * over the stream and a day's answer is a 24-sketch merge. */
+  def hllDailyUniques(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy(window(col("window"), "1 day"))
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("est_uniques"),
+        count(lit(1)).as("n_hours"))
+      .select(col("window.start").cast("date").as("day"),
+        col("est_uniques"), col("n_hours"))
+
   /** Stream-stream interval join — click→purchase attribution: every
     * purchase within 1 hour of a same-user click. Both sides carry a
     * watermark and the join condition bounds purchase_ts to a window

@@ -320,6 +320,36 @@ class PlanSpec extends EngineSuite {
       "banding fell out of codegen: " + p)
   }
 
+  test("q158 (chunking): zero-shuffle map-side chunks — only the final sort exchanges") {
+    val p = plan("q158_text_chunk_overlap")
+    assert(p.contains("Generate explode"), p)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "chunking should shuffle only for the presentation sort: " + p)
+    assert(!p.contains("Join"), "chunking must not join: " + p)
+  }
+
+  test("q160 (substring dedup): one gram window, no self-join, broadcast doc rollup") {
+    val p = plan("q160_dedup_substring")
+    // first-occurrence detection is ONE window over the gram key — the
+    // naive formulation (join grams against their own minimum) would
+    // self-join the corpus-sized gram relation
+    assert("Window \\[row_number".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "substring dedup planned a corpus-sized join: " + p)
+    assert(p.contains("BroadcastHashJoin"), "per-doc rollup should broadcast: " + p)
+  }
+
+  test("q161 (SQ8 ANN): top-k via WindowGroupLimit heaps, no cartesian") {
+    val p = plan("q161_ann_int8_quant")
+    // both top-k stages (approx top-20, exact top-5) must plan as
+    // partial+final WindowGroupLimit (per-partition heaps), and the
+    // approximate scan must broadcast the query side, never cartesian
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query side not broadcast over the code scan: " + p)
+    assert(!p.contains("CartesianProduct"), "SQ8 scan fell back to cartesian: " + p)
+  }
+
   test("q147 (interval bucket join): pure hash join, no nested loop") {
     val p = plan("q147_join_interval_bucket")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -152,6 +152,37 @@ class StreamingSpec extends EngineSuite {
       Seq((1L, 2L), (2L, 5L)), s"unexpected attribution pairs: $batch")
   }
 
+  test("hllDailyUniques: chained hour→day sketch rollup matches the batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // day 1: 30 users spread over 4 hours (with repeats); a far-future
+    // sentinel advances the watermark so day 1 fully emits in append mode
+    val day1 = (0 until 60).map { i =>
+      Event(i % 30, 100 + i, ts(i * 4), "click", 1.0)
+    }
+    val sentinel = Event(999, 999, ts(5 * 24 * 60), "click", 1.0)
+    val all = day1 :+ sentinel
+
+    val batch = EventStreams.hllDailyUniques(all.toDF())
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    val mem = MemoryStream[Event]
+    mem.addData(all: _*)
+    val q = EventStreams.hllDailyUniques(mem.toDF())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.table("hll_out")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+
+    // append mode emits exactly the watermark-closed day(s): day 1
+    assert(streamed.length == 1, s"expected day 1 only, got ${streamed.toSeq}")
+    val (day, est, hours) = streamed.head
+    assert(batch.contains(day) && batch(day) == ((est, hours)),
+      s"stream $day=($est,$hours) vs batch ${batch.get(day)}")
+    assert(hours == 4 && est >= 28 && est <= 32, s"day 1: est=$est hours=$hours")
+  }
+
   test("nearDupProbe: streamed delta candidates match the batch probe and cover q151's pairs") {
     val s = spark
     import s.implicits._
