@@ -482,9 +482,76 @@ object TextAnalysis {
     QuerySpec.sql2("q162_text_unigram_lm", text(spark = true), text(spark = false))
   }
 
+  /** BPE merge learning (Sennrich et al., "Neural Machine Translation of
+    * Rare Words with Subword Units") — the first two merge rounds of a
+    * byte-pair-encoding tokenizer build, as pure dataflow: words become
+    * sentinel-spaced symbol sequences, adjacent-symbol pairs are counted
+    * weighted by word frequency, the argmax pair (ties by pair text) is
+    * merged corpus-wide via non-overlapping left-to-right replace (the
+    * greedy BPE application order), and the count repeats on the merged
+    * sequences. Emits the top-5 pairs of each round. Scale shape: pair
+    * counting is one shuffle over the DISTINCT word vocabulary (corpus
+    * frequency is carried as a weight, so the fact table is scanned once
+    * for the vocab build and never again); each merge is a broadcast of
+    * one row. A full tokenizer build iterates this dataflow k times —
+    * two rounds pin the fixpoint machinery. */
+  val q163BpeMerges: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "SELECT explode(split(text, ' ')) AS word FROM documents"
+        else "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+      val chars =
+        if (spark) "concat_ws(' ', regexp_extract_all(word, '.', 0))"
+        else "array_to_string(regexp_extract_all(word, '.'), ' ')"
+      def syms(src: String) =
+        if (spark) s"split(trim($src), ' ')" else s"string_split(trim($src), ' ')"
+      def pairs(rel: String): String =
+        if (spark)
+          s"""SELECT pair, SUM(n) AS cnt
+             |  FROM (SELECT n,
+             |          CASE WHEN size(${syms("seq")}) >= 2
+             |               THEN transform(sequence(0, size(${syms("seq")}) - 2),
+             |                      i -> concat(${syms("seq")}[i], ' ', ${syms("seq")}[i + 1]))
+             |               ELSE array() END AS ps
+             |        FROM $rel) t
+             |  LATERAL VIEW explode(ps) x AS pair
+             |  GROUP BY pair""".stripMargin
+        else
+          s"""SELECT pair, SUM(n) AS cnt
+             |  FROM (SELECT n, unnest(list_transform(range(len(${syms("seq")}) - 1),
+             |          i -> ${syms("seq")}[i + 1] || ' ' || ${syms("seq")}[i + 2])) AS pair
+             |        FROM $rel) t
+             |  GROUP BY pair""".stripMargin
+      s"""WITH w AS (SELECT word, COUNT(*) AS n FROM ($words) x GROUP BY word),
+         |s0 AS (SELECT word, n, ' ' || $chars || ' ' AS seq FROM w),
+         |p1 AS (
+         |${pairs("s0")}),
+         |r1 AS (SELECT pair, cnt,
+         |              ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+         |       FROM p1),
+         |m1 AS (SELECT pair FROM r1 WHERE rnk = 1),
+         |s1 AS (SELECT word, n,
+         |         replace(seq, ' ' || m1.pair || ' ',
+         |                 ' ' || replace(m1.pair, ' ', '') || ' ') AS seq
+         |       FROM s0 CROSS JOIN m1),
+         |p2 AS (
+         |${pairs("s1")}),
+         |r2 AS (SELECT pair, cnt,
+         |              ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+         |       FROM p2)
+         |SELECT merge_round, rnk, pair, CAST(cnt AS BIGINT) AS cnt FROM (
+         |  SELECT 1 AS merge_round, rnk, pair, cnt FROM r1 WHERE rnk <= 5
+         |  UNION ALL
+         |  SELECT 2 AS merge_round, rnk, pair, cnt FROM r2 WHERE rnk <= 5) u
+         |ORDER BY merge_round, rnk""".stripMargin
+    }
+    QuerySpec.sql2("q163_text_bpe_merges", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
     q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
-    q158ChunkOverlap, q159PiiRedact, q160SubstringDedup, q162UnigramLm)
+    q158ChunkOverlap, q159PiiRedact, q160SubstringDedup, q162UnigramLm,
+    q163BpeMerges)
 }

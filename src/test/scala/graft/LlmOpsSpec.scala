@@ -283,6 +283,26 @@ class LlmOpsSpec extends EngineSuite {
     assert(sq == brute, s"SQ8 recall@5 ${((brute & sq).size)}/${brute.size}")
   }
 
+  test("q163 BPE: round-1 argmax pair is merged away and resurfaces inside round-2 symbols") {
+    val out = SparkEntry.queries("q163_text_bpe_merges")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val r1 = out.filter(_._1 == 1).sortBy(_._2)
+    val r2 = out.filter(_._1 == 2).sortBy(_._2)
+    assert(r1.size == 5 && r2.size == 5)
+    // counts non-increasing in rank within each round
+    Seq(r1, r2).foreach { r =>
+      assert(r.sliding(2).forall(p => p.head._4 >= p.last._4), r.mkString(", "))
+    }
+    // the merged pair no longer exists as a pair in round 2
+    val merged = r1.head._3
+    assert(!r2.exists(_._3 == merged), s"round-1 merge '$merged' still countable in round 2")
+    // merging never raises any pair's count (it only removes adjacencies
+    // or creates new pairs bounded by the merged count), so the round-2
+    // argmax is bounded by the round-1 argmax
+    assert(r2.head._4 <= r1.head._4,
+      s"round-2 max ${r2.head} exceeds round-1 max ${r1.head}")
+  }
+
   test("q162 unigram LM: flag is consistent with the rounded score and splits the corpus") {
     val out = SparkEntry.queries("q162_text_unigram_lm")(spark, sfDir).collect()
     out.foreach { r =>
