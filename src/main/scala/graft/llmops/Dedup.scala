@@ -461,6 +461,80 @@ object Dedup {
     }
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space coarsely, then remove within-cluster
+    * semantic duplicates, keeping one representative per duplicate set.
+    * This is the composition the paper runs at web scale — k-means
+    * restricts the quadratic near-dup search to cluster-sized blocks —
+    * expressed here as: IVF-style nearest-centroid assignment (the q87
+    * machinery: deterministic modular centroid sample, cosine argmax
+    * with total tie order), cluster-keyed candidate expansion through
+    * [[boundedPairs]] (the skew armor — a degenerate cluster cannot
+    * become one quadratic task), exact vec_cosine verify at θ = 0.4
+    * (this corpus's near-dup regime — see q84's selectivity analysis:
+    * the synthetic embeddings top out near cos 0.5, so 0.4 plays the
+    * role 0.95 plays on a real embedding space), and the
+    * keep-lowest-id rule: a vector is removed iff a lower-id
+    * θ-neighbor shares its cluster, with dup_of = the smallest such id.
+    * Scale shape: one broadcast of the centroids, one cluster-keyed
+    * shuffle, pair work bounded per task; the removal set (not the
+    * corpus) is the output. */
+  val q164SemDeDup: QuerySpec = QuerySpec(
+    "q164_dedup_semantic",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+      |assigned AS (
+      |  SELECT vec_id, v, cent_id FROM (
+      |    SELECT e.vec_id, e.v, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS crank
+      |    FROM e CROSS JOIN cents c) t WHERE crank = 1),
+      |p AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.cent_id AS cluster,
+      |         list_cosine_similarity(a.v, b.v) AS c
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+      |SELECT ib AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+      |       ia AS dup_of, ROUND(c, 6) AS cos
+      |FROM (SELECT ib, cluster, ia, c,
+      |             ROW_NUMBER() OVER (PARTITION BY ib ORDER BY ia) AS r
+      |      FROM p) t
+      |WHERE r = 1
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+    val e = sp.table("embeddings")
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .localCheckpoint() // consumed by assignment AND the pair verify
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        expr("vec_cosine(v, cv)").as("cc"))
+      .withColumn("crank", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id"))
+      .localCheckpoint() // consumed by the pair keying AND the output join
+    val keyed = assigned
+      .select(col("cent_id").as("bkey"), col("vec_id").as("id"))
+    val pairs = boundedPairs(keyed, cap = 256)
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), expr("vec_cosine(v_a, v_b)").as("c"))
+      .filter(col("c") >= 0.4)
+      .withColumn("r", row_number().over(
+        w.partitionBy(col("id_b")).orderBy(col("id_a"))))
+      .filter(col("r") === 1)
+      .join(assigned.select(col("vec_id").as("id_b"), col("cent_id")), Seq("id_b"))
+      .select(col("id_b").as("vec_id"), col("cent_id").cast("long").as("cluster"),
+        col("id_a").as("dup_of"), round(col("c"), 6).as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Releases the block-manager storage behind a localCheckpoint-ed
     * DataFrame (the checkpointed RDD sits inside the plan's LogicalRDD
     * leaf, which Dataset offers no public handle to — matched by class
@@ -692,5 +766,5 @@ object Dedup {
   val all: Seq[QuerySpec] = Seq(
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
-    q101CrossLang, q151IncrementalDedup, q152CorpusDiff)
+    q101CrossLang, q151IncrementalDedup, q152CorpusDiff, q164SemDeDup)
 }

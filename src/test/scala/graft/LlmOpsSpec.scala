@@ -283,6 +283,38 @@ class LlmOpsSpec extends EngineSuite {
     assert(sq == brute, s"SQ8 recall@5 ${((brute & sq).size)}/${brute.size}")
   }
 
+  test("q164 SemDeDup: kept set has no within-cluster θ-pair; removals point at lower kept-or-removed ids") {
+    QuerySpec.prepared(spark, sfDir)
+    val removed = SparkEntry.queries("q164_dedup_semantic")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    removed.foreach { case (v, _, dupOf, cos) =>
+      assert(dupOf < v, s"dup_of $dupOf !< $v")
+      assert(cos >= 0.4, s"removed pair below threshold: $cos")
+    }
+    // ground truth at this scale: every within-cluster θ-pair must have
+    // its higher id in the removal set (keep-lowest-id rule)
+    val gt = spark.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, cent_id FROM (
+        |    SELECT e.vec_id, e.v, c.cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY vec_cosine(e.v, c.cv) DESC, c.cent_id) AS crank
+        |    FROM e CROSS JOIN cents c) t WHERE crank = 1)
+        |SELECT a.vec_id AS ia, b.vec_id AS ib
+        |FROM assigned a JOIN assigned b
+        |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |WHERE vec_cosine(a.v, b.v) >= 0.4""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val removedIds = removed.map(_._1).toSet
+    gt.foreach { case (_, b) =>
+      assert(removedIds.contains(b), s"θ-pair survivor $b not removed")
+    }
+    assert(removedIds.size == gt.map(_._2).distinct.size,
+      "removal set is not exactly the higher ids of θ-pairs")
+  }
+
   test("q163 BPE: round-1 argmax pair is merged away and resurfaces inside round-2 symbols") {
     val out = SparkEntry.queries("q163_text_bpe_merges")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))

@@ -11,7 +11,8 @@ class QueriesSpec extends EngineSuite {
     "q13_join_full_outer", "q15_join_left_anti", "q16_join_nullaware_anti",
     "q44_sub_not_exists_corr", "q46_sub_count_scalar",
     "q81_dedup_minhash_lsh", "q82_dedup_simhash", "q83_dedup_ngram_jaccard",
-    "q84_dedup_embedding_cosine", "q86_ann_lsh_bucketed", "q74_dml_views")
+    "q84_dedup_embedding_cosine", "q86_ann_lsh_bucketed", "q74_dml_views",
+    "q164_dedup_semantic")
 
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
