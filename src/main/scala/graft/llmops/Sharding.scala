@@ -38,6 +38,45 @@ object Sharding {
        |FROM t GROUP BY split, lang
        |ORDER BY split, lang""".stripMargin)
 
+  /** End-to-end corpus-release pipeline — the composition a curation run
+    * actually ships: exact dedup on normalized text (keep-lowest-id per
+    * content key), quality gate (the q89 word-count floor), then the
+    * frozen multiplicative-hash train/val/test split, reported per
+    * (split, language) stratum. One content-key shuffle (the dedup
+    * window), everything after it map-side until the stratum rollup —
+    * the same plan at 100 TB writes each stratum straight out of the
+    * final aggregation's partitioning. Every stage is a pure function
+    * of (text, doc_id), so release N+1 reproduces release N's
+    * assignments for unchanged documents. */
+  val q165PipelineCurate: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val norm =
+        if (spark) "regexp_replace(lower(text), ' +', ' ')"
+        else "regexp_replace(lower(text), ' +', ' ', 'g')"
+      val nWords =
+        if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      s"""WITH kept AS (
+         |  SELECT doc_id, lang, $nWords AS n_words FROM (
+         |    SELECT doc_id, lang, text,
+         |      ROW_NUMBER() OVER (PARTITION BY $norm ORDER BY doc_id) AS rn
+         |    FROM documents) t
+         |  WHERE rn = 1),
+         |gated AS (SELECT * FROM kept WHERE n_words >= 10),
+         |s AS (
+         |  SELECT doc_id, lang, n_words,
+         |    CASE WHEN ${h100("doc_id")} < 80 THEN 'train'
+         |         WHEN ${h100("doc_id")} < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM gated)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc
+         |FROM s GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin
+    }
+    QuerySpec.sql2("q165_pipeline_curate", text(spark = true), text(spark = false))
+  }
+
   /** Deterministic global shuffle into training shards: shard = hash
     * bucket, within-shard order = (secondary hash, doc_id). The checksum
     * SUM(pos * doc_id) is order-sensitive through pos, so it pins the full
@@ -128,6 +167,7 @@ object Sharding {
   }
 
   val all: Seq[QuerySpec] = Seq(
+    q165PipelineCurate,
     q130SplitTrainValTest, q131ShuffleShards, q135SourceMix,
     q150WeightedSample)
 }
