@@ -458,7 +458,11 @@ object TextAnalysis {
     * curation pipeline uses for fluency/outlier filtering: score each doc
     * by the mean negative log-probability of its words under the corpus's
     * own unigram MLE. Two shuffles (word counts, per-doc mean) with the
-    * tiny vocabulary joined map-side at scale; the threshold flag
+    * tiny vocabulary joined map-side at scale. The per-word log-probs are
+    * summed as DECIMAL (the house rule for double aggregation — see
+    * graft.operators.Num): the sum is exact and order-independent, so
+    * the score is identical under any partitioning/CPU count on either
+    * engine; the exact sum divides as DOUBLE and the threshold flag
     * compares the ROUNDED score so both engines branch on the identical
     * value. */
   val q162UnigramLm: QuerySpec = {
@@ -470,12 +474,12 @@ object TextAnalysis {
          |f AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
          |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM words),
          |s AS (SELECT w.doc_id, COUNT(*) AS n_words,
-         |             -AVG(LN(f.cnt / tot.n)) AS xent
+         |             SUM(CAST(LN(f.cnt / tot.n) AS DECIMAL(27,18))) AS lsum
          |      FROM words w JOIN f ON w.word = f.word CROSS JOIN tot
          |      GROUP BY w.doc_id)
          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-         |       ROUND(xent, 6) AS xent_nats,
-         |       (ROUND(xent, 6) > 3.5) AS flagged
+         |       ROUND(-CAST(lsum AS DOUBLE) / n_words, 6) AS xent_nats,
+         |       (ROUND(-CAST(lsum AS DOUBLE) / n_words, 6) > 3.5) AS flagged
          |FROM s
          |ORDER BY doc_id""".stripMargin
     }
