@@ -159,6 +159,40 @@ class AnalysisErrorSpec extends EngineSuite {
       "frame")
   }
 
+  // --- function-resolution family (AnalyzeExprsTest testFunctions:
+  // unknown functions and arity mismatches are analysis-time errors)
+  test("unknown function") {
+    fails("SELECT definitely_no_such_fn(n_name) FROM nation", "definitely_no_such_fn")
+  }
+
+  test("builtin called with wrong argument count") {
+    fails("SELECT substr('abc') FROM nation", "substr")
+  }
+
+  // --- subquery-shape family (AnalyzeSubqueriesTest: operand arity)
+  test("IN subquery with mismatched column count") {
+    fails(
+      "SELECT n_name FROM nation WHERE n_nationkey IN (SELECT n_nationkey, n_name FROM nation)",
+      "column")
+  }
+
+  test("scalar subquery returning multiple columns") {
+    fails("SELECT (SELECT n_nationkey, n_name FROM nation LIMIT 1) FROM nation",
+      "column")
+  }
+
+  // --- type-name family (sql-parser.cup: unknown type keywords are
+  // rejected at parse)
+  test("CAST to an unknown type") {
+    fails("SELECT CAST(1 AS FOOTYPE) FROM nation", "FOOTYPE")
+  }
+
+  // --- generator-placement family (LATERAL VIEW requires a generator)
+  test("LATERAL VIEW over a non-generator function") {
+    fails("SELECT x FROM nation LATERAL VIEW upper(n_name) t AS x",
+      "generator")
+  }
+
   // --- single-distinct-group rule (analysis/SelectStmt.java,
   // analyzeAggregation: the reference requires all DISTINCT aggregates
   // to share one expression list). This engine is a documented superset
