@@ -526,8 +526,11 @@ object TextAnalysis {
              |          i -> ${syms("seq")}[i + 1] || ' ' || ${syms("seq")}[i + 2])) AS pair
              |        FROM $rel) t
              |  GROUP BY pair""".stripMargin
-      s"""WITH w AS (SELECT word, COUNT(*) AS n FROM ($words) x GROUP BY word),
-         |s0 AS (SELECT word, n, ' ' || $chars || ' ' AS seq FROM w),
+      val wCte =
+        if (spark) "" // Spark reads the checkpointed vocab view instead
+        else s"WITH w AS (SELECT word, COUNT(*) AS n FROM ($words) x GROUP BY word),\n"
+      val wRel = if (spark) "g_bpe_vocab" else "w"
+      s"""${wCte}${if (spark) "WITH " else ""}s0 AS (SELECT word, n, ' ' || $chars || ' ' AS seq FROM $wRel),
          |p1 AS (
          |${pairs("s0")}),
          |r1 AS (SELECT pair, cnt,
@@ -549,7 +552,21 @@ object TextAnalysis {
          |  SELECT 2 AS merge_round, rnk, pair, cnt FROM r2 WHERE rnk <= 5) u
          |ORDER BY merge_round, rnk""".stripMargin
     }
-    QuerySpec.sql2("q163_text_bpe_merges", text(spark = true), text(spark = false))
+    QuerySpec("q163_text_bpe_merges", text(spark = false)) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      // the ONLY corpus scan, checkpointed: Spark inlines WITH CTEs, so
+      // a `w` CTE consumed via s0 by BOTH merge rounds would re-run the
+      // corpus-sized word explode per round (the q116 double-scan trap —
+      // see the verify notes); the checkpointed vocab is vocabulary-sized
+      // and every round reads it, never documents
+      sp.sql(
+        """SELECT word, COUNT(*) AS n
+          |FROM (SELECT explode(split(text, ' ')) AS word FROM documents) x
+          |GROUP BY word""".stripMargin)
+        .localCheckpoint()
+        .createOrReplaceTempView("g_bpe_vocab")
+      sp.sql(text(spark = true))
+    }
   }
 
   val all: Seq[QuerySpec] = Seq(

@@ -350,6 +350,16 @@ class PlanSpec extends EngineSuite {
     assert(!p.contains("CartesianProduct"), "SQ8 scan fell back to cartesian: " + p)
   }
 
+  test("q163 (BPE): merge rounds read the checkpointed vocab, never re-scan the corpus") {
+    // Spark inlines WITH CTEs, so both merge rounds consuming s0 would
+    // re-run the corpus word explode; the vocab checkpoint means the
+    // final plan must not contain a documents scan at all
+    val p = plan("q163_text_bpe_merges")
+    assert(!p.contains("documents.parquet"),
+      "a merge round re-scanned the corpus: " + p)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
+  }
+
   test("q147 (interval bucket join): pure hash join, no nested loop") {
     val p = plan("q147_join_interval_bucket")
     assert(p.contains("BroadcastHashJoin"), p)
