@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     extensions.injectOptimizerRule(_ => graft.plans.RangeBucketJoinRewrite)
+    extensions.injectOptimizerRule(_ => graft.plans.AppxCountDistinctRewrite)
   }
 }

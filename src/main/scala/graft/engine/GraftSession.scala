@@ -72,6 +72,9 @@ object GraftSession {
     if (!s.experimental.extraOptimizations.contains(graft.plans.RangeBucketJoinRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.RangeBucketJoinRewrite
+    if (!s.experimental.extraOptimizations.contains(graft.plans.AppxCountDistinctRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.AppxCountDistinctRewrite
     s
   }
 }

@@ -350,6 +350,29 @@ class PlanSpec extends EngineSuite {
     assert(!p.contains("CartesianProduct"), "SQ8 scan fell back to cartesian: " + p)
   }
 
+  test("appx_count_distinct option rewrites COUNT(DISTINCT) to the HLL sketch (SelectStmt.java:642-666)") {
+    QuerySpec.prepared(spark, sfDir)
+    val sql = "SELECT COUNT(DISTINCT c_nationkey) AS n FROM customer"
+    val multi = "SELECT COUNT(DISTINCT c_nationkey, c_mktsegment) AS n FROM customer"
+    def optimized(q: String) = spark.sql(q).queryExecution.optimizedPlan.toString
+    // inert by default: exact two-phase distinct, no sketch
+    assert(!optimized(sql).contains("approx_count_distinct"), optimized(sql))
+    val exact = spark.sql(sql).collect().head.getLong(0)
+    spark.conf.set(graft.plans.AppxCountDistinctRewrite.EnabledKey, "true")
+    try {
+      val p = optimized(sql)
+      assert(p.contains("approx_count_distinct") && !p.contains("count(distinct"), p)
+      // the estimate must land within the sketch's documented error
+      // (rsd 0.05 — same trade the reference's NDV() makes)
+      val approx = spark.sql(sql).collect().head.getLong(0)
+      assert(math.abs(approx - exact) <= math.max(2L, (exact * 0.05).toLong),
+        s"approx $approx vs exact $exact")
+      // multi-argument COUNT(DISTINCT a, b) stays exact, as the
+      // reference skips getParams().size() != 1
+      assert(!optimized(multi).contains("approx_count_distinct"), optimized(multi))
+    } finally spark.conf.unset(graft.plans.AppxCountDistinctRewrite.EnabledKey)
+  }
+
   test("q163 (BPE): merge rounds read the checkpointed vocab, never re-scan the corpus") {
     // Spark inlines WITH CTEs, so both merge rounds consuming s0 would
     // re-run the corpus word explode; the vocab checkpoint means the
