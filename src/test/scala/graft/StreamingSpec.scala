@@ -152,6 +152,42 @@ class StreamingSpec extends EngineSuite {
       Seq((1L, 2L), (2L, 5L)), s"unexpected attribution pairs: $batch")
   }
 
+  test("parquet file sink + checkpoint: restart resumes exactly-once, no duplicate windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sink").toFile
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    def hour(h: Long, id: Long, user: Long) = Event(user, id, ts(h * 60), "click", 1.0)
+    val mem = MemoryStream[Event]
+    def run(): Unit = {
+      val q = EventStreams.tumblingCounts(mem.toDF())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: hours 0-1, then a sentinel at hour 100 advances the
+    // watermark so both real windows flush to the sink
+    mem.addData(hour(0, 1, 1), hour(0, 2, 2), hour(1, 3, 1), hour(100, 4, 9))
+    run()
+    // restart from the SAME checkpoint: the committed offset is resumed,
+    // batch 2 events land after the advanced watermark, a further
+    // sentinel flushes them (and batch 1's sentinel window)
+    mem.addData(hour(101, 5, 1), hour(101, 6, 2), hour(300, 7, 9))
+    run()
+    val rows = s.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).getTime / 3600000, r.getLong(2))).toSeq
+    // exactly-once: every emitted window appears once
+    assert(rows.size == rows.distinct.size, s"duplicate windows: $rows")
+    // and the flushed set is exactly hours 0, 1, 100, 101 with the counts
+    // the batch twin computes (hour 300 = the open sentinel window)
+    assert(rows.toMap == Map(0L -> 2L, 1L -> 1L, 100L -> 1L, 101L -> 2L),
+      s"unexpected sink contents: $rows")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
   test("hllDailyUniques: chained hour→day sketch rollup matches the batch twin") {
     val s = spark
     import s.implicits._
