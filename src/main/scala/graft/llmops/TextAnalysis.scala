@@ -569,10 +569,80 @@ object TextAnalysis {
     }
   }
 
+  /** URL canonicalization — the normalization a web-corpus dedup keys
+    * on (the "canonical URL" of crawl pipelines): lowercase scheme and
+    * host, strip the fragment, drop default ports, remove tracking
+    * parameters (utm_ prefix, fbclid, gclid), sort the surviving query
+    * parameters, and trim a trailing slash on the path. Pure per-row
+    * string/array algebra (zero shuffles at scale); the fixture carries
+    * the URL shapes since the driver corpus has none. The same
+    * canonical key then powers exact URL dedup: the output includes
+    * each URL's canonical group size. */
+  val q166UrlCanonicalize: QuerySpec = {
+    val fixture =
+      """(VALUES (1, 'https://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag'),
+        |        (2, 'https://example.com/a/b?a=1&b=2'),
+        |        (3, 'HTTP://Example.com:80/a/b/'),
+        |        (4, 'http://example.com/a/b'),
+        |        (5, 'https://example.com/a/b?fbclid=abc&gclid=def'),
+        |        (6, 'https://other.org/x?z=26&y=25'),
+        |        (7, 'https://other.org/x?y=25&z=26')) AS t(id, url)""".stripMargin
+    def text(spark: Boolean): String = {
+      // dialect helpers: split/filter/sort/join over the query params
+      def canon(spark: Boolean): String =
+        if (spark)
+          """concat(
+            |  lower(regexp_extract(u, '^([a-zA-Z]+)://', 1)), '://',
+            |  lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)),
+            |  CASE WHEN regexp_extract(u, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1)
+            |            NOT IN ('', '80', '443')
+            |       THEN concat(':', regexp_extract(u, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1))
+            |       ELSE '' END,
+            |  CASE WHEN path = '/' THEN '/'
+            |       ELSE regexp_replace(path, '/$', '') END,
+            |  CASE WHEN size(params) > 0
+            |       THEN concat('?', array_join(array_sort(params), '&'))
+            |       ELSE '' END)""".stripMargin
+        else
+          """lower(regexp_extract(u, '^([a-zA-Z]+)://', 1)) || '://' ||
+            |  lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)) ||
+            |  CASE WHEN regexp_extract(u, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1)
+            |            NOT IN ('', '80', '443')
+            |       THEN ':' || regexp_extract(u, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1)
+            |       ELSE '' END ||
+            |  CASE WHEN path = '/' THEN '/'
+            |       ELSE regexp_replace(path, '/$', '') END ||
+            |  CASE WHEN len(params) > 0
+            |       THEN '?' || array_to_string(list_sort(params), '&')
+            |       ELSE '' END""".stripMargin
+      // exact substr prefix tests, not LIKE: Spark default-escapes \_ in
+      // LIKE patterns but DuckDB's LIKE has no default escape character
+      val paramsExpr =
+        if (spark)
+          """filter(split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
+            |  p -> p != '' AND substr(p, 1, 4) != 'utm_'
+            |       AND substr(p, 1, 7) != 'fbclid=' AND substr(p, 1, 6) != 'gclid=')""".stripMargin
+        else
+          """list_filter(string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
+            |  p -> p != '' AND substr(p, 1, 4) != 'utm_'
+            |       AND substr(p, 1, 7) != 'fbclid=' AND substr(p, 1, 6) != 'gclid=')""".stripMargin
+      val pathExpr =
+        if (spark) "coalesce(nullif(regexp_extract(u, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1), ''), '/')"
+        else "coalesce(nullif(regexp_extract(u, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1), ''), '/')"
+      s"""SELECT id, canonical,
+         |  CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT) AS group_size
+         |FROM (SELECT id, ${canon(spark)} AS canonical
+         |      FROM (SELECT id, url AS u, $pathExpr AS path, $paramsExpr AS params
+         |            FROM $fixture) parsed) c
+         |ORDER BY id""".stripMargin
+    }
+    QuerySpec.sql2("q166_text_url_canonicalize", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
     q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
     q158ChunkOverlap, q159PiiRedact, q160SubstringDedup, q162UnigramLm,
-    q163BpeMerges)
+    q163BpeMerges, q166UrlCanonicalize)
 }

@@ -335,6 +335,19 @@ class LlmOpsSpec extends EngineSuite {
       s"round-2 max ${r2.head} exceeds round-1 max ${r1.head}")
   }
 
+  test("q166 URL canonicalization groups tracking-param/port/case variants, keeps real params apart") {
+    val out = SparkEntry.queries("q166_text_url_canonicalize")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.size == 7)
+    // utm-stripped + sorted params == the plain form; default port + case
+    // + trailing slash collapse; tracking-only query == no query; but a
+    // REAL query string must never merge with the bare URL
+    assert(out(1)._1 == out(2)._1 && out(1)._2 == 2)
+    assert(out(3)._1 == out(4)._1 && out(3)._2 == 2)
+    assert(out(5)._2 == 1 && out(5)._1 != out(1)._1 && out(5)._1 != out(3)._1)
+    assert(out(6)._1 == out(7)._1 && out(6)._2 == 2)
+  }
+
   test("q162 unigram LM: flag is consistent with the rounded score and splits the corpus") {
     val out = SparkEntry.queries("q162_text_unigram_lm")(spark, sfDir).collect()
     out.foreach { r =>
