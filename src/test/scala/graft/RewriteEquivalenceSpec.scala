@@ -76,4 +76,34 @@ class RewriteEquivalenceSpec extends EngineSuite {
     val u = spark.sql("SELECT uuid() AS u").collect().head.getString(0)
     assert(u.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
   }
+
+  // --- plan-visible rewrites (the §4.1 rules Catalyst applies natively;
+  // pinned on the optimized plan so a conf regression trips the suite)
+
+  test("constant folding happens at plan time (FoldConstantsRule.java:26-63)") {
+    // over a parquet-backed table so the relation itself can't fold away
+    QuerySpec.prepared(spark, sfDir)
+    val p = spark.sql("SELECT n_nationkey + (1 + 2) AS v FROM nation")
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("+ 3)") && !p.contains("(1 + 2)"),
+      s"constants not folded:\n$p")
+  }
+
+  test("common conjunct extracted from a disjunction (ExtractCommonConjunctRule.java:30-102)") {
+    QuerySpec.prepared(spark, sfDir)
+    val p = spark.sql(
+      """SELECT n_name FROM nation
+        |WHERE (n_nationkey > 5 AND n_name = 'a') OR (n_nationkey > 5 AND n_name = 'b')""".stripMargin)
+      .queryExecution.optimizedPlan.toString
+    // (a&b)|(a&c) → a&(b|c): the common n_nationkey > 5 appears once
+    val n = "> 5".r.findAllIn(p).size
+    assert(n == 1, s"common conjunct not extracted ($n occurrences):\n$p")
+  }
+
+  test("constant-false predicate folds the whole relation away (replaceExistsPredicate analogue)") {
+    QuerySpec.prepared(spark, sfDir)
+    val p = spark.sql("SELECT n_name FROM nation WHERE NULL AND n_nationkey > 5")
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("LocalRelation <empty>"), s"null-false filter not folded:\n$p")
+  }
 }
