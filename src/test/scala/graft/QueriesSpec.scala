@@ -25,10 +25,19 @@ class QueriesSpec extends EngineSuite {
     assert(noOracle.size <= 10, s"too many rows-only queries: $noOracle")
   }
 
+  /** The cross-join operator itself is the only query allowed to plan a
+    * cartesian product — anywhere else one appears it is a scale bug
+    * (the anti-pattern sweep, run per-query so a future query can't
+    * slip one in unpinned). */
+  private val mayCartesian = Set("q17_join_cross")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, sfDir)
       assert(df.schema.nonEmpty)
+      if (!mayCartesian(name))
+        assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+          s"$name plans a cartesian product")
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
