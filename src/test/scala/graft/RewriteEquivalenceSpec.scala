@@ -77,6 +77,33 @@ class RewriteEquivalenceSpec extends EngineSuite {
     assert(u.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
   }
 
+  test("percent_rank/cume_dist ≡ rank/count arithmetic (AnalyticExpr.java:239-341)") {
+    // the reference rewrites these to arithmetic over rank()/count()
+    // windows at analysis time; Spark executes them natively — pin the
+    // equivalence the rewrite depends on
+    same(
+      "SELECT id, percent_rank() OVER (ORDER BY k, id) AS pr FROM rw_t",
+      """SELECT id, CASE WHEN cnt = 1 THEN 0.0D
+        |  ELSE CAST(rnk - 1 AS DOUBLE) / (cnt - 1) END AS pr
+        |FROM (SELECT id, RANK() OVER (ORDER BY k, id) AS rnk,
+        |             COUNT(*) OVER () AS cnt FROM rw_t) t""".stripMargin)
+    same(
+      "SELECT id, cume_dist() OVER (ORDER BY k) AS cd FROM rw_t",
+      """SELECT id, CAST(cr AS DOUBLE) / cnt AS cd
+        |FROM (SELECT id,
+        |        COUNT(*) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+        |                       AND CURRENT ROW) AS cr,
+        |        COUNT(*) OVER () AS cnt FROM rw_t) t""".stripMargin)
+  }
+
+  test("last_value ≡ first_value over the reversed window (AnalyticExpr.java:544-778)") {
+    same(
+      """SELECT id, last_value(k) OVER (ORDER BY id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v FROM rw_t""".stripMargin,
+      """SELECT id, first_value(k) OVER (ORDER BY id DESC
+        |ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v FROM rw_t""".stripMargin)
+  }
+
   // --- plan-visible rewrites (the §4.1 rules Catalyst applies natively;
   // pinned on the optimized plan so a conf regression trips the suite)
 
