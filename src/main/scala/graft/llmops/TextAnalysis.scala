@@ -493,7 +493,12 @@ object TextAnalysis {
     * weighted by word frequency, the argmax pair (ties by pair text) is
     * merged corpus-wide via non-overlapping left-to-right replace (the
     * greedy BPE application order), and the count repeats on the merged
-    * sequences. Emits the top-5 pairs of each round. Scale shape: pair
+    * sequences. Emits the top-5 pairs of each round. Symbols are joined
+    * with DOUBLE spaces (pair pattern ' a  b ', replacement ' ab '): with
+    * single spaces, adjacent occurrences share the delimiting space and
+    * left-to-right replace skips every second merge site ('b a n a n a'
+    * would become 'b a na n a' instead of 'b a na na'), diverging from
+    * Sennrich's re.sub over symbol boundaries. Scale shape: pair
     * counting is one shuffle over the DISTINCT word vocabulary (corpus
     * frequency is carried as a weight, so the fact table is scanned once
     * for the vocab build and never again); each merge is a broadcast of
@@ -505,10 +510,10 @@ object TextAnalysis {
         if (spark) "SELECT explode(split(text, ' ')) AS word FROM documents"
         else "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
       val chars =
-        if (spark) "concat_ws(' ', regexp_extract_all(word, '.', 0))"
-        else "array_to_string(regexp_extract_all(word, '.'), ' ')"
+        if (spark) "concat_ws('  ', regexp_extract_all(word, '.', 0))"
+        else "array_to_string(regexp_extract_all(word, '.'), '  ')"
       def syms(src: String) =
-        if (spark) s"split(trim($src), ' ')" else s"string_split(trim($src), ' ')"
+        if (spark) s"split(trim($src), '  ')" else s"string_split(trim($src), '  ')"
       def pairs(rel: String): String =
         if (spark)
           s"""SELECT pair, SUM(n) AS cnt
@@ -538,7 +543,7 @@ object TextAnalysis {
          |       FROM p1),
          |m1 AS (SELECT pair FROM r1 WHERE rnk = 1),
          |s1 AS (SELECT word, n,
-         |         replace(seq, ' ' || m1.pair || ' ',
+         |         replace(seq, ' ' || replace(m1.pair, ' ', '  ') || ' ',
          |                 ' ' || replace(m1.pair, ' ', '') || ' ') AS seq
          |       FROM s0 CROSS JOIN m1),
          |p2 AS (
@@ -586,35 +591,41 @@ object TextAnalysis {
         |        (4, 'http://example.com/a/b'),
         |        (5, 'https://example.com/a/b?fbclid=abc&gclid=def'),
         |        (6, 'https://other.org/x?z=26&y=25'),
-        |        (7, 'https://other.org/x?y=25&z=26')) AS t(id, url)""".stripMargin
+        |        (7, 'https://other.org/x?y=25&z=26'),
+        |        (8, 'http://example.com:443/a/b'),
+        |        (9, 'https://example.com:80/a/b')) AS t(id, url)""".stripMargin
     def text(spark: Boolean): String = {
-      // dialect helpers: split/filter/sort/join over the query params
+      // dialect helpers: split/filter/sort/join over the query params.
+      // Only the SCHEME'S OWN default port is dropped (http→80,
+      // https→443): http://host:443/x and https://host:80/x are
+      // distinct origins and must keep their explicit port.
+      val portKeep =
+        """port != '' AND NOT (scheme = 'http' AND port = '80')
+          |            AND NOT (scheme = 'https' AND port = '443')""".stripMargin
       def canon(spark: Boolean): String =
         if (spark)
-          """concat(
-            |  lower(regexp_extract(u, '^([a-zA-Z]+)://', 1)), '://',
-            |  lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)),
-            |  CASE WHEN regexp_extract(u, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1)
-            |            NOT IN ('', '80', '443')
-            |       THEN concat(':', regexp_extract(u, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1))
-            |       ELSE '' END,
-            |  CASE WHEN path = '/' THEN '/'
-            |       ELSE regexp_replace(path, '/$', '') END,
-            |  CASE WHEN size(params) > 0
-            |       THEN concat('?', array_join(array_sort(params), '&'))
-            |       ELSE '' END)""".stripMargin
+          s"""concat(
+             |  scheme, '://',
+             |  lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)),
+             |  CASE WHEN $portKeep
+             |       THEN concat(':', port)
+             |       ELSE '' END,
+             |  CASE WHEN path = '/' THEN '/'
+             |       ELSE regexp_replace(path, '/$$', '') END,
+             |  CASE WHEN size(params) > 0
+             |       THEN concat('?', array_join(array_sort(params), '&'))
+             |       ELSE '' END)""".stripMargin
         else
-          """lower(regexp_extract(u, '^([a-zA-Z]+)://', 1)) || '://' ||
-            |  lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)) ||
-            |  CASE WHEN regexp_extract(u, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1)
-            |            NOT IN ('', '80', '443')
-            |       THEN ':' || regexp_extract(u, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1)
-            |       ELSE '' END ||
-            |  CASE WHEN path = '/' THEN '/'
-            |       ELSE regexp_replace(path, '/$', '') END ||
-            |  CASE WHEN len(params) > 0
-            |       THEN '?' || array_to_string(list_sort(params), '&')
-            |       ELSE '' END""".stripMargin
+          s"""scheme || '://' ||
+             |  lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)) ||
+             |  CASE WHEN $portKeep
+             |       THEN ':' || port
+             |       ELSE '' END ||
+             |  CASE WHEN path = '/' THEN '/'
+             |       ELSE regexp_replace(path, '/$$', '') END ||
+             |  CASE WHEN len(params) > 0
+             |       THEN '?' || array_to_string(list_sort(params), '&')
+             |       ELSE '' END""".stripMargin
       // exact substr prefix tests, not LIKE: Spark default-escapes \_ in
       // LIKE patterns but DuckDB's LIKE has no default escape character
       val paramsExpr =
@@ -632,7 +643,10 @@ object TextAnalysis {
       s"""SELECT id, canonical,
          |  CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT) AS group_size
          |FROM (SELECT id, ${canon(spark)} AS canonical
-         |      FROM (SELECT id, url AS u, $pathExpr AS path, $paramsExpr AS params
+         |      FROM (SELECT id, url AS u,
+         |              lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+         |              regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+         |              $pathExpr AS path, $paramsExpr AS params
          |            FROM $fixture) parsed) c
          |ORDER BY id""".stripMargin
     }

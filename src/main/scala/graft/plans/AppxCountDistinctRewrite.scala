@@ -23,11 +23,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Opt-in and inert by default, like [[RangeBucketJoinRewrite]]; applied
   * through the same two paths (session-attached extraOptimizations and
-  * GraftExtensions.injectOptimizerRule). In the extraOptimizations
-  * position the rule runs after RewriteDistinctAggregates, so it sees —
-  * and rewrites — the dominant single-distinct-group shape; queries
-  * with multiple distinct groups have already been expanded and keep
-  * their exact semantics. */
+  * GraftExtensions.injectOptimizerRule). The two paths see different
+  * plan states: extraOptimizations runs after
+  * RewriteDistinctAggregates (multi-group queries already expanded),
+  * while the extensions hook runs inside the Operator Optimization
+  * batch BEFORE it. So the rule skips any Aggregate carrying more than
+  * one distinct-argument group — otherwise the same query would be
+  * exact on one wiring and approximate on the other. The reference has
+  * no such split (its rewrite targets each FunctionCallExpr in
+  * isolation), so single-group-only is the conservative intersection
+  * of both semantics. */
 object AppxCountDistinctRewrite extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.appxCountDistinct"
@@ -39,7 +44,7 @@ object AppxCountDistinctRewrite extends Rule[LogicalPlan] {
   def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transform {
-      case agg: Aggregate =>
+      case agg: Aggregate if distinctGroups(agg) <= 1 =>
         agg.transformExpressions {
           case ae @ AggregateExpression(Count(children), _, true, _, _)
               if children.size == 1 =>
@@ -47,4 +52,13 @@ object AppxCountDistinctRewrite extends Rule[LogicalPlan] {
               isDistinct = false)
         }
     }
+
+  /** Distinct-argument groups, as RewriteDistinctAggregates groups them:
+    * one per unique distinct-aggregate child set (with a filter treated
+    * as its own group, matching that rule's expand-keying). */
+  private def distinctGroups(agg: Aggregate): Int =
+    agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression if ae.isDistinct =>
+        (ae.aggregateFunction.children.map(_.canonicalized).toSet, ae.filter.map(_.canonicalized))
+    }).distinct.size
 }

@@ -274,13 +274,26 @@ class LlmOpsSpec extends EngineSuite {
     assert(stats.filter(col("n_dup_tokens") > col("n_tokens")).count() == 0)
   }
 
-  test("q161 SQ8 ANN: top-5 after re-rank equals brute-force top-5") {
+  test("q161 SQ8 ANN: per-query recall@5 vs brute force >= 4/5") {
+    // NOT exact equality: int8 quantization error can legitimately push
+    // a true top-5 neighbor out of the approximate top-20 candidate
+    // pool, so a fixture change must not flip a correct implementation
+    // into a failure. The recall CONTRACT is >= 4/5 per query (on the
+    // current fixture it happens to be 5/5).
     val brute = SparkEntry.queries("q85_ann_brute_topk")(spark, sfDir)
       .filter(col("rank") <= 5)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
     val sq = SparkEntry.queries("q161_ann_int8_quant")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(sq == brute, s"SQ8 recall@5 ${((brute & sq).size)}/${brute.size}")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(sq.keySet == brute.keySet, s"query sets differ: ${sq.keySet} vs ${brute.keySet}")
+    brute.foreach { case (q, ids) =>
+      val got = sq(q)
+      assert(got.size == ids.size, s"query $q returned ${got.size} of ${ids.size}")
+      val recall = (ids & got).size
+      assert(recall >= 4, s"query $q recall@5 $recall/${ids.size}")
+    }
   }
 
   test("q164 SemDeDup: kept set has no within-cluster θ-pair; removals point at lower kept-or-removed ids") {
@@ -335,10 +348,23 @@ class LlmOpsSpec extends EngineSuite {
       s"round-2 max ${r2.head} exceeds round-1 max ${r1.head}")
   }
 
+  test("q163 BPE merge kernel: adjacent occurrences all merge (double-space sentinel)") {
+    // the Sennrich divergence the advisor flagged: with single-space
+    // separators, 'b a n a n a' + merge 'n a' yields 'b a na n a'
+    // (adjacent matches share the delimiting space); the double-space
+    // sentinel form must merge BOTH sites
+    val r = spark.sql(
+      """SELECT split(trim(replace(s, ' ' || replace(p, ' ', '  ') || ' ',
+        |                          ' ' || replace(p, ' ', '') || ' ')), '  ') AS syms
+        |FROM (SELECT ' b  a  n  a  n  a ' AS s, 'n a' AS p)""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(r == Seq("b", "a", "na", "na"), r.mkString("|"))
+  }
+
   test("q166 URL canonicalization groups tracking-param/port/case variants, keeps real params apart") {
     val out = SparkEntry.queries("q166_text_url_canonicalize")(spark, sfDir)
       .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
-    assert(out.size == 7)
+    assert(out.size == 9)
     // utm-stripped + sorted params == the plain form; default port + case
     // + trailing slash collapse; tracking-only query == no query; but a
     // REAL query string must never merge with the bare URL
@@ -346,6 +372,11 @@ class LlmOpsSpec extends EngineSuite {
     assert(out(3)._1 == out(4)._1 && out(3)._2 == 2)
     assert(out(5)._2 == 1 && out(5)._1 != out(1)._1 && out(5)._1 != out(3)._1)
     assert(out(6)._1 == out(7)._1 && out(6)._2 == 2)
+    // only the scheme's OWN default port is dropped: http://…:443 and
+    // https://…:80 are distinct origins — the port survives and neither
+    // merges with the portless forms
+    assert(out(8)._1 == "http://example.com:443/a/b" && out(8)._2 == 1, out(8).toString)
+    assert(out(9)._1 == "https://example.com:80/a/b" && out(9)._2 == 1, out(9).toString)
   }
 
   test("q162 unigram LM: flag is consistent with the rounded score and splits the corpus") {

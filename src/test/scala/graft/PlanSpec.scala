@@ -370,7 +370,52 @@ class PlanSpec extends EngineSuite {
       // multi-argument COUNT(DISTINCT a, b) stays exact, as the
       // reference skips getParams().size() != 1
       assert(!optimized(multi).contains("approx_count_distinct"), optimized(multi))
+      // multiple distinct GROUPS stay exact too — load-bearing on the
+      // extensions path, where the rule runs before
+      // RewriteDistinctAggregates and would otherwise see (and
+      // approximate) both groups pre-expansion
+      val twoGroups =
+        "SELECT COUNT(DISTINCT c_nationkey) AS a, COUNT(DISTINCT c_mktsegment) AS b FROM customer"
+      val pg = optimized(twoGroups)
+      assert(!pg.contains("approx_count_distinct"), pg)
     } finally spark.conf.unset(graft.plans.AppxCountDistinctRewrite.EnabledKey)
+  }
+
+  test("appx_count_distinct via the extensions wiring matches the session-attached semantics") {
+    // The injectOptimizerRule hook lands the rule in the Operator
+    // Optimization batch BEFORE RewriteDistinctAggregates — without the
+    // single-group guard, COUNT(DISTINCT a), COUNT(DISTINCT b) would be
+    // approximated here but exact on the extraOptimizations path.
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val clean = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.engine.GraftExtensions())
+        .getOrCreate()
+      clean.conf.set(graft.plans.AppxCountDistinctRewrite.EnabledKey, "true")
+      try {
+        clean.range(0, 100)
+          .selectExpr("id % 7 AS a", "id % 11 AS b")
+          .createOrReplaceTempView("g_appx_ext")
+        def opt(q: String) = clean.sql(q).queryExecution.optimizedPlan.toString
+        // single group: approximated on this path too
+        assert(opt("SELECT COUNT(DISTINCT a) AS n FROM g_appx_ext")
+          .contains("approx_count_distinct"))
+        // two groups: exact on this path too (the guard), and correct
+        val pg = opt("SELECT COUNT(DISTINCT a) AS x, COUNT(DISTINCT b) AS y FROM g_appx_ext")
+        assert(!pg.contains("approx_count_distinct"), pg)
+        val r = clean.sql("SELECT COUNT(DISTINCT a) AS x, COUNT(DISTINCT b) AS y FROM g_appx_ext")
+          .collect().head
+        assert(r.getLong(0) == 7L && r.getLong(1) == 11L, r.toString)
+      } finally clean.conf.unset(graft.plans.AppxCountDistinctRewrite.EnabledKey)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 
   test("q163 (BPE): merge rounds read the checkpointed vocab, never re-scan the corpus") {
