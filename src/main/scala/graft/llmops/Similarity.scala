@@ -407,6 +407,62 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Chunk→document embedding pooling: mean-pool the chunk vectors of
+    * each document, then L2-normalize the pooled vector — the standard
+    * reduction from passage embeddings to one retrieval vector per doc
+    * (and the preprocessing ANN indexes expect: unit norm makes cosine
+    * = dot). Chunks are grouped as vec_id DIV 10 (10 chunks/doc on the
+    * fixture).
+    *
+    * Determinism recipe (the q97 k-means pattern): per-dimension means
+    * are EXACT DECIMAL(27,18) sums divided as one IEEE double op, so no
+    * partitioning or engine can reorder them; the L2 norm is an
+    * element-IN-ORDER fold over the dim-sorted pooled array (double
+    * addition is not associative — a groupBy SUM over dims would be
+    * order-dependent across engines). Scale shape: ONE shuffle keyed
+    * (doc, dim) for the means, one (doc)-keyed assembly reusing the same
+    * hash partitioning — no corpus self-join, no collect. */
+  val q168PoolNormalize: QuerySpec = QuerySpec.sql2(
+    "q168_embed_pool_normalize",
+    """WITH x AS (
+      |  SELECT CAST(vec_id DIV 10 AS BIGINT) AS doc, pos AS dim, CAST(v AS DOUBLE) AS x
+      |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v),
+      |m AS (
+      |  SELECT doc, dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM x GROUP BY doc, dim),
+      |p AS (
+      |  SELECT doc, transform(array_sort(collect_list(struct(dim, m))), s -> s.m) AS pooled
+      |  FROM m GROUP BY doc),
+      |n AS (
+      |  SELECT doc, pooled,
+      |    sqrt(aggregate(pooled, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)) AS nrm
+      |  FROM p)
+      |SELECT doc, pos AS dim, ROUND(v / nrm, 6) AS unit
+      |FROM n LATERAL VIEW posexplode(pooled) t AS pos, v
+      |ORDER BY doc, dim""".stripMargin,
+    """WITH x AS (
+      |  SELECT CAST(vec_id // 10 AS BIGINT) AS doc, CAST(pos AS INT) AS dim,
+      |         CAST(embedding[pos + 1] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS pos
+      |        FROM embeddings) e),
+      |m AS (
+      |  SELECT doc, dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM x GROUP BY doc, dim),
+      |p AS (
+      |  SELECT doc, list(m ORDER BY dim) AS pooled
+      |  FROM m GROUP BY doc),
+      |n AS (
+      |  SELECT doc, pooled,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), pooled),
+      |                     (acc, v) -> acc + v * v)) AS nrm
+      |  FROM p)
+      |SELECT doc, CAST(pos AS INT) AS dim, ROUND(pooled[pos + 1] / nrm, 6) AS unit
+      |FROM (SELECT doc, pooled, nrm, unnest(range(len(pooled))) AS pos FROM n) u
+      |ORDER BY doc, dim""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
-    q85BruteTopK.benched, q86LshBucketed, q87IvfProbe, q149PqAdc, q161AnnInt8)
+    q85BruteTopK.benched, q86LshBucketed, q87IvfProbe, q149PqAdc, q161AnnInt8,
+    q168PoolNormalize)
 }

@@ -574,6 +574,124 @@ object TextAnalysis {
     }
   }
 
+  /** BPE tokenizer APPLICATION (encode) — the counterpart of [[q163BpeMerges]]:
+    * q163 LEARNS merges; this query APPLIES a pretrained, rank-ordered
+    * merge table to the corpus, the way a production pipeline tokenizes
+    * with a shipped tokenizer artifact. Per word, the encode loop is the
+    * standard greedy BPE: while any merge-table pair occurs in the word,
+    * apply the LOWEST-rank one (all its occurrences, via the same
+    * double-space sentinel replace as q163), then re-evaluate — later
+    * merges can re-enable earlier ranks (a rank-1 pair ('x','yz') only
+    * becomes adjacent after the rank-5 merge that builds 'yz'), so the
+    * loop runs to fixpoint, not one pass per rank.
+    *
+    * Scale shape: the corpus is scanned exactly ONCE (the word-vocab
+    * build, checkpointed); every encode round is a vocabulary-sized scan
+    * joined against the BROADCAST merge table (real tokenizers ship
+    * 32k-100k merges — a few MB, still broadcast-sized), and the round
+    * count is bounded by the max merges applicable within one word
+    * (≲ word length), never by corpus size. Emits the top-30 token
+    * frequencies after encoding (token counts weighted by word
+    * frequency — the fact table is never rejoined).
+    *
+    * The oracle replays the identical fixpoint as [[Rounds]] unrolled
+    * chained CTEs in DuckDB; LlmOpsSpec pins that the fixpoint is
+    * actually reached within [[Rounds]] (so the unrolled replay IS the
+    * full encode), that the 4-deep chain t a→ta b→tab l→tabl e fully
+    * re-fuses 'table', and that rank priority wins inside 'customer'. */
+  val q167BpeEncode: QuerySpec = {
+    // pretrained merge table (rank = priority, 1 highest): exercises
+    // chained merges (ranks 2-5 rebuild 'table'; 6-8 rebuild 'scan')
+    // and in-word priority (rank 1 'e r' beats rank 9 's t')
+    val merges = Seq(
+      "e r" -> 1, "t a" -> 2, "ta b" -> 3, "tab l" -> 4, "tabl e" -> 5,
+      "s c" -> 6, "a n" -> 7, "sc an" -> 8, "s t" -> 9, "o w" -> 10)
+    val Rounds = 8 // deepest chain in the table needs 4; ×2 headroom
+    val mergeValues = merges.map { case (p, r) => s"('$p', $r)" }.mkString(", ")
+    val oracleText: String = {
+      val sb = new StringBuilder
+      sb ++= s"""WITH m(pair, rank) AS (VALUES $mergeValues),
+                |w AS (SELECT word, COUNT(*) AS n
+                |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) x
+                |      WHERE word != '' GROUP BY word),
+                |s0 AS (SELECT word, n,
+                |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seq
+                |       FROM w)""".stripMargin
+      for (r <- 0 until Rounds) {
+        sb ++= s""",
+                  |a$r AS (
+                  |  SELECT word, pair FROM (
+                  |    SELECT t.word, m.pair,
+                  |      ROW_NUMBER() OVER (PARTITION BY t.word ORDER BY m.rank) AS rn
+                  |    FROM (SELECT word, unnest(list_transform(range(len(ss) - 1),
+                  |            i -> ss[i + 1] || ' ' || ss[i + 2])) AS pair
+                  |          FROM (SELECT word, string_split(trim(seq), '  ') AS ss FROM s$r) q) t
+                  |    JOIN m ON m.pair = t.pair) z
+                  |  WHERE rn = 1),
+                  |s${r + 1} AS (
+                  |  SELECT s.word, s.n,
+                  |    CASE WHEN a.pair IS NULL THEN s.seq
+                  |         ELSE replace(s.seq, ' ' || replace(a.pair, ' ', '  ') || ' ',
+                  |                      ' ' || replace(a.pair, ' ', '') || ' ') END AS seq
+                  |  FROM s$r s LEFT JOIN a$r a USING (word))""".stripMargin
+      }
+      sb ++= s"""
+                |SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
+                |  SELECT token, SUM(n) AS cnt,
+                |         ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, token) AS rnk
+                |  FROM (SELECT unnest(string_split(trim(seq), '  ')) AS token, n FROM s$Rounds) t
+                |  GROUP BY token) z
+                |WHERE rnk <= 30 ORDER BY rnk""".stripMargin
+      sb.toString
+    }
+    QuerySpec("q167_text_bpe_encode", oracleText) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      import org.apache.spark.sql.functions.{broadcast, col, explode, expr, min, struct, when}
+      import sp.implicits._
+      val mdf = merges.toDF("pair", "rank")
+      // the ONLY corpus scan (vocab build), checkpointed as in q163
+      var state = sp.sql(
+        """SELECT word, n,
+          |  concat(' ', concat_ws('  ', regexp_extract_all(word, '.', 0)), ' ') AS seq
+          |FROM (SELECT word, COUNT(*) AS n
+          |      FROM (SELECT explode(split(text, ' ')) AS word FROM documents) x
+          |      WHERE word != '' GROUP BY word) w""".stripMargin)
+        .localCheckpoint()
+      for (_ <- 1 to Rounds) {
+        // per word: the lowest-rank merge-table pair present in its
+        // current symbol sequence (broadcast join, vocab-sized)
+        val applicable = state
+          .select(col("word"), expr("split(trim(seq), '  ')").as("ss"))
+          .select(col("word"), explode(expr(
+            """CASE WHEN size(ss) >= 2
+              |     THEN transform(sequence(0, size(ss) - 2),
+              |            i -> concat(ss[i], ' ', ss[i + 1]))
+              |     ELSE array() END""".stripMargin)).as("pair"))
+          .join(broadcast(mdf), "pair")
+          .groupBy("word").agg(min(struct(col("rank"), col("pair"))).as("mp"))
+          .select(col("word"), col("mp.pair").as("pair"))
+        // checkpoint per round: keeps the plan linear (state is consumed
+        // by BOTH the applicable-join and the next round) and the state
+        // is vocabulary-sized
+        state = state.join(applicable, Seq("word"), "left")
+          .withColumn("seq", when(col("pair").isNull, col("seq"))
+            .otherwise(expr(
+              """replace(seq, concat(' ', replace(pair, ' ', '  '), ' '),
+                |             concat(' ', replace(pair, ' ', ''), ' '))""".stripMargin)))
+          .select("word", "n", "seq")
+          .localCheckpoint()
+      }
+      state.createOrReplaceTempView("g_bpe_encoded")
+      sp.sql(
+        """SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
+          |  SELECT token, SUM(n) AS cnt,
+          |         ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, token) AS rnk
+          |  FROM (SELECT explode(split(trim(seq), '  ')) AS token, n FROM g_bpe_encoded) t
+          |  GROUP BY token) z
+          |WHERE rnk <= 30 ORDER BY rnk""".stripMargin)
+    }
+  }
+
   /** URL canonicalization — the normalization a web-corpus dedup keys
     * on (the "canonical URL" of crawl pipelines): lowercase scheme and
     * host, strip the fragment, drop default ports, remove tracking
@@ -658,5 +776,5 @@ object TextAnalysis {
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
     q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
     q158ChunkOverlap, q159PiiRedact, q160SubstringDedup, q162UnigramLm,
-    q163BpeMerges, q166UrlCanonicalize)
+    q163BpeMerges, q166UrlCanonicalize, q167BpeEncode)
 }

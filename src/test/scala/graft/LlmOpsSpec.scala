@@ -296,6 +296,19 @@ class LlmOpsSpec extends EngineSuite {
     }
   }
 
+  test("q168 pooled doc embeddings are unit-norm and cover every (doc, dim)") {
+    val out = SparkEntry.queries("q168_embed_pool_normalize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val docs = out.groupBy(_._1)
+    assert(docs.size == 50 && out.length == 50 * 64, s"${docs.size} docs, ${out.length} rows")
+    docs.foreach { case (d, xs) =>
+      assert(xs.map(_._2).sorted.toSeq == (0 until 64), s"doc $d dims incomplete")
+      // L2-normalized output: sum of squares ≈ 1 (values rounded to 6dp)
+      val n2 = xs.map(x => x._3 * x._3).sum
+      assert(math.abs(n2 - 1.0) < 1e-4, s"doc $d norm^2 = $n2")
+    }
+  }
+
   test("q164 SemDeDup: kept set has no within-cluster θ-pair; removals point at lower kept-or-removed ids") {
     QuerySpec.prepared(spark, sfDir)
     val removed = SparkEntry.queries("q164_dedup_semantic")(spark, sfDir)
@@ -359,6 +372,38 @@ class LlmOpsSpec extends EngineSuite {
         |FROM (SELECT ' b  a  n  a  n  a ' AS s, 'n a' AS p)""".stripMargin)
       .collect().head.getSeq[String](0)
     assert(r == Seq("b", "a", "na", "na"), r.mkString("|"))
+  }
+
+  test("q167 BPE encode: fixpoint reached, chained merges fuse 'table', rank priority holds") {
+    val out = SparkEntry.queries("q167_text_bpe_encode")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 30 && out.map(_._1).toSeq == (1 to 30))
+    // counts non-increasing in rank
+    assert(out.sliding(2).forall(p => p.head._3 >= p.last._3))
+    // the run leaves the encoded vocabulary behind as g_bpe_encoded:
+    // 1) FIXPOINT — no merge-table pair survives in any final sequence,
+    //    so the bounded unrolling IS the full greedy encode
+    val leftover = spark.sql(
+      """SELECT pair FROM (
+        |  SELECT explode(CASE WHEN size(ss) >= 2
+        |           THEN transform(sequence(0, size(ss) - 2),
+        |                  i -> concat(ss[i], ' ', ss[i + 1]))
+        |           ELSE array() END) AS pair
+        |  FROM (SELECT split(trim(seq), '  ') AS ss FROM g_bpe_encoded) q) p
+        |WHERE pair IN ('e r','t a','ta b','tab l','tabl e','s c','a n','sc an','s t','o w')
+        |""".stripMargin).count()
+    assert(leftover == 0, s"$leftover applicable pairs survive the unrolled rounds")
+    // 2) the 4-deep chain re-fuses 'table' into one token
+    val table = spark.sql("SELECT trim(seq) FROM g_bpe_encoded WHERE word = 'table'")
+      .collect().head.getString(0)
+    assert(table == "table", s"chain did not fully fuse: '$table'")
+    // 3) priority: in 'customer', rank-1 'e r' and rank-9 's t' both
+    //    apply and nothing else does — final symbols c|u|st|o|m|er
+    val cust = spark.sql("SELECT split(trim(seq), '  ') FROM g_bpe_encoded WHERE word = 'customer'")
+      .collect().head.getSeq[String](0)
+    assert(cust == Seq("c", "u", "st", "o", "m", "er"), cust.mkString("|"))
+    // and the fused tokens surface in the frequency table
+    assert(out.exists(_._2 == "table") && out.exists(_._2 == "er"), out.map(_._2).mkString(","))
   }
 
   test("q166 URL canonicalization groups tracking-param/port/case variants, keeps real params apart") {

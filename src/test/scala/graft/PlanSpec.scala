@@ -428,6 +428,16 @@ class PlanSpec extends EngineSuite {
     assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
   }
 
+  test("q167 (BPE encode): the final plan never re-scans the corpus") {
+    // the vocab build is the only documents scan (checkpointed); every
+    // encode round and the final frequency agg read vocabulary-sized
+    // checkpointed state
+    val p = plan("q167_text_bpe_encode")
+    assert(!p.contains("documents.parquet"),
+      "an encode round re-scanned the corpus: " + p)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
+  }
+
   test("q147 (interval bucket join): pure hash join, no nested loop") {
     val p = plan("q147_join_interval_bucket")
     assert(p.contains("BroadcastHashJoin"), p)
