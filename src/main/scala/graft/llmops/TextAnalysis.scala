@@ -692,6 +692,42 @@ object TextAnalysis {
     }
   }
 
+  /** Model-based quality filtering — the classifier-inference stage of a
+    * modern corpus pipeline (fastText/DCLM/FineWeb-Edu style): each doc
+    * gets a feature vector, the dot product with a broadcast weight
+    * vector is the quality logit, and the corpus is filtered on the
+    * score. Inference is pure map-side dataflow — zero shuffles at any
+    * scale; a real model only widens the feature row and weight vector.
+    *
+    * Features (all deterministic ratios): ln(1+word count), average word
+    * length, type-token ratio, stopword fraction. The keep decision
+    * thresholds the LOGIT, not sigmoid(logit) — sigmoid is monotone, so
+    * the filter is identical, and skipping exp() keeps the arithmetic
+    * engine-portable (libm exp differs in the last ulp across engines;
+    * +, *, / and ln over these well-separated values do not flip the
+    * sign: the closest logit to 0 on the fixture is 3.7e-4). */
+  val q169ModelQuality: QuerySpec = {
+    def text(spark: Boolean): String = {
+      def words = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+      def nWords = if (spark) s"size($words)" else s"len($words)"
+      def nDistinct =
+        if (spark) s"size(array_distinct($words))" else s"len(list_distinct($words))"
+      def nStop =
+        if (spark) s"size(filter($words, w -> w = 'the' OR w = 'a'))"
+        else s"len(list_filter($words, w -> w = 'the' OR w = 'a'))"
+      s"""SELECT doc_id, lang, ROUND(z, 6) AS score, (z > 0) AS kept
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    -4.6 + 0.5 * ln(1 + $nWords)
+         |    + 0.4 * CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nWords
+         |    + 1.2 * CAST($nDistinct AS DOUBLE) / $nWords
+         |    + 3.0 * CAST($nStop AS DOUBLE) / $nWords AS z
+         |  FROM documents) f
+         |ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q169_text_model_quality", text(spark = true), text(spark = false))
+  }
+
   /** URL canonicalization — the normalization a web-corpus dedup keys
     * on (the "canonical URL" of crawl pipelines): lowercase scheme and
     * host, strip the fragment, drop default ports, remove tracking
@@ -776,5 +812,5 @@ object TextAnalysis {
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
     q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
     q158ChunkOverlap, q159PiiRedact, q160SubstringDedup, q162UnigramLm,
-    q163BpeMerges, q166UrlCanonicalize, q167BpeEncode)
+    q163BpeMerges, q166UrlCanonicalize, q167BpeEncode, q169ModelQuality)
 }

@@ -424,6 +424,19 @@ class LlmOpsSpec extends EngineSuite {
     assert(out(9)._1 == "https://example.com:80/a/b" && out(9)._2 == 1, out(9).toString)
   }
 
+  test("q169 model quality filter: kept flag matches the logit sign and splits the corpus") {
+    val out = SparkEntry.queries("q169_text_model_quality")(spark, sfDir).collect()
+    out.foreach { r =>
+      val z = r.getDouble(r.fieldIndex("score"))
+      val kept = r.getBoolean(r.fieldIndex("kept"))
+      // rounded score and full-precision flag must agree: the fixture's
+      // closest logit to 0 is ~3.7e-4, far above 6dp rounding error
+      assert(kept == (z > 0), s"doc ${r.getLong(0)}: score $z but kept=$kept")
+    }
+    val n = out.count(_.getBoolean(3))
+    assert(n > 0 && n < out.length, s"filter does not split the corpus ($n/${out.length})")
+  }
+
   test("q162 unigram LM: flag is consistent with the rounded score and splits the corpus") {
     val out = SparkEntry.queries("q162_text_unigram_lm")(spark, sfDir).collect()
     out.foreach { r =>

@@ -438,6 +438,17 @@ class PlanSpec extends EngineSuite {
     assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
   }
 
+  test("q169 (model quality): classifier inference is map-side — no exchange below the sort") {
+    // the scoring pass must not shuffle: one scan, per-row feature
+    // arithmetic, filter on the logit; the only exchange allowed is the
+    // final presentation ORDER BY
+    val p = plan("q169_text_model_quality")
+    val body = p.substring(p.indexOf("Sort") max 0)
+    assert("Exchange".r.findAllIn(body).size <= 1,
+      "classifier inference shuffled before the presentation sort: " + p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("q147 (interval bucket join): pure hash join, no nested loop") {
     val p = plan("q147_join_interval_bucket")
     assert(p.contains("BroadcastHashJoin"), p)
