@@ -706,25 +706,33 @@ object TextAnalysis {
     * engine-portable (libm exp differs in the last ulp across engines;
     * +, *, / and ln over these well-separated values do not flip the
     * sign: the closest logit to 0 on the fixture is 3.7e-4). */
+  private def qualityLogit(spark: Boolean): String = {
+    def words = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+    def nWords = if (spark) s"size($words)" else s"len($words)"
+    def nDistinct =
+      if (spark) s"size(array_distinct($words))" else s"len(list_distinct($words))"
+    def nStop =
+      if (spark) s"size(filter($words, w -> w = 'the' OR w = 'a'))"
+      else s"len(list_filter($words, w -> w = 'the' OR w = 'a'))"
+    s"""-4.6 + 0.5 * ln(1 + $nWords)
+       |    + 0.4 * CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nWords
+       |    + 1.2 * CAST($nDistinct AS DOUBLE) / $nWords
+       |    + 3.0 * CAST($nStop AS DOUBLE) / $nWords""".stripMargin
+  }
+
+  /** Spark-dialect quality logit over a `text` column — the single
+    * source of truth shared by q169 and the streaming curation twin
+    * (graft.streaming.EventStreams.curated). */
+  val qualityLogitSql: String = qualityLogit(spark = true)
+
   val q169ModelQuality: QuerySpec = {
-    def text(spark: Boolean): String = {
-      def words = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
-      def nWords = if (spark) s"size($words)" else s"len($words)"
-      def nDistinct =
-        if (spark) s"size(array_distinct($words))" else s"len(list_distinct($words))"
-      def nStop =
-        if (spark) s"size(filter($words, w -> w = 'the' OR w = 'a'))"
-        else s"len(list_filter($words, w -> w = 'the' OR w = 'a'))"
+    def text(spark: Boolean): String =
       s"""SELECT doc_id, lang, ROUND(z, 6) AS score, (z > 0) AS kept
          |FROM (
          |  SELECT doc_id, lang,
-         |    -4.6 + 0.5 * ln(1 + $nWords)
-         |    + 0.4 * CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nWords
-         |    + 1.2 * CAST($nDistinct AS DOUBLE) / $nWords
-         |    + 3.0 * CAST($nStop AS DOUBLE) / $nWords AS z
+         |    ${qualityLogit(spark)} AS z
          |  FROM documents) f
          |ORDER BY doc_id""".stripMargin
-    }
     QuerySpec.sql2("q169_text_model_quality", text(spark = true), text(spark = false))
   }
 

@@ -99,6 +99,26 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus curation — the streaming twin of the release
+    * pipeline's gate stages (q165's quality gate + exact dedup, scored
+    * by q169's classifier): each arriving document is scored map-side
+    * (stateless — the logit is the same shared expression q169 uses, so
+    * stream and batch can never disagree), sub-threshold docs are
+    * dropped, and survivors pass an exact-dedup gate keyed on the
+    * normalized content (lowercase + whitespace collapse, the q80 key).
+    * dropDuplicatesWithinWatermark keeps dedup state bounded by
+    * arrival rate × watermark horizon, so the pipeline runs forever;
+    * a full-history dedup belongs in the periodic batch compaction
+    * (q151 incremental dedup), not in stream state. */
+  def curated(docs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("z", expr(graft.llmops.TextAnalysis.qualityLogitSql))
+      .filter(col("z") > 0)
+      .withColumn("content_key", expr("regexp_replace(lower(text), ' +', ' ')"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_key")
+      .select(col("doc_id"), col("lang"), round(col("z"), 6).as("score"))
+
   /** Streaming near-dup probe — the streaming twin of incremental
     * delta-vs-corpus dedup (q151): a document stream is shingled, MinHash-
     * signed and band-keyed PER ROW (all map-side, codegen'd expressions),

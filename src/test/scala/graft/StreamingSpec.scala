@@ -10,6 +10,9 @@ import graft.streaming.EventStreams.Event
   * so the product encoder derives cleanly). */
 final case class DocRow(doc_id: Long, text: String)
 
+/** MemoryStream row type for the streaming curation parity test. */
+final case class IngestDoc(doc_id: Long, text: String, lang: String, ts: Timestamp)
+
 /** Streaming parity: the Structured Streaming operators produce the same
   * answers as their batch twins. */
 class StreamingSpec extends EngineSuite {
@@ -249,5 +252,45 @@ class StreamingSpec extends EngineSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(verified.subsetOf(streamed),
       s"probe missed verified pairs: ${verified -- streamed}")
+  }
+
+  test("curated: quality gate + dedup keeps exactly the good, first-seen docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    QuerySpec.prepared(s, sfDir) // registers the engine functions
+
+    val good1 =
+      "the distributed warehouse pipeline delivers a consistent throughput across analytics clusters"
+    val good2 =
+      "the orchestration framework schedules a resilient ingestion workload over partitioned storage"
+    val bad = "x x x x x x x x" // logit ≈ -2.95
+    val mem = MemoryStream[IngestDoc]
+    val q = EventStreams.curated(mem.toDF())
+      .writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        IngestDoc(1, good1, "en", ts(10)),
+        IngestDoc(2, bad, "en", ts(11))) // dropped: below threshold
+      q.processAllAvailable()
+      // second micro-batch: the dup arrives AFTER doc 1 is in dedup
+      // state (uppercased — it passes the quality gate with a different
+      // logit, so only the normalized-content dedup can drop it)
+      mem.addData(
+        IngestDoc(3, good1.toUpperCase, "en", ts(12)),
+        IngestDoc(4, good2, "en", ts(13)),
+        IngestDoc(5, "scan scan scan scan scan scan", "en", ts(14))) // below threshold
+      q.processAllAvailable()
+    } finally { q.stop() }
+    val out = s.table("curated_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 4L), s"kept ${out.keySet}")
+    // the stream scores are the SAME shared expression q169 applies in
+    // batch — recompute through the batch SQL path and compare exactly
+    val batchScores = Seq((1L, good1), (4L, good2)).toDF("doc_id", "text")
+      .selectExpr("doc_id", s"ROUND(${graft.llmops.TextAnalysis.qualityLogitSql}, 6) AS z")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == batchScores, s"stream $out vs batch $batchScores")
   }
 }
