@@ -122,6 +122,42 @@ object Sharding {
        |GROUP BY r.source
        |ORDER BY r.source""".stripMargin)
 
+  /** Temperature-weighted mixing — the τ knob of multilingual training
+    * mixes (mT5, PaLM): sampled size per language ∝ n_s^τ, flattening
+    * the natural distribution toward uniform as τ → 0 (the fixture's
+    * languages are size-skewed, en ≈ 3× fr, unlike its uniform
+    * sources). Rates are DERIVED from the observed sizes, anchored
+    * so the smallest language is kept whole (downsample-only — no
+    * replacement): rate_s = sqrt(min_n / n_s) at τ = 0.5. sqrt (not
+    * pow) on purpose: IEEE 754 requires sqrt be correctly rounded, so
+    * the rate — and therefore every keep decision — is bit-identical
+    * across engines; pow/exp carry last-ulp variance. Row selection is
+    * the frozen multiplicative hash of doc_id (the q130/q135 recipe):
+    * re-running, re-partitioning, or growing the corpus never flips an
+    * existing doc's fate. Scale shape: one tiny per-source agg
+    * broadcast back over one corpus scan — no corpus shuffle. */
+  val q170TemperatureMix: QuerySpec = {
+    val h1m = "((doc_id % 1000003) * 2654435761) % 1000000"
+    QuerySpec.sql(
+      "q170_text_temperature_mix",
+      s"""WITH counts AS (
+         |  SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+         |rates AS (
+         |  SELECT lang, n_s,
+         |    sqrt(CAST((SELECT MIN(n_s) FROM counts) AS DOUBLE) / n_s) AS rate
+         |  FROM counts),
+         |kept AS (
+         |  SELECT d.lang, COUNT(*) AS n_kept
+         |  FROM documents d JOIN rates r ON d.lang = r.lang
+         |  WHERE CAST($h1m AS DOUBLE) < rate * 1000000
+         |  GROUP BY d.lang)
+         |SELECT r.lang, CAST(r.n_s AS BIGINT) AS n_total,
+         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  ROUND(r.rate, 6) AS rate
+         |FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+         |ORDER BY r.lang""".stripMargin)
+  }
+
   /** Weighted sampling without replacement by sequential Poisson
     * sampling (Ohlsson): each doc gets priority = h(doc_id)/weight for a
     * uniform-ish integer hash h, and the sample is the k smallest
@@ -168,6 +204,6 @@ object Sharding {
 
   val all: Seq[QuerySpec] = Seq(
     q165PipelineCurate,
-    q130SplitTrainValTest, q131ShuffleShards, q135SourceMix,
+    q130SplitTrainValTest, q131ShuffleShards, q135SourceMix, q170TemperatureMix,
     q150WeightedSample)
 }

@@ -43,6 +43,30 @@ class ShardingSpec extends EngineSuite {
       s"weight-proportional sample should skew heavy: $sampleAvg vs $corpusAvg")
   }
 
+  test("q170 temperature mix: smallest language kept whole, rates flatten toward uniform") {
+    val rows = SparkEntry.queries("q170_text_temperature_mix")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the smallest language anchors at rate 1.0 (downsample-only mixing)
+    val minTotal = rows.map(_._2).min
+    rows.filter(_._2 == minTotal).foreach { case (s, _, k, rate) =>
+      assert(rate == 1.0 && k == minTotal, s"anchor language $s: rate=$rate kept=$k")
+    }
+    rows.foreach { case (s, total, kept, rate) =>
+      // rate_s = sqrt(min_n / n_s), monotone-decreasing in source size
+      assert(math.abs(rate - math.sqrt(minTotal.toDouble / total)) < 1e-6, s"$s rate $rate")
+      assert(kept <= total)
+      // the hash selection tracks the rate (binomial tolerance)
+      val expect = rate * total
+      assert(math.abs(kept - expect) <= 4 * math.sqrt(expect) + 2,
+        s"$s kept $kept, expected ≈ $expect")
+    }
+    // flattening: kept shares must be strictly more uniform than raw shares
+    def spread(xs: Seq[Double]) = xs.max / xs.min
+    val raw = spread(rows.map(_._2.toDouble))
+    val mixed = spread(rows.map(_._3.toDouble max 1.0))
+    assert(mixed < raw, s"mix did not flatten: $mixed vs $raw")
+  }
+
   test("shards partition the corpus with bounded skew") {
     val rows = SparkEntry.queries("q131_shuffle_shards")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
