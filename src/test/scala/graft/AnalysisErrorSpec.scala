@@ -161,6 +161,54 @@ class AnalysisErrorSpec extends EngineSuite {
 
   // --- function-resolution family (AnalyzeExprsTest testFunctions:
   // unknown functions and arity mismatches are analysis-time errors)
+  // --- statement-shape families (AnalyzeStmtsTest patterns) ---
+
+  test("INSERT with mismatched column count") {
+    QuerySpec.prepared(spark, sfDir)
+    spark.sql("CREATE OR REPLACE TEMP VIEW g_ins_probe AS SELECT 1 AS x, 2 AS y")
+    fails("INSERT INTO g_ins_probe VALUES (1)", "INSERT")
+  }
+
+  test("VALUES rows with inconsistent arity") {
+    fails("SELECT * FROM (VALUES (1, 2), (3)) t", "values")
+  }
+
+  test("SUM(*) — star is only valid under COUNT") {
+    // the reference rejects star under any non-count aggregate outright;
+    // Spark first EXPANDS the star to the column list, so on any
+    // multi-column relation the same statement still fails analysis
+    // (wrong arity). Same user-facing outcome, different message.
+    fails("SELECT SUM(*) FROM nation", "WRONG_NUM_ARGS")
+  }
+
+  test("window function nested inside a window function is a supported superset") {
+    // the reference rejects analytic-in-analytic (analysis/AnalyticExpr
+    // .java); Spark evaluates the inner window in a separate Window
+    // operator — documented superset, pinned as a positive round-trip
+    QuerySpec.prepared(spark, sfDir)
+    val n = spark.sql(
+      "SELECT ROW_NUMBER() OVER (ORDER BY RANK() OVER (ORDER BY n_name)) AS r FROM nation")
+      .collect().length
+    assert(n == 25)
+  }
+
+  test("duplicate column name in CREATE TABLE") {
+    fails("CREATE TABLE g_bad_dup_col (x INT, x INT) USING parquet", "x")
+  }
+
+  test("duplicate table alias is rejected when referenced") {
+    // the reference rejects the duplicate alias at registration
+    // (analyzer duplicate-alias check); Spark registers both and rejects
+    // the first AMBIGUOUS reference instead — the statement a user would
+    // actually run still fails analysis
+    fails("SELECT a.n_name FROM nation a, nation a", "AMBIGUOUS")
+  }
+
+  test("CREATE VIEW with duplicate output column names") {
+    fails("CREATE TEMP VIEW g_bad_dup_view (a, a) AS SELECT n_name, n_regionkey FROM nation",
+      "a")
+  }
+
   test("unknown function") {
     fails("SELECT definitely_no_such_fn(n_name) FROM nation", "definitely_no_such_fn")
   }
