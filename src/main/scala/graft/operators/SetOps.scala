@@ -99,6 +99,22 @@ object SetOps {
       |GROUP BY 1
       |ORDER BY 2 DESC, seg""".stripMargin)
 
+  /** GROUP BY ALL / ORDER BY ALL — the modern-SQL sugar for "group by
+    * every non-aggregate select item" (beyond the reference's grammar,
+    * which substitutes explicit ordinals only, QueryStmt.java:170-300;
+    * a q76 companion). Both engines resolve ALL during analysis to the
+    * identical explicit grouping, so the same text is its own oracle —
+    * and the plan is the ordinary two-phase hash aggregate, nothing
+    * new at scale. */
+  val q171GroupByAll: QuerySpec = QuerySpec.sql(
+    "q171_group_order_all",
+    """SELECT c_mktsegment AS seg, c_nationkey AS nk, COUNT(*) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(19,2))) AS DECIMAL(19,2)) AS bal
+      |FROM customer
+      |WHERE c_acctbal > 5000
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin)
+
   /** INTERSECT [ALL] — beyond the reference's grammar (UnionStmt handles
     * only UNION, sql-parser.cup:5085-5278); Spark plans it as a left-semi
     * join over distinct inputs (ReplaceIntersectWithSemiJoin), which is
@@ -131,5 +147,6 @@ object SetOps {
 
   val all: Seq[QuerySpec] = Seq(
     q21UnionAll, q22UnionDistinct, q23Values, q24WithCte, q25InlineView,
-    q26SortNulls, q27LimitOffset, q76Ordinals, q133Intersect, q134Except)
+    q26SortNulls, q27LimitOffset, q76Ordinals, q133Intersect, q134Except,
+    q171GroupByAll)
 }
