@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
 import org.apache.spark.sql.types._
@@ -67,12 +68,15 @@ private[sources] class ExtTable(rows: Long, partitions: Int)
 private[sources] class ExtScanBuilder(rows: Long, partitions: Int)
   extends ScanBuilder
   with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var lo: Long = 0L            // inclusive
   private var hi: Long = rows          // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = ExtDataSource.schema
+  private var hadResidual = false
+  private var pushedAgg: Option[Aggregation] = None
 
   // prepare(): accept range/equality conjuncts on id, reject the rest
   // (ExternalDataSourceExecutor offers each conjunct; rejected ones stay
@@ -91,6 +95,7 @@ private[sources] class ExtScanBuilder(rows: Long, partitions: Int)
       case _ => false
     }
     accepted = ok
+    hadResidual = residual.nonEmpty
     residual
   }
   override def pushedFilters(): Array[Filter] = accepted
@@ -98,7 +103,76 @@ private[sources] class ExtScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ExtScan(lo, math.max(lo, hi), partitions, required)
+  // Aggregate pushdown — the "source evaluates the aggregate" half of
+  // the external-source contract (a parquet footer count, an index-only
+  // MIN/MAX, a remote system's own aggregation). COUNT(*) / MIN(id) /
+  // MAX(id) with no GROUP BY are computable in O(1) from the
+  // filter-narrowed [lo, hi) range, so the scan serves ONE row and no
+  // row data ever moves. Only COMPLETE pushdown is claimed, and only
+  // when every conjunct was accepted (a residual filter would make the
+  // range-derived answer wrong — Spark also refuses to push aggregates
+  // past post-scan filters, this guard keeps the source honest on its
+  // own).
+  private def isIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+  private def canPush(agg: Aggregation): Boolean =
+    !hadResidual && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isIdRef(m.column)
+        case m: Max => isIdRef(m.column)
+        case _ => false
+      }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    canPush(agg) && { pushedAgg = Some(agg); true }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new ExtAggScan(lo, math.max(lo, hi), agg)
+    case None => new ExtScan(lo, math.max(lo, hi), partitions, required)
+  }
+}
+
+/** One-row scan serving a completely-pushed aggregation over the
+  * filter-narrowed id range: COUNT(*) = span, MIN(id) = lo, MAX(id) =
+  * hi-1 (NULL min/max on an empty range, matching SQL semantics). */
+private[sources] class ExtAggScan(lo: Long, hi: Long, agg: Aggregation)
+  extends Scan with Batch {
+  private val span = math.max(0L, hi - lo)
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ext_source pushed aggregation ${agg.aggregateExpressions.mkString(",")} over [$lo, $hi)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ExtRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => span: Any
+      case _: Min => if (span > 0) (lo: Any) else null
+      case _: Max => if (span > 0) (hi - 1: Any) else null
+      case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+    }
+    new ExtSingleRowFactory(values)
+  }
+}
+
+private[sources] class ExtSingleRowFactory(values: Array[Any])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] case class ExtRange(from: Long, until: Long) extends InputPartition
