@@ -535,20 +535,9 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
-  /** Releases the block-manager storage behind a localCheckpoint-ed
-    * DataFrame (the checkpointed RDD sits inside the plan's LogicalRDD
-    * leaf, which Dataset offers no public handle to — matched by class
-    * name so we stay off private[sql] API). Without this, an iterative
-    * algorithm leaks one cached copy of its state per round. */
+  /** See [[Checkpoints.unpersist]] — shared by every fixpoint loop. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach { node =>
-      if (node.getClass.getName == "org.apache.spark.sql.execution.LogicalRDD") {
-        node.getClass.getMethod("rdd").invoke(node) match {
-          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(blocking = false)
-          case _ => ()
-        }
-      }
-    }
+    Checkpoints.unpersist(df)
 
   /** Connected components by min-label propagation WITH POINTER DOUBLING,
     * iterated to fixpoint: each round every node adopts the smallest of

@@ -606,7 +606,12 @@ object TextAnalysis {
     val merges = Seq(
       "e r" -> 1, "t a" -> 2, "ta b" -> 3, "tab l" -> 4, "tabl e" -> 5,
       "s c" -> 6, "a n" -> 7, "sc an" -> 8, "s t" -> 9, "o w" -> 10)
-    val Rounds = 8 // deepest chain in the table needs 4; ×2 headroom
+    // Each round applies ONE merge rule per word, so the per-word round
+    // bound is the number of distinct applicable rules, not chain depth:
+    // a word hitting every rule needs merges.size rounds. Rounds =
+    // merges.size is provably sufficient for ANY fixture (the unrolled
+    // oracle stays merge-table-sized, never corpus-sized).
+    val Rounds = merges.size
     val mergeValues = merges.map { case (p, r) => s"('$p', $r)" }.mkString(", ")
     val oracleText: String = {
       val sb = new StringBuilder
@@ -672,14 +677,17 @@ object TextAnalysis {
           .select(col("word"), col("mp.pair").as("pair"))
         // checkpoint per round: keeps the plan linear (state is consumed
         // by BOTH the applicable-join and the next round) and the state
-        // is vocabulary-sized
-        state = state.join(applicable, Seq("word"), "left")
+        // is vocabulary-sized; the superseded round's blocks are released
+        // so storage stays O(1) in the round count ([[Checkpoints]])
+        val next = state.join(applicable, Seq("word"), "left")
           .withColumn("seq", when(col("pair").isNull, col("seq"))
             .otherwise(expr(
               """replace(seq, concat(' ', replace(pair, ' ', '  '), ' '),
                 |             concat(' ', replace(pair, ' ', ''), ' '))""".stripMargin)))
           .select("word", "n", "seq")
           .localCheckpoint()
+        Checkpoints.unpersist(state)
+        state = next
       }
       state.createOrReplaceTempView("g_bpe_encoded")
       sp.sql(

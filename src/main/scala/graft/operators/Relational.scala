@@ -281,6 +281,27 @@ object Relational {
       .orderBy(col("tag"))
   }
 
+  /** External-source COMPLETE aggregate pushdown (the "source evaluates
+    * the aggregate" half of the external-source contract — a remote
+    * system answering COUNT/MIN/MAX itself, the way
+    * ExternalDataSourceExecutor.java:171-207 lets the source evaluate
+    * accepted conjuncts). Every conjunct is accepted (id range only), so
+    * [[graft.sources.ExtDataSource]] claims complete pushdown and the
+    * scan serves ONE row — no row data moves, O(1) at any corpus size.
+    * PlanSpec pins the pushed/residual/empty-range plan shapes; here the
+    * oracle re-derives the answers from range(). */
+  val q172ExtAggPushdown: QuerySpec = QuerySpec(
+    "q172_ext_agg_pushdown",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(id) AS lo_id, MAX(id) AS hi_id
+      |FROM (SELECT id FROM range(1000) t(id)) src
+      |WHERE id >= 100 AND id < 900""".stripMargin) { (s, dir) =>
+    QuerySpec.prepared(s, dir)
+    s.read.format("graft.sources.ExtDataSource")
+      .option("rows", "1000").option("partitions", "4").load()
+      .filter(col("id") >= 100 && col("id") < 900)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo_id"), max(col("id")).as("hi_id"))
+  }
+
   /** PIVOT — rows→columns reshaping (beyond the reference's grammar;
     * Spark ≥3.4 SQL PIVOT clause). Catalyst rewrites it to one grouped
     * aggregation with pivot-filtered aggregates — a single shuffle
@@ -335,5 +356,6 @@ object Relational {
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
-    q100TpchQ18.benched, q126ExtSource, q141Pivot, q142Unpivot)
+    q100TpchQ18.benched, q126ExtSource, q141Pivot, q142Unpivot,
+    q172ExtAggPushdown)
 }

@@ -102,18 +102,25 @@ object SetOps {
   /** GROUP BY ALL / ORDER BY ALL — the modern-SQL sugar for "group by
     * every non-aggregate select item" (beyond the reference's grammar,
     * which substitutes explicit ordinals only, QueryStmt.java:170-300;
-    * a q76 companion). Both engines resolve ALL during analysis to the
-    * identical explicit grouping, so the same text is its own oracle —
-    * and the plan is the ordinary two-phase hash aggregate, nothing
-    * new at scale. */
-  val q171GroupByAll: QuerySpec = QuerySpec.sql(
+    * a q76 companion). The sugar stays on the Spark side only; the
+    * oracle gets the explicit, unambiguous grouping/ordering text so the
+    * feature under test is never resolved by the oracle engine itself
+    * (DuckDB versions differ on ORDER BY ALL resolution). The plan is
+    * the ordinary two-phase hash aggregate, nothing new at scale. */
+  val q171GroupByAll: QuerySpec = QuerySpec.sql2(
     "q171_group_order_all",
     """SELECT c_mktsegment AS seg, c_nationkey AS nk, COUNT(*) AS n,
       |       CAST(SUM(CAST(c_acctbal AS DECIMAL(19,2))) AS DECIMAL(19,2)) AS bal
       |FROM customer
       |WHERE c_acctbal > 5000
       |GROUP BY ALL
-      |ORDER BY ALL""".stripMargin)
+      |ORDER BY ALL""".stripMargin,
+    """SELECT c_mktsegment AS seg, c_nationkey AS nk, COUNT(*) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(19,2))) AS DECIMAL(19,2)) AS bal
+      |FROM customer
+      |WHERE c_acctbal > 5000
+      |GROUP BY seg, nk
+      |ORDER BY seg, nk, n, bal""".stripMargin)
 
   /** INTERSECT [ALL] — beyond the reference's grammar (UnionStmt handles
     * only UNION, sql-parser.cup:5085-5278); Spark plans it as a left-semi

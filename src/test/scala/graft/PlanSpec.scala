@@ -128,6 +128,51 @@ class PlanSpec extends EngineSuite {
     assert(df.count() == 50)
   }
 
+  test("DSv2 ext source: COUNT/MIN/MAX push completely into the scan") {
+    // The "source evaluates the aggregate" half of the external-source
+    // contract (ExternalDataSourceExecutor.java:171-207): when every
+    // conjunct was accepted, the source answers COUNT(*)/MIN(id)/MAX(id)
+    // in O(1) from its range and the scan serves ONE row — Spark must
+    // run no aggregate of its own. A residual conjunct must disable the
+    // pushdown (the range-derived answer would be wrong), and an empty
+    // range must give SQL semantics: COUNT 0, NULL min/max.
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.{DataFrame, Row}
+    def ext: DataFrame = spark.read.format("graft.sources.ExtDataSource")
+      .option("rows", "1000").load()
+    def aggs(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"), min(col("id")).as("lo_id"), max(col("id")).as("hi_id"))
+
+    // (a) fully-accepted filters → complete pushdown, no Spark aggregate
+    val pushed = aggs(ext.filter(col("id") >= 100 && col("id") < 900))
+    val pp = pushed.queryExecution.executedPlan.toString
+    assert(pp.contains("pushed aggregation"), s"aggregation not pushed:\n$pp")
+    assert(!pp.contains("HashAggregate") && !pp.contains("SortAggregate"),
+      s"Spark still aggregates above a complete pushdown:\n$pp")
+    assert(pushed.collect().toSeq == Seq(Row(800L, 100L, 899L)))
+
+    // (b) residual conjunct (tag) → no pushdown, plain scan + aggregate
+    val residual = aggs(ext.filter(col("tag") === "even"))
+    val rp = residual.queryExecution.executedPlan.toString
+    assert(!rp.contains("pushed aggregation"),
+      s"pushed past a residual filter — wrong results at any scale:\n$rp")
+    assert(rp.contains("HashAggregate") || rp.contains("SortAggregate"), rp)
+    assert(residual.collect().toSeq == Seq(Row(500L, 0L, 998L)))
+
+    // (c) contradictory accepted range → empty: COUNT 0, NULL min/max
+    val empty = aggs(ext.filter(col("id") >= 900 && col("id") < 100))
+    val ep = empty.queryExecution.executedPlan.toString
+    assert(ep.contains("pushed aggregation"), s"empty range not pushed:\n$ep")
+    assert(empty.collect().toSeq == Seq(Row(0L, null, null)))
+
+    // GROUP BY present → source refuses complete pushdown (q126's shape)
+    val grouped = ext.filter(col("id") >= 100 && col("id") < 900)
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    val gp = grouped.queryExecution.executedPlan.toString
+    assert(!gp.contains("pushed aggregation"), gp)
+    assert(gp.contains("HashAggregate"), gp)
+  }
+
   test("join distribution hints steer the planner (TableRef.java:374-390)") {
     QuerySpec.prepared(spark, sfDir)
     val b = spark.sql(
@@ -411,7 +456,14 @@ class PlanSpec extends EngineSuite {
         val r = clean.sql("SELECT COUNT(DISTINCT a) AS x, COUNT(DISTINCT b) AS y FROM g_appx_ext")
           .collect().head
         assert(r.getLong(0) == 7L && r.getLong(1) == 11L, r.toString)
-      } finally clean.conf.unset(graft.plans.AppxCountDistinctRewrite.EnabledKey)
+      } finally {
+        clean.conf.unset(graft.plans.AppxCountDistinctRewrite.EnabledKey)
+        // `clean` reuses the suite's SparkContext (getOrCreate ignores the
+        // differing master once a context exists), so it cannot be stopped
+        // without killing the shared context; drop its state instead so
+        // nothing leaks into later suites.
+        clean.catalog.dropTempView("g_appx_ext")
+      }
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
