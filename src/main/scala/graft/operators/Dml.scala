@@ -261,7 +261,122 @@ object Dml {
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)
   }
 
+  /** HiveServer2 GetTypeInfo analogue (service/MetadataOp.java:557-645
+    * createGetTypeInfoResults, serving getTypeInfo at :491): the
+    * supported-primitive-type matrix in the JDBC DatabaseMetaData
+    * getTypeInfo shape. The reference iterates its PrimitiveType enum and
+    * skips INVALID/DATE/DATETIME and the parameterized DECIMAL/CHAR/
+    * VARCHAR; the analogue iterates the corresponding Spark SQL types
+    * (SURVEY §1.2 mapping) and derives each JDBC column from the Spark
+    * type's own properties — JDBC code, numeric precision, string
+    * case-sensitivity, radix — rather than hardcoding a table. */
+  def typeInfo(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import java.sql.{DatabaseMetaData, Types => JdbcT}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val supported: Seq[(String, DataType)] = Seq(
+      "NULL_TYPE" -> NullType, "BOOLEAN" -> BooleanType, "TINYINT" -> ByteType,
+      "SMALLINT" -> ShortType, "INT" -> IntegerType, "BIGINT" -> LongType,
+      "FLOAT" -> FloatType, "DOUBLE" -> DoubleType, "TIMESTAMP" -> TimestampNTZType,
+      "STRING" -> StringType, "BINARY" -> BinaryType)
+    def jdbcType(dt: DataType): Int = dt match {
+      case NullType => JdbcT.NULL
+      case BooleanType => JdbcT.BOOLEAN
+      case ByteType => JdbcT.TINYINT
+      case ShortType => JdbcT.SMALLINT
+      case IntegerType => JdbcT.INTEGER
+      case LongType => JdbcT.BIGINT
+      case FloatType => JdbcT.FLOAT
+      case DoubleType => JdbcT.DOUBLE
+      case TimestampNTZType => JdbcT.TIMESTAMP
+      case StringType => JdbcT.VARCHAR // STRING reports as VARCHAR, like Hive
+      case BinaryType => JdbcT.BINARY
+      case other => throw new IllegalArgumentException(other.sql)
+    }
+    // JDBC decimal-digit precision of the numeric types (Type.java:489-510)
+    def precision(dt: DataType): Any = dt match {
+      case ByteType => 3
+      case ShortType => 5
+      case IntegerType => 10
+      case LongType => 19
+      case FloatType => 7
+      case DoubleType => 15
+      case _ => null
+    }
+    val rows = supported.map { case (name, dt) =>
+      val numeric = dt.isInstanceOf[NumericType]
+      Row(
+        name,                                   // TYPE_NAME
+        jdbcType(dt),                           // DATA_TYPE
+        precision(dt),                          // PRECISION
+        null,                                   // LITERAL_PREFIX
+        null,                                   // LITERAL_SUFFIX
+        null,                                   // CREATE_PARAMS
+        DatabaseMetaData.typeNullable,          // NULLABLE
+        dt == StringType,                       // CASE_SENSITIVE
+        DatabaseMetaData.typeSearchable,        // SEARCHABLE
+        !numeric,                               // UNSIGNED_ATTRIBUTE
+        false,                                  // FIXED_PREC_SCALE
+        false,                                  // AUTO_INCREMENT
+        null,                                   // LOCAL_TYPE_NAME
+        0,                                      // MINIMUM_SCALE
+        0,                                      // MAXIMUM_SCALE
+        null,                                   // SQL_DATA_TYPE
+        null,                                   // SQL_DATETIME_SUB
+        if (numeric) 10 else null)              // NUM_PREC_RADIX
+    }
+    val schema = StructType(Seq(
+      StructField("TYPE_NAME", StringType, nullable = false),
+      StructField("DATA_TYPE", IntegerType, nullable = false),
+      StructField("PRECISION", IntegerType, nullable = true),
+      StructField("LITERAL_PREFIX", StringType, nullable = true),
+      StructField("LITERAL_SUFFIX", StringType, nullable = true),
+      StructField("CREATE_PARAMS", StringType, nullable = true),
+      StructField("NULLABLE", IntegerType, nullable = false),
+      StructField("CASE_SENSITIVE", BooleanType, nullable = false),
+      StructField("SEARCHABLE", IntegerType, nullable = false),
+      StructField("UNSIGNED_ATTRIBUTE", BooleanType, nullable = false),
+      StructField("FIXED_PREC_SCALE", BooleanType, nullable = false),
+      StructField("AUTO_INCREMENT", BooleanType, nullable = false),
+      StructField("LOCAL_TYPE_NAME", StringType, nullable = true),
+      StructField("MINIMUM_SCALE", IntegerType, nullable = false),
+      StructField("MAXIMUM_SCALE", IntegerType, nullable = false),
+      StructField("SQL_DATA_TYPE", IntegerType, nullable = true),
+      StructField("SQL_DATETIME_SUB", IntegerType, nullable = true),
+      StructField("NUM_PREC_RADIX", IntegerType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** [[typeInfo]] as a registered catalog query. The oracle is a
+    * hand-written literal of the reference's matrix — independent of the
+    * Scala derivation above, so a drifted mapping (wrong JDBC code, wrong
+    * precision, wrong case-sensitivity) fails the compare. */
+  val q173TypeInfo: QuerySpec = QuerySpec(
+    "q173_catalog_typeinfo",
+    """SELECT * FROM (VALUES
+      |  ('BIGINT',    CAST(-5 AS INT), CAST(19 AS INT),   false, false, CAST(10 AS INT)),
+      |  ('BINARY',    CAST(-2 AS INT), CAST(NULL AS INT), false, true,  CAST(NULL AS INT)),
+      |  ('BOOLEAN',   CAST(16 AS INT), CAST(NULL AS INT), false, true,  CAST(NULL AS INT)),
+      |  ('DOUBLE',    CAST(8 AS INT),  CAST(15 AS INT),   false, false, CAST(10 AS INT)),
+      |  ('FLOAT',     CAST(6 AS INT),  CAST(7 AS INT),    false, false, CAST(10 AS INT)),
+      |  ('INT',       CAST(4 AS INT),  CAST(10 AS INT),   false, false, CAST(10 AS INT)),
+      |  ('NULL_TYPE', CAST(0 AS INT),  CAST(NULL AS INT), false, true,  CAST(NULL AS INT)),
+      |  ('SMALLINT',  CAST(5 AS INT),  CAST(5 AS INT),    false, false, CAST(10 AS INT)),
+      |  ('STRING',    CAST(12 AS INT), CAST(NULL AS INT), true,  true,  CAST(NULL AS INT)),
+      |  ('TIMESTAMP', CAST(93 AS INT), CAST(NULL AS INT), false, true,  CAST(NULL AS INT)),
+      |  ('TINYINT',   CAST(-6 AS INT), CAST(3 AS INT),    false, false, CAST(10 AS INT))
+      |) t(type_name, data_type, prec, case_sensitive, unsigned_attr, radix)
+      |ORDER BY type_name""".stripMargin) { (s, dir) =>
+    QuerySpec.prepared(s, dir)
+    typeInfo(s).select(
+      col("TYPE_NAME").as("type_name"), col("DATA_TYPE").as("data_type"),
+      col("PRECISION").as("prec"), col("CASE_SENSITIVE").as("case_sensitive"),
+      col("UNSIGNED_ATTRIBUTE").as("unsigned_attr"), col("NUM_PREC_RADIX").as("radix"))
+      .orderBy("type_name")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q70Ctas, q71InsertPartitioned, q72UpdateMerge, q73Delete, q74Views,
-    q75Catalog, q77Formats, q156CharVarchar, q157UdfBridge)
+    q75Catalog, q77Formats, q156CharVarchar, q157UdfBridge, q173TypeInfo)
 }

@@ -148,4 +148,49 @@ class CatalogSpec extends EngineSuite {
       assert(ddl.contains("graft_part_t") && ddl.contains("PARTITIONED BY"), ddl)
     } finally s.sql("DROP TABLE IF EXISTS graft_part_t")
   }
+
+  test("GetTypeInfo analogue serves the supported-type matrix in the JDBC shape") {
+    // MetadataOp.java:557-645: one row per supported primitive type
+    // (INVALID/DATE/DATETIME and parameterized DECIMAL/CHAR/VARCHAR are
+    // skipped), 18 GetTypeInfo columns. The values are pinned against the
+    // SURVEY §1.2 mapping, not read back from the implementation.
+    val df = graft.operators.Dml.typeInfo(spark)
+    assert(df.columns.toSeq == Seq(
+      "TYPE_NAME", "DATA_TYPE", "PRECISION", "LITERAL_PREFIX",
+      "LITERAL_SUFFIX", "CREATE_PARAMS", "NULLABLE", "CASE_SENSITIVE",
+      "SEARCHABLE", "UNSIGNED_ATTRIBUTE", "FIXED_PREC_SCALE",
+      "AUTO_INCREMENT", "LOCAL_TYPE_NAME", "MINIMUM_SCALE",
+      "MAXIMUM_SCALE", "SQL_DATA_TYPE", "SQL_DATETIME_SUB",
+      "NUM_PREC_RADIX"))
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("NULL_TYPE", "BOOLEAN", "TINYINT", "SMALLINT",
+      "INT", "BIGINT", "FLOAT", "DOUBLE", "TIMESTAMP", "STRING", "BINARY"))
+    // JDBC type codes (java.sql.Types)
+    val expectedJdbc = Map("NULL_TYPE" -> 0, "BOOLEAN" -> 16, "TINYINT" -> -6,
+      "SMALLINT" -> 5, "INT" -> 4, "BIGINT" -> -5, "FLOAT" -> 6,
+      "DOUBLE" -> 8, "TIMESTAMP" -> 93, "STRING" -> 12, "BINARY" -> -2)
+    expectedJdbc.foreach { case (n, code) =>
+      assert(rows(n).getInt(1) == code, s"$n DATA_TYPE") }
+    // decimal-digit precision for numerics, NULL otherwise (Type.java:489-510)
+    val expectedPrec = Map("TINYINT" -> 3, "SMALLINT" -> 5, "INT" -> 10,
+      "BIGINT" -> 19, "FLOAT" -> 7, "DOUBLE" -> 15)
+    rows.foreach { case (n, r) =>
+      expectedPrec.get(n) match {
+        case Some(p) =>
+          assert(r.getInt(2) == p, s"$n PRECISION")
+          assert(!r.getBoolean(9), s"$n UNSIGNED_ATTRIBUTE must be false")
+          assert(r.getInt(17) == 10, s"$n NUM_PREC_RADIX")
+        case None =>
+          assert(r.isNullAt(2), s"$n PRECISION must be NULL")
+          assert(r.getBoolean(9), s"$n UNSIGNED_ATTRIBUTE must be true")
+          assert(r.isNullAt(17), s"$n NUM_PREC_RADIX must be NULL")
+      }
+      // constants: nullable (1), searchable (3), no fixed prec/autoincr
+      assert(r.getInt(6) == 1 && r.getInt(8) == 3, s"$n NULLABLE/SEARCHABLE")
+      assert(!r.getBoolean(10) && !r.getBoolean(11), s"$n FIXED/AUTO")
+      assert(r.getInt(13) == 0 && r.getInt(14) == 0, s"$n MIN/MAX_SCALE")
+      // only the string type is case-sensitive
+      assert(r.getBoolean(7) == (n == "STRING"), s"$n CASE_SENSITIVE")
+    }
+  }
 }
