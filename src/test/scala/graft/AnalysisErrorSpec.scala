@@ -91,6 +91,80 @@ class AnalysisErrorSpec extends EngineSuite {
       "INCOMPATIBLE_COLUMN_TYPE")
   }
 
+  // --- union implicit-cast matrix (UnionStmt.java:37-144 analyze →
+  // Type.getAssignmentCompatibleType over the compatibilityMatrix,
+  // Type.java:627-700): operand types must be implicitly castable and
+  // the result type is the widened compatible type.
+  test("UNION widens operands along the implicit-cast lattice") {
+    QuerySpec.prepared(spark, sfDir)
+    val wide = spark.sql(
+      "SELECT CAST(1 AS TINYINT) AS x UNION ALL SELECT CAST(2 AS BIGINT)")
+    assert(wide.schema.head.dataType.simpleString == "bigint", wide.schema)
+    assert(wide.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val dd = spark.sql(
+      "SELECT CAST(1.5 AS DECIMAL(9,2)) AS x UNION ALL SELECT CAST(2.5 AS DOUBLE)")
+    assert(dd.schema.head.dataType.simpleString == "double", dd.schema)
+  }
+
+  test("UNION of INT with STRING coerces to STRING — a documented superset") {
+    // the reference's matrix has no INT↔STRING implicit cast, so it
+    // rejects this; Spark's WidenSetOperationTypes resolves to STRING
+    QuerySpec.prepared(spark, sfDir)
+    val df = spark.sql("SELECT 1 AS x UNION ALL SELECT 'abc'")
+    assert(df.schema.head.dataType.simpleString == "string", df.schema)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("1", "abc"))
+  }
+
+  test("UNION of non-castable types is rejected like the reference's matrix") {
+    // TIMESTAMP↔INT and MAP↔INT have no implicit cast in either engine
+    fails("SELECT TIMESTAMP'2024-01-01 00:00:00' AS x UNION ALL SELECT 5",
+      "INCOMPATIBLE_COLUMN_TYPE")
+    fails("SELECT map('a', 1) AS x UNION ALL SELECT 2",
+      "INCOMPATIBLE_COLUMN_TYPE")
+  }
+
+  // --- subquery placement family (SelectStmt.java:181 "Subqueries are
+  // not supported in the select list", :538 HAVING, :598 GROUP BY;
+  // QueryStmt.java:192 ORDER BY; AnalyzeSubqueriesTest.java:438 rejects
+  // correlated subqueries with LIMIT): the reference allows subqueries
+  // ONLY in WHERE. This engine is a documented superset — every
+  // placement the reference rejects round-trips here with its result
+  // pinned, so a regression to WHERE-only would fail loudly.
+  test("subqueries outside WHERE are a supported superset of the reference") {
+    QuerySpec.prepared(spark, sfDir)
+    // select list: scalar (uncorrelated + correlated), EXISTS, IN
+    val sel = spark.sql(
+      """SELECT n_name,
+        |       (SELECT MAX(r_regionkey) FROM region) AS mx,
+        |       (SELECT r_name FROM region WHERE r_regionkey = n_regionkey) AS rn,
+        |       EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey) AS ex,
+        |       n_regionkey IN (SELECT r_regionkey FROM region WHERE r_regionkey < 2) AS inn
+        |FROM nation WHERE n_nationkey = 0""".stripMargin).collect().head
+    assert(sel.getInt(1) == 4 && sel.getString(2) == "AFRICA")
+    assert(sel.getBoolean(3) && sel.getBoolean(4))
+    // HAVING
+    val hav = spark.sql(
+      """SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey
+        |HAVING COUNT(*) > (SELECT MIN(r_regionkey) FROM region)""".stripMargin)
+    assert(hav.count() == 5) // every region has 5 nations > MIN(r_regionkey)=0
+    // GROUP BY expression containing a scalar subquery
+    val grp = spark.sql(
+      """SELECT (SELECT MAX(r_regionkey) FROM region) + n_regionkey AS g, COUNT(*) AS n
+        |FROM nation GROUP BY (SELECT MAX(r_regionkey) FROM region) + n_regionkey""".stripMargin)
+    assert(grp.count() == 5 && grp.collect().map(_.getInt(0)).min == 4)
+    // ORDER BY (constant scalar subquery key, name tiebreak)
+    val ord = spark.sql(
+      """SELECT n_name FROM nation
+        |ORDER BY (SELECT MAX(r_regionkey) FROM region), n_name LIMIT 1""".stripMargin)
+    assert(ord.collect().head.getString(0) == "NATION_0") // synthetic names sort 0 first
+    // correlated IN subquery with LIMIT (AnalyzeSubqueriesTest.java:438)
+    val lim = spark.sql(
+      """SELECT c_custkey FROM customer t WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders s WHERE s.o_custkey = t.c_custkey LIMIT 1)
+        |ORDER BY c_custkey LIMIT 1""".stripMargin)
+    assert(lim.count() == 1)
+  }
+
   // --- aggregate-nesting family (AnalyzeExprsTest.java testAggregates:
   // "aggregate function must not contain aggregate parameters")
   test("aggregate of an aggregate") {

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Guards on the documented fixture assumptions some oracles lean on.
+  * These are NOT correctness tests — they pin properties of the
+  * driver-generated testdata that specific DuckDB oracle texts assume,
+  * so a fixture change fails HERE with a pointer to the queries to
+  * update, instead of surfacing as an inscrutable hash mismatch. */
+class FixtureGuardSpec extends EngineSuite {
+
+  // Both sf dirs the gates run at: specs use sf0.001, Verify sf0.01.
+  private val sfDirs = Seq(sfDir, "/root/testdata/sf0.01")
+
+  test("embeddings are exactly 64-dim (q86/q97/q149/q161 oracles hardcode range(64))") {
+    // q86 hyperplane LSH, q149 PQ-ADC, and q161 SQ8 enumerate range(64)
+    // in their DuckDB oracle texts; q97's seed stride assumes the vector
+    // population. A dimension change must fail here first.
+    for (dir <- sfDirs) {
+      val dims = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+      assert(dims.toSeq == Seq(64),
+        s"$dir: embedding dims ${dims.mkString(",")} != 64 — update the " +
+          "range(64) oracle texts in Similarity.scala and the q97 seeds")
+    }
+  }
+
+  test("q97 seed stride (vec_id % 50 = 0) selects a non-trivial seed set") {
+    // the k-means oracle re-derives seeds with the same modular stride;
+    // a fixture with fewer vectors would silently under-seed
+    for (dir <- sfDirs) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val seeds = e.filter(col("vec_id") % 50 === 0).count()
+      assert(seeds >= 2 && seeds < e.count(),
+        s"$dir: ${seeds} seeds from vec_id % 50 — q97's seeding no longer meaningful")
+    }
+  }
+
+  test("documents are pure ASCII (the q82 oracle hashes code points, not UTF-8 bytes)") {
+    // Dedup.scala q82: DuckDB's ascii(substr(...)) replay of fnv_hash
+    // equals the Spark byte-wise hash ONLY while every character is
+    // single-byte. One non-ASCII character breaks the equivalence.
+    for (dir <- sfDirs) {
+      val nonAscii = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+      assert(nonAscii == 0,
+        s"$dir: $nonAscii docs contain non-ASCII — q82's oracle (Dedup.scala) " +
+          "needs the explicit code-point→UTF-8 byte expansion (q120 recipe)")
+    }
+  }
+}
