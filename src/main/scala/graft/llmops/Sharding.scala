@@ -202,8 +202,85 @@ object Sharding {
     }
   }
 
+  /** DSIR-style data selection via importance resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * 2023): score every document by how much its hashed-bigram profile
+    * looks like a target domain vs the raw corpus, then resample with
+    * Gumbel top-k so selection is proportional to the importance weight
+    * rather than a hard threshold.
+    *
+    *  - Features: word bigrams hashed into B=1024 buckets with the
+    *    engine's portable fnv_hash (the q82/q120 DuckDB HUGEINT fold
+    *    replays it bit-exactly; FixtureGuardSpec pins the ASCII corpus
+    *    that makes code-point == byte hashing).
+    *  - Weights: per-bucket add-one-smoothed log ratio
+    *    ln(p_target/p_source); a doc's log-importance is the sum over
+    *    its bigram tokens, accumulated as DECIMAL(27,18) (the q162
+    *    recipe) so the fold is partitioning-independent.
+    *  - Resampling: Gumbel key logw − ln(−ln(u)) with the deterministic
+    *    q150 multiplicative-hash uniform — no rand(), replayable.
+    *
+    * Scale shape: two passes over the bigram stream, the DSIR minimum —
+    * ONE histogram aggregate computes target and source counts together
+    * (1024 rows; the smoothing totals are window sums over that tiny
+    * relation, NOT a separate CTE, which Spark would inline into a third
+    * corpus scan), broadcast into the scoring join; the scoring pass
+    * partial-aggregates into the only corpus-sized shuffle (per-doc sum)
+    * and the top-k is TakeOrdered. The "target" here is the
+    * deterministic doc_id % 7 slice standing in for a curated seed
+    * corpus; a real pipeline swaps that predicate for its domain sample. */
+  val q174DsirResample: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val bigrams =
+        if (spark)
+          """SELECT doc_id, explode(
+            |         CASE WHEN size(ws) >= 2
+            |              THEN transform(sequence(0, size(ws) - 2),
+            |                     i -> concat(ws[i], ' ', ws[i + 1]))
+            |              ELSE array() END) AS bg
+            |  FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents) x""".stripMargin
+        else
+          """SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+            |         i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) x""".stripMargin
+      val bucket =
+        if (spark) "pmod(fnv_hash(bg), 1024)"
+        else
+          """CAST(list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+            |      list_transform(range(length(bg)), i -> CAST(ascii(substr(bg, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+            |      (h, x) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT))) * 1099511628211)
+            |                % CAST('18446744073709551616' AS HUGEINT)) % 1024 AS BIGINT)""".stripMargin
+      s"""WITH b AS (
+         |  SELECT doc_id, $bucket AS bucket FROM (
+         |  $bigrams) bg_rel),
+         |hist AS (SELECT bucket, COUNT(*) AS cs,
+         |           SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS ct
+         |         FROM b GROUP BY bucket),
+         |r AS (SELECT bucket,
+         |        LN(((ct + 1) / (CAST(SUM(ct) OVER () AS DOUBLE) + 1024.0))
+         |           / ((cs + 1) / (CAST(SUM(cs) OVER () AS DOUBLE) + 1024.0))) AS lr
+         |      FROM hist),
+         |d AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         |        SUM(CAST(r.lr AS DECIMAL(27,18))) AS lsum
+         |      FROM b JOIN r ON b.bucket = r.bucket
+         |      GROUP BY b.doc_id),
+         |g AS (SELECT doc_id, n_bigrams, CAST(lsum AS DOUBLE) AS logw,
+         |        CAST(lsum AS DOUBLE)
+         |          - LN(-LN((CAST(((doc_id % 999983) * 40503) % 65536 AS DOUBLE) + 1.0) / 65537.0)) AS gkey
+         |      FROM d),
+         |s AS (SELECT doc_id, n_bigrams, logw, gkey,
+         |        ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS rnk
+         |      FROM g)
+         |SELECT CAST(rnk AS INT) AS rnk, doc_id,
+         |       CAST(n_bigrams AS BIGINT) AS n_bigrams, ROUND(logw, 6) AS logw
+         |FROM s WHERE rnk <= 50
+         |ORDER BY rnk""".stripMargin
+    }
+    QuerySpec.sql2("q174_dsir_resample", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q165PipelineCurate,
     q130SplitTrainValTest, q131ShuffleShards, q135SourceMix, q170TemperatureMix,
-    q150WeightedSample)
+    q150WeightedSample, q174DsirResample)
 }

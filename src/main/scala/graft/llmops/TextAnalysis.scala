@@ -454,6 +454,77 @@ object TextAnalysis {
     QuerySpec.sql2("q160_dedup_substring", text(spark = true), text(spark = false))
   }
 
+  /** Exact-substring span REMOVAL — the rewrite counterpart of
+    * [[q160SubstringDedup]] (Lee et al. §4.1 actually delete the
+    * duplicated spans from the corpus; q160 only measures them): every
+    * token position covered by a non-first 8-gram occurrence is dropped
+    * and each document's text is reconstructed from the surviving tokens
+    * in position order. First occurrences always survive, so exactly one
+    * copy of every duplicated span remains corpus-wide.
+    *
+    * Distributed shape, two corpus passes like q160: the gram window is
+    * the only corpus-sized shuffle (keyed on the gram), coverage fans
+    * out 8× on duplicate instances only, and the rebuild is one per-doc
+    * ordered string aggregation (no suffix array, no self-join). The
+    * cleaned text is emitted truncated to 80 chars — the differential is
+    * over token counts plus the reconstruction prefix, which pins the
+    * ordering without shipping whole documents through the compare. */
+  val q175SubstringRemove: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val (split, agg) =
+        if (spark)
+          ("split(text, ' ')", "listagg(word, ' ') WITHIN GROUP (ORDER BY pos)")
+        else
+          ("string_split(text, ' ')", "string_agg(word, ' ' ORDER BY pos)")
+      val words =
+        if (spark)
+          """SELECT doc_id, size(w) AS n_words, pos, word FROM t
+            |  LATERAL VIEW posexplode(w) p AS pos, word""".stripMargin
+        else
+          """SELECT doc_id, len(w) AS n_words, unnest(range(len(w))) AS pos,
+            |         unnest(w) AS word FROM t""".stripMargin
+      val g =
+        if (spark)
+          """SELECT doc_id, pos, concat_ws(' ', slice(w, pos + 1, 8)) AS gram
+            |  FROM (SELECT doc_id, w,
+            |          CASE WHEN size(w) >= 8 THEN sequence(0, size(w) - 8)
+            |               ELSE array() END AS ps
+            |        FROM t) x
+            |  LATERAL VIEW explode(ps) p AS pos""".stripMargin
+        else
+          """SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 8], ' ') AS gram
+            |  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS pos FROM t) x""".stripMargin
+      val cov =
+        if (spark)
+          """SELECT DISTINCT doc_id, cp
+            |  FROM (SELECT doc_id, pos FROM r WHERE rn > 1) d
+            |  LATERAL VIEW explode(sequence(pos, pos + 7)) c AS cp""".stripMargin
+        else
+          """SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS cp
+            |  FROM (SELECT doc_id, pos FROM r WHERE rn > 1) d""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
+         |words AS (
+         |$words),
+         |g AS (
+         |$g),
+         |r AS (SELECT doc_id, pos,
+         |             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |      FROM g),
+         |cov AS (
+         |$cov),
+         |kept AS (SELECT w.doc_id, w.n_words, w.pos, w.word
+         |         FROM words w LEFT JOIN cov c
+         |           ON w.doc_id = c.doc_id AND w.pos = c.cp
+         |         WHERE c.cp IS NULL)
+         |SELECT doc_id, CAST(MAX(n_words) AS BIGINT) AS n_tokens,
+         |       CAST(MAX(n_words) - COUNT(*) AS BIGINT) AS n_removed,
+         |       SUBSTR($agg, 1, 80) AS head
+         |FROM kept GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q175_dedup_substring_remove", text(spark = true), text(spark = false))
+  }
+
   /** Unigram-LM cross-entropy scoring — the cheap perplexity proxy a
     * curation pipeline uses for fluency/outlier filtering: score each doc
     * by the mean negative log-probability of its words under the corpus's
@@ -827,6 +898,7 @@ object TextAnalysis {
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
     q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
-    q158ChunkOverlap, q159PiiRedact, q160SubstringDedup, q162UnigramLm,
+    q158ChunkOverlap, q159PiiRedact, q160SubstringDedup,
+    q175SubstringRemove, q162UnigramLm,
     q163BpeMerges, q166UrlCanonicalize, q167BpeEncode, q169ModelQuality)
 }

@@ -458,4 +458,26 @@ class LlmOpsSpec extends EngineSuite {
         col("width") =!= lit(64) * (lit(1) + col("n") % 16))
     assert(joined.count() == 0)
   }
+
+  test("q175 substring removal is exactly q160's measured duplicate coverage") {
+    // q160 measures duplicate-covered token positions; q175 removes
+    // them. On every doc the removed count must equal the measured
+    // n_dup_tokens, and the reconstruction head must be the doc's own
+    // prefix whenever nothing was removed before position 80.
+    val stats = llmops.TextAnalysis.q160SubstringDedup.run(spark, sfDir)
+      .select(col("doc_id"), col("n_dup_tokens"))
+    val removed = llmops.TextAnalysis.q175SubstringRemove.run(spark, sfDir)
+      .select(col("doc_id"), col("n_removed"), col("head"))
+    val j = removed.join(stats, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach(r => assert(r.getAs[Long]("n_removed") == r.getAs[Long]("n_dup_tokens"),
+      s"doc ${r.get(0)}: removed ${r.get(1)} != measured ${r.getAs[Long]("n_dup_tokens")}"))
+    // the fixture contains duplicated spans — the operator must act
+    assert(j.exists(_.getAs[Long]("n_removed") > 0), "no spans removed anywhere")
+    // untouched docs reconstruct to their own text prefix
+    val untouched = removed.filter(col("n_removed") === 0)
+      .join(spark.table("documents").select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("head") =!= substring(col("text"), 1, 80))
+    assert(untouched.count() == 0, "an untouched doc reconstructed differently")
+  }
 }

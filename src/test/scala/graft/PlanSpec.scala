@@ -470,6 +470,18 @@ class PlanSpec extends EngineSuite {
     }
   }
 
+  test("q174 (DSIR): exactly two corpus scans, histogram broadcasts, one doc-keyed shuffle") {
+    // DSIR's structural minimum is two passes over the bigram stream
+    // (histogram, then scoring). A third scan means the smoothing totals
+    // regressed to a CTE that Spark re-inlined (the q116 trap); a
+    // SortMergeJoin means the 1024-row ratio table stopped broadcasting.
+    val p = plan("q174_dsir_resample")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 documents scans, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"ratio join must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q163 (BPE): merge rounds read the checkpointed vocab, never re-scan the corpus") {
     // Spark inlines WITH CTEs, so both merge rounds consuming s0 would
     // re-run the corpus word explode; the vocab checkpoint means the
