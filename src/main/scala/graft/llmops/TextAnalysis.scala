@@ -670,97 +670,115 @@ object TextAnalysis {
     * actually reached within [[Rounds]] (so the unrolled replay IS the
     * full encode), that the 4-deep chain t a→ta b→tab l→tabl e fully
     * re-fuses 'table', and that rank priority wins inside 'customer'. */
-  val q167BpeEncode: QuerySpec = {
-    // pretrained merge table (rank = priority, 1 highest): exercises
-    // chained merges (ranks 2-5 rebuild 'table'; 6-8 rebuild 'scan')
-    // and in-word priority (rank 1 'e r' beats rank 9 's t')
-    val merges = Seq(
-      "e r" -> 1, "t a" -> 2, "ta b" -> 3, "tab l" -> 4, "tabl e" -> 5,
-      "s c" -> 6, "a n" -> 7, "sc an" -> 8, "s t" -> 9, "o w" -> 10)
-    // Each round applies ONE merge rule per word, so the per-word round
-    // bound is the number of distinct applicable rules, not chain depth:
-    // a word hitting every rule needs merges.size rounds. Rounds =
-    // merges.size is provably sufficient for ANY fixture (the unrolled
-    // oracle stays merge-table-sized, never corpus-sized).
-    val Rounds = merges.size
-    val mergeValues = merges.map { case (p, r) => s"('$p', $r)" }.mkString(", ")
-    val oracleText: String = {
-      val sb = new StringBuilder
-      sb ++= s"""WITH m(pair, rank) AS (VALUES $mergeValues),
-                |w AS (SELECT word, COUNT(*) AS n
-                |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) x
-                |      WHERE word != '' GROUP BY word),
-                |s0 AS (SELECT word, n,
-                |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seq
-                |       FROM w)""".stripMargin
-      for (r <- 0 until Rounds) {
-        sb ++= s""",
-                  |a$r AS (
-                  |  SELECT word, pair FROM (
-                  |    SELECT t.word, m.pair,
-                  |      ROW_NUMBER() OVER (PARTITION BY t.word ORDER BY m.rank) AS rn
-                  |    FROM (SELECT word, unnest(list_transform(range(len(ss) - 1),
-                  |            i -> ss[i + 1] || ' ' || ss[i + 2])) AS pair
-                  |          FROM (SELECT word, string_split(trim(seq), '  ') AS ss FROM s$r) q) t
-                  |    JOIN m ON m.pair = t.pair) z
-                  |  WHERE rn = 1),
-                  |s${r + 1} AS (
-                  |  SELECT s.word, s.n,
-                  |    CASE WHEN a.pair IS NULL THEN s.seq
-                  |         ELSE replace(s.seq, ' ' || replace(a.pair, ' ', '  ') || ' ',
-                  |                      ' ' || replace(a.pair, ' ', '') || ' ') END AS seq
-                  |  FROM s$r s LEFT JOIN a$r a USING (word))""".stripMargin
-      }
-      sb ++= s"""
-                |SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
-                |  SELECT token, SUM(n) AS cnt,
-                |         ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, token) AS rnk
-                |  FROM (SELECT unnest(string_split(trim(seq), '  ')) AS token, n FROM s$Rounds) t
-                |  GROUP BY token) z
-                |WHERE rnk <= 30 ORDER BY rnk""".stripMargin
-      sb.toString
+  // pretrained merge table (rank = priority, 1 highest) shared by the
+  // BPE-application queries q167 and q176: exercises chained merges
+  // (ranks 2-5 rebuild 'table'; 6-8 rebuild 'scan') and in-word priority
+  // (rank 1 'e r' beats rank 9 's t')
+  private val BpeMerges: Seq[(String, Int)] = Seq(
+    "e r" -> 1, "t a" -> 2, "ta b" -> 3, "tab l" -> 4, "tabl e" -> 5,
+    "s c" -> 6, "a n" -> 7, "sc an" -> 8, "s t" -> 9, "o w" -> 10)
+  // Each round applies ONE merge rule per word, so the per-word round
+  // bound is the number of distinct applicable rules, not chain depth:
+  // a word hitting every rule needs BpeMerges.size rounds — provably
+  // sufficient for ANY fixture (the unrolled oracle stays
+  // merge-table-sized, never corpus-sized).
+  private val BpeRounds = BpeMerges.size
+
+  /** The [[BpeRounds]]-unrolled DuckDB replay of the greedy BPE encode:
+    * CTEs m (merge table), w (word vocab), s0..s[[BpeRounds]] (per-round
+    * states). The caller appends a final SELECT over s[[BpeRounds]]. */
+  private def bpeOracleUnroll: String = {
+    val mergeValues = BpeMerges.map { case (p, r) => s"('$p', $r)" }.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH m(pair, rank) AS (VALUES $mergeValues),
+              |w AS (SELECT word, COUNT(*) AS n
+              |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) x
+              |      WHERE word != '' GROUP BY word),
+              |s0 AS (SELECT word, n,
+              |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seq
+              |       FROM w)""".stripMargin
+    for (r <- 0 until BpeRounds) {
+      sb ++= s""",
+                |a$r AS (
+                |  SELECT word, pair FROM (
+                |    SELECT t.word, m.pair,
+                |      ROW_NUMBER() OVER (PARTITION BY t.word ORDER BY m.rank) AS rn
+                |    FROM (SELECT word, unnest(list_transform(range(len(ss) - 1),
+                |            i -> ss[i + 1] || ' ' || ss[i + 2])) AS pair
+                |          FROM (SELECT word, string_split(trim(seq), '  ') AS ss FROM s$r) q) t
+                |    JOIN m ON m.pair = t.pair) z
+                |  WHERE rn = 1),
+                |s${r + 1} AS (
+                |  SELECT s.word, s.n,
+                |    CASE WHEN a.pair IS NULL THEN s.seq
+                |         ELSE replace(s.seq, ' ' || replace(a.pair, ' ', '  ') || ' ',
+                |                      ' ' || replace(a.pair, ' ', '') || ' ') END AS seq
+                |  FROM s$r s LEFT JOIN a$r a USING (word))""".stripMargin
     }
+    sb.toString
+  }
+
+  /** The Spark-side greedy BPE encode loop over a `(word, n)` vocab
+    * DataFrame: [[BpeRounds]] broadcast-join rounds, per-round
+    * localCheckpoint with superseded-state release ([[Checkpoints]]).
+    * Returns the final `(word, n, seq)` state. */
+  private def bpeEncodeState(
+      sp: org.apache.spark.sql.SparkSession,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, explode, expr, min, struct, when}
+    import sp.implicits._
+    val mdf = BpeMerges.toDF("pair", "rank")
+    var state = vocab
+      .selectExpr("word", "n",
+        "concat(' ', concat_ws('  ', regexp_extract_all(word, '.', 0)), ' ') AS seq")
+      .localCheckpoint()
+    for (_ <- 1 to BpeRounds) {
+      // per word: the lowest-rank merge-table pair present in its
+      // current symbol sequence (broadcast join, vocab-sized)
+      val applicable = state
+        .select(col("word"), expr("split(trim(seq), '  ')").as("ss"))
+        .select(col("word"), explode(expr(
+          """CASE WHEN size(ss) >= 2
+            |     THEN transform(sequence(0, size(ss) - 2),
+            |            i -> concat(ss[i], ' ', ss[i + 1]))
+            |     ELSE array() END""".stripMargin)).as("pair"))
+        .join(broadcast(mdf), "pair")
+        .groupBy("word").agg(min(struct(col("rank"), col("pair"))).as("mp"))
+        .select(col("word"), col("mp.pair").as("pair"))
+      // checkpoint per round: keeps the plan linear (state is consumed
+      // by BOTH the applicable-join and the next round) and the state
+      // is vocabulary-sized; the superseded round's blocks are released
+      // so storage stays O(1) in the round count ([[Checkpoints]])
+      val next = state.join(applicable, Seq("word"), "left")
+        .withColumn("seq", when(col("pair").isNull, col("seq"))
+          .otherwise(expr(
+            """replace(seq, concat(' ', replace(pair, ' ', '  '), ' '),
+              |             concat(' ', replace(pair, ' ', ''), ' '))""".stripMargin)))
+        .select("word", "n", "seq")
+        .localCheckpoint()
+      Checkpoints.unpersist(state)
+      state = next
+    }
+    state
+  }
+
+  val q167BpeEncode: QuerySpec = {
+    val oracleText: String = bpeOracleUnroll +
+      s"""
+         |SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
+         |  SELECT token, SUM(n) AS cnt,
+         |         ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, token) AS rnk
+         |  FROM (SELECT unnest(string_split(trim(seq), '  ')) AS token, n FROM s$BpeRounds) t
+         |  GROUP BY token) z
+         |WHERE rnk <= 30 ORDER BY rnk""".stripMargin
     QuerySpec("q167_text_bpe_encode", oracleText) { (s, dir) =>
       val sp = QuerySpec.prepared(s, dir)
-      import org.apache.spark.sql.functions.{broadcast, col, explode, expr, min, struct, when}
-      import sp.implicits._
-      val mdf = merges.toDF("pair", "rank")
       // the ONLY corpus scan (vocab build), checkpointed as in q163
-      var state = sp.sql(
-        """SELECT word, n,
-          |  concat(' ', concat_ws('  ', regexp_extract_all(word, '.', 0)), ' ') AS seq
-          |FROM (SELECT word, COUNT(*) AS n
-          |      FROM (SELECT explode(split(text, ' ')) AS word FROM documents) x
-          |      WHERE word != '' GROUP BY word) w""".stripMargin)
-        .localCheckpoint()
-      for (_ <- 1 to Rounds) {
-        // per word: the lowest-rank merge-table pair present in its
-        // current symbol sequence (broadcast join, vocab-sized)
-        val applicable = state
-          .select(col("word"), expr("split(trim(seq), '  ')").as("ss"))
-          .select(col("word"), explode(expr(
-            """CASE WHEN size(ss) >= 2
-              |     THEN transform(sequence(0, size(ss) - 2),
-              |            i -> concat(ss[i], ' ', ss[i + 1]))
-              |     ELSE array() END""".stripMargin)).as("pair"))
-          .join(broadcast(mdf), "pair")
-          .groupBy("word").agg(min(struct(col("rank"), col("pair"))).as("mp"))
-          .select(col("word"), col("mp.pair").as("pair"))
-        // checkpoint per round: keeps the plan linear (state is consumed
-        // by BOTH the applicable-join and the next round) and the state
-        // is vocabulary-sized; the superseded round's blocks are released
-        // so storage stays O(1) in the round count ([[Checkpoints]])
-        val next = state.join(applicable, Seq("word"), "left")
-          .withColumn("seq", when(col("pair").isNull, col("seq"))
-            .otherwise(expr(
-              """replace(seq, concat(' ', replace(pair, ' ', '  '), ' '),
-                |             concat(' ', replace(pair, ' ', ''), ' '))""".stripMargin)))
-          .select("word", "n", "seq")
-          .localCheckpoint()
-        Checkpoints.unpersist(state)
-        state = next
-      }
-      state.createOrReplaceTempView("g_bpe_encoded")
+      val vocab = sp.sql(
+        """SELECT word, COUNT(*) AS n
+          |FROM (SELECT explode(split(text, ' ')) AS word FROM documents) x
+          |WHERE word != '' GROUP BY word""".stripMargin)
+      bpeEncodeState(sp, vocab).createOrReplaceTempView("g_bpe_encoded")
       sp.sql(
         """SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
           |  SELECT token, SUM(n) AS cnt,
@@ -768,6 +786,66 @@ object TextAnalysis {
           |  FROM (SELECT explode(split(trim(seq), '  ')) AS token, n FROM g_bpe_encoded) t
           |  GROUP BY token) z
           |WHERE rnk <= 30 ORDER BY rnk""".stripMargin)
+    }
+  }
+
+  /** Tokenizer fertility report — tokens-per-word and chars-per-token by
+    * language, the standard metric for how well a tokenizer serves each
+    * language in a multilingual corpus (high fertility = the tokenizer
+    * fragments that language, inflating its effective training cost).
+    * Applies the [[BpeMerges]] tokenizer via [[bpeEncodeState]] and
+    * aggregates token counts per language, weighted by word frequency.
+    *
+    * Scale shape: ONE corpus scan builds the (word, lang, n) rollup
+    * (checkpointed); the word-level vocab the encode loop runs on is a
+    * vocabulary-sized re-aggregation of that rollup, and the final report
+    * joins the vocabulary-sized encode result back to the rollup — the
+    * fact table is never rejoined, same envelope as q167 plus one tiny
+    * grouped join. */
+  val q176TokenizerFertility: QuerySpec = {
+    val oracleText: String = bpeOracleUnroll +
+      s""",
+         |wl AS (SELECT word, lang, COUNT(*) AS n
+         |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) x
+         |       WHERE word != '' GROUP BY word, lang),
+         |tk AS (SELECT word, len(string_split(trim(seq), '  ')) AS n_tokens,
+         |              length(word) AS n_chars
+         |       FROM s$BpeRounds)
+         |SELECT lang,
+         |       CAST(SUM(wl.n) AS BIGINT) AS n_words,
+         |       CAST(SUM(wl.n * tk.n_tokens) AS BIGINT) AS n_tokens,
+         |       ROUND(CAST(SUM(wl.n * tk.n_tokens) AS DOUBLE)
+         |             / CAST(SUM(wl.n) AS DOUBLE), 6) AS fertility,
+         |       ROUND(CAST(SUM(wl.n * tk.n_chars) AS DOUBLE)
+         |             / CAST(SUM(wl.n * tk.n_tokens) AS DOUBLE), 6) AS chars_per_token
+         |FROM wl JOIN tk USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    QuerySpec("q176_tokenizer_fertility", oracleText) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      import org.apache.spark.sql.functions.{col, sum}
+      // the ONLY corpus scan: per-(word, lang) rollup, checkpointed
+      // because it feeds BOTH the encode vocab and the final report join
+      val wl = sp.sql(
+        """SELECT word, lang, COUNT(*) AS n
+          |FROM (SELECT lang, explode(split(text, ' ')) AS word FROM documents) x
+          |WHERE word != '' GROUP BY word, lang""".stripMargin)
+        .localCheckpoint()
+      val vocab = wl.groupBy("word").agg(sum("n").as("n"))
+      val tk = bpeEncodeState(sp, vocab)
+        .selectExpr("word", "size(split(trim(seq), '  ')) AS n_tokens",
+          "length(word) AS n_chars")
+      wl.join(tk, "word")
+        .createOrReplaceTempView("g_bpe_fertility")
+      sp.sql(
+        """SELECT lang,
+          |       CAST(SUM(n) AS BIGINT) AS n_words,
+          |       CAST(SUM(n * n_tokens) AS BIGINT) AS n_tokens,
+          |       ROUND(CAST(SUM(n * n_tokens) AS DOUBLE)
+          |             / CAST(SUM(n) AS DOUBLE), 6) AS fertility,
+          |       ROUND(CAST(SUM(n * n_chars) AS DOUBLE)
+          |             / CAST(SUM(n * n_tokens) AS DOUBLE), 6) AS chars_per_token
+          |FROM g_bpe_fertility
+          |GROUP BY lang ORDER BY lang""".stripMargin)
     }
   }
 
@@ -900,5 +978,6 @@ object TextAnalysis {
     q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
     q158ChunkOverlap, q159PiiRedact, q160SubstringDedup,
     q175SubstringRemove, q162UnigramLm,
-    q163BpeMerges, q166UrlCanonicalize, q167BpeEncode, q169ModelQuality)
+    q163BpeMerges, q166UrlCanonicalize, q167BpeEncode,
+    q176TokenizerFertility, q169ModelQuality)
 }
