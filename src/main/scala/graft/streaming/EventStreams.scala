@@ -189,4 +189,58 @@ object EventStreams {
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
   }
+
+  /** Native session windows — the built-in `session_window` twin of the
+    * custom [[sessionize]] state machine: Spark merges overlapping
+    * per-event [ts, ts+gap) intervals into sessions inside the streaming
+    * aggregation itself, with state evicted by the watermark. Prefer this
+    * shape when the per-session output is an aggregate (counts, sums):
+    * it stays in the codegen'd aggregation path and needs no bespoke
+    * state class; drop to flatMapGroupsWithState only for semantics the
+    * merge can't express (session numbering, mid-session emission). In
+    * append mode a session emits once the watermark passes its close —
+    * exactly-once per closed session, state = active sessions only. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"), col("n_events"), col("total"))
+
+  /** Streaming UPSERT sink via foreachBatch — maintains a "latest event
+    * per user" table under `tableDir`, the standard merge-into pattern
+    * for landing a change stream in a keyed table when the sink format
+    * has no native MERGE. Each micro-batch is first reduced to its own
+    * latest row per key (one small shuffle over the batch), then merged
+    * against the standing table with the same latest-wins rule, written
+    * to a fresh directory, and swapped in with a filesystem rename — the
+    * read and the overwrite never touch the same files, and a crash
+    * between write and swap leaves the old table intact (the restarted
+    * batch redoes the merge idempotently: same inputs, same result, so
+    * replays are safe without sink-side transaction logs).
+    *
+    * At scale the standing table is re-read per batch — for a truly
+    * large keyed table this is where a table format with row-level merge
+    * takes over; the dataflow (dedup batch → outer merge → latest-wins)
+    * is identical, only the sink swaps. */
+  def upsertLatest(tableDir: String)(batchDf: DataFrame, batchId: Long): Unit = {
+    val sp = batchDf.sparkSession
+    import org.apache.hadoop.fs.Path
+    def latest(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    val target = new Path(tableDir)
+    val fs = target.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val cur = if (fs.exists(target)) sp.read.parquet(tableDir) else batchDf.limit(0)
+    val merged = latest(cur.unionByName(latest(batchDf)))
+    val tmp = new Path(tableDir + s"_staging_$batchId")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
 }

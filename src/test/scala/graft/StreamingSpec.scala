@@ -293,4 +293,66 @@ class StreamingSpec extends EngineSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(out == batchScores, s"stream $out vs batch $batchScores")
   }
+
+  test("sessionWindowCounts: native session_window closes sessions at the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: 5,10 | 40-min gap | 55,58 → two sessions; user 2: one event
+    mem.addData(
+      Event(1, 1, ts(5), "click", 1.0), Event(1, 2, ts(10), "click", 2.0),
+      Event(1, 3, ts(55), "click", 3.0), Event(1, 4, ts(58), "click", 4.0),
+      Event(2, 5, ts(5), "view", 5.0))
+    val q = EventStreams.sessionWindowCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sess_win_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // nothing can close yet: watermark = 58m − 2h < 0
+      assert(s.table("sess_win_out").isEmpty)
+      // minute-400 event pushes the watermark past every session's close
+      mem.addData(Event(3, 6, ts(400), "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("sess_win_out")
+      .orderBy("user_id", "start_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSeq
+    // user 1: (2 events, 3.0) and (2 events, 7.0); user 2: (1, 5.0);
+    // user 3's minute-400 session is still open — not emitted
+    assert(rows == Seq((1L, 2L, 3.0), (1L, 2L, 7.0), (2L, 1L, 5.0)), rows.toString)
+    // batch mode: same function, watermark a no-op, every session present
+    val batch = EventStreams.sessionWindowCounts(
+      Seq(Event(1, 1, ts(5), "click", 1.0), Event(1, 2, ts(10), "click", 2.0),
+        Event(1, 3, ts(55), "click", 3.0), Event(2, 5, ts(5), "view", 5.0)).toDF())
+    assert(batch.count() == 3)
+  }
+
+  test("upsertLatest: foreachBatch merge keeps the latest row per user across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = s"/tmp/graft_stream_upsert_${System.nanoTime()}"
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStreams.upsertLatest(dir)(batch.toDF(), id))
+      .outputMode("update").start()
+    try {
+      // batch 1: users 1 and 2; user 1 twice — latest (event 3) wins
+      mem.addData(
+        Event(1, 1, ts(5), "click", 1.0), Event(2, 2, ts(6), "view", 2.0),
+        Event(1, 3, ts(9), "click", 3.0))
+      q.processAllAvailable()
+      val after1 = s.read.parquet(dir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+      assert(after1 == Map(1L -> 3L, 2L -> 2L), after1.toString)
+      // batch 2: user 2 updated, user 3 inserted, user 1 untouched
+      mem.addData(Event(2, 4, ts(12), "view", 4.0), Event(3, 5, ts(13), "click", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = s.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    assert(fin == Map(1L -> 3L, 2L -> 4L, 3L -> 5L), fin.toString)
+  }
 }
