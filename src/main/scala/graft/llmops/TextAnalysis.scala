@@ -557,6 +557,46 @@ object TextAnalysis {
     QuerySpec.sql2("q162_text_unigram_lm", text(spark = true), text(spark = false))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data"): within each
+    * language, rank documents by their LM score (the [[q162UnigramLm]]
+    * cross-entropy proxy) and split into head/middle/tail terciles —
+    * CCNet trains on head+middle and drops or down-weights tail. NTILE
+    * over (lang, score) is the whole bucketing; the report aggregates
+    * each (lang, bucket) with exact-decimal score sums so the mean is
+    * partitioning-independent.
+    *
+    * Scale shape: the q162 scoring envelope (one word-keyed join + one
+    * doc-keyed sum) plus one per-lang window — the window shuffles the
+    * per-DOC score table (tiny vs the corpus), not the word stream. */
+  val q177PerplexityBuckets: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "SELECT doc_id, lang, explode(split(text, ' ')) AS word FROM documents"
+        else "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents"
+      s"""WITH words AS ($words),
+         |f AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM words),
+         |s AS (SELECT w.doc_id, w.lang, COUNT(*) AS n_words,
+         |             SUM(CAST(LN(f.cnt / tot.n) AS DECIMAL(27,18))) AS lsum
+         |      FROM words w JOIN f ON w.word = f.word CROSS JOIN tot
+         |      GROUP BY w.doc_id, w.lang),
+         |sc AS (SELECT doc_id, lang,
+         |         ROUND(-CAST(lsum AS DOUBLE) / n_words, 6) AS xent,
+         |         NTILE(3) OVER (PARTITION BY lang
+         |                        ORDER BY ROUND(-CAST(lsum AS DOUBLE) / n_words, 6), doc_id) AS b
+         |       FROM s)
+         |SELECT lang,
+         |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       ROUND(CAST(SUM(CAST(xent AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*), 6) AS mean_xent
+         |FROM sc
+         |GROUP BY lang, b
+         |ORDER BY lang, bucket""".stripMargin
+    }
+    QuerySpec.sql2("q177_perplexity_buckets", text(spark = true), text(spark = false))
+  }
+
   /** BPE merge learning (Sennrich et al., "Neural Machine Translation of
     * Rare Words with Subword Units") — the first two merge rounds of a
     * byte-pair-encoding tokenizer build, as pure dataflow: words become
@@ -977,7 +1017,7 @@ object TextAnalysis {
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
     q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
     q158ChunkOverlap, q159PiiRedact, q160SubstringDedup,
-    q175SubstringRemove, q162UnigramLm,
+    q175SubstringRemove, q162UnigramLm, q177PerplexityBuckets,
     q163BpeMerges, q166UrlCanonicalize, q167BpeEncode,
     q176TokenizerFertility, q169ModelQuality)
 }
