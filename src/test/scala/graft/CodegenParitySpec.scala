@@ -1,0 +1,136 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Codegen/interpreted parity fuzz for every custom Catalyst Expression.
+  *
+  * Each expression ships two implementations: `doGenCode` (the hot path,
+  * inlined into whole-stage codegen) and `eval`/`nullSafeEval` (the
+  * fallback Spark silently uses when codegen fails or is disabled). A
+  * divergence between them is invisible to the oracle gate — the same
+  * mode runs on both sides of every compare — so this suite drives the
+  * SAME randomized inputs through both execution modes
+  * (`spark.sql.codegen.factoryMode` CODEGEN_ONLY vs NO_CODEGEN) and
+  * requires bit-identical results. Inputs are scalacheck-generated with
+  * a fixed seed: unicode strings (the corpus is ASCII, the functions
+  * must not be), empties, extreme doubles, and zero vectors. */
+class CodegenParitySpec extends EngineSuite {
+
+  /** Runs `sql` over `rows` (one string column `s` / array column `v`)
+    * in both execution modes and returns the two result sets. */
+  private def bothModes(setup: () => Unit, sql: String): (Seq[String], Seq[String]) = {
+    val sp = spark
+    def run(): Seq[String] = {
+      setup()
+      sp.sql(sql).collect().map(_.toString).toSeq
+    }
+    sp.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    sp.conf.set("spark.sql.codegen.wholeStage", "true")
+    val gen =
+      try run()
+      finally {
+        sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        sp.conf.set("spark.sql.codegen.wholeStage", "false")
+      }
+    val interp =
+      try run()
+      finally {
+        sp.conf.unset("spark.sql.codegen.factoryMode")
+        sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      }
+    (gen, interp)
+  }
+
+  private def check(name: String)(prop: Prop): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(30)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  // strings: ASCII words, unicode (multi-byte UTF-8), empties, spaces
+  private val strGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(24)),
+    Gen.listOfN(6, Gen.oneOf("tier", "scan", "über", "数据", "λ", "", " ", "a b"))
+      .map(_.mkString(" ")),
+    Gen.const(""))
+
+  // doubles: ordinary, tiny, huge, negative zero — NaN excluded (NaN !=
+  // NaN breaks row equality, and the corpus never produces NaN inputs)
+  private val dblGen: Gen[Double] = Gen.oneOf(
+    Gen.choose(-1.0, 1.0), Gen.const(0.0), Gen.const(-0.0),
+    Gen.const(1e-300), Gen.const(1e300), Gen.const(-3.5))
+
+  test("string kernels: fnv_hash, murmur_hash, shingles64, simhash+minhash+lsh chain") {
+    val s0 = spark
+    import s0.implicits._
+    check("string kernels")(Prop.forAll(Gen.listOfN(8, strGen)) { texts =>
+      val setup = () => texts.toDF("s").createOrReplaceTempView("g_parity_s")
+      val (g, i) = bothModes(setup,
+        """SELECT s, fnv_hash(s), murmur_hash(s),
+          |       shingles64(s),
+          |       minhash64(shingles64(s)),
+          |       lshbands64(minhash64(shingles64(s))),
+          |       simhash64(transform(split(s, ' '), w -> fnv_hash(w)))
+          |FROM g_parity_s""".stripMargin)
+      g == i
+    })
+  }
+
+  test("numeric-input hashes: fnv_hash/murmur_hash over bigint and double byte images") {
+    val s0 = spark
+    import s0.implicits._
+    check("numeric hashes")(Prop.forAll(
+      Gen.listOfN(8, Gen.zip(Gen.choose(Long.MinValue, Long.MaxValue), dblGen))) { rows =>
+      val setup = () => rows.toDF("l", "d").createOrReplaceTempView("g_parity_n")
+      val (g, i) = bothModes(setup,
+        "SELECT l, d, fnv_hash(l), fnv_hash(d), murmur_hash(l) FROM g_parity_n")
+      g == i
+    })
+  }
+
+  test("vector kernels: vec_cosine and hyperplanebands64 over random embeddings") {
+    val s0 = spark
+    import s0.implicits._
+    val vecGen = Gen.listOfN(64, dblGen).map(_.toArray)
+    check("vector kernels")(Prop.forAll(Gen.listOfN(6, Gen.zip(vecGen, vecGen))) { vs =>
+      val setup = () => vs.map { case (a, b) => (a.toSeq, b.toSeq) }
+        .toDF("a", "b").createOrReplaceTempView("g_parity_v")
+      val (g, i) = bothModes(setup,
+        """SELECT vec_cosine(a, b),
+          |       hyperplanebands64(a, 256, 16),
+          |       hyperplanebands64(b, 64, 8)
+          |FROM g_parity_v""".stripMargin)
+      g == i
+    })
+  }
+
+  test("pair generators: long_pairs and cosine_pairs diagonal + cross blocks") {
+    val s0 = spark
+    import s0.implicits._
+    check("pair generators")(Prop.forAll(
+      Gen.listOfN(5, Gen.choose(0L, 50L)), Gen.listOfN(5, Gen.choose(0L, 50L))) { (ls, rs) =>
+      val setup = () => Seq((ls, rs)).toDF("ls", "rs").createOrReplaceTempView("g_parity_p")
+      val (g, i) = bothModes(setup,
+        """SELECT long_pairs(ls, rs, true), long_pairs(ls, rs, false)
+          |FROM g_parity_p""".stripMargin)
+      g == i
+    })
+    // cosine_pairs: id+vector struct blocks, diagonal and cross
+    val blockGen = Gen.listOfN(4,
+      Gen.zip(Gen.choose(0L, 20L), Gen.listOfN(8, dblGen)))
+    check("cosine_pairs")(Prop.forAll(blockGen, blockGen) { (la, ra) =>
+      val setup = () => la.map(x => (x._1, x._2)).toDF("id", "v")
+        .selectExpr("collect_list(struct(id, v)) AS ls")
+        .crossJoin(ra.map(x => (x._1, x._2)).toDF("id", "v")
+          .selectExpr("collect_list(struct(id, v)) AS rs"))
+        .createOrReplaceTempView("g_parity_cp")
+      val (g, i) = bothModes(setup,
+        """SELECT cosine_pairs(ls, rs, CAST(-2.0 AS DOUBLE), true),
+          |       cosine_pairs(ls, rs, CAST(0.1 AS DOUBLE), false)
+          |FROM g_parity_cp""".stripMargin)
+      g == i
+    })
+  }
+}
