@@ -34,6 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   tag STRING = 'even' | 'odd'.
   * Usage: spark.read.format("graft.sources.ExtDataSource")
   *   .option("rows", n).option("partitions", p).load()
+  * Streaming: spark.readStream with the same options serves the range
+  * incrementally, `batchRows` ids per micro-batch ([[ExtMicroBatchStream]]).
   */
 class ExtDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -45,7 +47,8 @@ class ExtDataSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new ExtTable(
       rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(4))
+      partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(4),
+      batchRows = Option(properties.get("batchRows")).map(_.toLong).getOrElse(250L))
 }
 
 object ExtDataSource {
@@ -55,17 +58,17 @@ object ExtDataSource {
     StructField("tag", StringType, nullable = false)))
 }
 
-private[sources] class ExtTable(rows: Long, partitions: Int)
+private[sources] class ExtTable(rows: Long, partitions: Int, batchRows: Long)
   extends Table with SupportsRead {
   override def name(): String = s"ext_source($rows rows)"
   override def schema(): StructType = ExtDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ExtScanBuilder(rows, partitions)
+    new ExtScanBuilder(rows, partitions, batchRows)
 }
 
-private[sources] class ExtScanBuilder(rows: Long, partitions: Int)
+private[sources] class ExtScanBuilder(rows: Long, partitions: Int, batchRows: Long = 250L)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -133,7 +136,7 @@ private[sources] class ExtScanBuilder(rows: Long, partitions: Int)
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new ExtAggScan(lo, math.max(lo, hi), agg)
-    case None => new ExtScan(lo, math.max(lo, hi), partitions, required)
+    case None => new ExtScan(lo, math.max(lo, hi), partitions, required, batchRows)
   }
 }
 
@@ -178,7 +181,8 @@ private[sources] class ExtSingleRowFactory(values: Array[Any])
 private[sources] case class ExtRange(from: Long, until: Long) extends InputPartition
 
 private[sources] class ExtScan(
-    lo: Long, hi: Long, partitions: Int, required: StructType)
+    lo: Long, hi: Long, partitions: Int, required: StructType,
+    batchRows: Long = 250L)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -195,6 +199,53 @@ private[sources] class ExtScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ExtReaderFactory(required)
+
+  // The streaming half of the external-source contract: the same
+  // generated relation served incrementally, `batchRows` ids per
+  // micro-batch. The reference's API is batch-only (its executor is
+  // prepare/open/getNext/close per scan) — this is the §7 extension of
+  // the same source to Structured Streaming, the way a remote system
+  // with an append log would be consumed.
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ExtMicroBatchStream(lo, hi, batchRows, required)
+}
+
+/** Offset = how many ids from the range start have been made available.
+  * JSON round-trip is the raw long, so restarts resume exactly. */
+private[sources] case class ExtOffset(exclusiveEnd: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = exclusiveEnd.toString
+}
+
+/** Micro-batch view of the generated id range: `latestOffset` reveals up
+  * to `batchRows` further ids per trigger (simulating an external system
+  * whose log grows between polls, and giving processAllAvailable real
+  * multi-batch behavior), until the whole [lo, hi) range is served
+  * exactly once across batches. State is the offset alone — restart from
+  * a checkpoint replans [start, end) deterministically. */
+private[sources] class ExtMicroBatchStream(
+    lo: Long, hi: Long, batchRows: Long, required: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var revealed: Long = lo
+
+  override def initialOffset(): Offset = ExtOffset(lo)
+  override def latestOffset(): Offset = {
+    revealed = math.min(hi, revealed + math.max(1L, batchRows))
+    ExtOffset(revealed)
+  }
+  override def deserializeOffset(json: String): Offset = ExtOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ExtOffset].exclusiveEnd
+    val e = end.asInstanceOf[ExtOffset].exclusiveEnd
+    if (e <= s) Array.empty else Array(ExtRange(s, e))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExtReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class ExtReaderFactory(required: StructType)

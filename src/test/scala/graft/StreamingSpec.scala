@@ -328,6 +328,30 @@ class StreamingSpec extends EngineSuite {
     assert(batch.count() == 3)
   }
 
+  test("ext source streams its range incrementally and exactly once") {
+    // the DSv2 MICRO_BATCH_READ half of the external-source contract:
+    // the same generated relation as the batch scan, served batchRows
+    // ids per trigger — total must be exact (no gap, no overlap) and
+    // genuinely multi-batch
+    val s = spark
+    val q = s.readStream.format("graft.sources.ExtDataSource")
+      .option("rows", "1000").option("batchRows", "300").load()
+      .groupBy().agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("id").as("s"),
+        org.apache.spark.sql.functions.min("id").as("mn"),
+        org.apache.spark.sql.functions.max("id").as("mx"))
+      .writeStream.format("memory").queryName("ext_stream_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val r = s.table("ext_stream_out").collect().head
+    assert(r.getLong(0) == 1000L, r.toString)
+    assert(r.getLong(1) == 999L * 1000L / 2, r.toString) // exact id coverage
+    assert(r.getLong(2) == 0L && r.getLong(3) == 999L, r.toString)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >= 3 micro-batches of 300, got $batches")
+  }
+
   test("upsertLatest: foreachBatch merge keeps the latest row per user across batches") {
     val s = spark
     import s.implicits._
