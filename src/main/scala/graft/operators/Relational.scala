@@ -302,6 +302,27 @@ object Relational {
       .agg(count(lit(1)).as("n"), min(col("id")).as("lo_id"), max(col("id")).as("hi_id"))
   }
 
+  /** Grouped complete aggregate pushdown — [[q172ExtAggPushdown]]'s
+    * GROUP BY sibling: tag is id parity, so the source answers
+    * COUNT/MIN/MAX per group in O(1) range arithmetic and serves TWO
+    * rows. PlanSpec pins the pushed plan (no Spark aggregate at all);
+    * the oracle re-derives the per-parity answers from range(). */
+  val q178ExtGroupedAgg: QuerySpec = QuerySpec(
+    "q178_ext_grouped_agg_pushdown",
+    """SELECT CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag,
+      |       CAST(COUNT(*) AS BIGINT) AS n, MIN(id) AS lo_id, MAX(id) AS hi_id
+      |FROM (SELECT id FROM range(1000) t(id)) src
+      |WHERE id >= 100 AND id < 900
+      |GROUP BY 1 ORDER BY tag""".stripMargin) { (s, dir) =>
+    QuerySpec.prepared(s, dir)
+    s.read.format("graft.sources.ExtDataSource")
+      .option("rows", "1000").option("partitions", "4").load()
+      .filter(col("id") >= 100 && col("id") < 900)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo_id"), max(col("id")).as("hi_id"))
+      .orderBy(col("tag"))
+  }
+
   /** PIVOT — rows→columns reshaping (beyond the reference's grammar;
     * Spark ≥3.4 SQL PIVOT clause). Catalyst rewrites it to one grouped
     * aggregation with pivot-filtered aggregates — a single shuffle
@@ -357,5 +378,5 @@ object Relational {
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
     q100TpchQ18.benched, q126ExtSource, q141Pivot, q142Unpivot,
-    q172ExtAggPushdown)
+    q172ExtAggPushdown, q178ExtGroupedAgg)
 }

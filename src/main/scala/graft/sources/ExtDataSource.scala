@@ -72,7 +72,9 @@ private[sources] class ExtScanBuilder(rows: Long, partitions: Int, batchRows: Lo
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownLimit
+  with SupportsPushDownTopN {
 
   private var lo: Long = 0L            // inclusive
   private var hi: Long = rows          // exclusive
@@ -121,8 +123,17 @@ private[sources] class ExtScanBuilder(rows: Long, partitions: Int, batchRows: Lo
       case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
       case _ => false
     }
+  private def isTagRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("tag"))
+      case _ => false
+    }
   private def canPush(agg: Aggregation): Boolean =
-    !hadResidual && agg.groupByExpressions.isEmpty &&
+    !hadResidual &&
+      // no grouping, or grouping on exactly `tag` — per-parity answers
+      // are still O(1) range arithmetic
+      (agg.groupByExpressions.isEmpty ||
+        (agg.groupByExpressions.length == 1 && isTagRef(agg.groupByExpressions.head))) &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -134,8 +145,40 @@ private[sources] class ExtScanBuilder(rows: Long, partitions: Int, batchRows: Lo
   override def pushAggregation(agg: Aggregation): Boolean =
     canPush(agg) && { pushedAgg = Some(agg); true }
 
+  // LIMIT pushdown: ANY `limit` rows satisfy SQL LIMIT semantics, so the
+  // served range narrows to its first `limit` ids. Reported as PARTIAL
+  // (Spark keeps its own Limit above) — the point is the data reduction
+  // at the source, the way a remote system honors a row cap.
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+    true
+  }
+  // TopN pushdown on the id ordering: the range is generated in id
+  // order, so the top-N ids are a prefix (ASC) or suffix (DESC) of the
+  // range. Also PARTIAL — Spark's sort+limit runs over N rows, not the
+  // whole relation.
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (orders.length != 1 || !isIdRef(orders(0).expression())) false
+    else {
+      orders(0).direction() match {
+        case SortDirection.ASCENDING =>
+          hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+        case SortDirection.DESCENDING =>
+          lo = math.max(lo, hi - limit) // hi - limit < 0 keeps lo (no wrap: hi >= 0)
+      }
+      true
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = pushedAgg match {
-    case Some(agg) => new ExtAggScan(lo, math.max(lo, hi), agg)
+    case Some(agg) if agg.groupByExpressions.isEmpty =>
+      new ExtAggScan(lo, math.max(lo, hi), agg)
+    case Some(agg) =>
+      new ExtGroupedAggScan(lo, math.max(lo, hi), agg)
     case None => new ExtScan(lo, math.max(lo, hi), partitions, required, batchRows)
   }
 }
@@ -165,6 +208,62 @@ private[sources] class ExtAggScan(lo: Long, hi: Long, agg: Aggregation)
     }
     new ExtSingleRowFactory(values)
   }
+}
+
+/** Grouped complete pushdown — GROUP BY tag with COUNT(*)/MIN(id)/
+  * MAX(id): tag is id parity, so every per-group answer is O(1) range
+  * arithmetic over [lo, hi). Emits one row per NON-EMPTY group (SQL
+  * GROUP BY semantics: an empty group produces no row), schema =
+  * grouping column then aggregates positionally, per the DSv2 contract. */
+private[sources] class ExtGroupedAggScan(lo: Long, hi: Long, agg: Aggregation)
+  extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    StructField("tag", StringType, nullable = false) +:
+      agg.aggregateExpressions.zipWithIndex.map {
+        case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ext_source pushed aggregation GROUP BY tag ${agg.aggregateExpressions.mkString(",")} over [$lo, $hi)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ExtRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    def groupRow(tag: String): Option[Seq[Any]] = {
+      val even = tag == "even"
+      // first/last id of this parity inside [lo, hi), if any
+      def first: Long = if ((lo % 2 == 0) == even) lo else lo + 1
+      def last: Long = if (((hi - 1) % 2 == 0) == even) hi - 1 else hi - 2
+      if (hi <= lo || first > last) None
+      else {
+        val n = (last - first) / 2 + 1
+        Some(tag +: agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => n: Any
+          case _: Min => first: Any
+          case _: Max => last: Any
+          case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+        })
+      }
+    }
+    new ExtRowsFactory(Seq("even", "odd").flatMap(groupRow))
+  }
+}
+
+/** Serves a fixed, driver-computed list of rows (UTF8String-converting
+  * strings) — the reader behind both pushed-aggregation scans. */
+private[sources] class ExtRowsFactory(rows: Seq[Seq[Any]])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = rows.iterator
+      private var cur: Seq[Any] = _
+      override def next(): Boolean = { val r = it.hasNext; if (r) cur = it.next(); r }
+      override def get(): InternalRow = InternalRow.fromSeq(cur.map {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      })
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class ExtSingleRowFactory(values: Array[Any])

@@ -165,12 +165,41 @@ class PlanSpec extends EngineSuite {
     assert(ep.contains("pushed aggregation"), s"empty range not pushed:\n$ep")
     assert(empty.collect().toSeq == Seq(Row(0L, null, null)))
 
-    // GROUP BY present → source refuses complete pushdown (q126's shape)
+    // GROUP BY tag with computable aggs → grouped complete pushdown:
+    // per-parity answers are O(1) range arithmetic, two rows served
     val grouped = ext.filter(col("id") >= 100 && col("id") < 900)
-      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
     val gp = grouped.queryExecution.executedPlan.toString
-    assert(!gp.contains("pushed aggregation"), gp)
-    assert(gp.contains("HashAggregate"), gp)
+    assert(gp.contains("pushed aggregation GROUP BY tag"), gp)
+    assert(!gp.contains("HashAggregate"), s"Spark re-aggregated a grouped complete pushdown:\n$gp")
+    assert(grouped.orderBy("tag").collect().toSeq ==
+      Seq(Row("even", 400L, 100L, 898L), Row("odd", 400L, 101L, 899L)))
+
+    // a non-computable aggregate (SUM over val) keeps the whole
+    // aggregation in Spark — q126's shape, unchanged
+    import org.apache.spark.sql.functions.sum
+    val mixed = ext.filter(col("id") >= 100 && col("id") < 900)
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"), sum(col("val")).as("t"))
+    val mp = mixed.queryExecution.executedPlan.toString
+    assert(!mp.contains("pushed aggregation"), mp)
+    assert(mp.contains("HashAggregate"), mp)
+  }
+
+  test("DSv2 ext source: LIMIT and TopN narrow the served range at the source") {
+    import org.apache.spark.sql.functions.col
+    def ext = spark.read.format("graft.sources.ExtDataSource")
+      .option("rows", "1000").load()
+    // LIMIT: any 7 rows satisfy it — the source serves its first 7 ids
+    val lim = ext.limit(7)
+    val lp = lim.queryExecution.executedPlan.toString
+    assert(lp.contains("range [0, 7)"), s"limit not pushed into the range:\n$lp")
+    assert(lim.count() == 7)
+    // TopN on id DESC: the top 5 ids are the range's suffix
+    val top = ext.orderBy(col("id").desc).limit(5)
+    val tp = top.queryExecution.executedPlan.toString
+    assert(tp.contains("range [995, 1000)"), s"TopN not pushed into the range:\n$tp")
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
   }
 
   test("join distribution hints steer the planner (TableRef.java:374-390)") {
