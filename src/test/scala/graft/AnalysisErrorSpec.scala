@@ -165,6 +165,44 @@ class AnalysisErrorSpec extends EngineSuite {
     assert(lim.count() == 1)
   }
 
+  // --- correlated-subquery restriction family (AnalyzeSubqueriesTest
+  // .java): the shapes BOTH engines reject. The reference rejects these
+  // at analysis ("Unsupported correlated subquery ..."); this engine
+  // rejects the aggregate-of-outer-column and multi-level correlation at
+  // analysis too, and the >1-row scalar subquery at runtime (the
+  // reference's runtime also errors there when its cardinality check is
+  // deferred).
+  test("aggregate over an outer-query column inside a subquery is rejected") {
+    // AnalyzeSubqueriesTest.java:445 "Unsupported correlated subquery
+    // with grouping and/or aggregation" — here: CORRELATED_REFERENCE
+    fails(
+      """SELECT c_name FROM customer
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+      "CORRELATED_REFERENCE")
+  }
+
+  test("correlation across two nesting levels is rejected") {
+    // the reference only resolves correlated refs one level up
+    // (Analyzer.resolvePath over the direct parent block); same here —
+    // the doubly-nested reference fails to resolve
+    fails(
+      """SELECT c_name FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_suppkey = c_custkey))""".stripMargin,
+      "c_custkey")
+  }
+
+  test("scalar subquery returning more than one row errors") {
+    // runtime cardinality enforcement of the scalar-subquery contract
+    // (the reference's rewrite requires an aggregate or LIMIT 1 —
+    // AnalyzeSubqueriesTest runtime-cardinality family)
+    fails(
+      """SELECT c_name, (SELECT o_totalprice FROM orders WHERE o_custkey = c_custkey) AS m
+        |FROM customer LIMIT 3""".stripMargin,
+      "SCALAR_SUBQUERY_TOO_MANY_ROWS")
+  }
+
   // --- aggregate-nesting family (AnalyzeExprsTest.java testAggregates:
   // "aggregate function must not contain aggregate parameters")
   test("aggregate of an aggregate") {
