@@ -752,8 +752,56 @@ object Dedup {
       |GROUP BY status
       |ORDER BY status""".stripMargin)
 
+  /** Content-defined chunking (CDC) — rolling-hash chunk boundaries, the
+    * long-document primitive behind shift-resistant dedup (a fixed-size
+    * chunker breaks on one inserted word; CDC boundaries depend only on
+    * LOCAL content, so an edit perturbs at most its own chunk — the
+    * Rabin-fingerprint idea of LBFS/restic applied at word granularity).
+    * A word position i opens a boundary when fnv_hash of the 4-gram at i
+    * is ≡ 0 mod 16 (expected chunk length 16 words).
+    *
+    * Scale shape: entirely map-side — boundaries come from
+    * filter(sequence(...)) over each doc's own word array inside
+    * whole-stage codegen; ZERO shuffles at any corpus size (the report
+    * ORDER BY is the only exchange). The DuckDB oracle replays the same
+    * fold with the q120 HUGEINT fnv recipe (ASCII corpus —
+    * FixtureGuardSpec). */
+  val q179CdcChunking: QuerySpec = {
+    def text(spark: Boolean): String =
+      if (spark)
+        """WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, size(ws) AS n_words,
+          |        filter(CASE WHEN size(ws) >= 4 THEN sequence(0, size(ws) - 4)
+          |                    ELSE array() END,
+          |          i -> pmod(fnv_hash(concat_ws(' ', slice(ws, i + 1, 4))), 16) = 0) AS cuts
+          |      FROM t)
+          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+          |       CAST(size(cuts) + 1 AS BIGINT) AS n_chunks,
+          |       CAST(COALESCE(element_at(cuts, 1), -1) AS BIGINT) AS first_cut
+          |FROM c ORDER BY doc_id""".stripMargin
+      else {
+        val fnv =
+          """list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+            |      list_transform(range(length(array_to_string(ws[i+1:i+4], ' '))),
+            |        j -> CAST(ascii(substr(array_to_string(ws[i+1:i+4], ' '), CAST(j+1 AS INT), 1)) AS HUGEINT))),
+            |      (h, x) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT))) * 1099511628211)
+            |                % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |c AS (SELECT doc_id, len(ws) AS n_words,
+           |        list_filter(range(CASE WHEN len(ws) >= 4 THEN len(ws) - 3 ELSE 0 END),
+           |          i -> $fnv % 16 = 0) AS cuts
+           |      FROM t)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |       CAST(len(cuts) + 1 AS BIGINT) AS n_chunks,
+           |       CAST(COALESCE(cuts[1], -1) AS BIGINT) AS first_cut
+           |FROM c ORDER BY doc_id""".stripMargin
+      }
+    QuerySpec.sql2("q179_dedup_cdc_chunking", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
-    q101CrossLang, q151IncrementalDedup, q152CorpusDiff, q164SemDeDup)
+    q101CrossLang, q151IncrementalDedup, q152CorpusDiff, q164SemDeDup,
+    q179CdcChunking)
 }

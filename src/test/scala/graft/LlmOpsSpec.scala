@@ -459,6 +459,31 @@ class LlmOpsSpec extends EngineSuite {
     assert(joined.count() == 0)
   }
 
+  test("q179 CDC chunking is shift-resistant: an insertion only perturbs its own chunk") {
+    // the property the operator exists for — with fixed-size chunking
+    // one inserted word re-cuts the whole tail; with content-defined
+    // boundaries every cut after the edit survives, shifted by one
+    val s = spark
+    val base = (1 to 60).map(i => s"w${i * 7 % 23}x$i").mkString(" ")
+    val edited = "INSERTED " + base
+    def cuts(text: String): Seq[Int] = {
+      import org.apache.spark.sql.functions.{expr, lit}
+      s.range(1).select(lit(text).as("txt"))
+        .select(expr(
+          """filter(sequence(0, size(split(txt, ' ')) - 4),
+            |  i -> pmod(fnv_hash(concat_ws(' ', slice(split(txt, ' '), i + 1, 4))), 16) = 0)""".stripMargin))
+        .collect().head.getSeq[Int](0)
+    }
+    val c0 = cuts(base)
+    val c1 = cuts(edited)
+    assert(c0.nonEmpty, "fixture produced no boundaries — weaken the mod")
+    // every original boundary reappears shifted by exactly the insertion
+    assert(c0.map(_ + 1).toSet.subsetOf(c1.toSet),
+      s"tail boundaries did not survive the edit: $c0 vs $c1")
+    // and the edit can only ADD boundaries near position 0
+    assert((c1.toSet -- c0.map(_ + 1).toSet).forall(_ <= 4), c1.toString)
+  }
+
   test("q175 substring removal is exactly q160's measured duplicate coverage") {
     // q160 measures duplicate-covered token positions; q175 removes
     // them. On every doc the removed count must equal the measured
