@@ -68,7 +68,7 @@ private[sources] class ExtTable(rows: Long, partitions: Int, batchRows: Long)
     new ExtScanBuilder(rows, partitions, batchRows)
 }
 
-private[sources] class ExtScanBuilder(rows: Long, partitions: Int, batchRows: Long = 250L)
+private[graft] class ExtScanBuilder(rows: Long, partitions: Int, batchRows: Long = 250L)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -206,7 +206,7 @@ private[sources] class ExtAggScan(lo: Long, hi: Long, agg: Aggregation)
       case _: Max => if (span > 0) (hi - 1: Any) else null
       case other => throw new IllegalStateException(s"unexpected pushed agg $other")
     }
-    new ExtSingleRowFactory(values)
+    new ExtRowsFactory(Seq(values.toIndexedSeq))
   }
 }
 
@@ -266,17 +266,6 @@ private[sources] class ExtRowsFactory(rows: Seq[Seq[Any]])
     }
 }
 
-private[sources] class ExtSingleRowFactory(values: Array[Any])
-  extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private var served = false
-      override def next(): Boolean = { val r = !served; served = true; r }
-      override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
-      override def close(): Unit = ()
-    }
-}
-
 private[sources] case class ExtRange(from: Long, until: Long) extends InputPartition
 
 private[sources] class ExtScan(
@@ -312,7 +301,7 @@ private[sources] class ExtScan(
 
 /** Offset = how many ids from the range start have been made available.
   * JSON round-trip is the raw long, so restarts resume exactly. */
-private[sources] case class ExtOffset(exclusiveEnd: Long)
+private[graft] case class ExtOffset(exclusiveEnd: Long)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = exclusiveEnd.toString
 }
@@ -323,7 +312,7 @@ private[sources] case class ExtOffset(exclusiveEnd: Long)
   * multi-batch behavior), until the whole [lo, hi) range is served
   * exactly once across batches. State is the offset alone — restart from
   * a checkpoint replans [start, end) deterministically. */
-private[sources] class ExtMicroBatchStream(
+private[graft] class ExtMicroBatchStream(
     lo: Long, hi: Long, batchRows: Long, required: StructType)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -335,7 +324,16 @@ private[sources] class ExtMicroBatchStream(
     revealed = math.min(hi, revealed + math.max(1L, batchRows))
     ExtOffset(revealed)
   }
-  override def deserializeOffset(json: String): Offset = ExtOffset(json.toLong)
+  // On a checkpointed restart Spark rebuilds this object (revealed = lo)
+  // and replays the logged offsets through deserializeOffset/commit —
+  // ratcheting `revealed` up to them here is what keeps latestOffset
+  // from REGRESSING behind the committed offset and re-serving ids that
+  // already reached the sink.
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toLong
+    revealed = math.max(revealed, v)
+    ExtOffset(v)
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ExtOffset].exclusiveEnd
     val e = end.asInstanceOf[ExtOffset].exclusiveEnd
@@ -343,7 +341,8 @@ private[sources] class ExtMicroBatchStream(
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ExtReaderFactory(required)
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    revealed = math.max(revealed, end.asInstanceOf[ExtOffset].exclusiveEnd)
   override def stop(): Unit = ()
 }
 

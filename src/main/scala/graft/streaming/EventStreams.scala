@@ -214,17 +214,22 @@ object EventStreams {
     * for landing a change stream in a keyed table when the sink format
     * has no native MERGE. Each micro-batch is first reduced to its own
     * latest row per key (one small shuffle over the batch), then merged
-    * against the standing table with the same latest-wins rule, written
-    * to a fresh directory, and swapped in with a filesystem rename — the
-    * read and the overwrite never touch the same files, and a crash
-    * between write and swap leaves the old table intact (the restarted
-    * batch redoes the merge idempotently: same inputs, same result, so
-    * replays are safe without sink-side transaction logs).
+    * against the standing table with the same latest-wins rule.
+    *
+    * Crash safety is versioned-commit, not rename-swap: each batch
+    * writes an immutable `v_<batchId>` directory and then creates an
+    * empty `_commit_<batchId>` marker; [[readLatest]] resolves the
+    * highest marker whose data directory exists. There is NO window in
+    * which the table is absent — a crash before the marker leaves the
+    * previous version current, and a replayed batch rewrites its own
+    * version directory and marker idempotently (same inputs, same
+    * merge). Superseded versions older than the one just read are
+    * pruned AFTER the new marker lands.
     *
     * At scale the standing table is re-read per batch — for a truly
     * large keyed table this is where a table format with row-level merge
     * takes over; the dataflow (dedup batch → outer merge → latest-wins)
-    * is identical, only the sink swaps. */
+    * is identical, only the sink commit protocol swaps. */
   def upsertLatest(tableDir: String)(batchDf: DataFrame, batchId: Long): Unit = {
     val sp = batchDf.sparkSession
     import org.apache.hadoop.fs.Path
@@ -234,13 +239,47 @@ object EventStreams {
         .orderBy(col("ts").desc, col("event_id").desc)
       df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     }
-    val target = new Path(tableDir)
-    val fs = target.getFileSystem(sp.sparkContext.hadoopConfiguration)
-    val cur = if (fs.exists(target)) sp.read.parquet(tableDir) else batchDf.limit(0)
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val curVer = committedVersion(fs, root)
+    val cur = curVer match {
+      case Some(v) => sp.read.parquet(new Path(root, s"v_$v").toString)
+      case None => batchDf.limit(0)
+    }
     val merged = latest(cur.unionByName(latest(batchDf)))
-    val tmp = new Path(tableDir + s"_staging_$batchId")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    fs.rename(tmp, target)
+    merged.write.mode("overwrite").parquet(new Path(root, s"v_$batchId").toString)
+    fs.create(new Path(root, s"_commit_$batchId"), true).close()
+    // prune strictly-older versions (the just-read one is already
+    // superseded by batchId's marker; readers resolving concurrently
+    // still see a complete max-marker version at every instant)
+    curVer.foreach { v =>
+      fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => (n.startsWith("v_") || n.startsWith("_commit_")) &&
+          n.split("_").last.toLong < v)
+        .foreach(n => fs.delete(new Path(root, n), true))
+    }
+  }
+
+  /** Reads the current committed version of an [[upsertLatest]] table. */
+  def readLatest(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersion(fs, root) match {
+      case Some(v) => spark.read.parquet(new Path(root, s"v_$v").toString)
+      case None => throw new IllegalStateException(s"no committed version under $tableDir")
+    }
+  }
+
+  /** Highest `_commit_<n>` marker whose `v_<n>` data directory exists. */
+  private def committedVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong }
+      .filter(v => fs.exists(new Path(root, s"v_$v")))
+      .sorted.lastOption
   }
 }

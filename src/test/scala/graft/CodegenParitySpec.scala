@@ -24,21 +24,21 @@ class CodegenParitySpec extends EngineSuite {
       setup()
       sp.sql(sql).collect().map(_.toString).toSeq
     }
-    sp.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    sp.conf.set("spark.sql.codegen.wholeStage", "true")
-    val gen =
-      try run()
-      finally {
-        sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-        sp.conf.set("spark.sql.codegen.wholeStage", "false")
-      }
-    val interp =
-      try run()
-      finally {
-        sp.conf.unset("spark.sql.codegen.factoryMode")
-        sp.conf.set("spark.sql.codegen.wholeStage", "true")
-      }
-    (gen, interp)
+    // one finally restores the SHARED session no matter which run throws
+    // (a codegen compile failure — the very bug class under test — must
+    // not leave every later suite in this JVM running interpreted-only)
+    try {
+      sp.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      val gen = run()
+      sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      sp.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      (gen, interp)
+    } finally {
+      sp.conf.unset("spark.sql.codegen.factoryMode")
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
   }
 
   private def check(name: String)(prop: Prop): Unit = {

@@ -368,15 +368,32 @@ class StreamingSpec extends EngineSuite {
         Event(1, 1, ts(5), "click", 1.0), Event(2, 2, ts(6), "view", 2.0),
         Event(1, 3, ts(9), "click", 3.0))
       q.processAllAvailable()
-      val after1 = s.read.parquet(dir).collect()
+      val after1 = EventStreams.readLatest(s, dir).collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
       assert(after1 == Map(1L -> 3L, 2L -> 2L), after1.toString)
       // batch 2: user 2 updated, user 3 inserted, user 1 untouched
       mem.addData(Event(2, 4, ts(12), "view", 4.0), Event(3, 5, ts(13), "click", 5.0))
       q.processAllAvailable()
     } finally q.stop()
-    val fin = s.read.parquet(dir).collect()
+    val fin = EventStreams.readLatest(s, dir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
     assert(fin == Map(1L -> 3L, 2L -> 4L, 3L -> 5L), fin.toString)
+    // crash-safety shape: data versions are immutable dirs behind commit
+    // markers — at every instant a complete committed version exists
+    val names = new java.io.File(dir).list().toSet
+    assert(names.exists(_.startsWith("_commit_")), names.toString)
+  }
+
+  test("ext micro-batch stream never regresses behind a replayed offset") {
+    // a restarted stream rebuilds the object with revealed = lo; Spark
+    // replays the checkpointed offsets through deserializeOffset — the
+    // next latestOffset must continue FROM them, not re-serve [0, 600)
+    val fresh = new graft.sources.ExtScanBuilder(1000, 4, 300).build()
+      .toMicroBatchStream("unused").asInstanceOf[graft.sources.ExtMicroBatchStream]
+    fresh.deserializeOffset("600")
+    val next = fresh.latestOffset().asInstanceOf[graft.sources.ExtOffset].exclusiveEnd
+    assert(next == 900, s"latestOffset regressed or overshot: $next")
+    assert(fresh.planInputPartitions(
+      graft.sources.ExtOffset(600), graft.sources.ExtOffset(900)).length == 1)
   }
 }
