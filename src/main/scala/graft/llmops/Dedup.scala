@@ -799,9 +799,67 @@ object Dedup {
     QuerySpec.sql2("q179_dedup_cdc_chunking", text(spark = true), text(spark = false))
   }
 
+  /** Cross-source n-gram overlap matrix — the decontamination diagnostic
+    * answering "which corpus sources share content, and how much":
+    * |distinct 3-grams of a ∩ b| as a fraction of each side. This is the
+    * report a pipeline consults before mixing sources (high overlap ⇒
+    * dedup across the pair before weighting them independently).
+    *
+    * Scale shape — NO gram self-join (the naive a.gram = b.gram join is
+    * corpus² at worst): one scan → distinct (source, gram) → per-gram
+    * sorted source-set (bounded by #sources, not corpus) → each gram
+    * emits its source pairs INCLUDING the (s, s) diagonal, so one
+    * aggregation yields the pair matrix and the per-source totals
+    * together; the final ratio join runs over the checkpointed
+    * sources²-row matrix, never the corpus. The DuckDB oracle uses the
+    * plain self-join formulation — same answer, different plan class. */
+  val q180CrossSourceOverlap: QuerySpec = QuerySpec(
+    "q180_dedup_source_overlap",
+    """WITH g AS (SELECT DISTINCT source, unnest(list_transform(range(len(ws) - 2),
+      |             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS gram
+      |           FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) x
+      |           WHERE len(ws) >= 3),
+      |tot AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      |pair AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS common
+      |         FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |         GROUP BY a.source, b.source)
+      |SELECT src_a, src_b, CAST(common AS BIGINT) AS common,
+      |       ROUND(common / CAST(ta.n AS DOUBLE), 6) AS frac_of_a,
+      |       ROUND(common / CAST(tb.n AS DOUBLE), 6) AS frac_of_b
+      |FROM pair JOIN tot ta ON ta.source = src_a JOIN tot tb ON tb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    import org.apache.spark.sql.functions.{col, collect_set, count, explode, expr, lit, round, sort_array}
+    val g = sp.sql(
+      """SELECT DISTINCT source, gram FROM (
+        |  SELECT source, explode(CASE WHEN size(ws) >= 3
+        |    THEN transform(sequence(0, size(ws) - 3),
+        |           i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))
+        |    ELSE array() END) AS gram
+        |  FROM (SELECT source, split(text, ' ') AS ws FROM documents) x) y""".stripMargin)
+    val pairs = g.groupBy("gram").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ss) - 1),
+          |  i -> transform(sequence(i, size(ss) - 1),
+          |         j -> struct(ss[i] AS a, ss[j] AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // sources²-row matrix: diagonal rows ARE the per-source totals
+    val m = pairs.groupBy("a", "b").agg(count(lit(1)).as("common")).localCheckpoint()
+    val d = m.filter(col("a") === col("b"))
+      .select(col("a").as("s"), col("common").as("n"))
+    m.filter(col("a") < col("b"))
+      .join(d.withColumnRenamed("s", "a").withColumnRenamed("n", "na"), Seq("a"))
+      .join(d.withColumnRenamed("s", "b").withColumnRenamed("n", "nb"), Seq("b"))
+      .select(col("a").as("src_a"), col("b").as("src_b"),
+        col("common").cast("long").as("common"),
+        round(col("common") / col("na").cast("double"), 6).as("frac_of_a"),
+        round(col("common") / col("nb").cast("double"), 6).as("frac_of_b"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q101CrossLang, q151IncrementalDedup, q152CorpusDiff, q164SemDeDup,
-    q179CdcChunking)
+    q179CdcChunking, q180CrossSourceOverlap)
 }
