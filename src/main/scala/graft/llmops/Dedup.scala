@@ -202,9 +202,15 @@ object Dedup {
       .localCheckpoint()
     val candIds = pairs.select(col("doc_id_a").as("doc_id"))
       .union(pairs.select(col("doc_id_b").as("doc_id"))).distinct()
+    // localCheckpoint: `g` feeds BOTH sides of the verify join below —
+    // without materialization its subtree (corpus scan + semi-join +
+    // shingle pass) executes twice, and ReuseExchange does not dedupe it
+    // (the consumers differ). One candidate-bounded materialization
+    // saves a full corpus scan + shingle pass per run.
     val g = sp.table("documents")
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr(shingleSql).as("sh"))
+      .localCheckpoint()
     pairs
       .join(g.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
       .join(g.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
