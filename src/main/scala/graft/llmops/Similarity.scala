@@ -269,6 +269,11 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     // per (vector, block, codebook entry) sub-vector squared L2 —
     // zip_with + aggregate folds element-in-order, matching the oracle
+    // localCheckpoint: `enc` feeds BOTH the corpus code assignment and
+    // the query distance table — without materialization the whole
+    // scan + per-block distance computation executes twice (ReuseExchange
+    // does not dedupe the differing consumers; a production PQ system
+    // persists the codes instead, which subsumes this)
     val enc = e.select(col("vec_id"), col("v"),
         explode(expr("sequence(0, 7)")).as("m"))
       .join(broadcast(cents), lit(true))
@@ -277,6 +282,7 @@ object Similarity {
                   zip_with(slice(v, m*8 + 1, 8), slice(cv, m*8 + 1, 8),
                            (x, y) -> (x - y) * (x - y)),
                   0D, (acc, p) -> acc + p)""").as("d2"))
+      .localCheckpoint()
     val codes = enc
       .withColumn("r", row_number().over(
         w.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cent_id"))))
@@ -373,6 +379,11 @@ object Similarity {
       expr("transform(sort_array(collect_list(struct(d, mn))), s -> s.mn)").as("mns"),
       expr("transform(sort_array(collect_list(struct(d, mx))), s -> s.mx)").as("mxs"))
     // Spark array subscripts are 0-based (DuckDB's are 1-based)
+    // localCheckpoint: the int8 code table is EXACTLY what a production
+    // SQ8 index persists; materializing it here also stops the quantize
+    // subtree (scan + stats broadcast + transform) from executing once
+    // per downstream consumer (the query slice and the corpus side both
+    // read it, and ReuseExchange does not dedupe them)
     val codes = e.join(broadcast(st), lit(true))
       .select(col("vec_id"), col("mns"), col("mxs"),
         expr("""transform(sequence(0, 63), d ->
@@ -380,6 +391,7 @@ object Similarity {
                        THEN CAST(LEAST(255, GREATEST(0, FLOOR(
                               255 * (v[d] - mns[d]) / (mxs[d] - mns[d])))) AS BIGINT)
                        ELSE CAST(0 AS BIGINT) END)""").as("c"))
+      .localCheckpoint()
     val dq = codes.select(col("vec_id"),
       expr("""transform(sequence(0, 63), d ->
                 mns[d] + c[d] * (mxs[d] - mns[d]) / 255.0)""").as("r"))
