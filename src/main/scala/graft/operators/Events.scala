@@ -258,8 +258,50 @@ object Events {
       .orderBy(col("win_start"))
   }
 
+  /** Time-series gap fill — resample each user's event stream onto a
+    * regular 6-hour grid with last-observation-carried-forward (LOCF),
+    * the standard densification step before feeding irregular telemetry
+    * to a model (beyond the reference's surface; the FILL/interpolate
+    * operator of time-series engines). Formulated as the q121 union+
+    * window as-of: grid points and events interleave in one per-user
+    * ordered window, `last_value IGNORE NULLS` carries the observation —
+    * one user-keyed shuffle, NO range self-join, grid size bounded by
+    * span/step per user (never events²). Restricted to 10 users so the
+    * compare stays small; the dataflow is identical at any population. */
+  val q181GapFill: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val grid =
+        if (spark)
+          "SELECT user_id, explode(sequence(t0, t1, interval 6 hours)) AS gts FROM b"
+        else
+          "SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS gts FROM b"
+      val lv =
+        if (spark)
+          """last_value(value) IGNORE NULLS OVER (PARTITION BY user_id
+            |            ORDER BY t, side, value
+            |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+        else
+          """last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+            |            ORDER BY t, side, value
+            |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+      s"""WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 10),
+         |b AS (SELECT user_id, date_trunc('day', MIN(ts)) AS t0, MAX(ts) AS t1
+         |      FROM e GROUP BY user_id),
+         |grid AS ($grid),
+         |u AS (SELECT user_id, ts AS t, 0 AS side, value FROM e
+         |      UNION ALL SELECT user_id, gts, 1, CAST(NULL AS DOUBLE) FROM grid),
+         |f AS (SELECT user_id, t, side,
+         |        $lv AS lv
+         |      FROM u)
+         |SELECT user_id, t AS grid_ts, ROUND(lv, 2) AS value_locf
+         |FROM f WHERE side = 1
+         |ORDER BY user_id, grid_ts""".stripMargin
+    }
+    QuerySpec.sql2("q181_events_gap_fill", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
-    q124Sliding)
+    q124Sliding, q181GapFill)
 }
