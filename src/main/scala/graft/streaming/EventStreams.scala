@@ -217,20 +217,24 @@ object EventStreams {
     * against the standing table with the same latest-wins rule.
     *
     * Crash safety is versioned-commit, not rename-swap: each batch
-    * writes an immutable `v_<batchId>` directory and then creates an
-    * empty `_commit_<batchId>` marker; [[readLatest]] resolves the
-    * highest marker whose data directory exists. There is NO window in
-    * which the table is absent — a crash before the marker leaves the
-    * previous version current, and a replayed batch rewrites its own
-    * version directory and marker idempotently (same inputs, same
-    * merge). Superseded versions older than the one just read are
-    * pruned AFTER the new marker lands.
+    * writes an immutable `v_<n>` directory and then creates an empty
+    * `_commit_<n>` marker; [[readLatest]] resolves the highest marker
+    * whose data directory exists. There is NO window in which the table
+    * is absent — a crash before the marker leaves the previous version
+    * current; a replay of an already-marked batch is a no-op; a stream
+    * restarted with a FRESH checkpoint (batchIds back at 0) ratchets
+    * its writes past the existing committed version instead of being
+    * shadowed or pruned. The newest `retainVersions` versions are kept
+    * so lazily-consumed [[readLatest]] DataFrames stay valid for that
+    * many batches; consume sooner or materialize for longer-lived
+    * handles.
     *
     * At scale the standing table is re-read per batch — for a truly
     * large keyed table this is where a table format with row-level merge
     * takes over; the dataflow (dedup batch → outer merge → latest-wins)
     * is identical, only the sink commit protocol swaps. */
-  def upsertLatest(tableDir: String)(batchDf: DataFrame, batchId: Long): Unit = {
+  def upsertLatest(tableDir: String, retainVersions: Int = 3)(
+      batchDf: DataFrame, batchId: Long): Unit = {
     val sp = batchDf.sparkSession
     import org.apache.hadoop.fs.Path
     def latest(df: DataFrame): DataFrame = {
@@ -242,21 +246,33 @@ object EventStreams {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
     val curVer = committedVersion(fs, root)
+    // replay of a batch whose marker already landed (crash between the
+    // marker and Spark's own checkpoint commit): the merge is already in
+    // the table — rewriting would read and overwrite the same directory
+    if (curVer.contains(batchId)) return
+    // written version must move FORWARD even when the stream restarts
+    // with a fresh checkpoint (batchIds back at 0 against an existing
+    // table): ratchet past the current committed version, so the write
+    // is never shadowed by an older max-marker nor pruned as stale.
+    // A replayed batch re-merges its (idempotent) input on top of state
+    // that already contains it — same rows, one version higher.
+    val ver = math.max(curVer.map(_ + 1L).getOrElse(batchId), batchId)
     val cur = curVer match {
       case Some(v) => sp.read.parquet(new Path(root, s"v_$v").toString)
       case None => batchDf.limit(0)
     }
     val merged = latest(cur.unionByName(latest(batchDf)))
-    merged.write.mode("overwrite").parquet(new Path(root, s"v_$batchId").toString)
-    fs.create(new Path(root, s"_commit_$batchId"), true).close()
-    // prune strictly-older versions (the just-read one is already
-    // superseded by batchId's marker; readers resolving concurrently
-    // still see a complete max-marker version at every instant)
-    curVer.foreach { v =>
-      fs.listStatus(root).map(_.getPath.getName)
-        .filter(n => (n.startsWith("v_") || n.startsWith("_commit_")) &&
-          n.split("_").last.toLong < v)
-        .foreach(n => fs.delete(new Path(root, n), true))
+    merged.write.mode("overwrite").parquet(new Path(root, s"v_$ver").toString)
+    fs.create(new Path(root, s"_commit_$ver"), true).close()
+    // retention: keep the newest `retainVersions` committed versions so
+    // a lazy DataFrame resolved by [[readLatest]] a few batches ago
+    // still finds its files; older versions are pruned
+    val committed = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong }
+      .sorted
+    committed.dropRight(math.max(1, retainVersions)).foreach { old =>
+      fs.delete(new Path(root, s"v_$old"), true)
+      fs.delete(new Path(root, s"_commit_$old"), true)
     }
   }
 

@@ -382,6 +382,26 @@ class StreamingSpec extends EngineSuite {
     // markers — at every instant a complete committed version exists
     val names = new java.io.File(dir).list().toSet
     assert(names.exists(_.startsWith("_commit_")), names.toString)
+
+    // replay of an already-committed batchId is a no-op (crash landed
+    // the marker but not Spark's checkpoint commit)
+    val curVer = names.filter(_.startsWith("_commit_"))
+      .map(_.stripPrefix("_commit_").toLong).max
+    EventStreams.upsertLatest(dir)(
+      Seq(Event(9, 99, ts(99), "click", 9.0)).toDF(), curVer)
+    val afterReplay = EventStreams.readLatest(s, dir).collect()
+      .map(r => r.getAs[Long]("user_id")).toSet
+    assert(!afterReplay.contains(9L), "replayed batch must not re-merge")
+
+    // fresh checkpoint against an existing table: batchId restarts at 0
+    // but the write must ratchet PAST the committed version, not be
+    // shadowed by the older max marker or pruned as stale
+    EventStreams.upsertLatest(dir)(
+      Seq(Event(7, 70, ts(70), "click", 7.0)).toDF(), 0L)
+    val afterRestart = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    assert(afterRestart.get(7L).contains(70L), afterRestart.toString)
+    assert(afterRestart == fin + (7L -> 70L), afterRestart.toString)
   }
 
   test("ext micro-batch stream never regresses behind a replayed offset") {
