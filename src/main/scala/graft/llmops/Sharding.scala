@@ -282,5 +282,5 @@ object Sharding {
   val all: Seq[QuerySpec] = Seq(
     q165PipelineCurate,
     q130SplitTrainValTest, q131ShuffleShards, q135SourceMix, q170TemperatureMix,
-    q150WeightedSample, q174DsirResample)
+    q150WeightedSample, q174DsirResample.benched)
 }

@@ -1017,7 +1017,7 @@ object TextAnalysis {
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
     q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
     q158ChunkOverlap, q159PiiRedact, q160SubstringDedup,
-    q175SubstringRemove, q162UnigramLm, q177PerplexityBuckets,
+    q175SubstringRemove.benched, q162UnigramLm, q177PerplexityBuckets,
     q163BpeMerges, q166UrlCanonicalize, q167BpeEncode,
     q176TokenizerFertility, q169ModelQuality)
 }
