@@ -221,20 +221,25 @@ object EventStreams {
     * `_commit_<n>` marker; [[readLatest]] resolves the highest marker
     * whose data directory exists. There is NO window in which the table
     * is absent — a crash before the marker leaves the previous version
-    * current; a replay of an already-marked batch is a no-op; a stream
-    * restarted with a FRESH checkpoint (batchIds back at 0) ratchets
-    * its writes past the existing committed version instead of being
-    * shadowed or pruned. The newest `retainVersions` versions are kept
-    * so lazily-consumed [[readLatest]] DataFrames stay valid for that
-    * many batches; consume sooner or materialize for longer-lived
-    * handles.
+    * current. Replay detection is the Delta txnAppId pattern: each
+    * commit also records an `_txn_<appId>_<batchId>` marker, and a
+    * batch whose (appId, batchId) marker already exists is a no-op —
+    * `appId` names the stream incarnation (use the checkpoint path), so
+    * a restart with a FRESH checkpoint passes a fresh appId and its
+    * batchIds, starting again at 0, are correctly treated as NEW data
+    * and ratcheted past the existing committed version. The newest
+    * `retainVersions` (≥ 1, enforced) versions are kept so
+    * lazily-consumed [[readLatest]] DataFrames stay valid for that many
+    * batches; consume sooner or materialize for longer-lived handles.
     *
     * At scale the standing table is re-read per batch — for a truly
     * large keyed table this is where a table format with row-level merge
     * takes over; the dataflow (dedup batch → outer merge → latest-wins)
     * is identical, only the sink commit protocol swaps. */
-  def upsertLatest(tableDir: String, retainVersions: Int = 3)(
+  def upsertLatest(tableDir: String, appId: String = "default", retainVersions: Int = 3)(
       batchDf: DataFrame, batchId: Long): Unit = {
+    require(retainVersions >= 1,
+      "retainVersions must keep at least the current committed version")
     val sp = batchDf.sparkSession
     import org.apache.hadoop.fs.Path
     def latest(df: DataFrame): DataFrame = {
@@ -245,17 +250,21 @@ object EventStreams {
     }
     val root = new Path(tableDir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val names = fs.listStatus(root).map(_.getPath.getName)
+    // replay detection is scoped to (appId, batchId) — the Delta
+    // txnAppId pattern: a version number alone cannot distinguish "this
+    // batch already committed" from "a restarted checkpoint's new batch
+    // whose id happens to equal the current version" (the latter
+    // carries NEW data and must be written). The caller identifies a
+    // stream incarnation with appId (e.g. its checkpoint path); a fresh
+    // checkpoint means a fresh appId.
+    val txnPrefix = s"_txn_${appId}_${batchId}_"
+    if (names.exists(_.startsWith(txnPrefix))) return
     val curVer = committedVersion(fs, root)
-    // replay of a batch whose marker already landed (crash between the
-    // marker and Spark's own checkpoint commit): the merge is already in
-    // the table — rewriting would read and overwrite the same directory
-    if (curVer.contains(batchId)) return
-    // written version must move FORWARD even when the stream restarts
-    // with a fresh checkpoint (batchIds back at 0 against an existing
-    // table): ratchet past the current committed version, so the write
-    // is never shadowed by an older max-marker nor pruned as stale.
-    // A replayed batch re-merges its (idempotent) input on top of state
-    // that already contains it — same rows, one version higher.
+    // the written version ratchets past the current committed version
+    // regardless of batchId, so a restarted stream's low batchIds are
+    // never shadowed by an older max-marker nor pruned as stale
     val ver = math.max(curVer.map(_ + 1L).getOrElse(batchId), batchId)
     val cur = curVer match {
       case Some(v) => sp.read.parquet(new Path(root, s"v_$v").toString)
@@ -264,15 +273,25 @@ object EventStreams {
     val merged = latest(cur.unionByName(latest(batchDf)))
     merged.write.mode("overwrite").parquet(new Path(root, s"v_$ver").toString)
     fs.create(new Path(root, s"_commit_$ver"), true).close()
+    fs.create(new Path(root, s"$txnPrefix$ver"), true).close()
     // retention: keep the newest `retainVersions` committed versions so
     // a lazy DataFrame resolved by [[readLatest]] a few batches ago
-    // still finds its files; older versions are pruned
-    val committed = fs.listStatus(root).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong }
-      .sorted
-    committed.dropRight(math.max(1, retainVersions)).foreach { old =>
+    // still finds its files. Orphan v_ dirs below the cutoff (a crash
+    // between the parquet write and the marker) are debris — single
+    // writer, so nothing below the current version is mid-write.
+    val committed = names.collect {
+      case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong
+    }.sorted :+ ver
+    committed.dropRight(retainVersions).foreach { old =>
       fs.delete(new Path(root, s"v_$old"), true)
       fs.delete(new Path(root, s"_commit_$old"), true)
+    }
+    val cutoff = committed.drop(math.max(0, committed.length - retainVersions)).head
+    fs.listStatus(root).map(_.getPath.getName).foreach { n =>
+      if (n.startsWith("v_") && n.stripPrefix("v_").toLong < cutoff)
+        fs.delete(new Path(root, n), true)   // unmarked orphan below cutoff
+      if (n.startsWith("_txn_") && n.split("_").last.toLong < cutoff)
+        fs.delete(new Path(root, n), true)   // txn marker of a pruned version
     }
   }
 

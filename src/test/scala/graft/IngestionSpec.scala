@@ -47,8 +47,7 @@ class IngestionSpec extends EngineSuite {
     // successive schemas (the reference handles this via ALTER TABLE ADD
     // COLUMNS + per-file footer schemas); Spark's mergeSchema read must
     // surface the union schema with NULLs for columns absent in older
-    // files — and the default (no merge) must still read via the first
-    // footer, so the behavior difference is explicit
+    // files
     val s = spark
     import s.implicits._
     val dir = s"/tmp/graft_schema_evo_${System.nanoTime()}"
@@ -56,6 +55,9 @@ class IngestionSpec extends EngineSuite {
       .write.parquet(s"$dir/gen=1")
     Seq((3L, "c", 9.5), (4L, "d", 7.5)).toDF("id", "name", "score")
       .write.parquet(s"$dir/gen=2")
+    // the old generation genuinely lacks the column (what makes the
+    // NULL-fill assertion below meaningful)
+    assert(s.read.parquet(s"$dir/gen=1").columns.sorted.toSeq == Seq("id", "name"))
     val merged = s.read.option("mergeSchema", "true").parquet(dir)
     assert(merged.columns.sorted.toSeq == Seq("gen", "id", "name", "score"))
     val rows = merged.orderBy("id").collect()

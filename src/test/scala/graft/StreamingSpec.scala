@@ -383,20 +383,19 @@ class StreamingSpec extends EngineSuite {
     val names = new java.io.File(dir).list().toSet
     assert(names.exists(_.startsWith("_commit_")), names.toString)
 
-    // replay of an already-committed batchId is a no-op (crash landed
-    // the marker but not Spark's checkpoint commit)
-    val curVer = names.filter(_.startsWith("_commit_"))
-      .map(_.stripPrefix("_commit_").toLong).max
+    // replay of an already-committed (appId, batchId) is a no-op
+    // (crash landed the txn marker but not Spark's checkpoint commit)
     EventStreams.upsertLatest(dir)(
-      Seq(Event(9, 99, ts(99), "click", 9.0)).toDF(), curVer)
+      Seq(Event(9, 99, ts(99), "click", 9.0)).toDF(), 1L)
     val afterReplay = EventStreams.readLatest(s, dir).collect()
       .map(r => r.getAs[Long]("user_id")).toSet
     assert(!afterReplay.contains(9L), "replayed batch must not re-merge")
 
-    // fresh checkpoint against an existing table: batchId restarts at 0
-    // but the write must ratchet PAST the committed version, not be
-    // shadowed by the older max marker or pruned as stale
-    EventStreams.upsertLatest(dir)(
+    // fresh checkpoint against an existing table: a NEW appId with
+    // batchId back at 0 is new data — the write must ratchet PAST the
+    // committed version, not be treated as a replay, shadowed by the
+    // older max marker, or pruned as stale
+    EventStreams.upsertLatest(dir, appId = "restarted")(
       Seq(Event(7, 70, ts(70), "click", 7.0)).toDF(), 0L)
     val afterRestart = EventStreams.readLatest(s, dir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
