@@ -403,47 +403,81 @@ object TextAnalysis {
     QuerySpec.sql2("q159_text_pii_redact", text(spark = true), text(spark = false))
   }
 
+  /** Shared CTE block for the exact-substring dedup family
+    * ([[q160SubstringDedup]] measurement, [[q175SubstringRemove]]
+    * rewrite): tokenize, enumerate word-8-grams, find each gram's
+    * corpus-global first occurrence (min (doc_id, pos)), and expand every
+    * non-first occurrence into its 8 covered token positions.
+    *
+    * On the Spark side the first occurrence is a per-gram
+    * `MIN(STRUCT(doc_id, pos))` aggregate — partial-aggregable
+    * (map-side combine) and therefore skew-immune — and non-first
+    * occurrences are marked by a hash-probe join back to the gram
+    * stream, which AQE can skew-split. The previous formulation
+    * (`ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos)`)
+    * sorted every occurrence of a gram inside one task: a boilerplate
+    * gram (license header, templated sentence) at 100 TB concentrates
+    * millions of occurrences into a single sort — a classic skew
+    * scale-killer. No per-gram total order is materialized anymore.
+    *
+    * The oracle keeps the window formulation: the dup sets are
+    * identical (rn > 1 ⇔ (doc_id, pos) differs from the per-gram min),
+    * skew is irrelevant at oracle scale, and keeping the texts
+    * independent guards against a shared-bug false green. */
+  private def substringCtes(spark: Boolean): String = {
+    val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+    val g =
+      if (spark)
+        """SELECT doc_id, pos, concat_ws(' ', slice(w, pos + 1, 8)) AS gram
+          |  FROM (SELECT doc_id, w,
+          |          CASE WHEN size(w) >= 8 THEN sequence(0, size(w) - 8)
+          |               ELSE array() END AS ps
+          |        FROM t) x
+          |  LATERAL VIEW explode(ps) p AS pos""".stripMargin
+      else
+        """SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 8], ' ') AS gram
+          |  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS pos FROM t) x""".stripMargin
+    val dup =
+      if (spark)
+        """m AS (SELECT gram, MIN(STRUCT(doc_id, pos)) AS f FROM g GROUP BY gram),
+          |dup AS (SELECT g.doc_id, g.pos FROM g JOIN m ON g.gram = m.gram
+          |        WHERE g.doc_id != m.f.doc_id OR g.pos != m.f.pos)""".stripMargin
+      else
+        """r AS (SELECT doc_id, pos,
+          |             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+          |      FROM g),
+          |dup AS (SELECT doc_id, pos FROM r WHERE rn > 1)""".stripMargin
+    val cov =
+      if (spark)
+        """SELECT DISTINCT doc_id, cp
+          |  FROM dup
+          |  LATERAL VIEW explode(sequence(pos, pos + 7)) c AS cp""".stripMargin
+      else
+        """SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS cp
+          |  FROM dup""".stripMargin
+    s"""t AS (SELECT doc_id, $split AS w FROM documents),
+       |g AS (
+       |$g),
+       |$dup,
+       |cov AS (
+       |$cov)""".stripMargin
+  }
+
   /** Exact-substring dedup statistics (the Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" formulation, at word-8-
     * gram granularity): a token position is duplicate-covered when it
     * falls inside an 8-gram whose occurrence is not the corpus-global
-    * first (first = min (doc_id, pos) via one window). Distributed shape:
-    * one shuffle keyed on the gram (the window), an 8× position fan-out
-    * on duplicate instances only, and a per-doc re-aggregation — no
-    * suffix array and no self-join, which is how the MapReduce variant of
+    * first (first = min (doc_id, pos), via the skew-immune per-gram
+    * aggregate in [[substringCtes]]). Distributed shape: one gram-keyed
+    * aggregate + probe join, an 8× position fan-out on duplicate
+    * instances only, and a per-doc re-aggregation — no suffix array, no
+    * self-join, no per-gram sort, which is how the MapReduce variant of
     * the paper's algorithm scales. Docs shorter than 8 tokens have no
     * 8-grams and report 0. */
   val q160SubstringDedup: QuerySpec = {
     def text(spark: Boolean): String = {
-      val (split, size) =
-        if (spark) ("split(text, ' ')", "size(w)") else ("string_split(text, ' ')", "len(w)")
-      val g =
-        if (spark)
-          """SELECT doc_id, pos, concat_ws(' ', slice(w, pos + 1, 8)) AS gram
-            |  FROM (SELECT doc_id, w,
-            |          CASE WHEN size(w) >= 8 THEN sequence(0, size(w) - 8)
-            |               ELSE array() END AS ps
-            |        FROM t) x
-            |  LATERAL VIEW explode(ps) p AS pos""".stripMargin
-        else
-          """SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 8], ' ') AS gram
-            |  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS pos FROM t) x""".stripMargin
-      val cov =
-        if (spark)
-          """SELECT DISTINCT doc_id, cp
-            |  FROM (SELECT doc_id, pos FROM r WHERE rn > 1) d
-            |  LATERAL VIEW explode(sequence(pos, pos + 7)) c AS cp""".stripMargin
-        else
-          """SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS cp
-            |  FROM (SELECT doc_id, pos FROM r WHERE rn > 1) d""".stripMargin
-      s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
-         |g AS (
-         |$g),
-         |r AS (SELECT doc_id, pos,
-         |             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
-         |      FROM g),
-         |cov AS (
-         |$cov),
+      val size = if (spark) "size(w)" else "len(w)"
+      s"""WITH ${substringCtes(spark)},
          |d AS (SELECT doc_id, COUNT(*) AS n_dup FROM cov GROUP BY doc_id)
          |SELECT t.doc_id, CAST($size AS BIGINT) AS n_tokens,
          |       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_tokens,
@@ -462,20 +496,28 @@ object TextAnalysis {
     * in position order. First occurrences always survive, so exactly one
     * copy of every duplicated span remains corpus-wide.
     *
-    * Distributed shape, two corpus passes like q160: the gram window is
-    * the only corpus-sized shuffle (keyed on the gram), coverage fans
-    * out 8× on duplicate instances only, and the rebuild is one per-doc
-    * ordered string aggregation (no suffix array, no self-join). The
+    * Distributed shape, like q160: the gram-keyed first-occurrence
+    * aggregate + probe join of [[substringCtes]] is the only
+    * corpus-sized shuffle (no per-gram sort), coverage fans out 8× on
+    * duplicate instances only, and the rebuild is one per-doc ordered
+    * string aggregation (no suffix array, no self-join). The
     * cleaned text is emitted truncated to 80 chars — the differential is
     * over token counts plus the reconstruction prefix, which pins the
     * ordering without shipping whole documents through the compare. */
   val q175SubstringRemove: QuerySpec = {
     def text(spark: Boolean): String = {
-      val (split, agg) =
+      // The surviving-token aggregate runs over words LEFT JOIN cov with
+      // the removed positions nulled inside the string aggregate (both
+      // engines' string aggregates skip NULLs): a document whose every
+      // position is duplicate-covered still emits a row, with
+      // n_removed = n_tokens and an empty head, instead of silently
+      // vanishing from the report (the old kept-only aggregate dropped
+      // exactly the most-duplicated documents).
+      val agg =
         if (spark)
-          ("split(text, ' ')", "listagg(word, ' ') WITHIN GROUP (ORDER BY pos)")
+          "listagg(CASE WHEN c.cp IS NULL THEN w.word END, ' ') WITHIN GROUP (ORDER BY w.pos)"
         else
-          ("string_split(text, ' ')", "string_agg(word, ' ' ORDER BY pos)")
+          "string_agg(CASE WHEN c.cp IS NULL THEN w.word END, ' ' ORDER BY w.pos)"
       val words =
         if (spark)
           """SELECT doc_id, size(w) AS n_words, pos, word FROM t
@@ -483,44 +525,16 @@ object TextAnalysis {
         else
           """SELECT doc_id, len(w) AS n_words, unnest(range(len(w))) AS pos,
             |         unnest(w) AS word FROM t""".stripMargin
-      val g =
-        if (spark)
-          """SELECT doc_id, pos, concat_ws(' ', slice(w, pos + 1, 8)) AS gram
-            |  FROM (SELECT doc_id, w,
-            |          CASE WHEN size(w) >= 8 THEN sequence(0, size(w) - 8)
-            |               ELSE array() END AS ps
-            |        FROM t) x
-            |  LATERAL VIEW explode(ps) p AS pos""".stripMargin
-        else
-          """SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 8], ' ') AS gram
-            |  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS pos FROM t) x""".stripMargin
-      val cov =
-        if (spark)
-          """SELECT DISTINCT doc_id, cp
-            |  FROM (SELECT doc_id, pos FROM r WHERE rn > 1) d
-            |  LATERAL VIEW explode(sequence(pos, pos + 7)) c AS cp""".stripMargin
-        else
-          """SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS cp
-            |  FROM (SELECT doc_id, pos FROM r WHERE rn > 1) d""".stripMargin
-      s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
+      s"""WITH ${substringCtes(spark)},
          |words AS (
-         |$words),
-         |g AS (
-         |$g),
-         |r AS (SELECT doc_id, pos,
-         |             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
-         |      FROM g),
-         |cov AS (
-         |$cov),
-         |kept AS (SELECT w.doc_id, w.n_words, w.pos, w.word
-         |         FROM words w LEFT JOIN cov c
-         |           ON w.doc_id = c.doc_id AND w.pos = c.cp
-         |         WHERE c.cp IS NULL)
-         |SELECT doc_id, CAST(MAX(n_words) AS BIGINT) AS n_tokens,
-         |       CAST(MAX(n_words) - COUNT(*) AS BIGINT) AS n_removed,
-         |       SUBSTR($agg, 1, 80) AS head
-         |FROM kept GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin
+         |$words)
+         |SELECT w.doc_id, CAST(MAX(w.n_words) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN c.cp IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |       SUBSTR(COALESCE($agg, ''), 1, 80) AS head
+         |FROM words w LEFT JOIN cov c
+         |  ON w.doc_id = c.doc_id AND w.pos = c.cp
+         |GROUP BY w.doc_id
+         |ORDER BY w.doc_id""".stripMargin
     }
     QuerySpec.sql2("q175_dedup_substring_remove", text(spark = true), text(spark = false))
   }

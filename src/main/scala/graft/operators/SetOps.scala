@@ -105,22 +105,28 @@ object SetOps {
     * a q76 companion). The sugar stays on the Spark side only; the
     * oracle gets the explicit, unambiguous grouping/ordering text so the
     * feature under test is never resolved by the oracle engine itself
-    * (DuckDB versions differ on ORDER BY ALL resolution). The plan is
-    * the ordinary two-phase hash aggregate, nothing new at scale. */
+    * (DuckDB versions differ on ORDER BY ALL resolution). The payload
+    * aggregate is integer cents — summing a DOUBLE through a
+    * DECIMAL(19,2) cast proved hash-fragile across oracle-engine
+    * versions (double→decimal rounding at .xx5 boundaries shifted
+    * between DuckDB releases); per-row ROUND to BIGINT before SUM is
+    * bit-stable in both engines and decimal-cast conformance is pinned
+    * elsewhere (q51, DecimalConformanceSpec). The plan is the ordinary
+    * two-phase hash aggregate, nothing new at scale. */
   val q171GroupByAll: QuerySpec = QuerySpec.sql2(
     "q171_group_order_all",
     """SELECT c_mktsegment AS seg, c_nationkey AS nk, COUNT(*) AS n,
-      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(19,2))) AS DECIMAL(19,2)) AS bal
+      |       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
       |FROM customer
       |WHERE c_acctbal > 5000
       |GROUP BY ALL
       |ORDER BY ALL""".stripMargin,
     """SELECT c_mktsegment AS seg, c_nationkey AS nk, COUNT(*) AS n,
-      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(19,2))) AS DECIMAL(19,2)) AS bal
+      |       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
       |FROM customer
       |WHERE c_acctbal > 5000
       |GROUP BY seg, nk
-      |ORDER BY seg, nk, n, bal""".stripMargin)
+      |ORDER BY seg, nk, n, bal_cents""".stripMargin)
 
   /** INTERSECT [ALL] — beyond the reference's grammar (UnionStmt handles
     * only UNION, sql-parser.cup:5085-5278); Spark plans it as a left-semi

@@ -402,15 +402,22 @@ class PlanSpec extends EngineSuite {
     assert(!p.contains("Join"), "chunking must not join: " + p)
   }
 
-  test("q160 (substring dedup): one gram window, no self-join, broadcast doc rollup") {
-    val p = plan("q160_dedup_substring")
-    // first-occurrence detection is ONE window over the gram key — the
-    // naive formulation (join grams against their own minimum) would
-    // self-join the corpus-sized gram relation
-    assert("Window \\[row_number".r.findAllIn(p).size == 1, p)
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
-      "substring dedup planned a corpus-sized join: " + p)
-    assert(p.contains("BroadcastHashJoin"), "per-doc rollup should broadcast: " + p)
+  test("q160/q175 (substring dedup): first-occurrence is a partial aggregate, no gram window") {
+    // First-occurrence detection must be the per-gram MIN(STRUCT) partial
+    // aggregate (map-side combine → at most one row per (task, gram)
+    // crosses the shuffle, so a boilerplate gram cannot concentrate its
+    // millions of occurrences into one sort task). A Window keyed on the
+    // gram — the previous formulation — totally orders every occurrence
+    // of a gram inside a single task: the canonical skew scale-killer.
+    for (name <- Seq("q160_dedup_substring", "q175_dedup_substring_remove")) {
+      val p = plan(name)
+      assert("Window \\[".r.findAllIn(p).isEmpty,
+        s"$name plans a Window (per-gram total sort): " + p)
+      assert(p.contains("min(struct(doc_id"),
+        s"$name lost the per-gram MIN(STRUCT) first-occurrence aggregate: " + p)
+      assert(!p.contains("CartesianProduct"),
+        s"$name planned a cartesian: " + p)
+    }
   }
 
   test("q161 (SQ8 ANN): top-k via WindowGroupLimit heaps, no cartesian") {
@@ -465,38 +472,43 @@ class PlanSpec extends EngineSuite {
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
+    // `clean` reuses the suite's SparkContext (getOrCreate ignores the
+    // differing master once a context exists), so it cannot be stopped
+    // without killing the shared context; the outer finally drops its
+    // state instead so nothing leaks into later suites, no matter where
+    // in the body a failure lands.
+    var clean: SparkSession = null
     try {
-      val clean = SparkSession.builder()
+      clean = SparkSession.builder()
         .master("local[2]")
         .withExtensions(new graft.engine.GraftExtensions())
         .getOrCreate()
       clean.conf.set(graft.plans.AppxCountDistinctRewrite.EnabledKey, "true")
-      try {
-        clean.range(0, 100)
-          .selectExpr("id % 7 AS a", "id % 11 AS b")
-          .createOrReplaceTempView("g_appx_ext")
-        def opt(q: String) = clean.sql(q).queryExecution.optimizedPlan.toString
-        // single group: approximated on this path too
-        assert(opt("SELECT COUNT(DISTINCT a) AS n FROM g_appx_ext")
-          .contains("approx_count_distinct"))
-        // two groups: exact on this path too (the guard), and correct
-        val pg = opt("SELECT COUNT(DISTINCT a) AS x, COUNT(DISTINCT b) AS y FROM g_appx_ext")
-        assert(!pg.contains("approx_count_distinct"), pg)
-        val r = clean.sql("SELECT COUNT(DISTINCT a) AS x, COUNT(DISTINCT b) AS y FROM g_appx_ext")
-          .collect().head
-        assert(r.getLong(0) == 7L && r.getLong(1) == 11L, r.toString)
-      } finally {
+      clean.range(0, 100)
+        .selectExpr("id % 7 AS a", "id % 11 AS b")
+        .createOrReplaceTempView("g_appx_ext")
+      def opt(q: String) = clean.sql(q).queryExecution.optimizedPlan.toString
+      // single group: approximated on this path too
+      assert(opt("SELECT COUNT(DISTINCT a) AS n FROM g_appx_ext")
+        .contains("approx_count_distinct"))
+      // two groups: exact on this path too (the guard), and correct
+      val pg = opt("SELECT COUNT(DISTINCT a) AS x, COUNT(DISTINCT b) AS y FROM g_appx_ext")
+      assert(!pg.contains("approx_count_distinct"), pg)
+      val r = clean.sql("SELECT COUNT(DISTINCT a) AS x, COUNT(DISTINCT b) AS y FROM g_appx_ext")
+        .collect().head
+      assert(r.getLong(0) == 7L && r.getLong(1) == 11L, r.toString)
+    } finally {
+      if (clean != null) {
         clean.conf.unset(graft.plans.AppxCountDistinctRewrite.EnabledKey)
-        // `clean` reuses the suite's SparkContext (getOrCreate ignores the
-        // differing master once a context exists), so it cannot be stopped
-        // without killing the shared context; drop its state instead so
-        // nothing leaks into later suites.
         clean.catalog.dropTempView("g_appx_ext")
       }
-    } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
     }
+    // the extension session's temp view must be invisible to the suite
+    // session (per-session catalog state) — pin that nothing leaked
+    assert(!spark.catalog.tableExists("g_appx_ext"),
+      "extension-session temp view leaked into the suite session")
   }
 
   test("q174 (DSIR): exactly two corpus scans, histogram broadcasts, one doc-keyed shuffle") {
