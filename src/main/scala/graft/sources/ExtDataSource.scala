@@ -149,10 +149,18 @@ private[graft] class ExtScanBuilder(rows: Long, partitions: Int, batchRows: Long
   // served range narrows to its first `limit` ids. Reported as PARTIAL
   // (Spark keeps its own Limit above) — the point is the data reduction
   // at the source, the way a remote system honors a row cap.
-  override def pushLimit(limit: Int): Boolean = {
-    hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
-    true
-  }
+  //
+  // Both LIMIT and TopN refuse when a residual filter exists: Spark's
+  // V2ScanRelationPushDown only pushes a limit when the scan has no
+  // post-scan filter, but that precondition lives in Spark, not in this
+  // API's contract — if it ever relaxed, serving only the first `limit`
+  // ids of a residually-filtered range would under-produce rows. The
+  // guard mirrors canPush and keeps the source correct on its own.
+  override def pushLimit(limit: Int): Boolean =
+    !hadResidual && {
+      hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+      true
+    }
   // TopN pushdown on the id ordering: the range is generated in id
   // order, so the top-N ids are a prefix (ASC) or suffix (DESC) of the
   // range. Also PARTIAL — Spark's sort+limit runs over N rows, not the
@@ -161,7 +169,7 @@ private[graft] class ExtScanBuilder(rows: Long, partitions: Int, batchRows: Long
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.SortDirection
-    if (orders.length != 1 || !isIdRef(orders(0).expression())) false
+    if (hadResidual || orders.length != 1 || !isIdRef(orders(0).expression())) false
     else {
       orders(0).direction() match {
         case SortDirection.ASCENDING =>

@@ -216,30 +216,46 @@ object EventStreams {
     * latest row per key (one small shuffle over the batch), then merged
     * against the standing table with the same latest-wins rule.
     *
-    * Crash safety is versioned-commit, not rename-swap: each batch
-    * writes an immutable `v_<n>` directory and then creates an empty
-    * `_commit_<n>` marker; [[readLatest]] resolves the highest marker
-    * whose data directory exists. There is NO window in which the table
-    * is absent — a crash before the marker leaves the previous version
-    * current. Replay detection is the Delta txnAppId pattern: each
-    * commit also records an `_txn_<appId>_<batchId>` marker, and a
-    * batch whose (appId, batchId) marker already exists is a no-op —
-    * `appId` names the stream incarnation (use the checkpoint path), so
-    * a restart with a FRESH checkpoint passes a fresh appId and its
-    * batchIds, starting again at 0, are correctly treated as NEW data
-    * and ratcheted past the existing committed version. The newest
-    * `retainVersions` (≥ 1, enforced) versions are kept so
-    * lazily-consumed [[readLatest]] DataFrames stay valid for that many
-    * batches; consume sooner or materialize for longer-lived handles.
+    * The table is hash-bucketed by key (`pmod(hash(user_id), nBuckets)`
+    * — the directory-sink analogue of Layout's bucketed tables): each
+    * version's data lives in per-bucket directories, and a batch
+    * re-reads and rewrites ONLY the buckets its keys hash into, carrying
+    * every other bucket forward by reference in the commit manifest.
+    * Write amplification per batch is O(touched buckets), not O(table) —
+    * the property that keeps the sink viable when the keyed table is far
+    * larger than a micro-batch. (At true 100 TB scale a table format
+    * with row-level merge takes over; the dataflow — dedup batch → merge
+    * → latest-wins — and this manifest protocol are exactly what such
+    * formats implement.)
     *
-    * At scale the standing table is re-read per batch — for a truly
-    * large keyed table this is where a table format with row-level merge
-    * takes over; the dataflow (dedup batch → outer merge → latest-wins)
-    * is identical, only the sink commit protocol swaps. */
-  def upsertLatest(tableDir: String, appId: String = "default", retainVersions: Int = 3)(
-      batchDf: DataFrame, batchId: Long): Unit = {
+    * Crash safety is versioned-commit, not rename-swap: bucket data
+    * directories are immutable once written, and a version commits by
+    * atomically renaming its manifest into place as `_commit_<n>` (the
+    * manifest maps bucket → data directory, mixing this version's
+    * rewritten buckets with carried-forward older ones). A crash before
+    * the rename leaves the previous version current — there is NO window
+    * in which the table is absent. Retention deletes a pruned version's
+    * manifest BEFORE any data directory it uniquely references, so a
+    * mid-sweep crash strands only unreferenced orphan directories
+    * (re-swept by a later batch), never a manifest pointing at deleted
+    * data. Replay detection is the Delta txnAppId pattern: each commit
+    * records an `_txn_<appId>_<batchId>` marker and a batch whose
+    * (appId, batchId) marker already exists is a no-op. `appId` names
+    * the stream incarnation (e.g. its checkpoint path — sanitized via
+    * [[sanitizeAppId]] before embedding, so path separators are safe); a
+    * restart with a FRESH checkpoint passes a fresh appId whose
+    * batchIds, starting again at 0, are correctly treated as NEW data
+    * and ratcheted past the committed version. The newest
+    * `retainVersions` (≥ 1, enforced) versions stay readable so
+    * lazily-consumed [[readLatest]] DataFrames remain valid for that
+    * many batches; consume sooner or materialize for longer-lived
+    * handles. */
+  def upsertLatest(
+      tableDir: String, appId: String = "default", retainVersions: Int = 3,
+      nBuckets: Int = 16)(batchDf: DataFrame, batchId: Long): Unit = {
     require(retainVersions >= 1,
       "retainVersions must keep at least the current committed version")
+    require(nBuckets >= 1, "nBuckets must be positive")
     val sp = batchDf.sparkSession
     import org.apache.hadoop.fs.Path
     def latest(df: DataFrame): DataFrame = {
@@ -248,6 +264,8 @@ object EventStreams {
         .orderBy(col("ts").desc, col("event_id").desc)
       df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     }
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("__bucket", pmod(hash(col("user_id")), lit(nBuckets)))
     val root = new Path(tableDir)
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
@@ -259,62 +277,145 @@ object EventStreams {
     // carries NEW data and must be written). The caller identifies a
     // stream incarnation with appId (e.g. its checkpoint path); a fresh
     // checkpoint means a fresh appId.
-    val txnPrefix = s"_txn_${appId}_${batchId}_"
+    val txnPrefix = s"_txn_${sanitizeAppId(appId)}_${batchId}_"
     if (names.exists(_.startsWith(txnPrefix))) return
     val curVer = committedVersion(fs, root)
     // the written version ratchets past the current committed version
     // regardless of batchId, so a restarted stream's low batchIds are
     // never shadowed by an older max-marker nor pruned as stale
     val ver = math.max(curVer.map(_ + 1L).getOrElse(batchId), batchId)
-    val cur = curVer match {
-      case Some(v) => sp.read.parquet(new Path(root, s"v_$v").toString)
-      case None => batchDf.limit(0)
+    val curManifest: Map[Int, String] =
+      curVer.map(readManifest(fs, root, _)).getOrElse(Map.empty)
+
+    // stage the batch's own latest-per-key rows laid out by bucket; the
+    // affected-bucket set then comes from a directory listing — bounded
+    // by nBuckets, nothing is collect()ed to the driver
+    val stage = new Path(root, s"_stage_$ver")
+    fs.delete(stage, true)
+    bucketed(latest(batchDf)).write.partitionBy("__bucket").parquet(stage.toString)
+    val affected = fs.listStatus(stage).map(_.getPath.getName)
+      .filter(_.startsWith("__bucket=")).map(_.stripPrefix("__bucket=").toInt)
+      .toSeq.sorted
+    // merge ONLY the affected buckets against their current per-bucket
+    // directories; the staged batch is read back (not recomputed) so the
+    // dedup window runs once. An empty batch touches no bucket and
+    // writes no data — it still commits (manifest + txn marker) so the
+    // (appId, batchId) replay ledger stays complete.
+    if (affected.nonEmpty) {
+      val curAffected = affected.flatMap(curManifest.get)
+        .map(rel => sp.read.parquet(new Path(root, rel).toString))
+      val batchLatest = sp.read.parquet(stage.toString).drop("__bucket")
+      val merged = latest(curAffected.foldLeft(batchLatest)(_ unionByName _))
+      bucketed(merged).write.mode("overwrite").partitionBy("__bucket")
+        .parquet(new Path(root, s"v_$ver").toString)
     }
-    val merged = latest(cur.unionByName(latest(batchDf)))
-    merged.write.mode("overwrite").parquet(new Path(root, s"v_$ver").toString)
-    fs.create(new Path(root, s"_commit_$ver"), true).close()
+    fs.delete(stage, true)
+
+    // commit: untouched buckets carry forward by reference; the manifest
+    // rename inside writeManifest is the commit point
+    val newManifest = curManifest ++ affected.map(b => b -> s"v_$ver/__bucket=$b")
+    writeManifest(fs, root, ver, newManifest)
     fs.create(new Path(root, s"$txnPrefix$ver"), true).close()
-    // retention: keep the newest `retainVersions` committed versions so
-    // a lazy DataFrame resolved by [[readLatest]] a few batches ago
-    // still finds its files. Orphan v_ dirs below the cutoff (a crash
-    // between the parquet write and the marker) are debris — single
-    // writer, so nothing below the current version is mid-write.
+
+    // retention: prune manifests beyond the newest `retainVersions`,
+    // then sweep bucket directories no retained manifest references
+    // (which also clears crash orphans — a v_ dir written but never
+    // committed). Manifest deletion comes FIRST: a mid-sweep crash
+    // strands only unreferenced data, never a ghost manifest, and
+    // [[committedVersion]] needs no data-existence probing.
     val committed = names.collect {
       case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong
     }.sorted :+ ver
-    committed.dropRight(retainVersions).foreach { old =>
-      fs.delete(new Path(root, s"v_$old"), true)
-      fs.delete(new Path(root, s"_commit_$old"), true)
-    }
-    val cutoff = committed.drop(math.max(0, committed.length - retainVersions)).head
-    fs.listStatus(root).map(_.getPath.getName).foreach { n =>
-      if (n.startsWith("v_") && n.stripPrefix("v_").toLong < cutoff)
-        fs.delete(new Path(root, n), true)   // unmarked orphan below cutoff
-      if (n.startsWith("_txn_") && n.split("_").last.toLong < cutoff)
-        fs.delete(new Path(root, n), true)   // txn marker of a pruned version
+    committed.dropRight(retainVersions)
+      .foreach(old => fs.delete(new Path(root, s"_commit_$old"), false))
+    val retained = committed.takeRight(retainVersions)
+    val cutoff = retained.head
+    val referenced = retained.flatMap(v => readManifest(fs, root, v).values).toSet
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v_")) {
+        fs.listStatus(st.getPath).foreach { b =>
+          val bn = b.getPath.getName
+          if (bn.startsWith("__bucket=") && !referenced.contains(s"$n/$bn"))
+            fs.delete(b.getPath, true)
+        }
+        if (!fs.listStatus(st.getPath).map(_.getPath.getName).exists(_.startsWith("__bucket=")))
+          fs.delete(st.getPath, true)  // no live buckets left in this version
+      } else if (n.startsWith("_txn_") && n.split("_").last.toLong < cutoff) {
+        fs.delete(st.getPath, false)   // txn marker of a pruned version
+      } else if (n.startsWith("_stage_") && n != s"_stage_$ver") {
+        fs.delete(st.getPath, true)    // staging debris from a crashed batch
+      }
     }
   }
 
-  /** Reads the current committed version of an [[upsertLatest]] table. */
+  /** appId sanitized for embedding in a flat marker filename: a path
+    * separator (the scaladoc recommends checkpoint paths as appIds)
+    * would otherwise nest the marker in subdirectories, silently
+    * breaking replay detection and crashing the retention parse; any
+    * non-[letter, digit, '-'] character maps to '-' with a hex
+    * discriminator appended so distinct raw ids stay distinct. */
+  private[streaming] def sanitizeAppId(appId: String): String = {
+    val cleaned = appId.map(c => if (c.isLetterOrDigit || c == '-') c else '-')
+    if (cleaned == appId) appId
+    else s"$cleaned-${java.lang.Integer.toHexString(appId.hashCode)}"
+  }
+
+  /** Manifest IO: `_commit_<n>` maps bucket → root-relative data
+    * directory, one "bucket TAB dir" line each. Written under a temp
+    * name and renamed into place, so a manifest that exists is
+    * complete — the rename is the version's commit point. */
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      ver: Long, m: Map[Int, String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(root, s"_tmp_manifest_$ver")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sorted.map { case (b, d) => s"$b\t$d" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(root, s"_commit_$ver")))
+      throw new java.io.IOException(s"failed to commit manifest _commit_$ver under $root")
+  }
+
+  private def readManifest(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      ver: Long): Map[Int, String] = {
+    import org.apache.hadoop.fs.Path
+    val in = fs.open(new Path(root, s"_commit_$ver"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val Array(b, d) = line.split("\t", 2)
+      b.toInt -> d
+    }.toMap
+  }
+
+  /** Reads the current committed version of an [[upsertLatest]] table:
+    * the union of the per-bucket directories its manifest references. */
   def readLatest(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedVersion(fs, root) match {
-      case Some(v) => spark.read.parquet(new Path(root, s"v_$v").toString)
+      case Some(v) =>
+        val dirs = readManifest(fs, root, v).toSeq.sortBy(_._1)
+          .map { case (_, rel) => new Path(root, rel).toString }
+        if (dirs.isEmpty)
+          throw new IllegalStateException(s"committed version $v under $tableDir has no data yet")
+        spark.read.parquet(dirs: _*)
       case None => throw new IllegalStateException(s"no committed version under $tableDir")
     }
   }
 
-  /** Highest `_commit_<n>` marker whose `v_<n>` data directory exists. */
+  /** Highest committed manifest version. A manifest is renamed into
+    * place only after its data directories are fully written, and
+    * retention deletes a manifest before any data it references — so
+    * presence of `_commit_<n>` implies the version is readable, with no
+    * per-directory existence probing. */
   private def committedVersion(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[Long] = {
-    import org.apache.hadoop.fs.Path
+      root: org.apache.hadoop.fs.Path): Option[Long] =
     if (!fs.exists(root)) None
     else fs.listStatus(root).map(_.getPath.getName)
       .collect { case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong }
-      .filter(v => fs.exists(new Path(root, s"v_$v")))
       .sorted.lastOption
-  }
 }

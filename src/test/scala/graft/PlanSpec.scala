@@ -202,6 +202,29 @@ class PlanSpec extends EngineSuite {
     assert(top.collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
   }
 
+  test("DSv2 ext source: pushLimit/pushTopN refuse when a residual filter exists") {
+    // Spark's V2ScanRelationPushDown currently never offers a limit to a
+    // scan that still has a post-scan filter, but that precondition is
+    // Spark's, not this API's — the builder must stay correct on its
+    // own: serving only the first N ids of a residually-filtered range
+    // would under-produce rows if the precondition ever relaxed.
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val b = new graft.sources.ExtScanBuilder(1000, 4)
+    val residual = b.pushFilters(Array(GreaterThanOrEqual("id", 100L), EqualTo("tag", 1L)))
+    assert(residual.length == 1, residual.mkString(","))
+    assert(!b.pushLimit(7), "limit must not narrow a residually-filtered range")
+    assert(!b.pushTopN(
+      Array(Expressions.sort(Expressions.column("id"), SortDirection.ASCENDING)), 5),
+      "TopN must not narrow a residually-filtered range")
+    assert(b.build().description().contains("range [100, 1000)"), b.build().description())
+    // without a residual, both push fine
+    val clean = new graft.sources.ExtScanBuilder(1000, 4)
+    clean.pushFilters(Array(GreaterThanOrEqual("id", 100L)))
+    assert(clean.pushLimit(7))
+    assert(clean.build().description().contains("range [100, 107)"), clean.build().description())
+  }
+
   test("join distribution hints steer the planner (TableRef.java:374-390)") {
     QuerySpec.prepared(spark, sfDir)
     val b = spark.sql(

@@ -403,6 +403,85 @@ class StreamingSpec extends EngineSuite {
     assert(afterRestart == fin + (7L -> 70L), afterRestart.toString)
   }
 
+  test("upsertLatest: a small batch rewrites only the buckets its keys hash into") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_buckets_${System.nanoTime()}"
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventStreams.upsertLatest(dir, nBuckets = 8)(df, id)
+    def bucketsOf(ver: Long): Set[String] = {
+      val d = new java.io.File(s"$dir/v_$ver")
+      if (!d.exists()) Set.empty
+      else d.list().filter(_.startsWith("__bucket=")).toSet
+    }
+    // seed: 32 users spread across the 8 buckets
+    sink(Seq.tabulate(32)(i => Event(i.toLong, i.toLong, ts(i + 1), "click", 1.0)).toDF(), 0L)
+    val seeded = bucketsOf(0)
+    assert(seeded.size >= 4, s"seed should span several buckets: $seeded")
+
+    // update ONE user (id 5, present in the seed): the new version must
+    // rewrite exactly that user's bucket and carry every other bucket
+    // forward BY REFERENCE to the v_0 files — this is the O(touched
+    // buckets) write-amplification property
+    sink(Seq(Event(5, 100, ts(99), "view", 2.0)).toDF(), 1L)
+    val rewritten = bucketsOf(1)
+    assert(rewritten.size == 1, s"one-key batch must rewrite exactly one bucket: $rewritten")
+    val manifest1 = scala.io.Source.fromFile(s"$dir/_commit_1").mkString
+    val refs = manifest1.linesIterator.map(_.split("\t")(1)).toSet
+    assert(refs.count(_.startsWith("v_1/")) == 1, manifest1)
+    assert(refs.count(_.startsWith("v_0/")) == seeded.size - 1,
+      s"untouched buckets must be carried forward from v_0:\n$manifest1")
+    // the merged table is still correct
+    val after = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    assert(after == Seq.tabulate(32)(i => i.toLong -> i.toLong).toMap + (5L -> 100L), after)
+
+    // several more single-key batches: retention prunes old manifests,
+    // and every directory a RETAINED manifest references must still
+    // exist (marker-first deletion means no ghost manifests, ever)
+    (2L to 6L).foreach(i => sink(Seq(Event(5, 100 + i, ts(100 + i), "view", 2.0)).toDF(), i))
+    val rootNames = new java.io.File(dir).list().toSet
+    val retainedManifests = rootNames.filter(_.startsWith("_commit_"))
+    assert(retainedManifests == Set("_commit_4", "_commit_5", "_commit_6"), rootNames)
+    retainedManifests.foreach { mf =>
+      scala.io.Source.fromFile(s"$dir/$mf").mkString.linesIterator.foreach { line =>
+        val rel = line.split("\t")(1)
+        assert(new java.io.File(s"$dir/$rel").exists(), s"$mf references missing $rel")
+      }
+    }
+    val fin = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    assert(fin(5L) == 106L && fin.size == 32, fin)
+  }
+
+  test("upsertLatest: a path-like appId keeps a flat marker and still replay-detects") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_appid_${System.nanoTime()}"
+    // separators + spaces + underscores: everything that used to nest
+    // the marker directory or break the retention parse
+    val app = "/tmp/ckpt dir/run_1"
+    EventStreams.upsertLatest(dir, appId = app)(
+      Seq(Event(1, 1, ts(5), "click", 1.0)).toDF(), 0L)
+    val names = new java.io.File(dir).list().toSet
+    assert(names.exists(n => n.startsWith("_txn_") && n.length > "_txn_".length),
+      names.toString)
+    assert(!names.contains("_txn_"), s"appId leaked a path separator into the marker: $names")
+    // replay of the same (appId, batchId) is a no-op
+    EventStreams.upsertLatest(dir, appId = app)(
+      Seq(Event(9, 99, ts(99), "x", 9.0)).toDF(), 0L)
+    val afterReplay = EventStreams.readLatest(s, dir).collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    assert(afterReplay == Set(1L), afterReplay.toString)
+    // later batches parse the sanitized marker fine (no NumberFormatException
+    // in the retention sweep) and merge normally
+    EventStreams.upsertLatest(dir, appId = app)(
+      Seq(Event(2, 2, ts(6), "view", 1.0)).toDF(), 1L)
+    val fin = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    assert(fin == Map(1L -> 1L, 2L -> 2L), fin.toString)
+  }
+
   test("ext micro-batch stream never regresses behind a replayed offset") {
     // a restarted stream rebuilds the object with revealed = lo; Spark
     // replays the checkpointed offsets through deserializeOffset — the
