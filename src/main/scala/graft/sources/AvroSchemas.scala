@@ -1,0 +1,123 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.spark.sql.types._
+
+/** Avro-schema frontend: converts an Avro schema (JSON) to a Spark
+  * `StructType`, surfacing the reference's `CREATE TABLE LIKE AVRO`
+  * capability (util/AvroSchemaParser.java:1-214,
+  * analysis/CreateTableLikeFileStmt.java) as schema-only DDL.
+  *
+  * Scope note: the runtime has no Avro *data* connector (only the Avro
+  * core jar ships), so this is deliberately the frontend half the
+  * reference itself implements in its analyzer — schema conversion and
+  * validation; the created table stores parquet. The conversion rules
+  * and the rejection set mirror the reference:
+  *
+  *  - the top-level schema must be a RECORD;
+  *  - primitives: string→STRING, int→INT, boolean→BOOLEAN, long→BIGINT,
+  *    float→FLOAT, double→DOUBLE;
+  *  - a union of exactly [T, null] (either order) is nullable T — the
+  *    Avro nullability idiom is hidden from the user;
+  *  - array→ARRAY, map→MAP<STRING, V> (Avro map keys are always
+  *    strings), nested record→STRUCT; field docs become column
+  *    comments;
+  *  - BYTES requires logicalType=decimal with a natural-number
+  *    `precision` property (`scale` defaults to 0 per the Avro spec);
+  *    bare BYTES, other logicalTypes on BYTES, non-nullable unions,
+  *    enum, fixed, and null are rejected with the reference's error
+  *    phrasing.
+  *
+  * Malformed schema JSON propagates Avro's own `SchemaParseException`,
+  * as in the reference. */
+object AvroSchemas {
+
+  /** Conversion rejection — the analogue of the reference's
+    * AnalysisException for Avro types it does not support. */
+  final class UnsupportedAvroTypeException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  private def fail(msg: String): Nothing = throw new UnsupportedAvroTypeException(msg)
+
+  /** Parses Avro schema JSON into the equivalent Spark schema. */
+  def toStructType(schemaJson: String): StructType = {
+    val schema = new AvroSchema.Parser().parse(schemaJson)
+    if (schema.getType != AvroSchema.Type.RECORD)
+      fail(s"Schema for table must be of type RECORD. Received type: ${schema.getType}")
+    StructType(schema.getFields.asScala.toSeq.map(toField))
+  }
+
+  /** Creates an empty catalog table whose columns come from the Avro
+    * schema JSON — `CREATE TABLE <name> LIKE AVRO '<schema>'`. Storage
+    * is parquet (see the scope note above). */
+  def createTableLikeAvro(
+      spark: org.apache.spark.sql.SparkSession, table: String, schemaJson: String): Unit =
+    spark.catalog.createTable(table, "parquet", toStructType(schemaJson),
+      Map.empty[String, String])
+
+  private def toField(f: AvroSchema.Field): StructField = {
+    val md = Option(f.doc())
+      .map(d => new MetadataBuilder().putString("comment", d).build())
+      .getOrElse(Metadata.empty)
+    // every column is nullable at the table level, as in the reference
+    // (its column model has no NOT NULL); the union-with-null unwrap in
+    // toDataType is about the Avro type shape, not table nullability
+    StructField(f.name(), toDataType(f.schema(), f.name()), nullable = true, md)
+  }
+
+  private def toDataType(s: AvroSchema, col: String): DataType = {
+    import AvroSchema.Type._
+    if (isNullableUnion(s)) return toDataType(nonNullBranch(s), col)
+    s.getType match {
+      case STRING => StringType
+      case INT => IntegerType
+      case BOOLEAN => BooleanType
+      case LONG => LongType
+      case FLOAT => FloatType
+      case DOUBLE => DoubleType
+      case ARRAY => ArrayType(toDataType(s.getElementType, col))
+      case MAP => MapType(StringType, toDataType(s.getValueType, col))
+      case RECORD =>
+        StructType(s.getFields.asScala.toSeq.map(toField))
+      case BYTES => decimalOf(s, col)
+      case other => fail(s"Unsupported type '${other.getName}' of column '$col'")
+    }
+  }
+
+  /** A union of exactly two branches, one of which is null. */
+  private def isNullableUnion(s: AvroSchema): Boolean =
+    s.getType == AvroSchema.Type.UNION && s.getTypes.size == 2 &&
+      s.getTypes.asScala.exists(_.getType == AvroSchema.Type.NULL)
+
+  private def nonNullBranch(s: AvroSchema): AvroSchema =
+    s.getTypes.asScala.find(_.getType != AvroSchema.Type.NULL).get
+
+  /** BYTES is only admitted as a decimal carrier: logicalType=decimal
+    * with a required natural-number precision and a scale defaulting to
+    * 0 — the reference's exact rule set and error phrasing. */
+  private def decimalOf(s: AvroSchema, col: String): DataType =
+    Option(s.getObjectProp("logicalType")).map(_.toString) match {
+      case None =>
+        fail(s"logicalType for column '$col' specified at wrong level or was not specified")
+      case Some(lt) if lt.equalsIgnoreCase("decimal") =>
+        val precision = decimalProp(s, "precision").getOrElse(
+          fail("No 'precision' property specified for 'decimal' logicalType"))
+        val scale = decimalProp(s, "scale").getOrElse(0)
+        if (precision > DecimalType.MAX_PRECISION || scale > precision)
+          fail(s"Invalid DECIMAL($precision,$scale) for column '$col'")
+        DecimalType(precision, scale)
+      case Some(lt) =>
+        fail(s"Unsupported logicalType: '$lt' for column '$col' with type BYTES")
+    }
+
+  /** A decimal property must be a natural number (the reference parses
+    * with getValueAsInt(-1) and rejects negatives, which also rejects
+    * non-numeric values). */
+  private def decimalProp(s: AvroSchema, name: String): Option[Int] =
+    Option(s.getObjectProp(name)).map {
+      case n: Number if n.intValue() >= 0 && n.doubleValue() == n.intValue() => n.intValue()
+      case other => fail(s"Invalid decimal '$name' property value: $other")
+    }
+}

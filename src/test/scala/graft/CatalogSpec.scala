@@ -95,6 +95,82 @@ class CatalogSpec extends EngineSuite {
     } finally s.sql("DROP TABLE IF EXISTS graft_like_parquet_t")
   }
 
+  test("CREATE TABLE LIKE AVRO: Avro schema JSON converted to a table schema") {
+    // util/AvroSchemaParser.java:1-214 + CreateTableLikeFileStmt.java —
+    // schema-only frontend (no Avro data connector in this runtime):
+    // primitives map per the reference table, union-with-null is the
+    // nullability idiom and unwraps, array/map/record nest, bytes is a
+    // decimal carrier, field docs become column comments.
+    import org.apache.spark.sql.types._
+    val s = spark
+    val json =
+      """{"type": "record", "name": "cust", "fields": [
+        |  {"name": "id", "type": "long"},
+        |  {"name": "name", "type": ["null", "string"], "doc": "display name"},
+        |  {"name": "active", "type": "boolean"},
+        |  {"name": "score", "type": ["float", "null"]},
+        |  {"name": "tags", "type": {"type": "array", "items": "string"}},
+        |  {"name": "attrs", "type": {"type": "map", "values": "int"}},
+        |  {"name": "bal",
+        |   "type": {"type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2}},
+        |  {"name": "whole", "type": {"type": "bytes", "logicalType": "decimal", "precision": 9}},
+        |  {"name": "addr", "type": {"type": "record", "name": "addr_t", "fields": [
+        |    {"name": "city", "type": "string"}, {"name": "zip", "type": "int"}]}}
+        |]}""".stripMargin
+    val st = graft.sources.AvroSchemas.toStructType(json)
+    assert(st("id").dataType == LongType)
+    assert(st("name").dataType == StringType && st("name").nullable)
+    assert(st("name").metadata.getString("comment") == "display name")
+    assert(st("active").dataType == BooleanType)
+    assert(st("score").dataType == FloatType)
+    assert(st("tags").dataType == ArrayType(StringType))
+    assert(st("attrs").dataType == MapType(StringType, IntegerType))
+    assert(st("bal").dataType == DecimalType(12, 2))
+    assert(st("whole").dataType == DecimalType(9, 0), "scale must default to 0")
+    assert(st("addr").dataType ==
+      StructType(Seq(StructField("city", StringType), StructField("zip", IntegerType))))
+    // the DDL surface: an empty parquet-backed table with that schema
+    s.sql("DROP TABLE IF EXISTS graft_like_avro_t")
+    graft.sources.AvroSchemas.createTableLikeAvro(s, "graft_like_avro_t", json)
+    try {
+      assert(s.table("graft_like_avro_t").schema.fieldNames.toSeq == st.fieldNames.toSeq)
+      assert(s.table("graft_like_avro_t").count() == 0)
+    } finally s.sql("DROP TABLE IF EXISTS graft_like_avro_t")
+  }
+
+  test("CREATE TABLE LIKE AVRO: rejects what the reference rejects") {
+    def rejects(json: String, needle: String): Unit = {
+      val e = intercept[graft.sources.AvroSchemas.UnsupportedAvroTypeException](
+        graft.sources.AvroSchemas.toStructType(json))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    def field(t: String): String =
+      s"""{"type": "record", "name": "r", "fields": [{"name": "c", "type": $t}]}"""
+    // top level must be a record
+    rejects("""{"type": "enum", "name": "e", "symbols": ["A"]}""",
+      "must be of type RECORD")
+    // enum / fixed / non-nullable union columns are unsupported
+    rejects(field("""{"type": "enum", "name": "ce", "symbols": ["A", "B"]}"""),
+      "Unsupported type 'enum' of column 'c'")
+    rejects(field("""{"type": "fixed", "name": "cf", "size": 16}"""),
+      "Unsupported type 'fixed' of column 'c'")
+    rejects(field("""["int", "string"]"""), "Unsupported type 'union' of column 'c'")
+    // a 3-branch union is NOT the nullability idiom, even with a null branch
+    rejects(field("""["null", "int", "string"]"""), "Unsupported type 'union'")
+    // bytes only carries decimals
+    rejects(field("""{"type": "bytes"}"""), "logicalType for column 'c'")
+    rejects(field("""{"type": "bytes", "logicalType": "uuid"}"""),
+      "Unsupported logicalType: 'uuid'")
+    rejects(field("""{"type": "bytes", "logicalType": "decimal", "scale": 2}"""),
+      "No 'precision' property")
+    rejects(
+      field("""{"type": "bytes", "logicalType": "decimal", "precision": 9, "scale": -1}"""),
+      "Invalid decimal 'scale'")
+    // malformed schema JSON propagates Avro's own parse exception
+    intercept[org.apache.avro.SchemaParseException](
+      graft.sources.AvroSchemas.toStructType("{ not avro"))
+  }
+
   test("ALTER TABLE: add columns, set/unset tblproperties, rename") {
     // AlterTable*Stmt.java family (sql-parser.cup:1823-2240).
     val s = spark
