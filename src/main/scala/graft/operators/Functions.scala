@@ -467,8 +467,79 @@ object Functions {
       |  t(id, url)
       |ORDER BY id""".stripMargin)
 
+  /** Oracle-engine semantics probe — one labeled row per
+    * semantics-sensitive scalar class that can shift across
+    * oracle-engine (DuckDB) releases: double→decimal rounding at .xx5
+    * boundaries, double→integer cast rounding-vs-truncation, integer
+    * division/modulo sign, ROUND tie-breaking, decimal-division
+    * rescale, explicit NULLS FIRST/LAST placement, UTF-8 binary
+    * collation, month-end interval clamping, and native
+    * float/timestamp renderings. Motivated by the q171 round-8/9
+    * episode (a double→decimal value drift in the gate's oracle engine,
+    * invisible to rows/schema checks): when the gate's oracle next
+    * diverges from the in-container one, the failing ROW names the
+    * semantics class instead of leaving a whole-query hash to
+    * root-cause. Every value is rendered to STRING inside the query so
+    * the compare is bit-exact, not float-normalized. Constants only —
+    * no scan, no shuffle, scale-irrelevant by design. */
+  val q182OracleProbe: QuerySpec = {
+    // (label, spark expression, duckdb expression) — most classes share
+    // text modulo STRING/VARCHAR and DIV-vs-// spelling; the double→int
+    // cast and date+interval rows desugar the documented dialect gaps
+    // (DuckDB rounds double→int where Spark truncates; DuckDB widens
+    // date+interval to timestamp) so both engines state the same value.
+    val rows: Seq[(String, String, String)] = Seq(
+      ("cast_dbl_dec_2675",
+        "CAST(CAST(CAST(2.675 AS DOUBLE) AS DECIMAL(5,2)) AS STRING)",
+        "CAST(CAST(CAST(2.675 AS DOUBLE) AS DECIMAL(5,2)) AS VARCHAR)"),
+      ("cast_dbl_dec_1005",
+        "CAST(CAST(CAST(1.005 AS DOUBLE) AS DECIMAL(4,2)) AS STRING)",
+        "CAST(CAST(CAST(1.005 AS DOUBLE) AS DECIMAL(4,2)) AS VARCHAR)"),
+      ("cast_dbl_bigint_neg",
+        "CAST(CAST(CAST(-7.9 AS DOUBLE) AS BIGINT) AS STRING)",
+        "CAST(CAST(TRUNC(CAST(-7.9 AS DOUBLE)) AS BIGINT) AS VARCHAR)"),
+      ("int_div_neg", "CAST(-7 DIV 2 AS STRING)", "CAST(-7 // 2 AS VARCHAR)"),
+      ("mod_neg", "CAST(-7 % 2 AS STRING)", "CAST(-7 % 2 AS VARCHAR)"),
+      ("round_half_2_5",
+        "CAST(ROUND(CAST(2.5 AS DOUBLE)) AS STRING)",
+        "CAST(ROUND(CAST(2.5 AS DOUBLE)) AS VARCHAR)"),
+      ("round_half_neg_2_5",
+        "CAST(ROUND(CAST(-2.5 AS DOUBLE)) AS STRING)",
+        "CAST(ROUND(CAST(-2.5 AS DOUBLE)) AS VARCHAR)"),
+      ("round_scale_2675",
+        "CAST(ROUND(CAST(2.675 AS DOUBLE), 2) AS STRING)",
+        "CAST(ROUND(CAST(2.675 AS DOUBLE), 2) AS VARCHAR)"),
+      ("dec_div_rescale",
+        "CAST(CAST(CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2)) AS DECIMAL(20,10)) AS STRING)",
+        "CAST(CAST(CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2)) AS DECIMAL(20,10)) AS VARCHAR)"),
+      ("str_int_trim",
+        "CAST(CAST('  42 ' AS INT) AS STRING)",
+        "CAST(CAST('  42 ' AS INT) AS VARCHAR)"),
+      ("dbl_render_third",
+        "CAST(CAST(1 AS DOUBLE) / 3 AS STRING)",
+        "CAST(CAST(1 AS DOUBLE) / 3 AS VARCHAR)"),
+      ("ts_render_ms",
+        "CAST(TIMESTAMP '2024-02-29 12:34:56.789' AS STRING)",
+        "CAST(TIMESTAMP '2024-02-29 12:34:56.789' AS VARCHAR)"),
+      ("utf8_binary_cmp", "CAST('a' > 'B' AS STRING)", "CAST('a' > 'B' AS VARCHAR)"),
+      ("nulls_first_head",
+        "(SELECT COALESCE(CAST(x AS STRING), 'NULL') FROM VALUES (1),(NULL),(2) AS t(x) ORDER BY x NULLS FIRST LIMIT 1)",
+        "(SELECT COALESCE(CAST(x AS VARCHAR), 'NULL') FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x NULLS FIRST LIMIT 1)"),
+      ("nulls_last_tail",
+        "(SELECT COALESCE(CAST(x AS STRING), 'NULL') FROM VALUES (1),(NULL),(2) AS t(x) ORDER BY x DESC NULLS LAST LIMIT 1)",
+        "(SELECT COALESCE(CAST(x AS VARCHAR), 'NULL') FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x DESC NULLS LAST LIMIT 1)"),
+      ("month_add_clamp",
+        "CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS STRING)",
+        "CAST(CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE) AS VARCHAR)"))
+    def text(pick: ((String, String, String)) => String): String =
+      rows.map { r =>
+        s"SELECT '${r._1}' AS label, ${pick(r)} AS val"
+      }.mkString("", "\nUNION ALL ", "\nORDER BY label")
+    QuerySpec.sql2("q182_oracle_probe", text(_._2), text(_._3))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q50CaseDecode, q51Cast, q52String, q53Math, q54Date, q55Conditional,
     q56Pattern, q57Json, q58HashTypeof, q59ParseUrl, q120FnvOracle,
-    q128MurmurOracle)
+    q128MurmurOracle, q182OracleProbe)
 }

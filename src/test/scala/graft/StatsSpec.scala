@@ -55,6 +55,54 @@ class StatsSpec extends EngineSuite {
     s.sql("DROP TABLE IF EXISTS graft_stats_part")
   }
 
+  test("CBO join reorder: column stats re-order a mis-ordered join; their absence leaves it") {
+    // SingleNodePlanner.createCheapestJoinPlan:349-403 — the reference
+    // orders joins by cost from COMPUTE STATS output. Spark's analogue
+    // (CostBasedJoinReorder) is enabled by GraftSession but inert on
+    // stat-less parquet views, so this pins the full loop on real
+    // catalog tables: the SQL text deliberately joins the two FACT
+    // tables first and the selective tiny dim last; with ANALYZE'd
+    // row/column stats the optimizer must pull the tiny dim ahead of
+    // the fact-fact join, and without stats it must leave the text
+    // order untouched (no row counts → no reorder).
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    for (t <- Seq("graft_cbo_l", "graft_cbo_o", "graft_cbo_tiny"))
+      s.sql(s"DROP TABLE IF EXISTS $t")
+    s.table("lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .write.mode("overwrite").saveAsTable("graft_cbo_l")
+    s.table("orders").select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").saveAsTable("graft_cbo_o")
+    s.table("part").select(col("p_partkey")).filter(col("p_partkey") <= 5)
+      .write.mode("overwrite").saveAsTable("graft_cbo_tiny")
+    try {
+      val q =
+        """SELECT COUNT(*) AS n
+          |FROM graft_cbo_l l
+          |JOIN graft_cbo_o o ON l.l_orderkey = o.o_orderkey
+          |JOIN graft_cbo_tiny t ON l.l_partkey = t.p_partkey""".stripMargin
+      def leaves: Seq[String] = s.sql(q).queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.map(_.identifier.table)
+        case _ => None
+      }.toSeq
+      val before = leaves
+      assert(before == Seq("graft_cbo_l", "graft_cbo_o", "graft_cbo_tiny"),
+        s"without stats the text order must stand: $before")
+      Seq("graft_cbo_l" -> "l_orderkey, l_partkey", "graft_cbo_o" -> "o_orderkey",
+        "graft_cbo_tiny" -> "p_partkey").foreach { case (t, cols) =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS $cols")
+      }
+      val after = leaves
+      assert(after != before, s"stats did not trigger a reorder: $after")
+      assert(after.last == "graft_cbo_o",
+        s"the fact-fact join must run last once the tiny dim's selectivity is known: $after")
+    } finally {
+      for (t <- Seq("graft_cbo_l", "graft_cbo_o", "graft_cbo_tiny"))
+        s.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("murmur_hash and fnv_hash are deterministic and distinct per layout") {
     val s = spark
     graft.engine.GraftSession.attach(s)
