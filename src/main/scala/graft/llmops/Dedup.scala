@@ -646,6 +646,46 @@ object Dedup {
       .orderBy("cluster", "doc_id")
   }
 
+  /** Quality-based canonical selection per near-dup cluster — the
+    * release decision [[q79DedupClusters]] feeds: within every cluster
+    * keep the BEST document (longest, ties to the lowest id), not the
+    * lowest-id one (q165's exact-dup rule). Docs untouched by any
+    * near-dup pair are their own singleton cluster via the left join.
+    * The argmax is a `MAX(STRUCT(quality, -doc_id))` aggregate —
+    * partial-aggregable, so a degenerate giant cluster (thousands of
+    * copies of one boilerplate page, the common real-corpus case) never
+    * concentrates into one window-sort task; the oracle uses the
+    * equivalent per-cluster window, fine at oracle scale. */
+  val q186CanonicalPick: QuerySpec = QuerySpec(
+    "q186_dedup_canonical_pick",
+    s"""WITH c AS (
+       |${q79DedupClusters.oracle.get}),
+       |sel AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster, d.n_chars
+       |  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id),
+       |r AS (
+       |  SELECT cluster, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS nm
+       |  FROM sel)
+       |SELECT cluster, CAST(nm AS BIGINT) AS n_members, doc_id AS kept_doc,
+       |       CAST(n_chars AS BIGINT) AS kept_chars
+       |FROM r WHERE rn = 1
+       |ORDER BY cluster""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val clusters = q79DedupClusters.run(sp, dir).select("doc_id", "cluster")
+    val docs = sp.table("documents").select(col("doc_id"), col("n_chars"))
+    docs.join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster"), col("n_members"),
+        (-col("best.neg_id")).as("kept_doc"),
+        col("best.n_chars").cast("long").as("kept_chars"))
+      .orderBy(col("cluster"))
+  }
+
   /** Cross-language near-dup report: operator composition — the verified
     * LSH pairs joined back to document metadata, counting same- vs
     * cross-language duplicate pairs (the translation-leakage check of a
@@ -866,6 +906,7 @@ object Dedup {
   val all: Seq[QuerySpec] = Seq(
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
+    q186CanonicalPick,
     q101CrossLang, q151IncrementalDedup, q152CorpusDiff, q164SemDeDup,
     q179CdcChunking, q180CrossSourceOverlap)
 }

@@ -474,7 +474,38 @@ object Similarity {
       |FROM (SELECT doc, pooled, nrm, unnest(range(len(pooled))) AS pos FROM n) u
       |ORDER BY doc, dim""".stripMargin)
 
+  /** ANN index-quality evaluation — recall@10 of the LSH index
+    * ([[q86LshBucketed]]) against the brute-force ground truth
+    * ([[q85BruteTopK]]), per query. This is the eval loop every
+    * embedding pipeline runs before trusting an approximate index: the
+    * exact pass is affordable because it runs on the sampled QUERY set
+    * (here vec_id < 5), not all-pairs — the standard recall-measurement
+    * shape at scale. Both inputs are the deterministic, oracle-checked
+    * index paths, so the recall numbers themselves are exactly
+    * reproducible in DuckDB by composing the two oracle texts. */
+  val q185AnnRecall: QuerySpec = QuerySpec(
+    "q185_ann_recall",
+    s"""WITH b AS (
+       |${q85BruteTopK.oracle.get}),
+       |l AS (
+       |${q86LshBucketed.oracle.get})
+       |SELECT b.query_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       |       ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / 10, 6) AS recall_at_10
+       |FROM b LEFT JOIN l
+       |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+       |GROUP BY b.query_id
+       |ORDER BY b.query_id""".stripMargin) { (s, dir) =>
+    val brute = q85BruteTopK.run(s, dir).select(col("query_id"), col("neighbor_id"))
+    val lsh = q86LshBucketed.run(s, dir).select(col("query_id"), col("neighbor_id"))
+    brute.join(lsh.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / 10, 6).as("recall_at_10"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q85BruteTopK.benched, q86LshBucketed, q87IvfProbe, q149PqAdc, q161AnnInt8,
-    q168PoolNormalize)
+    q168PoolNormalize, q185AnnRecall)
 }

@@ -1084,6 +1084,65 @@ object TextAnalysis {
     QuerySpec.sql2("q183_dup_ngram_coverage", text(spark = true), text(spark = false))
   }
 
+  /** Interpolated bigram-LM cross-entropy — the KenLM-shaped upgrade of
+    * [[q162UnigramLm]]'s fluency proxy: each token scores
+    * `λ·P(w|prev) + (1-λ)·P(w)` (λ=0.7) with exact MLE context counts
+    * (`count(prev, *)` summed from the bigram table, not approximated by
+    * the unigram count), and a document's score is the mean negative
+    * log-probability. Curation pipelines use exactly this jump —
+    * conditioned probabilities separate fluent text from bag-of-words
+    * word salad that a unigram model scores identically.
+    *
+    * Scale shape: one per-doc LAG window (doc-bounded keys), two
+    * corpus-sized keyed joins (token→unigram, token-pair→bigram) whose
+    * build sides are vocab-sized, and one doc-keyed sum. All
+    * probability arithmetic runs in DOUBLE with a fixed expression tree
+    * (bit-identical across engines and partitionings); the per-doc sum
+    * follows the exact-DECIMAL house rule (graft.operators.Num) so the
+    * result is order-independent, and the threshold compares the
+    * ROUNDED score. */
+  val q184BigramLm: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark)
+          """SELECT doc_id, pos, word FROM t
+            |  LATERAL VIEW posexplode(w) p AS pos, word""".stripMargin
+        else
+          """SELECT doc_id, unnest(range(len(w))) AS pos,
+            |         unnest(w) AS word FROM t""".stripMargin
+      val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+      s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
+         |words AS (
+         |$words),
+         |w2 AS (SELECT doc_id, pos, word,
+         |              LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |       FROM words),
+         |uni AS (SELECT word, COUNT(*) AS cu FROM words GROUP BY word),
+         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM words),
+         |bi AS (SELECT prev, word, COUNT(*) AS c2 FROM w2
+         |       WHERE prev IS NOT NULL GROUP BY prev, word),
+         |ctx AS (SELECT prev, SUM(c2) AS cc FROM bi GROUP BY prev),
+         |p AS (SELECT w2.doc_id,
+         |        CASE WHEN w2.prev IS NULL THEN CAST(u.cu AS DOUBLE) / tot.n
+         |             ELSE 0.7 * (CAST(b.c2 AS DOUBLE) / ctx.cc)
+         |                  + 0.3 * (CAST(u.cu AS DOUBLE) / tot.n) END AS pt
+         |      FROM w2
+         |      JOIN uni u ON w2.word = u.word
+         |      LEFT JOIN bi b ON w2.prev = b.prev AND w2.word = b.word
+         |      LEFT JOIN ctx ON w2.prev = ctx.prev
+         |      CROSS JOIN tot),
+         |s AS (SELECT doc_id, COUNT(*) AS nw,
+         |             SUM(CAST(LN(pt) AS DECIMAL(27,18))) AS lsum
+         |      FROM p GROUP BY doc_id)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         |       ROUND(-CAST(lsum AS DOUBLE) / nw, 6) AS xent2_nats,
+         |       (ROUND(-CAST(lsum AS DOUBLE) / nw, 6) > 3.0) AS flagged
+         |FROM s
+         |ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q184_bigram_lm", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
@@ -1091,5 +1150,6 @@ object TextAnalysis {
     q158ChunkOverlap, q159PiiRedact, q160SubstringDedup,
     q175SubstringRemove.benched, q162UnigramLm, q177PerplexityBuckets,
     q163BpeMerges, q166UrlCanonicalize, q167BpeEncode,
-    q176TokenizerFertility, q169ModelQuality, q183DupNgramCoverage)
+    q176TokenizerFertility, q169ModelQuality, q183DupNgramCoverage,
+    q184BigramLm)
 }
