@@ -1,0 +1,62 @@
+package graft
+
+/** HiveServer2 wire protocol — the reference serves its entire client
+  * surface over HS2 Thrift, including the hand-built catalog metadata
+  * ops (service/MetadataOp.java:53-645: GetTypeInfo, GetTables,
+  * GetColumns, GetSchemas). Spark's ThriftServer is this engine's
+  * same-protocol surface; this suite starts it on the shared session's
+  * context and exercises both halves over a REAL JDBC connection —
+  * previously the metadata ops were only mirrored as catalog queries
+  * (q75/q173) with nothing listening on a wire. */
+class ThriftServerSpec extends EngineSuite {
+
+  private def drain(rs: java.sql.ResultSet, col: String): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    while (rs.next()) b += rs.getString(col)
+    b.result()
+  }
+
+  test("HiveServer2 wire: SQL and metadata ops over a real JDBC connection") {
+    val s = spark
+    val port = "10977"
+    s.sqlContext.setConf("hive.server2.thrift.port", port)
+    val server =
+      org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(s.sqlContext)
+    s.sql("DROP TABLE IF EXISTS graft_hs2_t")
+    s.sql("CREATE TABLE graft_hs2_t USING parquet AS SELECT id, id * 2 AS dbl FROM RANGE(5)")
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // the server binds asynchronously — poll until it accepts a session
+      var conn: java.sql.Connection = null
+      var lastErr: Throwable = null
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (conn == null && System.nanoTime() < deadline) {
+        try conn = java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/default", "graft", "")
+        catch { case e: Throwable => lastErr = e; Thread.sleep(500) }
+      }
+      assert(conn != null, s"thrift server never accepted a connection: $lastErr")
+      try {
+        // SQL execution over the wire, against the shared catalog
+        val rs = conn.createStatement().executeQuery(
+          "SELECT COUNT(*) AS n, CAST(SUM(dbl) AS BIGINT) AS s FROM graft_hs2_t")
+        assert(rs.next())
+        assert(rs.getLong(1) == 5L && rs.getLong(2) == 20L, "wire query returned wrong rows")
+        // GetTypeInfo (MetadataOp.getTypeInfo:557-645)
+        val md = conn.getMetaData
+        val types = drain(md.getTypeInfo, "TYPE_NAME").toSet
+        Seq("BIGINT", "STRING", "DOUBLE", "BOOLEAN")
+          .foreach(t => assert(types.contains(t), s"GetTypeInfo missing $t: $types"))
+        // GetSchemas / GetTables / GetColumns (MetadataOp.getSchemas/getTables/getColumns)
+        assert(drain(md.getSchemas, "TABLE_SCHEM").contains("default"))
+        assert(drain(md.getTables(null, "default", "graft_hs2_t", null), "TABLE_NAME")
+          == Seq("graft_hs2_t"))
+        assert(drain(md.getColumns(null, "default", "graft_hs2_t", "%"), "COLUMN_NAME").toSet
+          == Set("id", "dbl"))
+      } finally conn.close()
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_hs2_t")
+      server.stop()
+    }
+  }
+}
