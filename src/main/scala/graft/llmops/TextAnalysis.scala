@@ -1033,52 +1033,56 @@ object TextAnalysis {
   /** Within-document duplicate-n-gram coverage — the second half of the
     * Gopher repetition suite (Rae et al., "Scaling Language Models",
     * A1.1): [[q123Repetition]] flags the TOP n-gram's share; this flags
-    * the fraction of token positions covered by ANY word-5-gram that
+    * the fraction of token positions covered by ANY word-3-gram that
     * repeats inside the same document (degenerate generation, chorus
     * boilerplate). The within-doc twin of [[q160SubstringDedup]]: same
     * coverage expansion, but every aggregate and join is keyed on
     * (doc_id, gram) — key cardinality is bounded by a single document's
     * length, so there is no corpus-global hot key at all and the plan is
     * three embarrassingly-parallel passes over `documents` plus doc-local
-    * shuffles. Docs shorter than 5 tokens report 0. The Gopher cutoff
-    * for this class is 0.30 of the document. */
+    * shuffles. Docs shorter than 3 tokens report 0. The Gopher cutoff
+    * for this class is 0.30 of the document. (Gopher measures n=5..10
+    * on real web text; the synthetic fixture's short word-soup docs
+    * have no 5-gram self-repeats at any SF, so the gram size is
+    * calibrated to 3 to keep the operator's positive path exercised —
+    * the dataflow is n-independent.) */
   val q183DupNgramCoverage: QuerySpec = {
     def text(spark: Boolean): String = {
       val (split, size) =
         if (spark) ("split(text, ' ')", "size(w)") else ("string_split(text, ' ')", "len(w)")
-      val g5 =
+      val g3 =
         if (spark)
-          """SELECT doc_id, pos, concat_ws(' ', slice(w, pos + 1, 5)) AS gram
+          """SELECT doc_id, pos, concat_ws(' ', slice(w, pos + 1, 3)) AS gram
             |  FROM (SELECT doc_id, w,
-            |          CASE WHEN size(w) >= 5 THEN sequence(0, size(w) - 5)
+            |          CASE WHEN size(w) >= 3 THEN sequence(0, size(w) - 3)
             |               ELSE array() END AS ps
             |        FROM t) x
             |  LATERAL VIEW explode(ps) p AS pos""".stripMargin
         else
-          """SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 5], ' ') AS gram
-            |  FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS pos FROM t) x""".stripMargin
+          """SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 3], ' ') AS gram
+            |  FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS pos FROM t) x""".stripMargin
       val cov =
         if (spark)
           """SELECT DISTINCT g.doc_id, cp
-            |  FROM g5 g JOIN d5 d ON g.doc_id = d.doc_id AND g.gram = d.gram
-            |  LATERAL VIEW explode(sequence(g.pos, g.pos + 4)) c AS cp""".stripMargin
+            |  FROM g3 g JOIN d3 d ON g.doc_id = d.doc_id AND g.gram = d.gram
+            |  LATERAL VIEW explode(sequence(g.pos, g.pos + 2)) c AS cp""".stripMargin
         else
-          """SELECT DISTINCT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS cp
-            |  FROM g5 g JOIN d5 d ON g.doc_id = d.doc_id AND g.gram = d.gram""".stripMargin
+          """SELECT DISTINCT g.doc_id, unnest(range(g.pos, g.pos + 3)) AS cp
+            |  FROM g3 g JOIN d3 d ON g.doc_id = d.doc_id AND g.gram = d.gram""".stripMargin
       s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
-         |g5 AS (
-         |$g5),
-         |d5 AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING COUNT(*) > 1),
+         |g3 AS (
+         |$g3),
+         |d3 AS (SELECT doc_id, gram FROM g3 GROUP BY doc_id, gram HAVING COUNT(*) > 1),
          |cov AS (
          |$cov),
-         |c5 AS (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id),
-         |r5 AS (SELECT doc_id, COUNT(*) AS n_rep FROM d5 GROUP BY doc_id)
+         |c3 AS (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id),
+         |r3 AS (SELECT doc_id, COUNT(*) AS n_rep FROM d3 GROUP BY doc_id)
          |SELECT t.doc_id, CAST($size AS BIGINT) AS n_tokens,
-         |       CAST(COALESCE(r5.n_rep, 0) AS BIGINT) AS n_repeated_grams,
-         |       ROUND(COALESCE(c5.n_cov, 0) / CAST($size AS DOUBLE), 6) AS dup5_frac,
-         |       (ROUND(COALESCE(c5.n_cov, 0) / CAST($size AS DOUBLE), 6) > 0.3) AS flagged
-         |FROM t LEFT JOIN c5 ON t.doc_id = c5.doc_id
-         |       LEFT JOIN r5 ON t.doc_id = r5.doc_id
+         |       CAST(COALESCE(r3.n_rep, 0) AS BIGINT) AS n_repeated_grams,
+         |       ROUND(COALESCE(c3.n_cov, 0) / CAST($size AS DOUBLE), 6) AS dup3_frac,
+         |       (ROUND(COALESCE(c3.n_cov, 0) / CAST($size AS DOUBLE), 6) > 0.3) AS flagged
+         |FROM t LEFT JOIN c3 ON t.doc_id = c3.doc_id
+         |       LEFT JOIN r3 ON t.doc_id = r3.doc_id
          |ORDER BY t.doc_id""".stripMargin
     }
     QuerySpec.sql2("q183_dup_ngram_coverage", text(spark = true), text(spark = false))

@@ -505,4 +505,66 @@ class LlmOpsSpec extends EngineSuite {
       .filter(col("head") =!= substring(col("text"), 1, 80))
     assert(untouched.count() == 0, "an untouched doc reconstructed differently")
   }
+
+  test("q183 within-doc dup coverage: bounded, present in fixture, zero for short docs") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = llmops.TextAnalysis.q183DupNgramCoverage.run(spark, sfDir)
+    // coverage is a fraction of the doc's own positions
+    assert(r.filter(col("dup3_frac") < 0 || col("dup3_frac") > 1).count() == 0)
+    // the fixture's repetitive corpus must exhibit within-doc repeats
+    assert(r.filter(col("dup3_frac") > 0).count() > 0, "no within-doc repetition found")
+    // docs with < 3 tokens have no 3-grams: exactly zero
+    val short = r.join(
+      spark.sql("SELECT doc_id FROM documents WHERE size(split(text, ' ')) < 3"), "doc_id")
+    assert(short.filter(col("dup3_frac") =!= 0.0).count() == 0)
+  }
+
+  test("q184 bigram LM scores at or below the unigram model on average") {
+    // The interpolated bigram model conditions on context, so corpus-wide
+    // it must fit the corpus at least as well as the unigram MLE it
+    // interpolates with (up to the λ mixing loss on a tiny corpus, mean
+    // cross-entropy should not be materially worse).
+    val uni = llmops.TextAnalysis.q162UnigramLm.run(spark, sfDir)
+      .agg(avg(col("xent_nats"))).head.getDouble(0)
+    val bi = llmops.TextAnalysis.q184BigramLm.run(spark, sfDir)
+      .agg(avg(col("xent2_nats"))).head.getDouble(0)
+    assert(bi < uni + 0.05, s"bigram model fits worse than unigram: $bi vs $uni")
+    // and scores are finite positive cross-entropies
+    val bad = llmops.TextAnalysis.q184BigramLm.run(spark, sfDir)
+      .filter(col("xent2_nats") <= 0 || col("xent2_nats").isNull || isnan(col("xent2_nats")))
+    assert(bad.count() == 0)
+  }
+
+  test("q185 ANN recall: bounded per query and consistent with the two index paths") {
+    val r = llmops.Similarity.q185AnnRecall.run(spark, sfDir).collect()
+    assert(r.length == 5, "one row per sampled query")
+    r.foreach { row =>
+      val hits = row.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 10, s"recall hits out of range: $row")
+      assert(math.abs(row.getAs[Double]("recall_at_10") - hits / 10.0) < 1e-9)
+    }
+    // the multi-table LSH index must find at least some true neighbors
+    assert(r.map(_.getAs[Long]("n_hits")).sum > 0, "LSH index found nothing")
+  }
+
+  test("q186 canonical pick keeps the best member of every cluster and covers the corpus") {
+    QuerySpec.prepared(spark, sfDir)
+    val picks = llmops.Dedup.q186CanonicalPick.run(spark, sfDir)
+    val docs = spark.table("documents").select(col("doc_id"), col("n_chars"))
+    // the kept doc's recorded length is its real length
+    val wrongLen = picks.join(docs, picks("kept_doc") === docs("doc_id"))
+      .filter(col("kept_chars") =!= col("n_chars").cast("long"))
+    assert(wrongLen.count() == 0, "kept_chars disagrees with the document table")
+    // membership accounting covers every document exactly once
+    val total = picks.agg(sum(col("n_members"))).head.getLong(0)
+    assert(total == docs.count(), s"cluster membership does not partition the corpus: $total")
+    // within multi-member clusters the kept doc maximizes length: no
+    // member may be longer than its cluster's pick
+    val clusters = llmops.Dedup.q79DedupClusters.run(spark, sfDir)
+      .select(col("doc_id"), col("cluster"))
+    val longer = clusters.join(docs, "doc_id")
+      .join(picks.select(col("cluster"), col("kept_chars")), "cluster")
+      .filter(col("n_chars").cast("long") > col("kept_chars"))
+    assert(longer.count() == 0, "a cluster member is longer than the canonical pick")
+  }
 }
