@@ -117,5 +117,113 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id, frame_no""".stripMargin)
 
-  val all: Seq[QuerySpec] = Seq(q92DecodePipeline.benched, q93FrameSample)
+  /** pHash-style 64-bit perceptual signature over the opaque payload,
+    * emitted as four 16-bit bands: bit c is set when the mean byte of
+    * the c-th 1/64 slice exceeds the whole payload's mean — the same
+    * shape as a real DCT pHash (per-region energy vs global energy)
+    * with the stub decoder standing in for the codec. Banded so the
+    * dedup join needs no 64-bit packing and the hamming distance is a
+    * per-band XOR popcount. */
+  private def phashStub(rows: Iterator[RawMedia]): Iterator[(Long, Int, Int, Int, Int)] =
+    rows.map { r =>
+      val n = r.media.length
+      var total = 0L
+      var i = 0
+      while (i < n) { total += r.media(i) & 0xff; i += 1 }
+      val mean = if (n == 0) 0.0 else total.toDouble / n
+      val chunk = math.max(1, n / 64)
+      val bands = new Array[Int](4)
+      var c = 0
+      while (c < 64) {
+        val from = math.min(c * chunk, n)
+        val until = if (c == 63) n else math.min((c + 1) * chunk, n)
+        if (until > from) {
+          var s = 0L
+          var j = from
+          while (j < until) { s += r.media(j) & 0xff; j += 1 }
+          if (s.toDouble / (until - from) > mean) bands(c / 16) |= 1 << (c % 16)
+        }
+        c += 1
+      }
+      (r.doc_id, bands(0), bands(1), bands(2), bands(3))
+    }
+
+  /** Perceptual-hash media dedup — near-identical payloads found by
+    * banded signature collision, the image-dedup stage of a multimodal
+    * curation pipeline (pHash → band buckets → verify), with the codec
+    * stubbed per this module's contract and every stage around it real.
+    *
+    * Pigeonhole completeness: hamming ≤ 3 across 4 bands forces at
+    * least one band to collide, so the banded candidate join has 100%
+    * recall at the threshold and the DuckDB oracle may use plain
+    * all-pairs — same result set, different plan class (the q82 SimHash
+    * argument). Candidates route through [[Dedup.boundedPairs]], so a
+    * degenerate band value (e.g. every blank payload hashing to 0)
+    * cannot form an unbounded single-task block at scale; exact hamming
+    * verification runs only on candidates. */
+  val q187PhashDedup: QuerySpec = QuerySpec(
+    "q187_mm_phash_dedup",
+    """WITH t AS (
+      |  SELECT doc_id, text, LENGTH(text) AS n,
+      |    CASE WHEN LENGTH(text) = 0 THEN 0.0
+      |         ELSE CAST(list_aggregate(list_transform(range(LENGTH(text)),
+      |                i -> ascii(substr(text, i + 1, 1))), 'sum') AS DOUBLE)
+      |              / LENGTH(text) END AS mean,
+      |    GREATEST(LENGTH(text) // 64, 1) AS chunk
+      |  FROM documents),
+      |cb AS (
+      |  SELECT doc_id, c, c // 16 AS band, c % 16 AS pos,
+      |    least(c * chunk, n) AS f,
+      |    CASE WHEN c = 63 THEN n ELSE least((c + 1) * chunk, n) END AS u,
+      |    text, mean
+      |  FROM (SELECT doc_id, text, n, mean, chunk, unnest(range(64)) AS c FROM t) x),
+      |bits AS (
+      |  SELECT doc_id, band, pos,
+      |    CASE WHEN u > f AND
+      |      CAST(list_aggregate(list_transform(range(u - f),
+      |             i -> ascii(substr(text, f + i + 1, 1))), 'sum') AS DOUBLE) / (u - f) > mean
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM cb),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN band = 0 THEN bit << pos ELSE 0 END) AS INT) AS b0,
+      |    CAST(SUM(CASE WHEN band = 1 THEN bit << pos ELSE 0 END) AS INT) AS b1,
+      |    CAST(SUM(CASE WHEN band = 2 THEN bit << pos ELSE 0 END) AS INT) AS b2,
+      |    CAST(SUM(CASE WHEN band = 3 THEN bit << pos ELSE 0 END) AS INT) AS b3
+      |  FROM bits GROUP BY doc_id)
+      |SELECT doc_id_a, doc_id_b, hamming FROM (
+      |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT) AS hamming
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id) p
+      |WHERE hamming <= 3
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    import sp.implicits._
+    val sig = sp.table("documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[RawMedia]
+      .mapPartitions(phashStub)
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+      .localCheckpoint() // consumed by 4 band projections + 2 verify joins
+    val keyed = (0 until 4).map { b =>
+      sig.select(concat_ws(":", lit(b.toString), col(s"b$b").cast("string")).as("bkey"),
+        col("doc_id").as("id"))
+    }.reduce(_ unionByName _)
+    val cand = Dedup.boundedPairs(keyed, 256)
+      .toDF("doc_id_a", "doc_id_b").distinct()
+    val a = sig.select(col("doc_id").as("doc_id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = sig.select(col("doc_id").as("doc_id_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(a, "doc_id_a").join(b, "doc_id_b")
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)")
+          .cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q92DecodePipeline.benched, q93FrameSample, q187PhashDedup)
 }

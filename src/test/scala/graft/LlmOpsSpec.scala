@@ -547,6 +547,29 @@ class LlmOpsSpec extends EngineSuite {
     assert(r.map(_.getAs[Long]("n_hits")).sum > 0, "LSH index found nothing")
   }
 
+  test("q187 phash dedup: exact-copy payloads collide at hamming 0") {
+    QuerySpec.prepared(spark, sfDir)
+    val pairs = llmops.Multimodal.q187PhashDedup.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // identical text → identical payload bytes → identical signature
+    // (sf0.001 happens to contain no exact copies; the clause arms at
+    // any SF that does, and the sf0.01 oracle gate exercises it too)
+    val copies = spark.sql(
+      """SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b
+        |ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    copies.foreach { p =>
+      assert(pairs.get(p).contains(0), s"exact copy $p missing or hamming != 0")
+    }
+    // threshold enforced, pairs canonically ordered, and the banded
+    // candidate path is deterministic across runs
+    assert(pairs.values.forall(h => h >= 0 && h <= 3))
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    val again = llmops.Multimodal.q187PhashDedup.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(again == pairs, "phash dedup is not deterministic")
+  }
+
   test("q186 canonical pick keeps the best member of every cluster and covers the corpus") {
     QuerySpec.prepared(spark, sfDir)
     val picks = llmops.Dedup.q186CanonicalPick.run(spark, sfDir)
