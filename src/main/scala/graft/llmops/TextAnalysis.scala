@@ -1155,5 +1155,5 @@ object TextAnalysis {
     q175SubstringRemove.benched, q162UnigramLm, q177PerplexityBuckets,
     q163BpeMerges, q166UrlCanonicalize, q167BpeEncode,
     q176TokenizerFertility, q169ModelQuality, q183DupNgramCoverage,
-    q184BigramLm)
+    q184BigramLm.benched)
 }

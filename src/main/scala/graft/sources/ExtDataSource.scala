@@ -274,23 +274,50 @@ private[sources] class ExtRowsFactory(rows: Seq[Seq[Any]])
     }
 }
 
-private[sources] case class ExtRange(from: Long, until: Long) extends InputPartition
+private[graft] case class ExtRange(from: Long, until: Long) extends InputPartition
 
 private[sources] class ExtScan(
     lo: Long, hi: Long, partitions: Int, required: StructType,
     batchRows: Long = 250L)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+  // Runtime (join-derived) narrowing on top of the compile-time [lo, hi):
+  // when this scan probes a broadcast join, Spark hands the build side's
+  // key set here BEFORE partition planning (the DSv2 twin of the
+  // reference's runtime filters, planner/RuntimeFilterGenerator.java) —
+  // the served range shrinks to the keys' envelope. Serving a SUPERSET
+  // of the matching ids is the contract (the join still discards
+  // non-matches), so the envelope is correct, and an empty pushed key
+  // set collapses the scan to zero partitions.
+  private var rlo: Long = lo
+  private var rhi: Long = hi
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      val longs = p.children().collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.dataType() == LongType => l.value().asInstanceOf[Long]
+      }
+      p.name() match {
+        case "IN" | "=" if longs.nonEmpty =>
+          rlo = math.max(rlo, longs.min)
+          rhi = math.min(rhi, if (longs.max == Long.MaxValue) Long.MaxValue else longs.max + 1)
+        case _ => () // unrecognized shape or value type: full range stays correct
+      }
+    }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"ext_source range [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
 
-  // scan-range generation: split the (already filter-narrowed) id range
+  // scan-range generation: split the (filter- and runtime-narrowed) id range
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, partitions)
-    val span = math.max(0L, hi - lo)
+    val span = math.max(0L, rhi - rlo)
     val step = math.max(1L, (span + n - 1) / n)
-    (lo until hi by step).map(s => ExtRange(s, math.min(s + step, hi))).toArray
+    (rlo until rhi by step).map(s => ExtRange(s, math.min(s + step, rhi))).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

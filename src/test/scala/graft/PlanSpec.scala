@@ -225,6 +225,38 @@ class PlanSpec extends EngineSuite {
     assert(clean.build().description().contains("range [100, 107)"), clean.build().description())
   }
 
+  test("DSv2 ext source: runtime join filters narrow the served partitions") {
+    // SupportsRuntimeV2Filtering — the DSv2 twin of the reference's
+    // runtime filters (planner/RuntimeFilterGenerator.java): a broadcast
+    // join's build-side key set reaches the scan BEFORE partition
+    // planning and shrinks the served range to the keys' envelope.
+    // Serving a superset is the contract (the join discards
+    // non-matches), so unknown predicate shapes must leave the range
+    // whole rather than guess.
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.expressions.Expression
+    def lit(v: Long): Expression = Expressions.literal(v)
+    def planned(preds: Predicate*): Seq[(Long, Long)] = {
+      val scan = new graft.sources.ExtScanBuilder(1000, 4).build()
+      val rf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+      assert(rf.filterAttributes().map(_.describe()).toSeq == Seq("id"))
+      rf.filter(preds.toArray)
+      scan.toBatch.planInputPartitions().toSeq
+        .map { case graft.sources.ExtRange(f, u) => (f, u) }
+    }
+    def span(parts: Seq[(Long, Long)]): (Long, Long) = (parts.map(_._1).min, parts.map(_._2).max)
+    val in = new Predicate("IN", Array[Expression](Expressions.column("id"),
+      lit(100L), lit(103L), lit(460L)))
+    assert(span(planned(in)) == (100L, 461L), s"IN keys must narrow to their envelope")
+    val eq = new Predicate("=", Array[Expression](Expressions.column("id"),
+      lit(42L)))
+    assert(span(planned(eq)) == (42L, 43L))
+    // unrecognized predicate: full range, still correct
+    val odd = new Predicate("ALWAYS_TRUE", Array.empty[Expression])
+    assert(span(planned(odd)) == (0L, 1000L))
+  }
+
   test("join distribution hints steer the planner (TableRef.java:374-390)") {
     QuerySpec.prepared(spark, sfDir)
     val b = spark.sql(
