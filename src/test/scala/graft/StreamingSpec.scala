@@ -482,6 +482,35 @@ class StreamingSpec extends EngineSuite {
     assert(fin == Map(1L -> 1L, 2L -> 2L), fin.toString)
   }
 
+  test("ext micro-batch stream lands in the bucket-pruned upsert sink end-to-end") {
+    // Integration of the two halves of the external-source story: the
+    // DSv2 micro-batch stream feeds foreachBatch → upsertLatest, and the
+    // final table holds the latest event per key across ALL micro-batches
+    // (each serving 300 of 1000 ids) with the replay ledger intact.
+    val s = spark
+    val dir = s"/tmp/graft_stream_ext_upsert_${System.nanoTime()}"
+    import org.apache.spark.sql.functions.{col, expr}
+    val q = s.readStream.format("graft.sources.ExtDataSource")
+      .option("rows", "1000").option("batchRows", "300").load()
+      // map the generated relation onto the sink's key/version/payload shape:
+      // 50 users, event_id = id, later ids are later events
+      .select((col("id") % 50).as("user_id"), col("id").as("event_id"),
+        expr("timestamp_seconds(1000 + id)").as("ts"), col("val").as("value"))
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStreams.upsertLatest(dir, nBuckets = 8)(batch.toDF(), id))
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val fin = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    // latest event for user u is the largest id ≡ u (mod 50): 950 + u
+    assert(fin.size == 50, s"expected 50 users, got ${fin.size}")
+    (0L until 50L).foreach(u => assert(fin(u) == 950 + u, s"user $u: ${fin(u)}"))
+    // multiple micro-batches committed, each behind a manifest
+    val names = new java.io.File(dir).list().toSet
+    assert(names.count(_.startsWith("_txn_")) >= 2, s"expected >= 2 batch commits: $names")
+  }
+
   test("ext micro-batch stream never regresses behind a replayed offset") {
     // a restarted stream rebuilds the object with revealed = lo; Spark
     // replays the checkpointed offsets through deserializeOffset — the
