@@ -286,8 +286,10 @@ private[sources] class ExtScan(
   // reference's runtime filters, planner/RuntimeFilterGenerator.java) —
   // the served range shrinks to the keys' envelope. Serving a SUPERSET
   // of the matching ids is the contract (the join still discards
-  // non-matches), so the envelope is correct, and an empty pushed key
-  // set collapses the scan to zero partitions.
+  // non-matches), so the envelope is correct — and equally, any
+  // predicate shape this code does not positively recognize (including
+  // one with no Long literals) must leave the range whole rather than
+  // guess at a narrowing.
   private var rlo: Long = lo
   private var rhi: Long = hi
   override def filterAttributes(): Array[NamedReference] =
@@ -309,8 +311,10 @@ private[sources] class ExtScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // rlo/rhi so a post-runtime-filter EXPLAIN shows the range actually
+  // served, not the stale compile-time one (they start equal)
   override def description(): String =
-    s"ext_source range [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+    s"ext_source range [$rlo, $rhi) cols=${required.fieldNames.mkString(",")}"
 
   // scan-range generation: split the (filter- and runtime-narrowed) id range
   override def planInputPartitions(): Array[InputPartition] = {

@@ -284,8 +284,15 @@ object EventStreams {
     // regardless of batchId, so a restarted stream's low batchIds are
     // never shadowed by an older max-marker nor pruned as stale
     val ver = math.max(curVer.map(_ + 1L).getOrElse(batchId), batchId)
-    val curManifest: Map[Int, String] =
-      curVer.map(readManifest(fs, root, _)).getOrElse(Map.empty)
+    val cur: Option[Manifest] = curVer.map(readManifest(fs, root, _))
+    // the bucket count is part of the table's physical identity: a
+    // different count re-hashes keys into different buckets, so carrying
+    // old buckets forward would duplicate keys (count shrank) or let the
+    // sweep delete rows the manifest never referenced (count grew).
+    // The manifest pins it; a mismatched caller is refused, not obeyed.
+    cur.foreach(m => require(m.nBuckets == nBuckets,
+      s"table at $tableDir is bucketed with nBuckets=${m.nBuckets}; caller passed $nBuckets"))
+    val curManifest: Map[Int, String] = cur.map(_.dirs).getOrElse(Map.empty)
 
     // stage the batch's own latest-per-key rows laid out by bucket; the
     // affected-bucket set then comes from a directory listing — bounded
@@ -313,7 +320,8 @@ object EventStreams {
 
     // commit: untouched buckets carry forward by reference; the manifest
     // rename inside writeManifest is the commit point
-    val newManifest = curManifest ++ affected.map(b => b -> s"v_$ver/__bucket=$b")
+    val newManifest = Manifest(nBuckets, batchDf.schema.toDDL,
+      curManifest ++ affected.map(b => b -> s"v_$ver/__bucket=$b"))
     writeManifest(fs, root, ver, newManifest)
     fs.create(new Path(root, s"$txnPrefix$ver"), true).close()
 
@@ -330,7 +338,7 @@ object EventStreams {
       .foreach(old => fs.delete(new Path(root, s"_commit_$old"), false))
     val retained = committed.takeRight(retainVersions)
     val cutoff = retained.head
-    val referenced = retained.flatMap(v => readManifest(fs, root, v).values).toSet
+    val referenced = retained.flatMap(v => readManifest(fs, root, v).dirs.values).toSet
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("v_")) {
@@ -345,6 +353,8 @@ object EventStreams {
         fs.delete(st.getPath, false)   // txn marker of a pruned version
       } else if (n.startsWith("_stage_") && n != s"_stage_$ver") {
         fs.delete(st.getPath, true)    // staging debris from a crashed batch
+      } else if (n.startsWith("_tmp_manifest_")) {
+        fs.delete(st.getPath, false)   // unrenamed manifest from a crashed commit
       }
     }
   }
@@ -361,17 +371,28 @@ object EventStreams {
     else s"$cleaned-${java.lang.Integer.toHexString(appId.hashCode)}"
   }
 
-  /** Manifest IO: `_commit_<n>` maps bucket → root-relative data
-    * directory, one "bucket TAB dir" line each. Written under a temp
-    * name and renamed into place, so a manifest that exists is
-    * complete — the rename is the version's commit point. */
+  /** Parsed `_commit_<n>` manifest: the table's physical identity
+    * (bucket count + row schema) and the bucket → data-directory map. */
+  private final case class Manifest(nBuckets: Int, schemaDdl: String, dirs: Map[Int, String])
+
+  /** Manifest IO: `_commit_<n>` starts with `#buckets` / `#schema`
+    * header lines (the table's physical identity — checked on every
+    * write, and what lets an empty committed table still report its
+    * schema), followed by one "bucket TAB dir" line per live bucket.
+    * Written under a temp name and renamed into place, so a manifest
+    * that exists is complete — the rename is the version's commit
+    * point. A file without the header is some other format (e.g. a
+    * marker from a different tool) — refused loudly, never treated as
+    * an empty table. */
   private def writeManifest(
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      ver: Long, m: Map[Int, String]): Unit = {
+      ver: Long, m: Manifest): Unit = {
     import org.apache.hadoop.fs.Path
     val tmp = new Path(root, s"_tmp_manifest_$ver")
     val out = fs.create(tmp, true)
-    try out.write(m.toSeq.sorted.map { case (b, d) => s"$b\t$d" }.mkString("\n").getBytes("UTF-8"))
+    val body = (Seq(s"#buckets\t${m.nBuckets}", s"#schema\t${m.schemaDdl}") ++
+      m.dirs.toSeq.sorted.map { case (b, d) => s"$b\t$d" }).mkString("\n")
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, new Path(root, s"_commit_$ver")))
       throw new java.io.IOException(s"failed to commit manifest _commit_$ver under $root")
@@ -379,29 +400,44 @@ object EventStreams {
 
   private def readManifest(
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      ver: Long): Map[Int, String] = {
+      ver: Long): Manifest = {
     import org.apache.hadoop.fs.Path
     val in = fs.open(new Path(root, s"_commit_$ver"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val header = lines.takeWhile(_.startsWith("#")).map { l =>
+      val Array(k, v) = l.split("\t", 2); k -> v
+    }.toMap
+    if (!header.contains("#buckets"))
+      throw new IllegalStateException(
+        s"_commit_$ver under $root is not an upsert manifest (missing #buckets header) — " +
+          "refusing to interpret an unknown format as an empty table")
+    val dirs = lines.dropWhile(_.startsWith("#")).map { line =>
       val Array(b, d) = line.split("\t", 2)
       b.toInt -> d
     }.toMap
+    Manifest(header("#buckets").toInt, header.getOrElse("#schema", ""), dirs)
   }
 
   /** Reads the current committed version of an [[upsertLatest]] table:
-    * the union of the per-bucket directories its manifest references. */
+    * the union of the per-bucket directories its manifest references. A
+    * committed-but-empty table (the stream's first trigger carried no
+    * rows) is a valid state and reads as an empty DataFrame with the
+    * manifest's recorded schema — distinct from a table that does not
+    * exist, which throws. */
   def readLatest(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedVersion(fs, root) match {
       case Some(v) =>
-        val dirs = readManifest(fs, root, v).toSeq.sortBy(_._1)
-          .map { case (_, rel) => new Path(root, rel).toString }
-        if (dirs.isEmpty)
-          throw new IllegalStateException(s"committed version $v under $tableDir has no data yet")
-        spark.read.parquet(dirs: _*)
+        val m = readManifest(fs, root, v)
+        if (m.dirs.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+        else
+          spark.read.parquet(m.dirs.toSeq.sortBy(_._1)
+            .map { case (_, rel) => new Path(root, rel).toString }: _*)
       case None => throw new IllegalStateException(s"no committed version under $tableDir")
     }
   }

@@ -427,7 +427,9 @@ class StreamingSpec extends EngineSuite {
     val rewritten = bucketsOf(1)
     assert(rewritten.size == 1, s"one-key batch must rewrite exactly one bucket: $rewritten")
     val manifest1 = scala.io.Source.fromFile(s"$dir/_commit_1").mkString
-    val refs = manifest1.linesIterator.map(_.split("\t")(1)).toSet
+    assert(manifest1.linesIterator.next() == "#buckets\t8", manifest1)
+    val refs = manifest1.linesIterator.filterNot(_.startsWith("#"))
+      .map(_.split("\t")(1)).toSet
     assert(refs.count(_.startsWith("v_1/")) == 1, manifest1)
     assert(refs.count(_.startsWith("v_0/")) == seeded.size - 1,
       s"untouched buckets must be carried forward from v_0:\n$manifest1")
@@ -444,14 +446,42 @@ class StreamingSpec extends EngineSuite {
     val retainedManifests = rootNames.filter(_.startsWith("_commit_"))
     assert(retainedManifests == Set("_commit_4", "_commit_5", "_commit_6"), rootNames)
     retainedManifests.foreach { mf =>
-      scala.io.Source.fromFile(s"$dir/$mf").mkString.linesIterator.foreach { line =>
-        val rel = line.split("\t")(1)
-        assert(new java.io.File(s"$dir/$rel").exists(), s"$mf references missing $rel")
-      }
+      scala.io.Source.fromFile(s"$dir/$mf").mkString.linesIterator
+        .filterNot(_.startsWith("#")).foreach { line =>
+          val rel = line.split("\t")(1)
+          assert(new java.io.File(s"$dir/$rel").exists(), s"$mf references missing $rel")
+        }
     }
     val fin = EventStreams.readLatest(s, dir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
     assert(fin(5L) == 106L && fin.size == 32, fin)
+  }
+
+  test("upsertLatest: manifest pins the table's physical identity (buckets, schema, format)") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_pins_${System.nanoTime()}"
+    // an EMPTY first batch commits a valid (empty) version whose schema
+    // is recorded — readLatest returns an empty frame, not an error
+    EventStreams.upsertLatest(dir)(Seq.empty[Event].toDF(), 0L)
+    val empty = EventStreams.readLatest(s, dir)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSet ==
+      Set("user_id", "event_id", "ts", "event_type", "value"))
+    // a caller with a different bucket count is refused: obeying it
+    // would duplicate keys (shrink) or strand rows for the sweep (grow)
+    EventStreams.upsertLatest(dir)(Seq(Event(1, 1, ts(5), "click", 1.0)).toDF(), 1L)
+    val e = intercept[IllegalArgumentException](
+      EventStreams.upsertLatest(dir, nBuckets = 8)(
+        Seq(Event(2, 2, ts(6), "view", 1.0)).toDF(), 2L))
+    assert(e.getMessage.contains("nBuckets"), e.getMessage)
+    // a commit marker in an unknown format (e.g. the pre-manifest empty
+    // marker) is refused loudly, never read as an empty table
+    val alien = s"/tmp/graft_stream_upsert_alien_${System.nanoTime()}"
+    new java.io.File(alien).mkdirs()
+    new java.io.File(alien, "_commit_3").createNewFile()
+    val fe = intercept[IllegalStateException](EventStreams.readLatest(s, alien))
+    assert(fe.getMessage.contains("not an upsert manifest"), fe.getMessage)
   }
 
   test("upsertLatest: a path-like appId keeps a flat marker and still replay-detects") {

@@ -18,7 +18,11 @@ class ThriftServerSpec extends EngineSuite {
 
   test("HiveServer2 wire: SQL and metadata ops over a real JDBC connection") {
     val s = spark
-    val port = "10977"
+    // probe a free port so concurrent test JVMs on one host can't collide
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort.toString finally ss.close()
+    }
     s.sqlContext.setConf("hive.server2.thrift.port", port)
     val server =
       org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(s.sqlContext)
