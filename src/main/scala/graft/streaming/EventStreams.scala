@@ -190,6 +190,33 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** LEFT OUTER variant of [[clickToPurchase]] — the conversion-funnel
+    * report: every click emits, attributed when a purchase followed
+    * within the horizon and with NULL purchase columns otherwise. The
+    * semantic difference from the inner join is WHEN the unmatched row
+    * can exist: only once the purchase-side watermark has passed the
+    * click's whole interval can Spark prove no match will arrive, so
+    * null rows emit on watermark advance (delayed, exactly once) while
+    * matches still emit immediately. Same bounded state as the inner
+    * form — the outer row is produced from state already held for the
+    * join, not extra history. */
+  def clickToPurchaseFunnel(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Native session windows — the built-in `session_window` twin of the
     * custom [[sessionize]] state machine: Spark merges overlapping
     * per-event [ts, ts+gap) intervals into sessions inside the streaming

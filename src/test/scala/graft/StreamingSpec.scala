@@ -155,6 +155,44 @@ class StreamingSpec extends EngineSuite {
       Seq((1L, 2L), (2L, 5L)), s"unexpected attribution pairs: $batch")
   }
 
+  test("clickToPurchaseFunnel: unmatched clicks emit with NULLs only after the watermark proves no match") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.clickToPurchaseFunnel(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // click 1 converts; click 4 never does
+      mem.addData(
+        Event(1, 1, ts(500), "click", 0.0),
+        Event(1, 2, ts(530), "purchase", 9.99),
+        Event(2, 4, ts(510), "click", 0.0))
+      q.processAllAvailable()
+      val early = s.table("funnel_out").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)))).toSet
+      // the match emits immediately; the unmatched click must NOT have
+      // emitted yet — no watermark has proven a purchase can't arrive
+      assert(early.contains((1L, Some(2L))), early.toString)
+      assert(!early.exists(p => p._1 == 2L && p._2.isEmpty),
+        s"null row emitted before the watermark allowed it: $early")
+      // advance event time far past click 4's interval + the 2h delay on
+      // BOTH sides — the query's global watermark is the MIN across the
+      // two watermarked branches, so a purchase alone leaves the click
+      // branch (and with it the global watermark) stuck in the past
+      mem.addData(Event(9, 99, ts(2000), "click", 0.0),
+        Event(9, 100, ts(2000), "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(9, 101, ts(2001), "click", 0.0),
+        Event(9, 102, ts(2001), "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = s.table("funnel_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)))).toSet
+    assert(fin.contains((2L, None)), s"unmatched click never emitted its NULL row: $fin")
+  }
+
   test("parquet file sink + checkpoint: restart resumes exactly-once, no duplicate windows") {
     val s = spark
     import s.implicits._
