@@ -319,6 +319,13 @@ object EventStreams {
     // The manifest pins it; a mismatched caller is refused, not obeyed.
     cur.foreach(m => require(m.nBuckets == nBuckets,
       s"table at $tableDir is bucketed with nBuckets=${m.nBuckets}; caller passed $nBuckets"))
+    // same for the row schema: a drifted batch schema would make the
+    // merge union throw somewhere mid-plan (or worse, silently coerce);
+    // refusing up front names the actual problem. Schema evolution is a
+    // deliberate format feature (column-mapping metadata), not something
+    // to back into via union semantics.
+    cur.filter(_.schemaDdl.nonEmpty).foreach(m => require(m.schemaDdl == batchDf.schema.toDDL,
+      s"table at $tableDir has schema [${m.schemaDdl}]; batch has [${batchDf.schema.toDDL}]"))
     val curManifest: Map[Int, String] = cur.map(_.dirs).getOrElse(Map.empty)
 
     // stage the batch's own latest-per-key rows laid out by bucket; the

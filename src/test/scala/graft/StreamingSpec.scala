@@ -513,6 +513,12 @@ class StreamingSpec extends EngineSuite {
       EventStreams.upsertLatest(dir, nBuckets = 8)(
         Seq(Event(2, 2, ts(6), "view", 1.0)).toDF(), 2L))
     assert(e.getMessage.contains("nBuckets"), e.getMessage)
+    // so is one whose batch schema drifted from the recorded one
+    val se = intercept[IllegalArgumentException](
+      EventStreams.upsertLatest(dir)(
+        Seq(Event(2, 2, ts(6), "view", 1.0)).toDF()
+          .withColumn("extra", org.apache.spark.sql.functions.lit(1)), 3L))
+    assert(se.getMessage.contains("schema"), se.getMessage)
     // a commit marker in an unknown format (e.g. the pre-manifest empty
     // marker) is refused loudly, never read as an empty table
     val alien = s"/tmp/graft_stream_upsert_alien_${System.nanoTime()}"
