@@ -223,8 +223,33 @@ object Aggregates {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       |ORDER BY g_flag, g_status, flag, status""".stripMargin)
 
+  /** Modern aggregate sugar — the FILTER clause plus the
+    * any_value/mode/count_if/bool_and/bool_or/median family (beyond the
+    * reference's BuiltinsDb surface; the conditional-aggregation
+    * semantics its users write as SUM(CASE WHEN ...)). Determinism
+    * notes: any_value is pinned to a per-group-constant argument, mode's
+    * argument has a wide majority class in every group (no tie to
+    * resolve), and median runs over exact integer cents then rounds —
+    * so a plain hash compare is sound. Plan: one ordinary two-phase
+    * hash aggregate; every function here is partial-aggregable. */
+  val q188ModernAggregates: QuerySpec = QuerySpec.sql(
+    "q188_agg_modern_sugar",
+    """SELECT c_mktsegment AS seg,
+      |  COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+      |  CAST(COUNT_IF(c_acctbal < 0) AS BIGINT) AS n_neg,
+      |  BOOL_AND(c_acctbal > -1000) AS all_above,
+      |  BOOL_OR(c_acctbal > 9000) AS any_high,
+      |  ANY_VALUE(c_mktsegment) AS seg_again,
+      |  MODE(CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END) AS majority_sign,
+      |  ROUND(CAST(MEDIAN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE), 4) AS median_cents
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY seg""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q28CountDistinct, q29Having, q30StatsFamily, q31GroupConcat,
     q32EmptyInput, q33GlobalAgg, q34Sketches, q35GroupByExpr.benched,
-    q132Percentiles, q140Rollup, q143Cube, q144GroupingSets)
+    q132Percentiles, q140Rollup, q143Cube, q144GroupingSets,
+    q188ModernAggregates)
 }
