@@ -538,8 +538,40 @@ object Functions {
     QuerySpec.sql2("q182_oracle_probe", text(_._2), text(_._3))
   }
 
+  /** Binary/radix codec family from the documented builtin library
+    * (BuiltinsDb.java:48-61 callable set: base64encode/base64decode,
+    * hex/unhex, chr/ascii, bin, conv): base64 and hex round-trips over
+    * string and numeric arguments, CHR/ASCII at computed code points,
+    * and radix conversion (Spark CONV vs the oracle's format-based
+    * re-derivation — DuckDB has no conv, so the hex case pins it). Both
+    * engines render numeric hex uppercase with no leading zeros. */
+  val q189Codecs: QuerySpec = QuerySpec.sql2(
+    "q189_expr_codec_fns",
+    """SELECT p_partkey,
+      |  BASE64(CAST(p_name AS BINARY)) AS b64,
+      |  CAST(UNBASE64(BASE64(CAST(p_name AS BINARY))) AS STRING) AS b64_rt,
+      |  HEX(p_brand) AS hx_s,
+      |  HEX(p_partkey) AS hx_n,
+      |  CAST(UNHEX(HEX(p_brand)) AS STRING) AS hx_rt,
+      |  CHR(65 + p_size % 26) AS code_chr,
+      |  ASCII(SUBSTR(p_name, 1, 1)) AS first_ascii,
+      |  BIN(p_size) AS size_bits,
+      |  LOWER(CONV(CAST(p_partkey AS STRING), 10, 16)) AS hex_key
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    """SELECT p_partkey,
+      |  to_base64(encode(p_name)) AS b64,
+      |  decode(from_base64(to_base64(encode(p_name)))) AS b64_rt,
+      |  hex(p_brand) AS hx_s,
+      |  hex(p_partkey) AS hx_n,
+      |  decode(unhex(hex(p_brand))) AS hx_rt,
+      |  chr(65 + p_size % 26) AS code_chr,
+      |  ascii(substr(p_name, 1, 1)) AS first_ascii,
+      |  bin(p_size) AS size_bits,
+      |  format('{:x}', p_partkey) AS hex_key
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q50CaseDecode, q51Cast, q52String, q53Math, q54Date, q55Conditional,
     q56Pattern, q57Json, q58HashTypeof, q59ParseUrl, q120FnvOracle,
-    q128MurmurOracle, q182OracleProbe)
+    q128MurmurOracle, q182OracleProbe, q189Codecs)
 }

@@ -464,16 +464,60 @@ object EventStreams {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedVersion(fs, root) match {
-      case Some(v) =>
-        val m = readManifest(fs, root, v)
-        if (m.dirs.isEmpty)
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-        else
-          spark.read.parquet(m.dirs.toSeq.sortBy(_._1)
-            .map { case (_, rel) => new Path(root, rel).toString }: _*)
+      case Some(v) => manifestDf(spark, fs, root, v)
       case None => throw new IllegalStateException(s"no committed version under $tableDir")
     }
+  }
+
+  /** Retained (readable) versions of an [[upsertLatest]] table,
+    * ascending. Retention keeps the newest `retainVersions` commits, so
+    * this is the table's time-travel horizon; empty means the table has
+    * never committed. */
+  def versions(spark: org.apache.spark.sql.SparkSession, tableDir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong }
+      .sorted.toSeq
+  }
+
+  /** Time-travel read: the table exactly as committed at `version`
+    * (Delta's `versionAsOf` analogue). Versions are immutable — a
+    * commit's manifest and the bucket directories it references are
+    * never modified, only pruned wholesale by retention — so the
+    * returned frame is a stable snapshot. Asking for a pruned or
+    * never-committed version throws, naming the retained horizon. */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      version: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained = versions(spark, tableDir)
+    if (!retained.contains(version))
+      throw new IllegalStateException(
+        s"version $version of $tableDir is not readable; retained versions: " +
+          (if (retained.isEmpty) "none (table never committed)"
+           else retained.mkString("[", ", ", "]")))
+    manifestDf(spark, fs, root, version)
+  }
+
+  /** The DataFrame a committed manifest describes: the union of its
+    * per-bucket directories, or an empty frame carrying the recorded
+    * schema when the manifest references no data (a committed-but-empty
+    * table — valid, and distinct from a table that does not exist). */
+  private def manifestDf(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      ver: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val m = readManifest(fs, root, ver)
+    if (m.dirs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+    else
+      spark.read.parquet(m.dirs.toSeq.sortBy(_._1)
+        .map { case (_, rel) => new Path(root, rel).toString }: _*)
   }
 
   /** Highest committed manifest version. A manifest is renamed into

@@ -528,6 +528,38 @@ class StreamingSpec extends EngineSuite {
     assert(fe.getMessage.contains("not an upsert manifest"), fe.getMessage)
   }
 
+  test("upsertLatest: readVersion time-travels across the retained horizon") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_tt_${System.nanoTime()}"
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventStreams.upsertLatest(dir, retainVersions = 3)(df, id)
+    def stateOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    sink(Seq(Event(1, 1, ts(1), "click", 1.0)).toDF(), 0L)
+    sink(Seq(Event(1, 2, ts(2), "view", 2.0), Event(2, 3, ts(3), "click", 3.0)).toDF(), 1L)
+    sink(Seq(Event(2, 4, ts(4), "view", 4.0)).toDF(), 2L)
+    assert(EventStreams.versions(s, dir) == Seq(0L, 1L, 2L))
+    // each retained version reads back exactly the state it committed
+    assert(stateOf(EventStreams.readVersion(s, dir, 0L)) == Map(1L -> 1L))
+    assert(stateOf(EventStreams.readVersion(s, dir, 1L)) == Map(1L -> 2L, 2L -> 3L))
+    assert(stateOf(EventStreams.readVersion(s, dir, 2L)) == Map(1L -> 2L, 2L -> 4L))
+    assert(stateOf(EventStreams.readLatest(s, dir)) ==
+      stateOf(EventStreams.readVersion(s, dir, 2L)))
+    // a 4th commit slides the horizon: version 0 is pruned and refused
+    // with the retained list in the message
+    sink(Seq(Event(3, 5, ts(5), "click", 5.0)).toDF(), 3L)
+    assert(EventStreams.versions(s, dir) == Seq(1L, 2L, 3L))
+    val e = intercept[IllegalStateException](EventStreams.readVersion(s, dir, 0L))
+    assert(e.getMessage.contains("retained versions: [1, 2, 3]"), e.getMessage)
+    // versions are immutable snapshots: a handle taken at version 2
+    // reads the same state after a later commit (2 is still retained)
+    val snap = EventStreams.readVersion(s, dir, 2L)
+    sink(Seq(Event(1, 6, ts(6), "view", 6.0)).toDF(), 4L)
+    assert(EventStreams.versions(s, dir) == Seq(2L, 3L, 4L))
+    assert(stateOf(snap) == Map(1L -> 2L, 2L -> 4L))
+  }
+
   test("upsertLatest: a path-like appId keeps a flat marker and still replay-detects") {
     val s = spark
     import s.implicits._
