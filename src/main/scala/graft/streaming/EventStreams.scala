@@ -503,6 +503,58 @@ object EventStreams {
     manifestDf(spark, fs, root, version)
   }
 
+  /** Row-level change feed between two retained versions (a CDC read
+    * over the snapshot history): every key `toVersion` inserted, updated
+    * or deleted relative to `fromVersion`, as (op, row) with the
+    * post-image for insert/update and the pre-image for delete. The scan
+    * is pruned by the manifests themselves: an untouched bucket carries
+    * the SAME directory reference in both manifests, so its rows cannot
+    * differ and it is never read — the feed costs O(changed buckets),
+    * not O(table), the property that makes incremental downstream
+    * consumption viable at scale. A row carried forward unchanged
+    * through a rewritten bucket is filtered by value. (The current
+    * writer is a pure upsert and never deletes a key; the delete branch
+    * is reported for completeness should a version drop one.) */
+  def changesBetween(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must not exceed toVersion $toVersion")
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained = versions(spark, tableDir)
+    Seq(fromVersion, toVersion).foreach(v =>
+      if (!retained.contains(v)) throw new IllegalStateException(
+        s"version $v of $tableDir is not readable; retained versions: " +
+          (if (retained.isEmpty) "none (table never committed)"
+           else retained.mkString("[", ", ", "]"))))
+    val mFrom = readManifest(fs, root, fromVersion)
+    val mTo = readManifest(fs, root, toVersion)
+    val changed = (mFrom.dirs.keySet ++ mTo.dirs.keySet)
+      .filter(b => mFrom.dirs.get(b) != mTo.dirs.get(b)).toSeq.sorted
+    def side(m: Manifest): DataFrame = {
+      val dirs = changed.flatMap(m.dirs.get).map(rel => new Path(root, rel).toString)
+      if (dirs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      else spark.read.parquet(dirs: _*)
+    }
+    val o = side(mFrom).alias("o")
+    val n = side(mTo).alias("n")
+    val cols = side(mTo).columns.toSeq
+    val joined = o.join(n, col("o.user_id") === col("n.user_id"), "full_outer")
+    val op = when(col("o.user_id").isNull, lit("insert"))
+      .when(col("n.user_id").isNull, lit("delete"))
+      .otherwise(lit("update"))
+    joined
+      .withColumn("_op", op)
+      // unchanged rows carried forward through a rewritten bucket
+      .filter(col("_op") =!= "update" ||
+        struct(cols.map(c => col(s"o.$c")): _*) =!= struct(cols.map(c => col(s"n.$c")): _*))
+      .select(col("_op").as("op") +:
+        cols.map(c => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)): _*)
+  }
+
   /** The DataFrame a committed manifest describes: the union of its
     * per-bucket directories, or an empty frame carrying the recorded
     * schema when the manifest references no data (a committed-but-empty

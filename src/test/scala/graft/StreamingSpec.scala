@@ -560,6 +560,40 @@ class StreamingSpec extends EngineSuite {
     assert(stateOf(snap) == Map(1L -> 2L, 2L -> 4L))
   }
 
+  test("upsertLatest: changesBetween reads only changed buckets and classifies ops") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_cdc_${System.nanoTime()}"
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventStreams.upsertLatest(dir, retainVersions = 4, nBuckets = 8)(df, id)
+    // seed 32 users across the 8 buckets, then touch exactly two keys
+    sink(Seq.tabulate(32)(i => Event(i.toLong, i.toLong, ts(i + 1), "click", 1.0)).toDF(), 0L)
+    sink(Seq(Event(5, 100, ts(99), "view", 2.0), Event(40, 101, ts(99), "click", 3.0)).toDF(), 1L)
+    val feed = EventStreams.changesBetween(s, dir, 0L, 1L)
+    val ops = feed.collect()
+      .map(r => (r.getAs[Long]("user_id"), (r.getAs[String]("op"), r.getAs[Long]("event_id"))))
+      .toMap
+    // exactly the touched keys appear: 5 updated, 40 inserted; the ~30
+    // untouched keys — including ones sharing the rewritten buckets —
+    // are absent (carried-forward rows filtered by value)
+    assert(ops == Map(5L -> ("update", 100L), 40L -> ("insert", 101L)), ops.toString)
+    // scan pruning: the feed's input files live ONLY under the buckets
+    // the two keys hash into — untouched buckets share their directory
+    // reference between the manifests and are never read
+    val touched = Set(5L, 40L).map(k =>
+      s"__bucket=${math.floorMod(Seq(k).toDF("user_id").select(
+        org.apache.spark.sql.functions.hash($"user_id")).head().getInt(0), 8)}")
+    val scanned = feed.inputFiles.toSeq
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => touched.exists(f.contains)), s"$touched vs $scanned")
+    // identical endpoints diff to an empty feed
+    assert(EventStreams.changesBetween(s, dir, 1L, 1L).count() == 0)
+    // a pruned endpoint is refused with the retained horizon named
+    (2L to 5L).foreach(i => sink(Seq(Event(5, 100 + i, ts(100 + i), "view", 2.0)).toDF(), i))
+    val e = intercept[IllegalStateException](EventStreams.changesBetween(s, dir, 0L, 5L))
+    assert(e.getMessage.contains("retained versions"), e.getMessage)
+  }
+
   test("upsertLatest: a path-like appId keeps a flat marker and still replay-detects") {
     val s = spark
     import s.implicits._
