@@ -359,15 +359,24 @@ object EventStreams {
     writeManifest(fs, root, ver, newManifest)
     fs.create(new Path(root, s"$txnPrefix$ver"), true).close()
 
-    // retention: prune manifests beyond the newest `retainVersions`,
-    // then sweep bucket directories no retained manifest references
-    // (which also clears crash orphans — a v_ dir written but never
-    // committed). Manifest deletion comes FIRST: a mid-sweep crash
-    // strands only unreferenced data, never a ghost manifest, and
-    // [[committedVersion]] needs no data-existence probing.
     val committed = names.collect {
       case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong
     }.sorted :+ ver
+    retentionSweep(fs, root, committed, retainVersions, curStage = s"_stage_$ver")
+  }
+
+  /** Retention, shared by the writer and [[compact]]: prune manifests
+    * beyond the newest `retainVersions`, then sweep bucket directories
+    * no retained manifest references (which also clears crash orphans —
+    * a v_ dir written but never committed). Manifest deletion comes
+    * FIRST: a mid-sweep crash strands only unreferenced data, never a
+    * ghost manifest, and [[committedVersion]] needs no data-existence
+    * probing. `committed` is the ascending version list INCLUDING the
+    * commit just written. */
+  private def retentionSweep(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      committed: Seq[Long], retainVersions: Int, curStage: String): Unit = {
+    import org.apache.hadoop.fs.Path
     committed.dropRight(retainVersions)
       .foreach(old => fs.delete(new Path(root, s"_commit_$old"), false))
     val retained = committed.takeRight(retainVersions)
@@ -385,12 +394,55 @@ object EventStreams {
           fs.delete(st.getPath, true)  // no live buckets left in this version
       } else if (n.startsWith("_txn_") && n.split("_").last.toLong < cutoff) {
         fs.delete(st.getPath, false)   // txn marker of a pruned version
-      } else if (n.startsWith("_stage_") && n != s"_stage_$ver") {
+      } else if (n.startsWith("_stage_") && n != curStage) {
         fs.delete(st.getPath, true)    // staging debris from a crashed batch
       } else if (n.startsWith("_tmp_manifest_")) {
         fs.delete(st.getPath, false)   // unrenamed manifest from a crashed commit
       }
     }
+  }
+
+  /** Maintenance compaction — the small-files sweep a long-running
+    * upsert stream needs: every bucket of the current version whose
+    * directory holds more than `maxFilesPerBucket` data files is
+    * rewritten as one file, and the result commits as a new version.
+    * Table state is unchanged; already-compact buckets carry forward by
+    * reference; if no bucket needs work the call commits nothing. The
+    * per-bucket loop is driver-side but bounded by the table's bucket
+    * count — each iteration is a distributed read+write of one bucket.
+    * Run it from the maintenance path while the stream is quiesced: a
+    * writer and a compaction racing to the same version cannot corrupt
+    * the table (the manifest rename is the commit point, so one of the
+    * two renames fails loudly) but the loser must be retried. */
+  def compact(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      maxFilesPerBucket: Int = 1, retainVersions: Int = 3): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be positive")
+    require(retainVersions >= 1,
+      "retainVersions must keep at least the current committed version")
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curVer = committedVersion(fs, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $tableDir"))
+    val m = readManifest(fs, root, curVer)
+    def dataFiles(rel: String): Int = fs.listStatus(new Path(root, rel)).count { st =>
+      val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+    }
+    val targets = m.dirs.filter { case (_, rel) => dataFiles(rel) > maxFilesPerBucket }
+      .keys.toSeq.sorted
+    if (targets.isEmpty) return
+    val ver = curVer + 1
+    targets.foreach { b =>
+      spark.read.parquet(new Path(root, m.dirs(b)).toString)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(root, s"v_$ver/__bucket=$b").toString)
+    }
+    writeManifest(fs, root, ver, Manifest(m.nBuckets, m.schemaDdl,
+      m.dirs ++ targets.map(b => b -> s"v_$ver/__bucket=$b")))
+    val committed = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong }
+      .sorted.toSeq
+    retentionSweep(fs, root, committed, retainVersions, curStage = "")
   }
 
   /** appId sanitized for embedding in a flat marker filename: a path

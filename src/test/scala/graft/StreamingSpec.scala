@@ -594,6 +594,56 @@ class StreamingSpec extends EngineSuite {
     assert(e.getMessage.contains("retained versions"), e.getMessage)
   }
 
+  test("upsertLatest: compact collapses multi-file buckets into one file, state unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_compact_${System.nanoTime()}"
+    // 64 users into 4 buckets; AQE partition coalescing is held off for
+    // the seed write so its shuffle tasks land several part files in
+    // each bucket directory — the layout a real-sized batch produces
+    val coalesceConf = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = s.conf.get(coalesceConf)
+    try {
+      s.conf.set(coalesceConf, "false")
+      EventStreams.upsertLatest(dir, nBuckets = 4)(
+        Seq.tabulate(64)(i => Event(i.toLong, i.toLong, ts(i + 1), "click", 1.0))
+          .toDF().repartition(8), 0L)
+    } finally s.conf.set(coalesceConf, prevCoalesce)
+    def filesPerBucket(ver: Long): Map[String, Int] = {
+      val mf = scala.io.Source.fromFile(s"$dir/_commit_$ver").mkString
+      mf.linesIterator.filterNot(_.startsWith("#")).map { line =>
+        val rel = line.split("\t")(1)
+        rel -> new java.io.File(s"$dir/$rel").list()
+          .count(n => !n.startsWith("_") && !n.startsWith("."))
+      }.toMap
+    }
+    val before = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    assert(filesPerBucket(0).values.exists(_ > 1),
+      s"seed should leave multi-file buckets: ${filesPerBucket(0)}")
+    EventStreams.compact(s, dir)
+    // a new version committed; every bucket it references is one file
+    assert(EventStreams.versions(s, dir) == Seq(0L, 1L))
+    val after = filesPerBucket(1)
+    assert(after.values.forall(_ == 1), after.toString)
+    assert(after.keys.forall(_.startsWith("v_1/")), after.toString)
+    // table state is bit-identical, and the pre-compaction version is
+    // still readable history
+    val now = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    assert(now == before)
+    assert(EventStreams.readVersion(s, dir, 0L).count() == 64)
+    // already-compact table: a second pass commits nothing
+    EventStreams.compact(s, dir)
+    assert(EventStreams.versions(s, dir) == Seq(0L, 1L))
+    // and the stream picks up cleanly after a compaction commit
+    EventStreams.upsertLatest(dir, nBuckets = 4)(
+      Seq(Event(5, 500, ts(99), "view", 2.0)).toDF(), 1L)
+    val fin = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    assert(fin == before + (5L -> 500L), fin.toString)
+  }
+
   test("upsertLatest: a path-like appId keeps a flat marker and still replay-detects") {
     val s = spark
     import s.implicits._
