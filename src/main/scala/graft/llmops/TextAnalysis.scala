@@ -1061,13 +1061,17 @@ object TextAnalysis {
         else
           """SELECT doc_id, pos, array_to_string(w[pos + 1 : pos + 3], ' ') AS gram
             |  FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS pos FROM t) x""".stripMargin
+      // cov keeps the gram alongside each covered position so ONE
+      // doc-keyed aggregate yields both measures (distinct positions
+      // covered, distinct repeated grams) — a separate r3 grouping of
+      // d3 would re-inline d3's whole subtree into a fourth corpus scan
       val cov =
         if (spark)
-          """SELECT DISTINCT g.doc_id, cp
+          """SELECT g.doc_id, g.gram, cp
             |  FROM g3 g JOIN d3 d ON g.doc_id = d.doc_id AND g.gram = d.gram
             |  LATERAL VIEW explode(sequence(g.pos, g.pos + 2)) c AS cp""".stripMargin
         else
-          """SELECT DISTINCT g.doc_id, unnest(range(g.pos, g.pos + 3)) AS cp
+          """SELECT g.doc_id, g.gram, unnest(range(g.pos, g.pos + 3)) AS cp
             |  FROM g3 g JOIN d3 d ON g.doc_id = d.doc_id AND g.gram = d.gram""".stripMargin
       s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
          |g3 AS (
@@ -1075,14 +1079,14 @@ object TextAnalysis {
          |d3 AS (SELECT doc_id, gram FROM g3 GROUP BY doc_id, gram HAVING COUNT(*) > 1),
          |cov AS (
          |$cov),
-         |c3 AS (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id),
-         |r3 AS (SELECT doc_id, COUNT(*) AS n_rep FROM d3 GROUP BY doc_id)
+         |a3 AS (SELECT doc_id, COUNT(DISTINCT cp) AS n_cov,
+         |              COUNT(DISTINCT gram) AS n_rep
+         |       FROM cov GROUP BY doc_id)
          |SELECT t.doc_id, CAST($size AS BIGINT) AS n_tokens,
-         |       CAST(COALESCE(r3.n_rep, 0) AS BIGINT) AS n_repeated_grams,
-         |       ROUND(COALESCE(c3.n_cov, 0) / CAST($size AS DOUBLE), 6) AS dup3_frac,
-         |       (ROUND(COALESCE(c3.n_cov, 0) / CAST($size AS DOUBLE), 6) > 0.3) AS flagged
-         |FROM t LEFT JOIN c3 ON t.doc_id = c3.doc_id
-         |       LEFT JOIN r3 ON t.doc_id = r3.doc_id
+         |       CAST(COALESCE(a3.n_rep, 0) AS BIGINT) AS n_repeated_grams,
+         |       ROUND(COALESCE(a3.n_cov, 0) / CAST($size AS DOUBLE), 6) AS dup3_frac,
+         |       (ROUND(COALESCE(a3.n_cov, 0) / CAST($size AS DOUBLE), 6) > 0.3) AS flagged
+         |FROM t LEFT JOIN a3 ON t.doc_id = a3.doc_id
          |ORDER BY t.doc_id""".stripMargin
     }
     QuerySpec.sql2("q183_dup_ngram_coverage", text(spark = true), text(spark = false))
@@ -1099,7 +1103,11 @@ object TextAnalysis {
     *
     * Scale shape: one per-doc LAG window (doc-bounded keys), two
     * corpus-sized keyed joins (token→unigram, token-pair→bigram) whose
-    * build sides are vocab-sized, and one doc-keyed sum. All
+    * build sides are vocab-sized, and one doc-keyed sum. The corpus
+    * total and per-context sums ride as window sums OVER the vocab-sized
+    * grouped relations (the q174 rule: a totals CTE over a grouped CTE
+    * re-inlines into an extra corpus scan), so the corpus is scanned
+    * exactly three times — unigram count, bigram count, scoring. All
     * probability arithmetic runs in DOUBLE with a fixed expression tree
     * (bit-identical across engines and partitionings); the per-doc sum
     * follows the exact-DECIMAL house rule (graft.operators.Num) so the
@@ -1121,20 +1129,19 @@ object TextAnalysis {
          |w2 AS (SELECT doc_id, pos, word,
          |              LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
          |       FROM words),
-         |uni AS (SELECT word, COUNT(*) AS cu FROM words GROUP BY word),
-         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM words),
-         |bi AS (SELECT prev, word, COUNT(*) AS c2 FROM w2
-         |       WHERE prev IS NOT NULL GROUP BY prev, word),
-         |ctx AS (SELECT prev, SUM(c2) AS cc FROM bi GROUP BY prev),
+         |uni AS (SELECT word, cu, SUM(cu) OVER () AS n
+         |        FROM (SELECT word, COUNT(*) AS cu FROM words GROUP BY word) u0),
+         |bi AS (SELECT prev, word, c2, SUM(c2) OVER (PARTITION BY prev) AS cc
+         |       FROM (SELECT prev, word, COUNT(*) AS c2 FROM w2
+         |             WHERE prev IS NOT NULL GROUP BY prev, word) b0),
          |p AS (SELECT w2.doc_id,
-         |        CASE WHEN w2.prev IS NULL THEN CAST(u.cu AS DOUBLE) / tot.n
-         |             ELSE 0.7 * (CAST(b.c2 AS DOUBLE) / ctx.cc)
-         |                  + 0.3 * (CAST(u.cu AS DOUBLE) / tot.n) END AS pt
+         |        CASE WHEN w2.prev IS NULL
+         |             THEN CAST(u.cu AS DOUBLE) / CAST(u.n AS DOUBLE)
+         |             ELSE 0.7 * (CAST(b.c2 AS DOUBLE) / CAST(b.cc AS DOUBLE))
+         |                  + 0.3 * (CAST(u.cu AS DOUBLE) / CAST(u.n AS DOUBLE)) END AS pt
          |      FROM w2
          |      JOIN uni u ON w2.word = u.word
-         |      LEFT JOIN bi b ON w2.prev = b.prev AND w2.word = b.word
-         |      LEFT JOIN ctx ON w2.prev = ctx.prev
-         |      CROSS JOIN tot),
+         |      LEFT JOIN bi b ON w2.prev = b.prev AND w2.word = b.word),
          |s AS (SELECT doc_id, COUNT(*) AS nw,
          |             SUM(CAST(LN(pt) AS DECIMAL(27,18))) AS lsum
          |      FROM p GROUP BY doc_id)
