@@ -609,6 +609,18 @@ class PlanSpec extends EngineSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("q183/q184: totals ride as window sums — corpus scanned exactly three times") {
+    // the q174 rule: a totals CTE over a grouped CTE re-inlines into an
+    // extra corpus scan. q184 attaches corpus total / context sums as
+    // window sums over the vocab-sized grouped relations; q183 derives
+    // both per-doc measures from ONE aggregate over the coverage rows
+    for (q <- Seq("q183_dup_ngram_coverage", "q184_bigram_lm")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).size == 3,
+        s"$q should scan documents exactly 3 times: " + p)
+    }
+  }
+
   test("q147 (interval bucket join): pure hash join, no nested loop") {
     val p = plan("q147_join_interval_bucket")
     assert(p.contains("BroadcastHashJoin"), p)
