@@ -279,7 +279,8 @@ private[graft] case class ExtRange(from: Long, until: Long) extends InputPartiti
 private[sources] class ExtScan(
     lo: Long, hi: Long, partitions: Int, required: StructType,
     batchRows: Long = 250L)
-  extends Scan with Batch with SupportsRuntimeV2Filtering {
+  extends Scan with Batch with SupportsRuntimeV2Filtering
+  with SupportsReportStatistics {
   // Runtime (join-derived) narrowing on top of the compile-time [lo, hi):
   // when this scan probes a broadcast join, Spark hands the build side's
   // key set here BEFORE partition planning (the DSv2 twin of the
@@ -311,6 +312,24 @@ private[sources] class ExtScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // Post-pushdown statistics (the catalog-stats half of the reference's
+  // join costing, SingleNodePlanner.createCheapestJoinPlan: scan
+  // cardinality drives build-side choice): DSv2 asks the BUILT scan, so
+  // the row count reflects the filter-narrowed range and the byte size
+  // the pruned columns — a narrowed scan of a huge table correctly
+  // becomes broadcast-eligible, an un-narrowed one correctly does not.
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val span = math.max(0L, rhi - rlo)
+    private val rowWidth = required.fields.map(_.dataType match {
+      case LongType | DoubleType => 8L
+      case _ => 20L // tag strings + per-field overhead, conservative
+    }).sum.max(1L)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(span)
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(span * rowWidth)
+  }
+
   // rlo/rhi so a post-runtime-filter EXPLAIN shows the range actually
   // served, not the stale compile-time one (they start equal)
   override def description(): String =

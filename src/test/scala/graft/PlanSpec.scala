@@ -128,6 +128,49 @@ class PlanSpec extends EngineSuite {
     assert(df.count() == 50)
   }
 
+  test("DSv2 ext source: post-pushdown statistics make a narrowed huge table broadcastable") {
+    // The catalog-stats half of the reference's join costing
+    // (SingleNodePlanner.createCheapestJoinPlan:349-403): the source
+    // reports numRows/sizeInBytes on the BUILT scan, so a range-narrowed
+    // slice of a huge external table is correctly broadcast while the
+    // un-narrowed table correctly is not.
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    def ext = s.read.format("graft.sources.ExtDataSource")
+      .option("rows", (100L * 1000 * 1000).toString).load()
+    val fullSize = ext.queryExecution.optimizedPlan.stats.sizeInBytes
+    val narrowed = ext.filter(col("id") < 1000L)
+    val narrowSize = narrowed.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(fullSize > (1L << 31), s"full-range stats should be huge: $fullSize")
+    assert(narrowSize < (1L << 20), s"narrowed stats should be tiny: $narrowSize")
+    // the join planner acts on them: a huge-ext self-join broadcasts
+    // exactly the narrowed slice, and nothing when neither side narrows.
+    // AQE off so the static plan shows the exchange choice; constraint
+    // propagation off so the slice's predicate is not inferred onto the
+    // probe side (which would legitimately shrink it too and let the
+    // planner pick either side)
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val prevCp = s.conf.get(cpKey)
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set(cpKey, "false")
+      def broadcastSides(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b.toString
+        }
+      val jNarrow = ext.as("f").join(narrowed.as("n"), col("f.id") === col("n.id"))
+      assert(broadcastSides(jNarrow).exists(_.contains("range [0, 1000)")),
+        jNarrow.queryExecution.executedPlan.toString)
+      val jFull = ext.as("f").join(ext.as("g"), col("f.id") === col("g.id"))
+      assert(broadcastSides(jFull).isEmpty,
+        jFull.queryExecution.executedPlan.toString)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set(cpKey, prevCp)
+    }
+  }
+
   test("DSv2 ext source: COUNT/MIN/MAX push completely into the scan") {
     // The "source evaluates the aggregate" half of the external-source
     // contract (ExternalDataSourceExecutor.java:171-207): when every
