@@ -247,9 +247,29 @@ object Aggregates {
       |GROUP BY c_mktsegment
       |ORDER BY seg""".stripMargin)
 
+  /** Heavy hitters — approx_top_k (Spark 4's DataSketches frequent-items
+    * aggregate), the modern sibling of the reference's sketch family
+    * (BuiltinsDb.java:721-790). Run in its EXACT regime: the fixture's
+    * distinct-item count is far below maxItemsTracked, so every tracked
+    * count is exact and the oracle is a plain GROUP BY topN; the
+    * re-sort by (cnt DESC, word) pins tie order on both sides (the
+    * fixture's counts are distinct anyway). At corpus scale the sketch
+    * is the point: fixed memory per partition, merged partially — the
+    * same two-phase shape as ndv/appx_median. */
+  val q190ApproxTopK: QuerySpec = QuerySpec.sql2(
+    "q190_agg_approx_topk",
+    """WITH t AS (SELECT explode(split('a a a a a b b b b c c c d d e', ' ')) AS w)
+      |SELECT s.item AS word, CAST(s.count AS BIGINT) AS cnt
+      |FROM (SELECT approx_top_k(w, 3, 100) AS tk FROM t) x
+      |LATERAL VIEW explode(tk) e AS s
+      |ORDER BY cnt DESC, word""".stripMargin,
+    """WITH t AS (SELECT unnest(string_split('a a a a a b b b b c c c d d e', ' ')) AS w)
+      |SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM t GROUP BY w ORDER BY cnt DESC, word LIMIT 3""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q28CountDistinct, q29Having, q30StatsFamily, q31GroupConcat,
     q32EmptyInput, q33GlobalAgg, q34Sketches, q35GroupByExpr.benched,
     q132Percentiles, q140Rollup, q143Cube, q144GroupingSets,
-    q188ModernAggregates)
+    q188ModernAggregates, q190ApproxTopK)
 }
