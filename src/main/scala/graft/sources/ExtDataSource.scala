@@ -195,8 +195,15 @@ private[graft] class ExtScanBuilder(rows: Long, partitions: Int, batchRows: Long
   * filter-narrowed id range: COUNT(*) = span, MIN(id) = lo, MAX(id) =
   * hi-1 (NULL min/max on an empty range, matching SQL semantics). */
 private[sources] class ExtAggScan(lo: Long, hi: Long, agg: Aggregation)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
   private val span = math.max(0L, hi - lo)
+  // a completely-pushed ungrouped aggregation serves exactly one row —
+  // report it, or the planner costs this scan at the default (huge) size
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(1L)
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(8L * math.max(1, agg.aggregateExpressions.length))
+  }
   override def readSchema(): StructType = StructType(
     agg.aggregateExpressions.zipWithIndex.map {
       case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
@@ -224,7 +231,13 @@ private[sources] class ExtAggScan(lo: Long, hi: Long, agg: Aggregation)
   * GROUP BY semantics: an empty group produces no row), schema =
   * grouping column then aggregates positionally, per the DSv2 contract. */
 private[sources] class ExtGroupedAggScan(lo: Long, hi: Long, agg: Aggregation)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
+  // grouped on id parity: at most two groups, one row each
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(2L)
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(2L * (20L + 8L * math.max(1, agg.aggregateExpressions.length)))
+  }
   override def readSchema(): StructType = StructType(
     StructField("tag", StringType, nullable = false) +:
       agg.aggregateExpressions.zipWithIndex.map {
