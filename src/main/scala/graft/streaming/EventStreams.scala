@@ -555,6 +555,47 @@ object EventStreams {
     manifestDf(spark, fs, root, version)
   }
 
+  /** Primary-key point read — the KuduScanNode keyed-lookup analogue
+    * (planner/KuduScanNode.java: PK-predicate scans) over the bucketed
+    * upsert table: the key hashes to exactly one bucket, so the read
+    * touches ONE bucket directory of the (optionally time-traveled)
+    * version — O(table/nBuckets) bytes, not O(table) — then filters to
+    * the key inside it. The bucket computation replicates the writer's
+    * `pmod(hash(user_id), nBuckets)` via the same Murmur3 expression,
+    * so it is correct by construction against tables this sink wrote. */
+  def lookup(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      userId: Long, version: Option[Long] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ver = version.getOrElse(committedVersion(fs, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $tableDir")))
+    val retained = versions(spark, tableDir)
+    if (!retained.contains(ver))
+      throw new IllegalStateException(
+        s"version $ver of $tableDir is not readable; retained versions: " +
+          (if (retained.isEmpty) "none (table never committed)"
+           else retained.mkString("[", ", ", "]")))
+    val m = readManifest(fs, root, ver)
+    val empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+    m.dirs.get(bucketOf(userId, m.nBuckets)) match {
+      case Some(rel) => spark.read.parquet(new Path(root, rel).toString)
+        .filter(col("user_id") === userId)
+      case None => empty
+    }
+  }
+
+  /** The writer's `pmod(hash(user_id), nBuckets)` replicated on the
+    * driver: `hash()` is Murmur3 with seed 42, `pmod` of a positive
+    * modulus is floorMod. */
+  private[graft] def bucketOf(userId: Long, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(userId)), 42)
+      .eval(null).asInstanceOf[Int]
+    java.lang.Math.floorMod(h, nBuckets)
+  }
+
   /** Row-level change feed between two retained versions (a CDC read
     * over the snapshot history): every key `toVersion` inserted, updated
     * or deleted relative to `fromVersion`, as (op, row) with the

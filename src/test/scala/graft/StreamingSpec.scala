@@ -594,6 +594,44 @@ class StreamingSpec extends EngineSuite {
     assert(e.getMessage.contains("retained versions"), e.getMessage)
   }
 
+  test("upsertLatest: lookup reads one bucket for a point read, current or time-traveled") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_lookup_${System.nanoTime()}"
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventStreams.upsertLatest(dir, nBuckets = 8)(df, id)
+    sink(Seq.tabulate(32)(i => Event(i.toLong, i.toLong, ts(i + 1), "click", 1.0)).toDF(), 0L)
+    sink(Seq(Event(5, 100, ts(99), "view", 2.0)).toDF(), 1L)
+    // point read returns exactly the key's latest row...
+    val hit = EventStreams.lookup(s, dir, 5L)
+    assert(hit.collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSeq == Seq((5L, 100L)))
+    // ...reading ONLY the one bucket directory the key hashes into —
+    // the scan-pruning property that makes this a PK read, not a scan
+    val bucket = s"__bucket=${EventStreams.bucketOf(5L, 8)}"
+    val scanned = hit.inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.forall(_.contains(bucket)), scanned.toString)
+    // the driver-side bucket computation really is the writer's:
+    // pmod(hash(user_id), n) evaluated in a plan agrees for many keys
+    val planBuckets = (0L to 31L).map(k =>
+      k -> Seq(k).toDF("user_id")
+        .select(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash($"user_id"),
+          org.apache.spark.sql.functions.lit(8)))
+        .head().getInt(0))
+    planBuckets.foreach { case (k, b) =>
+      assert(EventStreams.bucketOf(k, 8) == b, s"key $k: driver $b vs ${EventStreams.bucketOf(k, 8)}")
+    }
+    // absent key: empty result, still one bucket touched at most
+    assert(EventStreams.lookup(s, dir, 999L).count() == 0)
+    // time travel composes: before the update, key 5 held its seed row
+    assert(EventStreams.lookup(s, dir, 5L, version = Some(0L)).collect()
+      .map(_.getAs[Long]("event_id")).toSeq == Seq(5L))
+    // a pruned/unknown version is refused with the retained horizon
+    val e = intercept[IllegalStateException](EventStreams.lookup(s, dir, 5L, Some(99L)))
+    assert(e.getMessage.contains("retained versions"), e.getMessage)
+  }
+
   test("upsertLatest: replaying change feeds across the horizon reconstructs the latest state") {
     val s = spark
     import s.implicits._
