@@ -555,6 +555,58 @@ object EventStreams {
     manifestDf(spark, fs, root, version)
   }
 
+  /** Keyed DELETE — the Kudu-model mutation (the q73 DELETE statement's
+    * maintenance twin, analysis/DeleteStmt semantics) against the upsert
+    * table: rows of the given keys are dropped by rewriting ONLY the
+    * buckets the keys hash into; untouched buckets carry forward by
+    * reference and the result commits as a new version (so time travel
+    * still sees the rows before the delete, and [[changesBetween]]
+    * reports them as op=delete). A bucket left empty is dropped from the
+    * manifest — the same state an upsert that never touched it would
+    * have left. A key set hitting no live bucket is a no-op. The
+    * per-bucket loop is driver-side but bounded by nBuckets, like
+    * [[compact]]; `keys` is a driver-held list, sized for maintenance
+    * calls (for corpus-sized deletes, run an anti-join rewrite batch
+    * through the upsert path instead). */
+  def deleteKeys(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      keys: Seq[Long], retainVersions: Int = 3): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(retainVersions >= 1,
+      "retainVersions must keep at least the current committed version")
+    if (keys.isEmpty) return
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curVer = committedVersion(fs, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $tableDir"))
+    val m = readManifest(fs, root, curVer)
+    val byBucket = keys.distinct.groupBy(k => bucketOf(k, m.nBuckets))
+    // touch only buckets that actually hold one of the keys — an
+    // absent-key delete must not burn a version rewriting identical
+    // rows (and a fully-absent key set commits nothing at all)
+    val targets = byBucket.keys.toSeq.sorted.filter(m.dirs.contains).filter { b =>
+      spark.read.parquet(new Path(root, m.dirs(b)).toString)
+        .filter(col("user_id").isin(byBucket(b): _*)).limit(1).count() > 0
+    }
+    if (targets.isEmpty) return
+    val ver = curVer + 1
+    val (emptied, rewritten) = targets.partition { b =>
+      val remaining = spark.read.parquet(new Path(root, m.dirs(b)).toString)
+        .filter(!col("user_id").isin(byBucket(b): _*))
+      if (remaining.isEmpty) true
+      else {
+        remaining.write.mode("overwrite")
+          .parquet(new Path(root, s"v_$ver/__bucket=$b").toString)
+        false
+      }
+    }
+    writeManifest(fs, root, ver, Manifest(m.nBuckets, m.schemaDdl,
+      m.dirs -- emptied ++ rewritten.map(b => b -> s"v_$ver/__bucket=$b")))
+    val committed = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong }
+      .sorted.toSeq
+    retentionSweep(fs, root, committed, retainVersions, curStage = "")
+  }
+
   /** Primary-key point read — the KuduScanNode keyed-lookup analogue
     * (planner/KuduScanNode.java: PK-predicate scans) over the bucketed
     * upsert table: the key hashes to exactly one bucket, so the read

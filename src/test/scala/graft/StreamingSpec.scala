@@ -632,6 +632,44 @@ class StreamingSpec extends EngineSuite {
     assert(e.getMessage.contains("retained versions"), e.getMessage)
   }
 
+  test("upsertLatest: deleteKeys drops rows bucket-locally and feeds op=delete") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_delete_${System.nanoTime()}"
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventStreams.upsertLatest(dir, retainVersions = 4, nBuckets = 8)(df, id)
+    sink(Seq.tabulate(32)(i => Event(i.toLong, i.toLong, ts(i + 1), "click", 1.0)).toDF(), 0L)
+    EventStreams.deleteKeys(s, dir, Seq(5L, 13L), retainVersions = 4)
+    assert(EventStreams.versions(s, dir) == Seq(0L, 1L))
+    // rows gone from the current state and from point reads...
+    val now = EventStreams.readLatest(s, dir).collect().map(_.getAs[Long]("user_id")).toSet
+    assert(now == (0L to 31L).toSet -- Seq(5L, 13L), now.toString)
+    assert(EventStreams.lookup(s, dir, 5L).count() == 0)
+    // ...but time travel still sees them before the delete
+    assert(EventStreams.readVersion(s, dir, 0L).count() == 32)
+    // only the touched buckets were rewritten; the rest carry forward
+    val touched = Seq(5L, 13L).map(k => EventStreams.bucketOf(k, 8)).distinct.toSet
+    val manifest = scala.io.Source.fromFile(s"$dir/_commit_1").mkString
+    val refs = manifest.linesIterator.filterNot(_.startsWith("#"))
+      .map { l => val Array(b, d) = l.split("\t", 2); b.toInt -> d }.toMap
+    assert(refs.filter(_._2.startsWith("v_1/")).keySet == touched, manifest)
+    // the change feed reports exactly the deleted keys as op=delete,
+    // with the pre-image row (the delete branch, end-to-end)
+    val feed = EventStreams.changesBetween(s, dir, 0L, 1L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("op"), r.getAs[Long]("event_id")))
+    assert(feed.toSet == Set((5L, "delete", 5L), (13L, "delete", 13L)), feed.mkString(", "))
+    // deleting every key of one bucket drops the bucket from the manifest
+    val b0Keys = (0L to 31L).filter(k => EventStreams.bucketOf(k, 8) == 0)
+    EventStreams.deleteKeys(s, dir, b0Keys, retainVersions = 4)
+    val manifest2 = scala.io.Source.fromFile(s"$dir/_commit_2").mkString
+    assert(!manifest2.linesIterator.filterNot(_.startsWith("#"))
+      .exists(_.startsWith("0\t")), manifest2)
+    assert(EventStreams.readLatest(s, dir).count() == 32 - 2 - b0Keys.count(k => k != 5L && k != 13L))
+    // absent keys: a no-op that commits nothing
+    EventStreams.deleteKeys(s, dir, Seq(5000L), retainVersions = 4)
+    assert(EventStreams.versions(s, dir).max == 2L)
+  }
+
   test("upsertLatest: replaying change feeds across the horizon reconstructs the latest state") {
     val s = spark
     import s.implicits._
