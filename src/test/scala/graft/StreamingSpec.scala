@@ -680,6 +680,7 @@ class StreamingSpec extends EngineSuite {
     sink(Seq(Event(3, 100, ts(50), "view", 2.0), Event(20, 101, ts(51), "click", 3.0)).toDF(), 1L)
     sink(Seq(Event(20, 102, ts(60), "view", 4.0), Event(7, 103, ts(61), "click", 5.0),
       Event(21, 104, ts(62), "view", 6.0)).toDF(), 2L)
+    EventStreams.deleteKeys(s, dir, Seq(3L, 21L), retainVersions = 4)
     def stateOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
     // the incremental-consumption contract: start from the oldest
