@@ -105,7 +105,10 @@ object TextAnalysis {
   /** Quality-quantile pruning: keep the top half per language by a
     * quality score, via percent_rank — the windowed form is exact and
     * engine-portable (approx-percentile thresholds are not), and at scale
-    * it is one shuffle on the stratum key. */
+    * it is one shuffle on the stratum key. Caveat at 100×: the window
+    * sorts each language stratum within ONE task; when a stratum
+    * outgrows a task, use [[q191QualityPruneThreshold]] — same pruning
+    * decision, no stratum-global sort. */
   val q94QualityPrune: QuerySpec = QuerySpec.sql(
     "q94_text_quality_prune",
     """SELECT lang, doc_id, n_chars
@@ -115,6 +118,31 @@ object TextAnalysis {
       |      FROM documents) t
       |WHERE pr <= 0.5
       |ORDER BY lang, doc_id""".stripMargin)
+
+  /** The skew-immune twin of [[q94QualityPrune]]: per-stratum EXACT
+    * median via the `percentile` aggregate (a partial-merged
+    * TypedImperativeAggregate — per-task value maps merge on the
+    * driver-bound lang key, no stratum ever sorts inside one task),
+    * broadcast back as a threshold filter. The pruning decision is
+    * threshold-based (ties at the cut all survive) rather than q94's
+    * rank-based half, which is exactly the trade a 100 TB corpus makes:
+    * an O(strata) aggregate + map-side filter instead of a per-stratum
+    * global sort. Interpolation follows the shared (n-1)·p linear
+    * definition, so the threshold is bit-identical across engines. */
+  val q191QualityPruneThreshold: QuerySpec = QuerySpec.sql2(
+    "q191_quality_prune_threshold",
+    """WITH th AS (SELECT lang, percentile(n_chars, 0.5D) AS cut
+      |            FROM documents GROUP BY lang)
+      |SELECT d.lang, d.doc_id, d.n_chars
+      |FROM documents d JOIN th ON d.lang = th.lang
+      |WHERE d.n_chars >= th.cut
+      |ORDER BY d.lang, doc_id""".stripMargin,
+    """WITH th AS (SELECT lang, quantile_cont(n_chars, 0.5) AS cut
+      |            FROM documents GROUP BY lang)
+      |SELECT d.lang, d.doc_id, d.n_chars
+      |FROM documents d JOIN th ON d.lang = th.lang
+      |WHERE d.n_chars >= th.cut
+      |ORDER BY d.lang, doc_id""".stripMargin)
 
   /** Deterministic stratified sampling: a Knuth-multiplicative key hash
     * selects ~20% per language — reproducible on any engine or cluster
@@ -1156,7 +1184,8 @@ object TextAnalysis {
 
   val all: Seq[QuerySpec] = Seq(
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
-    q94QualityPrune, q95StratifiedSample, q96TfIdf, q122Decontaminate,
+    q94QualityPrune, q191QualityPruneThreshold, q95StratifiedSample,
+    q96TfIdf, q122Decontaminate,
     q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
     q158ChunkOverlap, q159PiiRedact, q160SubstringDedup,
     q175SubstringRemove.benched, q162UnigramLm, q177PerplexityBuckets,
