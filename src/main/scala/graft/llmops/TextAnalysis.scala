@@ -614,7 +614,11 @@ object TextAnalysis {
     *
     * Scale shape: the q162 scoring envelope (one word-keyed join + one
     * doc-keyed sum) plus one per-lang window — the window shuffles the
-    * per-DOC score table (tiny vs the corpus), not the word stream. */
+    * per-DOC score table (tiny vs the corpus), not the word stream.
+    * Should even the doc table outgrow a task per language, swap the
+    * NTILE for percentile-threshold buckets (the [[q191QualityPruneThreshold]]
+    * idiom: two exact tertile cuts via the partial-merged `percentile`
+    * aggregate, broadcast back). */
   val q177PerplexityBuckets: QuerySpec = {
     def text(spark: Boolean): String = {
       val words =
@@ -987,7 +991,9 @@ object TextAnalysis {
     * string/array algebra (zero shuffles at scale); the fixture carries
     * the URL shapes since the driver corpus has none. The same
     * canonical key then powers exact URL dedup: the output includes
-    * each URL's canonical group size. */
+    * each URL's canonical group size (grouped count + broadcast join —
+    * skew-immune against a dominant duplicate URL, see the in-query
+    * note). */
   val q166UrlCanonicalize: QuerySpec = {
     val fixture =
       """(VALUES (1, 'https://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag'),
@@ -1045,15 +1051,23 @@ object TextAnalysis {
       val pathExpr =
         if (spark) "coalesce(nullif(regexp_extract(u, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1), ''), '/')"
         else "coalesce(nullif(regexp_extract(u, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1), ''), '/')"
-      s"""SELECT id, canonical,
-         |  CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT) AS group_size
-         |FROM (SELECT id, ${canon(spark)} AS canonical
-         |      FROM (SELECT id, url AS u,
-         |              lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
-         |              regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port,
-         |              $pathExpr AS path, $paramsExpr AS params
-         |            FROM $fixture) parsed) c
-         |ORDER BY id""".stripMargin
+      // group size by grouped-count + join, not COUNT() OVER (PARTITION
+      // BY canonical): a boilerplate canonical (a crawl's top dup URL)
+      // would funnel its whole window partition into one task, while the
+      // grouped count partial-aggregates map-side and the tiny
+      // (canonical, n) relation broadcasts back
+      s"""WITH c AS (
+         |  SELECT id, ${canon(spark)} AS canonical
+         |  FROM (SELECT id, url AS u,
+         |          lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+         |          regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+         |          $pathExpr AS path, $paramsExpr AS params
+         |        FROM $fixture) parsed),
+         |g AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS group_size
+         |      FROM c GROUP BY canonical)
+         |SELECT c.id, c.canonical, g.group_size
+         |FROM c JOIN g ON c.canonical = g.canonical
+         |ORDER BY c.id""".stripMargin
     }
     QuerySpec.sql2("q166_text_url_canonicalize", text(spark = true), text(spark = false))
   }
