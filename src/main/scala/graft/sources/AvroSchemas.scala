@@ -120,4 +120,57 @@ object AvroSchemas {
       case n: Number if n.intValue() >= 0 && n.doubleValue() == n.intValue() => n.intValue()
       case other => fail(s"Invalid decimal '$name' property value: $other")
     }
+
+  /** The reverse direction — a Spark schema rendered as an Avro record
+    * schema JSON, mirroring `util/AvroSchemaConverter.java:52-209` (the
+    * reference generates this when an Avro table is created without an
+    * explicit schema): every column and nested element wraps in a
+    * `[null, T]` union (the reference's column model is always
+    * nullable); tinyint/smallint widen to int; char/varchar and
+    * timestamp render as string; decimal is bytes + logicalType decimal
+    * with integer precision/scale props; map keys are string per the
+    * Avro spec (the key type is not consulted, as in the reference);
+    * nested structs are named `record_<n>` in conversion order; an
+    * empty/absent top-level name falls back to `baseRecord`. Types
+    * outside the reference's mapping (date, binary, interval, ...) are
+    * rejected with its `cannot be converted` phrasing. Round trip:
+    * [[toStructType]] of the result recovers the schema up to those
+    * documented widenings. */
+  def toAvroSchema(schema: StructType, schemaName: String = ""): String = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    def nullable(t: AvroSchema): AvroSchema =
+      AvroSchema.createUnion(java.util.Arrays.asList(
+        AvroSchema.create(AvroSchema.Type.NULL), t))
+    def record(name: String, fields: Seq[StructField]): AvroSchema = {
+      val rec = AvroSchema.createRecord(name, null, null, false)
+      rec.setFields(fields.map { f =>
+        val doc = if (f.metadata.contains("comment")) f.metadata.getString("comment") else null
+        new AvroSchema.Field(f.name, nullable(convert(f.dataType)), doc,
+          null.asInstanceOf[Object])
+      }.asJava)
+      rec
+    }
+    def convert(dt: DataType): AvroSchema = dt match {
+      case StringType | _: CharType | _: VarcharType | TimestampType =>
+        AvroSchema.create(AvroSchema.Type.STRING)
+      case ByteType | ShortType | IntegerType => AvroSchema.create(AvroSchema.Type.INT)
+      case LongType => AvroSchema.create(AvroSchema.Type.LONG)
+      case BooleanType => AvroSchema.create(AvroSchema.Type.BOOLEAN)
+      case FloatType => AvroSchema.create(AvroSchema.Type.FLOAT)
+      case DoubleType => AvroSchema.create(AvroSchema.Type.DOUBLE)
+      case d: DecimalType =>
+        val bytes = AvroSchema.create(AvroSchema.Type.BYTES)
+        bytes.addProp("logicalType", "decimal")
+        bytes.addProp("precision", Integer.valueOf(d.precision))
+        bytes.addProp("scale", Integer.valueOf(d.scale))
+        bytes
+      case ArrayType(et, _) => AvroSchema.createArray(nullable(convert(et)))
+      case MapType(_, vt, _) => AvroSchema.createMap(nullable(convert(vt)))
+      case st: StructType => record(s"record_${counter.getAndIncrement()}", st.fields.toSeq)
+      case other => throw new UnsupportedOperationException(
+        s"${other.sql} cannot be converted to an Avro type")
+    }
+    val name = if (schemaName == null || schemaName.isEmpty) "baseRecord" else schemaName
+    record(name, schema.fields.toSeq).toString(true)
+  }
 }

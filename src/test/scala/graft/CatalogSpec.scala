@@ -171,6 +171,62 @@ class CatalogSpec extends EngineSuite {
       graft.sources.AvroSchemas.toStructType("{ not avro"))
   }
 
+  test("Avro schema generation: columns render as the reference converter writes them") {
+    // util/AvroSchemaConverter.java:52-209 — the direction the reference
+    // runs when an Avro table is created without an explicit schema.
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType,
+        metadata = new MetadataBuilder().putString("comment", "display name").build()),
+      StructField("small", ShortType),
+      StructField("seen", TimestampType),
+      StructField("bal", DecimalType(12, 2)),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(IntegerType, DoubleType)),
+      StructField("addr", StructType(Seq(
+        StructField("city", StringType), StructField("zip", IntegerType))))))
+    val json = graft.sources.AvroSchemas.toAvroSchema(st, "cust")
+    val parsed = new org.apache.avro.Schema.Parser().parse(json)
+    assert(parsed.getName == "cust")
+    def colType(n: String): org.apache.avro.Schema = {
+      val u = parsed.getField(n).schema()
+      // every column is a [null, T] union, null first, as the reference writes
+      assert(u.getType == org.apache.avro.Schema.Type.UNION &&
+        u.getTypes.get(0).getType == org.apache.avro.Schema.Type.NULL, u.toString)
+      u.getTypes.get(1)
+    }
+    assert(colType("id").getType == org.apache.avro.Schema.Type.LONG)
+    assert(colType("name").getType == org.apache.avro.Schema.Type.STRING)
+    assert(parsed.getField("name").doc() == "display name")
+    assert(colType("small").getType == org.apache.avro.Schema.Type.INT,
+      "smallint must widen to int")
+    assert(colType("seen").getType == org.apache.avro.Schema.Type.STRING,
+      "timestamp renders as string")
+    val dec = colType("bal")
+    assert(dec.getType == org.apache.avro.Schema.Type.BYTES &&
+      dec.getObjectProp("logicalType") == "decimal" &&
+      dec.getObjectProp("precision") == 12 && dec.getObjectProp("scale") == 2, dec.toString)
+    // map keys are string by the Avro spec regardless of the declared key
+    assert(colType("attrs").getType == org.apache.avro.Schema.Type.MAP)
+    assert(colType("addr").getName == "record_0", "nested records are counter-named")
+    // default name, and the reference's rejection phrasing
+    assert(new org.apache.avro.Schema.Parser()
+      .parse(graft.sources.AvroSchemas.toAvroSchema(StructType(Nil)))
+      .getName == "baseRecord")
+    val e = intercept[UnsupportedOperationException](
+      graft.sources.AvroSchemas.toAvroSchema(StructType(Seq(StructField("d", DateType)))))
+    assert(e.getMessage.contains("cannot be converted to an Avro type"), e.getMessage)
+    // round trip through the parser half recovers the schema up to the
+    // documented widenings (short→int, timestamp→string, string map keys)
+    val back = graft.sources.AvroSchemas.toStructType(json)
+    assert(back("id").dataType == LongType && back("bal").dataType == DecimalType(12, 2))
+    assert(back("small").dataType == IntegerType && back("seen").dataType == StringType)
+    assert(back("attrs").dataType == MapType(StringType, DoubleType))
+    assert(back("addr").dataType ==
+      StructType(Seq(StructField("city", StringType), StructField("zip", IntegerType))))
+  }
+
   test("ALTER TABLE: add columns, set/unset tblproperties, rename") {
     // AlterTable*Stmt.java family (sql-parser.cup:1823-2240).
     val s = spark
