@@ -376,6 +376,31 @@ object Dml {
       .orderBy("type_name")
   }
 
+  /** SHOW FILES IN <table> [PARTITION (spec)] — ShowFilesStmt
+    * (sql-parser.cup:318,5818-5840): one row per data file with its size
+    * and owning partition. Backed by the table's own file index (the
+    * listing the scan planner uses) — a partition spec narrows the
+    * listing through partition pruning, not a post-hoc path filter, so
+    * the result is exactly the file set a pruned scan would read. */
+  def showFiles(spark: org.apache.spark.sql.SparkSession, table: String,
+      partition: Map[String, String] = Map.empty):
+      org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val pruned = partition.foldLeft(spark.table(table)) {
+      case (d, (k, v)) => d.filter(col(k) === v)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    pruned.inputFiles.toSeq.map { f =>
+      // inputFiles renders URL-encoded URIs ("r_name=MIDDLE%20EAST") —
+      // round through URI so the filesystem sees the decoded path
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      val size = p.getFileSystem(conf).getFileStatus(p).getLen
+      val part = p.getParent.toString.split('/')
+        .filter(_.matches("[^=/]+=[^=/]*")).mkString("/")
+      (p.toString, size, part)
+    }.toDF("path", "size_bytes", "partition").orderBy("path")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q70Ctas, q71InsertPartitioned, q72UpdateMerge, q73Delete, q74Views,
     q75Catalog, q77Formats, q156CharVarchar, q157UdfBridge, q173TypeInfo)

@@ -278,6 +278,21 @@ class CatalogSpec extends EngineSuite {
       assert(parts.size == 5 && parts.exists(_.startsWith("r_name=")), parts)
       val ddl = s.sql("SHOW CREATE TABLE graft_part_t").collect().head.getString(0)
       assert(ddl.contains("graft_part_t") && ddl.contains("PARTITIONED BY"), ddl)
+
+      // SHOW FILES (ShowFilesStmt, sql-parser.cup:5818-5840): one row
+      // per data file with size and owning partition; a PARTITION spec
+      // narrows through partition pruning to exactly that partition's
+      // files
+      val files = graft.operators.Dml.showFiles(s, "graft_part_t").collect()
+      assert(files.length >= 5, files.length.toString)
+      assert(files.forall(_.getAs[Long]("size_bytes") > 0))
+      assert(files.map(_.getAs[String]("partition")).toSet
+        .forall(_.startsWith("r_name=")), files.map(_.toSeq).mkString(", "))
+      val one = graft.operators.Dml.showFiles(s, "graft_part_t",
+        Map("r_name" -> "ASIA")).collect()
+      assert(one.nonEmpty && one.forall(_.getAs[String]("partition") == "r_name=ASIA"),
+        one.map(_.toSeq).mkString(", "))
+      assert(one.length < files.length, "partition spec must prune the listing")
     } finally s.sql("DROP TABLE IF EXISTS graft_part_t")
   }
 
