@@ -322,9 +322,16 @@ object EventStreams {
     // same for the row schema: a drifted batch schema would make the
     // merge union throw somewhere mid-plan (or worse, silently coerce);
     // refusing up front names the actual problem. Schema evolution is a
-    // deliberate format feature (column-mapping metadata), not something
-    // to back into via union semantics.
-    cur.filter(_.schemaDdl.nonEmpty).foreach(m => require(m.schemaDdl == batchDf.schema.toDDL,
+    // deliberate format feature — [[evolveSchema]] is the front door —
+    // not something to back into via union semantics. Compared on
+    // (name, type) only: nullability markers are not part of the
+    // table's logical identity (the reference's column model has none).
+    def shape(s: org.apache.spark.sql.types.StructType)
+        : Seq[(String, org.apache.spark.sql.types.DataType)] =
+      s.map(f => (f.name, f.dataType))
+    cur.filter(_.schemaDdl.nonEmpty).foreach(m => require(
+      shape(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)) ==
+        shape(batchDf.schema),
       s"table at $tableDir has schema [${m.schemaDdl}]; batch has [${batchDf.schema.toDDL}]"))
     val curManifest: Map[Int, String] = cur.map(_.dirs).getOrElse(Map.empty)
 
@@ -343,8 +350,11 @@ object EventStreams {
     // writes no data — it still commits (manifest + txn marker) so the
     // (appId, batchId) replay ledger stays complete.
     if (affected.nonEmpty) {
+      // old bucket files are read under the batch schema (equal to the
+      // manifest's after the check above): post-evolution they may lack
+      // appended columns, which parquet then serves as NULL
       val curAffected = affected.flatMap(curManifest.get)
-        .map(rel => sp.read.parquet(new Path(root, rel).toString))
+        .map(rel => sp.read.schema(batchDf.schema).parquet(new Path(root, rel).toString))
       val batchLatest = sp.read.parquet(stage.toString).drop("__bucket")
       val merged = latest(curAffected.foldLeft(batchLatest)(_ unionByName _))
       bucketed(merged).write.mode("overwrite").partitionBy("__bucket")
@@ -433,7 +443,9 @@ object EventStreams {
     if (targets.isEmpty) return
     val ver = curVer + 1
     targets.foreach { b =>
-      spark.read.parquet(new Path(root, m.dirs(b)).toString)
+      // read under the manifest schema so a post-evolution compaction
+      // materializes appended columns (as NULL) into the rewritten files
+      manifestRead(spark, root, Seq(m.dirs(b)), m.schemaDdl)
         .coalesce(1).write.mode("overwrite")
         .parquet(new Path(root, s"v_$ver/__bucket=$b").toString)
     }
@@ -584,13 +596,13 @@ object EventStreams {
     // absent-key delete must not burn a version rewriting identical
     // rows (and a fully-absent key set commits nothing at all)
     val targets = byBucket.keys.toSeq.sorted.filter(m.dirs.contains).filter { b =>
-      spark.read.parquet(new Path(root, m.dirs(b)).toString)
+      manifestRead(spark, root, Seq(m.dirs(b)), m.schemaDdl)
         .filter(col("user_id").isin(byBucket(b): _*)).limit(1).count() > 0
     }
     if (targets.isEmpty) return
     val ver = curVer + 1
     val (emptied, rewritten) = targets.partition { b =>
-      val remaining = spark.read.parquet(new Path(root, m.dirs(b)).toString)
+      val remaining = manifestRead(spark, root, Seq(m.dirs(b)), m.schemaDdl)
         .filter(!col("user_id").isin(byBucket(b): _*))
       if (remaining.isEmpty) true
       else {
@@ -629,13 +641,8 @@ object EventStreams {
           (if (retained.isEmpty) "none (table never committed)"
            else retained.mkString("[", ", ", "]")))
     val m = readManifest(fs, root, ver)
-    val empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-    m.dirs.get(bucketOf(userId, m.nBuckets)) match {
-      case Some(rel) => spark.read.parquet(new Path(root, rel).toString)
-        .filter(col("user_id") === userId)
-      case None => empty
-    }
+    manifestRead(spark, root, m.dirs.get(bucketOf(userId, m.nBuckets)).toSeq, m.schemaDdl)
+      .filter(col("user_id") === userId)
   }
 
   /** The writer's `pmod(hash(user_id), nBuckets)` replicated on the
@@ -677,13 +684,11 @@ object EventStreams {
     val mTo = readManifest(fs, root, toVersion)
     val changed = (mFrom.dirs.keySet ++ mTo.dirs.keySet)
       .filter(b => mFrom.dirs.get(b) != mTo.dirs.get(b)).toSeq.sorted
-    def side(m: Manifest): DataFrame = {
-      val dirs = changed.flatMap(m.dirs.get).map(rel => new Path(root, rel).toString)
-      if (dirs.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-      else spark.read.parquet(dirs: _*)
-    }
+    // both sides read under the TO schema: across an evolution boundary
+    // the pre-image rows surface appended columns as NULL, keeping the
+    // full-outer compare well-typed
+    def side(m: Manifest): DataFrame =
+      manifestRead(spark, root, changed.flatMap(m.dirs.get), mTo.schemaDdl)
     val o = side(mFrom).alias("o")
     val n = side(mTo).alias("n")
     val cols = side(mTo).columns.toSeq
@@ -707,14 +712,65 @@ object EventStreams {
   private def manifestDf(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       ver: Long): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val m = readManifest(fs, root, ver)
-    if (m.dirs.isEmpty)
+    manifestRead(spark, root, m.dirs.toSeq.sortBy(_._1).map(_._2), m.schemaDdl)
+  }
+
+  /** Reads bucket directories under the MANIFEST's schema, not the
+    * files' own: after [[evolveSchema]] older files lack the appended
+    * columns and the explicit schema makes parquet serve them as NULL —
+    * the column-mapping read path of a real table format. */
+  private def manifestRead(spark: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path, rels: Seq[String], schemaDdl: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    if (rels.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-    else
-      spark.read.parquet(m.dirs.toSeq.sortBy(_._1)
-        .map { case (_, rel) => new Path(root, rel).toString }: _*)
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    else {
+      val reader =
+        if (schemaDdl.nonEmpty)
+          spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+        else spark.read
+      reader.parquet(rels.map(rel => new Path(root, rel).toString): _*)
+    }
+  }
+
+  /** Additive schema evolution — the deliberate format feature the
+    * writer's drift check points at (a drifted BATCH is refused; the
+    * TABLE evolves through this front door): appends nullable columns by
+    * committing a new version with the same data directories and the
+    * widened `#schema` header. Existing columns must be unchanged in
+    * name, order, and type; only appended columns are accepted (drops,
+    * renames, and retypes would need rewritten data or per-column
+    * mapping ids, which this format does not claim). Readers serve old
+    * files under the manifest schema, so pre-evolution rows surface the
+    * new columns as NULL; time travel still reads each version under
+    * its own schema. Subsequent batches must carry the evolved schema
+    * (the writer's equality check now enforces the NEW shape). */
+  def evolveSchema(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      newSchemaDdl: String, retainVersions: Int = 3): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(retainVersions >= 1,
+      "retainVersions must keep at least the current committed version")
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curVer = committedVersion(fs, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $tableDir"))
+    val m = readManifest(fs, root, curVer)
+    val cur = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val next = org.apache.spark.sql.types.StructType.fromDDL(newSchemaDdl)
+    require(next.length >= cur.length &&
+      next.take(cur.length).zip(cur).forall { case (n, c) =>
+        n.name == c.name && n.dataType == c.dataType },
+      s"schema evolution is additive-only: [${m.schemaDdl}] -> [$newSchemaDdl] " +
+        "must keep existing columns unchanged in name, order, and type")
+    if (next.length == cur.length) return // nothing appended: no-op
+    val ver = curVer + 1
+    writeManifest(fs, root, ver, Manifest(m.nBuckets, next.toDDL, m.dirs))
+    val committed = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong }
+      .sorted.toSeq
+    retentionSweep(fs, root, committed, retainVersions, curStage = "")
   }
 
   /** Highest committed manifest version. A manifest is renamed into

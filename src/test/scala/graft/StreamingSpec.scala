@@ -632,6 +632,48 @@ class StreamingSpec extends EngineSuite {
     assert(e.getMessage.contains("retained versions"), e.getMessage)
   }
 
+  test("upsertLatest: evolveSchema appends columns; old files serve NULL under the new shape") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_evolve_${System.nanoTime()}"
+    EventStreams.upsertLatest(dir, retainVersions = 4)(
+      Seq(Event(1, 1, ts(1), "click", 1.0), Event(2, 2, ts(2), "view", 2.0)).toDF(), 0L)
+    val evolved = EventStreams.readLatest(s, dir).schema.toDDL + ",note STRING"
+    // non-additive shapes are refused with the rule named
+    val bad = intercept[IllegalArgumentException](
+      EventStreams.evolveSchema(s, dir, "user_id BIGINT,renamed BIGINT"))
+    assert(bad.getMessage.contains("additive-only"), bad.getMessage)
+    EventStreams.evolveSchema(s, dir, evolved, retainVersions = 4)
+    assert(EventStreams.versions(s, dir) == Seq(0L, 1L))
+    // the evolved table reads the old files with the new column as NULL
+    val cur = EventStreams.readLatest(s, dir)
+    assert(cur.schema.fieldNames.last == "note")
+    assert(cur.collect().forall(_.getAs[String]("note") == null))
+    // ...while time travel serves version 0 under its own (old) schema
+    assert(!EventStreams.readVersion(s, dir, 0L).schema.fieldNames.contains("note"))
+    // a batch with the OLD shape is now refused; the evolved shape merges,
+    // and old rows keep NULL note through the rewrite
+    intercept[IllegalArgumentException](EventStreams.upsertLatest(dir, retainVersions = 4)(
+      Seq(Event(3, 3, ts(3), "click", 3.0)).toDF(), 1L))
+    EventStreams.upsertLatest(dir, retainVersions = 4)(
+      Seq(Event(1, 10, ts(10), "view", 9.0)).toDF()
+        .withColumn("note", org.apache.spark.sql.functions.lit("fresh")), 1L)
+    val rows = EventStreams.readLatest(s, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("note")).toMap
+    assert(rows == Map(1L -> "fresh", 2L -> null), rows.toString)
+    // point reads and the change feed speak the evolved schema too
+    assert(EventStreams.lookup(s, dir, 2L).collect()
+      .map(_.getAs[String]("note")).toSeq == Seq(null))
+    val feed = EventStreams.changesBetween(s, dir, 1L, 2L).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("user_id"), r.getAs[String]("note")))
+    assert(feed.toSeq == Seq(("update", 1L, "fresh")), feed.mkString(", "))
+    // compaction across the boundary materializes the column as NULL
+    EventStreams.compact(s, dir, retainVersions = 4)
+    val after = EventStreams.readLatest(s, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("note")).toMap
+    assert(after == rows, after.toString)
+  }
+
   test("upsertLatest: deleteKeys drops rows bucket-locally and feeds op=delete") {
     val s = spark
     import s.implicits._
