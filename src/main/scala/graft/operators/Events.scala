@@ -300,8 +300,37 @@ object Events {
     QuerySpec.sql2("q181_events_gap_fill", text(spark = true), text(spark = false))
   }
 
+  /** Cohort retention matrix — the product-analytics staple [[q103Retention]]
+    * does not cover: users bucket into weekly first-seen cohorts, and
+    * each (cohort, weeks-since) cell counts the cohort's users active
+    * that week. Scale shape: one user-keyed MIN aggregate (cohorts), one
+    * distinct user-week projection, a user-keyed join (cohort table is
+    * user-sized but partial-aggregated and hash-joined, never a window),
+    * and a cell-keyed count-distinct — every stage partial-aggregable,
+    * no self-join over the raw event stream. */
+  val q192CohortRetention: QuerySpec = QuerySpec.sql2(
+    "q192_events_cohort_retention",
+    """WITH f AS (SELECT user_id, CAST(DATE_TRUNC('WEEK', MIN(ts)) AS DATE) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('WEEK', ts) AS DATE) AS wk
+      |      FROM events)
+      |SELECT f.cohort, CAST(DATEDIFF(a.wk, f.cohort) DIV 7 AS INT) AS week_n,
+      |       COUNT(DISTINCT a.user_id) AS n_active
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY f.cohort, CAST(DATEDIFF(a.wk, f.cohort) DIV 7 AS INT)
+      |ORDER BY cohort, week_n""".stripMargin,
+    """WITH f AS (SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+      |      FROM events)
+      |SELECT f.cohort, CAST(DATE_DIFF('day', f.cohort, a.wk) // 7 AS INT) AS week_n,
+      |       COUNT(DISTINCT a.user_id) AS n_active
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY f.cohort, CAST(DATE_DIFF('day', f.cohort, a.wk) // 7 AS INT)
+      |ORDER BY cohort, week_n""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
-    q124Sliding, q181GapFill)
+    q124Sliding, q181GapFill, q192CohortRetention)
 }
