@@ -505,7 +505,64 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Matryoshka truncation eval (Kusupati et al., "Matryoshka
+    * Representation Learning"): recall@10 of a 16-dim PREFIX of the
+    * 64-dim embeddings against the full-dimension ground truth — the
+    * measurement every MRL deployment runs before serving the cheaper
+    * prefix index. Cosine needs no re-normalization (it normalizes both
+    * sides), so truncation is a free `slice` and both passes are the
+    * [[q85BruteTopK]] shape: broadcast sampled queries × one corpus
+    * scan each, exact because the query set is sampled (the q185
+    * affordability argument). Deterministic end to end, so DuckDB
+    * re-derives both top-k sets and the recall numbers exactly. */
+  val q193AnnMatryoshka: QuerySpec = QuerySpec(
+    "q193_ann_matryoshka",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+      |    FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) t
+      |  WHERE rank <= 10),
+      |m AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.v[1:16], c.v[1:16]) DESC, c.vec_id) AS rank
+      |    FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) t
+      |  WHERE rank <= 10)
+      |SELECT b.query_id, CAST(COUNT(m.neighbor_id) AS BIGINT) AS n_hits,
+      |       ROUND(CAST(COUNT(m.neighbor_id) AS DOUBLE) / 10, 6) AS recall_at_10
+      |FROM b LEFT JOIN m
+      |  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+      |GROUP BY b.query_id
+      |ORDER BY b.query_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    def top10(e: DataFrame): DataFrame = {
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr(cosSql("qv", "v")).as("c"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = top10(vecs(sp).select(col("vec_id"), col("v")))
+    val trunc = top10(vecs(sp)
+      .select(col("vec_id"), expr("slice(v, 1, 16)").as("v")))
+    full.join(trunc.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id")).agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / 10, 6).as("recall_at_10"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q85BruteTopK.benched, q86LshBucketed, q87IvfProbe, q149PqAdc, q161AnnInt8,
-    q168PoolNormalize, q185AnnRecall)
+    q168PoolNormalize, q185AnnRecall, q193AnnMatryoshka)
 }
