@@ -373,10 +373,26 @@ object Relational {
       |  SELECT c_mktsegment, 'total_bal' AS metric, total_bal AS val FROM a) u
       |ORDER BY c_mktsegment, metric""".stripMargin)
 
+  /** Cross-engine table checksum — the reconciliation op a migration
+    * off the reference runs to prove two engines hold the same rows:
+    * an order-independent keyed checksum per partition-ish group, pure
+    * integer arithmetic (no engine-specific hash), summed in
+    * DECIMAL(38) so the accumulator cannot overflow at any corpus size
+    * and reduced mod 2^31-1 at the end. One scan, partial-aggregable,
+    * group-localized so a mismatch names the slice to re-diff. */
+  val q194TableChecksum: QuerySpec = QuerySpec.sql(
+    "q194_table_checksum",
+    """SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST((l_orderkey * 40503 + l_linenumber * 769 + l_partkey)
+      |               % 2147483647 AS DECIMAL(38,0))) % 2147483647 AS BIGINT) AS checksum
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY flag""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
     q100TpchQ18.benched, q126ExtSource, q141Pivot, q142Unpivot,
-    q172ExtAggPushdown, q178ExtGroupedAgg)
+    q172ExtAggPushdown, q178ExtGroupedAgg, q194TableChecksum)
 }
