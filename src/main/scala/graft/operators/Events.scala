@@ -329,8 +329,62 @@ object Events {
       |GROUP BY f.cohort, CAST(DATE_DIFF('day', f.cohort, a.wk) // 7 AS INT)
       |ORDER BY cohort, week_n""".stripMargin)
 
+  /** Ordered multi-step funnel — [[q105Funnel]]'s 2-step conditional-min
+    * generalized to the 3-step view → click → purchase sequence with
+    * strict temporal ordering per step: each stage's entry is the
+    * user's first qualifying event AFTER the previous stage. ONE pass
+    * over the stream: a user-keyed aggregate collects the first view
+    * time plus the sorted click/purchase time lists, and the sequential
+    * step logic folds over those per-user arrays (a stage-chained CTE
+    * or per-stage self-join would re-scan events per stage — Spark
+    * re-inlines multiply-referenced CTEs — and a raw-stream window
+    * would sort every event; per-user arrays are bounded by one user's
+    * activity). */
+  val q195FunnelSteps: QuerySpec = QuerySpec.sql2(
+    "q195_events_funnel_steps",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+      |    sort_array(collect_list(CASE WHEN event_type = 'click' THEN ts END)) AS clicks,
+      |    sort_array(collect_list(CASE WHEN event_type = 'purchase' THEN ts END)) AS buys
+      |  FROM events GROUP BY user_id),
+      |f AS (
+      |  SELECT user_id, t1, buys,
+      |    element_at(filter(clicks, c -> t1 IS NOT NULL AND c > t1), 1) AS t2
+      |  FROM u),
+      |g AS (
+      |  SELECT user_id, t1, t2,
+      |    element_at(filter(buys, p -> t2 IS NOT NULL AND p > t2), 1) AS t3
+      |  FROM f)
+      |SELECT CAST(COUNT(t1) AS BIGINT) AS n_viewed,
+      |       CAST(COUNT(t2) AS BIGINT) AS n_clicked_after,
+      |       CAST(COUNT(t3) AS BIGINT) AS n_purchased_after,
+      |       ROUND(CAST(COUNT(t3) AS DOUBLE) / COUNT(t1), 6) AS conversion
+      |FROM g""".stripMargin,
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+      |    list_sort(list_filter(list(CASE WHEN event_type = 'click' THEN ts END),
+      |                          x -> x IS NOT NULL)) AS clicks,
+      |    list_sort(list_filter(list(CASE WHEN event_type = 'purchase' THEN ts END),
+      |                          x -> x IS NOT NULL)) AS buys
+      |  FROM events GROUP BY user_id),
+      |f AS (
+      |  SELECT user_id, t1, buys,
+      |    list_filter(clicks, c -> t1 IS NOT NULL AND c > t1)[1] AS t2
+      |  FROM u),
+      |g AS (
+      |  SELECT user_id, t1, t2,
+      |    list_filter(buys, p -> t2 IS NOT NULL AND p > t2)[1] AS t3
+      |  FROM f)
+      |SELECT CAST(COUNT(t1) AS BIGINT) AS n_viewed,
+      |       CAST(COUNT(t2) AS BIGINT) AS n_clicked_after,
+      |       CAST(COUNT(t3) AS BIGINT) AS n_purchased_after,
+      |       ROUND(CAST(COUNT(t3) AS DOUBLE) / COUNT(t1), 6) AS conversion
+      |FROM g""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
-    q124Sliding, q181GapFill, q192CohortRetention)
+    q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps)
 }
