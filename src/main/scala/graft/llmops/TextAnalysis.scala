@@ -1134,6 +1134,62 @@ object TextAnalysis {
     QuerySpec.sql2("q183_dup_ngram_coverage", text(spark = true), text(spark = false))
   }
 
+  /** Collocation mining by pointwise mutual information — the corpus
+    * statistic behind phrase vocabularies and tokenizer pre-merges:
+    * PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ) over adjacent word pairs,
+    * with a minimum pair count against PMI's rare-pair bias, top-20 by
+    * (PMI, pair). [[q184BigramLm]]'s dataflow skeleton — per-doc LAG,
+    * vocab-sized count relations, totals as window sums (never a
+    * totals CTE: q174 rule) — three corpus scans: bigrams once, and
+    * the unigram relation twice because BOTH pair sides join it and
+    * Spark re-inlines the doubly-referenced CTE (in DataFrame form
+    * you'd stage the vocab once, the q81 localCheckpoint idiom; the
+    * SQL form keeps the oracle text shared). Everything downstream is
+    * vocab-sized, and the final global rank runs on the thresholded
+    * pair table. Fixed
+    * DOUBLE expression tree + ROUND(…,6) keeps the scores bit-equal
+    * across engines. */
+  val q196PmiCollocations: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark)
+          """SELECT doc_id, pos, word FROM t
+            |  LATERAL VIEW posexplode(w) p AS pos, word""".stripMargin
+        else
+          """SELECT doc_id, unnest(range(len(w))) AS pos,
+            |         unnest(w) AS word FROM t""".stripMargin
+      val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+      s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
+         |words AS (
+         |$words),
+         |w2 AS (SELECT doc_id, pos, word,
+         |              LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |       FROM words),
+         |uni AS (SELECT word, cu, SUM(cu) OVER () AS n1
+         |        FROM (SELECT word, COUNT(*) AS cu FROM words GROUP BY word) u0),
+         |bi AS (SELECT prev, word, c2, SUM(c2) OVER () AS n2
+         |       FROM (SELECT prev, word, COUNT(*) AS c2 FROM w2
+         |             WHERE prev IS NOT NULL GROUP BY prev, word) b0),
+         |pmi AS (
+         |  SELECT b.prev, b.word, b.c2,
+         |    LN((CAST(b.c2 AS DOUBLE) / CAST(b.n2 AS DOUBLE))
+         |       / ((CAST(ua.cu AS DOUBLE) / CAST(ua.n1 AS DOUBLE))
+         |          * (CAST(ub.cu AS DOUBLE) / CAST(ub.n1 AS DOUBLE)))) AS score
+         |  FROM bi b
+         |  JOIN uni ua ON b.prev = ua.word
+         |  JOIN uni ub ON b.word = ub.word
+         |  WHERE b.c2 >= 5),
+         |r AS (SELECT prev, word, c2, score,
+         |             ROW_NUMBER() OVER (ORDER BY score DESC, prev, word) AS rnk
+         |      FROM pmi)
+         |SELECT CAST(rnk AS INT) AS rnk, prev, word,
+         |       CAST(c2 AS BIGINT) AS n_pair, ROUND(score, 6) AS pmi
+         |FROM r WHERE rnk <= 20
+         |ORDER BY rnk""".stripMargin
+    }
+    QuerySpec.sql2("q196_text_pmi", text(spark = true), text(spark = false))
+  }
+
   /** Interpolated bigram-LM cross-entropy — the KenLM-shaped upgrade of
     * [[q162UnigramLm]]'s fluency proxy: each token scores
     * `λ·P(w|prev) + (1-λ)·P(w)` (λ=0.7) with exact MLE context counts
@@ -1205,5 +1261,5 @@ object TextAnalysis {
     q175SubstringRemove.benched, q162UnigramLm, q177PerplexityBuckets,
     q163BpeMerges, q166UrlCanonicalize, q167BpeEncode,
     q176TokenizerFertility, q169ModelQuality, q183DupNgramCoverage,
-    q184BigramLm.benched)
+    q184BigramLm.benched, q196PmiCollocations)
 }

@@ -664,6 +664,12 @@ class PlanSpec extends EngineSuite {
     }
   }
 
+  test("q195 (funnel): single-pass array fold — events scanned exactly once") {
+    val p = plan("q195_events_funnel_steps")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "funnel re-scans events (stage-chained CTE re-inlining came back): " + p)
+  }
+
   test("q147 (interval bucket join): pure hash join, no nested loop") {
     val p = plan("q147_join_interval_bucket")
     assert(p.contains("BroadcastHashJoin"), p)
