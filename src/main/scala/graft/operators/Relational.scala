@@ -389,10 +389,45 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY flag""".stripMargin)
 
+  /** Referential-integrity audit — the dbt-style relationship test a
+    * pipeline runs after every load: child rows whose foreign key has
+    * no parent, per declared FK edge. Each edge is one NOT EXISTS
+    * (planned as a broadcast/shuffled ANTI join with the parent's key
+    * column only — partial-aggregable count, no row data beyond the
+    * keys moves), and the edges union into one report. Zero orphans is
+    * the expected (and still hash-checked) healthy answer. */
+  val q197FkAudit: QuerySpec = QuerySpec.sql(
+    "q197_fk_orphan_audit",
+    """SELECT fk, n_child, n_orphans FROM (
+      |  SELECT 'customer.c_nationkey -> nation' AS fk,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_child,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+      |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+      |                       WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey -> customer' AS fk,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                       WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey -> orders' AS fk,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey -> part' AS fk,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM part p
+      |                       WHERE p.p_partkey = l.l_partkey)) AS n_orphans
+      |) t ORDER BY fk""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
     q100TpchQ18.benched, q126ExtSource, q141Pivot, q142Unpivot,
-    q172ExtAggPushdown, q178ExtGroupedAgg, q194TableChecksum)
+    q172ExtAggPushdown, q178ExtGroupedAgg, q194TableChecksum, q197FkAudit)
 }
