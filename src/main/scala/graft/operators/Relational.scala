@@ -424,10 +424,34 @@ object Relational {
       |                       WHERE p.p_partkey = l.l_partkey)) AS n_orphans
       |) t ORDER BY fk""".stripMargin)
 
+  /** Column profiling report — the data-quality profile (row count,
+    * nulls, exact distincts, min/max) every load step emits before a
+    * table is trusted, one row per profiled column. A single scan with
+    * per-column aggregates; min/max render to STRING so mixed column
+    * types share one report schema (profiled columns are integer /
+    * date / varchar — rendering classes q182 pins as engine-identical;
+    * doubles would profile via ROUND). COUNT(DISTINCT) per column is
+    * the exact form; at 100 TB swap in ndv() per column (q34's sketch)
+    * for one-pass approximation. */
+  val q198ColumnProfile: QuerySpec = {
+    def text(str: String): String = {
+      def row(c: String): String =
+        s"""SELECT '$c' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS $str) AS vmin, CAST(MAX($c) AS $str) AS vmax
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+        .map(row).mkString("", "\nUNION ALL\n", "\nORDER BY col")
+    }
+    QuerySpec.sql2("q198_column_profile", text("STRING"), text("VARCHAR"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
     q100TpchQ18.benched, q126ExtSource, q141Pivot, q142Unpivot,
-    q172ExtAggPushdown, q178ExtGroupedAgg, q194TableChecksum, q197FkAudit)
+    q172ExtAggPushdown, q178ExtGroupedAgg, q194TableChecksum, q197FkAudit,
+    q198ColumnProfile)
 }
