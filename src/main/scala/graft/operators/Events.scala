@@ -383,8 +383,39 @@ object Events {
       |       ROUND(CAST(COUNT(t3) AS DOUBLE) / COUNT(t1), 6) AS conversion
       |FROM g""".stripMargin)
 
+  /** SLO quantile report — p50/p95/p99 of the event value per event
+    * type in ONE multi-quantile aggregate call (the percentile
+    * aggregate takes the probability array, sorts each group's values
+    * once, and interpolates all three cuts from it), not three
+    * separate percentile passes. Exact, partial-merged, deterministic
+    * regardless of partition order; both engines share the (n-1)·p
+    * linear interpolation so the rounded cuts hash-match. */
+  val q199QuantileReport: QuerySpec = QuerySpec.sql2(
+    "q199_events_quantile_report",
+    """SELECT event_type,
+      |  ROUND(element_at(ps, 1), 4) AS p50,
+      |  ROUND(element_at(ps, 2), 4) AS p95,
+      |  ROUND(element_at(ps, 3), 4) AS p99,
+      |  CAST(n AS BIGINT) AS n_events
+      |FROM (SELECT event_type,
+      |        percentile(value, array(0.5D, 0.95D, 0.99D)) AS ps,
+      |        COUNT(*) AS n
+      |      FROM events GROUP BY event_type) t
+      |ORDER BY event_type""".stripMargin,
+    """SELECT event_type,
+      |  ROUND(ps[1], 4) AS p50,
+      |  ROUND(ps[2], 4) AS p95,
+      |  ROUND(ps[3], 4) AS p99,
+      |  CAST(n AS BIGINT) AS n_events
+      |FROM (SELECT event_type,
+      |        quantile_cont(value, [0.5, 0.95, 0.99]) AS ps,
+      |        COUNT(*) AS n
+      |      FROM events GROUP BY event_type) t
+      |ORDER BY event_type""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
-    q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps)
+    q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
+    q199QuantileReport)
 }
