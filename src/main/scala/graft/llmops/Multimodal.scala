@@ -118,18 +118,28 @@ object Multimodal {
       |ORDER BY doc_id, frame_no""".stripMargin)
 
   /** pHash-style 64-bit perceptual signature over the opaque payload,
-    * emitted as four 16-bit bands: bit c is set when the mean byte of
+    * emitted as four 16-bit bands: bit c is set when the mean sample of
     * the c-th 1/64 slice exceeds the whole payload's mean — the same
     * shape as a real DCT pHash (per-region energy vs global energy)
     * with the stub decoder standing in for the codec. Banded so the
     * dedup join needs no 64-bit packing and the hamming distance is a
-    * per-band XOR popcount. */
+    * per-band XOR popcount.
+    *
+    * The stub "decode" step turns the UTF-8 payload back into Unicode
+    * code points and treats those as the samples. That is deliberate:
+    * DuckDB's `ascii(substr(text, i, 1))` yields the i-th CODE POINT,
+    * so a byte-level stub would diverge from the oracle on any
+    * multi-byte text (different sample values AND a different sample
+    * count). Over code points the two sides agree exactly for all
+    * text — no ASCII-only assumption. */
   private def phashStub(rows: Iterator[RawMedia]): Iterator[(Long, Int, Int, Int, Int)] =
     rows.map { r =>
-      val n = r.media.length
+      val cps = new String(r.media, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
+      val n = cps.length
       var total = 0L
       var i = 0
-      while (i < n) { total += r.media(i) & 0xff; i += 1 }
+      while (i < n) { total += cps(i); i += 1 }
       val mean = if (n == 0) 0.0 else total.toDouble / n
       val chunk = math.max(1, n / 64)
       val bands = new Array[Int](4)
@@ -140,7 +150,7 @@ object Multimodal {
         if (until > from) {
           var s = 0L
           var j = from
-          while (j < until) { s += r.media(j) & 0xff; j += 1 }
+          while (j < until) { s += cps(j); j += 1 }
           if (s.toDouble / (until - from) > mean) bands(c / 16) |= 1 << (c % 16)
         }
         c += 1

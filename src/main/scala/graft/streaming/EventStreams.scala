@@ -383,6 +383,19 @@ object EventStreams {
     * ghost manifest, and [[committedVersion]] needs no data-existence
     * probing. `committed` is the ascending version list INCLUDING the
     * commit just written. */
+  /** Txn replay markers outlive the data versions they committed by
+    * this many versions: a marker is a zero-byte file, so a deep ledger
+    * is nearly free, and it is what keeps [[upsertLatest]]'s replay
+    * no-op durable against a checkpoint restored from an old backup —
+    * the marker must survive even after its version's data was pruned.
+    * The durability horizon is (retainVersions + grace) versions: a
+    * replay from beyond it falls off the ledger and is re-applied.
+    * Latest-wins makes pure upserts idempotent under that, but such a
+    * replay can resurrect keys removed by [[deleteKeys]] since —
+    * restore checkpoints from within the horizon, or re-run the
+    * delete after the restore. */
+  private[graft] val TxnMarkerGraceVersions = 64L
+
   private def retentionSweep(
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       committed: Seq[Long], retainVersions: Int, curStage: String): Unit = {
@@ -402,8 +415,9 @@ object EventStreams {
         }
         if (!fs.listStatus(st.getPath).map(_.getPath.getName).exists(_.startsWith("__bucket=")))
           fs.delete(st.getPath, true)  // no live buckets left in this version
-      } else if (n.startsWith("_txn_") && n.split("_").last.toLong < cutoff) {
-        fs.delete(st.getPath, false)   // txn marker of a pruned version
+      } else if (n.startsWith("_txn_") &&
+          n.split("_").last.toLong < cutoff - TxnMarkerGraceVersions) {
+        fs.delete(st.getPath, false)   // txn marker beyond the replay horizon
       } else if (n.startsWith("_stage_") && n != curStage) {
         fs.delete(st.getPath, true)    // staging debris from a crashed batch
       } else if (n.startsWith("_tmp_manifest_")) {
@@ -591,7 +605,12 @@ object EventStreams {
     val curVer = committedVersion(fs, root).getOrElse(
       throw new IllegalStateException(s"no committed version under $tableDir"))
     val m = readManifest(fs, root, curVer)
-    val byBucket = keys.distinct.groupBy(k => bucketOf(k, m.nBuckets))
+    val kt = manifestKeyType(m)
+    // a key that cannot fit the table's key type cannot be present — it
+    // drops out here exactly like a key whose bucket holds no match
+    val byBucket = keys.distinct
+      .flatMap(k => bucketOf(k, kt, m.nBuckets).map(_ -> k))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     // touch only buckets that actually hold one of the keys — an
     // absent-key delete must not burn a version rewriting identical
     // rows (and a fully-absent key set commits nothing at all)
@@ -641,19 +660,44 @@ object EventStreams {
           (if (retained.isEmpty) "none (table never committed)"
            else retained.mkString("[", ", ", "]")))
     val m = readManifest(fs, root, ver)
-    manifestRead(spark, root, m.dirs.get(bucketOf(userId, m.nBuckets)).toSeq, m.schemaDdl)
+    val dirs = bucketOf(userId, manifestKeyType(m), m.nBuckets)
+      .flatMap(m.dirs.get).toSeq
+    manifestRead(spark, root, dirs, m.schemaDdl)
       .filter(col("user_id") === userId)
   }
 
   /** The writer's `pmod(hash(user_id), nBuckets)` replicated on the
     * driver: `hash()` is Murmur3 with seed 42, `pmod` of a positive
-    * modulus is floorMod. */
-  private[graft] def bucketOf(userId: Long, nBuckets: Int): Int = {
-    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-      Seq(org.apache.spark.sql.catalyst.expressions.Literal(userId)), 42)
-      .eval(null).asInstanceOf[Int]
-    java.lang.Math.floorMod(h, nBuckets)
+    * modulus is floorMod. The hash is computed over a Literal of the
+    * TABLE's key type, not a hardcoded Long: Murmur3 hashes an INT's
+    * 4 bytes differently from a BIGINT's 8, so probing an INT-keyed
+    * table with `Literal(x: Long)` would silently land in the wrong
+    * bucket (lookup empty, delete no-op). The manifest schema names the
+    * authoritative type; `None` means the value cannot fit that type and
+    * therefore cannot be in the table at all. */
+  private[graft] def bucketOf(
+      userId: Long, keyType: org.apache.spark.sql.types.DataType,
+      nBuckets: Int): Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    import org.apache.spark.sql.types._
+    val keyLit: Option[Literal] = keyType match {
+      case LongType    => Some(Literal(userId))
+      case IntegerType => if (userId.isValidInt) Some(Literal(userId.toInt)) else None
+      case ShortType   => if (userId.isValidShort) Some(Literal(userId.toShort)) else None
+      case ByteType    => if (userId.isValidByte) Some(Literal(userId.toByte)) else None
+      case other => throw new IllegalArgumentException(
+        s"bucketed key probes support integral user_id types; table has $other")
+    }
+    keyLit.map(l => java.lang.Math.floorMod(
+      Murmur3Hash(Seq(l), 42).eval(null).asInstanceOf[Int], nBuckets))
   }
+
+  /** The table's key type per its manifest schema; an empty-DDL manifest
+    * (never written by this sink's writer, but tolerated by readers)
+    * falls back to the Event model's BIGINT. */
+  private def manifestKeyType(m: Manifest): org.apache.spark.sql.types.DataType =
+    if (m.schemaDdl.isEmpty) org.apache.spark.sql.types.LongType
+    else org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)("user_id").dataType
 
   /** Row-level change feed between two retained versions (a CDC read
     * over the snapshot history): every key `toVersion` inserted, updated

@@ -608,7 +608,7 @@ class StreamingSpec extends EngineSuite {
       (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSeq == Seq((5L, 100L)))
     // ...reading ONLY the one bucket directory the key hashes into —
     // the scan-pruning property that makes this a PK read, not a scan
-    val bucket = s"__bucket=${EventStreams.bucketOf(5L, 8)}"
+    val bucket = s"__bucket=${EventStreams.bucketOf(5L, org.apache.spark.sql.types.LongType, 8).get}"
     val scanned = hit.inputFiles.toSeq
     assert(scanned.nonEmpty && scanned.forall(_.contains(bucket)), scanned.toString)
     // the driver-side bucket computation really is the writer's:
@@ -620,7 +620,7 @@ class StreamingSpec extends EngineSuite {
           org.apache.spark.sql.functions.lit(8)))
         .head().getInt(0))
     planBuckets.foreach { case (k, b) =>
-      assert(EventStreams.bucketOf(k, 8) == b, s"key $k: driver $b vs ${EventStreams.bucketOf(k, 8)}")
+      assert(EventStreams.bucketOf(k, org.apache.spark.sql.types.LongType, 8).get == b, s"key $k: driver $b vs ${EventStreams.bucketOf(k, org.apache.spark.sql.types.LongType, 8).get}")
     }
     // absent key: empty result, still one bucket touched at most
     assert(EventStreams.lookup(s, dir, 999L).count() == 0)
@@ -690,7 +690,7 @@ class StreamingSpec extends EngineSuite {
     // ...but time travel still sees them before the delete
     assert(EventStreams.readVersion(s, dir, 0L).count() == 32)
     // only the touched buckets were rewritten; the rest carry forward
-    val touched = Seq(5L, 13L).map(k => EventStreams.bucketOf(k, 8)).distinct.toSet
+    val touched = Seq(5L, 13L).map(k => EventStreams.bucketOf(k, org.apache.spark.sql.types.LongType, 8).get).distinct.toSet
     val manifest = scala.io.Source.fromFile(s"$dir/_commit_1").mkString
     val refs = manifest.linesIterator.filterNot(_.startsWith("#"))
       .map { l => val Array(b, d) = l.split("\t", 2); b.toInt -> d }.toMap
@@ -701,7 +701,7 @@ class StreamingSpec extends EngineSuite {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("op"), r.getAs[Long]("event_id")))
     assert(feed.toSet == Set((5L, "delete", 5L), (13L, "delete", 13L)), feed.mkString(", "))
     // deleting every key of one bucket drops the bucket from the manifest
-    val b0Keys = (0L to 31L).filter(k => EventStreams.bucketOf(k, 8) == 0)
+    val b0Keys = (0L to 31L).filter(k => EventStreams.bucketOf(k, org.apache.spark.sql.types.LongType, 8).get == 0)
     EventStreams.deleteKeys(s, dir, b0Keys, retainVersions = 4)
     val manifest2 = scala.io.Source.fromFile(s"$dir/_commit_2").mkString
     assert(!manifest2.linesIterator.filterNot(_.startsWith("#"))
@@ -710,6 +710,62 @@ class StreamingSpec extends EngineSuite {
     // absent keys: a no-op that commits nothing
     EventStreams.deleteKeys(s, dir, Seq(5000L), retainVersions = 4)
     assert(EventStreams.versions(s, dir).max == 2L)
+  }
+
+  test("upsertLatest: point reads and deletes hash with the table's own key type") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val dir = s"/tmp/graft_stream_upsert_intkey_${System.nanoTime()}"
+    // an INT-keyed table: Murmur3 hashes an INT's 4 bytes differently
+    // from a BIGINT's 8, so a probe that hardcoded BIGINT would land in
+    // the wrong bucket and silently miss
+    val batch = Seq.tabulate(32)(i => (i, i.toLong, ts(i + 1), "click", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    EventStreams.upsertLatest(dir, retainVersions = 4, nBuckets = 8)(batch, 0L)
+    // probe a key whose INT and BIGINT hashes really do disagree mod 8
+    // (else the test would pass under the old hardcoded-Long bug too)
+    val probe = (0L until 32L).find(k =>
+      EventStreams.bucketOf(k, IntegerType, 8) != EventStreams.bucketOf(k, LongType, 8)).get
+    val hit = EventStreams.lookup(s, dir, probe)
+    assert(hit.collect().map(_.getAs[Int]("user_id")).toSeq == Seq(probe.toInt))
+    // ...and the scan touched only the key's true (INT-hash) bucket
+    val bucket = s"__bucket=${EventStreams.bucketOf(probe, IntegerType, 8).get}"
+    assert(hit.inputFiles.nonEmpty && hit.inputFiles.forall(_.contains(bucket)),
+      hit.inputFiles.toSeq.toString)
+    EventStreams.deleteKeys(s, dir, Seq(probe), retainVersions = 4)
+    assert(EventStreams.lookup(s, dir, probe).count() == 0)
+    assert(EventStreams.readLatest(s, dir).count() == 31)
+    // a key that cannot fit INT cannot be present: both probes are clean no-ops
+    assert(EventStreams.lookup(s, dir, 5000000000L).count() == 0)
+    EventStreams.deleteKeys(s, dir, Seq(5000000000L), retainVersions = 4)
+    assert(EventStreams.versions(s, dir).max == 1L)
+  }
+
+  test("upsertLatest: replay markers outlive pruned data versions by the grace horizon") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_txngrace_${System.nanoTime()}"
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventStreams.upsertLatest(dir, retainVersions = 1, nBuckets = 4)(df, id)
+    (0L to 3L).foreach(b => sink(Seq(Event(b, b, ts(b.toInt + 1), "click", 1.0)).toDF(), b))
+    // retainVersions=1: only the newest version's data is readable...
+    assert(EventStreams.versions(s, dir) == Seq(3L))
+    // ...but every batch's replay marker survived the data sweep
+    val names = new java.io.File(dir).list().toSeq
+    assert((0L to 3L).forall(b => names.exists(_.startsWith(s"_txn_default_${b}_"))),
+      names.toString)
+    // so replaying batch 0 — whose data version is long pruned — is
+    // still the no-op the commit protocol promises, not a resurrection
+    sink(Seq(Event(0, 999, ts(99), "view", 9.0)).toDF(), 0L)
+    assert(EventStreams.versions(s, dir) == Seq(3L))
+    assert(EventStreams.lookup(s, dir, 0L).collect()
+      .map(_.getAs[Long]("event_id")).toSeq == Seq(0L))
+    // a marker beyond cutoff - grace IS swept: plant an ancient one
+    val stale = new java.io.File(dir, "_txn_ancient_0_-100")
+    assert(stale.createNewFile())
+    sink(Seq(Event(9, 9, ts(9), "click", 1.0)).toDF(), 9L)
+    assert(!stale.exists(), "marker beyond the grace horizon should be swept")
   }
 
   test("upsertLatest: replaying change feeds across the horizon reconstructs the latest state") {
