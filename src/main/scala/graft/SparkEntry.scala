@@ -25,7 +25,9 @@ object SparkEntry {
       llmops.Similarity.all ++
       llmops.TextAnalysis.all ++
       llmops.Multimodal.all ++
-      llmops.Clustering.all
+      llmops.Clustering.all ++
+      llmops.Retrieval.all ++
+      llmops.CorpusStats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

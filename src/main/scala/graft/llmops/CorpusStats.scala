@@ -1,0 +1,153 @@
+package graft.llmops
+
+import graft.QuerySpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistical quality signals — the measurement pass a
+  * curation pipeline runs before choosing filters and mixing weights:
+  * per-document repetition signals (the Gopher repetition filters, Rae
+  * et al. 2021 §A1.1 — the strongest cheap predictor of degenerate
+  * text), per-source lexical statistics (type-token ratio, hapax
+  * fraction), and pairwise Jensen-Shannon divergence between source
+  * unigram distributions (the distance that drives mixing/reweighting
+  * decisions). §8.4 build-brief extensions; no reference analogue.
+  *
+  * Scale design: repetition signals are PURE MAP WORK (higher-order
+  * array functions over each document's own n-grams — zero shuffle at
+  * any corpus size); the lexical/divergence relations are vocab-sized
+  * aggregates ((source, word) keyed — partial-aggregable, skew-bounded
+  * by |vocab| · |sources|), and the divergence pair join runs on that
+  * tiny relation, never on raw tokens. */
+object CorpusStats {
+
+  /** Per-document repetition signals (Gopher-style): duplicate word /
+    * bigram instance fractions and top word / bigram concentration.
+    * Every column is computed from the document's own token array with
+    * higher-order functions — O(len²) within one row, zero shuffle, no
+    * (doc, gram) relation ever materialized. Identity: the number of
+    * instances of duplicated grams is (n − distinct) + #grams-with-c>1,
+    * which needs no per-gram counting relation. Fractions surface as
+    * integer micro-units (exact integer arithmetic → identical
+    * rounding on both engines). */
+  val q204GopherRepetition: QuerySpec = {
+    def text(spark: Boolean): String = {
+      // per-dialect spellings over the same algebra
+      val ws = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+      def sz(e: String) = if (spark) s"size($e)" else s"len($e)"
+      def dedup(e: String) = if (spark) s"array_distinct($e)" else s"list_distinct($e)"
+      def filt(e: String, l: String) = if (spark) s"filter($e, $l)" else s"list_filter($e, $l)"
+      def trans(e: String, l: String) =
+        if (spark) s"transform($e, $l)" else s"list_transform($e, $l)"
+      def amax(e: String) = if (spark) s"array_max($e)" else s"list_aggregate($e, 'max')"
+      val bgs =
+        if (spark)
+          "transform(sequence(0, size(split(text, ' ')) - 2), i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"
+        else
+          "list_transform(range(len(string_split(text, ' ')) - 1), i -> array_to_string(string_split(text, ' ')[i + 1 : i + 2], ' '))"
+      s"""WITH t AS (
+         |  SELECT doc_id, $ws AS w, $bgs AS b FROM documents
+         |  WHERE ${sz(ws)} >= 2),
+         |s AS (
+         |  SELECT doc_id,
+         |    ${sz("w")} AS n_words, ${sz(dedup("w"))} AS d_w,
+         |    ${sz(filt(dedup("w"), s"g -> ${sz(filt("w", "x -> x = g"))} > 1"))} AS dup_w,
+         |    ${amax(trans(dedup("w"), s"g -> ${sz(filt("w", "x -> x = g"))}"))} AS top_w,
+         |    ${sz("b")} AS n_bigrams, ${sz(dedup("b"))} AS d_b,
+         |    ${sz(filt(dedup("b"), s"g -> ${sz(filt("b", "x -> x = g"))} > 1"))} AS dup_b,
+         |    ${amax(trans(dedup("b"), s"g -> ${sz(filt("b", "x -> x = g"))}"))} AS top_b
+         |  FROM t)
+         |SELECT doc_id, n_words, n_bigrams,
+         |  CAST(ROUND((n_words - d_w + dup_w) * 1e6 / n_words) AS BIGINT) AS dup_word_frac_e6,
+         |  CAST(ROUND(top_w * 1e6 / n_words) AS BIGINT) AS top_word_frac_e6,
+         |  CAST(ROUND((n_bigrams - d_b + dup_b) * 1e6 / n_bigrams) AS BIGINT) AS dup_bigram_frac_e6,
+         |  CAST(ROUND(top_b * 1e6 / n_bigrams) AS BIGINT) AS top_bigram_frac_e6
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q204_gopher_repetition", text(spark = true), text(spark = false))
+  }
+
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions — the corpus-mixing distance (which sources are
+    * near-duplicates of each other, which add diversity). The token
+    * stream collapses to a (source, word) count relation in ONE scan;
+    * per-source totals are window sums over that vocab-sized relation
+    * (not a second corpus pass); the pair term needs only words the two
+    * sources SHARE — each side's missing-word mass contributes a
+    * closed-form ½·ln2·(1−Σp) correction, so no zero-filled
+    * source×vocab grid and no cross join ever materializes. The pair
+    * join is the tiny relation against itself on word, bounded by
+    * |sources|² rows per word. Micro-unit output (ln ulp hygiene). */
+  val q205SourceJsDivergence: QuerySpec = QuerySpec(
+    "q205_source_js_divergence",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY source, word),
+      |p AS (SELECT source, word,
+      |        c / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS p
+      |      FROM c),
+      |pair AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, a.p AS pa, b.p AS pb
+      |  FROM p a JOIN p b ON a.word = b.word AND a.source < b.source),
+      |agg AS (
+      |  SELECT source_a, source_b,
+      |    SUM(0.5 * pa * LN(2 * pa / (pa + pb))
+      |      + 0.5 * pb * LN(2 * pb / (pa + pb))) AS inner_term,
+      |    SUM(pa) AS spa, SUM(pb) AS spb
+      |  FROM pair GROUP BY source_a, source_b)
+      |SELECT source_a, source_b,
+      |  CAST(ROUND((inner_term + 0.5 * LN(2) * (2 - spa - spb)) * 1e6) AS BIGINT) AS js_e6
+      |FROM agg ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val c = sp.table("documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val p = c
+      .withColumn("p",
+        col("c").cast("double") / sum("c").over(Window.partitionBy("source")))
+      .select("source", "word", "p")
+      .localCheckpoint() // self-joined below; one corpus scan, not two
+    val a = p.select(col("source").as("source_a"), col("word"), col("p").as("pa"))
+    val b = p.select(col("source").as("source_b"), col("word"), col("p").as("pb"))
+    val ln2 = log(lit(2.0))
+    a.join(b, "word").filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(
+        sum(lit(0.5) * col("pa") * log(lit(2) * col("pa") / (col("pa") + col("pb"))) +
+          lit(0.5) * col("pb") * log(lit(2) * col("pb") / (col("pa") + col("pb"))))
+          .as("inner_term"),
+        sum("pa").as("spa"), sum("pb").as("spb"))
+      .select(col("source_a"), col("source_b"),
+        round((col("inner_term") +
+          lit(0.5) * ln2 * (lit(2.0) - col("spa") - col("spb"))) * lit(1e6))
+          .cast("bigint").as("js_e6"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-source lexical statistics — tokens, vocabulary, type-token
+    * ratio, hapax count/fraction (the vocabulary-health numbers that
+    * catch template-generated or truncated sources before training).
+    * One scan to the (source, word) relation, then a source-keyed
+    * rollup of that vocab-sized relation — both aggregates
+    * partial-merged, nothing keyed on a raw token. */
+  val q206VocabStats: QuerySpec = QuerySpec.sql2(
+    "q206_vocab_stats",
+    """WITH w AS (SELECT source, explode(split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY source, word)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS tokens, COUNT(*) AS vocab,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(ROUND(COUNT(*) * 1e6 / SUM(c)) AS BIGINT) AS ttr_e6,
+      |  CAST(ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1e6 / COUNT(*)) AS BIGINT)
+      |    AS hapax_frac_e6
+      |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY source, word)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS tokens, COUNT(*) AS vocab,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(ROUND(COUNT(*) * 1e6 / SUM(c)) AS BIGINT) AS ttr_e6,
+      |  CAST(ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1e6 / COUNT(*)) AS BIGINT)
+      |    AS hapax_frac_e6
+      |FROM c GROUP BY source ORDER BY source""".stripMargin)
+
+  val all: Seq[QuerySpec] =
+    Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats)
+}

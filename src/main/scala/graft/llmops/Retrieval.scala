@@ -1,0 +1,173 @@
+package graft.llmops
+
+import graft.QuerySpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-side operators of a training-data pipeline: the stages
+  * between "curated corpus" and "retrieval index" — overlapping RAG
+  * chunking, TF-IDF term weighting, BM25 scoring (Robertson/Spärck
+  * Jones probabilistic relevance, the lexical-retrieval baseline), and
+  * inverted-index statistics. The reference has no retrieval surface
+  * (it is a SQL frontend); these are §8.4 build-brief extensions, all
+  * expressed as one-scan aggregate/join plans:
+  *
+  *  - per-document work (chunking) is map-side with zero shuffle;
+  *  - corpus-level term relations (df, totals) are vocab-sized and
+  *    broadcast back, never joined by shuffle;
+  *  - per-document top-k uses a window keyed on doc_id, whose groups
+  *    are bounded by a document's own vocabulary — no hot key at any
+  *    corpus size (the q160/q175 lesson: never window on the TERM).
+  */
+object Retrieval {
+
+  /** Overlapping word-window chunker — the RAG ingestion splitter
+    * (fixed window, fixed stride, trailing partial window kept): 40-word
+    * chunks every 30 words, each fingerprinted for downstream dedup.
+    * Pure per-row computation (split → explode bounded by the doc's own
+    * length) — zero shuffle at any scale; the overlap means chunk
+    * boundaries never cut a span further than 10 words from any word,
+    * the property retrieval recall depends on. */
+  val q200RagChunks: QuerySpec = QuerySpec.sql2(
+    "q200_rag_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, split(text, ' ') AS ws, size(split(text, ' ')) AS nw
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, nw, ws,
+      |    explode(sequence(0, CASE WHEN nw <= 40 THEN 0
+      |      ELSE CAST(CEIL((nw - 40) / 30.0) AS INT) END)) AS chunk_no
+      |  FROM t)
+      |SELECT doc_id, chunk_no,
+      |  LEAST(40, nw - chunk_no * 30) AS n_words,
+      |  md5(concat_ws(' ', slice(ws, chunk_no * 30 + 1, 40))) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS nw
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, nw, ws,
+      |    unnest(range(CASE WHEN nw <= 40 THEN 1
+      |      ELSE CAST(CEIL((nw - 40) / 30.0) AS INT) + 1 END)) AS chunk_no
+      |  FROM t)
+      |SELECT doc_id, chunk_no,
+      |  LEAST(40, nw - chunk_no * 30) AS n_words,
+      |  md5(array_to_string(ws[chunk_no * 30 + 1 : chunk_no * 30 + 40], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_no""".stripMargin)
+
+  /** TF-IDF top-3 terms per document — the classic term-weighting pass
+    * (tf · ln(N/df)). Plan shape for 100 TB: ONE corpus scan builds the
+    * (doc, term, tf) relation, which is materialized once
+    * (localCheckpoint — it feeds both the df aggregate and the scoring
+    * join, and Spark re-inlines shared subtrees); df is a VOCAB-sized
+    * aggregate broadcast back to the tf relation (never a shuffle
+    * join); N is a metadata-only count-star scan. The top-3 window
+    * partitions by doc_id — group size bounded by one document's
+    * vocabulary, immune to corpus growth. Scores surface as integer
+    * micro-units so the differential gate is not exposed to
+    * cross-engine ln() ulp drift. */
+  val q201TfidfTopk: QuerySpec = QuerySpec(
+    "q201_tfidf_topk",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |        tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS score
+      |      FROM tf JOIN df USING (word) CROSS JOIN n),
+      |r AS (SELECT s.*, ROW_NUMBER() OVER (
+      |        PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM s)
+      |SELECT doc_id, word, tf, df,
+      |  CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, score_e6 DESC, word""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val tf = sp.table("documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the df aggregate AND the scoring join
+    val dfRel = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = sp.table("documents").agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(dfRel), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("score") * lit(1e6)).cast("bigint").as("score_e6"))
+      .orderBy(col("doc_id"), col("score_e6").desc, col("word"))
+  }
+
+  /** BM25 document scoring for a fixed lexical query (k1 = 1.2,
+    * b = 0.75, the Robertson idf with +1 smoothing) — the retrieval
+    * baseline every hybrid-search pipeline keeps next to its ANN leg
+    * (q85). One corpus scan computes per-document length AND the
+    * query-term tfs together (the term filter prunes the exploded
+    * stream before the aggregate); corpus stats (N, avgdl) are one
+    * metadata-light aggregate broadcast into the scoring expression.
+    * No per-term state anywhere — scoring a 3-term query over 100 TB
+    * is one scan + one vocab-row broadcast. Scores in integer
+    * micro-units (cross-engine ln() ulp hygiene, q201's argument). */
+  val q202Bm25: QuerySpec = QuerySpec(
+    "q202_bm25_retrieval",
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |q AS (SELECT doc_id, dl, word, COUNT(*) AS tf FROM t
+      |      WHERE word IN ('dup', 'spark', 'hash') GROUP BY 1, 2, 3),
+      |df AS (SELECT word, COUNT(*) AS df FROM q GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n,
+      |         AVG(len(string_split(text, ' '))) AS avgdl FROM documents),
+      |sc AS (SELECT q.doc_id,
+      |    LN((CAST(st.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |      * q.tf * 2.2
+      |      / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / st.avgdl)) AS contrib
+      |  FROM q JOIN df USING (word) CROSS JOIN st)
+      |SELECT doc_id, CAST(ROUND(SUM(contrib) * 1e6) AS BIGINT) AS score_e6
+      |FROM sc GROUP BY doc_id ORDER BY score_e6 DESC, doc_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val docs = sp.table("documents")
+    val t = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").isin("dup", "spark", "hash"))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the df aggregate AND the scoring join
+    val dfRel = t.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(split(col("text"), " "))).as("avgdl"))
+    val scored = t.join(broadcast(dfRel), "word").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib", col("idf") * col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    scored.groupBy("doc_id").agg(sum("contrib").as("score"))
+      .select(col("doc_id"),
+        round(col("score") * lit(1e6)).cast("bigint").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+  }
+
+  /** Inverted-index statistics — per term: document frequency, total
+    * postings, and the doc-id range of its posting list. Everything is
+    * partial-aggregable (COUNT DISTINCT on the (term, doc) pre-grouped
+    * pairs, MIN/MAX), so the plan is one scan + one vocab-sized
+    * aggregate with map-side combine — no per-term list is ever
+    * collected (a stopword's full posting list is the classic hot key;
+    * materializing actual lists is [[graft.operators.Layout]]'s
+    * bucketed-write path, where the list is a SORTED DATA LAYOUT, not
+    * an in-memory aggregate). */
+  val q203IndexStats: QuerySpec = QuerySpec.sql2(
+    "q203_index_stats",
+    """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)
+      |SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM w GROUP BY word ORDER BY df DESC, word""".stripMargin,
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM w GROUP BY word ORDER BY df DESC, word""".stripMargin)
+
+  val all: Seq[QuerySpec] =
+    Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats)
+}
