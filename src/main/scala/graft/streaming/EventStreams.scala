@@ -749,6 +749,74 @@ object EventStreams {
         cols.map(c => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)): _*)
   }
 
+  /** What one [[consumeChanges]] delivery covers: the half-open version
+    * interval (fromVersion, toVersion], with fromVersion None on the
+    * initial snapshot. `resync = true` means the consumer's cursor had
+    * fallen off the table's retention horizon, so the delivery is the
+    * FULL current snapshot (all op=insert) and must replace, not
+    * increment, the consumer's state. */
+  final case class ChangeBatch(fromVersion: Option[Long], toVersion: Long, resync: Boolean)
+
+  /** Incremental change-feed consumer — the downstream-subscription
+    * shape over the versioned table (how a CDC feed is actually drained
+    * by a dependent pipeline): a durable cursor under `cursorDir`
+    * records the last version fully processed; each call hands `f`
+    * exactly the (cursor, current] delta via [[changesBetween]] —
+    * O(changed buckets), not O(table) — and advances the cursor ONLY
+    * after `f` returns. A consumer that crashes mid-`f` re-receives the
+    * same delta next call: at-least-once, so pair it with an idempotent
+    * sink (this module's own upsert protocol is one). Returns false
+    * when the cursor is already current (nothing delivered).
+    *
+    * First call (no cursor) delivers the current snapshot as op=insert
+    * rows. A consumer that falls behind the writer's retention cannot
+    * reconstruct the missed deltas from pruned versions — the call then
+    * RESYNCS (full snapshot, `resync = true` in the batch descriptor)
+    * rather than failing or silently skipping. The cursor advance is
+    * write-tmp + rename; the non-atomic delete-then-rename window can
+    * at worst lose the cursor, which degrades to a redelivered
+    * snapshot — never a skipped delta. */
+  def consumeChanges(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      cursorDir: String)(f: (DataFrame, ChangeBatch) => Unit): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = committedVersion(fs, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $tableDir"))
+    val cdir = new Path(cursorDir)
+    val cfs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cpath = new Path(cdir, "cursor")
+    val last: Option[Long] =
+      if (cfs.exists(cpath)) {
+        val in = cfs.open(cpath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      } else None
+    if (last.contains(cur)) return false
+    def snapshotInserts(): DataFrame = {
+      val snap = manifestDf(spark, fs, root, cur)
+      snap.select(lit("insert").as("op") +: snap.columns.map(col): _*)
+    }
+    val retained = versions(spark, tableDir)
+    val (df, batch) = last match {
+      case None =>
+        (snapshotInserts(), ChangeBatch(None, cur, resync = false))
+      case Some(v) if retained.contains(v) =>
+        (changesBetween(spark, tableDir, v, cur), ChangeBatch(Some(v), cur, resync = false))
+      case Some(v) => // cursor below the retention horizon: full resync
+        (snapshotInserts(), ChangeBatch(Some(v), cur, resync = true))
+    }
+    f(df, batch)
+    cfs.mkdirs(cdir)
+    val tmp = new Path(cdir, s"_tmp_cursor_$cur")
+    val out = cfs.create(tmp, true)
+    try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
+    cfs.delete(cpath, false)
+    if (!cfs.rename(tmp, cpath))
+      throw new IllegalStateException(s"could not advance cursor at $cpath")
+    true
+  }
+
   /** The DataFrame a committed manifest describes: the union of its
     * per-bucket directories, or an empty frame carrying the recorded
     * schema when the manifest references no data (a committed-but-empty

@@ -742,6 +742,55 @@ class StreamingSpec extends EngineSuite {
     assert(EventStreams.versions(s, dir).max == 1L)
   }
 
+  test("upsertLatest: consumeChanges drains the feed exactly once per advance, at-least-once under crashes") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_consume_${System.nanoTime()}"
+    val cursor = s"$dir-cursor"
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventStreams.upsertLatest(dir, retainVersions = 4, nBuckets = 8)(df, id)
+    def drain(): Option[(Seq[(String, Long, Long)], EventStreams.ChangeBatch)] = {
+      var got: Option[(Seq[(String, Long, Long)], EventStreams.ChangeBatch)] = None
+      val any = EventStreams.consumeChanges(s, dir, cursor) { (df, b) =>
+        got = Some((df.collect().map(r => (r.getAs[String]("op"),
+          r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSeq.sorted, b))
+      }
+      assert(any == got.nonEmpty)
+      got
+    }
+    sink(Seq(Event(1, 1, ts(1), "click", 1.0), Event(2, 2, ts(2), "view", 2.0)).toDF(), 0L)
+    // initial drain: the whole snapshot as inserts, cursor lands on v0
+    val Some((first, b1)) = drain()
+    assert(first == Seq(("insert", 1L, 1L), ("insert", 2L, 2L)))
+    assert(b1 == EventStreams.ChangeBatch(None, 0L, resync = false))
+    // nothing new: no delivery, f not invoked
+    assert(drain().isEmpty)
+    // an update + an insert arrive; the drain hands exactly that delta
+    sink(Seq(Event(1, 10, ts(10), "view", 3.0), Event(3, 11, ts(11), "click", 4.0)).toDF(), 1L)
+    val Some((delta, b2)) = drain()
+    assert(delta == Seq(("insert", 3L, 11L), ("update", 1L, 10L)))
+    assert(b2 == EventStreams.ChangeBatch(Some(0L), 1L, resync = false))
+    // a crashed consumer leaves the cursor put and is redelivered
+    EventStreams.deleteKeys(s, dir, Seq(2L), retainVersions = 4)
+    intercept[RuntimeException](EventStreams.consumeChanges(s, dir, cursor) {
+      (_, _) => throw new RuntimeException("consumer died")
+    })
+    val Some((del, b3)) = drain()
+    assert(del == Seq(("delete", 2L, 2L)))
+    assert(b3 == EventStreams.ChangeBatch(Some(1L), 2L, resync = false))
+    // fall behind the horizon: writer retention prunes the cursor's
+    // version → the drain resyncs with the full snapshot, flagged
+    (3L to 9L).foreach(i =>
+      EventStreams.upsertLatest(dir, retainVersions = 1, nBuckets = 8)(
+        Seq(Event(9, 90 + i, ts(20 + i.toInt), "view", 1.0)).toDF(), i))
+    val Some((resync, b4)) = drain()
+    assert(b4.resync && b4.fromVersion.contains(2L) && b4.toVersion == 9L, b4.toString)
+    assert(resync.forall(_._1 == "insert") &&
+      resync.map(_._2).toSet == Set(1L, 3L, 9L), resync.toString)
+    // and the consumer is current again afterwards
+    assert(drain().isEmpty)
+  }
+
   test("upsertLatest: replay markers outlive pruned data versions by the grace horizon") {
     val s = spark
     import s.implicits._
