@@ -562,7 +562,64 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Supervised triplet mining for contrastive training — per anchor,
+    * the HARDEST positive (same label, lowest cosine: the pair the
+    * model most needs to pull together) and the top-3 hard negatives
+    * (different label, highest cosine: the pairs it most needs to push
+    * apart). The scored relation is the [[q85BruteTopK]] shape —
+    * broadcast sampled anchors × one corpus scan — split by
+    * label-match into two anchor-keyed rank windows (groups bounded by
+    * the candidate set, anchors sampled). At 100 TB the candidate set
+    * comes from the ANN leg (q86/q87) instead of the full corpus; the
+    * mining algebra after it is unchanged. */
+  val q207TripletMining: QuerySpec = QuerySpec(
+    "q207_triplet_mining",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (
+      |  SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
+      |    q.label = c.label AS same,
+      |    list_cosine_similarity(q.v, c.v) AS cos
+      |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |pos AS (
+      |  SELECT anchor_id, 'pos' AS role, ROW_NUMBER() OVER (
+      |      PARTITION BY anchor_id ORDER BY cos ASC, cand_id) AS rank,
+      |    cand_id, cos FROM s WHERE same),
+      |neg AS (
+      |  SELECT anchor_id, 'neg' AS role, ROW_NUMBER() OVER (
+      |      PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rank,
+      |    cand_id, cos FROM s WHERE NOT same)
+      |SELECT anchor_id, role, rank, cand_id, ROUND(cos, 6) AS cos
+      |FROM (SELECT * FROM pos WHERE rank <= 1
+      |      UNION ALL SELECT * FROM neg WHERE rank <= 3) t
+      |ORDER BY anchor_id, role, rank""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+    val e = vecs(sp)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("anchor_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id").as("cand_id"),
+        (col("qlabel") === col("label")).as("same"),
+        expr(cosSql("qv", "v")).as("cos"))
+      .localCheckpoint() // feeds both role branches; one corpus scan
+    val pos = scored.filter(col("same"))
+      .withColumn("role", lit("pos"))
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("anchor_id")).orderBy(col("cos").asc, col("cand_id"))))
+      .filter(col("rank") <= 1)
+    val neg = scored.filter(!col("same"))
+      .withColumn("role", lit("neg"))
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rank") <= 3)
+    pos.unionByName(neg)
+      .select(col("anchor_id"), col("role"), col("rank"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("anchor_id"), col("role"), col("rank"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q85BruteTopK.benched, q86LshBucketed, q87IvfProbe, q149PqAdc, q161AnnInt8,
-    q168PoolNormalize, q185AnnRecall, q193AnnMatryoshka)
+    q168PoolNormalize, q185AnnRecall, q193AnnMatryoshka, q207TripletMining)
 }
