@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QuerySpec
 
@@ -159,37 +159,19 @@ object Dedup {
     * single-pass custom expression (graft.functions.Shingles64). */
   private val shingleSql = "shingles64(text)"
 
-  /** MinHash + LSH near-duplicate pairs at Jaccard ≥ 0.8.
+  /** Verified near-duplicate pairs at word-3-gram Jaccard ≥ 0.8 —
+    * the LSH pipeline shared by [[q81MinHashLsh]] and the dedup-method
+    * ablation report (q208/q209). Returns (doc_id_a < doc_id_b, j).
     *
-    * Pipeline: shingle (word 3-grams, hashed) → 64-hash MinHash signature
-    * → 16 bands × 4 rows → band-bucket self-join → exact-Jaccard verify.
-    * With r=4, b=16 a pair at J=0.9 is missed with prob (1-0.9⁴)¹⁶ ≈ 4e-8,
-    * so the exact all-pairs DuckDB oracle is a safe differential check at
-    * test scale while the Spark plan stays O(n·bands) at 100 TB. */
-  val q81MinHashLsh: QuerySpec = QuerySpec(
-    "q81_dedup_minhash_lsh",
-    """WITH g AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
-      |         ELSE list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
-      |           i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) END AS sh
-      |  FROM documents)
-      |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-      |FROM g a JOIN g b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / len(list_distinct(a.sh || b.sh)) >= 0.8
-      |ORDER BY doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
-    val sp = QuerySpec.prepared(s, dir)
-    // 64 minhashes in one pass (graft.functions.MinHash64); band b hashes
-    // signature rows [4b, 4b+4). ONE corpus-wide shingle+signature pass:
-    // bucket pairs expand through boundedPairs (skew armor — a bucket of
-    // identical boilerplate becomes bounded sub-tasks, never one O(k²)
-    // task), and the exact-Jaccard verify recomputes shingles only for
-    // the (few) candidate docs after a semi-join (no broadcast hint: the
-    // candidate set is O(corpus) in a duplicate-heavy corpus, so AQE
-    // picks broadcast vs shuffle from the actual size).
+    * 64 minhashes in one pass (graft.functions.MinHash64); band b hashes
+    * signature rows [4b, 4b+4). ONE corpus-wide shingle+signature pass:
+    * bucket pairs expand through boundedPairs (skew armor — a bucket of
+    * identical boilerplate becomes bounded sub-tasks, never one O(k²)
+    * task), and the exact-Jaccard verify recomputes shingles only for
+    * the (few) candidate docs after a semi-join (no broadcast hint: the
+    * candidate set is O(corpus) in a duplicate-heavy corpus, so AQE
+    * picks broadcast vs shuffle from the actual size). */
+  private def nearDupJaccard(sp: SparkSession): DataFrame = {
     // localCheckpoint: `pairs` is consumed three times below (both candId
     // branches + the verify join) — without materialization the whole
     // corpus scan+shuffle pipeline would re-execute per consumer.
@@ -218,6 +200,47 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("j"))
       .filter(col("j") >= 0.8)
+  }
+
+  /** The DuckDB-side exact all-pairs grounding of [[nearDupJaccard]]:
+    * CTEs `g` (word-3-gram shingle sets) and `np` (verified pairs). */
+  private val nearDupOracleCtes =
+    """g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+      |         ELSE list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+      |           i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) END AS sh
+      |  FROM documents),
+      |np AS (
+      |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(a.sh || b.sh)) >= 0.8)""".stripMargin
+
+  /** MinHash + LSH near-duplicate pairs at Jaccard ≥ 0.8.
+    *
+    * Pipeline: shingle (word 3-grams, hashed) → 64-hash MinHash signature
+    * → 16 bands × 4 rows → band-bucket self-join → exact-Jaccard verify.
+    * With r=4, b=16 a pair at J=0.9 is missed with prob (1-0.9⁴)¹⁶ ≈ 4e-8,
+    * so the exact all-pairs DuckDB oracle is a safe differential check at
+    * test scale while the Spark plan stays O(n·bands) at 100 TB. */
+  val q81MinHashLsh: QuerySpec = QuerySpec(
+    "q81_dedup_minhash_lsh",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+      |         ELSE list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+      |           i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) END AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.8
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    nearDupJaccard(sp)
       .select(col("doc_id_a"), col("doc_id_b"), round(col("j"), 4).as("jaccard"))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
@@ -903,10 +926,174 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** (method, doc_id) of documents each dedup method would remove under
+    * the standard keep-first (lowest doc_id wins its group) policy.
+    * Methods: `exact` (whole-text key), `prefix80` (leading-80-char key,
+    * the CCNet-style truncation-dup catch), `near08` (verified 3-gram
+    * Jaccard ≥ 0.8 via the LSH pipeline). Keep-first is expressed as the
+    * skew-free MIN-aggregate + probe join — never a window over the
+    * (possibly degenerate) key group. */
+  private def removedSets(sp: SparkSession): DataFrame = {
+    val docs = sp.table("documents").select(col("doc_id"), col("text"))
+    def keyRemoved(method: String, key: Column): DataFrame = {
+      val groups = docs.groupBy(key.as("k")).agg(min(col("doc_id")).as("keep"))
+      docs.select(key.as("k"), col("doc_id"))
+        .join(groups, "k")
+        .filter(col("doc_id") =!= col("keep"))
+        .select(lit(method).as("method"), col("doc_id"))
+    }
+    keyRemoved("exact", col("text"))
+      .unionByName(keyRemoved("prefix80", substring(col("text"), 1, 80)))
+      .unionByName(nearDupJaccard(sp).select(col("doc_id_b").as("doc_id")).distinct()
+        .select(lit("near08").as("method"), col("doc_id")))
+  }
+
+  /** Dedup-method ablation report — the measurement pass a curation run
+    * does before committing to a dedup policy: for each method, how many
+    * duplicate pairs it finds and how many documents/tokens the
+    * keep-first policy would drop. The three methods share one corpus
+    * scan shape each (hash-groupBy for the key methods, the banded LSH
+    * pipeline for near08); every per-method statistic is a partial-
+    * aggregable rollup, so the report costs the methods themselves plus
+    * three O(1)-row aggregates. Always emits exactly 3 rows (one per
+    * method), zeros included — a corpus with no duplicates still gets a
+    * hash-checked answer. */
+  val q208DedupAblation: QuerySpec = QuerySpec(
+    "q208_dedup_ablation",
+    s"""WITH d AS (SELECT doc_id, text, len(string_split(text,' ')) AS n_words FROM documents),
+       |eg AS (SELECT text AS k, MIN(doc_id) AS keep, COUNT(*) AS cnt FROM d GROUP BY 1),
+       |pg AS (SELECT substr(text,1,80) AS k, MIN(doc_id) AS keep, COUNT(*) AS cnt FROM d GROUP BY 1),
+       |$nearDupOracleCtes,
+       |er AS (SELECT d.doc_id, d.n_words FROM d JOIN eg ON d.text = eg.k WHERE d.doc_id <> eg.keep),
+       |pr AS (SELECT d.doc_id, d.n_words FROM d JOIN pg ON substr(d.text,1,80) = pg.k WHERE d.doc_id <> pg.keep),
+       |nr AS (SELECT d.doc_id, d.n_words FROM d JOIN (SELECT DISTINCT doc_id_b AS doc_id FROM np) x USING (doc_id))
+       |SELECT 'exact' AS method,
+       |  CAST(COALESCE((SELECT SUM(cnt * (cnt - 1) // 2) FROM eg), 0) AS BIGINT) AS n_pairs,
+       |  CAST((SELECT COUNT(*) FROM er) AS BIGINT) AS n_removed,
+       |  CAST(COALESCE((SELECT SUM(n_words) FROM er), 0) AS BIGINT) AS removed_tokens
+       |UNION ALL
+       |SELECT 'near08',
+       |  CAST((SELECT COUNT(*) FROM np) AS BIGINT),
+       |  CAST((SELECT COUNT(*) FROM nr) AS BIGINT),
+       |  CAST(COALESCE((SELECT SUM(n_words) FROM nr), 0) AS BIGINT)
+       |UNION ALL
+       |SELECT 'prefix80',
+       |  CAST(COALESCE((SELECT SUM(cnt * (cnt - 1) // 2) FROM pg), 0) AS BIGINT),
+       |  CAST((SELECT COUNT(*) FROM pr) AS BIGINT),
+       |  CAST(COALESCE((SELECT SUM(n_words) FROM pr), 0) AS BIGINT)
+       |ORDER BY method""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val docs = sp.table("documents")
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+    def keyStats(method: String, key: Column): (DataFrame, DataFrame) = {
+      // localCheckpoint: the group relation feeds both the pair-count
+      // aggregate and the removed-doc probe join
+      val groups = docs.groupBy(key.as("k"))
+        .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val nPairs = groups
+        .agg(coalesce(sum(expr("cnt * (cnt - 1) DIV 2")), lit(0L)).as("n_pairs"))
+        .select(lit(method).as("method"), col("n_pairs"))
+      val removed = docs.select(key.as("k"), col("doc_id"), col("n_words"))
+        .join(groups.select(col("k"), col("keep")), "k")
+        .filter(col("doc_id") =!= col("keep"))
+        .select(lit(method).as("method"), col("doc_id"), col("n_words"))
+      (nPairs, removed)
+    }
+    val (ep, er) = keyStats("exact", col("text"))
+    val (pp, pr) = keyStats("prefix80", substring(col("text"), 1, 80))
+    val np = nearDupJaccard(sp).localCheckpoint() // pair count + removed set
+    val npairs = np.agg(count(lit(1)).as("n_pairs"))
+      .select(lit("near08").as("method"), col("n_pairs"))
+    val nr = np.select(col("doc_id_b").as("doc_id")).distinct()
+      .join(docs.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+      .select(lit("near08").as("method"), col("doc_id"), col("n_words"))
+    val pairStats = ep.unionByName(npairs).unionByName(pp)
+    val remStats = er.unionByName(nr).unionByName(pr)
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_removed"), sum(col("n_words")).as("removed_tokens"))
+    pairStats.join(remStats, Seq("method"), "left")
+      .select(col("method"), col("n_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+      .orderBy("method")
+  }
+
+  /** Pairwise agreement between the dedup methods' removed-document
+    * sets — which methods are redundant with each other and which catch
+    * distinct duplicates (the number that decides whether running both
+    * is worth a second pass at 100 TB). The heavy lifting is the methods
+    * themselves; the agreement algebra runs on the tiny (method, doc_id)
+    * relation: per-method counts and the intersection join are both
+    * doc_id-keyed partial aggregates. The 3×3 method scaffold guarantees
+    * all 3 pair rows exist even when every set is empty (empty = perfect
+    * agreement, jaccard_e6 = 1000000). */
+  val q209DedupAgreement: QuerySpec = QuerySpec(
+    "q209_dedup_agreement",
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |eg AS (SELECT text AS k, MIN(doc_id) AS keep FROM d GROUP BY 1),
+       |pg AS (SELECT substr(text,1,80) AS k, MIN(doc_id) AS keep FROM d GROUP BY 1),
+       |$nearDupOracleCtes,
+       |r AS (
+       |  SELECT 'exact' AS method, d.doc_id FROM d JOIN eg ON d.text = eg.k WHERE d.doc_id <> eg.keep
+       |  UNION ALL
+       |  SELECT 'prefix80', d.doc_id FROM d JOIN pg ON substr(d.text,1,80) = pg.k WHERE d.doc_id <> pg.keep
+       |  UNION ALL
+       |  SELECT 'near08', doc_id FROM (SELECT DISTINCT doc_id_b AS doc_id FROM np)),
+       |c AS (SELECT method, COUNT(*) AS n FROM r GROUP BY 1),
+       |m AS (SELECT * FROM (VALUES ('exact'), ('near08'), ('prefix80')) t(method)),
+       |mp AS (SELECT x.method AS ma, y.method AS mb FROM m x JOIN m y ON x.method < y.method),
+       |bt AS (SELECT p.method AS ma, q.method AS mb, COUNT(*) AS nb
+       |       FROM r p JOIN r q ON p.doc_id = q.doc_id AND p.method < q.method GROUP BY 1, 2)
+       |SELECT mp.ma AS method_a, mp.mb AS method_b,
+       |  CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_a,
+       |  CAST(COALESCE(cb.n, 0) AS BIGINT) AS n_b,
+       |  CAST(COALESCE(bt.nb, 0) AS BIGINT) AS n_both,
+       |  CAST(CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(bt.nb, 0) = 0 THEN 1000000
+       |       ELSE ROUND(COALESCE(bt.nb, 0) * 1e6
+       |                  / (COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(bt.nb, 0))) END AS BIGINT) AS jaccard_e6
+       |FROM mp
+       |LEFT JOIN bt ON mp.ma = bt.ma AND mp.mb = bt.mb
+       |LEFT JOIN c ca ON ca.method = mp.ma
+       |LEFT JOIN c cb ON cb.method = mp.mb
+       |ORDER BY method_a, method_b""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    // localCheckpoint: the removed-set relation is consumed three times
+    // (per-method counts + both sides of the intersection join)
+    val r = removedSets(sp).localCheckpoint()
+    val counts = r.groupBy("method").agg(count(lit(1)).as("n"))
+    val methods = sp.sql(
+      "SELECT * FROM VALUES ('exact'), ('near08'), ('prefix80') AS t(method)")
+    val mp = methods.select(col("method").as("method_a"))
+      .join(methods.select(col("method").as("method_b")),
+        col("method_a") < col("method_b"))
+    val bt = r.select(col("method").as("method_a"), col("doc_id"))
+      .join(r.select(col("method").as("method_b"), col("doc_id")), Seq("doc_id"))
+      .filter(col("method_a") < col("method_b"))
+      .groupBy("method_a", "method_b").agg(count(lit(1)).as("n_both"))
+    mp.join(bt, Seq("method_a", "method_b"), "left")
+      .join(counts.select(col("method").as("method_a"), col("n").as("n_a")),
+        Seq("method_a"), "left")
+      .join(counts.select(col("method").as("method_b"), col("n").as("n_b")),
+        Seq("method_b"), "left")
+      .select(col("method_a"), col("method_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+      .withColumn("u", col("n_a") + col("n_b") - col("n_both"))
+      .withColumn("jaccard_e6",
+        when(col("u") === 0, lit(1000000L))
+          .otherwise(round(col("n_both") * lit(1e6) / col("u")).cast("long")))
+      .drop("u")
+      .orderBy("method_a", "method_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q186CanonicalPick,
     q101CrossLang, q151IncrementalDedup, q152CorpusDiff, q164SemDeDup,
-    q179CdcChunking, q180CrossSourceOverlap)
+    q179CdcChunking, q180CrossSourceOverlap, q208DedupAblation,
+    q209DedupAgreement)
 }

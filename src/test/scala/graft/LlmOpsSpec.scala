@@ -547,6 +547,31 @@ class LlmOpsSpec extends EngineSuite {
     assert(r.map(_.getAs[Long]("n_hits")).sum > 0, "LSH index found nothing")
   }
 
+  test("q208/q209 dedup ablation agrees with the underlying method outputs") {
+    val ab = llmops.Dedup.q208DedupAblation.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ab.keySet == Set("exact", "near08", "prefix80"))
+    // near08's pair count is exactly the q81 pipeline's verified pair set
+    assert(ab("near08")._1 == llmops.Dedup.q81MinHashLsh.run(spark, sfDir).count())
+    // identical texts share prefixes: exact removals ⊆ prefix80 removals
+    assert(ab("exact")._2 <= ab("prefix80")._2)
+    // every removed doc pairs with its keeper, so pairs ≥ removals
+    ab.foreach { case (m, (pairs, removed, _)) =>
+      assert(removed <= pairs, s"$m removed $removed > pairs $pairs")
+    }
+    val ag = llmops.Dedup.q209DedupAgreement.run(spark, sfDir).collect()
+    assert(ag.length == 3, "one row per method pair")
+    ag.foreach { r =>
+      val (na, nb, both) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(both <= math.min(na, nb), s"intersection exceeds a set size: $r")
+      assert(na == ab(r.getString(0))._2 && nb == ab(r.getString(1))._2,
+        s"q209 set sizes disagree with q208 removal counts: $r")
+    }
+    // exact ⊆ prefix80 ⇒ their intersection is the whole exact set
+    val ep = ag.find(r => r.getString(0) == "exact" && r.getString(1) == "prefix80").get
+    assert(ep.getLong(4) == ep.getLong(2))
+  }
+
   test("q207 triplet mining: hardest positive and top-3 negatives per anchor") {
     val r = llmops.Similarity.q207TripletMining.run(spark, sfDir).collect()
     val byAnchor = r.groupBy(_.getAs[Long]("anchor_id"))
