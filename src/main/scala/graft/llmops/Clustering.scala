@@ -55,31 +55,48 @@ object Clustering {
     * whole algorithm — seeds, both Lloyd rounds (exact DECIMAL(27,18)
     * sums, double division), final assignment, and the hash-picked
     * sample. Determinism under repartitioning pinned in ClusteringSpec. */
+  // one assignment pass: nearest centroid per vector (ties → lowest id)
+  private def assignSql(cents: String): String =
+    s"""SELECT vec_id, v, cluster FROM (
+       |    SELECT e.vec_id, e.v, c.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cluster) AS r
+       |    FROM e CROSS JOIN $cents c) t WHERE r = 1""".stripMargin
+
+  // element-wise mean via exact decimal sums, divided as doubles;
+  // dimension derived from the vectors themselves (range(len(v))),
+  // matching the Spark side's posexplode — no hardcoded fixture dim
+  private def recomputeSql(assigned: String): String =
+    s"""SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT cluster, pos,
+       |      CAST(SUM(CAST(v[pos + 1] AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+       |    FROM (SELECT cluster, v, unnest(range(len(v))) AS pos FROM $assigned) x
+       |    GROUP BY cluster, pos) t GROUP BY cluster""".stripMargin
+
+  /** The replayed-kmeans oracle prologue shared by q97 and q211: seeds →
+    * two Lloyd rounds → converged centroids `c2`. */
+  private def kmeansOracleCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e WHERE vec_id % 50 = 0),
+       |a1 AS (${assignSql("c0")}),
+       |c1 AS (${recomputeSql("a1")}),
+       |a2 AS (${assignSql("c1")}),
+       |c2 AS (${recomputeSql("a2")})""".stripMargin
+
+  /** Deterministic two-round Lloyd centroids on the Spark side — the
+    * DataFrame twin of [[kmeansOracleCtes]]. */
+  private def kmeansCentroids(e: DataFrame): DataFrame = {
+    var cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+    for (_ <- 1 to 2)
+      cents = recompute(assign(e, cents))
+    cents
+  }
+
   val q97KmeansBalanced: QuerySpec = {
-    // one assignment pass: nearest centroid per vector (ties → lowest id)
-    def assignSql(cents: String): String =
-      s"""SELECT vec_id, v, cluster FROM (
-         |    SELECT e.vec_id, e.v, c.cluster,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cluster) AS r
-         |    FROM e CROSS JOIN $cents c) t WHERE r = 1""".stripMargin
-    // element-wise mean via exact decimal sums, divided as doubles;
-    // dimension derived from the vectors themselves (range(len(v))),
-    // matching the Spark side's posexplode — no hardcoded fixture dim
-    def recomputeSql(assigned: String): String =
-      s"""SELECT cluster, list(m ORDER BY pos) AS cv FROM (
-         |    SELECT cluster, pos,
-         |      CAST(SUM(CAST(v[pos + 1] AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
-         |    FROM (SELECT cluster, v, unnest(range(len(v))) AS pos FROM $assigned) x
-         |    GROUP BY cluster, pos) t GROUP BY cluster""".stripMargin
     QuerySpec(
       "q97_embed_kmeans_balanced",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e WHERE vec_id % 50 = 0),
-         |a1 AS (${assignSql("c0")}),
-         |c1 AS (${recomputeSql("a1")}),
-         |a2 AS (${assignSql("c1")}),
-         |c2 AS (${recomputeSql("a2")}),
+      s"""WITH $kmeansOracleCtes,
          |fin AS (${assignSql("c2")}),
          |picked AS (
          |  SELECT vec_id, cluster,
@@ -92,11 +109,7 @@ object Clustering {
          |ORDER BY cluster""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val e = vecs(sp)
-    var cents = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
-    for (_ <- 1 to 2)
-      cents = recompute(assign(e, cents))
-    val fin = assign(e, cents)
+    val fin = assign(e, kmeansCentroids(e))
       .withColumn("pick", row_number().over(
         Window.partitionBy(col("cluster"))
           .orderBy(pmod(col("vec_id") * 2654435761L, lit(99991)), col("vec_id"))))
@@ -109,5 +122,70 @@ object Clustering {
     }
   }
 
-  val all: Seq[QuerySpec] = Seq(q97KmeansBalanced)
+  /** Cluster-quality report: simplified (centroid) silhouette per
+    * cluster over the q97 clustering — the metric that decides whether
+    * a clustering is good enough to drive SemDeDup / cluster-balanced
+    * sampling, without the O(n²) pairwise silhouette. Per vector,
+    * a = cosine distance to its own centroid and b = distance to the
+    * SECOND-nearest centroid, s = (b − a) / max(a, b), which reduces to
+    * (cc₁ − cc₂) / (1 − cc₂) on cosines; per-cluster mean/min/max are
+    * then exact integer rollups of the per-vector micro-unit scores.
+    *
+    * Scale shape: one broadcast of k centroids over one corpus pass; the
+    * rank window is keyed on vec_id (group = k rows, never a hot key);
+    * scores become integers BEFORE aggregation, so the rollup is exact
+    * under any partitioning (no order-dependent double sums). The
+    * DuckDB oracle replays the whole deterministic kmeans and the
+    * silhouette algebra. */
+  val q211ClusterSilhouette: QuerySpec = QuerySpec(
+    "q211_cluster_silhouette",
+    s"""WITH $kmeansOracleCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, c.cluster,
+       |    list_cosine_similarity(e.v, c.cv) AS cc,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cluster) AS r
+       |  FROM e CROSS JOIN c2 c),
+       |sil AS (
+       |  SELECT a.vec_id, a.cluster,
+       |    CAST(ROUND((CASE WHEN 1 - b.cc = 0 THEN 0
+       |      ELSE (a.cc - b.cc) / (1 - b.cc) END) * 1e6) AS BIGINT) AS sil_e6
+       |  FROM ranked a JOIN ranked b
+       |    ON a.vec_id = b.vec_id AND a.r = 1 AND b.r = 2)
+       |SELECT cluster, COUNT(*) AS n_members,
+       |  CAST(ROUND(CAST(SUM(sil_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_sil_e6,
+       |  MIN(sil_e6) AS min_sil_e6, MAX(sil_e6) AS max_sil_e6
+       |FROM sil GROUP BY cluster
+       |ORDER BY cluster""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val e = vecs(sp)
+    val cents = kmeansCentroids(e)
+    // localCheckpoint: the two-best relation feeds both rank branches of
+    // the self-join below; without it the broadcast-score-window pipeline
+    // would execute twice
+    val ranked = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cluster"), expr("vec_cosine(v, cv)").as("cc"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cluster"))))
+      .filter(col("r") <= 2)
+      .localCheckpoint()
+    val own = ranked.filter(col("r") === 1)
+      .select(col("vec_id"), col("cluster"), col("cc").as("cc1"))
+    val second = ranked.filter(col("r") === 2)
+      .select(col("vec_id"), col("cc").as("cc2"))
+    own.join(second, Seq("vec_id"))
+      .withColumn("sil_e6",
+        round(when(lit(1) - col("cc2") === 0, lit(0.0))
+          .otherwise((col("cc1") - col("cc2")) / (lit(1) - col("cc2"))) * lit(1e6))
+          .cast("long"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("sil_e6")).cast("double") / count(lit(1))).cast("long")
+          .as("mean_sil_e6"),
+        min(col("sil_e6")).as("min_sil_e6"),
+        max(col("sil_e6")).as("max_sil_e6"))
+      .orderBy(col("cluster"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q97KmeansBalanced, q211ClusterSilhouette)
 }

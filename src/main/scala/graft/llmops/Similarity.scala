@@ -619,7 +619,63 @@ object Similarity {
       .orderBy(col("anchor_id"), col("role"), col("rank"))
   }
 
+  /** Embedding-drift monitor between two corpus snapshots — the check a
+    * pipeline runs after re-embedding or after a large ingest: per
+    * label, the cosine between the snapshot centroids (and both member
+    * counts). Snapshots here are the vec_id parity halves; in
+    * production they are two versions of the embeddings table (the
+    * upsert sink's readVersion), same algebra.
+    *
+    * Scale shape: ONE corpus pass — both halves' per-dimension means
+    * are conditional DECIMAL sums in the same (label, pos) aggregate
+    * (exact under any partitioning, the q97 centroid recipe), so no
+    * second scan, no join of two corpus-sized relations; the final
+    * per-label relation is label-count sized. */
+  val q212EmbeddingDrift: QuerySpec = QuerySpec(
+    "q212_embedding_drift",
+    """WITH e AS (SELECT vec_id % 2 AS half, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CASE WHEN half = 0 THEN CAST(v[pos + 1] AS DECIMAL(27,18)) END) AS DOUBLE)
+      |      / SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS m0,
+      |    CAST(SUM(CASE WHEN half = 1 THEN CAST(v[pos + 1] AS DECIMAL(27,18)) END) AS DOUBLE)
+      |      / SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS m1,
+      |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+      |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+      |  FROM (SELECT label, half, v, unnest(range(len(v))) AS pos FROM e) x
+      |  GROUP BY 1, 2),
+      |cv AS (
+      |  SELECT label, list(m0 ORDER BY pos) AS cv0, list(m1 ORDER BY pos) AS cv1,
+      |    MAX(c0) AS n0, MAX(c1) AS n1
+      |  FROM m GROUP BY 1)
+      |SELECT label, CAST(n0 AS BIGINT) AS n_even, CAST(n1 AS BIGINT) AS n_odd,
+      |  CAST(ROUND(list_cosine_similarity(cv0, cv1) * 1e6) AS BIGINT) AS centroid_cos_e6
+      |FROM cv ORDER BY label""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val e = sp.table("embeddings")
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    e.select(col("label"), col("half"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        (sum(when(col("half") === 0, col("x")).cast("decimal(27,18)")).cast("double")
+          / sum(when(col("half") === 0, 1L).otherwise(0L))).as("m0"),
+        (sum(when(col("half") === 1, col("x")).cast("decimal(27,18)")).cast("double")
+          / sum(when(col("half") === 1, 1L).otherwise(0L))).as("m1"),
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+      .groupBy(col("label"))
+      .agg(
+        expr("transform(sort_array(collect_list(struct(pos, m0))), s -> s.m0)").as("cv0"),
+        expr("transform(sort_array(collect_list(struct(pos, m1))), s -> s.m1)").as("cv1"),
+        max(col("c0")).as("n_even"), max(col("c1")).as("n_odd"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(expr("vec_cosine(cv0, cv1)") * lit(1e6)).cast("long").as("centroid_cos_e6"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q85BruteTopK.benched, q86LshBucketed, q87IvfProbe, q149PqAdc, q161AnnInt8,
-    q168PoolNormalize, q185AnnRecall, q193AnnMatryoshka, q207TripletMining)
+    q168PoolNormalize, q185AnnRecall, q193AnnMatryoshka, q207TripletMining,
+    q212EmbeddingDrift)
 }

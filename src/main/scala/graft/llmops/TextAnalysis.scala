@@ -1252,7 +1252,80 @@ object TextAnalysis {
     QuerySpec.sql2("q184_bigram_lm", text(spark = true), text(spark = false))
   }
 
+  /** Feature-hashing (hashing-trick) collision report — the sizing
+    * check before training a fastText-style n-gram classifier (the
+    * standard quality/language filter): hash the corpus vocabulary
+    * into 1024 buckets with the portable FNV-1a hash and report how
+    * hard the buckets collide. `bucket = fnv_hash(word) mod 1024` is
+    * engine-portable because 1024 divides 2⁶⁴ — the unsigned-HUGEINT
+    * mod in the oracle and pmod of the signed hash in Spark agree
+    * bit-for-bit, no sign fix-up needed.
+    *
+    * Scale shape: vocab distinct (one word-keyed shuffle with map-side
+    * combine) → 1024-row load relation → one-row report; the hash is a
+    * codegen'd Expression, and at 100 TB the distinct is the only
+    * corpus-sized stage (the same relation the vocab/BPE ops already
+    * build). */
+  val q213FeatureHashing: QuerySpec = {
+    // q82's ASCII-corpus FNV-1a HUGEINT replay (see the caveat there)
+    val fnvWord =
+      """list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(length(word)), i -> CAST(ascii(substr(word, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+        |      (h, x) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT))) * 1099511628211)
+        |                % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+    def report(fromLoads: String): String =
+      s"""SELECT CAST(SUM(ld) AS BIGINT) AS n_features,
+         |  CAST(1024 AS BIGINT) AS n_buckets,
+         |  CAST(COUNT(*) AS BIGINT) AS used_buckets,
+         |  CAST(MAX(ld) AS BIGINT) AS max_load,
+         |  CAST(SUM(CASE WHEN ld > 1 THEN ld ELSE 0 END) AS BIGINT) AS collided_features,
+         |  CAST(ROUND(SUM(CASE WHEN ld > 1 THEN ld ELSE 0 END) * 1e6 / SUM(ld)) AS BIGINT) AS collision_frac_e6
+         |FROM $fromLoads""".stripMargin
+    QuerySpec.sql2(
+      "q213_feature_hashing",
+      s"""WITH w AS (
+         |  SELECT DISTINCT word FROM (
+         |    SELECT explode(split(text, ' ')) AS word FROM documents) x),
+         |l AS (SELECT pmod(fnv_hash(word), 1024L) AS bucket, COUNT(*) AS ld
+         |      FROM w GROUP BY 1)
+         |${report("l")}""".stripMargin,
+      s"""WITH w AS (
+         |  SELECT DISTINCT word FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) x),
+         |l AS (SELECT CAST($fnvWord % 1024 AS BIGINT) AS bucket, COUNT(*) AS ld
+         |      FROM w GROUP BY 1)
+         |${report("l")}""".stripMargin)
+  }
+
+  /** Context-length fit report — the planning pass before choosing a
+    * training sequence length: for each candidate context size, how
+    * many documents get truncated, how many tokens truncation loses,
+    * and what fraction of sequence slots padding wastes if each doc
+    * occupies its own (truncate-or-pad) sequence. Read together with
+    * the packing op (q125): high pad waste is the argument for packing.
+    *
+    * Scale shape: the token counts are one codegen'd scan; the 3-row
+    * candidate grid joins in by cross product BEFORE the group-by, so
+    * the aggregate is a 3-key map-side-combined rollup — no per-length
+    * rescan of the corpus. */
+  val q214ContextFit: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val nTok = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      s"""WITH d AS (SELECT $nTok AS n_tok FROM documents),
+         |x AS (SELECT ctx, n_tok
+         |      FROM d CROSS JOIN (VALUES (128), (512), (2048)) t(ctx))
+         |SELECT ctx, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_tok > ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         |  CAST(SUM(CASE WHEN n_tok > ctx THEN n_tok - ctx ELSE 0 END) AS BIGINT) AS tokens_lost,
+         |  CAST(ROUND(SUM(ctx - LEAST(n_tok, ctx)) * 1e6 / SUM(ctx)) AS BIGINT) AS pad_waste_e6
+         |FROM x GROUP BY ctx
+         |ORDER BY ctx""".stripMargin
+    }
+    QuerySpec.sql2("q214_context_fit", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q213FeatureHashing, q214ContextFit,
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q191QualityPruneThreshold, q95StratifiedSample,
     q96TfIdf, q122Decontaminate,

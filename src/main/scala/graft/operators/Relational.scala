@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.QuerySpec
 
@@ -447,11 +448,83 @@ object Relational {
     QuerySpec.sql2("q198_column_profile", text("STRING"), text("VARCHAR"))
   }
 
+  /** Declarative data-contract expectations battery — the dbt-tests /
+    * Great-Expectations analogue a pipeline runs before promoting a
+    * snapshot: not-null, format (regex), key uniqueness, accepted
+    * values, numeric range, and non-emptiness, each reported as
+    * (check, n_checked, n_violations, pass). Scale shape: checks are
+    * FUSED PER TABLE — each table is scanned exactly once, computing
+    * all of its checks as conditional aggregates in that single pass
+    * (a naive one-query-per-check battery re-scans the table per
+    * check); the per-table single-row results explode into report rows
+    * driver-free. A failing contract still hash-checks: violations are
+    * counted, not thrown. */
+  val q210ExpectationsAudit: QuerySpec = QuerySpec(
+    "q210_expectations_audit",
+    """WITH c AS (SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS v1,
+      |    SUM(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 ELSE 0 END) AS v2
+      |  FROM customer),
+      |o AS (SELECT COUNT(*) AS n, COUNT(*) - COUNT(DISTINCT o_orderkey) AS v3,
+      |    SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS v4
+      |  FROM orders),
+      |l AS (SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v5,
+      |    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v6
+      |  FROM lineitem),
+      |dd AS (SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS v7 FROM documents)
+      |SELECT 'c01' AS check_id, 'customer' AS tbl, 'not_null(c_name)' AS rule,
+      |  CAST(n AS BIGINT) AS n_checked, CAST(v1 AS BIGINT) AS n_violations, v1 = 0 AS pass FROM c
+      |UNION ALL SELECT 'c02', 'customer', 'format(c_name)', CAST(n AS BIGINT), CAST(v2 AS BIGINT), v2 = 0 FROM c
+      |UNION ALL SELECT 'c03', 'orders', 'unique(o_orderkey)', CAST(n AS BIGINT), CAST(v3 AS BIGINT), v3 = 0 FROM o
+      |UNION ALL SELECT 'c04', 'orders', 'accepted_values(o_orderstatus)', CAST(n AS BIGINT), CAST(v4 AS BIGINT), v4 = 0 FROM o
+      |UNION ALL SELECT 'c05', 'lineitem', 'range(l_quantity,1,50)', CAST(n AS BIGINT), CAST(v5 AS BIGINT), v5 = 0 FROM l
+      |UNION ALL SELECT 'c06', 'lineitem', 'range(l_discount,0,0.1)', CAST(n AS BIGINT), CAST(v6 AS BIGINT), v6 = 0 FROM l
+      |UNION ALL SELECT 'c07', 'documents', 'nonempty(text)', CAST(n AS BIGINT), CAST(v7 AS BIGINT), v7 = 0 FROM dd
+      |ORDER BY check_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    // one row per check from a table's single-pass aggregate
+    def rows(agg: DataFrame, specs: Seq[(String, String, String, String)]): DataFrame =
+      agg.select(explode(array(specs.map { case (id, tbl, rule, vcol) =>
+        struct(lit(id).as("check_id"), lit(tbl).as("tbl"), lit(rule).as("rule"),
+          col("n").as("n_checked"), col(vcol).as("n_violations"))
+      }: _*)).as("r")).select(col("r.*"))
+    val cust = sp.table("customer").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("v1"),
+      sum(when(!col("c_name").rlike("^Customer#[0-9]{9}$"), 1L).otherwise(0L)).as("v2"))
+    val ord = sp.table("orders").agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v3"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v4"))
+    val li = sp.table("lineitem").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v5"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("v6"))
+    val doc = sp.table("documents").agg(
+      count(lit(1)).as("n"),
+      sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("v7"))
+    rows(cust, Seq(
+      ("c01", "customer", "not_null(c_name)", "v1"),
+      ("c02", "customer", "format(c_name)", "v2")))
+      .unionByName(rows(ord, Seq(
+        ("c03", "orders", "unique(o_orderkey)", "v3"),
+        ("c04", "orders", "accepted_values(o_orderstatus)", "v4"))))
+      .unionByName(rows(li, Seq(
+        ("c05", "lineitem", "range(l_quantity,1,50)", "v5"),
+        ("c06", "lineitem", "range(l_discount,0,0.1)", "v6"))))
+      .unionByName(rows(doc, Seq(
+        ("c07", "documents", "nonempty(text)", "v7"))))
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy("check_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
     q100TpchQ18.benched, q126ExtSource, q141Pivot, q142Unpivot,
     q172ExtAggPushdown, q178ExtGroupedAgg, q194TableChecksum, q197FkAudit,
-    q198ColumnProfile)
+    q198ColumnProfile, q210ExpectationsAudit)
 }

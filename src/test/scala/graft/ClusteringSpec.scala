@@ -21,4 +21,19 @@ class ClusteringSpec extends EngineSuite {
       assert(ids.length <= 3 && ids.nonEmpty)
     }
   }
+
+  test("q211 silhouette report is consistent with the q97 clustering") {
+    val kmeans = llmops.Clustering.q97KmeansBalanced.run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sil = llmops.Clustering.q211ClusterSilhouette.run(spark, sfDir).collect()
+    // same clusters, same membership counts as the clustering itself
+    assert(sil.map(_.getInt(0)).toSet == kmeans.keySet)
+    sil.foreach { r =>
+      assert(r.getLong(1) == kmeans(r.getInt(0)), s"member count mismatch: $r")
+      val (mean, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // silhouette is bounded and the rollup is ordered
+      assert(lo >= -1000000L && hi <= 1000000L, s"silhouette out of range: $r")
+      assert(lo <= mean && mean <= hi, s"mean outside [min, max]: $r")
+    }
+  }
 }

@@ -48,4 +48,16 @@ class FixtureGuardSpec extends EngineSuite {
           "needs the explicit code-point→UTF-8 byte expansion (q120 recipe)")
     }
   }
+
+  test("the fixture satisfies the q210 data contract (all expectations pass)") {
+    // q210's value is detecting violations; the healthy fixture must
+    // report zero everywhere, or its rules no longer describe the data.
+    val report = operators.Relational.q210ExpectationsAudit.run(spark, sfDir).collect()
+    assert(report.length == 7, "one row per declared expectation")
+    report.foreach { r =>
+      assert(r.getAs[Boolean]("pass") && r.getAs[Long]("n_violations") == 0L,
+        s"fixture violates declared contract: $r")
+      assert(r.getAs[Long]("n_checked") > 0L, s"empty check domain: $r")
+    }
+  }
 }
