@@ -664,6 +664,17 @@ class PlanSpec extends EngineSuite {
     }
   }
 
+  test("q210/q212/q213/q214: report ops scan each input exactly once (checks fused)") {
+    // q210 fuses every table's checks into that table's single pass
+    assert("Scan parquet".r.findAllIn(plan("q210_expectations_audit")).size == 4,
+      "q210 must scan each of its 4 tables exactly once: " + plan("q210_expectations_audit"))
+    for (q <- Seq("q212_embedding_drift", "q213_feature_hashing", "q214_context_fit")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).size == 1,
+        s"$q should make exactly one corpus pass: " + p)
+    }
+  }
+
   test("q195 (funnel): single-pass array fold — events scanned exactly once") {
     val p = plan("q195_events_funnel_steps")
     assert("Scan parquet".r.findAllIn(p).size == 1,
