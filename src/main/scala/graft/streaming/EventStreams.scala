@@ -57,6 +57,29 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
 
+  /** Continuous data-contract monitoring — the streaming twin of the
+    * q210 expectations battery: per tumbling hour, every declared check
+    * (accepted event types, non-negative value, non-null user) is a
+    * conditional aggregate inside ONE stateful rollup, so a contract
+    * violation surfaces within a watermark delay instead of at the next
+    * batch audit. State is bounded (one row per open window — the
+    * checks add counters, not keys), and like the other twins it runs
+    * on a batch frame unchanged (watermark no-op) so batch/stream
+    * parity is testable on one code path. */
+  def qualityMonitor(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type").isin("view", "click", "purchase", "signup", "error"), 0L)
+          .otherwise(1L)).as("bad_type"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"))
+      .select(col("window.start").as("hour_start"), col("n_events"),
+        col("bad_type"), col("neg_value"), col("null_user"),
+        (col("bad_type") + col("neg_value") + col("null_user") === 0).as("pass"))
+
   /** Gap-based sessionization (30-minute inactivity) — streaming twin of
     * q66_events_sessionize. Emits a SessionSummary when a gap closes a
     * session; the open session lives in per-user GroupState. */

@@ -19,6 +19,35 @@ class StreamingSpec extends EngineSuite {
 
   private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
 
+  test("qualityMonitor: stream equals batch, and violations are flagged per window") {
+    val s = spark
+    import s.implicits._
+    // hour 0 is clean; hour 1 carries a bad type and a negative value
+    val events = Seq(
+      Event(1, 1, ts(5), "click", 1.0), Event(2, 2, ts(30), "view", 2.0),
+      Event(1, 3, ts(65), "bogus", 1.0), Event(2, 4, ts(80), "click", -3.0),
+      Event(3, 5, ts(95), "purchase", 9.0))
+
+    val batch = EventStreams.qualityMonitor(events.toDF())
+      .orderBy("hour_start").collect().toSeq
+    assert(batch.length == 2)
+    assert(batch(0).getAs[Boolean]("pass") && batch(0).getAs[Long]("n_events") == 2)
+    assert(!batch(1).getAs[Boolean]("pass"))
+    assert(batch(1).getAs[Long]("bad_type") == 1 &&
+      batch(1).getAs[Long]("neg_value") == 1 &&
+      batch(1).getAs[Long]("null_user") == 0)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.qualityMonitor(mem.toDF())
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.table("quality_out").orderBy("hour_start").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("tumblingCounts: stream result equals batch result") {
     val s = spark
     import s.implicits._
