@@ -1089,7 +1089,73 @@ object Dedup {
       .orderBy("method_a", "method_b")
   }
 
+  /** Fixed-point PageRank over the near-duplicate graph — link analysis
+    * for curation (the CommonCrawl-style "importance" signal, here over
+    * the doc-similarity graph: heavily-duplicated template families
+    * accumulate rank, singleton docs stay at the teleport floor).
+    *
+    * The arithmetic is INTEGER micro-units end to end: contributions
+    * are `pr // deg` and the damping step is `(85 · Σ) // 100`, so
+    * every round is exact BIGINT algebra — bit-identical on 1 or
+    * 10,000 partitions and replayable by the oracle with no float
+    * accumulation order to worry about (the q79/q97 determinism
+    * discipline applied to an iterative numeric kernel).
+    *
+    * Scale shape: 3 rounds, each one edge-keyed shuffle (contribution
+    * sum) plus a node-keyed left join; rank state is checkpointed per
+    * round (lineage stays O(1), superseded state released — the q79
+    * recipe). Isolated nodes never enter the edge join and cost
+    * nothing beyond the teleport constant. */
+  val q215PageRank: QuerySpec = {
+    def iterSql(prev: String): String =
+      s"""SELECT n.doc_id,
+         |    150000 + (85 * COALESCE(SUM(p.pr // d.dg), 0)) // 100 AS pr
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.doc_id
+         |  LEFT JOIN $prev p ON p.doc_id = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY 1""".stripMargin
+    QuerySpec(
+      "q215_graph_pagerank",
+      s"""WITH $nearDupOracleCtes,
+         |nodes AS (SELECT doc_id FROM documents),
+         |edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM np
+         |          UNION ALL SELECT doc_id_b, doc_id_a FROM np),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY 1),
+         |p0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |p1 AS (${iterSql("p0")}),
+         |p2 AS (${iterSql("p1")}),
+         |p3 AS (${iterSql("p2")})
+         |SELECT doc_id, CAST(pr AS BIGINT) AS pr_e6 FROM p3
+         |ORDER BY pr_e6 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val nodes = sp.table("documents").select(col("doc_id"))
+      // localCheckpoint: pairs feed both edge directions; edges feed the
+      // degree aggregate and every round's contribution join
+      val pairs = nearDupJaccard(sp)
+        .select(col("doc_id_a"), col("doc_id_b")).localCheckpoint()
+      val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+        .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      var pr = nodes.select(col("doc_id"), lit(1000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = pr.join(deg, pr("doc_id") === deg("src"))
+          .select(col("src"), expr("pr DIV dg").as("c"))
+          .join(edges, Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("ss"))
+        pr = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
+          .select(col("doc_id"),
+            (lit(150000L) + expr("(85 * coalesce(ss, 0L)) DIV 100")).as("pr"))
+          .localCheckpoint()
+      }
+      pr.orderBy(col("pr").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("pr").as("pr_e6"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q215PageRank,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q186CanonicalPick,

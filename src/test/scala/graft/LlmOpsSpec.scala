@@ -547,6 +547,21 @@ class LlmOpsSpec extends EngineSuite {
     assert(r.map(_.getAs[Long]("n_hits")).sum > 0, "LSH index found nothing")
   }
 
+  test("q215 pagerank: teleport floor holds and ranks are partition-independent") {
+    val run1 = llmops.Dedup.q215PageRank.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run1.nonEmpty && run1.forall(_._2 >= 150000L),
+      "a node can never rank below the teleport constant")
+    // integer fixed-point arithmetic ⇒ bit-identical under any parallelism
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val run2 = llmops.Dedup.q215PageRank.run(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(run1 == run2, "pagerank must be partitioning-independent")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   test("q208/q209 dedup ablation agrees with the underlying method outputs") {
     val ab = llmops.Dedup.q208DedupAblation.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
