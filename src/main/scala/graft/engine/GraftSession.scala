@@ -37,6 +37,8 @@ object GraftSession {
     .config("spark.sql.statistics.histogram.enabled", "true")
     // events.parquet stores TIMESTAMP(NANOS); see sources.TestTables.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Naive fixture timestamps read as UTC instants, not NTZ (see attach).
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.parquet.compression.codec", "snappy")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
@@ -66,6 +68,13 @@ object GraftSession {
   def attach(s: SparkSession): SparkSession = {
     s.sparkContext.setLogLevel("WARN")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The harness fixture stores naive (isAdjustedToUTC=false) TIMESTAMP
+    // micros; Spark 4's default NTZ inference would surface those as
+    // TIMESTAMP_NTZ, which breaks epoch arithmetic (cast-to-long) and
+    // diverges from the verified TimestampType semantics. With inference
+    // off the raw micros read as session-TZ (UTC) instants — bit-identical
+    // to the DuckDB oracle's naive reading.
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.ansi.enabled", "false")
     graft.functions.ImpalaFunctions.registerAll(s)
