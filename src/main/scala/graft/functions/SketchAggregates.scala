@@ -29,7 +29,20 @@ object SketchAggregates {
     "sample" -> { case Seq(e) =>
       BottomKSample(toStr(e), FnvHash(e), k = 20, histogram = false) },
     "histogram" -> { case Seq(e) =>
-      BottomKSample(toStr(e), FnvHash(e), k = 4096, histogram = true) })
+      BottomKSample(toStr(e), FnvHash(e), k = 4096, histogram = true) },
+    // approx_top_k(expr, k[, capacity]) — k/capacity must be literals
+    // (they size the aggregation buffer, a plan-time property)
+    "approx_top_k" -> { args =>
+      def lit(e: Expression): Int = e match {
+        case l: Literal if l.foldable => l.eval().asInstanceOf[Number].intValue()
+        case other => throw new IllegalArgumentException(
+          s"approx_top_k k/capacity must be integer literals, got $other")
+      }
+      args match {
+        case Seq(e, kE) => MisraGriesTopK(toStr(e), lit(kE), capacity = math.max(4 * lit(kE), 256))
+        case Seq(e, kE, capE) => MisraGriesTopK(toStr(e), lit(kE), capacity = lit(capE))
+      }
+    })
 
   private def toStr(e: Expression): Expression = Cast(e, StringType)
 }
@@ -194,4 +207,129 @@ case class BottomKSample(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BottomKSample =
     copy(child = c(0), hashExpr = c(1))
   override def prettyName: String = if (histogram) "histogram" else "sample"
+}
+
+/** Mergeable Misra-Gries heavy-hitters summary (`approx_top_k`): the
+  * frequent-items sketch the reference's sketch family lacks but a
+  * 100 TB token pipeline needs — top-k terms without a full
+  * (term, count) shuffle. Buffer = at most `capacity` counters;
+  * update decrements all counters when full (classic MG); merge sums
+  * counters then truncates to the capacity-largest, subtracting the
+  * (capacity+1)-th count — the Agarwal et al. "Mergeable Summaries"
+  * (PODS '12) reduction that preserves the deterministic guarantee
+  * `true_count - n/(capacity+1) <= mg_count <= true_count` under ANY
+  * partitioning / merge tree, so results are cluster-size-independent.
+  * When `capacity >=` the number of distinct items no decrement ever
+  * fires and every count is EXACT — the property the DuckDB oracle
+  * checks; the sketch path (capacity << distinct) is spec-bounded in
+  * SketchesSpec instead (no SQL oracle can express it).
+  *
+  * eval() emits the top `k` as an array of (item, cnt) structs ordered
+  * by (cnt DESC, item ASC) — a total order, so output is deterministic
+  * even under count ties. */
+case class MisraGriesTopK(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  type Buf = java.util.HashMap[String, Long]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(s)
+      if (cur != 0L || buf.containsKey(s)) buf.put(s, cur + 1L)
+      else if (buf.size < capacity) buf.put(s, 1L)
+      else decrementAll(buf, 1L)
+    }
+    buf
+  }
+
+  /** Subtract `d` from every counter, dropping non-positive ones — the
+    * MG decrement (update) and the merge-truncation both route here. */
+  private def decrementAll(buf: Buf, d: Long): Unit = {
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - d
+      if (nv <= 0L) it.remove() else e.setValue(nv)
+    }
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    other.forEach((s, c) => buf.put(s, buf.get(s) + c)) // get(miss) unboxes to 0L
+    if (buf.size > capacity) {
+      // (capacity+1)-th largest count, subtracted from all (PODS '12 §3.1)
+      val counts = new Array[Long](buf.size)
+      var i = 0
+      val vit = buf.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      decrementAll(buf, counts(buf.size - capacity - 1))
+      // ties at the pivot can leave > capacity survivors of equal rank;
+      // MG's bound allows any further whole-counter drop of tied minima
+      while (buf.size > capacity) {
+        var minK: String = null
+        var minV = Long.MaxValue
+        buf.forEach((s, c) => if (c < minV || (c == minV && (minK == null || s.compareTo(minK) > 0))) { minK = s; minV = c })
+        buf.remove(minK)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    import scala.jdk.CollectionConverters._
+    val top = buf.asScala.toSeq
+      .sortBy { case (s, c) => (-c, s) }
+      .take(k)
+      .map { case (s, c) =>
+        InternalRow(UTF8String.fromString(s), c): Any
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(top.toArray)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.forEach { (s, c) =>
+      val b = s.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Buf()
+    val n = in.readInt()
+    (1 to n).foreach { _ =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.put(new String(b, "UTF-8"), in.readLong())
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesTopK = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesTopK = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MisraGriesTopK =
+    copy(child = c.head)
+  override def prettyName: String = "approx_top_k"
 }

@@ -148,6 +148,38 @@ object CorpusStats {
       |    AS hapax_frac_e6
       |FROM c GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Per-source heavy-hitter tokens via the engine's mergeable
+    * Misra-Gries sketch ([[graft.functions.MisraGriesTopK]],
+    * `approx_top_k`). The aggregate keeps a bounded counter summary per
+    * group — top terms WITHOUT materializing the full (source, word)
+    * relation the exact plan needs, which is the difference between a
+    * vocab-sized shuffle and a capacity-sized one at 100 TB. Here
+    * capacity (256) exceeds the fixture vocab, so every count is exact
+    * and the DuckDB oracle can check values; the genuinely-approximate
+    * regime (capacity << vocab) is bounded by SketchesSpec's
+    * deterministic MG guarantee instead. Output order is total
+    * ((cnt DESC, item ASC) inside the sketch, mirrored by the oracle's
+    * window) — count ties cannot flap the result. */
+  val q216HeavyHitters: QuerySpec = QuerySpec(
+    "q216_topk_heavy_hitters",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY source, word),
+      |r AS (SELECT source, word, cnt,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rn
+      |      FROM c)
+      |SELECT source, word, cnt FROM r WHERE rn <= 5
+      |ORDER BY source, cnt DESC, word""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    sp.sql(
+      """SELECT source, t.item AS word, t.cnt AS cnt
+        |FROM (SELECT source, approx_top_k(word, 5) AS tk
+        |      FROM (SELECT source, explode(split(text, ' ')) AS word FROM documents)
+        |      GROUP BY source)
+        |LATERAL VIEW explode(tk) x AS t
+        |ORDER BY source, cnt DESC, word""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats)
+    Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
+      q216HeavyHitters)
 }

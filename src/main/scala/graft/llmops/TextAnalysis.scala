@@ -1252,6 +1252,64 @@ object TextAnalysis {
     QuerySpec.sql2("q184_bigram_lm", text(spark = true), text(spark = false))
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities (D = 0.75) — the
+    * KenLM-default smoothing that [[q184BigramLm]]'s fixed-λ MLE
+    * interpolation approximates: absolute discounting on the bigram
+    * count, with the stolen mass backed off to the CONTINUATION
+    * unigram (how many distinct contexts a word follows — "Francisco"
+    * is frequent but predictable, "report" follows anything), i.e.
+    * `P_KN(w|prev) = max(c(prev,w)-D, 0)/c(prev,·)
+    *   + D·N1+(prev,·)/c(prev,·) · N1+(·,w)/N1+(·,·)`.
+    *
+    * Scale shape: the q184 skeleton — per-doc LAG (doc-keyed window,
+    * never global), then everything is vocab²-bounded: bigram counts
+    * with map-side combine, context totals and fan-outs as window sums
+    * over the bigram relation (no second corpus scan), the
+    * continuation table another projection of the same relation. The
+    * top-30 report ranks the vocab-sized result, not the corpus.
+    * Fixed DOUBLE expression tree + ROUND(…,6): bit-equal on both
+    * engines. */
+  val q218KneserNey: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+      val words =
+        if (spark)
+          """SELECT doc_id, pos, word FROM t
+            |  LATERAL VIEW posexplode(w) p AS pos, word""".stripMargin
+        else
+          """SELECT doc_id, unnest(range(len(w))) AS pos,
+            |         unnest(w) AS word FROM t""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
+         |words AS (
+         |$words),
+         |w2 AS (SELECT doc_id, pos, word,
+         |              LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |       FROM words),
+         |bi AS (SELECT prev, word, COUNT(*) AS c2
+         |       FROM w2 WHERE prev IS NOT NULL GROUP BY prev, word),
+         |ctx AS (SELECT prev, word, c2,
+         |               SUM(c2) OVER (PARTITION BY prev) AS ctot,
+         |               COUNT(*) OVER (PARTITION BY prev) AS nfwd,
+         |               COUNT(*) OVER (PARTITION BY word) AS nbwd,
+         |               COUNT(*) OVER () AS ntypes
+         |        FROM bi),
+         |p AS (SELECT prev, word, c2,
+         |        (GREATEST(CAST(c2 AS DOUBLE) - 0.75, 0.0)
+         |           / CAST(ctot AS DOUBLE))
+         |        + (0.75 * CAST(nfwd AS DOUBLE) / CAST(ctot AS DOUBLE))
+         |          * (CAST(nbwd AS DOUBLE) / CAST(ntypes AS DOUBLE)) AS pkn
+         |      FROM ctx),
+         |r AS (SELECT prev, word, c2, pkn,
+         |             ROW_NUMBER() OVER (ORDER BY c2 DESC, prev, word) AS rnk
+         |      FROM p)
+         |SELECT CAST(rnk AS INT) AS rnk, prev, word, CAST(c2 AS BIGINT) AS n_pair,
+         |       ROUND(pkn, 6) AS p_kn
+         |FROM r WHERE rnk <= 30
+         |ORDER BY rnk""".stripMargin
+    }
+    QuerySpec.sql2("q218_kneser_ney_bigram", text(spark = true), text(spark = false))
+  }
+
   /** Feature-hashing (hashing-trick) collision report — the sizing
     * check before training a fastText-style n-gram classifier (the
     * standard quality/language filter): hash the corpus vocabulary
@@ -1334,5 +1392,5 @@ object TextAnalysis {
     q175SubstringRemove.benched, q162UnigramLm, q177PerplexityBuckets,
     q163BpeMerges, q166UrlCanonicalize, q167BpeEncode,
     q176TokenizerFertility, q169ModelQuality, q183DupNgramCoverage,
-    q184BigramLm.benched, q196PmiCollocations)
+    q184BigramLm.benched, q196PmiCollocations, q218KneserNey)
 }

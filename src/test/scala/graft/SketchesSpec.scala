@@ -44,4 +44,44 @@ class SketchesSpec extends EngineSuite {
       .collect().head.toSeq.map(_.toString.toLong)
     assert(math.abs(ndv - exact).toDouble / exact < 0.05)
   }
+  test("approx_top_k is exact and partition-independent when capacity >= distinct") {
+    attach()
+    val s = spark
+    import s.implicits._
+    // zipfian-ish: value v appears 1000/v times, 40 distinct < 256 capacity
+    val vals = (1 to 40).flatMap(v => Seq.fill(1000 / v)(s"w$v"))
+    def run(parts: Int): Seq[(String, Long)] = {
+      vals.toDF("x").repartition(parts).createOrReplaceTempView("mg_t")
+      spark.sql("SELECT explode(approx_top_k(x, 10)) AS t FROM mg_t")
+        .selectExpr("t.item", "t.cnt").as[(String, Long)].collect().toSeq
+    }
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(10)
+    assert(run(1) == exact, "capacity >= distinct must yield exact counts")
+    assert(run(17) == run(1), "MG result must not depend on partitioning")
+  }
+
+  test("approx_top_k honors the deterministic MG error bound when capacity << distinct") {
+    attach()
+    val s = spark
+    import s.implicits._
+    // 2000 distinct, capacity 64: every surviving counter must satisfy
+    // true - n/(capacity+1) <= mg <= true
+    val vals = (1 to 2000).flatMap(v => Seq.fill(if (v <= 5) 500 else 3)(s"w$v"))
+    val n = vals.size
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    vals.toDF("x").repartition(11).createOrReplaceTempView("mg_small")
+    val got = spark.sql("SELECT explode(approx_top_k(x, 64, 64)) AS t FROM mg_small")
+      .selectExpr("t.item", "t.cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.nonEmpty)
+    got.foreach { case (w, c) =>
+      val t = exact(w)
+      assert(c <= t, s"$w: mg count $c exceeds true $t")
+      assert(c >= t - n / 65, s"$w: mg count $c below bound ${t - n / 65}")
+    }
+    // the 5 true heavy hitters (500 >> n/65) are guaranteed to survive
+    (1 to 5).foreach(v => assert(got.exists(_._1 == s"w$v"), s"lost heavy hitter w$v"))
+  }
+
 }
