@@ -1154,8 +1154,50 @@ object Dedup {
     }
   }
 
+  /** Fuzzy entity resolution (record linkage) over customer names:
+    * multi-pass blocking → [[boundedPairs]] → exact edit-distance
+    * verification, the Fellegi-Sunter candidate machinery every
+    * identity-dedup pipeline runs before scoring. Blocking is COMPLETE
+    * for the declared threshold by a pigeonhole split of the name
+    * (fixed-length here): two equal-length names within Levenshtein 1
+    * differ by exactly one substitution, which lies either in the
+    * prefix block's span or the suffix block's span — so the union of
+    * the two block passes has 100% recall and the DuckDB oracle may be
+    * the plain all-pairs text (the q82 SimHash argument). At 100 TB
+    * the all-pairs oracle plan is impossible but the blocked plan is
+    * unchanged: block sizes bound task width via boundedPairs' salting
+    * (the shared prefix block here IS over-cap — the salted path is
+    * exercised, spec-pinned equal either way), and verification
+    * (codegen'd levenshtein) runs only on candidates. */
+  val q217FuzzyEntityResolution: QuerySpec = QuerySpec(
+    "q217_fuzzy_entity_resolution",
+    """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+      |       levenshtein(a.c_name, b.c_name) AS lev
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY custkey_a, custkey_b""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val c = sp.table("customer").select(col("c_custkey"), col("c_name"))
+      .localCheckpoint() // consumed by 2 block passes + 2 verify joins
+    val keyed =
+      c.select(concat(lit("p:"), substring(col("c_name"), 1, 14)).as("bkey"),
+          col("c_custkey").as("id"))
+        .unionAll(
+          c.select(concat(lit("s:"), substring(col("c_name"), 15, 4)).as("bkey"),
+            col("c_custkey").as("id")))
+    val cand = boundedPairs(keyed, 256)
+      .withColumnRenamed("id_a", "custkey_a").withColumnRenamed("id_b", "custkey_b")
+    cand
+      .join(c.select(col("c_custkey").as("custkey_a"), col("c_name").as("name_a")), "custkey_a")
+      .join(c.select(col("c_custkey").as("custkey_b"), col("c_name").as("name_b")), "custkey_b")
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= 1)
+      .select(col("custkey_a"), col("custkey_b"), col("lev"))
+      .orderBy(col("custkey_a"), col("custkey_b"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q215PageRank,
+    q215PageRank, q217FuzzyEntityResolution,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q186CanonicalPick,

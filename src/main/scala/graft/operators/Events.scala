@@ -413,7 +413,38 @@ object Events {
       |      FROM events GROUP BY event_type) t
       |ORDER BY event_type""".stripMargin)
 
+  /** Key-skew diagnostic report — the measurement a 100 TB operator
+    * runs BEFORE choosing a join/agg strategy on a key: key counts,
+    * hottest-key share, normalized Shannon entropy, Gini coefficient,
+    * and the salt factor (ceil(max/avg)) the q107-style salted join
+    * would need. One key-keyed aggregate (map-side combined) then
+    * key-cardinality-sized algebra; the Gini prefix-rank window runs
+    * over the count relation, not the events. Exactness: the Gini is
+    * PURE INTEGER algebra (2·Σi·cᵢ identity; equal counts make the
+    * rank coefficient tie-invariant), and the entropy sum goes through
+    * DECIMAL(27,18) accumulation (q184 rule) so neither engine's
+    * summation order shows in the e6 rounding. */
+  val q219KeySkewReport: QuerySpec = QuerySpec.sql(
+    "q219_key_skew_report",
+    """WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+      |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rnk FROM c),
+      |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+      |             MAX(c) AS max_freq,
+      |             CAST(SUM(rnk * c) AS BIGINT) AS rank_weighted,
+      |             CAST(SUM(CAST(c * LN(c) AS DECIMAL(27,18))) AS DOUBLE) AS clnc
+      |      FROM r)
+      |SELECT n_rows, n_keys, CAST(max_freq AS BIGINT) AS max_freq,
+      |  CAST(ROUND(max_freq * 1e6 / n_rows) AS BIGINT) AS top1_share_e6,
+      |  CAST(ROUND((LN(n_rows) - clnc / n_rows) * 1e6 / LN(n_keys)) AS BIGINT)
+      |    AS norm_entropy_e6,
+      |  CAST(ROUND((2 * rank_weighted - (n_keys + 1) * n_rows) * 1e6
+      |             / (CAST(n_keys AS DOUBLE) * n_rows)) AS BIGINT) AS gini_e6,
+      |  CAST(CEIL(max_freq * CAST(n_keys AS DOUBLE) / n_rows) AS BIGINT)
+      |    AS salt_factor
+      |FROM s""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
+    q219KeySkewReport,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
