@@ -1154,6 +1154,70 @@ object Dedup {
     }
   }
 
+  /** Two-round synchronous label propagation over the near-dup graph —
+    * the semi-supervised step that spreads a small set of trusted
+    * source labels (here: every 3rd doc seeds its own `source`) to
+    * unlabeled neighbors by majority vote, the cheap cluster-labeling
+    * pass curation uses between CC ([[q79DedupClusters]]) and a real
+    * classifier. SYNCHRONOUS rounds + a total-order vote (count DESC,
+    * label ASC) make the fixpoint deterministic at any parallelism —
+    * asynchronous LPA is famously order-dependent; this one is
+    * replayed round-for-round by the oracle. Scale shape: each round
+    * is one edge-keyed shuffle (votes) + a rank window keyed on the
+    * destination node (group = candidate labels, bounded by label
+    * cardinality); label state checkpoints per round with the q79
+    * superseded-state release. */
+  val q220LabelPropagation: QuerySpec = {
+    def roundSql(prev: String): String =
+      s"""SELECT doc_id, label FROM $prev
+         |  UNION ALL
+         |  SELECT dst AS doc_id, label FROM (
+         |    SELECT e.dst, l.label,
+         |           ROW_NUMBER() OVER (PARTITION BY e.dst
+         |             ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM edges e
+         |    JOIN $prev l ON l.doc_id = e.src
+         |    WHERE NOT EXISTS (SELECT 1 FROM $prev p WHERE p.doc_id = e.dst)
+         |    GROUP BY e.dst, l.label) v
+         |  WHERE rn = 1""".stripMargin
+    QuerySpec(
+      "q220_graph_label_prop",
+      s"""WITH $nearDupOracleCtes,
+         |edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM np
+         |          UNION ALL SELECT doc_id_b, doc_id_a FROM np),
+         |l0 AS (SELECT doc_id, source AS label FROM documents
+         |       WHERE doc_id % 3 = 0),
+         |l1 AS (${roundSql("l0")}),
+         |l2 AS (${roundSql("l1")})
+         |SELECT doc_id, label FROM l2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val pairs = nearDupJaccard(sp)
+        .select(col("doc_id_a"), col("doc_id_b")).localCheckpoint()
+      val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+        .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+        .localCheckpoint()
+      var labels = sp.table("documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source").as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to 2) {
+        val votes = edges
+          .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+          .join(labels.select(col("doc_id").as("dst")), Seq("dst"), "left_anti")
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dst")).orderBy(col("c").desc, col("label"))
+        val adopted = votes
+          .withColumn("rn", row_number().over(win))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("doc_id"), col("label"))
+        val next = labels.unionByName(adopted).localCheckpoint()
+        labels = next
+      }
+      labels.orderBy(col("doc_id"))
+    }
+  }
+
   /** Fuzzy entity resolution (record linkage) over customer names:
     * multi-pass blocking → [[boundedPairs]] → exact edit-distance
     * verification, the Fellegi-Sunter candidate machinery every
@@ -1197,7 +1261,7 @@ object Dedup {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q215PageRank, q217FuzzyEntityResolution,
+    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q186CanonicalPick,

@@ -1310,6 +1310,39 @@ object TextAnalysis {
     QuerySpec.sql2("q218_kneser_ney_bigram", text(spark = true), text(spark = false))
   }
 
+  /** Character-level Shannon entropy per document — the cheapest
+    * degenerate-text detector (repeated-char runs, base64 blobs, and
+    * single-token spam all sit far from natural text's ~4 nats/char),
+    * complementing [[q89Quality]]'s token-shape ratios. PURE MAP WORK:
+    * each doc's entropy comes from its own char array with higher-order
+    * functions — zero shuffle at any corpus size. Determinism: the
+    * distinct-char array is SORTED before the Σc·ln(c) fold, so both
+    * engines sum the same doubles in the same order and the e6-adjacent
+    * rounding can't flap (the q205 ulp rule, solved structurally). */
+  val q222CharEntropy: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val split = if (spark) "split(text, '')" else "string_split(text, '')"
+      val sz = if (spark) "size" else "len"
+      val sort = if (spark) "array_sort" else "list_sort"
+      val dedup = if (spark) "array_distinct" else "list_distinct"
+      val filt = if (spark) "filter" else "list_filter"
+      val fold =
+        if (spark)
+          s"aggregate(ds, CAST(0.0 AS DOUBLE), (acc, g) -> acc + $sz($filt(cs, x -> x = g)) * LN($sz($filt(cs, x -> x = g))))"
+        else
+          s"list_aggregate(list_transform(ds, g -> $sz($filt(cs, x -> x = g)) * LN($sz($filt(cs, x -> x = g)))), 'sum')"
+      s"""WITH t AS (SELECT doc_id, $split AS cs FROM documents),
+         |d AS (SELECT doc_id, $sz(cs) AS n, $sort($dedup(cs)) AS ds, cs
+         |      FROM t WHERE $sz(cs) > 0),
+         |e AS (SELECT doc_id, n, $fold AS clnc FROM d)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+         |  ROUND(LN(CAST(n AS DOUBLE)) - clnc / n, 6) AS char_entropy_nats,
+         |  (ROUND(LN(CAST(n AS DOUBLE)) - clnc / n, 6) < 3.0) AS flagged
+         |FROM e ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q222_char_entropy", text(spark = true), text(spark = false))
+  }
+
   /** Feature-hashing (hashing-trick) collision report — the sizing
     * check before training a fastText-style n-gram classifier (the
     * standard quality/language filter): hash the corpus vocabulary
@@ -1392,5 +1425,6 @@ object TextAnalysis {
     q175SubstringRemove.benched, q162UnigramLm, q177PerplexityBuckets,
     q163BpeMerges, q166UrlCanonicalize, q167BpeEncode,
     q176TokenizerFertility, q169ModelQuality, q183DupNgramCoverage,
-    q184BigramLm.benched, q196PmiCollocations, q218KneserNey)
+    q184BigramLm.benched, q196PmiCollocations, q218KneserNey,
+    q222CharEntropy)
 }
