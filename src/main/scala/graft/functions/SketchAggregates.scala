@@ -32,11 +32,11 @@ object SketchAggregates {
       BottomKSample(toStr(e), FnvHash(e), k = 4096, histogram = true) },
     // approx_top_k(expr, k[, capacity]) — k/capacity must be literals
     // (they size the aggregation buffer, a plan-time property)
-    "approx_top_k" -> { args =>
+    "mg_top_k" -> { args =>
       def lit(e: Expression): Int = e match {
         case l: Literal if l.foldable => l.eval().asInstanceOf[Number].intValue()
         case other => throw new IllegalArgumentException(
-          s"approx_top_k k/capacity must be integer literals, got $other")
+          s"mg_top_k k/capacity must be integer literals, got $other")
       }
       args match {
         case Seq(e, kE) => MisraGriesTopK(toStr(e), lit(kE), capacity = math.max(4 * lit(kE), 256))
@@ -209,10 +209,11 @@ case class BottomKSample(
   override def prettyName: String = if (histogram) "histogram" else "sample"
 }
 
-/** Mergeable Misra-Gries heavy-hitters summary (`approx_top_k`): the
-  * frequent-items sketch the reference's sketch family lacks but a
-  * 100 TB token pipeline needs — top-k terms without a full
-  * (term, count) shuffle. Buffer = at most `capacity` counters;
+/** Mergeable Misra-Gries heavy-hitters summary (`mg_top_k`): the
+  * DETERMINISTIC sibling of Spark 4's DataSketches `approx_top_k`
+  * (which q190 covers) — top-k terms without a full (term, count)
+  * shuffle, with a provable worst-case bound instead of a
+  * probabilistic one. Buffer = at most `capacity` counters;
   * update decrements all counters when full (classic MG); merge sums
   * counters then truncates to the capacity-largest, subtracting the
   * (capacity+1)-th count — the Agarwal et al. "Mergeable Summaries"
@@ -331,5 +332,5 @@ case class MisraGriesTopK(
   override def withNewInputAggBufferOffset(o: Int): MisraGriesTopK = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MisraGriesTopK =
     copy(child = c.head)
-  override def prettyName: String = "approx_top_k"
+  override def prettyName: String = "mg_top_k"
 }

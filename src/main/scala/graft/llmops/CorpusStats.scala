@@ -150,7 +150,7 @@ object CorpusStats {
 
   /** Per-source heavy-hitter tokens via the engine's mergeable
     * Misra-Gries sketch ([[graft.functions.MisraGriesTopK]],
-    * `approx_top_k`). The aggregate keeps a bounded counter summary per
+    * `mg_top_k`). The aggregate keeps a bounded counter summary per
     * group — top terms WITHOUT materializing the full (source, word)
     * relation the exact plan needs, which is the difference between a
     * vocab-sized shuffle and a capacity-sized one at 100 TB. Here
@@ -172,7 +172,7 @@ object CorpusStats {
     val sp = QuerySpec.prepared(s, dir)
     sp.sql(
       """SELECT source, t.item AS word, t.cnt AS cnt
-        |FROM (SELECT source, approx_top_k(word, 5) AS tk
+        |FROM (SELECT source, mg_top_k(word, 5) AS tk
         |      FROM (SELECT source, explode(split(text, ' ')) AS word FROM documents)
         |      GROUP BY source)
         |LATERAL VIEW explode(tk) x AS t

@@ -747,4 +747,25 @@ class PlanSpec extends EngineSuite {
     assert(c.get("spark.sql.ansi.enabled") == "false")
     assert(c.get("spark.sql.session.timeZone") == "UTC")
   }
+  test("q217: blocked fuzzy ER plans hash joins only — no all-pairs fallback") {
+    val p = plan("q217_fuzzy_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate verification fell back to an all-pairs join: " + p)
+  }
+
+  test("q219: skew report reads the events scan once") {
+    val p = plan("q219_key_skew_report")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") <= 1,
+      "key-skew report scans events more than once: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q216: heavy hitters is a two-phase (partial + final) sketch aggregate") {
+    val p = plan("q216_topk_heavy_hitters")
+    // the MG buffer must partial-aggregate map-side (ObjectHashAggregate
+    // partial_mg_top_k) — a single-phase plan would shuffle raw tokens
+    assert(p.contains("partial_mg_top_k"),
+      "mg_top_k is not partial-aggregated before the shuffle: " + p)
+  }
+
 }

@@ -44,7 +44,7 @@ class SketchesSpec extends EngineSuite {
       .collect().head.toSeq.map(_.toString.toLong)
     assert(math.abs(ndv - exact).toDouble / exact < 0.05)
   }
-  test("approx_top_k is exact and partition-independent when capacity >= distinct") {
+  test("mg_top_k is exact and partition-independent when capacity >= distinct") {
     attach()
     val s = spark
     import s.implicits._
@@ -52,7 +52,7 @@ class SketchesSpec extends EngineSuite {
     val vals = (1 to 40).flatMap(v => Seq.fill(1000 / v)(s"w$v"))
     def run(parts: Int): Seq[(String, Long)] = {
       vals.toDF("x").repartition(parts).createOrReplaceTempView("mg_t")
-      spark.sql("SELECT explode(approx_top_k(x, 10)) AS t FROM mg_t")
+      spark.sql("SELECT explode(mg_top_k(x, 10)) AS t FROM mg_t")
         .selectExpr("t.item", "t.cnt").as[(String, Long)].collect().toSeq
     }
     val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toSeq
@@ -61,7 +61,7 @@ class SketchesSpec extends EngineSuite {
     assert(run(17) == run(1), "MG result must not depend on partitioning")
   }
 
-  test("approx_top_k honors the deterministic MG error bound when capacity << distinct") {
+  test("mg_top_k honors the deterministic MG error bound when capacity << distinct") {
     attach()
     val s = spark
     import s.implicits._
@@ -71,7 +71,7 @@ class SketchesSpec extends EngineSuite {
     val n = vals.size
     val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
     vals.toDF("x").repartition(11).createOrReplaceTempView("mg_small")
-    val got = spark.sql("SELECT explode(approx_top_k(x, 64, 64)) AS t FROM mg_small")
+    val got = spark.sql("SELECT explode(mg_top_k(x, 64, 64)) AS t FROM mg_small")
       .selectExpr("t.item", "t.cnt").collect()
       .map(r => r.getString(0) -> r.getLong(1))
     assert(got.nonEmpty)

@@ -1003,4 +1003,31 @@ class StreamingSpec extends EngineSuite {
     assert(fresh.planInputPartitions(
       graft.sources.ExtOffset(600), graft.sources.ExtOffset(900)).length == 1)
   }
+  test("mg_top_k runs inside a streaming aggregation (state-store merge path)") {
+    // The MG sketch's serialized buffer is what the state store persists
+    // between micro-batches; two addData rounds force update(batch 1) →
+    // serialize → deserialize → merge(batch 2), and capacity >= distinct
+    // makes the final counts exact — checkable against plain groupBy.
+    graft.engine.GraftSession.attach(spark)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("w")
+      .groupBy()
+      .agg(org.apache.spark.sql.functions.expr("mg_top_k(w, 3)").as("tk"))
+      .writeStream.format("memory").queryName("mg_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData("a", "a", "a", "b", "b", "c")
+      q.processAllAvailable()
+      mem.addData("b", "b", "b", "d", "a")
+      q.processAllAvailable()
+    } finally q.stop()
+    val top = s.table("mg_out")
+      .selectExpr("inline(tk)").as[(String, Long)].collect().toSeq
+    // totals: b=5, a=4, c=1/d=1 (ties broken by item asc → c)
+    assert(top == Seq(("b", 5L), ("a", 4L), ("c", 1L)), s"got $top")
+  }
+
 }
