@@ -59,6 +59,58 @@ object Events {
       |GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin)
 
+  /** Session-scoped event-pattern detection — the batch twin of
+    * MATCH_RECOGNIZE / Flink CEP, which neither Spark SQL nor the
+    * reference has as a grammar production: sessionize (the q66
+    * machinery), fold each session's events into an ORDERED type
+    * sequence, and run ordinary string/regex predicates over it
+    * ("two views then a click" burst, "click … purchase" conversion).
+    * Total order inside the fold ((ts, event_id) — array_sort of the
+    * struct on Spark, ORDER BY inside string_agg on DuckDB) makes the
+    * sequence, hence every pattern flag, deterministic under any
+    * partitioning. Scale shape: one user-keyed window pass + one
+    * session-keyed aggregate; a session's sequence is gap-bounded (30
+    * min), so the folded string cannot grow with the corpus — no
+    * unbounded per-key state, the same argument as the streaming
+    * sessionizer's. */
+  val q223EventCep: QuerySpec = {
+    val sess =
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_no
+        |  FROM flagged
+        |)""".stripMargin
+    QuerySpec.sql2(
+      "q223_events_cep",
+      s"""$sess
+         |SELECT user_id, session_no, COUNT(*) AS n_events,
+         |  (concat_ws(' ', transform(array_sort(collect_list(struct(ts, event_id, event_type))),
+         |     x -> x.event_type)) RLIKE 'view view click') AS browse_burst,
+         |  (concat_ws(' ', transform(array_sort(collect_list(struct(ts, event_id, event_type))),
+         |     x -> x.event_type)) RLIKE 'click.*purchase') AS converted
+         |FROM sess
+         |GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin,
+      s"""$sess
+         |SELECT user_id, session_no, COUNT(*) AS n_events,
+         |  regexp_matches(string_agg(event_type, ' ' ORDER BY ts, event_id),
+         |    'view view click') AS browse_burst,
+         |  regexp_matches(string_agg(event_type, ' ' ORDER BY ts, event_id),
+         |    'click.*purchase') AS converted
+         |FROM sess
+         |GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin)
+  }
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -444,7 +496,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport,
+    q219KeySkewReport, q223EventCep,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
