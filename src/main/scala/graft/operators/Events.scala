@@ -111,6 +111,38 @@ object Events {
          |ORDER BY user_id, session_no""".stripMargin)
   }
 
+  /** Rolling z-score anomaly detection over the hourly event-count
+    * series — the ops-monitoring twin of [[q69Outliers]]'s static
+    * percentile cut: each hour scores against the trailing 24-hour
+    * baseline (mean/std from exact integer Σc and Σc², never a second
+    * pass), so a traffic spike flags the hour it happens. Scale shape:
+    * ONE corpus rollup to the hour-keyed relation, then all windows run
+    * on that tiny series; the variance identity keeps the arithmetic
+    * exact until the final fixed DOUBLE tree (max(var,1) floors the
+    * denominator — a flat baseline can't divide by ~0). Warm-up hours
+    * (<12 trailing points) are excluded rather than scored on noise. */
+  val q224HourlyAnomaly: QuerySpec = QuerySpec.sql(
+    "q224_events_anomaly",
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS c
+      |           FROM events GROUP BY date_trunc('hour', ts)),
+      |w AS (SELECT hr, c,
+      |        CAST(SUM(c) OVER win AS BIGINT) AS s1,
+      |        CAST(SUM(c * c) OVER win AS BIGINT) AS s2,
+      |        COUNT(*) OVER win AS n
+      |      FROM h
+      |      WINDOW win AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT hr, CAST(c AS BIGINT) AS n_events, CAST(n AS BIGINT) AS n_baseline,
+      |  CAST(ROUND((c - s1 / CAST(n AS DOUBLE))
+      |       / SQRT(GREATEST(s2 / CAST(n AS DOUBLE)
+      |              - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)), 1.0))
+      |       * 1e6) AS BIGINT) AS z_e6,
+      |  (ABS((c - s1 / CAST(n AS DOUBLE))
+      |       / SQRT(GREATEST(s2 / CAST(n AS DOUBLE)
+      |              - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)), 1.0))) > 3.0)
+      |    AS anomaly
+      |FROM w WHERE n >= 12
+      |ORDER BY hr""".stripMargin)
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -496,7 +528,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport, q223EventCep,
+    q219KeySkewReport, q223EventCep, q224HourlyAnomaly,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
