@@ -179,7 +179,46 @@ object CorpusStats {
         |ORDER BY source, cnt DESC, word""".stripMargin)
   }
 
+  /** Per-source Kolmogorov-Smirnov drift of the quality-score
+    * distribution (score = token count) against the global corpus —
+    * the statistical test behind "did this source's length profile
+    * shift?" monitoring, reported as the KS statistic
+    * `max |F_src − F_global|` plus the mean CDF shift. Computed
+    * SKEW-FREE: docs collapse to the score-cardinality relation first
+    * (scores are small integers), both CDFs are running-sum windows
+    * over THAT tiny relation (per-source and global), and the
+    * per-source rollup weights each score cell by its count — no
+    * per-doc window, no single-partition pass over the corpus.
+    * Determinism: CDF values are exact-integer ratios divided once;
+    * MAX over doubles is order-free; the mean goes through
+    * DECIMAL(27,18) accumulation (q184 rule). */
+  val q225ScoreKsDrift: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val score = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      s"""WITH d AS (SELECT source, $score AS score FROM documents),
+      |sc AS (SELECT score, COUNT(*) AS c FROM d GROUP BY score),
+      |g AS (SELECT score,
+      |        CAST(SUM(c) OVER (ORDER BY score) AS DOUBLE)
+      |          / CAST(SUM(c) OVER () AS DOUBLE) AS gcdf
+      |      FROM sc),
+      |fs AS (SELECT source, score, COUNT(*) AS c FROM d GROUP BY source, score),
+      |f AS (SELECT source, score, c,
+      |        CAST(SUM(c) OVER (PARTITION BY source ORDER BY score) AS DOUBLE)
+      |          / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS fcdf,
+      |        CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      |      FROM fs)
+      |SELECT f.source, CAST(MAX(f.n) AS BIGINT) AS n_docs,
+      |  CAST(ROUND(MAX(ABS(f.fcdf - g.gcdf)) * 1e6) AS BIGINT) AS ks_e6,
+      |  CAST(ROUND(CAST(SUM(CAST(f.c * ABS(f.fcdf - g.gcdf) AS DECIMAL(27,18)))
+      |       AS DOUBLE) / MAX(f.n) * 1e6) AS BIGINT) AS mean_shift_e6
+      |FROM f JOIN g ON f.score = g.score
+      |GROUP BY f.source
+      |ORDER BY f.source""".stripMargin
+    }
+    QuerySpec.sql2("q225_score_ks_drift", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
-      q216HeavyHitters)
+      q216HeavyHitters, q225ScoreKsDrift)
 }
