@@ -143,6 +143,67 @@ object Events {
       |FROM w WHERE n >= 12
       |ORDER BY hr""".stripMargin)
 
+  /** Benford's-law first-digit audit over transaction values — the
+    * classic fraud/synthetic-data detector: compare the observed
+    * first-significant-digit distribution against Benford's
+    * log10(1+1/d) expectation and report the χ² statistic. Digit
+    * extraction goes through INTEGER cents and string slicing, never
+    * log10-of-double (whose floor can flip at representation
+    * boundaries); the χ² expectation uses log10 of small integer
+    * constants — the same literal doubles on both engines. One
+    * map-side-combined 9-row aggregate; the χ² rollup is a window over
+    * those 9 rows. */
+  val q226BenfordAudit: QuerySpec = QuerySpec.sql(
+    "q226_benford_audit",
+    """WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE value > 0),
+      |d AS (SELECT CAST(SUBSTR(CAST(cents AS STRING), 1, 1) AS INT) AS digit,
+      |             COUNT(*) AS n_obs
+      |      FROM v WHERE cents > 0 GROUP BY 1),
+      |e AS (SELECT digit, n_obs,
+      |        CAST(SUM(n_obs) OVER () AS BIGINT) AS n,
+      |        LOG10(1.0 + 1.0 / digit) AS p_benford
+      |      FROM d)
+      |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+      |  CAST(ROUND(p_benford * 1e6) AS BIGINT) AS expected_frac_e6,
+      |  CAST(ROUND((n_obs - n * p_benford) * (n_obs - n * p_benford)
+      |             / (n * p_benford) * 1e6) AS BIGINT) AS chi2_term_e6
+      |FROM e ORDER BY digit""".stripMargin)
+
+  /** A/B experiment readout — deterministic arm assignment (hash-mod
+    * of the unit id, frozen forever: the q130 split rule), per-arm
+    * user-level conversion, lift, and the pooled two-proportion
+    * z-statistic. The whole readout is two key-aggregates (user roll-up
+    * → arm roll-up) with every rate derived from exact integers in one
+    * fixed DOUBLE tree — no resampling, no order-dependent sums. At
+    * 100 TB the user rollup is the only corpus-sized stage and it
+    * partial-aggregates; the final z is O(1) algebra on 2 rows. */
+  val q227AbReadout: QuerySpec = QuerySpec.sql(
+    "q227_ab_experiment_readout",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT arm, COUNT(*) AS n_users,
+      |             CAST(SUM(converted) AS BIGINT) AS n_converted
+      |      FROM u GROUP BY arm),
+      |w AS (SELECT
+      |        MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+      |        MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+      |        MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+      |        MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1
+      |      FROM a)
+      |SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+      |  CAST(ROUND(c0 * 1e6 / n0) AS BIGINT) AS conv_control_e6,
+      |  CAST(ROUND(c1 * 1e6 / n1) AS BIGINT) AS conv_treat_e6,
+      |  CAST(ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) * 1e6)
+      |    AS BIGINT) AS lift_e6,
+      |  CAST(ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+      |    / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |           * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |           * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) AS z_e6
+      |FROM w""".stripMargin)
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -528,7 +589,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport, q223EventCep, q224HourlyAnomaly,
+    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
