@@ -187,5 +187,84 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q97KmeansBalanced, q211ClusterSilhouette)
+  /** Dominant principal axis of the embedding corpus via two
+    * deterministic power-iteration rounds — the PCA-lite signal behind
+    * anisotropy checks ("is the embedding space collapsing onto one
+    * direction?") and whitening decisions. RNG-free by construction:
+    * the start vector is the fixed uniform unit vector, each round is
+    * `w ← normalize(Σ_v v·⟨v,w⟩)` with the per-vector dot an IN-ROW
+    * index-order fold and the per-dimension Σ an exact DECIMAL(27,18)
+    * aggregate divided/normalized in one fixed DOUBLE tree (the q97
+    * centroid rule) — so the axis is bit-identical under any
+    * partitioning and the DuckDB oracle replays both rounds. Sign is
+    * canonicalized (dominant loading positive) since the eigenvector
+    * is only defined up to ±. Scale shape: per round ONE corpus pass
+    * (broadcast 64-double w, map-side dot) + a 64-row aggregate;
+    * nothing driver-side, no collect. */
+  val q228PcaAxis: QuerySpec = {
+    val oracle = {
+      def dot(v: String, w: String): String =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |        list_transform(range(64), i -> $v[i+1] * $w[i+1])),
+           |        (acc, p) -> acc + p)""".stripMargin
+      def round(wPrev: String, n: Int): String =
+        s"""d$n AS (SELECT e.vec_id, e.v,
+           |    ${dot("e.v", "w.wv")} AS dot
+           |  FROM e CROSS JOIN $wPrev w),
+           |s$n AS (SELECT i.i AS pos,
+           |    CAST(SUM(CAST(d$n.v[i.i+1] * d$n.dot AS DECIMAL(27,18))) AS DOUBLE) AS m
+           |  FROM d$n CROSS JOIN range(64) i(i) GROUP BY i.i),
+           |r$n AS (SELECT list(m ORDER BY pos) AS raw FROM s$n),
+           |w$n AS (SELECT list_transform(raw, x -> x / sqrt(
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(raw, y -> y * y)), (acc, p) -> acc + p))) AS wv
+           |  FROM r$n)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |w0 AS (SELECT list_transform(range(64), i -> CAST(0.125 AS DOUBLE)) AS wv),
+         |${round("w0", 1)},
+         |${round("w1", 2)}
+         |SELECT CAST(pos AS INT) AS dim,
+         |  CAST(ROUND(x * sgn * 1e6) AS BIGINT) AS loading_e6
+         |FROM (
+         |  SELECT i.i AS pos, w2.wv[i.i+1] AS x,
+         |    FIRST_VALUE(CASE WHEN w2.wv[i.i+1] < 0 THEN -1.0 ELSE 1.0 END)
+         |      OVER (ORDER BY ABS(w2.wv[i.i+1]) DESC, i.i) AS sgn
+         |  FROM w2 CROSS JOIN range(64) i(i)) t
+         |ORDER BY ABS(x) DESC, dim LIMIT 8""".stripMargin
+    }
+    QuerySpec("q228_embed_pca_axis", oracle) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val e = vecs(sp).localCheckpoint() // consumed by both rounds
+      var w = sp.range(1)
+        .select(expr("transform(sequence(0, 63), i -> CAST(0.125 AS DOUBLE))").as("wv"))
+      for (_ <- 1 to 2) {
+        val dots = e.join(broadcast(w), lit(true))
+          .select(col("vec_id"), col("v"),
+            expr("aggregate(zip_with(v, wv, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)")
+              .as("dot"))
+        val sums = dots
+          .select(col("dot"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg(sum((col("x") * col("dot")).cast("decimal(27,18)")).cast("double").as("m"))
+        w = sums
+          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("raw"))
+          .select(expr(
+            """transform(raw, x -> x / sqrt(
+              |  aggregate(transform(raw, y -> y * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)))""".stripMargin)
+            .as("wv"))
+          .localCheckpoint()
+      }
+      w.select(posexplode(col("wv")).as(Seq("pos", "x")))
+        .withColumn("sgn",
+          first(when(col("x") < 0, -1.0).otherwise(1.0))
+            .over(Window.orderBy(abs(col("x")).desc, col("pos"))))
+        .orderBy(abs(col("x")).desc, col("pos"))
+        .limit(8)
+        .select(col("pos").cast("int").as("dim"),
+          round(col("x") * col("sgn") * lit(1e6)).cast("bigint").as("loading_e6"))
+    }
+  }
+
+  val all: Seq[QuerySpec] = Seq(q97KmeansBalanced, q211ClusterSilhouette,
+    q228PcaAxis)
 }

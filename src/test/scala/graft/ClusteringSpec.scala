@@ -36,4 +36,21 @@ class ClusteringSpec extends EngineSuite {
       assert(lo <= mean && mean <= hi, s"mean outside [min, max]: $r")
     }
   }
+
+  test("power-iteration axis is identical under different parallelism and unit-norm") {
+    val run1 = llmops.Clustering.q228PcaAxis.run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val run2 = llmops.Clustering.q228PcaAxis.run(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(run1 == run2, "power iteration must be partitioning-independent")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    assert(run1.length == 8)
+    // loadings are components of a unit vector, sign-canonicalized
+    val l = run1.map(_(1).asInstanceOf[Long])
+    assert(l.head > 0, "dominant loading must be canonicalized positive")
+    assert(l.forall(v => math.abs(v) <= 1000000L), s"loading beyond unit bound: $l")
+  }
 }
