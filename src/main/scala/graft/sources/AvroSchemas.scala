@@ -173,4 +173,74 @@ object AvroSchemas {
     val name = if (schemaName == null || schemaName.isEmpty) "baseRecord" else schemaName
     record(name, schema.fields.toSeq).toString(true)
   }
+  /** Reads Avro container files into a DataFrame — the data half of the
+    * Avro capability, built on the runtime's bundled avro + avro-mapred
+    * jars (no spark-avro connector ships here). The read is SPLITTABLE:
+    * `AvroInputFormat` honors Avro sync markers, so one 100 TB
+    * directory fans out into block-aligned splits exactly like the
+    * reference's HDFS scan ranges (planner/HdfsScanNode.java) — this is
+    * not a whole-file-per-task reader. Records convert to Rows
+    * per-element inside the partition iterator (the input format reuses
+    * its wrapper object, so conversion must not be deferred), driven by
+    * the DECLARED schema from [[toStructType]] — the same
+    * reader-schema-wins contract as the reference's Avro tables.
+    * Scale note: no shuffle, no driver materialization; downstream
+    * pruning/pushdown happens in Catalyst as with any RDD-backed scan
+    * (convert once to parquet for scan-level pushdown, as the scope
+    * note advises). */
+  def readAvro(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schemaJson: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.{AvroInputFormat, AvroWrapper}
+    import org.apache.hadoop.io.NullWritable
+    val schema = toStructType(schemaJson)
+    val rdd = spark.sparkContext.hadoopFile(
+      path,
+      classOf[AvroInputFormat[GenericRecord]],
+      classOf[AvroWrapper[GenericRecord]],
+      classOf[NullWritable])
+    val rows = rdd.mapPartitions { it =>
+      // convert immediately: the record reader reuses the wrapper
+      it.map { case (w, _) => recordToRow(w.datum(), schema) }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def recordToRow(
+      rec: org.apache.avro.generic.GenericRecord,
+      st: StructType): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(
+      st.fields.toSeq.map(f => convertDatum(rec.get(f.name), f.dataType)): _*)
+
+  /** Avro runtime value → Spark external row value, driven by the
+    * declared Spark type (decimal bytes are the two's-complement
+    * unscaled integer per the Avro spec). */
+  private def convertDatum(v: Any, dt: DataType): Any = {
+    if (v == null) return null
+    dt match {
+      case StringType => v.toString
+      case IntegerType | LongType | FloatType | DoubleType | BooleanType => v
+      case d: DecimalType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val bytes = new Array[Byte](bb.remaining())
+        bb.duplicate().get(bytes)
+        BigDecimal(new java.math.BigInteger(bytes), d.scale)
+          .setScale(d.scale)
+      case ArrayType(et, _) =>
+        import scala.jdk.CollectionConverters._
+        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq.map(convertDatum(_, et))
+      case MapType(_, vt, _) =>
+        import scala.jdk.CollectionConverters._
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+          case (k, mv) => k.toString -> convertDatum(mv, vt)
+        }.toMap
+      case nested: StructType =>
+        recordToRow(v.asInstanceOf[org.apache.avro.generic.GenericRecord], nested)
+      case other =>
+        throw new UnsupportedAvroTypeException(
+          s"no Avro datum conversion for ${other.sql}")
+    }
+  }
 }

@@ -68,4 +68,68 @@ class IngestionSpec extends EngineSuite {
     // evolved column is still filterable (pushdown over the union schema)
     assert(merged.filter(org.apache.spark.sql.functions.col("score") > 8).count() == 1)
   }
+  test("Avro container files read back splittably with the declared schema") {
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val schemaJson =
+      """{"type":"record","name":"doc","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"title","type":["null","string"]},
+        |  {"name":"score","type":"double"},
+        |  {"name":"tags","type":{"type":"array","items":"int"}},
+        |  {"name":"props","type":{"type":"map","values":"long"}},
+        |  {"name":"price","type":{"type":"bytes","logicalType":"decimal","precision":9,"scale":2}},
+        |  {"name":"meta","type":{"type":"record","name":"m","fields":[
+        |    {"name":"lang","type":"string"},{"name":"rank","type":"int"}]}}
+        |]}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toFile
+    dir.deleteOnExit()
+    val avroSchema = new ASchema.Parser().parse(schemaJson)
+    val f = new java.io.File(dir, "part-0.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, f)
+    def rec(id: Long, title: String, score: Double, tags: Seq[Int],
+            props: Map[String, Long], cents: Long, lang: String, rank: Int): GenericRecord = {
+      val r = new GenericData.Record(avroSchema)
+      r.put("id", id)
+      r.put("title", title) // null stays null
+      r.put("score", score)
+      val arr = new java.util.ArrayList[Integer]()
+      tags.foreach(t => arr.add(Integer.valueOf(t)))
+      r.put("tags", arr)
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      props.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+      r.put("props", m)
+      r.put("price", java.nio.ByteBuffer.wrap(
+        java.math.BigInteger.valueOf(cents).toByteArray))
+      val meta = new GenericData.Record(avroSchema.getField("meta").schema())
+      meta.put("lang", lang)
+      meta.put("rank", Integer.valueOf(rank))
+      r.put("meta", meta)
+      r
+    }
+    w.append(rec(1L, "alpha", 1.5, Seq(1, 2), Map("a" -> 10L), 12345L, "en", 1))
+    w.append(rec(2L, null, -0.25, Seq.empty, Map.empty, -50L, "de", 2))
+    w.close()
+
+    val df = sources.AvroSchemas.readAvro(spark, dir.getAbsolutePath, schemaJson)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "title", "score", "tags", "props", "price", "meta"))
+    assert(df.schema("price").dataType == org.apache.spark.sql.types.DecimalType(9, 2))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getLong(0) == 1L && r1.getString(1) == "alpha")
+    assert(r1.getSeq[Int](3) == Seq(1, 2))
+    assert(r1.getMap[String, Long](4) == Map("a" -> 10L))
+    assert(r1.getDecimal(5) == new java.math.BigDecimal("123.45"))
+    assert(r1.getStruct(6).getString(0) == "en" && r1.getStruct(6).getInt(1) == 1)
+    val r2 = rows(1)
+    assert(r2.isNullAt(1), "nullable union null must survive")
+    assert(r2.getDecimal(5) == new java.math.BigDecimal("-0.50"),
+      "negative two's-complement decimal must decode")
+    assert(r2.getSeq[Int](3).isEmpty && r2.getMap[String, Long](4).isEmpty)
+  }
+
 }
