@@ -218,7 +218,53 @@ object CorpusStats {
     QuerySpec.sql2("q225_score_ks_drift", text(spark = true), text(spark = false))
   }
 
+  /** Error bars for a corpus statistic without resampling RNG: a
+    * deterministic half-sample (delete-half jackknife) confidence
+    * interval for mean tokens/doc. Replicate b keeps a doc iff a frozen
+    * multiplicative hash of (doc_id, b) is even (the q130 split-hash
+    * family — pure function of the ids, so release N+1 reproduces
+    * release N's replicates); pseudo-replicate 32 keeps everything,
+    * giving the point estimate in the SAME single corpus pass (no
+    * second scan for the full mean). SE = std(replicate means)/√2 (a
+    * half-sample mean has twice the variance of the full mean).
+    * Determinism: replicate means are exact-integer ratios; their
+    * spread accumulates via DECIMAL(27,18) casts (q184 rule); the CI is
+    * one fixed DOUBLE tree. Scale shape: a 33× map-side fanout (the
+    * price of one-pass uncertainty), one (b)-keyed 33-row aggregate,
+    * O(1) algebra after. */
+  val q229SubsampleCi: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val score = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      val fan =
+        if (spark) "d LATERAL VIEW explode(sequence(0, 32)) fb AS b"
+        else "d CROSS JOIN range(33) fb(b)"
+      s"""WITH d AS (SELECT doc_id, $score AS score FROM documents),
+         |r AS (SELECT b, score FROM $fan
+         |      WHERE b = 32
+         |         OR (((doc_id + b * 7919) % 1000003) * 2654435761) % 2 = 0),
+         |m AS (SELECT b, CAST(SUM(score) AS DOUBLE) / COUNT(*) AS mb,
+         |             COUNT(*) AS nb
+         |      FROM r GROUP BY b),
+         |s AS (SELECT
+         |        CAST(SUM(CASE WHEN b < 32 THEN CAST(mb AS DECIMAL(27,18)) END) AS DOUBLE) AS sm,
+         |        CAST(SUM(CASE WHEN b < 32 THEN CAST(mb * mb AS DECIMAL(27,18)) END) AS DOUBLE) AS sm2,
+         |        CAST(MIN(CASE WHEN b < 32 THEN nb END) AS BIGINT) AS min_rep_n,
+         |        CAST(MAX(CASE WHEN b < 32 THEN nb END) AS BIGINT) AS max_rep_n,
+         |        MAX(CASE WHEN b = 32 THEN mb END) AS full_mean
+         |      FROM m)
+         |SELECT CAST(ROUND(full_mean * 1e6) AS BIGINT) AS mean_e6,
+         |  CAST(ROUND(SQRT((sm2 - sm * sm / 32) / 31) / SQRT(2.0) * 1e6) AS BIGINT) AS se_e6,
+         |  CAST(ROUND((full_mean - 1.96 * SQRT((sm2 - sm * sm / 32) / 31) / SQRT(2.0)) * 1e6)
+         |    AS BIGINT) AS ci_lo_e6,
+         |  CAST(ROUND((full_mean + 1.96 * SQRT((sm2 - sm * sm / 32) / 31) / SQRT(2.0)) * 1e6)
+         |    AS BIGINT) AS ci_hi_e6,
+         |  min_rep_n, max_rep_n
+         |FROM s""".stripMargin
+    }
+    QuerySpec.sql2("q229_subsample_ci", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
-      q216HeavyHitters, q225ScoreKsDrift)
+      q216HeavyHitters, q225ScoreKsDrift, q229SubsampleCi)
 }
