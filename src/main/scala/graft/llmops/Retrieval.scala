@@ -168,6 +168,85 @@ object Retrieval {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM w GROUP BY word ORDER BY df DESC, word""".stripMargin)
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion — the standard way a
+    * RAG stack combines the lexical ([[q202Bm25]]) and dense (cosine
+    * against a query embedding) legs without score calibration:
+    * `rrf = Σ 1/(60 + rank)`, ranks being all that survive from either
+    * scorer. Both legs rank with a TOTAL order (score DESC, doc_id), so
+    * fusion is deterministic; docs absent from the sparse leg (no query
+    * term) contribute only their dense term, the conventional RRF
+    * treatment. Scale shape: the lexical leg is q202's term-pruned
+    * pipeline; the dense leg is one broadcast-query corpus pass; each
+    * rank window runs over candidate-sized relations; fusion is a
+    * doc_id-keyed left join and one TopN. At 100 TB the dense leg's
+    * input swaps to the ANN index (q86/q87) — fusion algebra unchanged. */
+  val q230RrfHybrid: QuerySpec = QuerySpec(
+    "q230_rrf_hybrid_retrieval",
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |q AS (SELECT doc_id, dl, word, COUNT(*) AS tf FROM t
+      |      WHERE word IN ('dup', 'spark', 'hash') GROUP BY 1, 2, 3),
+      |df AS (SELECT word, COUNT(*) AS df FROM q GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n,
+      |         AVG(len(string_split(text, ' '))) AS avgdl FROM documents),
+      |lexs AS (SELECT q.doc_id,
+      |    SUM(LN((CAST(st.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |      * q.tf * 2.2
+      |      / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / st.avgdl))) AS score
+      |  FROM q JOIN df USING (word) CROSS JOIN st GROUP BY q.doc_id),
+      |lex AS (SELECT doc_id,
+      |          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lr
+      |        FROM lexs),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |dense AS (SELECT e.vec_id AS doc_id,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY list_cosine_similarity(e.v, qv.qv) DESC, e.vec_id) AS dr
+      |  FROM e CROSS JOIN qv)
+      |SELECT d.doc_id,
+      |  CAST(ROUND((1.0 / (60 + d.dr)
+      |    + COALESCE(1.0 / (60 + l.lr), 0.0)) * 1e6) AS BIGINT) AS rrf_e6
+      |FROM dense d LEFT JOIN lex l ON d.doc_id = l.doc_id
+      |ORDER BY rrf_e6 DESC, d.doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = sp.table("documents")
+    val t = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").isin("dup", "spark", "hash"))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the df aggregate AND the scoring join
+    val dfRel = t.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      avg(size(split(col("text"), " "))).as("avgdl"))
+    val lex = t.join(broadcast(dfRel), "word").crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+      .withColumn("lr", row_number().over(
+        w.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lr"))
+    val e = sp.table("embeddings")
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val dense = e.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"), expr("vec_cosine(v, qv)").as("cs"))
+      .withColumn("dr", row_number().over(
+        w.orderBy(col("cs").desc, col("doc_id"))))
+      .select(col("doc_id"), col("dr"))
+    dense.join(lex, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round((lit(1.0) / (lit(60) + col("dr"))
+          + coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0))) * lit(1e6))
+          .cast("bigint").as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("doc_id")).limit(15)
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats)
+    Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats, q230RrfHybrid)
 }
