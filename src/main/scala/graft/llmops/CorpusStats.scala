@@ -264,7 +264,52 @@ object CorpusStats {
     QuerySpec.sql2("q229_subsample_ci", text(spark = true), text(spark = false))
   }
 
+  /** Cross-source score-calibration map — the actionable twin of
+    * [[q225ScoreKsDrift]]: for every source and decile d, the smallest
+    * score whose within-source CDF reaches d/10, next to the global
+    * corpus boundary (the lookup table quantile normalization applies
+    * so "top 30% by quality" means the same thing in every source).
+    * Same skew-free shape as q225: docs collapse to the
+    * score-cardinality relation first, CDFs are running sums over that
+    * tiny relation, and the decile grid cross-joins the COLLAPSED
+    * relation (|sources|·|scores|·9 rows), never the corpus. Boundaries
+    * are exact integers selected by MIN over an exact-ratio threshold
+    * compare — no interpolation, no float rounding in the output. */
+  val q232CalibrationMap: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val score = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      val deciles =
+        if (spark) "SELECT explode(sequence(1, 9)) AS decile"
+        else "SELECT unnest(range(1, 10)) AS decile"
+      s"""WITH d AS (SELECT source, $score AS score FROM documents),
+         |sc AS (SELECT score, COUNT(*) AS c FROM d GROUP BY score),
+         |g AS (SELECT score,
+         |        CAST(SUM(c) OVER (ORDER BY score) AS DOUBLE)
+         |          / CAST(SUM(c) OVER () AS DOUBLE) AS gcdf
+         |      FROM sc),
+         |fs AS (SELECT source, score, COUNT(*) AS c FROM d GROUP BY source, score),
+         |f AS (SELECT source, score,
+         |        CAST(SUM(c) OVER (PARTITION BY source ORDER BY score) AS DOUBLE)
+         |          / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS fcdf
+         |      FROM fs),
+         |dec AS ($deciles),
+         |sb AS (SELECT f.source, dec.decile,
+         |         CAST(MIN(CASE WHEN f.fcdf >= dec.decile / 10.0
+         |                       THEN f.score END) AS BIGINT) AS src_boundary
+         |       FROM f CROSS JOIN dec GROUP BY f.source, dec.decile),
+         |gb AS (SELECT dec.decile,
+         |         CAST(MIN(CASE WHEN g.gcdf >= dec.decile / 10.0
+         |                       THEN g.score END) AS BIGINT) AS global_boundary
+         |       FROM g CROSS JOIN dec GROUP BY dec.decile)
+         |SELECT sb.source, CAST(sb.decile AS INT) AS decile, sb.src_boundary, gb.global_boundary
+         |FROM sb JOIN gb ON sb.decile = gb.decile
+         |ORDER BY sb.source, sb.decile""".stripMargin
+    }
+    QuerySpec.sql2("q232_score_calibration_map", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
-      q216HeavyHitters, q225ScoreKsDrift, q229SubsampleCi)
+      q216HeavyHitters, q225ScoreKsDrift, q229SubsampleCi,
+      q232CalibrationMap)
 }

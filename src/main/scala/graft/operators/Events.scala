@@ -204,6 +204,34 @@ object Events {
       |           * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) AS z_e6
       |FROM w""".stripMargin)
 
+  /** Robust (10% two-sided trimmed) mean of transaction value per event
+    * type — the outlier-resistant rollup that a spiky `value` column
+    * needs (a single fat-fingered amount moves the plain mean, not the
+    * trimmed one). Exact trim boundaries from an integer rank window
+    * keyed on event_type ((value, event_id) total order; group size =
+    * one type's rows); the kept-range mean goes through DECIMAL(12,2)
+    * accumulation so neither engine's double summation order leaks into
+    * the result. Per-type windows, no global sort. */
+  val q231TrimmedMean: QuerySpec = QuerySpec.sql(
+    "q231_events_trimmed_mean",
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |k AS (SELECT event_type, value, n FROM r
+      |      WHERE rn > CAST(FLOOR(n / 10.0) AS BIGINT)
+      |        AND rn <= n - CAST(FLOOR(n / 10.0) AS BIGINT))
+      |SELECT event_type,
+      |  CAST(MAX(n) AS BIGINT) AS n_total,
+      |  COUNT(*) AS n_kept,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS trimmed_mean,
+      |  CAST(MIN(value) AS DOUBLE) AS lo_cut,
+      |  CAST(MAX(value) AS DOUBLE) AS hi_cut
+      |FROM k GROUP BY event_type
+      |ORDER BY event_type""".stripMargin)
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -589,7 +617,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout,
+    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
