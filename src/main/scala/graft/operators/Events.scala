@@ -232,6 +232,50 @@ object Events {
       |FROM k GROUP BY event_type
       |ORDER BY event_type""".stripMargin)
 
+  /** Per-type OLS trend of transaction value over time (slope per hour
+    * + fit quality) — the regression-flavored sibling of [[q224]]'s
+    * anomaly z-score: "is purchase value drifting, and is the drift
+    * real?". GROUPED-DATA OLS: events collapse to the (type, hour)
+    * relation first (per-hour n, Σy, Σy² with DECIMAL accumulation),
+    * the time axis centers against the min hour of that TINY relation
+    * (never a global window over raw events), and every OLS moment
+    * (Σx, Σxy, Σx², weighted by per-hour n) is exact integer/decimal
+    * algebra; slope and R² are one fixed DOUBLE tree at the end.
+    * Centering also keeps the moments small enough that the double
+    * conversion is exact. */
+  val q233TrendOls: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val epoch = if (spark) "unix_timestamp(ts)" else "epoch(ts)"
+      s"""WITH h AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR($epoch / 3600) AS BIGINT) AS hr_raw,
+      |    COUNT(*) AS n_h,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS sy_h,
+      |    SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sy2_h
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, n_h, sy_h, sy2_h,
+      |        hr_raw - MIN(hr_raw) OVER () AS x
+      |      FROM h),
+      |m AS (SELECT event_type,
+      |        CAST(SUM(n_h) AS BIGINT) AS n,
+      |        CAST(SUM(n_h * x) AS BIGINT) AS sx,
+      |        CAST(SUM(n_h * x * x) AS BIGINT) AS sx2,
+      |        CAST(SUM(sy_h) AS DOUBLE) AS sy,
+      |        CAST(SUM(CAST(x AS DECIMAL(10,0)) * CAST(sy_h AS DECIMAL(27,2))) AS DOUBLE) AS sxy,
+      |        CAST(SUM(sy2_h) AS DOUBLE) AS sy2
+      |      FROM c GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(ROUND((n * sxy - sx * sy) / (n * sx2 - CAST(sx AS DOUBLE) * sx) * 1e6)
+      |    AS BIGINT) AS slope_per_hour_e6,
+      |  CAST(ROUND(((n * sxy - sx * sy) / (n * sx2 - CAST(sx AS DOUBLE) * sx))
+      |           * ((n * sxy - sx * sy) / (n * sx2 - CAST(sx AS DOUBLE) * sx))
+      |           * (n * sx2 - CAST(sx AS DOUBLE) * sx)
+      |           / (n * sy2 - sy * sy) * 1e6) AS BIGINT) AS r2_e6
+      |FROM m ORDER BY event_type""".stripMargin
+    }
+    QuerySpec.sql2("q233_events_trend_ols", text(spark = true), text(spark = false))
+  }
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -617,7 +661,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean,
+    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
