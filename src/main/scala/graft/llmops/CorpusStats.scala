@@ -308,8 +308,48 @@ object CorpusStats {
     QuerySpec.sql2("q232_score_calibration_map", text(spark = true), text(spark = false))
   }
 
+  /** Zipf-law fit of the corpus vocabulary — OLS slope of
+    * ln(freq) ~ ln(rank), the scaling exponent natural text keeps near
+    * −1 (template-generated or truncated corpora bend it): the
+    * vocabulary-health scalar next to [[q206VocabStats]]'s ratios.
+    * Rank is a total-order window over the VOCAB-sized count relation
+    * ((count DESC, word) — tied counts DO get different ranks, so the
+    * tie order is pinned by the total order rather than assumed away);
+    * the regression moments accumulate per-term via DECIMAL(27,18)
+    * casts of fixed ln() doubles, and slope/intercept/R² are one fixed
+    * DOUBLE tree. One corpus scan, vocab-sized everything after. */
+  val q235ZipfFit: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "SELECT explode(split(text, ' ')) AS word FROM documents"
+        else "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+      s"""WITH c AS (SELECT word, COUNT(*) AS c FROM ($words) w GROUP BY word),
+         |r AS (SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word) AS DOUBLE)) AS lx,
+         |             LN(CAST(c AS DOUBLE)) AS ly
+         |      FROM c),
+         |m AS (SELECT COUNT(*) AS n,
+         |        CAST(SUM(CAST(lx AS DECIMAL(27,18))) AS DOUBLE) AS sx,
+         |        CAST(SUM(CAST(ly AS DECIMAL(27,18))) AS DOUBLE) AS sy,
+         |        CAST(SUM(CAST(lx * ly AS DECIMAL(27,18))) AS DOUBLE) AS sxy,
+         |        CAST(SUM(CAST(lx * lx AS DECIMAL(27,18))) AS DOUBLE) AS sx2,
+         |        CAST(SUM(CAST(ly * ly AS DECIMAL(27,18))) AS DOUBLE) AS sy2
+         |      FROM r)
+         |SELECT CAST(n AS BIGINT) AS vocab,
+         |  CAST(ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e6) AS BIGINT)
+         |    AS zipf_slope_e6,
+         |  CAST(ROUND((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n * 1e6)
+         |    AS BIGINT) AS intercept_e6,
+         |  CAST(ROUND(((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+         |           * ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+         |           * (n * sx2 - sx * sx) / (n * sy2 - sy * sy) * 1e6) AS BIGINT)
+         |    AS r2_e6
+         |FROM m""".stripMargin
+    }
+    QuerySpec.sql2("q235_zipf_fit", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
       q216HeavyHitters, q225ScoreKsDrift, q229SubsampleCi,
-      q232CalibrationMap)
+      q232CalibrationMap, q235ZipfFit)
 }

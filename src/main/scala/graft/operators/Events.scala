@@ -276,6 +276,39 @@ object Events {
     QuerySpec.sql2("q233_events_trend_ols", text(spark = true), text(spark = false))
   }
 
+  /** EWMA smoothing of the hourly event-count series (α = 0.2) — the
+    * exponential-smoothing member of the monitoring trio next to
+    * [[q224HourlyAnomaly]] (z-score) and [[q233TrendOls]] (trend): the
+    * closed form `ewma_i = (1-α)^i·y_0 + αΣ_{j≥1}(1-α)^{i-j}·y_j`
+    * computed by a triangular self-join of the HOUR-KEYED relation
+    * (j ≤ i) — O(H²) pairs where H is hours, never events; the
+    * sequential recursion this replaces does not distribute, and the
+    * naive windowed rescaling `(1-α)^{-j}` overflows for long series,
+    * so the explicit pair weighting is the portable exact form. Each
+    * term is a fixed pow/multiply DOUBLE tree accumulated via
+    * DECIMAL(27,18) (q184 rule) — summation order never surfaces. At
+    * 100 TB the hour relation is still tiny; a per-KEY EWMA at high key
+    * cardinality would swap the self-join for the streaming twin's
+    * stateful fold. */
+  val q234Ewma: QuerySpec = QuerySpec.sql(
+    "q234_events_ewma",
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS c
+      |           FROM events GROUP BY date_trunc('hour', ts)),
+      |r AS (SELECT hr, c,
+      |        ROW_NUMBER() OVER (ORDER BY hr) - 1 AS i
+      |      FROM h),
+      |e AS (SELECT a.hr, a.c,
+      |        CAST(SUM(CAST(
+      |          CASE WHEN b.i = 0 THEN POWER(0.8, a.i) * b.c
+      |               ELSE 0.2 * POWER(0.8, a.i - b.i) * b.c END
+      |          AS DECIMAL(27,18))) AS DOUBLE) AS ewma
+      |      FROM r a JOIN r b ON b.i <= a.i
+      |      GROUP BY a.hr, a.c)
+      |SELECT hr, CAST(c AS BIGINT) AS n_events,
+      |  CAST(ROUND(ewma * 1e6) AS BIGINT) AS ewma_e6,
+      |  CAST(ROUND((c - ewma) * 1e6) AS BIGINT) AS residual_e6
+      |FROM e ORDER BY hr""".stripMargin)
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -661,7 +694,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls,
+    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
