@@ -152,6 +152,13 @@ object ImpalaFunctions {
     // callers keep Spark's DATE-returning TruncDate).
     add("trunc") { case Seq(ts, fmt) => ImpalaTrunc(ts, fmt) }
 
+    add("levenshtein_bounded") {
+      case Seq(a, b, kE: org.apache.spark.sql.catalyst.expressions.Literal) =>
+        BoundedLevenshtein(a, b, kE.eval().asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"levenshtein_bounded(a, b, k) needs a literal k, got $other")
+    }
+
     acc.result() ++ SketchAggregates.builders
   }
 

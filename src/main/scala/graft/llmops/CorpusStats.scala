@@ -350,6 +350,6 @@ object CorpusStats {
 
   val all: Seq[QuerySpec] =
     Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
-      q216HeavyHitters, q225ScoreKsDrift, q229SubsampleCi,
+      q216HeavyHitters.benched, q225ScoreKsDrift, q229SubsampleCi,
       q232CalibrationMap, q235ZipfFit)
 }

@@ -133,4 +133,23 @@ class CodegenParitySpec extends EngineSuite {
       g == i
     })
   }
+  test("levenshtein_bounded: codegen parity and LEAST(levenshtein, k+1) equivalence") {
+    val s0 = spark
+    import s0.implicits._
+    check("levenshtein_bounded")(Prop.forAll(
+      Gen.listOfN(8, Gen.zip(strGen, strGen, Gen.choose(0, 4)))) { rows =>
+      val setup = () => rows.toDF("a", "b", "k").createOrReplaceTempView("g_parity_lev")
+      // k must be a literal: probe each k value present in the batch
+      val ks = rows.map(_._3).distinct.sorted
+      ks.forall { k =>
+        val (g, i) = bothModes(setup,
+          s"""SELECT a, b, levenshtein_bounded(a, b, $k),
+             |       (levenshtein_bounded(a, b, $k)
+             |          = LEAST(levenshtein(a, b), $k + 1)) AS eq
+             |FROM g_parity_lev""".stripMargin)
+        g == i && g.forall(_.endsWith("true]"))
+      }
+    })
+  }
+
 }
