@@ -1218,6 +1218,57 @@ object Dedup {
     }
   }
 
+  /** Triangle count over the near-dup graph — the local clustering
+    * signal that separates a CHAIN of borderline near-dups (A~B~C,
+    * no A~C: transitive-closure dedup would over-merge) from a genuine
+    * duplicate CLIQUE, which is exactly the call [[q79DedupClusters]]'s
+    * connected components cannot make on its own. Algorithm: canonical
+    * a<b edges, triangles found by joining the wedge (a,b)-(b,c) back
+    * against the edge set with a<b<c — each triangle counted exactly
+    * once, no direction double-count. Scale shape: two self-joins of
+    * the EDGE relation (pair-bounded, never the corpus); at 100 TB the
+    * standard hardening is degree-ordering the wedge build so high-
+    * degree hubs don't quadratically explode — the same salting family
+    * boundedPairs applies to candidate blocks. Output: per-node
+    * triangle membership plus the global count (exact integers). */
+  val q236Triangles: QuerySpec = QuerySpec(
+    "q236_graph_triangles",
+    s"""WITH $nearDupOracleCtes,
+       |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM np),
+       |tri AS (
+       |  SELECT w.a, w.b, w.c FROM (
+       |    SELECT e1.a, e1.b, e2.b AS c
+       |    FROM e e1 JOIN e e2 ON e1.b = e2.a AND e1.a < e2.b) w
+       |  JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+       |nodes AS (
+       |  SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, COUNT(*) AS n_triangles,
+       |  (SELECT COUNT(*) FROM tri) AS total_triangles
+       |FROM nodes GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val e = nearDupJaccard(sp)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      .localCheckpoint() // three roles in the triangle join
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.b") === col("e2.a") && col("e1.a") < col("e2.b"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tri = wedges.as("w").join(e.as("e3"),
+        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+      .localCheckpoint() // per-node rollup + global count
+    val totalDf = tri.agg(count(lit(1)).as("total_triangles"))
+    tri.select(col("a").as("doc_id"))
+      .unionByName(tri.select(col("b").as("doc_id")))
+      .unionByName(tri.select(col("c").as("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(totalDf))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fuzzy entity resolution (record linkage) over customer names:
     * multi-pass blocking → [[boundedPairs]] → exact edit-distance
     * verification, the Fellegi-Sunter candidate machinery every
@@ -1263,7 +1314,7 @@ object Dedup {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation,
+    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q186CanonicalPick,
