@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     extensions.injectOptimizerRule(_ => graft.plans.RangeBucketJoinRewrite)
     extensions.injectOptimizerRule(_ => graft.plans.AppxCountDistinctRewrite)
+    extensions.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
   }
 }

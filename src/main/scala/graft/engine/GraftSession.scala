@@ -84,6 +84,9 @@ object GraftSession {
     if (!s.experimental.extraOptimizations.contains(graft.plans.AppxCountDistinctRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.AppxCountDistinctRewrite
+    if (!s.experimental.extraOptimizations.contains(graft.plans.BoundedLevenshteinRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.BoundedLevenshteinRewrite
     s
   }
 }

@@ -768,4 +768,37 @@ class PlanSpec extends EngineSuite {
       "mg_top_k is not partial-aggregated before the shuffle: " + p)
   }
 
+  test("thresholded levenshtein predicates strength-reduce to the banded kernel") {
+    QuerySpec.prepared(spark, sfDir)
+    def opt(q: String): String =
+      spark.sql(q).queryExecution.optimizedPlan.toString
+    // the plain 2-arg spelling a user ports gets the banded kernel...
+    val rewritten = opt(
+      "SELECT c_name FROM customer WHERE levenshtein(c_name, 'Customer#000000001') <= 1")
+    assert(rewritten.contains("levenshtein_bounded"),
+      "lev <= k predicate did not strength-reduce: " + rewritten)
+    val strict = opt(
+      "SELECT c_name FROM customer WHERE levenshtein(c_name, 'Customer#000000001') < 2")
+    assert(strict.contains("levenshtein_bounded"),
+      "lev < k predicate did not strength-reduce: " + strict)
+    // ...but a non-predicate use and an over-cap bound stay untouched
+    val projection = opt("SELECT levenshtein(c_name, 'x') FROM customer")
+    assert(!projection.contains("levenshtein_bounded"), projection)
+    val wide = opt("SELECT c_name FROM customer WHERE levenshtein(c_name, 'x') <= 100")
+    assert(!wide.contains("levenshtein_bounded"), wide)
+    // and the rewritten predicate returns the same rows as the plain one
+    val a = spark.sql(
+      "SELECT c_custkey FROM customer WHERE levenshtein(c_name, 'Customer#000000001') <= 1 ORDER BY 1")
+      .collect().toSeq
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BoundedLevenshteinRewrite)
+    try {
+      val b = spark.sql(
+        "SELECT c_custkey FROM customer WHERE levenshtein(c_name, 'Customer#000000001') <= 1 ORDER BY 1")
+        .collect().toSeq
+      assert(a == b, "rewrite changed the result set")
+      assert(a.nonEmpty, "fixture should contain lev<=1 neighbors")
+    } finally graft.engine.GraftSession.attach(spark)
+  }
+
 }
