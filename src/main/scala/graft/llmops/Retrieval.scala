@@ -247,6 +247,67 @@ object Retrieval {
       .orderBy(col("rrf_e6").desc, col("doc_id")).limit(15)
   }
 
+  /** Retrieval-quality evaluation — recall@10, MRR@10, and binary
+    * nDCG@10 of the dense leg against same-source relevance judgments
+    * (every 100th doc is a query; its qrels are the other docs of its
+    * source): the measurement harness that turns "we have an index"
+    * into "the index works", run after every index/embedding change.
+    * Determinism: ranks come from a total order (cosine DESC, id);
+    * the DCG/IDCG sums accumulate per-term through DECIMAL(27,18)
+    * (q184 rule) with log2 spelled LN(2)/LN(r+1) identically on both
+    * engines. Scale shape: the scored relation is |queries| × corpus
+    * with a broadcast query set (the q85 brute baseline — at 100 TB
+    * the ANN index replaces it, metrics algebra unchanged); everything
+    * after the per-query rank window is qrels-sized. */
+  val q237RetrievalEval: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val vcast = if (spark) "CAST(embedding AS ARRAY<DOUBLE>)" else "embedding::DOUBLE[]"
+      val cosine = if (spark) "vec_cosine(e.v, q.qv)" else "list_cosine_similarity(e.v, q.qv)"
+      val ranks =
+        if (spark) "relc LATERAL VIEW explode(sequence(1, 10)) t AS i"
+        else "relc CROSS JOIN range(1, 11) t(i)"
+      s"""WITH e AS (SELECT vec_id, $vcast AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |d AS (SELECT doc_id, source FROM documents),
+         |qs AS (SELECT q.qid, d.source AS qsrc FROM q JOIN d ON q.qid = d.doc_id),
+         |scored AS (SELECT q.qid, e.vec_id AS did, $cosine AS cs
+         |           FROM q JOIN e ON e.vec_id <> q.qid),
+         |r AS (SELECT qid, did,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, did) AS rnk
+         |      FROM scored),
+         |top AS (SELECT qid, did, rnk FROM r WHERE rnk <= 10),
+         |rel AS (SELECT qs.qid, d.doc_id AS did
+         |        FROM qs JOIN d ON d.source = qs.qsrc AND d.doc_id <> qs.qid),
+         |relc AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY qid),
+         |hits AS (SELECT top.qid, top.rnk
+         |         FROM top JOIN rel ON top.qid = rel.qid AND top.did = rel.did),
+         |hagg AS (SELECT qid, COUNT(*) AS hits, CAST(MIN(rnk) AS BIGINT) AS first_hit,
+         |           CAST(SUM(CAST(LN(2.0) / LN(rnk + 1.0) AS DECIMAL(27,18)))
+         |             AS DOUBLE) AS dcg
+         |         FROM hits GROUP BY qid),
+         |ideal AS (SELECT qid,
+         |            CAST(SUM(CAST(LN(2.0) / LN(i + 1.0) AS DECIMAL(27,18)))
+         |              AS DOUBLE) AS idcg
+         |          FROM (SELECT relc.qid, t.i FROM $ranks
+         |                WHERE t.i <= LEAST(relc.n_rel, 10)) x
+         |          GROUP BY qid)
+         |SELECT relc.qid AS query_id, CAST(relc.n_rel AS BIGINT) AS n_relevant,
+         |  CAST(COALESCE(hagg.hits, 0) AS BIGINT) AS hits,
+         |  CAST(ROUND(COALESCE(hagg.hits, 0) * 1e6 / relc.n_rel) AS BIGINT)
+         |    AS recall10_e6,
+         |  CAST(COALESCE(CAST(ROUND(1e6 / hagg.first_hit) AS BIGINT), 0) AS BIGINT)
+         |    AS mrr10_e6,
+         |  CAST(COALESCE(CAST(ROUND(hagg.dcg / ideal.idcg * 1e6) AS BIGINT), 0)
+         |    AS BIGINT) AS ndcg10_e6
+         |FROM relc
+         |LEFT JOIN hagg ON relc.qid = hagg.qid
+         |LEFT JOIN ideal ON relc.qid = ideal.qid
+         |ORDER BY query_id""".stripMargin
+    }
+    QuerySpec.sql2("q237_retrieval_eval", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats, q230RrfHybrid)
+    Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats, q230RrfHybrid,
+      q237RetrievalEval)
 }
