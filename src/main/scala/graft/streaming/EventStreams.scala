@@ -110,6 +110,66 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class CepSummary(
+      user_id: Long, session_no: Int, n_events: Int,
+      browse_burst: Boolean, converted: Boolean)
+
+  // public: the state encoder's generated code must reach the constructor
+  final case class CepState(
+      sessionNo: Int, n: Int, lastMs: Long,
+      prev1: String, prev2: String,
+      burst: Boolean, sawClick: Boolean, converted: Boolean)
+
+  /** Streaming CEP — the stateful twin of q223_events_cep: the session
+    * patterns ("view view click" burst, "click … purchase" conversion)
+    * COMPILED TO A CONSTANT-SIZE AUTOMATON instead of the batch fold's
+    * per-session sequence string. The state per user is the last two
+    * event types plus three booleans — O(1) regardless of session
+    * length, strictly tighter than both the batch fold (O(session))
+    * and the naive "buffer the session" streaming approach; this is
+    * what a MATCH_RECOGNIZE engine does internally (NFA state, not
+    * event buffers). Emits one summary per CLOSED session (gap > 30
+    * min), the [[sessionize]] convention; same total event order
+    * ((ts, event_id)) as the batch twin so flags agree exactly. */
+  def sessionCep(events: Dataset[Event], gapMinutes: Int = 30): Dataset[CepSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def step(st: CepState, t: String): CepState = {
+      val burst = st.burst ||
+        (st.prev2 == "view" && st.prev1 == "view" && t == "click")
+      val converted = st.converted || (st.sawClick && t == "purchase")
+      st.copy(n = st.n + 1, prev2 = st.prev1, prev1 = t,
+        burst = burst, converted = converted,
+        sawClick = st.sawClick || t == "click")
+    }
+
+    def fresh(sessionNo: Int, tMs: Long, t: String): CepState =
+      CepState(sessionNo, 1, tMs, t, "", burst = false,
+        sawClick = t == "click", converted = false)
+
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[CepState]): Iterator[CepSummary] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[CepSummary]
+      sorted.foreach { e =>
+        val tMs = e.ts.getTime
+        if (st == null) st = fresh(1, tMs, e.event_type)
+        else if (tMs - st.lastMs > gapMs) {
+          out += CepSummary(userId, st.sessionNo, st.n, st.burst, st.converted)
+          st = fresh(st.sessionNo + 1, tMs, e.event_type)
+        } else st = step(st, e.event_type).copy(lastMs = tMs)
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming ingest dedup — the streaming twin of exact dedup (q80):
     * drop re-deliveries of the same event_id, keeping state only for the
     * watermark horizon. dropDuplicatesWithinWatermark is the Spark-native

@@ -1030,4 +1030,48 @@ class StreamingSpec extends EngineSuite {
     assert(top == Seq(("b", 5L), ("a", 4L), ("c", 1L)), s"got $top")
   }
 
+  test("sessionCep automaton flags match the batch q223 regex semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionCep(mem.toDS())
+      .writeStream.format("memory").queryName("cep_out")
+      .outputMode("append").start()
+    try {
+      // session 1 (user 7): view view click purchase → burst AND converted
+      mem.addData(
+        Event(7, 1, ts(0), "view", 1.0), Event(7, 2, ts(2), "view", 1.0),
+        Event(7, 3, ts(4), "click", 1.0), Event(7, 4, ts(6), "purchase", 9.0))
+      q.processAllAvailable()
+      // gap closes session 1; session 2: purchase then click (no pattern —
+      // conversion needs click BEFORE purchase, like the batch regex)
+      mem.addData(
+        Event(7, 5, ts(60), "purchase", 2.0), Event(7, 6, ts(62), "click", 1.0))
+      q.processAllAvailable()
+      // gap closes session 2; session 3: view click view (burst needs the
+      // views CONSECUTIVE, immediately before the click)
+      mem.addData(
+        Event(7, 7, ts(130), "view", 1.0), Event(7, 8, ts(131), "click", 1.0),
+        Event(7, 9, ts(132), "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(7, 10, ts(200), "view", 1.0)) // closes session 3
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("cep_out").orderBy("session_no")
+      .select("session_no", "n_events", "browse_burst", "converted")
+      .as[(Int, Int, Boolean, Boolean)].collect().toSeq
+    assert(rows == Seq((1, 4, true, true), (2, 2, false, false),
+      (3, 3, false, false)), s"got $rows")
+    // the batch twin agrees: replay the same closed sessions through the
+    // q223 regex algebra over the folded type sequence
+    def regexFlags(types: Seq[String]): (Boolean, Boolean) = {
+      val seq = types.mkString(" ")
+      (seq.matches(".*view view click.*"), seq.matches(".*click.*purchase.*"))
+    }
+    assert(regexFlags(Seq("view", "view", "click", "purchase")) == (true, true))
+    assert(regexFlags(Seq("purchase", "click")) == (false, false))
+    assert(regexFlags(Seq("view", "click", "view")) == (false, false))
+  }
+
 }
