@@ -520,7 +520,41 @@ object Relational {
       .orderBy("check_id")
   }
 
+  /** Market-basket association rules over order baskets — the classic
+    * co-occurrence analytics family (support / confidence / lift) that
+    * powers "frequently bought together": baskets are an order's
+    * distinct parts, candidate pairs come from a WITHIN-BASKET
+    * self-join (fanout bounded by basket size, ~7 lines per TPC-H
+    * order — never item × item), and the pair relation aggregates with
+    * map-side combine. Lift divides exact integer counts in one fixed
+    * DOUBLE tree; the top-20 ranks under a total order so the long
+    * support tie at small scale cannot flap. At 100 TB the same plan
+    * holds: the only growth is the pair relation, bounded by
+    * Σ basket_size², and a hot item pairs only within its own baskets. */
+  val q238MarketBasket: QuerySpec = QuerySpec.sql(
+    "q238_market_basket",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM b),
+      |ic AS (SELECT pk, COUNT(*) AS c FROM b GROUP BY pk),
+      |pr AS (SELECT a.pk AS pk_a, b2.pk AS pk_b, COUNT(*) AS pair_c
+      |       FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+      |       GROUP BY a.pk, b2.pk),
+      |top AS (SELECT pk_a, pk_b, pair_c,
+      |          ROW_NUMBER() OVER (ORDER BY pair_c DESC, pk_a, pk_b) AS rnk
+      |        FROM pr)
+      |SELECT CAST(rnk AS INT) AS rnk, pk_a, pk_b,
+      |  CAST(pair_c AS BIGINT) AS support_cnt,
+      |  CAST(ROUND(pair_c * 1e6 / ca.c) AS BIGINT) AS conf_a_to_b_e6,
+      |  CAST(ROUND(CAST(pair_c AS DOUBLE) * n.n_baskets
+      |             / (CAST(ca.c AS DOUBLE) * cb.c) * 1e6) AS BIGINT) AS lift_e6
+      |FROM top
+      |JOIN ic ca ON top.pk_a = ca.pk
+      |JOIN ic cb ON top.pk_b = cb.pk
+      |CROSS JOIN n
+      |WHERE rnk <= 20 ORDER BY rnk""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
+    q238MarketBasket,
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
