@@ -309,6 +309,40 @@ object Events {
       |  CAST(ROUND((c - ewma) * 1e6) AS BIGINT) AS residual_e6
       |FROM e ORDER BY hr""".stripMargin)
 
+  /** Last-touch revenue attribution — marketing analytics' canonical
+    * question ("which interaction gets credit for the purchase?"):
+    * every purchase's value is attributed to the nearest PRECEDING
+    * non-purchase event of the same user (the as-of composition,
+    * [[q121AsofJoin]]'s family, expressed as one LAG window over a
+    * user-keyed pass — no self-join), then rolled up per attributed
+    * channel. Purchases with no prior touch report as 'direct'.
+    * Revenue sums in DECIMAL(12,2) (q65 rule); one user shuffle + one
+    * channel-keyed rollup, both partial-aggregable. */
+  val q239Attribution: QuerySpec = {
+    def text(spark: Boolean): String = {
+      // IGNORE NULLS spelling differs: Spark takes (expr, true), DuckDB
+      // wants the keyword inside the call parens (verify-skill gotcha)
+      val lastTouch =
+        if (spark)
+          "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END, true)"
+        else
+          "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)"
+      s"""WITH tagged AS (
+         |  SELECT user_id, event_id, ts, event_type, value,
+         |    $lastTouch
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM events),
+         |p AS (SELECT COALESCE(touch, 'direct') AS channel, value
+         |      FROM tagged WHERE event_type = 'purchase')
+         |SELECT channel, COUNT(*) AS n_purchases,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_revenue
+         |FROM p GROUP BY channel
+         |ORDER BY channel""".stripMargin
+    }
+    QuerySpec.sql2("q239_events_attribution", text(spark = true), text(spark = false))
+  }
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -694,7 +728,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma,
+    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
