@@ -343,6 +343,61 @@ object Events {
     QuerySpec.sql2("q239_events_attribution", text(spark = true), text(spark = false))
   }
 
+  /** Conversion-latency distribution (click → first purchase) — the
+    * survival-curve view of the funnel: bucket each converting user's
+    * delay between first click and first subsequent purchase, report
+    * per-bucket counts and the cumulative conversion fraction of all
+    * clickers, with a terminal 'never' row for clickers who never
+    * convert. ONE corpus pass: the first-click anchor is a user-keyed
+    * window MIN (no self-join back to events — the q121 as-of family),
+    * then everything is user-cardinality-sized. Portability: the delay
+    * truncates each timestamp to whole epoch seconds BEFORE
+    * subtracting (Spark's unix_timestamp truncates, DuckDB's epoch()
+    * keeps micros — floored separately they agree exactly). */
+  val q240ConversionLatency: QuerySpec = {
+    def text(spark: Boolean): String = {
+      def ep(c: String) =
+        if (spark) s"unix_timestamp($c)"
+        else s"CAST(FLOOR(epoch($c)) AS BIGINT)"
+      s"""WITH w AS (
+         |  SELECT user_id, ts, event_type,
+         |    MIN(CASE WHEN event_type = 'click' THEN ts END)
+         |      OVER (PARTITION BY user_id) AS first_click
+         |  FROM events),
+         |conv AS (
+         |  SELECT user_id, MIN(first_click) AS fc, MIN(ts) AS fp
+         |  FROM w
+         |  WHERE event_type = 'purchase' AND first_click IS NOT NULL
+         |    AND ts >= first_click
+         |  GROUP BY user_id),
+         |clickers AS (
+         |  SELECT COUNT(DISTINCT user_id) AS n_clickers
+         |  FROM w WHERE first_click IS NOT NULL),
+         |d AS (SELECT CAST(FLOOR((${ep("fp")} - ${ep("fc")}) / 60.0) AS BIGINT)
+         |        AS delay_min FROM conv),
+         |b AS (SELECT CASE WHEN delay_min < 5 THEN 0 WHEN delay_min < 15 THEN 1
+         |                  WHEN delay_min < 60 THEN 2 ELSE 3 END AS bno,
+         |             COUNT(*) AS n
+         |      FROM d GROUP BY 1),
+         |allb AS (
+         |  SELECT bno, n FROM b
+         |  UNION ALL
+         |  SELECT 4 AS bno,
+         |    clickers.n_clickers - COALESCE((SELECT SUM(n) FROM b), 0) AS n
+         |  FROM clickers)
+         |SELECT CAST(bno AS INT) AS bucket_no,
+         |  CASE bno WHEN 0 THEN 'lt_5m' WHEN 1 THEN '5_15m' WHEN 2 THEN '15_60m'
+         |           WHEN 3 THEN 'ge_60m' ELSE 'never' END AS bucket,
+         |  CAST(n AS BIGINT) AS n_users,
+         |  CAST(ROUND(CAST(SUM(CASE WHEN bno < 4 THEN n ELSE 0 END)
+         |        OVER (ORDER BY bno) AS DOUBLE) * 1e6
+         |      / (SELECT n_clickers FROM clickers)) AS BIGINT) AS cum_converted_e6
+         |FROM allb
+         |ORDER BY bucket_no""".stripMargin
+    }
+    QuerySpec.sql2("q240_conversion_latency", text(spark = true), text(spark = false))
+  }
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -728,7 +783,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution,
+    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution, q240ConversionLatency,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
