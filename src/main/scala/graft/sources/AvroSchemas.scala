@@ -243,4 +243,96 @@ object AvroSchemas {
           s"no Avro datum conversion for ${other.sql}")
     }
   }
+
+  /** Writes a DataFrame as Avro container files — the write half of the
+    * round trip, closing the format without the spark-avro connector:
+    * the schema renders through [[toAvroSchema]] (so the written files
+    * carry exactly the reference's generated-schema conventions —
+    * [null, T] unions, decimal-as-bytes, string map keys) and each
+    * PARTITION writes its own `part-NNNNN.avro` through the Hadoop
+    * FileSystem API — fully distributed, no driver materialization, the
+    * same one-file-per-task layout every columnar sink uses. Written
+    * files read back with [[readAvro]] (round-trip spec-pinned) and any
+    * stock Avro tool. Types follow toAvroSchema's documented widenings
+    * (timestamp/char render as string). Overwrites the target
+    * directory atomically per task file; callers own directory-level
+    * idempotence (same contract as a plain parquet save). */
+  def writeAvro(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val sparkSchema = df.schema
+    val schemaJson = toAvroSchema(sparkSchema, "sparkWrite")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(hconf.value)
+    fs0.mkdirs(dir)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val schema = new ASchema.Parser().parse(schemaJson)
+      val file = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
+      val fs = file.getFileSystem(hconf.value)
+      val out = fs.create(file, true)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      var n = 0L
+      try {
+        rows.foreach { row =>
+          w.append(rowToRecord(row, sparkSchema, schema))
+          n += 1
+        }
+      } finally w.close() // closes the stream
+      Iterator.single(n)
+    }.count(): Unit // one action drives all partition writes
+    ()
+  }
+
+  /** Spark external Row → Avro GenericRecord under the generated schema
+    * (every field is a [null, T] union per [[toAvroSchema]]). */
+  private def rowToRecord(
+      row: org.apache.spark.sql.Row,
+      st: StructType,
+      avro: org.apache.avro.Schema): org.apache.avro.generic.GenericRecord = {
+    val rec = new org.apache.avro.generic.GenericData.Record(avro)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      val branch = avro.getField(f.name).schema() // [null, T]
+      rec.put(f.name, toDatum(if (row.isNullAt(i)) null else row.get(i), f.dataType, branch))
+    }
+    rec
+  }
+
+  private def nonNull(union: org.apache.avro.Schema): org.apache.avro.Schema =
+    if (union.getType == org.apache.avro.Schema.Type.UNION)
+      union.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL).get
+    else union
+
+  private def toDatum(v: Any, dt: DataType, schema: org.apache.avro.Schema): Any = {
+    if (v == null) return null
+    val t = nonNull(schema)
+    dt match {
+      case StringType | _: CharType | _: VarcharType => v.toString
+      case TimestampType => v.toString // toAvroSchema renders timestamp as string
+      case ByteType => v.asInstanceOf[Byte].toInt
+      case ShortType => v.asInstanceOf[Short].toInt
+      case IntegerType | LongType | FloatType | DoubleType | BooleanType => v
+      case d: DecimalType =>
+        java.nio.ByteBuffer.wrap(
+          v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
+            .unscaledValue().toByteArray)
+      case ArrayType(et, _) =>
+        val arr = new java.util.ArrayList[Any]()
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .foreach(e => arr.add(toDatum(e, et, t.getElementType)))
+        arr
+      case MapType(_, vt, _) =>
+        val m = new java.util.HashMap[String, Any]()
+        v.asInstanceOf[scala.collection.Map[Any, Any]]
+          .foreach { case (k, mv) => m.put(k.toString, toDatum(mv, vt, t.getValueType)) }
+        m
+      case nested: StructType =>
+        rowToRecord(v.asInstanceOf[org.apache.spark.sql.Row], nested, t)
+      case other =>
+        throw new UnsupportedAvroTypeException(s"no Avro datum for ${other.sql}")
+    }
+  }
 }

@@ -132,4 +132,31 @@ class IngestionSpec extends EngineSuite {
     assert(r2.getSeq[Int](3).isEmpty && r2.getMap[String, Long](4).isEmpty)
   }
 
+  test("Avro write → read round-trip preserves rows across partitions") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = s.range(0, 100).repartition(4)
+      .select(col("id"),
+        when(col("id") % 10 === 0, lit(null)).otherwise(concat(lit("t"), col("id")))
+          .as("title"),
+        (col("id") * 1.5).as("score"),
+        array((col("id") % 3).cast("int"), lit(7)).as("tags"),
+        map(lit("k"), col("id") * 2).as("props"),
+        (col("id").cast("decimal(9,2)") / 4).cast("decimal(9,2)").as("price"),
+        struct(lit("en").as("lang"), (col("id") % 5).cast("int").as("rank")).as("meta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_rt").toFile
+    dir.deleteOnExit()
+    sources.AvroSchemas.writeAvro(df, dir.getAbsolutePath)
+    // multiple task files were written (the distributed layout, not one blob)
+    val parts = dir.listFiles().count(_.getName.endsWith(".avro"))
+    assert(parts == 4, s"expected one container file per partition, got $parts")
+    val schemaJson = sources.AvroSchemas.toAvroSchema(df.schema, "sparkWrite")
+    val back = sources.AvroSchemas.readAvro(s, dir.getAbsolutePath, schemaJson)
+    assert(back.schema("price").dataType == org.apache.spark.sql.types.DecimalType(9, 2))
+    val a = df.orderBy("id").collect().map(_.toString).toSeq
+    val b = back.orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b, s"round trip diverged:\n${a.take(3)}\nvs\n${b.take(3)}")
+  }
+
 }
