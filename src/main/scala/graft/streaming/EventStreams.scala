@@ -170,6 +170,68 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class AnomalyAlert(
+      event_type: String, hour_start: Timestamp, n_events: Long,
+      n_baseline: Int, z_e6: Long, anomaly: Boolean)
+
+  // public: the state encoder's generated code must reach the constructor
+  final case class AnomState(hourMs: Long, cur: Long, hist: Seq[Long])
+
+  /** Streaming rolling z-score anomaly detection — the stateful twin of
+    * q224_events_anomaly, keyed per event_type: each CLOSED hour scores
+    * against the trailing baseline held in per-key state. The state is
+    * a RING BUFFER of at most 24 completed hour counts plus the open
+    * hour — bounded regardless of stream lifetime (the unbounded-state
+    * trap of naive "keep all history" scoring), and the z formula is
+    * q224's exact integer Σ/Σ² identity with the same var-floor and
+    * 12-hour warm-up. Alerts emit the moment the hour closes instead
+    * of at the next batch audit — the whole point of the streaming
+    * twin. Events for an already-closed hour are dropped (watermark
+    * discipline); a multi-hour gap scores only the hour that actually
+    * carried events, like the batch rollup's hour-keyed relation. */
+  def hourlyAnomaly(events: Dataset[Event], histHours: Int = 24): Dataset[AnomalyAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourMsLen = 3600L * 1000
+
+    def score(hist: Seq[Long], c: Long): (Long, Boolean) = {
+      val n = hist.size
+      val s1 = hist.sum
+      val s2 = hist.map(h => h * h).sum
+      val mean = s1.toDouble / n
+      val variance = math.max(s2.toDouble / n - mean * mean, 1.0)
+      val z = (c - mean) / math.sqrt(variance)
+      (math.round(z * 1e6), math.abs(z) > 3.0)
+    }
+
+    def update(tpe: String, it: Iterator[Event],
+        state: GroupState[AnomState]): Iterator[AnomalyAlert] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[AnomalyAlert]
+      sorted.foreach { e =>
+        val hr = e.ts.getTime / hourMsLen * hourMsLen
+        if (st == null) st = AnomState(hr, 1L, Vector.empty)
+        else if (hr == st.hourMs) st = st.copy(cur = st.cur + 1)
+        else if (hr > st.hourMs) {
+          // close the open hour: score it against the trailing baseline
+          if (st.hist.size >= 12) {
+            val (z, anom) = score(st.hist, st.cur)
+            out += AnomalyAlert(tpe, new Timestamp(st.hourMs), st.cur,
+              st.hist.size, z, anom)
+          }
+          val hist = (st.hist :+ st.cur).takeRight(histHours)
+          st = AnomState(hr, 1L, hist)
+        } // hr < st.hourMs: late event for a closed hour — dropped
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming ingest dedup — the streaming twin of exact dedup (q80):
     * drop re-deliveries of the same event_id, keeping state only for the
     * watermark horizon. dropDuplicatesWithinWatermark is the Spark-native

@@ -1074,4 +1074,35 @@ class StreamingSpec extends EngineSuite {
     assert(regexFlags(Seq("view", "click", "view")) == (false, false))
   }
 
+  test("hourlyAnomaly scores closed hours against the bounded ring baseline") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.hourlyAnomaly(mem.toDS())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    def hourEvents(h: Int, n: Int, idBase: Long): Seq[Event] =
+      (0 until n).map(i =>
+        Event(1, idBase + i, ts(h * 60 + (i % 50)), "click", 1.0))
+    try {
+      // 12 warm-up hours of exactly 10 events each, then a 40-event spike
+      (0 until 12).foreach(h => mem.addData(hourEvents(h, 10, h * 1000L): _*))
+      q.processAllAvailable()
+      mem.addData(hourEvents(12, 40, 12000L): _*)
+      q.processAllAvailable()
+      mem.addData(hourEvents(13, 10, 13000L): _*) // closes the spike hour
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("anom_out").orderBy("hour_start")
+      .select("n_events", "n_baseline", "z_e6", "anomaly")
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    // hour 12 closes against 12 flat hours (var floored at 1): z = 30.0;
+    // earlier closes are suppressed by the 12-hour warm-up
+    assert(rows.size == 1, s"expected exactly the spike-hour alert, got $rows")
+    assert(rows.head == ((40L, 12, 30000000L, true)), s"got ${rows.head}")
+    // the formula matches the batch q224 identity computed by hand:
+    // mean=10, var=max(100-100,1)=1 → z=(40-10)/1=30
+  }
+
 }
