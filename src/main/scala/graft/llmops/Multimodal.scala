@@ -235,5 +235,83 @@ object Multimodal {
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q92DecodePipeline.benched, q93FrameSample, q187PhashDedup)
+  /** Audio frame-energy summary — the third modality's plumbing next to
+    * image (q92/q187) and video (q93): treat the opaque payload as a
+    * sample stream, frame it (100 samples/frame, the q93 window), and
+    * report RMS-energy statistics per document — frames, silent frames
+    * (mean-square below a fixed floor, set inside the fixture's energy
+    * range so the gate actually discriminates — the VAD shape of a
+    * speech pipeline), speech fraction, peak energy. The "decode" is this
+    * module's documented stub (code points as samples — DuckDB's
+    * ascii() replay contract, see [[phashStub]]); swap for a real PCM
+    * decoder on a cluster with codec libs and nothing else changes.
+    * Determinism: per-frame mean-square divides exact integer Σx² by
+    * the frame length once (fixed tree); silent/peak/fraction are
+    * exact algebra over those. Zero shuffle until the one doc-keyed
+    * rollup. */
+  private def audioStub(rows: Iterator[RawMedia]): Iterator[(Long, Long, Long, Long)] =
+    rows.map { r =>
+      val cps = new String(r.media, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
+      val n = cps.length
+      val nFrames = math.max(1, (n + 99) / 100)
+      var silent = 0L
+      var peakE2 = 0L
+      var f = 0
+      while (f < nFrames) {
+        val from = f * 100
+        val until = math.min(from + 100, n)
+        var s2 = 0L
+        var i = from
+        while (i < until) { s2 += cps(i).toLong * cps(i); i += 1 }
+        val ms = if (until > from) s2.toDouble / (until - from) else 0.0
+        if (ms < 9600.0) silent += 1
+        val e2 = math.round(ms * 100)
+        if (e2 > peakE2) peakE2 = e2
+        f += 1
+      }
+      (r.doc_id, nFrames.toLong, silent, peakE2)
+    }
+
+  val q241AudioEnergy: QuerySpec = QuerySpec(
+    "q241_mm_audio_energy",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_transform(range(length(text)), i -> ascii(substr(text, i + 1, 1))) AS cp,
+      |    length(text) AS n
+      |  FROM documents),
+      |f AS (SELECT doc_id, n, cp,
+      |        unnest(range(GREATEST(CAST(CEIL(n / 100.0) AS INT), 1))) AS fno
+      |      FROM t),
+      |e AS (SELECT doc_id, fno,
+      |        CASE WHEN LEAST((fno + 1) * 100, n) > fno * 100
+      |             THEN CAST(list_aggregate(list_transform(
+      |                    range(LEAST((fno + 1) * 100, n) - fno * 100),
+      |                    i -> CAST(cp[fno * 100 + i + 1] AS BIGINT) * cp[fno * 100 + i + 1]),
+      |                  'sum') AS DOUBLE)
+      |                  / (LEAST((fno + 1) * 100, n) - fno * 100)
+      |             ELSE 0.0 END AS ms
+      |      FROM f)
+      |SELECT doc_id, COUNT(*) AS n_frames,
+      |  CAST(SUM(CASE WHEN ms < 9600 THEN 1 ELSE 0 END) AS BIGINT) AS silent_frames,
+      |  CAST(ROUND((COUNT(*) - SUM(CASE WHEN ms < 9600 THEN 1 ELSE 0 END)) * 1e6
+      |       / COUNT(*)) AS BIGINT) AS speech_frac_e6,
+      |  CAST(MAX(CAST(ROUND(ms * 100) AS BIGINT)) AS BIGINT) AS peak_ms_e2
+      |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    import sp.implicits._
+    sp.table("documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[RawMedia]
+      .mapPartitions(audioStub)
+      .toDF("doc_id", "n_frames", "silent_frames", "peak_ms_e2")
+      .select(col("doc_id"), col("n_frames"), col("silent_frames"),
+        round((col("n_frames") - col("silent_frames")) * lit(1e6) / col("n_frames"))
+          .cast("bigint").as("speech_frac_e6"),
+        col("peak_ms_e2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q92DecodePipeline.benched, q93FrameSample, q187PhashDedup,
+    q241AudioEnergy)
 }
