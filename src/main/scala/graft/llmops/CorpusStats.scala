@@ -348,8 +348,55 @@ object CorpusStats {
     QuerySpec.sql2("q235_zipf_fit", text(spark = true), text(spark = false))
   }
 
+  /** Heaps'-law fit of vocabulary growth — [[q235ZipfFit]]'s companion
+    * scaling law: `V(n) ≈ K·n^β` (β ≈ 0.4-0.6 for natural text; a
+    * template corpus saturates early and bends β down). The growth
+    * curve needs no per-prefix rescan: each word contributes a NEW
+    * vocab unit at its first-occurrence doc (word-keyed MIN — one
+    * vocab-sized aggregate), per-doc token counts come from the same
+    * exploded stream, and both running sums are windows over the
+    * DOC-cardinality relation. The log-log OLS reuses the q235 moment
+    * recipe (per-term DECIMAL(27,18), fixed ln() doubles). */
+  val q243HeapsFit: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents"
+        else "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+      s"""WITH w AS ($words),
+         |tok AS (SELECT doc_id, COUNT(*) AS toks FROM w GROUP BY doc_id),
+         |fo AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
+         |nw AS (SELECT first_doc AS doc_id, COUNT(*) AS new_words FROM fo GROUP BY first_doc),
+         |g AS (SELECT tok.doc_id,
+         |        CAST(SUM(tok.toks) OVER (ORDER BY tok.doc_id) AS BIGINT) AS cum_toks,
+         |        CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY tok.doc_id) AS BIGINT)
+         |          AS cum_vocab
+         |      FROM tok LEFT JOIN nw ON tok.doc_id = nw.doc_id),
+         |r AS (SELECT LN(CAST(cum_toks AS DOUBLE)) AS lx,
+         |             LN(CAST(cum_vocab AS DOUBLE)) AS ly
+         |      FROM g),
+         |m AS (SELECT COUNT(*) AS n,
+         |        CAST(SUM(CAST(lx AS DECIMAL(27,18))) AS DOUBLE) AS sx,
+         |        CAST(SUM(CAST(ly AS DECIMAL(27,18))) AS DOUBLE) AS sy,
+         |        CAST(SUM(CAST(lx * ly AS DECIMAL(27,18))) AS DOUBLE) AS sxy,
+         |        CAST(SUM(CAST(lx * lx AS DECIMAL(27,18))) AS DOUBLE) AS sx2,
+         |        CAST(SUM(CAST(ly * ly AS DECIMAL(27,18))) AS DOUBLE) AS sy2
+         |      FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  CAST(ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e6) AS BIGINT)
+         |    AS heaps_beta_e6,
+         |  CAST(ROUND(EXP((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n) * 1e6)
+         |    AS BIGINT) AS heaps_k_e6,
+         |  CAST(ROUND(((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+         |           * ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+         |           * (n * sx2 - sx * sx) / (n * sy2 - sy * sy) * 1e6) AS BIGINT)
+         |    AS r2_e6
+         |FROM m""".stripMargin
+    }
+    QuerySpec.sql2("q243_heaps_fit", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
       q216HeavyHitters.benched, q225ScoreKsDrift, q229SubsampleCi,
-      q232CalibrationMap, q235ZipfFit)
+      q232CalibrationMap, q235ZipfFit, q243HeapsFit)
 }

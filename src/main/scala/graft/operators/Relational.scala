@@ -553,8 +553,51 @@ object Relational {
       |CROSS JOIN n
       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin)
 
+  /** RFM customer segmentation — the classic marketing rollup
+    * (recency / frequency / monetary quintiles → 125 segments): one
+    * orders scan to the customer-grain relation, NTILE(5) per metric
+    * with total tie orders (metric, custkey — NTILE's remainder
+    * placement is deterministic only under a total order), then a
+    * segment-grain rollup. Monetary sums in DECIMAL(14,2); recency in
+    * whole days against the corpus max date (a window MAX over the
+    * customer-grain relation, not a second scan). Everything after the
+    * first rollup is customer-cardinality-sized. */
+  val q242RfmSegmentation: QuerySpec = {
+    def text(spark: Boolean): String = {
+      // day-difference spelling differs: Spark DATEDIFF(end, start),
+      // DuckDB datediff('day', start, end)
+      val dd =
+        if (spark) "DATEDIFF(MAX(last_order) OVER (), last_order)"
+        else "datediff('day', last_order, MAX(last_order) OVER ())"
+      s"""WITH c AS (
+      |  SELECT o_custkey,
+      |    MAX(o_orderdate) AS last_order,
+      |    COUNT(*) AS freq,
+      |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT o_custkey,
+      |    CAST($dd AS BIGINT) AS rec_days,
+      |    freq, monetary
+      |  FROM c),
+      |q AS (
+      |  SELECT o_custkey, rec_days, freq, monetary,
+      |    NTILE(5) OVER (ORDER BY rec_days, o_custkey) AS r_q,
+      |    NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+      |    NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+      |  FROM r)
+      |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+      |  CAST(ROUND(AVG(rec_days)) AS BIGINT) AS avg_recency_days,
+      |  CAST(ROUND(AVG(freq)) AS BIGINT) AS avg_frequency,
+      |  CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+      |FROM q GROUP BY r_q, f_q, m_q
+      |ORDER BY r_q, f_q, m_q""".stripMargin
+    }
+    QuerySpec.sql2("q242_rfm_segmentation", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q238MarketBasket,
+    q238MarketBasket, q242RfmSegmentation,
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
