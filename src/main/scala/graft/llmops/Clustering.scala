@@ -265,6 +265,57 @@ object Clustering {
     }
   }
 
+  /** Corpus isotropy score — the SCALAR companion of [[q228PcaAxis]]'s
+    * dominant direction: the mean pairwise cosine of all unit vectors,
+    * computed WITHOUT pairs through the identity
+    * `mean_{i≠j} cos(u_i,u_j) = (‖Σu‖² − n) / (n(n−1))` — one corpus
+    * pass (in-row normalization, per-dim DECIMAL(27,18) sums) and then
+    * O(dim) algebra, versus the O(n²) pair join the naive form needs.
+    * A collapsed (anisotropic) embedding space scores near 1, a healthy
+    * one near 0 — the standard representation-health check before
+    * cosine-based dedup/ANN is trusted. Deterministic: the in-row
+    * norm fold is index-ordered, per-dim sums are exact decimals, and
+    * ‖Σu‖² accumulates per-term the same way. */
+  val q245Isotropy: QuerySpec = QuerySpec(
+    "q245_embed_isotropy",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(
+      |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |          list_transform(v, y -> y * y)), (acc, p) -> acc + p))) AS u
+      |      FROM e),
+      |s AS (SELECT i.i AS pos,
+      |        CAST(SUM(CAST(u.u[i.i + 1] AS DECIMAL(27,18))) AS DOUBLE) AS sv
+      |      FROM u CROSS JOIN range(64) i(i) GROUP BY i.i),
+      |agg AS (SELECT CAST(SUM(CAST(sv * sv AS DECIMAL(27,18))) AS DOUBLE) AS ss2
+      |        FROM s),
+      |n AS (SELECT COUNT(*) AS n FROM u)
+      |SELECT CAST(n.n AS BIGINT) AS n_vecs,
+      |  CAST(ROUND((agg.ss2 - n.n) / (n.n * (n.n - 1.0)) * 1e6) AS BIGINT)
+      |    AS avg_pairwise_cos_e6,
+      |  CAST(ROUND((1.0 - (agg.ss2 - n.n) / (n.n * (n.n - 1.0))) * 1e6) AS BIGINT)
+      |    AS isotropy_e6
+      |FROM agg CROSS JOIN n""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val u = vecs(sp).select(col("vec_id"),
+      expr("""transform(v, x -> x / sqrt(
+              |  aggregate(transform(v, y -> y * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)))""".stripMargin)
+        .as("u"))
+      .localCheckpoint() // feeds the per-dim sums AND the count
+    val sums = u.select(posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x").cast("decimal(27,18)")).cast("double").as("sv"))
+    val ss2 = sums.agg(
+      sum((col("sv") * col("sv")).cast("decimal(27,18)")).cast("double").as("ss2"))
+    val n = u.agg(count(lit(1)).as("n"))
+    ss2.crossJoin(broadcast(n))
+      .select(col("n").cast("bigint").as("n_vecs"),
+        round((col("ss2") - col("n")) / (col("n") * (col("n") - lit(1.0))) * lit(1e6))
+          .cast("bigint").as("avg_pairwise_cos_e6"),
+        round((lit(1.0) - (col("ss2") - col("n"))
+          / (col("n") * (col("n") - lit(1.0)))) * lit(1e6))
+          .cast("bigint").as("isotropy_e6"))
+  }
+
   val all: Seq[QuerySpec] = Seq(q97KmeansBalanced, q211ClusterSilhouette,
-    q228PcaAxis)
+    q228PcaAxis, q245Isotropy)
 }

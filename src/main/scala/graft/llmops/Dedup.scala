@@ -1269,6 +1269,111 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Newman modularity of the label-propagation communities over the
+    * near-dup graph — the quality score that tells whether [[q220]]'s
+    * communities are real structure or noise (Q ≈ 0): per community c,
+    * `Q_c = e_c/m − (d_c/2m)²` with e_c intra-community edges, d_c the
+    * community's degree sum, m total edges. EXACT algebra: e_c, d_c, m
+    * are integers from two edge-relation aggregates (label both
+    * endpoints via two joins against the label relation — never a
+    * node×node term), the quadratic term is one fixed DOUBLE tree.
+    * Unlabeled nodes form no community and only dilute m, exactly as
+    * in the standard partial-partition definition. Output: per
+    * community + the global Q as the INTEGER sum of the per-community
+    * micro-unit terms (rounding before the windowed total keeps the
+    * cross-engine sum order out of the result — the q205 ulp rule). */
+  val q244Modularity: QuerySpec = {
+    def roundSql(prev: String): String =
+      s"""SELECT doc_id, label FROM $prev
+         |  UNION ALL
+         |  SELECT dst AS doc_id, label FROM (
+         |    SELECT e.dst, l.label,
+         |           ROW_NUMBER() OVER (PARTITION BY e.dst
+         |             ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM edges e
+         |    JOIN $prev l ON l.doc_id = e.src
+         |    WHERE NOT EXISTS (SELECT 1 FROM $prev p WHERE p.doc_id = e.dst)
+         |    GROUP BY e.dst, l.label) v
+         |  WHERE rn = 1""".stripMargin
+    QuerySpec(
+      "q244_graph_modularity",
+      s"""WITH $nearDupOracleCtes,
+         |edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM np
+         |          UNION ALL SELECT doc_id_b, doc_id_a FROM np),
+         |l0 AS (SELECT doc_id, source AS label FROM documents
+         |       WHERE doc_id % 3 = 0),
+         |l1 AS (${roundSql("l0")}),
+         |l2 AS (${roundSql("l1")}),
+         |m AS (SELECT COUNT(*) / 2 AS m FROM edges),
+         |intra AS (
+         |  SELECT la.label, COUNT(*) / 2 AS e_c
+         |  FROM edges e
+         |  JOIN l2 la ON la.doc_id = e.src
+         |  JOIN l2 lb ON lb.doc_id = e.dst AND lb.label = la.label
+         |  GROUP BY la.label),
+         |deg AS (
+         |  SELECT l2.label, COUNT(*) AS d_c
+         |  FROM edges e JOIN l2 ON l2.doc_id = e.src
+         |  GROUP BY l2.label)
+         |SELECT deg.label, CAST(deg.d_c AS BIGINT) AS degree_sum,
+         |  CAST(COALESCE(intra.e_c, 0) AS BIGINT) AS intra_edges,
+         |  CAST(ROUND((CAST(COALESCE(intra.e_c, 0) AS DOUBLE) / m.m
+         |      - (CAST(deg.d_c AS DOUBLE) / (2 * m.m))
+         |        * (CAST(deg.d_c AS DOUBLE) / (2 * m.m))) * 1e6) AS BIGINT) AS q_c_e6,
+  CAST(SUM(CAST(ROUND((CAST(COALESCE(intra.e_c, 0) AS DOUBLE) / m.m
+         |      - (CAST(deg.d_c AS DOUBLE) / (2 * m.m))
+         |        * (CAST(deg.d_c AS DOUBLE) / (2 * m.m))) * 1e6) AS BIGINT)) OVER ()
+         |    AS BIGINT) AS modularity_e6
+         |FROM deg LEFT JOIN intra ON deg.label = intra.label CROSS JOIN m
+         |ORDER BY deg.label""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val pairs = nearDupJaccard(sp)
+        .select(col("doc_id_a"), col("doc_id_b")).localCheckpoint()
+      val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+        .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+        .localCheckpoint()
+      var labels = sp.table("documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source").as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to 2) {
+        val votes = edges
+          .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+          .join(labels.select(col("doc_id").as("dst")), Seq("dst"), "left_anti")
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dst")).orderBy(col("c").desc, col("label"))
+        val adopted = votes
+          .withColumn("rn", row_number().over(win))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("doc_id"), col("label"))
+        labels = labels.unionByName(adopted).localCheckpoint()
+      }
+      val mDf = edges.agg((count(lit(1)) / 2).as("m"))
+      val la = labels.select(col("doc_id").as("src"), col("label"))
+      val lb = labels.select(col("doc_id").as("dst"), col("label").as("label_b"))
+      val intra = edges.join(la, "src").join(lb, "dst")
+        .filter(col("label") === col("label_b"))
+        .groupBy(col("label")).agg((count(lit(1)) / 2).as("e_c"))
+      val deg = edges.join(la, "src")
+        .groupBy(col("label")).agg(count(lit(1)).as("d_c"))
+      val joined = deg.join(intra, Seq("label"), "left")
+        .crossJoin(broadcast(mDf))
+        .withColumn("q_c",
+          coalesce(col("e_c"), lit(0L)).cast("double") / col("m")
+            - (col("d_c").cast("double") / (lit(2) * col("m")))
+              * (col("d_c").cast("double") / (lit(2) * col("m"))))
+      joined
+        .select(col("label"), col("d_c").cast("bigint").as("degree_sum"),
+          coalesce(col("e_c"), lit(0L)).cast("bigint").as("intra_edges"),
+          round(col("q_c") * lit(1e6)).cast("bigint").as("q_c_e6"),
+          sum(round(col("q_c") * lit(1e6)).cast("bigint")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy())
+            .cast("bigint").as("modularity_e6"))
+        .orderBy(col("label"))
+    }
+  }
+
   /** Fuzzy entity resolution (record linkage) over customer names:
     * multi-pass blocking → [[boundedPairs]] → exact edit-distance
     * verification, the Fellegi-Sunter candidate machinery every
@@ -1314,7 +1419,7 @@ object Dedup {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles,
+    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q186CanonicalPick,
