@@ -398,6 +398,39 @@ object Events {
     QuerySpec.sql2("q240_conversion_latency", text(spark = true), text(spark = false))
   }
 
+  /** Hour-of-day seasonality decomposition of the event-count series —
+    * the "is the daily rhythm real?" check that belongs before any
+    * anomaly threshold ([[q224HourlyAnomaly]] assumes a locally-flat
+    * baseline; strong seasonality wants seasonal adjustment first):
+    * per hour-of-day seasonal means plus the fraction of total variance
+    * the 24-slot profile explains (the R² of the seasonal model,
+    * `1 − SS_res/SS_tot` with the ANOVA identities `Σc² − (Σc)²/n`).
+    * All moments are exact integers per slot; the 24 per-slot residual
+    * terms accumulate through DECIMAL(27,6) before the global ratio
+    * (q205 ulp rule). One corpus rollup; everything after is 24 rows. */
+  val q246Seasonality: QuerySpec = QuerySpec.sql(
+    "q246_events_seasonality",
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS c
+      |           FROM events GROUP BY date_trunc('hour', ts)),
+      |slot AS (SELECT CAST(HOUR(hr) AS INT) AS hod,
+      |           COUNT(*) AS n_h,
+      |           CAST(SUM(c) AS BIGINT) AS s1_h,
+      |           CAST(SUM(c * c) AS BIGINT) AS s2_h
+      |         FROM h GROUP BY HOUR(hr)),
+      |tot AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n,
+      |          CAST(SUM(s1_h) AS BIGINT) AS s1,
+      |          CAST(SUM(s2_h) AS BIGINT) AS s2,
+      |          CAST(SUM(CAST(s2_h - CAST(s1_h AS DOUBLE) * s1_h / n_h
+      |               AS DECIMAL(27,6))) AS DOUBLE) AS ss_res
+      |        FROM slot)
+      |SELECT slot.hod, CAST(slot.n_h AS BIGINT) AS n_days,
+      |  CAST(ROUND(slot.s1_h * 1e6 / slot.n_h) AS BIGINT) AS seasonal_mean_e6,
+      |  CAST(ROUND((1.0 - tot.ss_res
+      |       / (tot.s2 - CAST(tot.s1 AS DOUBLE) * tot.s1 / tot.n)) * 1e6) AS BIGINT)
+      |    AS variance_explained_e6
+      |FROM slot CROSS JOIN tot
+      |ORDER BY slot.hod""".stripMargin)
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -783,7 +816,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution, q240ConversionLatency,
+    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution, q240ConversionLatency, q246Seasonality,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
