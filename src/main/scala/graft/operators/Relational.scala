@@ -596,8 +596,76 @@ object Relational {
     QuerySpec.sql2("q242_rfm_segmentation", text(spark = true), text(spark = false))
   }
 
+  /** Pairwise Pearson correlation matrix over lineitem's numeric
+    * columns — multivariate profiling beyond q198's per-column stats
+    * (which pairs move together tells the optimizer-stats story AND
+    * catches derived/degenerate columns before modeling). ONE scan
+    * computes every moment (each Σx, Σx², Σxy a conditional aggregate
+    * in the same GROUP BY ∅ pass — no per-pair rescan), all sums in
+    * DECIMAL (exact); each correlation is then one fixed DOUBLE tree
+    * over the 14-moment row. */
+  val q247CorrelationMatrix: QuerySpec = QuerySpec.sql(
+    "q247_correlation_matrix",
+    """WITH m AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sq,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sqq,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sdd,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sqd,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS spd
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT 'quantity_x_price' AS pair,
+      |    (n * sqp - sq * sp) / (SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp)) AS r
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'quantity_x_discount',
+      |    (n * sqd - sq * sd) / (SQRT(n * sqq - sq * sq) * SQRT(n * sdd - sd * sd))
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'price_x_discount',
+      |    (n * spd - sp * sd) / (SQRT(n * spp - sp * sp) * SQRT(n * sdd - sd * sd))
+      |  FROM m)
+      |SELECT pair, CAST(ROUND(r * 1e6) AS BIGINT) AS pearson_e6
+      |FROM p ORDER BY pair""".stripMargin)
+
+  /** Mutual information between event type and hour-of-day — the
+    * categorical-dependence profile ("is traffic mix time-dependent?")
+    * that a correlation matrix cannot see. All probabilities are exact
+    * integer count ratios from ONE (type, hod) rollup; marginals are
+    * window sums over that ≤ 5×24 relation; the MI sum accumulates
+    * per-cell through DECIMAL(27,18) (q205 ulp rule). Reported in
+    * millinats alongside the normalized uncertainty coefficient
+    * (MI / H(type)). */
+  val q248MutualInformation: QuerySpec = QuerySpec.sql(
+    "q248_mutual_information",
+    """WITH c AS (SELECT event_type, CAST(HOUR(ts) AS INT) AS hod, COUNT(*) AS c
+      |           FROM events GROUP BY event_type, HOUR(ts)),
+      |j AS (SELECT event_type, hod, c,
+      |        CAST(SUM(c) OVER () AS BIGINT) AS n,
+      |        CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+      |        CAST(SUM(c) OVER (PARTITION BY hod) AS BIGINT) AS ch
+      |      FROM c),
+      |mi AS (SELECT
+      |    CAST(SUM(CAST((CAST(c AS DOUBLE) / n)
+      |         * LN(CAST(c AS DOUBLE) * n / (CAST(ct AS DOUBLE) * ch))
+      |         AS DECIMAL(27,18))) AS DOUBLE) AS mi_nats,
+      |    CAST(SUM(CASE WHEN hod = 0
+      |         THEN CAST(-(CAST(ct AS DOUBLE) / n) * LN(CAST(ct AS DOUBLE) / n)
+      |              AS DECIMAL(27,18)) END) AS DOUBLE) AS h_type
+      |  FROM j)
+      |SELECT CAST(ROUND(mi_nats * 1e6) AS BIGINT) AS mi_nats_e6,
+      |  CAST(ROUND(h_type * 1e6) AS BIGINT) AS h_type_e6,
+      |  CAST(ROUND(mi_nats / h_type * 1e6) AS BIGINT) AS uncertainty_coef_e6
+      |FROM mi""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
-    q238MarketBasket, q242RfmSegmentation,
+    q238MarketBasket, q242RfmSegmentation, q247CorrelationMatrix,
+    q248MutualInformation,
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
     q08RightSemi, q09RightAnti, q10SaltedAgg, q98TpchQ4, q99TpchQ14,
