@@ -395,8 +395,40 @@ object CorpusStats {
     QuerySpec.sql2("q243_heaps_fit", text(spark = true), text(spark = false))
   }
 
+  /** Leave-one-source-out influence of each source on a corpus
+    * statistic (mean tokens/doc) — the cheap end of the data-valuation
+    * spectrum (the Shapley-style question "which source moves the
+    * metric?") answered EXACTLY and in closed form: dropping source i
+    * gives mean `(T − t_i)/(N − n_i)` from the totals alone, so the
+    * whole sweep costs ONE source-keyed rollup + a broadcast totals
+    * row — no per-source re-scan, no resampling. Deltas are fixed
+    * DOUBLE trees over exact integers; the influence rank carries a
+    * total tie order. Pairs with [[q229SubsampleCi]]: that op says how
+    * uncertain the metric is, this one says who moves it. */
+  val q250LosoInfluence: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val score = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      s"""WITH d AS (SELECT source, $score AS toks FROM documents),
+         |s AS (SELECT source, COUNT(*) AS n_i, CAST(SUM(toks) AS BIGINT) AS t_i
+         |      FROM d GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(t_i) AS BIGINT) AS t
+         |        FROM s),
+         |x AS (SELECT s.source, s.n_i, s.t_i,
+         |        CAST(tot.t AS DOUBLE) / tot.n AS full_mean,
+         |        CAST(tot.t - s.t_i AS DOUBLE) / (tot.n - s.n_i) AS loso_mean
+         |      FROM s CROSS JOIN tot)
+         |SELECT source, CAST(n_i AS BIGINT) AS n_docs,
+         |  CAST(ROUND(loso_mean * 1e6) AS BIGINT) AS loso_mean_e6,
+         |  CAST(ROUND((full_mean - loso_mean) * 1e6) AS BIGINT) AS influence_e6,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY ABS(full_mean - loso_mean) DESC, source)
+         |    AS INT) AS influence_rank
+         |FROM x ORDER BY influence_rank""".stripMargin
+    }
+    QuerySpec.sql2("q250_loso_influence", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
       q216HeavyHitters.benched, q225ScoreKsDrift, q229SubsampleCi,
-      q232CalibrationMap, q235ZipfFit, q243HeapsFit)
+      q232CalibrationMap, q235ZipfFit, q243HeapsFit, q250LosoInfluence)
 }

@@ -431,6 +431,39 @@ object Events {
       |FROM slot CROSS JOIN tot
       |ORDER BY slot.hod""".stripMargin)
 
+  /** Semi-structured JSON-path access over the `props` payload column —
+    * the schema-on-read surface (the reference's Impala 2.x has no JSON
+    * functions; every modern engine does): extract a typed field from
+    * the JSON string per row (codegen'd path evaluation, no UDF), then
+    * aggregate it like any native column — per-type count, mean, exact
+    * min/max of the extracted value, plus how many payloads lack the
+    * key (NULL-path discipline). Extraction is pure map work; the
+    * rollup is the ordinary partial-aggregable shape. At 100 TB the
+    * win of this form is that Catalyst prunes `props` to the one scan
+    * that needs it and the extracted column behaves like any other in
+    * the plan. */
+  val q249JsonExtract: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val k =
+        if (spark) "CAST(get_json_object(props, '$.k') AS INT)"
+        else "CAST(json_extract_string(props, '$.k') AS INT)"
+      val miss =
+        if (spark) "get_json_object(props, '$.missing')"
+        else "json_extract_string(props, '$.missing')"
+      s"""WITH x AS (
+         |  SELECT event_type, $k AS k,
+         |    CASE WHEN $miss IS NULL THEN 1 ELSE 0 END AS no_missing_key
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n,
+         |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+         |  CAST(ROUND(SUM(k) * 1e6 / COUNT(k)) AS BIGINT) AS mean_k_e6,
+         |  CAST(SUM(no_missing_key) AS BIGINT) AS n_without_missing_key
+         |FROM x GROUP BY event_type
+         |ORDER BY event_type""".stripMargin
+    }
+    QuerySpec.sql2("q249_json_extract", text(spark = true), text(spark = false))
+  }
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -816,7 +849,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution, q240ConversionLatency, q246Seasonality,
+    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution, q240ConversionLatency, q246Seasonality, q249JsonExtract,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,
