@@ -464,6 +464,54 @@ object Events {
     QuerySpec.sql2("q249_json_extract", text(spark = true), text(spark = false))
   }
 
+  /** Half-sample confidence interval on the A/B lift — the uncertainty
+    * companion of [[q227AbReadout]] built from [[graft.llmops.CorpusStats]]'s
+    * q229 machinery: 32 deterministic delete-half replicates of the
+    * USER population (frozen multiplicative hash of (user_id, b) — no
+    * RNG, reproducible across runs), each yielding its own per-arm
+    * conversion and lift; SE = std(replicate lifts)/√2, CI = ±1.96·SE.
+    * The user rollup happens ONCE; the 33× fanout replicates the
+    * user-grain relation (pseudo-replicate 32 = the point estimate in
+    * the same pass), so the corpus is scanned once regardless of
+    * replicate count. Replicate lifts are exact-integer ratios; their
+    * spread accumulates via DECIMAL(27,18). */
+  val q252AbLiftCi: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val fan =
+        if (spark) "u LATERAL VIEW explode(sequence(0, 32)) fb AS b"
+        else "u CROSS JOIN range(33) fb(b)"
+      s"""WITH u AS (
+         |  SELECT user_id, user_id % 2 AS arm,
+         |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY user_id),
+         |r AS (SELECT b, arm, conv FROM $fan
+         |      WHERE b = 32
+         |         OR (((user_id + b * 7919) % 1000003) * 2654435761) % 2 = 0),
+         |m AS (SELECT b,
+         |        CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS DOUBLE)
+         |          / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+         |        - CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS DOUBLE)
+         |          / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS lift
+         |      FROM r GROUP BY b),
+         |s AS (SELECT
+         |        CAST(SUM(CASE WHEN b < 32 THEN CAST(lift AS DECIMAL(27,18)) END) AS DOUBLE) AS sm,
+         |        CAST(SUM(CASE WHEN b < 32 THEN CAST(lift * lift AS DECIMAL(27,18)) END) AS DOUBLE) AS sm2,
+         |        MAX(CASE WHEN b = 32 THEN lift END) AS full_lift
+         |      FROM m)
+         |SELECT CAST(ROUND(full_lift * 1e6) AS BIGINT) AS lift_e6,
+         |  CAST(ROUND(SQRT((sm2 - sm * sm / 32) / 31) / SQRT(2.0) * 1e6) AS BIGINT) AS se_e6,
+         |  CAST(ROUND((full_lift - 1.96 * SQRT((sm2 - sm * sm / 32) / 31) / SQRT(2.0)) * 1e6)
+         |    AS BIGINT) AS ci_lo_e6,
+         |  CAST(ROUND((full_lift + 1.96 * SQRT((sm2 - sm * sm / 32) / 31) / SQRT(2.0)) * 1e6)
+         |    AS BIGINT) AS ci_hi_e6,
+         |  ((full_lift - 1.96 * SQRT((sm2 - sm * sm / 32) / 31) / SQRT(2.0)) > 0
+         |   OR (full_lift + 1.96 * SQRT((sm2 - sm * sm / 32) / 31) / SQRT(2.0)) < 0)
+         |    AS significant
+         |FROM s""".stripMargin
+    }
+    QuerySpec.sql2("q252_ab_lift_ci", text(spark = true), text(spark = false))
+  }
+
   /** Top-3 purchases per user (row_number partition + filter — the
     * reference plans this as AnalyticEvalNode + SelectNode). */
   val q67TopKPerUser: QuerySpec = QuerySpec.sql(
@@ -849,7 +897,7 @@ object Events {
       |FROM s""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
-    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution, q240ConversionLatency, q246Seasonality, q249JsonExtract,
+    q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution, q240ConversionLatency, q246Seasonality, q249JsonExtract, q252AbLiftCi,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
     q124Sliding, q181GapFill, q192CohortRetention, q195FunnelSteps,

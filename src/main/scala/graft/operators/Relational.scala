@@ -663,8 +663,42 @@ object Relational {
       |  CAST(ROUND(mi_nats / h_type * 1e6) AS BIGINT) AS uncertainty_coef_e6
       |FROM mi""".stripMargin)
 
+  /** Pareto / Lorenz concentration of revenue over customers — "what
+    * share of spend comes from the top 1 / 5 / 10 / 20%?", the
+    * revenue-side complement of q219's key-frequency Gini. Customers
+    * rank by exact DECIMAL spend under a total order; each report row
+    * reads the running share at an integer rank threshold
+    * (ceil(p·n) — integer arithmetic, no percentile interpolation).
+    * One orders scan → customer grain; the rank window runs on the
+    * customer-cardinality relation. */
+  val q251ParetoRevenue: QuerySpec = QuerySpec.sql(
+    "q251_pareto_revenue",
+    """WITH c AS (SELECT o_custkey,
+      |             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+      |           FROM orders GROUP BY o_custkey),
+      |r AS (SELECT spend,
+      |        ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rnk,
+      |        CAST(SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))
+      |          AS cum_spend,
+      |        COUNT(*) OVER () AS n,
+      |        CAST(SUM(spend) OVER () AS DECIMAL(18,2)) AS total
+      |      FROM c),
+      |p AS (SELECT 1 AS pct UNION ALL SELECT 5 UNION ALL SELECT 10
+      |      UNION ALL SELECT 20 UNION ALL SELECT 50)
+      |SELECT p.pct AS top_pct,
+      |  CAST(MAX(CASE WHEN rnk = CAST(CEIL(p.pct * n / 100.0) AS BIGINT)
+      |       THEN rnk END) AS BIGINT) AS n_customers,
+      |  CAST(ROUND(CAST(MAX(CASE WHEN rnk = CAST(CEIL(p.pct * n / 100.0) AS BIGINT)
+      |       THEN cum_spend END) AS DOUBLE) * 1e6
+      |     / CAST(MAX(r.total) AS DOUBLE)) AS BIGINT) AS revenue_share_e6
+      |FROM p CROSS JOIN r
+      |GROUP BY p.pct
+      |ORDER BY p.pct""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q238MarketBasket, q242RfmSegmentation, q247CorrelationMatrix,
+    q251ParetoRevenue,
     q248MutualInformation,
     q01AggTpchQ1.benched, q02ScanPushdown.benched, q03JoinInner.benched,
     q04TopN.benched, q05TpchQ5.benched, q06TpchQ6.benched, q07TpchQ10,
