@@ -304,7 +304,63 @@ object Retrieval {
          |LEFT JOIN ideal ON relc.qid = ideal.qid
          |ORDER BY query_id""".stripMargin
     }
-    QuerySpec.sql2("q237_retrieval_eval", text(spark = true), text(spark = false))
+    // Spark side is DataFrame code, not the SQL text: the shared-CTE form
+    // would re-inline `e` and `d` (Spark recomputes doubly-referenced
+    // CTEs), scanning embeddings and documents twice each; the staged
+    // form materializes each ONCE (localCheckpoint) — at corpus scale
+    // that halves the scan work for identical results.
+    QuerySpec("q237_retrieval_eval", Some(text(spark = false)), (s, dir) => {
+      val sp = QuerySpec.prepared(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+      val e = sp.table("embeddings")
+        .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .localCheckpoint() // query set + corpus side
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val d = sp.table("documents").select(col("doc_id"), col("source"))
+        .localCheckpoint() // query sources + relevance set
+      val qs = q.select(col("qid"))
+        .join(d, col("qid") === col("doc_id"))
+        .select(col("qid"), col("source").as("qsrc"))
+      val top = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("did"),
+          expr("vec_cosine(v, qv)").as("cs"))
+        .withColumn("rnk", row_number().over(
+          w.partitionBy(col("qid")).orderBy(col("cs").desc, col("did"))))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("did"), col("rnk"))
+      val rel = qs.join(d,
+          col("source") === col("qsrc") && col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id").as("did"))
+      val relc = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+        .localCheckpoint() // hit join + ideal-DCG fanout + final spine
+      val hits = top.join(rel, Seq("qid", "did"))
+      val hagg = hits.groupBy(col("qid")).agg(
+        count(lit(1)).as("hits"),
+        min(col("rnk")).cast("bigint").as("first_hit"),
+        sum((log(lit(2.0)) / log(col("rnk") + lit(1.0))).cast("decimal(27,18)"))
+          .cast("double").as("dcg"))
+      val ideal = relc
+        .select(col("qid"), col("n_rel"),
+          explode(expr("sequence(1, 10)")).as("i"))
+        .filter(col("i") <= least(col("n_rel"), lit(10)))
+        .groupBy(col("qid")).agg(
+          sum((log(lit(2.0)) / log(col("i") + lit(1.0))).cast("decimal(27,18)"))
+            .cast("double").as("idcg"))
+      relc
+        .join(hagg, Seq("qid"), "left")
+        .join(ideal, Seq("qid"), "left")
+        .select(col("qid").as("query_id"),
+          col("n_rel").cast("bigint").as("n_relevant"),
+          coalesce(col("hits"), lit(0L)).cast("bigint").as("hits"),
+          round(coalesce(col("hits"), lit(0L)) * lit(1e6) / col("n_rel"))
+            .cast("bigint").as("recall10_e6"),
+          coalesce(round(lit(1e6) / col("first_hit")).cast("bigint"), lit(0L))
+            .cast("bigint").as("mrr10_e6"),
+          coalesce(round(col("dcg") / col("idcg") * lit(1e6)).cast("bigint"), lit(0L))
+            .cast("bigint").as("ndcg10_e6"))
+        .orderBy(col("query_id"))
+    })
   }
 
   val all: Seq[QuerySpec] =

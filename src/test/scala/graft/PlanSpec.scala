@@ -801,4 +801,17 @@ class PlanSpec extends EngineSuite {
     } finally graft.engine.GraftSession.attach(spark)
   }
 
+  test("q237: staged retrieval eval never scans a base table twice in one job") {
+    // the SQL form would re-inline the shared CTEs (two embeddings + two
+    // documents scans); the staged DataFrame form materializes each once,
+    // so no job's plan reads either parquet more than once
+    val p = plan("q237_retrieval_eval")
+    def occurrences(t: String): Int =
+      p.sliding(t.length).count(_ == t)
+    assert(occurrences("embeddings.parquet") <= 1,
+      "final job rescans embeddings: " + p.take(2000))
+    assert(occurrences("documents.parquet") <= 1,
+      "final job rescans documents: " + p.take(2000))
+  }
+
 }
