@@ -212,16 +212,19 @@ object Retrieval {
       |ORDER BY rrf_e6 DESC, d.doc_id LIMIT 15""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val w = org.apache.spark.sql.expressions.Window
+    // docs feeds the tf relation AND the (n, avgdl) stats: stage it once
     val docs = sp.table("documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .localCheckpoint()
     val t = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
-        explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(col("ws")).as("word"))
       .filter(col("word").isin("dup", "spark", "hash"))
       .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
       .localCheckpoint() // feeds the df aggregate AND the scoring join
     val dfRel = t.groupBy("word").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"),
-      avg(size(split(col("text"), " "))).as("avgdl"))
+      avg(size(col("ws"))).as("avgdl"))
     val lex = t.join(broadcast(dfRel), "word").crossJoin(broadcast(stats))
       .withColumn("contrib",
         log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
@@ -233,6 +236,7 @@ object Retrieval {
       .select(col("doc_id"), col("lr"))
     val e = sp.table("embeddings")
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .localCheckpoint() // query vector + corpus side
     val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val dense = e.crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"), expr("vec_cosine(v, qv)").as("cs"))
