@@ -1374,6 +1374,69 @@ object Dedup {
     }
   }
 
+  /** Near-dup threshold sensitivity sweep — the tuning table a curation
+    * run consults before fixing the Jaccard cutoff: at each candidate
+    * threshold (0.80…0.95), how many pairs survive, how many docs the
+    * keep-first policy drops, and how many tokens go with them. The
+    * sweep stays INSIDE the banded candidate set ([[nearDupJaccard]]'s
+    * verified pairs, which carry their exact scores) — thresholds at or
+    * above the LSH design point only FILTER that relation, so recall is
+    * q81's recall and the all-pairs oracle stays a safe differential;
+    * sweeping BELOW the design point would need re-banding (a different
+    * operator, not a report). One pipeline run + a 4-row threshold grid
+    * against the tiny pair relation; the removed-token join touches
+    * only removed docs. */
+  val q253ThresholdSweep: QuerySpec = QuerySpec(
+    "q253_dedup_threshold_sweep",
+    s"""WITH $nearDupOracleCtes,
+       |scored AS (
+       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(a.sh || b.sh)) AS j
+       |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(a.sh || b.sh)) >= 0.8),
+       |thr AS (SELECT unnest([80, 85, 90, 95]) AS thr_e2),
+       |hit AS (SELECT thr.thr_e2, s.doc_id_a, s.doc_id_b
+       |        FROM thr JOIN scored s ON s.j >= thr.thr_e2 / 100.0),
+       |removed AS (SELECT DISTINCT thr_e2, doc_id_b AS doc_id FROM hit),
+       |toks AS (SELECT removed.thr_e2,
+       |           COUNT(*) AS n_docs_removed,
+       |           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS tokens_removed
+       |         FROM removed JOIN documents d ON d.doc_id = removed.doc_id
+       |         GROUP BY removed.thr_e2),
+       |pairs AS (SELECT thr_e2, COUNT(*) AS n_pairs FROM hit GROUP BY thr_e2)
+       |SELECT thr.thr_e2, COALESCE(pairs.n_pairs, 0) AS n_pairs,
+       |  COALESCE(toks.n_docs_removed, 0) AS n_docs_removed,
+       |  COALESCE(toks.tokens_removed, 0) AS tokens_removed
+       |FROM thr
+       |LEFT JOIN pairs ON thr.thr_e2 = pairs.thr_e2
+       |LEFT JOIN toks ON thr.thr_e2 = toks.thr_e2
+       |ORDER BY thr.thr_e2""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val scored = nearDupJaccard(sp).localCheckpoint() // 4 threshold slices
+    val thr = sp.range(0, 4).select((lit(80) + col("id") * 5).cast("int").as("thr_e2"))
+    val hit = broadcast(thr).join(scored, col("j") >= col("thr_e2") / lit(100.0))
+      .select(col("thr_e2"), col("doc_id_a"), col("doc_id_b"))
+      .localCheckpoint() // pair counts + removed-doc rollup
+    val removed = hit.select(col("thr_e2"), col("doc_id_b").as("doc_id")).distinct()
+    val toks = removed
+      .join(sp.table("documents").select(col("doc_id"),
+        size(split(col("text"), " ")).as("nw")), "doc_id")
+      .groupBy(col("thr_e2"))
+      .agg(count(lit(1)).as("n_docs_removed"),
+        sum(col("nw")).cast("bigint").as("tokens_removed"))
+    val pairs = hit.groupBy(col("thr_e2")).agg(count(lit(1)).as("n_pairs"))
+    thr
+      .join(pairs, Seq("thr_e2"), "left")
+      .join(toks, Seq("thr_e2"), "left")
+      .select(col("thr_e2"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_removed"), lit(0L)).as("n_docs_removed"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+      .orderBy(col("thr_e2"))
+  }
+
   /** Fuzzy entity resolution (record linkage) over customer names:
     * multi-pass blocking → [[boundedPairs]] → exact edit-distance
     * verification, the Fellegi-Sunter candidate machinery every
@@ -1419,7 +1482,7 @@ object Dedup {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity,
+    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q186CanonicalPick,
