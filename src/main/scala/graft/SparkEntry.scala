@@ -10,6 +10,7 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     operators.Relational.all ++
       operators.TpchFull.all ++
+      operators.TpcdsShapes.all ++
       operators.Joins.all ++
       operators.Subqueries.all ++
       operators.SetOps.all ++

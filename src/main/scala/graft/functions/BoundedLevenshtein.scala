@@ -14,10 +14,16 @@ object BoundedLevenshteinUtil {
     * band exceeds k (for k=1 on 100-char strings that is ~30× less work,
     * and the candidate verifier is the hot loop of a blocked ER join).
     * Clamping to k+1 keeps the function total and SARGable: `bounded ≤ k`
-    * ⇔ `levenshtein ≤ k` exactly. */
+    * ⇔ `levenshtein ≤ k` exactly.
+    *
+    * Distances are measured over Unicode CODE POINTS, not UTF-16 code
+    * units, matching Spark's built-in `levenshtein`
+    * (`UTF8String.levenshteinDistance` iterates code points): for
+    * supplementary-plane input like emoji, one character is one edit, not
+    * two. The always-on strength-reduction rewrite depends on this parity. */
   def dist(a: UTF8String, b: UTF8String, k: Int): Int = {
-    val s = a.toString
-    val t = b.toString
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
     val n = s.length
     val m = t.length
     if (math.abs(n - m) > k) return k + 1
@@ -36,7 +42,7 @@ object BoundedLevenshteinUtil {
       val hi = math.min(m, i + k)
       var jj = lo
       while (jj <= hi) {
-        val cost = if (s.charAt(i - 1) == t.charAt(jj - 1)) 0 else 1
+        val cost = if (s(i - 1) == t(jj - 1)) 0 else 1
         var v = prev(jj - 1) + cost
         val del = prev(jj) + 1
         val ins = cur(jj - 1) + 1

@@ -183,15 +183,21 @@ object CorpusStats {
     * distribution (score = token count) against the global corpus —
     * the statistical test behind "did this source's length profile
     * shift?" monitoring, reported as the KS statistic
-    * `max |F_src − F_global|` plus the mean CDF shift. Computed
-    * SKEW-FREE: docs collapse to the score-cardinality relation first
-    * (scores are small integers), both CDFs are running-sum windows
-    * over THAT tiny relation (per-source and global), and the
-    * per-source rollup weights each score cell by its count — no
-    * per-doc window, no single-partition pass over the corpus.
-    * Determinism: CDF values are exact-integer ratios divided once;
-    * MAX over doubles is order-free; the mean goes through
-    * DECIMAL(27,18) accumulation (q184 rule). */
+    * `max |F_src − F_global|` plus the mean CDF shift. The sup is
+    * evaluated over the UNION of both CDFs' jump points (= every global
+    * score, since source scores are a subset): the per-source grid
+    * cross-joins the collapsed score relation and carries the source
+    * CDF forward (held flat, via the running sum of per-cell counts
+    * COALESCEd to 0) where the source has no mass — so a global jump
+    * at a score the source skips IS examined, and the reported value is
+    * the true KS statistic, not a sampled-at-source-support bound.
+    * Computed SKEW-FREE: docs collapse to the score-cardinality
+    * relation first (scores are small integers), both CDFs are
+    * running-sum windows over that tiny relation, and the grid is
+    * |sources|·|scores| rows — never the corpus. Determinism: CDF
+    * values are exact-integer ratios divided once; MAX over doubles is
+    * order-free; the mean goes through DECIMAL(27,18) accumulation
+    * (q184 rule). */
   val q225ScoreKsDrift: QuerySpec = {
     def text(spark: Boolean): String = {
       val score = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
@@ -202,28 +208,36 @@ object CorpusStats {
       |          / CAST(SUM(c) OVER () AS DOUBLE) AS gcdf
       |      FROM sc),
       |fs AS (SELECT source, score, COUNT(*) AS c FROM d GROUP BY source, score),
-      |f AS (SELECT source, score, c,
+      |srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM fs GROUP BY source),
+      |grid AS (SELECT s.source, s.n, g.score, g.gcdf,
+      |           CAST(COALESCE(fs.c, 0) AS BIGINT) AS c
+      |         FROM srcs s CROSS JOIN g
+      |         LEFT JOIN fs ON fs.source = s.source AND fs.score = g.score),
+      |f AS (SELECT source, n, score, gcdf, c,
       |        CAST(SUM(c) OVER (PARTITION BY source ORDER BY score) AS DOUBLE)
-      |          / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS fcdf,
-      |        CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
-      |      FROM fs)
-      |SELECT f.source, CAST(MAX(f.n) AS BIGINT) AS n_docs,
-      |  CAST(ROUND(MAX(ABS(f.fcdf - g.gcdf)) * 1e6) AS BIGINT) AS ks_e6,
-      |  CAST(ROUND(CAST(SUM(CAST(f.c * ABS(f.fcdf - g.gcdf) AS DECIMAL(27,18)))
-      |       AS DOUBLE) / MAX(f.n) * 1e6) AS BIGINT) AS mean_shift_e6
-      |FROM f JOIN g ON f.score = g.score
-      |GROUP BY f.source
-      |ORDER BY f.source""".stripMargin
+      |          / CAST(n AS DOUBLE) AS fcdf
+      |      FROM grid)
+      |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |  CAST(ROUND(MAX(ABS(fcdf - gcdf)) * 1e6) AS BIGINT) AS ks_e6,
+      |  CAST(ROUND(CAST(SUM(CAST(c * ABS(fcdf - gcdf) AS DECIMAL(27,18)))
+      |       AS DOUBLE) / MAX(n) * 1e6) AS BIGINT) AS mean_shift_e6
+      |FROM f
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
     }
     QuerySpec.sql2("q225_score_ks_drift", text(spark = true), text(spark = false))
   }
 
   /** Error bars for a corpus statistic without resampling RNG: a
     * deterministic half-sample (delete-half jackknife) confidence
-    * interval for mean tokens/doc. Replicate b keeps a doc iff a frozen
-    * multiplicative hash of (doc_id, b) is even (the q130 split-hash
-    * family — pure function of the ids, so release N+1 reproduces
-    * release N's replicates); pseudo-replicate 32 keeps everything,
+    * interval for mean tokens/doc. Replicate b keeps a doc iff the
+    * HIGH bit of the low-32 Knuth product
+    * ((doc_id + b·7919) mod 1000003)·2654435761 is set — the top bit is
+    * where the multiply actually mixes (a mod-2 test of the product
+    * would reduce to raw id parity, the odd constant being a no-op);
+    * the prime pre-mod bounds the product inside BIGINT on any id
+    * range. Pure function of the ids, so release N+1 reproduces
+    * release N's replicates; pseudo-replicate 32 keeps everything,
     * giving the point estimate in the SAME single corpus pass (no
     * second scan for the full mean). SE = std(replicate means)/√2 (a
     * half-sample mean has twice the variance of the full mean).
@@ -241,7 +255,8 @@ object CorpusStats {
       s"""WITH d AS (SELECT doc_id, $score AS score FROM documents),
          |r AS (SELECT b, score FROM $fan
          |      WHERE b = 32
-         |         OR (((doc_id + b * 7919) % 1000003) * 2654435761) % 2 = 0),
+         |         OR (((doc_id + b * 7919) % 1000003) * 2654435761) % 4294967296
+         |            >= 2147483648),
          |m AS (SELECT b, CAST(SUM(score) AS DOUBLE) / COUNT(*) AS mb,
          |             COUNT(*) AS nb
          |      FROM r GROUP BY b),

@@ -170,8 +170,11 @@ object Events {
       |             / (n * p_benford) * 1e6) AS BIGINT) AS chi2_term_e6
       |FROM e ORDER BY digit""".stripMargin)
 
-  /** A/B experiment readout — deterministic arm assignment (hash-mod
-    * of the unit id, frozen forever: the q130 split rule), per-arm
+  /** A/B experiment readout — deterministic arm assignment (the top
+    * bit of the low-32 Knuth product (user_id mod 1000003)·2654435761,
+    * frozen forever — a real hash so structured ids, e.g.
+    * parity-correlated with signup time, cannot bias the arms the way
+    * a raw `user_id % 2` would), per-arm
     * user-level conversion, lift, and the pooled two-proportion
     * z-statistic. The whole readout is two key-aggregates (user roll-up
     * → arm roll-up) with every rate derived from exact integers in one
@@ -181,7 +184,9 @@ object Events {
   val q227AbReadout: QuerySpec = QuerySpec.sql(
     "q227_ab_experiment_readout",
     """WITH u AS (
-      |  SELECT user_id, user_id % 2 AS arm,
+      |  SELECT user_id,
+      |         CASE WHEN ((user_id % 1000003) * 2654435761) % 4294967296
+      |                   >= 2147483648 THEN 1 ELSE 0 END AS arm,
       |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
       |  FROM events GROUP BY user_id),
       |a AS (SELECT arm, COUNT(*) AS n_users,
@@ -467,8 +472,10 @@ object Events {
   /** Half-sample confidence interval on the A/B lift — the uncertainty
     * companion of [[q227AbReadout]] built from [[graft.llmops.CorpusStats]]'s
     * q229 machinery: 32 deterministic delete-half replicates of the
-    * USER population (frozen multiplicative hash of (user_id, b) — no
-    * RNG, reproducible across runs), each yielding its own per-arm
+    * USER population (top bit of the low-32 Knuth product of
+    * ((user_id + b·7919) mod 1000003)·2654435761 — a real mixing hash,
+    * no RNG, reproducible across runs; arm assignment uses the same
+    * family as q227), each yielding its own per-arm
     * conversion and lift; SE = std(replicate lifts)/√2, CI = ±1.96·SE.
     * The user rollup happens ONCE; the 33× fanout replicates the
     * user-grain relation (pseudo-replicate 32 = the point estimate in
@@ -481,12 +488,15 @@ object Events {
         if (spark) "u LATERAL VIEW explode(sequence(0, 32)) fb AS b"
         else "u CROSS JOIN range(33) fb(b)"
       s"""WITH u AS (
-         |  SELECT user_id, user_id % 2 AS arm,
+         |  SELECT user_id,
+         |         CASE WHEN ((user_id % 1000003) * 2654435761) % 4294967296
+         |                   >= 2147483648 THEN 1 ELSE 0 END AS arm,
          |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
          |  FROM events GROUP BY user_id),
          |r AS (SELECT b, arm, conv FROM $fan
          |      WHERE b = 32
-         |         OR (((user_id + b * 7919) % 1000003) * 2654435761) % 2 = 0),
+         |         OR (((user_id + b * 7919) % 1000003) * 2654435761) % 4294967296
+         |            >= 2147483648),
          |m AS (SELECT b,
          |        CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS DOUBLE)
          |          / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)

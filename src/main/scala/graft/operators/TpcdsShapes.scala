@@ -1,0 +1,386 @@
+package graft.operators
+
+import graft.QuerySpec
+
+/** TPC-DS-shaped plan corpus — the reference's third planner golden
+  * family (fe/src/test/java/org/apache/impala/planner/PlannerTest.java:218
+  * runs the full TPC-DS suite as plan tests; rounds 1-11 covered the
+  * TPC-H and TPC-H-nested families, this module covers the DS shapes).
+  * TPC-DS's signature patterns are what warehouse users hit most after
+  * TPC-H: star joins through a date dimension, multi-channel UNIONs
+  * rolled up per channel, grouped-subquery factors compared against
+  * group averages, windowed ranks over ROLLUP lattices, and scalar
+  * cross-joined band counts.
+  *
+  * The driver fixture has no date_dim/item/store tables, so each query
+  * keeps the DS PLAN SHAPE over the fixture's star schema the same way
+  * TpchFull adapted TPC-H: date_dim derives as a distinct-date CTE from
+  * the fact's own timestamps (broadcast-sized: |days|, exactly how a
+  * real date dim behaves), item → part, the three sales channels →
+  * lineitem return-flag slices or the events stream joined through the
+  * customer key. All texts are engine-portable ANSI SQL (one text runs
+  * on Spark and the DuckDB oracle) under the Num decimal-cast
+  * discipline, with every rank/LIMIT total-ordered.
+  *
+  * Scale notes (100 TB design): the derived date dim and every other
+  * dimension side (part, nation, per-group averages, scalar thresholds)
+  * is at most |distinct days| × a few columns — broadcast material, so
+  * the fact table never reshuffles for a dim join; the channel unions
+  * are map-side concatenations feeding ONE shuffled aggregate; the
+  * correlated-average factors (q256) rewrite to aggregate-then-join
+  * under RewriteCorrelatedScalarSubquery — one extra shuffle on the
+  * grouping key, never per-row execution; the ROLLUP lattices shuffle
+  * once and expand map-side. PlanSpec pins the broadcast/no-cartesian
+  * claims.
+  */
+object TpcdsShapes {
+  import Num.{MoneySql => M, RateSql => R}
+
+  /** revenue volume with exact decimal arithmetic (see Num) */
+  private val Vol =
+    s"CAST(CAST(l_extendedprice AS $M) * (CAST(1 AS $R) - CAST(l_discount AS $R)) AS DECIMAL(19,8))"
+  private val Zero = "CAST(0 AS DECIMAL(19,8))"
+
+  /** TPC-DS Q3 shape: star join fact→date_dim→item with a month filter
+    * on the date dim and a type filter on the item dim, yearly brand
+    * rollup, TopN. The date dim is the distinct-day CTE — the broadcast
+    * side a real d_date_sk join would be. */
+  val q254StarDateBrand: QuerySpec = QuerySpec.sql(
+    "q254_dss_star_date_brand",
+    s"""WITH date_dim AS (
+       |  SELECT DISTINCT CAST(l_shipdate AS DATE) AS d_date,
+       |         YEAR(l_shipdate) AS d_year, MONTH(l_shipdate) AS d_moy
+       |  FROM lineitem)
+       |SELECT d_year, p_brand, CAST(SUM($Vol) AS DOUBLE) AS sum_agg
+       |FROM lineitem
+       |JOIN date_dim ON CAST(l_shipdate AS DATE) = d_date
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE d_moy = 11 AND p_type = 'STANDARD'
+       |GROUP BY d_year, p_brand
+       |ORDER BY d_year, sum_agg DESC, p_brand
+       |LIMIT 100""".stripMargin).benched
+
+  /** TPC-DS Q5 shape: three sales channels (kept lineitem, returned
+    * lineitem, purchase events through the customer key) each rolled to
+    * (channel, nation, sales, returns), UNION ALL, ROLLUP over
+    * (channel, nation) — the cross-channel profit report. */
+  val q255ChannelRollup: QuerySpec = QuerySpec.sql(
+    "q255_dss_channel_rollup",
+    s"""WITH ssr AS (
+       |  SELECT n_name AS id,
+       |         SUM(CASE WHEN l_returnflag <> 'R' THEN $Vol ELSE $Zero END) AS sales,
+       |         SUM(CASE WHEN l_returnflag = 'R' THEN $Vol ELSE $Zero END) AS returns
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY n_name),
+       |csr AS (
+       |  SELECT n_name AS id,
+       |         SUM(CASE WHEN o_orderstatus <> 'F' THEN CAST(o_totalprice AS $M) ELSE CAST(0 AS $M) END) AS sales,
+       |         SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS $M) ELSE CAST(0 AS $M) END) AS returns
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY n_name),
+       |wsr AS (
+       |  SELECT n_name AS id,
+       |         SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS $M) ELSE CAST(0 AS $M) END) AS sales,
+       |         SUM(CASE WHEN event_type = 'error' THEN CAST(value AS $M) ELSE CAST(0 AS $M) END) AS returns
+       |  FROM events
+       |  JOIN customer ON user_id = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE event_type IN ('purchase', 'error')
+       |  GROUP BY n_name),
+       |u AS (
+       |  SELECT 'store channel' AS channel, id, CAST(sales AS DECIMAL(19,8)) AS sales,
+       |         CAST(returns AS DECIMAL(19,8)) AS returns FROM ssr
+       |  UNION ALL
+       |  SELECT 'catalog channel', id, CAST(sales AS DECIMAL(19,8)),
+       |         CAST(returns AS DECIMAL(19,8)) FROM csr
+       |  UNION ALL
+       |  SELECT 'web channel', id, CAST(sales AS DECIMAL(19,8)),
+       |         CAST(returns AS DECIMAL(19,8)) FROM wsr)
+       |SELECT channel, id,
+       |  CAST(SUM(sales) AS DOUBLE) AS sales,
+       |  CAST(SUM(returns) AS DOUBLE) AS returns
+       |FROM u
+       |GROUP BY ROLLUP(channel, id)
+       |ORDER BY channel NULLS FIRST, id NULLS FIRST""".stripMargin).benched
+
+  /** TPC-DS Q1 shape: grouped-subquery factor (per-customer returns)
+    * compared against 1.2× its nation's average of the same factor — a
+    * correlated scalar-aggregate subquery over a CTE referenced twice. */
+  val q256ReturnsAboveAvg: QuerySpec = QuerySpec.sql(
+    "q256_dss_returns_above_avg",
+    s"""WITH customer_total_return AS (
+       |  SELECT o_custkey AS ctr_cust, c_nationkey AS ctr_nation,
+       |         SUM($Vol) AS ctr_return
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  WHERE l_returnflag = 'R'
+       |  GROUP BY o_custkey, c_nationkey)
+       |SELECT c_custkey, c_name
+       |FROM customer_total_return ctr1
+       |JOIN customer ON ctr1.ctr_cust = c_custkey
+       |WHERE CAST(ctr1.ctr_return AS DOUBLE) >
+       |  (SELECT 1.2 * CAST(SUM(ctr2.ctr_return) AS DOUBLE) / COUNT(*)
+       |   FROM customer_total_return ctr2
+       |   WHERE ctr2.ctr_nation = ctr1.ctr_nation)
+       |ORDER BY c_custkey
+       |LIMIT 100""".stripMargin)
+
+  /** TPC-DS Q95 shape: orders fulfilled from more than one supplier
+    * (fact self-join CTE) that also saw a return — two IN-subqueries
+    * over the same fact feeding one summary row. */
+  val q257MultiSupplierOrders: QuerySpec = QuerySpec.sql(
+    "q257_dss_multi_supplier_orders",
+    s"""WITH multi_supp AS (
+       |  SELECT l1.l_orderkey AS okey
+       |  FROM lineitem l1
+       |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |                  AND l1.l_suppkey <> l2.l_suppkey
+       |  GROUP BY l1.l_orderkey)
+       |SELECT COUNT(DISTINCT o_orderkey) AS order_count,
+       |  CAST(SUM(CAST(o_totalprice AS $M)) AS DOUBLE) AS total_price
+       |FROM orders
+       |WHERE o_orderstatus = 'F'
+       |  AND o_orderkey IN (SELECT okey FROM multi_supp)
+       |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+       |                     WHERE l_returnflag = 'R')""".stripMargin)
+
+  /** TPC-DS Q67 shape: ROLLUP over the (type, brand, year) hierarchy,
+    * then a windowed rank WITHIN type by rolled-up sales, keep the top
+    * slice. ROW_NUMBER with a total tie-break keeps the hash stable
+    * where RANK would admit order ties. */
+  val q258RollupRank: QuerySpec = QuerySpec.sql(
+    "q258_dss_rollup_rank",
+    s"""WITH agg AS (
+       |  SELECT p_type, p_brand, YEAR(l_shipdate) AS d_year,
+       |         SUM($Vol) AS sumsales
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY ROLLUP(p_type, p_brand, YEAR(l_shipdate))),
+       |r AS (
+       |  SELECT p_type, p_brand, d_year, CAST(sumsales AS DOUBLE) AS sumsales,
+       |    ROW_NUMBER() OVER (PARTITION BY p_type
+       |                       ORDER BY sumsales DESC,
+       |                                p_brand ASC NULLS FIRST,
+       |                                d_year ASC NULLS FIRST) AS rk
+       |  FROM agg)
+       |SELECT p_type, p_brand, d_year, sumsales, rk
+       |FROM r WHERE rk <= 5
+       |ORDER BY p_type NULLS FIRST, rk""".stripMargin).benched
+
+  /** TPC-DS Q34/Q73 shape: per-order line counts bucketed by HAVING,
+    * joined back to the customer dim — the "frequent big baskets"
+    * report. */
+  val q259OrderSizeBuckets: QuerySpec = QuerySpec.sql(
+    "q259_dss_order_size_buckets",
+    s"""WITH oc AS (
+       |  SELECT o_orderkey, o_custkey, COUNT(*) AS cnt
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY o_orderkey, o_custkey
+       |  HAVING COUNT(*) BETWEEN 6 AND 7)
+       |SELECT c_name, o_orderkey, cnt
+       |FROM oc JOIN customer ON o_custkey = c_custkey
+       |ORDER BY cnt DESC, c_name, o_orderkey
+       |LIMIT 100""".stripMargin)
+
+  /** TPC-DS Q14 shape: cross-channel items via INTERSECT (parts that
+    * moved in all three return-flag channels), then brand revenue
+    * restricted to that intersection. */
+  val q260CrossChannelItems: QuerySpec = QuerySpec.sql(
+    "q260_dss_cross_channel_items",
+    s"""WITH cross_items AS (
+       |  SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'
+       |  INTERSECT
+       |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+       |  INTERSECT
+       |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+       |SELECT p_brand, CAST(SUM($Vol) AS DOUBLE) AS sales,
+       |       COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_partkey IN (SELECT item FROM cross_items)
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin)
+
+  /** TPC-DS Q88 shape: eight single-row band counts (events per hour
+    * band) cross-joined into one wide row — scalar-aggregate
+    * cross-joins, each a broadcast of exactly one row. */
+  val q261HourBands: QuerySpec = QuerySpec.sql(
+    "q261_dss_hour_bands",
+    """SELECT h8, h9, h10, h11, h12, h13, h14, h15
+      |FROM (SELECT COUNT(*) AS h8  FROM events WHERE HOUR(ts) = 8)  s1,
+      |     (SELECT COUNT(*) AS h9  FROM events WHERE HOUR(ts) = 9)  s2,
+      |     (SELECT COUNT(*) AS h10 FROM events WHERE HOUR(ts) = 10) s3,
+      |     (SELECT COUNT(*) AS h11 FROM events WHERE HOUR(ts) = 11) s4,
+      |     (SELECT COUNT(*) AS h12 FROM events WHERE HOUR(ts) = 12) s5,
+      |     (SELECT COUNT(*) AS h13 FROM events WHERE HOUR(ts) = 13) s6,
+      |     (SELECT COUNT(*) AS h14 FROM events WHERE HOUR(ts) = 14) s7,
+      |     (SELECT COUNT(*) AS h15 FROM events WHERE HOUR(ts) = 15) s8""".stripMargin)
+
+  /** TPC-DS Q58 shape: the same item-revenue aggregate over two periods
+    * joined on the item, kept where the two are within 10% of each
+    * other — the period-over-period consistency screen. */
+  val q262ChannelCompare: QuerySpec = QuerySpec.sql(
+    "q262_dss_channel_compare",
+    s"""WITH sa AS (
+       |  SELECT l_partkey AS item, SUM($Vol) AS rev
+       |  FROM lineitem WHERE YEAR(l_shipdate) = 1996 GROUP BY l_partkey),
+       |sb AS (
+       |  SELECT l_partkey AS item, SUM($Vol) AS rev
+       |  FROM lineitem WHERE YEAR(l_shipdate) = 1997 GROUP BY l_partkey)
+       |SELECT p_brand, sa.item AS item,
+       |  CAST(sa.rev AS DOUBLE) AS rev_a, CAST(sb.rev AS DOUBLE) AS rev_b
+       |FROM sa JOIN sb ON sa.item = sb.item
+       |JOIN part ON sa.item = p_partkey
+       |WHERE CAST(sa.rev AS DOUBLE) >= 0.9 * CAST(sb.rev AS DOUBLE)
+       |  AND CAST(sa.rev AS DOUBLE) <= 1.1 * CAST(sb.rev AS DOUBLE)
+       |ORDER BY p_brand, item""".stripMargin)
+
+  /** TPC-DS Q23 shape: frequently-sold items CTE (count over a
+    * threshold) × best-customers CTE (spend above half the max) both
+    * restricting the fact — two semi-join reductions feeding one
+    * summary aggregate. */
+  val q263FrequentBestCustomers: QuerySpec = QuerySpec.sql(
+    "q263_dss_frequent_best_customers",
+    s"""WITH frequent_items AS (
+       |  SELECT l_partkey AS item FROM lineitem
+       |  GROUP BY l_partkey HAVING COUNT(*) > 40),
+       |best_customers AS (
+       |  SELECT o_custkey AS cust, SUM(CAST(o_totalprice AS $M)) AS tot
+       |  FROM orders GROUP BY o_custkey),
+       |threshold AS (
+       |  SELECT 0.5 * MAX(CAST(tot AS DOUBLE)) AS thr FROM best_customers)
+       |SELECT COUNT(*) AS n_lines, CAST(SUM($Vol) AS DOUBLE) AS sales
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_partkey IN (SELECT item FROM frequent_items)
+       |  AND o_custkey IN (SELECT cust FROM best_customers, threshold
+       |                    WHERE CAST(tot AS DOUBLE) > thr)""".stripMargin)
+
+  /** TPC-DS Q36 shape: gross-margin ROLLUP over (type, brand) with
+    * GROUPING() exposing the lattice level and a rank WITHIN each
+    * parent level — the classic drill-down report. */
+  val q264MarginRollupGrouping: QuerySpec = QuerySpec.sql(
+    "q264_dss_margin_rollup_grouping",
+    s"""WITH agg AS (
+       |  SELECT CAST(GROUPING(p_type) AS INT) AS g_type,
+       |         CAST(GROUPING(p_brand) AS INT) AS g_brand,
+       |         p_type, p_brand,
+       |         SUM($Vol) AS s_disc,
+       |         SUM(CAST(l_extendedprice AS $M)) AS s_full
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY ROLLUP(p_type, p_brand)),
+       |r AS (
+       |  SELECT g_type + g_brand AS lochierarchy, p_type, p_brand,
+       |    CAST(s_disc AS DOUBLE) / CAST(s_full AS DOUBLE) AS margin,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY g_type + g_brand,
+       |                   CASE WHEN g_brand = 1 THEN p_type END
+       |      ORDER BY CAST(s_disc AS DOUBLE) / CAST(s_full AS DOUBLE) ASC,
+       |               p_type ASC NULLS FIRST,
+       |               p_brand ASC NULLS FIRST) AS rank_within_parent
+       |  FROM agg)
+       |SELECT lochierarchy, p_type, p_brand,
+       |  CAST(ROUND(margin * 1e6) AS BIGINT) AS margin_e6,
+       |  rank_within_parent
+       |FROM r
+       |ORDER BY lochierarchy DESC, p_type NULLS FIRST,
+       |         rank_within_parent""".stripMargin)
+
+  /** TPC-DS Q47 shape: monthly brand sales vs the brand-year monthly
+    * average, with the neighboring months via LAG/LEAD over the month
+    * series — the deviation-from-trend screen. */
+  val q265MonthlyVsAvg: QuerySpec = QuerySpec.sql(
+    "q265_dss_monthly_vs_avg",
+    s"""WITH monthly AS (
+       |  SELECT p_brand, YEAR(l_shipdate) AS d_year, MONTH(l_shipdate) AS d_moy,
+       |         SUM($Vol) AS sum_sales
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand, YEAR(l_shipdate), MONTH(l_shipdate)),
+       |v2 AS (
+       |  SELECT p_brand, d_year, d_moy,
+       |    CAST(sum_sales AS DOUBLE) AS sum_sales,
+       |    CAST(SUM(sum_sales) OVER (PARTITION BY p_brand, d_year) AS DOUBLE)
+       |      / COUNT(*) OVER (PARTITION BY p_brand, d_year) AS avg_monthly,
+       |    CAST(LAG(sum_sales) OVER (PARTITION BY p_brand
+       |                              ORDER BY d_year, d_moy) AS DOUBLE) AS psum,
+       |    CAST(LEAD(sum_sales) OVER (PARTITION BY p_brand
+       |                               ORDER BY d_year, d_moy) AS DOUBLE) AS nsum
+       |  FROM monthly)
+       |SELECT p_brand, d_year, d_moy,
+       |  CAST(ROUND(sum_sales * 100) AS BIGINT) AS sales_c,
+       |  CAST(ROUND(avg_monthly * 100) AS BIGINT) AS avg_c,
+       |  CAST(ROUND(COALESCE(psum, -1) * 100) AS BIGINT) AS prev_c,
+       |  CAST(ROUND(COALESCE(nsum, -1) * 100) AS BIGINT) AS next_c
+       |FROM v2
+       |WHERE d_year = 1996
+       |  AND ABS(sum_sales - avg_monthly) / avg_monthly > 0.1
+       |ORDER BY p_brand, d_year, d_moy""".stripMargin)
+
+  /** TPC-DS Q93 shape: per-customer sales with returned lines zeroed
+    * out (the returns-adjusted actual), bottom-N customers. */
+  val q266SalesAfterReturns: QuerySpec = QuerySpec.sql(
+    "q266_dss_sales_after_returns",
+    s"""SELECT c_custkey, c_name, CAST(SUM(act) AS DOUBLE) AS sumsales
+       |FROM (
+       |  SELECT o_custkey,
+       |         CASE WHEN l_returnflag = 'R' THEN $Zero ELSE $Vol END AS act
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY sumsales, c_custkey
+       |LIMIT 100""".stripMargin)
+
+  /** TPC-DS Q33/Q56 shape: the same per-brand aggregate computed per
+    * channel (return-flag slices), UNION ALL, re-aggregated over the
+    * union — sum over channels without rescanning per channel result. */
+  val q267UnionChannelItems: QuerySpec = QuerySpec.sql(
+    "q267_dss_union_channel_items",
+    s"""WITH ss AS (
+       |  SELECT p_brand, SUM($Vol) AS total_sales
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'A' GROUP BY p_brand),
+       |cs AS (
+       |  SELECT p_brand, SUM($Vol) AS total_sales
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'N' GROUP BY p_brand),
+       |ws AS (
+       |  SELECT p_brand, SUM($Vol) AS total_sales
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'R' GROUP BY p_brand)
+       |SELECT p_brand, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+       |FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+       |      UNION ALL SELECT * FROM ws) tmp
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin)
+
+  /** TPC-DS Q11/Q74 shape: a per-customer yearly spend CTE self-joined
+    * across two years; keep customers whose spend grew, ranked by the
+    * growth ratio — exact-decimal ratios so the DOUBLE compare is
+    * engine-stable. */
+  val q268YearOverYear: QuerySpec = QuerySpec.sql(
+    "q268_dss_year_over_year",
+    s"""WITH yt AS (
+       |  SELECT o_custkey AS cust, YEAR(o_orderdate) AS yr,
+       |         SUM(CAST(o_totalprice AS $M)) AS tot
+       |  FROM orders GROUP BY o_custkey, YEAR(o_orderdate))
+       |SELECT c_custkey, c_name,
+       |  CAST(ROUND(CAST(y2.tot AS DOUBLE) / CAST(y1.tot AS DOUBLE) * 1e6)
+       |    AS BIGINT) AS growth_e6
+       |FROM yt y1
+       |JOIN yt y2 ON y1.cust = y2.cust
+       |JOIN customer ON y1.cust = c_custkey
+       |WHERE y1.yr = 1996 AND y2.yr = 1997
+       |  AND CAST(y2.tot AS DOUBLE) > CAST(y1.tot AS DOUBLE)
+       |ORDER BY growth_e6 DESC, c_custkey
+       |LIMIT 100""".stripMargin)
+
+  val all: Seq[QuerySpec] = Seq(
+    q254StarDateBrand, q255ChannelRollup, q256ReturnsAboveAvg,
+    q257MultiSupplierOrders, q258RollupRank, q259OrderSizeBuckets,
+    q260CrossChannelItems, q261HourBands, q262ChannelCompare,
+    q263FrequentBestCustomers, q264MarginRollupGrouping,
+    q265MonthlyVsAvg, q266SalesAfterReturns, q267UnionChannelItems,
+    q268YearOverYear)
+}

@@ -254,9 +254,18 @@ object AvroSchemas {
     * same one-file-per-task layout every columnar sink uses. Written
     * files read back with [[readAvro]] (round-trip spec-pinned) and any
     * stock Avro tool. Types follow toAvroSchema's documented widenings
-    * (timestamp/char render as string). Overwrites the target
-    * directory atomically per task file; callers own directory-level
-    * idempotence (same contract as a plain parquet save). */
+    * (timestamp/char render as string).
+    *
+    * Commit protocol (task- and job-level atomicity): each task attempt
+    * writes to an attempt-unique `_temporary-…` file and renames it into
+    * `part-NNNNN.avro` on success, so a speculative or retried attempt
+    * can never interleave bytes with the original into one corrupt
+    * container — the FS-atomic rename means exactly one complete attempt
+    * wins. A `_SUCCESS` marker is removed before the job and written
+    * after all partitions commit, so a mid-job failure leaves a
+    * directory distinguishable from complete output (readers that care
+    * check the marker; [[readAvro]] skips `_`-prefixed files either
+    * way). */
   def writeAvro(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
     import org.apache.avro.{Schema => ASchema}
     import org.apache.avro.file.DataFileWriter
@@ -268,11 +277,21 @@ object AvroSchemas {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs0 = dir.getFileSystem(hconf.value)
     fs0.mkdirs(dir)
+    val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    fs0.delete(success, false) // job start: output is now provisional
+    // sweep temp leftovers from a previously-failed job in this directory
+    fs0.listStatus(dir).foreach { st =>
+      if (st.getPath.getName.startsWith("_temporary-")) fs0.delete(st.getPath, false)
+    }
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val schema = new ASchema.Parser().parse(schemaJson)
-      val file = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
-      val fs = file.getFileSystem(hconf.value)
-      val out = fs.create(file, true)
+      val tc = org.apache.spark.TaskContext.get()
+      val attempt = if (tc == null) 0L else tc.taskAttemptId()
+      val finalFile = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
+      val tmpFile = new org.apache.hadoop.fs.Path(
+        dir, f"_temporary-part-$pid%05d-attempt-$attempt.avro")
+      val fs = finalFile.getFileSystem(hconf.value)
+      val out = fs.create(tmpFile, true)
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, out)
       var n = 0L
@@ -282,8 +301,18 @@ object AvroSchemas {
           n += 1
         }
       } finally w.close() // closes the stream
+      // commit: atomic rename into place; on a race with a sibling
+      // attempt, exactly one complete file survives and the loser's temp
+      // is dropped
+      if (fs.exists(finalFile)) fs.delete(finalFile, false)
+      if (!fs.rename(tmpFile, finalFile)) {
+        fs.delete(tmpFile, false)
+        if (!fs.exists(finalFile))
+          throw new java.io.IOException(s"avro commit failed for $finalFile")
+      }
       Iterator.single(n)
     }.count(): Unit // one action drives all partition writes
+    fs0.create(success, true).close() // job commit marker
     ()
   }
 

@@ -129,8 +129,18 @@ object EventStreams {
     * and the naive "buffer the session" streaming approach; this is
     * what a MATCH_RECOGNIZE engine does internally (NFA state, not
     * event buffers). Emits one summary per CLOSED session (gap > 30
-    * min), the [[sessionize]] convention; same total event order
-    * ((ts, event_id)) as the batch twin so flags agree exactly. */
+    * min), the [[sessionize]] convention.
+    *
+    * Ordering contract: events are sorted by ((ts, event_id)) WITHIN
+    * each micro-batch only — the price of O(1) state. Under in-order
+    * arrival (per key, across batches) flags agree exactly with the
+    * batch twin; an event arriving in a LATER batch but timestamped
+    * inside an earlier gap is stepped through the automaton out of
+    * event-time order, so its session's flags/splits can diverge from
+    * q223. Callers needing exactness under late data must feed the
+    * stream through a watermark-sorted buffer first (trading bounded
+    * per-key event buffering for the guarantee) — the same explicit
+    * policy choice [[hourlyAnomaly]] documents for its drop-late rule. */
   def sessionCep(events: Dataset[Event], gapMinutes: Int = 30): Dataset[CepSummary] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -49,10 +49,13 @@ class CodegenParitySpec extends EngineSuite {
     assert(res.passed, s"$name: ${res.status}")
   }
 
-  // strings: ASCII words, unicode (multi-byte UTF-8), empties, spaces
+  // strings: ASCII words, unicode (multi-byte UTF-8), supplementary-plane
+  // (surrogate-pair) code points, empties, spaces — the non-BMP entries
+  // exercise levenshtein parity where code units ≠ code points
   private val strGen: Gen[String] = Gen.oneOf(
     Gen.alphaNumStr.map(_.take(24)),
-    Gen.listOfN(6, Gen.oneOf("tier", "scan", "über", "数据", "λ", "", " ", "a b"))
+    Gen.listOfN(6, Gen.oneOf("tier", "scan", "über", "数据", "λ", "", " ", "a b",
+        "👍", "x😀y", "𝔸"))
       .map(_.mkString(" ")),
     Gen.const(""))
 

@@ -801,6 +801,51 @@ class PlanSpec extends EngineSuite {
     } finally graft.engine.GraftSession.attach(spark)
   }
 
+  test("q254 (TPC-DS Q3 shape): derived date dim and part dim broadcast; TopN") {
+    val p = plan("q254_dss_star_date_brand")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "star join fell back to cartesian")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT 100 did not plan TopN: " + p.take(1500))
+  }
+
+  test("q255 (TPC-DS Q5 shape): channel union rollup — dims broadcast, one Expand") {
+    val p = plan("q255_dss_channel_rollup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "channel rollup planned a product join: " + p.take(1500))
+    assert(p.contains("Expand"), "ROLLUP should plan one Expand: " + p.take(1500))
+  }
+
+  test("q256 (TPC-DS Q1 shape): correlated avg factor rewrites to aggregate-then-join") {
+    // RewriteCorrelatedScalarSubquery: the per-nation average must become
+    // a grouped aggregate joined back on the correlation key — never a
+    // per-row subquery (no product join anywhere in the plan)
+    val p = plan("q256_dss_returns_above_avg")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "correlated factor executed per-row: " + p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q261 (TPC-DS Q88 shape): scalar band cross-joins stay broadcast-nested-loop") {
+    // eight 1-row aggregates composed with BNLJ (each side a broadcast of
+    // one row) is the right plan; an un-broadcast CartesianProduct is not
+    val p = plan("q261_dss_hour_bands")
+    assert(!p.contains("CartesianProduct"),
+      "scalar cross join planned an unbroadcast cartesian: " + p.take(1500))
+  }
+
+  test("q258/q264 (TPC-DS Q67/Q36 shapes): rollup lattice scans the fact once") {
+    for (name <- Seq("q258_dss_rollup_rank", "q264_dss_margin_rollup_grouping")) {
+      val p = plan(name)
+      def occurrences(t: String): Int = p.sliding(t.length).count(_ == t)
+      assert(occurrences("lineitem.parquet") == 1,
+        s"$name rescans lineitem: " + p.take(1500))
+      assert(p.contains("Expand"), s"$name lost the rollup Expand")
+      assert(p.contains("BroadcastHashJoin"), s"$name part dim not broadcast")
+    }
+  }
+
   test("q237: staged retrieval eval never scans a base table twice in one job") {
     // the SQL form would re-inline the shared CTEs (two embeddings + two
     // documents scans); the staged DataFrame form materializes each once,
