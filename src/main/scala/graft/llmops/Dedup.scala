@@ -1218,19 +1218,66 @@ object Dedup {
     }
   }
 
+  /** Orients canonical (a<b) undirected edges from the LOWER-degree
+    * endpoint to the higher (ties by id) — the standard hardening that
+    * bounds a wedge build by graph arboricity instead of raw degree: a
+    * boilerplate near-dup hub with degree d contributes C(out-deg, 2)
+    * wedges where out-deg is small (every spoke orients INTO the hub),
+    * not d². Output columns: src, dst, ddeg (dst's degree — carried so
+    * the wedge join can order targets by the same (deg, id) key).
+    * Spec-pinned: deg(src) ≤ deg(dst) on every oriented edge. */
+  def orientEdges(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // canonical a<b, so the (deg, id) tie-break reduces to da <= db
+    val fwd = col("da") <= col("db")
+    e.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("ddeg"))
+  }
+
+  /** Wedges (u, v, w) from an [[orientEdges]] relation: two out-edges of
+    * u with v ≺ w in the orientation's (deg, id) order. Only nodes with
+    * out-degree ≥ 2 produce wedges — a pure hub (all edges inbound)
+    * produces none, which is the whole point. */
+  def orientedWedges(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    o.as("o1").join(o.as("o2"),
+        col("o1.src") === col("o2.src") &&
+          (col("o1.ddeg") < col("o2.ddeg") ||
+            (col("o1.ddeg") === col("o2.ddeg") && col("o1.dst") < col("o2.dst"))))
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"), col("o2.dst").as("w"))
+
+  /** Exact triangle enumeration via degree-ordered wedges: a wedge
+    * (u, v, w) closes iff the oriented edge v→w exists (v ≺ w by
+    * construction, and the closing undirected edge orients low→high in
+    * the same order, so one equi-join suffices). Each triangle appears
+    * exactly once, rooted at its ≺-minimal vertex. */
+  def triangles(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val o = orientEdges(e).localCheckpoint() // wedge side + closing side
+    orientedWedges(o).as("w")
+      .join(o.as("e3"),
+        col("w.v") === col("e3.src") && col("w.w") === col("e3.dst"))
+      .select(col("w.u").as("a"), col("w.v").as("b"), col("w.w").as("c"))
+  }
+
   /** Triangle count over the near-dup graph — the local clustering
     * signal that separates a CHAIN of borderline near-dups (A~B~C,
     * no A~C: transitive-closure dedup would over-merge) from a genuine
     * duplicate CLIQUE, which is exactly the call [[q79DedupClusters]]'s
-    * connected components cannot make on its own. Algorithm: canonical
-    * a<b edges, triangles found by joining the wedge (a,b)-(b,c) back
-    * against the edge set with a<b<c — each triangle counted exactly
-    * once, no direction double-count. Scale shape: two self-joins of
-    * the EDGE relation (pair-bounded, never the corpus); at 100 TB the
-    * standard hardening is degree-ordering the wedge build so high-
-    * degree hubs don't quadratically explode — the same salting family
-    * boundedPairs applies to candidate blocks. Output: per-node
-    * triangle membership plus the global count (exact integers). */
+    * connected components cannot make on its own. Algorithm:
+    * DEGREE-ORDERED wedge enumeration ([[orientEdges]] +
+    * [[orientedWedges]] + one closing equi-join): each triangle counted
+    * exactly once from its (deg, id)-minimal vertex, and the wedge
+    * count is bounded by arboricity — a degree-10⁴ boilerplate hub
+    * yields C(out-deg, 2) wedges, not 10⁸. The oracle keeps the naive
+    * a<b<c formulation (same triangle set, spec-pinned equal). Scale
+    * shape: one degree aggregate + two joins of the EDGE relation
+    * (pair-bounded, never the corpus). Output: per-node triangle
+    * membership plus the global count (exact integers). */
   val q236Triangles: QuerySpec = QuerySpec(
     "q236_graph_triangles",
     s"""WITH $nearDupOracleCtes,
@@ -1251,13 +1298,8 @@ object Dedup {
     val sp = QuerySpec.prepared(s, dir)
     val e = nearDupJaccard(sp)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-      .localCheckpoint() // three roles in the triangle join
-    val wedges = e.as("e1").join(e.as("e2"),
-        col("e1.b") === col("e2.a") && col("e1.a") < col("e2.b"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-    val tri = wedges.as("w").join(e.as("e3"),
-        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
-      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+      .localCheckpoint() // degree aggregate + both join roles
+    val tri = triangles(e)
       .localCheckpoint() // per-node rollup + global count
     val totalDf = tri.agg(count(lit(1)).as("total_triangles"))
     tri.select(col("a").as("doc_id"))

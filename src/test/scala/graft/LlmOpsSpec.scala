@@ -29,6 +29,40 @@ class LlmOpsSpec extends EngineSuite {
     assert(got == exactPairs, s"LSH=${got.size} exact=${exactPairs.size}")
   }
 
+  test("triangle wedge build is degree-ordered: hubs produce no wedges") {
+    val sess = spark
+    import sess.implicits._
+    // star with the hub id in the MIDDLE of the id range (the worst case
+    // for the old e1.b = e2.a wedge join, which would have built
+    // 50×50 = 2500 hub wedges) — canonical a<b edges
+    val hub = 50L
+    val spokes = (0L until 101L).filterNot(_ == hub)
+    val star = spokes.map(s => (math.min(s, hub), math.max(s, hub))).toDF("a", "b")
+    val oriented = llmops.Dedup.orientEdges(star)
+    // every spoke (deg 1) orients INTO the hub (deg 100)
+    assert(oriented.filter(col("src") === hub).count() == 0,
+      "a max-degree hub must not be a wedge-build source")
+    assert(llmops.Dedup.orientedWedges(oriented).count() == 0,
+      "pure star has no degree-ordered wedges (naive build: 2500)")
+    assert(llmops.Dedup.triangles(star).count() == 0)
+
+    // hub graph with planted triangles: add spoke-spoke edges 1-2, 2-3, 1-3
+    val withTris = star.unionByName(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"))
+    val tri = llmops.Dedup.triangles(withTris)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // {1,2,3} plus each pair closed through the hub
+    assert(tri == Set(Set(1L, 2L, 3L), Set(1L, 2L, hub), Set(2L, 3L, hub), Set(1L, 3L, hub)),
+      s"wrong triangle set: $tri")
+    // and the orientation invariant holds on every oriented edge
+    val deg = withTris.select(col("a").as("n")).unionByName(withTris.select(col("b").as("n")))
+      .groupBy("n").count()
+    val bad = llmops.Dedup.orientEdges(withTris)
+      .join(deg.select(col("n").as("src"), col("count").as("sdeg")), "src")
+      .join(deg.select(col("n").as("dst"), col("count").as("tdeg")), "dst")
+      .filter(col("sdeg") > col("tdeg")).count()
+    assert(bad == 0, "an oriented edge runs high-degree → low-degree")
+  }
+
   test("boundedPairs: skewed block is salted — same pairs, capped per-task arrays") {
     val sess = spark
     import sess.implicits._
