@@ -48,6 +48,12 @@ object Dedup {
     * map-side-combined groupBy + join (not a window, which would buffer
     * the whole degenerate block in one partition; the join is AQE
     * skew-splittable). */
+  /** Probe counter: how many [[boundedPairs]] calls took the salted
+    * over-cap branch in this JVM. Test observability only (the skew
+    * drill pins that a giant block really exercises the salted path
+    * inside the full q81/q217 pipelines) — never read by planning. */
+  private[graft] val saltedExpansions = new java.util.concurrent.atomic.AtomicLong
+
   def boundedPairs(keyed: DataFrame, cap: Int): DataFrame = {
     // materialize the blocking keys once: they are consumed twice (block
     // sizes + the expansion), and the upstream is typically the corpus
@@ -66,6 +72,7 @@ object Dedup {
           .agg(collect_list(col("id")).as("ls"))
           .select(col("ls"), col("ls").as("rs"), lit(true).as("same"))
       } else {
+        saltedExpansions.incrementAndGet()
         k.join(sizes, Seq("bkey"))
           .withColumn("s", ceil(col("cnt").cast("double") / cap).cast("int"))
           .withColumn("g", pmod(xxhash64(col("id")), col("s")).cast("int"))

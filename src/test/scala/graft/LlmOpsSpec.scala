@@ -29,6 +29,72 @@ class LlmOpsSpec extends EngineSuite {
     assert(got == exactPairs, s"LSH=${got.size} exact=${exactPairs.size}")
   }
 
+  // A synthetic testdata dir whose `documents` is 300 identical docs (one
+  // LSH band block of 300 > the pipelines' cap of 256) plus distinct
+  // fillers, and whose `customer` has 300 same-prefix names — the skew
+  // pathology the salted boundedPairs branch exists for, at a size the
+  // fixture itself never reaches. Other tables copy through from sf0.001.
+  private lazy val skewDir: String = {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    for (n <- sources.TestTables.names if n != "documents" && n != "customer")
+      sources.TestTables.load(spark, sfDir, n)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs =
+      (1L to 300L).map(i => (i, dup, "en", "dup", dup.length.toLong)) ++
+        (1L to 50L).map(i => (1000L + i,
+          s"filler f${i}a f${i}b f${i}c f${i}d f${i}e", "en", "fill", 30L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val custs = (1L to 300L).map(i => (i, f"Customer#$i%09d", 1, 0.0, "BUILDING"))
+    custs.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("skew drill: q81 whole pipeline over a giant block = naive all-pairs, salted branch fired") {
+    try {
+      llmops.Dedup.saltedExpansions.set(0)
+      val got = llmops.Dedup.q81MinHashLsh.run(spark, skewDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(llmops.Dedup.saltedExpansions.get() > 0,
+        "the 300-doc block never exercised the salted over-cap branch")
+      // naive ground truth: all-pairs exact Jaccard over the synthetic corpus
+      val naive = spark.sql(
+        """WITH g AS (
+          |  SELECT doc_id, array_distinct(transform(
+          |    sequence(0, greatest(size(split(text,' ')) - 3, 0)),
+          |    i -> concat_ws(' ', slice(split(text,' '), i + 1, 3)))) AS sh
+          |  FROM documents)
+          |SELECT a.doc_id a, b.doc_id b
+          |FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / size(array_union(a.sh, b.sh)) >= 0.8""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(naive.size == 300 * 299 / 2, s"ground truth should be C(300,2): ${naive.size}")
+      assert(got == naive, s"pipeline=${got.size} naive=${naive.size}")
+    } finally QuerySpec.prepared(spark, sfDir) // restore fixture views
+  }
+
+  test("skew drill: q217 whole pipeline over a giant prefix block = naive all-pairs, salted branch fired") {
+    try {
+      llmops.Dedup.saltedExpansions.set(0)
+      val got = llmops.Dedup.q217FuzzyEntityResolution.run(spark, skewDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(llmops.Dedup.saltedExpansions.get() > 0,
+        "the 300-name prefix block never exercised the salted over-cap branch")
+      val naive = spark.sql(
+        """SELECT a.c_custkey a, b.c_custkey b
+          |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+          |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(naive.nonEmpty, "synthetic names should contain lev<=1 pairs")
+      assert(got == naive, s"pipeline=${got.size} naive=${naive.size}")
+    } finally QuerySpec.prepared(spark, sfDir) // restore fixture views
+  }
+
   test("triangle wedge build is degree-ordered: hubs produce no wedges") {
     val sess = spark
     import sess.implicits._
