@@ -32,4 +32,82 @@ class PositionsSpec extends EngineSuite {
     val b = SqlPositions.parse(spark, "SELECT x FROM no_such_table_anywhere")
     assert(b.subBlocks.nonEmpty || b.nodeName.nonEmpty)
   }
+
+  // ---- analysis-error position parity: the fork's position-carrying
+  // errors past the parser (ExtendSymbol.java:1-52; ParserTest expected
+  // errors assert exact positions). Each family pins the exact span.
+
+  private def issue(sql: String): SqlPositions.AnalysisIssue = {
+    QuerySpec.prepared(spark, sfDir)
+    SqlPositions.analyze(spark, sql) match {
+      case Left(i) => i
+      case Right(_) => fail(s"expected an analysis error for: $sql")
+    }
+  }
+
+  test("analyze: success returns the analyzed block tree") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = SqlPositions.analyze(spark, "SELECT c_name FROM customer")
+    assert(r.isRight, r)
+  }
+
+  test("unknown column: exact span + line/col of the offending identifier") {
+    val i = issue("SELECT no_such_col FROM customer")
+    assert(i.errorClass.startsWith("UNRESOLVED_COLUMN"), i)
+    assert(i.fragment.contains("no_such_col"), i)
+    assert(i.startIndex.contains(7) && i.stopIndex.contains(17), i)
+    assert(i.startLine.contains(1) && i.startCol.contains(7), i)
+    assert(i.endLine.contains(1) && i.endCol.contains(17), i)
+  }
+
+  test("unknown table: span covers exactly the relation name") {
+    val i = issue("SELECT c_name FROM no_such_table")
+    assert(i.errorClass == "TABLE_OR_VIEW_NOT_FOUND", i)
+    assert(i.fragment.contains("no_such_table"), i)
+    assert(i.startIndex.contains(19) && i.stopIndex.contains(31), i)
+  }
+
+  test("unknown function: span covers the whole call") {
+    val i = issue("SELECT no_such_fn(c_name) FROM customer")
+    assert(i.errorClass == "UNRESOLVED_ROUTINE", i)
+    assert(i.fragment.contains("no_such_fn(c_name)"), i)
+    assert(i.startIndex.contains(7) && i.stopIndex.contains(24), i)
+  }
+
+  test("type mismatch: span covers the mis-typed expression") {
+    val i = issue("SELECT array_contains(c_acctbal, 1) FROM customer")
+    assert(i.errorClass.startsWith("DATATYPE_MISMATCH"), i)
+    assert(i.fragment.contains("array_contains(c_acctbal, 1)"), i)
+    assert(i.startIndex.contains(7) && i.stopIndex.contains(34), i)
+  }
+
+  test("ordinal out of range: span is exactly the ordinal literal") {
+    val g = issue("SELECT c_name FROM customer GROUP BY 9")
+    assert(g.errorClass == "GROUP_BY_POS_OUT_OF_RANGE", g)
+    assert(g.fragment.contains("9") && g.startIndex.contains(37) && g.stopIndex.contains(37), g)
+    val o = issue("SELECT c_custkey FROM customer ORDER BY 99")
+    assert(o.errorClass == "ORDER_BY_POS_OUT_OF_RANGE", o)
+    assert(o.fragment.contains("99") && o.startIndex.contains(40) && o.stopIndex.contains(41), o)
+  }
+
+  test("set-op arity mismatch: span covers the whole statement") {
+    val sql = "SELECT c_name FROM customer UNION ALL SELECT c_name, c_custkey FROM customer"
+    val i = issue(sql)
+    assert(i.errorClass == "NUM_COLUMNS_MISMATCH", i)
+    assert(i.startIndex.contains(0) && i.stopIndex.contains(sql.length - 1), i)
+  }
+
+  test("multi-line SQL: line/col computed from the absolute span") {
+    val i = issue("SELECT c_name,\n       bogus_col\nFROM customer")
+    assert(i.errorClass.startsWith("UNRESOLVED_COLUMN"), i)
+    assert(i.fragment.contains("bogus_col"), i)
+    assert(i.startLine.contains(2) && i.startCol.contains(7), i)
+    assert(i.endLine.contains(2) && i.endCol.contains(15), i)
+  }
+
+  test("parse error: still positioned through the same surface") {
+    val i = issue("SELECT c_name FROM customer WHERE (c_acctbal >")
+    assert(i.startLine.contains(1), i)
+    assert(i.message.toLowerCase.contains("syntax"), i)
+  }
 }
