@@ -10,7 +10,10 @@ final case class QuerySpec(
     name: String,
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame,
-    bench: Boolean = false) {
+    bench: Boolean = false,
+    /** The Spark-dialect SQL text when the query is SQL-expressed —
+      * consumed by the ToSql round-trip sweep (ToSqlSpec). */
+    sparkSql: Option[String] = None) {
   /** Mark this query as part of the Bench headline set. */
   def benched: QuerySpec = copy(bench = true)
 }
@@ -30,12 +33,14 @@ object QuerySpec {
     * oracle. The natural form for the reference's SQL-surface rows
     * (SURVEY §2.2) — subqueries, CTEs, VALUES, set ops. */
   def sql(name: String, text: String): QuerySpec =
-    QuerySpec(name, Some(text), (s, dir) => prepared(s, dir).sql(text))
+    QuerySpec(name, Some(text), (s, dir) => prepared(s, dir).sql(text),
+      sparkSql = Some(text))
 
   /** SQL query whose Spark text must differ from the DuckDB oracle text
     * (dialect gaps: TRY_CAST spellings, function names, …). */
   def sql2(name: String, sparkText: String, oracleText: String): QuerySpec =
-    QuerySpec(name, Some(oracleText), (s, dir) => prepared(s, dir).sql(sparkText))
+    QuerySpec(name, Some(oracleText), (s, dir) => prepared(s, dir).sql(sparkText),
+      sparkSql = Some(sparkText))
 
   /** Prepare a session for a query run: ensure the engine's function
     * surface is registered and the sf-dir tables are visible as views. */
