@@ -470,6 +470,70 @@ class StreamingSpec extends EngineSuite {
     assert(afterRestart == fin + (7L -> 70L), afterRestart.toString)
   }
 
+  test("upsertLatest: torn commits on either side of the commit point replay to exactly-once") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_stream_upsert_torn_${System.nanoTime()}"
+    val root = new java.io.File(dir)
+    EventStreams.upsertLatest(dir)(
+      Seq(Event(1, 1, ts(5), "click", 1.0), Event(2, 2, ts(6), "view", 2.0)).toDF(), 0L)
+
+    // --- torn state A: crash AFTER the manifest rename (data + manifest
+    // committed) but BEFORE the txn marker landed. Simulate by applying
+    // batch 1 and deleting its marker — exactly the on-disk state such a
+    // crash leaves.
+    EventStreams.upsertLatest(dir)(
+      Seq(Event(1, 3, ts(9), "click", 3.0), Event(3, 4, ts(10), "view", 4.0)).toDF(), 1L)
+    val committedState = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    val marker = root.listFiles().map(_.getName)
+      .find(n => n.startsWith("_txn_") && n.contains("_1_"))
+      .getOrElse(fail("batch 1 left no txn marker"))
+    assert(new java.io.File(root, marker).delete())
+    // replay of batch 1: without its marker the ledger says "never
+    // committed", so the batch re-applies — and latest-wins merge makes
+    // the re-application converge to the SAME visible state, which is
+    // the exactly-once guarantee the marker-after-manifest order relies on
+    EventStreams.upsertLatest(dir)(
+      Seq(Event(1, 3, ts(9), "click", 3.0), Event(3, 4, ts(10), "view", 4.0)).toDF(), 1L)
+    val afterReplay = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    assert(afterReplay == committedState, s"replay diverged: $afterReplay vs $committedState")
+    // the replayed commit re-recorded its marker: a SECOND replay no-ops
+    val verBefore = root.listFiles().map(_.getName)
+      .filter(_.startsWith("_commit_")).map(_.stripPrefix("_commit_").toLong).max
+    EventStreams.upsertLatest(dir)(
+      Seq(Event(9, 99, ts(99), "click", 9.0)).toDF(), 1L)
+    val verAfter = root.listFiles().map(_.getName)
+      .filter(_.startsWith("_commit_")).map(_.stripPrefix("_commit_").toLong).max
+    assert(verAfter == verBefore, "second replay of a marked batch must be a no-op")
+    assert(!EventStreams.readLatest(s, dir).collect()
+      .map(_.getAs[Long]("user_id")).contains(9L))
+
+    // --- torn state B: crash BEFORE the manifest rename — an orphan
+    // v_ data dir plus an unrenamed _tmp_manifest_. Readers must never
+    // see it; the next commit sweeps it.
+    val orphanVer = verAfter + 7
+    val orphanDir = new java.io.File(root, s"v_$orphanVer/__bucket=0")
+    assert(orphanDir.mkdirs())
+    Seq(Event(8, 80, ts(80), "click", 8.0)).toDF()
+      .write.mode("overwrite").parquet(orphanDir.toString)
+    val tmpManifest = new java.io.File(root, s"_tmp_manifest_$orphanVer")
+    java.nio.file.Files.writeString(tmpManifest.toPath, "#buckets\t4\n")
+    val tornRead = EventStreams.readLatest(s, dir).collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    assert(!tornRead.contains(8L), "reader saw uncommitted orphan data")
+    EventStreams.upsertLatest(dir)(
+      Seq(Event(2, 5, ts(20), "view", 5.0)).toDF(), 2L)
+    val names = root.listFiles().map(_.getName).toSet
+    assert(!names.contains(s"_tmp_manifest_$orphanVer"),
+      "crashed tmp manifest survived the sweep")
+    assert(!names.contains(s"v_$orphanVer"), "orphan data dir survived the sweep")
+    val fin = EventStreams.readLatest(s, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toMap
+    assert(fin == Map(1L -> 3L, 2L -> 5L, 3L -> 4L), fin.toString)
+  }
+
   test("upsertLatest: a small batch rewrites only the buckets its keys hash into") {
     val s = spark
     import s.implicits._
