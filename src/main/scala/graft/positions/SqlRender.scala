@@ -219,7 +219,25 @@ object SqlRender {
       val base = selectBlock("SELECT", a.aggregateExpressions, a.child, ctx)
       if (a.groupingExpressions.isEmpty) base
       else s"$base ${groupByClause(a.groupingExpressions, ctx)}"
+    case l: LocalRelation =>
+      s"SELECT * FROM ${valuesSql(l)}"
     case other => throw new Unsupported(s"plan node ${other.nodeName}")
+  }
+
+  /** An inline VALUES table (the parser folds it to a [[LocalRelation]]
+    * before any analysis, source spans lost) re-renders from the DATA:
+    * each cell through [[org.apache.spark.sql.catalyst.expressions.Literal]]'s
+    * own SQL rendering — the reference's ToSqlTest covers VALUES the
+    * same way, from values not source text. */
+  private def valuesSql(l: LocalRelation): String = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    if (l.data.isEmpty) throw new Unsupported("empty VALUES relation")
+    val rows = l.data.map { row =>
+      l.output.zipWithIndex.map { case (a, i) =>
+        Literal(row.get(i, a.dataType), a.dataType).sql
+      }.mkString("(", ", ", ")")
+    }.mkString(", ")
+    s"VALUES $rows AS __values(${l.output.map(a => s"`${a.name}`").mkString(", ")})"
   }
 
   /** GROUP BY — ROLLUP/CUBE/GROUPING SETS frags arrive with the clause
@@ -273,6 +291,9 @@ object SqlRender {
       s"${u.multipartIdentifier.mkString(".")} AS ${id.name}"
     case SubqueryAlias(id, u: UnresolvedSubqueryColumnAliases) =>
       s"(${render(u.child, ctx)}) AS ${id.name}(${u.outputColumnNames.mkString(", ")})"
+    case l: LocalRelation => valuesSql(l)
+    case SubqueryAlias(id, l: LocalRelation) =>
+      s"(SELECT * FROM ${valuesSql(l)}) AS ${id.name}"
     case SubqueryAlias(id, child) =>
       s"(${render(child, ctx)}) AS ${id.name}"
     case g: Generate =>

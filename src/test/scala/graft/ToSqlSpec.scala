@@ -44,10 +44,11 @@ class ToSqlSpec extends EngineSuite {
     val fb = fallbacks.result()
     val br = broken.result()
     assert(br.isEmpty, s"round-trip diverged:\n${br.mkString("\n")}")
-    // 165/174 at round 12 — the floor leaves slack for new corpus queries
-    // landing in fallback shapes, not for renderer regressions
-    assert(structural >= 150,
+    // 171/174 at round 12 (fallbacks: PIVOT, UNPIVOT, lateral join) — the
+    // floor leaves slack for new corpus queries landing in fallback
+    // shapes, not for renderer regressions
+    assert(structural >= 165,
       s"structural coverage collapsed to $structural; fallbacks:\n${fb.mkString("\n")}")
-    assert(fb.size <= 15, s"fallback bucket grew:\n${fb.mkString("\n")}")
+    assert(fb.size <= 8, s"fallback bucket grew:\n${fb.mkString("\n")}")
   }
 }
