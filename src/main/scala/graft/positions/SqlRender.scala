@@ -260,12 +260,26 @@ object SqlRender {
       prefix: String, list: Seq[Expression], child: LogicalPlan, ctx: Ctx): String = {
     val items = list.map(selectItem(_, ctx)).mkString(", ")
     val (rel, where) = child match {
+      // UNPIVOT plants a span-less null filter over its value column;
+      // re-parsing the regenerated UNPIVOT clause replants it
+      case f @ Filter(_, u: Unpivot) if isImplicitUnpivotFilter(f.condition, u) =>
+        (u, "")
       case f: Filter => (f.child, s" WHERE ${frag(f.condition, ctx)}")
       case r => (r, "")
     }
     val from = fromClause(rel, ctx)
     s"$prefix $items$from$where"
   }
+
+  private def isImplicitUnpivotFilter(cond: Expression, u: Unpivot): Boolean =
+    cond match {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(c) =>
+        val names = c.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }
+        names.nonEmpty && names.forall(u.valueColumnNames.contains)
+      case _ => false
+    }
 
   /** A projection item must keep its alias: when the validated fragment
     * came from a child span (alias-wrapper span was bogus), re-attach
@@ -313,6 +327,27 @@ object SqlRender {
         else s" AS ${g.generatorOutput.map(_.name).mkString(", ")}"
       s"${relation(g.child, ctx)} LATERAL VIEW$outer $call$alias$cols"
     case j: Join => joinTree(j, ctx)
+    case p: Pivot if p.groupByExprsOpt.isEmpty =>
+      val aggs = p.aggregates.map(selectItem(_, ctx)).mkString(", ")
+      val vals = p.pivotValues.map(selectItem(_, ctx)).mkString(", ")
+      // the FOR column's span is parser-lost; an attribute renders by name
+      val pc = p.pivotColumn match {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        case other => frag(other, ctx)
+      }
+      s"${relation(p.child, ctx)} PIVOT ($aggs FOR $pc IN ($vals))"
+    case u: Unpivot =>
+      (u.values, u.valueColumnNames) match {
+        case (Some(vals), Seq(valueCol)) if vals.forall(_.size == 1) =>
+          val ins = vals.zip(u.aliases.getOrElse(vals.map(_ => None))).map {
+            case (Seq(v), alias) =>
+              alias.map(a => s"${frag(v, ctx)} AS $a").getOrElse(frag(v, ctx))
+          }
+          s"${relation(u.child, ctx)} UNPIVOT ($valueCol FOR ${u.variableColumnName} IN (${ins.mkString(", ")}))"
+        case _ => throw new Unsupported("multi-value UNPIVOT")
+      }
+    case lj: LateralJoin if lj.joinType == Inner && lj.condition.isEmpty =>
+      s"${relation(lj.left, ctx)}, LATERAL ${relation(lj.right.plan, ctx)}"
     case other => throw new Unsupported(s"relation node ${other.nodeName}")
   }
 

@@ -44,11 +44,11 @@ class ToSqlSpec extends EngineSuite {
     val fb = fallbacks.result()
     val br = broken.result()
     assert(br.isEmpty, s"round-trip diverged:\n${br.mkString("\n")}")
-    // 171/174 at round 12 (fallbacks: PIVOT, UNPIVOT, lateral join) — the
-    // floor leaves slack for new corpus queries landing in fallback
-    // shapes, not for renderer regressions
-    assert(structural >= 165,
-      s"structural coverage collapsed to $structural; fallbacks:\n${fb.mkString("\n")}")
-    assert(fb.size <= 8, s"fallback bucket grew:\n${fb.mkString("\n")}")
+    // full coverage since round 12: every SQL-expressed spec renders
+    // structurally — a new query that lands in the fallback bucket means
+    // the renderer needs the new shape, not that the floor should drop
+    assert(fb.isEmpty, s"queries fell out of the structural subset:\n${fb.mkString("\n")}")
+    assert(structural == SparkEntry.specs.count(_.sparkSql.isDefined),
+      s"structural=$structural of ${SparkEntry.specs.count(_.sparkSql.isDefined)}")
   }
 }
