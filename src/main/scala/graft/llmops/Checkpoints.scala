@@ -10,14 +10,32 @@ import org.apache.spark.sql.DataFrame
   *
   * Durability note (the 100 TB story for the whole llmops package): the
   * corpus-staging pattern throughout (Dedup, Retrieval, CorpusStats, …)
-  * uses `localCheckpoint()` — executor-pinned, lineage-truncated, cheap,
-  * and exactly right at this scope, but its blocks die with an executor.
-  * A multi-hour 1000-executor run should flip those staging points to
-  * RELIABLE checkpoints (`spark.sparkContext.setCheckpointDir` + Dataset
-  * `.checkpoint()` — HDFS-backed, lineage-free recovery after executor
-  * loss) behind a session config; the fixpoint loops here are already
-  * structured so the swap is a one-line change at each staging site. */
+  * stages through [[Checkpoints.stage]]/`.staged`, which defaults to
+  * `localCheckpoint()` — executor-pinned, lineage-truncated, cheap, and
+  * exactly right at test scope — but flips to RELIABLE checkpoints
+  * (HDFS-backed, lineage-free recovery after executor loss) when the
+  * session sets `spark.graft.stage.reliable=true` and a
+  * `sparkContext.setCheckpointDir` is configured: the one-switch
+  * durability story a multi-hour 1000-executor run needs, with zero
+  * changes at the staging sites. */
 private[graft] object Checkpoints {
+
+  /** Conf key: "true" + a set checkpoint dir → reliable checkpoints. */
+  val ReliableKey = "spark.graft.stage.reliable"
+
+  /** Materialize a staging point: every pipeline that consumes an
+    * intermediate relation more than once stages it through here. */
+  def stage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(ReliableKey).contains("true") &&
+      spark.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
+
+  /** `relation.staged` — call-site-shaped like `.localCheckpoint()`. */
+  implicit final class Stageable(private val df: DataFrame) extends AnyVal {
+    def staged: DataFrame = stage(df)
+  }
 
   /** Releases the block-manager storage behind a localCheckpoint-ed
     * DataFrame (the checkpointed RDD sits inside the plan's LogicalRDD

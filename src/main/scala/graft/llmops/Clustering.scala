@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.llmops.Checkpoints.Stageable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -168,7 +169,7 @@ object Clustering {
       .withColumn("r", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cluster"))))
       .filter(col("r") <= 2)
-      .localCheckpoint()
+      .staged
     val own = ranked.filter(col("r") === 1)
       .select(col("vec_id"), col("cluster"), col("cc").as("cc1"))
     val second = ranked.filter(col("r") === 2)
@@ -234,7 +235,7 @@ object Clustering {
     }
     QuerySpec("q228_embed_pca_axis", oracle) { (s, dir) =>
       val sp = QuerySpec.prepared(s, dir)
-      val e = vecs(sp).localCheckpoint() // consumed by both rounds
+      val e = vecs(sp).staged // consumed by both rounds
       var w = sp.range(1)
         .select(expr("transform(sequence(0, 63), i -> CAST(0.125 AS DOUBLE))").as("wv"))
       for (_ <- 1 to 2) {
@@ -252,7 +253,7 @@ object Clustering {
             """transform(raw, x -> x / sqrt(
               |  aggregate(transform(raw, y -> y * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)))""".stripMargin)
             .as("wv"))
-          .localCheckpoint()
+          .staged
       }
       w.select(posexplode(col("wv")).as(Seq("pos", "x")))
         .withColumn("sgn",
@@ -300,7 +301,7 @@ object Clustering {
       expr("""transform(v, x -> x / sqrt(
               |  aggregate(transform(v, y -> y * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)))""".stripMargin)
         .as("u"))
-      .localCheckpoint() // feeds the per-dim sums AND the count
+      .staged // feeds the per-dim sums AND the count
     val sums = u.select(posexplode(col("u")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(sum(col("x").cast("decimal(27,18)")).cast("double").as("sv"))

@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.llmops.Checkpoints.Stageable
 import graft.QuerySpec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -105,7 +106,7 @@ object CorpusStats {
       .withColumn("p",
         col("c").cast("double") / sum("c").over(Window.partitionBy("source")))
       .select("source", "word", "p")
-      .localCheckpoint() // self-joined below; one corpus scan, not two
+      .staged // self-joined below; one corpus scan, not two
     val a = p.select(col("source").as("source_a"), col("word"), col("p").as("pa"))
     val b = p.select(col("source").as("source_b"), col("word"), col("p").as("pb"))
     val ln2 = log(lit(2.0))

@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.llmops.Checkpoints.Stageable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QuerySpec
@@ -59,8 +60,8 @@ object Dedup {
     // sizes + the expansion), and the upstream is typically the corpus
     // scan + signature pipeline — without this the whole shingle/minhash
     // pass would execute twice
-    val k = keyed.localCheckpoint()
-    val sizes = k.groupBy("bkey").agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val k = keyed.staged
+    val sizes = k.groupBy("bkey").agg(count(lit(1)).as("cnt")).staged
     // probe-and-branch: one O(1)-result action on the (already needed)
     // size aggregate. The common case — no block over cap — skips the
     // salt join and the replication explode entirely; the pair set is
@@ -105,11 +106,11 @@ object Dedup {
     * bucket costs nothing downstream. */
   def boundedPairsBipartite(leftKeyed: DataFrame, rightKeyed: DataFrame, cap: Int): DataFrame = {
     // both sides are consumed twice (sizes + expansion) — see boundedPairs
-    val left = leftKeyed.localCheckpoint()
-    val right = rightKeyed.localCheckpoint()
+    val left = leftKeyed.staged
+    val right = rightKeyed.staged
     val sizes = left.groupBy("bkey").agg(count(lit(1)).as("lcnt"))
       .join(right.groupBy("bkey").agg(count(lit(1)).as("rcnt")), Seq("bkey"))
-      .localCheckpoint()
+      .staged
     // probe-and-branch as in boundedPairs: identical pairs, bounded tasks
     // only when some bucket actually needs them
     val maxCnt = sizes.agg(coalesce(greatest(max("lcnt"), max("rcnt")), lit(0L)))
@@ -188,7 +189,7 @@ object Dedup {
       .select(struct(col("band"), col("key")).as("bkey"), col("doc_id").as("id"))
     val pairs = boundedPairs(keyed, cap = 256)
       .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
-      .localCheckpoint()
+      .staged
     val candIds = pairs.select(col("doc_id_a").as("doc_id"))
       .union(pairs.select(col("doc_id_b").as("doc_id"))).distinct()
     // localCheckpoint: `g` feeds BOTH sides of the verify join below —
@@ -199,7 +200,7 @@ object Dedup {
     val g = sp.table("documents")
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr(shingleSql).as("sh"))
-      .localCheckpoint()
+      .staged
     pairs
       .join(g.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
       .join(g.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
@@ -353,7 +354,7 @@ object Dedup {
           posexplode(expr(s"minhash64(transform($grams, g -> fnv_hash(g)))")).as(Seq("band", "key")))
         .select(struct(col("band"), col("key"), col("source")).as("bkey"),
           col("doc_id").as("id"))
-      val pairs = boundedPairs(keyed, cap = 256).localCheckpoint()
+      val pairs = boundedPairs(keyed, cap = 256).staged
       val candIds = pairs.select(col("id_a").as("doc_id"))
         .union(pairs.select(col("id_b").as("doc_id"))).distinct()
       // no broadcast hint: candidate ids are O(corpus) when duplicates
@@ -481,7 +482,7 @@ object Dedup {
         .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
       val u = base.unionAll(
         base.select((col("vec_id") + 10000000L).as("vec_id"), expr(twinSql).as("v")))
-        .localCheckpoint() // consumed by the banding AND the verify below
+        .staged // consumed by the banding AND the verify below
       val keyed = u
         .select(col("vec_id"),
           posexplode(expr("hyperplanebands64(v, 256, 16)")).as(Seq("band", "key")))
@@ -543,7 +544,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
     val e = sp.table("embeddings")
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-      .localCheckpoint() // consumed by assignment AND the pair verify
+      .staged // consumed by assignment AND the pair verify
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val assigned = e.join(broadcast(cents), lit(true))
@@ -553,7 +554,7 @@ object Dedup {
         w.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("cent_id"))
-      .localCheckpoint() // consumed by the pair keying AND the output join
+      .staged // consumed by the pair keying AND the output join
     val keyed = assigned
       .select(col("cent_id").as("bkey"), col("vec_id").as("id"))
     val pairs = boundedPairs(keyed, cap = 256)
@@ -602,7 +603,7 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id"), col("src").as("cluster"))
       .unionAll(edges.select(col("dst").as("doc_id"), col("dst").as("cluster")))
       .groupBy("doc_id").agg(min("cluster").as("cluster"))
-      .localCheckpoint()
+      .staged
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -618,7 +619,7 @@ object Dedup {
         .select(col("doc_id"), col("grand").as("cluster"))
       val next = labels.unionAll(viaNeighbor).unionAll(viaParent)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
+        .staged
       converged = next
         .join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
         .filter(col("cluster") =!= col("prev"))
@@ -670,7 +671,7 @@ object Dedup {
     // keep their own label; checkpointed — reused every round
     val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       .unionAll(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-      .localCheckpoint()
+      .staged
     connectedComponents(edges)
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .orderBy("cluster", "doc_id")
@@ -780,11 +781,11 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(expr(s"lshbands64(minhash64($shingleSql))")).as(Seq("band", "key")))
       .select(struct(col("band"), col("key")).as("bkey"), col("doc_id").as("id"))
-      .localCheckpoint() // sliced into BOTH bipartite sides below — one signature pass
+      .staged // sliced into BOTH bipartite sides below — one signature pass
     val pairs = boundedPairsBipartite(
         bands.filter(col("id") % 10 === 9), bands.filter(col("id") % 10 =!= 9), cap = 256)
       .select(col("id_l").as("new_doc_id"), col("id_r").as("dup_of"))
-      .localCheckpoint()
+      .staged
     val candIds = pairs.select(col("new_doc_id").as("doc_id"))
       .union(pairs.select(col("dup_of").as("doc_id"))).distinct()
     // no broadcast hint — AQE sizes the semi-join (see q81)
@@ -920,7 +921,7 @@ object Dedup {
           |         j -> struct(ss[i] AS a, ss[j] AS b))))""".stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     // sources²-row matrix: diagonal rows ARE the per-source totals
-    val m = pairs.groupBy("a", "b").agg(count(lit(1)).as("common")).localCheckpoint()
+    val m = pairs.groupBy("a", "b").agg(count(lit(1)).as("common")).staged
     val d = m.filter(col("a") === col("b"))
       .select(col("a").as("s"), col("common").as("n"))
     m.filter(col("a") < col("b"))
@@ -998,7 +999,7 @@ object Dedup {
       // aggregate and the removed-doc probe join
       val groups = docs.groupBy(key.as("k"))
         .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .staged
       val nPairs = groups
         .agg(coalesce(sum(expr("cnt * (cnt - 1) DIV 2")), lit(0L)).as("n_pairs"))
         .select(lit(method).as("method"), col("n_pairs"))
@@ -1010,7 +1011,7 @@ object Dedup {
     }
     val (ep, er) = keyStats("exact", col("text"))
     val (pp, pr) = keyStats("prefix80", substring(col("text"), 1, 80))
-    val np = nearDupJaccard(sp).localCheckpoint() // pair count + removed set
+    val np = nearDupJaccard(sp).staged // pair count + removed set
     val npairs = np.agg(count(lit(1)).as("n_pairs"))
       .select(lit("near08").as("method"), col("n_pairs"))
     val nr = np.select(col("doc_id_b").as("doc_id")).distinct()
@@ -1068,7 +1069,7 @@ object Dedup {
     val sp = QuerySpec.prepared(s, dir)
     // localCheckpoint: the removed-set relation is consumed three times
     // (per-method counts + both sides of the intersection join)
-    val r = removedSets(sp).localCheckpoint()
+    val r = removedSets(sp).staged
     val counts = r.groupBy("method").agg(count(lit(1)).as("n"))
     val methods = sp.sql(
       "SELECT * FROM VALUES ('exact'), ('near08'), ('prefix80') AS t(method)")
@@ -1140,10 +1141,10 @@ object Dedup {
       // localCheckpoint: pairs feed both edge directions; edges feed the
       // degree aggregate and every round's contribution join
       val pairs = nearDupJaccard(sp)
-        .select(col("doc_id_a"), col("doc_id_b")).localCheckpoint()
+        .select(col("doc_id_a"), col("doc_id_b")).staged
       val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
         .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-        .localCheckpoint()
+        .staged
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       var pr = nodes.select(col("doc_id"), lit(1000000L).as("pr"))
       for (_ <- 1 to 3) {
@@ -1154,7 +1155,7 @@ object Dedup {
         pr = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
           .select(col("doc_id"),
             (lit(150000L) + expr("(85 * coalesce(ss, 0L)) DIV 100")).as("pr"))
-          .localCheckpoint()
+          .staged
       }
       pr.orderBy(col("pr").desc, col("doc_id")).limit(20)
         .select(col("doc_id"), col("pr").as("pr_e6"))
@@ -1199,14 +1200,14 @@ object Dedup {
          |SELECT doc_id, label FROM l2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val sp = QuerySpec.prepared(s, dir)
       val pairs = nearDupJaccard(sp)
-        .select(col("doc_id_a"), col("doc_id_b")).localCheckpoint()
+        .select(col("doc_id_a"), col("doc_id_b")).staged
       val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
         .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-        .localCheckpoint()
+        .staged
       var labels = sp.table("documents")
         .filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("source").as("label"))
-        .localCheckpoint()
+        .staged
       for (_ <- 1 to 2) {
         val votes = edges
           .join(labels.select(col("doc_id").as("src"), col("label")), "src")
@@ -1218,7 +1219,7 @@ object Dedup {
           .withColumn("rn", row_number().over(win))
           .filter(col("rn") === 1)
           .select(col("dst").as("doc_id"), col("label"))
-        val next = labels.unionByName(adopted).localCheckpoint()
+        val next = labels.unionByName(adopted).staged
         labels = next
       }
       labels.orderBy(col("doc_id"))
@@ -1264,7 +1265,7 @@ object Dedup {
     * the same order, so one equi-join suffices). Each triangle appears
     * exactly once, rooted at its ≺-minimal vertex. */
   def triangles(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val o = orientEdges(e).localCheckpoint() // wedge side + closing side
+    val o = orientEdges(e).staged // wedge side + closing side
     orientedWedges(o).as("w")
       .join(o.as("e3"),
         col("w.v") === col("e3.src") && col("w.w") === col("e3.dst"))
@@ -1305,9 +1306,9 @@ object Dedup {
     val sp = QuerySpec.prepared(s, dir)
     val e = nearDupJaccard(sp)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-      .localCheckpoint() // degree aggregate + both join roles
+      .staged // degree aggregate + both join roles
     val tri = triangles(e)
-      .localCheckpoint() // per-node rollup + global count
+      .staged // per-node rollup + global count
     val totalDf = tri.agg(count(lit(1)).as("total_triangles"))
     tri.select(col("a").as("doc_id"))
       .unionByName(tri.select(col("b").as("doc_id")))
@@ -1377,14 +1378,14 @@ object Dedup {
          |ORDER BY deg.label""".stripMargin) { (s, dir) =>
       val sp = QuerySpec.prepared(s, dir)
       val pairs = nearDupJaccard(sp)
-        .select(col("doc_id_a"), col("doc_id_b")).localCheckpoint()
+        .select(col("doc_id_a"), col("doc_id_b")).staged
       val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
         .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-        .localCheckpoint()
+        .staged
       var labels = sp.table("documents")
         .filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("source").as("label"))
-        .localCheckpoint()
+        .staged
       for (_ <- 1 to 2) {
         val votes = edges
           .join(labels.select(col("doc_id").as("src"), col("label")), "src")
@@ -1396,7 +1397,7 @@ object Dedup {
           .withColumn("rn", row_number().over(win))
           .filter(col("rn") === 1)
           .select(col("dst").as("doc_id"), col("label"))
-        labels = labels.unionByName(adopted).localCheckpoint()
+        labels = labels.unionByName(adopted).staged
       }
       val mDf = edges.agg((count(lit(1)) / 2).as("m"))
       val la = labels.select(col("doc_id").as("src"), col("label"))
@@ -1463,11 +1464,11 @@ object Dedup {
        |LEFT JOIN toks ON thr.thr_e2 = toks.thr_e2
        |ORDER BY thr.thr_e2""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    val scored = nearDupJaccard(sp).localCheckpoint() // 4 threshold slices
+    val scored = nearDupJaccard(sp).staged // 4 threshold slices
     val thr = sp.range(0, 4).select((lit(80) + col("id") * 5).cast("int").as("thr_e2"))
     val hit = broadcast(thr).join(scored, col("j") >= col("thr_e2") / lit(100.0))
       .select(col("thr_e2"), col("doc_id_a"), col("doc_id_b"))
-      .localCheckpoint() // pair counts + removed-doc rollup
+      .staged // pair counts + removed-doc rollup
     val removed = hit.select(col("thr_e2"), col("doc_id_b").as("doc_id")).distinct()
     val toks = removed
       .join(sp.table("documents").select(col("doc_id"),
@@ -1510,7 +1511,7 @@ object Dedup {
       |ORDER BY custkey_a, custkey_b""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val c = sp.table("customer").select(col("c_custkey"), col("c_name"))
-      .localCheckpoint() // consumed by 2 block passes + 2 verify joins
+      .staged // consumed by 2 block passes + 2 verify joins
     val keyed =
       c.select(concat(lit("p:"), substring(col("c_name"), 1, 14)).as("bkey"),
           col("c_custkey").as("id"))

@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.llmops.Checkpoints.Stageable
 import org.apache.spark.sql.functions._
 import graft.QuerySpec
 
@@ -215,7 +216,7 @@ object Multimodal {
       .as[RawMedia]
       .mapPartitions(phashStub)
       .toDF("doc_id", "b0", "b1", "b2", "b3")
-      .localCheckpoint() // consumed by 4 band projections + 2 verify joins
+      .staged // consumed by 4 band projections + 2 verify joins
     val keyed = (0 until 4).map { b =>
       sig.select(concat_ws(":", lit(b.toString), col(s"b$b").cast("string")).as("bkey"),
         col("doc_id").as("id"))

@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.llmops.Checkpoints.Stageable
 import graft.QuerySpec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -85,7 +86,7 @@ object Retrieval {
     val tf = sp.table("documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds the df aggregate AND the scoring join
+      .staged // feeds the df aggregate AND the scoring join
     val dfRel = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = sp.table("documents").agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(dfRel), "word")
@@ -133,7 +134,7 @@ object Retrieval {
         explode(split(col("text"), " ")).as("word"))
       .filter(col("word").isin("dup", "spark", "hash"))
       .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds the df aggregate AND the scoring join
+      .staged // feeds the df aggregate AND the scoring join
     val dfRel = t.groupBy("word").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"),
       avg(size(split(col("text"), " "))).as("avgdl"))
@@ -215,13 +216,13 @@ object Retrieval {
     // docs feeds the tf relation AND the (n, avgdl) stats: stage it once
     val docs = sp.table("documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .localCheckpoint()
+      .staged
     val t = docs
       .select(col("doc_id"), size(col("ws")).as("dl"),
         explode(col("ws")).as("word"))
       .filter(col("word").isin("dup", "spark", "hash"))
       .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds the df aggregate AND the scoring join
+      .staged // feeds the df aggregate AND the scoring join
     val dfRel = t.groupBy("word").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"),
       avg(size(col("ws"))).as("avgdl"))
@@ -236,7 +237,7 @@ object Retrieval {
       .select(col("doc_id"), col("lr"))
     val e = sp.table("embeddings")
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-      .localCheckpoint() // query vector + corpus side
+      .staged // query vector + corpus side
     val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val dense = e.crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"), expr("vec_cosine(v, qv)").as("cs"))
@@ -318,11 +319,11 @@ object Retrieval {
       val w = org.apache.spark.sql.expressions.Window
       val e = sp.table("embeddings")
         .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-        .localCheckpoint() // query set + corpus side
+        .staged // query set + corpus side
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val d = sp.table("documents").select(col("doc_id"), col("source"))
-        .localCheckpoint() // query sources + relevance set
+        .staged // query sources + relevance set
       val qs = q.select(col("qid"))
         .join(d, col("qid") === col("doc_id"))
         .select(col("qid"), col("source").as("qsrc"))
@@ -337,7 +338,7 @@ object Retrieval {
           col("source") === col("qsrc") && col("doc_id") =!= col("qid"))
         .select(col("qid"), col("doc_id").as("did"))
       val relc = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
-        .localCheckpoint() // hit join + ideal-DCG fanout + final spine
+        .staged // hit join + ideal-DCG fanout + final spine
       val hits = top.join(rel, Seq("qid", "did"))
       val hagg = hits.groupBy(col("qid")).agg(
         count(lit(1)).as("hits"),

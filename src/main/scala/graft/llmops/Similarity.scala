@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.llmops.Checkpoints.Stageable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.QuerySpec
@@ -282,7 +283,7 @@ object Similarity {
                   zip_with(slice(v, m*8 + 1, 8), slice(cv, m*8 + 1, 8),
                            (x, y) -> (x - y) * (x - y)),
                   0D, (acc, p) -> acc + p)""").as("d2"))
-      .localCheckpoint()
+      .staged
     val codes = enc
       .withColumn("r", row_number().over(
         w.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cent_id"))))
@@ -391,7 +392,7 @@ object Similarity {
                        THEN CAST(LEAST(255, GREATEST(0, FLOOR(
                               255 * (v[d] - mns[d]) / (mxs[d] - mns[d])))) AS BIGINT)
                        ELSE CAST(0 AS BIGINT) END)""").as("c"))
-      .localCheckpoint()
+      .staged
     val dq = codes.select(col("vec_id"),
       expr("""transform(sequence(0, 63), d ->
                 mns[d] + c[d] * (mxs[d] - mns[d]) / 255.0)""").as("r"))
@@ -602,7 +603,7 @@ object Similarity {
       .select(col("anchor_id"), col("vec_id").as("cand_id"),
         (col("qlabel") === col("label")).as("same"),
         expr(cosSql("qv", "v")).as("cos"))
-      .localCheckpoint() // feeds both role branches; one corpus scan
+      .staged // feeds both role branches; one corpus scan
     val pos = scored.filter(col("same"))
       .withColumn("role", lit("pos"))
       .withColumn("rank", row_number().over(

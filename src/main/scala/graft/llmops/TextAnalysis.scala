@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.llmops.Checkpoints.Stageable
 import graft.QuerySpec
 
 /** Text-analysis operators for training-data curation — language ID,
@@ -729,7 +730,7 @@ object TextAnalysis {
         """SELECT word, COUNT(*) AS n
           |FROM (SELECT explode(split(text, ' ')) AS word FROM documents) x
           |GROUP BY word""".stripMargin)
-        .localCheckpoint()
+        .staged
         .createOrReplaceTempView("g_bpe_vocab")
       sp.sql(text(spark = true))
     }
@@ -821,7 +822,7 @@ object TextAnalysis {
     var state = vocab
       .selectExpr("word", "n",
         "concat(' ', concat_ws('  ', regexp_extract_all(word, '.', 0)), ' ') AS seq")
-      .localCheckpoint()
+      .staged
     for (_ <- 1 to BpeRounds) {
       // per word: the lowest-rank merge-table pair present in its
       // current symbol sequence (broadcast join, vocab-sized)
@@ -845,7 +846,7 @@ object TextAnalysis {
             """replace(seq, concat(' ', replace(pair, ' ', '  '), ' '),
               |             concat(' ', replace(pair, ' ', ''), ' '))""".stripMargin)))
         .select("word", "n", "seq")
-        .localCheckpoint()
+        .staged
       Checkpoints.unpersist(state)
       state = next
     }
@@ -919,7 +920,7 @@ object TextAnalysis {
         """SELECT word, lang, COUNT(*) AS n
           |FROM (SELECT lang, explode(split(text, ' ')) AS word FROM documents) x
           |WHERE word != '' GROUP BY word, lang""".stripMargin)
-        .localCheckpoint()
+        .staged
       val vocab = wl.groupBy("word").agg(sum("n").as("n"))
       val tk = bpeEncodeState(sp, vocab)
         .selectExpr("word", "size(split(trim(seq), '  ')) AS n_tokens",

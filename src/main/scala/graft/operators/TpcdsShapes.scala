@@ -376,11 +376,127 @@ object TpcdsShapes {
        |ORDER BY growth_e6 DESC, c_custkey
        |LIMIT 100""".stripMargin)
 
+  /** TPC-DS Q51 shape: per-channel cumulative monthly sales, FULL OUTER
+    * joined on (brand, month), kept where one channel's running total
+    * overtakes the other — windows over two channel CTEs feeding a
+    * full join. */
+  val q269CumulativeCross: QuerySpec = QuerySpec.sql(
+    "q269_dss_cumulative_cross",
+    s"""WITH a AS (
+       |  SELECT p_brand, MONTH(l_shipdate) AS m, SUM($Vol) AS s
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'A' AND YEAR(l_shipdate) = 1996
+       |  GROUP BY p_brand, MONTH(l_shipdate)),
+       |b AS (
+       |  SELECT p_brand, MONTH(l_shipdate) AS m, SUM($Vol) AS s
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'N' AND YEAR(l_shipdate) = 1996
+       |  GROUP BY p_brand, MONTH(l_shipdate)),
+       |ca AS (SELECT p_brand, m,
+       |         CAST(SUM(s) OVER (PARTITION BY p_brand ORDER BY m) AS DOUBLE) AS cum_a
+       |       FROM a),
+       |cb AS (SELECT p_brand, m,
+       |         CAST(SUM(s) OVER (PARTITION BY p_brand ORDER BY m) AS DOUBLE) AS cum_b
+       |       FROM b)
+       |SELECT COALESCE(ca.p_brand, cb.p_brand) AS brand,
+       |  COALESCE(ca.m, cb.m) AS m,
+       |  CAST(ROUND(COALESCE(ca.cum_a, 0) * 100) AS BIGINT) AS cum_a_c,
+       |  CAST(ROUND(COALESCE(cb.cum_b, 0) * 100) AS BIGINT) AS cum_b_c
+       |FROM ca FULL JOIN cb ON ca.p_brand = cb.p_brand AND ca.m = cb.m
+       |WHERE COALESCE(ca.cum_a, 0) > COALESCE(cb.cum_b, 0)
+       |ORDER BY brand, m""".stripMargin)
+
+  /** TPC-DS Q17 shape: per-item quantity statistics (count, mean,
+    * stdev, coefficient of variation) in each of two channels joined on
+    * the item — the cross-channel demand-stability screen. Moments
+    * accumulate as exact decimals; each statistic is one fixed DOUBLE
+    * tree. */
+  val q270ItemStatsChannels: QuerySpec = QuerySpec.sql(
+    "q270_dss_item_stats_channels",
+    s"""WITH sa AS (
+       |  SELECT l_partkey AS item, COUNT(*) AS n,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sq,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
+       |             * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sqq
+       |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey),
+       |sb AS (
+       |  SELECT l_partkey AS item, COUNT(*) AS n,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sq,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
+       |             * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sqq
+       |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey)
+       |SELECT sa.item AS item, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(ROUND(sa.sq / sa.n * 1e6) AS BIGINT) AS mean_a_e6,
+       |  CAST(ROUND(SQRT((sa.sqq - sa.sq * sa.sq / sa.n) / (sa.n - 1))
+       |    / (sa.sq / sa.n) * 1e6) AS BIGINT) AS cov_a_e6,
+       |  CAST(ROUND(sb.sq / sb.n * 1e6) AS BIGINT) AS mean_b_e6,
+       |  CAST(ROUND(SQRT((sb.sqq - sb.sq * sb.sq / sb.n) / (sb.n - 1))
+       |    / (sb.sq / sb.n) * 1e6) AS BIGINT) AS cov_b_e6
+       |FROM sa JOIN sb ON sa.item = sb.item
+       |WHERE sa.n >= 3 AND sb.n >= 3
+       |ORDER BY item
+       |LIMIT 100""".stripMargin)
+
+  /** TPC-DS Q65 shape: below-average performers — the per-brand revenue
+    * aggregate compared against the scalar all-brand average via a
+    * broadcast single-row cross join. */
+  val q271BelowAvgBrands: QuerySpec = QuerySpec.sql(
+    "q271_dss_below_avg_brands",
+    s"""WITH sb AS (
+       |  SELECT p_brand, SUM($Vol) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand),
+       |av AS (SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS a FROM sb)
+       |SELECT p_brand, CAST(ROUND(CAST(rev AS DOUBLE) * 100) AS BIGINT) AS rev_c
+       |FROM sb, av
+       |WHERE CAST(rev AS DOUBLE) <= av.a
+       |ORDER BY p_brand""".stripMargin)
+
+  /** TPC-DS Q62/Q99 shape: shipping-delay bucket matrix per supplier
+    * nation (30/60/90/120+ day bands between order and ship dates) —
+    * the CASE-bucketed count pivot every fulfillment report runs. */
+  val q272ShipDelayBuckets: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val dd =
+        if (spark) "datediff(l_shipdate, o_orderdate)"
+        else "datediff('day', o_orderdate, l_shipdate)"
+      s"""SELECT n_name,
+         |  CAST(SUM(CASE WHEN $dd <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+         |  CAST(SUM(CASE WHEN $dd > 30 AND $dd <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+         |  CAST(SUM(CASE WHEN $dd > 60 AND $dd <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+         |  CAST(SUM(CASE WHEN $dd > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin
+    }
+    QuerySpec.sql2("q272_dss_ship_delay_buckets", text(spark = true), text(spark = false))
+  }
+
+  /** TPC-DS Q61 shape: promotional revenue share — two scalar channel
+    * aggregates cross-joined into one ratio row (each side a broadcast
+    * of exactly one row). */
+  val q273PromoShare: QuerySpec = QuerySpec.sql(
+    "q273_dss_promo_share",
+    s"""SELECT
+       |  CAST(ROUND(promo * 1e6 / total) AS BIGINT) AS promo_share_e6,
+       |  CAST(ROUND(promo * 100) AS BIGINT) AS promo_c,
+       |  CAST(ROUND(total * 100) AS BIGINT) AS total_c
+       |FROM (SELECT CAST(SUM($Vol) AS DOUBLE) AS promo
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey
+       |      WHERE p_type LIKE 'PROMO%') p,
+       |     (SELECT CAST(SUM($Vol) AS DOUBLE) AS total
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey) t""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q254StarDateBrand, q255ChannelRollup, q256ReturnsAboveAvg,
     q257MultiSupplierOrders, q258RollupRank, q259OrderSizeBuckets,
     q260CrossChannelItems, q261HourBands, q262ChannelCompare,
     q263FrequentBestCustomers, q264MarginRollupGrouping,
     q265MonthlyVsAvg, q266SalesAfterReturns, q267UnionChannelItems,
-    q268YearOverYear)
+    q268YearOverYear, q269CumulativeCross, q270ItemStatsChannels,
+    q271BelowAvgBrands, q272ShipDelayBuckets, q273PromoShare)
 }

@@ -95,6 +95,23 @@ class LlmOpsSpec extends EngineSuite {
     } finally QuerySpec.prepared(spark, sfDir) // restore fixture views
   }
 
+  test("reliable staging switch: same results, checkpoints actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val baseline = llmops.Dedup.q81MinHashLsh.run(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(llmops.Checkpoints.ReliableKey, "true")
+    try {
+      val reliable = llmops.Dedup.q81MinHashLsh.run(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(reliable == baseline, "reliable staging changed the result")
+      def files(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(files).sum else 1
+      assert(files(new java.io.File(dir)) > 0,
+        "reliable mode wrote no checkpoint data — the switch never engaged")
+    } finally spark.conf.unset(llmops.Checkpoints.ReliableKey)
+  }
+
   test("triangle wedge build is degree-ordered: hubs produce no wedges") {
     val sess = spark
     import sess.implicits._
