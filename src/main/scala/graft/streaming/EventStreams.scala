@@ -242,6 +242,58 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class HeavyHitter(
+      event_type: String, gen: Long, rank: Int, item: Long, cnt: Long)
+
+  // public: the state encoder's generated code must reach the constructor
+  final case class MgState(gen: Long, items: Seq[Long], counts: Seq[Long])
+
+  /** Streaming heavy hitters — the stateful twin of q216's `mg_top_k`
+    * aggregate: per event_type, a Misra-Gries summary of the user_id
+    * stream held in GroupState. State is AT MOST `capacity` counters per
+    * key — bounded for stream lifetime regardless of how many distinct
+    * users flow through (the unbounded-state trap of a naive
+    * count-everything top-k), with the classic deterministic guarantee:
+    * any item with frequency > N/capacity is guaranteed present, and
+    * every kept count understates the true count by at most N/capacity.
+    * When distinct items ≤ capacity the counts are EXACT — the same
+    * property the batch aggregate's spec pins. Events step in the
+    * ((ts, event_id)) order within each batch (the sessionCep
+    * contract); each batch emits the current top-k stamped with a
+    * monotone `gen` so consumers (and the parity spec) read the latest
+    * generation per key. */
+  def heavyHitters(events: Dataset[Event], k: Int = 5, capacity: Int = 64)
+      : Dataset[HeavyHitter] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(k <= capacity, "top-k cannot exceed the counter capacity")
+
+    def update(tpe: String, it: Iterator[Event],
+        state: GroupState[MgState]): Iterator[HeavyHitter] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val st = state.getOption.getOrElse(MgState(0L, Vector.empty, Vector.empty))
+      val m = scala.collection.mutable.LinkedHashMap.from(st.items.zip(st.counts))
+      sorted.foreach { e =>
+        val x = e.user_id
+        if (m.contains(x)) m(x) += 1
+        else if (m.size < capacity) m(x) = 1L
+        else {
+          // Misra-Gries decrement step: every counter pays one
+          m.mapValuesInPlace((_, c) => c - 1)
+          m.filterInPlace((_, c) => c > 0)
+        }
+      }
+      val gen = st.gen + 1
+      state.update(MgState(gen, m.keys.toVector, m.values.toVector))
+      m.toSeq.sortBy { case (item, c) => (-c, item) }.take(k).zipWithIndex.map {
+        case ((item, c), i) => HeavyHitter(tpe, gen, i + 1, item, c)
+      }.iterator
+    }
+
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming ingest dedup — the streaming twin of exact dedup (q80):
     * drop re-deliveries of the same event_id, keeping state only for the
     * watermark horizon. dropDuplicatesWithinWatermark is the Spark-native

@@ -470,6 +470,63 @@ class StreamingSpec extends EngineSuite {
     assert(afterRestart == fin + (7L -> 70L), afterRestart.toString)
   }
 
+  test("heavyHitters: bounded MG state matches exact counts on a small alphabet") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.heavyHitters(mem.toDS(), k = 3, capacity = 16)
+      .writeStream.format("memory").queryName("hh_exact").outputMode("update").start()
+    try {
+      // batch 1: clicks from users 1(×2), 2(×1); views from 7(×1)
+      mem.addData(
+        Event(1, 1, ts(1), "click", 0), Event(1, 2, ts(2), "click", 0),
+        Event(2, 3, ts(3), "click", 0), Event(7, 4, ts(4), "view", 0))
+      q.processAllAvailable()
+      // batch 2: user 2 overtakes user 1 on clicks; user 8 joins views
+      mem.addData(
+        Event(2, 5, ts(5), "click", 0), Event(2, 6, ts(6), "click", 0),
+        Event(8, 7, ts(7), "view", 0), Event(8, 8, ts(8), "view", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("hh_exact").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("gen"),
+        r.getAs[Int]("rank"), r.getAs[Long]("item"), r.getAs[Long]("cnt")))
+    // distinct users per type ≤ capacity → MG counts are EXACT; read the
+    // latest generation per type (update-mode emission history persists)
+    def latest(tpe: String): Seq[(Int, Long, Long)] = {
+      val g = rows.filter(_._1 == tpe).map(_._2).max
+      rows.filter(r => r._1 == tpe && r._2 == g).map(r => (r._3, r._4, r._5)).sorted.toSeq
+    }
+    assert(latest("click") == Seq((1, 2L, 3L), (2, 1L, 2L)), latest("click").toString)
+    assert(latest("view") == Seq((1, 8L, 2L), (2, 7L, 1L)), latest("view").toString)
+  }
+
+  test("heavyHitters: a planted heavy user survives > capacity distinct users") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.heavyHitters(mem.toDS(), k = 3, capacity = 16)
+      .writeStream.format("memory").queryName("hh_skew").outputMode("update").start()
+    try {
+      // 100 distinct one-shot users + user 4242 twenty times = N 120;
+      // freq 20 > N/capacity = 7.5 → MG guarantees presence, with count
+      // understated by at most N/capacity
+      val noise = (1 to 100).map(i => Event(i, i, ts(i), "click", 0))
+      val heavy = (1 to 20).map(i => Event(4242, 1000 + i, ts(200 + i), "click", 0))
+      mem.addData(new scala.util.Random(42).shuffle(noise ++ heavy): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("hh_skew").collect()
+      .map(r => (r.getAs[Long]("gen"), r.getAs[Int]("rank"),
+        r.getAs[Long]("item"), r.getAs[Long]("cnt")))
+    val g = rows.map(_._1).max
+    val top = rows.filter(_._1 == g).minBy(_._2)
+    assert(top._3 == 4242L, s"planted heavy hitter missing: $top")
+    assert(top._4 >= 20L - 120L / 16L, s"count under the MG error bound: $top")
+  }
+
   test("upsertLatest: torn commits on either side of the commit point replay to exactly-once") {
     val s = spark
     import s.implicits._
