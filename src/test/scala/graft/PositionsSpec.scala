@@ -110,4 +110,77 @@ class PositionsSpec extends EngineSuite {
     assert(i.startLine.contains(1), i)
     assert(i.message.toLowerCase.contains("syntax"), i)
   }
+
+  // ---- column-level lineage: which base table.columns feed each
+  // output column (the library-embedding use case the fork exists for)
+
+  private def lin(sql: String): Map[String, Set[String]] = {
+    QuerySpec.prepared(spark, sfDir)
+    graft.positions.SqlLineage.lineage(spark, sql)
+  }
+
+  test("lineage: projection and expression columns ground in their base columns") {
+    val m = lin(
+      """SELECT o_orderkey, o_totalprice * 2 AS doubled,
+        |       CONCAT(o_orderstatus, o_orderpriority) AS tag
+        |FROM orders""".stripMargin)
+    assert(m("o_orderkey") == Set("orders.o_orderkey"), m.toString)
+    assert(m("doubled") == Set("orders.o_totalprice"), m.toString)
+    assert(m("tag") == Set("orders.o_orderstatus", "orders.o_orderpriority"), m.toString)
+  }
+
+  test("lineage: joins and aggregates merge lineage across tables") {
+    val m = lin(
+      """SELECT c_mktsegment, SUM(o_totalprice) AS revenue,
+        |       COUNT(o_orderkey + c_custkey) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
+    assert(m("c_mktsegment") == Set("customer.c_mktsegment"), m.toString)
+    assert(m("revenue") == Set("orders.o_totalprice"), m.toString)
+    assert(m("n") == Set("orders.o_orderkey", "customer.c_custkey"), m.toString)
+  }
+
+  test("lineage: flows through CTEs, unions, windows, and subqueries") {
+    val m = lin(
+      """WITH x AS (SELECT o_custkey AS k, o_totalprice AS v FROM orders),
+        |y AS (SELECT c_custkey AS k, c_acctbal AS v FROM customer)
+        |SELECT k, SUM(v) AS total,
+        |  RANK() OVER (ORDER BY SUM(v) DESC) AS rk,
+        |  (SELECT MAX(n_nationkey) FROM nation) AS cap
+        |FROM (SELECT * FROM x UNION ALL SELECT * FROM y) u
+        |GROUP BY k""".stripMargin)
+    assert(m("k") == Set("orders.o_custkey", "customer.c_custkey"), m.toString)
+    assert(m("total") == Set("orders.o_totalprice", "customer.c_acctbal"), m.toString)
+    assert(m("rk") == Set("orders.o_totalprice", "customer.c_acctbal"), m.toString)
+    assert(m("cap") == Set("nation.n_nationkey"), m.toString)
+  }
+
+  test("lineage: lateral view output grounds in the exploded expression") {
+    val m = lin(
+      """SELECT word FROM documents
+        |LATERAL VIEW explode(split(text, ' ')) t AS word""".stripMargin)
+    assert(m("word") == Set("documents.text"), m.toString)
+  }
+
+  test("lineage: corpus sweep — every SQL spec resolves, derived columns ground in base tables") {
+    QuerySpec.prepared(spark, sfDir)
+    val tables = sources.TestTables.names.toSet
+    var grounded = 0
+    for (s <- SparkEntry.specs; text <- s.sparkSql) {
+      val m = graft.positions.SqlLineage.lineage(spark, text) // must not throw
+      val cols = m.values.flatten.toSet
+      // an inline VALUES table is a legitimate base relation under its
+      // own alias; everything else must ground in a registered table
+      val hasInline = "(?i)VALUES\\s*\\(".r.findFirstIn(text).isDefined
+      cols.foreach { c =>
+        assert(hasInline || tables.contains(c.split('.').head),
+          s"${s.name}: lineage escaped the base tables: $c")
+      }
+      if (cols.nonEmpty) grounded += 1
+    }
+    // only pure-literal (VALUES) and pure-COUNT(*) queries — no column
+    // VALUES flow into their outputs — may come back ungrounded
+    assert(grounded >= SparkEntry.specs.count(_.sparkSql.isDefined) - 8,
+      s"only $grounded queries produced grounded lineage")
+  }
 }
