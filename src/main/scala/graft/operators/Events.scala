@@ -906,7 +906,58 @@ object Events {
       |    AS salt_factor
       |FROM s""".stripMargin)
 
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence — the behavioral-flow model behind every "what do users
+    * do next" sankey: per (prev, next) pair, the transition count and
+    * probability. One LAG window pass keyed on user (partition size =
+    * one user's history, never the corpus), then a pair-keyed rollup of
+    * the ≤|types|² relation; probabilities are exact-integer ratios
+    * divided once (cross-engine stable), denominators window the tiny
+    * pair relation. */
+  val q274EventTransitions: QuerySpec = QuerySpec.sql(
+    "q274_event_transitions",
+    """WITH s AS (
+      |  SELECT event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT prev, event_type AS next, COUNT(*) AS c
+      |      FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type)
+      |SELECT prev, next, CAST(c AS BIGINT) AS n,
+      |  CAST(ROUND(c * 1e6 / CAST(SUM(c) OVER (PARTITION BY prev) AS DOUBLE))
+      |    AS BIGINT) AS p_e6
+      |FROM c
+      |ORDER BY prev, next""".stripMargin)
+
+  /** CUSUM changepoint detection on the daily event series — the
+    * classic "when did the level shift" estimator (argmax |cumulative
+    * deviation from the global mean|), the monitoring twin of the q233
+    * trend test. The corpus collapses to the day-keyed relation in one
+    * rollup; CUSUM is a running-sum window over that tiny series with
+    * the mean joined as a broadcast scalar; the argmax is a total-order
+    * ROW_NUMBER. Deviations stay exact (integer counts, one double
+    * division at the end). */
+  val q275CusumChangepoint: QuerySpec = QuerySpec.sql(
+    "q275_cusum_changepoint",
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY CAST(ts AS DATE)),
+      |m AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu FROM d),
+      |cs AS (
+      |  SELECT day, c,
+      |    CAST(SUM(c) OVER (ORDER BY day) AS DOUBLE)
+      |      - ROW_NUMBER() OVER (ORDER BY day) * m.mu AS cusum
+      |  FROM d, m),
+      |r AS (SELECT day, cusum,
+      |        ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, day) AS rn
+      |      FROM cs)
+      |SELECT day AS change_day,
+      |  CAST(ROUND(cusum * 100) AS BIGINT) AS cusum_c,
+      |  CAST(ROUND(ABS(cusum) * 100) AS BIGINT) AS magnitude_c
+      |FROM r WHERE rn = 1""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
+    q274EventTransitions, q275CusumChangepoint,
     q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution, q240ConversionLatency, q246Seasonality, q249JsonExtract, q252AbLiftCi,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,
