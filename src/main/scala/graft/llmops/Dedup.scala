@@ -225,6 +225,70 @@ object Dedup {
       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |        / len(list_distinct(a.sh || b.sh)) >= 0.8)""".stripMargin
 
+  /** Asymmetric shingle CONTAINMENT ≥ 0.9 — quote/subset detection, the
+    * dedup axis Jaccard cannot see: a paragraph quoted inside a long
+    * document has tiny Jaccard but containment ≈ 1, and training-data
+    * curation wants exactly those pairs (boilerplate inclusion, quoted
+    * reposts, doc-in-doc concatenations). MinHash bands estimate
+    * JACCARD, so the q81 candidates would miss small-in-large pairs;
+    * candidates here come from the standard containment machinery
+    * instead — a DF-PRUNED shingle inverted index (shingles with
+    * document frequency > maxDf are stop-shingles: they cost df² pair
+    * work and carry no identifying signal; the prune is part of the
+    * operator's declared semantics, applied identically by the oracle,
+    * so recall parity is exact by construction). Block expansion runs
+    * through [[boundedPairs]] (skew armor), the exact verify touches
+    * candidates only, and the ≥ threshold compares exact INTEGERS
+    * (inter·10 ≥ n·9) — no double boundary. Both directions emit:
+    * (doc_small contained-in doc_big). */
+  val q276Containment: QuerySpec = QuerySpec(
+    "q276_dedup_containment",
+    s"""WITH $nearDupOracleCtes,
+       |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+       |df AS (SELECT s, COUNT(*) AS df FROM e GROUP BY s),
+       |keep AS (SELECT e.doc_id, e.s FROM e JOIN df ON e.s = df.s WHERE df.df <= 50),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |         FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |v AS (SELECT ida, idb,
+       |        len(list_intersect(ga.sh, gb.sh)) AS inter,
+       |        len(ga.sh) AS na, len(gb.sh) AS nb
+       |      FROM cand
+       |      JOIN g ga ON ga.doc_id = ida
+       |      JOIN g gb ON gb.doc_id = idb),
+       |out AS (
+       |  SELECT ida AS doc_small, idb AS doc_big,
+       |    CAST(ROUND(inter * 1e6 / na) AS BIGINT) AS containment_e6
+       |  FROM v WHERE na >= 5 AND inter * 10 >= na * 9
+       |  UNION ALL
+       |  SELECT idb, ida, CAST(ROUND(inter * 1e6 / nb) AS BIGINT)
+       |  FROM v WHERE nb >= 5 AND inter * 10 >= nb * 9)
+       |SELECT doc_small, doc_big, containment_e6 FROM out
+       |ORDER BY doc_small, doc_big""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val g = sp.table("documents")
+      .select(col("doc_id"), expr(shingleSql).as("sh"))
+      .staged // inverted index + both verify sides
+    val e = g.select(col("doc_id"), explode(col("sh")).as("s"))
+    val keep = e.join(
+      e.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50), "s")
+    val pairs = boundedPairs(
+      keep.select(col("s").as("bkey"), col("doc_id").as("id")), cap = 256)
+    val v = pairs
+      .join(g.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .staged // both direction filters below
+    val fwd = v.filter(col("na") >= 5 && col("inter") * 10 >= col("na") * 9)
+      .select(col("id_a").as("doc_small"), col("id_b").as("doc_big"),
+        round(col("inter") * lit(1e6) / col("na")).cast("bigint").as("containment_e6"))
+    val rev = v.filter(col("nb") >= 5 && col("inter") * 10 >= col("nb") * 9)
+      .select(col("id_b").as("doc_small"), col("id_a").as("doc_big"),
+        round(col("inter") * lit(1e6) / col("nb")).cast("bigint").as("containment_e6"))
+    fwd.unionByName(rev).orderBy(col("doc_small"), col("doc_big"))
+  }
+
   /** MinHash + LSH near-duplicate pairs at Jaccard ≥ 0.8.
     *
     * Pipeline: shingle (word 3-grams, hashed) → 64-hash MinHash signature
@@ -1532,7 +1596,7 @@ object Dedup {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep,
+    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep, q276Containment,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q186CanonicalPick,

@@ -1416,7 +1416,40 @@ object TextAnalysis {
     QuerySpec.sql2("q214_context_fit", text(spark = true), text(spark = false))
   }
 
+  /** Flesch-style readability score — the classic prose-difficulty
+    * quality signal (alongside q89's surface ratios): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    * approximated as maximal vowel-group runs (the standard cheap
+    * heuristic) and sentences as terminal-punctuation runs, floored at
+    * one. Pure map work — three regexp_extract_all counts per document,
+    * zero shuffle at any corpus size; the score is one fixed DOUBLE
+    * tree over exact integers, surfaced in centi-points. */
+  val q277Readability: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      val syll =
+        if (spark) "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+        else "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+      val sent =
+        if (spark) "size(regexp_extract_all(text, '[.!?]+', 0))"
+        else "len(regexp_extract_all(text, '[.!?]+'))"
+      s"""WITH c AS (
+         |  SELECT doc_id, $words AS w, $syll AS sy,
+         |         GREATEST($sent, 1) AS se
+         |  FROM documents
+         |  WHERE $words >= 1)
+         |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+         |  CAST(sy AS BIGINT) AS n_syllables, CAST(se AS BIGINT) AS n_sentences,
+         |  CAST(ROUND((206.835
+         |    - 1.015 * (CAST(w AS DOUBLE) / se)
+         |    - 84.6 * (CAST(sy AS DOUBLE) / w)) * 100) AS BIGINT) AS flesch_c
+         |FROM c ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q277_text_readability", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q277Readability,
     q213FeatureHashing, q214ContextFit,
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q191QualityPruneThreshold, q95StratifiedSample,
