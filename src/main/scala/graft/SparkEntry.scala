@@ -28,7 +28,8 @@ object SparkEntry {
       llmops.Multimodal.all ++
       llmops.Clustering.all ++
       llmops.Retrieval.all ++
-      llmops.CorpusStats.all
+      llmops.CorpusStats.all ++
+      llmops.QualityEval.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

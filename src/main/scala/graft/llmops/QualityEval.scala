@@ -1,0 +1,199 @@
+package graft.llmops
+
+import graft.QuerySpec
+
+/** Classifier- and corpus-evaluation statistics — the measurement layer a
+  * curation pipeline needs the moment it starts TRUSTING heuristic
+  * signals: how discriminative is a quality score (ROC AUC), how much do
+  * two cheap labelers agree beyond chance (Cohen's kappa), how
+  * concentrated is the token distribution (Gini/Lorenz), is the
+  * score↔signal relation monotone (Spearman), and which tokens actually
+  * distinguish two sources (Monroe-style weighted log-odds). §8.4
+  * build-brief extensions; no reference analogue.
+  *
+  * Scale design: every operator collapses the corpus to a bounded
+  * relation FIRST — the score-cardinality relation for AUC (|scores|
+  * rows), the 2×2 table for kappa, the vocab relation for Gini and
+  * log-odds — and all heavy sums are partial-aggregable exact-integer
+  * rollups. Nothing here windows over the raw corpus.
+  *
+  * Determinism (house rules): ratios of exact integers divided once;
+  * double trees are fixed-shape; micro-unit (…_e6) BIGINT outputs; any
+  * sum OF doubles accumulates via DECIMAL(27,18) casts (q184 rule);
+  * every rank/top-k carries a total tie order on already-rounded keys. */
+object QualityEval {
+
+  /** ROC AUC of a quality score (n_chars) against a weak binary label
+    * (lang = 'en') — the one-number answer to "does this cheap score
+    * actually separate the class I care about?". Computed RANK-FREE on
+    * the collapsed score-cardinality relation: for score s with n1(s)
+    * positives and n0(s) negatives, the Mann-Whitney pair count is
+    * Σ n1(s)·(2·#neg_below(s) + n0(s)) / 2 — ties contribute the
+    * half-credit term exactly, and the whole statistic is exact INTEGER
+    * arithmetic until the single final division. The running negative
+    * count is a window over the |scores|-sized relation, never the
+    * corpus. Gini index = 2·AUC − 1 reported alongside. */
+  val q278QualityRocAuc: QuerySpec = QuerySpec.sql(
+    "q278_quality_roc_auc",
+    """WITH d AS (SELECT n_chars AS score,
+      |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |           FROM documents),
+      |sc AS (SELECT score, SUM(y) AS n1, COUNT(*) - SUM(y) AS n0
+      |       FROM d GROUP BY score),
+      |c AS (SELECT score, n1, n0,
+      |        COALESCE(SUM(n0) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt0
+      |      FROM sc),
+      |m AS (SELECT CAST(SUM(n1) AS BIGINT) AS np, CAST(SUM(n0) AS BIGINT) AS nn,
+      |        CAST(SUM(n1 * (2 * lt0 + n0)) AS BIGINT) AS num2
+      |      FROM c)
+      |SELECT np AS n_pos, nn AS n_neg,
+      |  CAST(ROUND(num2 * 1e6 / (2.0 * np * nn)) AS BIGINT) AS auc_e6,
+      |  CAST(ROUND((num2 / (1.0 * np * nn) - 1.0) * 1e6) AS BIGINT) AS gini_e6
+      |FROM m""".stripMargin)
+
+  /** Cohen's kappa between two heuristic binary labelers (length-based
+    * and token-count-based quality flags) — the agreement-beyond-chance
+    * number that decides whether a second cheap signal adds information
+    * or just repeats the first. The corpus collapses to the 2×2
+    * contingency table in one rollup; kappa's closed form stays in
+    * exact integers scaled by n² until the final division:
+    * κ = (n·(n11+n00) − (ra·cb + (n−ra)·(n−cb))) / (n² − (…)). */
+  val q279ClassifierKappa: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      s"""WITH d AS (SELECT
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN $words >= 55 THEN 1 ELSE 0 END AS b
+         |  FROM documents),
+         |t AS (SELECT COUNT(*) AS n,
+         |        CAST(SUM(a * b) AS BIGINT) AS n11,
+         |        CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         |        CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         |        CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+         |      FROM d)
+         |SELECT n11, n10, n01, n00,
+         |  CAST(ROUND((n11 + n00) * 1e6 / n) AS BIGINT) AS agreement_e6,
+         |  CAST(ROUND(
+         |    (n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+         |    * 1e6
+         |    / (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+         |  ) AS BIGINT) AS kappa_e6
+         |FROM t""".stripMargin
+    }
+    QuerySpec.sql2("q279_classifier_kappa", text(spark = true), text(spark = false))
+  }
+
+  /** Gini coefficient of the token-frequency distribution plus the
+    * Lorenz top-1%-vocab token share — the inequality view of
+    * [[CorpusStats.q235ZipfFit]]'s scaling law (a boilerplate-heavy
+    * corpus concentrates mass in few types; Gini surfaces it without
+    * fitting anything). Both numbers are exact-integer functions of the
+    * VOCAB-sized count relation: Gini's sorted-rank identity
+    * G = 2·Σ rank·c / (V·T) − (V+1)/V is invariant to tie order among
+    * equal counts (a block of equal c contributes the same Σ rank·c
+    * under any permutation), and the total (count, word) order pins it
+    * anyway. One corpus scan, one vocab rollup, two windows over it. */
+  val q281TokenGini: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "SELECT explode(split(text, ' ')) AS word FROM documents"
+        else "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+      s"""WITH c AS (SELECT word, COUNT(*) AS c FROM ($words) w GROUP BY word),
+         |r AS (SELECT c,
+         |        ROW_NUMBER() OVER (ORDER BY c, word) AS rk,
+         |        ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rkd,
+         |        COUNT(*) OVER () AS vn
+         |      FROM c),
+         |m AS (SELECT COUNT(*) AS v, CAST(SUM(c) AS BIGINT) AS t,
+         |        CAST(SUM(rk * c) AS BIGINT) AS s,
+         |        CAST(SUM(CASE WHEN rkd <= CEIL(vn / 100.0)
+         |                      THEN c ELSE 0 END) AS BIGINT) AS top1
+         |      FROM r)
+         |SELECT CAST(v AS BIGINT) AS vocab, t AS tokens,
+         |  CAST(ROUND((2.0 * s / (1.0 * v * t) - (v + 1.0) / v) * 1e6) AS BIGINT)
+         |    AS gini_e6,
+         |  CAST(ROUND(top1 * 1e6 / (1.0 * t)) AS BIGINT) AS top1pct_share_e6
+         |FROM m""".stripMargin
+    }
+    QuerySpec.sql2("q281_token_gini", text(spark = true), text(spark = false))
+  }
+
+  /** Spearman rank correlation between document length (n_chars) and
+    * lexical diversity (distinct-token count) — the monotone-relation
+    * check Pearson (q247 family) can't give: rank first, then correlate.
+    * Average-rank tie handling is exact and window-based
+    * (min-rank + (tie-block − 1)/2, both halves integers or integer
+    * halves — exactly representable doubles); the rank products
+    * accumulate via DECIMAL(27,18) casts and ρ is one fixed DOUBLE
+    * tree. Two windows over the DOC-cardinality relation, no pair join
+    * (the rank-moment identity replaces the O(n²) concordance count). */
+  val q282SpearmanCorr: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val dw =
+        if (spark) "size(array_distinct(split(text, ' ')))"
+        else "len(list_distinct(string_split(text, ' ')))"
+      s"""WITH d AS (SELECT n_chars AS x, $dw AS y FROM documents),
+         |r AS (SELECT
+         |        RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+         |        RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+         |      FROM d),
+         |m AS (SELECT COUNT(*) AS n,
+         |        CAST(SUM(CAST(rx AS DECIMAL(27,18))) AS DOUBLE) AS sx,
+         |        CAST(SUM(CAST(ry AS DECIMAL(27,18))) AS DOUBLE) AS sy,
+         |        CAST(SUM(CAST(rx * ry AS DECIMAL(27,18))) AS DOUBLE) AS sxy,
+         |        CAST(SUM(CAST(rx * rx AS DECIMAL(27,18))) AS DOUBLE) AS sx2,
+         |        CAST(SUM(CAST(ry * ry AS DECIMAL(27,18))) AS DOUBLE) AS sy2
+         |      FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  CAST(ROUND((n * sxy - sx * sy)
+         |    / SQRT((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) * 1e6) AS BIGINT)
+         |    AS spearman_e6
+         |FROM m""".stripMargin
+    }
+    QuerySpec.sql2("q282_spearman_corr", text(spark = true), text(spark = false))
+  }
+
+  /** Monroe-style weighted log-odds (uniform +1 Dirichlet prior) of
+    * tokens between two sources — "which words make src0 sound like
+    * src0?", the principled replacement for raw frequency ratios (the
+    * variance term 1/(y1+α) + 1/(y2+α) shrinks rare-word noise). The
+    * token stream collapses to the vocab-sized (word, y1, y2) relation
+    * in one scan; δ and its z-score are fixed DOUBLE trees over exact
+    * integers; the two top-5 picks rank the ROUNDED z (total
+    * (z_e6, word) order — a float ulp can't flap the cut). */
+  val q287LogOddsTokens: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "SELECT source, explode(split(text, ' ')) AS word FROM documents WHERE source IN ('src0', 'src1')"
+        else "SELECT source, unnest(string_split(text, ' ')) AS word FROM documents WHERE source IN ('src0', 'src1')"
+      s"""WITH w AS ($words),
+         |c AS (SELECT word,
+         |        CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+         |        CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS y2
+         |      FROM w GROUP BY word),
+         |t AS (SELECT CAST(SUM(y1) AS BIGINT) AS n1, CAST(SUM(y2) AS BIGINT) AS n2,
+         |        COUNT(*) AS v
+         |      FROM c),
+         |z AS (SELECT word, y1, y2,
+         |        CAST(ROUND((LN((y1 + 1.0) / (n1 + v - y1 - 1.0))
+         |                  - LN((y2 + 1.0) / (n2 + v - y2 - 1.0)))
+         |          / SQRT(1.0 / (y1 + 1) + 1.0 / (y2 + 1)) * 1e6) AS BIGINT) AS z_e6
+         |      FROM c CROSS JOIN t),
+         |r AS (SELECT word, y1, y2, z_e6,
+         |        ROW_NUMBER() OVER (ORDER BY z_e6 DESC, word) AS r1,
+         |        ROW_NUMBER() OVER (ORDER BY z_e6, word) AS r2
+         |      FROM z)
+         |SELECT CASE WHEN r1 <= 5 THEN 'src0' ELSE 'src1' END AS side,
+         |  word, y1, y2, z_e6
+         |FROM r WHERE r1 <= 5 OR r2 <= 5
+         |ORDER BY side, z_e6 DESC, word""".stripMargin
+    }
+    QuerySpec.sql2("q287_log_odds_tokens", text(spark = true), text(spark = false))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q278QualityRocAuc, q279ClassifierKappa, q281TokenGini,
+      q282SpearmanCorr, q287LogOddsTokens)
+}

@@ -1448,8 +1448,51 @@ object TextAnalysis {
     QuerySpec.sql2("q277_text_readability", text(spark = true), text(spark = false))
   }
 
+  /** Robust-winnowing fingerprint density (Schleimer/Wilkerson/Aiken,
+    * MOSS): hash every char k-gram (k = 8), slide a w = 4 window over
+    * the hash sequence, and select each window's minimum (rightmost on
+    * ties) — the selected-position set is the document's fingerprint,
+    * guaranteed to share a hash with any copy that overlaps by
+    * k + w − 1 chars. The per-position tie-break is ENCODED into the
+    * minimized key (h·2²⁰ + (2²⁰−1−i): min h wins, max i breaks ties)
+    * so one array_min per window does argmin-with-rightmost exactly.
+    * The k-gram hash is the first 8 hex chars of md5 — the only hash
+    * both engines spell identically. Complements q91's bottom-k sketch
+    * (order-insensitive) with the POSITION-SENSITIVE fingerprint family
+    * local plagiarism/clone detection needs. Pure map work: arrays per
+    * row, zero shuffle at any corpus size; density is an exact integer
+    * ratio. */
+  val q286Winnowing: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val hs =
+        if (spark)
+          """transform(sequence(0, length(text) - 8),
+            |      i -> cast(conv(substr(md5(substr(text, i + 1, 8)), 1, 8), 16, 10) AS BIGINT)
+            |           * 1048576 + (1048575 - i))""".stripMargin
+        else
+          """list_transform(range(0, length(text) - 8 + 1),
+            |      i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 8))::BIGINT
+            |           * 1048576 + (1048575 - i))""".stripMargin
+      val fp =
+        if (spark)
+          "size(array_distinct(transform(sequence(0, size(hs) - 4), s -> array_min(slice(hs, s + 1, 4)))))"
+        else
+          "len(list_distinct(list_transform(range(0, len(hs) - 4 + 1), s -> list_aggregate(hs[s + 1:s + 4], 'min'))))"
+      val ng = if (spark) "size(hs)" else "len(hs)"
+      s"""WITH g AS (
+         |  SELECT doc_id, $hs AS hs
+         |  FROM documents WHERE length(text) >= 11),
+         |w AS (SELECT doc_id, $ng AS n_grams, $fp AS n_fingerprints FROM g)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
+         |  CAST(ROUND(n_fingerprints * 1e6 / n_grams) AS BIGINT) AS density_e6
+         |FROM w ORDER BY doc_id""".stripMargin
+    }
+    QuerySpec.sql2("q286_winnowing_fingerprint", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q277Readability,
+    q277Readability, q286Winnowing,
     q213FeatureHashing, q214ContextFit,
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q191QualityPruneThreshold, q95StratifiedSample,

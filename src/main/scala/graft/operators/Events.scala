@@ -956,8 +956,168 @@ object Events {
       |  CAST(ROUND(ABS(cusum) * 100) AS BIGINT) AS magnitude_c
       |FROM r WHERE rn = 1""".stripMargin)
 
+  /** Chi-square independence test of event_type × day-of-week — the
+    * categorical-association audit next to q248's mutual information
+    * (MI says how much the margins share; χ² says whether the deviation
+    * from independence is bigger than chance, with dof and Cramér's V
+    * to compare across table shapes). The contingency table is
+    * GRID-COMPLETED (distinct types × the 7-day grid, zero-filled by a
+    * left join) so absent cells still contribute their (0−e)²/e term —
+    * sampling the observed support would understate the statistic, the
+    * q225 lesson. Margins are windows over the ≤|types|·7 grid; each
+    * cell's term is a fixed DOUBLE tree over exact integers accumulated
+    * via DECIMAL(27,18). Day-of-week is an explicit datediff-mod-7 from
+    * a pinned epoch (engine DOW numbering conventions differ). */
+  val q280Chi2Independence: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val dow =
+        if (spark) "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7 AS INT)"
+        else "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS INT)"
+      val grid =
+        if (spark) "SELECT explode(sequence(0, 6)) AS dow"
+        else "SELECT CAST(unnest(range(0, 7)) AS INT) AS dow"
+      s"""WITH e AS (SELECT event_type, $dow AS dow FROM events),
+         |o AS (SELECT event_type, dow, COUNT(*) AS o
+         |      FROM e GROUP BY event_type, dow),
+         |ty AS (SELECT DISTINCT event_type FROM o),
+         |dd AS ($grid),
+         |grid AS (SELECT ty.event_type, dd.dow, CAST(COALESCE(o.o, 0) AS BIGINT) AS o
+         |         FROM ty CROSS JOIN dd
+         |         LEFT JOIN o ON o.event_type = ty.event_type AND o.dow = dd.dow),
+         |g2 AS (SELECT event_type, dow, o,
+         |         CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+         |         CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+         |         CAST(SUM(o) OVER () AS BIGINT) AS n
+         |       FROM grid),
+         |s AS (SELECT MAX(n) AS n,
+         |        COUNT(DISTINCT event_type) AS r, COUNT(DISTINCT dow) AS c,
+         |        CAST(SUM(CAST(
+         |          (o - 1.0 * rt * ct / n) * (o - 1.0 * rt * ct / n)
+         |            / (1.0 * rt * ct / n) AS DECIMAL(27,18))) AS DOUBLE) AS chi2
+         |      FROM g2)
+         |SELECT CAST(n AS BIGINT) AS n_events,
+         |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+         |  CAST(ROUND(chi2 * 1e6) AS BIGINT) AS chi2_e6,
+         |  CAST(ROUND(SQRT(chi2 / (n * (CASE WHEN r < c THEN r ELSE c END - 1))) * 1e6)
+         |    AS BIGINT) AS cramers_v_e6
+         |FROM s""".stripMargin
+    }
+    QuerySpec.sql2("q280_chi2_independence", text(spark = true), text(spark = false))
+  }
+
+  /** Lag-k autocorrelation (k = 1…7) of the daily event-count series —
+    * the weekly-rhythm detector behind [[q246Seasonality]]: a lag-7
+    * spike confirms the cycle, a slowly-decaying curve flags trend. The
+    * corpus collapses to the day relation in one rollup; each lag's
+    * numerator is a (day, day+k) equi-join of that ≤|days| series
+    * against itself (a 7-row lag grid fans it out), the denominator is
+    * the series' own squared deviation — all deviation products are
+    * doubles off one exact mean ratio, accumulated via DECIMAL(27,18).
+    * Days are indexed by calendar datediff, so a missing day shortens
+    * that lag's pair set rather than silently misaligning it. */
+  val q283EventsAcf: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val idx =
+        if (spark) "datediff(day, DATE '2024-01-01')"
+        else "datediff('day', DATE '2024-01-01', day)"
+      val lags =
+        if (spark) "SELECT explode(sequence(1, 7)) AS lag"
+        else "SELECT CAST(unnest(range(1, 8)) AS INT) AS lag"
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+         |           FROM events GROUP BY CAST(ts AS DATE)),
+         |x AS (SELECT $idx AS i, c FROM d),
+         |m AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu FROM x),
+         |den AS (SELECT CAST(SUM(CAST((x.c - m.mu) * (x.c - m.mu)
+         |                 AS DECIMAL(27,18))) AS DOUBLE) AS d2
+         |        FROM x CROSS JOIN m),
+         |k AS ($lags),
+         |p AS (SELECT k.lag,
+         |        CAST(SUM(CAST((a.c - m.mu) * (b.c - m.mu) AS DECIMAL(27,18)))
+         |          AS DOUBLE) AS num,
+         |        COUNT(*) AS n_pairs
+         |      FROM k CROSS JOIN x a JOIN x b ON b.i = a.i + k.lag CROSS JOIN m
+         |      GROUP BY k.lag)
+         |SELECT CAST(p.lag AS INT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(ROUND(num / den.d2 * 1e6) AS BIGINT) AS acf_e6
+         |FROM p CROSS JOIN den
+         |ORDER BY lag""".stripMargin
+    }
+    QuerySpec.sql2("q283_events_acf", text(spark = true), text(spark = false))
+  }
+
+  /** Theil–Sen robust slope of the daily event-count series — the
+    * median of all pairwise slopes, the outlier-immune twin of
+    * [[q233TrendOls]] (one corrupted ingest day drags OLS, moves
+    * Theil–Sen not at all). The all-pairs join is over the COLLAPSED
+    * day relation (≤|days|² pairs — series-sized, never events);
+    * slopes are exact integer ratios divided once, and the median uses
+    * the shared (n−1)·p interpolation (q191 rule) so the cut is
+    * bit-identical across engines. */
+  val q284TheilSenTrend: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val idx =
+        if (spark) "datediff(day, DATE '2024-01-01')"
+        else "datediff('day', DATE '2024-01-01', day)"
+      val med =
+        if (spark) "percentile(slope, 0.5D)" else "quantile_cont(slope, 0.5)"
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+         |           FROM events GROUP BY CAST(ts AS DATE)),
+         |x AS (SELECT $idx AS i, c FROM d),
+         |s AS (SELECT (b.c - a.c) / CAST(b.i - a.i AS DOUBLE) AS slope
+         |      FROM x a JOIN x b ON b.i > a.i)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(ROUND($med * 1e6) AS BIGINT) AS theilsen_slope_e6
+         |FROM s""".stripMargin
+    }
+    QuerySpec.sql2("q284_theilsen_trend", text(spark = true), text(spark = false))
+  }
+
+  /** Per-type burstiness profile — two complementary dispersion
+    * numbers: the Goh–Barabási burstiness coefficient B = (σ−μ)/(σ+μ)
+    * of inter-event gaps (−1 periodic, 0 Poisson, →1 bursty) and the
+    * Fano factor (daily-count variance/mean). Gaps come from ONE
+    * user-keyed LAG pass (partition = one user's per-type history —
+    * user-keyed like q239/q274, never a global per-type sort, which is
+    * the 100 TB difference); both σ trees are closed forms over exact
+    * integer (n, Σ, Σ²) second/count sums, so no double ever
+    * accumulates. Gap seconds are difference-of-floor epoch seconds,
+    * spelled identically on both engines. */
+  val q285EventsBurstiness: QuerySpec = {
+    def text(spark: Boolean): String = {
+      def ep(e: String) =
+        if (spark) s"unix_timestamp($e)" else s"CAST(FLOOR(epoch($e)) AS BIGINT)"
+      s"""WITH s AS (
+         |  SELECT event_type, ts,
+         |    LAG(ts) OVER (PARTITION BY user_id, event_type
+         |                  ORDER BY ts, event_id) AS pts
+         |  FROM events),
+         |gap AS (SELECT event_type, ${ep("ts")} - ${ep("pts")} AS gp
+         |        FROM s WHERE pts IS NOT NULL),
+         |a AS (SELECT event_type, COUNT(*) AS n,
+         |        CAST(SUM(gp) AS BIGINT) AS sg, CAST(SUM(gp * gp) AS BIGINT) AS sg2
+         |      FROM gap GROUP BY event_type),
+         |d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+         |      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |f AS (SELECT event_type, COUNT(*) AS nd,
+         |        CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(c * c) AS BIGINT) AS tc2
+         |      FROM d GROUP BY event_type)
+         |SELECT a.event_type, CAST(a.n AS BIGINT) AS n_gaps,
+         |  CAST(ROUND(sg * 100.0 / a.n) AS BIGINT) AS mean_gap_s_e2,
+         |  CAST(ROUND(
+         |    (SQRT((sg2 - 1.0 * sg * sg / a.n) / a.n) - 1.0 * sg / a.n)
+         |    / (SQRT((sg2 - 1.0 * sg * sg / a.n) / a.n) + 1.0 * sg / a.n) * 1e6)
+         |    AS BIGINT) AS burstiness_e6,
+         |  CAST(ROUND(((tc2 - 1.0 * tc * tc / nd) / nd) / (1.0 * tc / nd) * 1e6)
+         |    AS BIGINT) AS fano_e6
+         |FROM a JOIN f ON a.event_type = f.event_type
+         |ORDER BY a.event_type""".stripMargin
+    }
+    QuerySpec.sql2("q285_events_burstiness", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q274EventTransitions, q275CusumChangepoint,
+    q274EventTransitions, q275CusumChangepoint, q280Chi2Independence,
+    q283EventsAcf, q284TheilSenTrend, q285EventsBurstiness,
     q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution, q240ConversionLatency, q246Seasonality, q249JsonExtract, q252AbLiftCi,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,
     q69Outliers, q102HllRollup, q103Retention, q105Funnel, q121AsofJoin,

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Independent re-derivations of the evaluation-statistics family
+  * (q278–q287 batch): each test recomputes the statistic by a DIFFERENT
+  * algorithm (rank-based AUC vs the rank-free identity, collected
+  * brute force vs the distributed closed form) so an algebra slip in
+  * the SQL can't hide behind oracle agreement (both engines would run
+  * the same wrong formula). Collects here are test-side only, over
+  * collapsed tiny relations. */
+class QualityEvalSpec extends EngineSuite {
+
+  private def one(q: QuerySpec): org.apache.spark.sql.Row =
+    q.run(spark, sfDir).collect().head
+
+  test("q278 AUC matches the average-rank Mann-Whitney derivation") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = one(llmops.QualityEval.q278QualityRocAuc)
+    val np = r.getAs[Long]("n_pos"); val nn = r.getAs[Long]("n_neg")
+    val d = spark.table("documents")
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+    // average rank over ties: min-rank + (tie-block − 1)/2
+    val ranked = d.withColumn("ar",
+      rank().over(Window.orderBy("score")) +
+        (count(lit(1)).over(Window.partitionBy("score")) - 1) / 2.0)
+    val rp = ranked.filter(col("y") === 1).agg(sum("ar")).head.getDouble(0)
+    val auc = (rp - np.toDouble * (np + 1) / 2) / (np.toDouble * nn)
+    assert(math.abs(auc * 1e6 - r.getAs[Long]("auc_e6")) <= 1,
+      s"rank AUC $auc vs ${r.getAs[Long]("auc_e6")}")
+    assert(math.abs((2 * auc - 1) * 1e6 - r.getAs[Long]("gini_e6")) <= 1)
+  }
+
+  test("q279 kappa is consistent with its own emitted contingency cells") {
+    val r = one(llmops.QualityEval.q279ClassifierKappa)
+    val (n11, n10, n01, n00) = (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    val n = (n11 + n10 + n01 + n00).toDouble
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    val kappa = (po - pe) / (1 - pe)
+    assert(math.abs(kappa * 1e6 - r.getAs[Long]("kappa_e6")) <= 1)
+    assert(math.abs(po * 1e6 - r.getAs[Long]("agreement_e6")) <= 1)
+    // all four cells populated at fixture scale — thresholds actually split
+    assert(Seq(n11, n10, n01, n00).forall(_ > 0))
+  }
+
+  test("q281 Gini matches brute-force Lorenz integration") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = one(llmops.QualityEval.q281TokenGini)
+    val counts = spark.table("documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect().map(_.getLong(1)).sorted
+    val v = counts.length.toLong; val t = counts.sum
+    val s = counts.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    val gini = 2.0 * s / (v.toDouble * t) - (v + 1.0) / v
+    assert(r.getAs[Long]("vocab") == v && r.getAs[Long]("tokens") == t)
+    assert(math.abs(gini * 1e6 - r.getAs[Long]("gini_e6")) <= 1)
+    assert(r.getAs[Long]("gini_e6") >= 0 && r.getAs[Long]("gini_e6") <= 1000000)
+  }
+
+  test("q282 Spearman matches Pearson-of-ranks via stat.corr") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = one(llmops.QualityEval.q282SpearmanCorr)
+    val d = spark.table("documents").select(col("n_chars").as("x"),
+      size(array_distinct(split(col("text"), " "))).as("y"))
+    val ranked = d
+      .withColumn("rx", rank().over(Window.orderBy("x")) +
+        (count(lit(1)).over(Window.partitionBy("x")) - 1) / 2.0)
+      .withColumn("ry", rank().over(Window.orderBy("y")) +
+        (count(lit(1)).over(Window.partitionBy("y")) - 1) / 2.0)
+    val rho = ranked.stat.corr("rx", "ry")
+    assert(math.abs(rho * 1e6 - r.getAs[Long]("spearman_e6")) <= 2,
+      s"stat.corr $rho vs ${r.getAs[Long]("spearman_e6")}")
+  }
+
+  test("q283 ACF: 7 lags, bounded, and lag-1 matches brute force") {
+    QuerySpec.prepared(spark, sfDir)
+    val rows = operators.Events.q283EventsAcf.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("lag")).toSeq == (1 to 7))
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("acf_e6")) <= 1000001))
+    val days = spark.table("events")
+      .groupBy(col("ts").cast("date").as("day")).count()
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val mu = days.sum / days.length
+    val den = days.map(c => (c - mu) * (c - mu)).sum
+    val num1 = days.dropRight(1).zip(days.drop(1))
+      .map { case (a, b) => (a - mu) * (b - mu) }.sum
+    val acf1 = rows.find(_.getAs[Int]("lag") == 1).get.getAs[Long]("acf_e6")
+    assert(math.abs(num1 / den * 1e6 - acf1) <= 1)
+  }
+
+  test("q284 Theil-Sen matches brute-force median of pairwise slopes") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = one(operators.Events.q284TheilSenTrend)
+    val days = spark.table("events")
+      .groupBy(col("ts").cast("date").as("day")).count()
+      .orderBy("day").collect()
+      .map(x => (x.getDate(0).toLocalDate.toEpochDay, x.getLong(1).toDouble))
+    val slopes = (for {
+      i <- days.indices; j <- days.indices if j > i
+    } yield (days(j)._2 - days(i)._2) / (days(j)._1 - days(i)._1)).sorted
+    assert(r.getAs[Long]("n_pairs") == slopes.length)
+    // (n−1)·p interpolated median, the engines' shared definition
+    val p = (slopes.length - 1) * 0.5
+    val lo = slopes(p.toInt); val hi = slopes(math.ceil(p).toInt)
+    val med = lo + (hi - lo) * (p - p.toInt)
+    assert(math.abs(med * 1e6 - r.getAs[Long]("theilsen_slope_e6")) <= 1)
+  }
+
+  test("q285 burstiness: one type matches collected brute force; B bounded") {
+    QuerySpec.prepared(spark, sfDir)
+    val rows = operators.Events.q285EventsBurstiness.run(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("burstiness_e6")) <= 1000000)
+      assert(r.getAs[Long]("fano_e6") > 0)
+    }
+    val gaps = spark.sql(
+      """SELECT unix_timestamp(ts) - unix_timestamp(LAG(ts) OVER
+        |  (PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gp
+        |FROM events WHERE event_type = 'click'""".stripMargin)
+      .filter(col("gp").isNotNull).collect().map(_.getLong(0))
+    val n = gaps.length.toDouble
+    val mean = gaps.sum / n
+    val sd = math.sqrt(gaps.map(g => (g - mean) * (g - mean)).sum / n)
+    val b = (sd - mean) / (sd + mean)
+    val click = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Long]("n_gaps") == gaps.length)
+    assert(math.abs(b * 1e6 - click.getAs[Long]("burstiness_e6")) <= 1)
+  }
+
+  test("q280 chi-square matches collected contingency brute force") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = one(operators.Events.q280Chi2Independence)
+    val cells = spark.sql(
+      """SELECT event_type,
+        |  CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7 AS INT) AS dow,
+        |  COUNT(*) AS o
+        |FROM events GROUP BY 1, 2""".stripMargin).collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> x.getLong(2)).toMap
+    val types = cells.keys.map(_._1).toSeq.distinct.sorted
+    val n = cells.values.sum.toDouble
+    val chi2 = (for { t <- types; d <- 0 to 6 } yield {
+      val o = cells.getOrElse((t, d), 0L).toDouble
+      val e = types.map(tt => (0 to 6).map(dd => cells.getOrElse((tt, dd), 0L)).sum)
+        .apply(types.indexOf(t)) *
+        types.map(tt => cells.getOrElse((tt, d), 0L)).sum / n
+      (o - e) * (o - e) / e
+    }).sum
+    assert(r.getAs[Long]("dof") == (types.size - 1) * 6)
+    assert(math.abs(chi2 * 1e6 - r.getAs[Long]("chi2_e6")) <= 2,
+      s"brute chi2 $chi2 vs ${r.getAs[Long]("chi2_e6")}")
+  }
+
+  test("q286 winnowing: zero exchanges and the w-window density guarantee") {
+    QuerySpec.prepared(spark, sfDir)
+    val df = llmops.TextAnalysis.q286Winnowing.run(spark, sfDir)
+    val rows = df.collect()
+    rows.foreach { r =>
+      val ng = r.getAs[Long]("n_grams"); val fp = r.getAs[Long]("n_fingerprints")
+      // winnowing guarantee: consecutive selections ≤ w apart → at least
+      // one fingerprint per w grams (w = 4), and never more than windows
+      assert(fp >= ng / 4, s"doc ${r.get(0)}: $fp fingerprints for $ng grams")
+      assert(fp <= ng - 3)
+      assert(r.getAs[Long]("density_e6") >= 250000)
+    }
+    // pure map work: the only exchange in the plan is the final ORDER BY
+    // range partitioning — no hash shuffle at any corpus size
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("q287 log-odds: sides oppose and z ranks are internally consistent") {
+    val rows = llmops.QualityEval.q287LogOddsTokens.run(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val src0 = rows.filter(_.getAs[String]("side") == "src0")
+    val src1 = rows.filter(_.getAs[String]("side") == "src1")
+    assert(src0.length == 5 && src1.length == 5)
+    // every src0-side z ≥ every src1-side z (top vs bottom of one ranking)
+    assert(src0.map(_.getAs[Long]("z_e6")).min >=
+      src1.map(_.getAs[Long]("z_e6")).max)
+  }
+}
