@@ -48,8 +48,8 @@ object QualityEval {
       |        CAST(SUM(n1 * (2 * lt0 + n0)) AS BIGINT) AS num2
       |      FROM c)
       |SELECT np AS n_pos, nn AS n_neg,
-      |  CAST(ROUND(num2 * 1e6 / (2.0 * np * nn)) AS BIGINT) AS auc_e6,
-      |  CAST(ROUND((num2 / (1.0 * np * nn) - 1.0) * 1e6) AS BIGINT) AS gini_e6
+      |  CAST(ROUND(num2 * 1e6 / (2.0 * CAST(np AS DOUBLE) * nn)) AS BIGINT) AS auc_e6,
+      |  CAST(ROUND((num2 / (CAST(np AS DOUBLE) * nn) - 1.0) * 1e6) AS BIGINT) AS gini_e6
       |FROM m""".stripMargin)
 
   /** Cohen's kappa between two heuristic binary labelers (length-based
@@ -112,9 +112,9 @@ object QualityEval {
          |                      THEN c ELSE 0 END) AS BIGINT) AS top1
          |      FROM r)
          |SELECT CAST(v AS BIGINT) AS vocab, t AS tokens,
-         |  CAST(ROUND((2.0 * s / (1.0 * v * t) - (v + 1.0) / v) * 1e6) AS BIGINT)
+         |  CAST(ROUND((2.0 * CAST(s AS DOUBLE) / (CAST(v AS DOUBLE) * t) - (CAST(v AS DOUBLE) + 1.0) / v) * 1e6) AS BIGINT)
          |    AS gini_e6,
-         |  CAST(ROUND(top1 * 1e6 / (1.0 * t)) AS BIGINT) AS top1pct_share_e6
+         |  CAST(ROUND(top1 * 1e6 / CAST(t AS DOUBLE)) AS BIGINT) AS top1pct_share_e6
          |FROM m""".stripMargin
     }
     QuerySpec.sql2("q281_token_gini", text(spark = true), text(spark = false))
@@ -177,9 +177,9 @@ object QualityEval {
          |        COUNT(*) AS v
          |      FROM c),
          |z AS (SELECT word, y1, y2,
-         |        CAST(ROUND((LN((y1 + 1.0) / (n1 + v - y1 - 1.0))
-         |                  - LN((y2 + 1.0) / (n2 + v - y2 - 1.0)))
-         |          / SQRT(1.0 / (y1 + 1) + 1.0 / (y2 + 1)) * 1e6) AS BIGINT) AS z_e6
+         |        CAST(ROUND((LN((CAST(y1 AS DOUBLE) + 1.0) / (CAST(n1 AS DOUBLE) + v - y1 - 1.0))
+         |                  - LN((CAST(y2 AS DOUBLE) + 1.0) / (CAST(n2 AS DOUBLE) + v - y2 - 1.0)))
+         |          / SQRT(1.0 / CAST(y1 + 1 AS DOUBLE) + 1.0 / CAST(y2 + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS z_e6
          |      FROM c CROSS JOIN t),
          |r AS (SELECT word, y1, y2, z_e6,
          |        ROW_NUMBER() OVER (ORDER BY z_e6 DESC, word) AS r1,
@@ -193,7 +193,124 @@ object QualityEval {
     QuerySpec.sql2("q287_log_odds_tokens", text(spark = true), text(spark = false))
   }
 
+  /** Trapezoidal precision-recall AUC of the same score/label pair as
+    * [[q278QualityRocAuc]] — the curve that matters under class
+    * imbalance (ROC AUC stays rosy when negatives dominate; PR AUC
+    * does not). Cuts are the DISTINCT score values descending (every
+    * achievable operating point, no sampling); P/R at each cut are
+    * exact-integer ratios off running sums over the score-cardinality
+    * relation; the trapezoid terms are fixed DOUBLE trees accumulated
+    * via DECIMAL(27,18). The (0-recall, first-precision) anchor makes
+    * the leading trapezoid explicit rather than a convention. */
+  val q288PrAuc: QuerySpec = QuerySpec.sql(
+    "q288_pr_auc",
+    """WITH d AS (SELECT n_chars AS score,
+      |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |           FROM documents),
+      |sc AS (SELECT score, SUM(y) AS p1, COUNT(*) AS cnt
+      |       FROM d GROUP BY score),
+      |c AS (SELECT score,
+      |        CAST(SUM(p1) OVER (ORDER BY score DESC) AS BIGINT) AS cum_p,
+      |        CAST(SUM(cnt) OVER (ORDER BY score DESC) AS BIGINT) AS cum,
+      |        CAST(SUM(p1) OVER () AS BIGINT) AS np
+      |      FROM sc),
+      |t AS (SELECT
+      |        CAST(cum_p AS DOUBLE) / np AS r, CAST(cum_p AS DOUBLE) / cum AS p,
+      |        LAG(CAST(cum_p AS DOUBLE) / np, 1, 0.0) OVER (ORDER BY score DESC) AS r0,
+      |        LAG(CAST(cum_p AS DOUBLE) / cum, 1) OVER (ORDER BY score DESC) AS p0
+      |      FROM c),
+      |m AS (SELECT CAST(SUM(CAST((r - r0) * (p + COALESCE(p0, p)) / 2
+      |               AS DECIMAL(27,18))) AS DOUBLE) AS auc_pr
+      |      FROM t)
+      |SELECT CAST(ROUND(auc_pr * 1e6) AS BIGINT) AS pr_auc_e6
+      |FROM m""".stripMargin)
+
+  /** Calibration audit of a score-derived probability against the weak
+    * label: 10-bin expected calibration error (ECE), maximum
+    * calibration error (MCE), and the Brier score. The "probability"
+    * is the score min-max squashed to [0,1] — a fixed arithmetic tree
+    * over exact integers, so both engines bin IDENTICAL doubles (no
+    * boundary-ulp flap); the per-bin confidence/accuracy gap weights by
+    * exact bin counts, and every double sum goes through DECIMAL(27,18).
+    * The corpus collapses to the score relation before any of it. */
+  val q289CalibrationEce: QuerySpec = QuerySpec.sql(
+    "q289_calibration_ece",
+    """WITH d AS (SELECT n_chars AS score,
+      |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |           FROM documents),
+      |sc AS (SELECT score, CAST(SUM(y) AS BIGINT) AS p1,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM d GROUP BY score),
+      |mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM sc),
+      |pb AS (SELECT p1, cnt,
+      |         CAST(score - lo AS DOUBLE) / (hi - lo) AS prob,
+      |         CAST(LEAST(FLOOR(10.0 * CAST(score - lo AS DOUBLE) / (hi - lo)), 9) AS INT) AS bin
+      |       FROM sc CROSS JOIN mm),
+      |b AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS n,
+      |        CAST(SUM(p1) AS BIGINT) AS pos,
+      |        CAST(SUM(CAST(prob * cnt AS DECIMAL(27,18))) AS DOUBLE) AS sprob,
+      |        CAST(SUM(CAST((prob * prob * cnt - 2 * prob * p1) AS DECIMAL(27,18)))
+      |          AS DOUBLE) AS brier_part
+      |      FROM pb GROUP BY bin),
+      |m AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |        CAST(SUM(CAST(ABS(sprob - pos) AS DECIMAL(27,18))) AS DOUBLE) AS ece_num,
+      |        MAX(ABS(sprob / n - CAST(pos AS DOUBLE) / n)) AS mce,
+      |        CAST(SUM(CAST(brier_part AS DECIMAL(27,18))) AS DOUBLE)
+      |          + CAST(SUM(pos) AS DOUBLE) AS brier_num,
+      |        COUNT(*) AS n_bins
+      |      FROM b)
+      |SELECT CAST(n_bins AS BIGINT) AS n_bins,
+      |  CAST(ROUND(ece_num / nn * 1e6) AS BIGINT) AS ece_e6,
+      |  CAST(ROUND(mce * 1e6) AS BIGINT) AS mce_e6,
+      |  CAST(ROUND(brier_num / nn * 1e6) AS BIGINT) AS brier_e6
+      |FROM m""".stripMargin)
+
+  /** Rank-biased overlap (Webber et al., p = 0.9, depth 50) between
+    * the two quality rankings (by n_chars vs by lexical diversity) —
+    * the top-weighted ranking-agreement number Spearman (whole-list,
+    * unweighted) can't give: RBO asks "do the lists agree where it
+    * matters, at the top?". The overlap-at-k curve needs no per-depth
+    * set intersection: an item is in both top-k prefixes iff
+    * max(rank_a, rank_b) ≤ k, so ov(k) is a running count over the
+    * m = GREATEST(ra, rb) relation — one join of the 50-row depth grid
+    * against the ≤depth m-distribution. Ranks are total-ordered
+    * ROW_NUMBERs (ties pinned by doc_id); the geometric weights are
+    * fixed POWER doubles accumulated via DECIMAL(27,18). Reported as
+    * truncated RBO@50 (no extrapolation) plus overlap at 10 and 50. */
+  val q290RankRbo: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val dw =
+        if (spark) "size(array_distinct(split(text, ' ')))"
+        else "len(list_distinct(string_split(text, ' ')))"
+      val depths =
+        if (spark) "SELECT explode(sequence(1, 50)) AS k"
+        else "SELECT CAST(unnest(range(1, 51)) AS INT) AS k"
+      s"""WITH d AS (SELECT doc_id, n_chars AS xa, $dw AS xb FROM documents),
+         |r AS (SELECT doc_id,
+         |        ROW_NUMBER() OVER (ORDER BY xa DESC, doc_id) AS ra,
+         |        ROW_NUMBER() OVER (ORDER BY xb DESC, doc_id) AS rb
+         |      FROM d),
+         |mrel AS (SELECT GREATEST(ra, rb) AS m FROM r WHERE ra <= 50 AND rb <= 50),
+         |ks AS ($depths),
+         |ov AS (SELECT ks.k, COUNT(mrel.m) AS ov
+         |       FROM ks LEFT JOIN mrel ON mrel.m <= ks.k
+         |       GROUP BY ks.k),
+         |m AS (SELECT
+         |        CAST(SUM(CAST(POWER(0.9, k - 1) * ov / k AS DECIMAL(27,18)))
+         |          AS DOUBLE) AS wsum,
+         |        CAST(MAX(CASE WHEN k = 10 THEN ov END) AS BIGINT) AS ov10,
+         |        CAST(MAX(CASE WHEN k = 50 THEN ov END) AS BIGINT) AS ov50
+         |      FROM ov)
+         |SELECT CAST(ROUND(wsum * (1.0 - 0.9) / (1.0 - POWER(0.9, 50)) * 1e6)
+         |    AS BIGINT) AS rbo50_e6,
+         |  ov10 AS overlap_at_10, ov50 AS overlap_at_50
+         |FROM m""".stripMargin
+    }
+    QuerySpec.sql2("q290_rank_rbo", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q278QualityRocAuc, q279ClassifierKappa, q281TokenGini,
-      q282SpearmanCorr, q287LogOddsTokens)
+      q282SpearmanCorr, q287LogOddsTokens, q288PrAuc, q289CalibrationEce,
+      q290RankRbo)
 }

@@ -1491,8 +1491,61 @@ object TextAnalysis {
     QuerySpec.sql2("q286_winnowing_fingerprint", text(spark = true), text(spark = false))
   }
 
+  /** Conditional entropy H(next|prev) of the word-bigram distribution,
+    * with the unigram entropy H(word) and the information gain
+    * H(word) − H(next|prev) — the corpus-level predictability scalar
+    * behind [[q184BigramLm]]'s per-document cross-entropy (how much
+    * does one word of context buy, corpus-wide?), and exp(H) as the
+    * bigram perplexity. Identity used: H(Y|X) = −Σ_{xy} p(x,y)·ln
+    * p(y|x) with all probabilities exact count ratios off ONE bigram
+    * rollup (unigram counts = window sums per prev — no second corpus
+    * scan); entropy terms accumulate via DECIMAL(27,18). Relations
+    * after the first rollup are vocab²-bounded. */
+  val q291BigramCondEntropy: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark)
+          """SELECT doc_id, pos, word FROM t
+            |  LATERAL VIEW posexplode(w) p AS pos, word""".stripMargin
+        else
+          """SELECT doc_id, unnest(range(len(w))) AS pos,
+            |         unnest(w) AS word FROM t""".stripMargin
+      val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+      s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
+         |words AS (
+         |$words),
+         |w2 AS (SELECT word,
+         |              LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |       FROM words),
+         |bi AS (SELECT prev, word, COUNT(*) AS c2
+         |       FROM w2 WHERE prev IS NOT NULL GROUP BY prev, word),
+         |bc AS (SELECT prev, word, c2,
+         |         CAST(SUM(c2) OVER (PARTITION BY prev) AS BIGINT) AS cp,
+         |         CAST(SUM(c2) OVER () AS BIGINT) AS n
+         |       FROM bi),
+         |hc AS (SELECT MAX(n) AS n,
+         |         CAST(SUM(CAST(c2 * LN(CAST(c2 AS DOUBLE) / cp) AS DECIMAL(27,18)))
+         |           AS DOUBLE) AS s_cond
+         |       FROM bc),
+         |un AS (SELECT cu, CAST(SUM(cu) OVER () AS BIGINT) AS nu
+         |       FROM (SELECT word, COUNT(*) AS cu FROM words GROUP BY word) u0),
+         |hu AS (SELECT MAX(nu) AS nu,
+         |         CAST(SUM(CAST(cu * LN(CAST(cu AS DOUBLE) / nu) AS DECIMAL(27,18)))
+         |           AS DOUBLE) AS s_uni
+         |       FROM un)
+         |SELECT CAST(hc.n AS BIGINT) AS n_bigrams,
+         |  CAST(ROUND(-s_cond / hc.n * 1e6) AS BIGINT) AS cond_entropy_e6,
+         |  CAST(ROUND(-s_uni / hu.nu * 1e6) AS BIGINT) AS unigram_entropy_e6,
+         |  CAST(ROUND((-s_uni / hu.nu + s_cond / hc.n) * 1e6) AS BIGINT)
+         |    AS info_gain_e6,
+         |  CAST(ROUND(EXP(-s_cond / hc.n) * 1e6) AS BIGINT) AS bigram_ppl_e6
+         |FROM hc CROSS JOIN hu""".stripMargin
+    }
+    QuerySpec.sql2("q291_bigram_cond_entropy", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q277Readability, q286Winnowing,
+    q277Readability, q286Winnowing, q291BigramCondEntropy,
     q213FeatureHashing, q214ContextFit,
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
     q94QualityPrune, q191QualityPruneThreshold, q95StratifiedSample,

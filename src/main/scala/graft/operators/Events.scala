@@ -992,8 +992,8 @@ object Events {
          |s AS (SELECT MAX(n) AS n,
          |        COUNT(DISTINCT event_type) AS r, COUNT(DISTINCT dow) AS c,
          |        CAST(SUM(CAST(
-         |          (o - 1.0 * rt * ct / n) * (o - 1.0 * rt * ct / n)
-         |            / (1.0 * rt * ct / n) AS DECIMAL(27,18))) AS DOUBLE) AS chi2
+         |          (o - CAST(rt AS DOUBLE) * ct / n) * (o - CAST(rt AS DOUBLE) * ct / n)
+         |            / (CAST(rt AS DOUBLE) * ct / n) AS DECIMAL(27,18))) AS DOUBLE) AS chi2
          |      FROM g2)
          |SELECT CAST(n AS BIGINT) AS n_events,
          |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
@@ -1102,12 +1102,12 @@ object Events {
          |        CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(c * c) AS BIGINT) AS tc2
          |      FROM d GROUP BY event_type)
          |SELECT a.event_type, CAST(a.n AS BIGINT) AS n_gaps,
-         |  CAST(ROUND(sg * 100.0 / a.n) AS BIGINT) AS mean_gap_s_e2,
+         |  CAST(ROUND(CAST(sg AS DOUBLE) * 100.0 / a.n) AS BIGINT) AS mean_gap_s_e2,
          |  CAST(ROUND(
-         |    (SQRT((sg2 - 1.0 * sg * sg / a.n) / a.n) - 1.0 * sg / a.n)
-         |    / (SQRT((sg2 - 1.0 * sg * sg / a.n) / a.n) + 1.0 * sg / a.n) * 1e6)
+         |    (SQRT((sg2 - CAST(sg AS DOUBLE) * sg / a.n) / a.n) - CAST(sg AS DOUBLE) / a.n)
+         |    / (SQRT((sg2 - CAST(sg AS DOUBLE) * sg / a.n) / a.n) + CAST(sg AS DOUBLE) / a.n) * 1e6)
          |    AS BIGINT) AS burstiness_e6,
-         |  CAST(ROUND(((tc2 - 1.0 * tc * tc / nd) / nd) / (1.0 * tc / nd) * 1e6)
+         |  CAST(ROUND(((tc2 - CAST(tc AS DOUBLE) * tc / nd) / nd) / (CAST(tc AS DOUBLE) / nd) * 1e6)
          |    AS BIGINT) AS fano_e6
          |FROM a JOIN f ON a.event_type = f.event_type
          |ORDER BY a.event_type""".stripMargin

@@ -172,6 +172,93 @@ class QualityEvalSpec extends EngineSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
   }
 
+  test("q288 PR-AUC matches brute-force trapezoid over collected pairs") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = one(llmops.QualityEval.q288PrAuc)
+    val pairs = spark.table("documents")
+      .select(col("n_chars"), (col("lang") === "en").cast("int"))
+      .collect().map(x => (x.getLong(0), x.getInt(1)))
+    val np = pairs.map(_._2).sum.toDouble
+    val cuts = pairs.map(_._1).distinct.sorted.reverse
+    var cumP = 0L; var cum = 0L; var prevR = 0.0
+    var prevP = Option.empty[Double]; var auc = 0.0
+    for (c <- cuts) {
+      val at = pairs.filter(_._1 == c)
+      cumP += at.map(_._2).sum; cum += at.length
+      val rr = cumP / np; val pp = cumP.toDouble / cum
+      auc += (rr - prevR) * (pp + prevP.getOrElse(pp)) / 2
+      prevR = rr; prevP = Some(pp)
+    }
+    assert(math.abs(auc * 1e6 - r.getAs[Long]("pr_auc_e6")) <= 1,
+      s"brute PR-AUC $auc vs ${r.getAs[Long]("pr_auc_e6")}")
+  }
+
+  test("q289 ECE/MCE/Brier match collected brute force") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = one(llmops.QualityEval.q289CalibrationEce)
+    val pairs = spark.table("documents")
+      .select(col("n_chars"), (col("lang") === "en").cast("int"))
+      .collect().map(x => (x.getLong(0), x.getInt(1)))
+    val lo = pairs.map(_._1).min; val hi = pairs.map(_._1).max
+    val withP = pairs.map { case (s, y) =>
+      val p = (s - lo).toDouble / (hi - lo)
+      (math.min(math.floor(10 * p).toInt, 9), p, y)
+    }
+    val n = pairs.length.toDouble
+    val byBin = withP.groupBy(_._1)
+    val ece = byBin.values.map(b =>
+      math.abs(b.map(_._2).sum - b.map(_._3).sum)).sum / n
+    val mce = byBin.values.map(b =>
+      math.abs(b.map(_._2).sum / b.length - b.map(_._3).sum.toDouble / b.length)).max
+    val brier = withP.map { case (_, p, y) => (p - y) * (p - y) }.sum / n
+    assert(r.getAs[Long]("n_bins") == byBin.size)
+    assert(math.abs(ece * 1e6 - r.getAs[Long]("ece_e6")) <= 1)
+    assert(math.abs(mce * 1e6 - r.getAs[Long]("mce_e6")) <= 1)
+    assert(math.abs(brier * 1e6 - r.getAs[Long]("brier_e6")) <= 2)
+  }
+
+  test("q290 RBO matches brute-force prefix-overlap computation") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = one(llmops.QualityEval.q290RankRbo)
+    val d = spark.table("documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).as("y"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    val topA = d.sortBy(x => (-x._2, x._1)).take(50).map(_._1)
+    val topB = d.sortBy(x => (-x._3.toLong, x._1)).take(50).map(_._1)
+    var wsum = 0.0
+    var ov10 = 0L; var ov50 = 0L
+    for (k <- 1 to 50) {
+      val ov = topA.take(k).toSet.intersect(topB.take(k).toSet).size
+      wsum += math.pow(0.9, k - 1) * ov / k
+      if (k == 10) ov10 = ov; if (k == 50) ov50 = ov
+    }
+    val rbo = wsum * 0.1 / (1 - math.pow(0.9, 50))
+    assert(r.getAs[Long]("overlap_at_10") == ov10)
+    assert(r.getAs[Long]("overlap_at_50") == ov50)
+    assert(math.abs(rbo * 1e6 - r.getAs[Long]("rbo50_e6")) <= 1,
+      s"brute RBO $rbo vs ${r.getAs[Long]("rbo50_e6")}")
+  }
+
+  test("q291 conditional entropy: matches brute force and info gain >= 0") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = one(llmops.TextAnalysis.q291BigramCondEntropy)
+    val docs = spark.table("documents").select("text")
+      .collect().map(_.getString(0).split(" ").toSeq)
+    val bigrams = docs.flatMap(w => w.zip(w.drop(1)))
+    val n = bigrams.length.toDouble
+    val byPrev = bigrams.groupBy(_._1)
+    val hCond = -byPrev.values.map { g =>
+      val cp = g.length.toDouble
+      g.groupBy(_._2).values.map(b => b.length * math.log(b.length / cp)).sum
+    }.sum / n
+    assert(r.getAs[Long]("n_bigrams") == bigrams.length)
+    assert(math.abs(hCond * 1e6 - r.getAs[Long]("cond_entropy_e6")) <= 1)
+    assert(r.getAs[Long]("info_gain_e6") >= 0,
+      "conditioning cannot increase entropy")
+    assert(math.abs(math.exp(hCond) * 1e6 - r.getAs[Long]("bigram_ppl_e6")) <= 2)
+  }
+
   test("q287 log-odds: sides oppose and z ranks are internally consistent") {
     val rows = llmops.QualityEval.q287LogOddsTokens.run(spark, sfDir).collect()
     assert(rows.length == 10)
