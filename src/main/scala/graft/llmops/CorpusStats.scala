@@ -443,8 +443,125 @@ object CorpusStats {
     QuerySpec.sql2("q250_loso_influence", text(spark = true), text(spark = false))
   }
 
+  /** Asymptotic KS p-values for [[q225ScoreKsDrift]]'s per-source
+    * statistics with Benjamini–Hochberg FDR control — the multiple-
+    * testing discipline a 20-source drift monitor needs (at α = 0.05 a
+    * no-drift corpus still flags ~1 source per run without it). The
+    * p-value is the Kolmogorov series Q(λ) = 2Σ(−1)^{j−1}e^{−2j²λ²}
+    * (50 terms, a 50-row grid join — terms underflow to exact 0 long
+    * before that) at the Stephens small-sample λ, with the effective n
+    * of the source-vs-corpus comparison. BH ranks the ROUNDED p (total
+    * (p_e6, source) order — no float flap at the cut) and adjusts by
+    * the running min of m·p/rank from the tail (a MIN window over
+    * FOLLOWING rows). Everything downstream of q225's score-relation
+    * grid is |sources|-sized. */
+  val q294KsDriftFdr: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val score = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      val terms =
+        if (spark) "SELECT explode(sequence(1, 50)) AS j"
+        else "SELECT CAST(unnest(range(1, 51)) AS INT) AS j"
+      s"""WITH d AS (SELECT source, $score AS score FROM documents),
+         |sc AS (SELECT score, COUNT(*) AS c FROM d GROUP BY score),
+         |g AS (SELECT score,
+         |        CAST(SUM(c) OVER (ORDER BY score) AS DOUBLE)
+         |          / CAST(SUM(c) OVER () AS DOUBLE) AS gcdf
+         |      FROM sc),
+         |fs AS (SELECT source, score, COUNT(*) AS c FROM d GROUP BY source, score),
+         |srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM fs GROUP BY source),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM sc),
+         |grid AS (SELECT s.source, s.n, g.score, g.gcdf,
+         |           CAST(COALESCE(fs.c, 0) AS BIGINT) AS c
+         |         FROM srcs s CROSS JOIN g
+         |         LEFT JOIN fs ON fs.source = s.source AND fs.score = g.score),
+         |f AS (SELECT source, n, score, gcdf, c,
+         |        CAST(SUM(c) OVER (PARTITION BY source ORDER BY score) AS DOUBLE)
+         |          / CAST(n AS DOUBLE) AS fcdf
+         |      FROM grid),
+         |ks AS (SELECT source, MAX(n) AS n, MAX(ABS(fcdf - gcdf)) AS ks
+         |       FROM f GROUP BY source),
+         |lam AS (SELECT source, n, ks,
+         |          (SQRT(CAST(n AS DOUBLE) * nt / (n + nt)) + 0.12
+         |            + 0.11 / SQRT(CAST(n AS DOUBLE) * nt / (n + nt))) * ks AS l
+         |        FROM ks CROSS JOIN tot),
+         |tj AS ($terms),
+         |p AS (SELECT source, n, ks,
+         |        LEAST(1.0, GREATEST(0.0,
+         |          2 * CAST(SUM(CAST(
+         |            CASE WHEN j % 2 = 1 THEN EXP(-2.0 * j * j * l * l)
+         |                 ELSE -EXP(-2.0 * j * j * l * l) END AS DECIMAL(27,18)))
+         |            AS DOUBLE))) AS pv
+         |      FROM lam CROSS JOIN tj
+         |      GROUP BY source, n, ks),
+         |r AS (SELECT source, n, ks,
+         |        CAST(ROUND(pv * 1e6) AS BIGINT) AS p_e6,
+         |        ROW_NUMBER() OVER (ORDER BY CAST(ROUND(pv * 1e6) AS BIGINT), source)
+         |          AS rk,
+         |        COUNT(*) OVER () AS m
+         |      FROM p),
+         |adj AS (SELECT source, n, ks, p_e6,
+         |          CAST(ROUND(LEAST(1e6, MIN(m * CAST(p_e6 AS DOUBLE) / rk) OVER (
+         |            ORDER BY rk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+         |            AS BIGINT) AS p_adj_e6
+         |        FROM r)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(ROUND(ks * 1e6) AS BIGINT) AS ks_e6,
+         |  p_e6, p_adj_e6, (p_adj_e6 <= 50000) AS drift_flag
+         |FROM adj ORDER BY source""".stripMargin
+    }
+    QuerySpec.sql2("q294_ks_drift_fdr", text(spark = true), text(spark = false))
+  }
+
+  /** Empirical-Bayes (James–Stein / random-effects) shrinkage of
+    * per-source mean tokens/doc — the estimator a mixing-weight
+    * pipeline should use instead of raw source means: small sources
+    * borrow strength from the corpus (weight τ²/(τ²+σ²/nᵢ) → 0), big
+    * sources keep their own mean (→ 1). Method-of-moments on the
+    * unbalanced one-way layout: pooled within-variance σ² and
+    * between-variance τ² come from ONE source-keyed rollup of exact
+    * integer (n, Σ, Σ²) sums (the cross-term identity SSB = Σtᵢ²/nᵢ −
+    * T²/N needs no second pass); per-source double terms accumulate
+    * via DECIMAL(27,18); τ² floors at 0. Everything after the rollup
+    * is |sources|-sized algebra. */
+  val q295EbShrinkage: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val score = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      s"""WITH d AS (SELECT source, $score AS toks FROM documents),
+         |s AS (SELECT source, COUNT(*) AS n_i,
+         |        CAST(SUM(toks) AS BIGINT) AS t_i,
+         |        CAST(SUM(toks * toks) AS BIGINT) AS q_i
+         |      FROM d GROUP BY source),
+         |tot AS (SELECT COUNT(*) AS k, CAST(SUM(n_i) AS BIGINT) AS n,
+         |          CAST(SUM(t_i) AS BIGINT) AS t,
+         |          CAST(SUM(n_i * n_i) AS BIGINT) AS sn2,
+         |          CAST(SUM(CAST(q_i - CAST(t_i AS DOUBLE) * t_i / n_i
+         |            AS DECIMAL(27,18))) AS DOUBLE) AS ssw,
+         |          CAST(SUM(CAST(CAST(t_i AS DOUBLE) * t_i / n_i
+         |            AS DECIMAL(27,18))) AS DOUBLE) AS sb
+         |        FROM s),
+         |v AS (SELECT k, n, t,
+         |        ssw / (n - k) AS sigma2,
+         |        GREATEST(0.0,
+         |          (sb - CAST(t AS DOUBLE) * t / n - (k - 1) * ssw / (n - k))
+         |          / (n - CAST(sn2 AS DOUBLE) / n)) AS tau2,
+         |        CAST(t AS DOUBLE) / n AS gm
+         |      FROM tot)
+         |SELECT s.source, CAST(s.n_i AS BIGINT) AS n_docs,
+         |  CAST(ROUND(CAST(s.t_i AS DOUBLE) / s.n_i * 1e6) AS BIGINT) AS raw_mean_e6,
+         |  CAST(ROUND((v.gm + (v.tau2 / (v.tau2 + v.sigma2 / s.n_i))
+         |    * (CAST(s.t_i AS DOUBLE) / s.n_i - v.gm)) * 1e6) AS BIGINT)
+         |    AS shrunk_mean_e6,
+         |  CAST(ROUND(v.tau2 / (v.tau2 + v.sigma2 / s.n_i) * 1e6) AS BIGINT)
+         |    AS weight_e6
+         |FROM s CROSS JOIN v
+         |ORDER BY s.source""".stripMargin
+    }
+    QuerySpec.sql2("q295_eb_shrinkage", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
       q216HeavyHitters.benched, q225ScoreKsDrift, q229SubsampleCi,
-      q232CalibrationMap, q235ZipfFit, q243HeapsFit, q250LosoInfluence)
+      q232CalibrationMap, q235ZipfFit, q243HeapsFit, q250LosoInfluence,
+      q294KsDriftFdr, q295EbShrinkage)
 }

@@ -289,6 +289,84 @@ object Dedup {
     fwd.unionByName(rev).orderBy(col("doc_small"), col("doc_big"))
   }
 
+  /** MOSS-style clone-pair detection via shared robust-winnowing
+    * fingerprints (the cross-doc application of q286's per-doc
+    * fingerprint): char 16-gram hashes winnowed with window 8, pairs
+    * sharing ≥ 5 fingerprints AND ≥ 50% of the smaller doc's
+    * fingerprint set. Winnowing's guarantee makes this the LOCAL
+    * overlap detector (any shared run of k+w−1 = 23 chars leaves a
+    * shared fingerprint) that set-based Jaccard (q81) and containment
+    * (q276) approximate only globally. Candidates come from a
+    * DF-pruned inverted fingerprint index (df ≤ 20 stop-fingerprints
+    * are part of the declared semantics, applied identically by the
+    * oracle — parity exact by construction) expanded through the
+    * capped salted [[boundedPairs]]; verification intersects the full
+    * per-doc fingerprint arrays on candidates only. Thresholds compare
+    * exact integers (shared·2 ≥ min-set). */
+  val q292WinnowingClones: QuerySpec = {
+    val duckFp =
+      """g AS (SELECT doc_id,
+        |  list_transform(range(0, length(text) - 16 + 1),
+        |    i -> ('0x' || substr(md5(substr(text, i + 1, 16)), 1, 8))::BIGINT
+        |         * 1048576 + (1048575 - i)) AS hs
+        |  FROM documents WHERE length(text) >= 23),
+        |f AS (SELECT doc_id,
+        |  list_distinct(list_transform(list_transform(range(0, len(hs) - 8 + 1),
+        |    s -> list_aggregate(hs[s + 1:s + 8], 'min')), k -> k // 1048576)) AS fp
+        |  FROM g)""".stripMargin
+    val sparkFp =
+      """array_distinct(transform(
+        |  transform(sequence(0, size(hs) - 8), s -> array_min(slice(hs, s + 1, 8))),
+        |  k -> CAST(k div 1048576 AS BIGINT)))""".stripMargin
+    val sparkHs =
+      """transform(sequence(0, length(text) - 16),
+        |  i -> cast(conv(substr(md5(substr(text, i + 1, 16)), 1, 8), 16, 10) AS BIGINT)
+        |       * 1048576 + (1048575 - i))""".stripMargin
+    QuerySpec(
+      "q292_winnowing_clones",
+      s"""WITH $duckFp,
+         |e AS (SELECT doc_id, unnest(fp) AS h FROM f),
+         |df AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
+         |keep AS (SELECT e.doc_id, e.h FROM e JOIN df ON e.h = df.h WHERE df.df <= 20),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |         FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |v AS (SELECT ida, idb,
+         |        len(list_intersect(fa.fp, fb.fp)) AS shared,
+         |        LEAST(len(fa.fp), len(fb.fp)) AS mn
+         |      FROM cand
+         |      JOIN f fa ON fa.doc_id = ida
+         |      JOIN f fb ON fb.doc_id = idb)
+         |SELECT ida AS doc_id_a, idb AS doc_id_b,
+         |  CAST(shared AS BIGINT) AS shared_fp,
+         |  CAST(ROUND(shared * 1e6 / CAST(mn AS DOUBLE)) AS BIGINT) AS overlap_e6
+         |FROM v WHERE shared >= 5 AND shared * 2 >= mn
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val f = sp.table("documents")
+        .filter(length(col("text")) >= 23)
+        .withColumn("hs", expr(sparkHs))
+        .select(col("doc_id"), expr(sparkFp).as("fp"))
+        .staged // inverted index + both verify sides
+      val e = f.select(col("doc_id"), explode(col("fp")).as("h"))
+      val keep = e.join(
+        e.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= 20), "h")
+      val pairs = boundedPairs(
+        keep.select(col("h").as("bkey"), col("doc_id").as("id")), cap = 256)
+      pairs
+        .join(f.select(col("doc_id").as("id_a"), col("fp").as("fa")), "id_a")
+        .join(f.select(col("doc_id").as("id_b"), col("fp").as("fb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("fa"), col("fb"))).as("shared"),
+          least(size(col("fa")), size(col("fb"))).as("mn"))
+        .filter(col("shared") >= 5 && col("shared") * 2 >= col("mn"))
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+          col("shared").cast("bigint").as("shared_fp"),
+          round(col("shared") * lit(1e6) / col("mn").cast("double"))
+            .cast("bigint").as("overlap_e6"))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))
+    }
+  }
+
   /** MinHash + LSH near-duplicate pairs at Jaccard ≥ 0.8.
     *
     * Pipeline: shingle (word 3-grams, hashed) → 64-hash MinHash signature
@@ -1596,7 +1674,7 @@ object Dedup {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep, q276Containment,
+    q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep, q276Containment, q292WinnowingClones,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q186CanonicalPick,

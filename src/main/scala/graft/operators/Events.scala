@@ -1115,8 +1115,63 @@ object Events {
     QuerySpec.sql2("q285_events_burstiness", text(spark = true), text(spark = false))
   }
 
+  /** Piecewise (broken-stick) trend around the CUSUM changepoint — the
+    * follow-up question to [[q275CusumChangepoint]]: having located the
+    * level shift, did the TREND change too, and by how much did the
+    * level jump? Splits the daily series at q275's argmax day (the
+    * same total-ordered pick, recomputed inline) and fits one OLS line
+    * per side from conditional integer moment sums — a single rollup
+    * of the day relation, pivoted to one row; slopes and the level
+    * shift are fixed DOUBLE trees over exact integers. Everything
+    * after the first rollup is series-sized. */
+  val q293PiecewiseTrend: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val idx =
+        if (spark) "datediff(day, DATE '2024-01-01')"
+        else "datediff('day', DATE '2024-01-01', day)"
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+         |           FROM events GROUP BY CAST(ts AS DATE)),
+         |x AS (SELECT day, $idx AS i, c FROM d),
+         |m AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu FROM x),
+         |cs AS (SELECT day,
+         |         CAST(SUM(c) OVER (ORDER BY day) AS DOUBLE)
+         |           - ROW_NUMBER() OVER (ORDER BY day) * m.mu AS cusum
+         |       FROM x CROSS JOIN m),
+         |k AS (SELECT day AS kd
+         |      FROM (SELECT day, ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, day) AS rn
+         |            FROM cs) r WHERE rn = 1),
+         |seg AS (SELECT CASE WHEN x.day <= k.kd THEN 0 ELSE 1 END AS sg, x.i, x.c
+         |        FROM x CROSS JOIN k),
+         |fit AS (SELECT sg, COUNT(*) AS n,
+         |          CAST(SUM(i) AS BIGINT) AS sx, CAST(SUM(i * i) AS BIGINT) AS sx2,
+         |          CAST(SUM(c) AS BIGINT) AS sy, CAST(SUM(i * c) AS BIGINT) AS sxy
+         |        FROM seg GROUP BY sg),
+         |p AS (SELECT
+         |        MAX(CASE WHEN sg = 0 THEN n END) AS n0,
+         |        MAX(CASE WHEN sg = 1 THEN n END) AS n1,
+         |        MAX(CASE WHEN sg = 0 THEN
+         |          (n * sxy - sx * sy) / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+         |        END) AS b0,
+         |        MAX(CASE WHEN sg = 1 THEN
+         |          (n * sxy - sx * sy) / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+         |        END) AS b1,
+         |        MAX(CASE WHEN sg = 0 THEN CAST(sy AS DOUBLE) / n END) AS m0,
+         |        MAX(CASE WHEN sg = 1 THEN CAST(sy AS DOUBLE) / n END) AS m1
+         |      FROM fit)
+         |SELECT k.kd AS change_day,
+         |  CAST(n0 AS BIGINT) AS n_before, CAST(n1 AS BIGINT) AS n_after,
+         |  CAST(ROUND(b0 * 1e6) AS BIGINT) AS slope_before_e6,
+         |  CAST(ROUND(b1 * 1e6) AS BIGINT) AS slope_after_e6,
+         |  CAST(ROUND((b1 - b0) * 1e6) AS BIGINT) AS slope_delta_e6,
+         |  CAST(ROUND((m1 - m0) * 1e6) AS BIGINT) AS level_shift_e6
+         |FROM p CROSS JOIN k""".stripMargin
+    }
+    QuerySpec.sql2("q293_piecewise_trend", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q274EventTransitions, q275CusumChangepoint, q280Chi2Independence,
+    q293PiecewiseTrend,
     q283EventsAcf, q284TheilSenTrend, q285EventsBurstiness,
     q219KeySkewReport, q223EventCep, q224HourlyAnomaly, q226BenfordAudit, q227AbReadout, q231TrimmedMean, q233TrendOls, q234Ewma, q239Attribution, q240ConversionLatency, q246Seasonality, q249JsonExtract, q252AbLiftCi,
     q65Tumbling, q66Sessionize.benched, q67TopKPerUser, q68DailyRollup,

@@ -259,6 +259,99 @@ class QualityEvalSpec extends EngineSuite {
     assert(math.abs(math.exp(hCond) * 1e6 - r.getAs[Long]("bigram_ppl_e6")) <= 2)
   }
 
+  test("q292 winnowing clones: invariants and agreement with q81's planted pairs") {
+    QuerySpec.prepared(spark, sfDir)
+    val rows = llmops.Dedup.q292WinnowingClones.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id_a") < r.getAs[Long]("doc_id_b"))
+      assert(r.getAs[Long]("shared_fp") >= 5)
+      assert(r.getAs[Long]("overlap_e6") >= 500000)
+    }
+    // the planted near-dups (q81, Jaccard >= 0.8) should be clone pairs
+    // under the local fingerprint detector too — winnowing must not miss
+    // the pairs the set-based detector finds at this overlap level
+    val clones = rows.map(r =>
+      (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"))).toSet
+    val lsh = llmops.Dedup.q81MinHashLsh.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"))).toSet
+    assert(lsh.subsetOf(clones),
+      s"winnowing missed planted near-dup pairs: ${lsh.diff(clones)}")
+  }
+
+  test("q293 piecewise trend matches brute-force split OLS at the CUSUM day") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = one(operators.Events.q293PiecewiseTrend)
+    val days = spark.table("events")
+      .groupBy(col("ts").cast("date").as("day")).count()
+      .orderBy("day").collect()
+      .map(x => (x.getDate(0).toLocalDate, x.getLong(1).toDouble))
+    val mu = days.map(_._2).sum / days.length
+    val cusum = days.indices.map(i => days.take(i + 1).map(_._2).sum - (i + 1) * mu)
+    val kIdx = cusum.indices.maxBy(i => (math.abs(cusum(i)), -days(i)._1.toEpochDay))
+    assert(r.getAs[java.sql.Date]("change_day").toLocalDate == days(kIdx)._1)
+    def ols(seg: Seq[(java.time.LocalDate, Double)]): (Double, Double) = {
+      val epoch = java.time.LocalDate.parse("2024-01-01")
+      val pts = seg.map(p => (java.time.temporal.ChronoUnit.DAYS.between(epoch, p._1).toDouble, p._2))
+      val n = pts.length; val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum; val sx2 = pts.map(p => p._1 * p._1).sum
+      ((n * sxy - sx * sy) / (n * sx2 - sx * sx), sy / n)
+    }
+    val (b0, m0) = ols(days.take(kIdx + 1).toSeq)
+    val (b1, m1) = ols(days.drop(kIdx + 1).toSeq)
+    assert(r.getAs[Long]("n_before") == kIdx + 1)
+    assert(math.abs(b0 * 1e6 - r.getAs[Long]("slope_before_e6")) <= 1)
+    assert(math.abs(b1 * 1e6 - r.getAs[Long]("slope_after_e6")) <= 1)
+    assert(math.abs((m1 - m0) * 1e6 - r.getAs[Long]("level_shift_e6")) <= 1)
+  }
+
+  test("q294 BH adjustment: monotone, >= raw p, and the Kolmogorov series checks out") {
+    QuerySpec.prepared(spark, sfDir)
+    val rows = llmops.CorpusStats.q294KsDriftFdr.run(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getAs[Long]("p_adj_e6") + 1 >= r.getAs[Long]("p_e6"),
+      s"${r.getAs[String]("source")}: adjusted p below raw p"))
+    // BH adjusted p is nondecreasing when sorted by raw p
+    val byP = rows.sortBy(r => (r.getAs[Long]("p_e6"), r.getAs[String]("source")))
+      .map(_.getAs[Long]("p_adj_e6"))
+    assert(byP.zip(byP.drop(1)).forall { case (a, b) => a <= b })
+    // independent Kolmogorov-series recomputation for one source
+    val nt = spark.table("documents").count()
+    val r0 = rows.head
+    val n = r0.getAs[Long]("n_docs").toDouble
+    val ks = r0.getAs[Long]("ks_e6") / 1e6
+    val ne = n * nt / (n + nt)
+    val lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * ks
+    val p = 2 * (1 to 50).map(j =>
+      math.pow(-1, j - 1) * math.exp(-2.0 * j * j * lam * lam)).sum
+    val pc = math.min(1.0, math.max(0.0, p))
+    // ks passed through e6 rounding → tolerance reflects d(p)/d(ks)·1e-6·λ'
+    assert(math.abs(pc * 1e6 - r0.getAs[Long]("p_e6")) <= 100,
+      s"series p $pc vs ${r0.getAs[Long]("p_e6")}")
+  }
+
+  test("q295 EB shrinkage: between raw and grand mean, weights in [0,1]") {
+    QuerySpec.prepared(spark, sfDir)
+    val rows = llmops.CorpusStats.q295EbShrinkage.run(spark, sfDir).collect()
+    val toks = spark.table("documents")
+      .select(size(split(col("text"), " ")).as("t")).agg(sum("t"), count(lit(1)))
+      .head
+    val gm = toks.getLong(0).toDouble / toks.getLong(1) * 1e6
+    rows.foreach { r =>
+      val raw = r.getAs[Long]("raw_mean_e6"); val sh = r.getAs[Long]("shrunk_mean_e6")
+      val w = r.getAs[Long]("weight_e6")
+      assert(w >= 0 && w <= 1000000)
+      // shrunk mean lies between the raw mean and the grand mean
+      assert((sh - raw) * (sh - gm) <= 0,
+        s"${r.getAs[String]("source")}: shrunk $sh outside [raw $raw, grand $gm]")
+      // bigger sources shrink less: weight grows with n among equal-σ² groups
+    }
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("weight_e6")))
+    byN.zip(byN.drop(1)).foreach { case ((n1, w1), (n2, w2)) =>
+      if (n1 < n2) assert(w1 <= w2, s"weight not monotone in n: ($n1,$w1) vs ($n2,$w2)")
+    }
+  }
+
   test("q287 log-odds: sides oppose and z ranks are internally consistent") {
     val rows = llmops.QualityEval.q287LogOddsTokens.run(spark, sfDir).collect()
     assert(rows.length == 10)
