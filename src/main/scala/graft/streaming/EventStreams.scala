@@ -294,6 +294,62 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class DriftReport(
+      event_type: String, gen: Long, n: Long, chi2_e6: Long, drift_flag: Boolean)
+
+  // public: the state encoder's generated code must reach the constructor
+  final case class DowState(gen: Long, counts: Seq[Long])
+
+  /** Streaming day-of-week drift monitor — the stateful goodness-of-fit
+    * twin of q280's independence test: per event_type, CONSTANT state of
+    * exactly 7 day-of-week counters (bounded for stream lifetime — the
+    * contingency row never grows with the stream), emitting per batch
+    * the χ² of the accumulated profile against a baseline distribution
+    * (uniform by default; pass the calibration profile to monitor drift
+    * FROM it), flagged at the dof=6, α=0.05 critical value. Day-of-week
+    * uses q280's pinned datediff-mod-7 epoch (2024-01-01) so the batch
+    * and streaming twins bucket identically. The per-key statistic is
+    * exact at any batch boundary: counters are exact integers and χ² is
+    * one fixed DOUBLE tree, so unlike sketch-based monitors there is no
+    * approximation to bound. Emits with a monotone `gen`; consumers read
+    * the latest generation per key (heavyHitters contract). */
+  def dowDriftMonitor(events: Dataset[Event],
+      baseline: Seq[Double] = Seq.fill(7)(1.0 / 7)): Dataset[DriftReport] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(baseline.length == 7 && math.abs(baseline.sum - 1.0) < 1e-9,
+      "baseline must be a 7-bucket distribution")
+    val epochDay2024 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+
+    def update(tpe: String, it: Iterator[Event],
+        state: GroupState[DowState]): Iterator[DriftReport] = {
+      val st = state.getOption.getOrElse(DowState(0L, Vector.fill(7)(0L)))
+      val counts = st.counts.toArray
+      it.foreach { e =>
+        val day = java.time.Instant.ofEpochMilli(e.ts.getTime)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+        val dow = java.lang.Math.floorMod(day - epochDay2024, 7L).toInt
+        counts(dow) += 1
+      }
+      val n = counts.sum
+      val gen = st.gen + 1
+      state.update(DowState(gen, counts.toVector))
+      if (n == 0) Iterator.empty
+      else {
+        val chi2 = counts.indices.map { d =>
+          val e = n * baseline(d)
+          (counts(d) - e) * (counts(d) - e) / e
+        }.sum
+        // dof = 6, alpha = 0.05 critical value of the chi-square law
+        Iterator.single(DriftReport(tpe, gen, n,
+          math.round(chi2 * 1e6), chi2 > 12.591587243743977))
+      }
+    }
+
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming ingest dedup — the streaming twin of exact dedup (q80):
     * drop re-deliveries of the same event_id, keeping state only for the
     * watermark horizon. dropDuplicatesWithinWatermark is the Spark-native

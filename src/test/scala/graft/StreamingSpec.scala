@@ -527,6 +527,42 @@ class StreamingSpec extends EngineSuite {
     assert(top._4 >= 20L - 120L / 16L, s"count under the MG error bound: $top")
   }
 
+  test("dowDriftMonitor: 7-counter state accumulates across batches; skew flags, uniform doesn't") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def dayTs(day: Int, i: Int): Timestamp = // day 0 = 2024-01-01 UTC
+      new Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dowDriftMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("dow_drift").outputMode("update").start()
+    try {
+      // batch 1: clicks piled on Monday (dow 0), views spread over the week
+      mem.addData(
+        (1 to 35).map(i => Event(i, i, dayTs(0, i), "click", 0)) ++
+          (0 to 6).map(d => Event(100 + d, 100 + d, dayTs(d, 0), "view", 0)): _*)
+      q.processAllAvailable()
+      // batch 2: more Monday clicks (state must ACCUMULATE, not reset)
+      mem.addData((36 to 70).map(i => Event(i, 200 + i, dayTs(7, i), "click", 0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("dow_drift").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("gen"),
+        r.getAs[Long]("n"), r.getAs[Long]("chi2_e6"), r.getAs[Boolean]("drift_flag")))
+    def latest(tpe: String) = {
+      val g = rows.filter(_._1 == tpe).map(_._2).max
+      rows.find(r => r._1 == tpe && r._2 == g).get
+    }
+    // click: 70 events all on dow 0 → chi2 = (70-10)²/10 + 6·(0-10)²/10 = 420
+    val click = latest("click")
+    assert(click._3 == 70L, s"state did not accumulate: $click")
+    assert(click._4 == 420000000L, s"chi2 mismatch: $click")
+    assert(click._5, "heavy skew must flag")
+    // view: exactly uniform over the 7 dows → chi2 = 0, no flag
+    val view = latest("view")
+    assert(view._3 == 7L && view._4 == 0L && !view._5, s"uniform profile flagged: $view")
+  }
+
   test("upsertLatest: torn commits on either side of the commit point replay to exactly-once") {
     val s = spark
     import s.implicits._
