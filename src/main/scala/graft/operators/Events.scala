@@ -1169,7 +1169,112 @@ object Events {
     QuerySpec.sql2("q293_piecewise_trend", text(spark = true), text(spark = false))
   }
 
+  /** Rolling-origin one-step forecast backtest of the three classical
+    * baselines every monitoring stack starts from — naive (y_{t-1}),
+    * seasonal-naive (y_{t-7}, the weekly-rhythm model [[q283EventsAcf]]
+    * detects), drift (last value + mean historical slope) — scored with
+    * MAE, sMAPE, and MASE (Hyndman-Koehler: MAE over the naive MAE, so
+    * MASE(naive) ≡ 1e6 is the built-in sanity pin). A forecast model
+    * that can't beat these numbers isn't earning its keep — this query
+    * IS the bar. Scale shape: the corpus collapses to the day relation
+    * in ONE rollup; every forecast is a LAG/FIRST_VALUE window over
+    * that tiny series (the observed-day sequence is the series index —
+    * a missing calendar day shortens it, never misaligns a join);
+    * counts are exact integers so naive/seasonal absolute errors stay
+    * integer until one final division, and the per-row sMAPE/drift
+    * terms are fixed DOUBLE trees over exact integers accumulated
+    * through DECIMAL(27,18) — summation order never reaches the e6
+    * rounding. Integer literals (2 * ABS..) keep the q288
+    * decimal-literal trap out of the shared text. */
+  val q296ForecastBacktest: QuerySpec = QuerySpec.sql(
+    "q296_forecast_backtest",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+      |           FROM events GROUP BY CAST(ts AS DATE)),
+      |w AS (SELECT day, c,
+      |        LAG(c, 1) OVER (ORDER BY day) AS l1,
+      |        LAG(c, 7) OVER (ORDER BY day) AS l7,
+      |        FIRST_VALUE(c) OVER (ORDER BY day) AS y1,
+      |        ROW_NUMBER() OVER (ORDER BY day) AS rn
+      |      FROM d),
+      |e AS (SELECT c, l1, l7,
+      |        CAST(l1 AS DOUBLE)
+      |          + (CAST(l1 AS DOUBLE) - y1) / (rn - 2) AS fd
+      |      FROM w WHERE rn >= 8),
+      |m AS (SELECT COUNT(*) AS n,
+      |        CAST(SUM(ABS(c - l1)) AS BIGINT) AS ae1,
+      |        CAST(SUM(ABS(c - l7)) AS BIGINT) AS ae7,
+      |        SUM(CAST(ABS(c - fd) AS DECIMAL(27,18))) AS aed,
+      |        SUM(CAST((2 * ABS(c - l1)) / (c + CAST(l1 AS DOUBLE))
+      |            AS DECIMAL(27,18))) AS sm1,
+      |        SUM(CAST((2 * ABS(c - l7)) / (c + CAST(l7 AS DOUBLE))
+      |            AS DECIMAL(27,18))) AS sm7,
+      |        SUM(CAST((2 * ABS(c - fd)) / (c + fd)
+      |            AS DECIMAL(27,18))) AS smd
+      |      FROM e)
+      |SELECT method, n_eval, mae_e6, smape_e6, mase_e6 FROM (
+      |  SELECT 'naive' AS method, CAST(n AS BIGINT) AS n_eval,
+      |    CAST(ROUND(CAST(ae1 AS DOUBLE) * 1e6 / n) AS BIGINT) AS mae_e6,
+      |    CAST(ROUND(CAST(sm1 AS DOUBLE) * 1e6 / n) AS BIGINT) AS smape_e6,
+      |    CAST(1000000 AS BIGINT) AS mase_e6
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'seasonal_naive' AS method, CAST(n AS BIGINT) AS n_eval,
+      |    CAST(ROUND(CAST(ae7 AS DOUBLE) * 1e6 / n) AS BIGINT) AS mae_e6,
+      |    CAST(ROUND(CAST(sm7 AS DOUBLE) * 1e6 / n) AS BIGINT) AS smape_e6,
+      |    CAST(ROUND(CAST(ae7 AS DOUBLE) / ae1 * 1e6) AS BIGINT) AS mase_e6
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'drift' AS method, CAST(n AS BIGINT) AS n_eval,
+      |    CAST(ROUND(CAST(aed AS DOUBLE) * 1e6 / n) AS BIGINT) AS mae_e6,
+      |    CAST(ROUND(CAST(smd AS DOUBLE) * 1e6 / n) AS BIGINT) AS smape_e6,
+      |    CAST(ROUND(CAST(aed AS DOUBLE) / ae1 * 1e6) AS BIGINT) AS mase_e6
+      |  FROM m) u
+      |ORDER BY method""".stripMargin)
+
+  /** Median/MAD (Hampel) robust outlier screen over the per-type hourly
+    * series — the estimator [[q224HourlyAnomaly]]'s mean/std z-score
+    * cannot be: one wild hour inflates a trailing std enough to mask
+    * the next spike (masking), while the median and the median absolute
+    * deviation have a 50% breakdown point. Flags hours where
+    * |c − median| > 3·1.4826·MAD (1.4826 = the normal-consistency
+    * constant, spelled CAST(.. AS DOUBLE) — the q288 decimal-literal
+    * rule); the reported robust z floors its denominator at half an
+    * event so a perfectly-flat series (MAD = 0) reports a finite
+    * max-z instead of dividing by zero — the flag column keeps the
+    * exact unfloored Hampel inequality. Scale shape: ONE corpus rollup
+    * to the (type, hour) relation; both medians are exact interpolated
+    * percentiles of that tiny series (the q191 rule), per-row
+    * deviations are identical fixed DOUBLE trees on both engines, and
+    * the final per-type rollup is MAX/SUM over series-sized input. */
+  val q297MadOutliers: QuerySpec = {
+    def text(spark: Boolean): String = {
+      def med(e: String) =
+        if (spark) s"percentile($e, 0.5D)" else s"quantile_cont($e, 0.5)"
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+         |           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+         |m AS (SELECT event_type, ${med("c")} AS med
+         |      FROM h GROUP BY event_type),
+         |dev AS (SELECT h.event_type, h.c, ABS(h.c - m.med) AS ad, m.med
+         |        FROM h JOIN m ON h.event_type = m.event_type),
+         |md AS (SELECT event_type, ${med("ad")} AS mad
+         |       FROM dev GROUP BY event_type)
+         |SELECT d.event_type, COUNT(*) AS n_hours,
+         |  CAST(ROUND(MAX(d.med) * 100) AS BIGINT) AS median_e2,
+         |  CAST(ROUND(MAX(md.mad) * 100) AS BIGINT) AS mad_e2,
+         |  CAST(SUM(CASE WHEN d.ad > CAST(4.4478 AS DOUBLE) * md.mad
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(ROUND(MAX(d.ad / GREATEST(CAST(1.4826 AS DOUBLE) * md.mad,
+         |                                 CAST(0.5 AS DOUBLE))) * 1e6)
+         |       AS BIGINT) AS max_robust_z_e6
+         |FROM dev d JOIN md ON d.event_type = md.event_type
+         |GROUP BY d.event_type
+         |ORDER BY d.event_type""".stripMargin
+    }
+    QuerySpec.sql2("q297_events_mad_outliers", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q296ForecastBacktest, q297MadOutliers,
     q274EventTransitions, q275CusumChangepoint, q280Chi2Independence,
     q293PiecewiseTrend,
     q283EventsAcf, q284TheilSenTrend, q285EventsBurstiness,
