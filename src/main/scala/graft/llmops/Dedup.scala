@@ -1673,8 +1673,159 @@ object Dedup {
       .orderBy(col("custkey_a"), col("custkey_b"))
   }
 
+  /** Clustering coefficient of the near-dup graph — the per-node and
+    * global closure signal that ranks [[q236Triangles]]'s raw counts:
+    * local c_v = 2·t_v / (deg_v·(deg_v−1)) says whether a node's
+    * neighborhood is a quote CHAIN (c ≈ 0 — transitive-closure dedup
+    * would over-merge through it) or a template CLIQUE (c ≈ 1 — safe
+    * to collapse); global transitivity 3·T/W (W = Σ C(deg,2)) and the
+    * Watts-Strogatz mean local coefficient summarize the whole graph.
+    * EXACT algebra: t_v, deg, W are integers from the degree-ordered
+    * triangle build + one degree aggregate (never a node×node term),
+    * each local coefficient is one fixed DOUBLE tree over integers,
+    * and the mean accumulates through DECIMAL(27,18) so summation
+    * order stays out of the e6 rounding. Scale shape: [[triangles]]
+    * is arboricity-bounded (q236's hardening), everything after runs
+    * on the triangle-node-sized relation. Oracle: naive all-pairs
+    * grounding, same triangle set. */
+  val q298ClusteringCoefficient: QuerySpec = QuerySpec(
+    "q298_graph_clustering_coeff",
+    s"""WITH $nearDupOracleCtes,
+       |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM np),
+       |deg AS (SELECT doc_id, COUNT(*) AS deg
+       |        FROM (SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e) n
+       |        GROUP BY doc_id),
+       |tri AS (
+       |  SELECT w.a, w.b, w.c FROM (
+       |    SELECT e1.a, e1.b, e2.b AS c
+       |    FROM e e1 JOIN e e2 ON e1.b = e2.a AND e1.a < e2.b) w
+       |  JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+       |tn AS (SELECT doc_id, COUNT(*) AS n_tri
+       |       FROM (SELECT a AS doc_id FROM tri
+       |             UNION ALL SELECT b FROM tri
+       |             UNION ALL SELECT c FROM tri) x
+       |       GROUP BY doc_id),
+       |nodes AS (SELECT d.doc_id, d.deg, COALESCE(tn.n_tri, 0) AS n_tri,
+       |            (2 * COALESCE(tn.n_tri, 0))
+       |              / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS lcc
+       |          FROM deg d LEFT JOIN tn ON d.doc_id = tn.doc_id
+       |          WHERE d.deg >= 2),
+       |gl AS (SELECT CAST(SUM(deg * (deg - 1)) AS BIGINT) AS w2,
+       |        SUM(CAST(lcc AS DECIMAL(27,18))) AS slcc,
+       |        COUNT(*) AS nn
+       |      FROM nodes),
+       |t AS (SELECT COUNT(*) AS nt FROM tri)
+       |SELECT nodes.doc_id, CAST(nodes.deg AS BIGINT) AS degree,
+       |  CAST(nodes.n_tri AS BIGINT) AS n_triangles,
+       |  CAST(ROUND(lcc * 1e6) AS BIGINT) AS local_cc_e6,
+       |  CAST(ROUND(6 * CAST(nt AS DOUBLE) / w2 * 1e6) AS BIGINT)
+       |    AS global_transitivity_e6,
+       |  CAST(ROUND(CAST(slcc AS DOUBLE) / nn * 1e6) AS BIGINT)
+       |    AS mean_local_cc_e6
+       |FROM nodes CROSS JOIN gl CROSS JOIN t
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val e = nearDupJaccard(sp)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      .staged // degree aggregate + triangle build share it
+    val deg = e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val tri = triangles(e).staged // per-node rollup + global count
+    val tn = tri.select(col("a").as("doc_id"))
+      .unionByName(tri.select(col("b").as("doc_id")))
+      .unionByName(tri.select(col("c").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    val nodes = deg.filter(col("deg") >= 2)
+      .join(tn, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc",
+        (lit(2) * col("n_tri")) /
+          (col("deg") * (col("deg") - 1)).cast("double"))
+      .staged // report rows + both global rollups
+    val g = nodes.agg(
+      sum(col("deg") * (col("deg") - 1)).as("w2"),
+      sum(col("lcc").cast("decimal(27,18)")).as("slcc"),
+      count(lit(1)).as("nn"))
+    val t = tri.agg(count(lit(1)).as("nt"))
+    nodes.crossJoin(broadcast(g)).crossJoin(broadcast(t))
+      .select(col("doc_id"), col("deg").cast("long").as("degree"),
+        col("n_tri").cast("long").as("n_triangles"),
+        round(col("lcc") * lit(1e6)).cast("long").as("local_cc_e6"),
+        round(lit(6) * col("nt").cast("double") / col("w2") * lit(1e6))
+          .cast("long").as("global_transitivity_e6"),
+        round(col("slcc").cast("double") / col("nn") * lit(1e6))
+          .cast("long").as("mean_local_cc_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Degree assortativity (Newman's r) of the near-dup graph — do
+    * heavy duplicators link to other heavy duplicators (r > 0:
+    * template families forming dense cores — batch them) or to
+    * one-off spokes (r < 0: hub-and-spoke boilerplate — the q236
+    * hub shape, prune the hub)? Pearson correlation of endpoint
+    * degrees over the both-directions edge list, computed from the
+    * scaled integer identity r = (2m·Σxy − sx²) / (2m·Σxx − sx²)
+    * (the doubled list makes the x and y margins equal, so one set
+    * of integer sums suffices) — EXACT until one final division, a
+    * zero-variance (regular) graph reports 0 instead of dividing by
+    * zero. Scale shape: one degree aggregate + two joins of the
+    * edge relation, then a single 4-sum rollup; nothing beyond the
+    * pair-bounded edge list is ever materialized. */
+  val q299DegreeAssortativity: QuerySpec = QuerySpec(
+    "q299_graph_assortativity",
+    s"""WITH $nearDupOracleCtes,
+       |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM np),
+       |deg AS (SELECT doc_id, COUNT(*) AS deg
+       |        FROM (SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e) n
+       |        GROUP BY doc_id),
+       |j AS (SELECT d1.deg AS da, d2.deg AS db
+       |      FROM e JOIN deg d1 ON e.a = d1.doc_id
+       |             JOIN deg d2 ON e.b = d2.doc_id),
+       |s AS (SELECT COUNT(*) AS m,
+       |        CAST(SUM(da + db) AS BIGINT) AS sx,
+       |        CAST(SUM(da * da + db * db) AS BIGINT) AS sxx,
+       |        CAST(SUM(da * db) AS BIGINT) AS sxy
+       |      FROM j)
+       |SELECT CAST(m AS BIGINT) AS n_edges,
+       |  CAST(ROUND(CAST(sx AS DOUBLE) / (2 * m) * 1e6) AS BIGINT)
+       |    AS mean_end_deg_e6,
+       |  CAST(ROUND(CASE WHEN 2 * m * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(4 * m * sxy - sx * sx AS DOUBLE)
+       |            / (2 * m * sxx - sx * sx) END * 1e6) AS BIGINT)
+       |    AS assortativity_e6
+       |FROM s""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val e = nearDupJaccard(sp)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      .staged // degree aggregate + both deg-join roles
+    val deg = e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      .staged
+    val j = e
+      .join(deg.select(col("doc_id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("doc_id").as("b"), col("deg").as("db")), "b")
+    val sm = j.agg(
+      count(lit(1)).as("m"),
+      sum(col("da") + col("db")).as("sx"),
+      sum(col("da") * col("da") + col("db") * col("db")).as("sxx"),
+      sum(col("da") * col("db")).as("sxy"))
+    val den = lit(2) * col("m") * col("sxx") - col("sx") * col("sx")
+    sm.select(
+      col("m").cast("long").as("n_edges"),
+      round(col("sx").cast("double") / (lit(2) * col("m")) * lit(1e6))
+        .cast("long").as("mean_end_deg_e6"),
+      round(when(den === 0, lit(0.0))
+          .otherwise((lit(4) * col("m") * col("sxy") - col("sx") * col("sx"))
+            .cast("double") / den) * lit(1e6))
+        .cast("long").as("assortativity_e6"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep, q276Containment, q292WinnowingClones,
+    q298ClusteringCoefficient, q299DegreeAssortativity,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,
     q84EmbeddingCosine.benched, q155PlantedNearDup, q79DedupClusters,
     q186CanonicalPick,
