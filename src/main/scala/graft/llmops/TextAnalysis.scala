@@ -1544,7 +1544,70 @@ object TextAnalysis {
     QuerySpec.sql2("q291_bigram_cond_entropy", text(spark = true), text(spark = false))
   }
 
+  /** Line-level boilerplate REMOVAL with ordered reconstruction — the
+    * CCNet/RefinedWeb cleanup stage: a line whose exact text appears in
+    * ≥ 2 DISTINCT documents is boilerplate (navigation, headers,
+    * license banners) and EVERY copy is dropped — unlike
+    * [[q175SubstringRemove]] (Lee-style: first occurrence survives)
+    * and [[q146Boilerplate]] (flags, never edits). The fixture is
+    * newline-free, so "lines" are fixed 10-word blocks (production
+    * swaps in split('\n') — the algebra is segmentation-agnostic);
+    * blocks under 3 words are exempt from removal (the char-length
+    * floor real pipelines use against spurious short matches). Scale
+    * shape: one scan → block relation (corpus-sized, map-side), df
+    * through a distinct-doc aggregate; the removal join's build side
+    * is the boilerplate-block relation (small — broadcast it; at
+    * 100 TB join on xxhash64(block) instead of raw text), and the hot
+    * probe keys a universal banner creates are harmless — the build
+    * row is unique per block. Reconstruction = per-doc sort of the
+    * kept (index, block) pairs, one doc-keyed shuffle. */
+  val q300BoilerplateRemove: QuerySpec = {
+    def text(spark: Boolean): String =
+      if (spark)
+        """WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+          |b0 AS (SELECT doc_id, ws,
+          |         sequence(0, (size(ws) + 9) div 10 - 1) AS bis FROM t),
+          |b AS (SELECT doc_id, bi, concat_ws(' ', slice(ws, bi * 10 + 1, 10)) AS blk
+          |      FROM b0 LATERAL VIEW explode(bis) p AS bi),
+          |df AS (SELECT blk FROM (SELECT DISTINCT doc_id, blk FROM b
+          |                        WHERE size(split(blk, ' ')) >= 3) x
+          |       GROUP BY blk HAVING COUNT(*) >= 2),
+          |r AS (SELECT b.doc_id, b.bi, b.blk, (df.blk IS NOT NULL) AS rm
+          |      FROM b LEFT JOIN df ON b.blk = df.blk)
+          |SELECT doc_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+          |  CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_blocks,
+          |  CAST(SUM(size(split(blk, ' '))) AS BIGINT) AS n_words_before,
+          |  CAST(SUM(CASE WHEN rm THEN 0 ELSE size(split(blk, ' ')) END) AS BIGINT)
+          |    AS n_words_after,
+          |  concat_ws(' ', transform(array_sort(collect_list(
+          |    CASE WHEN NOT rm THEN struct(bi, blk) END)), x -> x.blk)) AS kept_text
+          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      else
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |b0 AS (SELECT doc_id, ws, unnest(range((len(ws) + 9) // 10)) AS bi FROM t),
+          |b AS (SELECT doc_id, bi,
+          |        array_to_string(ws[bi * 10 + 1 : bi * 10 + 10], ' ') AS blk
+          |      FROM b0),
+          |df AS (SELECT blk FROM (SELECT DISTINCT doc_id, blk FROM b
+          |                        WHERE len(string_split(blk, ' ')) >= 3) x
+          |       GROUP BY blk HAVING COUNT(*) >= 2),
+          |r AS (SELECT b.doc_id, b.bi, b.blk, (df.blk IS NOT NULL) AS rm
+          |      FROM b LEFT JOIN df ON b.blk = df.blk)
+          |SELECT doc_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+          |  CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_blocks,
+          |  CAST(SUM(len(string_split(blk, ' '))) AS BIGINT) AS n_words_before,
+          |  CAST(SUM(CASE WHEN rm THEN 0 ELSE len(string_split(blk, ' ')) END) AS BIGINT)
+          |    AS n_words_after,
+          |  COALESCE(string_agg(blk, ' ' ORDER BY bi) FILTER (WHERE NOT rm), '')
+          |    AS kept_text
+          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    QuerySpec.sql2("q300_dedup_boilerplate_remove", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q300BoilerplateRemove,
     q277Readability, q286Winnowing, q291BigramCondEntropy,
     q213FeatureHashing, q214ContextFit,
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,
