@@ -350,6 +350,63 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class ForecastError(
+      event_type: String, day_start: Timestamp, n_events: Long,
+      f_naive: Long, f_seasonal: Long,
+      abs_err_naive: Long, abs_err_seasonal: Long)
+
+  // public: the state encoder's generated code must reach the constructor
+  final case class FcastState(dayMs: Long, cur: Long, hist: Seq[Long])
+
+  /** Streaming forecast-error monitor — the stateful twin of
+    * q296_forecast_backtest's naive / seasonal-naive legs, keyed per
+    * event_type: when a day CLOSES, its count is scored against the
+    * one-step forecasts both baselines would have issued (naive =
+    * yesterday's count, seasonal-naive = the count 7 observed days
+    * back), so a forecast-quality regression surfaces the day it
+    * happens instead of at the next batch backtest. State is CONSTANT:
+    * the open day's counter plus a ring of the last ≤ 7 closed daily
+    * counts — bounded for stream lifetime. The series is the
+    * OBSERVED-day sequence exactly as in the batch twin (a calendar
+    * gap shortens the ring, never misaligns it), scoring starts once
+    * 7 closed days exist (q296's rn ≥ 8 warm-up), errors are exact
+    * integers, and days bucket by UTC epoch day so batch and stream
+    * agree. Late events for an already-closed day are dropped — the
+    * hourlyAnomaly watermark discipline. */
+  def forecastMonitor(events: Dataset[Event], season: Int = 7): Dataset[ForecastError] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMsLen = 86400L * 1000
+
+    def update(tpe: String, it: Iterator[Event],
+        state: GroupState[FcastState]): Iterator[ForecastError] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[ForecastError]
+      sorted.foreach { e =>
+        val day = e.ts.getTime / dayMsLen * dayMsLen
+        if (st == null) st = FcastState(day, 1L, Vector.empty)
+        else if (day == st.dayMs) st = st.copy(cur = st.cur + 1)
+        else if (day > st.dayMs) {
+          // close the open day: score it against both baselines
+          if (st.hist.size >= season) {
+            val fn = st.hist.last
+            val fs = st.hist.head
+            out += ForecastError(tpe, new Timestamp(st.dayMs), st.cur,
+              fn, fs, math.abs(st.cur - fn), math.abs(st.cur - fs))
+          }
+          val hist = (st.hist :+ st.cur).takeRight(season)
+          st = FcastState(day, 1L, hist)
+        } // day < st.dayMs: late event for a closed day — dropped
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming ingest dedup — the streaming twin of exact dedup (q80):
     * drop re-deliveries of the same event_id, keeping state only for the
     * watermark horizon. dropDuplicatesWithinWatermark is the Spark-native

@@ -1262,4 +1262,38 @@ class StreamingSpec extends EngineSuite {
     // mean=10, var=max(100-100,1)=1 → z=(40-10)/1=30
   }
 
+  test("forecastMonitor scores closed days against naive and seasonal-naive baselines") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.forecastMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("fc_out")
+      .outputMode("append").start()
+    def dayEvents(d: Int, n: Int, idBase: Long): Seq[Event] =
+      (0 until n).map(i =>
+        Event(1, idBase + i, ts(d * 1440L + 1 + (i % 600)), "click", 1.0))
+    try {
+      // 7 warm-up days with counts 10..16 — closes emit nothing (ring not full)
+      (0 until 7).foreach(d => mem.addData(dayEvents(d, 10 + d, d * 1000L): _*))
+      q.processAllAvailable()
+      // day 7 split across two batches: the open-day counter accumulates
+      mem.addData(dayEvents(7, 12, 7000L): _*)
+      q.processAllAvailable()
+      mem.addData(dayEvents(7, 8, 7500L): _*)
+      q.processAllAvailable()
+      mem.addData(dayEvents(8, 5, 8000L): _*) // closes day 7 (count 20)
+      q.processAllAvailable()
+      mem.addData(dayEvents(9, 1, 9000L): _*) // closes day 8 (count 5)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("fc_out").orderBy("day_start")
+      .select("n_events", "f_naive", "f_seasonal", "abs_err_naive", "abs_err_seasonal")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // day 7: ring [10..16] → naive 16 (err 4), seasonal 10 (err 10);
+    // day 8: ring rolled to [11..16,20] → naive 20 (err 15), seasonal 11 (err 6)
+    assert(rows == Seq((20L, 16L, 10L, 4L, 10L), (5L, 20L, 11L, 15L, 6L)),
+      s"got $rows")
+  }
+
 }
