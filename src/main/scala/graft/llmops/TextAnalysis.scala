@@ -16,19 +16,23 @@ object TextAnalysis {
     * (ties broken by fixed language order). The profiles are standard
     * public function-word lists; scores are word-boundary regexp counts,
     * identical on both engines. */
-  val q88LangId: QuerySpec = {
-    // language → function-word alternation (kept tiny & public-knowledge)
-    val profiles = Seq(
-      "de" -> "(der|die|das|und|ist|nicht|mit|ein)",
-      "en" -> "(the|and|of|to|is|in|that|it)",
-      "es" -> "(el|la|los|de|que|y|en|un)",
-      "fr" -> "(le|la|les|et|de|un|que|pour)",
-      "zh" -> "(的|是|了|在|我|有|和|不)")
-    def scoreCol(spark: Boolean, pat: String): String =
+  // language → function-word alternation (kept tiny & public-knowledge)
+  private val langProfiles = Seq(
+    "de" -> "(der|die|das|und|ist|nicht|mit|ein)",
+    "en" -> "(the|and|of|to|is|in|that|it)",
+    "es" -> "(el|la|los|de|que|y|en|un)",
+    "fr" -> "(le|la|les|et|de|un|que|pour)",
+    "zh" -> "(的|是|了|在|我|有|和|不)")
+
+  /** Shared language-ID predictor subquery: `doc_id, lang, pred_lang`
+    * from the function-word profile scores — used by [[q88LangId]] and
+    * the [[q301LangidConfusion]] classification eval. */
+  private def langidPredSql(spark: Boolean): String = {
+    def scoreCol(pat: String): String =
       if (spark) s"size(regexp_extract_all(text, '(^| )$pat( |$$)', 0))"
       else s"len(regexp_extract_all(text, '(^| )$pat( |$$)'))"
-    def selects(spark: Boolean): String = profiles.map { case (l, p) =>
-      s"  ${scoreCol(spark, p)} AS s_$l"
+    val selects = langProfiles.map { case (l, p) =>
+      s"  ${scoreCol(p)} AS s_$l"
     }.mkString(",\n")
     val pred =
       """CASE
@@ -37,14 +41,56 @@ object TextAnalysis {
         |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
         |  WHEN s_fr >= s_zh THEN 'fr'
         |  ELSE 'zh' END""".stripMargin
+    s"""SELECT doc_id, lang, $pred AS pred_lang
+       |      FROM (SELECT doc_id, lang,
+       |$selects
+       |            FROM documents) scored""".stripMargin
+  }
+
+  val q88LangId: QuerySpec = {
     def text(spark: Boolean): String =
       s"""SELECT doc_id, lang, pred_lang, (lang = pred_lang) AS hit
-         |FROM (SELECT doc_id, lang, $pred AS pred_lang
-         |      FROM (SELECT doc_id, lang,
-         |${selects(spark)}
-         |            FROM documents) scored) p
+         |FROM (${langidPredSql(spark)}) p
          |ORDER BY doc_id""".stripMargin
     QuerySpec.sql2("q88_text_langid", text(spark = true), text(spark = false))
+  }
+
+  /** Per-class precision / recall / F1 + overall accuracy of the
+    * [[q88LangId]] heuristic against the declared `lang` label — the
+    * multi-class confusion-matrix readout that closes the eval-stats
+    * family (q278 AUC and q279 kappa are binary; a 5-way classifier
+    * audit needs per-class margins, and macro metrics hide exactly the
+    * minority-class collapse this surfaces). EXACT algebra: tp and both
+    * margins are integer counts from ONE corpus scan's per-doc
+    * prediction, F1 uses the margin identity 2·tp/(n_pred + n_true) —
+    * integers until the final division; a class never predicted
+    * reports precision 0 instead of dividing by zero. Scale shape: the
+    * prediction is pure map work; everything after runs on the
+    * ≤ |classes|-sized margin relations. */
+  val q301LangidConfusion: QuerySpec = {
+    def text(spark: Boolean): String =
+      s"""WITH p AS (${langidPredSql(spark)}),
+         |t AS (SELECT lang, COUNT(*) AS n_true FROM p GROUP BY lang),
+         |pr AS (SELECT pred_lang, COUNT(*) AS n_pred FROM p GROUP BY pred_lang),
+         |tp AS (SELECT lang, COUNT(*) AS tp FROM p WHERE lang = pred_lang GROUP BY lang),
+         |acc AS (SELECT CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |               COUNT(*) AS n
+         |        FROM p)
+         |SELECT t.lang, CAST(t.n_true AS BIGINT) AS n_true,
+         |  CAST(COALESCE(pr.n_pred, 0) AS BIGINT) AS n_pred,
+         |  CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+         |  CASE WHEN COALESCE(pr.n_pred, 0) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(ROUND(COALESCE(tp.tp, 0) * 1e6 / pr.n_pred) AS BIGINT)
+         |       END AS precision_e6,
+         |  CAST(ROUND(COALESCE(tp.tp, 0) * 1e6 / t.n_true) AS BIGINT) AS recall_e6,
+         |  CAST(ROUND(2 * COALESCE(tp.tp, 0) * 1e6
+         |             / (COALESCE(pr.n_pred, 0) + t.n_true)) AS BIGINT) AS f1_e6,
+         |  CAST(ROUND(acc.hits * 1e6 / acc.n) AS BIGINT) AS accuracy_e6
+         |FROM t LEFT JOIN pr ON t.lang = pr.pred_lang
+         |       LEFT JOIN tp ON t.lang = tp.lang
+         |       CROSS JOIN acc
+         |ORDER BY t.lang""".stripMargin
+    QuerySpec.sql2("q301_eval_langid_confusion", text(spark = true), text(spark = false))
   }
 
   /** Quality scoring: length, word, punctuation/digit/whitespace ratios,
@@ -1607,7 +1653,7 @@ object TextAnalysis {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q300BoilerplateRemove,
+    q300BoilerplateRemove, q301LangidConfusion,
     q277Readability, q286Winnowing, q291BigramCondEntropy,
     q213FeatureHashing, q214ContextFit,
     q88LangId, q89Quality, q90Tokens.benched, q91Fingerprint,

@@ -1273,8 +1273,37 @@ object Events {
     QuerySpec.sql2("q297_events_mad_outliers", text(spark = true), text(spark = false))
   }
 
+  /** Telemetry debounce — collapse rapid-fire repeats of the same
+    * (user, event_type) into their burst-leader event, the standard
+    * client-instrumentation cleanup (double-clicks, retry storms,
+    * scroll-handler spam) run before any counting analytics. A burst
+    * is a chain of ≤ 60 s inter-event gaps ([[q66Sessionize]]'s gap
+    * machinery at a 60 s horizon — the burst leader is the session
+    * head); gap-based "quiet period" semantics, the variant that
+    * distributes (a last-KEPT-relative throttle is inherently
+    * sequential). Report: per (user, type) kept vs collapsed counts.
+    * Scale shape: ONE window pass over a (user_id, event_type)-keyed
+    * shuffle — no self-join, no state; the rollup rides the same
+    * partitioning. */
+  val q302Debounce: QuerySpec = QuerySpec.sql(
+    "q302_events_debounce",
+    """WITH l AS (SELECT user_id, event_type, event_id, ts,
+      |        LAG(ts) OVER (PARTITION BY user_id, event_type
+      |                      ORDER BY ts, event_id) AS pts
+      |      FROM events),
+      |k AS (SELECT user_id, event_type,
+      |        CASE WHEN pts IS NULL OR ts - pts > INTERVAL 60 SECOND
+      |             THEN 1 ELSE 0 END AS keep
+      |      FROM l)
+      |SELECT user_id, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_debounced
+      |FROM k GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
-    q296ForecastBacktest, q297MadOutliers,
+    q296ForecastBacktest, q297MadOutliers, q302Debounce,
     q274EventTransitions, q275CusumChangepoint, q280Chi2Independence,
     q293PiecewiseTrend,
     q283EventsAcf, q284TheilSenTrend, q285EventsBurstiness,
