@@ -559,8 +559,56 @@ object CorpusStats {
     QuerySpec.sql2("q295_eb_shrinkage", text(spark = true), text(spark = false))
   }
 
+  /** Log-normal fit of the document-length distribution (method of
+    * moments on ln n_chars) with a quantile-level goodness check —
+    * the distributional prior behind every length-based curation
+    * decision: if lengths are log-normal (the usual web-text shape),
+    * truncation budgets and length-bucket boundaries should be set in
+    * log space, and a fitted-vs-empirical quantile gap flags when a
+    * source mix breaks the assumption (e.g. template corpora spike a
+    * single length). MoM keeps it closed-form and one-pass: μ, σ from
+    * Σln x, Σln²x accumulated through DECIMAL(27,18) (the q235 rule —
+    * ln() doubles are identical fixed trees per row, summation order
+    * never reaches the e6 rounding); the fitted P50/P90 (exp(μ),
+    * exp(μ + z₀.₉σ)) compare against the exact interpolated empirical
+    * percentiles computed in the SAME single aggregate (q199's
+    * multi-quantile call). One corpus scan, O(1) algebra after. */
+  val q303LognormalLengths: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val ps =
+        if (spark) "percentile(n_chars, array(0.5D, 0.9D))"
+        else "quantile_cont(n_chars, [0.5, 0.9])"
+      val p50 = if (spark) "ps[0]" else "ps[1]"
+      val p90 = if (spark) "ps[1]" else "ps[2]"
+      s"""WITH v AS (SELECT LN(CAST(n_chars AS DOUBLE)) AS lx, n_chars
+         |           FROM documents),
+         |m AS (SELECT COUNT(*) AS n,
+         |        SUM(CAST(lx AS DECIMAL(27,18))) AS s1,
+         |        SUM(CAST(lx * lx AS DECIMAL(27,18))) AS s2,
+         |        $ps AS ps
+         |      FROM v),
+         |f AS (SELECT n, $p50 AS ep50, $p90 AS ep90,
+         |        CAST(s1 AS DOUBLE) / n AS mu,
+         |        SQRT(GREATEST(CAST(s2 AS DOUBLE) / n
+         |          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+         |          CAST(0 AS DOUBLE))) AS sig
+         |      FROM m)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  CAST(ROUND(mu * 1e6) AS BIGINT) AS mu_e6,
+         |  CAST(ROUND(sig * 1e6) AS BIGINT) AS sigma_e6,
+         |  CAST(ROUND(EXP(mu) * 1e2) AS BIGINT) AS fit_p50_e2,
+         |  CAST(ROUND(ep50 * 1e2) AS BIGINT) AS emp_p50_e2,
+         |  CAST(ROUND(EXP(mu + CAST(1.2815515655446004 AS DOUBLE) * sig) * 1e2)
+         |    AS BIGINT) AS fit_p90_e2,
+         |  CAST(ROUND(ep90 * 1e2) AS BIGINT) AS emp_p90_e2
+         |FROM f""".stripMargin
+    }
+    QuerySpec.sql2("q303_lognormal_lengths", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
+    Seq(q303LognormalLengths,
+      q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
       q216HeavyHitters.benched, q225ScoreKsDrift, q229SubsampleCi,
       q232CalibrationMap, q235ZipfFit, q243HeapsFit, q250LosoInfluence,
       q294KsDriftFdr, q295EbShrinkage)

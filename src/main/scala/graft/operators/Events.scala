@@ -1302,8 +1302,108 @@ object Events {
       |FROM k GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin)
 
+  /** Churn-label construction — the training-set engineering step a
+    * churn model needs before any learning happens: split the stream at
+    * a frozen cutoff T (2024-01-21, two thirds into the fixture's
+    * range), build features STRICTLY from the observation window
+    * [start, T) — event volume, purchase count, distinct active days,
+    * recency at T — and the label from the outcome window [T, end)
+    * (any activity = retained). The window discipline is the whole
+    * point: every feature is a `ts < T` conditional aggregate, so label
+    * leakage is structurally impossible, and the frozen literal T makes
+    * the dataset reproducible across corpus versions (the q130 split
+    * philosophy applied to time). Users with no observation-window
+    * activity are excluded (nothing to featurize). Scale shape: ONE
+    * scan, one user-keyed rollup — features and label in the same
+    * pass. */
+  val q304ChurnLabels: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val recency =
+        if (spark)
+          "datediff(DATE '2024-01-21', CAST(MAX(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN ts END) AS DATE))"
+        else
+          "datediff('day', CAST(MAX(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN ts END) AS DATE), DATE '2024-01-21')"
+      s"""SELECT user_id,
+         |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_events_obs,
+         |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00'
+         |                AND event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_purchases_obs,
+         |  CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00'
+         |                           THEN CAST(ts AS DATE) END) AS BIGINT)
+         |    AS days_active_obs,
+         |  CAST($recency AS BIGINT) AS recency_days,
+         |  (SUM(CASE WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 1 ELSE 0 END) > 0)
+         |    AS retained
+         |FROM events
+         |GROUP BY user_id
+         |HAVING SUM(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1 ELSE 0 END) > 0
+         |ORDER BY user_id""".stripMargin
+    }
+    QuerySpec.sql2("q304_churn_labels", text(spark = true), text(spark = false))
+  }
+
+  /** Periodogram power at the weekly frequency — the spectral twin of
+    * [[q283EventsAcf]]'s lag-7 autocorrelation: project the centered
+    * daily series onto cos/sin at ω = 2π/7 and report the variance
+    * share 2·P/(n·SSE), which is 1.0 for a pure weekly sinusoid and
+    * ~0 for white noise — the single-number "is there a weekly
+    * rhythm" gate before fitting seasonal models (q296's
+    * seasonal-naive leg assumes the answer is yes). Engine-exact by
+    * construction: day index i is calendar datediff from the pinned
+    * epoch, the 7 cos/sin values live in a literal VALUES grid (both
+    * engines parse the same decimal literals into the same doubles —
+    * no trig libm call at query time), each projection term is one
+    * fixed DOUBLE tree over exact integers, and the three Σ run
+    * through DECIMAL(27,18). Scale shape: corpus → day relation in
+    * ONE rollup, 7-row broadcast grid join, single-row algebra. */
+  val q305WeeklySpectrum: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val idx =
+        if (spark) "datediff(day, DATE '2024-01-01')"
+        else "datediff('day', DATE '2024-01-01', day)"
+      val gridRows =
+        """(0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+          |    (1, CAST(0.6234898018587336 AS DOUBLE), CAST(0.7818314824680298 AS DOUBLE)),
+          |    (2, CAST(-0.22252093395631434 AS DOUBLE), CAST(0.9749279121818236 AS DOUBLE)),
+          |    (3, CAST(-0.900968867902419 AS DOUBLE), CAST(0.43388373911755823 AS DOUBLE)),
+          |    (4, CAST(-0.9009688679024191 AS DOUBLE), CAST(-0.433883739117558 AS DOUBLE)),
+          |    (5, CAST(-0.2225209339563146 AS DOUBLE), CAST(-0.9749279121818236 AS DOUBLE)),
+          |    (6, CAST(0.6234898018587334 AS DOUBLE), CAST(-0.7818314824680299 AS DOUBLE))""".stripMargin
+      val grid =
+        if (spark) s"SELECT * FROM VALUES\n    $gridRows AS t(k, cw, sw)"
+        else s"SELECT * FROM (VALUES\n    $gridRows) t(k, cw, sw)"
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+         |           FROM events GROUP BY CAST(ts AS DATE)),
+         |x AS (SELECT $idx AS i, c FROM d),
+         |m AS (SELECT CAST(SUM(c) AS BIGINT) AS sc, COUNT(*) AS n FROM x),
+         |g AS ($grid),
+         |r AS (SELECT x.c, m.sc, m.n, g.cw, g.sw
+         |      FROM x CROSS JOIN m JOIN g ON g.k = x.i % 7),
+         |s AS (SELECT
+         |        SUM(CAST((c - CAST(sc AS DOUBLE) / n) * cw AS DECIMAL(27,18))) AS a,
+         |        SUM(CAST((c - CAST(sc AS DOUBLE) / n) * sw AS DECIMAL(27,18))) AS b,
+         |        SUM(CAST((c - CAST(sc AS DOUBLE) / n)
+         |                 * (c - CAST(sc AS DOUBLE) / n) AS DECIMAL(27,18))) AS sse
+         |      FROM r)
+         |SELECT CAST(m.n AS BIGINT) AS n_days,
+         |  CAST(ROUND(CAST(a AS DOUBLE) * 1e2) AS BIGINT) AS amp_cos_e2,
+         |  CAST(ROUND(CAST(b AS DOUBLE) * 1e2) AS BIGINT) AS amp_sin_e2,
+         |  CAST(ROUND((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+         |              + CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) * 1e2) AS BIGINT)
+         |    AS power_e2,
+         |  CAST(ROUND(2 * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+         |                  + CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+         |             / (m.n * CAST(sse AS DOUBLE)) * 1e6) AS BIGINT)
+         |    AS weekly_var_share_e6
+         |FROM s CROSS JOIN m""".stripMargin
+    }
+    QuerySpec.sql2("q305_weekly_spectrum", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q296ForecastBacktest, q297MadOutliers, q302Debounce,
+    q304ChurnLabels, q305WeeklySpectrum,
     q274EventTransitions, q275CusumChangepoint, q280Chi2Independence,
     q293PiecewiseTrend,
     q283EventsAcf, q284TheilSenTrend, q285EventsBurstiness,
