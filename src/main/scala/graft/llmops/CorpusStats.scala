@@ -328,40 +328,59 @@ object CorpusStats {
     * ln(freq) ~ ln(rank), the scaling exponent natural text keeps near
     * −1 (template-generated or truncated corpora bend it): the
     * vocabulary-health scalar next to [[q206VocabStats]]'s ratios.
-    * Rank is a total-order window over the VOCAB-sized count relation
+    * Rank is a TOTAL order over the vocab count relation
     * ((count DESC, word) — tied counts DO get different ranks, so the
-    * tie order is pinned by the total order rather than assumed away);
-    * the regression moments accumulate per-term via DECIMAL(27,18)
-    * casts of fixed ln() doubles, and slope/intercept/R² are one fixed
+    * tie order is pinned rather than assumed away), but it needs
+    * ln(rank) PER VOCAB ROW, which no tie-invariant collapse removes —
+    * so the Spark side assigns it with [[graft.operators.Prefix
+    * .globalRank]]'s two-pass range-partitioned scheme (local
+    * row_number per range + broadcast offsets) instead of the r12
+    * single-task `ROW_NUMBER() OVER (ORDER BY …)`: a 10⁸-type web
+    * vocab ranks in parallel across every executor. The regression
+    * moments accumulate per-term via DECIMAL(27,18) casts of fixed
+    * ln() doubles (order-invariant — partition boundaries can move
+    * without moving the answer), and slope/intercept/R² are one fixed
     * DOUBLE tree. One corpus scan, vocab-sized everything after. */
   val q235ZipfFit: QuerySpec = {
-    def text(spark: Boolean): String = {
-      val words =
-        if (spark) "SELECT explode(split(text, ' ')) AS word FROM documents"
-        else "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
-      s"""WITH c AS (SELECT word, COUNT(*) AS c FROM ($words) w GROUP BY word),
-         |r AS (SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word) AS DOUBLE)) AS lx,
-         |             LN(CAST(c AS DOUBLE)) AS ly
-         |      FROM c),
-         |m AS (SELECT COUNT(*) AS n,
-         |        CAST(SUM(CAST(lx AS DECIMAL(27,18))) AS DOUBLE) AS sx,
-         |        CAST(SUM(CAST(ly AS DECIMAL(27,18))) AS DOUBLE) AS sy,
-         |        CAST(SUM(CAST(lx * ly AS DECIMAL(27,18))) AS DOUBLE) AS sxy,
-         |        CAST(SUM(CAST(lx * lx AS DECIMAL(27,18))) AS DOUBLE) AS sx2,
-         |        CAST(SUM(CAST(ly * ly AS DECIMAL(27,18))) AS DOUBLE) AS sy2
-         |      FROM r)
-         |SELECT CAST(n AS BIGINT) AS vocab,
-         |  CAST(ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e6) AS BIGINT)
-         |    AS zipf_slope_e6,
-         |  CAST(ROUND((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n * 1e6)
-         |    AS BIGINT) AS intercept_e6,
-         |  CAST(ROUND(((n * sxy - sx * sy) / (n * sx2 - sx * sx))
-         |           * ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
-         |           * (n * sx2 - sx * sx) / (n * sy2 - sy * sy) * 1e6) AS BIGINT)
-         |    AS r2_e6
-         |FROM m""".stripMargin
+    val moments =
+      """WITH r AS (SELECT LN(CAST(rk AS DOUBLE)) AS lx,
+        |             LN(CAST(c AS DOUBLE)) AS ly
+        |      FROM q235_ranked),
+        |m AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(CAST(lx AS DECIMAL(27,18))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(ly AS DECIMAL(27,18))) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(lx * ly AS DECIMAL(27,18))) AS DOUBLE) AS sxy,
+        |        CAST(SUM(CAST(lx * lx AS DECIMAL(27,18))) AS DOUBLE) AS sx2,
+        |        CAST(SUM(CAST(ly * ly AS DECIMAL(27,18))) AS DOUBLE) AS sy2
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS vocab,
+        |  CAST(ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e6) AS BIGINT)
+        |    AS zipf_slope_e6,
+        |  CAST(ROUND((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n * 1e6)
+        |    AS BIGINT) AS intercept_e6,
+        |  CAST(ROUND(((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+        |           * ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+        |           * (n * sx2 - sx * sx) / (n * sy2 - sy * sy) * 1e6) AS BIGINT)
+        |    AS r2_e6
+        |FROM m""".stripMargin
+    val oracleText =
+      """WITH c AS (SELECT word, COUNT(*) AS c
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        |           GROUP BY word),
+        |q235_ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rk, c
+        |                FROM c),
+        |""".stripMargin + moments.stripPrefix("WITH ")
+    QuerySpec("q235_zipf_fit", oracleText) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val counts = sp.table("documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      graft.operators.Prefix
+        .globalRank(counts, Seq(col("c").desc, col("word")), "rk")
+        .select("rk", "c")
+        .createOrReplaceTempView("q235_ranked")
+      sp.sql(moments)
     }
-    QuerySpec.sql2("q235_zipf_fit", text(spark = true), text(spark = false))
   }
 
   /** Heaps'-law fit of vocabulary growth — [[q235ZipfFit]]'s companion
@@ -370,45 +389,65 @@ object CorpusStats {
     * curve needs no per-prefix rescan: each word contributes a NEW
     * vocab unit at its first-occurrence doc (word-keyed MIN — one
     * vocab-sized aggregate), per-doc token counts come from the same
-    * exploded stream, and both running sums are windows over the
-    * DOC-cardinality relation. The log-log OLS reuses the q235 moment
-    * recipe (per-term DECIMAL(27,18), fixed ln() doubles). */
+    * exploded stream, and both running sums are EXACT distributed
+    * prefix sums over the doc-grain relation via [[graft.operators
+    * .Prefix.prefixSums]] (range-partition on doc_id, local running
+    * sums per range, broadcast offsets) — the r12 version's
+    * unpartitioned `SUM() OVER (ORDER BY doc_id)` put the whole
+    * corpus-grain relation through ONE window task. The log-log OLS
+    * reuses the q235 moment recipe (per-term DECIMAL(27,18), fixed
+    * ln() doubles — order-invariant sums, so partition boundaries
+    * never move the answer). */
   val q243HeapsFit: QuerySpec = {
-    def text(spark: Boolean): String = {
-      val words =
-        if (spark) "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents"
-        else "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
-      s"""WITH w AS ($words),
-         |tok AS (SELECT doc_id, COUNT(*) AS toks FROM w GROUP BY doc_id),
-         |fo AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
-         |nw AS (SELECT first_doc AS doc_id, COUNT(*) AS new_words FROM fo GROUP BY first_doc),
-         |g AS (SELECT tok.doc_id,
-         |        CAST(SUM(tok.toks) OVER (ORDER BY tok.doc_id) AS BIGINT) AS cum_toks,
-         |        CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY tok.doc_id) AS BIGINT)
-         |          AS cum_vocab
-         |      FROM tok LEFT JOIN nw ON tok.doc_id = nw.doc_id),
-         |r AS (SELECT LN(CAST(cum_toks AS DOUBLE)) AS lx,
-         |             LN(CAST(cum_vocab AS DOUBLE)) AS ly
-         |      FROM g),
-         |m AS (SELECT COUNT(*) AS n,
-         |        CAST(SUM(CAST(lx AS DECIMAL(27,18))) AS DOUBLE) AS sx,
-         |        CAST(SUM(CAST(ly AS DECIMAL(27,18))) AS DOUBLE) AS sy,
-         |        CAST(SUM(CAST(lx * ly AS DECIMAL(27,18))) AS DOUBLE) AS sxy,
-         |        CAST(SUM(CAST(lx * lx AS DECIMAL(27,18))) AS DOUBLE) AS sx2,
-         |        CAST(SUM(CAST(ly * ly AS DECIMAL(27,18))) AS DOUBLE) AS sy2
-         |      FROM r)
-         |SELECT CAST(n AS BIGINT) AS n_docs,
-         |  CAST(ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e6) AS BIGINT)
-         |    AS heaps_beta_e6,
-         |  CAST(ROUND(EXP((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n) * 1e6)
-         |    AS BIGINT) AS heaps_k_e6,
-         |  CAST(ROUND(((n * sxy - sx * sy) / (n * sx2 - sx * sx))
-         |           * ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
-         |           * (n * sx2 - sx * sx) / (n * sy2 - sy * sy) * 1e6) AS BIGINT)
-         |    AS r2_e6
-         |FROM m""".stripMargin
+    val moments =
+      """WITH r AS (SELECT LN(CAST(cum_toks AS DOUBLE)) AS lx,
+        |             LN(CAST(cum_vocab AS DOUBLE)) AS ly
+        |      FROM q243_growth),
+        |m AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(CAST(lx AS DECIMAL(27,18))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(ly AS DECIMAL(27,18))) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(lx * ly AS DECIMAL(27,18))) AS DOUBLE) AS sxy,
+        |        CAST(SUM(CAST(lx * lx AS DECIMAL(27,18))) AS DOUBLE) AS sx2,
+        |        CAST(SUM(CAST(ly * ly AS DECIMAL(27,18))) AS DOUBLE) AS sy2
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e6) AS BIGINT)
+        |    AS heaps_beta_e6,
+        |  CAST(ROUND(EXP((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n) * 1e6)
+        |    AS BIGINT) AS heaps_k_e6,
+        |  CAST(ROUND(((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+        |           * ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+        |           * (n * sx2 - sx * sx) / (n * sy2 - sy * sy) * 1e6) AS BIGINT)
+        |    AS r2_e6
+        |FROM m""".stripMargin
+    val oracleText =
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tok AS (SELECT doc_id, COUNT(*) AS toks FROM w GROUP BY doc_id),
+        |fo AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
+        |nw AS (SELECT first_doc AS doc_id, COUNT(*) AS new_words FROM fo GROUP BY first_doc),
+        |q243_growth AS (SELECT tok.doc_id,
+        |        CAST(SUM(tok.toks) OVER (ORDER BY tok.doc_id) AS BIGINT) AS cum_toks,
+        |        CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY tok.doc_id) AS BIGINT)
+        |          AS cum_vocab
+        |      FROM tok LEFT JOIN nw ON tok.doc_id = nw.doc_id),
+        |""".stripMargin + moments.stripPrefix("WITH ")
+    QuerySpec("q243_heaps_fit", oracleText) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val w = sp.table("documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tok = w.groupBy("doc_id").agg(count(lit(1)).as("toks"))
+      val nw = w.groupBy("word").agg(min("doc_id").as("first_doc"))
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("new_words"))
+      val base = tok.join(nw, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("toks"),
+          coalesce(col("new_words"), lit(0L)).as("new_words"))
+      graft.operators.Prefix.prefixSums(base, Seq(col("doc_id")),
+          Seq(col("toks") -> "cum_toks", col("new_words") -> "cum_vocab"))
+        .select("cum_toks", "cum_vocab")
+        .createOrReplaceTempView("q243_growth")
+      sp.sql(moments)
     }
-    QuerySpec.sql2("q243_heaps_fit", text(spark = true), text(spark = false))
   }
 
   /** Leave-one-source-out influence of each source on a corpus
@@ -572,7 +611,12 @@ object CorpusStats {
     * never reaches the e6 rounding); the fitted P50/P90 (exp(μ),
     * exp(μ + z₀.₉σ)) compare against the exact interpolated empirical
     * percentiles computed in the SAME single aggregate (q199's
-    * multi-quantile call). One corpus scan, O(1) algebra after. */
+    * multi-quantile call). One corpus scan, O(1) algebra after.
+    * Zero-length docs are excluded up front (ln 0 is NULL in Spark
+    * but -inf/error in DuckDB, and a NULL-skipping SUM against a
+    * COUNT(*) that still counted the doc would silently bias μ/σ) —
+    * the fit and the empirical percentiles run over the SAME
+    * positive-length population. */
   val q303LognormalLengths: QuerySpec = {
     def text(spark: Boolean): String = {
       val ps =
@@ -581,7 +625,7 @@ object CorpusStats {
       val p50 = if (spark) "ps[0]" else "ps[1]"
       val p90 = if (spark) "ps[1]" else "ps[2]"
       s"""WITH v AS (SELECT LN(CAST(n_chars AS DOUBLE)) AS lx, n_chars
-         |           FROM documents),
+         |           FROM documents WHERE n_chars > 0),
          |m AS (SELECT COUNT(*) AS n,
          |        SUM(CAST(lx AS DECIMAL(27,18))) AS s1,
          |        SUM(CAST(lx * lx AS DECIMAL(27,18))) AS s2,

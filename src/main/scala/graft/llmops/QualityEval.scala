@@ -90,32 +90,45 @@ object QualityEval {
     * [[CorpusStats.q235ZipfFit]]'s scaling law (a boilerplate-heavy
     * corpus concentrates mass in few types; Gini surfaces it without
     * fitting anything). Both numbers are exact-integer functions of the
-    * VOCAB-sized count relation: Gini's sorted-rank identity
-    * G = 2·Σ rank·c / (V·T) − (V+1)/V is invariant to tie order among
-    * equal counts (a block of equal c contributes the same Σ rank·c
-    * under any permutation), and the total (count, word) order pins it
-    * anyway. One corpus scan, one vocab rollup, two windows over it. */
+    * COUNT-MULTIPLICITY relation (distinct count values c with their
+    * multiplicities m — ≪ vocab, let alone corpus): Gini's sorted-rank
+    * identity 2·Σ rank·c = Σ_blocks c·(2·m·lo + m² + m) because a block
+    * of m equal counts occupies the contiguous rank range
+    * (lo, lo+m] regardless of tie order (Gini is tie-invariant — equal
+    * c contributes the same Σ rank·c under any permutation), and the
+    * Lorenz top-1%-of-vocab cut takes LEAST(m, k − hi) whole-or-partial
+    * blocks off the descending end the same way. No per-vocab-row rank
+    * ever materializes: the only windows are running sums over the
+    * count-multiplicity relation itself (a web-scale vocab has ~10⁴
+    * distinct count values, not 10⁸ rows — the r12 single-task
+    * vocab-grain ROW_NUMBER is gone). All integer algebra, DECIMAL(38,0)
+    * headroom on the rank-weighted sum, one division at the end. */
   val q281TokenGini: QuerySpec = {
     def text(spark: Boolean): String = {
       val words =
         if (spark) "SELECT explode(split(text, ' ')) AS word FROM documents"
         else "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
       s"""WITH c AS (SELECT word, COUNT(*) AS c FROM ($words) w GROUP BY word),
-         |r AS (SELECT c,
-         |        ROW_NUMBER() OVER (ORDER BY c, word) AS rk,
-         |        ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rkd,
-         |        COUNT(*) OVER () AS vn
-         |      FROM c),
-         |m AS (SELECT COUNT(*) AS v, CAST(SUM(c) AS BIGINT) AS t,
-         |        CAST(SUM(rk * c) AS BIGINT) AS s,
-         |        CAST(SUM(CASE WHEN rkd <= CEIL(vn / 100.0)
-         |                      THEN c ELSE 0 END) AS BIGINT) AS top1
-         |      FROM r)
-         |SELECT CAST(v AS BIGINT) AS vocab, t AS tokens,
-         |  CAST(ROUND((2.0 * CAST(s AS DOUBLE) / (CAST(v AS DOUBLE) * t) - (CAST(v AS DOUBLE) + 1.0) / v) * 1e6) AS BIGINT)
+         |g AS (SELECT c, COUNT(*) AS m FROM c GROUP BY c),
+         |w AS (SELECT c, m,
+         |        COALESCE(SUM(m) OVER (ORDER BY c
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+         |        COALESCE(SUM(m) OVER (ORDER BY c DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hi
+         |      FROM g),
+         |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS v,
+         |          CAST(SUM(m * c) AS BIGINT) AS t
+         |        FROM g),
+         |m AS (SELECT
+         |        SUM(CAST(c AS DECIMAL(38,0)) * (2 * m * lo + m * m + m)) AS s2,
+         |        CAST(SUM(c * LEAST(m, GREATEST(CAST(0 AS BIGINT),
+         |               CAST(CEIL(v / 100.0) AS BIGINT) - hi))) AS BIGINT) AS top1
+         |      FROM w CROSS JOIN tot)
+         |SELECT tot.v AS vocab, tot.t AS tokens,
+         |  CAST(ROUND((CAST(s2 AS DOUBLE) / (CAST(tot.v AS DOUBLE) * tot.t) - (CAST(tot.v AS DOUBLE) + 1.0) / tot.v) * 1e6) AS BIGINT)
          |    AS gini_e6,
-         |  CAST(ROUND(top1 * 1e6 / CAST(t AS DOUBLE)) AS BIGINT) AS top1pct_share_e6
-         |FROM m""".stripMargin
+         |  CAST(ROUND(top1 * 1e6 / CAST(tot.t AS DOUBLE)) AS BIGINT) AS top1pct_share_e6
+         |FROM m CROSS JOIN tot""".stripMargin
     }
     QuerySpec.sql2("q281_token_gini", text(spark = true), text(spark = false))
   }
@@ -123,28 +136,47 @@ object QualityEval {
   /** Spearman rank correlation between document length (n_chars) and
     * lexical diversity (distinct-token count) — the monotone-relation
     * check Pearson (q247 family) can't give: rank first, then correlate.
-    * Average-rank tie handling is exact and window-based
-    * (min-rank + (tie-block − 1)/2, both halves integers or integer
-    * halves — exactly representable doubles); the rank products
-    * accumulate via DECIMAL(27,18) casts and ρ is one fixed DOUBLE
-    * tree. Two windows over the DOC-cardinality relation, no pair join
-    * (the rank-moment identity replaces the O(n²) concordance count). */
+    * Average-rank tie handling is exact and COLLAPSE-FIRST, the q278
+    * pattern: the corpus reduces to the joint (x, y, cnt) cell relation
+    * in one rollup, each marginal's average rank is
+    * below-count + (tie-block + 1)/2 — a running sum over the
+    * VALUE-cardinality marginal relation (|distinct x| rows, never the
+    * corpus; the r12 single-task corpus-grain RANK() is gone) — and the
+    * cells join their two marginal ranks back (both marginals are
+    * value-cardinality, broadcast-sized at any realistic scale). Rank
+    * halves are integers or integer halves — exactly representable
+    * doubles; the cnt-weighted rank products accumulate via
+    * DECIMAL(27,18) casts and ρ is one fixed DOUBLE tree (the
+    * rank-moment identity replaces the O(n²) concordance count). */
   val q282SpearmanCorr: QuerySpec = {
     def text(spark: Boolean): String = {
       val dw =
         if (spark) "size(array_distinct(split(text, ' ')))"
         else "len(list_distinct(string_split(text, ' ')))"
       s"""WITH d AS (SELECT n_chars AS x, $dw AS y FROM documents),
-         |r AS (SELECT
-         |        RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
-         |        RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
-         |      FROM d),
-         |m AS (SELECT COUNT(*) AS n,
-         |        CAST(SUM(CAST(rx AS DECIMAL(27,18))) AS DOUBLE) AS sx,
-         |        CAST(SUM(CAST(ry AS DECIMAL(27,18))) AS DOUBLE) AS sy,
-         |        CAST(SUM(CAST(rx * ry AS DECIMAL(27,18))) AS DOUBLE) AS sxy,
-         |        CAST(SUM(CAST(rx * rx AS DECIMAL(27,18))) AS DOUBLE) AS sx2,
-         |        CAST(SUM(CAST(ry * ry AS DECIMAL(27,18))) AS DOUBLE) AS sy2
+         |j AS (SELECT x, y, COUNT(*) AS cnt FROM d GROUP BY x, y),
+         |mx AS (SELECT x, CAST(SUM(cnt) AS BIGINT) AS cx
+         |       FROM j GROUP BY x),
+         |mxr AS (SELECT x,
+         |          COALESCE(SUM(cx) OVER (ORDER BY x
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          + (cx + 1) / 2.0 AS rx
+         |        FROM mx),
+         |my AS (SELECT y, CAST(SUM(cnt) AS BIGINT) AS cy
+         |       FROM j GROUP BY y),
+         |myr AS (SELECT y,
+         |          COALESCE(SUM(cy) OVER (ORDER BY y
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          + (cy + 1) / 2.0 AS ry
+         |        FROM my),
+         |r AS (SELECT j.cnt, mxr.rx, myr.ry
+         |      FROM j JOIN mxr ON j.x = mxr.x JOIN myr ON j.y = myr.y),
+         |m AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         |        CAST(SUM(CAST(cnt * rx AS DECIMAL(27,18))) AS DOUBLE) AS sx,
+         |        CAST(SUM(CAST(cnt * ry AS DECIMAL(27,18))) AS DOUBLE) AS sy,
+         |        CAST(SUM(CAST(cnt * rx * ry AS DECIMAL(27,18))) AS DOUBLE) AS sxy,
+         |        CAST(SUM(CAST(cnt * rx * rx AS DECIMAL(27,18))) AS DOUBLE) AS sx2,
+         |        CAST(SUM(CAST(cnt * ry * ry AS DECIMAL(27,18))) AS DOUBLE) AS sy2
          |      FROM r)
          |SELECT CAST(n AS BIGINT) AS n_docs,
          |  CAST(ROUND((n * sxy - sx * sy)

@@ -64,9 +64,13 @@ object TextAnalysis {
     * margins are integer counts from ONE corpus scan's per-doc
     * prediction, F1 uses the margin identity 2·tp/(n_pred + n_true) —
     * integers until the final division; a class never predicted
-    * reports precision 0 instead of dividing by zero. Scale shape: the
-    * prediction is pure map work; everything after runs on the
-    * ≤ |classes|-sized margin relations. */
+    * reports precision 0 instead of dividing by zero, and the report
+    * keys on the FULL OUTER union of true and predicted class sets —
+    * a class the heuristic invents (predicted but never true) still
+    * surfaces its false positives as an n_true=0 / recall-0 row
+    * rather than vanishing. Scale shape: the prediction is pure map
+    * work; everything after runs on the ≤ |classes|-sized margin
+    * relations. */
   val q301LangidConfusion: QuerySpec = {
     def text(spark: Boolean): String =
       s"""WITH p AS (${langidPredSql(spark)}),
@@ -76,20 +80,23 @@ object TextAnalysis {
          |acc AS (SELECT CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS hits,
          |               COUNT(*) AS n
          |        FROM p)
-         |SELECT t.lang, CAST(t.n_true AS BIGINT) AS n_true,
+         |SELECT COALESCE(t.lang, pr.pred_lang) AS lang,
+         |  CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
          |  CAST(COALESCE(pr.n_pred, 0) AS BIGINT) AS n_pred,
          |  CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
          |  CASE WHEN COALESCE(pr.n_pred, 0) = 0 THEN CAST(0 AS BIGINT)
          |       ELSE CAST(ROUND(COALESCE(tp.tp, 0) * 1e6 / pr.n_pred) AS BIGINT)
          |       END AS precision_e6,
-         |  CAST(ROUND(COALESCE(tp.tp, 0) * 1e6 / t.n_true) AS BIGINT) AS recall_e6,
+         |  CASE WHEN COALESCE(t.n_true, 0) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(ROUND(COALESCE(tp.tp, 0) * 1e6 / t.n_true) AS BIGINT)
+         |       END AS recall_e6,
          |  CAST(ROUND(2 * COALESCE(tp.tp, 0) * 1e6
-         |             / (COALESCE(pr.n_pred, 0) + t.n_true)) AS BIGINT) AS f1_e6,
+         |             / (COALESCE(pr.n_pred, 0) + COALESCE(t.n_true, 0))) AS BIGINT) AS f1_e6,
          |  CAST(ROUND(acc.hits * 1e6 / acc.n) AS BIGINT) AS accuracy_e6
-         |FROM t LEFT JOIN pr ON t.lang = pr.pred_lang
-         |       LEFT JOIN tp ON t.lang = tp.lang
+         |FROM t FULL OUTER JOIN pr ON t.lang = pr.pred_lang
+         |       LEFT JOIN tp ON COALESCE(t.lang, pr.pred_lang) = tp.lang
          |       CROSS JOIN acc
-         |ORDER BY t.lang""".stripMargin
+         |ORDER BY lang""".stripMargin
     QuerySpec.sql2("q301_eval_langid_confusion", text(spark = true), text(spark = false))
   }
 

@@ -1185,7 +1185,10 @@ object Events {
     * terms are fixed DOUBLE trees over exact integers accumulated
     * through DECIMAL(27,18) — summation order never reaches the e6
     * rounding. Integer literals (2 * ABS..) keep the q288
-    * decimal-literal trap out of the shared text. */
+    * decimal-literal trap out of the shared text. A perfectly constant
+    * series zeroes the naive MAE (the MASE denominator); the scaled
+    * rows report NULL instead of dividing by it (Spark's non-ANSI
+    * x/0 = NULL vs DuckDB's Infinity would otherwise diverge). */
   val q296ForecastBacktest: QuerySpec = QuerySpec.sql(
     "q296_forecast_backtest",
     """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
@@ -1221,13 +1224,15 @@ object Events {
       |  SELECT 'seasonal_naive' AS method, CAST(n AS BIGINT) AS n_eval,
       |    CAST(ROUND(CAST(ae7 AS DOUBLE) * 1e6 / n) AS BIGINT) AS mae_e6,
       |    CAST(ROUND(CAST(sm7 AS DOUBLE) * 1e6 / n) AS BIGINT) AS smape_e6,
-      |    CAST(ROUND(CAST(ae7 AS DOUBLE) / ae1 * 1e6) AS BIGINT) AS mase_e6
+      |    CASE WHEN ae1 = 0 THEN CAST(NULL AS BIGINT)
+      |         ELSE CAST(ROUND(CAST(ae7 AS DOUBLE) / ae1 * 1e6) AS BIGINT) END AS mase_e6
       |  FROM m
       |  UNION ALL
       |  SELECT 'drift' AS method, CAST(n AS BIGINT) AS n_eval,
       |    CAST(ROUND(CAST(aed AS DOUBLE) * 1e6 / n) AS BIGINT) AS mae_e6,
       |    CAST(ROUND(CAST(smd AS DOUBLE) * 1e6 / n) AS BIGINT) AS smape_e6,
-      |    CAST(ROUND(CAST(aed AS DOUBLE) / ae1 * 1e6) AS BIGINT) AS mase_e6
+      |    CASE WHEN ae1 = 0 THEN CAST(NULL AS BIGINT)
+      |         ELSE CAST(ROUND(CAST(aed AS DOUBLE) / ae1 * 1e6) AS BIGINT) END AS mase_e6
       |  FROM m) u
       |ORDER BY method""".stripMargin)
 
@@ -1356,7 +1361,12 @@ object Events {
     * no trig libm call at query time), each projection term is one
     * fixed DOUBLE tree over exact integers, and the three Σ run
     * through DECIMAL(27,18). Scale shape: corpus → day relation in
-    * ONE rollup, 7-row broadcast grid join, single-row algebra. */
+    * ONE rollup, 7-row broadcast grid join, single-row algebra.
+    * The phase index uses the non-negative modulus ((i%7)+7)%7 so
+    * pre-epoch days still hit the grid (both engines' % keeps the
+    * dividend's sign — a bare i%7 would silently drop those rows from
+    * the projection sums while n still counted them), and a
+    * zero-variance series reports share 0, q299's convention. */
   val q305WeeklySpectrum: QuerySpec = {
     def text(spark: Boolean): String = {
       val idx =
@@ -1379,7 +1389,7 @@ object Events {
          |m AS (SELECT CAST(SUM(c) AS BIGINT) AS sc, COUNT(*) AS n FROM x),
          |g AS ($grid),
          |r AS (SELECT x.c, m.sc, m.n, g.cw, g.sw
-         |      FROM x CROSS JOIN m JOIN g ON g.k = x.i % 7),
+         |      FROM x CROSS JOIN m JOIN g ON g.k = ((x.i % 7) + 7) % 7),
          |s AS (SELECT
          |        SUM(CAST((c - CAST(sc AS DOUBLE) / n) * cw AS DECIMAL(27,18))) AS a,
          |        SUM(CAST((c - CAST(sc AS DOUBLE) / n) * sw AS DECIMAL(27,18))) AS b,
@@ -1392,9 +1402,10 @@ object Events {
          |  CAST(ROUND((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
          |              + CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) * 1e2) AS BIGINT)
          |    AS power_e2,
-         |  CAST(ROUND(2 * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+         |  CASE WHEN CAST(sse AS DOUBLE) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(ROUND(2 * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
          |                  + CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
-         |             / (m.n * CAST(sse AS DOUBLE)) * 1e6) AS BIGINT)
+         |             / (m.n * CAST(sse AS DOUBLE)) * 1e6) AS BIGINT) END
          |    AS weekly_var_share_e6
          |FROM s CROSS JOIN m""".stripMargin
     }
