@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule(_ => graft.plans.RangeBucketJoinRewrite)
     extensions.injectOptimizerRule(_ => graft.plans.AppxCountDistinctRewrite)
     extensions.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
+    extensions.injectOptimizerRule(_ => graft.plans.SmallQueryFastPath)
   }
 }

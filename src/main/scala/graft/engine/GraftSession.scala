@@ -87,6 +87,9 @@ object GraftSession {
     if (!s.experimental.extraOptimizations.contains(graft.plans.BoundedLevenshteinRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.BoundedLevenshteinRewrite
+    if (!s.experimental.extraOptimizations.contains(graft.plans.SmallQueryFastPath))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.SmallQueryFastPath
     s
   }
 }
