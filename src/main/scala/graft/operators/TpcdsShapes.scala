@@ -188,7 +188,14 @@ object TpcdsShapes {
 
   /** TPC-DS Q14 shape: cross-channel items via INTERSECT (parts that
     * moved in all three return-flag channels), then brand revenue
-    * restricted to that intersection. */
+    * restricted to that intersection. The restriction is an INNER JOIN
+    * on the intersection (set semantics make it distinct, so the join
+    * is multiplicity-safe) rather than an IN-subquery: the semi join
+    * an IN plans propagates through the p_partkey = l_partkey equality
+    * constraint onto the part branch too, and the whole 3-scan
+    * intersection gets COMPUTED TWICE (7 fact scans — observed, and
+    * exactly the plan you can't afford at 100 TB). PlanSpec pins the
+    * 4-scan shape. */
   val q260CrossChannelItems: QuerySpec = QuerySpec.sql(
     "q260_dss_cross_channel_items",
     s"""WITH cross_items AS (
@@ -199,8 +206,9 @@ object TpcdsShapes {
        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
        |SELECT p_brand, CAST(SUM($Vol) AS DOUBLE) AS sales,
        |       COUNT(*) AS n_lines
-       |FROM lineitem JOIN part ON l_partkey = p_partkey
-       |WHERE l_partkey IN (SELECT item FROM cross_items)
+       |FROM lineitem
+       |JOIN cross_items ON l_partkey = item
+       |JOIN part ON l_partkey = p_partkey
        |GROUP BY p_brand
        |ORDER BY p_brand""".stripMargin)
 
@@ -438,18 +446,25 @@ object TpcdsShapes {
        |LIMIT 100""".stripMargin)
 
   /** TPC-DS Q65 shape: below-average performers — the per-brand revenue
-    * aggregate compared against the scalar all-brand average via a
-    * broadcast single-row cross join. */
+    * aggregate compared against the scalar all-brand average. The
+    * average comes from an unordered window over the ALREADY-AGGREGATED
+    * brand relation (|brands| rows), not a second CTE reference: Spark
+    * inlines WITH, so the `sb, av` cross-join form would rescan and
+    * re-aggregate the whole fact — one lineitem scan is the plan this
+    * must keep at 100×, and PlanSpec pins it. The window SUM stays
+    * exact DECIMAL until the one cast. */
   val q271BelowAvgBrands: QuerySpec = QuerySpec.sql(
     "q271_dss_below_avg_brands",
     s"""WITH sb AS (
        |  SELECT p_brand, SUM($Vol) AS rev
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
        |  GROUP BY p_brand),
-       |av AS (SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS a FROM sb)
+       |w AS (SELECT p_brand, rev,
+       |        CAST(SUM(rev) OVER () AS DOUBLE) / COUNT(*) OVER () AS a
+       |      FROM sb)
        |SELECT p_brand, CAST(ROUND(CAST(rev AS DOUBLE) * 100) AS BIGINT) AS rev_c
-       |FROM sb, av
-       |WHERE CAST(rev AS DOUBLE) <= av.a
+       |FROM w
+       |WHERE CAST(rev AS DOUBLE) <= a
        |ORDER BY p_brand""".stripMargin)
 
   /** TPC-DS Q62/Q99 shape: shipping-delay bucket matrix per supplier
@@ -476,20 +491,24 @@ object TpcdsShapes {
     QuerySpec.sql2("q272_dss_ship_delay_buckets", text(spark = true), text(spark = false))
   }
 
-  /** TPC-DS Q61 shape: promotional revenue share — two scalar channel
-    * aggregates cross-joined into one ratio row (each side a broadcast
-    * of exactly one row). */
+  /** TPC-DS Q61 shape: promotional revenue share. The textbook form
+    * cross-joins two scalar aggregates (that family's plan is pinned by
+    * q261); here both numerator and denominator come from ONE
+    * conditional aggregation over a single fact scan — the same answer
+    * (exact DECIMAL sums either way) at half the I/O, which is the plan
+    * that matters when the fact is 100 TB. PlanSpec pins the single
+    * scan. */
   val q273PromoShare: QuerySpec = QuerySpec.sql(
     "q273_dss_promo_share",
     s"""SELECT
        |  CAST(ROUND(promo * 1e6 / total) AS BIGINT) AS promo_share_e6,
        |  CAST(ROUND(promo * 100) AS BIGINT) AS promo_c,
        |  CAST(ROUND(total * 100) AS BIGINT) AS total_c
-       |FROM (SELECT CAST(SUM($Vol) AS DOUBLE) AS promo
-       |      FROM lineitem JOIN part ON l_partkey = p_partkey
-       |      WHERE p_type LIKE 'PROMO%') p,
-       |     (SELECT CAST(SUM($Vol) AS DOUBLE) AS total
-       |      FROM lineitem JOIN part ON l_partkey = p_partkey) t""".stripMargin)
+       |FROM (SELECT
+       |    CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $Vol ELSE $Zero END)
+       |      AS DOUBLE) AS promo,
+       |    CAST(SUM($Vol) AS DOUBLE) AS total
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey) t""".stripMargin)
 
   val all: Seq[QuerySpec] = Seq(
     q254StarDateBrand, q255ChannelRollup, q256ReturnsAboveAvg,

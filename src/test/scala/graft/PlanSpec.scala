@@ -846,6 +846,139 @@ class PlanSpec extends EngineSuite {
     }
   }
 
+  // ---- TPC-DS shape pins, q257–q273 (q254/q255/q256/q258/q261/q264
+  // are pinned above): each asserts the physical claim that makes the
+  // shape scale — broadcast dims, semi-join reductions instead of
+  // products, bounded fact-scan counts, partitioned windows, TopN.
+
+  private def scans(p: String, table: String): Int = {
+    val t = s"$table.parquet"
+    p.sliding(t.length).count(_ == t)
+  }
+
+  test("q257 (TPC-DS Q95 shape): fact self-join hashes, IN subqueries plan semi joins") {
+    val p = plan("q257_dss_multi_supplier_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fact self-join fell back to a product join: " + p.take(1500))
+    assert(p.contains("LeftSemi"), "IN subqueries did not plan semi joins: " + p.take(1500))
+  }
+
+  test("q259 (TPC-DS Q34 shape): basket report keeps TopN and broadcasts the customer dim") {
+    val p = plan("q259_dss_order_size_buckets")
+    assert(p.contains("TakeOrderedAndProject"), "ORDER+LIMIT did not plan TopN: " + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), "customer dim not broadcast: " + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q260 (TPC-DS Q14 shape): INTERSECT plans semi joins; intersection computed once") {
+    // the IN-subquery form replicated the whole 3-scan intersection onto
+    // the part branch via the join-key equality constraint (7 fact
+    // scans); the inner-join form must keep 3 intersect + 1 main
+    val p = plan("q260_dss_cross_channel_items")
+    assert(p.contains("LeftSemi"), "INTERSECT did not plan semi joins: " + p.take(1500))
+    assert(scans(p, "lineitem") == 4,
+      s"expected 4 lineitem scans (3 intersect branches + 1 main), got ${scans(p, "lineitem")}")
+    assert(p.contains("BroadcastHashJoin"), "part dim not broadcast: " + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q262 (TPC-DS Q58 shape): period compare broadcasts the part dim, no products") {
+    val p = plan("q262_dss_channel_compare")
+    assert(p.contains("BroadcastHashJoin"), "part dim not broadcast: " + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("q263 (TPC-DS Q23 shape): both CTE restrictions plan semi joins, no cartesian") {
+    val p = plan("q263_dss_frequent_best_customers")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "expected two semi-join reductions: " + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q265 (TPC-DS Q47 shape): one fact scan; every window partitioned by brand") {
+    val df = SparkEntry.queries("q265_dss_monthly_vs_avg")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(scans(p, "lineitem") == 1, s"expected 1 lineitem scan, got ${scans(p, "lineitem")}")
+    assert(p.contains("BroadcastHashJoin"), "part dim not broadcast: " + p.take(1500))
+    val global = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "trend windows must be brand-partitioned, not global")
+  }
+
+  test("q266 (TPC-DS Q93 shape): returns-adjusted bottom-N keeps TopN, no products") {
+    val p = plan("q266_dss_sales_after_returns")
+    assert(p.contains("TakeOrderedAndProject"), "ORDER+LIMIT did not plan TopN: " + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("q267 (TPC-DS Q33 shape): channel slices push the flag filter; 3 bounded fact scans") {
+    val p = plan("q267_dss_union_channel_items")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,A)")
+      || p.contains("EqualTo(l_returnflag,A)"),
+      "channel filter not pushed to the scan: " + p.take(1500))
+    assert(scans(p, "lineitem") == 3,
+      s"expected 3 channel-sliced lineitem scans, got ${scans(p, "lineitem")}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q268 (TPC-DS Q11 shape): year-over-year growth keeps TopN and broadcasts customer") {
+    val p = plan("q268_dss_year_over_year")
+    assert(p.contains("TakeOrderedAndProject"), "ORDER+LIMIT did not plan TopN: " + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), "customer dim not broadcast: " + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q269 (TPC-DS Q51 shape): cumulative windows brand-partitioned; full join, no products") {
+    val df = SparkEntry.queries("q269_dss_cumulative_cross")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), "channel compare lost the FULL OUTER join: " + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    val global = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "cumulative windows must be brand-partitioned, not global")
+  }
+
+  test("q270 (TPC-DS Q17 shape): both channel stats push the flag filter and keep TopN") {
+    val p = plan("q270_dss_item_stats_channels")
+    assert(p.contains("EqualTo(l_returnflag,A)") && p.contains("EqualTo(l_returnflag,N)"),
+      "channel filters not pushed to the scans: " + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), "ORDER+LIMIT did not plan TopN: " + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q271 (TPC-DS Q65 shape): below-average screen aggregates the fact exactly once") {
+    // the `sb, av` cross-join form would inline the CTE twice and rescan
+    // the fact; the window form must keep ONE lineitem scan
+    val p = plan("q271_dss_below_avg_brands")
+    assert(scans(p, "lineitem") == 1,
+      s"expected 1 lineitem scan, got ${scans(p, "lineitem")}: " + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), "part dim not broadcast: " + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q272 (TPC-DS Q62 shape): delay matrix broadcasts supplier+nation, one fact scan") {
+    val p = plan("q272_dss_ship_delay_buckets")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "supplier/nation dims not broadcast: " + p.take(1500))
+    assert(scans(p, "lineitem") == 1, s"expected 1 lineitem scan, got ${scans(p, "lineitem")}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q273 (TPC-DS Q61 shape): promo share is one conditional aggregate over one fact scan") {
+    val p = plan("q273_dss_promo_share")
+    assert(scans(p, "lineitem") == 1,
+      s"expected 1 lineitem scan, got ${scans(p, "lineitem")}: " + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "scalar ratio planned a product join: " + p.take(1500))
+  }
+
   test("q237: staged retrieval eval never scans a base table twice in one job") {
     // the SQL form would re-inline the shared CTEs (two embeddings + two
     // documents scans); the staged DataFrame form materializes each once,
@@ -857,6 +990,114 @@ class PlanSpec extends EngineSuite {
       "final job rescans embeddings: " + p.take(2000))
     assert(occurrences("documents.parquet") <= 1,
       "final job rescans documents: " + p.take(2000))
+  }
+
+  test("small-query fast path: provably tiny queries plan zero exchanges (exec_single_node_rows_threshold)") {
+    // reference: planner/Planner.java:91-108 + MaxRowsProcessedVisitor —
+    // under the threshold the plan must run single-node. Here: every leaf
+    // coalesced to SinglePartition ⇒ EnsureRequirements inserts nothing.
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_small_t")
+    s.table("nation").write.mode("overwrite").saveAsTable("graft_small_t")
+    try {
+      s.sql("ANALYZE TABLE graft_small_t COMPUTE STATISTICS")
+      def shuffles(sql: String): Int =
+        "Exchange (hash|range)partitioning|Exchange SinglePartition".r
+          .findAllIn(s.sql(sql).queryExecution.executedPlan.toString).size
+      val q = "SELECT n_regionkey, COUNT(*) AS c FROM graft_small_t " +
+        "GROUP BY n_regionkey ORDER BY n_regionkey"
+      // default threshold (100, the reference default) covers the 25-row
+      // analyzed table: agg + global sort, zero exchanges
+      assert(shuffles(q) == 0,
+        "tiny analyzed table still planned exchanges:\n" +
+          s.sql(q).queryExecution.executedPlan.toString.take(1500))
+      // the proof requirement: the same query over the raw parquet view
+      // (no row-count stats) must KEEP the distributed plan
+      val qv = "SELECT n_regionkey, COUNT(*) AS c FROM nation " +
+        "GROUP BY n_regionkey ORDER BY n_regionkey"
+      assert(shuffles(qv) >= 1,
+        "fast path fired without a cardinality proof")
+      // threshold 0 disables (the reference's opt-out)
+      s.conf.set(graft.plans.SmallQueryFastPath.ThresholdKey, "0")
+      try assert(shuffles(q) >= 1, "disabled fast path should keep exchanges")
+      finally s.conf.unset(graft.plans.SmallQueryFastPath.ThresholdKey)
+      // a literal LIMIT over an unfiltered scan is also a proof
+      val ql = "SELECT * FROM (SELECT o_orderkey FROM orders LIMIT 7) t " +
+        "ORDER BY o_orderkey"
+      assert(shuffles(ql) == 0,
+        "LIMIT-bounded scan still planned exchanges:\n" +
+          s.sql(ql).queryExecution.executedPlan.toString.take(1500))
+      // and the fast-path plan returns the same rows as the distributed one
+      val fast = s.sql(q).collect().toSeq
+      s.conf.set(graft.plans.SmallQueryFastPath.ThresholdKey, "0")
+      val dist = try s.sql(q).collect().toSeq
+      finally s.conf.unset(graft.plans.SmallQueryFastPath.ThresholdKey)
+      assert(fast == dist, "fast path changed the result")
+    } finally s.sql("DROP TABLE IF EXISTS graft_small_t")
+  }
+
+  // ---- single-task-window sweep (the 100 TB rank discipline) ----------
+  // An unpartitioned `ROW_NUMBER()/SUM() OVER (ORDER BY …)` plans ONE
+  // window task that sorts the whole input; it is only admissible over a
+  // relation an aggregate has already collapsed to bounded cardinality.
+  // These pins encode the two legal shapes: (a) the window's ORDER BY key
+  // IS the grouping key of the collapse feeding it (value-cardinality
+  // running sums, the q278 pattern), or (b) the rank was assigned by
+  // Prefix's range-partitioned two-pass scheme and the only global-order
+  // window left is the per-range offsets rollup (≤ shuffle.partitions
+  // rows, keyed by spark_partition_id).
+
+  private def globalWindows(name: String) =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+
+  test("q281/q282: every global-order window runs over a relation collapsed on its own order key") {
+    for (name <- Seq("q281_token_gini", "q282_spearman_corr")) {
+      val ws = globalWindows(name)
+      assert(ws.nonEmpty, s"$name: expected collapsed running-sum windows")
+      ws.foreach { w =>
+        val orderAttrs = w.orderSpec.flatMap(_.child.references.toSeq.map(_.name)).toSet
+        val agg = w.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(agg.isDefined,
+          s"$name: global-order window with no aggregate collapse below it")
+        val groupAttrs =
+          agg.get.groupingExpressions.flatMap(_.references.toSeq.map(_.name)).toSet
+        assert(orderAttrs.subsetOf(groupAttrs),
+          s"$name: window orders by $orderAttrs but the feeding aggregate groups by " +
+            s"$groupAttrs — the window input is not value-collapsed on the order key")
+      }
+    }
+  }
+
+  test("q235/q243: corpus/vocab-grain ranks are range-partitioned; only the offsets rollup is global") {
+    for (name <- Seq("q235_zipf_fit", "q243_heaps_fit")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      // the heavy rank / running-sum windows are partitioned (one task
+      // per range, parallel across the cluster)…
+      val partitioned = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.nonEmpty => w
+      }
+      assert(partitioned.nonEmpty,
+        s"$name: expected the Prefix per-range window, found none")
+      // …and every remaining global-order window is the tiny offsets
+      // rollup over the spark_partition_id aggregate, never the corpus
+      val global = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(global.nonEmpty, s"$name: expected the offsets window")
+      global.foreach { w =>
+        assert(w.toString.contains("__pid"),
+          s"$name: global-order window is not the per-range offsets rollup:\n" +
+            w.toString.take(1500))
+      }
+    }
   }
 
 }
