@@ -1,0 +1,125 @@
+package graft
+
+import graft.engine.RequestPools
+import graft.engine.RequestPools._
+
+/** Pins the reference RequestPoolService behaviors
+  * (util/RequestPoolService.java) on the Spark fair-scheduler mapping:
+  * placement precedence, ACL inheritance, per-pool limit key
+  * precedence, admission decisions, and the spark.scheduler.pool
+  * binding. */
+class RequestPoolsSpec extends EngineSuite {
+
+  private val allocXml =
+    """<?xml version="1.0"?>
+      |<allocations>
+      |  <queue name="root">
+      |    <aclSubmitApps> </aclSubmitApps>
+      |    <queue name="queueA">
+      |      <aclSubmitApps>* </aclSubmitApps>
+      |      <maxResources>1024 mb, 2 vcores</maxResources>
+      |    </queue>
+      |    <queue name="queueB">
+      |      <aclSubmitApps>userB root</aclSubmitApps>
+      |    </queue>
+      |    <queue name="team">
+      |      <aclSubmitApps>lead</aclSubmitApps>
+      |      <queue name="child">
+      |        <aclSubmitApps> </aclSubmitApps>
+      |      </queue>
+      |    </queue>
+      |  </queue>
+      |  <queuePlacementPolicy>
+      |    <rule name="specified" create="false"/>
+      |    <rule name="reject"/>
+      |  </queuePlacementPolicy>
+      |</allocations>""".stripMargin
+
+  private val poolsStrict = RequestPools.fromXml(allocXml)
+
+  test("kerberos principals resolve by short name") {
+    assert(shortName("user1@DOMAIN.COM") == "user1")
+    assert(shortName("svc/host01@REALM") == "svc")
+    assert(shortName("plain") == "plain")
+  }
+
+  test("specified(create=false) + reject: declared pools resolve, everything else rejects") {
+    // an empty request means the default queue, which `specified` skips —
+    // with only `reject` behind it, resolution yields no pool (the
+    // reference returns OK with no resolved_pool)
+    assert(poolsStrict.resolve("", "userA").isEmpty)
+    // declared pools resolve, with and without the root. prefix
+    assert(poolsStrict.resolve("queueA", "userA").contains("root.queueA"))
+    assert(poolsStrict.resolve("root.queueA", "userA").contains("root.queueA"))
+    // an undeclared pool with create=false falls through to reject
+    assert(poolsStrict.resolve("nope", "userA").isEmpty)
+  }
+
+  test("user and default placement rules") {
+    val xml = allocXml.replace(
+      """<rule name="specified" create="false"/>
+        |    <rule name="reject"/>""".stripMargin,
+      """<rule name="specified" create="false"/>
+        |    <rule name="user" create="false"/>
+        |    <rule name="default" queue="root.queueB"/>""".stripMargin)
+    val p = RequestPools.fromXml(xml)
+    // user rule matches a declared pool named after the (short) user…
+    assert(p.resolve("", "queueA@REALM").contains("root.queueA"))
+    assert(p.resolve("", "team").contains("root.team"))
+    // …otherwise the default rule's queue wins
+    assert(p.resolve("", "nobody").contains("root.queueB"))
+    assert(p.resolve("undeclared", "nobody").contains("root.queueB"))
+  }
+
+  test("aclSubmitApps: wildcard, user list, and ancestor inheritance") {
+    assert(poolsStrict.hasAccess("root.queueA", "anyone"))
+    assert(poolsStrict.hasAccess("root.queueB", "userB@KDC"))
+    assert(!poolsStrict.hasAccess("root.queueB", "userA"))
+    // the parent team ACL admits into team.child (YARN hierarchy check)
+    assert(poolsStrict.hasAccess("root.team.child", "lead"))
+    assert(!poolsStrict.hasAccess("root.team.child", "other"))
+  }
+
+  test("per-pool limits: per-pool key > default key > built-in default; mem from maxResources") {
+    val p = RequestPools.fromXml(allocXml, limits = Map(
+      "max-requests" -> "10",
+      "max-requests.root.queueB" -> "3",
+      "max-queued.root.queueB" -> "1",
+      "queue-timeout-ms.root.queueB" -> "60000"))
+    assert(p.poolConfig("queueB").maxRequests == 3)
+    assert(p.poolConfig("queueA").maxRequests == 10)
+    assert(p.poolConfig("queueA").maxQueued == DefaultMaxQueued)
+    assert(p.poolConfig("queueB").queueTimeoutMs.contains(60000))
+    assert(p.poolConfig("queueA").queueTimeoutMs.isEmpty)
+    assert(p.poolConfig("queueA").maxMemBytes == 1024L * 1024 * 1024)
+    assert(p.poolConfig("queueB").maxMemBytes == -1L)
+  }
+
+  test("admission: disabled pool rejects, then admit under limit, queue, reject-full") {
+    val p = RequestPools.fromXml(allocXml, limits = Map(
+      "max-requests.root.queueB" -> "2",
+      "max-queued.root.queueB" -> "1",
+      "max-requests.root.team" -> "0"))
+    assert(p.admit("team", running = 0, queued = 0)
+      .isInstanceOf[Rejected]) // max_requests=0 disables the pool
+    assert(p.admit("queueB", running = 1, queued = 0) == Admitted)
+    assert(p.admit("queueB", running = 2, queued = 0) == Queued)
+    assert(p.admit("queueB", running = 2, queued = 1).isInstanceOf[Rejected])
+    // unlimited defaults admit
+    assert(p.admit("queueA", running = 199, queued = 0) == Admitted)
+  }
+
+  test("assign binds the resolved pool to the thread's fair-scheduler slot") {
+    val sc = spark.sparkContext
+    val before = sc.getLocalProperty("spark.scheduler.pool")
+    try {
+      assert(poolsStrict.assign(spark, "queueA", "userA@X") == Right("root.queueA"))
+      assert(sc.getLocalProperty("spark.scheduler.pool") == "root.queueA")
+      // access denied leaves an error, with the reference's message shape
+      val denied = poolsStrict.assign(spark, "queueB", "userA")
+      assert(denied.isLeft && denied.swap.exists(_.contains("not authorized")))
+      // unresolved pool is an error too
+      assert(poolsStrict.assign(spark, "nope", "userA").isLeft)
+    } finally sc.setLocalProperty("spark.scheduler.pool", before)
+  }
+}
