@@ -36,8 +36,12 @@ object Bench {
     // interactive-latency number); warm = best of three post-cold
     // executions (steady state — the min filters scheduler/GC noise so
     // round-over-round comparisons track code changes, not machine load;
-    // observed run-to-run drift on this container is ±15-20%)
-    val cold = names.map(n => n -> run(n))
+    // observed run-to-run drift on this container is ±15-20%).
+    // Cold runs follow registration order, so a heavy query's GC/JIT
+    // debt used to land in the NEXT query's cold slot (r12: q19 cold
+    // 13s after the q258 rollup, warm unchanged at 0.75s) — a System.gc
+    // between cold timings keeps each cold number its own.
+    val cold = names.map { n => System.gc(); n -> run(n) }
     val warmRuns = Seq.fill(3)(names.map(n => n -> run(n)).toMap)
     val warm = names.map { n =>
       val ok = warmRuns.map(_(n)).filter(_ >= 0)
