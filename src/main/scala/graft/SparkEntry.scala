@@ -29,7 +29,8 @@ object SparkEntry {
       llmops.Clustering.all ++
       llmops.Retrieval.all ++
       llmops.CorpusStats.all ++
-      llmops.QualityEval.all
+      llmops.QualityEval.all ++
+      llmops.Reliability.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,277 @@
+package graft.llmops
+
+import graft.QuerySpec
+
+/** Annotation-reliability and data-governance statistics — the layer a
+  * curation pipeline needs once labels come from MULTIPLE cheap sources:
+  * do three heuristic raters agree beyond chance (Fleiss' κ,
+  * Krippendorff's α — the multi-rater generalizations of q279's
+  * two-rater Cohen κ), do two PARTITIONS of the corpus agree (adjusted
+  * Rand index), is a ranking good where it matters (nDCG@k, the graded
+  * complement to q230's recall/MRR and q290's RBO), and governance
+  * screens: quasi-identifier k-anonymity, encoding/mojibake QC, and
+  * readability. §8.4 build-brief extensions; no reference analogue.
+  *
+  * Scale design: every statistic collapses the corpus FIRST — the
+  * 4-value vote-count relation for κ/α (three binary raters ⇒ c ∈
+  * 0..3), the |classes|² contingency table for ARI, rank-filtered
+  * top-k windows (map-side WindowGroupLimit) for nDCG, one
+  * quasi-identifier rollup for k-anonymity — and per-document signals
+  * (syllables, sentences, encoding counts) are pure map work.
+  *
+  * Determinism (house rules): exact integer algebra until one final
+  * division; fixed DOUBLE trees; micro-unit (…_e6/_e2) outputs; double
+  * sums through DECIMAL(27,18); every rank total-ordered. */
+object Reliability {
+
+  /** The three deterministic binary raters shared by q306/q307: length,
+    * token count, and type-token-ratio quality flags — three genuinely
+    * different cheap signals, so their agreement statistics are
+    * informative. `2·distinct ≥ words` keeps the TTR test exact
+    * integer. */
+  private def votesSql(spark: Boolean): String = {
+    val words =
+      if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+    val dw =
+      if (spark) "size(array_distinct(split(text, ' ')))"
+      else "len(list_distinct(string_split(text, ' ')))"
+    s"""SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+       |     + CASE WHEN $words >= 55 THEN 1 ELSE 0 END
+       |     + CASE WHEN 2 * $dw >= $words THEN 1 ELSE 0 END AS c
+       |FROM documents""".stripMargin
+  }
+
+  /** Fleiss' kappa for the three binary raters. With m = 3 raters the
+    * per-item agreement P_i = (c(c−1) + (3−c)(2−c)) / 6 depends only on
+    * the positive-vote count c ∈ 0..3, so the corpus collapses to the
+    * FOUR-row (c, multiplicity) relation and κ is a fixed DOUBLE tree
+    * over three exact integers (n, Σc, Σ6P_i). A degenerate corpus
+    * where every vote lands in one category has chance agreement 1 and
+    * κ undefined — reported NULL, the q296 convention. The c-histogram
+    * rides along: it is the entire sufficient statistic. */
+  val q306FleissKappa: QuerySpec = {
+    def text(spark: Boolean): String =
+      s"""WITH d AS (${votesSql(spark)}),
+         |g AS (SELECT c, COUNT(*) AS m FROM d GROUP BY c),
+         |v AS (SELECT
+         |        CAST(SUM(CASE WHEN c = 0 THEN m ELSE 0 END) AS BIGINT) AS votes0,
+         |        CAST(SUM(CASE WHEN c = 1 THEN m ELSE 0 END) AS BIGINT) AS votes1,
+         |        CAST(SUM(CASE WHEN c = 2 THEN m ELSE 0 END) AS BIGINT) AS votes2,
+         |        CAST(SUM(CASE WHEN c = 3 THEN m ELSE 0 END) AS BIGINT) AS votes3,
+         |        CAST(SUM(m) AS BIGINT) AS n,
+         |        CAST(SUM(m * c) AS BIGINT) AS tt,
+         |        CAST(SUM(m * (c * (c - 1) + (3 - c) * (2 - c))) AS BIGINT) AS s6
+         |      FROM g),
+         |f AS (SELECT n, tt, s6, votes0, votes1, votes2, votes3,
+         |        CAST(s6 AS DOUBLE) / (6.0 * n) AS pbar,
+         |        CAST(tt AS DOUBLE) / (3.0 * n) AS ppos
+         |      FROM v)
+         |SELECT CAST(n AS BIGINT) AS n_docs, votes0, votes1, votes2, votes3,
+         |  CAST(ROUND(pbar * 1e6) AS BIGINT) AS mean_agreement_e6,
+         |  CASE WHEN ppos = 0.0 OR ppos = 1.0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND(
+         |         (pbar - (ppos * ppos + (1.0 - ppos) * (1.0 - ppos)))
+         |         / (1.0 - (ppos * ppos + (1.0 - ppos) * (1.0 - ppos))) * 1e6)
+         |         AS BIGINT) END AS fleiss_kappa_e6
+         |FROM f""".stripMargin
+    QuerySpec.sql2("q306_fleiss_kappa", text(spark = true), text(spark = false))
+  }
+
+  /** Krippendorff's alpha (nominal, binary, complete ratings) for the
+    * same three raters — the reliability number that, unlike κ, is
+    * built from a chance model over the POOLED value distribution:
+    * α = 1 − (N−1)/(m−1) · Σᵢ nᵢ₀nᵢ₁ / (n₀n₁) with N = 3n total
+    * values. Same 4-row collapse (Σᵢ nᵢ₀nᵢ₁ = Σ m·c(3−c)); the margins
+    * multiply as DOUBLEs (n₀·n₁ overflows 64-bit at web scale).
+    * Everything-one-category ⇒ no disagreement is measurable ⇒ NULL. */
+  val q307KrippendorffAlpha: QuerySpec = {
+    def text(spark: Boolean): String =
+      s"""WITH d AS (${votesSql(spark)}),
+         |g AS (SELECT c, COUNT(*) AS m FROM d GROUP BY c),
+         |t AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+         |        CAST(SUM(m * c) AS BIGINT) AS n1,
+         |        CAST(SUM(m * c * (3 - c)) AS BIGINT) AS p
+         |      FROM g)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  CAST(3 * n AS BIGINT) AS n_values,
+         |  CASE WHEN n1 = 0 OR n1 = 3 * n THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND((1.0 - (3.0 * n - 1.0) / 2.0
+         |              * CAST(p AS DOUBLE)
+         |              / (CAST(n1 AS DOUBLE) * (3.0 * n - n1))) * 1e6)
+         |         AS BIGINT) END AS kripp_alpha_e6
+         |FROM t""".stripMargin
+    QuerySpec.sql2("q307_krippendorff_alpha", text(spark = true), text(spark = false))
+  }
+
+  /** Adjusted Rand index between the TRUE language partition and the
+    * heuristic language-ID partition — the clustering-agreement view of
+    * q301's confusion matrix (ARI scores the PARTITIONS, so it also
+    * serves as the dedup-cluster/sharding-assignment quality metric for
+    * any two labelings). All four pair sums are exact integers off the
+    * |classes|² contingency rollup, kept ×2 throughout (nᵢⱼ(nᵢⱼ−1) is
+    * the doubled pair count) so no integer division ever appears — the
+    * ARI ratio is invariant to the common factor. Cross-margin products
+    * go through DOUBLE (they overflow 64-bit at web scale). */
+  val q308AdjustedRand: QuerySpec = {
+    def text(spark: Boolean): String =
+      s"""WITH p AS (${TextAnalysis.langidPredSql(spark)}),
+         |ct AS (SELECT lang, pred_lang, COUNT(*) AS nij
+         |       FROM p GROUP BY lang, pred_lang),
+         |a AS (SELECT lang, CAST(SUM(nij) AS BIGINT) AS ai FROM ct GROUP BY lang),
+         |b AS (SELECT pred_lang, CAST(SUM(nij) AS BIGINT) AS bj FROM ct GROUP BY pred_lang),
+         |s AS (SELECT CAST(SUM(nij * (nij - 1)) AS BIGINT) AS sij2,
+         |        CAST(SUM(nij) AS BIGINT) AS n
+         |      FROM ct),
+         |sa AS (SELECT CAST(SUM(ai * (ai - 1)) AS BIGINT) AS sa2 FROM a),
+         |sb AS (SELECT CAST(SUM(bj * (bj - 1)) AS BIGINT) AS sb2 FROM b),
+         |f AS (SELECT n, sij2, sa2, sb2,
+         |        CAST(sa2 AS DOUBLE) * sb2 / (CAST(n AS DOUBLE) * (n - 1)) AS e2
+         |      FROM s CROSS JOIN sa CROSS JOIN sb)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  sij2 AS agree_pairs_x2,
+         |  CASE WHEN (sa2 + sb2) / 2.0 - e2 = 0.0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND((sij2 - e2) / ((sa2 + sb2) / 2.0 - e2) * 1e6)
+         |         AS BIGINT) END AS ari_e6
+         |FROM f""".stripMargin
+    QuerySpec.sql2("q308_adjusted_rand", text(spark = true), text(spark = false))
+  }
+
+  /** nDCG@10 of the length ranking scored against lexical-diversity
+    * gains — the top-weighted GRADED ranking metric (recall@k treats
+    * relevance as binary, RBO compares two rankings; nDCG asks "did the
+    * ranking put the high-gain items first?"). Both the system top-10
+    * (by n_chars) and the ideal top-10 (by gain) are rank-FILTERED
+    * total-order windows — Spark plans the partial+final
+    * WindowGroupLimit, so each task forwards 10 rows, never the corpus.
+    * Gains are bounded exact integers (the distinct-token count, capped
+    * at 1000 so a pathological doc can't dominate the linear sum); the
+    * linear-gain DCG Σ g/log₂(r+1) is 10 fixed DOUBLE terms through
+    * DECIMAL(27,18). Zero ideal gain ⇒ nDCG 0 by convention. */
+  val q309NdcgAt10: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val dw =
+        if (spark) "size(array_distinct(split(text, ' ')))"
+        else "len(list_distinct(string_split(text, ' ')))"
+      s"""WITH d AS (SELECT doc_id, n_chars AS xa,
+         |             LEAST(CAST(1000 AS BIGINT), CAST($dw AS BIGINT)) AS g
+         |           FROM documents),
+         |r AS (SELECT g, ROW_NUMBER() OVER (ORDER BY xa DESC, doc_id) AS rk FROM d),
+         |sys AS (SELECT g, rk FROM r WHERE rk <= 10),
+         |i AS (SELECT g, ROW_NUMBER() OVER (ORDER BY g DESC, doc_id) AS rk FROM d),
+         |ideal AS (SELECT g, rk FROM i WHERE rk <= 10),
+         |m AS (SELECT
+         |  (SELECT CAST(SUM(CAST(g / LOG2(rk + 1.0) AS DECIMAL(27,18))) AS DOUBLE)
+         |   FROM sys) AS dcg,
+         |  (SELECT CAST(SUM(CAST(g / LOG2(rk + 1.0) AS DECIMAL(27,18))) AS DOUBLE)
+         |   FROM ideal) AS idcg)
+         |SELECT CAST(ROUND(dcg * 1e6) AS BIGINT) AS dcg_e6,
+         |  CAST(ROUND(idcg * 1e6) AS BIGINT) AS idcg_e6,
+         |  CASE WHEN idcg = 0.0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(ROUND(dcg / idcg * 1e6) AS BIGINT) END AS ndcg10_e6
+         |FROM m""".stripMargin
+    }
+    QuerySpec.sql2("q309_ndcg_at_10", text(spark = true), text(spark = false))
+  }
+
+  /** Quasi-identifier k-anonymity audit over the event stream: with
+    * (event_type, day) as the QI tuple, how close does any group come
+    * to identifying a row? One rollup to the QI-group relation, then
+    * O(|groups|) algebra: minimum k, singleton and sub-5 group counts,
+    * and the share of rows living in sub-5 groups (the re-identification
+    * exposure a release review reads first). Pure governance screen —
+    * exact integers, one corpus scan. */
+  val q310KAnonymity: QuerySpec = QuerySpec.sql(
+    "q310_k_anonymity",
+    """WITH q AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS k
+      |           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |m AS (SELECT COUNT(*) AS n_groups,
+      |        CAST(MIN(k) AS BIGINT) AS min_k,
+      |        CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_groups,
+      |        CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_5,
+      |        CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_5,
+      |        CAST(SUM(k) AS BIGINT) AS n_rows
+      |      FROM q)
+      |SELECT CAST(n_groups AS BIGINT) AS n_groups, min_k, singleton_groups,
+      |  groups_below_5, rows_below_5,
+      |  CAST(ROUND(rows_below_5 * 1e6 / CAST(n_rows AS DOUBLE)) AS BIGINT)
+      |    AS exposure_share_e6
+      |FROM m""".stripMargin)
+
+  /** Encoding / mojibake QC over an inline fixture (the driver corpus is
+    * clean ASCII, so the fixture carries the failure shapes: UTF-8
+    * replacement characters, the 'Ã©'-style double-decode signature, a
+    * control character via CHR(7), and LEGITIMATE accented text that
+    * must NOT flag as mojibake). Counts are regex matches over
+    * escape-free character classes ('[ -~]' = printable ASCII) so both
+    * engines' regex dialects agree; everything is per-row map work at
+    * corpus scale. */
+  val q311EncodingQc: QuerySpec = {
+    def cnt(spark: Boolean, expr: String, pat: String): String =
+      if (spark) s"size(regexp_extract_all($expr, '$pat', 0))"
+      else s"len(regexp_extract_all($expr, '$pat'))"
+    def text(spark: Boolean): String =
+      s"""WITH fixture(id, t) AS (VALUES
+         |    (1, 'clean ascii text only.'),
+         |    (2, 'mojibake cafÃ© and seÃ±or from a double decode'),
+         |    (3, 'bad bytes � here � twice'),
+         |    (4, 'control ' || CHR(7) || ' char embedded'),
+         |    (5, 'legit accents: café résumé naïve')),
+         |sc AS (SELECT id,
+         |         LENGTH(t) AS n_cp,
+         |         ${cnt(spark, "t", "[ -~]")} AS n_print,
+         |         ${cnt(spark, "t", "�")} AS n_repl,
+         |         ${cnt(spark, "t", "Ã")} AS n_moji
+         |       FROM fixture)
+         |SELECT id, CAST(n_cp AS BIGINT) AS n_cp,
+         |  CAST(n_cp - n_print AS BIGINT) AS n_nonprint,
+         |  CAST(n_repl AS BIGINT) AS n_replacement,
+         |  CAST(n_moji AS BIGINT) AS n_mojibake_marks,
+         |  CASE WHEN n_repl > 0 OR n_moji > 0 THEN 'mojibake'
+         |       WHEN n_cp - n_print > 0 THEN 'nonascii'
+         |       ELSE 'ok' END AS verdict
+         |FROM sc ORDER BY id""".stripMargin
+    QuerySpec.sql2("q311_encoding_qc", text(spark = true), text(spark = false))
+  }
+
+  /** Flesch reading-ease per source — the classic readability screen
+    * (vowel-group syllable proxy, sentence count from terminal
+    * punctuation): template text and natural text separate cleanly on
+    * it, which makes the per-source mean a cheap source-mix diagnostic.
+    * All per-doc counts are map-side regex/split work; each doc's score
+    * is one fixed DOUBLE tree over exact integers; the per-source means
+    * go through DECIMAL(27,18) sums over the |sources|-group rollup. */
+  val q312Readability: QuerySpec = {
+    def cnt(spark: Boolean, pat: String): String =
+      if (spark) s"size(regexp_extract_all(text, '$pat', 0))"
+      else s"len(regexp_extract_all(text, '$pat'))"
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      s"""WITH d AS (SELECT source,
+         |    $words AS w,
+         |    GREATEST(1, ${cnt(spark, "[.!?]")}) AS s,
+         |    ${cnt(spark, "[aeiouyAEIOUY]+")} AS y
+         |  FROM documents),
+         |f AS (SELECT source,
+         |    CAST(206.835 AS DOUBLE)
+         |      - CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / s)
+         |      - CAST(84.6 AS DOUBLE) * (CAST(y AS DOUBLE) / w) AS flesch,
+         |    w, s
+         |  FROM d),
+         |g AS (SELECT source, COUNT(*) AS n,
+         |    CAST(SUM(CAST(flesch AS DECIMAL(27,18))) AS DOUBLE) AS sf,
+         |    CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(s) AS BIGINT) AS ss
+         |  FROM f GROUP BY source)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(ROUND(sf / n * 1e2) AS BIGINT) AS mean_flesch_e2,
+         |  CAST(ROUND(sw * 1e2 / CAST(ss AS DOUBLE)) AS BIGINT)
+         |    AS words_per_sentence_e2
+         |FROM g ORDER BY source""".stripMargin
+    }
+    QuerySpec.sql2("q312_readability", text(spark = true), text(spark = false))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q306FleissKappa, q307KrippendorffAlpha, q308AdjustedRand,
+    q309NdcgAt10, q310KAnonymity, q311EncodingQc, q312Readability)
+}

@@ -27,7 +27,7 @@ object TextAnalysis {
   /** Shared language-ID predictor subquery: `doc_id, lang, pred_lang`
     * from the function-word profile scores — used by [[q88LangId]] and
     * the [[q301LangidConfusion]] classification eval. */
-  private def langidPredSql(spark: Boolean): String = {
+  private[llmops] def langidPredSql(spark: Boolean): String = {
     def scoreCol(pat: String): String =
       if (spark) s"size(regexp_extract_all(text, '(^| )$pat( |$$)', 0))"
       else s"len(regexp_extract_all(text, '(^| )$pat( |$$)'))"
