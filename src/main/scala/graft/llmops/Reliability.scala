@@ -271,7 +271,136 @@ object Reliability {
     QuerySpec.sql2("q312_readability", text(spark = true), text(spark = false))
   }
 
+  /** Homogeneity / completeness / V-measure of the language-ID
+    * partition against the true languages — the information-theoretic
+    * partition score next to q308's pair-counting ARI (the two
+    * disagree exactly when clusters are split vs merged, which is why
+    * both belong in a cluster-quality report). All entropies are
+    * Σ-over-cells of the SAME |classes|² contingency rollup q308 uses:
+    * H(C|K) = −Σᵢⱼ (nᵢⱼ/n)·ln(nᵢⱼ/bⱼ), each term a fixed DOUBLE tree
+    * over exact integers through DECIMAL(27,18). h=1 when H(C)=0 by
+    * convention (and symmetrically for c); v = 2hc/(h+c), 0 when both
+    * vanish. */
+  val q313VMeasure: QuerySpec = {
+    def text(spark: Boolean): String =
+      s"""WITH p AS (${TextAnalysis.langidPredSql(spark)}),
+         |ct AS (SELECT lang, pred_lang, COUNT(*) AS nij
+         |       FROM p GROUP BY lang, pred_lang),
+         |n AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM ct),
+         |a AS (SELECT lang, CAST(SUM(nij) AS BIGINT) AS ai FROM ct GROUP BY lang),
+         |b AS (SELECT pred_lang, CAST(SUM(nij) AS BIGINT) AS bj FROM ct GROUP BY pred_lang),
+         |hc AS (SELECT CAST(SUM(CAST(-(ai / CAST(n AS DOUBLE))
+         |           * LN(ai / CAST(n AS DOUBLE)) AS DECIMAL(27,18))) AS DOUBLE) AS h
+         |       FROM a CROSS JOIN n),
+         |hk AS (SELECT CAST(SUM(CAST(-(bj / CAST(n AS DOUBLE))
+         |           * LN(bj / CAST(n AS DOUBLE)) AS DECIMAL(27,18))) AS DOUBLE) AS h
+         |       FROM b CROSS JOIN n),
+         |hck AS (SELECT CAST(SUM(CAST(-(nij / CAST(n AS DOUBLE))
+         |            * LN(nij / CAST(bj AS DOUBLE)) AS DECIMAL(27,18))) AS DOUBLE) AS h
+         |        FROM ct JOIN b ON ct.pred_lang = b.pred_lang CROSS JOIN n),
+         |hkc AS (SELECT CAST(SUM(CAST(-(nij / CAST(n AS DOUBLE))
+         |            * LN(nij / CAST(ai AS DOUBLE)) AS DECIMAL(27,18))) AS DOUBLE) AS h
+         |        FROM ct JOIN a ON ct.lang = a.lang CROSS JOIN n),
+         |f AS (SELECT
+         |        CASE WHEN hc.h = 0.0 THEN 1.0 ELSE 1.0 - hck.h / hc.h END AS hom,
+         |        CASE WHEN hk.h = 0.0 THEN 1.0 ELSE 1.0 - hkc.h / hk.h END AS com
+         |      FROM hc CROSS JOIN hk CROSS JOIN hck CROSS JOIN hkc)
+         |SELECT CAST(ROUND(hom * 1e6) AS BIGINT) AS homogeneity_e6,
+         |  CAST(ROUND(com * 1e6) AS BIGINT) AS completeness_e6,
+         |  CASE WHEN hom + com = 0.0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(ROUND(2.0 * hom * com / (hom + com) * 1e6) AS BIGINT)
+         |       END AS v_measure_e6
+         |FROM f""".stripMargin
+    QuerySpec.sql2("q313_v_measure", text(spark = true), text(spark = false))
+  }
+
+  /** Population stability index of the length distribution between two
+    * sources — the standard train-vs-serving drift scalar next to
+    * q294's KS tests (PSI reads in fixed bins with named thresholds:
+    * <0.1 stable, >0.25 shifted — what a model-ops dashboard actually
+    * shows). Bins are the REFERENCE source's deciles, derived exactly
+    * on the score-cardinality relation (q232's machinery: running-sum
+    * CDF, boundary = MIN score with cdf ≥ k/10 — integer boundaries,
+    * no interpolation); both sources then bin by counting boundaries
+    * below each score against the broadcast 9-row boundary relation.
+    * +1/+10 Laplace smoothing keeps ln finite on empty bins; every
+    * term is a fixed DOUBLE tree through DECIMAL(27,18). */
+  val q314PsiDrift: QuerySpec = QuerySpec.sql(
+    "q314_psi_drift",
+    """WITH sc AS (SELECT source, n_chars AS score, COUNT(*) AS cnt
+      |            FROM documents WHERE source IN ('src0', 'src1')
+      |            GROUP BY source, n_chars),
+      |ref AS (SELECT score,
+      |          CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS cdf,
+      |          CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      |        FROM sc WHERE source = 'src0'),
+      |bd AS (SELECT k, MIN(score) AS b
+      |       FROM ref CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL
+      |         SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL
+      |         SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8 UNION ALL
+      |         SELECT 9) ks
+      |       WHERE cdf * 10 >= k * n GROUP BY k),
+      |binned AS (SELECT sc.source,
+      |             (SELECT COUNT(*) FROM bd WHERE bd.b < sc.score) AS bin,
+      |             CAST(SUM(sc.cnt) AS BIGINT) AS cnt
+      |           FROM sc
+      |           GROUP BY sc.source, (SELECT COUNT(*) FROM bd WHERE bd.b < sc.score)),
+      |grid AS (SELECT b0.bin FROM (SELECT DISTINCT bin FROM binned) b0),
+      |pq AS (SELECT g.bin,
+      |         CAST(COALESCE(MAX(CASE WHEN source = 'src0' THEN cnt END), 0) AS BIGINT) AS p0,
+      |         CAST(COALESCE(MAX(CASE WHEN source = 'src1' THEN cnt END), 0) AS BIGINT) AS q0
+      |       FROM grid g LEFT JOIN binned ON g.bin = binned.bin
+      |       GROUP BY g.bin),
+      |t AS (SELECT CAST(SUM(p0) AS BIGINT) AS np, CAST(SUM(q0) AS BIGINT) AS nq,
+      |        COUNT(*) AS nb
+      |      FROM pq),
+      |m AS (SELECT CAST(SUM(CAST(
+      |          ((p0 + 1.0) / (np + nb) - (q0 + 1.0) / (nq + nb))
+      |          * LN(((p0 + 1.0) / (np + nb)) / ((q0 + 1.0) / (nq + nb)))
+      |        AS DECIMAL(27,18))) AS DOUBLE) AS psi
+      |      FROM pq CROSS JOIN t)
+      |SELECT CAST(ROUND(psi * 1e6) AS BIGINT) AS psi_e6,
+      |  CASE WHEN psi < 0.1 THEN 'stable'
+      |       WHEN psi < 0.25 THEN 'moderate'
+      |       ELSE 'shifted' END AS verdict
+      |FROM m""".stripMargin)
+
+  /** McNemar's test for PAIRED classifier comparison: do the length
+    * flag and the token-count flag differ in accuracy against the weak
+    * English label, judged only on the DISCORDANT documents (the pairs
+    * where exactly one is right — the information a pooled accuracy
+    * diff throws away)? χ² = (b−c)²/(b+c) in exact integers until one
+    * division; the corpus collapses to the 2×2 discordance table in
+    * one rollup. No discordant docs ⇒ NULL (test undefined). */
+  val q315Mcnemar: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      s"""WITH d AS (SELECT
+         |    CASE WHEN (n_chars >= 300) = (lang = 'en') THEN 1 ELSE 0 END AS ok_a,
+         |    CASE WHEN ($words >= 55) = (lang = 'en') THEN 1 ELSE 0 END AS ok_b
+         |  FROM documents),
+         |t AS (SELECT
+         |        CAST(SUM(ok_a * (1 - ok_b)) AS BIGINT) AS b,
+         |        CAST(SUM((1 - ok_a) * ok_b) AS BIGINT) AS c,
+         |        CAST(SUM(ok_a) AS BIGINT) AS acc_a,
+         |        CAST(SUM(ok_b) AS BIGINT) AS acc_b,
+         |        COUNT(*) AS n
+         |      FROM d)
+         |SELECT CAST(n AS BIGINT) AS n_docs, b AS a_only_correct, c AS b_only_correct,
+         |  CAST(ROUND(acc_a * 1e6 / n) AS BIGINT) AS acc_a_e6,
+         |  CAST(ROUND(acc_b * 1e6 / n) AS BIGINT) AS acc_b_e6,
+         |  CASE WHEN b + c = 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND((b - c) * (b - c) * 1e6
+         |              / CAST(b + c AS DOUBLE)) AS BIGINT)
+         |       END AS mcnemar_chi2_e6
+         |FROM t""".stripMargin
+    }
+    QuerySpec.sql2("q315_mcnemar", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q306FleissKappa, q307KrippendorffAlpha, q308AdjustedRand,
-    q309NdcgAt10, q310KAnonymity, q311EncodingQc, q312Readability)
+    q309NdcgAt10, q310KAnonymity, q311EncodingQc, q312Readability,
+    q313VMeasure, q314PsiDrift, q315Mcnemar)
 }
