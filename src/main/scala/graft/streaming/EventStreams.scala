@@ -80,6 +80,47 @@ object EventStreams {
         col("bad_type"), col("neg_value"), col("null_user"),
         (col("bad_type") + col("neg_value") + col("null_user") === 0).as("pass"))
 
+  /** Continuous inter-rater agreement — the streaming twin of q306's
+    * Fleiss κ: three deterministic binary "raters" (value, event-type,
+    * and combined heuristics for "engaged event") judge every event,
+    * and per tumbling hour the monitor reports their
+    * agreement-beyond-chance. The whole sufficient statistic is the
+    * positive-vote histogram (c ∈ 0..3 ⇒ FOUR counters per open
+    * window — constant state, like the other twins), so κ is a closed
+    * form in the final select; an hour where every vote lands in one
+    * category reports NULL (chance agreement 1 — q306's convention).
+    * A falling κ means the cheap signals stopped agreeing — the
+    * earliest observable symptom of a drifting event mix. Runs on a
+    * batch frame unchanged (watermark no-op) for one-code-path
+    * parity. */
+  def agreementMonitor(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val c =
+      when(col("value") >= 5.0, 1).otherwise(0) +
+        when(col("event_type").isin("click", "purchase", "signup"), 1).otherwise(0) +
+        when(col("value") >= 3.0 && col("event_type") =!= "error", 1).otherwise(0)
+    val agg = events
+      .withWatermark("ts", watermark)
+      .withColumn("c", c)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c") === 0, 1L).otherwise(0L)).as("votes0"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("votes1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("votes2"),
+        sum(when(col("c") === 3, 1L).otherwise(0L)).as("votes3"),
+        sum(col("c").cast("long")).as("tt"),
+        sum((col("c") * (col("c") - 1) + (lit(3) - col("c")) * (lit(2) - col("c")))
+          .cast("long")).as("s6"))
+    val pbar = col("s6").cast("double") / (lit(6.0) * col("n"))
+    val ppos = col("tt").cast("double") / (lit(3.0) * col("n"))
+    val pe = ppos * ppos + (lit(1.0) - ppos) * (lit(1.0) - ppos)
+    agg.select(col("window.start").as("hour_start"), col("n"),
+      col("votes0"), col("votes1"), col("votes2"), col("votes3"),
+      when(ppos === 0.0 || ppos === 1.0, lit(null).cast("bigint"))
+        .otherwise(round((pbar - pe) / (lit(1.0) - pe) * 1e6).cast("bigint"))
+        .as("fleiss_kappa_e6"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity) — streaming twin of
     * q66_events_sessionize. Emits a SessionSummary when a gap closes a
     * session; the open session lives in per-user GroupState. */

@@ -48,6 +48,50 @@ class StreamingSpec extends EngineSuite {
     assert(streamed == batch)
   }
 
+  test("agreementMonitor: stream equals batch, kappa matches the closed form") {
+    val s = spark
+    import s.implicits._
+    // hour 0: raters mostly agree (unanimous yes/no); hour 1: they split
+    val events = Seq(
+      Event(1, 1, ts(5), "purchase", 9.0),  // c=3
+      Event(2, 2, ts(20), "error", 0.5),    // c=0
+      Event(3, 3, ts(40), "purchase", 8.0), // c=3
+      Event(1, 4, ts(65), "view", 6.0),     // c=2 (value yes, type no, combo yes)
+      Event(2, 5, ts(80), "click", 1.0),    // c=1 (type only)
+      Event(3, 6, ts(95), "view", 4.0))     // c=1 (combo only)
+
+    val batch = EventStreams.agreementMonitor(events.toDF())
+      .orderBy("hour_start").collect().toSeq
+    assert(batch.length == 2)
+    // hour 0: votes c=0:1, c=3:2 → pbar = (0+6+6)/18 ... κ recomputed
+    // independently here from the q306 closed form
+    def kappaE6(cs: Seq[Int]): Option[Long] = {
+      val n = cs.size
+      val s6 = cs.map(c => c * (c - 1) + (3 - c) * (2 - c)).sum
+      val tt = cs.sum
+      val pbar = s6.toDouble / (6.0 * n)
+      val ppos = tt.toDouble / (3.0 * n)
+      val pe = ppos * ppos + (1.0 - ppos) * (1.0 - ppos)
+      if (ppos == 0.0 || ppos == 1.0) None
+      else Some(math.round((pbar - pe) / (1.0 - pe) * 1e6))
+    }
+    assert(batch(0).getAs[Long]("votes3") == 2 && batch(0).getAs[Long]("votes0") == 1)
+    assert(Option(batch(0).getAs[java.lang.Long]("fleiss_kappa_e6")).map(_.toLong)
+      == kappaE6(Seq(3, 0, 3)))
+    assert(Option(batch(1).getAs[java.lang.Long]("fleiss_kappa_e6")).map(_.toLong)
+      == kappaE6(Seq(2, 1, 1)))
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.agreementMonitor(mem.toDF())
+      .writeStream.format("memory").queryName("agreement_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.table("agreement_out").orderBy("hour_start").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("tumblingCounts: stream result equals batch result") {
     val s = spark
     import s.implicits._
