@@ -1,6 +1,7 @@
 package graft.llmops
 
 import graft.QuerySpec
+import org.apache.spark.sql.functions._
 
 /** Classifier- and corpus-evaluation statistics — the measurement layer a
   * curation pipeline needs the moment it starts TRUSTING heuristic
@@ -194,35 +195,60 @@ object QualityEval {
     * token stream collapses to the vocab-sized (word, y1, y2) relation
     * in one scan; δ and its z-score are fixed DOUBLE trees over exact
     * integers; the two top-5 picks rank the ROUNDED z (total
-    * (z_e6, word) order — a float ulp can't flap the cut). */
+    * (z_e6, word) order — a float ulp can't flap the cut). Each side's
+    * pick is its OWN rank-filtered window (rn ≤ 5 → partial+final
+    * WindowGroupLimit, map-side bounded) — the r12 single window with
+    * an OR of two rank filters defeated the group-limit pushdown and
+    * ranked the whole vocab in one task. */
   val q287LogOddsTokens: QuerySpec = {
-    def text(spark: Boolean): String = {
-      val words =
-        if (spark) "SELECT source, explode(split(text, ' ')) AS word FROM documents WHERE source IN ('src0', 'src1')"
-        else "SELECT source, unnest(string_split(text, ' ')) AS word FROM documents WHERE source IN ('src0', 'src1')"
-      s"""WITH w AS ($words),
-         |c AS (SELECT word,
-         |        CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS y1,
-         |        CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS y2
-         |      FROM w GROUP BY word),
-         |t AS (SELECT CAST(SUM(y1) AS BIGINT) AS n1, CAST(SUM(y2) AS BIGINT) AS n2,
-         |        COUNT(*) AS v
-         |      FROM c),
-         |z AS (SELECT word, y1, y2,
-         |        CAST(ROUND((LN((CAST(y1 AS DOUBLE) + 1.0) / (CAST(n1 AS DOUBLE) + v - y1 - 1.0))
-         |                  - LN((CAST(y2 AS DOUBLE) + 1.0) / (CAST(n2 AS DOUBLE) + v - y2 - 1.0)))
-         |          / SQRT(1.0 / CAST(y1 + 1 AS DOUBLE) + 1.0 / CAST(y2 + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS z_e6
-         |      FROM c CROSS JOIN t),
-         |r AS (SELECT word, y1, y2, z_e6,
-         |        ROW_NUMBER() OVER (ORDER BY z_e6 DESC, word) AS r1,
-         |        ROW_NUMBER() OVER (ORDER BY z_e6, word) AS r2
-         |      FROM z)
-         |SELECT CASE WHEN r1 <= 5 THEN 'src0' ELSE 'src1' END AS side,
-         |  word, y1, y2, z_e6
-         |FROM r WHERE r1 <= 5 OR r2 <= 5
-         |ORDER BY side, z_e6 DESC, word""".stripMargin
+    // shared tail over the (word, y1, y2) relation `q287_c`: totals, z,
+    // and the two independently rank-filtered top-5 picks
+    val tail =
+      """WITH t AS (SELECT CAST(SUM(y1) AS BIGINT) AS n1, CAST(SUM(y2) AS BIGINT) AS n2,
+        |        COUNT(*) AS v
+        |      FROM q287_c),
+        |z AS (SELECT word, y1, y2,
+        |        CAST(ROUND((LN((CAST(y1 AS DOUBLE) + 1.0) / (CAST(n1 AS DOUBLE) + v - y1 - 1.0))
+        |                  - LN((CAST(y2 AS DOUBLE) + 1.0) / (CAST(n2 AS DOUBLE) + v - y2 - 1.0)))
+        |          / SQRT(1.0 / CAST(y1 + 1 AS DOUBLE) + 1.0 / CAST(y2 + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS z_e6
+        |      FROM q287_c CROSS JOIN t),
+        |top AS (SELECT word, y1, y2, z_e6 FROM (
+        |          SELECT word, y1, y2, z_e6,
+        |            ROW_NUMBER() OVER (ORDER BY z_e6 DESC, word) AS rn
+        |          FROM z) tt WHERE rn <= 5),
+        |bot AS (SELECT word, y1, y2, z_e6 FROM (
+        |          SELECT word, y1, y2, z_e6,
+        |            ROW_NUMBER() OVER (ORDER BY z_e6, word) AS rn
+        |          FROM z) tb WHERE rn <= 5)
+        |SELECT side, word, y1, y2, z_e6 FROM (
+        |  SELECT 'src0' AS side, word, y1, y2, z_e6 FROM top
+        |  UNION ALL
+        |  SELECT 'src1' AS side, word, y1, y2, z_e6 FROM bot) u
+        |ORDER BY side, z_e6 DESC, word""".stripMargin
+    val oracleText =
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |           FROM documents WHERE source IN ('src0', 'src1')),
+        |q287_c AS (SELECT word,
+        |        CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+        |        CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS y2
+        |      FROM w GROUP BY word),
+        |""".stripMargin + tail.stripPrefix("WITH ")
+    QuerySpec("q287_log_odds_tokens", oracleText) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      import graft.llmops.Checkpoints.Stageable
+      // the vocab rollup feeds the totals, the z relation, AND two ranked
+      // picks — stage it once so Spark's CTE inlining can't re-explode
+      // the corpus per consumer
+      sp.table("documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).cast("long").as("y1"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).cast("long").as("y2"))
+        .staged
+        .createOrReplaceTempView("q287_c")
+      sp.sql(tail)
     }
-    QuerySpec.sql2("q287_log_odds_tokens", text(spark = true), text(spark = false))
   }
 
   /** Trapezoidal precision-recall AUC of the same score/label pair as
@@ -310,19 +336,24 @@ object QualityEval {
     * fixed POWER doubles accumulated via DECIMAL(27,18). Reported as
     * truncated RBO@50 (no extrapolation) plus overlap at 10 and 50. */
   val q290RankRbo: QuerySpec = {
-    def text(spark: Boolean): String = {
-      val dw =
-        if (spark) "size(array_distinct(split(text, ' ')))"
-        else "len(list_distinct(string_split(text, ' ')))"
+    // tail over the doc-grain relation `q290_d(doc_id, xa, xb)`: each
+    // ranking is its OWN rank-filtered top-50 window (partial+final
+    // WindowGroupLimit — the r12 version computed both ranks in one
+    // window relation, whose AND-of-two-rank-filters defeated the
+    // group-limit pushdown and sorted the corpus in one task); the
+    // ra≤50 ∧ rb≤50 set is exactly the inner join of the two top-50s
+    def tail(spark: Boolean): String = {
       val depths =
         if (spark) "SELECT explode(sequence(1, 50)) AS k"
         else "SELECT CAST(unnest(range(1, 51)) AS INT) AS k"
-      s"""WITH d AS (SELECT doc_id, n_chars AS xa, $dw AS xb FROM documents),
-         |r AS (SELECT doc_id,
-         |        ROW_NUMBER() OVER (ORDER BY xa DESC, doc_id) AS ra,
-         |        ROW_NUMBER() OVER (ORDER BY xb DESC, doc_id) AS rb
-         |      FROM d),
-         |mrel AS (SELECT GREATEST(ra, rb) AS m FROM r WHERE ra <= 50 AND rb <= 50),
+      s"""WITH ra AS (SELECT doc_id, rk AS ra FROM (
+         |       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY xa DESC, doc_id) AS rk
+         |       FROM q290_d) t WHERE rk <= 50),
+         |rb AS (SELECT doc_id, rk AS rb FROM (
+         |       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY xb DESC, doc_id) AS rk
+         |       FROM q290_d) t WHERE rk <= 50),
+         |mrel AS (SELECT GREATEST(ra.ra, rb.rb) AS m
+         |         FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
          |ks AS ($depths),
          |ov AS (SELECT ks.k, COUNT(mrel.m) AS ov
          |       FROM ks LEFT JOIN mrel ON mrel.m <= ks.k
@@ -338,7 +369,22 @@ object QualityEval {
          |  ov10 AS overlap_at_10, ov50 AS overlap_at_50
          |FROM m""".stripMargin
     }
-    QuerySpec.sql2("q290_rank_rbo", text(spark = true), text(spark = false))
+    val oracleText =
+      """WITH q290_d AS (SELECT doc_id, n_chars AS xa,
+        |                  len(list_distinct(string_split(text, ' '))) AS xb
+        |                FROM documents),
+        |""".stripMargin + tail(spark = false).stripPrefix("WITH ")
+    QuerySpec("q290_rank_rbo", oracleText) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      import graft.llmops.Checkpoints.Stageable
+      // both rankings consume the doc relation: stage it once
+      sp.table("documents")
+        .select(col("doc_id"), col("n_chars").as("xa"),
+          size(array_distinct(split(col("text"), " "))).as("xb"))
+        .staged
+        .createOrReplaceTempView("q290_d")
+      sp.sql(tail(spark = true))
+    }
   }
 
   val all: Seq[QuerySpec] =

@@ -172,15 +172,18 @@ object Retrieval {
   /** Hybrid retrieval via Reciprocal Rank Fusion — the standard way a
     * RAG stack combines the lexical ([[q202Bm25]]) and dense (cosine
     * against a query embedding) legs without score calibration:
-    * `rrf = Σ 1/(60 + rank)`, ranks being all that survive from either
-    * scorer. Both legs rank with a TOTAL order (score DESC, doc_id), so
-    * fusion is deterministic; docs absent from the sparse leg (no query
-    * term) contribute only their dense term, the conventional RRF
-    * treatment. Scale shape: the lexical leg is q202's term-pruned
-    * pipeline; the dense leg is one broadcast-query corpus pass; each
-    * rank window runs over candidate-sized relations; fusion is a
-    * doc_id-keyed left join and one TopN. At 100 TB the dense leg's
-    * input swaps to the ANN index (q86/q87) — fusion algebra unchanged. */
+    * `rrf = Σ 1/(60 + rank)` over each leg's TOP-60 (truncated RRF —
+    * the deployed formulation: each retriever returns its k best, docs
+    * outside a leg's cut contribute 0 from that leg). Both legs rank
+    * with a TOTAL order (score DESC, doc_id), so fusion is
+    * deterministic. Scale shape: the lexical leg is q202's term-pruned
+    * pipeline; the dense leg is one broadcast-query corpus pass; both
+    * rank cuts are rank-FILTERED windows (partial+final
+    * WindowGroupLimit — each task forwards 60 rows, so no leg ever
+    * sorts the corpus in one task); fusion is a doc_id-keyed FULL
+    * OUTER join of two 60-row relations and one TopN. At 100 TB the
+    * dense leg's input swaps to the ANN index (q86/q87) — fusion
+    * algebra unchanged. */
   val q230RrfHybrid: QuerySpec = QuerySpec(
     "q230_rrf_hybrid_retrieval",
     """WITH t AS (
@@ -197,20 +200,22 @@ object Retrieval {
       |      * q.tf * 2.2
       |      / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / st.avgdl))) AS score
       |  FROM q JOIN df USING (word) CROSS JOIN st GROUP BY q.doc_id),
-      |lex AS (SELECT doc_id,
-      |          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lr
-      |        FROM lexs),
+      |lex AS (SELECT doc_id, lr FROM (
+      |          SELECT doc_id,
+      |            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lr
+      |          FROM lexs) t WHERE lr <= 60),
       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-      |dense AS (SELECT e.vec_id AS doc_id,
-      |    ROW_NUMBER() OVER (
-      |      ORDER BY list_cosine_similarity(e.v, qv.qv) DESC, e.vec_id) AS dr
-      |  FROM e CROSS JOIN qv)
-      |SELECT d.doc_id,
-      |  CAST(ROUND((1.0 / (60 + d.dr)
+      |dense AS (SELECT doc_id, dr FROM (
+      |    SELECT e.vec_id AS doc_id,
+      |      ROW_NUMBER() OVER (
+      |        ORDER BY list_cosine_similarity(e.v, qv.qv) DESC, e.vec_id) AS dr
+      |    FROM e CROSS JOIN qv) t WHERE dr <= 60)
+      |SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id,
+      |  CAST(ROUND((COALESCE(1.0 / (60 + d.dr), 0.0)
       |    + COALESCE(1.0 / (60 + l.lr), 0.0)) * 1e6) AS BIGINT) AS rrf_e6
-      |FROM dense d LEFT JOIN lex l ON d.doc_id = l.doc_id
-      |ORDER BY rrf_e6 DESC, d.doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+      |FROM dense d FULL JOIN lex l ON d.doc_id = l.doc_id
+      |ORDER BY rrf_e6 DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val w = org.apache.spark.sql.expressions.Window
     // docs feeds the tf relation AND the (n, avgdl) stats: stage it once
@@ -234,6 +239,7 @@ object Retrieval {
       .groupBy("doc_id").agg(sum("contrib").as("score"))
       .withColumn("lr", row_number().over(
         w.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("lr") <= 60) // rank-filtered → map-side WindowGroupLimit
       .select(col("doc_id"), col("lr"))
     val e = sp.table("embeddings")
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
@@ -243,10 +249,11 @@ object Retrieval {
       .select(col("vec_id").as("doc_id"), expr("vec_cosine(v, qv)").as("cs"))
       .withColumn("dr", row_number().over(
         w.orderBy(col("cs").desc, col("doc_id"))))
+      .filter(col("dr") <= 60) // rank-filtered → map-side WindowGroupLimit
       .select(col("doc_id"), col("dr"))
-    dense.join(lex, Seq("doc_id"), "left")
+    dense.join(lex, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        round((lit(1.0) / (lit(60) + col("dr"))
+        round((coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0))
           + coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0))) * lit(1e6))
           .cast("bigint").as("rrf_e6"))
       .orderBy(col("rrf_e6").desc, col("doc_id")).limit(15)

@@ -880,27 +880,35 @@ object Events {
     * runs BEFORE choosing a join/agg strategy on a key: key counts,
     * hottest-key share, normalized Shannon entropy, Gini coefficient,
     * and the salt factor (ceil(max/avg)) the q107-style salted join
-    * would need. One key-keyed aggregate (map-side combined) then
-    * key-cardinality-sized algebra; the Gini prefix-rank window runs
-    * over the count relation, not the events. Exactness: the Gini is
-    * PURE INTEGER algebra (2·Σi·cᵢ identity; equal counts make the
-    * rank coefficient tie-invariant), and the entropy sum goes through
-    * DECIMAL(27,18) accumulation (q184 rule) so neither engine's
-    * summation order shows in the e6 rounding. */
+    * would need. One key-keyed aggregate (map-side combined), then the
+    * key relation collapses AGAIN to the COUNT-MULTIPLICITY relation
+    * (distinct count values × multiplicity — the q281 move): Gini's
+    * rank identity is tie-invariant, so 2·Σ rank·c = Σ c(2m·lo+m²+m)
+    * per equal-count block and the only window is a running sum over
+    * that ~10³-row relation — a web-scale key domain (10⁹ users) never
+    * flows through one rank task. Exactness: the Gini is PURE INTEGER
+    * algebra, and the entropy sum goes through DECIMAL(27,18)
+    * accumulation (q184 rule) so neither engine's summation order
+    * shows in the e6 rounding. */
   val q219KeySkewReport: QuerySpec = QuerySpec.sql(
     "q219_key_skew_report",
     """WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
-      |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rnk FROM c),
-      |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+      |g AS (SELECT c, COUNT(*) AS m FROM c GROUP BY c),
+      |w AS (SELECT c, m,
+      |        COALESCE(SUM(m) OVER (ORDER BY c
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+      |      FROM g),
+      |s AS (SELECT CAST(SUM(m) AS BIGINT) AS n_keys,
+      |             CAST(SUM(m * c) AS BIGINT) AS n_rows,
       |             MAX(c) AS max_freq,
-      |             CAST(SUM(rnk * c) AS BIGINT) AS rank_weighted,
-      |             CAST(SUM(CAST(c * LN(c) AS DECIMAL(27,18))) AS DOUBLE) AS clnc
-      |      FROM r)
+      |             CAST(SUM(c * (2 * m * lo + m * m + m)) AS BIGINT) AS s2,
+      |             CAST(SUM(CAST(m * c * LN(c) AS DECIMAL(27,18))) AS DOUBLE) AS clnc
+      |      FROM w)
       |SELECT n_rows, n_keys, CAST(max_freq AS BIGINT) AS max_freq,
       |  CAST(ROUND(max_freq * 1e6 / n_rows) AS BIGINT) AS top1_share_e6,
       |  CAST(ROUND((LN(n_rows) - clnc / n_rows) * 1e6 / LN(n_keys)) AS BIGINT)
       |    AS norm_entropy_e6,
-      |  CAST(ROUND((2 * rank_weighted - (n_keys + 1) * n_rows) * 1e6
+      |  CAST(ROUND((s2 - (n_keys + 1) * n_rows) * 1e6
       |             / (CAST(n_keys AS DOUBLE) * n_rows)) AS BIGINT) AS gini_e6,
       |  CAST(CEIL(max_freq * CAST(n_keys AS DOUBLE) / n_rows) AS BIGINT)
       |    AS salt_factor

@@ -563,37 +563,83 @@ object Relational {
     * customer-grain relation, not a second scan). Everything after the
     * first rollup is customer-cardinality-sized. */
   val q242RfmSegmentation: QuerySpec = {
-    def text(spark: Boolean): String = {
-      // day-difference spelling differs: Spark DATEDIFF(end, start),
-      // DuckDB datediff('day', start, end)
-      val dd =
-        if (spark) "DATEDIFF(MAX(last_order) OVER (), last_order)"
-        else "datediff('day', last_order, MAX(last_order) OVER ())"
-      s"""WITH c AS (
-      |  SELECT o_custkey,
-      |    MAX(o_orderdate) AS last_order,
-      |    COUNT(*) AS freq,
-      |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
-      |  FROM orders GROUP BY o_custkey),
-      |r AS (
-      |  SELECT o_custkey,
-      |    CAST($dd AS BIGINT) AS rec_days,
-      |    freq, monetary
-      |  FROM c),
-      |q AS (
-      |  SELECT o_custkey, rec_days, freq, monetary,
-      |    NTILE(5) OVER (ORDER BY rec_days, o_custkey) AS r_q,
-      |    NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
-      |    NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
-      |  FROM r)
-      |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
-      |  CAST(ROUND(AVG(rec_days)) AS BIGINT) AS avg_recency_days,
-      |  CAST(ROUND(AVG(freq)) AS BIGINT) AS avg_frequency,
-      |  CAST(SUM(monetary) AS DOUBLE) AS total_monetary
-      |FROM q GROUP BY r_q, f_q, m_q
-      |ORDER BY r_q, f_q, m_q""".stripMargin
+    // Spark side: the three quintile assignments come from
+    // Prefix.globalRank (range-partitioned exact ranks — an NTILE(5)
+    // with no PARTITION BY plans ONE window task over the whole
+    // customer domain, the r12 shape this replaces) plus NTILE's exact
+    // closed form from (rank, n): the first n%5 tiles hold ⌈n/5⌉ rows,
+    // the rest ⌊n/5⌋. The DuckDB oracle keeps the plain NTILE
+    // spelling — the tile algebra below reproduces it bit-for-bit.
+    val tail =
+      """WITH q AS (
+        |  SELECT rec_days, freq, monetary,
+        |    CAST(CASE WHEN rk_r <= (n % 5) * (n DIV 5 + 1)
+        |         THEN (rk_r - 1) DIV (n DIV 5 + 1) + 1
+        |         ELSE (n % 5) + (rk_r - (n % 5) * (n DIV 5 + 1) - 1) DIV (n DIV 5) + 1
+        |         END AS INT) AS r_q,
+        |    CAST(CASE WHEN rk_f <= (n % 5) * (n DIV 5 + 1)
+        |         THEN (rk_f - 1) DIV (n DIV 5 + 1) + 1
+        |         ELSE (n % 5) + (rk_f - (n % 5) * (n DIV 5 + 1) - 1) DIV (n DIV 5) + 1
+        |         END AS INT) AS f_q,
+        |    CAST(CASE WHEN rk_m <= (n % 5) * (n DIV 5 + 1)
+        |         THEN (rk_m - 1) DIV (n DIV 5 + 1) + 1
+        |         ELSE (n % 5) + (rk_m - (n % 5) * (n DIV 5 + 1) - 1) DIV (n DIV 5) + 1
+        |         END AS INT) AS m_q
+        |  FROM q242_ranked CROSS JOIN q242_n)
+        |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+        |  CAST(ROUND(AVG(rec_days)) AS BIGINT) AS avg_recency_days,
+        |  CAST(ROUND(AVG(freq)) AS BIGINT) AS avg_frequency,
+        |  CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+        |FROM q GROUP BY r_q, f_q, m_q
+        |ORDER BY r_q, f_q, m_q""".stripMargin
+    val oracleText =
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    MAX(o_orderdate) AS last_order,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', last_order, MAX(last_order) OVER ()) AS BIGINT) AS rec_days,
+        |    freq, monetary
+        |  FROM c),
+        |q AS (
+        |  SELECT o_custkey, rec_days, freq, monetary,
+        |    NTILE(5) OVER (ORDER BY rec_days, o_custkey) AS r_q,
+        |    NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+        |    NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+        |  FROM r)
+        |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+        |  CAST(ROUND(AVG(rec_days)) AS BIGINT) AS avg_recency_days,
+        |  CAST(ROUND(AVG(freq)) AS BIGINT) AS avg_frequency,
+        |  CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+        |FROM q GROUP BY r_q, f_q, m_q
+        |ORDER BY r_q, f_q, m_q""".stripMargin
+    QuerySpec("q242_rfm_segmentation", oracleText) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      import graft.llmops.Checkpoints.Stageable
+      val c = sp.table("orders")
+        .groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).as("monetary"))
+        .staged // feeds the scalar max, three rank passes, and n
+      val maxd = c.agg(max("last_order").as("max_last"))
+      val r = c.crossJoin(broadcast(maxd))
+        .withColumn("rec_days", datediff(col("max_last"), col("last_order")).cast("long"))
+        .select("o_custkey", "rec_days", "freq", "monetary")
+      val ranked =
+        Prefix.globalRank(
+          Prefix.globalRank(
+            Prefix.globalRank(r,
+              Seq(col("rec_days"), col("o_custkey")), "rk_r"),
+            Seq(col("freq").desc, col("o_custkey")), "rk_f"),
+          Seq(col("monetary").desc, col("o_custkey")), "rk_m")
+      ranked.createOrReplaceTempView("q242_ranked")
+      c.agg(count(lit(1)).as("n")).createOrReplaceTempView("q242_n")
+      sp.sql(tail)
     }
-    QuerySpec.sql2("q242_rfm_segmentation", text(spark = true), text(spark = false))
   }
 
   /** Pairwise Pearson correlation matrix over lineitem's numeric
@@ -669,32 +715,59 @@ object Relational {
     * rank by exact DECIMAL spend under a total order; each report row
     * reads the running share at an integer rank threshold
     * (ceil(p·n) — integer arithmetic, no percentile interpolation).
-    * One orders scan → customer grain; the rank window runs on the
-    * customer-cardinality relation. */
-  val q251ParetoRevenue: QuerySpec = QuerySpec.sql(
-    "q251_pareto_revenue",
-    """WITH c AS (SELECT o_custkey,
-      |             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
-      |           FROM orders GROUP BY o_custkey),
-      |r AS (SELECT spend,
-      |        ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rnk,
-      |        CAST(SUM(spend) OVER (ORDER BY spend DESC, o_custkey
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))
-      |          AS cum_spend,
-      |        COUNT(*) OVER () AS n,
-      |        CAST(SUM(spend) OVER () AS DECIMAL(18,2)) AS total
-      |      FROM c),
-      |p AS (SELECT 1 AS pct UNION ALL SELECT 5 UNION ALL SELECT 10
-      |      UNION ALL SELECT 20 UNION ALL SELECT 50)
-      |SELECT p.pct AS top_pct,
-      |  CAST(MAX(CASE WHEN rnk = CAST(CEIL(p.pct * n / 100.0) AS BIGINT)
-      |       THEN rnk END) AS BIGINT) AS n_customers,
-      |  CAST(ROUND(CAST(MAX(CASE WHEN rnk = CAST(CEIL(p.pct * n / 100.0) AS BIGINT)
-      |       THEN cum_spend END) AS DOUBLE) * 1e6
-      |     / CAST(MAX(r.total) AS DOUBLE)) AS BIGINT) AS revenue_share_e6
-      |FROM p CROSS JOIN r
-      |GROUP BY p.pct
-      |ORDER BY p.pct""".stripMargin)
+    * One orders scan → customer grain; rank and running spend come
+    * from [[Prefix.prefixSums]] (range-partition on (spend DESC,
+    * custkey), per-range running sums + broadcast offsets — a prefix
+    * sum of 1 IS the row number), so a web-scale customer domain never
+    * sorts through one window task (the r12 single-task window
+    * retired); the DuckDB oracle keeps the plain-window spelling. */
+  val q251ParetoRevenue: QuerySpec = {
+    val tail =
+      """WITH r AS (SELECT rnk,
+        |        CAST(cum_spend_raw AS DECIMAL(18,2)) AS cum_spend,
+        |        t.n, t.total
+        |      FROM q251_pre CROSS JOIN q251_t t),
+        |p AS (SELECT 1 AS pct UNION ALL SELECT 5 UNION ALL SELECT 10
+        |      UNION ALL SELECT 20 UNION ALL SELECT 50)
+        |SELECT p.pct AS top_pct,
+        |  CAST(MAX(CASE WHEN rnk = CAST(CEIL(p.pct * n / 100.0) AS BIGINT)
+        |       THEN rnk END) AS BIGINT) AS n_customers,
+        |  CAST(ROUND(CAST(MAX(CASE WHEN rnk = CAST(CEIL(p.pct * n / 100.0) AS BIGINT)
+        |       THEN cum_spend END) AS DOUBLE) * 1e6
+        |     / CAST(MAX(r.total) AS DOUBLE)) AS BIGINT) AS revenue_share_e6
+        |FROM p CROSS JOIN r
+        |GROUP BY p.pct
+        |ORDER BY p.pct""".stripMargin
+    val oracleText =
+      """WITH c AS (SELECT o_custkey,
+        |             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+        |           FROM orders GROUP BY o_custkey),
+        |q251_pre AS (SELECT spend,
+        |        ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rnk,
+        |        SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_spend_raw
+        |      FROM c),
+        |q251_t AS (SELECT COUNT(*) AS n,
+        |             CAST(SUM(spend) AS DECIMAL(18,2)) AS total FROM c),
+        |""".stripMargin + tail.stripPrefix("WITH ")
+    QuerySpec("q251_pareto_revenue", oracleText) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      import graft.llmops.Checkpoints.Stageable
+      val c = sp.table("orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(14,2)")).as("spend"))
+        .staged // feeds the prefix pass AND the totals
+      Prefix.prefixSums(c, Seq(col("spend").desc, col("o_custkey")),
+          Seq(col("spend") -> "cum_spend_raw", lit(1L) -> "rnk"))
+        .select("rnk", "cum_spend_raw")
+        .createOrReplaceTempView("q251_pre")
+      c.agg(count(lit(1)).as("n"),
+          sum("spend").cast("decimal(18,2)").as("total"))
+        .createOrReplaceTempView("q251_t")
+      sp.sql(tail)
+    }
+  }
 
   val all: Seq[QuerySpec] = Seq(
     q238MarketBasket, q242RfmSegmentation, q247CorrelationMatrix,

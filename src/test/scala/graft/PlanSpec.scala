@@ -1054,6 +1054,117 @@ class PlanSpec extends EngineSuite {
           if w.partitionSpec.isEmpty => w
     }
 
+  test("corpus sweep: every global-order window is collapsed, rank-limited, Prefix-ranged, or audited") {
+    // Whole-registry version of the per-query pins below: an
+    // unpartitioned window is admissible only when (a) its input is an
+    // aggregate collapsed ON its own order keys — traced semantically
+    // through Project aliases on the optimized logical plan, so
+    // value-cardinality running sums pass (q278 pattern) — (b) a
+    // WindowGroupLimit or a pushed-down limit bounds the rows reaching
+    // it (top-k), or (c) it is the Prefix offsets rollup (__pid).
+    // Anything else must carry an explicit audit entry here, with the
+    // cardinality argument — so the next single-task window can't land
+    // unreviewed.
+    import org.apache.spark.sql.catalyst.plans.{logical => L}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId}
+
+    val audited: Map[String, String] = Map(
+      "q26_sort_nulls" -> ("the global row_number IS the feature under test " +
+        "(NULLS LAST observability), input filter-bounded to o_orderkey <= 2000"),
+      "q218_kneser_ney_bigram" -> ("running sums over the continuation-count " +
+        "relation ordered by the aggregate value; |distinct c2| bounded, " +
+        "collapse-to-multiplicity applies if it ever isn't"),
+      "q228_embed_pca_axis" -> "window over the 64-row embedding-position relation",
+      "q250_loso_influence" -> "window over the |sources| relation (≤ tens of rows)",
+      "q294_ks_drift_fdr" -> ("BH adjustment windows over the |sources| p-value " +
+        "relation and the 50-row KS series grid"))
+
+    def groupingOutputIds(a: L.Aggregate): Set[ExprId] =
+      a.aggregateExpressions.collect {
+        case al: Alias if a.groupingExpressions.exists(_.semanticEquals(al.child)) =>
+          al.exprId
+        case ar: AttributeReference
+            if a.groupingExpressions.exists(_.semanticEquals(ar)) => ar.exprId
+      }.toSet
+
+    /** Is every order-key attr (traced through aliases) a grouping
+      * output of the first aggregate below the window? */
+    def collapsedOn(plan: L.LogicalPlan, ids: Set[ExprId]): Boolean = plan match {
+      case a: L.Aggregate => ids.subsetOf(groupingOutputIds(a))
+      case p: L.Project =>
+        val remapped = ids.flatMap { id =>
+          p.projectList.find(_.exprId == id) match {
+            case Some(al: Alias) => al.child.references.map(_.exprId).toSet
+            case Some(ar: AttributeReference) => Set(ar.exprId)
+            case _ => Set(id)
+          }
+        }
+        collapsedOn(p.child, remapped)
+      case f: L.Filter => collapsedOn(f.child, ids)
+      case s: L.Sort => collapsedOn(s.child, ids)
+      case w: L.Window =>
+        // stacked windows over the same collapsed relation: pass through
+        // UNLESS the order key IS a lower window's output (rank-indexed
+        // ordering — not a collapse)
+        val produced = w.windowExpressions.map(_.exprId).toSet
+        if (ids.exists(produced.contains)) false
+        else collapsedOn(w.child, ids)
+      case u: L.Union =>
+        // a union keeps the collapsed class iff every branch has it
+        // (ids remap positionally through the union's output)
+        val positions = ids.map(id => u.output.indexWhere(_.exprId == id))
+        if (positions.contains(-1)) false
+        else u.children.forall { c =>
+          c.maxRows.exists(_ <= 128) ||
+            collapsedOn(c, positions.map(i => c.output(i).exprId))
+        }
+      case j: L.Join =>
+        // a collapsed relation cross-joined with a provably tiny side
+        // (scalar totals, literal grids) keeps its cardinality class
+        def tiny(p: L.LogicalPlan): Boolean = p.maxRows.exists(_ <= 128)
+        val leftIds = j.left.outputSet.toSeq.map(_.exprId).toSet
+        val rightIds = j.right.outputSet.toSeq.map(_.exprId).toSet
+        val fromLeft = ids.subsetOf(leftIds)
+        val fromRight = ids.subsetOf(rightIds)
+        if (fromLeft && tiny(j.right)) collapsedOn(j.left, ids)
+        else if (fromRight && tiny(j.left)) collapsedOn(j.right, ids)
+        else false
+      case _ => false
+    }
+
+    def admissible(w: L.Window): Boolean = {
+      val orderRefs = w.orderSpec.flatMap(_.child.references.toSeq)
+      if (orderRefs.exists(_.name == "__pid")) return true // (c) Prefix offsets
+      if (w.child.collectFirst {
+            case g: L.WindowGroupLimit => g
+            case l: L.GlobalLimit => l
+            case l: L.LocalLimit => l
+          }.isDefined) return true // (b) bounded input
+      if (orderRefs.isEmpty) // unordered total (SUM OVER ()): any collapse below
+        return w.child.collectFirst { case a: L.Aggregate => a }.isDefined
+      collapsedOn(w.child, orderRefs.map(_.exprId).toSet) // (a)
+    }
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (audited.contains(name)) None
+      else {
+        val plan =
+          try fn(spark, sfDir).queryExecution.optimizedPlan
+          catch { case _: Throwable => null } // side-effecting queries covered elsewhere
+        Option(plan).flatMap { p =>
+          val bad = p.collect {
+            case w: L.Window if w.partitionSpec.isEmpty && !admissible(w) => w
+          }
+          if (bad.isEmpty) None
+          else Some(name -> bad.map(_.orderSpec.mkString(",")).mkString("; "))
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      "unaudited global-order windows:\n" +
+        offenders.map { case (n, o) => s"  $n: $o" }.mkString("\n"))
+  }
+
   test("q281/q282: every global-order window runs over a relation collapsed on its own order key") {
     for (name <- Seq("q281_token_gini", "q282_spearman_corr")) {
       val ws = globalWindows(name)
