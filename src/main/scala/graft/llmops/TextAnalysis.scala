@@ -2,6 +2,7 @@ package graft.llmops
 
 import graft.llmops.Checkpoints.Stageable
 import graft.QuerySpec
+import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation — language ID,
   * quality scoring, token counting, document fingerprinting (llmops
@@ -1316,52 +1317,64 @@ object TextAnalysis {
     *   + D·N1+(prev,·)/c(prev,·) · N1+(·,w)/N1+(·,·)`.
     *
     * Scale shape: the q184 skeleton — per-doc LAG (doc-keyed window,
-    * never global), then everything is vocab²-bounded: bigram counts
-    * with map-side combine, context totals and fan-outs as window sums
-    * over the bigram relation (no second corpus scan), the
-    * continuation table another projection of the same relation. The
-    * top-30 report ranks the vocab-sized result, not the corpus.
-    * Fixed DOUBLE expression tree + ROUND(…,6): bit-equal on both
+    * never global), then everything is vocab²-bounded off ONE staged
+    * bigram relation: the top-30 pick is a rank-FILTERED window
+    * (rn ≤ 30 → partial+final WindowGroupLimit; the r12 version's
+    * partition-by stat windows got scheduled between the rank and its
+    * filter, which silently defeated the group-limit pushdown and
+    * ranked the whole bigram vocabulary in one task), and the KN
+    * statistics are plain grouped aggregates joined to the 30
+    * survivors (same exact integers as the old window sums). Fixed
+    * DOUBLE expression tree + ROUND(…,6): bit-equal on both
     * engines. */
   val q218KneserNey: QuerySpec = {
-    def text(spark: Boolean): String = {
-      val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
-      val words =
-        if (spark)
-          """SELECT doc_id, pos, word FROM t
-            |  LATERAL VIEW posexplode(w) p AS pos, word""".stripMargin
-        else
-          """SELECT doc_id, unnest(range(len(w))) AS pos,
-            |         unnest(w) AS word FROM t""".stripMargin
-      s"""WITH t AS (SELECT doc_id, $split AS w FROM documents),
-         |words AS (
-         |$words),
-         |w2 AS (SELECT doc_id, pos, word,
-         |              LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-         |       FROM words),
-         |bi AS (SELECT prev, word, COUNT(*) AS c2
-         |       FROM w2 WHERE prev IS NOT NULL GROUP BY prev, word),
-         |ctx AS (SELECT prev, word, c2,
-         |               SUM(c2) OVER (PARTITION BY prev) AS ctot,
-         |               COUNT(*) OVER (PARTITION BY prev) AS nfwd,
-         |               COUNT(*) OVER (PARTITION BY word) AS nbwd,
-         |               COUNT(*) OVER () AS ntypes
-         |        FROM bi),
-         |p AS (SELECT prev, word, c2,
-         |        (GREATEST(CAST(c2 AS DOUBLE) - 0.75, 0.0)
-         |           / CAST(ctot AS DOUBLE))
-         |        + (0.75 * CAST(nfwd AS DOUBLE) / CAST(ctot AS DOUBLE))
-         |          * (CAST(nbwd AS DOUBLE) / CAST(ntypes AS DOUBLE)) AS pkn
-         |      FROM ctx),
-         |r AS (SELECT prev, word, c2, pkn,
-         |             ROW_NUMBER() OVER (ORDER BY c2 DESC, prev, word) AS rnk
-         |      FROM p)
-         |SELECT CAST(rnk AS INT) AS rnk, prev, word, CAST(c2 AS BIGINT) AS n_pair,
-         |       ROUND(pkn, 6) AS p_kn
-         |FROM r WHERE rnk <= 30
-         |ORDER BY rnk""".stripMargin
+    val tail =
+      """WITH topr AS (SELECT prev, word, c2, rnk FROM (
+        |     SELECT prev, word, c2,
+        |       ROW_NUMBER() OVER (ORDER BY c2 DESC, prev, word) AS rnk
+        |     FROM q218_bi) t WHERE rnk <= 30),
+        |fwd AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS ctot, COUNT(*) AS nfwd
+        |        FROM q218_bi GROUP BY prev),
+        |bwd AS (SELECT word, COUNT(*) AS nbwd FROM q218_bi GROUP BY word),
+        |tot AS (SELECT COUNT(*) AS ntypes FROM q218_bi)
+        |SELECT CAST(rnk AS INT) AS rnk, topr.prev, topr.word,
+        |  CAST(c2 AS BIGINT) AS n_pair,
+        |  ROUND((GREATEST(CAST(c2 AS DOUBLE) - 0.75, 0.0)
+        |           / CAST(ctot AS DOUBLE))
+        |        + (0.75 * CAST(nfwd AS DOUBLE) / CAST(ctot AS DOUBLE))
+        |          * (CAST(nbwd AS DOUBLE) / CAST(ntypes AS DOUBLE)), 6) AS p_kn
+        |FROM topr JOIN fwd ON topr.prev = fwd.prev
+        |JOIN bwd ON topr.word = bwd.word
+        |CROSS JOIN tot
+        |ORDER BY rnk""".stripMargin
+    val oracleText =
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |words AS (
+        |SELECT doc_id, unnest(range(len(w))) AS pos,
+        |         unnest(w) AS word FROM t),
+        |w2 AS (SELECT doc_id, pos, word,
+        |              LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM words),
+        |q218_bi AS (SELECT prev, word, COUNT(*) AS c2
+        |       FROM w2 WHERE prev IS NOT NULL GROUP BY prev, word),
+        |""".stripMargin + tail.stripPrefix("WITH ")
+    QuerySpec("q218_kneser_ney_bigram", oracleText) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      import graft.llmops.Checkpoints.Stageable
+      val w = org.apache.spark.sql.expressions.Window
+      // one corpus scan → the bigram count relation, staged (it feeds
+      // the ranked pick and three stat aggregates)
+      sp.table("documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .withColumn("prev",
+          lag("word", 1).over(w.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "word").agg(count(lit(1)).as("c2"))
+        .staged
+        .createOrReplaceTempView("q218_bi")
+      sp.sql(tail)
     }
-    QuerySpec.sql2("q218_kneser_ney_bigram", text(spark = true), text(spark = false))
   }
 
   /** Character-level Shannon entropy per document — the cheapest

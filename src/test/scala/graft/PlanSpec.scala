@@ -1071,9 +1071,6 @@ class PlanSpec extends EngineSuite {
     val audited: Map[String, String] = Map(
       "q26_sort_nulls" -> ("the global row_number IS the feature under test " +
         "(NULLS LAST observability), input filter-bounded to o_orderkey <= 2000"),
-      "q218_kneser_ney_bigram" -> ("running sums over the continuation-count " +
-        "relation ordered by the aggregate value; |distinct c2| bounded, " +
-        "collapse-to-multiplicity applies if it ever isn't"),
       "q228_embed_pca_axis" -> "window over the 64-row embedding-position relation",
       "q250_loso_influence" -> "window over the |sources| relation (≤ tens of rows)",
       "q294_ks_drift_fdr" -> ("BH adjustment windows over the |sources| p-value " +
