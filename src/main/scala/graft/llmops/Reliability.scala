@@ -399,8 +399,49 @@ object Reliability {
     QuerySpec.sql2("q315_mcnemar", text(spark = true), text(spark = false))
   }
 
+  /** Kendall's τ-b between document length and lexical diversity — the
+    * concordance-based companion to q282's Spearman ρ (τ has a direct
+    * probabilistic reading — P(concordant) − P(discordant) — and is
+    * more robust to a few extreme ranks; reporting both is standard).
+    * The O(n²) pair classification collapses to the JOINT-CELL
+    * relation first (value-cardinality² cell pairs, never corpus²):
+    * concordant/discordant pair counts are c·c′ products over cell
+    * pairs with x strictly ordered, tie corrections come from the two
+    * marginals' C(c,2) sums, and everything is exact integers kept ×2
+    * (no integer division) until the one sqrt. The cell self-join is
+    * broadcast (the collapsed relation is tiny); an all-tied axis
+    * makes τ undefined ⇒ NULL. */
+  val q316KendallTau: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val dw =
+        if (spark) "size(array_distinct(split(text, ' ')))"
+        else "len(list_distinct(string_split(text, ' ')))"
+      s"""WITH d AS (SELECT n_chars AS x, $dw AS y FROM documents),
+         |j AS (SELECT x, y, COUNT(*) AS c FROM d GROUP BY x, y),
+         |pr AS (SELECT /*+ BROADCAST(a) */
+         |        CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+         |        CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+         |      FROM j a JOIN j b ON a.x < b.x),
+         |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM j GROUP BY x),
+         |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM j GROUP BY y),
+         |tx AS (SELECT CAST(SUM(cx * (cx - 1)) AS BIGINT) AS t1x2 FROM mx),
+         |ty AS (SELECT CAST(SUM(cy * (cy - 1)) AS BIGINT) AS t1y2 FROM my),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+         |f AS (SELECT n, conc, disc,
+         |        CAST(n AS DOUBLE) * (n - 1) - t1x2 AS dx2,
+         |        CAST(n AS DOUBLE) * (n - 1) - t1y2 AS dy2
+         |      FROM pr CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot)
+         |SELECT CAST(n AS BIGINT) AS n_docs, conc AS concordant, disc AS discordant,
+         |  CASE WHEN dx2 = 0.0 OR dy2 = 0.0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND(2.0 * (conc - disc) / SQRT(dx2 * dy2) * 1e6)
+         |         AS BIGINT) END AS kendall_tau_b_e6
+         |FROM f""".stripMargin
+    }
+    QuerySpec.sql2("q316_kendall_tau", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q306FleissKappa, q307KrippendorffAlpha, q308AdjustedRand,
     q309NdcgAt10, q310KAnonymity, q311EncodingQc, q312Readability,
-    q313VMeasure, q314PsiDrift, q315Mcnemar)
+    q313VMeasure, q314PsiDrift, q315Mcnemar, q316KendallTau)
 }

@@ -174,9 +174,25 @@ object SqlRender {
   private def render(p: LogicalPlan, ctx: Ctx): String = p match {
     case w: UnresolvedWith =>
       val defs = w.cteRelations.map {
-        case (name, sa, _) => s"$name AS (${render(sa.child, ctx)})"
+        // WITH name(col, …) AS (…): the parser wraps the definition in
+        // UnresolvedSubqueryColumnAliases — re-emit the column list
+        case (name, sa, _) => sa.child match {
+          case u: UnresolvedSubqueryColumnAliases =>
+            s"$name(${u.outputColumnNames.mkString(", ")}) AS (${render(u.child, ctx)})"
+          case child => s"$name AS (${render(child, ctx)})"
+        }
       }
       s"WITH ${defs.mkString(", ")} ${render(w.child, ctx)}"
+    case h: UnresolvedHint =>
+      // a /*+ hint */ is semantics-free: regenerate the query without it
+      // (rows identical; the hint only steers the physical plan)
+      render(h.child, ctx)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedInlineTable =>
+      // inline VALUES table (the parsed form of a VALUES CTE body before
+      // constant evaluation): per-row expressions render as validated
+      // fragments
+      "VALUES " + t.rows.map(r =>
+        "(" + r.map(frag(_, ctx)).mkString(", ") + ")").mkString(", ")
     case g: GlobalLimit =>
       g.child match {
         case LocalLimit(_, o: Offset) =>

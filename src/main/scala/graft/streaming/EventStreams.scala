@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -119,6 +119,49 @@ object EventStreams {
       when(ppos === 0.0 || ppos === 1.0, lit(null).cast("bigint"))
         .otherwise(round((pbar - pe) / (lit(1.0) - pe) * 1e6).cast("bigint"))
         .as("fleiss_kappa_e6"))
+  }
+
+  /** Continuous population-stability monitoring — the streaming twin of
+    * q314's PSI drift: per tumbling hour, the event-value distribution
+    * bins against FIXED reference boundaries (frozen from the training
+    * snapshot — exactly how PSI is deployed: the reference never moves
+    * with the stream) and the monitor reports PSI against the
+    * reference shares, with q314's named thresholds. State per open
+    * window is the bin-count vector (|bins| counters — constant), PSI
+    * is a closed form in the final select, and the current-side
+    * +1/(n+|bins|) Laplace smoothing keeps ln finite on empty bins.
+    * Runs on a batch frame unchanged (watermark no-op) for
+    * one-code-path parity. */
+  def psiMonitor(events: DataFrame,
+                 refBounds: Seq[Double],
+                 refShares: Seq[Double],
+                 watermark: String = "2 hours"): DataFrame = {
+    require(refShares.size == refBounds.size + 1,
+      "one reference share per bin (bounds define |bounds|+1 bins)")
+    require(refShares.forall(_ > 0), "reference shares must be positive")
+    val binCol = refBounds.zipWithIndex.reverse
+      .foldLeft(lit(refBounds.size): Column) { case (acc, (b, i)) =>
+        when(col("value") < b, lit(i)).otherwise(acc)
+      }
+    val agg = events
+      .withWatermark("ts", watermark)
+      .withColumn("bin", binCol)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        refShares.indices.map(i =>
+          sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"bin$i")): _*)
+    val nb = refShares.size
+    val psi = refShares.zipWithIndex.map { case (q, i) =>
+      val p = (col(s"bin$i") + lit(1.0)) / (col("n") + lit(nb.toDouble))
+      (p - lit(q)) * log(p / lit(q))
+    }.reduce(_ + _)
+    agg.select(
+      (col("window.start").as("hour_start") +:
+        col("n") +:
+        refShares.indices.map(i => col(s"bin$i"))) :+
+        round(psi * 1e6).cast("bigint").as("psi_e6") :+
+        when(psi < 0.1, "stable").when(psi < 0.25, "moderate")
+          .otherwise("shifted").as("verdict"): _*)
   }
 
   /** Gap-based sessionization (30-minute inactivity) — streaming twin of

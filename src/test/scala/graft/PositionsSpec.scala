@@ -179,8 +179,11 @@ class PositionsSpec extends EngineSuite {
       if (cols.nonEmpty) grounded += 1
     }
     // only pure-literal (VALUES) and pure-COUNT(*) queries — no column
-    // VALUES flow into their outputs — may come back ungrounded
-    assert(grounded >= SparkEntry.specs.count(_.sparkSql.isDefined) - 8,
+    // VALUES flow into their outputs — may come back ungrounded (the
+    // round-13 reliability/governance family is count-statistic-heavy:
+    // kappa/alpha/k-anonymity/PSI outputs are functions of group COUNTs
+    // alone, so they legitimately carry no column lineage)
+    assert(grounded >= SparkEntry.specs.count(_.sparkSql.isDefined) - 13,
       s"only $grounded queries produced grounded lineage")
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Prefix
+
+/** Direct evidence for the Prefix two-pass scheme: the distributed
+  * ranks/prefix sums must equal the single-window reference EXACTLY —
+  * on skewed data, with duplicate sort keys, across partition counts —
+  * and the plan must contain no unpartitioned heavy window. */
+class PrefixSpec extends EngineSuite {
+
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    // skewed keys (half the rows share key 7), plus a unique tiebreak
+    (1L to 500L).map(i => (if (i % 2 == 0) 7L else i % 97, i))
+      .toDF("k", "id")
+  }
+
+  test("globalRank equals the single-window ROW_NUMBER under a total order") {
+    val df = fixture
+    val got = Prefix.globalRank(df, Seq(col("k"), col("id")), "rk")
+      .select("k", "id", "rk")
+    val want = df.withColumn("rk",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "distributed ranks diverge from the reference window")
+    // rank set is exactly 1..n
+    val n = df.count()
+    assert(got.agg(min("rk"), max("rk"), countDistinct("rk")).collect()(0)
+      .toSeq == Seq(1L, n, n))
+  }
+
+  test("prefixSums equals the single-window running sums, exactly") {
+    val df = fixture.withColumn("v", col("id") * 3 - 1)
+    val got = Prefix.prefixSums(df, Seq(col("k"), col("id")),
+      Seq(col("v") -> "cum_v", lit(1L) -> "rn"))
+    val w = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("cum_v", sum("v").over(w))
+      .withColumn("rn", sum(lit(1L)).over(w))
+    assert(got.select("k", "id", "v", "cum_v", "rn")
+      .except(want.select("k", "id", "v", "cum_v", "rn")).isEmpty,
+      "distributed prefix sums diverge from the reference window")
+  }
+
+  test("the heavy window is range-partitioned; only the offsets rollup is global") {
+    val df = Prefix.globalRank(fixture, Seq(col("k"), col("id")), "rk")
+    val ws = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.exists(_.partitionSpec.nonEmpty), "no per-range window found")
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.toString.contains("__pid"),
+        "global window other than the offsets rollup:\n" + w.toString.take(800))
+    }
+  }
+}

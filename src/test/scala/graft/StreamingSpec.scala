@@ -92,6 +92,45 @@ class StreamingSpec extends EngineSuite {
     assert(streamed == batch)
   }
 
+  test("psiMonitor: stream equals batch, psi matches the closed form") {
+    val s = spark
+    import s.implicits._
+    // reference: 50/30/20 across bins (<3, 3-7, >=7); hour 0 roughly
+    // matches it, hour 1 is all high values (shifted)
+    val bounds = Seq(3.0, 7.0)
+    val shares = Seq(0.5, 0.3, 0.2)
+    val events = Seq(
+      Event(1, 1, ts(5), "view", 1.0), Event(2, 2, ts(10), "view", 2.0),
+      Event(3, 3, ts(20), "click", 4.0), Event(4, 4, ts(30), "view", 5.0),
+      Event(5, 5, ts(40), "click", 9.0),
+      Event(1, 6, ts(65), "view", 8.0), Event(2, 7, ts(70), "view", 9.5),
+      Event(3, 8, ts(80), "click", 12.0))
+
+    val batch = EventStreams.psiMonitor(events.toDF(), bounds, shares)
+      .orderBy("hour_start").collect().toSeq
+    assert(batch.length == 2)
+    def psiE6(bins: Seq[Long]): Long = {
+      val n = bins.sum
+      math.round(bins.zip(shares).map { case (b, q) =>
+        val p = (b + 1.0) / (n + shares.size)
+        (p - q) * math.log(p / q)
+      }.sum * 1e6)
+    }
+    assert(batch(0).getAs[Long]("psi_e6") == psiE6(Seq(2, 2, 1)))
+    assert(batch(1).getAs[Long]("psi_e6") == psiE6(Seq(0, 0, 3)))
+    assert(batch(1).getAs[String]("verdict") == "shifted")
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.psiMonitor(mem.toDF(), bounds, shares)
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.table("psi_out").orderBy("hour_start").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("tumblingCounts: stream result equals batch result") {
     val s = spark
     import s.implicits._
