@@ -317,6 +317,92 @@ object Clustering {
           .cast("bigint").as("isotropy_e6"))
   }
 
+  /** Davies-Bouldin index of the GIVEN label partition (cosine
+    * distance) — the cluster-validity number for labels we did not fit
+    * ourselves ([[q211ClusterSilhouette]] grades our own k-means;
+    * this grades the upstream labeling): DB = mean over clusters of
+    * R_i = max_{j≠i} (S_i + S_j) / M_ij, with S the mean member→centroid
+    * distance and M the centroid→centroid distance — lower is tighter.
+    * Scale shape: centroids are one (label, pos) shuffle with exact
+    * DECIMAL means (the q97 centroid rule), member distances are ONE
+    * corpus pass against the broadcast k-row centroid table with
+    * DECIMAL(38,18) accumulation, and everything after lives on the
+    * k-row relation (k² pair grid, k ≪ anything). The max is taken on
+    * already-rounded ratio_e6 with a label tie-break (house rank rule);
+    * coincident centroids (M = 0) yield NULL ratios ranked last. */
+  val q320DaviesBouldin: QuerySpec = QuerySpec(
+    "q320_davies_bouldin",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT label, list(m ORDER BY pos) AS cv FROM (
+      |        SELECT label, pos,
+      |          CAST(SUM(CAST(v[pos + 1] AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+      |        FROM (SELECT label, v, unnest(range(len(v))) AS pos FROM e) x
+      |        GROUP BY label, pos) t GROUP BY label),
+      |s AS (SELECT e.label, COUNT(*) AS n_members,
+      |        CAST(SUM(CAST(1.0 - list_cosine_similarity(e.v, c.cv)
+      |                 AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS s_i
+      |      FROM e JOIN c ON e.label = c.label GROUP BY e.label),
+      |sc AS (SELECT s.label, s.n_members, s.s_i, c.cv
+      |       FROM s JOIN c ON s.label = c.label),
+      |p AS (SELECT i.label, i.n_members, i.s_i, j.label AS jl,
+      |        CASE WHEN 1.0 - list_cosine_similarity(i.cv, j.cv) = 0
+      |             THEN CAST(NULL AS BIGINT)
+      |             ELSE CAST(ROUND((i.s_i + j.s_i)
+      |               / (1.0 - list_cosine_similarity(i.cv, j.cv)) * 1e6)
+      |               AS BIGINT) END AS ratio_e6
+      |      FROM sc i JOIN sc j ON i.label <> j.label),
+      |r AS (SELECT label, n_members, s_i, jl, ratio_e6,
+      |        ROW_NUMBER() OVER (PARTITION BY label
+      |          ORDER BY ratio_e6 DESC NULLS LAST, jl) AS rk
+      |      FROM p),
+      |w AS (SELECT * FROM r WHERE rk = 1),
+      |db AS (SELECT CAST(ROUND(CAST(SUM(CAST(ratio_e6 AS DECIMAL(38,6)))
+      |           AS DOUBLE) / COUNT(*)) AS BIGINT) AS db_e6 FROM w)
+      |SELECT w.label, w.n_members,
+      |  CAST(ROUND(w.s_i * 1e6) AS BIGINT) AS s_e6,
+      |  w.jl AS nearest_label, w.ratio_e6 AS r_e6, db.db_e6
+      |FROM w CROSS JOIN db ORDER BY w.label""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val e = sp.table("embeddings").select(col("vec_id"), col("label"),
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(27,18)")).cast("double") / count(lit(1)))
+        .as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cv"))
+    val sI = e.join(broadcast(cents), Seq("label"))
+      .select(col("label"), (lit(1.0) - expr("vec_cosine(v, cv)")).as("dist"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("dist").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+          .as("s_i"))
+    val si = sI.join(cents, Seq("label")).staged
+    val m = lit(1.0) - expr("vec_cosine(i.cv, j.cv)")
+    val pairs = si.as("i").join(si.as("j"), col("i.label") =!= col("j.label"))
+      .select(col("i.label").as("label"), col("i.n_members").as("n_members"),
+        col("i.s_i").as("s_i"), col("j.label").as("jl"),
+        when(m === 0, lit(null).cast("long"))
+          .otherwise(round((col("i.s_i") + col("j.s_i")) / m * lit(1e6))
+            .cast("long")).as("ratio_e6"))
+    val worst = pairs
+      .withColumn("rk", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("ratio_e6").desc_nulls_last, col("jl"))))
+      .filter(col("rk") === 1)
+      .staged
+    val db = worst.agg(
+      round(sum(col("ratio_e6").cast("decimal(38,6)")).cast("double")
+        / count(lit(1))).cast("long").as("db_e6"))
+    worst.join(broadcast(db), lit(true))
+      .select(col("label"), col("n_members"),
+        round(col("s_i") * lit(1e6)).cast("long").as("s_e6"),
+        col("jl").as("nearest_label"), col("ratio_e6").as("r_e6"),
+        col("db_e6"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QuerySpec] = Seq(q97KmeansBalanced, q211ClusterSilhouette,
-    q228PcaAxis, q245Isotropy)
+    q228PcaAxis, q245Isotropy, q320DaviesBouldin)
 }

@@ -650,8 +650,45 @@ object CorpusStats {
     QuerySpec.sql2("q303_lognormal_lengths", text(spark = true), text(spark = false))
   }
 
+  /** Source-diversity indices per language — the "is this language's
+    * slice really multi-source?" gate a mixing plan reads before
+    * trusting per-language token budgets (one crawler dominating a
+    * language is a silent dedup/bias risk that raw source COUNTS hide).
+    * Per lang: unbiased Simpson concentration λ = Σ n_s(n_s−1)/(N(N−1))
+    * (the probability two draws WITHOUT replacement share a source),
+    * its complement as diversity, Shannon entropy H = −Σ p·ln p, and
+    * the effective source count e^H (the "equivalent equally-sized
+    * sources" number mixing math actually wants). The corpus collapses
+    * to the (lang, source) contingency relation in one rollup; pair
+    * counts are exact integers with DECIMAL(38,0) headroom, and the
+    * k-row entropy sum accumulates n·ln(n/N) terms via DECIMAL(38,18)
+    * before the single division (summing p·ln p doubles directly would
+    * leak engine summation order). Single-source languages report
+    * diversity 0 / H 0; N = 1 guards the Simpson denominator. */
+  val q321SourceDiversity: QuerySpec = QuerySpec.sql(
+    "q321_source_diversity",
+    """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY lang, source),
+      |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nn,
+      |        CAST(COUNT(*) AS BIGINT) AS k FROM c GROUP BY lang),
+      |m AS (SELECT c.lang,
+      |        CAST(SUM(CAST(c.n AS DECIMAL(38,0)) * (c.n - 1))
+      |          AS DECIMAL(38,0)) AS pairs,
+      |        CAST(SUM(CAST(c.n * LN(CAST(c.n AS DOUBLE) / t.nn)
+      |                 AS DECIMAL(38,18))) AS DOUBLE) AS nlp
+      |      FROM c JOIN t ON c.lang = t.lang GROUP BY c.lang)
+      |SELECT t.lang, t.nn AS n_docs, t.k AS n_sources,
+      |  CASE WHEN t.nn <= 1 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND((1.0 - CAST(m.pairs AS DOUBLE)
+      |         / (CAST(t.nn AS DOUBLE) * (t.nn - 1))) * 1e6) AS BIGINT) END
+      |    AS simpson_div_e6,
+      |  CAST(ROUND(-m.nlp / t.nn * 1e6) AS BIGINT) AS shannon_e6,
+      |  CAST(ROUND(EXP(-m.nlp / t.nn) * 1e6) AS BIGINT) AS effective_sources_e6
+      |FROM t JOIN m ON t.lang = m.lang
+      |ORDER BY t.lang""".stripMargin)
+
   val all: Seq[QuerySpec] =
-    Seq(q303LognormalLengths,
+    Seq(q303LognormalLengths, q321SourceDiversity,
       q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
       q216HeavyHitters.benched, q225ScoreKsDrift, q229SubsampleCi,
       q232CalibrationMap, q235ZipfFit, q243HeapsFit, q250LosoInfluence,

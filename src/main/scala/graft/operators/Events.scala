@@ -1420,7 +1420,156 @@ object Events {
     QuerySpec.sql2("q305_weekly_spectrum", text(spark = true), text(spark = false))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) comparing purchase vs view
+    * transaction values — the distribution-free "did the whole value
+    * DISTRIBUTION shift?" companion to [[q227AbReadout]]'s proportion
+    * z-test (a fat tail moves U long before it moves a mean). Rank-free
+    * on the collapsed cent-grid relation (the q278 AUC identity): value
+    * is 2-decimal money, so `CAST(ROUND(value*100) AS BIGINT)` collapses
+    * ANY corpus to ≤ |price range|·100 rows, and for cent value c with
+    * na(c) purchases, nb(c) views and nb_below(c) views strictly below,
+    * 2·U = Σ na·(2·nb_below + nb) — ties get exact half credit and the
+    * whole statistic is integer until the final z. The only window is
+    * the running view count over the cent relation, aggregated on its
+    * own order key. Tie-corrected normal approximation
+    * z = (U − na·nb/2) / sqrt(na·nb/12·((n+1) − Σ(t³−t)/(n(n−1)))) with
+    * DECIMAL(38,0) headroom on the cubes (t ≤ n ⇒ t³ ≤ 10²⁷ at 10⁹
+    * rows); rank-biserial effect size r = 2U/(na·nb) − 1 alongside.
+    * Degenerate inputs (one group empty, or all values tied ⇒ var 0)
+    * yield NULL z, the q299 zero-variance convention. */
+  val q317MannWhitney: QuerySpec = QuerySpec.sql(
+    "q317_mann_whitney",
+    """WITH d AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+      |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+      |           FROM events WHERE event_type IN ('purchase', 'view')),
+      |sc AS (SELECT c, CAST(SUM(a) AS BIGINT) AS na,
+      |         CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb
+      |       FROM d GROUP BY c),
+      |w AS (SELECT c, na, nb,
+      |        COALESCE(SUM(nb) OVER (ORDER BY c
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lob
+      |      FROM sc),
+      |m AS (SELECT CAST(SUM(na) AS BIGINT) AS np, CAST(SUM(nb) AS BIGINT) AS nv,
+      |        CAST(SUM(CAST(na AS DECIMAL(38,0)) * (2 * lob + nb)) AS DECIMAL(38,0)) AS u2,
+      |        CAST(SUM(CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * (na + nb)
+      |                 - (na + nb)) AS DECIMAL(38,0)) AS tsum
+      |      FROM w)
+      |SELECT np AS n_purchase, nv AS n_view,
+      |  CAST(ROUND(CAST(u2 AS DOUBLE) / 2) AS BIGINT) AS u_stat,
+      |  CASE WHEN np = 0 OR nv = 0 OR
+      |            CAST(np AS DOUBLE) * nv / 12.0
+      |              * ((np + nv + 1)
+      |                 - CAST(tsum AS DOUBLE)
+      |                   / ((np + nv) * (np + nv - 1.0))) = 0
+      |       THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND((CAST(u2 AS DOUBLE) - CAST(np AS DOUBLE) * nv)
+      |         / (2.0 * SQRT(CAST(np AS DOUBLE) * nv / 12.0
+      |             * ((np + nv + 1)
+      |                - CAST(tsum AS DOUBLE)
+      |                  / ((np + nv) * (np + nv - 1.0))))) * 1e6) AS BIGINT) END
+      |    AS z_e6,
+      |  CASE WHEN np = 0 OR nv = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND((CAST(u2 AS DOUBLE) / (CAST(np AS DOUBLE) * nv) - 1.0)
+      |                       * 1e6) AS BIGINT) END AS rank_biserial_e6
+      |FROM m""".stripMargin)
+
+  /** Kruskal-Wallis H across ALL event types — the k-sample extension of
+    * [[q317MannWhitney]] ("does ANY event type's value distribution
+    * differ?"), the nonparametric sibling of the one-way ANOVA readout.
+    * Same cent-grid collapse: per cent value, per-type counts; midrank
+    * algebra needs only the running total count lo(c) over the cent
+    * relation (2·R_g = Σ n_gc·(2·lo + t + 1), a block of t tied values
+    * occupying ranks (lo, lo+t] contributes its midrank lo+(t+1)/2 to
+    * every member). H = 12/(n(n+1))·Σ n_g·(mr_g − (n+1)/2)² over the
+    * k-row group relation, tie-corrected by 1 − Σ(t³−t)/(n³−n); the
+    * across-group sum accumulates via DECIMAL(38,6) (n_g·(mr−…)² can
+    * reach ~10²⁷ at web scale — past DECIMAL(27,18)'s 9 integer
+    * digits, fine at (38,6)). Output one row per type with its mean
+    * rank plus the shared H — every number exact-integer-derived until
+    * the final doubles. */
+  val q318KruskalWallis: QuerySpec = QuerySpec.sql(
+    "q318_kruskal_wallis",
+    """WITH d AS (SELECT event_type AS g,
+      |             CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+      |v AS (SELECT c, g, COUNT(*) AS ngc FROM d GROUP BY c, g),
+      |t AS (SELECT c, CAST(SUM(ngc) AS BIGINT) AS t FROM v GROUP BY c),
+      |w AS (SELECT c, t,
+      |        COALESCE(SUM(t) OVER (ORDER BY c
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+      |      FROM t),
+      |r AS (SELECT v.g, CAST(SUM(v.ngc) AS BIGINT) AS n_g,
+      |        CAST(SUM(CAST(v.ngc AS DECIMAL(38,0)) * (2 * w.lo + w.t + 1))
+      |          AS DECIMAL(38,0)) AS r2
+      |      FROM v JOIN w ON v.c = w.c GROUP BY v.g),
+      |tc AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
+      |           AS DECIMAL(38,0)) AS tsum FROM t),
+      |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k FROM r),
+      |m AS (SELECT tot.n, tot.k,
+      |        CAST(SUM(CAST(CAST(r.n_g AS DOUBLE)
+      |          * (CAST(r.r2 AS DOUBLE) / (2.0 * r.n_g)
+      |             - (CAST(tot.n AS DOUBLE) + 1) / 2.0)
+      |          * (CAST(r.r2 AS DOUBLE) / (2.0 * r.n_g)
+      |             - (CAST(tot.n AS DOUBLE) + 1) / 2.0)
+      |          AS DECIMAL(38,6))) AS DOUBLE) AS ssq
+      |      FROM r CROSS JOIN tot GROUP BY tot.n, tot.k)
+      |SELECT r.g AS event_type, r.n_g,
+      |  CAST(ROUND(CAST(r.r2 AS DOUBLE) / (2.0 * r.n_g) * 1e6) AS BIGINT)
+      |    AS mean_rank_e6,
+      |  CAST(m.k AS BIGINT) AS k_groups,
+      |  CAST(ROUND(12.0 * m.ssq / (CAST(m.n AS DOUBLE) * (m.n + 1)) * 1e6)
+      |    AS BIGINT) AS h_e6,
+      |  CASE WHEN CAST(tc.tsum AS DOUBLE)
+      |            = CAST(m.n AS DOUBLE) * m.n * m.n - m.n
+      |       THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND(12.0 * m.ssq / (CAST(m.n AS DOUBLE) * (m.n + 1))
+      |         / (1.0 - CAST(tc.tsum AS DOUBLE)
+      |                  / (CAST(m.n AS DOUBLE) * m.n * m.n - m.n)) * 1e6)
+      |         AS BIGINT) END AS h_tie_e6
+      |FROM r CROSS JOIN m CROSS JOIN tc
+      |ORDER BY event_type""".stripMargin)
+
+  /** Levene's test (mean-centered) for homogeneity of value variance
+    * across event types — the gate before trusting [[q252AbLiftCi]]-style
+    * pooled-variance intervals (unequal spreads silently break them).
+    * Two corpus passes, both plain rollups: group sums give exact
+    * rational means (S_g/n_g — cent values are integers, so n_g·z_gi =
+    * |n_g·c_i − S_g| would even be integral; we keep z as one fixed
+    * double tree per row), then per-group Σz and Σz² accumulate via
+    * DECIMAL(38,6) (z² ≤ (range·100)² ≈ 2.4·10⁹ — past DECIMAL(27,18)'s
+    * integer digits). W = ((N−k)/(k−1)) · Σ n_g(Z̄_g−Z̄)² / Σ_g(Σz² −
+    * (Σz)²/n_g); the k-row across-group sums take the same DECIMAL
+    * route, and a zero denominator (all |deviations| equal) reports
+    * NULL, the q299 convention. */
+  val q319LeveneTest: QuerySpec = QuerySpec.sql(
+    "q319_levene_test",
+    """WITH d AS (SELECT event_type AS g,
+      |             CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+      |gm AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |         CAST(SUM(c) AS BIGINT) AS s_g FROM d GROUP BY g),
+      |z AS (SELECT d.g, ABS(d.c - CAST(gm.s_g AS DOUBLE) / gm.n_g) AS z
+      |      FROM d JOIN gm ON d.g = gm.g),
+      |zg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |         CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE) AS zs,
+      |         CAST(SUM(CAST(z * z AS DECIMAL(38,6))) AS DOUBLE) AS zss
+      |       FROM z GROUP BY g),
+      |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k,
+      |          CAST(SUM(CAST(zs AS DECIMAL(38,6))) AS DOUBLE) AS zall
+      |        FROM zg),
+      |m AS (SELECT tot.n, tot.k,
+      |        CAST(SUM(CAST(zg.n_g * (zg.zs / zg.n_g - tot.zall / tot.n)
+      |                      * (zg.zs / zg.n_g - tot.zall / tot.n)
+      |                 AS DECIMAL(38,6))) AS DOUBLE) AS num,
+      |        CAST(SUM(CAST(zg.zss - zg.zs * zg.zs / zg.n_g
+      |                 AS DECIMAL(38,6))) AS DOUBLE) AS den
+      |      FROM zg CROSS JOIN tot GROUP BY tot.n, tot.k)
+      |SELECT CAST(k AS BIGINT) AS k_groups, n AS n_total,
+      |  CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND((CAST(n AS DOUBLE) - k) / (k - 1.0) * num / den
+      |                       * 1e6) AS BIGINT) END AS w_e6
+      |FROM m""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
+    q317MannWhitney, q318KruskalWallis, q319LeveneTest,
     q296ForecastBacktest, q297MadOutliers, q302Debounce,
     q304ChurnLabels, q305WeeklySpectrum,
     q274EventTransitions, q275CusumChangepoint, q280Chi2Independence,

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Independent re-derivations of the rank/variance test family
+  * (q317–q321): each test recomputes the statistic BRUTE-FORCE from
+  * collected rows (naive pair counting, literal midranks, direct
+  * centroid math) so an algebra slip in the collapsed-relation SQL
+  * can't hide behind oracle agreement. Collects are test-side only,
+  * at sf0.001. */
+class RankStatsSpec extends EngineSuite {
+
+  private def rows(q: QuerySpec): Array[Row] = q.run(spark, sfDir).collect()
+
+  private def cents(types: String*): Map[String, Array[Long]] = {
+    QuerySpec.prepared(spark, sfDir)
+    val filt = if (types.isEmpty) "" else
+      types.mkString(" WHERE event_type IN ('", "', '", "')")
+    spark.sql(s"SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) c FROM events$filt")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+  }
+
+  test("q317 U and z match naive pair counting") {
+    val g = cents("purchase", "view")
+    val a = g("purchase"); val b = g("view")
+    // brute force: every (purchase, view) pair, half credit on ties
+    val u2 = (for (x <- a; y <- b) yield
+      if (x > y) 2L else if (x == y) 1L else 0L).sum
+    val r = rows(operators.Events.q317MannWhitney).head
+    assert(r.getAs[Long]("n_purchase") == a.length && r.getAs[Long]("n_view") == b.length)
+    assert(r.getAs[Long]("u_stat") == math.round(u2 / 2.0))
+    val n = a.length.toLong + b.length
+    val tie = (a ++ b).groupBy(identity).values
+      .map(t => t.length.toLong * t.length * t.length - t.length).sum
+    val varU = a.length.toDouble * b.length / 12.0 *
+      ((n + 1) - tie.toDouble / (n * (n - 1.0)))
+    val z = (u2 / 2.0 - a.length.toDouble * b.length / 2) / math.sqrt(varU)
+    assert(math.abs(z * 1e6 - r.getAs[Long]("z_e6")) <= 1, s"z=$z")
+    val rb = u2.toDouble / (a.length.toDouble * b.length) - 1.0
+    assert(math.abs(rb * 1e6 - r.getAs[Long]("rank_biserial_e6")) <= 1)
+  }
+
+  test("q318 H matches literal midrank computation") {
+    val g = cents()
+    val all = g.values.flatten.toArray.sorted
+    val n = all.length
+    // literal midrank of each value: mean of its 1-based occupied ranks
+    val midrank = all.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2 + 1.0).sum / xs.length }
+    val perGroup = g.map { case (t, vs) =>
+      t -> (vs.length.toLong, vs.map(midrank).sum / vs.length) }
+    val ssq = perGroup.values.map { case (ng, mr) =>
+      ng * (mr - (n + 1) / 2.0) * (mr - (n + 1) / 2.0) }.sum
+    val h = 12.0 * ssq / (n.toDouble * (n + 1))
+    val tie = all.groupBy(identity).values
+      .map(t => t.length.toDouble * t.length * t.length - t.length).sum
+    val hTie = h / (1.0 - tie / (n.toDouble * n * n - n))
+    val rs = rows(operators.Events.q318KruskalWallis)
+    assert(rs.length == g.size)
+    for (r <- rs) {
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_g") == perGroup(t)._1)
+      assert(math.abs(perGroup(t)._2 * 1e6 - r.getAs[Long]("mean_rank_e6")) <= 1)
+      assert(math.abs(h * 1e6 - r.getAs[Long]("h_e6")) <= 1, s"h=$h")
+      assert(math.abs(hTie * 1e6 - r.getAs[Long]("h_tie_e6")) <= 1)
+    }
+  }
+
+  test("q319 W matches direct two-pass Levene") {
+    val g = cents()
+    val z = g.map { case (t, vs) =>
+      val mean = vs.sum.toDouble / vs.length
+      t -> vs.map(v => math.abs(v - mean)) }
+    val nTot = z.values.map(_.length).sum
+    val k = z.size
+    val zbar = z.values.flatten.sum / nTot
+    val num = z.values.map(vs => vs.length *
+      math.pow(vs.sum / vs.length - zbar, 2)).sum
+    val den = z.values.map(vs => {
+      val m = vs.sum / vs.length; vs.map(v => (v - m) * (v - m)).sum }).sum
+    val w = (nTot - k).toDouble / (k - 1) * num / den
+    val r = rows(operators.Events.q319LeveneTest).head
+    assert(r.getAs[Long]("k_groups") == k && r.getAs[Long]("n_total") == nTot)
+    assert(math.abs(w * 1e6 - r.getAs[Long]("w_e6")) <= 2, s"w=$w")
+  }
+
+  test("q320 Davies-Bouldin matches direct centroid math") {
+    QuerySpec.prepared(spark, sfDir)
+    val vecs = spark.sql("SELECT label, CAST(embedding AS ARRAY<DOUBLE>) FROM embeddings")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val byLabel = vecs.groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = byLabel.map { case (l, vs) =>
+      l -> Array.tabulate(vs.head.length)(i => vs.map(_(i)).sum / vs.length) }
+    val s = byLabel.map { case (l, vs) =>
+      l -> vs.map(v => 1.0 - cos(v, cents(l))).sum / vs.length }
+    val labels = byLabel.keys.toSeq.sorted
+    val worst = labels.map { i =>
+      val (jl, ratio) = labels.filter(_ != i).map { j =>
+        j -> (s(i) + s(j)) / (1.0 - cos(cents(i), cents(j))) }
+        .maxBy { case (j, r) => (math.round(r * 1e6), -j) }
+      (i, jl, ratio)
+    }
+    val db = worst.map(_._3).sum / labels.length
+    val rs = rows(llmops.Clustering.q320DaviesBouldin)
+    assert(rs.length == labels.length)
+    for ((r, (l, jl, ratio)) <- rs.zip(worst)) {
+      assert(r.getAs[Int]("label") == l)
+      assert(r.getAs[Int]("nearest_label") == jl)
+      assert(math.abs(ratio * 1e6 - r.getAs[Long]("r_e6")) <= 2)
+      assert(math.abs(db * 1e6 - r.getAs[Long]("db_e6")) <= 2, s"db=$db")
+    }
+  }
+
+  test("q321 diversity indices match direct per-language computation") {
+    QuerySpec.prepared(spark, sfDir)
+    val docs = spark.sql("SELECT lang, source FROM documents")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val rs = rows(llmops.CorpusStats.q321SourceDiversity)
+    for (r <- rs) {
+      val lang = r.getAs[String]("lang")
+      val counts = docs.filter(_._1 == lang).groupBy(_._2).values.map(_.length.toLong)
+      val n = counts.sum
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_sources") == counts.size)
+      val simpson = 1.0 - counts.map(c => c.toDouble * (c - 1)).sum / (n.toDouble * (n - 1))
+      val h = -counts.map(c => c.toDouble / n * math.log(c.toDouble / n)).sum
+      assert(math.abs(simpson * 1e6 - r.getAs[Long]("simpson_div_e6")) <= 1)
+      assert(math.abs(h * 1e6 - r.getAs[Long]("shannon_e6")) <= 1)
+      assert(math.abs(math.exp(h) * 1e6 - r.getAs[Long]("effective_sources_e6")) <= 2)
+    }
+  }
+}
