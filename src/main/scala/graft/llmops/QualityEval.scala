@@ -387,8 +387,48 @@ object QualityEval {
     }
   }
 
+  /** Cochran's Q across THREE binary quality flags on the same documents
+    * (length, token-count, function-word) — "do the cheap pass/fail
+    * heuristics fire at the same RATE?", the k-treatment extension of
+    * [[graft.llmops.TextAnalysis]]'s q315 McNemar (k = 2). With k = 3
+    * the per-doc information is just the flag triple, so the corpus
+    * collapses in ONE rollup to the three column totals plus the
+    * row-sum distribution Σr and Σr² (r ∈ 0..3) — Q = (k−1)·(k·ΣC_j² −
+    * (ΣC_j)²) / (k·Σr − Σr²) is exact integer arithmetic until the one
+    * division, DECIMAL(38,0) headroom on the squared totals (C² ~ 10¹⁸
+    * at web scale squares past BIGINT). Degenerate corpora (every doc
+    * all-pass or all-fail ⇒ zero denominator) report NULL. */
+  val q324CochranQ: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      s"""WITH d AS (SELECT
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS fa,
+         |    CASE WHEN $words >= 55 THEN 1 ELSE 0 END AS fb,
+         |    CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END AS fc
+         |  FROM documents),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(fa) AS BIGINT) AS ca,
+         |        CAST(SUM(fb) AS BIGINT) AS cb,
+         |        CAST(SUM(fc) AS BIGINT) AS cc,
+         |        CAST(SUM(fa + fb + fc) AS BIGINT) AS rsum,
+         |        CAST(SUM((fa + fb + fc) * (fa + fb + fc)) AS BIGINT) AS rsq
+         |      FROM d)
+         |SELECT n AS n_docs, ca AS pass_len, cb AS pass_tok, cc AS pass_fn,
+         |  CASE WHEN 3 * rsum - rsq = 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND(2.0
+         |         * CAST(3 * (CAST(ca AS DECIMAL(38,0)) * ca
+         |                     + CAST(cb AS DECIMAL(38,0)) * cb
+         |                     + CAST(cc AS DECIMAL(38,0)) * cc)
+         |                 - CAST(rsum AS DECIMAL(38,0)) * rsum AS DOUBLE)
+         |         / (3 * rsum - rsq) * 1e6) AS BIGINT) END AS q_e6
+         |FROM t""".stripMargin
+    }
+    QuerySpec.sql2("q324_cochran_q", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q278QualityRocAuc, q279ClassifierKappa, q281TokenGini,
       q282SpearmanCorr, q287LogOddsTokens, q288PrAuc, q289CalibrationEce,
-      q290RankRbo)
+      q290RankRbo, q324CochranQ)
 }

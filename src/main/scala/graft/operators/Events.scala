@@ -1568,7 +1568,129 @@ object Events {
       |                       * 1e6) AS BIGINT) END AS w_e6
       |FROM m""".stripMargin)
 
+  /** Friedman test across event types blocked by day — "does any event
+    * type consistently rank higher in daily volume?", the repeated-
+    * measures cousin of [[q318KruskalWallis]] (blocking by day removes
+    * day-to-day traffic swings that would drown a between-type shift).
+    * The corpus collapses to the (day, type) relation FIRST (one rollup;
+    * exact integer cent sums), then ranks live in PER-DAY windows —
+    * partitioned by block, never global, ties as midranks via the
+    * standard rank+count identity. χ²_F = 12n/(k(k+1))·Σ(R̄_j−(k+1)/2)²
+    * with the tie correction 1 − ΣΣ(t³−t)/(nk(k²−1)); both sums over
+    * the |days|·k relation with DECIMAL(38,6) accumulation. Blocks
+    * missing a type are dropped (complete-block design), a zero
+    * correction denominator (all values tied in every block) reports
+    * NULL. */
+  val q322Friedman: QuerySpec = QuerySpec.sql(
+    "q322_friedman",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type AS g,
+      |             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+      |           FROM events GROUP BY CAST(ts AS DATE), event_type),
+      |k AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM d),
+      |full_days AS (SELECT /*+ BROADCAST(k) */ day FROM d CROSS JOIN k
+      |              GROUP BY day, k.k HAVING COUNT(*) = MAX(k.k)),
+      |r AS (SELECT d.day, d.g,
+      |        RANK() OVER (PARTITION BY d.day ORDER BY d.s)
+      |          + (COUNT(*) OVER (PARTITION BY d.day, d.s) - 1) / 2.0 AS mr
+      |      FROM d JOIN full_days fd ON d.day = fd.day),
+      |ties AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
+      |             AS DECIMAL(38,0)) AS tsum
+      |         FROM (SELECT d.day, d.s, COUNT(*) AS t
+      |               FROM d JOIN full_days fd ON d.day = fd.day
+      |               GROUP BY d.day, d.s) b),
+      |rj AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(CAST(mr AS DECIMAL(38,6))) AS DOUBLE) AS rsum
+      |       FROM r GROUP BY g),
+      |m AS (SELECT /*+ BROADCAST(k) */ MAX(rj.n) AS n, k.k,
+      |        CAST(SUM(CAST((rj.rsum / rj.n - (k.k + 1) / 2.0)
+      |                      * (rj.rsum / rj.n - (k.k + 1) / 2.0)
+      |                 AS DECIMAL(38,18))) AS DOUBLE) AS ssq
+      |      FROM rj CROSS JOIN k GROUP BY k.k)
+      |SELECT /*+ BROADCAST(m, ties) */ rj.g AS event_type,
+      |  CAST(ROUND(rj.rsum / rj.n * 1e6) AS BIGINT) AS mean_rank_e6,
+      |  m.n AS n_blocks, m.k AS k_treatments,
+      |  CAST(ROUND(12.0 * m.n * m.ssq / (m.k * (m.k + 1.0)) * 1e6) AS BIGINT)
+      |    AS chi2_e6,
+      |  CASE WHEN 1.0 - CAST(ties.tsum AS DOUBLE)
+      |                  / (CAST(m.n AS DOUBLE) * m.k * (CAST(m.k AS DOUBLE) * m.k - 1))
+      |            = 0
+      |       THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND(12.0 * m.n * m.ssq / (m.k * (m.k + 1.0))
+      |         / (1.0 - CAST(ties.tsum AS DOUBLE)
+      |                  / (CAST(m.n AS DOUBLE) * m.k
+      |                     * (CAST(m.k AS DOUBLE) * m.k - 1))) * 1e6) AS BIGINT)
+      |       END AS chi2_tie_e6
+      |FROM rj CROSS JOIN m CROSS JOIN ties
+      |ORDER BY event_type""".stripMargin)
+
+  /** Wilcoxon signed-rank test on paired per-user spend (first half vs
+    * second half of the observation window) — "did the SAME users shift
+    * their spend?", removing the between-user variance that a two-sample
+    * test would have to climb over. Pairs are per-user cent totals in
+    * each half (exact integers; users active in only one half drop out,
+    * zero differences drop per the standard test). The |d| ranks are
+    * NEVER per-user: cent differences collapse to the bounded
+    * |d|-cardinality relation, midranks come from the running count
+    * over that relation (the q317 identity), and 2·W⁺ = Σ n⁺(d)·(2·lo +
+    * t + 1) stays integer until the normal approximation
+    * z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48) with
+    * DECIMAL(38,0) cube headroom. All-zero-differences ⇒ NULL. The
+    * half-split compares integer epoch-µs (2·t < t0+t1) — `(t1−t0)/2`
+    * interval division is an engine trap (DuckDB divides the
+    * days/micros components separately, losing up to 12 h). */
+  val q323WilcoxonSignedRank: QuerySpec = {
+    def text(spark: Boolean): String = {
+      def us(col: String): String =
+        if (spark) s"unix_micros(CAST($col AS TIMESTAMP))"
+        else s"epoch_us($col)"
+      s"""WITH b AS (SELECT MIN(${us("ts")}) AS t0, MAX(${us("ts")}) AS t1
+         |           FROM events),
+         |u AS (SELECT e.user_id,
+         |        CAST(SUM(CASE WHEN 2 * ${us("e.ts")} < b.t0 + b.t1
+         |                      THEN CAST(ROUND(e.value * 100) AS BIGINT) END)
+         |          AS BIGINT) AS c1,
+         |        CAST(SUM(CASE WHEN 2 * ${us("e.ts")} >= b.t0 + b.t1
+         |                      THEN CAST(ROUND(e.value * 100) AS BIGINT) END)
+         |          AS BIGINT) AS c2
+         |      FROM events e CROSS JOIN b GROUP BY e.user_id),
+         |d AS (SELECT c2 - c1 AS d FROM u
+         |      WHERE c1 IS NOT NULL AND c2 IS NOT NULL AND c2 <> c1),""".stripMargin
+    }
+    val tail =
+      """
+        |sc AS (SELECT ABS(d) AS a,
+        |         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |         CAST(COUNT(*) AS BIGINT) AS t
+        |       FROM d GROUP BY ABS(d)),
+        |w AS (SELECT a, np, t,
+        |        COALESCE(SUM(t) OVER (ORDER BY a
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        |      FROM sc),
+        |m AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+        |        CAST(SUM(np) AS BIGINT) AS n_pos,
+        |        CAST(SUM(CAST(np AS DECIMAL(38,0)) * (2 * lo + t + 1))
+        |          AS DECIMAL(38,0)) AS wp2,
+        |        CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DECIMAL(38,0))
+        |          AS tsum
+        |      FROM w)
+        |SELECT n AS n_pairs, n_pos,
+        |  CAST(ROUND(CAST(wp2 AS DOUBLE) / 2) AS BIGINT) AS w_plus,
+        |  CASE WHEN n = 0 OR
+        |            CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+        |              - CAST(tsum AS DOUBLE) / 48.0 <= 0
+        |       THEN CAST(NULL AS BIGINT)
+        |       ELSE CAST(ROUND((CAST(wp2 AS DOUBLE) / 2
+        |           - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+        |         / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+        |                - CAST(tsum AS DOUBLE) / 48.0) * 1e6) AS BIGINT) END
+        |    AS z_e6
+        |FROM m""".stripMargin
+    QuerySpec.sql2("q323_wilcoxon_signed_rank",
+      text(spark = true) + tail, text(spark = false) + tail)
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q322Friedman, q323WilcoxonSignedRank,
     q317MannWhitney, q318KruskalWallis, q319LeveneTest,
     q296ForecastBacktest, q297MadOutliers, q302Debounce,
     q304ChurnLabels, q305WeeklySpectrum,

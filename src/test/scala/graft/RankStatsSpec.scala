@@ -116,6 +116,94 @@ class RankStatsSpec extends EngineSuite {
     }
   }
 
+  test("q322 Friedman chi2 matches literal within-block midranks") {
+    QuerySpec.prepared(spark, sfDir)
+    val cells = spark.sql(
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+        |FROM events GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    val k = cells.map(_._2).distinct.length
+    val blocks = cells.groupBy(_._1).filter(_._2.length == k)
+    val n = blocks.size
+    // literal midranks within each complete block
+    val ranks = blocks.values.flatMap { rowsInDay =>
+      val sorted = rowsInDay.map(_._3).sorted
+      rowsInDay.map { case (_, g, s) =>
+        val below = sorted.count(_ < s); val tie = sorted.count(_ == s)
+        g -> (below + (tie + 1) / 2.0)
+      }
+    }.toSeq
+    val meanRank = ranks.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).sum / xs.length }
+    val ssq = meanRank.values.map(mr => (mr - (k + 1) / 2.0) * (mr - (k + 1) / 2.0)).sum
+    val chi2 = 12.0 * n * ssq / (k * (k + 1.0))
+    val tie = blocks.values.flatMap(_.groupBy(_._3).values.map(_.length.toLong))
+      .map(t => t.toDouble * t * t - t).sum
+    val chi2Tie = chi2 / (1.0 - tie / (n.toDouble * k * (k.toDouble * k - 1)))
+    val rs = rows(operators.Events.q322Friedman)
+    assert(rs.length == k)
+    for (r <- rs) {
+      assert(r.getAs[Long]("n_blocks") == n && r.getAs[Long]("k_treatments") == k)
+      val g = r.getAs[String]("event_type")
+      assert(math.abs(meanRank(g) * 1e6 - r.getAs[Long]("mean_rank_e6")) <= 1)
+      assert(math.abs(chi2 * 1e6 - r.getAs[Long]("chi2_e6")) <= 2, s"chi2=$chi2")
+      assert(math.abs(chi2Tie * 1e6 - r.getAs[Long]("chi2_tie_e6")) <= 2)
+    }
+  }
+
+  test("q323 W+ matches literal signed midranks") {
+    QuerySpec.prepared(spark, sfDir)
+    val us = spark.sql(
+      """WITH b AS (SELECT MIN(unix_micros(CAST(ts AS TIMESTAMP))) AS t0,
+        |                  MAX(unix_micros(CAST(ts AS TIMESTAMP))) AS t1 FROM events)
+        |SELECT e.user_id,
+        |  SUM(CASE WHEN 2 * unix_micros(CAST(e.ts AS TIMESTAMP)) < b.t0 + b.t1
+        |           THEN CAST(ROUND(e.value * 100) AS BIGINT) END) AS c1,
+        |  SUM(CASE WHEN 2 * unix_micros(CAST(e.ts AS TIMESTAMP)) >= b.t0 + b.t1
+        |           THEN CAST(ROUND(e.value * 100) AS BIGINT) END) AS c2
+        |FROM events e CROSS JOIN b GROUP BY e.user_id""".stripMargin)
+      .collect().filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => r.getLong(2) - r.getLong(1)).filter(_ != 0)
+    val n = us.length
+    val absSorted = us.map(math.abs).sorted
+    def midrank(a: Long): Double = {
+      val below = absSorted.count(_ < a); val tie = absSorted.count(_ == a)
+      below + (tie + 1) / 2.0
+    }
+    val wPlus = us.filter(_ > 0).map(d => midrank(math.abs(d))).sum
+    val tieSum = absSorted.groupBy(identity).values
+      .map(t => t.length.toDouble * t.length * t.length - t.length).sum
+    val varW = n.toDouble * (n + 1) * (2 * n + 1) / 24.0 - tieSum / 48.0
+    val z = (wPlus - n.toDouble * (n + 1) / 4.0) / math.sqrt(varW)
+    val r = rows(operators.Events.q323WilcoxonSignedRank).head
+    assert(r.getAs[Long]("n_pairs") == n)
+    assert(r.getAs[Long]("n_pos") == us.count(_ > 0))
+    assert(r.getAs[Long]("w_plus") == math.round(wPlus))
+    assert(math.abs(z * 1e6 - r.getAs[Long]("z_e6")) <= 1, s"z=$z")
+  }
+
+  test("q324 Cochran Q matches direct row/column-total computation") {
+    QuerySpec.prepared(spark, sfDir)
+    val flags = spark.sql(
+      """SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END,
+        |       CASE WHEN size(split(text, ' ')) >= 55 THEN 1 ELSE 0 END,
+        |       CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END
+        |FROM documents""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    val k = 3
+    val cols = Seq(flags.map(_._1).sum.toLong, flags.map(_._2).sum.toLong,
+      flags.map(_._3).sum.toLong)
+    val rSums = flags.map(f => (f._1 + f._2 + f._3).toLong)
+    val num = (k - 1).toDouble * (k * cols.map(c => c * c).sum - math.pow(cols.sum.toDouble, 2))
+    val den = k.toDouble * rSums.sum - rSums.map(r => r * r).sum
+    val q = num / den
+    val r = rows(llmops.QualityEval.q324CochranQ).head
+    assert(r.getAs[Long]("n_docs") == flags.length)
+    assert(Seq("pass_len", "pass_tok", "pass_fn").map(r.getAs[Long]) == cols)
+    assert(math.abs(q * 1e6 - r.getAs[Long]("q_e6")) <= 1, s"q=$q")
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")
