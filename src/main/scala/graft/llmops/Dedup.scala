@@ -1823,7 +1823,63 @@ object Dedup {
         .cast("long").as("assortativity_e6"))
   }
 
+  /** 2-core of the near-dup graph via SIX replayed peeling rounds —
+    * the "dense boilerplate nucleus" extractor: a chain of pairwise
+    * dups dissolves under peeling, a template cluster (every page
+    * near-dups several others) survives, so the 2-core separates
+    * systematic boilerplate from incidental pair dups in one number
+    * per doc. Determinism follows the kmeans/Lloyd replay rule: a
+    * FIXED round count both engines replay identically (parity holds
+    * even mid-convergence; the spec asserts the fixture reaches the
+    * fixpoint). Scale shape per round: one degree rollup (shuffle on
+    * doc_id) + two semi-joins on the shrinking edge relation — the
+    * classic distributed peel, O(rounds·E), nothing global; each
+    * round's survivor set is staged so no round re-executes the last.
+    * Output: surviving docs with their within-core degree. */
+  val q325KCore: QuerySpec = {
+    // AS MATERIALIZED (DuckDB-only text): each round references the
+    // previous edge relation 5× — inlined, the 6-round unroll expands
+    // the quadratic np subtree 5^6 times and exhausts file handles
+    def peelRounds(rounds: Int): String =
+      (1 to rounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT doc_id, COUNT(*) AS deg
+           |        FROM (SELECT a AS doc_id FROM e${r - 1}
+           |              UNION ALL SELECT b FROM e${r - 1}) n GROUP BY doc_id),
+           |k$r AS MATERIALIZED (SELECT doc_id FROM d$r WHERE deg >= 2),
+           |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+           |        JOIN k$r x ON e.a = x.doc_id
+           |        JOIN k$r y ON e.b = y.doc_id)""".stripMargin
+      }.mkString(",\n")
+    QuerySpec(
+      "q325_k_core",
+      s"""WITH $nearDupOracleCtes,
+         |e0 AS MATERIALIZED (SELECT doc_id_a AS a, doc_id_b AS b FROM np),
+         |${peelRounds(6)}
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM (SELECT a AS doc_id FROM e6 UNION ALL SELECT b FROM e6) n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      var e = nearDupJaccard(sp)
+        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+        .staged
+      for (_ <- 1 to 6) {
+        val keep = e.select(col("a").as("doc_id"))
+          .unionAll(e.select(col("b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select(col("doc_id"))
+          .staged
+        e = e.join(keep.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+          .staged
+      }
+      e.select(col("a").as("doc_id")).unionAll(e.select(col("b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("core_deg"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q325KCore,
     q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep, q276Containment, q292WinnowingClones,
     q298ClusteringCoefficient, q299DegreeAssortativity,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,

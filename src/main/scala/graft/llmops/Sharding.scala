@@ -83,6 +83,57 @@ object Sharding {
     * permutation, not just membership. At 100 TB the same expression
     * drives `repartition(N, shard)` + `sortWithinPartitions(h2, doc_id)` —
     * one shuffle, each shard written independently. */
+  /** GROUP-disjoint train/val/test split keyed on the SOURCE (domain)
+    * plus its leakage audit — the contamination-proof split: near-dups
+    * and templates concentrate within a source, so splitting by doc
+    * ([[q130SplitTrainValTest]]) leaks them across the eval boundary
+    * while splitting by source cannot. The split of every doc is a pure
+    * map-side function of a position-weighted character polynomial of
+    * its source (no rand(), replayed identically by the oracle), so
+    * assignment shuffles nothing; the audit proves disjointness
+    * (max splits touched by any source — MUST be 1 by construction,
+    * reported so a pipeline can assert it) and quantifies the price of
+    * group granularity: realized doc shares vs the 80/10/10 target
+    * (group splits are lumpy — that drift is the number to watch).
+    * Share denominators via an unpartitioned window over the 3-row
+    * split rollup (aggregated on its own keys — sweep-exempt). */
+  val q326GroupSplitLeakage: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val h =
+        if (spark)
+          """aggregate(transform(sequence(0, length(source) - 1),
+            |      i -> (i + 1) * ascii(substr(source, CAST(i + 1 AS INT), 1))),
+            |      0L, (a, x) -> a + x)""".stripMargin
+        else
+          """list_aggregate(list_transform(range(length(source)),
+            |      i -> (i + 1) * ascii(substr(source, CAST(i + 1 AS INT), 1))),
+            |      'sum')""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, source, n_chars,
+         |          (($h % 1000003) * 2654435761) % 100 AS hm
+         |        FROM documents) d),
+         |audit AS (SELECT source, COUNT(DISTINCT split) AS k
+         |          FROM t GROUP BY source),
+         |a AS (SELECT CAST(MAX(k) AS BIGINT) AS max_splits_per_source
+         |      FROM audit),
+         |g AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |      FROM t GROUP BY split)
+         |SELECT /*+ BROADCAST(a) */ g.split, g.n_docs, g.n_sources, g.sum_chars,
+         |  CAST(ROUND(g.n_docs * 1e6
+         |    / CAST(SUM(g.n_docs) OVER () AS BIGINT)) AS BIGINT) AS share_e6,
+         |  a.max_splits_per_source
+         |FROM g CROSS JOIN a
+         |ORDER BY g.split""".stripMargin
+    }
+    QuerySpec.sql2("q326_group_split_leakage",
+      text(spark = true), text(spark = false))
+  }
+
   val q131ShuffleShards: QuerySpec = QuerySpec.sql(
     "q131_shuffle_shards",
     """WITH t AS (
@@ -282,5 +333,5 @@ object Sharding {
   val all: Seq[QuerySpec] = Seq(
     q165PipelineCurate,
     q130SplitTrainValTest, q131ShuffleShards, q135SourceMix, q170TemperatureMix,
-    q150WeightedSample, q174DsirResample.benched)
+    q150WeightedSample, q174DsirResample.benched, q326GroupSplitLeakage)
 }

@@ -12,7 +12,7 @@ class QueriesSpec extends EngineSuite {
     "q44_sub_not_exists_corr", "q46_sub_count_scalar",
     "q81_dedup_minhash_lsh", "q82_dedup_simhash", "q83_dedup_ngram_jaccard",
     "q84_dedup_embedding_cosine", "q86_ann_lsh_bucketed", "q74_dml_views",
-    "q164_dedup_semantic")
+    "q164_dedup_semantic", "q325_k_core")
 
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

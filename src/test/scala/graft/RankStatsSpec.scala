@@ -204,6 +204,38 @@ class RankStatsSpec extends EngineSuite {
     assert(math.abs(q * 1e6 - r.getAs[Long]("q_e6")) <= 1, s"q=$q")
   }
 
+  test("q325 k-core reached its fixpoint at fixture scale") {
+    // the query replays a FIXED 6 peeling rounds; parity with the oracle
+    // holds regardless, but the NUMBER is only "the 2-core" if the
+    // fixture converged — assert it did: every survivor keeps degree ≥ 2
+    // (a 7th round would peel nobody)
+    val rs = rows(llmops.Dedup.q325KCore)
+    assert(rs.forall(_.getAs[Long]("core_deg") >= 2),
+      s"unconverged peel: ${rs.mkString(",")}")
+  }
+
+  test("q326 split is source-disjoint and shares account for every doc") {
+    QuerySpec.prepared(spark, sfDir)
+    val rs = rows(llmops.Sharding.q326GroupSplitLeakage)
+    assert(rs.forall(_.getAs[Long]("max_splits_per_source") == 1L))
+    val totalDocs = spark.table("documents").count()
+    assert(rs.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    val shares = rs.map(_.getAs[Long]("share_e6")).sum
+    assert(math.abs(shares - 1000000L) <= 2, s"shares=$shares")
+    // brute: recompute each source's split from the same polynomial
+    val bySource = spark.table("documents")
+      .select("source").distinct().collect().map(_.getString(0))
+      .map { src =>
+        val h = src.zipWithIndex.map { case (c, i) => (i + 1L) * c.toLong }.sum
+        val hm = ((h % 1000003L) * 2654435761L) % 100L
+        src -> (if (hm < 80) "train" else if (hm < 90) "val" else "test")
+      }.toMap
+    val expected = bySource.values.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    for (r <- rs)
+      assert(r.getAs[Long]("n_sources") == expected(r.getAs[String]("split")),
+        s"${r.getAs[String]("split")}")
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")
