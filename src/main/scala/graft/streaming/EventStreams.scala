@@ -164,6 +164,70 @@ object EventStreams {
           .otherwise("shifted").as("verdict"): _*)
   }
 
+  /** Continuous two-sample distribution-shift monitoring — the streaming
+    * twin of q317's Mann-Whitney rank-sum: per tumbling hour, purchase
+    * vs view transaction values, with the joint ordering coarsened to
+    * FIXED value-bin boundaries (the psiMonitor discipline: the grid is
+    * frozen, state per open window is the 2·|bins| counter vector —
+    * constant, never a per-row rank). The statistic IS the exact
+    * tie-corrected Mann-Whitney z of the binned relation (within-bin =
+    * tied, the same midrank algebra as q317 at bin granularity), so it
+    * converges on the true z as the grid refines and is bit-identical
+    * between the streaming and batch paths. One group empty or zero
+    * variance (everything in one bin) reports NULL, the q299
+    * convention. */
+  def rankShiftMonitor(events: DataFrame,
+                       bounds: Seq[Double],
+                       watermark: String = "2 hours"): DataFrame = {
+    require(bounds.nonEmpty, "need at least one bin boundary")
+    val nb = bounds.size + 1
+    val binCol = bounds.zipWithIndex.reverse
+      .foldLeft(lit(bounds.size): Column) { case (acc, (b, i)) =>
+        when(col("value") < b, lit(i)).otherwise(acc)
+      }
+    val agg = events
+      .filter(col("event_type").isin("purchase", "view"))
+      .withWatermark("ts", watermark)
+      .withColumn("bin", binCol)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        sum(when(col("bin") === 0 && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("a0"),
+        ((1 until nb).map(i =>
+          sum(when(col("bin") === i && col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as(s"a$i")) ++
+          (0 until nb).map(i =>
+            sum(when(col("bin") === i && col("event_type") === "view", 1L)
+              .otherwise(0L)).as(s"b$i"))): _*)
+    val na = (0 until nb).map(i => col(s"a$i")).reduce(_ + _)
+    val nbv = (0 until nb).map(i => col(s"b$i")).reduce(_ + _)
+    val n = na + nbv
+    // 2·U = Σ a_i·(2·(views strictly below bin i) + b_i): exact integers
+    val u2 = (0 until nb).map { i =>
+      val below =
+        if (i == 0) lit(0L)
+        else (0 until i).map(j => col(s"b$j")).reduce(_ + _)
+      col(s"a$i") * (lit(2L) * below + col(s"b$i"))
+    }.reduce(_ + _)
+    val tsum = (0 until nb).map { i =>
+      val t = col(s"a$i") + col(s"b$i")
+      t * t * t - t
+    }.reduce(_ + _)
+    val varU = na.cast("double") * nbv / lit(12.0) *
+      ((n + lit(1)) - tsum.cast("double") / (n * (n - lit(1))))
+    val z = (u2.cast("double") - na.cast("double") * nbv) /
+      (lit(2.0) * sqrt(varU))
+    agg.select(
+      col("window.start").as("hour_start"),
+      na.as("n_purchase"), nbv.as("n_view"),
+      round(u2.cast("double") / 2).cast("bigint").as("u_stat"),
+      when(na === 0 || nbv === 0 || varU <= 0.0, lit(null).cast("bigint"))
+        .otherwise(round(z * 1e6).cast("bigint")).as("z_e6"),
+      when(na === 0 || nbv === 0, lit(null).cast("bigint"))
+        .otherwise(round((u2.cast("double") / (na.cast("double") * nbv) - 1.0)
+          * 1e6).cast("bigint")).as("rank_biserial_e6"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity) — streaming twin of
     * q66_events_sessionize. Emits a SessionSummary when a gap closes a
     * session; the open session lives in per-user GroupState. */

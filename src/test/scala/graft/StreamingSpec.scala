@@ -131,6 +131,56 @@ class StreamingSpec extends EngineSuite {
     assert(streamed == batch)
   }
 
+  test("rankShiftMonitor: stream equals batch, z matches the binned Mann-Whitney") {
+    val s = spark
+    import s.implicits._
+    // hour 0: purchases and views interleave across bins (no shift);
+    // hour 1: purchases all land in the top bin (shift up)
+    val bounds = Seq(3.0, 7.0)
+    val events = Seq(
+      Event(1, 1, ts(5), "purchase", 1.0), Event(2, 2, ts(10), "view", 2.0),
+      Event(3, 3, ts(20), "purchase", 5.0), Event(4, 4, ts(30), "view", 6.0),
+      Event(5, 5, ts(40), "purchase", 9.0), Event(6, 6, ts(45), "view", 8.0),
+      Event(7, 7, ts(50), "click", 4.0), // filtered out
+      Event(1, 8, ts(65), "purchase", 9.0), Event(2, 9, ts(70), "purchase", 12.0),
+      Event(3, 10, ts(80), "view", 1.0), Event(4, 11, ts(85), "view", 2.0))
+
+    val batch = EventStreams.rankShiftMonitor(events.toDF(), bounds)
+      .orderBy("hour_start").collect().toSeq
+    assert(batch.length == 2)
+    // independent re-derivation: exact Mann-Whitney on the BINNED values
+    def mw(purchase: Seq[Int], view: Seq[Int]): (Long, Option[Long]) = {
+      val u2 = (for (x <- purchase; y <- view)
+        yield if (x > y) 2L else if (x == y) 1L else 0L).sum
+      val n = purchase.size + view.size
+      val tie = (purchase ++ view).groupBy(identity).values
+        .map(t => t.size.toLong * t.size * t.size - t.size).sum
+      val varU = purchase.size.toDouble * view.size / 12.0 *
+        ((n + 1) - tie.toDouble / (n * (n - 1.0)))
+      val z =
+        if (purchase.isEmpty || view.isEmpty || varU <= 0) None
+        else Some(math.round((u2 / 2.0 - purchase.size.toDouble * view.size / 2)
+          / math.sqrt(varU) * 1e6))
+      (math.round(u2 / 2.0), z)
+    }
+    val (u0, z0) = mw(Seq(0, 1, 2), Seq(0, 1, 2))
+    assert(batch(0).getAs[Long]("u_stat") == u0)
+    assert(Option(batch(0).getAs[java.lang.Long]("z_e6")).map(_.toLong) == z0)
+    val (u1, z1) = mw(Seq(2, 2), Seq(0, 0))
+    assert(batch(1).getAs[Long]("u_stat") == u1)
+    assert(Option(batch(1).getAs[java.lang.Long]("z_e6")).map(_.toLong) == z1)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.rankShiftMonitor(mem.toDF(), bounds)
+      .writeStream.format("memory").queryName("rankshift_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.table("rankshift_out").orderBy("hour_start").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("tumblingCounts: stream result equals batch result") {
     val s = spark
     import s.implicits._
