@@ -687,8 +687,41 @@ object CorpusStats {
       |FROM t JOIN m ON t.lang = m.lang
       |ORDER BY t.lang""".stripMargin)
 
+  /** Hill estimator of the document-length tail index — the power-law
+    * companion to [[q303LognormalLengths]]'s body fit: how heavy is the
+    * n_chars tail really (α ≈ 1–2 ⇒ batch token budgets are dominated
+    * by outlier documents; α large ⇒ exponential-ish, truncation is
+    * cheap). α̂ = k / Σ_{i≤k} ln(X₍ᵢ₎/X₍ₖ₊₁₎) over the top-k order
+    * statistics — the only global structure needed is the rank-FILTERED
+    * top-(k+1), which plans as a partial+final WindowGroupLimit
+    * (map-side top-k per partition, never a corpus sort; the PlanSpec
+    * sweep's sanctioned shape), with the (k+1)-th value a broadcast
+    * scalar and the ln ratios accumulating via DECIMAL(38,18). The
+    * standard error α/√k and the k-th largest cutoff are reported
+    * alongside; a flat top (all k values equal the cutoff ⇒ zero sum)
+    * yields NULL. */
+  val q328HillTailIndex: QuerySpec = QuerySpec.sql(
+    "q328_hill_tail_index",
+    """WITH r AS (SELECT n_chars, doc_id,
+      |             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+      |           FROM documents WHERE n_chars > 0),
+      |top AS (SELECT n_chars, rk FROM r WHERE rk <= 101),
+      |kv AS (SELECT n_chars AS xk FROM top WHERE rk = 101),
+      |m AS (SELECT /*+ BROADCAST(kv) */ CAST(COUNT(*) AS BIGINT) AS k,
+      |        MAX(kv.xk) AS xk,
+      |        CAST(SUM(CAST(LN(CAST(t.n_chars AS DOUBLE) / kv.xk)
+      |             AS DECIMAL(38,18))) AS DOUBLE) AS lnsum
+      |      FROM top t CROSS JOIN kv WHERE t.rk <= 100)
+      |SELECT k AS k_top, CAST(xk AS BIGINT) AS x_cutoff,
+      |  CASE WHEN lnsum <= 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND(k / lnsum * 1e6) AS BIGINT) END AS alpha_e6,
+      |  CASE WHEN lnsum <= 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND(k / lnsum / SQRT(CAST(k AS DOUBLE)) * 1e6)
+      |            AS BIGINT) END AS alpha_se_e6
+      |FROM m""".stripMargin)
+
   val all: Seq[QuerySpec] =
-    Seq(q303LognormalLengths, q321SourceDiversity,
+    Seq(q303LognormalLengths, q321SourceDiversity, q328HillTailIndex,
       q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
       q216HeavyHitters.benched, q225ScoreKsDrift, q229SubsampleCi,
       q232CalibrationMap, q235ZipfFit, q243HeapsFit, q250LosoInfluence,

@@ -1689,7 +1689,64 @@ object Events {
       text(spark = true) + tail, text(spark = false) + tail)
   }
 
+  /** Kaplan-Meier survival + Nelson-Aalen cumulative hazard of user
+    * lifetime (days from first to last event, right-censored at the
+    * corpus horizon) — the churn curve read off correctly: a user whose
+    * last event touches the horizon hasn't churned, they're censored,
+    * and ignoring that (plain AVG of lifetimes) biases lifetime low
+    * exactly when growth is fastest. Scale shape: ONE user-grain rollup
+    * (first/last day per user), then everything lives on the
+    * duration-grain relation (≤ horizon days, bounded): at-risk counts
+    * are running sums over it, S(t) = exp(Σ_{t'≤t} ln(1 − d/n)) with
+    * each ln a fixed double tree and the prefix sum accumulating
+    * DECIMAL(38,18) in deterministic prefix order, H(t) the same prefix
+    * sum of exact-ratio doubles. Windows order the duration relation on
+    * its own grouping key. Horizon = broadcast scalar. */
+  val q327KaplanMeier: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val dd =
+        if (spark) "datediff(l.last_day, l.first_day)"
+        else "datediff('day', l.first_day, l.last_day)"
+      s"""WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+         |             MAX(CAST(ts AS DATE)) AS last_day
+         |           FROM events GROUP BY user_id),
+         |hz AS (SELECT MAX(last_day) AS horizon FROM u),
+         |l AS (SELECT user_id, first_day, last_day FROM u),
+         |dur AS (SELECT /*+ BROADCAST(hz) */
+         |          CAST($dd AS BIGINT) AS t,
+         |          CASE WHEN l.last_day < hz.horizon THEN 1 ELSE 0 END AS churned
+         |        FROM l CROSS JOIN hz),
+         |g AS (SELECT t, CAST(SUM(churned) AS BIGINT) AS n_churned,
+         |        CAST(COUNT(*) - SUM(churned) AS BIGINT) AS n_censored
+         |      FROM dur GROUP BY t),
+         |w AS (SELECT t, n_churned, n_censored,
+         |        CAST(SUM(n_churned + n_censored) OVER () AS BIGINT)
+         |          - CAST(COALESCE(SUM(n_churned + n_censored) OVER (ORDER BY t
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              AS BIGINT) AS n_at_risk
+         |      FROM g),
+         |s AS (SELECT t, n_at_risk, n_churned, n_censored,
+         |        SUM(CAST(CASE WHEN n_churned = 0 THEN 0.0
+         |              WHEN n_churned = n_at_risk THEN -800.0
+         |              ELSE LN(1.0 - CAST(n_churned AS DOUBLE) / n_at_risk) END
+         |            AS DECIMAL(38,18))) OVER (ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+         |        SUM(CAST(CAST(n_churned AS DOUBLE) / n_at_risk
+         |            AS DECIMAL(38,18))) OVER (ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hsum
+         |      FROM w)
+         |SELECT t AS duration_days, n_at_risk, n_churned, n_censored,
+         |  CASE WHEN CAST(lnsum AS DOUBLE) <= -700.0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(ROUND(EXP(CAST(lnsum AS DOUBLE)) * 1e6) AS BIGINT) END
+         |    AS km_survival_e6,
+         |  CAST(ROUND(CAST(hsum AS DOUBLE) * 1e6) AS BIGINT) AS na_hazard_e6
+         |FROM s ORDER BY duration_days""".stripMargin
+    }
+    QuerySpec.sql2("q327_kaplan_meier", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q327KaplanMeier,
     q322Friedman, q323WilcoxonSignedRank,
     q317MannWhitney, q318KruskalWallis, q319LeveneTest,
     q296ForecastBacktest, q297MadOutliers, q302Debounce,

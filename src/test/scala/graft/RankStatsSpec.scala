@@ -236,6 +236,48 @@ class RankStatsSpec extends EngineSuite {
         s"${r.getAs[String]("split")}")
   }
 
+  test("q327 KM curve matches the literal product-limit estimator") {
+    QuerySpec.prepared(spark, sfDir)
+    val spans = spark.sql(
+      """SELECT datediff(MAX(CAST(ts AS DATE)), MIN(CAST(ts AS DATE))) AS d,
+        |       MAX(CAST(ts AS DATE)) AS last_day
+        |FROM events GROUP BY user_id""".stripMargin)
+      .collect().map(r => (r.getInt(0).toLong, r.getDate(1).toString))
+    val horizon = spans.map(_._2).max
+    val users = spans.map { case (d, l) => (d, l < horizon) } // (duration, churned)
+    val rs = rows(operators.Events.q327KaplanMeier)
+    assert(rs.map(_.getAs[Long]("n_churned")).sum == users.count(_._2))
+    assert(rs.map(r => r.getAs[Long]("n_churned") + r.getAs[Long]("n_censored")).sum
+      == users.length)
+    var surv = 1.0; var haz = 0.0
+    for (r <- rs) {
+      val t = r.getAs[Long]("duration_days")
+      val atRisk = users.count(_._1 >= t)
+      val churn = users.count(u => u._1 == t && u._2)
+      assert(r.getAs[Long]("n_at_risk") == atRisk, s"t=$t")
+      assert(r.getAs[Long]("n_churned") == churn)
+      surv *= 1.0 - churn.toDouble / atRisk
+      haz += churn.toDouble / atRisk
+      assert(math.abs(surv * 1e6 - r.getAs[Long]("km_survival_e6")) <= 1, s"t=$t surv=$surv")
+      assert(math.abs(haz * 1e6 - r.getAs[Long]("na_hazard_e6")) <= 1)
+    }
+  }
+
+  test("q328 Hill alpha matches the direct order-statistic formula") {
+    QuerySpec.prepared(spark, sfDir)
+    val lens = spark.table("documents").select("n_chars")
+      .collect().map(_.getLong(0)).filter(_ > 0).sorted(Ordering[Long].reverse)
+    val r = rows(llmops.CorpusStats.q328HillTailIndex).head
+    val k = r.getAs[Long]("k_top").toInt
+    val xk = lens(k) // (k+1)-th largest, 0-indexed
+    assert(r.getAs[Long]("x_cutoff") == xk)
+    val lnsum = lens.take(k).map(x => math.log(x.toDouble / xk)).sum
+    val alpha = k / lnsum
+    assert(math.abs(alpha * 1e6 - r.getAs[Long]("alpha_e6")) <= 2, s"alpha=$alpha")
+    assert(math.abs(alpha / math.sqrt(k.toDouble) * 1e6
+      - r.getAs[Long]("alpha_se_e6")) <= 2)
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")
