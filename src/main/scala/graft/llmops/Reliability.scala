@@ -440,8 +440,150 @@ object Reliability {
     QuerySpec.sql2("q316_kendall_tau", text(spark = true), text(spark = false))
   }
 
+  /** The three CONTINUOUS per-doc quality scores shared by q329/q330:
+    * character count, word count, distinct-word count — the raw-score
+    * versions of the binary raters above, for the continuous-agreement
+    * statistics. All exact integers per document. */
+  private def scoresSql(spark: Boolean): String = {
+    val words =
+      if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+    val dw =
+      if (spark) "size(array_distinct(split(text, ' ')))"
+      else "len(list_distinct(string_split(text, ' ')))"
+    s"""SELECT CAST(n_chars AS BIGINT) AS x1, CAST($words AS BIGINT) AS x2,
+       |       CAST($dw AS BIGINT) AS x3
+       |FROM documents""".stripMargin
+  }
+
+  /** Cronbach's alpha over the three continuous quality scores — the
+    * internal-consistency number that says whether the cheap signals
+    * measure ONE underlying construct (α high ⇒ a composite quality
+    * score is meaningful; α low ⇒ averaging them mixes constructs).
+    * α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total) with every variance an exact
+    * integer-moment identity (n·Σx² − (Σx)² over n²) from ONE corpus
+    * rollup — k BIGINT sums, k sum-of-squares, the row-total pair; no
+    * second pass, no per-doc state. DECIMAL(38,0) headroom on the
+    * squared sums; zero total variance ⇒ NULL. */
+  val q329CronbachAlpha: QuerySpec = {
+    def text(spark: Boolean): String =
+      s"""WITH d AS (${scoresSql(spark)}),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |        CAST(SUM(x3) AS BIGINT) AS s3,
+         |        CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS DECIMAL(38,0)) AS q1,
+         |        CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS q2,
+         |        CAST(SUM(CAST(x3 AS DECIMAL(38,0)) * x3) AS DECIMAL(38,0)) AS q3,
+         |        CAST(SUM(x1 + x2 + x3) AS BIGINT) AS st,
+         |        CAST(SUM(CAST(x1 + x2 + x3 AS DECIMAL(38,0)) * (x1 + x2 + x3))
+         |          AS DECIMAL(38,0)) AS qt
+         |      FROM d)
+         |SELECT n AS n_docs,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(qt AS DOUBLE)
+         |            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) = 0
+         |       THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND(1.5 * (1.0
+         |         - ((CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+         |            + (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2)
+         |            + (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3))
+         |           / (CAST(n AS DOUBLE) * CAST(qt AS DOUBLE)
+         |              - CAST(st AS DOUBLE) * st)) * 1e6) AS BIGINT) END
+         |    AS alpha_e6
+         |FROM m""".stripMargin
+    QuerySpec.sql2("q329_cronbach_alpha", text(spark = true), text(spark = false))
+  }
+
+  /** Two-way intraclass correlation ICC(2,1) treating the three scores
+    * as random "raters" — the absolute-agreement companion to
+    * [[q329CronbachAlpha]]'s consistency (ICC also punishes systematic
+    * scale offsets between raters, which α forgives). The classical
+    * mean-squares decomposition is FOUR exact integer moments from the
+    * same one-pass rollup (Σx², row-total Σt², per-rater totals, grand
+    * total): SS_rows = Σt²/k − G²/(nk), SS_cols = ΣSⱼ²/n − G²/(nk),
+    * SS_err the remainder — every term integer until the final doubles;
+    * ICC(2,1) = (MSR−MSE)/(MSR + (k−1)MSE + k(MSC−MSE)/n). Degenerate
+    * zero-denominator corpora report NULL. */
+  val q330Icc21: QuerySpec = {
+    def text(spark: Boolean): String =
+      s"""WITH d AS (${scoresSql(spark)}),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(x1) AS BIGINT) AS c1, CAST(SUM(x2) AS BIGINT) AS c2,
+         |        CAST(SUM(x3) AS BIGINT) AS c3,
+         |        CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1
+         |                 + CAST(x2 AS DECIMAL(38,0)) * x2
+         |                 + CAST(x3 AS DECIMAL(38,0)) * x3) AS DECIMAL(38,0)) AS qq,
+         |        CAST(SUM(CAST(x1 + x2 + x3 AS DECIMAL(38,0)) * (x1 + x2 + x3))
+         |          AS DECIMAL(38,0)) AS qt
+         |      FROM d),
+         |s AS (SELECT n,
+         |        CAST(qt AS DOUBLE) / 3 - CAST(c1 + c2 + c3 AS DOUBLE)
+         |          * (c1 + c2 + c3) / (3.0 * n) AS ss_rows,
+         |        (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2
+         |         + CAST(c3 AS DOUBLE) * c3) / n
+         |          - CAST(c1 + c2 + c3 AS DOUBLE) * (c1 + c2 + c3) / (3.0 * n)
+         |          AS ss_cols,
+         |        CAST(qq AS DOUBLE) - CAST(c1 + c2 + c3 AS DOUBLE)
+         |          * (c1 + c2 + c3) / (3.0 * n) AS ss_total
+         |      FROM m),
+         |ms AS (SELECT n, ss_rows / (n - 1) AS msr, ss_cols / 2 AS msc,
+         |         (ss_total - ss_rows - ss_cols) / ((n - 1) * 2.0) AS mse
+         |       FROM s)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  CASE WHEN msr + 2 * mse + 3 * (msc - mse) / n = 0
+         |       THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND((msr - mse)
+         |         / (msr + 2 * mse + 3 * (msc - mse) / n) * 1e6) AS BIGINT) END
+         |    AS icc21_e6
+         |FROM ms""".stripMargin
+    QuerySpec.sql2("q330_icc_absolute", text(spark = true), text(spark = false))
+  }
+
+  /** Lin's concordance correlation + Bland-Altman limits between the
+    * character count and a rescaled word count (5·words — the two
+    * length measures a pipeline treats as interchangeable): CCC asks
+    * "can one REPLACE the other?" (it punishes scale and location
+    * shifts Pearson r forgives), Bland-Altman reports the bias and the
+    * ±1.96σ band the replacement error lives in. One rollup of exact
+    * integer moments (sums, squares, cross-products, difference
+    * moments with DECIMAL(38,0) headroom); both statistics are single
+    * fixed DOUBLE trees; zero combined variance ⇒ NULL CCC. */
+  val q331ConcordanceLimits: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+         |             CAST(5 * $words AS BIGINT) AS y
+         |           FROM documents),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |        CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS qx,
+         |        CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS qy,
+         |        CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS qxy
+         |      FROM d),
+         |v AS (SELECT n,
+         |        CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         |        (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n AS vx,
+         |        (CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n AS vy,
+         |        (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n AS cxy
+         |      FROM m)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  CASE WHEN vx + vy + (mx - my) * (mx - my) = 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND(2.0 * cxy
+         |         / (vx + vy + (mx - my) * (mx - my)) * 1e6) AS BIGINT) END
+         |    AS ccc_e6,
+         |  CAST(ROUND((mx - my) * 1e2) AS BIGINT) AS ba_bias_e2,
+         |  CAST(ROUND(SQRT(GREATEST(vx + vy - 2 * cxy, 0.0)) * 1e2) AS BIGINT) AS ba_sd_e2,
+         |  CAST(ROUND(((mx - my) - 1.96 * SQRT(GREATEST(vx + vy - 2 * cxy, 0.0))) * 1e2)
+         |    AS BIGINT) AS ba_lower_e2,
+         |  CAST(ROUND(((mx - my) + 1.96 * SQRT(GREATEST(vx + vy - 2 * cxy, 0.0))) * 1e2)
+         |    AS BIGINT) AS ba_upper_e2
+         |FROM v""".stripMargin
+    }
+    QuerySpec.sql2("q331_concordance_limits", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q306FleissKappa, q307KrippendorffAlpha, q308AdjustedRand,
     q309NdcgAt10, q310KAnonymity, q311EncodingQc, q312Readability,
-    q313VMeasure, q314PsiDrift, q315Mcnemar, q316KendallTau)
+    q313VMeasure, q314PsiDrift, q315Mcnemar, q316KendallTau,
+    q329CronbachAlpha, q330Icc21, q331ConcordanceLimits)
 }

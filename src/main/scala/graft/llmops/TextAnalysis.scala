@@ -1672,7 +1672,65 @@ object TextAnalysis {
     QuerySpec.sql2("q300_dedup_boilerplate_remove", text(spark = true), text(spark = false))
   }
 
+  /** Burrows' Delta stylometric distance between every source pair —
+    * the authorship-attribution workhorse turned source-forensics tool:
+    * two "different" crawls with near-zero Delta are the same generator
+    * in disguise (a contamination signal no content hash catches,
+    * complementing [[graft.llmops.Dedup]]'s lexical overlap measures).
+    * Delta(a,b) = mean over the top-m corpus words of |z_a − z_b|,
+    * where z standardizes each word's per-source relative frequency
+    * across sources. Scale shape: the top-30 marker words are a
+    * rank-FILTERED window (map-side WindowGroupLimit, never a vocab
+    * sort); everything downstream lives on the |sources|·30 dense grid
+    * (sources × markers cross join, zero-filled via LEFT JOIN) — the
+    * corpus appears only in two rollups (per-source totals, per-
+    * (source, word) counts). Frequencies and z-scores are fixed DOUBLE
+    * trees; cross-source moments and the 30-word distance sums
+    * accumulate via DECIMAL(38,18); a zero-variance marker contributes
+    * z = 0 for every source (distance 0 — well-defined and harmless).
+    * Output: all unordered source pairs, closest first (ties by pair
+    * name) — the top of this list is the duplicate-generator report. */
+  val q332BurrowsDelta: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "SELECT source, explode(split(text, ' ')) AS word FROM documents"
+        else "SELECT source, unnest(string_split(text, ' ')) AS word FROM documents"
+      s"""WITH w AS ($words),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM w GROUP BY source),
+         |cw AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+         |top AS (SELECT word FROM (
+         |          SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rk
+         |          FROM cw) t WHERE rk <= 30),
+         |sw AS (SELECT w.source, w.word, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM w JOIN top ON w.word = top.word GROUP BY w.source, w.word),
+         |grid AS (SELECT tot.source, top.word, tot.n_s,
+         |           COALESCE(sw.c, 0) AS c
+         |         FROM tot CROSS JOIN top
+         |         LEFT JOIN sw ON sw.source = tot.source AND sw.word = top.word),
+         |f AS (SELECT source, word, CAST(c AS DOUBLE) / n_s AS fr FROM grid),
+         |mo AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS k,
+         |         CAST(SUM(CAST(fr AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+         |         CAST(SUM(CAST(fr * fr AS DECIMAL(38,18))) AS DOUBLE) AS s2
+         |       FROM f GROUP BY word),
+         |z AS (SELECT f.source, f.word,
+         |        CASE WHEN mo.s2 / mo.k - (mo.s1 / mo.k) * (mo.s1 / mo.k) <= 0
+         |             THEN 0.0
+         |             ELSE (f.fr - mo.s1 / mo.k)
+         |                  / SQRT(mo.s2 / mo.k - (mo.s1 / mo.k) * (mo.s1 / mo.k))
+         |             END AS z
+         |      FROM f JOIN mo ON f.word = mo.word)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(ROUND(CAST(SUM(CAST(ABS(a.z - b.z) AS DECIMAL(38,18)))
+         |    AS DOUBLE) / 30 * 1e6) AS BIGINT) AS delta_e6
+         |FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+         |GROUP BY a.source, b.source
+         |ORDER BY delta_e6, source_a, source_b""".stripMargin
+    }
+    QuerySpec.sql2("q332_burrows_delta", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q332BurrowsDelta,
     q300BoilerplateRemove, q301LangidConfusion,
     q277Readability, q286Winnowing, q291BigramCondEntropy,
     q213FeatureHashing, q214ContextFit,

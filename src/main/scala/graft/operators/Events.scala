@@ -1745,7 +1745,78 @@ object Events {
     QuerySpec.sql2("q327_kaplan_meier", text(spark = true), text(spark = false))
   }
 
+  /** Granger-style lead-lag screen: do yesterday's CLICKS predict
+    * today's PURCHASES beyond what yesterday's purchases already do? —
+    * the causal-direction sanity check behind attribution claims
+    * ([[q239Attribution]] assumes click→purchase; this tests whether
+    * the daily series actually carry that arrow). Restricted model
+    * p_t ~ p_{t−1} vs full p_t ~ p_{t−1} + c_{t−1}; the F-statistic of
+    * the added regressor from closed-form two-regressor OLS. Scale
+    * shape: the corpus collapses to the day-grain (p, c) relation in
+    * ONE rollup; the LAG window orders that tiny relation on its own
+    * grouping key; all centered moments are exact integer algebra
+    * (counts, DECIMAL(38,0) squares) until the final fixed DOUBLE
+    * trees. Collinear lags (D = 0) or a saturated full model
+    * (SSE_f ≤ 0) report NULL, the q299 convention. */
+  val q333GrangerLite: QuerySpec = QuerySpec.sql(
+    "q333_granger_lite",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM events GROUP BY CAST(ts AS DATE)),
+      |l AS (SELECT day, p AS y,
+      |        LAG(p) OVER (ORDER BY day) AS a,
+      |        LAG(c) OVER (ORDER BY day) AS b
+      |      FROM d),
+      |v AS (SELECT y, a, b FROM l WHERE a IS NOT NULL),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(a) AS BIGINT) AS sa,
+      |        CAST(SUM(b) AS BIGINT) AS sb,
+      |        CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS qyy,
+      |        CAST(SUM(CAST(a AS DECIMAL(38,0)) * a) AS DECIMAL(38,0)) AS qaa,
+      |        CAST(SUM(CAST(b AS DECIMAL(38,0)) * b) AS DECIMAL(38,0)) AS qbb,
+      |        CAST(SUM(CAST(a AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS qay,
+      |        CAST(SUM(CAST(b AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS qby,
+      |        CAST(SUM(CAST(a AS DECIMAL(38,0)) * b) AS DECIMAL(38,0)) AS qab
+      |      FROM v),
+      |s AS (SELECT n,
+      |        CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy,
+      |        CAST(qaa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n AS saa,
+      |        CAST(qbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n AS sbb,
+      |        CAST(qay AS DOUBLE) - CAST(sa AS DOUBLE) * sy / n AS say,
+      |        CAST(qby AS DOUBLE) - CAST(sb AS DOUBLE) * sy / n AS sby,
+      |        CAST(qab AS DOUBLE) - CAST(sa AS DOUBLE) * sb / n AS sab
+      |      FROM m),
+      |fit AS (SELECT n, syy, saa, sbb, say, sby, sab,
+      |          saa * sbb - sab * sab AS det
+      |        FROM s),
+      |r AS (SELECT n, syy, saa, say, sby, sab, det,
+      |        CASE WHEN det = 0 THEN NULL
+      |             ELSE (say * sbb - sby * sab) / det END AS b1,
+      |        CASE WHEN det = 0 THEN NULL
+      |             ELSE (sby * saa - say * sab) / det END AS b2,
+      |        sbb
+      |      FROM fit)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(ROUND(b1 * 1e6) AS BIGINT) AS beta_self_e6,
+      |  CAST(ROUND(b2 * 1e6) AS BIGINT) AS beta_cross_e6,
+      |  CASE WHEN saa = 0 OR syy = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND((say * say / saa) / syy * 1e6) AS BIGINT) END
+      |    AS r2_restricted_e6,
+      |  CASE WHEN det = 0 OR syy = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND((b1 * say + b2 * sby) / syy * 1e6) AS BIGINT) END
+      |    AS r2_full_e6,
+      |  CASE WHEN det = 0 OR saa = 0
+      |            OR syy - (b1 * say + b2 * sby) <= 0
+      |       THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND(
+      |         ((syy - say * say / saa) - (syy - (b1 * say + b2 * sby)))
+      |         / ((syy - (b1 * say + b2 * sby)) / (n - 3)) * 1e6) AS BIGINT) END
+      |    AS f_stat_e6
+      |FROM r""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
+    q333GrangerLite,
     q327KaplanMeier,
     q322Friedman, q323WilcoxonSignedRank,
     q317MannWhitney, q318KruskalWallis, q319LeveneTest,

@@ -278,6 +278,118 @@ class RankStatsSpec extends EngineSuite {
       - r.getAs[Long]("alpha_se_e6")) <= 2)
   }
 
+  private def docScores(): Array[(Double, Double, Double)] = {
+    QuerySpec.prepared(spark, sfDir)
+    spark.sql(
+      """SELECT CAST(n_chars AS DOUBLE), CAST(size(split(text, ' ')) AS DOUBLE),
+        |       CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+        |FROM documents""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+  }
+
+  test("q329 Cronbach alpha matches the direct variance-ratio form") {
+    val xs = docScores()
+    val n = xs.length
+    def popVar(v: Seq[Double]): Double = {
+      val m = v.sum / v.size; v.map(x => (x - m) * (x - m)).sum / v.size
+    }
+    val items = Seq(xs.map(_._1).toSeq, xs.map(_._2).toSeq, xs.map(_._3).toSeq)
+    val total = xs.map(t => t._1 + t._2 + t._3).toSeq
+    val alpha = 1.5 * (1.0 - items.map(popVar).sum / popVar(total))
+    val r = rows(llmops.Reliability.q329CronbachAlpha).head
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(math.abs(alpha * 1e6 - r.getAs[Long]("alpha_e6")) <= 2, s"alpha=$alpha")
+  }
+
+  test("q330 ICC(2,1) matches the direct mean-squares decomposition") {
+    val xs = docScores()
+    val n = xs.length; val k = 3
+    val grand = xs.map(t => t._1 + t._2 + t._3).sum / (n * k)
+    val rowMeans = xs.map(t => (t._1 + t._2 + t._3) / k)
+    val colMeans = Seq(xs.map(_._1).sum / n, xs.map(_._2).sum / n, xs.map(_._3).sum / n)
+    val ssRows = k * rowMeans.map(m => (m - grand) * (m - grand)).sum
+    val ssCols = n * colMeans.map(m => (m - grand) * (m - grand)).sum
+    val ssTotal = xs.flatMap(t => Seq(t._1, t._2, t._3))
+      .map(x => (x - grand) * (x - grand)).sum
+    val msr = ssRows / (n - 1); val msc = ssCols / (k - 1)
+    val mse = (ssTotal - ssRows - ssCols) / ((n - 1.0) * (k - 1))
+    val icc = (msr - mse) / (msr + (k - 1) * mse + k.toDouble * (msc - mse) / n)
+    val r = rows(llmops.Reliability.q330Icc21).head
+    assert(math.abs(icc * 1e6 - r.getAs[Long]("icc21_e6")) <= 2, s"icc=$icc")
+  }
+
+  test("q331 CCC and Bland-Altman match direct moment computation") {
+    val xs = docScores().map(t => (t._1, 5.0 * t._2))
+    val n = xs.length
+    val mx = xs.map(_._1).sum / n; val my = xs.map(_._2).sum / n
+    val vx = xs.map(t => (t._1 - mx) * (t._1 - mx)).sum / n
+    val vy = xs.map(t => (t._2 - my) * (t._2 - my)).sum / n
+    val cxy = xs.map(t => (t._1 - mx) * (t._2 - my)).sum / n
+    val ccc = 2 * cxy / (vx + vy + (mx - my) * (mx - my))
+    val sd = math.sqrt(vx + vy - 2 * cxy)
+    val r = rows(llmops.Reliability.q331ConcordanceLimits).head
+    assert(math.abs(ccc * 1e6 - r.getAs[Long]("ccc_e6")) <= 2, s"ccc=$ccc")
+    assert(math.abs((mx - my) * 1e2 - r.getAs[Long]("ba_bias_e2")) <= 1)
+    assert(math.abs(sd * 1e2 - r.getAs[Long]("ba_sd_e2")) <= 1)
+    assert(math.abs(((mx - my) + 1.96 * sd) * 1e2 - r.getAs[Long]("ba_upper_e2")) <= 1)
+  }
+
+  test("q332 Burrows Delta matches a brute-force stylometric computation") {
+    QuerySpec.prepared(spark, sfDir)
+    val words = spark.sql(
+      "SELECT source, explode(split(text, ' ')) AS w FROM documents")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val top = words.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(30).map(_._1)
+    val sources = words.map(_._1).distinct.sorted
+    val totals = words.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val fr = (for (s <- sources; w <- top) yield
+      (s, w) -> words.count(t => t._1 == s && t._2 == w) / totals(s)).toMap
+    val z = (for (w <- top) yield {
+      val vals = sources.map(s => fr((s, w)))
+      val m = vals.sum / vals.size
+      val sd = math.sqrt(vals.map(v => (v - m) * (v - m)).sum / vals.size)
+      w -> sources.map(s => s -> (if (sd <= 0) 0.0 else (fr((s, w)) - m) / sd)).toMap
+    }).toMap
+    val rs = rows(llmops.TextAnalysis.q332BurrowsDelta)
+    assert(rs.length == sources.size * (sources.size - 1) / 2)
+    for (r <- rs.take(5) ++ rs.takeRight(5)) {
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val delta = top.map(w => math.abs(z(w)(a) - z(w)(b))).sum / 30
+      assert(math.abs(delta * 1e6 - r.getAs[Long]("delta_e6")) <= 2, s"$a-$b")
+    }
+  }
+
+  test("q333 Granger F matches direct restricted-vs-full OLS") {
+    QuerySpec.prepared(spark, sfDir)
+    val days = spark.sql(
+      """SELECT CAST(ts AS DATE) AS day,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val triples = days.sliding(2).map { case Array(prev, cur) =>
+      (cur._1, prev._1, prev._2) }.toArray // (y, a=lag p, b=lag c)
+    val n = triples.length
+    def cm(f: ((Double, Double, Double)) => Double,
+           g: ((Double, Double, Double)) => Double): Double = {
+      val mf = triples.map(f).sum / n; val mg = triples.map(g).sum / n
+      triples.map(t => (f(t) - mf) * (g(t) - mg)).sum
+    }
+    val (syy, saa, sbb) = (cm(_._1, _._1), cm(_._2, _._2), cm(_._3, _._3))
+    val (say, sby, sab) = (cm(_._2, _._1), cm(_._3, _._1), cm(_._2, _._3))
+    val det = saa * sbb - sab * sab
+    val b1 = (say * sbb - sby * sab) / det
+    val b2 = (sby * saa - say * sab) / det
+    val sseF = syy - (b1 * say + b2 * sby)
+    val sseR = syy - say * say / saa
+    val fStat = (sseR - sseF) / (sseF / (n - 3))
+    val r = rows(operators.Events.q333GrangerLite).head
+    assert(r.getAs[Long]("n_days") == n)
+    assert(math.abs(b2 * 1e6 - r.getAs[Long]("beta_cross_e6")) <= 2)
+    assert(math.abs(fStat * 1e6 - r.getAs[Long]("f_stat_e6")) <= 5, s"F=$fStat")
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")
