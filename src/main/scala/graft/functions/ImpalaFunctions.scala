@@ -159,6 +159,8 @@ object ImpalaFunctions {
         s"levenshtein_bounded(a, b, k) needs a literal k, got $other")
     }
 
+    add("jaro_winkler") { case Seq(a, b) => JaroWinkler(a, b) }
+
     acc.result() ++ SketchAggregates.builders
   }
 

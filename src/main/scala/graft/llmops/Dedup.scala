@@ -1878,8 +1878,52 @@ object Dedup {
     }
   }
 
+  /** Jaro-Winkler near-name pairs over the part catalog — the classic
+    * fuzzy-matching complement to [[q217FuzzyEntityResolution]]'s edit
+    * distance (JW weights shared prefixes, the right bias for product/
+    * person names where variants diverge at the END). Candidates block
+    * on (brand, first name token) — an equality key both engines
+    * replay exactly — expanded through the capped salted
+    * [[boundedPairs]] so one mega-block cannot serialize a task; the
+    * verify kernel is the codegen'd [[graft.functions.JaroWinkler]]
+    * expression (stays inside whole-stage codegen over the candidate
+    * relation), semantics pinned to DuckDB's
+    * `jaro_winkler_similarity` which the oracle calls directly. Both
+    * engines threshold on the ROUNDED e6 value so the cut is
+    * bit-identical. */
+  val q334JaroWinklerPairs: QuerySpec = QuerySpec(
+    "q334_jw_name_pairs",
+    """WITH p AS (SELECT p_partkey, p_name, p_brand,
+      |             string_split(p_name, ' ')[1] AS w1 FROM part)
+      |SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+      |  CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6) AS BIGINT)
+      |    AS jw_e6
+      |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+      |                 AND a.p_partkey < b.p_partkey
+      |WHERE CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6)
+      |      AS BIGINT) >= 900000
+      |ORDER BY partkey_a, partkey_b""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val p = sp.table("part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .staged // block pass + two verify joins
+    val keyed = p.select(
+      concat(col("p_brand"), lit("|"),
+        substring_index(col("p_name"), " ", 1)).as("bkey"),
+      col("p_partkey").as("id"))
+    boundedPairs(keyed, 256)
+      .join(p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a")), "id_a")
+      .join(p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b")), "id_b")
+      .withColumn("jw_e6",
+        round(expr("jaro_winkler(name_a, name_b)") * lit(1e6)).cast("long"))
+      .filter(col("jw_e6") >= 900000)
+      .select(col("id_a").as("partkey_a"), col("id_b").as("partkey_b"),
+        col("jw_e6"))
+      .orderBy(col("partkey_a"), col("partkey_b"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q325KCore,
+    q325KCore, q334JaroWinklerPairs,
     q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep, q276Containment, q292WinnowingClones,
     q298ClusteringCoefficient, q299DegreeAssortativity,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,

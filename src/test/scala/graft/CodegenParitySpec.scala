@@ -155,4 +155,20 @@ class CodegenParitySpec extends EngineSuite {
     })
   }
 
+  test("jaro_winkler: codegen parity and invariants (range, symmetry-of-self, empties)") {
+    val s0 = spark
+    import s0.implicits._
+    check("jaro_winkler")(Prop.forAll(
+      Gen.listOfN(8, Gen.zip(strGen, strGen))) { rows =>
+      val setup = () => rows.toDF("a", "b").createOrReplaceTempView("g_parity_jw")
+      val (g, i) = bothModes(setup,
+        """SELECT a, b, jaro_winkler(a, b),
+          |  (jaro_winkler(a, b) BETWEEN 0.0 AND 1.0) AS in_range,
+          |  (a = '' OR jaro_winkler(a, a) = 1.0) AS self_one,
+          |  ((a <> '' AND b <> '') OR jaro_winkler(a, b) = 0.0) AS empty_zero
+          |FROM g_parity_jw""".stripMargin)
+      g == i && g.forall(r => r.contains("true,true,true]"))
+    })
+  }
+
 }
