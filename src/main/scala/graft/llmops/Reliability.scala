@@ -581,9 +581,49 @@ object Reliability {
     QuerySpec.sql2("q331_concordance_limits", text(spark = true), text(spark = false))
   }
 
+  /** l-diversity of the transaction-value band within each
+    * quasi-identifier group — the [[q310KAnonymity]] follow-up: k
+    * anonymity says groups are big, l-diversity says the SENSITIVE
+    * value inside a group isn't uniform (a 50-person group that all
+    * share one value band still leaks it). Sensitive attribute = the
+    * 5-way value band (fixed integer boundaries, replayed exactly);
+    * per QI group (event_type, day): distinct-l and entropy-l
+    * (e^H — the effective number of bands an attacker faces).
+    * Scale shape: ONE rollup to the (QI, band) relation (≤ 5·|groups|
+    * rows), per-group entropies over ≤ 5-row slices with
+    * DECIMAL(38,18) accumulation, then a |groups|-row summary.
+    * Reported: worst distinct-l, worst entropy-l, share of groups
+    * below l = 3 — the numbers a release gate thresholds on. */
+  val q335LDiversity: QuerySpec = QuerySpec.sql(
+    "q335_l_diversity",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CASE WHEN value < 50 THEN 0 WHEN value < 150 THEN 1
+      |         WHEN value < 250 THEN 2 WHEN value < 350 THEN 3
+      |         ELSE 4 END AS band
+      |  FROM events),
+      |gb AS (SELECT event_type, day, band, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM d GROUP BY event_type, day, band),
+      |g AS (SELECT event_type, day,
+      |        CAST(COUNT(*) AS BIGINT) AS l_distinct,
+      |        CAST(SUM(c) AS BIGINT) AS n,
+      |        CAST(SUM(CAST(c * LN(CAST(c AS DOUBLE)) AS DECIMAL(38,18)))
+      |          AS DOUBLE) AS clnc
+      |      FROM gb GROUP BY event_type, day),
+      |e AS (SELECT event_type, day, l_distinct, n,
+      |        EXP(LN(CAST(n AS DOUBLE)) - clnc / n) AS l_entropy
+      |      FROM g)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(MIN(l_distinct) AS BIGINT) AS min_distinct_l,
+      |  CAST(ROUND(MIN(l_entropy) * 1e6) AS BIGINT) AS min_entropy_l_e6,
+      |  CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS groups_below_3,
+      |  CAST(ROUND(SUM(CASE WHEN l_distinct < 3 THEN n ELSE 0 END) * 1e6
+      |    / CAST(SUM(n) AS DOUBLE)) AS BIGINT) AS exposure_share_e6
+      |FROM e""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q306FleissKappa, q307KrippendorffAlpha, q308AdjustedRand,
     q309NdcgAt10, q310KAnonymity, q311EncodingQc, q312Readability,
     q313VMeasure, q314PsiDrift, q315Mcnemar, q316KendallTau,
-    q329CronbachAlpha, q330Icc21, q331ConcordanceLimits)
+    q329CronbachAlpha, q330Icc21, q331ConcordanceLimits, q335LDiversity)
 }

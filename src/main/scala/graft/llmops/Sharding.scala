@@ -330,7 +330,53 @@ object Sharding {
     QuerySpec.sql2("q174_dsir_resample", text(spark = true), text(spark = false))
   }
 
+  /** Neyman-optimal labeling-budget allocation across language strata —
+    * "given 100 annotations, how many per language?": n_h ∝ N_h·S_h
+    * (stratum size × within-stratum spread of n_chars) minimizes the
+    * variance of the estimated corpus mean, vs the proportional
+    * allocation (∝ N_h) shown alongside; high-variance strata earn
+    * more than their headcount. Weights come from exact integer
+    * moments (one corpus rollup; population S_h = √((Σx²−(Σx)²/N)/N)
+    * as a fixed DOUBLE tree with DECIMAL(38,0) headroom); integerizing
+    * uses LARGEST-REMAINDER rounding — FLOOR everything, hand the
+    * missing units to the largest fractional parts (rounded-e9 keys,
+    * lang tie-break) — so the allocation sums to the budget EXACTLY,
+    * deterministically, on both engines. All post-rollup work lives on
+    * the |strata|-row relation. */
+  val q336NeymanAllocation: QuerySpec = QuerySpec.sql(
+    "q336_neyman_allocation",
+    """WITH m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nh,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS DECIMAL(38,0)) AS qx
+      |  FROM documents GROUP BY lang),
+      |s AS (SELECT lang, nh,
+      |        SQRT(GREATEST((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nh)
+      |                      / nh, 0.0)) AS sh
+      |      FROM m),
+      |w AS (SELECT lang, nh, sh,
+      |        nh * sh AS wgt,
+      |        CAST(SUM(CAST(nh * sh AS DECIMAL(38,6))) OVER () AS DOUBLE) AS wtot,
+      |        CAST(SUM(nh) OVER () AS BIGINT) AS ntot
+      |      FROM s),
+      |r AS (SELECT lang, nh, sh,
+      |        100.0 * wgt / wtot AS raw_ney,
+      |        100.0 * nh / ntot AS raw_prop,
+      |        CAST(FLOOR(100.0 * wgt / wtot) AS BIGINT) AS base
+      |      FROM w),
+      |k AS (SELECT lang, nh, sh, raw_ney, raw_prop, base,
+      |        ROW_NUMBER() OVER (ORDER BY CAST(ROUND((raw_ney - base) * 1e9)
+      |          AS BIGINT) DESC, lang) AS frac_rank,
+      |        CAST(100 - SUM(base) OVER () AS BIGINT) AS missing
+      |      FROM r)
+      |SELECT lang, nh AS n_docs,
+      |  CAST(ROUND(sh * 1e2) AS BIGINT) AS stddev_chars_e2,
+      |  base + CASE WHEN frac_rank <= missing THEN 1 ELSE 0 END AS n_neyman,
+      |  CAST(ROUND(raw_prop) AS BIGINT) AS n_proportional,
+      |  CAST(ROUND(raw_ney * 1e4) AS BIGINT) AS raw_neyman_e4
+      |FROM k ORDER BY lang""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
+    q336NeymanAllocation,
     q165PipelineCurate,
     q130SplitTrainValTest, q131ShuffleShards, q135SourceMix, q170TemperatureMix,
     q150WeightedSample, q174DsirResample.benched, q326GroupSplitLeakage)

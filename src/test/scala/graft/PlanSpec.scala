@@ -1074,7 +1074,11 @@ class PlanSpec extends EngineSuite {
       "q228_embed_pca_axis" -> "window over the 64-row embedding-position relation",
       "q250_loso_influence" -> "window over the |sources| relation (≤ tens of rows)",
       "q294_ks_drift_fdr" -> ("BH adjustment windows over the |sources| p-value " +
-        "relation and the 50-row KS series grid"))
+        "relation and the 50-row KS series grid"),
+      "q336_neyman_allocation" -> ("largest-remainder rank over the per-LANG " +
+        "aggregate relation (|languages| rows — bounded label-set cardinality), " +
+        "ordered by the computed fractional part so the collapse tracer can't " +
+        "see the grouping"))
 
     def groupingOutputIds(a: L.Aggregate): Set[ExprId] =
       a.aggregateExpressions.collect {

@@ -390,6 +390,48 @@ class RankStatsSpec extends EngineSuite {
     assert(math.abs(fStat * 1e6 - r.getAs[Long]("f_stat_e6")) <= 5, s"F=$fStat")
   }
 
+  test("q335 l-diversity matches direct per-group computation") {
+    QuerySpec.prepared(spark, sfDir)
+    val groups = spark.sql(
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CASE WHEN value < 50 THEN 0 WHEN value < 150 THEN 1
+        |       WHEN value < 250 THEN 2 WHEN value < 350 THEN 3 ELSE 4 END AS band
+        |FROM events""".stripMargin)
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString), r.getInt(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val r = rows(llmops.Reliability.q335LDiversity).head
+    assert(r.getAs[Long]("n_groups") == groups.size)
+    assert(r.getAs[Long]("min_distinct_l") == groups.values.map(_.distinct.size).min)
+    val minEnt = groups.values.map { bands =>
+      val n = bands.size.toDouble
+      math.exp(-bands.groupBy(identity).values
+        .map(g => g.size / n * math.log(g.size / n)).sum)
+    }.min
+    assert(math.abs(minEnt * 1e6 - r.getAs[Long]("min_entropy_l_e6")) <= 2)
+  }
+
+  test("q336 Neyman allocation sums to budget and matches direct weights") {
+    QuerySpec.prepared(spark, sfDir)
+    val strata = spark.table("documents")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble))
+      .groupBy(_._1).map { case (l, v) => l -> v.map(_._2) }
+    val weights = strata.map { case (l, xs) =>
+      val m = xs.sum / xs.length
+      l -> xs.length * math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length)
+    }
+    val wtot = weights.values.sum
+    val rs = rows(llmops.Sharding.q336NeymanAllocation)
+    assert(rs.map(_.getAs[Long]("n_neyman")).sum == 100L)
+    for (r <- rs) {
+      val l = r.getAs[String]("lang")
+      val raw = 100.0 * weights(l) / wtot
+      assert(math.abs(raw * 1e4 - r.getAs[Long]("raw_neyman_e4")) <= 2, s"$l raw=$raw")
+      // integerized allocation is within 1 of the raw weight (largest remainder)
+      assert(math.abs(r.getAs[Long]("n_neyman") - raw) < 1.0, s"$l")
+    }
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")
