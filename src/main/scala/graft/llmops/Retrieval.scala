@@ -375,7 +375,121 @@ object Retrieval {
     })
   }
 
+  /** Rocchio pseudo-relevance feedback — the two-pass retrieval loop:
+    * round 1 scores the seed query by TF-IDF and takes the top-10
+    * pseudo-relevant docs, the 5 heaviest non-seed terms of THOSE docs
+    * (summed TF-IDF mass) expand the query at β = 0.5, and round 2
+    * rescores the corpus with the expanded vector. Scale shape: the
+    * corpus-wide (doc, word, tf) inverted index and the DF relation
+    * are each built ONCE and staged (Spark would otherwise rescan
+    * documents per consumer — the q116 CTE-inlining lesson); both
+    * ranking passes are rank-FILTERED windows (map-side
+    * WindowGroupLimit); expansion-term discovery explodes only the 10
+    * pseudo-relevant docs; the 8-term expanded query joins as a
+    * broadcast. Determinism: idf = ln(n/df) fixed trees, per-doc sums
+    * through DECIMAL(38,18), every rank on (rounded e6, id) total
+    * orders. Oracle replays both passes; its multiply-consumed CTEs
+    * are MATERIALIZED (the q325 lesson). */
+  val q337RocchioPrf: QuerySpec = {
+    val seeds = Seq("dup", "spark", "hash")
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    QuerySpec(
+      "q337_rocchio_prf",
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents) t
+         |  GROUP BY doc_id, word),
+         |dfr AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY word),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |s1 AS (SELECT tok.doc_id,
+         |         CAST(SUM(CAST(tok.tf * LN(CAST(st.n AS DOUBLE) / dfr.df)
+         |              AS DECIMAL(38,18))) AS DOUBLE) AS score
+         |       FROM tok JOIN dfr ON tok.word = dfr.word CROSS JOIN st
+         |       WHERE tok.word IN ($seedList)
+         |       GROUP BY tok.doc_id),
+         |top10 AS MATERIALIZED (SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (
+         |      ORDER BY CAST(ROUND(score * 1e6) AS BIGINT) DESC, doc_id) AS rk
+         |    FROM s1) t WHERE rk <= 10),
+         |cand AS (SELECT tok.word,
+         |    CAST(SUM(CAST(tok.tf * LN(CAST(st.n AS DOUBLE) / dfr.df)
+         |         AS DECIMAL(38,18))) AS DOUBLE) AS wgt
+         |  FROM tok JOIN top10 ON tok.doc_id = top10.doc_id
+         |  JOIN dfr ON tok.word = dfr.word CROSS JOIN st
+         |  WHERE tok.word NOT IN ($seedList)
+         |  GROUP BY tok.word),
+         |exp5 AS MATERIALIZED (SELECT word FROM (
+         |    SELECT word, ROW_NUMBER() OVER (
+         |      ORDER BY CAST(ROUND(wgt * 1e6) AS BIGINT) DESC, word) AS rk
+         |    FROM cand) t WHERE rk <= 5),
+         |qterms AS MATERIALIZED (
+         |  SELECT word, 1.0 AS w
+         |  FROM (VALUES ${seeds.map(s => s"('$s')").mkString(", ")}) s(word)
+         |  UNION ALL SELECT word, 0.5 AS w FROM exp5),
+         |s2 AS (SELECT tok.doc_id,
+         |         CAST(SUM(CAST(q.w * tok.tf * LN(CAST(st.n AS DOUBLE) / dfr.df)
+         |              AS DECIMAL(38,18))) AS DOUBLE) AS score
+         |       FROM tok JOIN qterms q ON tok.word = q.word
+         |       JOIN dfr ON tok.word = dfr.word CROSS JOIN st
+         |       GROUP BY tok.doc_id),
+         |terms AS (SELECT array_to_string(list(word ORDER BY word), ',')
+         |            AS exp_terms FROM exp5)
+         |SELECT doc_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6,
+         |  terms.exp_terms
+         |FROM (SELECT doc_id, score, ROW_NUMBER() OVER (
+         |        ORDER BY CAST(ROUND(score * 1e6) AS BIGINT) DESC, doc_id) AS rk
+         |      FROM s2) t CROSS JOIN terms
+         |WHERE rk <= 15 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val w = Window
+      val docs = sp.table("documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .staged
+      val tok = docs.select(col("doc_id"), explode(col("ws")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        .staged // round-1 scoring, expansion discovery, round-2 scoring
+      val dfr = tok.groupBy(col("word")).agg(count(lit(1)).as("df")).staged
+      val stats = docs.agg(count(lit(1)).as("n"))
+      def idfScore(weighted: org.apache.spark.sql.Column) =
+        sum((weighted * col("tf")
+          * log(col("n").cast("double") / col("df"))).cast("decimal(38,18)"))
+          .cast("double").as("score")
+      val s1 = tok.filter(col("word").isin(seeds: _*))
+        .join(broadcast(dfr), "word").crossJoin(broadcast(stats))
+        .groupBy(col("doc_id")).agg(idfScore(lit(1.0)))
+      val top10 = s1
+        .withColumn("rk", row_number().over(w.orderBy(
+          round(col("score") * 1e6).cast("long").desc, col("doc_id"))))
+        .filter(col("rk") <= 10).select(col("doc_id"))
+      val exp5 = tok.join(broadcast(top10), "doc_id")
+        .filter(!col("word").isin(seeds: _*))
+        .join(broadcast(dfr), "word").crossJoin(broadcast(stats))
+        .groupBy(col("word")).agg(idfScore(lit(1.0)).as("wgt"))
+        .withColumn("rk", row_number().over(w.orderBy(
+          round(col("wgt") * 1e6).cast("long").desc, col("word"))))
+        .filter(col("rk") <= 5).select(col("word"))
+        .staged // round-2 join side AND the exp_terms label
+      val qterms = sp.createDataFrame(seeds.map((_, 1.0)))
+        .toDF("word", "w")
+        .unionByName(exp5.withColumn("w", lit(0.5)))
+      val termsLabel = exp5
+        .agg(array_join(sort_array(collect_list(col("word"))), ",").as("exp_terms"))
+      tok.join(broadcast(qterms), "word")
+        .join(broadcast(dfr), "word").crossJoin(broadcast(stats))
+        .groupBy(col("doc_id")).agg(idfScore(col("w")))
+        .withColumn("rk", row_number().over(w.orderBy(
+          round(col("score") * 1e6).cast("long").desc, col("doc_id"))))
+        .filter(col("rk") <= 15)
+        .crossJoin(broadcast(termsLabel))
+        .select(col("doc_id"), round(col("score") * 1e6).cast("long").as("score_e6"),
+          col("exp_terms"))
+        .orderBy(col("rk"))
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats, q230RrfHybrid,
-      q237RetrievalEval)
+      q237RetrievalEval, q337RocchioPrf)
 }

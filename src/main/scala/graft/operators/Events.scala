@@ -1815,8 +1815,109 @@ object Events {
       |    AS f_stat_e6
       |FROM r""".stripMargin)
 
+  /** Kleinberg 2-state burst detection over the daily event series —
+    * the principled "which days were BURSTS?" labeling that raw
+    * thresholds can't give: a Viterbi path through base-rate/burst
+    * states (λ₁ = 1.05·λ₀) with an entry penalty γ = 1 buys
+    * hysteresis, so one noisy day neither starts nor ends a burst
+    * (the offline complement to [[q275CusumChangepoint]]'s single
+    * changepoint and [[q224HourlyAnomaly]]'s memoryless alerts).
+    * Scale shape: the corpus collapses to the day-grain count relation
+    * FIRST (one rollup; the relation is bounded by calendar days), and
+    * the irreducibly-sequential Viterbi recursion runs as ONE ordered
+    * fold over that tiny relation — Spark `aggregate()` over the
+    * day-sorted array, DuckDB `list_reduce` over the identical list,
+    * both engines replaying the identical double recursion (Poisson
+    * log-likelihood ratios cancel the ln c! term, so each step is
+    * λ₀(s−1) − c·ln s — a fixed tree), with path strings carried in
+    * the accumulator and ties broken toward the base state. */
+  val q338KleinbergBursts: QuerySpec = {
+    // llr(c) = cost(burst) − cost(base) under Poisson(λ0) vs Poisson(sλ0)
+    def llr(c: String) = s"lam0 * 0.05 - $c * LN(1.05)"
+    val sparkText =
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+         |           FROM events GROUP BY CAST(ts AS DATE)),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         |        CAST(SUM(c) AS BIGINT) AS tot FROM d),
+         |arr AS (SELECT array_sort(collect_list(struct(day, c))) AS a FROM d),
+         |f AS (SELECT m.nd, arr.a,
+         |        CAST(m.tot AS DOUBLE) / m.nd AS lam0, CAST(1.0 AS DOUBLE) AS gamma
+         |      FROM arr CROSS JOIN m),
+         |v AS (SELECT nd, a, lam0, gamma,
+         |        aggregate(a,
+         |          named_struct('c0', CAST(0.0 AS DOUBLE), 'c1', CAST(1e18 AS DOUBLE),
+         |                       'p0', '', 'p1', ''),
+         |          (acc, x) -> named_struct(
+         |            'c0', LEAST(acc.c0, acc.c1),
+         |            'c1', LEAST(acc.c0 + gamma, acc.c1) + (${llr("x.c")}),
+         |            'p0', concat(CASE WHEN acc.c0 <= acc.c1 THEN acc.p0
+         |                              ELSE acc.p1 END, '0'),
+         |            'p1', concat(CASE WHEN acc.c0 + gamma <= acc.c1 THEN acc.p0
+         |                              ELSE acc.p1 END, '1'))) AS fin
+         |      FROM f),
+         |p AS (SELECT a, lam0,
+         |        CASE WHEN fin.c0 <= fin.c1 THEN fin.p0 ELSE fin.p1 END AS path
+         |      FROM v)
+         |SELECT e.day, e.c AS n_events,
+         |  (substring(p.path, CAST(pos + 1 AS INT), 1) = '1') AS burst,
+         |  CAST(ROUND((${llr("e.c")}) * 1e6) AS BIGINT) AS llr_e6
+         |FROM p LATERAL VIEW posexplode(a) t AS pos, e
+         |ORDER BY e.day""".stripMargin
+    // DuckDB 1.0 list_reduce evaluates struct-constructor fields
+    // SEQUENTIALLY against the partially-updated accumulator (verified:
+    // {'u': acc.u+100, 'v': acc.u} yields v = the NEW u), so a struct
+    // accumulator silently corrupts the recursion. The accumulator is
+    // therefore a serialized 'c0;c1;p0;p1' VARCHAR — one immutable value
+    // per step, parsed afresh on every read; DOUBLE↔VARCHAR casts are
+    // shortest-round-trip exact in DuckDB.
+    val duckText = {
+      def part(i: Int) = s"string_split(acc, ';')[$i]"
+      def c0 = s"CAST(${part(1)} AS DOUBLE)"
+      def c1 = s"CAST(${part(2)} AS DOUBLE)"
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+         |           FROM events GROUP BY CAST(ts AS DATE)),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         |        CAST(SUM(c) AS BIGINT) AS tot FROM d),
+         |arr AS (SELECT list({'day': day, 'c': c} ORDER BY day) AS a FROM d),
+         |f AS (SELECT m.nd, arr.a,
+         |        CAST(m.tot AS DOUBLE) / m.nd AS lam0, CAST(1.0 AS DOUBLE) AS gamma
+         |      FROM arr CROSS JOIN m),
+         |v AS (SELECT nd, a, lam0, gamma,
+         |        list_reduce(
+         |          list_prepend('0.0;1e18;;',
+         |            list_transform(a, x ->
+         |              CAST(CAST(${llr("x.c")} AS DOUBLE) AS VARCHAR))),
+         |          (acc, x) ->
+         |            CAST(LEAST($c0, $c1) AS VARCHAR)
+         |            || ';' ||
+         |            CAST(LEAST($c0 + gamma, $c1) + CAST(x AS DOUBLE) AS VARCHAR)
+         |            || ';' ||
+         |            (CASE WHEN $c0 <= $c1 THEN ${part(3)} ELSE ${part(4)} END)
+         |            || '0;' ||
+         |            (CASE WHEN $c0 + gamma <= $c1 THEN ${part(3)}
+         |                  ELSE ${part(4)} END)
+         |            || '1') AS fin
+         |      FROM f),
+         |p AS (SELECT a, lam0,
+         |        CASE WHEN CAST(string_split(fin, ';')[1] AS DOUBLE)
+         |                  <= CAST(string_split(fin, ';')[2] AS DOUBLE)
+         |             THEN string_split(fin, ';')[3]
+         |             ELSE string_split(fin, ';')[4] END AS path
+         |      FROM v),
+         |u AS (SELECT path, lam0, unnest(a) AS e,
+         |        generate_subscripts(a, 1) AS i FROM p)
+         |SELECT e['day'] AS day, e['c'] AS n_events,
+         |  (substr(path, CAST(i AS INT), 1) = '1') AS burst,
+         |  CAST(ROUND((lam0 * 0.05 - e['c'] * LN(1.05)) * 1e6) AS BIGINT)
+         |    AS llr_e6
+         |FROM u
+         |ORDER BY day""".stripMargin
+    }
+    QuerySpec.sql2("q338_kleinberg_bursts", sparkText, duckText)
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q333GrangerLite,
+    q338KleinbergBursts, q333GrangerLite,
     q327KaplanMeier,
     q322Friedman, q323WilcoxonSignedRank,
     q317MannWhitney, q318KruskalWallis, q319LeveneTest,

@@ -228,6 +228,52 @@ object EventStreams {
           * 1e6).cast("bigint")).as("rank_biserial_e6"))
   }
 
+  /** Continuous latency/value-quantile monitoring — binned P50/P95/P99
+    * per tumbling hour: values bin against a FROZEN boundary grid (the
+    * psiMonitor discipline), the per-window state is the |bins| counter
+    * vector, and each reported quantile is the UPPER EDGE of the first
+    * bin whose cumulative count reaches ⌈q·n⌉ — a deterministic
+    * conservative bound (true quantile ≤ reported edge, exact when the
+    * grid is fine), never a per-row sort. The cumulative scan unrolls
+    * over the bin literals in the final select, so the whole monitor is
+    * one windowed aggregation, stream/batch bit-identical. The top bin
+    * is open-ended; values landing there report the last boundary
+    * (reported as saturated via the p99_saturated flag). */
+  def quantileMonitor(events: DataFrame,
+                      bounds: Seq[Double],
+                      watermark: String = "2 hours"): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted, "sorted bin bounds")
+    val nb = bounds.size + 1
+    val binCol = bounds.zipWithIndex.reverse
+      .foldLeft(lit(bounds.size): Column) { case (acc, (b, i)) =>
+        when(col("value") < b, lit(i)).otherwise(acc)
+      }
+    val agg = events
+      .withWatermark("ts", watermark)
+      .withColumn("bin", binCol)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        (0 until nb).map(i =>
+          sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"c$i")): _*)
+    // upper edge of the first bin whose cumulative count reaches ceil(q·n);
+    // the open top bin reports the last boundary (saturated)
+    def quantile(q: Double): Column = {
+      val need = ceil(lit(q) * col("n")).cast("long")
+      (0 until nb - 1).foldRight(lit(bounds.last): Column) { case (i, rest) =>
+        val cum = (0 to i).map(j => col(s"c$j")).reduce(_ + _)
+        when(cum >= need, lit(bounds(i))).otherwise(rest)
+      }
+    }
+    val cumLast = (0 until nb - 1).map(j => col(s"c$j")).reduce(_ + _)
+    agg.select(
+      (col("window.start").as("hour_start") +: col("n") +:
+        (0 until nb).map(i => col(s"c$i"))) ++
+        Seq(quantile(0.5).as("p50_edge"), quantile(0.95).as("p95_edge"),
+          quantile(0.99).as("p99_edge"),
+          (cumLast < ceil(lit(0.99) * col("n")).cast("long"))
+            .as("p99_saturated")): _*)
+  }
+
   /** Gap-based sessionization (30-minute inactivity) — streaming twin of
     * q66_events_sessionize. Emits a SessionSummary when a gap closes a
     * session; the open session lives in per-user GroupState. */

@@ -432,6 +432,69 @@ class RankStatsSpec extends EngineSuite {
     }
   }
 
+  test("q338 burst labels match a brute-force 2-state Viterbi") {
+    QuerySpec.prepared(spark, sfDir)
+    val days = spark.sql(
+      "SELECT CAST(ts AS DATE) AS d, COUNT(*) c FROM events GROUP BY 1 ORDER BY d")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val lam0 = days.map(_._2).sum.toDouble / days.length
+    val gamma = 1.0
+    def llr(c: Long): Double = lam0 * 0.05 - c * math.log(1.05)
+    // full table Viterbi with backtracking (independent of the fold form)
+    val n = days.length
+    val cost = Array.ofDim[Double](n + 1, 2)
+    val from = Array.ofDim[Int](n + 1, 2)
+    cost(0)(0) = 0.0; cost(0)(1) = 1e18
+    for (i <- 1 to n) {
+      val l = llr(days(i - 1)._2)
+      cost(i)(0) = math.min(cost(i - 1)(0), cost(i - 1)(1))
+      from(i)(0) = if (cost(i - 1)(0) <= cost(i - 1)(1)) 0 else 1
+      cost(i)(1) = math.min(cost(i - 1)(0) + gamma, cost(i - 1)(1)) + l
+      from(i)(1) = if (cost(i - 1)(0) + gamma <= cost(i - 1)(1)) 0 else 1
+    }
+    val states = new Array[Int](n + 1)
+    states(n) = if (cost(n)(0) <= cost(n)(1)) 0 else 1
+    for (i <- n until 0 by -1) states(i - 1) = from(i)(states(i))
+    val rs = rows(operators.Events.q338KleinbergBursts)
+    assert(rs.length == n)
+    for ((r, i) <- rs.zipWithIndex) {
+      assert(r.getAs[Boolean]("burst") == (states(i + 1) == 1),
+        s"day ${days(i)._1}")
+      assert(math.abs(llr(days(i)._2) * 1e6 - r.getAs[Long]("llr_e6")) <= 1)
+    }
+  }
+
+  test("q337 Rocchio rounds match a brute-force replay") {
+    QuerySpec.prepared(spark, sfDir)
+    val seeds = Set("dup", "spark", "hash")
+    val docs = spark.table("documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = docs.length
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, xs) => (id, w, xs.size.toLong) } }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def idf(w: String): Double = math.log(n.toDouble / df(w))
+    def score(terms: Map[String, Double]): Map[Long, Double] =
+      tf.filter(t => terms.contains(t._2))
+        .groupBy(_._1).view.mapValues(_.map(t => terms(t._2) * t._3 * idf(t._2)).sum)
+        .toMap
+    val s1 = score(seeds.map(_ -> 1.0).toMap)
+    val top10 = s1.toSeq.sortBy { case (id, s) => (-math.round(s * 1e6), id) }
+      .take(10).map(_._1).toSet
+    val exp5 = tf.filter(t => top10(t._1) && !seeds(t._2))
+      .groupBy(_._2).view.mapValues(_.map(t => t._3 * idf(t._2)).sum).toSeq
+      .sortBy { case (w, s) => (-math.round(s * 1e6), w) }.take(5).map(_._1)
+    val s2 = score(seeds.map(_ -> 1.0).toMap ++ exp5.map(_ -> 0.5))
+    val want = s2.toSeq.sortBy { case (id, s) => (-math.round(s * 1e6), id) }.take(15)
+    val rs = rows(llmops.Retrieval.q337RocchioPrf)
+    assert(rs.map(_.getAs[String]("exp_terms")).distinct.toSeq ==
+      Seq(exp5.sorted.mkString(",")))
+    for ((r, (id, s)) <- rs.zip(want)) {
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(math.abs(s * 1e6 - r.getAs[Long]("score_e6")) <= 2, s"doc $id")
+    }
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")

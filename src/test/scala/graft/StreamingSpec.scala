@@ -181,6 +181,44 @@ class StreamingSpec extends EngineSuite {
     assert(streamed == batch)
   }
 
+  test("quantileMonitor: stream equals batch, edges match direct binned quantiles") {
+    val s = spark
+    import s.implicits._
+    val bounds = Seq(2.0, 5.0, 10.0)
+    val events = Seq(
+      Event(1, 1, ts(5), "view", 1.0), Event(2, 2, ts(10), "view", 3.0),
+      Event(3, 3, ts(20), "click", 4.0), Event(4, 4, ts(30), "view", 6.0),
+      Event(5, 5, ts(40), "click", 12.0), // top bin: p99 saturates
+      Event(1, 6, ts(65), "view", 1.0), Event(2, 7, ts(70), "view", 1.5))
+
+    val batch = EventStreams.quantileMonitor(events.toDF(), bounds)
+      .orderBy("hour_start").collect().toSeq
+    assert(batch.length == 2)
+    def edges(vals: Seq[Double], q: Double): Double = {
+      val bins = vals.map(v => bounds.indexWhere(v < _) match {
+        case -1 => bounds.size; case i => i })
+      val need = math.ceil(q * vals.size).toLong
+      (0 until bounds.size).find(i => bins.count(_ <= i) >= need)
+        .map(bounds(_)).getOrElse(bounds.last)
+    }
+    val h0 = Seq(1.0, 3.0, 4.0, 6.0, 12.0)
+    assert(batch(0).getAs[Double]("p50_edge") == edges(h0, 0.5))
+    assert(batch(0).getAs[Double]("p95_edge") == edges(h0, 0.95))
+    assert(batch(0).getAs[Boolean]("p99_saturated")) // the 12.0 is past the grid
+    assert(batch(1).getAs[Double]("p50_edge") == 2.0)
+    assert(!batch(1).getAs[Boolean]("p99_saturated"))
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.quantileMonitor(mem.toDF(), bounds)
+      .writeStream.format("memory").queryName("quantile_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.table("quantile_out").orderBy("hour_start").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("tumblingCounts: stream result equals batch result") {
     val s = spark
     import s.implicits._
