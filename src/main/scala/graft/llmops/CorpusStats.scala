@@ -720,8 +720,59 @@ object CorpusStats {
       |            AS BIGINT) END AS alpha_se_e6
       |FROM m""".stripMargin)
 
+  /** Split-conformal prediction interval for document length given
+    * language — distribution-free uncertainty the q229 normal-theory CI
+    * can't give on skewed lengths: calibrate per-lang absolute
+    * residuals |x − median-ish center| on the hash-frozen calibration
+    * half, take the ⌈(n+1)·0.9⌉-th order statistic as the radius, then
+    * report EMPIRICAL coverage on the disjoint evaluation half — the
+    * honesty check (≈ 90 % by construction if exchangeability holds;
+    * a miss flags drift between the halves). Scale shape: the center
+    * (per-lang mean, exact integer ratio) and the rank-selected radius
+    * live on per-lang relations; the quantile is an exact rank in a
+    * PER-LANG window (partitioned — never global); coverage is one
+    * conditional rollup. The q95/q130 multiplicative doc_id hash
+    * freezes the split on both engines. */
+  val q339ConformalInterval: QuerySpec = QuerySpec.sql(
+    "q339_conformal_interval",
+    """WITH d AS (SELECT lang, doc_id, n_chars,
+      |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 50
+      |         THEN 'cal' ELSE 'eval' END AS half
+      |  FROM documents),
+      |ctr AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS s,
+      |          CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM d WHERE half = 'cal' GROUP BY lang),
+      |res AS (SELECT d.lang,
+      |          ABS(d.n_chars - CAST(ctr.s AS DOUBLE) / ctr.n) AS r
+      |        FROM d JOIN ctr ON d.lang = ctr.lang WHERE d.half = 'cal'),
+      |rk AS (SELECT lang, r,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY r, CAST(ROUND(r * 1e6) AS BIGINT)) AS rn,
+      |         COUNT(*) OVER (PARTITION BY lang) AS n_cal
+      |       FROM res),
+      |q AS (SELECT lang, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+      |        MIN(r) AS radius
+      |      FROM rk
+      |      WHERE rn >= CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT)
+      |      GROUP BY lang),
+      |cov AS (SELECT d.lang,
+      |          CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |          CAST(SUM(CASE WHEN ABS(d.n_chars - CAST(ctr.s AS DOUBLE) / ctr.n)
+      |                             <= q.radius THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_covered
+      |        FROM d JOIN ctr ON d.lang = ctr.lang
+      |        JOIN q ON d.lang = q.lang
+      |        WHERE d.half = 'eval' GROUP BY d.lang)
+      |SELECT cov.lang, q.n_cal, cov.n_eval,
+      |  CAST(ROUND(q.radius * 1e2) AS BIGINT) AS radius_e2,
+      |  CAST(ROUND(cov.n_covered * 1e6 / CAST(cov.n_eval AS DOUBLE)) AS BIGINT)
+      |    AS coverage_e6
+      |FROM cov JOIN q ON cov.lang = q.lang
+      |ORDER BY cov.lang""".stripMargin)
+
   val all: Seq[QuerySpec] =
     Seq(q303LognormalLengths, q321SourceDiversity, q328HillTailIndex,
+      q339ConformalInterval,
       q204GopherRepetition, q205SourceJsDivergence, q206VocabStats,
       q216HeavyHitters.benched, q225ScoreKsDrift, q229SubsampleCi,
       q232CalibrationMap, q235ZipfFit, q243HeapsFit, q250LosoInfluence,

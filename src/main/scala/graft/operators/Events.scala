@@ -1916,7 +1916,182 @@ object Events {
     QuerySpec.sql2("q338_kleinberg_bursts", sparkText, duckText)
   }
 
+  /** Partial autocorrelation of the daily series at lags 1–7 via
+    * Durbin–Levinson — the AR-order diagnostic [[q283EventsAcf]] can't
+    * give (ACF of an AR(1) decays at every lag; PACF cuts off sharp,
+    * telling you WHICH lags carry direct structure vs inherited
+    * correlation — the day-7 spike here is the weekly rhythm net of
+    * shorter lags). The recursion is UNROLLED as a generated CTE chain
+    * (the kmeans/Lloyd replay rule: fixed steps, no lambdas, portable
+    * to the oracle verbatim), each level one fixed DOUBLE tree over
+    * the previous level's φ row; the ACF inputs come from the q283
+    * day-grain machinery with DECIMAL(27,18) moment sums, kept as
+    * UNROUNDED doubles through the recursion. Everything after the
+    * one day-grain rollup lives on scalar relations; zero-variance
+    * denominators yield NULL through the chain. */
+  val q340Pacf: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val idx =
+        if (spark) "datediff(day, DATE '2024-01-01')"
+        else "datediff('day', DATE '2024-01-01', day)"
+      val lags =
+        if (spark) "SELECT explode(sequence(1, 7)) AS lag"
+        else "SELECT CAST(unnest(range(1, 8)) AS INT) AS lag"
+      val steps = (2 to 7).map { k =>
+        val num = s"(r$k - (${(1 until k).map(j => s"p${k - 1}_$j * r${k - j}").mkString(" + ")}))"
+        val den = s"(1 - (${(1 until k).map(j => s"p${k - 1}_$j * r$j").mkString(" + ")}))"
+        val upd = (1 until k)
+          .map(j => s"p${k - 1}_$j - p${k}_$k * p${k - 1}_${k - j} AS p${k}_$j")
+          .mkString(", ")
+        s"""s${k}a AS (SELECT *, CASE WHEN $den = 0 THEN CAST(NULL AS DOUBLE)
+           |            ELSE $num / $den END AS p${k}_$k FROM s${k - 1}),
+           |s$k AS (SELECT *, $upd FROM s${k}a)""".stripMargin
+      }.mkString(",\n")
+      val pacfCase = (1 to 7).map(k => s"WHEN $k THEN p${k}_$k").mkString(" ")
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+         |           FROM events GROUP BY CAST(ts AS DATE)),
+         |x AS (SELECT $idx AS i, c FROM d),
+         |m AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu FROM x),
+         |den0 AS (SELECT CAST(SUM(CAST((x.c - m.mu) * (x.c - m.mu)
+         |             AS DECIMAL(27,18))) AS DOUBLE) AS d2
+         |         FROM x CROSS JOIN m),
+         |k AS ($lags),
+         |acf AS (SELECT k.lag,
+         |          CAST(SUM(CAST((a.c - m.mu) * (b.c - m.mu) AS DECIMAL(27,18)))
+         |            AS DOUBLE) / MAX(den0.d2) AS r
+         |        FROM k CROSS JOIN x a JOIN x b ON b.i = a.i + k.lag
+         |        CROSS JOIN m CROSS JOIN den0
+         |        GROUP BY k.lag),
+         |rwide AS (SELECT
+         |    ${(1 to 7).map(k => s"MAX(CASE WHEN lag = $k THEN r END) AS r$k").mkString(", ")}
+         |  FROM acf),
+         |s1 AS (SELECT *, r1 AS p1_1 FROM rwide),
+         |$steps
+         |SELECT k.lag,
+         |  CAST(ROUND((CASE k.lag ${(1 to 7).map(k => s"WHEN $k THEN r$k").mkString(" ")} END)
+         |    * 1e6) AS BIGINT) AS acf_e6,
+         |  CAST(ROUND((CASE k.lag $pacfCase END) * 1e6) AS BIGINT) AS pacf_e6
+         |FROM k CROSS JOIN s7
+         |ORDER BY k.lag""".stripMargin
+    }
+    QuerySpec.sql2("q340_pacf", text(spark = true), text(spark = false))
+  }
+
+  /** Additive Holt-Winters (α=0.3, β=0.1, γ=0.2, season 7) over the
+    * daily series — the adaptive forecaster whose fixed-baseline
+    * errors [[q296ForecastBacktest]] benchmarks: level/trend/seasonal
+    * states update day by day, and the in-sample one-step MAE is
+    * directly comparable to q296's naive/seasonal/drift rows.
+    * Initialization: first-week mean as level, zero trend, first-week
+    * deviations as the seasonal profile. The recursion is inherently
+    * sequential, so it runs as ONE ordered fold over the day-grain
+    * relation (the q338 pattern — Spark `aggregate()` with a struct
+    * accumulator; the DuckDB oracle serializes the state as
+    * 'L;B;s0,…,s6;sae;cnt' VARCHAR because of its reduce-lambda
+    * struct-aliasing bug, with shortest-round-trip DOUBLE↔VARCHAR
+    * casts keeping the replay bit-exact). Both engines evaluate the
+    * identical update trees in the identical order. */
+  val q341HoltWinters: QuerySpec = {
+    val (al, be, ga) = ("0.3", "0.1", "0.2")
+    val sparkText =
+      s"""WITH d AS (SELECT datediff(CAST(ts AS DATE), DATE '2024-01-01') AS i,
+         |             CAST(COUNT(*) AS DOUBLE) AS c
+         |           FROM events GROUP BY CAST(ts AS DATE)),
+         |w AS (SELECT CAST(AVG(c) AS DOUBLE) AS l0 FROM d WHERE i < 7),
+         |s0 AS (SELECT collect_list(struct(i, c)) AS wk FROM (
+         |         SELECT i, c FROM d WHERE i < 7) t),
+         |init AS (SELECT w.l0,
+         |           transform(array_sort(s0.wk), x -> x.c - w.l0) AS sea
+         |         FROM w CROSS JOIN s0),
+         |arr AS (SELECT array_sort(collect_list(struct(i, c))) AS a
+         |        FROM d WHERE i >= 7),
+         |v AS (SELECT aggregate(arr.a,
+         |        named_struct('l', init.l0, 'b', CAST(0.0 AS DOUBLE),
+         |                     'sea', init.sea, 'sae', CAST(0.0 AS DOUBLE),
+         |                     'cnt', CAST(0 AS BIGINT)),
+         |        (acc, x) -> named_struct(
+         |          'l', $al * (x.c - element_at(acc.sea, CAST(x.i % 7 + 1 AS INT)))
+         |               + (1.0 - $al) * (acc.l + acc.b),
+         |          'b', $be * (($al * (x.c - element_at(acc.sea, CAST(x.i % 7 + 1 AS INT)))
+         |                       + (1.0 - $al) * (acc.l + acc.b)) - acc.l)
+         |               + (1.0 - $be) * acc.b,
+         |          'sea', transform(sequence(0, 6), j -> CASE WHEN j = x.i % 7
+         |            THEN $ga * (x.c - ($al * (x.c - element_at(acc.sea, CAST(x.i % 7 + 1 AS INT)))
+         |                               + (1.0 - $al) * (acc.l + acc.b)))
+         |                 + (1.0 - $ga) * element_at(acc.sea, CAST(j + 1 AS INT))
+         |            ELSE element_at(acc.sea, CAST(j + 1 AS INT)) END),
+         |          'sae', acc.sae + abs(x.c - (acc.l + acc.b
+         |                 + element_at(acc.sea, CAST(x.i % 7 + 1 AS INT)))),
+         |          'cnt', acc.cnt + 1)) AS fin
+         |      FROM arr CROSS JOIN init)
+         |SELECT fin.cnt AS n_forecast_days,
+         |  CAST(ROUND(fin.l * 1e2) AS BIGINT) AS level_e2,
+         |  CAST(ROUND(fin.b * 1e2) AS BIGINT) AS trend_e2,
+         |  CAST(ROUND(fin.sae / fin.cnt * 1e2) AS BIGINT) AS mae_e2,
+         |  CAST(ROUND((array_max(fin.sea) - array_min(fin.sea)) * 1e2) AS BIGINT)
+         |    AS seasonal_span_e2
+         |FROM v""".stripMargin
+    val duckText = {
+      // acc = 'L;B;s0,...,s6;sae;cnt'; element = 'i,c'
+      def p(i: Int) = s"string_split(acc, ';')[$i]"
+      def L = s"CAST(${p(1)} AS DOUBLE)"
+      def B = s"CAST(${p(2)} AS DOUBLE)"
+      def sea(j: String) =
+        s"CAST(string_split(${p(3)}, ',')[$j] AS DOUBLE)"
+      def xi = "CAST(string_split(x, ',')[1] AS BIGINT)"
+      def xc = "CAST(string_split(x, ',')[2] AS DOUBLE)"
+      val slotSea = sea(s"CAST($xi % 7 + 1 AS INT)")
+      val newL = s"($al * ($xc - $slotSea) + (1.0 - $al) * ($L + $B))"
+      s"""WITH d AS (SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS i,
+         |             CAST(COUNT(*) AS DOUBLE) AS c
+         |           FROM events GROUP BY CAST(ts AS DATE)),
+         |w AS (SELECT CAST(AVG(c) AS DOUBLE) AS l0 FROM d WHERE i < 7),
+         |init AS (SELECT w.l0,
+         |           (SELECT array_to_string(list(CAST(c - w.l0 AS VARCHAR)
+         |              ORDER BY i), ',') FROM d WHERE i < 7) AS sea
+         |         FROM w),
+         |arr AS (SELECT list(CAST(i AS VARCHAR) || ',' || CAST(c AS VARCHAR)
+         |          ORDER BY i) AS a
+         |        FROM d WHERE i >= 7),
+         |v AS (SELECT list_reduce(
+         |        list_prepend(CAST(init.l0 AS VARCHAR) || ';0.0;' || init.sea
+         |                     || ';0.0;0', arr.a),
+         |        (acc, x) ->
+         |          CAST($newL AS VARCHAR)
+         |          || ';' ||
+         |          CAST($be * ($newL - $L) + (1.0 - $be) * $B AS VARCHAR)
+         |          || ';' ||
+         |          array_to_string(list_transform(range(7), j ->
+         |            CASE WHEN j = $xi % 7
+         |                 THEN CAST($ga * ($xc - $newL)
+         |                      + (1.0 - $ga) * ${sea("CAST(j + 1 AS INT)")} AS VARCHAR)
+         |                 ELSE CAST(${sea("CAST(j + 1 AS INT)")} AS VARCHAR) END), ',')
+         |          || ';' ||
+         |          CAST(CAST(${p(4)} AS DOUBLE)
+         |               + ABS($xc - ($L + $B + $slotSea)) AS VARCHAR)
+         |          || ';' ||
+         |          CAST(CAST(${p(5)} AS BIGINT) + 1 AS VARCHAR)) AS fin
+         |      FROM init CROSS JOIN arr),
+         |f AS (SELECT CAST(string_split(fin, ';')[1] AS DOUBLE) AS l,
+         |        CAST(string_split(fin, ';')[2] AS DOUBLE) AS b,
+         |        list_transform(string_split(string_split(fin, ';')[3], ','),
+         |          s -> CAST(s AS DOUBLE)) AS sea,
+         |        CAST(string_split(fin, ';')[4] AS DOUBLE) AS sae,
+         |        CAST(string_split(fin, ';')[5] AS BIGINT) AS cnt
+         |      FROM v)
+         |SELECT cnt AS n_forecast_days,
+         |  CAST(ROUND(l * 1e2) AS BIGINT) AS level_e2,
+         |  CAST(ROUND(b * 1e2) AS BIGINT) AS trend_e2,
+         |  CAST(ROUND(sae / cnt * 1e2) AS BIGINT) AS mae_e2,
+         |  CAST(ROUND((list_aggregate(sea, 'max') - list_aggregate(sea, 'min'))
+         |    * 1e2) AS BIGINT) AS seasonal_span_e2
+         |FROM f""".stripMargin
+    }
+    QuerySpec.sql2("q341_holt_winters", sparkText, duckText)
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q340Pacf, q341HoltWinters,
     q338KleinbergBursts, q333GrangerLite,
     q327KaplanMeier,
     q322Friedman, q323WilcoxonSignedRank,

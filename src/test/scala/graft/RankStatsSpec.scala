@@ -495,6 +495,87 @@ class RankStatsSpec extends EngineSuite {
     }
   }
 
+  test("q339 conformal radius and coverage match a direct replay") {
+    QuerySpec.prepared(spark, sfDir)
+    val docs = spark.table("documents").select("lang", "doc_id", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rs = rows(llmops.CorpusStats.q339ConformalInterval)
+    for (r <- rs) {
+      val lang = r.getAs[String]("lang")
+      val (cal, ev) = docs.filter(_._1 == lang)
+        .partition(d => ((d._2 % 1000003L) * 2654435761L) % 100 < 50)
+      val center = cal.map(_._3).sum.toDouble / cal.length
+      val res = cal.map(d => math.abs(d._3 - center)).sorted
+      val k = math.ceil((cal.length + 1) * 0.9).toInt
+      val radius = res(k - 1)
+      assert(r.getAs[Long]("n_cal") == cal.length)
+      assert(math.abs(radius * 1e2 - r.getAs[Long]("radius_e2")) <= 1, s"$lang")
+      val covered = ev.count(d => math.abs(d._3 - center) <= radius)
+      assert(r.getAs[Long]("n_eval") == ev.length)
+      assert(math.abs(covered.toDouble / ev.length * 1e6
+        - r.getAs[Long]("coverage_e6")) <= 1)
+      // the honesty property itself: coverage near the nominal 90%
+      // (wide slack — sf0.001 strata have ~50 docs, so ±3/n is normal)
+      assert(r.getAs[Long]("coverage_e6") > 700000, s"$lang under-covers")
+    }
+  }
+
+  test("q340 PACF matches a direct Durbin-Levinson recursion") {
+    QuerySpec.prepared(spark, sfDir)
+    val cs = spark.sql(
+      "SELECT CAST(ts AS DATE) d, COUNT(*) c FROM events GROUP BY 1 ORDER BY d")
+      .collect().map(_.getLong(1).toDouble)
+    val n = cs.length; val mu = cs.sum / n
+    val d2 = cs.map(c => (c - mu) * (c - mu)).sum
+    val r = (1 to 7).map(k =>
+      (0 until n - k).map(i => (cs(i) - mu) * (cs(i + k) - mu)).sum / d2).toArray
+    // Durbin-Levinson
+    var phi = Array(r(0))
+    val pacf = Array.newBuilder[Double]
+    pacf += r(0)
+    for (k <- 2 to 7) {
+      val num = r(k - 1) - (1 until k).map(j => phi(j - 1) * r(k - j - 1)).sum
+      val den = 1.0 - (1 until k).map(j => phi(j - 1) * r(j - 1)).sum
+      val pkk = num / den
+      phi = ((1 until k).map(j => phi(j - 1) - pkk * phi(k - j - 1)) :+ pkk).toArray
+      pacf += pkk
+    }
+    val want = pacf.result()
+    val rs = rows(operators.Events.q340Pacf)
+    for ((row, k) <- rs.zipWithIndex) {
+      assert(math.abs(r(k) * 1e6 - row.getAs[Long]("acf_e6")) <= 2)
+      assert(math.abs(want(k) * 1e6 - row.getAs[Long]("pacf_e6")) <= 2,
+        s"lag ${k + 1}: ${want(k)}")
+    }
+  }
+
+  test("q341 Holt-Winters state matches a direct recursion") {
+    QuerySpec.prepared(spark, sfDir)
+    val cs = spark.sql(
+      "SELECT CAST(ts AS DATE) d, COUNT(*) c FROM events GROUP BY 1 ORDER BY d")
+      .collect().map(_.getLong(1).toDouble)
+    val (al, be, ga) = (0.3, 0.1, 0.2)
+    var l = cs.take(7).sum / 7
+    var b = 0.0
+    val sea = cs.take(7).map(_ - l).toArray
+    var sae = 0.0
+    for (i <- 7 until cs.length) {
+      val slot = i % 7
+      sae += math.abs(cs(i) - (l + b + sea(slot)))
+      val nl = al * (cs(i) - sea(slot)) + (1 - al) * (l + b)
+      b = be * (nl - l) + (1 - be) * b
+      sea(slot) = ga * (cs(i) - nl) + (1 - ga) * sea(slot)
+      l = nl
+    }
+    val r = rows(operators.Events.q341HoltWinters).head
+    assert(r.getAs[Long]("n_forecast_days") == cs.length - 7)
+    assert(math.abs(l * 1e2 - r.getAs[Long]("level_e2")) <= 1, s"l=$l")
+    assert(math.abs(b * 1e2 - r.getAs[Long]("trend_e2")) <= 1)
+    assert(math.abs(sae / (cs.length - 7) * 1e2 - r.getAs[Long]("mae_e2")) <= 1)
+    assert(math.abs((sea.max - sea.min) * 1e2
+      - r.getAs[Long]("seasonal_span_e2")) <= 1)
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")
