@@ -2090,7 +2090,76 @@ object Events {
     QuerySpec.sql2("q341_holt_winters", sparkText, duckText)
   }
 
+  /** Log-rank test comparing [[q327KaplanMeier]] churn curves between
+    * purchasers and non-purchasers — "do the two cohorts have the SAME
+    * survival curve?", answered correctly under censoring (comparing
+    * mean lifetimes ignores exactly the users who haven't churned
+    * yet). At every churn time t: O₁ₜ = d₁ₜ observed group-1 churns,
+    * E₁ₜ = dₜ·n₁ₜ/nₜ expected under H₀, hypergeometric variance
+    * Vₜ = dₜ·(n₁ₜ/nₜ)·(1−n₁ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1); χ² = (ΣO−ΣE)²/ΣV.
+    * Scale shape: one user-grain rollup (duration, churned, cohort),
+    * then everything on the duration-grain grid (≤ horizon days × 2):
+    * at-risk counts are running sums over it, every O/E/V term a fixed
+    * DOUBLE tree over exact integers, summed via DECIMAL(38,18).
+    * Single-row output with per-cohort totals; zero variance (no
+    * churn, or one empty cohort) ⇒ NULL. */
+  val q342LogRank: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val dd =
+        if (spark) "datediff(u.last_day, u.first_day)"
+        else "datediff('day', u.first_day, u.last_day)"
+      s"""WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+         |             MAX(CAST(ts AS DATE)) AS last_day,
+         |             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g1
+         |           FROM events GROUP BY user_id),
+         |hz AS (SELECT MAX(last_day) AS horizon FROM u),
+         |dur AS (SELECT /*+ BROADCAST(hz) */
+         |          CAST($dd AS BIGINT) AS t, u.g1,
+         |          CASE WHEN u.last_day < hz.horizon THEN 1 ELSE 0 END AS churned
+         |        FROM u CROSS JOIN hz),
+         |g AS (SELECT t,
+         |        CAST(SUM(CASE WHEN g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         |        CAST(SUM(CASE WHEN g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+         |        CAST(SUM(CASE WHEN g1 = 1 THEN churned ELSE 0 END) AS BIGINT) AS d1,
+         |        CAST(SUM(CASE WHEN g1 = 0 THEN churned ELSE 0 END) AS BIGINT) AS d0
+         |      FROM dur GROUP BY t),
+         |w AS (SELECT t, d1, d0,
+         |        CAST(SUM(m1) OVER () AS BIGINT)
+         |          - CAST(COALESCE(SUM(m1) OVER (ORDER BY t
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              AS BIGINT) AS n1,
+         |        CAST(SUM(m0) OVER () AS BIGINT)
+         |          - CAST(COALESCE(SUM(m0) OVER (ORDER BY t
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              AS BIGINT) AS n0
+         |      FROM g),
+         |s AS (SELECT
+         |        CAST(SUM(d1) AS BIGINT) AS o1,
+         |        CAST(SUM(CAST(CASE WHEN n1 + n0 = 0 THEN 0.0
+         |             ELSE (d1 + d0) * CAST(n1 AS DOUBLE) / (n1 + n0) END
+         |             AS DECIMAL(38,18))) AS DOUBLE) AS e1,
+         |        CAST(SUM(CAST(CASE WHEN n1 + n0 <= 1 THEN 0.0
+         |             ELSE (d1 + d0) * (CAST(n1 AS DOUBLE) / (n1 + n0))
+         |                  * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n0))
+         |                  * (n1 + n0 - d1 - d0) / (n1 + n0 - 1.0) END
+         |             AS DECIMAL(38,18))) AS DOUBLE) AS v,
+         |        CAST(SUM(d1 + d0) AS BIGINT) AS d_total,
+         |        CAST(MAX(n1) AS BIGINT) AS n1_total,
+         |        CAST(MAX(n0) AS BIGINT) AS n0_total
+         |      FROM w)
+         |SELECT n1_total AS n_purchasers, n0_total AS n_others,
+         |  d_total AS n_churned, o1 AS observed_g1,
+         |  CAST(ROUND(e1 * 1e6) AS BIGINT) AS expected_g1_e6,
+         |  CASE WHEN v = 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND((o1 - e1) * (o1 - e1) / v * 1e6) AS BIGINT) END
+         |    AS chi2_e6
+         |FROM s""".stripMargin
+    }
+    QuerySpec.sql2("q342_logrank", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q342LogRank,
     q340Pacf, q341HoltWinters,
     q338KleinbergBursts, q333GrangerLite,
     q327KaplanMeier,

@@ -576,6 +576,39 @@ class RankStatsSpec extends EngineSuite {
       - r.getAs[Long]("seasonal_span_e2")) <= 1)
   }
 
+  test("q342 log-rank chi2 matches a direct per-time computation") {
+    QuerySpec.prepared(spark, sfDir)
+    val users = spark.sql(
+      """SELECT datediff(MAX(CAST(ts AS DATE)), MIN(CAST(ts AS DATE))) AS t,
+        |  MAX(CAST(ts AS DATE)) AS last_day,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g1
+        |FROM events GROUP BY user_id""".stripMargin)
+      .collect().map(r => (r.getInt(0).toLong, r.getDate(1).toString, r.getInt(2) == 1))
+    val horizon = users.map(_._2).max
+    val rows2 = users.map { case (t, l, g) => (t, l < horizon, g) }
+    var o1 = 0L; var e1 = 0.0; var v = 0.0
+    for (t <- rows2.map(_._1).distinct.sorted) {
+      val n1 = rows2.count(u => u._1 >= t && u._3)
+      val n0 = rows2.count(u => u._1 >= t && !u._3)
+      val d1 = rows2.count(u => u._1 == t && u._2 && u._3)
+      val d0 = rows2.count(u => u._1 == t && u._2 && !u._3)
+      val n = n1 + n0; val d = d1 + d0
+      o1 += d1
+      if (n > 0) e1 += d.toDouble * n1 / n
+      if (n > 1) v += d.toDouble * (n1.toDouble / n) * (1.0 - n1.toDouble / n) *
+        (n - d) / (n - 1.0)
+    }
+    val r = rows(operators.Events.q342LogRank).head
+    assert(r.getAs[Long]("observed_g1") == o1)
+    assert(math.abs(e1 * 1e6 - r.getAs[Long]("expected_g1_e6")) <= 2)
+    if (v == 0) // sf0.001 can have zero churns: NULL by the q299 convention
+      assert(r.isNullAt(r.fieldIndex("chi2_e6")))
+    else {
+      val chi2 = (o1 - e1) * (o1 - e1) / v
+      assert(math.abs(chi2 * 1e6 - r.getAs[Long]("chi2_e6")) <= 2, s"chi2=$chi2")
+    }
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")
