@@ -491,5 +491,5 @@ object Retrieval {
 
   val all: Seq[QuerySpec] =
     Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats, q230RrfHybrid,
-      q237RetrievalEval, q337RocchioPrf)
+      q237RetrievalEval, q337RocchioPrf.benched)
 }

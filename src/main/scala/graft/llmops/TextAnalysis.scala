@@ -1726,11 +1726,53 @@ object TextAnalysis {
          |GROUP BY a.source, b.source
          |ORDER BY delta_e6, source_a, source_b""".stripMargin
     }
-    QuerySpec.sql2("q332_burrows_delta", text(spark = true), text(spark = false))
+    // Spark side is DataFrame code, NOT the shared text: the token
+    // relation feeds THREE consumers (per-source totals, the top-30
+    // scan, the per-(source,word) counts) and Spark's CTE inlining
+    // would re-scan and re-explode the corpus per consumer (the q116
+    // lesson — the sql2 form planned 32 scans). Staged once, the plan
+    // has one corpus explode; everything after lives on tiny relations.
+    QuerySpec("q332_burrows_delta", text(spark = false)) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val tok = sp.table("documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+        .staged // three consumers below
+      val tot = tok.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val top = tok.groupBy(col("word")).agg(sum(col("c")).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("word"))))
+        .filter(col("rk") <= 30).select(col("word"))
+      val sw = tok.join(broadcast(top), "word")
+        .select(col("source"), col("word"), col("c"))
+      val grid = tot.crossJoin(broadcast(top))
+        .join(sw, Seq("source", "word"), "left_outer")
+        .select(col("source"), col("word"),
+          (coalesce(col("c"), lit(0L)).cast("double") / col("n_s")).as("fr"))
+        .staged // feeds the moment rollup AND both z branches
+      val mo = grid.groupBy(col("word"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("fr").cast("decimal(38,18)")).cast("double").as("s1"),
+          sum((col("fr") * col("fr")).cast("decimal(38,18)")).cast("double")
+            .as("s2"))
+      val mu = col("s1") / col("k")
+      val vr = col("s2") / col("k") - mu * mu
+      val z = grid.join(broadcast(mo), "word")
+        .select(col("source"), col("word"),
+          when(vr <= 0, lit(0.0)).otherwise((col("fr") - mu) / sqrt(vr)).as("z"))
+        .staged // self-joined below
+      z.as("a").join(z.as("b"),
+          col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(round(sum(abs(col("a.z") - col("b.z")).cast("decimal(38,18)"))
+          .cast("double") / 30 * lit(1e6)).cast("long").as("delta_e6"))
+        .orderBy(col("delta_e6"), col("source_a"), col("source_b"))
+    }
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q332BurrowsDelta,
+    q332BurrowsDelta.benched,
     q300BoilerplateRemove, q301LangidConfusion,
     q277Readability, q286Winnowing, q291BigramCondEntropy,
     q213FeatureHashing, q214ContextFit,
