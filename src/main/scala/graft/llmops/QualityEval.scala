@@ -427,8 +427,86 @@ object QualityEval {
     QuerySpec.sql2("q324_cochran_q", text(spark = true), text(spark = false))
   }
 
+  /** Jonckheere-Terpstra test for a MONOTONE trend of lexical richness
+    * (distinct-word count) across ORDERED length bands — the ordered-
+    * alternative test [[graft.operators.Events.q318KruskalWallis]]
+    * can't express (KW asks "any difference?"; JT asks "does y RISE
+    * with the band?" and spends its power only on that ordering).
+    * 2·J = Σ over the dense (value, band) grid of
+    * cnt·(2·Σ_{a<band} cum_a(<y) + Σ_{a<band} cnt_a(y)) — ties get
+    * exact half credit, every term integer. The grid is value-
+    * cardinality × 4 (distinct-word counts are bounded), per-band
+    * running sums are PARTITIONED windows over it, and the cross-band
+    * prefix is a ≤4-row window per value. The tie-corrected
+    * Hollander-Wolfe variance (A/72 + B/… + C/…) is exact integer
+    * algebra with DECIMAL(38,0) cube headroom. Degenerate variance ⇒
+    * NULL. */
+  val q344JonckheereTerpstra: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val dw =
+        if (spark) "size(array_distinct(split(text, ' ')))"
+        else "len(list_distinct(string_split(text, ' ')))"
+      s"""WITH d AS (SELECT
+         |    CASE WHEN n_chars < 150 THEN 1 WHEN n_chars < 300 THEN 2
+         |         WHEN n_chars < 450 THEN 3 ELSE 4 END AS g,
+         |    CAST($dw AS BIGINT) AS y
+         |  FROM documents),
+         |v AS (SELECT y, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY y, g),
+         |ys AS (SELECT DISTINCT y FROM v),
+         |gs AS (SELECT DISTINCT g FROM d),
+         |grid AS (SELECT ys.y, gs.g, COALESCE(v.cnt, 0) AS cnt
+         |         FROM ys CROSS JOIN gs
+         |         LEFT JOIN v ON v.y = ys.y AND v.g = gs.g),
+         |w AS (SELECT y, g, cnt,
+         |        COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY y
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlt
+         |      FROM grid),
+         |z AS (SELECT y, g, cnt,
+         |        COALESCE(SUM(cumlt) OVER (PARTITION BY y ORDER BY g
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lowlt,
+         |        COALESCE(SUM(cnt) OVER (PARTITION BY y ORDER BY g
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS loweq
+         |      FROM w),
+         |j AS (SELECT CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * (2 * lowlt + loweq))
+         |          AS DECIMAL(38,0)) AS j2 FROM z),
+         |ug AS (SELECT CAST(COUNT(*) AS BIGINT) AS u FROM d GROUP BY g),
+         |us AS (SELECT CAST(SUM(u) AS BIGINT) AS n, COUNT(*) AS k,
+         |         CAST(SUM(CAST(u AS DECIMAL(38,0)) * u) AS DECIMAL(38,0)) AS u2,
+         |         CAST(SUM(CAST(u AS DECIMAL(38,0)) * (u - 1) * (2 * u + 5))
+         |           AS DECIMAL(38,0)) AS ua,
+         |         CAST(SUM(CAST(u AS DECIMAL(38,0)) * (u - 1) * (u - 2))
+         |           AS DECIMAL(38,0)) AS ub,
+         |         CAST(SUM(CAST(u AS DECIMAL(38,0)) * (u - 1)) AS DECIMAL(38,0)) AS uc
+         |       FROM ug),
+         |tg AS (SELECT y, CAST(SUM(cnt) AS BIGINT) AS t FROM v GROUP BY y),
+         |ts AS (SELECT
+         |         CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))
+         |           AS DECIMAL(38,0)) AS ta,
+         |         CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (t - 2))
+         |           AS DECIMAL(38,0)) AS tb,
+         |         CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS DECIMAL(38,0)) AS tc
+         |       FROM tg),
+         |s AS (SELECT us.n, us.k, j.j2,
+         |        (CAST(us.n AS DOUBLE) * us.n - CAST(us.u2 AS DOUBLE)) / 2.0 AS e2,
+         |        (CAST(us.n AS DOUBLE) * (us.n - 1) * (2 * us.n + 5)
+         |         - CAST(us.ua AS DOUBLE) - CAST(ts.ta AS DOUBLE)) / 72.0
+         |        + CAST(us.ub AS DOUBLE) * CAST(ts.tb AS DOUBLE)
+         |          / (36.0 * us.n * (us.n - 1) * (us.n - 2))
+         |        + CAST(us.uc AS DOUBLE) * CAST(ts.tc AS DOUBLE)
+         |          / (8.0 * us.n * (us.n - 1)) AS var
+         |      FROM us CROSS JOIN ts CROSS JOIN j)
+         |SELECT CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS k_bands,
+         |  CAST(ROUND(CAST(j2 AS DOUBLE) / 2) AS BIGINT) AS jt_stat,
+         |  CASE WHEN var <= 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND((CAST(j2 AS DOUBLE) - 2 * e2)
+         |         / (2.0 * SQRT(var)) * 1e6) AS BIGINT) END AS z_e6
+         |FROM s""".stripMargin
+    }
+    QuerySpec.sql2("q344_jonckheere_terpstra", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q278QualityRocAuc, q279ClassifierKappa, q281TokenGini,
       q282SpearmanCorr, q287LogOddsTokens, q288PrAuc, q289CalibrationEce,
-      q290RankRbo, q324CochranQ)
+      q290RankRbo, q324CochranQ, q344JonckheereTerpstra)
 }

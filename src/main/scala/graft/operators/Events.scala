@@ -2158,8 +2158,53 @@ object Events {
     QuerySpec.sql2("q342_logrank", text(spark = true), text(spark = false))
   }
 
+  /** Gumbel extreme-value fit on weekly maxima of the daily load — the
+    * capacity-planning number averages can't give: the method-of-
+    * moments Gumbel (β = s√6/π, μ = m − γβ) fitted to block maxima
+    * yields return levels x_p = μ − β·ln(−ln p) — "the daily peak a
+    * 1-in-100-weeks week brings", which is what you provision for.
+    * Scale shape: corpus → day-grain rollup → week-grain MAX rollup
+    * (bounded by calendar weeks); moments over the block-maxima
+    * relation are exact integers until the fixed DOUBLE tree; a
+    * single-block or zero-variance series reports NULL. */
+  val q343GumbelExtremes: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val wk =
+        if (spark) "CAST(FLOOR(datediff(day, DATE '2024-01-01') / 7) AS BIGINT)"
+        else "CAST(FLOOR(datediff('day', DATE '2024-01-01', day) / 7.0) AS BIGINT)"
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+         |           FROM events GROUP BY CAST(ts AS DATE)),
+         |b AS (SELECT $wk AS wk, CAST(MAX(c) AS BIGINT) AS mx
+         |      FROM d GROUP BY $wk),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(mx) AS BIGINT) AS s,
+         |        CAST(SUM(CAST(mx AS DECIMAL(38,0)) * mx) AS DECIMAL(38,0)) AS q,
+         |        CAST(MAX(mx) AS BIGINT) AS observed_max
+         |      FROM b),
+         |fit AS (SELECT n, observed_max,
+         |          CAST(s AS DOUBLE) / n AS mean,
+         |          SQRT(GREATEST((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+         |                        / n, 0.0)) AS sd
+         |        FROM m),
+         |g AS (SELECT n, observed_max,
+         |        sd * SQRT(6.0) / PI() AS beta,
+         |        mean - 0.5772156649015329 * (sd * SQRT(6.0) / PI()) AS mu
+         |      FROM fit)
+         |SELECT n AS n_weeks, observed_max,
+         |  CASE WHEN n < 2 OR beta = 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND(mu * 1e2) AS BIGINT) END AS mu_e2,
+         |  CASE WHEN n < 2 OR beta = 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND(beta * 1e2) AS BIGINT) END AS beta_e2,
+         |  CASE WHEN n < 2 OR beta = 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND((mu - beta * LN(-LN(0.99))) * 1e2) AS BIGINT) END
+         |    AS return_level_99_e2
+         |FROM g""".stripMargin
+    }
+    QuerySpec.sql2("q343_gumbel_extremes", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q342LogRank,
+    q343GumbelExtremes, q342LogRank,
     q340Pacf, q341HoltWinters,
     q338KleinbergBursts, q333GrangerLite,
     q327KaplanMeier,

@@ -609,6 +609,60 @@ class RankStatsSpec extends EngineSuite {
     }
   }
 
+  test("q343 Gumbel fit matches direct block-maxima moments") {
+    QuerySpec.prepared(spark, sfDir)
+    val maxes = spark.sql(
+      """SELECT CAST(FLOOR(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7)
+        |  AS BIGINT) AS wk, MAX(c) AS mx
+        |FROM (SELECT ts, COUNT(*) OVER (PARTITION BY CAST(ts AS DATE)) AS c
+        |      FROM events) t GROUP BY 1""".stripMargin)
+      .collect().map(_.getLong(1).toDouble)
+    val n = maxes.length
+    val mean = maxes.sum / n
+    val sd = math.sqrt(maxes.map(x => (x - mean) * (x - mean)).sum / n)
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = mean - 0.5772156649015329 * beta
+    val rl = mu - beta * math.log(-math.log(0.99))
+    val r = rows(operators.Events.q343GumbelExtremes).head
+    assert(r.getAs[Long]("n_weeks") == n)
+    assert(math.abs(mu * 1e2 - r.getAs[Long]("mu_e2")) <= 1)
+    assert(math.abs(beta * 1e2 - r.getAs[Long]("beta_e2")) <= 1)
+    assert(math.abs(rl * 1e2 - r.getAs[Long]("return_level_99_e2")) <= 1)
+  }
+
+  test("q344 JT statistic matches naive ordered-pair counting") {
+    QuerySpec.prepared(spark, sfDir)
+    val docs = spark.sql(
+      """SELECT CASE WHEN n_chars < 150 THEN 1 WHEN n_chars < 300 THEN 2
+        |            WHEN n_chars < 450 THEN 3 ELSE 4 END AS g,
+        |       size(array_distinct(split(text, ' '))) AS y
+        |FROM documents""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1).toLong))
+    val groups = docs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val ordered = groups.keys.toSeq.sorted
+    val j2 = (for {
+      ai <- ordered.indices; bi <- ai + 1 until ordered.size
+      x <- groups(ordered(ai)); yv <- groups(ordered(bi))
+    } yield if (x < yv) 2L else if (x == yv) 1L else 0L).sum
+    val n = docs.length.toLong
+    val us = ordered.map(g => groups(g).length.toLong)
+    val tsizes = docs.map(_._2).groupBy(identity).values.map(_.length.toLong)
+    val e2 = (n.toDouble * n - us.map(u => u.toDouble * u).sum) / 2.0
+    val a = n.toDouble * (n - 1) * (2 * n + 5) -
+      us.map(u => u.toDouble * (u - 1) * (2 * u + 5)).sum -
+      tsizes.map(t => t.toDouble * (t - 1) * (2 * t + 5)).sum
+    val b = us.map(u => u.toDouble * (u - 1) * (u - 2)).sum *
+      tsizes.map(t => t.toDouble * (t - 1) * (t - 2)).sum
+    val c = us.map(u => u.toDouble * (u - 1)).sum *
+      tsizes.map(t => t.toDouble * (t - 1)).sum
+    val v = a / 72.0 + b / (36.0 * n * (n - 1) * (n - 2)) + c / (8.0 * n * (n - 1))
+    val z = (j2 - 2 * e2) / (2.0 * math.sqrt(v))
+    val r = rows(llmops.QualityEval.q344JonckheereTerpstra).head
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("jt_stat") == math.round(j2 / 2.0))
+    assert(math.abs(z * 1e6 - r.getAs[Long]("z_e6")) <= 2, s"z=$z")
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")
