@@ -505,8 +505,117 @@ object QualityEval {
     QuerySpec.sql2("q344_jonckheere_terpstra", text(spark = true), text(spark = false))
   }
 
+  /** Decile lift and cumulative-gains table for the length score
+    * against the weak 'en' label — the campaign-targeting view of
+    * [[q278QualityRocAuc]]'s one number: "if I take the top d deciles,
+    * what fraction of positives do I capture, and at what lift over
+    * random?" — the table a labeling-budget decision actually reads.
+    * Deciles are EXACT on the score-cardinality relation (q232
+    * machinery): descending running counts assign each whole tie block
+    * the decile its cumulative rank lands in (CEIL(10·cum/n) — integer
+    * arithmetic, no percent_rank float cuts), so a decile boundary
+    * never splits equal scores. Per-decile and cumulative sums are
+    * running windows over the ≤10-row rollup; everything exact until
+    * the e6 ratios. */
+  val q345DecileLift: QuerySpec = QuerySpec.sql(
+    "q345_decile_lift",
+    """WITH d AS (SELECT n_chars AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |sc AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |         CAST(SUM(y) AS BIGINT) AS pos
+      |       FROM d GROUP BY score),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+      |      FROM sc),
+      |w AS (SELECT /*+ BROADCAST(t) */ sc.score, sc.cnt, sc.pos, t.n, t.p,
+      |        CAST(SUM(sc.cnt) OVER (ORDER BY sc.score DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS cum
+      |      FROM sc CROSS JOIN t),
+      |b AS (SELECT CAST(CEIL(10.0 * cum / n) AS BIGINT) AS decile,
+      |        cnt, pos, n, p FROM w),
+      |g AS (SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      |        CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |        MAX(n) AS n, MAX(p) AS p
+      |      FROM b GROUP BY decile)
+      |SELECT decile, n_docs, n_pos,
+      |  CASE WHEN p = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND((CAST(n_pos AS DOUBLE) / n_docs)
+      |         / (CAST(p AS DOUBLE) / n) * 1e6) AS BIGINT) END AS lift_e6,
+      |  CASE WHEN p = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / p * 1e6) AS BIGINT) END AS cum_gain_e6
+      |FROM g ORDER BY decile""".stripMargin)
+
+  /** Kendall's W coefficient of concordance across the three quality
+    * rankings (length, token count, distinct tokens) — "do the cheap
+    * scores RANK the corpus the same way?", the rank-space sibling of
+    * q329's Cronbach (scale-free where α is scale-bound, m-ranking
+    * where q316's τ is pairwise). Rank-free construction: each
+    * ranking's midranks come from its own value-cardinality collapse
+    * (the q282 Spearman machinery ×3 — running counts over bounded
+    * score relations, never a corpus sort); docs join their three
+    * midranks back (broadcast value relations), and doubling
+    * (2R is integer even with .5 midranks) keeps
+    * S = Σ(R−R̄)² = (Σ(2R − 3(n+1))²)/4 exact integer with
+    * DECIMAL(38,0) headroom; tie correction T = Σ_raters Σ(t³−t).
+    * W = 12S/(9(n³−n) − 3T), χ² = 3(n−1)·W alongside. */
+  val q346KendallW: QuerySpec = {
+    def text(spark: Boolean): String = {
+      val words =
+        if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      val dw =
+        if (spark) "size(array_distinct(split(text, ' ')))"
+        else "len(list_distinct(string_split(text, ' ')))"
+      def rankCtes(i: Int) =
+        s"""v$i AS (SELECT x$i AS x, CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY x$i),
+           |r$i AS (SELECT x, t,
+           |         2 * COALESCE(SUM(t) OVER (ORDER BY x
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |         + t + 1 AS mr2
+           |       FROM v$i),
+           |t$i AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
+           |           AS DECIMAL(38,0)) AS ts FROM v$i)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x1,
+         |    CAST($words AS BIGINT) AS x2, CAST($dw AS BIGINT) AS x3
+         |  FROM documents),
+         |${rankCtes(1)},
+         |${rankCtes(2)},
+         |${rankCtes(3)},
+         |rr AS (SELECT d.doc_id, r1.mr2 + r2.mr2 + r3.mr2 AS r2sum
+         |       FROM d JOIN r1 ON d.x1 = r1.x
+         |       JOIN r2 ON d.x2 = r2.x JOIN r3 ON d.x3 = r3.x),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(CAST(r2sum AS DECIMAL(38,0)) * r2sum)
+         |          AS DECIMAL(38,0)) AS q2,
+         |        CAST(SUM(r2sum) AS BIGINT) AS s2
+         |      FROM rr),
+         |f AS (SELECT m.n,
+         |        (CAST(m.q2 AS DOUBLE) - 2.0 * (3.0 * (m.n + 1)) * m.s2
+         |         + CAST(m.n AS DOUBLE) * (3.0 * (m.n + 1)) * (3.0 * (m.n + 1)))
+         |          / 4.0 AS s,
+         |        CAST(t1.ts AS DOUBLE) + CAST(t2.ts AS DOUBLE)
+         |          + CAST(t3.ts AS DOUBLE) AS tsum
+         |      FROM m CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  CASE WHEN 9.0 * (CAST(n AS DOUBLE) * n * n - n) - 3.0 * tsum = 0
+         |       THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND(12.0 * s
+         |         / (9.0 * (CAST(n AS DOUBLE) * n * n - n) - 3.0 * tsum) * 1e6)
+         |         AS BIGINT) END AS w_e6,
+         |  CASE WHEN 9.0 * (CAST(n AS DOUBLE) * n * n - n) - 3.0 * tsum = 0
+         |       THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(ROUND(3.0 * (n - 1) * 12.0 * s
+         |         / (9.0 * (CAST(n AS DOUBLE) * n * n - n) - 3.0 * tsum) * 1e6)
+         |         AS BIGINT) END AS chi2_e6
+         |FROM f""".stripMargin
+    }
+    QuerySpec.sql2("q346_kendall_w", text(spark = true), text(spark = false))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q278QualityRocAuc, q279ClassifierKappa, q281TokenGini,
       q282SpearmanCorr, q287LogOddsTokens, q288PrAuc, q289CalibrationEce,
-      q290RankRbo, q324CochranQ, q344JonckheereTerpstra)
+      q290RankRbo, q324CochranQ, q344JonckheereTerpstra, q345DecileLift,
+      q346KendallW)
 }

@@ -180,10 +180,12 @@ class PositionsSpec extends EngineSuite {
     }
     // only pure-literal (VALUES) and pure-COUNT(*) queries — no column
     // VALUES flow into their outputs — may come back ungrounded (the
-    // round-13 reliability/governance family is count-statistic-heavy:
-    // kappa/alpha/k-anonymity/PSI outputs are functions of group COUNTs
-    // alone, so they legitimately carry no column lineage)
-    assert(grounded >= SparkEntry.specs.count(_.sparkSql.isDefined) - 13,
+    // round-13 reliability/governance/time-series families are
+    // count-statistic-heavy: kappa/alpha/k-anonymity/PSI, and now the
+    // day-count series operators — Friedman/Kleinberg/PACF/Holt-
+    // Winters/Gumbel/Granger/log-rank — are all functions of group
+    // COUNTs alone, so they legitimately carry no column lineage)
+    assert(grounded >= SparkEntry.specs.count(_.sparkSql.isDefined) - 21,
       s"only $grounded queries produced grounded lineage")
   }
 }

@@ -663,6 +663,58 @@ class RankStatsSpec extends EngineSuite {
     assert(math.abs(z * 1e6 - r.getAs[Long]("z_e6")) <= 2, s"z=$z")
   }
 
+  test("q345 decile lift matches a direct tie-block assignment") {
+    QuerySpec.prepared(spark, sfDir)
+    val docs = spark.table("documents").select("n_chars", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en"))
+    val n = docs.length; val p = docs.count(_._2)
+    // whole tie blocks by descending score; decile = ceil(10*cumThrough/n)
+    val blocks = docs.groupBy(_._1).toSeq.sortBy(-_._1)
+    var cum = 0L
+    val assigned = blocks.map { case (s, xs) =>
+      cum += xs.length
+      (math.ceil(10.0 * cum / n).toLong, xs.length.toLong, xs.count(_._2).toLong)
+    }
+    val byDec = assigned.groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).sum, v.map(_._3).sum)).toMap
+    val rs = rows(llmops.QualityEval.q345DecileLift)
+    assert(rs.map(_.getAs[Long]("n_docs")).sum == n)
+    assert(rs.map(_.getAs[Long]("n_pos")).sum == p)
+    var cumPos = 0L
+    for (r <- rs) {
+      val d = r.getAs[Long]("decile")
+      val (nd, pd) = byDec(d)
+      assert(r.getAs[Long]("n_docs") == nd && r.getAs[Long]("n_pos") == pd, s"d=$d")
+      val lift = (pd.toDouble / nd) / (p.toDouble / n)
+      assert(math.abs(lift * 1e6 - r.getAs[Long]("lift_e6")) <= 1)
+      cumPos += pd
+      assert(math.abs(cumPos.toDouble / p * 1e6 - r.getAs[Long]("cum_gain_e6")) <= 1)
+    }
+  }
+
+  test("q346 Kendall W matches a direct midrank computation") {
+    val xs = docScores()
+    val n = xs.length
+    def midranks(v: Seq[Double]): Map[Double, Double] = {
+      val sorted = v.sorted
+      v.distinct.map(x => x ->
+        (sorted.count(_ < x) + (sorted.count(_ == x) + 1) / 2.0)).toMap
+    }
+    val items = Seq(xs.map(_._1).toSeq, xs.map(_._2).toSeq, xs.map(_._3).toSeq)
+    val mrs = items.map(midranks)
+    val rSums = xs.map(t =>
+      mrs(0)(t._1) + mrs(1)(t._2) + mrs(2)(t._3))
+    val mean = 3.0 * (n + 1) / 2
+    val s = rSums.map(r => (r - mean) * (r - mean)).sum
+    val tsum = items.map(v => v.groupBy(identity).values
+      .map(g => g.size.toDouble * g.size * g.size - g.size).sum).sum
+    val w = 12.0 * s / (9.0 * (n.toDouble * n * n - n) - 3.0 * tsum)
+    val r = rows(llmops.QualityEval.q346KendallW).head
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(math.abs(w * 1e6 - r.getAs[Long]("w_e6")) <= 2, s"w=$w")
+    assert(math.abs(3.0 * (n - 1) * w * 1e6 - r.getAs[Long]("chi2_e6")) <= 5)
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")
