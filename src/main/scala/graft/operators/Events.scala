@@ -2203,8 +2203,50 @@ object Events {
     QuerySpec.sql2("q343_gumbel_extremes", text(spark = true), text(spark = false))
   }
 
+  /** Page's L trend test across event types blocked by day — the
+    * ORDERED-alternative sibling of [[q322Friedman]] (Friedman asks
+    * "any difference between treatments?"; Page asks "do daily volumes
+    * RISE along a pre-declared treatment order?" — here alphabetical
+    * type order as the declared hypothesis — and spends all its power
+    * on that ordering, exactly as q344's JT does for independent
+    * groups). Same machinery: one (day, type) rollup with exact cent
+    * sums, PER-DAY midrank windows, complete blocks only;
+    * L = Σ_j j·R_j with the treatment index j from a ≤k-row rank over
+    * type names; z = (L − n·k(k+1)²/4) / √(n·k²(k+1)²(k−1)/144), the
+    * standard no-tie normal approximation (integer cent sums make
+    * within-block ties measure-zero; midranks still handle them
+    * exactly in L itself). */
+  val q347PageTrend: QuerySpec = QuerySpec.sql(
+    "q347_page_trend",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type AS g,
+      |             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+      |           FROM events GROUP BY CAST(ts AS DATE), event_type),
+      |k AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM d),
+      |full_days AS (SELECT /*+ BROADCAST(k) */ day FROM d CROSS JOIN k
+      |              GROUP BY day, k.k HAVING COUNT(*) = MAX(k.k)),
+      |ord AS (SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY g) AS BIGINT) AS j
+      |        FROM (SELECT DISTINCT g FROM d) t),
+      |r AS (SELECT d.g,
+      |        RANK() OVER (PARTITION BY d.day ORDER BY d.s)
+      |          + (COUNT(*) OVER (PARTITION BY d.day, d.s) - 1) / 2.0 AS mr
+      |      FROM d JOIN full_days fd ON d.day = fd.day),
+      |rj AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(CAST(mr AS DECIMAL(38,6))) AS DOUBLE) AS rsum
+      |       FROM r GROUP BY g),
+      |m AS (SELECT /*+ BROADCAST(k) */ MAX(rj.n) AS n, k.k,
+      |        CAST(SUM(CAST(ord.j * rj.rsum AS DECIMAL(38,6))) AS DOUBLE) AS l
+      |      FROM rj JOIN ord ON rj.g = ord.g CROSS JOIN k GROUP BY k.k)
+      |SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+      |  CAST(ROUND(l * 1e2) AS BIGINT) AS page_l_e2,
+      |  CASE WHEN n < 1 OR k < 2 THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(ROUND(
+      |         (l - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4.0)
+      |         / SQRT(CAST(n AS DOUBLE) * k * k * (k + 1) * (k + 1) * (k - 1)
+      |                / 144.0) * 1e6) AS BIGINT) END AS z_e6
+      |FROM m""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
-    q343GumbelExtremes, q342LogRank,
+    q347PageTrend, q343GumbelExtremes, q342LogRank,
     q340Pacf, q341HoltWinters,
     q338KleinbergBursts, q333GrangerLite,
     q327KaplanMeier,

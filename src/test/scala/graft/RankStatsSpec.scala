@@ -715,6 +715,32 @@ class RankStatsSpec extends EngineSuite {
     assert(math.abs(3.0 * (n - 1) * w * 1e6 - r.getAs[Long]("chi2_e6")) <= 5)
   }
 
+  test("q347 Page L matches literal within-block midranks and j-weights") {
+    QuerySpec.prepared(spark, sfDir)
+    val cells = spark.sql(
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+        |FROM events GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    val k = cells.map(_._2).distinct.length
+    val order = cells.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (g, i) => g -> (i + 1) }.toMap
+    val blocks = cells.groupBy(_._1).filter(_._2.length == k)
+    val n = blocks.size
+    val rSums = blocks.values.flatMap { day =>
+      val sorted = day.map(_._3).sorted
+      day.map { case (_, g, s) =>
+        g -> (sorted.count(_ < s) + (sorted.count(_ == s) + 1) / 2.0) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val l = rSums.map { case (g, r) => order(g) * r }.sum
+    val z = (l - n.toDouble * k * (k + 1) * (k + 1) / 4.0) /
+      math.sqrt(n.toDouble * k * k * (k + 1) * (k + 1) * (k - 1) / 144.0)
+    val r = rows(operators.Events.q347PageTrend).head
+    assert(r.getAs[Long]("n_blocks") == n && r.getAs[Long]("k_treatments") == k)
+    assert(math.abs(l * 1e2 - r.getAs[Long]("page_l_e2")) <= 1, s"L=$l")
+    assert(math.abs(z * 1e6 - r.getAs[Long]("z_e6")) <= 2, s"z=$z")
+  }
+
   test("q321 diversity indices match direct per-language computation") {
     QuerySpec.prepared(spark, sfDir)
     val docs = spark.sql("SELECT lang, source FROM documents")
