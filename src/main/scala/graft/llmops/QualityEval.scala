@@ -568,7 +568,7 @@ object QualityEval {
         if (spark) "size(array_distinct(split(text, ' ')))"
         else "len(list_distinct(string_split(text, ' ')))"
       def rankCtes(i: Int) =
-        s"""v$i AS (SELECT x$i AS x, CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY x$i),
+        s"""v$i AS (SELECT x$i AS x, CAST(COUNT(*) AS BIGINT) AS t FROM q346_d GROUP BY x$i),
            |r$i AS (SELECT x, t,
            |         2 * COALESCE(SUM(t) OVER (ORDER BY x
            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -576,14 +576,11 @@ object QualityEval {
            |       FROM v$i),
            |t$i AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
            |           AS DECIMAL(38,0)) AS ts FROM v$i)""".stripMargin
-      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x1,
-         |    CAST($words AS BIGINT) AS x2, CAST($dw AS BIGINT) AS x3
-         |  FROM documents),
-         |${rankCtes(1)},
+      s"""WITH ${rankCtes(1)},
          |${rankCtes(2)},
          |${rankCtes(3)},
          |rr AS (SELECT d.doc_id, r1.mr2 + r2.mr2 + r3.mr2 AS r2sum
-         |       FROM d JOIN r1 ON d.x1 = r1.x
+         |       FROM q346_d d JOIN r1 ON d.x1 = r1.x
          |       JOIN r2 ON d.x2 = r2.x JOIN r3 ON d.x3 = r3.x),
          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
          |        CAST(SUM(CAST(r2sum AS DECIMAL(38,0)) * r2sum)
@@ -610,7 +607,27 @@ object QualityEval {
          |         AS BIGINT) END AS chi2_e6
          |FROM f""".stripMargin
     }
-    QuerySpec.sql2("q346_kendall_w", text(spark = true), text(spark = false))
+    // the doc-score projection feeds the three value collapses AND the
+    // midrank join-back: staged once (q290 pattern — inlined it re-scans
+    // and re-tokenizes documents ~7x); the oracle keeps it as a CTE
+    def dSql(spark: Boolean): String = {
+      val words =
+        if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      val dw =
+        if (spark) "size(array_distinct(split(text, ' ')))"
+        else "len(list_distinct(string_split(text, ' ')))"
+      s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS x1,
+         |  CAST($words AS BIGINT) AS x2, CAST($dw AS BIGINT) AS x3
+         |FROM documents""".stripMargin
+    }
+    QuerySpec("q346_kendall_w",
+      "WITH q346_d AS (" + dSql(spark = false).replace('\n', ' ') + "),\n" +
+        text(spark = false).stripPrefix("WITH ")) { (sp0, dir) =>
+      val sp = QuerySpec.prepared(sp0, dir)
+      import graft.llmops.Checkpoints.Stageable
+      sp.sql(dSql(spark = true)).staged.createOrReplaceTempView("q346_d")
+      sp.sql(text(spark = true))
+    }
   }
 
   val all: Seq[QuerySpec] =

@@ -1487,12 +1487,16 @@ object Events {
     * digits, fine at (38,6)). Output one row per type with its mean
     * rank plus the shared H — every number exact-integer-derived until
     * the final doubles. */
-  val q318KruskalWallis: QuerySpec = QuerySpec.sql(
-    "q318_kruskal_wallis",
-    """WITH d AS (SELECT event_type AS g,
-      |             CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
-      |v AS (SELECT c, g, COUNT(*) AS ngc FROM d GROUP BY c, g),
-      |t AS (SELECT c, CAST(SUM(ngc) AS BIGINT) AS t FROM v GROUP BY c),
+  val q318KruskalWallis: QuerySpec = {
+    // the cent-collapse relation feeds the tie rollup AND the midrank
+    // join; staged once as a temp view (q290 pattern) so the corpus is
+    // scanned exactly once — inlined CTEs re-scanned events ~7x
+    val vSql =
+      """SELECT CAST(ROUND(value * 100) AS BIGINT) AS c, event_type AS g,
+        |  COUNT(*) AS ngc
+        |FROM events GROUP BY CAST(ROUND(value * 100) AS BIGINT), event_type""".stripMargin
+    val tail =
+      """WITH t AS (SELECT c, CAST(SUM(ngc) AS BIGINT) AS t FROM q318_v GROUP BY c),
       |w AS (SELECT c, t,
       |        COALESCE(SUM(t) OVER (ORDER BY c
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
@@ -1500,7 +1504,7 @@ object Events {
       |r AS (SELECT v.g, CAST(SUM(v.ngc) AS BIGINT) AS n_g,
       |        CAST(SUM(CAST(v.ngc AS DECIMAL(38,0)) * (2 * w.lo + w.t + 1))
       |          AS DECIMAL(38,0)) AS r2
-      |      FROM v JOIN w ON v.c = w.c GROUP BY v.g),
+      |      FROM q318_v v JOIN w ON v.c = w.c GROUP BY v.g),
       |tc AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
       |           AS DECIMAL(38,0)) AS tsum FROM t),
       |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k FROM r),
@@ -1526,7 +1530,16 @@ object Events {
       |                  / (CAST(m.n AS DOUBLE) * m.n * m.n - m.n)) * 1e6)
       |         AS BIGINT) END AS h_tie_e6
       |FROM r CROSS JOIN m CROSS JOIN tc
-      |ORDER BY event_type""".stripMargin)
+      |ORDER BY event_type""".stripMargin
+    QuerySpec("q318_kruskal_wallis",
+      "WITH q318_v AS (" + vSql.replace('\n', ' ') + "),\n" +
+        tail.stripPrefix("WITH ")) { (sp0, dir) =>
+      val sp = QuerySpec.prepared(sp0, dir)
+      import graft.llmops.Checkpoints.Stageable
+      sp.sql(vSql).staged.createOrReplaceTempView("q318_v")
+      sp.sql(tail)
+    }
+  }
 
   /** Levene's test (mean-centered) for homogeneity of value variance
     * across event types — the gate before trusting [[q252AbLiftCi]]-style
@@ -1581,22 +1594,26 @@ object Events {
     * missing a type are dropped (complete-block design), a zero
     * correction denominator (all values tied in every block) reports
     * NULL. */
-  val q322Friedman: QuerySpec = QuerySpec.sql(
-    "q322_friedman",
-    """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type AS g,
-      |             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
-      |           FROM events GROUP BY CAST(ts AS DATE), event_type),
-      |k AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM d),
-      |full_days AS (SELECT /*+ BROADCAST(k) */ day FROM d CROSS JOIN k
+  val q322Friedman: QuerySpec = {
+    // the (day, type) rollup feeds FIVE consumers below; staged once as a
+    // temp view on the Spark side (the q290 pattern — inlined CTEs would
+    // re-scan events per consumer), while the oracle keeps it as a CTE
+    val dSql =
+      """SELECT CAST(ts AS DATE) AS day, event_type AS g,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |FROM events GROUP BY CAST(ts AS DATE), event_type""".stripMargin
+    val tail =
+      """WITH k AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM q322_d),
+      |full_days AS (SELECT /*+ BROADCAST(k) */ day FROM q322_d CROSS JOIN k
       |              GROUP BY day, k.k HAVING COUNT(*) = MAX(k.k)),
       |r AS (SELECT d.day, d.g,
       |        RANK() OVER (PARTITION BY d.day ORDER BY d.s)
       |          + (COUNT(*) OVER (PARTITION BY d.day, d.s) - 1) / 2.0 AS mr
-      |      FROM d JOIN full_days fd ON d.day = fd.day),
+      |      FROM q322_d d JOIN full_days fd ON d.day = fd.day),
       |ties AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
       |             AS DECIMAL(38,0)) AS tsum
       |         FROM (SELECT d.day, d.s, COUNT(*) AS t
-      |               FROM d JOIN full_days fd ON d.day = fd.day
+      |               FROM q322_d d JOIN full_days fd ON d.day = fd.day
       |               GROUP BY d.day, d.s) b),
       |rj AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
       |         CAST(SUM(CAST(mr AS DECIMAL(38,6))) AS DOUBLE) AS rsum
@@ -1621,7 +1638,16 @@ object Events {
       |                     * (CAST(m.k AS DOUBLE) * m.k - 1))) * 1e6) AS BIGINT)
       |       END AS chi2_tie_e6
       |FROM rj CROSS JOIN m CROSS JOIN ties
-      |ORDER BY event_type""".stripMargin)
+      |ORDER BY event_type""".stripMargin
+    QuerySpec("q322_friedman",
+      "WITH q322_d AS (" + dSql.replace('\n', ' ') + "),\n" +
+        tail.stripPrefix("WITH ")) { (sp0, dir) =>
+      val sp = QuerySpec.prepared(sp0, dir)
+      import graft.llmops.Checkpoints.Stageable
+      sp.sql(dSql).staged.createOrReplaceTempView("q322_d")
+      sp.sql(tail)
+    }
+  }
 
   /** Wilcoxon signed-rank test on paired per-user spend (first half vs
     * second half of the observation window) — "did the SAME users shift
@@ -2216,20 +2242,23 @@ object Events {
     * standard no-tie normal approximation (integer cent sums make
     * within-block ties measure-zero; midranks still handle them
     * exactly in L itself). */
-  val q347PageTrend: QuerySpec = QuerySpec.sql(
-    "q347_page_trend",
-    """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type AS g,
-      |             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
-      |           FROM events GROUP BY CAST(ts AS DATE), event_type),
-      |k AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM d),
-      |full_days AS (SELECT /*+ BROADCAST(k) */ day FROM d CROSS JOIN k
+  val q347PageTrend: QuerySpec = {
+    // same staged-rollup discipline as q322: the (day, type) relation
+    // feeds four consumers; one scan, everything downstream tiny
+    val dSql =
+      """SELECT CAST(ts AS DATE) AS day, event_type AS g,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |FROM events GROUP BY CAST(ts AS DATE), event_type""".stripMargin
+    val tail =
+      """WITH k AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM q347_d),
+      |full_days AS (SELECT /*+ BROADCAST(k) */ day FROM q347_d CROSS JOIN k
       |              GROUP BY day, k.k HAVING COUNT(*) = MAX(k.k)),
       |ord AS (SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY g) AS BIGINT) AS j
-      |        FROM (SELECT DISTINCT g FROM d) t),
+      |        FROM (SELECT DISTINCT g FROM q347_d) t),
       |r AS (SELECT d.g,
       |        RANK() OVER (PARTITION BY d.day ORDER BY d.s)
       |          + (COUNT(*) OVER (PARTITION BY d.day, d.s) - 1) / 2.0 AS mr
-      |      FROM d JOIN full_days fd ON d.day = fd.day),
+      |      FROM q347_d d JOIN full_days fd ON d.day = fd.day),
       |rj AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
       |         CAST(SUM(CAST(mr AS DECIMAL(38,6))) AS DOUBLE) AS rsum
       |       FROM r GROUP BY g),
@@ -2243,7 +2272,16 @@ object Events {
       |         (l - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4.0)
       |         / SQRT(CAST(n AS DOUBLE) * k * k * (k + 1) * (k + 1) * (k - 1)
       |                / 144.0) * 1e6) AS BIGINT) END AS z_e6
-      |FROM m""".stripMargin)
+      |FROM m""".stripMargin
+    QuerySpec("q347_page_trend",
+      "WITH q347_d AS (" + dSql.replace('\n', ' ') + "),\n" +
+        tail.stripPrefix("WITH ")) { (sp0, dir) =>
+      val sp = QuerySpec.prepared(sp0, dir)
+      import graft.llmops.Checkpoints.Stageable
+      sp.sql(dSql).staged.createOrReplaceTempView("q347_d")
+      sp.sql(tail)
+    }
+  }
 
   val all: Seq[QuerySpec] = Seq(
     q347PageTrend, q343GumbelExtremes, q342LogRank,
