@@ -733,18 +733,21 @@ object CorpusStats {
     * PER-LANG window (partitioned — never global); coverage is one
     * conditional rollup. The q95/q130 multiplicative doc_id hash
     * freezes the split on both engines. */
-  val q339ConformalInterval: QuerySpec = QuerySpec.sql(
-    "q339_conformal_interval",
-    """WITH d AS (SELECT lang, doc_id, n_chars,
-      |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 50
-      |         THEN 'cal' ELSE 'eval' END AS half
-      |  FROM documents),
-      |ctr AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS s,
+  val q339ConformalInterval: QuerySpec = {
+    // the half-flagged projection feeds the center, the residual pass
+    // and the coverage pass: staged once (q290 pattern)
+    val dSql =
+      """SELECT lang, doc_id, n_chars,
+        |  CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 50
+        |       THEN 'cal' ELSE 'eval' END AS half
+        |FROM documents""".stripMargin
+    val tail =
+      """WITH ctr AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS s,
       |          CAST(COUNT(*) AS BIGINT) AS n
-      |        FROM d WHERE half = 'cal' GROUP BY lang),
+      |        FROM q339_d WHERE half = 'cal' GROUP BY lang),
       |res AS (SELECT d.lang,
       |          ABS(d.n_chars - CAST(ctr.s AS DOUBLE) / ctr.n) AS r
-      |        FROM d JOIN ctr ON d.lang = ctr.lang WHERE d.half = 'cal'),
+      |        FROM q339_d d JOIN ctr ON d.lang = ctr.lang WHERE d.half = 'cal'),
       |rk AS (SELECT lang, r,
       |         ROW_NUMBER() OVER (PARTITION BY lang
       |           ORDER BY r, CAST(ROUND(r * 1e6) AS BIGINT)) AS rn,
@@ -760,7 +763,7 @@ object CorpusStats {
       |          CAST(SUM(CASE WHEN ABS(d.n_chars - CAST(ctr.s AS DOUBLE) / ctr.n)
       |                             <= q.radius THEN 1 ELSE 0 END) AS BIGINT)
       |            AS n_covered
-      |        FROM d JOIN ctr ON d.lang = ctr.lang
+      |        FROM q339_d d JOIN ctr ON d.lang = ctr.lang
       |        JOIN q ON d.lang = q.lang
       |        WHERE d.half = 'eval' GROUP BY d.lang)
       |SELECT cov.lang, q.n_cal, cov.n_eval,
@@ -768,7 +771,16 @@ object CorpusStats {
       |  CAST(ROUND(cov.n_covered * 1e6 / CAST(cov.n_eval AS DOUBLE)) AS BIGINT)
       |    AS coverage_e6
       |FROM cov JOIN q ON cov.lang = q.lang
-      |ORDER BY cov.lang""".stripMargin)
+      |ORDER BY cov.lang""".stripMargin
+    QuerySpec("q339_conformal_interval",
+      "WITH q339_d AS (" + dSql.replace('\n', ' ') + "),\n" +
+        tail.stripPrefix("WITH ")) { (sp0, dir) =>
+      val sp = QuerySpec.prepared(sp0, dir)
+      import graft.llmops.Checkpoints.Stageable
+      sp.sql(dSql).staged.createOrReplaceTempView("q339_d")
+      sp.sql(tail)
+    }
+  }
 
   val all: Seq[QuerySpec] =
     Seq(q303LognormalLengths, q321SourceDiversity, q328HillTailIndex,

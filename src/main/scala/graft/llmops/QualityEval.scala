@@ -446,17 +446,11 @@ object QualityEval {
       val dw =
         if (spark) "size(array_distinct(split(text, ' ')))"
         else "len(list_distinct(string_split(text, ' ')))"
-      s"""WITH d AS (SELECT
-         |    CASE WHEN n_chars < 150 THEN 1 WHEN n_chars < 300 THEN 2
-         |         WHEN n_chars < 450 THEN 3 ELSE 4 END AS g,
-         |    CAST($dw AS BIGINT) AS y
-         |  FROM documents),
-         |v AS (SELECT y, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY y, g),
-         |ys AS (SELECT DISTINCT y FROM v),
-         |gs AS (SELECT DISTINCT g FROM d),
+      s"""WITH ys AS (SELECT DISTINCT y FROM q344_v),
+         |gs AS (SELECT DISTINCT g FROM q344_v),
          |grid AS (SELECT ys.y, gs.g, COALESCE(v.cnt, 0) AS cnt
          |         FROM ys CROSS JOIN gs
-         |         LEFT JOIN v ON v.y = ys.y AND v.g = gs.g),
+         |         LEFT JOIN q344_v v ON v.y = ys.y AND v.g = gs.g),
          |w AS (SELECT y, g, cnt,
          |        COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY y
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlt
@@ -469,7 +463,7 @@ object QualityEval {
          |      FROM w),
          |j AS (SELECT CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * (2 * lowlt + loweq))
          |          AS DECIMAL(38,0)) AS j2 FROM z),
-         |ug AS (SELECT CAST(COUNT(*) AS BIGINT) AS u FROM d GROUP BY g),
+         |ug AS (SELECT CAST(SUM(cnt) AS BIGINT) AS u FROM q344_v GROUP BY g),
          |us AS (SELECT CAST(SUM(u) AS BIGINT) AS n, COUNT(*) AS k,
          |         CAST(SUM(CAST(u AS DECIMAL(38,0)) * u) AS DECIMAL(38,0)) AS u2,
          |         CAST(SUM(CAST(u AS DECIMAL(38,0)) * (u - 1) * (2 * u + 5))
@@ -478,7 +472,7 @@ object QualityEval {
          |           AS DECIMAL(38,0)) AS ub,
          |         CAST(SUM(CAST(u AS DECIMAL(38,0)) * (u - 1)) AS DECIMAL(38,0)) AS uc
          |       FROM ug),
-         |tg AS (SELECT y, CAST(SUM(cnt) AS BIGINT) AS t FROM v GROUP BY y),
+         |tg AS (SELECT y, CAST(SUM(cnt) AS BIGINT) AS t FROM q344_v GROUP BY y),
          |ts AS (SELECT
          |         CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))
          |           AS DECIMAL(38,0)) AS ta,
@@ -502,7 +496,27 @@ object QualityEval {
          |         / (2.0 * SQRT(var)) * 1e6) AS BIGINT) END AS z_e6
          |FROM s""".stripMargin
     }
-    QuerySpec.sql2("q344_jonckheere_terpstra", text(spark = true), text(spark = false))
+    // the (value, band, cnt) collapse feeds the grid, the group sizes and
+    // the tie rollup: staged once (q290 pattern — inlined it re-scanned
+    // and re-tokenized documents ~5x); the oracle keeps it as a CTE
+    def vSql(spark: Boolean): String = {
+      val dw =
+        if (spark) "size(array_distinct(split(text, ' ')))"
+        else "len(list_distinct(string_split(text, ' ')))"
+      s"""SELECT y, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |  SELECT CASE WHEN n_chars < 150 THEN 1 WHEN n_chars < 300 THEN 2
+         |              WHEN n_chars < 450 THEN 3 ELSE 4 END AS g,
+         |         CAST($dw AS BIGINT) AS y
+         |  FROM documents) d GROUP BY y, g""".stripMargin
+    }
+    QuerySpec("q344_jonckheere_terpstra",
+      "WITH q344_v AS (" + vSql(spark = false).replace('\n', ' ') + "),\n" +
+        text(spark = false).stripPrefix("WITH ")) { (sp0, dir) =>
+      val sp = QuerySpec.prepared(sp0, dir)
+      import graft.llmops.Checkpoints.Stageable
+      sp.sql(vSql(spark = true)).staged.createOrReplaceTempView("q344_v")
+      sp.sql(text(spark = true))
+    }
   }
 
   /** Decile lift and cumulative-gains table for the length score
