@@ -23,13 +23,52 @@ private[graft] object Checkpoints {
   /** Conf key: "true" + a set checkpoint dir → reliable checkpoints. */
   val ReliableKey = "spark.graft.stage.reliable"
 
+  /** Pre-stage optimized plan per checkpoint RDD — a checkpoint truncates
+    * lineage to an opaque LogicalRDD leaf, which would blind the
+    * PlanSpec corpus sweeps (single-task windows, forced broadcasts) to
+    * everything below a `.staged` boundary. Keyed WEAKLY by the RDD
+    * instance (the LogicalRDD holds it strongly while the DataFrame
+    * lives; entries vanish with the relation), so the map never grows a
+    * long-running job's heap. Test observability only — never read by
+    * planning. */
+  private[graft] val stagedProvenance:
+      java.util.Map[org.apache.spark.rdd.RDD[_],
+                    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_],
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+
+  /** The pre-stage plan behind a (possibly staged) LogicalRDD leaf, if
+    * this JVM staged it. Reflection keeps us off private[sql] API. */
+  private[graft] def provenanceOf(
+      node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    if (node.getClass.getName == "org.apache.spark.sql.execution.LogicalRDD") {
+      node.getClass.getMethod("rdd").invoke(node) match {
+        case r: org.apache.spark.rdd.RDD[_] => Option(stagedProvenance.get(r))
+        case _ => None
+      }
+    } else None
+
   /** Materialize a staging point: every pipeline that consumes an
     * intermediate relation more than once stages it through here. */
   def stage(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val reliable = spark.conf.getOption(ReliableKey).contains("true") &&
       spark.sparkContext.getCheckpointDir.isDefined
-    if (reliable) df.checkpoint() else df.localCheckpoint()
+    val out = if (reliable) df.checkpoint() else df.localCheckpoint()
+    // record provenance: the checkpoint is eager, so the source's
+    // optimizedPlan is already computed — this is a map put, not a plan
+    out.queryExecution.analyzed.foreach { node =>
+      if (node.getClass.getName == "org.apache.spark.sql.execution.LogicalRDD") {
+        node.getClass.getMethod("rdd").invoke(node) match {
+          case r: org.apache.spark.rdd.RDD[_] =>
+            stagedProvenance.put(r, df.queryExecution.optimizedPlan)
+          case _ => ()
+        }
+      }
+    }
+    out
   }
 
   /** `relation.staged` — call-site-shaped like `.localCheckpoint()`. */

@@ -386,7 +386,10 @@ object Retrieval {
     * ranking passes are rank-FILTERED windows (map-side
     * WindowGroupLimit); expansion-term discovery explodes only the 10
     * pseudo-relevant docs; the 8-term expanded query joins as a
-    * broadcast. Determinism: idf = ln(n/df) fixed trees, per-doc sums
+    * broadcast. The vocab-sized DF relation is never broadcast whole:
+    * each pass semi-join/filter-prunes it to its live term set (3
+    * seeds / top-10-docs' vocab / 8 query terms) before the broadcast
+    * — the pruned sides are bounded regardless of corpus vocabulary. Determinism: idf = ln(n/df) fixed trees, per-doc sums
     * through DECIMAL(38,18), every rank on (rounded e6, id) total
     * orders. Oracle replays both passes; its multiply-consumed CTEs
     * are MATERIALIZED (the q325 lesson). */
@@ -456,16 +459,29 @@ object Retrieval {
         sum((weighted * col("tf")
           * log(col("n").cast("double") / col("df"))).cast("decimal(38,18)"))
           .cast("double").as("score")
+      // Every broadcast of the DF relation is PRUNED to the pass's live
+      // term set first — `dfr` itself is vocab-sized (10⁷–10⁸ words of a
+      // whitespace-tokenized web corpus), so a bare broadcast(dfr) would
+      // ship a multi-GB table to every executor. Pass 1 touches the 3
+      // literal seeds (a pushed filter), pass 2 only the 10 pseudo-
+      // relevant docs' own vocabulary (a semi-join against the staged
+      // candidate relation), pass 3 the 8-term expanded query (a
+      // semi-join against qterms). Each pruned side is provably bounded.
+      val dfrSeeds = dfr.filter(col("word").isin(seeds: _*))
       val s1 = tok.filter(col("word").isin(seeds: _*))
-        .join(broadcast(dfr), "word").crossJoin(broadcast(stats))
+        .join(broadcast(dfrSeeds), "word").crossJoin(broadcast(stats))
         .groupBy(col("doc_id")).agg(idfScore(lit(1.0)))
       val top10 = s1
         .withColumn("rk", row_number().over(w.orderBy(
           round(col("score") * 1e6).cast("long").desc, col("doc_id"))))
         .filter(col("rk") <= 10).select(col("doc_id"))
-      val exp5 = tok.join(broadcast(top10), "doc_id")
+      val cand = tok.join(broadcast(top10), "doc_id")
         .filter(!col("word").isin(seeds: _*))
-        .join(broadcast(dfr), "word").crossJoin(broadcast(stats))
+        .staged // live-term prune of dfr + the discovery scoring join
+      val dfrCand = dfr.join(
+        broadcast(cand.select(col("word")).distinct()), Seq("word"), "left_semi")
+      val exp5 = cand
+        .join(broadcast(dfrCand), "word").crossJoin(broadcast(stats))
         .groupBy(col("word")).agg(idfScore(lit(1.0)).as("wgt"))
         .withColumn("rk", row_number().over(w.orderBy(
           round(col("wgt") * 1e6).cast("long").desc, col("word"))))
@@ -474,10 +490,13 @@ object Retrieval {
       val qterms = sp.createDataFrame(seeds.map((_, 1.0)))
         .toDF("word", "w")
         .unionByName(exp5.withColumn("w", lit(0.5)))
+        .staged // consumed twice: the scoring join + the dfr prune
+      val dfrQ = dfr.join(
+        broadcast(qterms.select(col("word"))), Seq("word"), "left_semi")
       val termsLabel = exp5
         .agg(array_join(sort_array(collect_list(col("word"))), ",").as("exp_terms"))
       tok.join(broadcast(qterms), "word")
-        .join(broadcast(dfr), "word").crossJoin(broadcast(stats))
+        .join(broadcast(dfrQ), "word").crossJoin(broadcast(stats))
         .groupBy(col("doc_id")).agg(idfScore(col("w")))
         .withColumn("rk", row_number().over(w.orderBy(
           round(col("score") * 1e6).cast("long").desc, col("doc_id"))))

@@ -179,7 +179,7 @@ object EventStreams {
   def rankShiftMonitor(events: DataFrame,
                        bounds: Seq[Double],
                        watermark: String = "2 hours"): DataFrame = {
-    require(bounds.nonEmpty, "need at least one bin boundary")
+    require(bounds.nonEmpty && bounds == bounds.sorted, "sorted bin bounds")
     val nb = bounds.size + 1
     val binCol = bounds.zipWithIndex.reverse
       .foldLeft(lit(bounds.size): Column) { case (acc, (b, i)) =>
@@ -202,15 +202,20 @@ object EventStreams {
     val na = (0 until nb).map(i => col(s"a$i")).reduce(_ + _)
     val nbv = (0 until nb).map(i => col(s"b$i")).reduce(_ + _)
     val n = na + nbv
-    // 2·U = Σ a_i·(2·(views strictly below bin i) + b_i): exact integers
+    // 2·U = Σ a_i·(2·(views strictly below bin i) + b_i): exact integers,
+    // carried in DECIMAL(38,0) — the q317 headroom discipline. In Long
+    // arithmetic a single (bin, hour) beyond ~2.1M rows silently wraps
+    // the t³ tie sum (t³ ≈ 10²⁷ at web scale), and u2 ≈ n² is marginal
+    // at ~10⁹ rows/hour; decimal keeps both exact to 38 digits.
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val u2 = (0 until nb).map { i =>
       val below =
         if (i == 0) lit(0L)
         else (0 until i).map(j => col(s"b$j")).reduce(_ + _)
-      col(s"a$i") * (lit(2L) * below + col(s"b$i"))
+      dec(col(s"a$i")) * (dec(lit(2L) * below) + dec(col(s"b$i")))
     }.reduce(_ + _)
     val tsum = (0 until nb).map { i =>
-      val t = col(s"a$i") + col(s"b$i")
+      val t = dec(col(s"a$i") + col(s"b$i"))
       t * t * t - t
     }.reduce(_ + _)
     val varU = na.cast("double") * nbv / lit(12.0) *

@@ -171,4 +171,24 @@ class CodegenParitySpec extends EngineSuite {
     })
   }
 
+  test("jaro_winkler: strcmp95 integer-floor half-transposition (odd mismatch counts)") {
+    // DuckDB 1.0 / strcmp95 floor the half-transposition credit:
+    // t = mismatches / 2 in INTEGER division. ('bdaaab','dabe') has 3
+    // matches with 3 mismatched positions → t = 1 (not 1.5), giving
+    // jaro = (3/6 + 3/4 + 2/3)/3 = 0.638888…; the exact-halves variant
+    // yields 0.583333… and diverges from the oracle on every odd count.
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinklerUtil.sim(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("bdaaab", "dabe") - 0.6388888888888888) < 1e-12)
+    assert(math.abs(jw("dabe", "bdaaab") - 0.6388888888888888) < 1e-12)
+    // even mismatch count unchanged by the convention: 'martha'/'marhta'
+    // has 6 matches, 2 mismatched positions → t = 1, jw = 0.9611…
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    // another odd-count pair: 'abc'/'bca' matches all 3 within window 0?
+    // w = 0 so only diagonal compares: zero matches → 0.0
+    assert(jw("abc", "bca") == 0.0)
+  }
+
 }

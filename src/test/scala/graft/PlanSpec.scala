@@ -1212,4 +1212,343 @@ class PlanSpec extends EngineSuite {
     }
   }
 
+  // ---- forced-broadcast sweep (the 100 TB broadcast discipline) -------
+  // A `broadcast(rel)` hint OVERRIDES the size-based planner: at 100 TB
+  // the hinted side materializes on EVERY executor no matter how big it
+  // grew with the corpus. So every forced broadcast in the registry must
+  // be PROVABLY bounded — a cardinality independent of corpus size,
+  // established structurally from the plan — or carry an audit entry
+  // here with an explicit cardinality argument. The prover recognises:
+  // literal relations and limits (maxRows), scalar aggregates, global
+  // top-k (WindowGroupLimit + rank filter), literal-key prunes of a
+  // grouped relation (word IN ('a','b') over a GROUP BY word), semi-join
+  // prunes of a grouped relation against a bounded term set (the q337
+  // fix), and compositions of those through project/filter/join/union —
+  // tracing THROUGH `.staged` checkpoint boundaries via the provenance
+  // map Checkpoints records.
+
+  test("corpus sweep: every forced broadcast is provably bounded or audited") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.expressions._
+
+    // Forced broadcasts the prover cannot bound structurally, each with
+    // its explicit cardinality argument. Keep this list SHORT — a new
+    // entry means a new corpus-size-dependent broadcast went in on
+    // purpose, reviewed.
+    val audited: Map[String, String] = Map(
+      "q20_join_theta_inequality" -> ("theta/inequality join needs a broadcast " +
+        "side by construction (no equi-key to shuffle on); the 2-column " +
+        "supplier projection is the small side by design — at larger scale " +
+        "the RangeBucketJoinRewrite path replaces it"),
+      "q87_ann_ivf_probe" -> ("IVF centroid relation: k centroids (fixture " +
+        "derives k = n/50 by modulo; production k is a config constant " +
+        "independent of corpus size)"),
+      "q97_embed_kmeans_balanced" -> ("k-means centroid/mean relations: k " +
+        "clusters by construction (fixture seeds by modulo sample)"),
+      "q149_ann_pq_adc" -> "PQ codebook centroids: k is a config constant",
+      "q164_dedup_semantic" -> "SemDeDup cluster centroids: k is a config constant",
+      "q201_tfidf_topk" -> ("DOCUMENTED vocab-sized broadcast (Retrieval.scala " +
+        "header): broadcasting the (word, df) relation beats shuffling the " +
+        "corpus-grain tf relation; real vocab after min-df pruning is " +
+        "~10^6 rows of 16 bytes"),
+      "q202_bm25_retrieval" -> "same documented vocab-df tradeoff as q201 (term-pruned)",
+      "q211_cluster_silhouette" -> "k cluster centroid/mean relations (see q97)",
+      "q230_rrf_hybrid_retrieval" -> "same documented vocab-df tradeoff as q201 (term-pruned)",
+      "q237_retrieval_eval" -> ("eval query set: fixture samples 1-in-100; an " +
+        "eval/gold set is bounded by construction, never corpus-sized"),
+      "q316_kendall_tau" -> ("value-PAIR cardinality collapse: distinct " +
+        "(n_chars, n_words) pairs, bounded by the doc-length value grid " +
+        "(≤ max_len²), corpus-size-independent"),
+      "q320_davies_bouldin" -> "per-class-label mean vectors: |labels| bounded",
+      "q322_friedman" -> ("per-treatment-group rank sums: k treatment groups " +
+        "— a bounded experimental design, not corpus-sized"),
+      "q337_rocchio_prf" -> ("pass-2 DF prune: the semi-join right side is the " +
+        "top-10 pseudo-relevant docs' OWN vocabulary — bounded by 10 " +
+        "document lengths, not the corpus vocab (the pass-1/pass-3 prunes " +
+        "are proven structurally; see the dedicated q337 pin)"))
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+
+    // Keys unique BY THE DATA MODEL (TESTDATA.md: vec_id is the
+    // embeddings PK, doc_id the documents PK; row grain is preserved by
+    // every relation that carries the name) — a literal point/range
+    // filter on one bounds rows by the literal count.
+    val uniqueKeys = Set("vec_id", "doc_id")
+    def smallLit(v: Any): Boolean = v match {
+      case n: Number => n.longValue <= 1024L
+      case _ => false
+    }
+
+    def groupingOutputIds(a: Aggregate): Set[ExprId] =
+      a.aggregateExpressions.collect {
+        case al: Alias if a.groupingExpressions.exists(_.semanticEquals(al.child)) =>
+          al.exprId
+        case ar: AttributeReference
+            if a.groupingExpressions.exists(_.semanticEquals(ar)) => ar.exprId
+      }.toSet
+
+    /** Are the attrs in `ids` (traced through Project aliases and staged
+      * checkpoint boundaries) grouping outputs of the first Aggregate
+      * below? Then a k-value key prune keeps ≤ k rows. */
+    def groupedBelow(plan: LogicalPlan, ids: Set[ExprId]): Boolean = plan match {
+      case a: Aggregate => ids.subsetOf(groupingOutputIds(a))
+      case p: Project =>
+        val remapped = ids.flatMap { id =>
+          p.projectList.find(_.exprId == id) match {
+            case Some(al: Alias) => al.child.references.map(_.exprId).toSet
+            case Some(ar: AttributeReference) => Set(ar.exprId)
+            case _ => Set(id)
+          }
+        }
+        groupedBelow(p.child, remapped)
+      case f: Filter => groupedBelow(f.child, ids)
+      case s: Sort => groupedBelow(s.child, ids)
+      case sa: SubqueryAlias => groupedBelow(sa.child, ids)
+      case leaf: LeafNode =>
+        graft.llmops.Checkpoints.provenanceOf(leaf) match {
+          case Some(src) =>
+            val pos = ids.map(id => leaf.output.indexWhere(_.exprId == id))
+            if (pos.contains(-1)) false
+            else groupedBelow(src, pos.map(i => src.output(i).exprId))
+          case None => false
+        }
+      case _ => false
+    }
+
+    def bounded(plan: LogicalPlan): Boolean = plan match {
+      case p if p.maxRows.exists(_ <= 1000000L) => true // literal grids/limits
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty || bounded(a.child) ||
+          // grouping keys whose VALUE SET is provably bounded (e.g. the
+          // key came from a rank-limited join side, or is a partition id)
+          // bound the group count regardless of input size
+          boundedValues(a.child,
+            a.groupingExpressions.flatMap(_.references.map(_.exprId)).toSet)
+      case p: Project => bounded(p.child)
+      case f: Filter =>
+        bounded(f.child) || conjuncts(f.condition).exists {
+          // literal key prune of a grouped relation: ≤ |literals| rows
+          case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+            uniqueKeys(a.name) || groupedBelow(f.child, Set(a.exprId))
+          case InSet(a: AttributeReference, _) =>
+            uniqueKeys(a.name) || groupedBelow(f.child, Set(a.exprId))
+          case EqualTo(a: AttributeReference, _: Literal) =>
+            uniqueKeys(a.name) || groupedBelow(f.child, Set(a.exprId))
+          case EqualTo(_: Literal, a: AttributeReference) =>
+            uniqueKeys(a.name) || groupedBelow(f.child, Set(a.exprId))
+          // literal range prefix of a PK: vec_id < 5 → ≤ 5 rows
+          case LessThan(a: AttributeReference, Literal(v, _)) =>
+            uniqueKeys(a.name) && smallLit(v)
+          case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+            uniqueKeys(a.name) && smallLit(v)
+          case _ => false
+        }
+      case s: Sort => bounded(s.child)
+      case w: Window => bounded(w.child)
+      // global top-k: the rank filter above the Window keeps ≤ limit rows
+      case g: WindowGroupLimit if g.partitionSpec.isEmpty => true
+      case g: WindowGroupLimit => bounded(g.child)
+      case _: GlobalLimit => true
+      case l: LocalLimit => bounded(l.child)
+      case d: Distinct => bounded(d.child)
+      case e: Expand => bounded(e.child)
+      // row-grain fan-out over a bounded row set: signature/sequence
+      // arrays of a literal-bounded relation (≤ rows · per-row array)
+      case g: Generate => bounded(g.child)
+      case u: Union => u.children.forall(bounded)
+      case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+        bounded(j.left) || (j.joinType == LeftSemi && bounded(j.right) && {
+          // semi-prune of a grouped relation: ≤ |right| rows survive
+          val leftKeys = j.condition.toSeq.flatMap(conjuncts).flatMap {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              if (j.left.outputSet.contains(a)) Seq(a.exprId)
+              else if (j.left.outputSet.contains(b)) Seq(b.exprId)
+              else Nil
+            case _ => Nil
+          }
+          leftKeys.nonEmpty && groupedBelow(j.left, leftKeys.toSet)
+        })
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case sa: SubqueryAlias => bounded(sa.child)
+      case r: RepartitionOperation => bounded(r.child)
+      // constant-cardinality catalog dimensions: nation (25 rows) and
+      // region (5 rows) are schema-fixed at EVERY scale factor
+      case leaf: LeafNode
+          if leaf.output.exists(a => a.name == "n_nationkey" || a.name == "r_regionkey") =>
+        true
+      case leaf: LeafNode =>
+        graft.llmops.Checkpoints.provenanceOf(leaf).exists(bounded)
+      case _ => false
+    }
+
+    /** Is the distinct-VALUE count of attrs `ids` corpus-size-independent?
+      * True when the attrs trace (through projects, joins, aggregates,
+      * staged boundaries) to a bounded relation — e.g. a grouping key
+      * that came from a rank-limited word list bounds any aggregate
+      * grouped on it — or to literals / partition ids (value domains
+      * bounded by config, not data). */
+    def boundedValues(plan: LogicalPlan, ids: Set[ExprId]): Boolean = {
+      if (ids.isEmpty) return true
+      plan match {
+        case p if bounded(p) => true
+        case p: Project =>
+          var ok = true
+          val remapped = ids.flatMap { id =>
+            p.projectList.find(_.exprId == id) match {
+              case Some(al: Alias) => al.child match {
+                case _: Literal => Set.empty[ExprId]
+                case _: SparkPartitionID => Set.empty[ExprId]
+                case e if e.references.nonEmpty => e.references.map(_.exprId).toSet
+                case _ => ok = false; Set.empty[ExprId] // opaque (rand(), …)
+              }
+              case Some(ar: AttributeReference) => Set(ar.exprId)
+              case _ => Set(id)
+            }
+          }
+          ok && boundedValues(p.child, remapped)
+        case f: Filter => boundedValues(f.child, ids)
+        case s: Sort => boundedValues(s.child, ids)
+        case w: Window => boundedValues(w.child, ids -- w.windowExpressions.map(_.exprId))
+        case g: WindowGroupLimit => boundedValues(g.child, ids)
+        case l: GlobalLimit => true
+        case l: LocalLimit => boundedValues(l.child, ids)
+        case r: RepartitionOperation => boundedValues(r.child, ids)
+        case sa: SubqueryAlias => boundedValues(sa.child, ids)
+        case g: Generate =>
+          // generator outputs take per-row array values — unbounded; pass
+          // only ids that belong to the child
+          if (ids.forall(id => g.child.outputSet.exists(_.exprId == id)))
+            boundedValues(g.child, ids)
+          else false
+        case a: Aggregate =>
+          var ok = true
+          val remapped = ids.flatMap { id =>
+            a.aggregateExpressions.find(_.exprId == id) match {
+              case Some(al: Alias)
+                  if a.groupingExpressions.exists(_.semanticEquals(al.child)) =>
+                al.child.references.map(_.exprId).toSet
+              case Some(ar: AttributeReference)
+                  if a.groupingExpressions.exists(_.semanticEquals(ar)) =>
+                Set(ar.exprId)
+              case _ => ok = false; Set.empty[ExprId] // agg-function output
+            }
+          }
+          ok && boundedValues(a.child, remapped)
+        case j: Join =>
+          // each attr's value set is its own side's
+          val leftIds = ids.filter(id => j.left.outputSet.exists(_.exprId == id))
+          val rightIds = ids.filter(id => j.right.outputSet.exists(_.exprId == id))
+          (leftIds ++ rightIds) == ids &&
+            (leftIds.isEmpty || boundedValues(j.left, leftIds)) &&
+            (rightIds.isEmpty || boundedValues(j.right, rightIds))
+        case u: Union =>
+          val positions = ids.map(id => u.output.indexWhere(_.exprId == id))
+          !positions.contains(-1) && u.children.forall { c =>
+            boundedValues(c, positions.map(i => c.output(i).exprId))
+          }
+        case leaf: LeafNode =>
+          graft.llmops.Checkpoints.provenanceOf(leaf) match {
+            case Some(src) =>
+              val pos = ids.map(id => leaf.output.indexWhere(_.exprId == id))
+              !pos.contains(-1) &&
+                boundedValues(src, pos.map(i => src.output(i).exprId))
+            case None => false
+          }
+        case _ => false
+      }
+    }
+
+    /** All BROADCAST-hinted join sides, recursing into staged subtrees. */
+    def hintedSides(plan: LogicalPlan,
+        visited: java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean])
+        : Seq[LogicalPlan] = {
+      if (visited.containsKey(plan)) Nil
+      else {
+        visited.put(plan, java.lang.Boolean.TRUE)
+        val here = plan.collect { case j: Join =>
+          (if (j.hint.leftHint.flatMap(_.strategy).contains(BROADCAST)) Seq(j.left)
+           else Nil) ++
+            (if (j.hint.rightHint.flatMap(_.strategy).contains(BROADCAST)) Seq(j.right)
+             else Nil)
+        }.flatten
+        val nested = plan.collect { case l: LeafNode => l }
+          .flatMap(l => graft.llmops.Checkpoints.provenanceOf(l).toSeq)
+          .flatMap(p => hintedSides(p, visited))
+        here ++ nested
+      }
+    }
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (audited.contains(name)) Nil
+      else {
+        val plan =
+          try fn(spark, sfDir).queryExecution.optimizedPlan
+          catch { case _: Throwable => null } // side-effecting queries covered elsewhere
+        Option(plan).toSeq.flatMap { p =>
+          val visited =
+            new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]
+          hintedSides(p, visited).filterNot(bounded)
+            .map(s => name -> s.treeString.linesIterator.take(3).mkString(" | "))
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      "unaudited unbounded forced broadcasts:\n" +
+        offenders.map { case (n, o) => s"  $n: $o" }.mkString("\n"))
+  }
+
+  test("q337: every broadcast of the DF relation is a pruned side, never the full vocab") {
+    // The three Rocchio scoring passes each join document frequencies; a
+    // bare broadcast(dfr) would ship the whole corpus vocabulary
+    // (10⁷–10⁸ words at web scale) to every executor. Pin: every
+    // BROADCAST-hinted side that carries the df column is a PRUNED
+    // relation — a literal seed filter or a semi-join against the
+    // pass's live term set — not the bare staged vocab leaf.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.expressions.{In, AttributeReference}
+    val plan = SparkEntry.queries("q337_rocchio_prf")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // passes 1/2 execute eagerly behind `.staged` boundaries — collect
+    // hinted sides through the Checkpoints provenance map, like the sweep
+    def sides(p: LogicalPlan,
+        visited: java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean])
+        : Seq[LogicalPlan] =
+      if (visited.containsKey(p)) Nil
+      else {
+        visited.put(p, java.lang.Boolean.TRUE)
+        val here = p.collect { case j: Join =>
+          (if (j.hint.leftHint.flatMap(_.strategy).contains(BROADCAST)) Seq(j.left)
+           else Nil) ++
+            (if (j.hint.rightHint.flatMap(_.strategy).contains(BROADCAST)) Seq(j.right)
+             else Nil)
+        }.flatten
+        here ++ p.collect { case l: LeafNode => l }
+          .flatMap(l => graft.llmops.Checkpoints.provenanceOf(l).toSeq)
+          .flatMap(pp => sides(pp, visited))
+      }
+    val dfSides = sides(plan,
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean])
+      .filter(_.output.exists(_.name == "df"))
+    assert(dfSides.size == 3,
+      s"expected the 3 pruned df-broadcast sides (seed filter, pass-2 " +
+        s"semi-prune, pass-3 semi-prune), got ${dfSides.size}")
+    dfSides.foreach { side =>
+      val pruned = side.collectFirst {
+        case j: Join if j.joinType == LeftSemi => j
+        case f: Filter if f.condition.exists {
+          case In(_: AttributeReference, vs) => vs.nonEmpty
+          case _ => false
+        } => f
+      }.isDefined
+      assert(pruned,
+        "df broadcast side is the unpruned vocab relation:\n" +
+          side.treeString.take(1000))
+    }
+  }
+
 }
