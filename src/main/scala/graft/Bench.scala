@@ -19,7 +19,15 @@ object Bench {
     graft.sources.TestTables.register(spark, sfDir)
     spark.range(16).count()
 
-    val names = SparkEntry.benchQueries
+    // Optional subset (comma-separated name prefixes, resolved against the
+    // FULL registry): scale drills bench heavy non-headline queries too.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(ps) =>
+        val prefixes = ps.split(",")
+        SparkEntry.queries.keys.toSeq.sorted
+          .filter(n => prefixes.exists(n.startsWith))
+      case None => SparkEntry.benchQueries
+    }
     val queries = SparkEntry.queries
     var failed = List.empty[String]
     def run(name: String): Double = {
@@ -56,7 +64,8 @@ object Bench {
     println(line)
     // sbt prefixes stdout with "[info] ", which can defeat line-oriented
     // JSON parsing downstream — also drop the bare line in a file.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

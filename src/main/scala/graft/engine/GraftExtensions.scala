@@ -24,9 +24,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.ImpalaFunctions", name),
         builder))
     }
-    extensions.injectOptimizerRule(_ => graft.plans.RangeBucketJoinRewrite)
-    extensions.injectOptimizerRule(_ => graft.plans.AppxCountDistinctRewrite)
-    extensions.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
-    extensions.injectOptimizerRule(_ => graft.plans.SmallQueryFastPath)
+    // statement-scoped straight_join: must run during resolution, before
+    // the analyzer's "Remove Unresolved Hints" drops unknown hint names
+    extensions.injectResolutionRule(_ => graft.plans.StraightJoinHint)
+    // The engine's optimizer rules are designed for the END of logical
+    // optimization ("User Provided Optimizers", batch 38 — AFTER the
+    // DSv2 early-scan-pushdown batch). Neither injectOptimizerRule (the
+    // operator fixed point, batch 11/13) nor injectPreCBORule (batch 16)
+    // runs post-pushdown — verified: SmallQueryFastPath's Repartition(1)
+    // from either slot blocks V2ScanRelationPushDown from pushing
+    // LIMIT/TopN into the source (ext_source served [0,1000) instead of
+    // [0,7)). So the extension installs them where attach() does —
+    // session.experimental.extraOptimizations — using the session handle
+    // the rule builder receives at optimizer construction, and
+    // contributes a no-op to the operator batch itself.
+    extensions.injectOptimizerRule { session =>
+      GraftSession.installOptimizerRules(session)
+      GraftExtensions.NoOp
+    }
+  }
+}
+
+object GraftExtensions {
+  /** Placeholder contribution to the operator-optimization batch; the
+    * real rules land in extraOptimizations (see above). */
+  private object NoOp
+      extends org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    override def apply(
+        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = plan
   }
 }

@@ -26,6 +26,10 @@ object GraftSession {
 
   /** Apply engine configuration to a builder (idempotent). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    // analyzer-stage hooks (e.g. the STRAIGHT_JOIN statement hint) can
+    // only be injected at session build; attach()'s extraOptimizations
+    // path covers the optimizer-stage rules for bare sessions
+    .config("spark.sql.extensions", "graft.engine.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
@@ -78,18 +82,21 @@ object GraftSession {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.ansi.enabled", "false")
     graft.functions.ImpalaFunctions.registerAll(s)
-    if (!s.experimental.extraOptimizations.contains(graft.plans.RangeBucketJoinRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.RangeBucketJoinRewrite
-    if (!s.experimental.extraOptimizations.contains(graft.plans.AppxCountDistinctRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.AppxCountDistinctRewrite
-    if (!s.experimental.extraOptimizations.contains(graft.plans.BoundedLevenshteinRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.BoundedLevenshteinRewrite
-    if (!s.experimental.extraOptimizations.contains(graft.plans.SmallQueryFastPath))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.SmallQueryFastPath
+    installOptimizerRules(s)
     s
+  }
+
+  /** Append the engine's optimizer rules to the session's
+    * extraOptimizations ("User Provided Optimizers" — the only logical
+    * batch that runs AFTER DSv2 early scan pushdown, which these rules
+    * require; see GraftExtensions). Idempotent. */
+  def installOptimizerRules(s: SparkSession): Unit = synchronized {
+    Seq(graft.plans.RangeBucketJoinRewrite, graft.plans.AppxCountDistinctRewrite,
+      graft.plans.BoundedLevenshteinRewrite, graft.plans.SmallQueryFastPath)
+      .foreach { r =>
+        if (!s.experimental.extraOptimizations.contains(r))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ r
+      }
   }
 }

@@ -30,6 +30,22 @@ object PlanFingerprint {
     render(df.queryExecution.sparkPlan) + s" shuffles=$shuffles"
   }
 
+  /** Coarse registry-wide variant: the operator MULTISET (no tree
+    * structure) + shuffle count. Cheap to diff across the whole query
+    * registry at round boundaries — any query whose plan drifts shows up
+    * in `git diff` of the committed artifact, without maintaining 343
+    * golden trees. */
+  def summary(df: DataFrame): String = {
+    val prepared = df.queryExecution.executedPlan.toString
+    val shuffles =
+      "Exchange (hash|range)partitioning|Exchange SinglePartition".r
+        .findAllIn(prepared).size
+    val counts = df.queryExecution.sparkPlan.collect { case p => label(p) }
+      .groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (l, os) => s"$l=${os.size}" }
+    counts.mkString(" ") + s" shuffles=$shuffles"
+  }
+
   private def tableOf(s: FileSourceScanExec): String =
     s.relation.location.rootPaths.headOption
       .map(_.getName.stripSuffix(".parquet")).getOrElse("?")

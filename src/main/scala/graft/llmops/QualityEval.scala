@@ -647,6 +647,6 @@ object QualityEval {
   val all: Seq[QuerySpec] =
     Seq(q278QualityRocAuc, q279ClassifierKappa, q281TokenGini,
       q282SpearmanCorr, q287LogOddsTokens, q288PrAuc, q289CalibrationEce,
-      q290RankRbo, q324CochranQ, q344JonckheereTerpstra, q345DecileLift,
-      q346KendallW)
+      q290RankRbo, q324CochranQ, q344JonckheereTerpstra.benched, q345DecileLift,
+      q346KendallW.benched)
 }

@@ -510,6 +510,362 @@ object TpcdsShapes {
        |    CAST(SUM($Vol) AS DOUBLE) AS total
        |  FROM lineitem JOIN part ON l_partkey = p_partkey) t""".stripMargin)
 
+  // ---- round-14 additions: ten more DS plan families ------------------
+  import org.apache.spark.sql.functions._
+  import graft.llmops.Checkpoints.Stageable
+
+  /** TPC-DS Q4/Q11 shape: per-customer per-year channel totals, the CTE
+    * self-joined FOUR ways (two channels × two years) to keep customers
+    * whose catalog growth beat their store growth. The channel CTEs are
+    * the fixture's two fact grains (order headers vs line revenue).
+    * Scale shape: each year-total relation collapses the fact to
+    * customer-year grain ONCE and is staged (Spark's CTE inlining would
+    * re-scan the fact four times — the q116 lesson; the oracle CTEs are
+    * MATERIALIZED for the same reason); the 4-way self-join then joins
+    * customer-grain relations on their own grouping key, so every join
+    * side is pre-collapsed and the shuffles are customer-keyed and
+    * reusable. Ratios divide exact DECIMAL sums as DOUBLE. */
+  val q348MultiYearChannelGrowth: QuerySpec = QuerySpec(
+    "q348_dss_multiyear_channel_growth",
+    s"""WITH st AS MATERIALIZED (
+       |  SELECT o_custkey AS cust, YEAR(o_orderdate) AS yr,
+       |         SUM(CAST(o_totalprice AS $M)) AS total
+       |  FROM orders GROUP BY 1, 2),
+       |ct AS MATERIALIZED (
+       |  SELECT o_custkey AS cust, YEAR(l_shipdate) AS yr, SUM($Vol) AS total
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2)
+       |SELECT s1.cust AS c_custkey,
+       |  CAST(ROUND(CAST(w2.total AS DOUBLE) / CAST(w1.total AS DOUBLE) * 1e6)
+       |    AS BIGINT) AS cat_growth_e6,
+       |  CAST(ROUND(CAST(s2.total AS DOUBLE) / CAST(s1.total AS DOUBLE) * 1e6)
+       |    AS BIGINT) AS store_growth_e6
+       |FROM st s1 JOIN st s2 ON s1.cust = s2.cust
+       |JOIN ct w1 ON s1.cust = w1.cust
+       |JOIN ct w2 ON s1.cust = w2.cust
+       |WHERE s1.yr = 1996 AND s2.yr = 1997 AND w1.yr = 1996 AND w2.yr = 1997
+       |  AND CAST(s1.total AS DOUBLE) > 0 AND CAST(w1.total AS DOUBLE) > 0
+       |  AND CAST(w2.total AS DOUBLE) / CAST(w1.total AS DOUBLE)
+       |      > CAST(s2.total AS DOUBLE) / CAST(s1.total AS DOUBLE)
+       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val vol = (Num.money(col("l_extendedprice"))
+      * (lit(1).cast(Num.Rate) - Num.rate(col("l_discount"))))
+      .cast("decimal(19,8)")
+    val st = sp.table("orders")
+      .groupBy(col("o_custkey").as("cust"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(Num.money(col("o_totalprice"))).as("total"))
+      .staged // two year instances below
+    val ct = sp.table("lineitem")
+      .join(sp.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), year(col("l_shipdate")).as("yr"))
+      .agg(sum(vol).as("total"))
+      .staged // two year instances below
+    def slice(rel: org.apache.spark.sql.DataFrame, yr: Int, tag: String) =
+      rel.filter(col("yr") === yr)
+        .select(col("cust").as(s"cust_$tag"), col("total").cast("double").as(tag))
+    val j = slice(st, 1996, "s1").join(slice(st, 1997, "s2"),
+        col("cust_s1") === col("cust_s2"))
+      .join(slice(ct, 1996, "w1"), col("cust_s1") === col("cust_w1"))
+      .join(slice(ct, 1997, "w2"), col("cust_s1") === col("cust_w2"))
+    j.filter(col("s1") > 0 && col("w1") > 0 &&
+        col("w2") / col("w1") > col("s2") / col("s1"))
+      .select(col("cust_s1").as("c_custkey"),
+        round(col("w2") / col("w1") * 1e6).cast("long").as("cat_growth_e6"),
+        round(col("s2") / col("s1") * 1e6).cast("long").as("store_growth_e6"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** TPC-DS Q29/Q25 shape: three-way quantity flow — items a customer
+    * bought (flag N) and later-or-otherwise returned (flag R), the two
+    * fact slices joined on (customer, item) through their order headers,
+    * rolled up per part. The real query's three channel facts map to the
+    * fixture's two return-flag slices of the one fact; the join is
+    * key-equi on the collapsed (customer, item) grain. */
+  val q349ChannelQuantityFlow: QuerySpec = QuerySpec.sql(
+    "q349_dss_channel_quantity_flow",
+    s"""WITH s AS (
+       |  SELECT o_custkey AS cust, l_partkey AS item,
+       |         CAST(l_quantity AS BIGINT) AS q
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'N'),
+       |r AS (
+       |  SELECT o_custkey AS cust, l_partkey AS item,
+       |         CAST(l_quantity AS BIGINT) AS q
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R')
+       |SELECT p_partkey, p_name,
+       |  CAST(SUM(s.q) AS BIGINT) AS sold_qty,
+       |  CAST(SUM(r.q) AS BIGINT) AS ret_qty,
+       |  COUNT(*) AS n_flows
+       |FROM s JOIN r ON s.cust = r.cust AND s.item = r.item
+       |JOIN part ON s.item = p_partkey
+       |GROUP BY p_partkey, p_name
+       |ORDER BY p_partkey""".stripMargin)
+
+  /** TPC-DS Q42/Q52 shape: the simplest star — fact through the derived
+    * date dim (month filter) and the item dim, yearly category revenue,
+    * TopN. Distinct from q254 (Q3) by grouping on the coarser category
+    * (p_type) axis rather than brand. */
+  val q350SimpleStar: QuerySpec = QuerySpec.sql(
+    "q350_dss_simple_star",
+    s"""WITH date_dim AS (
+       |  SELECT DISTINCT CAST(l_shipdate AS DATE) AS d_date,
+       |         YEAR(l_shipdate) AS d_year, MONTH(l_shipdate) AS d_moy
+       |  FROM lineitem)
+       |SELECT d_year, p_type, CAST(SUM($Vol) AS DOUBLE) AS sum_agg
+       |FROM lineitem
+       |JOIN date_dim ON CAST(l_shipdate AS DATE) = d_date
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE d_moy = 12
+       |GROUP BY d_year, p_type
+       |ORDER BY sum_agg DESC, d_year, p_type
+       |LIMIT 100""".stripMargin)
+
+  /** TPC-DS Q46/Q68 shape: city-pair demographics — the same dimension
+    * joined in TWO ROLES (the customer's nation and each line's supplier
+    * nation), keeping orders whose lines ship from a different nation
+    * than the buyer's, per-order rollup with a HAVING screen. */
+  val q351CityPairDemo: QuerySpec = QuerySpec.sql(
+    "q351_dss_city_pair_demo",
+    s"""SELECT c_name, o_orderkey, n1.n_name AS cust_nation,
+       |  COUNT(*) AS n_cross_lines,
+       |  CAST(SUM($Vol) AS DOUBLE) AS cross_rev
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE n2.n_nationkey <> n1.n_nationkey
+       |GROUP BY c_name, o_orderkey, n1.n_name
+       |HAVING COUNT(*) >= 3
+       |ORDER BY c_name, o_orderkey
+       |LIMIT 100""".stripMargin)
+
+  /** TPC-DS Q48 shape: one fact scan under three OR'd band predicates,
+    * each band a conjunction of a quantity band, an order-price band and
+    * a nation set — the planner must keep the single scan and evaluate
+    * the disjunction as a residual, not split into a union of scans. */
+  val q352BandOr: QuerySpec = QuerySpec.sql(
+    "q352_dss_band_or",
+    """SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE (l_quantity BETWEEN 1 AND 15
+      |       AND o_totalprice BETWEEN 0 AND 100000
+      |       AND c_nationkey IN (1, 3, 5))
+      |   OR (l_quantity BETWEEN 16 AND 35
+      |       AND o_totalprice BETWEEN 100000 AND 250000
+      |       AND c_nationkey IN (7, 9, 11))
+      |   OR (l_quantity BETWEEN 36 AND 50
+      |       AND o_totalprice BETWEEN 250000 AND 500000
+      |       AND c_nationkey IN (13, 15, 17))""".stripMargin)
+
+  /** TPC-DS Q59 shape: the period-pivot self-join — per-nation monthly
+    * revenue (the weekly_sales analogue at the fixture's date density),
+    * the SAME aggregate joined year-over-year on (nation, month) to
+    * emit this-year/last-year ratios. The period relation collapses the
+    * fact once and is staged/MATERIALIZED (two consumers). */
+  val q353PeriodYoyPivot: QuerySpec = QuerySpec(
+    "q353_dss_period_yoy_pivot",
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT n_name, YEAR(l_shipdate) AS yr, MONTH(l_shipdate) AS mo,
+       |         SUM($Vol) AS rev
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY 1, 2, 3)
+       |SELECT a.n_name, a.mo,
+       |  CAST(a.rev AS DOUBLE) AS rev_1996,
+       |  CAST(b.rev AS DOUBLE) AS rev_1997,
+       |  CAST(ROUND(CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE) * 1e6)
+       |    AS BIGINT) AS ratio_e6
+       |FROM m a JOIN m b ON a.n_name = b.n_name AND a.mo = b.mo
+       |WHERE a.yr = 1996 AND b.yr = 1997
+       |ORDER BY a.n_name, a.mo""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val vol = (Num.money(col("l_extendedprice"))
+      * (lit(1).cast(Num.Rate) - Num.rate(col("l_discount"))))
+      .cast("decimal(19,8)")
+    val m = sp.table("lineitem")
+      .join(sp.table("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(sp.table("nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mo"))
+      .agg(sum(vol).as("rev"))
+      .staged // both year slices below
+    val a = m.filter(col("yr") === 1996)
+      .select(col("n_name"), col("mo"), col("rev").cast("double").as("rev_1996"))
+    val b = m.filter(col("yr") === 1997)
+      .select(col("n_name").as("n2"), col("mo").as("mo2"),
+        col("rev").cast("double").as("rev_1997"))
+    a.join(b, col("n_name") === col("n2") && col("mo") === col("mo2"))
+      .select(col("n_name"), col("mo"), col("rev_1996"), col("rev_1997"),
+        round(col("rev_1997") / col("rev_1996") * 1e6).cast("long").as("ratio_e6"))
+      .orderBy(col("n_name"), col("mo"))
+  }
+
+  /** TPC-DS Q78 shape: channel ratios restricted to lines WITHOUT a
+    * return — the no-return fact derives by ANTI-joining the fact
+    * against the distinct returned-order keys (the left-join-null idiom
+    * in the oracle text, a real LeftAnti in the Spark plan), then the
+    * two priority channels aggregate to (year, item) grain and join for
+    * the ratio. The no-return relation is staged (two channel
+    * consumers). */
+  val q354NoReturnChannelRatio: QuerySpec = QuerySpec(
+    "q354_dss_noreturn_channel_ratio",
+    s"""WITH rk AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS rkey FROM lineitem
+       |  WHERE l_returnflag = 'R'),
+       |noret AS MATERIALIZED (
+       |  SELECT l.* FROM lineitem l
+       |  LEFT JOIN rk ON l.l_orderkey = rk.rkey
+       |  WHERE rk.rkey IS NULL),
+       |ss AS (
+       |  SELECT YEAR(l_shipdate) AS yr, l_partkey AS item,
+       |         SUM(CAST(l_quantity AS BIGINT)) AS qty
+       |  FROM noret JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |  GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT YEAR(l_shipdate) AS yr, l_partkey AS item,
+       |         SUM(CAST(l_quantity AS BIGINT)) AS qty
+       |  FROM noret JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |  GROUP BY 1, 2)
+       |SELECT ss.yr, ss.item,
+       |  CAST(ss.qty AS BIGINT) AS urgent_qty,
+       |  CAST(ws.qty AS BIGINT) AS other_qty,
+       |  CAST(ROUND(CAST(ss.qty AS DOUBLE) * 1e6 / ws.qty) AS BIGINT)
+       |    AS ratio_e6
+       |FROM ss JOIN ws ON ss.yr = ws.yr AND ss.item = ws.item
+       |ORDER BY ss.yr, ss.item""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val li = sp.table("lineitem")
+    val rk = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("rkey")).distinct()
+    val noret = li.join(rk, col("l_orderkey") === col("rkey"), "left_anti")
+      .join(sp.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(year(col("l_shipdate")).as("yr"), col("l_partkey").as("item"),
+        col("l_quantity").cast("long").as("q"), col("o_orderpriority"))
+      .staged // two channel consumers
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val ss = noret.filter(urgent)
+      .groupBy(col("yr"), col("item")).agg(sum(col("q")).as("uq"))
+    val ws = noret.filter(!urgent)
+      .groupBy(col("yr").as("yr2"), col("item").as("item2"))
+      .agg(sum(col("q")).as("oq"))
+    ss.join(ws, col("yr") === col("yr2") && col("item") === col("item2"))
+      .select(col("yr"), col("item"),
+        col("uq").as("urgent_qty"), col("oq").as("other_qty"),
+        round(col("uq").cast("double") * 1e6 / col("oq")).cast("long")
+          .as("ratio_e6"))
+      .orderBy(col("yr"), col("item"))
+  }
+
+  /** TPC-DS Q31 shape: quarter-over-quarter growth compared ACROSS two
+    * channels — per-nation quarterly revenue CTEs for the line channel
+    * and the order channel, each self-joined on consecutive quarters,
+    * keeping (nation, quarter) pairs where the order channel grew faster
+    * than the line channel. Both quarter relations are staged (each has
+    * two quarter-instance consumers). */
+  val q355QuarterGrowth: QuerySpec = QuerySpec(
+    "q355_dss_quarter_growth",
+    s"""WITH ql AS MATERIALIZED (
+       |  SELECT n_name, QUARTER(l_shipdate) AS q, SUM($Vol) AS rev
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE YEAR(l_shipdate) = 1996 GROUP BY 1, 2),
+       |qo AS MATERIALIZED (
+       |  SELECT n_name, QUARTER(o_orderdate) AS q,
+       |         SUM(CAST(o_totalprice AS $M)) AS rev
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE YEAR(o_orderdate) = 1996 GROUP BY 1, 2)
+       |SELECT a.n_name, a.q AS qtr,
+       |  CAST(ROUND(CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE) * 1e6)
+       |    AS BIGINT) AS line_growth_e6,
+       |  CAST(ROUND(CAST(d.rev AS DOUBLE) / CAST(c.rev AS DOUBLE) * 1e6)
+       |    AS BIGINT) AS order_growth_e6
+       |FROM ql a JOIN ql b ON a.n_name = b.n_name AND b.q = a.q + 1
+       |JOIN qo c ON a.n_name = c.n_name AND c.q = a.q
+       |JOIN qo d ON a.n_name = d.n_name AND d.q = a.q + 1
+       |WHERE CAST(d.rev AS DOUBLE) / CAST(c.rev AS DOUBLE)
+       |      > CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE)
+       |ORDER BY a.n_name, qtr""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val vol = (Num.money(col("l_extendedprice"))
+      * (lit(1).cast(Num.Rate) - Num.rate(col("l_discount"))))
+      .cast("decimal(19,8)")
+    val ql = sp.table("lineitem")
+      .join(sp.table("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(sp.table("nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(year(col("l_shipdate")) === 1996)
+      .groupBy(col("n_name"), quarter(col("l_shipdate")).as("q"))
+      .agg(sum(vol).cast("double").as("rev"))
+      .staged // two quarter instances
+    val qo = sp.table("orders")
+      .join(sp.table("customer"), col("o_custkey") === col("c_custkey"))
+      .join(sp.table("nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy(col("n_name"), quarter(col("o_orderdate")).as("q"))
+      .agg(sum(Num.money(col("o_totalprice"))).cast("double").as("rev"))
+      .staged // two quarter instances
+    def sl(rel: org.apache.spark.sql.DataFrame, tag: String) =
+      rel.select(col("n_name").as(s"n_$tag"), col("q").as(s"q_$tag"),
+        col("rev").as(s"rev_$tag"))
+    sl(ql, "a").join(sl(ql, "b"),
+        col("n_a") === col("n_b") && col("q_b") === col("q_a") + 1)
+      .join(sl(qo, "c"), col("n_a") === col("n_c") && col("q_c") === col("q_a"))
+      .join(sl(qo, "d"),
+        col("n_a") === col("n_d") && col("q_d") === col("q_a") + 1)
+      .filter(col("rev_d") / col("rev_c") > col("rev_b") / col("rev_a"))
+      .select(col("n_a").as("n_name"), col("q_a").as("qtr"),
+        round(col("rev_b") / col("rev_a") * 1e6).cast("long")
+          .as("line_growth_e6"),
+        round(col("rev_d") / col("rev_c") * 1e6).cast("long")
+          .as("order_growth_e6"))
+      .orderBy(col("n_name"), col("qtr"))
+  }
+
+  /** TPC-DS Q69/Q35 shape: channel-presence screen — customers with
+    * store activity (EXISTS) but no web activity and no heavy return
+    * (two NOT EXISTS), counted per nation. Plans as one semi join plus
+    * two anti joins against the customer dim. */
+  val q356ChannelExists: QuerySpec = QuerySpec.sql(
+    "q356_dss_channel_exists",
+    """SELECT n_name, COUNT(*) AS cnt
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM events
+      |                  WHERE user_id = c_custkey
+      |                    AND event_type = 'purchase')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  JOIN lineitem ON o_orderkey = l_orderkey
+      |                  WHERE o.o_custkey = c_custkey
+      |                    AND l_returnflag = 'R' AND l_quantity > 45)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin)
+
+  /** TPC-DS Q87 shape: the EXCEPT-chain customer count — store-channel
+    * customers minus web-channel customers minus heavy returners, one
+    * scalar count of the surviving set. */
+  val q357ChannelExcept: QuerySpec = QuerySpec.sql(
+    "q357_dss_channel_except",
+    """SELECT COUNT(*) AS n FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders o
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE l_returnflag = 'R' AND l_quantity > 45) t""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q254StarDateBrand, q255ChannelRollup, q256ReturnsAboveAvg,
     q257MultiSupplierOrders, q258RollupRank, q259OrderSizeBuckets,
@@ -517,5 +873,9 @@ object TpcdsShapes {
     q263FrequentBestCustomers, q264MarginRollupGrouping,
     q265MonthlyVsAvg, q266SalesAfterReturns, q267UnionChannelItems,
     q268YearOverYear, q269CumulativeCross, q270ItemStatsChannels,
-    q271BelowAvgBrands, q272ShipDelayBuckets, q273PromoShare)
+    q271BelowAvgBrands, q272ShipDelayBuckets, q273PromoShare,
+    q348MultiYearChannelGrowth, q349ChannelQuantityFlow, q350SimpleStar,
+    q351CityPairDemo, q352BandOr, q353PeriodYoyPivot,
+    q354NoReturnChannelRatio, q355QuarterGrowth, q356ChannelExists,
+    q357ChannelExcept)
 }

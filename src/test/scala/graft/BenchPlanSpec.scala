@@ -13,7 +13,14 @@ import scala.jdk.CollectionConverters._
   *
   * On an INTENDED plan change, regenerate with
   * `REGEN_FINGERPRINTS=1 sbt "testOnly graft.BenchPlanSpec"` and commit
-  * the diff — the diff itself documents what the plan change was. */
+  * the diff — the diff itself documents what the plan change was.
+  *
+  * The second test maintains `registry_plan_fingerprints.txt`: a COARSE
+  * fingerprint (operator multiset + shuffle count, no tree) for EVERY
+  * registered query, rewritten on every run — not a gate, an artifact.
+  * Any query's plan drift between rounds shows up in `git diff` of that
+  * file; the committed state documents the whole registry's plan
+  * shapes at the round boundary. */
 class BenchPlanSpec extends EngineSuite {
 
   private val goldenPath =
@@ -54,5 +61,20 @@ class BenchPlanSpec extends EngineSuite {
              |If intended, REGEN_FINGERPRINTS=1 and commit the diff.""".stripMargin)
       }
     }
+  }
+
+  test("registry-wide coarse fingerprints are (re)written for git-diff drift tracking") {
+    val registryPath =
+      Paths.get("/root/repo/src/test/resources/registry_plan_fingerprints.txt")
+    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val fp =
+        try graft.engine.PlanFingerprint.summary(fn(spark, sfDir))
+        catch { case e: Throwable => s"err:${e.getClass.getSimpleName}" }
+      s"$name $fp"
+    }
+    Files.createDirectories(registryPath.getParent)
+    Files.write(registryPath, lines.asJava)
+    info(s"wrote ${lines.size} registry fingerprints at $registryPath")
+    assert(lines.size == SparkEntry.queries.size)
   }
 }

@@ -1212,6 +1212,57 @@ class PlanSpec extends EngineSuite {
     }
   }
 
+  test("q348-q357 (round-14 TPC-DS families): cartesian-free; stars broadcast + TopN; staged collapses not rescanned") {
+    val newFamilies = Seq(
+      "q348_dss_multiyear_channel_growth", "q349_dss_channel_quantity_flow",
+      "q350_dss_simple_star", "q351_dss_city_pair_demo", "q352_dss_band_or",
+      "q353_dss_period_yoy_pivot", "q354_dss_noreturn_channel_ratio",
+      "q355_dss_quarter_growth", "q356_dss_channel_exists",
+      "q357_dss_channel_except")
+    for (n <- newFamilies) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n planned an unbroadcast cartesian:\n" + p.take(1200))
+    }
+    // star families: dims broadcast, ORDER BY + LIMIT plans TopN
+    for (n <- Seq("q350_dss_simple_star", "q351_dss_city_pair_demo")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: dims not broadcast\n" + p.take(1200))
+      assert(p.contains("TakeOrderedAndProject"), s"$n lost TopN\n" + p.take(1200))
+    }
+    // q352: the OR of band predicates must stay ONE fact scan with a
+    // residual disjunction, never split into a union of scans
+    val p352 = plan("q352_dss_band_or")
+    val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(p352).size
+    assert(liScans == 1, s"band-OR split the fact scan ($liScans):\n" + p352.take(1500))
+    // q356: channel presence = one semi + two anti joins
+    val p356 = plan("q356_dss_channel_exists")
+    assert(p356.contains("LeftSemi"), "EXISTS did not plan a semi join:\n" + p356.take(1200))
+    assert("LeftAnti".r.findAllIn(p356).size >= 2,
+      "the two NOT EXISTS must plan anti joins:\n" + p356.take(1500))
+    // the staged-collapse families: the fact is collapsed ONCE behind the
+    // stage; the final plan joins staged relations, never rescans parquet
+    for (n <- Seq("q348_dss_multiyear_channel_growth",
+        "q353_dss_period_yoy_pivot", "q354_dss_noreturn_channel_ratio",
+        "q355_dss_quarter_growth")) {
+      val p = plan(n)
+      assert(!p.contains("Scan parquet"),
+        s"$n rescans the fact instead of joining its staged collapse:\n" + p.take(1500))
+    }
+    // q354: the no-return restriction is a REAL anti join (behind the
+    // staged boundary — trace through the Checkpoints provenance map)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LeafNode, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val root = SparkEntry.queries("q354_dss_noreturn_channel_ratio")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    def hasAnti(p: LogicalPlan): Boolean =
+      p.collectFirst { case j: LJoin if j.joinType == LeftAnti => j }.isDefined ||
+        p.collect { case l: LeafNode => l }
+          .flatMap(l => graft.llmops.Checkpoints.provenanceOf(l).toSeq)
+          .exists(hasAnti)
+    assert(hasAnti(root), "q354's no-return restriction lost its anti join")
+  }
+
   // ---- forced-broadcast sweep (the 100 TB broadcast discipline) -------
   // A `broadcast(rel)` hint OVERRIDES the size-based planner: at 100 TB
   // the hinted side materializes on EVERY executor no matter how big it

@@ -103,6 +103,62 @@ class StatsSpec extends EngineSuite {
     }
   }
 
+  test("STRAIGHT_JOIN hint pins the text join order that CBO would otherwise rewrite") {
+    // sql-parser.cup:9545 + TableRef.java:374-390 — straight_join
+    // disables createCheapestJoinPlan for the statement. Pin BOTH ways
+    // on the same mis-ordered join as the CBO test: with ANALYZE'd stats
+    // the bare query reorders (tiny dim pulled ahead), the hinted query
+    // must keep the deliberate fact-fact-first text order.
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    for (t <- Seq("graft_sj_l", "graft_sj_o", "graft_sj_tiny"))
+      s.sql(s"DROP TABLE IF EXISTS $t")
+    s.table("lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .write.mode("overwrite").saveAsTable("graft_sj_l")
+    s.table("orders").select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").saveAsTable("graft_sj_o")
+    s.table("part").select(col("p_partkey")).filter(col("p_partkey") <= 5)
+      .write.mode("overwrite").saveAsTable("graft_sj_tiny")
+    try {
+      Seq("graft_sj_l" -> "l_orderkey, l_partkey", "graft_sj_o" -> "o_orderkey",
+        "graft_sj_tiny" -> "p_partkey").foreach { case (t, cols) =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS $cols")
+      }
+      def leaves(hint: String): Seq[String] = {
+        val q =
+          s"""SELECT $hint COUNT(*) AS n
+             |FROM graft_sj_l l
+             |JOIN graft_sj_o o ON l.l_orderkey = o.o_orderkey
+             |JOIN graft_sj_tiny t ON l.l_partkey = t.p_partkey""".stripMargin
+        s.sql(q).queryExecution.optimizedPlan.collectLeaves().flatMap {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.catalogTable.map(_.identifier.table)
+          case _ => None
+        }.toSeq
+      }
+      val text = Seq("graft_sj_l", "graft_sj_o", "graft_sj_tiny")
+      assert(leaves("") != text,
+        "precondition lost: stats no longer trigger a reorder on the bare query")
+      assert(leaves("/*+ STRAIGHT_JOIN */") == text,
+        "STRAIGHT_JOIN did not pin the text join order")
+      // result parity: the hint only constrains order, never the rows
+      val bare = s.sql(
+        """SELECT COUNT(*) AS n FROM graft_sj_l l
+          |JOIN graft_sj_o o ON l.l_orderkey = o.o_orderkey
+          |JOIN graft_sj_tiny t ON l.l_partkey = t.p_partkey""".stripMargin)
+        .collect().head.getLong(0)
+      val pinned = s.sql(
+        """SELECT /*+ STRAIGHT_JOIN */ COUNT(*) AS n FROM graft_sj_l l
+          |JOIN graft_sj_o o ON l.l_orderkey = o.o_orderkey
+          |JOIN graft_sj_tiny t ON l.l_partkey = t.p_partkey""".stripMargin)
+        .collect().head.getLong(0)
+      assert(bare == pinned && bare > 0)
+    } finally {
+      for (t <- Seq("graft_sj_l", "graft_sj_o", "graft_sj_tiny"))
+        s.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("murmur_hash and fnv_hash are deterministic and distinct per layout") {
     val s = spark
     graft.engine.GraftSession.attach(s)
