@@ -568,11 +568,11 @@ object CorpusStats {
       s"""WITH d AS (SELECT source, $score AS toks FROM documents),
          |s AS (SELECT source, COUNT(*) AS n_i,
          |        CAST(SUM(toks) AS BIGINT) AS t_i,
-         |        CAST(SUM(toks * toks) AS BIGINT) AS q_i
+         |        CAST(SUM(CAST(toks AS DECIMAL(19,0)) * toks) AS DECIMAL(38,0)) AS q_i
          |      FROM d GROUP BY source),
          |tot AS (SELECT COUNT(*) AS k, CAST(SUM(n_i) AS BIGINT) AS n,
          |          CAST(SUM(t_i) AS BIGINT) AS t,
-         |          CAST(SUM(n_i * n_i) AS BIGINT) AS sn2,
+         |          CAST(SUM(CAST(n_i AS DECIMAL(19,0)) * n_i) AS DECIMAL(38,0)) AS sn2,
          |          CAST(SUM(CAST(q_i - CAST(t_i AS DOUBLE) * t_i / n_i
          |            AS DECIMAL(27,18))) AS DOUBLE) AS ssw,
          |          CAST(SUM(CAST(CAST(t_i AS DOUBLE) * t_i / n_i

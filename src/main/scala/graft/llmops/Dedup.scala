@@ -1785,15 +1785,18 @@ object Dedup {
        |             JOIN deg d2 ON e.b = d2.doc_id),
        |s AS (SELECT COUNT(*) AS m,
        |        CAST(SUM(da + db) AS BIGINT) AS sx,
-       |        CAST(SUM(da * da + db * db) AS BIGINT) AS sxx,
-       |        CAST(SUM(da * db) AS BIGINT) AS sxy
+       |        CAST(SUM(CAST(da AS DECIMAL(19,0)) * da
+       |                 + CAST(db AS DECIMAL(19,0)) * db) AS DECIMAL(38,0)) AS sxx,
+       |        CAST(SUM(CAST(da AS DECIMAL(19,0)) * db) AS DECIMAL(38,0)) AS sxy
        |      FROM j)
        |SELECT CAST(m AS BIGINT) AS n_edges,
        |  CAST(ROUND(CAST(sx AS DOUBLE) / (2 * m) * 1e6) AS BIGINT)
        |    AS mean_end_deg_e6,
-       |  CAST(ROUND(CASE WHEN 2 * m * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
-       |       ELSE CAST(4 * m * sxy - sx * sx AS DOUBLE)
-       |            / (2 * m * sxx - sx * sx) END * 1e6) AS BIGINT)
+       |  CAST(ROUND(CASE WHEN 2 * CAST(m AS DOUBLE) * sxx
+       |                   - CAST(sx AS DOUBLE) * sx = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE (4 * CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+       |            / (2 * CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |       END * 1e6) AS BIGINT)
        |    AS assortativity_e6
        |FROM s""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
@@ -1807,19 +1810,25 @@ object Dedup {
     val j = e
       .join(deg.select(col("doc_id").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("doc_id").as("b"), col("deg").as("db")), "b")
+    // degree-square sums through DECIMAL(38,0), final trees over DOUBLE
+    // factors: hub degrees reach 10⁶ and edge counts 10¹²⁺ at web
+    // scale, so the BIGINT products (and the 2·m·sxx cross term) wrap
+    val dd = col("da").cast("decimal(19,0)")
     val sm = j.agg(
       count(lit(1)).as("m"),
       sum(col("da") + col("db")).as("sx"),
-      sum(col("da") * col("da") + col("db") * col("db")).as("sxx"),
-      sum(col("da") * col("db")).as("sxy"))
-    val den = lit(2) * col("m") * col("sxx") - col("sx") * col("sx")
+      sum(dd * col("da") + col("db").cast("decimal(19,0)") * col("db"))
+        .cast("decimal(38,0)").as("sxx"),
+      sum(dd * col("db")).cast("decimal(38,0)").as("sxy"))
+    val den = lit(2) * col("m").cast("double") * col("sxx")
+      - col("sx").cast("double") * col("sx")
     sm.select(
       col("m").cast("long").as("n_edges"),
       round(col("sx").cast("double") / (lit(2) * col("m")) * lit(1e6))
         .cast("long").as("mean_end_deg_e6"),
       round(when(den === 0, lit(0.0))
-          .otherwise((lit(4) * col("m") * col("sxy") - col("sx") * col("sx"))
-            .cast("double") / den) * lit(1e6))
+          .otherwise((lit(4) * col("m").cast("double") * col("sxy")
+            - col("sx").cast("double") * col("sx")) / den) * lit(1e6))
         .cast("long").as("assortativity_e6"))
   }
 

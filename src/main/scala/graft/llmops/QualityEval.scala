@@ -57,9 +57,13 @@ object QualityEval {
     * and token-count-based quality flags) — the agreement-beyond-chance
     * number that decides whether a second cheap signal adds information
     * or just repeats the first. The corpus collapses to the 2×2
-    * contingency table in one rollup; kappa's closed form stays in
-    * exact integers scaled by n² until the final division:
-    * κ = (n·(n11+n00) − (ra·cb + (n−ra)·(n−cb))) / (n² − (…)). */
+    * contingency table in one rollup; the cells stay exact integers,
+    * and kappa's n²-scaled closed form
+    * κ = (n·(n11+n00) − (ra·cb + (n−ra)·(n−cb))) / (n² − (…))
+    * casts each quadratic FACTOR to DOUBLE first: BIGINT products wrap
+    * silently past n ≈ 3·10⁹ docs (and the ×1e6 past 3·10⁶), while the
+    * double tree is deterministic in both engines and its cancellation
+    * error is ≤ ulp(n²)·few ≪ one e6 unit. */
   val q279ClassifierKappa: QuerySpec = {
     def text(spark: Boolean): String = {
       val words =
@@ -77,9 +81,13 @@ object QualityEval {
          |SELECT n11, n10, n01, n00,
          |  CAST(ROUND((n11 + n00) * 1e6 / n) AS BIGINT) AS agreement_e6,
          |  CAST(ROUND(
-         |    (n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+         |    (CAST(n AS DOUBLE) * (n11 + n00)
+         |     - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+         |        + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
          |    * 1e6
-         |    / (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+         |    / (CAST(n AS DOUBLE) * n
+         |       - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+         |          + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
          |  ) AS BIGINT) AS kappa_e6
          |FROM t""".stripMargin
     }

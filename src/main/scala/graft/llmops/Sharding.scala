@@ -146,7 +146,8 @@ object Sharding {
       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos
       |  FROM t)
       |SELECT shard, COUNT(*) AS n_docs,
-      |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum,
+      |  CAST(SUM(CAST(pos AS DECIMAL(19,0)) * doc_id)
+      |       % 1000000000000000000 AS BIGINT) AS order_checksum,
       |  MIN(doc_id) AS min_doc
       |FROM p GROUP BY shard
       |ORDER BY shard""".stripMargin)

@@ -114,8 +114,10 @@ object Events {
   /** Rolling z-score anomaly detection over the hourly event-count
     * series — the ops-monitoring twin of [[q69Outliers]]'s static
     * percentile cut: each hour scores against the trailing 24-hour
-    * baseline (mean/std from exact integer Σc and Σc², never a second
-    * pass), so a traffic spike flags the hour it happens. Scale shape:
+    * baseline (mean/std from exact Σc and Σc² — the square sum rides
+    * DECIMAL(38,0): 24 hours of 10⁹-event hours already brush the
+    * BIGINT ceiling — never a second pass), so a traffic spike flags
+    * the hour it happens. Scale shape:
     * ONE corpus rollup to the hour-keyed relation, then all windows run
     * on that tiny series; the variance identity keeps the arithmetic
     * exact until the final fixed DOUBLE tree (max(var,1) floors the
@@ -127,7 +129,7 @@ object Events {
       |           FROM events GROUP BY date_trunc('hour', ts)),
       |w AS (SELECT hr, c,
       |        CAST(SUM(c) OVER win AS BIGINT) AS s1,
-      |        CAST(SUM(c * c) OVER win AS BIGINT) AS s2,
+      |        CAST(SUM(CAST(c AS DECIMAL(19,0)) * c) OVER win AS DECIMAL(38,0)) AS s2,
       |        COUNT(*) OVER win AS n
       |      FROM h
       |      WINDOW win AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
@@ -410,7 +412,9 @@ object Events {
     * per hour-of-day seasonal means plus the fraction of total variance
     * the 24-slot profile explains (the R² of the seasonal model,
     * `1 − SS_res/SS_tot` with the ANOVA identities `Σc² − (Σc)²/n`).
-    * All moments are exact integers per slot; the 24 per-slot residual
+    * All moments are exact per slot (Σc² through DECIMAL(38,0) — a
+    * corpus of 10⁹-event hours overflows a BIGINT square sum); the 24
+    * per-slot residual
     * terms accumulate through DECIMAL(27,6) before the global ratio
     * (q205 ulp rule). One corpus rollup; everything after is 24 rows. */
   val q246Seasonality: QuerySpec = QuerySpec.sql(
@@ -420,11 +424,11 @@ object Events {
       |slot AS (SELECT CAST(HOUR(hr) AS INT) AS hod,
       |           COUNT(*) AS n_h,
       |           CAST(SUM(c) AS BIGINT) AS s1_h,
-      |           CAST(SUM(c * c) AS BIGINT) AS s2_h
+      |           CAST(SUM(CAST(c AS DECIMAL(19,0)) * c) AS DECIMAL(38,0)) AS s2_h
       |         FROM h GROUP BY HOUR(hr)),
       |tot AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n,
       |          CAST(SUM(s1_h) AS BIGINT) AS s1,
-      |          CAST(SUM(s2_h) AS BIGINT) AS s2,
+      |          CAST(SUM(s2_h) AS DECIMAL(38,0)) AS s2,
       |          CAST(SUM(CAST(s2_h - CAST(s1_h AS DOUBLE) * s1_h / n_h
       |               AS DECIMAL(27,6))) AS DOUBLE) AS ss_res
       |        FROM slot)
@@ -886,8 +890,12 @@ object Events {
     * rank identity is tie-invariant, so 2·Σ rank·c = Σ c(2m·lo+m²+m)
     * per equal-count block and the only window is a running sum over
     * that ~10³-row relation — a web-scale key domain (10⁹ users) never
-    * flows through one rank task. Exactness: the Gini is PURE INTEGER
-    * algebra, and the entropy sum goes through DECIMAL(27,18)
+    * flows through one rank task. Exactness: the Gini's rank sum
+    * accumulates c·(2m·lo+m²+m) terms — cubic in the key count, ~10²⁴
+    * at 10⁹ keys, far past BIGINT — so each term is one deterministic
+    * DOUBLE product captured into DECIMAL(27,0) before the exact
+    * decimal sum (the q184 rule), and the entropy sum goes through
+    * DECIMAL(27,18)
     * accumulation (q184 rule) so neither engine's summation order
     * shows in the e6 rounding. */
   val q219KeySkewReport: QuerySpec = QuerySpec.sql(
@@ -901,7 +909,9 @@ object Events {
       |s AS (SELECT CAST(SUM(m) AS BIGINT) AS n_keys,
       |             CAST(SUM(m * c) AS BIGINT) AS n_rows,
       |             MAX(c) AS max_freq,
-      |             CAST(SUM(c * (2 * m * lo + m * m + m)) AS BIGINT) AS s2,
+      |             CAST(SUM(CAST(CAST(c AS DOUBLE) * (2 * CAST(m AS DOUBLE) * lo
+      |                  + CAST(m AS DOUBLE) * m + m) AS DECIMAL(27,0)))
+      |               AS DECIMAL(38,0)) AS s2,
       |             CAST(SUM(CAST(m * c * LN(c) AS DECIMAL(27,18))) AS DOUBLE) AS clnc
       |      FROM w)
       |SELECT n_rows, n_keys, CAST(max_freq AS BIGINT) AS max_freq,
@@ -1102,12 +1112,14 @@ object Events {
          |gap AS (SELECT event_type, ${ep("ts")} - ${ep("pts")} AS gp
          |        FROM s WHERE pts IS NOT NULL),
          |a AS (SELECT event_type, COUNT(*) AS n,
-         |        CAST(SUM(gp) AS BIGINT) AS sg, CAST(SUM(gp * gp) AS BIGINT) AS sg2
+         |        CAST(SUM(gp) AS BIGINT) AS sg,
+         |        CAST(SUM(CAST(gp AS DECIMAL(19,0)) * gp) AS DECIMAL(38,0)) AS sg2
          |      FROM gap GROUP BY event_type),
          |d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
          |      FROM events GROUP BY event_type, CAST(ts AS DATE)),
          |f AS (SELECT event_type, COUNT(*) AS nd,
-         |        CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(c * c) AS BIGINT) AS tc2
+         |        CAST(SUM(c) AS BIGINT) AS tc,
+         |        CAST(SUM(CAST(c AS DECIMAL(19,0)) * c) AS DECIMAL(38,0)) AS tc2
          |      FROM d GROUP BY event_type)
          |SELECT a.event_type, CAST(a.n AS BIGINT) AS n_gaps,
          |  CAST(ROUND(CAST(sg AS DOUBLE) * 100.0 / a.n) AS BIGINT) AS mean_gap_s_e2,

@@ -866,6 +866,377 @@ object TpcdsShapes {
       |  JOIN lineitem ON o_orderkey = l_orderkey
       |  WHERE l_returnflag = 'R' AND l_quantity > 45) t""".stripMargin)
 
+  // ---- round-14 second batch: ten more DS plan families ---------------
+
+  /** TPC-DS Q6 shape: items priced above their category average — the
+    * per-type mean joins the star as a 6-row broadcast factor, and the
+    * comparison cross-multiplies exact decimals (`price·n·25 > sum·26`
+    * ⇔ price > 1.04·avg) so neither engine divides. One fact pass;
+    * every dimension side is broadcast material. */
+  val q358PriceAboveCategoryAvg: QuerySpec = QuerySpec.sql(
+    "q358_dss_price_above_avg",
+    s"""WITH ap AS (
+       |  SELECT p_type, CAST(SUM(CAST(p_retailprice AS $M)) AS DECIMAL(24,2)) AS s,
+       |         COUNT(*) AS n
+       |  FROM part GROUP BY p_type)
+       |SELECT n_name, COUNT(*) AS cnt
+       |FROM customer
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN ap ON part.p_type = ap.p_type
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE YEAR(o_orderdate) = 1997
+       |  AND CAST(p_retailprice AS $M) * n * 25 > s * 26
+       |GROUP BY n_name
+       |ORDER BY cnt DESC, n_name
+       |LIMIT 100""".stripMargin)
+
+  /** TPC-DS Q9 shape: five quantity-band statistics selected through
+    * CASE over uncorrelated scalar subqueries. The textbook text plans
+    * 15 independent fact passes (Spark's subquery merging does not
+    * coalesce the per-band count/sum trios), so the Spark-first
+    * implementation computes all 15 band aggregates as conditional
+    * aggregates in ONE fact pass and applies the CASE over the
+    * resulting 1-row relation — Q9's semantics at 1/15th the scans.
+    * The oracle keeps the literal scalar-subquery form. */
+  val q359CaseScalarBands: QuerySpec = QuerySpec(
+    "q359_dss_case_scalar_bands",
+    (1 to 5).map { i =>
+      val lo = (i - 1) * 10 + 1; val hi = i * 10
+      s"""  CASE WHEN (SELECT COUNT(*) FROM lineitem
+         |             WHERE l_quantity BETWEEN $lo AND $hi) > 12000
+         |       THEN (SELECT CAST(SUM($Vol) AS DOUBLE) FROM lineitem
+         |             WHERE l_quantity BETWEEN $lo AND $hi)
+         |       ELSE (SELECT CAST(SUM(CAST(l_extendedprice AS $M)) AS DOUBLE)
+         |             FROM lineitem
+         |             WHERE l_quantity BETWEEN $lo AND $hi) END AS bucket$i"""
+        .stripMargin
+    }.mkString("SELECT\n", ",\n", "\nFROM region WHERE r_regionkey = 0")) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val vol = (Num.money(col("l_extendedprice"))
+      * (lit(1).cast(Num.Rate) - Num.rate(col("l_discount"))))
+      .cast("decimal(19,8)")
+    def band(i: Int) =
+      col("l_quantity").between((i - 1) * 10 + 1, i * 10)
+    val aggs = (1 to 5).flatMap { i =>
+      Seq(
+        count(when(band(i), 1)).as(s"n$i"),
+        sum(when(band(i), vol)).cast("double").as(s"v$i"),
+        sum(when(band(i), Num.money(col("l_extendedprice"))))
+          .cast("double").as(s"e$i"))
+    }
+    sp.table("lineitem").agg(aggs.head, aggs.tail: _*)
+      .select((1 to 5).map { i =>
+        when(col(s"n$i") > 12000, col(s"v$i"))
+          .otherwise(col(s"e$i")).as(s"bucket$i")
+      }: _*)
+  }
+
+  /** TPC-DS Q21 shape: the before/after-pivot-date quantity-balance
+    * screen — per (supplier, part) the shipped quantity on each side of
+    * a date boundary, kept when the ratio stays inside [2/3, 3/2]
+    * (cross-multiplied in BIGINT, no division). One date-pruned fact
+    * pass collapsed to (supplier, part) grain, then a broadcast-sized
+    * supplier dim join. */
+  val q360BeforeAfterBalance: QuerySpec = QuerySpec.sql(
+    "q360_dss_before_after_balance",
+    """WITH sp AS (
+      |  SELECT l_suppkey AS sk, l_partkey AS pk,
+      |    SUM(CASE WHEN l_shipdate < DATE '1998-01-01'
+      |             THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_before,
+      |    SUM(CASE WHEN l_shipdate >= DATE '1998-01-01'
+      |             THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_after
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1999-01-01'
+      |  GROUP BY 1, 2)
+      |SELECT s_name, COUNT(*) AS n_items
+      |FROM sp JOIN supplier ON sk = s_suppkey
+      |WHERE qty_before > 0 AND qty_after > 0
+      |  AND 3 * qty_after >= 2 * qty_before AND 2 * qty_after <= 3 * qty_before
+      |GROUP BY s_name
+      |ORDER BY n_items DESC, s_name
+      |LIMIT 100""".stripMargin)
+
+  /** TPC-DS Q39 shape: demand-volatility pairs — per (part, month)
+    * coefficient of variation from exact decimal moments, month m
+    * self-joined to month m+1 for parts volatile in BOTH. The moment
+    * relation collapses the fact to (part, month) grain ONCE and is
+    * staged (the self-join references it twice; Spark's CTE inlining
+    * would re-scan the fact — the q116 lesson, oracle MATERIALIZED for
+    * the same reason); the self-join then keys on its own grouping
+    * columns. Each cv is one fixed DOUBLE tree over the exact sums. */
+  val q361VolatilityPairs: QuerySpec = QuerySpec(
+    "q361_dss_volatility_pairs",
+    s"""WITH pm AS MATERIALIZED (
+       |  SELECT l_partkey AS pk, MONTH(l_shipdate) AS m, COUNT(*) AS n,
+       |    CAST(SUM(CAST(l_quantity AS $M)) AS DOUBLE) AS s,
+       |    CAST(SUM(CAST(l_quantity AS $M) * CAST(l_quantity AS $M))
+       |      AS DOUBLE) AS ss
+       |  FROM lineitem WHERE YEAR(l_shipdate) BETWEEN 1996 AND 1998
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |cov AS MATERIALIZED (
+       |  SELECT pk, m, n, SQRT((ss - s*s/n)/(n-1)) / (s/n) AS cv
+       |  FROM pm WHERE s > 0)
+       |SELECT a.pk AS p_partkey, a.m AS m1,
+       |  CAST(ROUND(a.cv * 1e6) AS BIGINT) AS cv1_e6,
+       |  b.m AS m2, CAST(ROUND(b.cv * 1e6) AS BIGINT) AS cv2_e6
+       |FROM cov a JOIN cov b ON a.pk = b.pk AND b.m = a.m + 1
+       |WHERE a.cv > 0.4 AND b.cv > 0.4
+       |ORDER BY p_partkey, m1
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val qd = col("l_quantity").cast(Num.Money)
+    val cov = sp.table("lineitem")
+      .filter(year(col("l_shipdate")).between(1996, 1998))
+      .groupBy(col("l_partkey").as("pk"), month(col("l_shipdate")).as("m"))
+      .agg(count(lit(1)).as("n"), sum(qd).cast("double").as("s"),
+        sum(qd * qd).cast("double").as("ss"))
+      .filter(col("n") >= 3 && col("s") > 0)
+      .withColumn("cv",
+        sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+          / (col("s") / col("n")))
+      .staged // self-joined below: collapse the fact once
+    val a = cov.select(col("pk"), col("m").as("m1"), col("cv").as("cv1"))
+    val b = cov.select(col("pk").as("pk_b"), col("m").as("m2"), col("cv").as("cv2"))
+    a.join(b, col("pk") === col("pk_b") && col("m2") === col("m1") + 1)
+      .filter(col("cv1") > 0.4 && col("cv2") > 0.4)
+      .select(col("pk").as("p_partkey"), col("m1"),
+        round(col("cv1") * 1e6).cast("long").as("cv1_e6"),
+        col("m2"), round(col("cv2") * 1e6).cast("long").as("cv2_e6"))
+      .orderBy(col("p_partkey"), col("m1"))
+      .limit(100)
+  }
+
+  /** TPC-DS Q41 shape: the dimension-only OR maze — DISTINCT names from
+    * one dim scan under a conjunction of a global band with three OR'd
+    * attribute blocks. No fact table at all: the plan is one part scan
+    * with the whole normalized disjunction pushed to the reader. */
+  val q362DimOrMaze: QuerySpec = QuerySpec.sql(
+    "q362_dss_dim_or_maze",
+    """SELECT DISTINCT p_name FROM part
+      |WHERE p_size BETWEEN 5 AND 15
+      |  AND ((p_brand = 'Brand#11' AND p_type IN ('ECONOMY','STANDARD')
+      |        AND p_size BETWEEN 5 AND 10)
+      |    OR (p_brand = 'Brand#12' AND p_type IN ('LARGE','MEDIUM')
+      |        AND p_size BETWEEN 8 AND 13)
+      |    OR (p_brand = 'Brand#13' AND p_type IN ('PROMO','SMALL')
+      |        AND p_size BETWEEN 10 AND 15))
+      |ORDER BY p_name
+      |LIMIT 100""".stripMargin)
+
+  /** TPC-DS Q44 shape: best/worst performer pairing — items ranked by
+    * per-line average revenue from BOTH ends, the two top-10 lists
+    * joined rank-to-rank and each resolved against the item dim. The
+    * per-item relation is staged (referenced by both directions); each
+    * direction is an ORDER BY … LIMIT TopN (never a global window over
+    * the item grain — TakeOrderedAndProject scales, a whole-relation
+    * rank does not), and the 10-row survivors get their rank from a
+    * window over a bounded relation. */
+  val q363BestWorstPairing: QuerySpec = QuerySpec(
+    "q363_dss_best_worst_pairing",
+    s"""WITH perf AS MATERIALIZED (
+       |  SELECT l_partkey AS pk,
+       |    CAST(ROUND(CAST(SUM($Vol) AS DOUBLE) / COUNT(*) * 1e2) AS BIGINT)
+       |      AS avg_rev_c
+       |  FROM lineitem GROUP BY 1),
+       |best AS (SELECT pk, avg_rev_c FROM perf ORDER BY avg_rev_c DESC, pk LIMIT 10),
+       |worst AS (SELECT pk, avg_rev_c FROM perf ORDER BY avg_rev_c ASC, pk LIMIT 10),
+       |br AS (SELECT pk, ROW_NUMBER() OVER (ORDER BY avg_rev_c DESC, pk) AS rnk FROM best),
+       |wr AS (SELECT pk, ROW_NUMBER() OVER (ORDER BY avg_rev_c ASC, pk) AS rnk FROM worst)
+       |SELECT br.rnk AS rnk, pb.p_name AS best_performing,
+       |       pw.p_name AS worst_performing
+       |FROM br JOIN wr ON br.rnk = wr.rnk
+       |JOIN part pb ON br.pk = pb.p_partkey
+       |JOIN part pw ON wr.pk = pw.p_partkey
+       |ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val vol = (Num.money(col("l_extendedprice"))
+      * (lit(1).cast(Num.Rate) - Num.rate(col("l_discount"))))
+      .cast("decimal(19,8)")
+    val perf = sp.table("lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(round(sum(vol).cast("double") / count(lit(1)) * 1e2)
+        .cast("long").as("avg_rev_c"))
+      .staged // consumed by both rank directions
+    import org.apache.spark.sql.expressions.Window
+    val best = perf.orderBy(col("avg_rev_c").desc, col("pk")).limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("avg_rev_c").desc, col("pk"))))
+      .select(col("pk").as("pk_b"), col("rnk"))
+    val worst = perf.orderBy(col("avg_rev_c").asc, col("pk")).limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("avg_rev_c").asc, col("pk"))))
+      .select(col("pk").as("pk_w"), col("rnk").as("rnk_w"))
+    val part = sp.table("part")
+    best.join(worst, col("rnk") === col("rnk_w"))
+      .join(part.select(col("p_partkey").as("pk_b"),
+        col("p_name").as("best_performing")), "pk_b")
+      .join(part.select(col("p_partkey").as("pk_w"),
+        col("p_name").as("worst_performing")), "pk_w")
+      .select(col("rnk"), col("best_performing"), col("worst_performing"))
+      .orderBy(col("rnk"))
+  }
+
+  /** TPC-DS Q49 shape: the worst-return-ratio report — per (channel,
+    * item) quantity and amount return ratios, each dense-ranked within
+    * its channel, keeping items in either top-10 (the OR of two ranks
+    * expressed as a UNION of two rank-limited passes so BOTH windows
+    * stay WindowGroupLimit-prunable — an OR'd filter after two windows
+    * would force full-channel ranking at 100×). The (channel, item)
+    * relation collapses the fact once and is staged; channels are the
+    * fixture's two ship years. */
+  val q364ReturnRatioRanks: QuerySpec = QuerySpec(
+    "q364_dss_return_ratio_ranks",
+    s"""WITH ch AS MATERIALIZED (
+       |  SELECT YEAR(l_shipdate) AS yr, l_partkey AS pk,
+       |    SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS BIGINT)
+       |        ELSE 0 END) AS ret_q,
+       |    SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS BIGINT)
+       |        ELSE 0 END) AS sal_q,
+       |    SUM(CASE WHEN l_returnflag='R' THEN $Vol ELSE $Zero END) AS ret_a,
+       |    SUM(CASE WHEN l_returnflag='N' THEN $Vol ELSE $Zero END) AS sal_a
+       |  FROM lineitem WHERE YEAR(l_shipdate) IN (1996, 1997)
+       |  GROUP BY 1, 2
+       |  HAVING SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) >= 2
+       |     AND SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) >= 1),
+       |rt AS MATERIALIZED (
+       |  SELECT yr, pk,
+       |    CAST(ROUND(CAST(ret_q AS DOUBLE)/sal_q * 1e6) AS BIGINT) AS qratio_e6,
+       |    CAST(ROUND(CAST(ret_a AS DOUBLE)/CAST(sal_a AS DOUBLE) * 1e6)
+       |      AS BIGINT) AS aratio_e6
+       |  FROM ch WHERE sal_q > 0 AND CAST(sal_a AS DOUBLE) > 0),
+       |rk AS (
+       |  SELECT yr, pk, qratio_e6, aratio_e6,
+       |    DENSE_RANK() OVER (PARTITION BY yr ORDER BY qratio_e6 DESC, pk) AS qr,
+       |    DENSE_RANK() OVER (PARTITION BY yr ORDER BY aratio_e6 DESC, pk) AS ar
+       |  FROM rt)
+       |SELECT yr, pk AS p_partkey, qratio_e6, aratio_e6, qr AS rnk
+       |FROM rk WHERE qr <= 10
+       |UNION
+       |SELECT yr, pk, qratio_e6, aratio_e6, ar
+       |FROM rk WHERE ar <= 10
+       |ORDER BY yr, rnk, p_partkey""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val vol = (Num.money(col("l_extendedprice"))
+      * (lit(1).cast(Num.Rate) - Num.rate(col("l_discount"))))
+      .cast("decimal(19,8)")
+    def when_(f: String, c: org.apache.spark.sql.Column) =
+      when(col("l_returnflag") === f, c).otherwise(lit(0))
+    val rt = sp.table("lineitem")
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .groupBy(year(col("l_shipdate")).as("yr"), col("l_partkey").as("pk"))
+      .agg(
+        sum(when_("R", col("l_quantity").cast("long"))).as("ret_q"),
+        sum(when_("N", col("l_quantity").cast("long"))).as("sal_q"),
+        sum(when(col("l_returnflag") === "R", vol)
+          .otherwise(lit(0).cast("decimal(19,8)"))).as("ret_a"),
+        sum(when(col("l_returnflag") === "N", vol)
+          .otherwise(lit(0).cast("decimal(19,8)"))).as("sal_a"),
+        sum(when_("N", lit(1L))).as("n_sal"),
+        sum(when_("R", lit(1L))).as("n_ret"))
+      .filter(col("n_sal") >= 2 && col("n_ret") >= 1 &&
+        col("sal_q") > 0 && col("sal_a").cast("double") > 0)
+      .select(col("yr"), col("pk"),
+        round(col("ret_q").cast("double") / col("sal_q") * 1e6)
+          .cast("long").as("qratio_e6"),
+        round(col("ret_a").cast("double") / col("sal_a").cast("double") * 1e6)
+          .cast("long").as("aratio_e6"))
+      .staged // two rank-limited passes below
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy(col("yr"))
+      .orderBy(col("qratio_e6").desc, col("pk"))
+    val byA = Window.partitionBy(col("yr"))
+      .orderBy(col("aratio_e6").desc, col("pk"))
+    val topQ = rt.withColumn("rnk", dense_rank().over(byQ))
+      .filter(col("rnk") <= 10)
+    val topA = rt.withColumn("rnk", dense_rank().over(byA))
+      .filter(col("rnk") <= 10)
+    topQ.union(topA).distinct()
+      .select(col("yr"), col("pk").as("p_partkey"),
+        col("qratio_e6"), col("aratio_e6"), col("rnk"))
+      .orderBy(col("yr"), col("rnk"), col("p_partkey"))
+  }
+
+  /** TPC-DS Q72 shape: the equi-join with a date-arithmetic residual —
+    * lines shipped within five days of their order date, counted per
+    * nation. The join keys stay pure equi (orderkey, custkey,
+    * nationkey); the `shipdate < orderdate + 5 days` band is a residual
+    * ON the hash join, never a nested-loop — the shape that keeps Q72
+    * plannable at warehouse scale. */
+  val q365DateArithResidual: QuerySpec = QuerySpec.sql(
+    "q365_dss_date_arith_residual",
+    """SELECT n_name, COUNT(*) AS n_fast_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_shipdate < o_orderdate + INTERVAL 5 DAY AND o_orderstatus = 'F'
+      |GROUP BY n_name
+      |ORDER BY n_fast_lines DESC, n_name""".stripMargin)
+
+  /** TPC-DS Q90 shape: the am/pm ratio — two disjoint time-band scalar
+    * counts divided into one ratio row. Each side is an O(1)-result
+    * probe aggregate; the division is a broadcast cross of two 1-row
+    * relations (the allowed scalar-cross pattern). */
+  val q366AmPmRatio: QuerySpec = QuerySpec.sql(
+    "q366_dss_am_pm_ratio",
+    """SELECT CAST(ROUND(CAST(am.cnt AS DOUBLE) / pm.cnt * 1e6) AS BIGINT)
+      |  AS am_pm_ratio_e6
+      |FROM (SELECT COUNT(*) AS cnt FROM events
+      |      WHERE event_type = 'purchase' AND HOUR(ts) BETWEEN 6 AND 11) am,
+      |     (SELECT COUNT(*) AS cnt FROM events
+      |      WHERE event_type = 'purchase' AND HOUR(ts) BETWEEN 18 AND 23) pm""".stripMargin)
+
+  /** TPC-DS Q97 shape: channel-overlap matrix — the distinct (customer,
+    * item) grain of each of two channels FULL OUTER joined on the whole
+    * grain, counted into only/only/both. The fixture's channels are the
+    * two return-flag slices, so the grain relation collapses ONE fact
+    * pass (flag kept as a column) and is staged; the real query's two
+    * channel facts would each collapse the same way. The FULL OUTER is
+    * key-partitioned on the composite grain — no broadcast, both sides
+    * large, exactly Q97's shuffle shape. */
+  val q367ChannelOverlapMatrix: QuerySpec = QuerySpec(
+    "q367_dss_channel_overlap_matrix",
+    """WITH g AS MATERIALIZED (
+      |  SELECT o_custkey AS cust, l_partkey AS item, l_returnflag AS f
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE l_returnflag IN ('N', 'R')
+      |  GROUP BY 1, 2, 3),
+      |ss AS (SELECT cust, item FROM g WHERE f = 'N'),
+      |cs AS (SELECT cust, item FROM g WHERE f = 'R')
+      |SELECT
+      |  CAST(COUNT(CASE WHEN ss.cust IS NOT NULL AND cs.cust IS NULL
+      |             THEN 1 END) AS BIGINT) AS store_only,
+      |  CAST(COUNT(CASE WHEN ss.cust IS NULL AND cs.cust IS NOT NULL
+      |             THEN 1 END) AS BIGINT) AS catalog_only,
+      |  CAST(COUNT(CASE WHEN ss.cust IS NOT NULL AND cs.cust IS NOT NULL
+      |             THEN 1 END) AS BIGINT) AS store_and_catalog
+      |FROM ss FULL OUTER JOIN cs ON ss.cust = cs.cust AND ss.item = cs.item""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val g = sp.table("orders")
+      .join(sp.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag").isin("N", "R"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"),
+        col("l_returnflag").as("f"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("cust"), col("item"), col("f"))
+      .staged // both channel slices read this one collapsed pass
+    val ss = g.filter(col("f") === "N")
+      .select(col("cust").as("s_cust"), col("item").as("s_item"))
+    val cs = g.filter(col("f") === "R")
+      .select(col("cust").as("c_cust"), col("item").as("c_item"))
+    ss.join(cs, col("s_cust") === col("c_cust") &&
+        col("s_item") === col("c_item"), "full_outer")
+      .agg(
+        count(when(col("s_cust").isNotNull && col("c_cust").isNull, 1))
+          .as("store_only"),
+        count(when(col("s_cust").isNull && col("c_cust").isNotNull, 1))
+          .as("catalog_only"),
+        count(when(col("s_cust").isNotNull && col("c_cust").isNotNull, 1))
+          .as("store_and_catalog"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q254StarDateBrand, q255ChannelRollup, q256ReturnsAboveAvg,
     q257MultiSupplierOrders, q258RollupRank, q259OrderSizeBuckets,
@@ -877,5 +1248,9 @@ object TpcdsShapes {
     q348MultiYearChannelGrowth, q349ChannelQuantityFlow, q350SimpleStar,
     q351CityPairDemo, q352BandOr, q353PeriodYoyPivot,
     q354NoReturnChannelRatio, q355QuarterGrowth, q356ChannelExists,
-    q357ChannelExcept)
+    q357ChannelExcept,
+    q358PriceAboveCategoryAvg, q359CaseScalarBands, q360BeforeAfterBalance,
+    q361VolatilityPairs, q362DimOrMaze, q363BestWorstPairing,
+    q364ReturnRatioRanks, q365DateArithResidual, q366AmPmRatio,
+    q367ChannelOverlapMatrix)
 }

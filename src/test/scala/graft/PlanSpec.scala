@@ -1263,6 +1263,77 @@ class PlanSpec extends EngineSuite {
     assert(hasAnti(root), "q354's no-return restriction lost its anti join")
   }
 
+  test("q358-q367 (round-14 DS batch 2): broadcast factors, merged scalars, TopN not windows, staged collapses, shuffled FULL OUTER") {
+    val batch = Seq(
+      "q358_dss_price_above_avg", "q359_dss_case_scalar_bands",
+      "q360_dss_before_after_balance", "q361_dss_volatility_pairs",
+      "q362_dss_dim_or_maze", "q363_dss_best_worst_pairing",
+      "q364_dss_return_ratio_ranks", "q365_dss_date_arith_residual",
+      "q366_dss_am_pm_ratio", "q367_dss_channel_overlap_matrix")
+    for (n <- batch) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n planned an unbroadcast cartesian:\n" + p.take(1200))
+    }
+    def liScans(p: String): Int =
+      "Scan parquet[^\\n]*lineitem".r.findAllIn(p).size
+    // q358: the 6-row per-type factor and every dim side broadcast; the
+    // fact is scanned once; ORDER+LIMIT is TopN
+    val p358 = plan("q358_dss_price_above_avg")
+    assert(p358.contains("BroadcastHashJoin"), "q358: dims not broadcast\n" + p358.take(1200))
+    assert(liScans(p358) == 1, s"q358: fact scanned ${liScans(p358)}x\n" + p358.take(1500))
+    assert(p358.contains("TakeOrderedAndProject"), "q358 lost TopN\n" + p358.take(1200))
+    // q359: Q9's 15 scalar-subquery probes must collapse to ONE
+    // conditional-aggregation fact pass (the textbook text plans 15)
+    val p359 = plan("q359_dss_case_scalar_bands")
+    assert(liScans(p359) == 1,
+      s"q359: band aggregates not fused into one pass (${liScans(p359)} fact scans)\n" + p359.take(1500))
+    // q360: one date-pruned fact pass; the ship-date range reaches the
+    // parquet reader as a pushed filter
+    val p360 = plan("q360_dss_before_after_balance")
+    assert(liScans(p360) == 1, s"q360: fact scanned ${liScans(p360)}x\n" + p360.take(1500))
+    assert(p360.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "q360: ship-date band not pushed to the scan\n" + p360.take(1500))
+    // q361/q363/q364/q367: the staged collapse is the ONLY fact pass —
+    // the final plan joins/windows staged relations, never rescans the
+    // fact (q363's part-dim name lookups remain visible scans)
+    for (n <- Seq("q361_dss_volatility_pairs", "q363_dss_best_worst_pairing",
+        "q364_dss_return_ratio_ranks", "q367_dss_channel_overlap_matrix")) {
+      val p = plan(n)
+      assert(liScans(p) == 0,
+        s"$n rescans the fact instead of joining its staged collapse:\n" + p.take(1500))
+      assert(!p.contains("Scan parquet") || n == "q363_dss_best_worst_pairing",
+        s"$n rescans parquet below its staged collapse:\n" + p.take(1500))
+    }
+    // q362: dim-only — exactly one scan, no joins, size band pushed
+    val p362 = plan("q362_dss_dim_or_maze")
+    assert("Scan parquet".r.findAllIn(p362).size == 1 && !p362.contains("Join"),
+      "q362 must be a single dim scan\n" + p362.take(1200))
+    assert(p362.contains("GreaterThanOrEqual(p_size,5)"),
+      "q362: global size band not pushed\n" + p362.take(1500))
+    // q363: each rank direction is a TopN (TakeOrderedAndProject), and
+    // every window in the plan sits above a 10-row limit — never a
+    // whole-relation rank
+    val p363 = plan("q363_dss_best_worst_pairing")
+    assert(p363.contains("TakeOrderedAndProject"),
+      "q363: rank directions must plan TopN\n" + p363.take(1500))
+    // q364: both rank-filtered windows prune via WindowGroupLimit
+    val p364 = plan("q364_dss_return_ratio_ranks")
+    assert("WindowGroupLimit".r.findAllIn(p364).size >= 2,
+      "q364: rank filters must push WindowGroupLimit\n" + p364.take(1500))
+    // q365: date-arith residual stays ON the equi joins — no nested loop
+    val p365 = plan("q365_dss_date_arith_residual")
+    assert(!p365.contains("BroadcastNestedLoopJoin"),
+      "q365: residual must ride the equi join\n" + p365.take(1500))
+    assert(liScans(p365) == 1, s"q365: fact scanned ${liScans(p365)}x\n" + p365.take(1500))
+    // q367: the channel-overlap FULL OUTER is key-partitioned (both
+    // sides corpus-sized) — never a broadcast
+    val p367 = plan("q367_dss_channel_overlap_matrix")
+    assert(p367.contains("FullOuter"), "q367 lost its FULL OUTER\n" + p367.take(1200))
+    assert(!p367.contains("BroadcastHashJoin"),
+      "q367: corpus-sized FULL OUTER must not broadcast\n" + p367.take(1500))
+  }
+
   // ---- forced-broadcast sweep (the 100 TB broadcast discipline) -------
   // A `broadcast(rel)` hint OVERRIDES the size-based planner: at 100 TB
   // the hinted side materializes on EVERY executor no matter how big it
