@@ -9,6 +9,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// A discarded non-Unit expression in statement position is a build
+// error: the r14 q299 regression was a multi-line infix `-` parsed as
+// a discarded unary statement, silently dropping a denominator term.
+// Main sources only — in ScalaTest specs a statement-position
+// `assert(...)` (an evaluated-then-discarded Assertion) is idiomatic.
+scalacOptions ++= Seq("-Werror", "-deprecation")
+Compile / scalacOptions += "-Wnonunit-statement"
+// Test/scalacOptions delegates to Compile's in sbt's config axis, so
+// the flag must be subtracted back out explicitly.
+Test / scalacOptions -= "-Wnonunit-statement"
 Test / fork := true
 run / fork := true
 // Forked `run` output is normally re-logged line-by-line with an "[info] "

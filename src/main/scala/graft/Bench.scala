@@ -17,13 +17,17 @@ object Bench {
 
     // Warm up: class loading + parquet footer reads happen outside timings.
     graft.sources.TestTables.register(spark, sfDir)
-    spark.range(16).count()
+    discard(spark.range(16).count())
 
     // Optional subset (comma-separated name prefixes, resolved against the
     // FULL registry): scale drills bench heavy non-headline queries too.
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(ps) =>
-        val prefixes = ps.split(",")
+    // Blank prefixes (set-but-empty env var) would match everything via
+    // the empty-string prefix — filter them and fall back to the
+    // headline set when none remain.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) match {
+      case Some(prefixes) =>
         SparkEntry.queries.keys.toSeq.sorted
           .filter(n => prefixes.exists(n.startsWith))
       case None => SparkEntry.benchQueries
@@ -32,7 +36,10 @@ object Bench {
     var failed = List.empty[String]
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        discard(queries(name)(spark, sfDir).count())
+        (System.nanoTime() - t0) / 1e9
+      }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")

@@ -45,7 +45,7 @@ object QuerySpec {
   /** Prepare a session for a query run: ensure the engine's function
     * surface is registered and the sf-dir tables are visible as views. */
   def prepared(spark: SparkSession, dir: String): SparkSession = {
-    graft.engine.GraftSession.attach(spark)
+    discard(graft.engine.GraftSession.attach(spark))
     graft.sources.TestTables.register(spark, dir)
     spark
   }

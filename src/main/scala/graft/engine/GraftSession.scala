@@ -86,17 +86,32 @@ object GraftSession {
     s
   }
 
+  /** Sessions whose extraOptimizations already carry the engine rules.
+    * The GraftExtensions injectOptimizerRule builder re-invokes
+    * [[installOptimizerRules]] on EVERY optimizer-batches evaluation —
+    * without this weak per-session flag each query would take the
+    * global lock just to discover the rules are already installed.
+    * Weak keys: a dropped session must not be pinned by the guard. */
+  private val rulesInstalled = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Append the engine's optimizer rules to the session's
     * extraOptimizations ("User Provided Optimizers" — the only logical
     * batch that runs AFTER DSv2 early scan pushdown, which these rules
-    * require; see GraftExtensions). Idempotent. */
-  def installOptimizerRules(s: SparkSession): Unit = synchronized {
-    Seq(graft.plans.RangeBucketJoinRewrite, graft.plans.AppxCountDistinctRewrite,
-      graft.plans.BoundedLevenshteinRewrite, graft.plans.SmallQueryFastPath)
-      .foreach { r =>
-        if (!s.experimental.extraOptimizations.contains(r))
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ r
+    * require; see GraftExtensions). Idempotent; lock-free after the
+    * first install per session. */
+  def installOptimizerRules(s: SparkSession): Unit =
+    if (rulesInstalled.get(s) == null) synchronized {
+      if (rulesInstalled.get(s) == null) {
+        Seq(graft.plans.RangeBucketJoinRewrite, graft.plans.AppxCountDistinctRewrite,
+          graft.plans.BoundedLevenshteinRewrite, graft.plans.PartitionKeyScans,
+          graft.plans.SmallQueryFastPath)
+          .foreach { r =>
+            if (!s.experimental.extraOptimizations.contains(r))
+              s.experimental.extraOptimizations =
+                s.experimental.extraOptimizations :+ r
+          }
+        graft.discard(rulesInstalled.put(s, java.lang.Boolean.TRUE))
       }
-  }
+    }
 }

@@ -63,7 +63,7 @@ object HyperplaneBands64Util {
     * evaluations. */
   def bands(v: ArrayData, planes: Int, bits: Int): ArrayData = {
     val dim = v.numElements()
-    ensure(planes, dim)
+    graft.discard(ensure(planes, dim))
     val m = masks
     val nw = cachedWords
     val acc = new Array[Double](planes)

@@ -1810,9 +1810,11 @@ object Dedup {
     val j = e
       .join(deg.select(col("doc_id").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("doc_id").as("b"), col("deg").as("db")), "b")
-    // degree-square sums through DECIMAL(38,0), final trees over DOUBLE
-    // factors: hub degrees reach 10⁶ and edge counts 10¹²⁺ at web
-    // scale, so the BIGINT products (and the 2·m·sxx cross term) wrap
+    // degree-square sums through DECIMAL(38,0); num and den stay
+    // EXACT integer algebra until the single final division. Both fit
+    // DECIMAL(38,0) at web scale: m ≈ 10¹², deg ≤ 10⁶ ⇒ 2m·sxx ≈
+    // 4·10³⁶ < 10³⁸. (A DOUBLE tree here loses bits AND invited the
+    // r14 dropped-term parse bug — every expression is parenthesized.)
     val dd = col("da").cast("decimal(19,0)")
     val sm = j.agg(
       count(lit(1)).as("m"),
@@ -1820,15 +1822,18 @@ object Dedup {
       sum(dd * col("da") + col("db").cast("decimal(19,0)") * col("db"))
         .cast("decimal(38,0)").as("sxx"),
       sum(dd * col("db")).cast("decimal(38,0)").as("sxy"))
-    val den = lit(2) * col("m").cast("double") * col("sxx")
-      - col("sx").cast("double") * col("sx")
+    val mDec = col("m").cast("decimal(38,0)")
+    val sxDec = col("sx").cast("decimal(38,0)")
+    val num = (lit(4).cast("decimal(38,0)") * mDec * col("sxy")
+      - sxDec * sxDec).cast("decimal(38,0)")
+    val den = (lit(2).cast("decimal(38,0)") * mDec * col("sxx")
+      - sxDec * sxDec).cast("decimal(38,0)")
     sm.select(
       col("m").cast("long").as("n_edges"),
       round(col("sx").cast("double") / (lit(2) * col("m")) * lit(1e6))
         .cast("long").as("mean_end_deg_e6"),
       round(when(den === 0, lit(0.0))
-          .otherwise((lit(4) * col("m").cast("double") * col("sxy")
-            - col("sx").cast("double") * col("sx")) / den) * lit(1e6))
+          .otherwise(num.cast("double") / den.cast("double")) * lit(1e6))
         .cast("long").as("assortativity_e6"))
   }
 

@@ -60,14 +60,16 @@ object QualityEval {
     * contingency table in one rollup; the cells stay exact integers,
     * and kappa's n²-scaled closed form
     * κ = (n·(n11+n00) − (ra·cb + (n−ra)·(n−cb))) / (n² − (…))
-    * casts each quadratic FACTOR to DOUBLE first: BIGINT products wrap
-    * silently past n ≈ 3·10⁹ docs (and the ×1e6 past 3·10⁶), while the
-    * double tree is deterministic in both engines and its cancellation
-    * error is ≤ ulp(n²)·few ≪ one e6 unit. */
+    * keeps num and den EXACT integer algebra until the single final
+    * division (the q299 contract): n² ≈ 10¹⁹ at 3·10⁹ docs wraps
+    * BIGINT, but every product of two ≤n cells fits DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) until n ≈ 10¹⁸ — no DOUBLE
+    * cancellation argument needed. */
   val q279ClassifierKappa: QuerySpec = {
     def text(spark: Boolean): String = {
       val words =
         if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      val big = if (spark) "DECIMAL(38,0)" else "HUGEINT"
       s"""WITH d AS (SELECT
          |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
          |    CASE WHEN $words >= 55 THEN 1 ELSE 0 END AS b
@@ -77,19 +79,20 @@ object QualityEval {
          |        CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
          |        CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
          |        CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
-         |      FROM d)
+         |      FROM d),
+         |k AS (SELECT n11, n10, n01, n00, n,
+         |        CAST(CAST(n AS $big) * (n11 + n00)
+         |             - (CAST(n11 + n10 AS $big) * (n11 + n01)
+         |                + CAST(n01 + n00 AS $big) * (n10 + n00)) AS $big) AS num,
+         |        CAST(CAST(n AS $big) * n
+         |             - (CAST(n11 + n10 AS $big) * (n11 + n01)
+         |                + CAST(n01 + n00 AS $big) * (n10 + n00)) AS $big) AS den
+         |      FROM t)
          |SELECT n11, n10, n01, n00,
          |  CAST(ROUND((n11 + n00) * 1e6 / n) AS BIGINT) AS agreement_e6,
-         |  CAST(ROUND(
-         |    (CAST(n AS DOUBLE) * (n11 + n00)
-         |     - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
-         |        + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
-         |    * 1e6
-         |    / (CAST(n AS DOUBLE) * n
-         |       - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
-         |          + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
-         |  ) AS BIGINT) AS kappa_e6
-         |FROM t""".stripMargin
+         |  CAST(ROUND(CAST(num AS DOUBLE) * 1e6 / CAST(den AS DOUBLE)) AS BIGINT)
+         |    AS kappa_e6
+         |FROM k""".stripMargin
     }
     QuerySpec.sql2("q279_classifier_kappa", text(spark = true), text(spark = false))
   }

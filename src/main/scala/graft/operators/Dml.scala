@@ -120,13 +120,13 @@ object Dml {
       |WHERE n_rich >= 10
       |ORDER BY nation""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    sp.sql("""CREATE OR REPLACE TEMPORARY VIEW v_rich AS
+    graft.discard(sp.sql("""CREATE OR REPLACE TEMPORARY VIEW v_rich AS
              |SELECT n_name AS nation, COUNT(*) AS n_rich
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |WHERE c_acctbal > 5000
-             |GROUP BY n_name""".stripMargin)
-    sp.sql("""CREATE OR REPLACE TEMPORARY VIEW v_rich_top AS
-             |SELECT * FROM v_rich WHERE n_rich >= 10""".stripMargin)
+             |GROUP BY n_name""".stripMargin))
+    graft.discard(sp.sql("""CREATE OR REPLACE TEMPORARY VIEW v_rich_top AS
+             |SELECT * FROM v_rich WHERE n_rich >= 10""".stripMargin))
     sp.sql("SELECT nation, n_rich FROM v_rich_top ORDER BY nation")
   }
 
@@ -183,7 +183,7 @@ object Dml {
   }
 
   private def dropManaged(sp: org.apache.spark.sql.SparkSession, name: String): Unit = {
-    sp.sql(s"DROP TABLE IF EXISTS $name")
+    graft.discard(sp.sql(s"DROP TABLE IF EXISTS $name"))
     // the session-scoped metastore forgets tables but their warehouse
     // dirs survive — delete the location too or the next run fails with
     // LOCATION_ALREADY_EXISTS
@@ -225,11 +225,12 @@ object Dml {
       |FROM p ORDER BY id""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     dropManaged(sp, "g_chars")
-    sp.sql("CREATE TABLE g_chars (id INT, c CHAR(5), v VARCHAR(5)) USING parquet")
-    sp.sql(
+    graft.discard(
+      sp.sql("CREATE TABLE g_chars (id INT, c CHAR(5), v VARCHAR(5)) USING parquet"))
+    graft.discard(sp.sql(
       """INSERT INTO g_chars VALUES
         |  (1, 'ab', 'ab'), (2, 'abcde', 'abcde'), (3, 'x y', 'x y'),
-        |  (4, '', ''), (5, 'ab ', 'ab ')""".stripMargin)
+        |  (4, '', ''), (5, 'ab ', 'ab ')""".stripMargin))
     sp.sql(
       """SELECT id, c AS c_read, length(c) AS c_len, v AS v_read,
         |  length(v) AS v_len,
@@ -254,8 +255,8 @@ object Dml {
       |  length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n
       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    graft.functions.UdfDdl(sp,
-      "CREATE FUNCTION g_norm_ws(STRING) RETURNS STRING AS 'graft.functions.NormalizeWs'")
+    graft.discard(graft.functions.UdfDdl(sp,
+      "CREATE FUNCTION g_norm_ws(STRING) RETURNS STRING AS 'graft.functions.NormalizeWs'"))
     sp.sql(
       """SELECT doc_id, g_norm_ws(text) AS norm_text, length(g_norm_ws(text)) AS n
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)
@@ -368,7 +369,7 @@ object Dml {
       |  ('TINYINT',   CAST(-6 AS INT), CAST(3 AS INT),    false, false, CAST(10 AS INT))
       |) t(type_name, data_type, prec, case_sensitive, unsigned_attr, radix)
       |ORDER BY type_name""".stripMargin) { (s, dir) =>
-    QuerySpec.prepared(s, dir)
+    graft.discard(QuerySpec.prepared(s, dir))
     typeInfo(s).select(
       col("TYPE_NAME").as("type_name"), col("DATA_TYPE").as("data_type"),
       col("PRECISION").as("prec"), col("CASE_SENSITIVE").as("case_sensitive"),

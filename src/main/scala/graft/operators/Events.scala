@@ -892,8 +892,11 @@ object Events {
     * that ~10³-row relation — a web-scale key domain (10⁹ users) never
     * flows through one rank task. Exactness: the Gini's rank sum
     * accumulates c·(2m·lo+m²+m) terms — cubic in the key count, ~10²⁴
-    * at 10⁹ keys, far past BIGINT — so each term is one deterministic
-    * DOUBLE product captured into DECIMAL(27,0) before the exact
+    * at 10⁹ keys (and toward 10²⁷ under max-skew: one 10⁹-hot key
+    * among 10⁹ keys), far past BIGINT — so each term is one
+    * deterministic DOUBLE product captured into DECIMAL(38,0)
+    * (full headroom; at DECIMAL(27,0) the non-ANSI cast overflows a
+    * max-skew term to NULL and silently nulls the Gini) before the exact
     * decimal sum (the q184 rule), and the entropy sum goes through
     * DECIMAL(27,18)
     * accumulation (q184 rule) so neither engine's summation order
@@ -910,7 +913,7 @@ object Events {
       |             CAST(SUM(m * c) AS BIGINT) AS n_rows,
       |             MAX(c) AS max_freq,
       |             CAST(SUM(CAST(CAST(c AS DOUBLE) * (2 * CAST(m AS DOUBLE) * lo
-      |                  + CAST(m AS DOUBLE) * m + m) AS DECIMAL(27,0)))
+      |                  + CAST(m AS DOUBLE) * m + m) AS DECIMAL(38,0)))
       |               AS DECIMAL(38,0)) AS s2,
       |             CAST(SUM(CAST(m * c * LN(c) AS DECIMAL(27,18))) AS DOUBLE) AS clnc
       |      FROM w)

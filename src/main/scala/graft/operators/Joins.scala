@@ -327,7 +327,7 @@ object Joins {
       sp.conf.set(key, "900")
       try {
         val df = sp.sql(text)
-        df.queryExecution.optimizedPlan
+        graft.discard(df.queryExecution.optimizedPlan)
         df
       } finally prev match {
         case Some(v) => sp.conf.set(key, v)

@@ -25,7 +25,7 @@ object Layout {
     * from a previous run that the catalog no longer knows about
     * (LOCATION_ALREADY_EXISTS on saveAsTable otherwise). */
   private def dropTable(sp: org.apache.spark.sql.SparkSession, name: String): Unit = {
-    sp.sql(s"DROP TABLE IF EXISTS $name")
+    graft.discard(sp.sql(s"DROP TABLE IF EXISTS $name"))
     val wh = new java.net.URI(sp.conf.get("spark.sql.warehouse.dir"))
     val dir = new java.io.File(
       if (wh.getScheme == null) wh.getPath else new java.io.File(wh).getPath, name)

@@ -273,7 +273,7 @@ object Relational {
       |WHERE id >= 100 AND id < 900
       |GROUP BY tag
       |ORDER BY tag""".stripMargin) { (s, dir) =>
-    QuerySpec.prepared(s, dir)
+    graft.discard(QuerySpec.prepared(s, dir))
     s.read.format("graft.sources.ExtDataSource")
       .option("rows", "1000").option("partitions", "4").load()
       .filter(col("id") >= 100 && col("id") < 900)
@@ -296,7 +296,7 @@ object Relational {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(id) AS lo_id, MAX(id) AS hi_id
       |FROM (SELECT id FROM range(1000) t(id)) src
       |WHERE id >= 100 AND id < 900""".stripMargin) { (s, dir) =>
-    QuerySpec.prepared(s, dir)
+    graft.discard(QuerySpec.prepared(s, dir))
     s.read.format("graft.sources.ExtDataSource")
       .option("rows", "1000").option("partitions", "4").load()
       .filter(col("id") >= 100 && col("id") < 900)
@@ -315,7 +315,7 @@ object Relational {
       |FROM (SELECT id FROM range(1000) t(id)) src
       |WHERE id >= 100 AND id < 900
       |GROUP BY 1 ORDER BY tag""".stripMargin) { (s, dir) =>
-    QuerySpec.prepared(s, dir)
+    graft.discard(QuerySpec.prepared(s, dir))
     s.read.format("graft.sources.ExtDataSource")
       .option("rows", "1000").option("partitions", "4").load()
       .filter(col("id") >= 100 && col("id") < 900)

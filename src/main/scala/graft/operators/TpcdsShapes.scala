@@ -870,9 +870,11 @@ object TpcdsShapes {
 
   /** TPC-DS Q6 shape: items priced above their category average — the
     * per-type mean joins the star as a 6-row broadcast factor, and the
-    * comparison cross-multiplies exact decimals (`price·n·25 > sum·26`
-    * ⇔ price > 1.04·avg) so neither engine divides. One fact pass;
-    * every dimension side is broadcast material. */
+    * comparison cross-multiplies exact decimals (`price·n·100 > sum·101`
+    * ⇔ price > 1.01·avg) so neither engine divides. One fact pass;
+    * every dimension side is broadcast material. (The 1.01 band is
+    * fixture-calibrated: the synthetic per-type price spread is tight,
+    * and 1.04·avg selects nothing at sf0.001 — the smoke scale.) */
   val q358PriceAboveCategoryAvg: QuerySpec = QuerySpec.sql(
     "q358_dss_price_above_avg",
     s"""WITH ap AS (
@@ -887,7 +889,7 @@ object TpcdsShapes {
        |JOIN ap ON part.p_type = ap.p_type
        |JOIN nation ON c_nationkey = n_nationkey
        |WHERE YEAR(o_orderdate) = 1997
-       |  AND CAST(p_retailprice AS $M) * n * 25 > s * 26
+       |  AND CAST(p_retailprice AS $M) * n * 100 > s * 101
        |GROUP BY n_name
        |ORDER BY cnt DESC, n_name
        |LIMIT 100""".stripMargin)

@@ -117,7 +117,7 @@ object SqlPositions {
         val startLc = start.map(lineCol(sql, _))
         val stopLc = stop.map(lineCol(sql, _))
         Left(AnalysisIssue(
-          errorClass = Option(e.getErrorClass).getOrElse("_LEGACY"),
+          errorClass = Option(e.getCondition).getOrElse("_LEGACY"),
           message = e.getMessage,
           startIndex = start,
           stopIndex = stop,

@@ -358,6 +358,7 @@ object SqlRender {
           val ins = vals.zip(u.aliases.getOrElse(vals.map(_ => None))).map {
             case (Seq(v), alias) =>
               alias.map(a => s"${frag(v, ctx)} AS $a").getOrElse(frag(v, ctx))
+            case other => throw new Unsupported(s"UNPIVOT value group $other")
           }
           s"${relation(u.child, ctx)} UNPIVOT ($valueCol FOR ${u.variableColumnName} IN (${ins.mkString(", ")}))"
         case _ => throw new Unsupported("multi-value UNPIVOT")

@@ -54,8 +54,8 @@ object AvroSchemas {
     * is parquet (see the scope note above). */
   def createTableLikeAvro(
       spark: org.apache.spark.sql.SparkSession, table: String, schemaJson: String): Unit =
-    spark.catalog.createTable(table, "parquet", toStructType(schemaJson),
-      Map.empty[String, String])
+    graft.discard(spark.catalog.createTable(table, "parquet", toStructType(schemaJson),
+      Map.empty[String, String]))
 
   private def toField(f: AvroSchema.Field): StructField = {
     val md = Option(f.doc())
@@ -171,7 +171,8 @@ object AvroSchemas {
         s"${other.sql} cannot be converted to an Avro type")
     }
     val name = if (schemaName == null || schemaName.isEmpty) "baseRecord" else schemaName
-    record(name, schema.fields.toSeq).toString(true)
+    org.apache.avro.SchemaFormatter.format(
+      "json/pretty", record(name, schema.fields.toSeq))
   }
   /** Reads Avro container files into a DataFrame — the data half of the
     * Avro capability, built on the runtime's bundled avro + avro-mapred

@@ -888,9 +888,9 @@ object EventStreams {
     writeManifest(fs, root, ver, newManifest)
     fs.create(new Path(root, s"$txnPrefix$ver"), true).close()
 
-    val committed = names.collect {
+    val committed = (names.collect {
       case n if n.startsWith("_commit_") => n.stripPrefix("_commit_").toLong
-    }.sorted :+ ver
+    }.sorted :+ ver).toIndexedSeq
     retentionSweep(fs, root, committed, retainVersions, curStage = s"_stage_$ver")
   }
 
@@ -1314,7 +1314,8 @@ object EventStreams {
     if (last.contains(cur)) return false
     def snapshotInserts(): DataFrame = {
       val snap = manifestDf(spark, fs, root, cur)
-      snap.select(lit("insert").as("op") +: snap.columns.map(col): _*)
+      snap.select(
+        lit("insert").as("op") +: snap.columns.toIndexedSeq.map(col): _*)
     }
     val retained = versions(spark, tableDir)
     val (df, batch) = last match {

@@ -642,9 +642,9 @@ class LlmOpsSpec extends EngineSuite {
     // interpolates with (up to the λ mixing loss on a tiny corpus, mean
     // cross-entropy should not be materially worse).
     val uni = llmops.TextAnalysis.q162UnigramLm.run(spark, sfDir)
-      .agg(avg(col("xent_nats"))).head.getDouble(0)
+      .agg(avg(col("xent_nats"))).head().getDouble(0)
     val bi = llmops.TextAnalysis.q184BigramLm.run(spark, sfDir)
-      .agg(avg(col("xent2_nats"))).head.getDouble(0)
+      .agg(avg(col("xent2_nats"))).head().getDouble(0)
     assert(bi < uni + 0.05, s"bigram model fits worse than unigram: $bi vs $uni")
     // and scores are finite positive cross-entropies
     val bad = llmops.TextAnalysis.q184BigramLm.run(spark, sfDir)
@@ -771,7 +771,7 @@ class LlmOpsSpec extends EngineSuite {
       .filter(col("kept_chars") =!= col("n_chars").cast("long"))
     assert(wrongLen.count() == 0, "kept_chars disagrees with the document table")
     // membership accounting covers every document exactly once
-    val total = picks.agg(sum(col("n_members"))).head.getLong(0)
+    val total = picks.agg(sum(col("n_members"))).head().getLong(0)
     assert(total == docs.count(), s"cluster membership does not partition the corpus: $total")
     // within multi-member clusters the kept doc maximizes length: no
     // member may be longer than its cluster's pick

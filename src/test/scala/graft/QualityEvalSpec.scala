@@ -26,7 +26,7 @@ class QualityEvalSpec extends EngineSuite {
     val ranked = d.withColumn("ar",
       rank().over(Window.orderBy("score")) +
         (count(lit(1)).over(Window.partitionBy("score")) - 1) / 2.0)
-    val rp = ranked.filter(col("y") === 1).agg(sum("ar")).head.getDouble(0)
+    val rp = ranked.filter(col("y") === 1).agg(sum("ar")).head().getDouble(0)
     val auc = (rp - np.toDouble * (np + 1) / 2) / (np.toDouble * nn)
     assert(math.abs(auc * 1e6 - r.getAs[Long]("auc_e6")) <= 1,
       s"rank AUC $auc vs ${r.getAs[Long]("auc_e6")}")
@@ -334,7 +334,7 @@ class QualityEvalSpec extends EngineSuite {
     val rows = llmops.CorpusStats.q295EbShrinkage.run(spark, sfDir).collect()
     val toks = spark.table("documents")
       .select(size(split(col("text"), " ")).as("t")).agg(sum("t"), count(lit(1)))
-      .head
+      .head()
     val gm = toks.getLong(0).toDouble / toks.getLong(1) * 1e6
     rows.foreach { r =>
       val raw = r.getAs[Long]("raw_mean_e6"); val sh = r.getAs[Long]("shrunk_mean_e6")

@@ -62,8 +62,8 @@ class ShardingSpec extends EngineSuite {
     }
     // flattening: kept shares must be strictly more uniform than raw shares
     def spread(xs: Seq[Double]) = xs.max / xs.min
-    val raw = spread(rows.map(_._2.toDouble))
-    val mixed = spread(rows.map(_._3.toDouble max 1.0))
+    val raw = spread(rows.toIndexedSeq.map(_._2.toDouble))
+    val mixed = spread(rows.toIndexedSeq.map(_._3.toDouble max 1.0))
     assert(mixed < raw, s"mix did not flatten: $mixed vs $raw")
   }
 

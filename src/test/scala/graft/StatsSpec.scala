@@ -159,6 +159,32 @@ class StatsSpec extends EngineSuite {
     }
   }
 
+  test("a BROADCAST hint inside a STRAIGHT_JOIN scope survives the stamping") {
+    // r14 ADVICE: at resolution time a strategy hint is still a
+    // ResolvedHint wrapper; stamping the join with a bare JoinHint made
+    // EliminateResolvedHint (which only merges into JoinHint.NONE
+    // joins) silently drop the user's BROADCAST. The rule now extracts
+    // child-arm ResolvedHints into the stamped hint.
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = s.sql(
+        """SELECT /*+ STRAIGHT_JOIN BROADCAST(n) */ COUNT(*) AS c
+          |FROM customer c
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val hints = df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+      assert(hints.exists(h => h.rightHint.exists(_.strategy.isDefined)),
+        s"user BROADCAST hint dropped under STRAIGHT_JOIN: $hints")
+      assert(df.collect().head.getLong(0) > 0)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin"),
+        s"hinted broadcast not selected (auto-threshold off):\n$phys")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("murmur_hash and fnv_hash are deterministic and distinct per layout") {
     val s = spark
     graft.engine.GraftSession.attach(s)

@@ -25,7 +25,7 @@ class ThriftServerSpec extends EngineSuite {
     }
     s.sqlContext.setConf("hive.server2.thrift.port", port)
     val server =
-      org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(s.sqlContext)
+      org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithSparkSession(s, exitOnError = false)
     s.sql("DROP TABLE IF EXISTS graft_hs2_t")
     s.sql("CREATE TABLE graft_hs2_t USING parquet AS SELECT id, id * 2 AS dbl FROM RANGE(5)")
     try {
