@@ -28,6 +28,9 @@ object Explain {
       println(s"[explain] ========== ${s.name} ==========")
       try {
         val df = s.run(spark, sfDir)
+        // the reference's Per-Host Resource Estimates header
+        // (Planner.computeResourceReqs) atop the formatted plan
+        println(graft.engine.ResourceEstimates.of(df).render)
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       } catch {

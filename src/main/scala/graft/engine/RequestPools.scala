@@ -221,6 +221,29 @@ final class RequestPools(
       s"(max_queued=${cfg.maxQueued})")
   }
 
+  /** Memory-aware admission — the reference's other rejection axis
+    * (AdmissionController: "request memory needed ... exceeds pool
+    * limit", fed by Planner.computeResourceReqs' per-host estimate): a
+    * query whose estimated per-host memory exceeds the pool's max_mem
+    * can NEVER run there, so it is rejected outright rather than
+    * queued to time out. */
+  def admit(pool: String, running: Int, queued: Int,
+      perHostMemBytes: Long): Admission = {
+    val cfg = poolConfig(pool)
+    if (cfg.maxMemBytes > 0 && perHostMemBytes > cfg.maxMemBytes)
+      Rejected(s"memory estimate ${perHostMemBytes}B exceeds pool " +
+        s"${normalize(pool)} limit ${cfg.maxMemBytes}B")
+    else admit(pool, running, queued)
+  }
+
+  /** Plan-and-admit: estimate the query's per-host memory from its
+    * physical plan ([[ResourceEstimates]]) and run the memory-aware
+    * decision — the full reference flow (plan → resource estimate →
+    * admission) on Spark surfaces. */
+  def admitQuery(pool: String, running: Int, queued: Int,
+      df: org.apache.spark.sql.DataFrame): Admission =
+    admit(pool, running, queued, ResourceEstimates.of(df).perHostBytes)
+
   /** Resolve + ACL-check + bind: on success the calling thread's jobs
     * run in the resolved fair-scheduler pool (Spark's
     * `spark.scheduler.pool` local property). Left = the reference's

@@ -1,0 +1,164 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, Exchange, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Per-host resource estimates for EXPLAIN — the reference's
+  * `Planner.computeResourceReqs` (Planner.java:352-430) walks the
+  * fragment tree summing each node's resource profile over the sets of
+  * concurrently-open nodes (PipelinedPlanNodeSet.java:1-215) and prints
+  * `Per-Host Resource Estimates: Memory=…` atop EXPLAIN output.
+  *
+  * Spark-first translation: Tungsten + the unified memory manager make
+  * reservations dynamic, so the estimate is ADVISORY here exactly as it
+  * is there ("mem-estimate" is a planning hint, not an admission-control
+  * fact, unless admission control consumes it — our RequestPools
+  * analogue can). The fragment analogue is the exchange-delimited STAGE;
+  * the per-node profile analogue derives from the optimizer's logical
+  * statistics (`sizeInBytes`, the same stats CBO join-reorder consumes):
+  *
+  *  - broadcast builds materialize the FULL relation on every host —
+  *    counted once per executor, the dominant per-host term;
+  *  - shuffle-side state (hash-agg maps, shuffled-join builds, sort
+  *    runs, window buffers) holds ~1/shufflePartitions of its input per
+  *    concurrently-running task, × cores tasks per host;
+  *  - scans/projects/filters stream and hold O(batch) — ignored, as the
+  *    reference ignores non-reserving nodes.
+  *
+  * Like the reference's two-phase pipeline model, stage memory is the
+  * sum of operators whose state is simultaneously open (a probe
+  * pipeline keeps every upstream build alive), which upper-bounds the
+  * true phase-wise max. */
+object ResourceEstimates {
+
+  final case class StageEstimate(
+      stageLabel: String, perHostBytes: Long, notes: Seq[String])
+
+  final case class Estimate(
+      perHostBytes: Long,
+      broadcastBytes: Long,
+      stages: Seq[StageEstimate]) {
+    def render: String = {
+      val sb = new StringBuilder
+      sb ++= f"Per-Host Resource Estimates: Memory=${mb(perHostBytes)}%s"
+      sb ++= f" (broadcast=${mb(broadcastBytes)}%s)\n"
+      stages.foreach { st =>
+        sb ++= s"  ${st.stageLabel}: mem-estimate=${mb(st.perHostBytes)}"
+        if (st.notes.nonEmpty) sb ++= st.notes.mkString(" [", "; ", "]")
+        sb ++= "\n"
+      }
+      sb.result()
+    }
+  }
+
+  private def mb(b: Long): String =
+    if (b >= (1L << 30)) f"${b / (1L << 30).toDouble}%.2fGB"
+    else if (b >= (1L << 20)) f"${b / (1L << 20).toDouble}%.2fMB"
+    else f"${math.max(b, 0L) / 1024.0}%.1fKB"
+
+  /** Logical-stats size of a physical subtree: the nearest logical link
+    * below/at the node (falls back to summing leaves). */
+  private def sizeOf(p: SparkPlan): Long =
+    p.logicalLink.map(_.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
+      .getOrElse(p.children.map(sizeOf).sum)
+
+  def of(df: DataFrame): Estimate = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism.max(1)
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+    // per-host concurrent tasks × per-task share of the stage's state
+    def taskShare(inputBytes: Long): Long =
+      inputBytes / shufflePartitions * math.min(cores, shufflePartitions)
+
+    val plan = stripAdaptive(df.queryExecution.executedPlan)
+    var broadcastTotal = 0L
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageEstimate]
+
+    /** Walk one exchange-delimited stage; returns this stage's memory. */
+    def walkStage(root: SparkPlan, label: String): Long = {
+      var bytes = 0L
+      val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+      def visit(p: SparkPlan): Unit = p match {
+        case e: ShuffleExchangeExec =>
+          val child = walkStage(e.child, stageName(e.child))
+          graft.discard(child) // accounted in its own stage entry
+        case b: BroadcastExchangeExec =>
+          val sz = sizeOf(b.child)
+          broadcastTotal += sz
+          bytes += sz
+          notes += s"broadcast build ${mb(sz)}"
+          visit(b.child)
+        case j: BroadcastHashJoinExec =>
+          visit(j.left); visit(j.right)
+        case j: BroadcastNestedLoopJoinExec =>
+          visit(j.left); visit(j.right)
+        case j: ShuffledHashJoinExec =>
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }
+          val sz = taskShare(sizeOf(build))
+          bytes += sz
+          notes += s"hash build ${mb(sz)}"
+          visit(j.left); visit(j.right)
+        case j: SortMergeJoinExec =>
+          // sorted runs stream; only the in-flight buffers count (one
+          // partition's run per task, spillable)
+          visit(j.left); visit(j.right)
+        case a: HashAggregateExec =>
+          val sz = taskShare(sizeOf(a.child))
+          bytes += sz
+          notes += s"agg map ${mb(sz)}"
+          visit(a.child)
+        case a: ObjectHashAggregateExec =>
+          bytes += taskShare(sizeOf(a.child)); visit(a.child)
+        case a: SortAggregateExec => visit(a.child)
+        case s: SortExec =>
+          val sz = taskShare(sizeOf(s.child))
+          bytes += sz
+          notes += s"sort buffer ${mb(sz)} (spillable)"
+          visit(s.child)
+        case w: WindowExec =>
+          val sz = taskShare(sizeOf(w.child))
+          bytes += sz
+          notes += s"window buffer ${mb(sz)}"
+          visit(w.child)
+        case other => other.children.foreach(visit)
+      }
+      visit(root)
+      stages += StageEstimate(label, bytes, notes.toSeq)
+      bytes
+    }
+
+    graft.discard(walkStage(plan, stageName(plan)))
+    val ordered = stages.toSeq.reverse // leaf stages first, like EXPLAIN
+    Estimate(ordered.map(_.perHostBytes).sum, broadcastTotal, ordered)
+  }
+
+  private def stageName(p: SparkPlan): String = {
+    val leaves = p.collectLeaves().map {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.map(_.table)
+          .getOrElse(f.relation.location.rootPaths.headOption
+            .map(_.getName).getOrElse("files"))
+      case _: LocalTableScanExec => "local"
+      case other => other.nodeName
+    }
+    s"stage(${leaves.distinct.take(3).mkString(",")})"
+  }
+
+  private def stripAdaptive(p: SparkPlan): SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a.executedPlan
+    case other => other
+  }
+
+  /** EXPLAIN text with the resource header, the reference's surface. */
+  def explainString(df: DataFrame): String =
+    of(df).render + df.queryExecution.explainString(SimpleMode)
+}

@@ -160,6 +160,59 @@ object Layout {
       .orderBy("lang")
   }
 
+  /** Directory [[q368PartitionKeyDistinct]]/[[q369PartitionKeyMinMax]]
+    * write (hive-partitioned by lang); PlanSpec pins the metadata-only
+    * plan over it. */
+  lazy val PartitionedDocsDir = s"$runTmp/pks/documents"
+
+  private def writePartitionedDocs(
+      sp: org.apache.spark.sql.SparkSession): Unit = {
+    // idempotent per JVM: the fixture is partition-pruned metadata, so
+    // one write serves both queries and the plan spec
+    if (!new java.io.File(PartitionedDocsDir, "_SUCCESS").exists())
+      sp.table("documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(PartitionedDocsDir)
+  }
+
+  /** The reference's `optimize_partition_key_scans` fast path
+    * (SingleNodePlanner.java:603-613, 762-780): `SELECT DISTINCT
+    * part_col` over a partitioned table answers from the partition
+    * LISTING — O(partitions) driver metadata, zero data scanned. The
+    * [[graft.plans.PartitionKeyScans]] rule (opt-in conf, mirroring the
+    * reference's query option) swaps the file relation for a
+    * LocalRelation of partition values; PlanSpec pins that no FileScan
+    * survives in the plan. The oracle runs the same DISTINCT over the
+    * source table — identical rows by construction since every written
+    * partition holds data. */
+  val q368PartitionKeyDistinct: QuerySpec = QuerySpec(
+    "q368_partition_key_distinct",
+    "SELECT DISTINCT lang FROM documents ORDER BY lang") { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    writePartitionedDocs(sp)
+    sp.conf.set(graft.plans.PartitionKeyScans.EnabledKey, "true")
+    sp.read.parquet(PartitionedDocsDir)
+      .select(col("lang")).distinct().orderBy("lang")
+  }
+
+  /** MIN/MAX/NDV over the partition column — the other shape the
+    * reference answers from metadata (the aggregate functions are
+    * duplicate-insensitive, so the partition listing is a sufficient
+    * statistic). Also exercises a partition-pruning predicate ON the
+    * partition column folding over the listing. */
+  val q369PartitionKeyMinMax: QuerySpec = QuerySpec(
+    "q369_partition_key_minmax",
+    """SELECT MIN(lang) AS min_lang, MAX(lang) AS max_lang,
+      |       COUNT(DISTINCT lang) AS n_langs
+      |FROM documents WHERE lang <> 'de'""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    writePartitionedDocs(sp)
+    sp.conf.set(graft.plans.PartitionKeyScans.EnabledKey, "true")
+    sp.read.parquet(PartitionedDocsDir)
+      .filter(col("lang") =!= "de")
+      .agg(min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** Per-JVM unique scratch root, so a correctness run racing a test run
     * (or two concurrent harness runs) never stomp each other's files —
     * stable within one JVM because the specs inspect these same vals.
@@ -234,5 +287,6 @@ object Layout {
 
   val all: Seq[QuerySpec] = Seq(
     q129BucketedJoin, q136BucketedAgg, q139PartitionedBucketed,
-    q153Compaction, q154ZOrder)
+    q153Compaction, q154ZOrder,
+    q368PartitionKeyDistinct, q369PartitionKeyMinMax)
 }

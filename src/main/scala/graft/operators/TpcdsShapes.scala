@@ -1078,7 +1078,7 @@ object TpcdsShapes {
         col("p_name").as("worst_performing")), "pk_w")
       .select(col("rnk"), col("best_performing"), col("worst_performing"))
       .orderBy(col("rnk"))
-  }
+  }.benched // r15: the 40-family DS corpus's bench sentinel beyond q254/5/8
 
   /** TPC-DS Q49 shape: the worst-return-ratio report — per (channel,
     * item) quantity and amount return ratios, each dense-ranked within

@@ -1673,4 +1673,33 @@ class PlanSpec extends EngineSuite {
     }
   }
 
+  test("q368/q369: partition-key scans answer from metadata, zero FileScan") {
+    // The reference's optimize_partition_key_scans golden family
+    // (PlannerTest.java:178): DISTINCT/MIN/MAX/NDV over partition
+    // columns must not scan data files. The opt-in rule swaps the
+    // relation for a LocalRelation of partition values — pin that the
+    // physical plan has no scan at all, and that the rows match the
+    // real scan with the rule off.
+    for (name <- Seq("q368_partition_key_distinct", "q369_partition_key_minmax")) {
+      val df = SparkEntry.queries(name)(spark, sfDir) // enables the conf
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+        s"$name still scans data files with the rule enabled:\n$p")
+      assert(p.contains("LocalTableScan"),
+        s"$name did not plan the partition-listing local relation:\n$p")
+      val withRule = df.collect().toSeq
+      spark.conf.set(graft.plans.PartitionKeyScans.EnabledKey, "false")
+      try {
+        val bare = SparkEntry.queries(name)(spark, sfDir)
+        // the builder re-enables the conf; force it off for the control
+        spark.conf.set(graft.plans.PartitionKeyScans.EnabledKey, "false")
+        val control = bare.collect().toSeq
+        assert(bare.queryExecution.executedPlan.toString.contains("Scan parquet"),
+          s"$name control run should scan (rule off)")
+        assert(withRule == control,
+          s"$name metadata answer diverges from the scan: $withRule vs $control")
+      } finally spark.conf.unset(graft.plans.PartitionKeyScans.EnabledKey)
+    }
+  }
+
 }

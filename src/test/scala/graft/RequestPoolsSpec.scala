@@ -109,6 +109,25 @@ class RequestPoolsSpec extends EngineSuite {
     assert(p.admit("queueA", running = 199, queued = 0) == Admitted)
   }
 
+  test("memory-aware admission: an estimate past the pool's max_mem rejects outright") {
+    // AdmissionController's other rejection axis, fed by the
+    // Planner.computeResourceReqs analogue (ResourceEstimates): a query
+    // that can NEVER fit is rejected, not queued to time out. queueA
+    // caps at 1024 mb (maxResources).
+    val p = RequestPools.fromXml(allocXml)
+    val cap = p.poolConfig("queueA").maxMemBytes
+    assert(cap == 1024L * 1024 * 1024)
+    assert(p.admit("queueA", 0, 0, perHostMemBytes = cap + 1)
+      .isInstanceOf[Rejected])
+    assert(p.admit("queueA", 0, 0, perHostMemBytes = cap) == Admitted)
+    // unlimited pool (-1) never memory-rejects
+    assert(p.admit("queueB", 0, 0, perHostMemBytes = Long.MaxValue / 2) == Admitted)
+    // the full plan→estimate→admit flow on a real query
+    QuerySpec.prepared(spark, sfDir)
+    val tiny = spark.table("nation").groupBy("n_regionkey").count()
+    assert(p.admitQuery("queueA", 0, 0, tiny) == Admitted)
+  }
+
   test("assign binds the resolved pool to the thread's fair-scheduler slot") {
     val sc = spark.sparkContext
     val before = sc.getLocalProperty("spark.scheduler.pool")

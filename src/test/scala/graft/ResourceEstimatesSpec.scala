@@ -1,0 +1,57 @@
+package graft
+
+import graft.engine.ResourceEstimates
+import org.apache.spark.sql.functions.col
+
+/** The EXPLAIN resource-estimate surface (Planner.computeResourceReqs:
+  * 352-430, PipelinedPlanNodeSet.java): estimates are advisory but must
+  * be DIRECTIONALLY right — broadcast builds show up as per-host bytes,
+  * stage memory scales with the relation the operator materializes, and
+  * streaming-only plans estimate ~zero. */
+class ResourceEstimatesSpec extends EngineSuite {
+
+  test("broadcast join reports the build side as per-host broadcast bytes") {
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    val df = s.table("orders")
+      .join(s.table("customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    val est = ResourceEstimates.of(df)
+    assert(est.broadcastBytes > 0,
+      s"dimension broadcast missing from the estimate: ${est.render}")
+    assert(est.perHostBytes >= est.broadcastBytes)
+    assert(est.render.contains("Per-Host Resource Estimates"))
+    assert(est.render.contains("broadcast build"))
+  }
+
+  test("a streaming-only scan estimates no reserved memory") {
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    val df = s.table("lineitem").select("l_orderkey", "l_quantity")
+      .filter(col("l_quantity") > 10)
+    val est = ResourceEstimates.of(df)
+    assert(est.broadcastBytes == 0)
+    assert(est.perHostBytes == 0,
+      s"pure scan/filter should hold no state: ${est.render}")
+  }
+
+  test("aggregation memory scales with the aggregated relation") {
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    def aggEst(table: String, key: String): Long = ResourceEstimates.of(
+      s.table(table).groupBy(key).count()).perHostBytes
+    val big = aggEst("lineitem", "l_orderkey")
+    val small = aggEst("nation", "n_name")
+    assert(big > small,
+      s"lineitem agg ($big) should estimate more than nation agg ($small)")
+  }
+
+  test("the explainString surface carries both header and plan") {
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    val text = ResourceEstimates.explainString(
+      s.table("nation").groupBy("n_regionkey").count())
+    assert(text.contains("Per-Host Resource Estimates"))
+    assert(text.contains("HashAggregate"))
+  }
+}

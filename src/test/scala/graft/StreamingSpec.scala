@@ -1467,4 +1467,70 @@ class StreamingSpec extends EngineSuite {
       s"got $rows")
   }
 
+  test("streaming sweep: every stream-static join's forced broadcast is audited") {
+    // The streaming twin of PlanSpec's forced-broadcast corpus sweep: a
+    // `broadcast()` on the STATIC side of a stream-static join ships
+    // that relation to every executor on EVERY microbatch — at 100 TB a
+    // corpus-sized static side (the LSH band index) must stay on the
+    // size-based planner path, while genuinely bounded reference data
+    // (a user dimension) may force the hint. Each builder that joins a
+    // static relation is swept; a forced broadcast is legal only with
+    // an audit entry carrying the cardinality argument.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.HintInfo
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    QuerySpec.prepared(s, sfDir)
+
+    val audited: Map[String, String] = Map(
+      "enriched" -> ("user dimension: reference data keyed by user, grows " +
+        "with the user base, not the event stream; the production dim is " +
+        "broadcast-sized by contract (EventStreams.enriched doc)"))
+
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("user_id", "segment")
+    val docsStream = MemoryStream[DocRow].toDF()
+    val eventsStream = MemoryStream[Event].toDF()
+    val index = EventStreams.corpusBandIndex(s.table("documents"))
+    val builders: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "enriched" -> EventStreams.enriched(eventsStream, dim),
+      "nearDupProbe" -> EventStreams.nearDupProbe(docsStream, index),
+      "tumblingCounts" -> EventStreams.tumblingCounts(eventsStream),
+      "qualityMonitor" -> EventStreams.qualityMonitor(eventsStream),
+      "deduplicated" -> EventStreams.deduplicated(eventsStream),
+      "hllDailyUniques" -> EventStreams.hllDailyUniques(eventsStream),
+      "clickToPurchase" -> EventStreams.clickToPurchase(eventsStream),
+      "sessionWindowCounts" -> EventStreams.sessionWindowCounts(eventsStream))
+
+    def broadcastHinted(p: LogicalPlan): Boolean = p.collectFirst {
+      case h: ResolvedHint if h.hints == HintInfo(
+        strategy = Some(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) => h
+    }.isDefined
+
+    var streamStaticJoins = 0
+    val offenders = builders.flatMap { case (name, df) =>
+      df.queryExecution.analyzed.collect {
+        case j: Join if j.left.isStreaming != j.right.isStreaming =>
+          streamStaticJoins += 1
+          val static = if (j.left.isStreaming) j.right else j.left
+          if (broadcastHinted(static) && !audited.contains(name))
+            Some(s"$name: unaudited forced broadcast of a static side")
+          else None
+      }.flatten
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    // non-vacuous: the sweep must have seen the two stream-static joins
+    assert(streamStaticJoins >= 2,
+      s"sweep saw only $streamStaticJoins stream-static joins — builder list stale?")
+    // and the corpus-sized band index must NOT be hint-forced
+    val probePlan = EventStreams.nearDupProbe(docsStream, index)
+      .queryExecution.analyzed
+    val probeStatic = probePlan.collect {
+      case j: Join if j.left.isStreaming != j.right.isStreaming =>
+        if (j.left.isStreaming) j.right else j.left
+    }
+    assert(probeStatic.nonEmpty && probeStatic.forall(!broadcastHinted(_)),
+      "the corpus band index is forced-broadcast — corpus-sized at scale")
+  }
+
 }
