@@ -41,11 +41,17 @@ object ResourceEstimates {
   final case class Estimate(
       perHostBytes: Long,
       broadcastBytes: Long,
-      stages: Seq[StageEstimate]) {
+      stages: Seq[StageEstimate],
+      /** false when some memory-holding operator had no statistics —
+        * the totals then cover only the known part, the reference's
+        * "mem-estimate=unavailable" per-node state. */
+      complete: Boolean) {
     def render: String = {
       val sb = new StringBuilder
       sb ++= f"Per-Host Resource Estimates: Memory=${mb(perHostBytes)}%s"
-      sb ++= f" (broadcast=${mb(broadcastBytes)}%s)\n"
+      sb ++= f" (broadcast=${mb(broadcastBytes)}%s)"
+      if (!complete) sb ++= " [incomplete: operator(s) without stats]"
+      sb ++= "\n"
       stages.foreach { st =>
         sb ++= s"  ${st.stageLabel}: mem-estimate=${mb(st.perHostBytes)}"
         if (st.notes.nonEmpty) sb ++= st.notes.mkString(" [", "; ", "]")
@@ -61,10 +67,33 @@ object ResourceEstimates {
     else f"${math.max(b, 0L) / 1024.0}%.1fKB"
 
   /** Logical-stats size of a physical subtree: the nearest logical link
-    * below/at the node (falls back to summing leaves). */
-  private def sizeOf(p: SparkPlan): Long =
-    p.logicalLink.map(_.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
-      .getOrElse(p.children.map(sizeOf).sum)
+    * below/at the node (falls back to summing leaves). Relations with
+    * NO statistics surface Spark's defaultSizeInBytes sentinel
+    * (Long.MaxValue by default) — treated as UNKNOWN (None), the
+    * reference's "mem-estimate=unavailable", never as a real 8-EB
+    * relation: a sentinel summed into the totals would overflow the
+    * accumulators, and an admission check against it would spuriously
+    * reject every RDD-backed query. */
+  private def sizeOf(p: SparkPlan): Option[Long] = {
+    val linked = p.logicalLink.map(_.stats.sizeInBytes)
+    linked match {
+      case Some(s) if s < UnknownSentinel => Some(s.toLong)
+      case Some(_) => None // stats sentinel: unknown
+      case None =>
+        val parts = p.children.map(sizeOf)
+        if (parts.isEmpty) None
+        else if (parts.exists(_.isEmpty)) None
+        else Some(parts.flatten.foldLeft(0L)(addSat))
+    }
+  }
+
+  /** Anything at or past half of Long range is the no-stats sentinel
+    * territory (spark.sql.defaultSizeInBytes defaults to
+    * Long.MaxValue), not a measurement. */
+  private val UnknownSentinel = BigInt(Long.MaxValue / 2)
+
+  private def addSat(a: Long, b: Long): Long =
+    if (a > Long.MaxValue - b) Long.MaxValue else a + b
 
   def of(df: DataFrame): Estimate = {
     val spark = df.sparkSession
@@ -77,21 +106,30 @@ object ResourceEstimates {
 
     val plan = stripAdaptive(df.queryExecution.executedPlan)
     var broadcastTotal = 0L
+    var complete = true
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageEstimate]
 
-    /** Walk one exchange-delimited stage; returns this stage's memory. */
-    def walkStage(root: SparkPlan, label: String): Long = {
+    /** Walk one exchange-delimited stage. Unknown sizes (no stats)
+      * contribute a note instead of bytes and mark the estimate
+      * incomplete. */
+    def walkStage(root: SparkPlan, label: String): Unit = {
       var bytes = 0L
       val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+      def account(sz: Option[Long], what: String): Unit = sz match {
+        case Some(s) =>
+          bytes = addSat(bytes, s)
+          notes += s"$what ${mb(s)}"
+        case None =>
+          complete = false
+          notes += s"$what unavailable (no stats)"
+      }
       def visit(p: SparkPlan): Unit = p match {
         case e: ShuffleExchangeExec =>
-          val child = walkStage(e.child, stageName(e.child))
-          graft.discard(child) // accounted in its own stage entry
+          walkStage(e.child, stageName(e.child)) // its own stage entry
         case b: BroadcastExchangeExec =>
           val sz = sizeOf(b.child)
-          broadcastTotal += sz
-          bytes += sz
-          notes += s"broadcast build ${mb(sz)}"
+          sz.foreach(s => broadcastTotal = addSat(broadcastTotal, s))
+          account(sz, "broadcast build")
           visit(b.child)
         case j: BroadcastHashJoinExec =>
           visit(j.left); visit(j.right)
@@ -102,42 +140,37 @@ object ResourceEstimates {
             case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
             case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
           }
-          val sz = taskShare(sizeOf(build))
-          bytes += sz
-          notes += s"hash build ${mb(sz)}"
+          account(sizeOf(build).map(taskShare), "hash build")
           visit(j.left); visit(j.right)
         case j: SortMergeJoinExec =>
           // sorted runs stream; only the in-flight buffers count (one
           // partition's run per task, spillable)
           visit(j.left); visit(j.right)
         case a: HashAggregateExec =>
-          val sz = taskShare(sizeOf(a.child))
-          bytes += sz
-          notes += s"agg map ${mb(sz)}"
+          account(sizeOf(a.child).map(taskShare), "agg map")
           visit(a.child)
         case a: ObjectHashAggregateExec =>
-          bytes += taskShare(sizeOf(a.child)); visit(a.child)
+          account(sizeOf(a.child).map(taskShare), "agg map")
+          visit(a.child)
         case a: SortAggregateExec => visit(a.child)
         case s: SortExec =>
-          val sz = taskShare(sizeOf(s.child))
-          bytes += sz
-          notes += s"sort buffer ${mb(sz)} (spillable)"
+          account(sizeOf(s.child).map(taskShare), "sort buffer (spillable)")
           visit(s.child)
         case w: WindowExec =>
-          val sz = taskShare(sizeOf(w.child))
-          bytes += sz
-          notes += s"window buffer ${mb(sz)}"
+          account(sizeOf(w.child).map(taskShare), "window buffer")
           visit(w.child)
         case other => other.children.foreach(visit)
       }
       visit(root)
       stages += StageEstimate(label, bytes, notes.toSeq)
-      bytes
     }
 
-    graft.discard(walkStage(plan, stageName(plan)))
-    val ordered = stages.toSeq.reverse // leaf stages first, like EXPLAIN
-    Estimate(ordered.map(_.perHostBytes).sum, broadcastTotal, ordered)
+    walkStage(plan, stageName(plan))
+    // the buffer fills leaf-first (a child stage's entry lands before
+    // its parent appends) — already EXPLAIN's leaf-to-root order
+    val ordered = stages.toSeq
+    Estimate(ordered.map(_.perHostBytes).foldLeft(0L)(addSat),
+      broadcastTotal, ordered, complete)
   }
 
   private def stageName(p: SparkPlan): String = {

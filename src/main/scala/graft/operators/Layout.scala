@@ -161,17 +161,43 @@ object Layout {
   }
 
   /** Directory [[q368PartitionKeyDistinct]]/[[q369PartitionKeyMinMax]]
-    * write (hive-partitioned by lang); PlanSpec pins the metadata-only
-    * plan over it. */
-  lazy val PartitionedDocsDir = s"$runTmp/pks/documents"
+    * write (hive-partitioned by lang), keyed PER SOURCE DIR — one JVM
+    * runs several scale factors, and a fixture cached across them
+    * would answer a different corpus than the freshly registered
+    * `documents` view the oracle reads. PlanSpec pins the
+    * metadata-only plan over it. */
+  def partitionedDocsDir(dir: String): String =
+    s"$runTmp/pks/${java.lang.Integer.toHexString(dir.hashCode)}/documents"
 
   private def writePartitionedDocs(
-      sp: org.apache.spark.sql.SparkSession): Unit = {
-    // idempotent per JVM: the fixture is partition-pruned metadata, so
-    // one write serves both queries and the plan spec
-    if (!new java.io.File(PartitionedDocsDir, "_SUCCESS").exists())
+      sp: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    // idempotent per (JVM, source dir): the _SUCCESS marker gates the
+    // rewrite, so both queries and the plan spec share one write
+    if (!new java.io.File(partitionedDocsDir(dir), "_SUCCESS").exists())
       sp.table("documents").write.mode("overwrite")
-        .partitionBy("lang").parquet(PartitionedDocsDir)
+        .partitionBy("lang").parquet(partitionedDocsDir(dir))
+  }
+
+  /** Build a partition-key query with the opt-in rule enabled ONLY for
+    * its own planning: the conf is set, the physical plan is forced
+    * (QueryExecution caches it, and AQE's runtime re-optimization
+    * starts from the already-rewritten logical plan), then the conf is
+    * restored — nothing leaks into later queries planned on the shared
+    * session (r15 review finding: the registry sweep runs in sorted
+    * order, so a leaked conf would flip every query after q36*). */
+  private def withPartitionKeyScans(sp: org.apache.spark.sql.SparkSession)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val key = graft.plans.PartitionKeyScans.EnabledKey
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, "true")
+    try {
+      val df = build
+      graft.discard(df.queryExecution.executedPlan)
+      df
+    } finally prev match {
+      case Some(v) => sp.conf.set(key, v)
+      case None => sp.conf.unset(key)
+    }
   }
 
   /** The reference's `optimize_partition_key_scans` fast path
@@ -188,10 +214,11 @@ object Layout {
     "q368_partition_key_distinct",
     "SELECT DISTINCT lang FROM documents ORDER BY lang") { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    writePartitionedDocs(sp)
-    sp.conf.set(graft.plans.PartitionKeyScans.EnabledKey, "true")
-    sp.read.parquet(PartitionedDocsDir)
-      .select(col("lang")).distinct().orderBy("lang")
+    writePartitionedDocs(sp, dir)
+    withPartitionKeyScans(sp) {
+      sp.read.parquet(partitionedDocsDir(dir))
+        .select(col("lang")).distinct().orderBy("lang")
+    }
   }
 
   /** MIN/MAX/NDV over the partition column — the other shape the
@@ -205,12 +232,13 @@ object Layout {
       |       COUNT(DISTINCT lang) AS n_langs
       |FROM documents WHERE lang <> 'de'""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    writePartitionedDocs(sp)
-    sp.conf.set(graft.plans.PartitionKeyScans.EnabledKey, "true")
-    sp.read.parquet(PartitionedDocsDir)
-      .filter(col("lang") =!= "de")
-      .agg(min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"),
-        countDistinct(col("lang")).as("n_langs"))
+    writePartitionedDocs(sp, dir)
+    withPartitionKeyScans(sp) {
+      sp.read.parquet(partitionedDocsDir(dir))
+        .filter(col("lang") =!= "de")
+        .agg(min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"),
+          countDistinct(col("lang")).as("n_langs"))
+    }
   }
 
   /** Per-JVM unique scratch root, so a correctness run racing a test run

@@ -74,7 +74,14 @@ class BenchPlanSpec extends EngineSuite {
     val registryPath = resourcesDir.resolve("registry_plan_fingerprints.txt")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val fp =
-        try graft.engine.PlanFingerprint.summary(fn(spark, sfDir))
+        try {
+          val df = fn(spark, sfDir)
+          // the Explain surface runs ResourceEstimates on every query —
+          // it must never throw on any registry plan shape (QueryExecution
+          // caches the physical plan, so this shares the fingerprint's)
+          graft.discard(graft.engine.ResourceEstimates.of(df))
+          graft.engine.PlanFingerprint.summary(df)
+        }
         catch { case e: Throwable => s"err:${e.getClass.getSimpleName}" }
       s"$name $fp"
     }

@@ -1678,27 +1678,41 @@ class PlanSpec extends EngineSuite {
     // (PlannerTest.java:178): DISTINCT/MIN/MAX/NDV over partition
     // columns must not scan data files. The opt-in rule swaps the
     // relation for a LocalRelation of partition values — pin that the
-    // physical plan has no scan at all, and that the rows match the
-    // real scan with the rule off.
-    for (name <- Seq("q368_partition_key_distinct", "q369_partition_key_minmax")) {
-      val df = SparkEntry.queries(name)(spark, sfDir) // enables the conf
-      val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
-        s"$name still scans data files with the rule enabled:\n$p")
-      assert(p.contains("LocalTableScan"),
-        s"$name did not plan the partition-listing local relation:\n$p")
-      val withRule = df.collect().toSeq
-      spark.conf.set(graft.plans.PartitionKeyScans.EnabledKey, "false")
-      try {
-        val bare = SparkEntry.queries(name)(spark, sfDir)
-        // the builder re-enables the conf; force it off for the control
-        spark.conf.set(graft.plans.PartitionKeyScans.EnabledKey, "false")
-        val control = bare.collect().toSeq
-        assert(bare.queryExecution.executedPlan.toString.contains("Scan parquet"),
-          s"$name control run should scan (rule off)")
-        assert(withRule == control,
-          s"$name metadata answer diverges from the scan: $withRule vs $control")
-      } finally spark.conf.unset(graft.plans.PartitionKeyScans.EnabledKey)
+    // physical plan has no scan at all, that the rows match the real
+    // scan with the rule off, and that the builder's conf scoping does
+    // NOT leak into queries planned afterwards on the shared session.
+    import org.apache.spark.sql.functions.{col, countDistinct, min => fmin, max => fmax}
+    val key = graft.plans.PartitionKeyScans.EnabledKey
+    spark.conf.unset(key)
+    val results = Seq("q368_partition_key_distinct", "q369_partition_key_minmax")
+      .map { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+          s"$name still scans data files with the rule enabled:\n$p")
+        assert(p.contains("LocalTableScan"),
+          s"$name did not plan the partition-listing local relation:\n$p")
+        name -> df.collect().toSeq
+      }.toMap
+    // the builder restores the conf after pinning its own plan
+    assert(spark.conf.getOption(key).isEmpty,
+      "the partition-key builders leaked their opt-in conf into the session")
+    // control runs: same queries built directly over the fixture with
+    // the rule at its default (off) — these MUST scan, and must agree
+    val src = spark.read.parquet(
+      graft.operators.Layout.partitionedDocsDir(sfDir))
+    val controls = Map(
+      "q368_partition_key_distinct" ->
+        src.select(col("lang")).distinct().orderBy("lang"),
+      "q369_partition_key_minmax" ->
+        src.filter(col("lang") =!= "de")
+          .agg(fmin(col("lang")).as("min_lang"), fmax(col("lang")).as("max_lang"),
+            countDistinct(col("lang")).as("n_langs")))
+    controls.foreach { case (name, bare) =>
+      assert(bare.queryExecution.executedPlan.toString.contains("Scan parquet"),
+        s"$name control run should scan (rule off)")
+      assert(results(name) == bare.collect().toSeq,
+        s"$name metadata answer diverges from the scan")
     }
   }
 

@@ -46,6 +46,34 @@ class ResourceEstimatesSpec extends EngineSuite {
       s"lineitem agg ($big) should estimate more than nation agg ($small)")
   }
 
+  test("missing stats mark the estimate incomplete, never an 8-EB rejection") {
+    // r15 review finding: relations without statistics surface Spark's
+    // defaultSizeInBytes sentinel (Long.MaxValue). Summed as a real
+    // size it overflows the accumulators and makes memory-bounded
+    // admission reject every RDD-backed query (or, wrapped negative,
+    // admit the worst one). Such sizes must become "unavailable" notes.
+    val s = spark
+    import s.implicits._
+    val rddDf = s.sparkContext.parallelize(Seq(1L -> "a", 2L -> "b"))
+      .toDF("k", "v")
+    val df = rddDf.groupBy("v").count()
+    val est = ResourceEstimates.of(df)
+    assert(!est.complete, est.render)
+    assert(est.perHostBytes >= 0 && est.perHostBytes < (1L << 40),
+      s"sentinel leaked into the totals: ${est.render}")
+    assert(est.render.contains("unavailable"))
+    // memory-bounded admission sees the known part only — it admits
+    val pools = graft.engine.RequestPools.fromXml(
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <queue name="root"><queue name="q">
+        |    <aclSubmitApps>*</aclSubmitApps>
+        |    <maxResources>64 mb, 1 vcores</maxResources>
+        |  </queue></queue>
+        |</allocations>""".stripMargin)
+    assert(pools.admitQuery("q", 0, 0, df) == graft.engine.RequestPools.Admitted)
+  }
+
   test("the explainString surface carries both header and plan") {
     val s = spark
     QuerySpec.prepared(s, sfDir)
