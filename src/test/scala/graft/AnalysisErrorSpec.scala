@@ -357,6 +357,78 @@ class AnalysisErrorSpec extends EngineSuite {
   // analyzeAggregation: the reference requires all DISTINCT aggregates
   // to share one expression list). This engine is a documented superset
   // — multiple DISTINCT groups plan through Expand — so the pin is the
+  // ---- r15 additional families (AnalyzeExprsTest/AnalyzeStmtsTest) ----
+
+  test("DECIMAL precision above 38 is rejected") {
+    // ScalarType.MAX_PRECISION = 38 in the reference's type system;
+    // Spark's DecimalType shares the bound
+    fails("SELECT CAST(1 AS DECIMAL(39,0)) AS x", "38")
+  }
+
+  test("aggregate function in GROUP BY expression") {
+    fails("SELECT COUNT(*) FROM nation GROUP BY SUM(n_regionkey)",
+      "GROUP_BY_AGGREGATE")
+  }
+
+  test("aggregate function in a JOIN ON clause") {
+    fails(
+      "SELECT * FROM nation a JOIN region b ON SUM(a.n_regionkey) = b.r_regionkey",
+      "UNSUPPORTED_EXPR_FOR_OPERATOR")
+  }
+
+  test("window function in GROUP BY expression") {
+    fails("SELECT COUNT(*) FROM nation GROUP BY RANK() OVER (ORDER BY n_name)",
+      "UNSUPPORTED_EXPR_FOR_OPERATOR")
+  }
+
+  test("select-list alias is not visible in WHERE") {
+    // the reference resolves WHERE against base columns only
+    // (AnalyzeStmtsTest "couldn't resolve column reference"); Spark's
+    // lateral column aliases extend the SELECT list, never the filter
+    fails("SELECT n_regionkey AS rk FROM nation WHERE rk > 1", "rk")
+  }
+
+  test("INSERT into a view is rejected") {
+    QuerySpec.prepared(spark, sfDir)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW g_aerr_v AS SELECT 1 AS a")
+    try fails("INSERT INTO g_aerr_v VALUES (2)", "view")
+    finally spark.catalog.dropTempView("g_aerr_v"): Unit
+  }
+
+  test("non-integer LIMIT") {
+    fails("SELECT n_name FROM nation LIMIT 2.5", "integer")
+  }
+
+  // Documented supersets of the reference's grammar/analyzer, pinned as
+  // correct ANSWERS so a Spark upgrade can't silently change them:
+
+  test("OFFSET without ORDER BY is a supported superset") {
+    // the reference requires ORDER BY for OFFSET (AnalyzeStmtsTest);
+    // Spark applies it to the unordered stream — pin the row count only
+    QuerySpec.prepared(spark, sfDir)
+    assert(spark.sql("SELECT n_name FROM nation LIMIT 5 OFFSET 3")
+      .collect().length == 5)
+  }
+
+  test("WITH RECURSIVE is a supported superset of the reference's grammar") {
+    QuerySpec.prepared(spark, sfDir)
+    val r = spark.sql(
+      """WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r WHERE n < 5)
+        |SELECT SUM(n) AS s FROM r""".stripMargin).collect().head
+    assert(r.getLong(0) == 15L)
+  }
+
+  test("negative LEAD offset is a supported superset (evaluates as LAG)") {
+    // the reference rejects negative analytic offsets
+    // (AnalyticExpr.checkOffset); Spark evaluates lead(x, -1) = lag(x, 1)
+    QuerySpec.prepared(spark, sfDir)
+    val rows = spark.sql(
+      """SELECT lead(n_name, -1) OVER (ORDER BY n_name) AS l,
+        |       lag(n_name, 1)  OVER (ORDER BY n_name) AS g
+        |FROM nation""".stripMargin).collect()
+    assert(rows.forall(r => r.getString(0) == r.getString(1)))
+  }
+
   // correct ANSWER, not a rejection.
   test("multiple DISTINCT aggregate groups are a supported superset") {
     QuerySpec.prepared(spark, sfDir)
