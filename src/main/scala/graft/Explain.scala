@@ -19,7 +19,11 @@ object Explain {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val prefixes = if (args.length > 1) args(1).split(",").toSeq else Seq.empty
+    // blank prefixes must not act as match-everything — with [""] the
+    // sideEffecting skip below would be bypassed and DML writes would run
+    val prefixes =
+      if (args.length > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else Seq.empty
     val spark = graft.engine.GraftSession.local(cores = 8, shufflePartitions = 8)
     val selected = SparkEntry.specs
       .filter(s => prefixes.isEmpty || prefixes.exists(s.name.startsWith))

@@ -9,9 +9,15 @@ object Verify {
     val outDir = args(1)
     // Optional 3rd arg: comma-separated name prefixes — verify only the
     // matching queries (fast local iteration; the driver passes 2 args).
-    val filter: String => Boolean =
-      if (args.length > 2) { val ps = args(2).split(","); n => ps.exists(n.startsWith) }
-      else _ => true
+    // blank prefixes (an empty 3rd arg) must not match everything via
+    // the empty-string prefix — same guard as Bench's env filter
+    val filter: String => Boolean = {
+      val ps =
+        if (args.length > 2)
+          args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        else Seq.empty
+      if (ps.isEmpty) _ => true else n => ps.exists(n.startsWith)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.engine.GraftSession.attach(
       graft.engine.GraftSession.configure(
