@@ -66,25 +66,41 @@ object ResourceEstimates {
     else if (b >= (1L << 20)) f"${b / (1L << 20).toDouble}%.2fMB"
     else f"${math.max(b, 0L) / 1024.0}%.1fKB"
 
-  /** Logical-stats size of a physical subtree: the nearest logical link
-    * below/at the node (falls back to summing leaves). Relations with
-    * NO statistics surface Spark's defaultSizeInBytes sentinel
-    * (Long.MaxValue by default) — treated as UNKNOWN (None), the
-    * reference's "mem-estimate=unavailable", never as a real 8-EB
-    * relation: a sentinel summed into the totals would overflow the
-    * accumulators, and an admission check against it would spuriously
-    * reject every RDD-backed query. */
+  /** Size estimate for a subtree that will be MATERIALIZED as operator
+    * state (agg map, sort run, window buffer, join build): the sum of
+    * PHYSICAL input bytes under the node — actual file sizes from each
+    * scan's file index, local-relation stats, etc. This is the
+    * reference's grounding too (scan bytes propagated up); Spark's
+    * non-CBO logical `sizeInBytes` is NOT usable here because its join
+    * estimate is the PRODUCT of the input sizes, which turns a 70 MB
+    * join-agg into a "1.3 TB" state estimate. Expand (rollup/grouping
+    * sets) multiplies its input by the projection count — the one
+    * blow-up a byte-grounded walk must model, since a CUBE lattice
+    * genuinely materializes every combination.
+    *
+    * Relations with NO physical size (RDD scans; logical stats at the
+    * defaultSizeInBytes sentinel) are UNKNOWN: (known-so-far, true) —
+    * the reference's "mem-estimate=unavailable", never an 8-EB value
+    * that overflows accumulators or spuriously trips admission. */
   private def sizeOf(p: SparkPlan): Option[Long] = {
-    val linked = p.logicalLink.map(_.stats.sizeInBytes)
-    linked match {
-      case Some(s) if s < UnknownSentinel => Some(s.toLong)
-      case Some(_) => None // stats sentinel: unknown
-      case None =>
-        val parts = p.children.map(sizeOf)
-        if (parts.isEmpty) None
-        else if (parts.exists(_.isEmpty)) None
-        else Some(parts.flatten.foldLeft(0L)(addSat))
+    var known = 0L
+    var unknown = false
+    var expandFactor = 1L
+    def visit(n: SparkPlan): Unit = n match {
+      case f: FileSourceScanExec =>
+        known = addSat(known, f.relation.location.sizeInBytes)
+      case e: ExpandExec =>
+        expandFactor = math.min(expandFactor * math.max(e.projections.size, 1), 64L)
+        e.children.foreach(visit)
+      case leaf: LeafExecNode =>
+        leaf.logicalLink.map(_.stats.sizeInBytes) match {
+          case Some(s) if s < UnknownSentinel => known = addSat(known, s.toLong)
+          case _ => unknown = true
+        }
+      case other => other.children.foreach(visit)
     }
+    visit(p)
+    if (unknown) None else Some(mulSat(known, expandFactor))
   }
 
   /** Anything at or past half of Long range is the no-stats sentinel
@@ -94,6 +110,9 @@ object ResourceEstimates {
 
   private def addSat(a: Long, b: Long): Long =
     if (a > Long.MaxValue - b) Long.MaxValue else a + b
+
+  private def mulSat(a: Long, k: Long): Long =
+    if (k != 0 && a > Long.MaxValue / k) Long.MaxValue else a * k
 
   def of(df: DataFrame): Estimate = {
     val spark = df.sparkSession
