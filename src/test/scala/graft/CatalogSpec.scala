@@ -296,6 +296,52 @@ class CatalogSpec extends EngineSuite {
     } finally s.sql("DROP TABLE IF EXISTS graft_part_t")
   }
 
+  test("ALTER TABLE ADD/DROP PARTITION and RECOVER PARTITIONS") {
+    // AlterTableAddPartitionStmt / AlterTableDropPartitionStmt /
+    // AlterTableRecoverPartitionsStmt — the partition-DDL trio the
+    // reference analyzes; Spark serves all three natively on
+    // partitioned datasource tables (RECOVER doubles as MSCK REPAIR).
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_pddl_t")
+    s.sql("""CREATE TABLE graft_pddl_t (id BIGINT, day INT)
+            |USING parquet PARTITIONED BY (day)""".stripMargin)
+    try {
+      s.sql("INSERT INTO graft_pddl_t PARTITION (day=1) VALUES (10)")
+      s.sql("ALTER TABLE graft_pddl_t ADD PARTITION (day=2)")
+      // an added-but-empty partition is visible to SHOW PARTITIONS,
+      // contributes no rows (exactly the reference's HMS semantics —
+      // and the documented caveat behind opt-in partition-key scans)
+      val parts = s.sql("SHOW PARTITIONS graft_pddl_t").collect()
+        .map(_.getString(0)).toSet
+      assert(parts == Set("day=1", "day=2"), parts.toString)
+      assert(s.table("graft_pddl_t").count() == 1)
+      // ADD on an existing partition: IF NOT EXISTS passes, bare form errors
+      s.sql("ALTER TABLE graft_pddl_t ADD IF NOT EXISTS PARTITION (day=2)")
+      val dup = intercept[Exception](
+        s.sql("ALTER TABLE graft_pddl_t ADD PARTITION (day=2)"))
+      assert(dup.getMessage.toUpperCase.contains("ALREADY EXIST"), dup.getMessage)
+      // DROP removes metadata and data visibility
+      s.sql("ALTER TABLE graft_pddl_t DROP PARTITION (day=1)")
+      assert(s.table("graft_pddl_t").count() == 0)
+      assert(s.sql("SHOW PARTITIONS graft_pddl_t").collect()
+        .map(_.getString(0)).toSet == Set("day=2"))
+      // RECOVER PARTITIONS: a directory written behind the catalog's
+      // back registers after recovery (the reference's use case —
+      // files landed by an external loader)
+      val loc = s.sql("DESCRIBE EXTENDED graft_pddl_t").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      val s2 = s
+      import s2.implicits._
+      Seq(30L).toDF("id").write.mode("overwrite")
+        .parquet(s"$loc/day=3")
+      s.sql("ALTER TABLE graft_pddl_t RECOVER PARTITIONS")
+      assert(s.sql("SHOW PARTITIONS graft_pddl_t").collect()
+        .map(_.getString(0)).toSet == Set("day=2", "day=3"))
+      assert(s.table("graft_pddl_t").count() == 1)
+    } finally s.sql("DROP TABLE IF EXISTS graft_pddl_t")
+  }
+
   test("GetTypeInfo analogue serves the supported-type matrix in the JDBC shape") {
     // MetadataOp.java:557-645: one row per supported primitive type
     // (INVALID/DATE/DATETIME and parameterized DECIMAL/CHAR/VARCHAR are
