@@ -342,6 +342,108 @@ class CatalogSpec extends EngineSuite {
     } finally s.sql("DROP TABLE IF EXISTS graft_pddl_t")
   }
 
+  test("CREATE TABLE LIKE an existing table copies schema, not data") {
+    // CreateTableLikeStmt.java — the reference clones a table's shape
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    for (t <- Seq("graft_like_src", "graft_like_dst"))
+      s.sql(s"DROP TABLE IF EXISTS $t")
+    s.table("region").write.saveAsTable("graft_like_src")
+    try {
+      s.sql("CREATE TABLE graft_like_dst LIKE graft_like_src")
+      assert(s.table("graft_like_dst").schema == s.table("graft_like_src").schema)
+      assert(s.table("graft_like_dst").count() == 0)
+      assert(s.table("graft_like_src").count() == 5)
+    } finally for (t <- Seq("graft_like_src", "graft_like_dst"))
+      s.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("DESCRIBE DATABASE surfaces the db's catalog metadata") {
+    // DescribeDbStmt.java — name/location rows in the JDBC shape
+    QuerySpec.prepared(spark, sfDir)
+    val rows = spark.sql("DESCRIBE DATABASE default").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.keySet.exists(_.toLowerCase.contains("namespace")) ||
+      rows.keySet.exists(_.toLowerCase.contains("database")), rows.toString)
+  }
+
+  test("ALTER TABLE SET LOCATION repoints the table at existing files") {
+    // AlterTableSetLocationStmt.java — metadata-only repoint; the next
+    // read serves the new location's files
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_loc_t")
+    // a repointed-then-dropped managed table leaves its ORIGINAL
+    // warehouse dir behind (DROP removes the current location only) —
+    // clear it or the next run's saveAsTable hits LOCATION_ALREADY_EXISTS
+    locally {
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val dir = new java.io.File(
+        if (wh.getScheme == null) wh.getPath else new java.io.File(wh).getPath,
+        "graft_loc_t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+    val alt = java.nio.file.Files.createTempDirectory("graft_setloc").toString
+    s.table("nation").limit(7).write.mode("overwrite").parquet(alt)
+    s.table("nation").write.saveAsTable("graft_loc_t")
+    try {
+      assert(s.table("graft_loc_t").count() == 25)
+      s.sql(s"ALTER TABLE graft_loc_t SET LOCATION '$alt'")
+      s.sql("REFRESH TABLE graft_loc_t")
+      assert(s.table("graft_loc_t").count() == 7)
+    } finally s.sql("DROP TABLE IF EXISTS graft_loc_t")
+  }
+
+  test("column DDL: comment changes apply; type/replace/drop guard v1 tables") {
+    // AlterTableChangeColStmt / AlterTableAddReplaceColsStmt /
+    // AlterTableDropColStmt: the reference's Hive model edits these as
+    // pure metadata (readers reinterpret files). Spark's v1 parquet
+    // tables ACCEPT comment-only changes and REJECT type-narrowing /
+    // replace / drop (data-layout consistency guard; v2 catalogs
+    // support the full set) — pin both sides of that divergence.
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_coldd_t")
+    s.sql("CREATE TABLE graft_coldd_t (a INT, b STRING) USING parquet")
+    try {
+      s.sql("ALTER TABLE graft_coldd_t ALTER COLUMN a COMMENT 'the a column'")
+      val described = s.sql("DESCRIBE graft_coldd_t").collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(described("a") == "the a column")
+      def rejected(sql: String): Unit = {
+        val e = intercept[Exception](s.sql(sql))
+        assert(e.getMessage.toUpperCase.contains("NOT SUPPORTED") ||
+          e.getMessage.contains("NOT_SUPPORTED"), e.getMessage.take(200))
+      }
+      rejected("ALTER TABLE graft_coldd_t CHANGE COLUMN a a BIGINT")
+      rejected("ALTER TABLE graft_coldd_t REPLACE COLUMNS (x INT)")
+      rejected("ALTER TABLE graft_coldd_t DROP COLUMN b")
+    } finally s.sql("DROP TABLE IF EXISTS graft_coldd_t")
+  }
+
+  test("CREATE TABLE USING the external data source registers a queryable table") {
+    // CreateDataSrcStmt + CreateTableDataSrcStmt (EXTERNAL data source
+    // API tables): the DSv2 provider IS the registration — a catalog
+    // table over ExtDataSource serves SQL with pushdown like any table
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    s.sql("DROP TABLE IF EXISTS graft_extsrc_t")
+    s.sql(
+      """CREATE TABLE graft_extsrc_t USING graft.sources.ExtDataSource
+        |OPTIONS (rows '100', partitions '2')""".stripMargin)
+    try {
+      assert(s.sql("SELECT COUNT(*) AS n FROM graft_extsrc_t")
+        .collect().head.getLong(0) == 100L)
+      val filtered = s.sql(
+        "SELECT id FROM graft_extsrc_t WHERE id >= 90 ORDER BY id")
+      assert(filtered.collect().map(_.getLong(0)).toSeq == (90L until 100L))
+    } finally s.sql("DROP TABLE IF EXISTS graft_extsrc_t")
+  }
+
   test("GetTypeInfo analogue serves the supported-type matrix in the JDBC shape") {
     // MetadataOp.java:557-645: one row per supported primitive type
     // (INVALID/DATE/DATETIME and parameterized DECIMAL/CHAR/VARCHAR are
