@@ -1673,6 +1673,35 @@ class PlanSpec extends EngineSuite {
     }
   }
 
+  test("predicate propagation: a join-key filter reaches BOTH scans") {
+    // PlannerTest.testPredicatePropagation — the reference infers
+    // l_orderkey < k onto the other side of the equi-join; Catalyst's
+    // InferFiltersFromConstraints must land it in both PushedFilters
+    QuerySpec.prepared(spark, sfDir)
+    val p = spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey < 100
+        |GROUP BY o_orderstatus""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LessThan(l_orderkey,100)"), p)
+    assert(p.contains("LessThan(o_orderkey,100)"),
+      s"join-key predicate not propagated to the orders scan:\n$p")
+  }
+
+  test("constant folding: arithmetic folds before pushdown") {
+    // PlannerTest.testConstantFolding — 10 + 20 must reach the scan as
+    // the literal 30, never as a residual arithmetic expression
+    QuerySpec.prepared(spark, sfDir)
+    val p = spark.sql(
+      "SELECT l_orderkey FROM lineitem WHERE l_quantity < 10 + 20")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LessThan(l_quantity,30"), p)
+    val folded = spark.sql("SELECT 2 + 3 * 4 AS c FROM region LIMIT 1")
+      .queryExecution.optimizedPlan.toString
+    assert(folded.contains("14") && !folded.contains("3 * 4"), folded)
+  }
+
   test("q368/q369: partition-key scans answer from metadata, zero FileScan") {
     // The reference's optimize_partition_key_scans golden family
     // (PlannerTest.java:178): DISTINCT/MIN/MAX/NDV over partition
