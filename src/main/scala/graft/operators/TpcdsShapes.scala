@@ -1239,6 +1239,455 @@ object TpcdsShapes {
           .as("store_and_catalog"))
   }
 
+  // ---- round-15 batch: ten more DS plan families ----------------------
+
+  /** TPC-DS Q47/Q57 shape: the monthly-deviation screen — per
+    * (brand, year, month) sales with the brand-year average alongside
+    * and the neighbouring months' sales as LAG/LEAD columns, keeping
+    * months that deviate >10% from their year's monthly average. Three
+    * window frames over ONE collapsed relation (two partition specs:
+    * the per-year average and the cross-year month ordering). The
+    * deviation filter cross-multiplies exact decimals
+    * (10·|sales·cnt − tot| > tot ⇔ |sales − tot/cnt| > 0.1·tot/cnt) so
+    * neither engine divides before comparing. Scale: the collapse is
+    * (brand × month) — thousands of rows from one fact pass; every
+    * window partition is ≤ 24 rows. */
+  val q370MonthlyDeviation: QuerySpec = QuerySpec.sql(
+    "q370_dss_monthly_deviation",
+    s"""WITH m AS (
+       |  SELECT p_brand, YEAR(l_shipdate) AS yr, MONTH(l_shipdate) AS moy,
+       |         CAST(SUM($Vol) AS DECIMAL(25,8)) AS sales
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE YEAR(l_shipdate) IN (1996, 1997)
+       |  GROUP BY p_brand, YEAR(l_shipdate), MONTH(l_shipdate)),
+       |w AS (
+       |  SELECT p_brand, yr, moy, sales,
+       |    CAST(SUM(sales) OVER (PARTITION BY p_brand, yr) AS DECIMAL(30,8)) AS tot,
+       |    CAST(COUNT(*) OVER (PARTITION BY p_brand, yr) AS DECIMAL(4,0)) AS cnt,
+       |    LAG(sales) OVER (PARTITION BY p_brand ORDER BY yr, moy) AS psum,
+       |    LEAD(sales) OVER (PARTITION BY p_brand ORDER BY yr, moy) AS nsum
+       |  FROM m)
+       |SELECT p_brand, moy, CAST(sales AS DOUBLE) AS sales,
+       |  CAST(ROUND(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE) * 1e2) AS BIGINT)
+       |    AS avg_monthly_c,
+       |  CAST(psum AS DOUBLE) AS psum, CAST(nsum AS DOUBLE) AS nsum
+       |FROM w
+       |WHERE yr = 1997 AND 10 * ABS(sales * cnt - tot) > tot
+       |ORDER BY p_brand, moy""".stripMargin)
+
+  /** TPC-DS Q34/Q73 shape: the frequent-big-ticket screen — orders
+    * grouped to line counts, a HAVING band keeps mid-size tickets, then
+    * a SECOND grouping counts qualifying tickets per customer. Two
+    * stacked aggregations at different grains (order, then customer)
+    * with the customer dim joined after the second collapse — the
+    * cheapest row survives both collapses before touching the dim. */
+  val q371FrequentTickets: QuerySpec = QuerySpec.sql(
+    "q371_dss_frequent_tickets",
+    """WITH ticket AS (
+      |  SELECT l_orderkey AS ok, COUNT(*) AS n_lines
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING COUNT(*) BETWEEN 4 AND 7),
+      |freq AS (
+      |  SELECT o_custkey AS cust, COUNT(*) AS n_tickets
+      |  FROM orders JOIN ticket ON o_orderkey = ok
+      |  GROUP BY o_custkey HAVING COUNT(*) >= 3)
+      |SELECT c_custkey, c_name, n_tickets
+      |FROM freq JOIN customer ON cust = c_custkey
+      |ORDER BY n_tickets DESC, c_custkey
+      |LIMIT 100""".stripMargin)
+
+  /** TPC-DS Q31 shape: quarter-over-quarter growth COMPARED across two
+    * channels — nations where the web channel's Q1→Q2 and Q2→Q3 growth
+    * both beat the store channel's. The textbook text joins six
+    * quarterly aggregates (the oracle keeps that 6-way form); the
+    * Spark-first plan computes all six as conditional aggregates in ONE
+    * fact pass — Q31's semantics with zero self-joins. Ratios compare
+    * as ROUND(·1e6) integers of exact-decimal sums, engine-stable. */
+  val q372QoqGrowthCompare: QuerySpec = QuerySpec(
+    "q372_dss_qoq_growth_compare",
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT n_name, QUARTER(l_shipdate) AS q,
+       |    SUM(CASE WHEN l_returnflag = 'N' THEN $Vol ELSE $Zero END) AS s,
+       |    SUM(CASE WHEN l_returnflag = 'R' THEN $Vol ELSE $Zero END) AS w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE YEAR(l_shipdate) = 1996
+       |  GROUP BY n_name, QUARTER(l_shipdate))
+       |SELECT g1.n_name AS n_name,
+       |  CAST(ROUND(CAST(g2.s AS DOUBLE) / CAST(g1.s AS DOUBLE) * 1e6) AS BIGINT)
+       |    AS store_g12_e6,
+       |  CAST(ROUND(CAST(g2.w AS DOUBLE) / CAST(g1.w AS DOUBLE) * 1e6) AS BIGINT)
+       |    AS web_g12_e6,
+       |  CAST(ROUND(CAST(g3.s AS DOUBLE) / CAST(g2.s AS DOUBLE) * 1e6) AS BIGINT)
+       |    AS store_g23_e6,
+       |  CAST(ROUND(CAST(g3.w AS DOUBLE) / CAST(g2.w AS DOUBLE) * 1e6) AS BIGINT)
+       |    AS web_g23_e6
+       |FROM g g1
+       |JOIN g g2 ON g1.n_name = g2.n_name AND g1.q = 1 AND g2.q = 2
+       |JOIN g g3 ON g1.n_name = g3.n_name AND g3.q = 3
+       |WHERE g1.s > 0 AND g1.w > 0 AND g2.s > 0 AND g2.w > 0
+       |  AND ROUND(CAST(g2.w AS DOUBLE) / CAST(g1.w AS DOUBLE) * 1e6)
+       |    > ROUND(CAST(g2.s AS DOUBLE) / CAST(g1.s AS DOUBLE) * 1e6)
+       |  AND ROUND(CAST(g3.w AS DOUBLE) / CAST(g2.w AS DOUBLE) * 1e6)
+       |    > ROUND(CAST(g3.s AS DOUBLE) / CAST(g2.s AS DOUBLE) * 1e6)
+       |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val vol = (Num.money(col("l_extendedprice"))
+      * (lit(1).cast(Num.Rate) - Num.rate(col("l_discount"))))
+      .cast("decimal(19,8)")
+    def slice(f: String, q: Int) =
+      sum(when(col("l_returnflag") === f && quarter(col("l_shipdate")) === q,
+        vol).otherwise(lit(0).cast("decimal(19,8)")))
+    val g = sp.table("lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(sp.table("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(sp.table("nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(slice("N", 1).as("s1"), slice("N", 2).as("s2"), slice("N", 3).as("s3"),
+        slice("R", 1).as("w1"), slice("R", 2).as("w2"), slice("R", 3).as("w3"))
+    def ratio(a: String, b: String) =
+      round(col(a).cast("double") / col(b).cast("double") * 1e6)
+    g.filter(col("s1") > 0 && col("w1") > 0 && col("s2") > 0 && col("w2") > 0)
+      .filter(ratio("w2", "w1") > ratio("s2", "s1") &&
+        ratio("w3", "w2") > ratio("s3", "s2"))
+      .select(col("n_name"),
+        ratio("s2", "s1").cast("long").as("store_g12_e6"),
+        ratio("w2", "w1").cast("long").as("web_g12_e6"),
+        ratio("s3", "s2").cast("long").as("store_g23_e6"),
+        ratio("w3", "w2").cast("long").as("web_g23_e6"))
+      .orderBy(col("n_name"))
+  }
+
+  /** TPC-DS Q17/Q29 shape: the sold→returned→repurchased chain — a
+    * sale line joined to a later return of the SAME (customer, part)
+    * within a year, joined to any later repurchase by that customer
+    * within 90 days of the return, with per-part-type quantity
+    * statistics for each step. The chain is two hash joins on equi keys
+    * (cust+part, then cust) with date-band residuals ON the join —
+    * never a nested loop. Mean/variance per step stay EXACT integer
+    * algebra (n·Σq² − (Σq)² through DECIMAL(38,0)) until one final
+    * DOUBLE division each — the q299 discipline. The joined base
+    * relation is staged once; all three step slices read it. */
+  val q373SoldReturnedRepurchased: QuerySpec = {
+    def stats(x: String, out: String): String =
+      s"""  CAST(ROUND(CAST(SUM($x) AS DOUBLE) * 1e6 / COUNT(*)) AS BIGINT)
+         |    AS ${out}_mean_e6,
+         |  CAST(ROUND(CAST(COUNT(*) * SUM($x * $x) - SUM($x) * SUM($x) AS DOUBLE)
+         |    * 1e6 / (CAST(COUNT(*) AS DOUBLE) * COUNT(*))) AS BIGINT)
+         |    AS ${out}_var_e6""".stripMargin
+    QuerySpec(
+      "q373_dss_sold_returned_repurchased",
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT o_custkey AS cust, l_partkey AS pk, l_returnflag AS f,
+         |         l_shipdate AS d, CAST(l_quantity AS BIGINT) AS q
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |sale AS (SELECT cust, pk, d, q FROM base WHERE f = 'N'),
+         |ret AS (SELECT cust AS rcust, pk AS rpk, d AS rd, q AS rq
+         |        FROM base WHERE f = 'R'),
+         |rep AS (SELECT cust AS pcust, d AS pd, q AS pq
+         |        FROM base WHERE f = 'N'),
+         |chain AS (
+         |  SELECT pk, q AS sq, rq, pq
+         |  FROM sale
+         |  JOIN ret ON cust = rcust AND pk = rpk
+         |          AND rd > d AND rd <= d + INTERVAL 365 DAY
+         |  JOIN rep ON cust = pcust
+         |          AND pd > rd AND pd <= rd + INTERVAL 90 DAY)
+         |SELECT p_type, COUNT(*) AS n_chains,
+         |${stats("sq", "sale_q")},
+         |${stats("rq", "ret_q")},
+         |${stats("pq", "rep_q")}
+         |FROM chain JOIN part ON pk = p_partkey
+         |GROUP BY p_type
+         |ORDER BY p_type""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val base = sp.table("lineitem")
+        .join(sp.table("orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("pk"),
+          col("l_returnflag").as("f"), col("l_shipdate").as("d"),
+          col("l_quantity").cast("long").as("q"))
+        .staged // three step slices below read one joined pass
+      val sale = base.filter(col("f") === "N")
+        .select(col("cust"), col("pk"), col("d").as("sd"), col("q").as("sq"))
+      val ret = base.filter(col("f") === "R")
+        .select(col("cust").as("rcust"), col("pk").as("rpk"),
+          col("d").as("rd"), col("q").as("rq"))
+      val rep = base.filter(col("f") === "N")
+        .select(col("cust").as("pcust"), col("d").as("pd"), col("q").as("pq"))
+      val chain = sale
+        .join(ret, col("cust") === col("rcust") && col("pk") === col("rpk") &&
+          col("rd") > col("sd") &&
+          col("rd") <= col("sd") + expr("INTERVAL 365 DAY"))
+        .join(rep, col("cust") === col("pcust") &&
+          col("pd") > col("rd") &&
+          col("pd") <= col("rd") + expr("INTERVAL 90 DAY"))
+      def meanE6(x: String, out: String) =
+        round(sum(col(x)).cast("double") * 1e6 / count(lit(1)))
+          .cast("long").as(s"${out}_mean_e6")
+      def varE6(x: String, out: String) =
+        round((count(lit(1)).cast("decimal(38,0)")
+            * sum(col(x) * col(x)).cast("decimal(38,0)")
+          - sum(col(x)).cast("decimal(38,0)")
+            * sum(col(x)).cast("decimal(38,0)")).cast("double")
+          * 1e6 / (count(lit(1)).cast("double") * count(lit(1))))
+          .cast("long").as(s"${out}_var_e6")
+      chain.join(sp.table("part"), col("pk") === col("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_chains"),
+          meanE6("sq", "sale_q"), varE6("sq", "sale_q"),
+          meanE6("rq", "ret_q"), varE6("rq", "ret_q"),
+          meanE6("pq", "rep_q"), varE6("pq", "rep_q"))
+        .orderBy(col("p_type"))
+    }
+  }
+
+  /** TPC-DS Q78 shape: channel-exclusive year-over-year growth — sale
+    * lines with NO matching return (an anti-join on the order+part
+    * grain, Q78's `LEFT JOIN … WHERE sr IS NULL`), rolled to per
+    * (customer, year) quantities, customers present both years ranked
+    * by growth. The oracle keeps the correlated-NOT-EXISTS + self-join
+    * text; the Spark-first plan is one anti-join then ONE pass with
+    * both years as conditional aggregates — no self-join (presence ⇔
+    * qty > 0 since every line has q ≥ 1). */
+  val q374ChannelExclusiveYoy: QuerySpec = QuerySpec(
+    "q374_dss_channel_exclusive_yoy",
+    s"""WITH sal AS MATERIALIZED (
+       |  SELECT YEAR(l_shipdate) AS yr, o_custkey AS cust,
+       |         CAST(l_quantity AS BIGINT) AS q,
+       |         l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'N' AND YEAR(l_shipdate) IN (1996, 1997)),
+       |nr AS MATERIALIZED (
+       |  SELECT yr, cust, CAST(SUM(q) AS BIGINT) AS qty
+       |  FROM sal
+       |  WHERE NOT EXISTS (SELECT 1 FROM lineitem r
+       |                    WHERE r.l_orderkey = sal.ok
+       |                      AND r.l_partkey = sal.pk
+       |                      AND r.l_returnflag = 'R')
+       |  GROUP BY yr, cust)
+       |SELECT c96.cust AS c_custkey, c96.qty AS qty96, c97.qty AS qty97,
+       |  CAST(ROUND(CAST(c97.qty AS DOUBLE) / c96.qty * 1e6) AS BIGINT)
+       |    AS growth_e6
+       |FROM nr c96 JOIN nr c97 ON c96.cust = c97.cust
+       |WHERE c96.yr = 1996 AND c97.yr = 1997
+       |ORDER BY growth_e6 DESC, c_custkey
+       |LIMIT 50""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val returns = sp.table("lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("r_ok"), col("l_partkey").as("r_pk"))
+    val kept = sp.table("lineitem")
+      .filter(col("l_returnflag") === "N" &&
+        year(col("l_shipdate")).isin(1996, 1997))
+      .join(returns, col("l_orderkey") === col("r_ok") &&
+        col("l_partkey") === col("r_pk"), "left_anti")
+      .join(sp.table("orders"), col("l_orderkey") === col("o_orderkey"))
+    def yq(y: Int) = sum(when(year(col("l_shipdate")) === y,
+      col("l_quantity").cast("long")).otherwise(lit(0L)))
+    kept.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(yq(1996).as("qty96"), yq(1997).as("qty97"))
+      .filter(col("qty96") > 0 && col("qty97") > 0)
+      .select(col("c_custkey"), col("qty96"), col("qty97"),
+        round(col("qty97").cast("double") / col("qty96") * 1e6)
+          .cast("long").as("growth_e6"))
+      .orderBy(col("growth_e6").desc, col("c_custkey"))
+      .limit(50)
+  }
+
+  /** TPC-DS Q54 shape: the cohort-revenue histogram — customers who
+    * bought the target category in the anchor month, their TOTAL spend
+    * over the following quarter bucketed into fixed-width revenue
+    * segments. The cohort is a DISTINCT semi-join side (broadcast
+    * material: distinct customers of one month × one category); the
+    * follow-on revenue is one fact pass semi-joined to it. */
+  val q375CohortRevenueHistogram: QuerySpec = QuerySpec.sql(
+    "q375_dss_cohort_revenue_histogram",
+    s"""WITH cohort AS (
+       |  SELECT DISTINCT o_custkey AS cust
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  WHERE p_type = 'STANDARD' AND YEAR(l_shipdate) = 1996
+       |    AND MONTH(l_shipdate) = 3),
+       |rev AS (
+       |  SELECT o_custkey, SUM($Vol) AS r
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN cohort ON o_custkey = cust
+       |  WHERE l_shipdate >= DATE '1996-04-01'
+       |    AND l_shipdate < DATE '1996-07-01'
+       |  GROUP BY o_custkey)
+       |SELECT CAST(FLOOR(CAST(r AS DOUBLE) / 5000) AS BIGINT) AS segment,
+       |       COUNT(*) AS n_customers
+       |FROM rev
+       |GROUP BY CAST(FLOOR(CAST(r AS DOUBLE) / 5000) AS BIGINT)
+       |ORDER BY segment""".stripMargin)
+
+  /** TPC-DS Q58 shape: brands selling evenly across ALL THREE channels
+    * — each channel's revenue within 15% of the three-channel mean. The
+    * oracle keeps Q58's three-CTE equi-join; the Spark-first plan
+    * computes the three channel sums as conditional aggregates in ONE
+    * fact pass. The band test cross-multiplies exact decimals
+    * (300·x between (100±15)·(a+n+r)) — no division, engine-stable;
+    * channel-presence semantics coincide because a missing channel sums
+    * to 0, which always fails the lower band. */
+  val q376BalancedChannelBrands: QuerySpec = QuerySpec(
+    "q376_dss_balanced_channel_brands",
+    s"""WITH ss AS (
+       |  SELECT p_brand, CAST(SUM($Vol) AS DECIMAL(25,8)) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'A' AND YEAR(l_shipdate) = 1996
+       |  GROUP BY p_brand),
+       |cs AS (
+       |  SELECT p_brand, CAST(SUM($Vol) AS DECIMAL(25,8)) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'N' AND YEAR(l_shipdate) = 1996
+       |  GROUP BY p_brand),
+       |ws AS (
+       |  SELECT p_brand, CAST(SUM($Vol) AS DECIMAL(25,8)) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'R' AND YEAR(l_shipdate) = 1996
+       |  GROUP BY p_brand)
+       |SELECT ss.p_brand AS p_brand, CAST(ss.rev AS DOUBLE) AS a_rev,
+       |       CAST(cs.rev AS DOUBLE) AS n_rev, CAST(ws.rev AS DOUBLE) AS r_rev
+       |FROM ss
+       |JOIN cs ON ss.p_brand = cs.p_brand
+       |JOIN ws ON ss.p_brand = ws.p_brand
+       |WHERE 300 * ss.rev BETWEEN 85 * (ss.rev + cs.rev + ws.rev)
+       |                       AND 115 * (ss.rev + cs.rev + ws.rev)
+       |  AND 300 * cs.rev BETWEEN 85 * (ss.rev + cs.rev + ws.rev)
+       |                       AND 115 * (ss.rev + cs.rev + ws.rev)
+       |  AND 300 * ws.rev BETWEEN 85 * (ss.rev + cs.rev + ws.rev)
+       |                       AND 115 * (ss.rev + cs.rev + ws.rev)
+       |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val vol = (Num.money(col("l_extendedprice"))
+      * (lit(1).cast(Num.Rate) - Num.rate(col("l_discount"))))
+      .cast("decimal(19,8)")
+    def slice(f: String) =
+      sum(when(col("l_returnflag") === f, vol)
+        .otherwise(lit(0).cast("decimal(19,8)"))).cast("decimal(25,8)")
+    val g = sp.table("lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(sp.table("part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(slice("A").as("a"), slice("N").as("n"), slice("R").as("r"))
+    val t = col("a") + col("n") + col("r")
+    def inBand(x: String) =
+      (lit(300) * col(x)).between(lit(85) * t, lit(115) * t)
+    g.filter(inBand("a") && inBand("n") && inBand("r"))
+      .select(col("p_brand"), col("a").cast("double").as("a_rev"),
+        col("n").cast("double").as("n_rev"), col("r").cast("double").as("r_rev"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-DS Q8 shape: an INTERSECT-derived dimension filter feeding a
+    * star — the top-10 nations by customer balance INTERSECTed with
+    * nations that field an in-good-standing supplier, then supplier
+    * revenue per surviving nation. The INTERSECT runs over two
+    * broadcast-sized nation sets; the survivor list semi-joins the fact
+    * through the supplier dim — a subquery-IN that Spark plans as a
+    * broadcast left-semi, never a shuffle. */
+  val q377IntersectNationFilter: QuerySpec = QuerySpec.sql(
+    "q377_dss_intersect_nation_filter",
+    s"""WITH topc AS (
+       |  SELECT n_name FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY n_name
+       |  ORDER BY SUM(CAST(c_acctbal AS $M)) DESC, n_name
+       |  LIMIT 10),
+       |sup AS (
+       |  SELECT DISTINCT n_name FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE s_acctbal > 0),
+       |good AS (SELECT n_name FROM topc INTERSECT SELECT n_name FROM sup)
+       |SELECT n.n_name AS n_name, CAST(SUM($Vol) AS DOUBLE) AS rev
+       |FROM lineitem
+       |JOIN supplier s ON l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |WHERE n.n_name IN (SELECT n_name FROM good)
+       |GROUP BY n.n_name
+       |ORDER BY n_name""".stripMargin)
+
+  /** TPC-DS Q35/Q69 shape: demographic statistics over an
+    * EXISTS-and-NOT-EXISTS customer screen — customers with a finished
+    * 1996 order (EXISTS against one channel) and no purchase event
+    * (NOT EXISTS against the other), rolled up per nation with exact
+    * count/min/max/total balance stats. Both membership probes
+    * decorrelate to semi/anti joins on the customer key; the stats
+    * aggregate runs once over the survivors. */
+  val q378ExistsScreenStats: QuerySpec = QuerySpec.sql(
+    "q378_dss_exists_screen_stats",
+    s"""SELECT n_name, COUNT(*) AS n_customers,
+       |  CAST(MIN(CAST(c_acctbal AS $M)) AS DOUBLE) AS min_bal,
+       |  CAST(MAX(CAST(c_acctbal AS $M)) AS DOUBLE) AS max_bal,
+       |  CAST(SUM(CAST(c_acctbal AS $M)) AS DOUBLE) AS total_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |WHERE EXISTS (SELECT 1 FROM orders
+       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+       |                AND YEAR(o_orderdate) = 1996)
+       |  AND NOT EXISTS (SELECT 1 FROM events
+       |                  WHERE user_id = c_custkey
+       |                    AND event_type = 'purchase')
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin)
+
+  /** TPC-DS Q75 shape: the year-over-year DECLINE report — per (year,
+    * brand) quantity and amount accumulated across all three channels
+    * (the oracle keeps Q75's three-slice UNION ALL then self-join on
+    * year+1), keeping brands that shrank. The Spark-first plan folds
+    * both years AND all channels into ONE conditional-aggregate pass —
+    * zero self-joins, zero unions (presence ⇔ qty > 0). */
+  val q379YoyDecline: QuerySpec = QuerySpec(
+    "q379_dss_yoy_decline",
+    s"""WITH ch AS (
+       |  SELECT YEAR(l_shipdate) AS yr, p_brand,
+       |         CAST(l_quantity AS BIGINT) AS q, $Vol AS v
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'N' AND YEAR(l_shipdate) IN (1996, 1997)
+       |  UNION ALL
+       |  SELECT YEAR(l_shipdate), p_brand, CAST(l_quantity AS BIGINT), $Vol
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'A' AND YEAR(l_shipdate) IN (1996, 1997)
+       |  UNION ALL
+       |  SELECT YEAR(l_shipdate), p_brand, CAST(l_quantity AS BIGINT), $Vol
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'R' AND YEAR(l_shipdate) IN (1996, 1997)),
+       |g AS MATERIALIZED (
+       |  SELECT yr, p_brand, CAST(SUM(q) AS BIGINT) AS qty,
+       |         CAST(SUM(v) AS DECIMAL(25,8)) AS amt
+       |  FROM ch GROUP BY yr, p_brand)
+       |SELECT p.p_brand AS p_brand, p.qty AS qty96, c.qty AS qty97,
+       |  p.qty - c.qty AS qty_decline,
+       |  CAST(p.amt AS DOUBLE) AS amt96, CAST(c.amt AS DOUBLE) AS amt97
+       |FROM g p JOIN g c ON p.p_brand = c.p_brand
+       |WHERE p.yr = 1996 AND c.yr = 1997 AND c.qty < p.qty
+       |ORDER BY qty_decline DESC, p_brand
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val vol = (Num.money(col("l_extendedprice"))
+      * (lit(1).cast(Num.Rate) - Num.rate(col("l_discount"))))
+      .cast("decimal(19,8)")
+    def yq(y: Int) = sum(when(year(col("l_shipdate")) === y,
+      col("l_quantity").cast("long")).otherwise(lit(0L)))
+    def ya(y: Int) = sum(when(year(col("l_shipdate")) === y, vol)
+      .otherwise(lit(0).cast("decimal(19,8)"))).cast("decimal(25,8)")
+    sp.table("lineitem")
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .join(sp.table("part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(yq(1996).as("qty96"), yq(1997).as("qty97"),
+        ya(1996).as("a96"), ya(1997).as("a97"))
+      .filter(col("qty96") > 0 && col("qty97") > 0 &&
+        col("qty97") < col("qty96"))
+      .select(col("p_brand"), col("qty96"), col("qty97"),
+        (col("qty96") - col("qty97")).as("qty_decline"),
+        col("a96").cast("double").as("amt96"),
+        col("a97").cast("double").as("amt97"))
+      .orderBy(col("qty_decline").desc, col("p_brand"))
+      .limit(100)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q254StarDateBrand, q255ChannelRollup, q256ReturnsAboveAvg,
     q257MultiSupplierOrders, q258RollupRank, q259OrderSizeBuckets,
@@ -1254,5 +1703,9 @@ object TpcdsShapes {
     q358PriceAboveCategoryAvg, q359CaseScalarBands, q360BeforeAfterBalance,
     q361VolatilityPairs, q362DimOrMaze, q363BestWorstPairing,
     q364ReturnRatioRanks, q365DateArithResidual, q366AmPmRatio,
-    q367ChannelOverlapMatrix)
+    q367ChannelOverlapMatrix,
+    q370MonthlyDeviation, q371FrequentTickets, q372QoqGrowthCompare,
+    q373SoldReturnedRepurchased, q374ChannelExclusiveYoy,
+    q375CohortRevenueHistogram, q376BalancedChannelBrands,
+    q377IntersectNationFilter, q378ExistsScreenStats, q379YoyDecline)
 }

@@ -1334,6 +1334,70 @@ class PlanSpec extends EngineSuite {
       "q367: corpus-sized FULL OUTER must not broadcast\n" + p367.take(1500))
   }
 
+  test("q370-q379 (round-15 DS batch 3): one-pass conditional aggs, staged chains on equi joins, semi/anti screens, pushed date bands") {
+    val batch = Seq(
+      "q370_dss_monthly_deviation", "q371_dss_frequent_tickets",
+      "q372_dss_qoq_growth_compare", "q373_dss_sold_returned_repurchased",
+      "q374_dss_channel_exclusive_yoy", "q375_dss_cohort_revenue_histogram",
+      "q376_dss_balanced_channel_brands", "q377_dss_intersect_nation_filter",
+      "q378_dss_exists_screen_stats", "q379_dss_yoy_decline")
+    for (n <- batch) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n planned an unbroadcast cartesian:\n" + p.take(1200))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$n planned a nested loop:\n" + p.take(1200))
+    }
+    def liScans(p: String): Int =
+      "Scan parquet[^\\n]*lineitem".r.findAllIn(p).size
+    // one-pass families: the oracle's multi-CTE self-join text (Q31's
+    // 6-way, Q58's 3-way, Q75's union+self-join) folds to ONE
+    // conditional-aggregate fact pass
+    for (n <- Seq("q370_dss_monthly_deviation", "q372_dss_qoq_growth_compare",
+        "q376_dss_balanced_channel_brands", "q379_dss_yoy_decline")) {
+      val p = plan(n)
+      assert(liScans(p) == 1,
+        s"$n: fact must collapse in one pass (${liScans(p)} scans)\n" + p.take(1500))
+    }
+    // q370: both window specs run over the ONE collapsed (brand, month)
+    // relation — two Window nodes, zero extra fact passes
+    val p370 = plan("q370_dss_monthly_deviation")
+    assert("Window ".r.findAllIn(p370).size == 2,
+      "q370: expected exactly the two deviation windows\n" + p370.take(1500))
+    // q371: stacked aggregations collapse the fact before the customer
+    // dim joins; final ORDER+LIMIT is TopN
+    val p371 = plan("q371_dss_frequent_tickets")
+    assert(liScans(p371) == 1, s"q371: fact scanned ${liScans(p371)}x\n" + p371.take(1500))
+    assert(p371.contains("TakeOrderedAndProject"), "q371 lost TopN\n" + p371.take(1200))
+    // q373: the staged sold/returned/repurchased base is the only fact
+    // source (0 parquet fact scans below the stage) and both date-band
+    // chain hops ride their equi joins
+    val p373 = plan("q373_dss_sold_returned_repurchased")
+    assert(liScans(p373) == 0,
+      "q373 rescans the fact instead of slicing its staged base\n" + p373.take(1500))
+    // q374: the no-return screen is a REAL anti join; final ranking TopN
+    val p374 = plan("q374_dss_channel_exclusive_yoy")
+    assert(p374.contains("LeftAnti"), "q374: NOT EXISTS lost its anti join\n" + p374.take(1500))
+    assert(p374.contains("TakeOrderedAndProject"), "q374 lost TopN\n" + p374.take(1200))
+    // q375: the follow-on revenue pass prunes at the reader — the
+    // quarter band reaches parquet as a pushed range filter
+    val p375 = plan("q375_dss_cohort_revenue_histogram")
+    assert(p375.contains("GreaterThanOrEqual(l_shipdate,1996-04-01"),
+      "q375: follow-on date band not pushed to the scan\n" + p375.take(1500))
+    // q377: INTERSECT + the IN-subquery both plan semi joins over
+    // broadcast-sized nation sets; the top-10 screen is TopN
+    val p377 = plan("q377_dss_intersect_nation_filter")
+    assert("LeftSemi".r.findAllIn(p377).size >= 2,
+      "q377: INTERSECT/IN must plan semi joins\n" + p377.take(1500))
+    assert(p377.contains("TakeOrderedAndProject(limit=10"),
+      "q377: top-10 nation screen lost TopN\n" + p377.take(1500))
+    assert(liScans(p377) == 1, s"q377: fact scanned ${liScans(p377)}x\n" + p377.take(1500))
+    // q378: EXISTS → semi, NOT EXISTS → anti, both on the customer key
+    val p378 = plan("q378_dss_exists_screen_stats")
+    assert(p378.contains("LeftSemi"), "q378: EXISTS lost its semi join\n" + p378.take(1500))
+    assert(p378.contains("LeftAnti"), "q378: NOT EXISTS lost its anti join\n" + p378.take(1500))
+  }
+
   // ---- forced-broadcast sweep (the 100 TB broadcast discipline) -------
   // A `broadcast(rel)` hint OVERRIDES the size-based planner: at 100 TB
   // the hinted side materializes on EVERY executor no matter how big it
