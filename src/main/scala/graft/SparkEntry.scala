@@ -12,6 +12,7 @@ object SparkEntry {
       operators.TpchFull.all ++
       operators.TpcdsShapes.all ++
       operators.Joins.all ++
+      operators.Skew.all ++
       operators.Subqueries.all ++
       operators.SetOps.all ++
       operators.Aggregates.all ++
@@ -25,6 +26,7 @@ object SparkEntry {
       llmops.Dedup.all ++
       llmops.Similarity.all ++
       llmops.TextAnalysis.all ++
+      llmops.SuffixArray.all ++
       llmops.Multimodal.all ++
       llmops.Clustering.all ++
       llmops.Retrieval.all ++

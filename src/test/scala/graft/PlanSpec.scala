@@ -1449,6 +1449,11 @@ class PlanSpec extends EngineSuite {
       "q320_davies_bouldin" -> "per-class-label mean vectors: |labels| bounded",
       "q322_friedman" -> ("per-treatment-group rank sums: k treatment groups " +
         "— a bounded experimental design, not corpus-sized"),
+      "q383_skew_salted_join" -> ("hot-key list: ≤ n/T keys by the " +
+        "heavy-hitter bound (threshold T over n probe rows — the " +
+        "boundedPairs oversized-block argument); the saltedJoin contract " +
+        "(Skew.scala scaladoc) requires the caller to scale T so n/T " +
+        "stays broadcast-sized"),
       "q337_rocchio_prf" -> ("pass-2 DF prune: the semi-join right side is the " +
         "top-10 pseudo-relevant docs' OWN vocabulary — bounded by 10 " +
         "document lengths, not the corpus vocab (the pass-1/pass-3 prunes " +

@@ -46,6 +46,23 @@ class PrefixSpec extends EngineSuite {
       "distributed prefix sums diverge from the reference window")
   }
 
+  test("globalRank is row-stable on a checkpoint-fed input (one materialized range pass)") {
+    // Regression: before the ranged() materialization, the local pass
+    // and the offsets rollup planned two INDEPENDENT range exchanges
+    // (no reuse), each with its own sampled boundaries and its own AQE
+    // coalescing — on a checkpoint-fed input the two __pid spaces
+    // diverged and the inner join on __pid silently DROPPED rows
+    // (27,939 → 6,823 observed). A single materialization makes the
+    // count invariant unconditionally.
+    val df = fixture.localCheckpoint()
+    val ranked = Prefix.globalRank(df, Seq(col("k"), col("id")), "rk")
+      .localCheckpoint() // freeze ONE materialization, then audit it
+    val n = df.count()
+    assert(ranked.count() == n, "globalRank dropped rows")
+    assert(ranked.agg(min("rk"), max("rk"), countDistinct("rk")).collect()(0)
+      .toSeq == Seq(1L, n, n), "ranks are not a permutation of 1..n")
+  }
+
   test("the heavy window is range-partitioned; only the offsets rollup is global") {
     val df = Prefix.globalRank(fixture, Seq(col("k"), col("id")), "rk")
     val ws = df.queryExecution.sparkPlan.collect {
