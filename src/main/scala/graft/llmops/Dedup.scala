@@ -1940,8 +1940,61 @@ object Dedup {
       .orderBy(col("partkey_a"), col("partkey_b"))
   }
 
+  /** Sorted-neighborhood blocking (Hernández–Stolfo merge/purge) — the
+    * THIRD blocking strategy next to hash blocking ([[q217]]) and LSH
+    * banding ([[q81MinHashLsh]]): sort the corpus once on a cheap key
+    * (here the 40-char text prefix), then candidate pairs are only the
+    * records within a fixed window w of each other in sort order —
+    * n·(w−1) candidates TOTAL, independent of key-collision skew (the
+    * property hash blocking lacks: a degenerate blocking key floods a
+    * hash block, but a sort window never exceeds w). Distributed shape:
+    * the global sort position comes from [[graft.operators.Prefix]]
+    * (range-partitioned, no single-task window), the window pairing is
+    * an equi-join of rank against rank+d for d ∈ 1..w−1 (an explode of
+    * a 3-literal sequence — bounded fan-out), and the verify is
+    * `levenshtein ≤ 12` on the 80-char prefixes, which the always-on
+    * [[graft.plans.BoundedLevenshteinRewrite]] lowers to the banded
+    * kernel. Known SNM recall property (documented, deterministic):
+    * a near-dup pair whose edit falls inside the sort key lands apart
+    * in sort order and is missed — production runs multiple passes
+    * with rotated keys; one pass is pinned here. */
+  val q384SortedNeighborhood: QuerySpec = QuerySpec(
+    "q384_er_sorted_neighborhood",
+    """WITH d AS (SELECT doc_id, text, substr(text, 1, 40) AS k FROM documents),
+      |r AS (SELECT doc_id, text, k,
+      |        ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+      |      FROM d),
+      |c AS (SELECT LEAST(a.doc_id, b.doc_id) AS doc_id_a,
+      |             GREATEST(a.doc_id, b.doc_id) AS doc_id_b,
+      |             levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80))
+      |               AS dist
+      |      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)
+      |SELECT doc_id_a, doc_id_b, CAST(dist AS BIGINT) AS dist
+      |FROM c WHERE dist <= 12
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val d = sp.table("documents")
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, 40).as("k"))
+    val r = graft.operators.Prefix.globalRank(
+      d, Seq(col("k"), col("doc_id")), "rn")
+      .staged // both window arms read the ranked relation
+    val a = r.select(col("rn"), col("doc_id").as("id_a"),
+        substring(col("text"), 1, 80).as("t_a"))
+      .withColumn("__d", explode(sequence(lit(1L), lit(3L))))
+      .withColumn("rn_b", col("rn") + col("__d")).drop("__d")
+    val b = r.select(col("rn").as("rn_b"), col("doc_id").as("id_b"),
+      substring(col("text"), 1, 80).as("t_b"))
+    a.join(b, "rn_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .filter(col("dist") <= 12)
+      .select(least(col("id_a"), col("id_b")).as("doc_id_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_id_b"), col("dist"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q325KCore.benched, q334JaroWinklerPairs,
+    q325KCore.benched, q334JaroWinklerPairs, q384SortedNeighborhood,
     q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep, q276Containment, q292WinnowingClones,
     q298ClusteringCoefficient, q299DegreeAssortativity,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,

@@ -63,6 +63,53 @@ object Prefix {
       .drop("__pid", "__lrk", "__off")
   }
 
+  /** Exact global `RANK() OVER (ORDER BY sort)` (competition rank:
+    * count of strictly-smaller rows + 1, ties share) as `rankCol`
+    * (BIGINT, 1-based), range-partitioned like [[globalRank]] — the
+    * same row-count offsets compose, because equal sort keys never
+    * span a range boundary. The numbering iterative refiners want:
+    * when a tie block splits later, every OTHER rank value is
+    * unaffected (unlike dense ranks, which renumber globally). */
+  def globalRankTies(df: DataFrame, sort: Seq[Column], rankCol: String): DataFrame = {
+    val parts = ranged(df, sort)
+    val local = parts.withColumn("__lrk",
+      rank().over(Window.partitionBy(col("__pid")).orderBy(sort: _*))
+        .cast("long"))
+    val offsets = parts.groupBy("__pid").agg(count(lit(1)).as("__pn"))
+      .withColumn("__off", coalesce(
+        sum("__pn").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, col("__off") + col("__lrk"))
+      .drop("__pid", "__lrk", "__off")
+  }
+
+  /** Exact global `DENSE_RANK() OVER (ORDER BY sort)` as `rankCol`
+    * (BIGINT, 1-based) without a single-task window and without
+    * collapsing to the distinct key relation first (no distinct
+    * shuffle, no join-back — the shape iterative rankers like the
+    * suffix-array doubling loop need every round). Correctness of the
+    * per-partition composition: repartitionByRange keys equal sort
+    * values into ONE partition, so no dense-rank tie block ever spans
+    * a partition boundary; the global rank is the local dense rank
+    * plus the running total of distinct-key counts (max local rank)
+    * of all prior partitions. */
+  def globalDenseRank(df: DataFrame, sort: Seq[Column], rankCol: String): DataFrame = {
+    val parts = ranged(df, sort)
+    val local = parts.withColumn("__ldr",
+      dense_rank().over(Window.partitionBy(col("__pid")).orderBy(sort: _*))
+        .cast("long"))
+    val offsets = local.groupBy("__pid").agg(max("__ldr").as("__pn"))
+      .withColumn("__off", coalesce(
+        sum("__pn").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, col("__off") + col("__ldr"))
+      .drop("__pid", "__ldr", "__off")
+  }
+
   /** Exact inclusive running sums
     * `SUM(expr) OVER (ORDER BY sort ROWS UNBOUNDED PRECEDING)` for each
     * `(expr, alias)` without a single-task window. One range shuffle

@@ -32,6 +32,29 @@ class PrefixSpec extends EngineSuite {
       .toSeq == Seq(1L, n, n))
   }
 
+  test("globalRankTies equals the single-window RANK, ties included") {
+    val df = fixture
+    val got = Prefix.globalRankTies(df, Seq(col("k")), "rk")
+      .select("k", "id", "rk")
+    val want = df.withColumn("rk",
+      rank().over(Window.orderBy(col("k"))).cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "distributed competition ranks diverge from the reference window")
+  }
+
+  test("globalDenseRank equals the single-window DENSE_RANK, ties included") {
+    val df = fixture // key 7 carries 250 tied rows — the dense-rank case
+    val got = Prefix.globalDenseRank(df, Seq(col("k")), "dr")
+      .select("k", "id", "dr")
+    val want = df.withColumn("dr",
+      dense_rank().over(Window.orderBy(col("k"))).cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "distributed dense ranks diverge from the reference window")
+    // dense: max rank == distinct key count
+    assert(got.agg(max("dr")).collect()(0).getLong(0) ==
+      df.select("k").distinct().count())
+  }
+
   test("prefixSums equals the single-window running sums, exactly") {
     val df = fixture.withColumn("v", col("id") * 3 - 1)
     val got = Prefix.prefixSums(df, Seq(col("k"), col("id")),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * suffix sort exactly — ties (identical suffixes) included — because
   * the q380 oracle is DuckDB's `ORDER BY w[pos:]` over the very same
   * suffixes. The reference check here sorts the materialized suffix
-  * word-arrays with a plain dense_rank window (fine in a test; the
+  * word-arrays with a plain rank window (fine in a test; the
   * production path never does this — that is the point of the
   * doubling). */
 class SuffixArraySpec extends EngineSuite {
@@ -25,7 +25,7 @@ class SuffixArraySpec extends EngineSuite {
       .select(col("doc_id"), col("pos"),
         expr("slice(w, int(pos), size(w) - int(pos) + 1)").as("suf"))
       .select(col("doc_id"), col("pos"),
-        dense_rank().over(
+        rank().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("suf")))
           .cast("long").as("rank"))
 
