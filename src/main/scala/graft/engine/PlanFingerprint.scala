@@ -50,12 +50,17 @@ object PlanFingerprint {
     s.relation.location.rootPaths.headOption
       .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
 
+  /** ExistenceJoin prints its exists#<exprId> attribute — session
+    * noise that would dirty the drift ledger on every regeneration. */
+  private def jt(t: org.apache.spark.sql.catalyst.plans.JoinType): String =
+    t.toString.replaceAll("#\\d+", "")
+
   private def label(p: SparkPlan): String = p match {
     case s: FileSourceScanExec          => s"Scan[${tableOf(s)}]"
-    case j: BroadcastHashJoinExec       => s"BroadcastHashJoin[${j.joinType}]"
-    case j: SortMergeJoinExec           => s"SortMergeJoin[${j.joinType}]"
-    case j: ShuffledHashJoinExec        => s"ShuffledHashJoin[${j.joinType}]"
-    case j: BroadcastNestedLoopJoinExec => s"BroadcastNestedLoopJoin[${j.joinType}]"
+    case j: BroadcastHashJoinExec       => s"BroadcastHashJoin[${jt(j.joinType)}]"
+    case j: SortMergeJoinExec           => s"SortMergeJoin[${jt(j.joinType)}]"
+    case j: ShuffledHashJoinExec        => s"ShuffledHashJoin[${jt(j.joinType)}]"
+    case j: BroadcastNestedLoopJoinExec => s"BroadcastNestedLoopJoin[${jt(j.joinType)}]"
     case _: CartesianProductExec        => "CartesianProduct"
     case _: ShuffleExchangeExec         => "Exchange"
     case _: BroadcastExchangeExec       => "BroadcastExchange"

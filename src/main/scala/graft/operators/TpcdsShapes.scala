@@ -1688,6 +1688,308 @@ object TpcdsShapes {
       .limit(100)
   }
 
+  // ---- round-15 batch 2: ten more DS plan families ---------------------
+
+  /** TPC-DS Q14 shape: cross-channel common items — parts sold through
+    * ALL THREE channels in the base year (a 3-way INTERSECT, planned as
+    * a chain of semi joins over broadcast-sized distinct-key sets),
+    * then the follow-year channel×brand sales of ONLY those parts,
+    * screened against the base year's all-channel average line value.
+    * The average enters as an exact cross-multiplication (sum·n > tot·n
+    * avoids engine-specific AVG(DECIMAL) result scales). */
+  val q385CrossChannelCommon: QuerySpec = QuerySpec.sql(
+    "q385_dss_cross_channel_common",
+    s"""WITH cross_items AS (
+       |  SELECT l_partkey AS pk FROM lineitem
+       |  WHERE l_returnflag = 'N' AND YEAR(l_shipdate) = 1996
+       |  INTERSECT
+       |  SELECT l_partkey FROM lineitem
+       |  WHERE l_returnflag = 'A' AND YEAR(l_shipdate) = 1996
+       |  INTERSECT
+       |  SELECT l_partkey FROM lineitem
+       |  WHERE l_returnflag = 'R' AND YEAR(l_shipdate) = 1996),
+       |base AS (
+       |  SELECT CAST(SUM($Vol) AS DECIMAL(30,8)) AS tot,
+       |         COUNT(*) AS cnt
+       |  FROM lineitem WHERE YEAR(l_shipdate) = 1996)
+       |SELECT l_returnflag AS channel, p_brand,
+       |  CAST(SUM($Vol) AS DOUBLE) AS sales,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE YEAR(l_shipdate) = 1997
+       |  AND l_partkey IN (SELECT pk FROM cross_items)
+       |GROUP BY l_returnflag, p_brand
+       |HAVING CAST(SUM($Vol) AS DECIMAL(30,8)) * (SELECT cnt FROM base)
+       |     > (SELECT tot FROM base) * COUNT(*)
+       |ORDER BY channel, p_brand""".stripMargin)
+
+  /** TPC-DS Q23 shape: frequent items × best customers — parts bought
+    * ≥ 8 times in the base year (HAVING screen), customers in the base
+    * year's top-20 by spend (TopN subquery), then the follow-year spend
+    * of best customers on frequent items. Both membership sets are
+    * bounded (HAVING-pruned keys, a LIMIT 20 list) and semi-join the
+    * fact. */
+  val q386FrequentBestSpend: QuerySpec = QuerySpec.sql(
+    "q386_dss_frequent_best_spend",
+    s"""WITH freq AS (
+       |  SELECT l_partkey AS pk FROM lineitem
+       |  WHERE YEAR(l_shipdate) = 1996
+       |  GROUP BY l_partkey HAVING COUNT(*) >= 8),
+       |best AS (
+       |  SELECT o_custkey AS bc FROM orders
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE YEAR(l_shipdate) = 1996
+       |  GROUP BY o_custkey
+       |  ORDER BY CAST(SUM($Vol) AS DECIMAL(30,8)) DESC, o_custkey
+       |  LIMIT 20)
+       |SELECT c_custkey, c_name, CAST(SUM($Vol) AS DOUBLE) AS spend
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE YEAR(l_shipdate) = 1997
+       |  AND l_partkey IN (SELECT pk FROM freq)
+       |  AND o_custkey IN (SELECT bc FROM best)
+       |GROUP BY c_custkey, c_name
+       |ORDER BY c_custkey""".stripMargin)
+
+  /** TPC-DS Q51 shape: the cumulative-crossover screen — two channel
+    * series (per brand × month) FULL OUTER joined on the
+    * (brand, month) grid, running totals for both sides over the
+    * joined series, keeping the months where one channel's cumulative
+    * quantity FIRST overtakes the other (LAG of the comparison flips).
+    * Quantities stay BIGINT end to end so the windowed sums are
+    * integer-exact on both engines. */
+  val q387CumulativeCrossover: QuerySpec = QuerySpec.sql(
+    "q387_dss_cumulative_crossover",
+    """WITH n AS (
+      |  SELECT p_brand, (YEAR(l_shipdate) - 1996) * 12 + MONTH(l_shipdate) AS mo,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'N' AND YEAR(l_shipdate) IN (1996, 1997)
+      |  GROUP BY p_brand, (YEAR(l_shipdate) - 1996) * 12 + MONTH(l_shipdate)),
+      |r AS (
+      |  SELECT p_brand, (YEAR(l_shipdate) - 1996) * 12 + MONTH(l_shipdate) AS mo,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'R' AND YEAR(l_shipdate) IN (1996, 1997)
+      |  GROUP BY p_brand, (YEAR(l_shipdate) - 1996) * 12 + MONTH(l_shipdate)),
+      |j AS (
+      |  SELECT COALESCE(n.p_brand, r.p_brand) AS brand,
+      |         COALESCE(n.mo, r.mo) AS mo,
+      |         COALESCE(n.q, 0) AS nq, COALESCE(r.q, 0) AS rq
+      |  FROM n FULL OUTER JOIN r ON n.p_brand = r.p_brand AND n.mo = r.mo),
+      |c AS (
+      |  SELECT brand, mo,
+      |    CAST(SUM(nq) OVER (PARTITION BY brand ORDER BY mo
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+      |    CAST(SUM(rq) OVER (PARTITION BY brand ORDER BY mo
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cr
+      |  FROM j)
+      |SELECT brand, mo, cn, cr
+      |FROM (SELECT brand, mo, cn, cr,
+      |        CASE WHEN cn > cr THEN 1 ELSE 0 END AS lead_now,
+      |        LAG(CASE WHEN cn > cr THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY brand ORDER BY mo) AS lead_prev
+      |      FROM c) f
+      |WHERE lead_now = 1 AND COALESCE(lead_prev, 0) = 0
+      |ORDER BY brand, mo""".stripMargin)
+
+  /** TPC-DS Q94/Q16 shape: the multi-party no-failure order screen —
+    * finished base-year orders having a line from a SECOND supplier
+    * (correlated EXISTS with an inequality residual on the equi key)
+    * and no returned line (correlated NOT EXISTS), counted once per
+    * order with the order's value summed. EXISTS decorrelates to a
+    * semi join carrying the `<>` residual; NOT EXISTS to an anti
+    * join. */
+  val q388MultiSupplierClean: QuerySpec = QuerySpec.sql(
+    "q388_dss_multi_supplier_clean",
+    s"""SELECT COUNT(*) AS n_orders,
+       |  CAST(SUM(tp) AS DOUBLE) AS total_price
+       |FROM (
+       |  SELECT o_orderkey,
+       |         MAX(CAST(o_totalprice AS $M)) AS tp
+       |  FROM orders JOIN lineitem l1 ON l1.l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'F' AND YEAR(o_orderdate) = 1996
+       |    AND EXISTS (SELECT 1 FROM lineitem l2
+       |                WHERE l2.l_orderkey = l1.l_orderkey
+       |                  AND l2.l_suppkey <> l1.l_suppkey)
+       |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |                    WHERE l3.l_orderkey = l1.l_orderkey
+       |                      AND l3.l_returnflag = 'R')
+       |  GROUP BY o_orderkey) t""".stripMargin)
+
+  /** TPC-DS Q70 shape: rollup ranked within its hierarchy level, with
+    * the REGION MEMBERSHIP itself decided by a ranked subquery — the
+    * top-5 nations by revenue (an inner window rank feeding a filter)
+    * gate the fact, then ROLLUP(nation, segment) totals rank WITHIN
+    * each grouping level (partition keys include the GROUPING() flag,
+    * Q70's lochierarchy). */
+  val q389RankedRollupHierarchy: QuerySpec = QuerySpec.sql(
+    "q389_dss_ranked_rollup_hierarchy",
+    s"""WITH nat AS (
+       |  SELECT n_name, CAST(SUM($Vol) AS DECIMAL(30,8)) AS s
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE YEAR(l_shipdate) = 1996
+       |  GROUP BY n_name),
+       |top5 AS (
+       |  SELECT n_name FROM (
+       |    SELECT n_name, RANK() OVER (ORDER BY s DESC, n_name) AS rk
+       |    FROM nat) x
+       |  WHERE rk <= 5),
+       |roll AS (
+       |  SELECT n_name, c_mktsegment,
+       |    CAST(SUM($Vol) AS DECIMAL(30,8)) AS sales,
+       |    GROUPING(n_name) + GROUPING(c_mktsegment) AS lochierarchy,
+       |    GROUPING(c_mktsegment) AS gseg
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE YEAR(l_shipdate) = 1996
+       |    AND n_name IN (SELECT n_name FROM top5)
+       |  GROUP BY ROLLUP(n_name, c_mktsegment))
+       |SELECT lochierarchy, n_name, c_mktsegment,
+       |  CAST(sales AS DOUBLE) AS sales,
+       |  RANK() OVER (
+       |    PARTITION BY lochierarchy,
+       |      CASE WHEN gseg = 1 THEN NULL ELSE n_name END
+       |    ORDER BY sales DESC, n_name NULLS FIRST, c_mktsegment NULLS FIRST)
+       |    AS rank_in_level
+       |FROM roll
+       |ORDER BY lochierarchy DESC, n_name NULLS FIRST,
+       |  rank_in_level, c_mktsegment NULLS FIRST""".stripMargin)
+
+  /** TPC-DS Q45 shape: disjunctive membership — revenue per nation
+    * where the customer EITHER sits in a literal nation list OR bought
+    * one of a subquery-defined part set. An IN-subquery under OR can't
+    * prune as a plain semi join; Spark plans it as an existence join
+    * (the boolean-output join) feeding the disjunction — pinned in
+    * PlanSpec. */
+  val q390DisjunctiveMembership: QuerySpec = QuerySpec.sql(
+    "q390_dss_disjunctive_membership",
+    s"""SELECT n_name, CAST(SUM($Vol) AS DOUBLE) AS rev, COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE YEAR(l_shipdate) = 1996
+       |  AND (n_name IN ('FRANCE', 'GERMANY', 'JAPAN')
+       |       OR l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1))
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin)
+
+  /** TPC-DS Q93 shape: returns-netted effective sales — every sale
+    * line left-joined to the pre-aggregated returned quantity of its
+    * (order, part), the effective quantity clamped at zero, rolled up
+    * per market segment. The return side aggregates BEFORE the join
+    * (line grain × line grain would double-count), and the clamp keeps
+    * the metric integer-exact. */
+  val q391ReturnsNetted: QuerySpec = QuerySpec.sql(
+    "q391_dss_returns_netted",
+    """WITH ret AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS rq
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |  GROUP BY l_orderkey, l_partkey)
+      |SELECT c_mktsegment,
+      |  CAST(SUM(GREATEST(CAST(l_quantity AS BIGINT) - COALESCE(rq, 0), 0))
+      |    AS BIGINT) AS eff_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |LEFT JOIN ret ON l_orderkey = ok AND l_partkey = pk
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'N' AND YEAR(l_shipdate) = 1996
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin)
+
+  /** TPC-DS Q6 shape: the above-category-average screen with a group
+    * head-count floor — nations whose customers placed order lines at
+    * over 1.2× their part type's average line quantity in the anchor
+    * half-year, keeping nations with ≥ 2 DISTINCT such customers. The
+    * per-type average joins as a grouped broadcast factor and compares
+    * by exact integer cross-multiply (q·n·10 > totq·12, all BIGINT);
+    * the head-count is a distinct aggregate over the survivors. (The
+    * fixture's p_retailprice spans only 900–920, so Q6's price screen
+    * is re-anchored on quantity — same plan shape, a metric the
+    * fixture actually varies.) */
+  val q392AboveTypeAverage: QuerySpec = QuerySpec.sql(
+    "q392_dss_above_type_average",
+    """WITH avgq AS (
+      |  SELECT p_type,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS totq,
+      |         COUNT(*) AS n
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_type)
+      |SELECT n_name, COUNT(DISTINCT o_custkey) AS n_cust
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN avgq ON part.p_type = avgq.p_type
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE YEAR(l_shipdate) = 1996 AND MONTH(l_shipdate) <= 6
+      |  AND CAST(l_quantity AS BIGINT) * n * 10 > totq * 12
+      |GROUP BY n_name
+      |HAVING COUNT(DISTINCT o_custkey) >= 2
+      |ORDER BY n_name""".stripMargin)
+
+  /** TPC-DS Q67 shape: top-3 per rollup branch — the (type, brand,
+    * month) ROLLUP lattice ranked WITHIN each type partition (the
+    * grand-total branch ranks in its own NULL partition), keeping each
+    * branch's top 3 rows. The rank-≤-3 filter over the lattice is
+    * WindowGroupLimit material — the planner prunes per-partition
+    * before the full sort. */
+  val q393TopPerRollupBranch: QuerySpec = QuerySpec.sql(
+    "q393_dss_top_per_rollup_branch",
+    s"""WITH s AS (
+       |  SELECT p_type AS t, p_brand AS b, MONTH(l_shipdate) AS m,
+       |         CAST(SUM($Vol) AS DECIMAL(30,8)) AS sales
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE YEAR(l_shipdate) = 1996
+       |  GROUP BY ROLLUP(p_type, p_brand, MONTH(l_shipdate)))
+       |SELECT t, b, m, CAST(sales AS DOUBLE) AS sales, rk
+       |FROM (
+       |  SELECT t, b, m, sales,
+       |    RANK() OVER (PARTITION BY t
+       |      ORDER BY sales DESC, b NULLS FIRST, m NULLS FIRST) AS rk
+       |  FROM s) x
+       |WHERE rk <= 3
+       |ORDER BY t NULLS FIRST, rk, b NULLS FIRST, m NULLS FIRST""".stripMargin)
+
+  /** TPC-DS Q38/Q87 shape: the channel-overlap census — one row
+    * reporting how many customers bought through ALL three channels
+    * (a 3-way INTERSECT chain) and how many are exclusive to the first
+    * (a 2-way EXCEPT chain), composed as scalar subqueries. Each set
+    * op runs over DISTINCT customer keys (bounded by |customers|);
+    * the two scalars broadcast into the single output row. */
+  val q394ChannelCensus: QuerySpec = QuerySpec.sql(
+    "q394_dss_channel_census",
+    """SELECT
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT DISTINCT o_custkey FROM orders
+      |     JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'N'
+      |     INTERSECT
+      |     SELECT DISTINCT o_custkey FROM orders
+      |     JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'A'
+      |     INTERSECT
+      |     SELECT DISTINCT o_custkey FROM orders
+      |     JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R') a)
+      |    AS in_all_three,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT DISTINCT o_custkey FROM orders
+      |     JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'N'
+      |     EXCEPT
+      |     SELECT DISTINCT o_custkey FROM orders
+      |     JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'A'
+      |     EXCEPT
+      |     SELECT DISTINCT o_custkey FROM orders
+      |     JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R') b)
+      |    AS first_only""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q254StarDateBrand, q255ChannelRollup, q256ReturnsAboveAvg,
     q257MultiSupplierOrders, q258RollupRank, q259OrderSizeBuckets,
@@ -1707,5 +2009,9 @@ object TpcdsShapes {
     q370MonthlyDeviation, q371FrequentTickets, q372QoqGrowthCompare,
     q373SoldReturnedRepurchased, q374ChannelExclusiveYoy,
     q375CohortRevenueHistogram, q376BalancedChannelBrands,
-    q377IntersectNationFilter, q378ExistsScreenStats, q379YoyDecline)
+    q377IntersectNationFilter, q378ExistsScreenStats, q379YoyDecline,
+    q385CrossChannelCommon, q386FrequentBestSpend, q387CumulativeCrossover,
+    q388MultiSupplierClean, q389RankedRollupHierarchy,
+    q390DisjunctiveMembership, q391ReturnsNetted, q392AboveTypeAverage,
+    q393TopPerRollupBranch, q394ChannelCensus)
 }

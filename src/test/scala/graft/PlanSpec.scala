@@ -1398,6 +1398,61 @@ class PlanSpec extends EngineSuite {
     assert(p378.contains("LeftAnti"), "q378: NOT EXISTS lost its anti join\n" + p378.take(1500))
   }
 
+  test("q385-q394 (round-15 DS batch 4): semi/anti/existence screens, full-outer cumulative, hierarchy ranks") {
+    val batch = Seq(
+      "q385_dss_cross_channel_common", "q386_dss_frequent_best_spend",
+      "q387_dss_cumulative_crossover", "q388_dss_multi_supplier_clean",
+      "q389_dss_ranked_rollup_hierarchy", "q390_dss_disjunctive_membership",
+      "q391_dss_returns_netted", "q392_dss_above_type_average",
+      "q393_dss_top_per_rollup_branch", "q394_dss_channel_census")
+    for (n <- batch) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n planned an unbroadcast cartesian:\n" + p.take(1200))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$n planned a nested loop:\n" + p.take(1200))
+    }
+    // q385: the 3-way INTERSECT plus the IN-subquery all plan semi joins
+    val p385 = plan("q385_dss_cross_channel_common")
+    assert("LeftSemi".r.findAllIn(p385).size >= 3,
+      "q385: INTERSECT chain lost its semi joins\n" + p385.take(1500))
+    // q386: the best-customer list stays a TopN
+    val p386 = plan("q386_dss_frequent_best_spend")
+    assert(p386.contains("TakeOrderedAndProject"),
+      "q386: LIMIT 20 membership lost TopN\n" + p386.take(1500))
+    assert("LeftSemi".r.findAllIn(p386).size >= 2,
+      "q386: IN memberships must plan semi joins\n" + p386.take(1500))
+    // q387: the grid join is a REAL full outer; both running sums ride
+    // brand-partitioned windows (never a global one)
+    val p387 = plan("q387_dss_cumulative_crossover")
+    assert(p387.contains("FullOuter"), "q387 lost FULL OUTER\n" + p387.take(1500))
+    assert("Window ".r.findAllIn(p387).size == 2,
+      "q387: expected the cumulative + crossover windows\n" + p387.take(1500))
+    // q388: EXISTS(<> supplier) → semi with residual; NOT EXISTS → anti
+    val p388 = plan("q388_dss_multi_supplier_clean")
+    assert(p388.contains("LeftSemi"), "q388: EXISTS lost semi\n" + p388.take(1500))
+    assert(p388.contains("LeftAnti"), "q388: NOT EXISTS lost anti\n" + p388.take(1500))
+    // q389/q393: the rollup lattice is ONE Expand; the rank-≤-k filter
+    // prunes per partition via WindowGroupLimit
+    for (n <- Seq("q389_dss_ranked_rollup_hierarchy",
+        "q393_dss_top_per_rollup_branch")) {
+      val p = plan(n)
+      assert(p.contains("Expand"), s"$n: ROLLUP lost its Expand\n" + p.take(1500))
+      assert(p.contains("WindowGroupLimit"),
+        s"$n: rank<=k filter not pruned per partition\n" + p.take(1500))
+    }
+    // q390: IN-subquery under OR must plan the existence join, not a
+    // rewrite through cartesians
+    val p390 = plan("q390_dss_disjunctive_membership")
+    assert(p390.contains("ExistenceJoin"),
+      "q390: disjunctive membership lost its existence join\n" + p390.take(1500))
+    // q394: both set-op chains plan as semi/anti joins over distinct keys
+    val p394 = plan("q394_dss_channel_census")
+    assert("LeftSemi".r.findAllIn(p394).size >= 2 &&
+      "LeftAnti".r.findAllIn(p394).size >= 2,
+      "q394: INTERSECT/EXCEPT chains lost semi/anti joins\n" + p394.take(1500))
+  }
+
   // ---- forced-broadcast sweep (the 100 TB broadcast discipline) -------
   // A `broadcast(rel)` hint OVERRIDES the size-based planner: at 100 TB
   // the hinted side materializes on EVERY executor no matter how big it
