@@ -57,6 +57,38 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
 
+  /** Salted stream-static enrichment — the streaming twin of the
+    * [[graft.operators.Skew.saltedJoin]] hot-key join. A stream-static
+    * join hash-partitions each micro-batch on the join key, so ONE hot
+    * key (the power-law user every event corpus has) lands its whole
+    * micro-batch share on one task forever — AQE's skew split never
+    * sees a streaming plan. The fix is identical to batch salting with
+    * one structural difference: the hot-key LIST cannot come from
+    * scanning the stream, so it arrives as an input relation (in
+    * production: the q219 key-skew report of yesterday's batch, or a
+    * config list — bounded by contract, broadcast). Hot stream rows
+    * scatter via a deterministic per-row hash; hot dim rows replicate
+    * `salts` ways (explode of a literal sequence, amplification ≤
+    * salts × |hot|); cold keys keep salt 0 unamplified. Result ≡ the
+    * plain stream-static inner join, row for row (parity-tested both
+    * modes). */
+  def saltedEnrich(events: DataFrame, userDim: DataFrame, hotKeys: DataFrame,
+                   salts: Int = 8): DataFrame = {
+    val h = org.apache.spark.sql.functions.broadcast(
+      hotKeys.select(col("user_id"), lit(true).as("__hot")))
+    val e = events.join(h, Seq("user_id"), "left")
+      .withColumn("__salt",
+        when(col("__hot"), pmod(xxhash64(col("event_id")), lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__hot")
+    val d = userDim.join(h, Seq("user_id"), "left")
+      .withColumn("__salt", explode(
+        when(col("__hot"), sequence(lit(0L), lit(salts.toLong - 1)))
+          .otherwise(array(lit(0L)))))
+      .drop("__hot")
+    e.join(d, Seq("user_id", "__salt")).drop("__salt")
+  }
+
   /** Continuous data-contract monitoring — the streaming twin of the
     * q210 expectations battery: per tumbling hour, every declared check
     * (accepted event types, non-negative value, non-null user) is a

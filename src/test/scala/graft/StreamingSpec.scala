@@ -1467,6 +1467,53 @@ class StreamingSpec extends EngineSuite {
       s"got $rows")
   }
 
+  test("saltedEnrich: stream equals batch equals the plain join; hot rows scatter, cold stay salt 0") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // user 7 is hot (24 events); 1..3 cold; 99 has no dim row
+    val events = (1 to 24).map(i => Event(7, 100L + i, ts(i), "click", i.toDouble)) ++
+      Seq(Event(1, 1, ts(1), "view", 1.0), Event(2, 2, ts(2), "view", 2.0),
+        Event(3, 3, ts(3), "purchase", 3.0), Event(99, 4, ts(4), "view", 4.0))
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "a"), (7L, "hot"))
+      .toDF("user_id", "segment")
+    val hot = Seq(Tuple1(7L)).toDF("user_id")
+
+    val plain = events.toDF().join(dim, Seq("user_id"))
+      .select("user_id", "event_id", "segment")
+    val batchSalted = EventStreams.saltedEnrich(events.toDF(), dim, hot, salts = 4)
+      .select("user_id", "event_id", "segment")
+    assert(batchSalted.count() == plain.count())
+    assert(batchSalted.except(plain).isEmpty && plain.except(batchSalted).isEmpty,
+      "salted enrich diverges from the plain join")
+
+    // hot rows really scatter across salts; cold keys stay at salt 0
+    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, when, xxhash64}
+    val salted = events.toDF()
+      .join(broadcast(hot.select(col("user_id"), lit(true).as("__hot"))),
+        Seq("user_id"), "left")
+      .withColumn("__salt",
+        when(col("__hot"), pmod(xxhash64(col("event_id")), lit(4L)))
+          .otherwise(lit(0L)))
+    assert(salted.filter(col("user_id") === 7L)
+      .select("__salt").distinct().count() > 1, "hot user never scattered")
+    assert(salted.filter(col("user_id") =!= 7L)
+      .select("__salt").distinct().collect().map(_.getLong(0)).toSet == Set(0L),
+      "cold keys must stay at salt 0")
+
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.saltedEnrich(mem.toDF(), dim, hot, salts = 4)
+      .select("user_id", "event_id", "segment")
+      .writeStream.format("memory").queryName("salted_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = s.table("salted_out")
+    assert(streamed.count() == plain.count())
+    assert(streamed.except(plain).isEmpty && plain.except(streamed).isEmpty,
+      "streamed salted enrich diverges from the batch join")
+  }
+
   test("streaming sweep: every stream-static join's forced broadcast is audited") {
     // The streaming twin of PlanSpec's forced-broadcast corpus sweep: a
     // `broadcast()` on the STATIC side of a stream-static join ships
@@ -1486,7 +1533,11 @@ class StreamingSpec extends EngineSuite {
     val audited: Map[String, String] = Map(
       "enriched" -> ("user dimension: reference data keyed by user, grows " +
         "with the user base, not the event stream; the production dim is " +
-        "broadcast-sized by contract (EventStreams.enriched doc)"))
+        "broadcast-sized by contract (EventStreams.enriched doc)"),
+      "saltedEnrich" -> ("hot-key list: a batch-derived heavy-hitter " +
+        "relation (q219 report), ≤ n/T keys by contract — broadcast IS " +
+        "the operator's mechanism (EventStreams.saltedEnrich doc); the " +
+        "user dim side itself stays on the size-based planner path"))
 
     val dim = Seq((1L, "a"), (2L, "b")).toDF("user_id", "segment")
     val docsStream = MemoryStream[DocRow].toDF()
@@ -1494,6 +1545,8 @@ class StreamingSpec extends EngineSuite {
     val index = EventStreams.corpusBandIndex(s.table("documents"))
     val builders: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "enriched" -> EventStreams.enriched(eventsStream, dim),
+      "saltedEnrich" -> EventStreams.saltedEnrich(eventsStream, dim,
+        Seq(Tuple1(1L)).toDF("user_id")),
       "nearDupProbe" -> EventStreams.nearDupProbe(docsStream, index),
       "tumblingCounts" -> EventStreams.tumblingCounts(eventsStream),
       "qualityMonitor" -> EventStreams.qualityMonitor(eventsStream),
