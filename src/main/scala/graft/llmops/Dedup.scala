@@ -1940,6 +1940,91 @@ object Dedup {
       .orderBy(col("partkey_a"), col("partkey_b"))
   }
 
+  /** Landmark multi-source BFS + harmonic centrality over the near-dup
+    * graph — the distance view the existing graph family lacks: CC
+    * (q79) says WHO is connected, PageRank (q215) says who accumulates
+    * mass, but "how CLOSE is this doc to the template cores" needs
+    * shortest-path structure. Exact all-pairs BFS is O(n·E) and dead at
+    * corpus scale; the standard scale path (landmark/pivot BFS — the
+    * Ullman-Yannakakis / HyperANF lineage) runs BFS from a FIXED,
+    * deterministic landmark sample and scores every node by harmonic
+    * sum 1/dist to the landmarks it reaches (unreached ⇒ 0, the
+    * harmonic convention that needs no diameter guess).
+    *
+    * Scale shape: K landmarks (a modular sample — corpus-size-
+    * independent by config in production), R = 3 fixed rounds (both
+    * engines replay identically, the q97/q215 determinism rule); each
+    * round one edge-keyed equi-join of the CURRENT frontier + one
+    * (landmark, node) min-dist rollup, state checkpointed per round
+    * with the superseded round released. Frontier ≤ K·n rows; no
+    * all-pairs anywhere. Distances score as exact integer micro-units
+    * (1e6/d unrolled to literal CASE arms — no engine division). */
+  val q395LandmarkBfs: QuerySpec = QuerySpec(
+    "q395_graph_landmark_bfs",
+    s"""WITH $nearDupOracleCtes,
+       |edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM np
+       |          UNION ALL SELECT doc_id_b, doc_id_a FROM np),
+       |lm AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+       |b0 AS (SELECT doc_id AS l, doc_id AS v, 0 AS d FROM lm),
+       |b1 AS MATERIALIZED (
+       |  SELECT l, v, MIN(d) AS d FROM (
+       |    SELECT l, v, d FROM b0
+       |    UNION ALL
+       |    SELECT b0.l, e.dst, 1 FROM b0 JOIN edges e ON b0.v = e.src
+       |    WHERE b0.d = 0) u GROUP BY l, v),
+       |b2 AS MATERIALIZED (
+       |  SELECT l, v, MIN(d) AS d FROM (
+       |    SELECT l, v, d FROM b1
+       |    UNION ALL
+       |    SELECT b1.l, e.dst, 2 FROM b1 JOIN edges e ON b1.v = e.src
+       |    WHERE b1.d = 1) u GROUP BY l, v),
+       |b3 AS MATERIALIZED (
+       |  SELECT l, v, MIN(d) AS d FROM (
+       |    SELECT l, v, d FROM b2
+       |    UNION ALL
+       |    SELECT b2.l, e.dst, 3 FROM b2 JOIN edges e ON b2.v = e.src
+       |    WHERE b2.d = 2) u GROUP BY l, v)
+       |SELECT v AS doc_id,
+       |  CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_landmarks,
+       |  CAST(SUM(CASE d WHEN 1 THEN 1000000 WHEN 2 THEN 500000
+       |                  WHEN 3 THEN 333333 ELSE 0 END) AS BIGINT)
+       |    AS harmonic_e6
+       |FROM b3
+       |GROUP BY v
+       |HAVING SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) > 0
+       |ORDER BY harmonic_e6 DESC, doc_id
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val pairs = nearDupJaccard(sp)
+      .select(col("doc_id_a"), col("doc_id_b")).staged
+    val edges = pairs
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(pairs.select(col("doc_id_b").as("src"),
+        col("doc_id_a").as("dst")))
+      .staged
+    val lm = sp.table("documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"))
+    var reach = lm.select(col("doc_id").as("l"), col("doc_id").as("v"),
+      lit(0).as("d")).staged
+    for (r <- 1 to 3) {
+      val frontier = reach.filter(col("d") === r - 1)
+      val expand = frontier.join(edges, col("v") === col("src"))
+        .select(col("l"), col("dst").as("v"), lit(r).as("d"))
+      val prev = reach
+      reach = reach.unionByName(expand)
+        .groupBy(col("l"), col("v")).agg(min(col("d")).as("d"))
+        .staged
+      Checkpoints.unpersist(prev)
+    }
+    reach.groupBy(col("v").as("doc_id"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_landmarks"),
+        sum(when(col("d") === 1, 1000000L).when(col("d") === 2, 500000L)
+          .when(col("d") === 3, 333333L).otherwise(0L)).as("harmonic_e6"))
+      .filter(col("n_landmarks") > 0)
+      .orderBy(col("harmonic_e6").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Sorted-neighborhood blocking (Hernández–Stolfo merge/purge) — the
     * THIRD blocking strategy next to hash blocking ([[q217]]) and LSH
     * banding ([[q81MinHashLsh]]): sort the corpus once on a cheap key
@@ -1995,6 +2080,7 @@ object Dedup {
 
   val all: Seq[QuerySpec] = Seq(
     q325KCore.benched, q334JaroWinklerPairs, q384SortedNeighborhood,
+    q395LandmarkBfs,
     q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep, q276Containment, q292WinnowingClones,
     q298ClusteringCoefficient, q299DegreeAssortativity,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,

@@ -339,8 +339,105 @@ object SuffixArray {
       .orderBy(col("source"))
   }
 
+  /** SA-exact substring REMOVAL — the full Lee et al. §4.1 pipeline on
+    * the suffix array: detect every repeated word run of ≥ 8 words at
+    * ANY length (not a fixed n), keep the CORPUS-FIRST occurrence, cut
+    * the repeated span from every later copy (within-doc repeats
+    * included), and reconstruct the surviving text. The deterministic
+    * formulation: consecutive SA entries chained by adjacent LCP ≥ 8
+    * form a RUN; every run member shares the run's min internal LCP
+    * `L` as a word prefix; the member with the smallest (doc, pos)
+    * keeps its span, every other member loses `[pos, pos+L)`.
+    * (A well-defined greedy variant of Lee's maximal-match removal —
+    * both engines compute it identically.)
+    *
+    * Scale shape: run ids are ONE range-partitioned prefix sum of
+    * break flags over the adjacent-pair relation ([[Prefix.prefixSums]]
+    * — no global window); run stats are a run-keyed rollup; removal
+    * spans per doc collect into a bounded interval array and the
+    * reconstruction is a single higher-order-function pass
+    * (`filter(w, (x,i) -> !exists(spans, …))`) inside codegen — the
+    * overlap union happens implicitly in the exists, no per-doc sweep
+    * needed. First-occurrence keys encode as doc·100000+pos (exact
+    * BIGINT; fixture pos ≤ 99 — a wider base or a struct-min at
+    * production doc lengths). */
+  val q396SubstringRemoveSa: QuerySpec = QuerySpec(
+    "q396_sa_substring_remove",
+    s"""WITH $oracleLcpCtes,
+       |pr AS MATERIALIZED (
+       |  SELECT doc_id, pos, pdoc, ppos, lcp,
+       |    CASE WHEN lcp < 8 THEN 1 ELSE 0 END AS brk,
+       |    SUM(CASE WHEN lcp < 8 THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY suf, doc_id, pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM p),
+       |nb AS (SELECT * FROM pr WHERE brk = 0),
+       |runs AS (
+       |  SELECT run, MIN(lcp) AS l,
+       |         MIN(LEAST(doc_id * 100000 + pos,
+       |                   pdoc * 100000 + ppos)) AS first_enc
+       |  FROM nb GROUP BY run),
+       |members AS (
+       |  SELECT DISTINCT run, doc_id AS doc, pos FROM nb
+       |  UNION
+       |  SELECT DISTINCT run, pdoc, ppos FROM nb),
+       |iv AS (
+       |  SELECT m.doc, m.pos AS st, m.pos + r.l AS en
+       |  FROM members m JOIN runs r ON m.run = r.run
+       |  WHERE m.doc * 100000 + m.pos <> r.first_enc),
+       |ivs AS (
+       |  SELECT doc, list({'st': st, 'en': en}) AS spans
+       |  FROM iv GROUP BY doc),
+       |rec AS (
+       |  SELECT t.doc_id,
+       |    list_filter(t.w, (x, i) ->
+       |      len(list_filter(ivs.spans,
+       |          s -> i >= s.st AND i < s.en)) = 0) AS kept,
+       |    len(t.w) AS n0
+       |  FROM t JOIN ivs ON t.doc_id = ivs.doc)
+       |SELECT doc_id,
+       |  CAST(n0 - len(kept) AS BIGINT) AS removed_tokens,
+       |  -- DuckDB's array_to_string([]) is NULL, Spark's is '' — a
+       |  -- fully-removed doc must render the same on both engines
+       |  COALESCE(array_to_string(kept, ' '), '') AS new_text
+       |FROM rec
+       |WHERE n0 > len(kept)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val pairs = adjacentLcp(sp)
+      .select(col("idx"), col("doc_a"), col("pos_a"),
+        col("doc_b"), col("pos_b"), col("lcp"))
+      .withColumn("brk", when(col("lcp") < 8, 1L).otherwise(0L))
+    val withRun = Prefix.prefixSums(pairs, Seq(col("idx")),
+      Seq((col("brk"), "run")))
+    val nb = withRun.filter(col("brk") === 0).staged // stats + members
+    val runs = nb.groupBy(col("run")).agg(
+      min(col("lcp")).as("l"),
+      min(least(col("doc_a") * 100000 + col("pos_a"),
+        col("doc_b") * 100000 + col("pos_b"))).as("first_enc"))
+    val members = nb.select(col("run"), col("doc_a").as("doc"),
+        col("pos_a").as("pos"))
+      .unionByName(nb.select(col("run"), col("doc_b").as("doc"),
+        col("pos_b").as("pos")))
+      .distinct()
+    val iv = members.join(runs, "run")
+      .filter(col("doc") * 100000 + col("pos") =!= col("first_enc"))
+      .select(col("doc"), col("pos").as("st"), (col("pos") + col("l")).as("en"))
+    val ivs = iv.groupBy(col("doc"))
+      .agg(collect_list(struct(col("st"), col("en"))).as("spans"))
+    docWords(sp).join(ivs, col("doc_id") === col("doc"))
+      .withColumn("kept", expr(
+        "filter(w, (x, i) -> NOT exists(spans, s -> i + 1 >= s.st AND i + 1 < s.en))"))
+      .filter(size(col("w")) > size(col("kept")))
+      .select(col("doc_id"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        array_join(col("kept"), " ").as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // q381 is the bench sentinel: it executes the full doubling build
   // PLUS the global adjacency pass — the heaviest path in the family
   val all: Seq[QuerySpec] =
-    Seq(q380SuffixRanks, q381LcpStats.benched, q382DupCoverage)
+    Seq(q380SuffixRanks, q381LcpStats.benched, q382DupCoverage,
+      q396SubstringRemoveSa)
 }
