@@ -139,24 +139,33 @@ object SuffixArray {
     * by some adjacent pair — max(lcp) here IS the corpus answer. */
   private def adjacentLcp(sp: SparkSession): DataFrame = {
     val docs = docWords(sp)
-    // the carried suffix slice is CAPPED at the rank-resolution context
-    // 2^Rounds (128 words): suffixes equal through 128 words compare
-    // equal in rank too, so the cap bounds the shuffled payload per row
-    // (the difference between O(tokens·context) and O(tokens·doclen)
-    // at million-word docs) without changing any LCP the ranks can
-    // distinguish; every fixture doc is shorter than the cap, so here
-    // it is exactly the full suffix
-    val suf = suffixRanks(sp).join(docs, "doc_id")
-      .select(col("doc_id"), col("pos"), col("rank"),
-        expr(s"slice(w, int(pos), least(size(w) - int(pos) + 1, ${1 << Rounds}))")
-          .as("suf"))
-    val g = Prefix.globalRank(suf,
+    // The global adjacency index is computed over the SLIM
+    // (rank, doc_id, pos) relation — the word payload must not ride
+    // through the range exchange, its boundary sampling, and the
+    // checkpoint inside globalRank. Suffix slices attach AFTER the
+    // idx pairing, one equi-join per pair arm, so each suffix ships
+    // exactly once. The attached slice is CAPPED at the
+    // rank-resolution context 2^Rounds (128 words): suffixes equal
+    // through 128 words compare equal in rank too, so the cap bounds
+    // the shuffled payload per row (O(tokens·context), not
+    // O(tokens·doclen) at million-word docs) without changing any LCP
+    // the ranks can distinguish; every fixture doc is shorter than
+    // the cap, so here it is exactly the full suffix.
+    val g = Prefix.globalRank(suffixRanks(sp),
       Seq(col("rank"), col("doc_id"), col("pos")), "idx")
-      .staged // both pair arms (idx and idx+1) read the indexed relation
-    val a = g.select(col("idx"), col("doc_id").as("doc_a"),
-      col("pos").as("pos_a"), col("suf").as("suf_a"))
+      .select(col("idx"), col("doc_id"), col("pos"))
+      .staged // both pair arms (idx and idx+1) read the slim index
+    val sufOf = docs.select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "_w")),
+        col("w"))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        expr(s"slice(w, p0 + 1, least(size(w) - p0, ${1 << Rounds}))").as("suf"))
+    val a = g.select(col("idx"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(sufOf.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("suf").as("suf_a")), Seq("doc_a", "pos_a"))
     val b = g.select((col("idx") - 1).as("idx"), col("doc_id").as("doc_b"),
-      col("pos").as("pos_b"), col("suf").as("suf_b"))
+        col("pos").as("pos_b"))
+      .join(sufOf.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+        col("suf").as("suf_b")), Seq("doc_b", "pos_b"))
     // LCP: first mismatch position over the zipped word pair flags —
     // zip_with pads the shorter side with null ⇒ coalesce(=, false)
     // marks the pad a mismatch, so array_position finds min-length
