@@ -1398,6 +1398,34 @@ class PlanSpec extends EngineSuite {
     assert(p378.contains("LeftAnti"), "q378: NOT EXISTS lost its anti join\n" + p378.take(1500))
   }
 
+  test("q380/q381/q382/q384/q396 (suffix-array + SNM family): no cartesians, TopN heads, bounded cross joins") {
+    for (n <- Seq("q380_sa_suffix_ranks", "q381_sa_lcp_stats",
+        "q382_sa_dup_coverage", "q384_er_sorted_neighborhood",
+        "q396_sa_substring_remove")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n planned an unbroadcast cartesian:\n" + p.take(1200))
+    }
+    // q380: the 25-row head is a TopN, and the snippet join broadcasts
+    // the TopN side (25 rows), never shuffles the doc relation for it
+    val p380 = plan("q380_sa_suffix_ranks")
+    assert(p380.contains("TakeOrderedAndProject"), "q380 lost TopN\n" + p380.take(1200))
+    // q381: the only nested-loop is the single-row aggregate crossed
+    // with the broadcast top-1 pair — both sides provably 1 row
+    val p381 = plan("q381_sa_lcp_stats")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p381).size == 1 &&
+      p381.contains("TakeOrderedAndProject(limit=1"),
+      "q381: expected exactly the 1-row agg × broadcast top-1 compose\n" +
+        p381.take(1500))
+    // q384: the window pairing is an equi-join fed by a bounded ×3
+    // generator — never a window over the corpus order
+    val p384 = plan("q384_er_sorted_neighborhood")
+    assert(p384.contains("Generate explode"),
+      "q384: bounded window fan-out lost its explode\n" + p384.take(1200))
+    assert(!p384.contains("BroadcastNestedLoopJoin"),
+      "q384: pairing must stay an equi-join\n" + p384.take(1200))
+  }
+
   test("q385-q394 (round-15 DS batch 4): semi/anti/existence screens, full-outer cumulative, hierarchy ranks") {
     val batch = Seq(
       "q385_dss_cross_channel_common", "q386_dss_frequent_best_spend",
