@@ -1990,6 +1990,83 @@ object TpcdsShapes {
       |     JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R') b)
       |    AS first_only""".stripMargin)
 
+  /** TPC-DS Q98/Q12 shape: revenue share within class over a 30-day
+    * band — per (type, brand) revenue with each row's share of its
+    * type's total as a window over the COLLAPSED relation (the
+    * grouped-then-windowed two-level rollup, never a second fact
+    * pass). Share compares/round as an exact-decimal ratio divided
+    * once. */
+  val q397RevenueShareInClass: QuerySpec = QuerySpec.sql(
+    "q397_dss_revenue_share_in_class",
+    s"""WITH g AS (
+       |  SELECT p_type, p_brand, CAST(SUM($Vol) AS DECIMAL(30,8)) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= DATE '1996-03-01'
+       |    AND l_shipdate < DATE '1996-03-31'
+       |  GROUP BY p_type, p_brand)
+       |SELECT p_type, p_brand, CAST(rev AS DOUBLE) AS rev,
+       |  CAST(ROUND(CAST(rev AS DOUBLE) * 1e6 /
+       |    CAST(SUM(rev) OVER (PARTITION BY p_type) AS DOUBLE)) AS BIGINT)
+       |    AS share_e6
+       |FROM g
+       |ORDER BY p_type, p_brand""".stripMargin)
+
+  /** TPC-DS Q20 shape: the nested-IN supplier screen — suppliers whose
+    * half-year shipped quantity of watched parts exceeds HALF their
+    * own full-period quantity (a correlated scalar aggregate inside
+    * the membership predicate, decorrelated to an aggregate join),
+    * where "watched parts" is itself an IN-subquery over the dim. The
+    * quarter-concentration bar (4·half > all) keeps the smoke fixture
+    * non-empty (2 suppliers at sf0.001). */
+  val q398NestedInScreen: QuerySpec = QuerySpec.sql(
+    "q398_dss_nested_in_screen",
+    """WITH watched AS (
+      |  SELECT p_partkey AS pk FROM part WHERE p_size <= 5),
+      |h AS (
+      |  SELECT l_suppkey AS sk,
+      |    CAST(SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+      |                   AND l_shipdate < DATE '1996-07-01'
+      |              THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS half_q,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS all_q
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT pk FROM watched)
+      |    AND YEAR(l_shipdate) IN (1996, 1997)
+      |  GROUP BY l_suppkey)
+      |SELECT s_name, half_q, all_q
+      |FROM supplier JOIN h ON s_suppkey = sk
+      |WHERE 4 * half_q > all_q
+      |ORDER BY s_name""".stripMargin)
+
+  /** TPC-DS Q30 shape: the above-group-average screen computed over a
+    * DIFFERENT relation slice — customers whose returned value exceeds
+    * 1.2× their NATION's average per-customer returned value. The
+    * per-nation average rides a window PARTITIONED by nation over the
+    * ONE collapsed per-customer relation (Spark inlines a twice-read
+    * CTE — a second aggregation would rescan the fact; the window
+    * does not), exact cross-multiplied: mine·n·10 > tot·12 — never a
+    * per-row correlated execution, never a second fact pass. */
+  val q399AboveNationReturns: QuerySpec = QuerySpec.sql(
+    "q399_dss_above_nation_returns",
+    s"""WITH r AS (
+       |  SELECT o_custkey AS cust,
+       |         CAST(SUM($Vol) AS DECIMAL(30,8)) AS ret
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |  GROUP BY o_custkey),
+       |j AS (
+       |  SELECT n_name, c_custkey, ret,
+       |    CAST(SUM(ret) OVER (PARTITION BY c_nationkey) AS DECIMAL(34,8))
+       |      AS tot,
+       |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+       |  FROM r
+       |  JOIN customer ON cust = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey)
+       |SELECT n_name, c_custkey, CAST(ret AS DOUBLE) AS returned
+       |FROM j
+       |WHERE ret * n * 10 > tot * 12
+       |ORDER BY n_name, c_custkey""".stripMargin)
+
   val all: Seq[QuerySpec] = Seq(
     q254StarDateBrand, q255ChannelRollup, q256ReturnsAboveAvg,
     q257MultiSupplierOrders, q258RollupRank, q259OrderSizeBuckets,
@@ -2013,5 +2090,6 @@ object TpcdsShapes {
     q385CrossChannelCommon, q386FrequentBestSpend, q387CumulativeCrossover,
     q388MultiSupplierClean, q389RankedRollupHierarchy,
     q390DisjunctiveMembership, q391ReturnsNetted, q392AboveTypeAverage,
-    q393TopPerRollupBranch, q394ChannelCensus)
+    q393TopPerRollupBranch, q394ChannelCensus,
+    q397RevenueShareInClass, q398NestedInScreen, q399AboveNationReturns)
 }

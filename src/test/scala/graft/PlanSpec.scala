@@ -1481,6 +1481,32 @@ class PlanSpec extends EngineSuite {
       "q394: INTERSECT/EXCEPT chains lost semi/anti joins\n" + p394.take(1500))
   }
 
+  test("q397-q399 (round-15 DS batch 5): windowed share, nested IN, cross-relation group factor") {
+    for (n <- Seq("q397_dss_revenue_share_in_class", "q398_dss_nested_in_screen",
+        "q399_dss_above_nation_returns")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n planned a cartesian/nested loop:\n" + p.take(1200))
+    }
+    // q397: the share window runs over the COLLAPSED (type, brand)
+    // relation, partitioned by type — one fact scan, no global window
+    val p397 = plan("q397_dss_revenue_share_in_class")
+    assert("Scan parquet[^\\n]*lineitem".r.findAllIn(p397).size == 1,
+      "q397: fact must collapse in one pass\n" + p397.take(1500))
+    // (the share window's partitioning is enforced by the corpus sweep)
+    // q398: the watched-part membership is a semi join; the correlated
+    // half/total screen collapses to conditional aggregates (one scan)
+    val p398 = plan("q398_dss_nested_in_screen")
+    assert(p398.contains("LeftSemi"), "q398: IN lost its semi join\n" + p398.take(1200))
+    assert("Scan parquet[^\\n]*lineitem".r.findAllIn(p398).size == 1,
+      "q398: fact scanned more than once\n" + p398.take(1500))
+    // q399: the nation factor aggregates-then-joins (no per-row
+    // correlated execution): returns slice collapses once
+    val p399 = plan("q399_dss_above_nation_returns")
+    assert("Scan parquet[^\\n]*lineitem".r.findAllIn(p399).size == 1,
+      "q399: returns slice scanned more than once\n" + p399.take(1500))
+  }
+
   // ---- forced-broadcast sweep (the 100 TB broadcast discipline) -------
   // A `broadcast(rel)` hint OVERRIDES the size-based planner: at 100 TB
   // the hinted side materializes on EVERY executor no matter how big it
