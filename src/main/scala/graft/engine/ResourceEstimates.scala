@@ -92,6 +92,11 @@ object ResourceEstimates {
       case e: ExpandExec =>
         expandFactor = math.min(expandFactor * math.max(e.projections.size, 1), 64L)
         e.children.foreach(visit)
+      // executed-AQE leaves: a materialized stage wraps its real plan —
+      // recurse into it (it is a LeafExecNode, so the generic leaf case
+      // would otherwise consult the logical link and usually give up)
+      case q: adaptive.QueryStageExec => visit(q.plan)
+      case r: exchange.ReusedExchangeExec => visit(r.child)
       case leaf: LeafExecNode =>
         leaf.logicalLink.map(_.stats.sizeInBytes) match {
           case Some(s) if s < UnknownSentinel => known = addSat(known, s.toLong)
@@ -143,6 +148,15 @@ object ResourceEstimates {
           notes += s"$what unavailable (no stats)"
       }
       def visit(p: SparkPlan): Unit = p match {
+        // executed-AQE plans replace exchanges with QueryStageExec
+        // LEAVES; without this case they match nothing below and the
+        // whole subtree silently accounts as 0 bytes (ADVICE r15) —
+        // recurse into the materialized plan so the Exchange cases fire
+        case q: adaptive.QueryStageExec => visit(q.plan)
+        case r: exchange.ReusedExchangeExec =>
+          // the original exchange is accounted where it first appears;
+          // a broadcast reuse adds no per-host memory (one copy/host)
+          notes += "reused exchange"
         case e: ShuffleExchangeExec =>
           walkStage(e.child, stageName(e.child)) // its own stage entry
         case b: BroadcastExchangeExec =>

@@ -28,15 +28,20 @@ import org.apache.spark.sql.functions._
   * n-gram operator here already shuffles — rather than one per
   * character.
   *
-  * Scale shape: the ONLY corpus-wide sort is the seed pass
-  * ([[Prefix.globalRankTies]], range-partitioned, never a single-task
-  * window). Every refinement round touches the shrinking ACTIVE set:
-  * one equi-join against the rank map shifted by 2^k on the (doc, pos)
-  * key, then a window PARTITIONED by the tie-block rank — block-local
-  * work, loop ends the moment every block is a singleton (the
-  * suffixRanks scaladoc has the RANK()-numbering argument). Round
-  * state is localCheckpoint-ed; settled rows are never touched
-  * again. Every numeric is exact BIGINT rank algebra —
+  * Scale shape: the only corpus-grain sorts are the seed pass
+  * ([[Prefix.globalRankTies]] over dictionary-encoded 8-id prefixes,
+  * range-partitioned, never a single-task window) and the one
+  * vocabulary rank behind the encoding. Every refinement round touches
+  * the shrinking ACTIVE set: one equi-join against the rank map
+  * shifted by 2^k on the (doc, pos) key, then a re-rank computed on
+  * the COLLAPSED distinct (tie-block, lookahead) relation and joined
+  * back — no per-row window is ever partitioned by a tie block, so a
+  * boilerplate prefix shared by 10^8 suffixes costs a groupBy and an
+  * AQE-splittable join, not one task. The loop ends the moment every
+  * block is a singleton (the suffixRanks scaladoc has the
+  * RANK()-numbering argument). Round state is localCheckpoint-ed;
+  * settled rows are never touched again and per-round transients are
+  * released. Every numeric is exact BIGINT rank algebra —
   * bit-identical on 1 or 10,000 partitions, replayed by the DuckDB
   * oracle as a direct `ORDER BY w[pos:]` over the suffix lists
   * (DuckDB list comparison is element-wise lexicographic with
@@ -45,15 +50,50 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** 2^7 = 128-word comparison context ≥ the longest fixture document
-    * (99 words), so ranks are the FULL suffix order. At corpus scale
-    * the round count grows only with log₂(longest doc in words) — 20
-    * rounds cover a million-word document. */
-  private val Rounds = 7
+  /** The seed pass ranks 2^3 = 8-word prefixes directly, replacing the
+    * first three doubling rounds (shift 1, 2, 4). */
+  private val SeedShift = 3
 
   /** `documents` split to word arrays: (doc_id, w). */
   private def docWords(sp: SparkSession): DataFrame =
     sp.table("documents").select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  /** ⌈log₂(longest doc in words)⌉ (floored at [[SeedShift]]) — the
+    * doubling-round count after which ranks reflect the FULL suffix
+    * order. Derived from the corpus with ONE O(1)-result aggregate (a
+    * documented driver-side probe, like the loop's `isEmpty`): the r15
+    * compile-time `Rounds = 7` was calibrated to the 99-word fixture
+    * and would have silently under-ranked any corpus with a >128-word
+    * document (ties beyond the cap left unresolved, diverging from the
+    * oracle with no guard). 20 rounds cover a million-word document —
+    * the count grows only with the log of the longest doc. */
+  private[graft] def contextRounds(sp: SparkSession): Int = {
+    val r = docWords(sp).agg(max(size(col("w"))).as("m")).head()
+    val maxLen = if (r.isNullAt(0)) 1L else r.getInt(0).toLong
+    math.max(SeedShift,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(maxLen - 1L, 1L)))
+  }
+
+  /** Tokens with order-preserving dictionary ids: (doc_id, pos, wid)
+    * where `wid` is the 1-based rank of the word in the SORTED distinct
+    * vocabulary — so ranking id sequences is EXACTLY ranking word
+    * sequences (a bijection that preserves element order preserves
+    * array-lexicographic order), at a fraction of the range-exchange
+    * bytes and sort-comparison cost. The r15 seed shipped 8-STRING
+    * arrays through the corpus-wide range exchange — 4× the cost of any
+    * other bench query; this is the same slim-the-exchange move the
+    * adjacency pass already made (payloads attach after the slim rank).
+    * The vocab join broadcasts at runtime via AQE when the vocabulary
+    * fits; hot common words in the fallback shuffle join are the
+    * SMJ-between-stages shape AQE's skew split re-plans. */
+  private def tokenIds(sp: SparkSession): DataFrame = {
+    val toks = docWords(sp)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("word"))
+    val vocab = Prefix.globalRank(
+      toks.select(col("word")).distinct(), Seq(col("word")), "wid")
+    toks.join(vocab, "word").select(col("doc_id"), col("pos"), col("wid"))
+  }
 
   /** The word-granularity suffix array: one row per (doc_id, pos) with
     * `rank` = competition rank (`RANK()`: count of strictly-smaller
@@ -71,35 +111,49 @@ object SuffixArray {
     * within-block RANK() by the lookahead rank − 1), never a global
     * pass. After the seed pass the active set is already tiny (the
     * corpus's repeated-prefix mass), and it only shrinks. */
-  private[graft] def suffixRanks(sp: SparkSession): DataFrame = {
+  private[graft] def suffixRanks(sp: SparkSession): DataFrame =
+    suffixRanks(sp, contextRounds(sp))
+
+  private def suffixRanks(sp: SparkSession, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Seed ranks at context 2^3 in ONE range-partitioned pass: rank
-    // the 8-word prefix slice of every suffix directly (Spark array
-    // ordering is element-wise lexicographic, shorter-prefix-first —
-    // the same order the rank-0 sentinel induces). The slice amplifies
-    // the shuffled relation by a bounded ×8 — scale-safe — and
-    // replaces the first three doubling rounds (shift 1, 2, 4). The
-    // full word array never ships: it is consumed inside the generate
-    // stage; only (doc_id, pos, 8-word slice) reaches the exchange.
-    val sufs = docWords(sp)
-      .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("p0", "_w")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        slice(col("w"), col("p0") + 1, lit(8)).as("pre"))
-    val seed = Prefix.globalRankTies(sufs, Seq(col("pre")), "rank")
-      .withColumn("gs", count(lit(1)).over(Window.partitionBy(col("rank"))))
+    // Seed ranks at context 2^3 in ONE range-partitioned pass over the
+    // dictionary-encoded tokens: each suffix's 8-id prefix is collected
+    // with a PER-DOC sliding window (bounded by doc length — never a
+    // corpus-grain partition) and ranked directly (Spark array ordering
+    // is element-wise lexicographic, shorter-prefix-first — the same
+    // order the rank-0 sentinel induces, and id order = word order by
+    // construction). Only (doc_id, pos, 8 BIGINTs) reaches the
+    // corpus-wide range exchange — never a word payload.
+    val wPre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, (1 << SeedShift) - 1)
+    val sufs = tokenIds(sp)
+      .withColumn("pre", collect_list(col("wid")).over(wPre))
+      .select(col("doc_id"), col("pos"), col("pre"))
+    val seedRanks = Prefix.globalRankTies(sufs, Seq(col("pre")), "rank")
+      .select(col("doc_id"), col("pos"), col("rank"))
+      .staged // consumed by both the block-size rollup and the join-back
+    // Block sizes come from a map-side-combined groupBy joined back —
+    // NOT a count() window PARTITIONED BY rank, which pins each tie
+    // block (at web scale: every suffix sharing one boilerplate 8-word
+    // prefix, 10^7–10^8 rows) onto ONE task. The join-back sits between
+    // shuffle stages, the one skew shape AQE can re-split at runtime.
+    val seed = seedRanks
+      .join(seedRanks.groupBy(col("rank")).agg(count(lit(1)).as("gs")), "rank")
       .select(col("doc_id"), col("pos"), col("rank"), col("gs"))
       .staged
+    Checkpoints.unpersist(seedRanks) // seed is eager; the pre-join copy is dead
     // Checkpoint ledger: every round's checkpoint holds rows that stay
     // settled in it forever, so none is ever released; total storage
-    // is n + Σ|active_k| ≈ n·(1+ε), vs Rounds·n for a re-rank-all
+    // is n + Σ|active_k| ≈ n·(1+ε), vs rounds·n for a re-rank-all
     // loop. (A row re-ranked in round k+1 leaves its round-k copy
-    // dead, but dead mass is bounded by the same Σ|active|.)
+    // dead, but dead mass is bounded by the same Σ|active|; per-round
+    // transients are released as soon as their successor materializes.)
     var settled = seed.filter(col("gs") === 1)
       .select(col("doc_id"), col("pos"), col("rank"))
     var active = seed.filter(col("gs") > 1)
       .select(col("doc_id"), col("pos"), col("rank"))
-    var k = 3 // context 2^3 already covered by the seed pass
-    while (k < Rounds && !active.isEmpty) { // O(1)-result probe per round
+    var k = SeedShift // context 2^SeedShift already covered by the seed
+    while (k < rounds && !active.isEmpty) { // O(1)-result probe per round
       val shift = 1L << k
       // lookahead: rank of the suffix 2^k words later in the same doc
       // (settled or active — always the CURRENT numbering); 0 (less
@@ -109,15 +163,14 @@ object SuffixArray {
       val lookup = settled.unionByName(active)
         .select(col("doc_id"), (col("pos") - shift).as("pos"),
           col("rank").as("r2"))
-      val refined = active.join(lookup, Seq("doc_id", "pos"), "left")
+      val joined = active.join(lookup, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("rank").as("r1"),
           coalesce(col("r2"), lit(0L)).as("r2"))
-        .withColumn("rank", col("r1") - 1 +
-          rank().over(Window.partitionBy(col("r1")).orderBy(col("r2")))
-            .cast("long"))
-        .withColumn("gs", count(lit(1)).over(Window.partitionBy(col("rank"))))
+        .staged // consumed by both the collapsed re-rank and the join-back
+      val refined = joined.join(refineBlocks(joined), Seq("r1", "r2"))
         .select(col("doc_id"), col("pos"), col("rank"), col("gs"))
         .staged
+      Checkpoints.unpersist(joined) // refined is eager; the transient is dead
       settled = settled.unionByName(
         refined.filter(col("gs") === 1)
           .select(col("doc_id"), col("pos"), col("rank")))
@@ -128,8 +181,32 @@ object SuffixArray {
     settled.unionByName(active)
   }
 
+  /** One refinement round's re-rank, collapsed before the window: the
+    * new rank is a function of (r1 = current tie-block rank,
+    * r2 = lookahead rank) ALONE, so it is computed on the DISTINCT
+    * (r1, r2) relation — sized by the distinct lookahead ranks per
+    * block, not the block's row count.
+    *   new rank = r1 − 1 + within-block RANK() by r2
+    *            = r1 + (exclusive running sum of (r1, r2) group counts),
+    * and the new rank's tie block IS the (r1, r2) group, so gs is that
+    * group's count. Both per-row windows of the r15 formulation
+    * (rank() and count() PARTITIONED BY the tie block — each pinning a
+    * 10^8-row boilerplate block onto ONE task) disappear: rows touch
+    * only a map-side-combined groupBy here and an AQE-splittable
+    * equi-join back in the caller. SuffixArraySpec pins the collapse
+    * (the window's input is the aggregate, row count = distinct pairs)
+    * against a 30%-skew fixture. */
+  private[graft] def refineBlocks(joined: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    joined.groupBy(col("r1"), col("r2"))
+      .agg(count(lit(1)).as("gs"))
+      .withColumn("rank", col("r1") + coalesce(
+        sum(col("gs")).over(Window.partitionBy(col("r1")).orderBy(col("r2"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+  }
+
   /** Adjacent suffix pairs in suffix-array order with their LCP (number
-    * of leading words the neighbours share). `(idx, doc_a/pos_a/suf_a,
+    * of leading words the neighbours share). `(idx, doc_a/pos_a,
     * doc_b/pos_b, lcp)` where b is the suffix directly AFTER a in SA
     * order. The global adjacency index comes from [[Prefix.globalRank]]
     * over (rank, doc_id, pos) — a total order, range-partitioned — and
@@ -137,45 +214,104 @@ object SuffixArray {
     * of ANY two suffixes is the min of the adjacent LCPs between them,
     * so the longest repeated passage anywhere in the corpus is realized
     * by some adjacent pair — max(lcp) here IS the corpus answer. */
-  private def adjacentLcp(sp: SparkSession): DataFrame = {
-    val docs = docWords(sp)
-    // The global adjacency index is computed over the SLIM
-    // (rank, doc_id, pos) relation — the word payload must not ride
-    // through the range exchange, its boundary sampling, and the
-    // checkpoint inside globalRank. Suffix slices attach AFTER the
-    // idx pairing, one equi-join per pair arm, so each suffix ships
-    // exactly once. The attached slice is CAPPED at the
-    // rank-resolution context 2^Rounds (128 words): suffixes equal
-    // through 128 words compare equal in rank too, so the cap bounds
-    // the shuffled payload per row (O(tokens·context), not
-    // O(tokens·doclen) at million-word docs) without changing any LCP
-    // the ranks can distinguish; every fixture doc is shorter than
-    // the cap, so here it is exactly the full suffix.
+  /** First chunk length of the chunked LCP comparison (words). Chunk
+    * lengths double each round, so a pair with LCP L is resolved in
+    * O(log(L/16)) rounds touching O(L) words total. */
+  private val LcpChunk = 16
+
+  /** `(idx, doc_a, pos_a, doc_b, pos_b, lcp)` for adjacent SA pairs.
+    *
+    * The global adjacency index is computed over the SLIM
+    * (rank, doc_id, pos) relation — the word payload must not ride
+    * through the range exchange, its boundary sampling, and the
+    * checkpoint inside globalRank; "adjacent" is an equi-join on
+    * idx = idx+1, not a window. LCPs then come from CHUNKED
+    * re-comparison ([[chunkedLcp]]): the r15 build attached an
+    * up-to-2^rounds-word slice to EVERY suffix (O(tokens·maxdoc) pair
+    * bytes — q381 was 4× the cost of any other bench query, and a
+    * million-word doc corpus would ship million-word arrays), where
+    * the chunked loop ships [[LcpChunk]] words per suffix first and
+    * only the still-equal pairs — the corpus's deep-repeat mass, the
+    * same shrinking-active-set discipline as the rank doubling —
+    * fetch doubling continuation chunks. */
+  private[graft] def adjacentLcp(sp: SparkSession): DataFrame = {
     val g = Prefix.globalRank(suffixRanks(sp),
       Seq(col("rank"), col("doc_id"), col("pos")), "idx")
       .select(col("idx"), col("doc_id"), col("pos"))
       .staged // both pair arms (idx and idx+1) read the slim index
-    val sufOf = docs.select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "_w")),
-        col("w"))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        expr(s"slice(w, p0 + 1, least(size(w) - p0, ${1 << Rounds}))").as("suf"))
     val a = g.select(col("idx"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
-      .join(sufOf.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
-        col("suf").as("suf_a")), Seq("doc_a", "pos_a"))
     val b = g.select((col("idx") - 1).as("idx"), col("doc_id").as("doc_b"),
-        col("pos").as("pos_b"))
-      .join(sufOf.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
-        col("suf").as("suf_b")), Seq("doc_b", "pos_b"))
-    // LCP: first mismatch position over the zipped word pair flags —
-    // zip_with pads the shorter side with null ⇒ coalesce(=, false)
-    // marks the pad a mismatch, so array_position finds min-length
-    // cutoffs too; 0 (no mismatch) ⇔ identical suffixes
+      col("pos").as("pos_b"))
+    chunkedLcp(sp, a.join(b, "idx"))
+  }
+
+  /** Chunked LCP of suffix pairs: each round attaches the next chunk
+    * of both suffixes (one equi-join per arm against per-position
+    * slices of the ACTIVE docs, chunk length doubling from
+    * [[LcpChunk]]), resolves every pair whose first mismatch — or
+    * whose BOTH ends — fall inside the chunk, and carries only the
+    * still-equal pairs forward. The active set after round j is
+    * exactly the pairs with LCP ≥ the words compared so far — the
+    * corpus's deep-repeat mass — so the total shuffled payload is
+    * O(Σ_round tokens(active docs) · len_round) ≤ O(tokens · 4·LCPmax)
+    * by the geometric series: cost scales with how deep the repeats
+    * actually go, never with document length. The slice relation stays
+    * at the (doc, pos) grain (one row per token, like every n-gram
+    * operator here), so no single doc's boilerplate pins a task; the
+    * doc-level left_semi prune keeps later rounds from re-exploding
+    * the whole corpus. The per-round `isEmpty` is the same documented
+    * O(1)-result driver probe as the rank loop's.
+    * Input: (idx, doc_a, pos_a, doc_b, pos_b); output adds `lcp`. */
+  private def chunkedLcp(sp: SparkSession, pairs0: DataFrame): DataFrame = {
+    val docs = docWords(sp)
+    val keys = Seq("idx", "doc_a", "pos_a", "doc_b", "pos_b").map(col)
+    // first-mismatch position inside the current chunk: zip_with pads
+    // the shorter side with null ⇒ coalesce(=, false) marks the pad a
+    // mismatch, so min-length cutoffs resolve too; 0 ⇔ chunk-equal
     val p = expr(
-      "array_position(zip_with(suf_a, suf_b, (x, y) -> coalesce(x = y, false)), false)")
-    a.join(b, "idx")
-      .withColumn("lcp",
-        when(p === 0, least(size(col("suf_a")), size(col("suf_b"))))
-          .otherwise((p - 1).cast("long")))
+      "array_position(zip_with(ca, cb, (x, y) -> coalesce(x = y, false)), false)")
+    def chunkOf(act: DataFrame, arm: String, off: Long, len: Int,
+                out: String): DataFrame = {
+      val need = act.select(col(s"doc_$arm").as("doc_id")).distinct()
+      docs.join(need, Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as(s"doc_$arm"),
+          posexplode(col("w")).as(Seq("p0", "_w")), col("w"))
+        .select(col(s"doc_$arm"), (col("p0") + 1).cast("long").as(s"pos_$arm"),
+          expr(s"slice(w, p0 + 1 + $off, $len)").as(out))
+    }
+    var active = pairs0.staged // round 0's probe + join read it twice
+    val resolved = List.newBuilder[DataFrame]
+    var off = 0L
+    var len = LcpChunk
+    while (!active.isEmpty) { // O(1)-result probe per chunk round
+      val withChunks = active
+        .join(chunkOf(active, "a", off, len, "ca"), Seq("doc_a", "pos_a"))
+        .join(chunkOf(active, "b", off, len, "cb"), Seq("doc_b", "pos_b"))
+        .withColumn("__p", p)
+        .withColumn("__ends", // both suffixes end inside this chunk
+          size(col("ca")) < len && size(col("cb")) < len)
+        .staged
+      Checkpoints.unpersist(active) // withChunks is eager; input is dead
+      val done = withChunks
+        .filter(col("__p") > 0 || col("__ends"))
+        .select(keys :+ (lit(off) + when(col("__p") > 0, col("__p") - 1)
+          .otherwise(least(size(col("ca")), size(col("cb")))))
+          .cast("long").as("lcp"): _*)
+        .staged // kept until the final union — never released
+      val next = withChunks.filter(col("__p") === 0 && !col("__ends"))
+        .select(keys: _*)
+        .staged
+      Checkpoints.unpersist(withChunks) // both successors materialized
+      resolved += done
+      active = next
+      off += len
+      len *= 2
+    }
+    Checkpoints.unpersist(active)
+    resolved.result() match {
+      case Nil => pairs0.withColumn("lcp", lit(0L)).filter(lit(false))
+      case parts => parts.reduce(_.unionByName(_))
+    }
   }
 
   /** Shared DuckDB oracle CTEs: suffix lists + SA order + adjacent LCP.
@@ -263,11 +399,14 @@ object SuffixArray {
         .cast("long").as("mean_lcp_e6"),
       sum(when(col("lcp") >= 5, 1L).otherwise(0L)).as("pairs_ge5"))
     // argmax keyed on the LATER pair member (doc_b, pos_b) — the
-    // oracle's LAG formulation keys each pair by its later row
+    // oracle's LAG formulation keys each pair by its later row. The
+    // phrase text attaches AFTER the top-1 cut (the pair relation
+    // carries no word payload at all now), one broadcast join
     val top1 = pairs
       .orderBy(col("lcp").desc, col("doc_b"), col("pos_b")).limit(1)
+      .join(docWords(sp), col("doc_id") === col("doc_b"))
       .select(array_join(
-        slice(col("suf_b"), lit(1), col("lcp").cast("int")), " ")
+        slice(col("w"), col("pos_b").cast("int"), col("lcp").cast("int")), " ")
         .as("top_phrase"))
     agg.crossJoin(broadcast(top1))
   }
@@ -367,9 +506,11 @@ object SuffixArray {
     * reconstruction is a single higher-order-function pass
     * (`filter(w, (x,i) -> !exists(spans, …))`) inside codegen — the
     * overlap union happens implicitly in the exists, no per-doc sweep
-    * needed. First-occurrence keys encode as doc·100000+pos (exact
-    * BIGINT; fixture pos ≤ 99 — a wider base or a struct-min at
-    * production doc lengths). */
+    * needed. The first occurrence is a MIN over (doc, pos) STRUCTS
+    * (lexicographic struct ordering on both engines — r15 encoded
+    * doc·100000+pos, which silently collides past position 100000 of
+    * a production-length doc; pinned by SuffixArraySpec's long-doc
+    * fixture). */
   val q396SubstringRemoveSa: QuerySpec = QuerySpec(
     "q396_sa_substring_remove",
     s"""WITH $oracleLcpCtes,
@@ -381,19 +522,19 @@ object SuffixArray {
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
        |  FROM p),
        |nb AS (SELECT * FROM pr WHERE brk = 0),
-       |runs AS (
-       |  SELECT run, MIN(lcp) AS l,
-       |         MIN(LEAST(doc_id * 100000 + pos,
-       |                   pdoc * 100000 + ppos)) AS first_enc
-       |  FROM nb GROUP BY run),
+       |runs AS (SELECT run, MIN(lcp) AS l FROM nb GROUP BY run),
        |members AS (
        |  SELECT DISTINCT run, doc_id AS doc, pos FROM nb
        |  UNION
        |  SELECT DISTINCT run, pdoc, ppos FROM nb),
+       |firsts AS (
+       |  SELECT run, MIN({'d': doc, 'p': pos}) AS fe FROM members GROUP BY run),
        |iv AS (
        |  SELECT m.doc, m.pos AS st, m.pos + r.l AS en
        |  FROM members m JOIN runs r ON m.run = r.run
-       |  WHERE m.doc * 100000 + m.pos <> r.first_enc),
+       |  JOIN firsts f ON m.run = f.run
+       |  WHERE NOT (m.doc = struct_extract(f.fe, 'd')
+       |         AND m.pos = struct_extract(f.fe, 'p'))),
        |ivs AS (
        |  SELECT doc, list({'st': st, 'en': en}) AS spans
        |  FROM iv GROUP BY doc),
@@ -413,24 +554,37 @@ object SuffixArray {
        |WHERE n0 > len(kept)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    val pairs = adjacentLcp(sp)
+    removeFromPairs(sp, adjacentLcp(sp))
+  }
+
+  /** The removal stage of [[q396SubstringRemoveSa]], from an
+    * adjacent-LCP pair relation (idx, doc_a, pos_a, doc_b, pos_b, lcp)
+    * to the rewritten documents — split out so SuffixArraySpec can pin
+    * the first-occurrence struct-min against positions past 100000
+    * (where the r15 doc·100000+pos encode collided) without
+    * materializing a 100k-word corpus through the LCP attach. */
+  private[graft] def removeFromPairs(sp: SparkSession,
+                                     pairRel: DataFrame): DataFrame = {
+    val pairs = pairRel
       .select(col("idx"), col("doc_a"), col("pos_a"),
         col("doc_b"), col("pos_b"), col("lcp"))
       .withColumn("brk", when(col("lcp") < 8, 1L).otherwise(0L))
     val withRun = Prefix.prefixSums(pairs, Seq(col("idx")),
       Seq((col("brk"), "run")))
     val nb = withRun.filter(col("brk") === 0).staged // stats + members
-    val runs = nb.groupBy(col("run")).agg(
-      min(col("lcp")).as("l"),
-      min(least(col("doc_a") * 100000 + col("pos_a"),
-        col("doc_b") * 100000 + col("pos_b"))).as("first_enc"))
+    val runs = nb.groupBy(col("run")).agg(min(col("lcp")).as("l"))
     val members = nb.select(col("run"), col("doc_a").as("doc"),
         col("pos_a").as("pos"))
       .unionByName(nb.select(col("run"), col("doc_b").as("doc"),
         col("pos_b").as("pos")))
       .distinct()
-    val iv = members.join(runs, "run")
-      .filter(col("doc") * 100000 + col("pos") =!= col("first_enc"))
+      .staged // read by the first-occurrence rollup and the span build
+    // first occurrence = min (doc, pos) STRUCT per run — exact at any
+    // doc length (no positional encode to overflow), partial-aggregable
+    val firsts = members.groupBy(col("run"))
+      .agg(min(struct(col("doc").as("d"), col("pos").as("p"))).as("fe"))
+    val iv = members.join(runs, "run").join(firsts, "run")
+      .filter(!(col("doc") === col("fe.d") && col("pos") === col("fe.p")))
       .select(col("doc"), col("pos").as("st"), (col("pos") + col("l")).as("en"))
     val ivs = iv.groupBy(col("doc"))
       .agg(collect_list(struct(col("st"), col("en"))).as("spans"))

@@ -165,9 +165,19 @@ object Layout {
     * runs several scale factors, and a fixture cached across them
     * would answer a different corpus than the freshly registered
     * `documents` view the oracle reads. PlanSpec pins the
-    * metadata-only plan over it. */
-  def partitionedDocsDir(dir: String): String =
-    s"$runTmp/pks/${java.lang.Integer.toHexString(dir.hashCode)}/documents"
+    * metadata-only plan over it. Keyed by the SANITIZED FULL PATH, not
+    * a 32-bit hash (ADVICE r15: a String.hashCode collision between two
+    * source dirs in one JVM would make the _SUCCESS gate silently serve
+    * a different corpus than the registered view the oracle reads). */
+  def partitionedDocsDir(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val readable = abs.replaceAll("[^A-Za-z0-9._-]", "_")
+      .replaceAll("^_+", "").takeRight(64)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+    s"$runTmp/pks/$readable-$sha/documents"
+  }
 
   private def writePartitionedDocs(
       sp: org.apache.spark.sql.SparkSession, dir: String): Unit = {

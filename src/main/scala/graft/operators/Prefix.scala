@@ -46,14 +46,25 @@ object Prefix {
     graft.llmops.Checkpoints.stage(
       df.repartitionByRange(sort: _*).withColumn("__pid", spark_partition_id()))
 
-  /** Exact global `ROW_NUMBER() OVER (ORDER BY sort)` as `rankCol`
-    * (BIGINT, 1-based) without a single-task window. */
-  def globalRank(df: DataFrame, sort: Seq[Column], rankCol: String): DataFrame = {
+  /** The shared range+offset core every public rank builder composes
+    * (one implementation, so a staging/boundary fix lands everywhere at
+    * once): range-partition, compute `localFn` per partition, derive
+    * per-partition totals — row counts for row_number/rank (equal keys
+    * never span a range boundary, so tie blocks stay whole), or the max
+    * local value for dense_rank (the distinct-key count) — roll the
+    * totals into exclusive offsets with one tiny ≤`shuffle.partitions`-
+    * row window, and broadcast-join them back. */
+  private def offsetComposed(df: DataFrame, sort: Seq[Column], rankCol: String,
+                             localFn: => Column,
+                             offsetFromLocalMax: Boolean): DataFrame = {
     val parts = ranged(df, sort)
     val local = parts.withColumn("__lrk",
-      row_number().over(Window.partitionBy(col("__pid")).orderBy(sort: _*))
+      localFn.over(Window.partitionBy(col("__pid")).orderBy(sort: _*))
         .cast("long"))
-    val offsets = parts.groupBy("__pid").agg(count(lit(1)).as("__pn"))
+    val perPid =
+      if (offsetFromLocalMax) local.groupBy("__pid").agg(max("__lrk").as("__pn"))
+      else parts.groupBy("__pid").agg(count(lit(1)).as("__pn"))
+    val offsets = perPid
       .withColumn("__off", coalesce(
         sum("__pn").over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -63,6 +74,11 @@ object Prefix {
       .drop("__pid", "__lrk", "__off")
   }
 
+  /** Exact global `ROW_NUMBER() OVER (ORDER BY sort)` as `rankCol`
+    * (BIGINT, 1-based) without a single-task window. */
+  def globalRank(df: DataFrame, sort: Seq[Column], rankCol: String): DataFrame =
+    offsetComposed(df, sort, rankCol, row_number(), offsetFromLocalMax = false)
+
   /** Exact global `RANK() OVER (ORDER BY sort)` (competition rank:
     * count of strictly-smaller rows + 1, ties share) as `rankCol`
     * (BIGINT, 1-based), range-partitioned like [[globalRank]] — the
@@ -70,20 +86,8 @@ object Prefix {
     * span a range boundary. The numbering iterative refiners want:
     * when a tie block splits later, every OTHER rank value is
     * unaffected (unlike dense ranks, which renumber globally). */
-  def globalRankTies(df: DataFrame, sort: Seq[Column], rankCol: String): DataFrame = {
-    val parts = ranged(df, sort)
-    val local = parts.withColumn("__lrk",
-      rank().over(Window.partitionBy(col("__pid")).orderBy(sort: _*))
-        .cast("long"))
-    val offsets = parts.groupBy("__pid").agg(count(lit(1)).as("__pn"))
-      .withColumn("__off", coalesce(
-        sum("__pn").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
-    local.join(broadcast(offsets), "__pid")
-      .withColumn(rankCol, col("__off") + col("__lrk"))
-      .drop("__pid", "__lrk", "__off")
-  }
+  def globalRankTies(df: DataFrame, sort: Seq[Column], rankCol: String): DataFrame =
+    offsetComposed(df, sort, rankCol, rank(), offsetFromLocalMax = false)
 
   /** Exact global `DENSE_RANK() OVER (ORDER BY sort)` as `rankCol`
     * (BIGINT, 1-based) without a single-task window and without
@@ -95,20 +99,8 @@ object Prefix {
     * a partition boundary; the global rank is the local dense rank
     * plus the running total of distinct-key counts (max local rank)
     * of all prior partitions. */
-  def globalDenseRank(df: DataFrame, sort: Seq[Column], rankCol: String): DataFrame = {
-    val parts = ranged(df, sort)
-    val local = parts.withColumn("__ldr",
-      dense_rank().over(Window.partitionBy(col("__pid")).orderBy(sort: _*))
-        .cast("long"))
-    val offsets = local.groupBy("__pid").agg(max("__ldr").as("__pn"))
-      .withColumn("__off", coalesce(
-        sum("__pn").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
-    local.join(broadcast(offsets), "__pid")
-      .withColumn(rankCol, col("__off") + col("__ldr"))
-      .drop("__pid", "__ldr", "__off")
-  }
+  def globalDenseRank(df: DataFrame, sort: Seq[Column], rankCol: String): DataFrame =
+    offsetComposed(df, sort, rankCol, dense_rank(), offsetFromLocalMax = true)
 
   /** Exact inclusive running sums
     * `SUM(expr) OVER (ORDER BY sort ROWS UNBOUNDED PRECEDING)` for each

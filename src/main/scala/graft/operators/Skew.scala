@@ -39,16 +39,32 @@ object Skew {
     * for balance. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  saltBy: Column, salts: Int, hotThreshold: Long): DataFrame = {
-    require(salts > 1, "salts must be > 1")
     val hot = probe.groupBy(col(key)).agg(count(lit(1)).as("__kc"))
       .filter(col("__kc") > hotThreshold)
-      .select(col(key), lit(true).as("__hot"))
-    val p = probe.join(broadcast(hot), Seq(key), "left")
+      .select(col(key))
+    saltedJoinWithHotKeys(probe, build, key, saltBy, salts, hot)
+  }
+
+  /** The salting algebra itself, parameterized by the hot-key relation
+    * (a single `key` column, bounded by contract, broadcast here): hot
+    * probe rows scatter by hash(saltBy) mod salts, hot build rows
+    * replicate into all salts, cold keys keep salt 0 unamplified.
+    * ONE implementation — [[saltedJoin]] derives the hot list from the
+    * probe; the streaming twin ([[graft.streaming.EventStreams
+    * .saltedEnrich]]) receives it as an input relation (a stream cannot
+    * be scanned for counts) and delegates here, so the two
+    * equivalence-critical copies cannot drift (ADVICE r15). */
+  def saltedJoinWithHotKeys(probe: DataFrame, build: DataFrame, key: String,
+                            saltBy: Column, salts: Int,
+                            hotKeys: DataFrame): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    val hot = broadcast(hotKeys.select(col(key), lit(true).as("__hot")))
+    val p = probe.join(hot, Seq(key), "left")
       .withColumn("__salt",
         when(col("__hot"), pmod(xxhash64(saltBy), lit(salts.toLong)))
           .otherwise(lit(0L)))
       .drop("__hot")
-    val b = build.join(broadcast(hot), Seq(key), "left")
+    val b = build.join(hot, Seq(key), "left")
       .withColumn("__salt", explode(
         when(col("__hot"), sequence(lit(0L), lit(salts.toLong - 1)))
           .otherwise(array(lit(0L)))))

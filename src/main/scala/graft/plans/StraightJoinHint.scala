@@ -53,9 +53,18 @@ object StraightJoinHint extends Rule[LogicalPlan] {
     }
 
   /** First strategy wins (matches HintInfo.merge's resolution order for
-    * the outermost hint); an arm with no hints pins order only. */
-  private def fold(hints: Seq[HintInfo]): HintInfo =
-    hints.find(_.strategy.isDefined).getOrElse(HintInfo())
+    * the outermost hint); an arm with no hints pins order only.
+    * Conflicting strategies inside one arm are logged, not silently
+    * dropped — Spark's EliminateResolvedHint warns on hint conflicts
+    * too (ADVICE r15). */
+  private def fold(hints: Seq[HintInfo]): HintInfo = {
+    val strategic = hints.filter(_.strategy.isDefined)
+    if (strategic.size > 1)
+      logWarning(s"STRAIGHT_JOIN arm carries ${strategic.size} strategy " +
+        s"hints ${strategic.flatMap(_.strategy).mkString("[", ", ", "]")}; " +
+        s"keeping the outermost (${strategic.head.strategy.get})")
+    strategic.headOption.getOrElse(HintInfo())
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case UnresolvedHint(name, Nil, child)

@@ -71,23 +71,15 @@ object EventStreams {
     * `salts` ways (explode of a literal sequence, amplification ≤
     * salts × |hot|); cold keys keep salt 0 unamplified. Result ≡ the
     * plain stream-static inner join, row for row (parity-tested both
-    * modes). */
+    * modes). The salting algebra itself is
+    * [[graft.operators.Skew.saltedJoinWithHotKeys]] — one copy, shared
+    * with the batch join, so the two cannot drift. */
   def saltedEnrich(events: DataFrame, userDim: DataFrame, hotKeys: DataFrame,
-                   salts: Int = 8): DataFrame = {
-    val h = org.apache.spark.sql.functions.broadcast(
-      hotKeys.select(col("user_id"), lit(true).as("__hot")))
-    val e = events.join(h, Seq("user_id"), "left")
-      .withColumn("__salt",
-        when(col("__hot"), pmod(xxhash64(col("event_id")), lit(salts.toLong)))
-          .otherwise(lit(0L)))
-      .drop("__hot")
-    val d = userDim.join(h, Seq("user_id"), "left")
-      .withColumn("__salt", explode(
-        when(col("__hot"), sequence(lit(0L), lit(salts.toLong - 1)))
-          .otherwise(array(lit(0L)))))
-      .drop("__hot")
-    e.join(d, Seq("user_id", "__salt")).drop("__salt")
-  }
+                   salts: Int = 8): DataFrame =
+    graft.operators.Skew.saltedJoinWithHotKeys(
+      events, userDim, "user_id",
+      saltBy = col("event_id"), salts = salts,
+      hotKeys = hotKeys.select(col("user_id")))
 
   /** Continuous data-contract monitoring — the streaming twin of the
     * q210 expectations battery: per tumbling hour, every declared check

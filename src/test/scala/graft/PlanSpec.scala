@@ -1524,7 +1524,7 @@ class PlanSpec extends EngineSuite {
 
   test("corpus sweep: every forced broadcast is provably bounded or audited") {
     import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
     import org.apache.spark.sql.catalyst.expressions._
 
     // Forced broadcasts the prover cannot bound structurally, each with
@@ -1672,7 +1672,22 @@ class PlanSpec extends EngineSuite {
           }
           leftKeys.nonEmpty && groupedBelow(j.left, leftKeys.toSet)
         })
-      case j: Join => bounded(j.left) && bounded(j.right)
+      case j: Join => (bounded(j.left) && bounded(j.right)) ||
+        (j.joinType == Inner && {
+          // PK-attach: a bounded head (e.g. a top-1/top-k cut) joined to
+          // an unbounded payload relation on one of the payload's
+          // row-grain-unique keys — output ≤ |head| rows (the q381
+          // attach-the-phrase-after-the-limit shape)
+          val eqPairs = j.condition.toSeq.flatMap(conjuncts).collect {
+            case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+          }
+          def pkAttach(head: LogicalPlan, payload: LogicalPlan): Boolean =
+            bounded(head) && eqPairs.exists { case (a, b) =>
+              (payload.outputSet.contains(a) && uniqueKeys(a.name)) ||
+                (payload.outputSet.contains(b) && uniqueKeys(b.name))
+            }
+          pkAttach(j.left, j.right) || pkAttach(j.right, j.left)
+        })
       case sa: SubqueryAlias => bounded(sa.child)
       case r: RepartitionOperation => bounded(r.child)
       // constant-cardinality catalog dimensions: nation (25 rows) and

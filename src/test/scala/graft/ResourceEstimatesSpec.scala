@@ -24,6 +24,26 @@ class ResourceEstimatesSpec extends EngineSuite {
     assert(est.render.contains("broadcast build"))
   }
 
+  test("an already-executed AQE plan still accounts broadcast builds") {
+    // ADVICE r15: after execution AQE replaces exchanges with
+    // QueryStageExec LEAVES; un-handled they match no case and the
+    // broadcast silently accounts as ~0 bytes — admitQuery called on an
+    // executed DataFrame could then under-estimate and wrongly admit.
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    val df = s.table("orders")
+      .join(s.table("customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    val before = ResourceEstimates.of(df)
+    discard(df.collect()) // materialize: the plan now holds query stages
+    val after = ResourceEstimates.of(df)
+    assert(after.broadcastBytes > 0,
+      s"executed-plan broadcast dropped to zero: ${after.render}")
+    assert(after.broadcastBytes == before.broadcastBytes,
+      s"executed vs planned broadcast bytes diverge: " +
+        s"${after.broadcastBytes} vs ${before.broadcastBytes}")
+  }
+
   test("a streaming-only scan estimates no reserved memory") {
     val s = spark
     QuerySpec.prepared(s, sfDir)

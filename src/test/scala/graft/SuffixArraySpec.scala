@@ -76,4 +76,96 @@ class SuffixArraySpec extends EngineSuite {
         s"source ${r.getAs[String]("source")}: dup $dup vs total $tot")
     }
   }
+
+  /** A session whose `documents` view is the given (doc_id, source,
+    * text) rows — isolated temp-view registry, shared SparkContext. */
+  private def syntheticDocs(rows: Seq[(Long, String, String)]) = {
+    val sp = spark.newSession()
+    import sp.implicits._
+    rows.toDF("doc_id", "source", "text").createOrReplaceTempView("documents")
+    sp
+  }
+
+  test("refineBlocks collapses to the distinct (r1, r2) relation and " +
+    "reproduces the per-block windowed rank exactly under 30% skew") {
+    import org.apache.spark.sql.expressions.Window
+    val sp = spark
+    import sp.implicits._
+    // 30%-skew fixture: one boilerplate tie block (r1 = 1) holds 300 of
+    // 1000 rows over just 4 distinct lookahead ranks — the web-scale
+    // shape where a window PARTITIONED BY r1 pins 10^8 rows on 1 task.
+    // Blocks keep the RANK-numbering invariant the loop guarantees:
+    // block r1 with s members owns the value range [r1, r1+s-1],
+    // disjoint from every other block (hot block 1..300; 7-row tail
+    // blocks from 301 on).
+    val rows =
+      (0 until 300).map(i => (1L, (i % 4 + 10).toLong)) ++      // hot block
+      (0 until 700).map { i =>                                   // long tail
+        val block = 301L + 7L * (i / 7)
+        (block, (i % 5).toLong * 3 + block)                      // ~5 r2s each
+      }
+    val joined = rows.toDF("r1", "r2")
+    val out = llmops.SuffixArray.refineBlocks(joined)
+    // the collapse: the aggregate IS the window input — one row per
+    // distinct (r1, r2) pair, never per source row
+    val nPairs = joined.select("r1", "r2").distinct().count()
+    assert(out.count() == nPairs,
+      s"refineBlocks must emit the collapsed relation ($nPairs pairs)")
+    // semantic pin: joined back, (rank, gs) match the r15 per-row
+    // windowed formulation row for row
+    val windowed = joined
+      .withColumn("rank", col("r1") - 1 +
+        rank().over(Window.partitionBy(col("r1")).orderBy(col("r2")))
+          .cast("long"))
+      .withColumn("gs", count(lit(1)).over(Window.partitionBy(col("rank"))))
+    val collapsed = joined.join(out, Seq("r1", "r2"))
+    val wAgg = windowed.groupBy("r1", "r2", "rank", "gs")
+      .agg(count(lit(1)).as("n"))
+    val cAgg = collapsed.groupBy("r1", "r2", "rank", "gs")
+      .agg(count(lit(1)).as("n"))
+    assert(wAgg.exceptAll(cAgg).isEmpty && cAgg.exceptAll(wAgg).isEmpty,
+      "collapsed re-rank must equal the windowed formulation exactly")
+  }
+
+  test("contextRounds derives from the corpus and resolves ties past " +
+    "the r15 128-word cap") {
+    // Two docs agreeing through 140 words then diverging: a 128-word
+    // context (the r15 compile-time Rounds = 7) ranks their pos-1
+    // suffixes as a TIE; the true order is alpha < beta. 141-word docs
+    // need ceil(log2 141) = 8 rounds.
+    val shared = (1 to 140).map(_ => "w").mkString(" ")
+    val sp = syntheticDocs(Seq(
+      (1L, "s", s"$shared alpha"),
+      (2L, "s", s"$shared beta")))
+    assert(llmops.SuffixArray.contextRounds(sp) == 8)
+    val sa = llmops.SuffixArray.suffixRanks(sp)
+      .filter(col("pos") === 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    assert(sa(1L) < sa(2L),
+      s"doc1 pos1 ('...w alpha') must rank before doc2 pos1 ('...w beta') " +
+        s"— got ${sa(1L)} vs ${sa(2L)}: ties past 128 words left unresolved")
+  }
+
+  test("q396 first occurrence is the (doc, pos) struct-min — exact past " +
+    "position 100000 where the r15 positional encode collided") {
+    // doc 1 carries the phrase at word position 150001; doc 2 at 5.
+    // Corpus-first is doc 1? No: struct-min over (doc, pos) is
+    // (1, 150001) — doc SORTS FIRST regardless of position. The r15
+    // encode doc*100000+pos gave doc1 the key 250001 > doc2's 200005,
+    // silently flipping which copy is kept.
+    val phrase = (1 to 8).map(i => s"dup$i")
+    val doc1 = ((1 to 150000).map(i => s"a$i") ++ phrase ++ Seq("t1"))
+      .mkString(" ")
+    val doc2 = ((1 to 4).map(i => s"b$i") ++ phrase ++ Seq("t2")).mkString(" ")
+    val sp = syntheticDocs(Seq((1L, "s", doc1), (2L, "s", doc2)))
+    import sp.implicits._
+    val pairRel = Seq((1L, 1L, 150001L, 2L, 5L, 8L))
+      .toDF("idx", "doc_a", "pos_a", "doc_b", "pos_b", "lcp")
+    val out = llmops.SuffixArray.removeFromPairs(sp, pairRel).collect()
+    assert(out.length == 1, "exactly one doc loses its span")
+    assert(out(0).getAs[Long]("doc_id") == 2L,
+      "doc 1 (struct-min (1, 150001)) keeps; doc 2 is the later copy — " +
+        "the r15 positional encode kept doc 2 instead")
+    assert(out(0).getAs[Long]("removed_tokens") == 8L)
+  }
 }

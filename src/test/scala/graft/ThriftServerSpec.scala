@@ -3,7 +3,8 @@ package graft
 /** HiveServer2 wire protocol — the reference serves its entire client
   * surface over HS2 Thrift, including the hand-built catalog metadata
   * ops (service/MetadataOp.java:53-645: GetTypeInfo, GetTables,
-  * GetColumns, GetSchemas). Spark's ThriftServer is this engine's
+  * GetColumns, GetSchemas, GetFunctions, GetCatalogs). Spark's
+  * ThriftServer is this engine's
   * same-protocol surface; this suite starts it on the shared session's
   * context and exercises both halves over a REAL JDBC connection —
   * previously the metadata ops were only mirrored as catalog queries
@@ -57,6 +58,20 @@ class ThriftServerSpec extends EngineSuite {
           == Seq("graft_hs2_t"))
         assert(drain(md.getColumns(null, "default", "graft_hs2_t", "%"), "COLUMN_NAME").toSet
           == Set("id", "dbl"))
+        // GetFunctions (MetadataOp.getFunctions:530-560): built-ins
+        // surface by name pattern, with the standard JDBC columns
+        val fns = drain(md.getFunctions(null, null, "abs"), "FUNCTION_NAME")
+        assert(fns.exists(_.equalsIgnoreCase("abs")),
+          s"GetFunctions('abs') over the wire returned $fns")
+        assert(drain(md.getFunctions(null, null, "xxhash64"), "FUNCTION_NAME")
+          .exists(_.equalsIgnoreCase("xxhash64")))
+        // GetCatalogs (MetadataOp.getCatalogs:301-303): the reference
+        // returns a WELL-FORMED EMPTY result set (no catalog concept);
+        // the op must succeed on the wire and expose the TABLE_CAT
+        // column — contents are engine-specific, shape is the contract
+        val cats = md.getCatalogs
+        assert(cats.findColumn("TABLE_CAT") == 1)
+        discard(drain(cats, "TABLE_CAT")) // drains without error
       } finally conn.close()
     } finally {
       s.sql("DROP TABLE IF EXISTS graft_hs2_t")
