@@ -2078,9 +2078,84 @@ object Dedup {
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
+  /** EXACT all-pairs similarity self-join by prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo, Ma & Srikant, WWW'07 "Scaling Up
+    * All Pairs Similarity Search"; Xiao et al., WWW'08 PPJoin): every
+    * document pair with token-set Jaccard ≥ t, with ZERO false
+    * negatives — the exact counterpart to the probabilistic LSH path
+    * (q81), for when a data-release contract demands "all pairs above
+    * t", not "pairs with high probability".
+    *
+    * The prefix-filter lemma: order the token universe totally (here
+    * rarest-first by document frequency, the order that makes prefixes
+    * selective); if J(x, y) ≥ t then the first |x| − ⌈t·|x|⌉ + 1
+    * tokens of x and the first |y| − ⌈t·|y|⌉ + 1 tokens of y (in that
+    * global order) must share a token. So the candidate set is the
+    * inverted index over PREFIX tokens only — rare tokens by
+    * construction — expanded through [[boundedPairs]] (the skew armor:
+    * a pathological prefix token cannot become one quadratic task),
+    * then verified with one exact set intersection per candidate.
+    *
+    * Scale shape: token df is a map-side-combined aggregate; the
+    * per-doc rarest-first sort is a window PARTITIONED BY doc (bounded
+    * by doc length); candidate grain is bounded by prefix-token df and
+    * capped by the salting; the verify joins attach each doc's token
+    * set exactly twice. The oracle is the brute-force all-pairs
+    * Jaccard — the query IS the zero-false-negative proof at both
+    * fixture scales. */
+  val q400PrefixFilterJoin: QuerySpec = QuerySpec(
+    "q400_simjoin_prefix_filter",
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.toks, b.toks)) AS inter_tokens,
+      |    len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+      |      AS un
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(inter_tokens AS BIGINT) AS inter_tokens,
+      |  CAST(ROUND(inter_tokens * 1e6 / un) AS BIGINT) AS jacc_e6
+      |FROM pairs
+      |WHERE inter_tokens >= 0.95 * un
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sp = QuerySpec.prepared(s, dir)
+    val t = 0.95
+    val toks = sp.table("documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .staged // consumed by df counts, the prefix build, and the verify
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rarest-first prefix: per-doc window (bounded by doc length);
+    // prefix length m − ⌈t·m⌉ + 1 per the AllPairs lemma
+    val pref = toks.join(dfreq, "tok")
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("r") <= col("m") - ceil(lit(t) * col("m")) + 1)
+    val cand = boundedPairs(
+      pref.select(col("tok").as("bkey"), col("doc_id").as("id")), cap = 256)
+    val sets = toks.groupBy("doc_id")
+      .agg(collect_set(col("tok")).as("s"), count(lit(1)).as("m"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a"),
+        col("m").as("m_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b"),
+        col("m").as("m_b")), Seq("id_b"))
+      .withColumn("inter_tokens",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("long"))
+      .withColumn("un", col("m_a") + col("m_b") - col("inter_tokens"))
+      .filter(col("inter_tokens") >= lit(t) * col("un"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter_tokens"),
+        round(col("inter_tokens") * 1e6 / col("un")).cast("long").as("jacc_e6"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q325KCore.benched, q334JaroWinklerPairs, q384SortedNeighborhood,
-    q395LandmarkBfs,
+    q395LandmarkBfs, q400PrefixFilterJoin,
     q215PageRank, q217FuzzyEntityResolution, q220LabelPropagation, q236Triangles, q244Modularity, q253ThresholdSweep, q276Containment, q292WinnowingClones,
     q298ClusteringCoefficient, q299DegreeAssortativity,
     q80Exact, q81MinHashLsh.benched, q82SimHash, q83NgramJaccard,

@@ -782,4 +782,27 @@ class LlmOpsSpec extends EngineSuite {
       .filter(col("n_chars").cast("long") > col("kept_chars"))
     assert(longer.count() == 0, "a cluster member is longer than the canonical pick")
   }
+
+  test("prefix-filter similarity join finds EXACTLY the brute-force " +
+    "Jaccard >= 0.95 pairs (zero false negatives)") {
+    // the AllPairs lemma's whole claim: candidates from PREFIX tokens
+    // only lose nothing — compare against the unfiltered all-pairs set
+    QuerySpec.prepared(spark, sfDir)
+    val brute = spark.sql(
+      """WITH s AS (
+        |  SELECT doc_id, array_distinct(split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id a, b.doc_id b
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      >= 0.95 * size(array_union(a.toks, b.toks))""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = llmops.Dedup.q400PrefixFilterJoin.run(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)} " +
+        s"(|brute|=${brute.size}, |got|=${got.size})")
+    assert(brute.nonEmpty, "fixture must exercise the join (threshold too high)")
+  }
 }
