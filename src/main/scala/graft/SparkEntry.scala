@@ -27,6 +27,7 @@ object SparkEntry {
       llmops.Similarity.all ++
       llmops.TextAnalysis.all ++
       llmops.SuffixArray.all ++
+      llmops.BpeTokenizer.all ++
       llmops.Multimodal.all ++
       llmops.Clustering.all ++
       llmops.Retrieval.all ++

@@ -1,0 +1,269 @@
+package graft.llmops
+
+import graft.QuerySpec
+import graft.llmops.Checkpoints.Stageable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer TRAINING — the merge-table learning loop of
+  * Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+  * Subword Units", the algorithm behind GPT/Llama tokenizers), run as
+  * pure DataFrame algebra. Each round counts adjacent symbol-pair
+  * frequencies across the corpus, picks the single most frequent pair
+  * (deterministic tie-break: count DESC, then the pair lexicographically),
+  * and rewrites every word by greedy LEFT-TO-RIGHT non-overlapping
+  * replacement of that pair — the exact textbook loop, so the learned
+  * merge table is reproducible bit-for-bit on any partitioning.
+  *
+  * Scale shape — the decisive trick is the GRAIN: training never touches
+  * the corpus again after one groupBy. The working relation is the
+  * DISTINCT-WORD symbol table `(word, freq, pos, sym)` — vocabulary ×
+  * average word length rows (~10⁸·6 at web scale, vs 10¹¹+ corpus
+  * tokens), where `freq` carries each word's corpus weight so pair
+  * counts stay corpus-exact. Per round: pair counting is a map-side-
+  * combined groupBy; the winner is a TopN (never a global sort); the
+  * rewrite joins the ONE-ROW winner via an explicit broadcast and uses
+  * only windows PARTITIONED BY word — each partition is one word's
+  * symbols, bounded by the longest word's character count, so no tie
+  * block, boilerplate or otherwise, can pin a task (the q383/suffix-
+  * array skew discipline). Round state is localCheckpoint-ed and
+  * transients released, like the suffix-array doubling loop; the
+  * per-round `isEmpty` on the one-row winner is the same documented
+  * O(1)-result driver probe.
+  *
+  * Greedy left-to-right on "aaaa" with winner (a,a) must yield
+  * [aa, aa] — NOT three overlapping matches. Encoded without any
+  * per-word UDF: a match CANDIDATE is a position whose (sym, next-sym)
+  * equals the winner; within each maximal run of consecutive candidates
+  * the kept matches are the 1st, 3rd, 5th, … (odd row number inside the
+  * run — runs delimited by the running count of non-candidates), and a
+  * row is consumed when its LEFT neighbour was kept. BpeSpec pins the
+  * overlap parity, the tie-break, and the empty-winner guard.
+  *
+  * The reference has no tokenizer trainer (it is a SQL frontend); this
+  * is part of the training-data-pipeline surface the build adds on top
+  * (SURVEY §2 LLM-ops block), next to the fixed-vocab token counting of
+  * q90 (TextAnalysis.scala) which ASSUMES a tokenizer this operator
+  * produces. */
+object BpeTokenizer {
+
+  /** Number of merges to learn. A SPEC PARAMETER of the operator (the
+    * "first K merges", like k in a top-k) — not a corpus-derived
+    * correctness bound: stopping early is always well-defined, and the
+    * loop also stops on its own the round no adjacent pair is left
+    * anywhere (every word fully merged), so no corpus can run it off
+    * the end. Real trainings use K≈30k–100k; the loop cost is K·(one
+    * vocab-grain groupBy + one TopN + one broadcast-join rewrite). */
+  private val Merges = 6
+
+  /** Corpus words with total occurrence counts — the ONLY corpus-grain
+    * pass in the whole training (one map-side-combinable groupBy). */
+  private def wordFreqs(sp: SparkSession): DataFrame =
+    sp.table("documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Seed symbol table: one row per (word, char position), `sym` the
+    * single character. Character extraction is an explicit
+    * sequence/substring transform (not a regex split) so Spark and the
+    * DuckDB oracle (`word[i]`) index characters identically. */
+  private def seedSyms(sp: SparkSession): DataFrame =
+    wordFreqs(sp)
+      .select(col("word"), col("freq"),
+        posexplode(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as(Seq("p0", "sym")))
+      .select(col("word"), col("freq"),
+        (col("p0") + 1).cast("long").as("pos"), col("sym"))
+
+  private def wordW = Window.partitionBy(col("word")).orderBy(col("pos"))
+
+  /** Symbol table with each position's right neighbour attached —
+    * consumed by both the pair count and the rewrite, so staged by the
+    * caller. The window partitions by WORD: bounded by the longest
+    * word's length, never a corpus- or vocab-grain partition. */
+  private def withNext(syms: DataFrame): DataFrame =
+    syms.withColumn("nxt", lead(col("sym"), 1).over(wordW))
+
+  /** The round's winning pair (l, r, pair_freq) — corpus-weighted count
+    * DESC, ties broken lexicographically on (l, r). Empty iff no word
+    * has ≥ 2 symbols left. GroupBy is map-side combined; the top-1 is
+    * TakeOrdered, not a sort. */
+  private[graft] def roundWinner(next: DataFrame): DataFrame =
+    next.filter(col("nxt").isNotNull)
+      .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("pair_freq"))
+      .select(col("sym").as("l"), col("nxt").as("r"), col("pair_freq"))
+      .orderBy(col("pair_freq").desc, col("l"), col("r")).limit(1)
+
+  /** Greedy left-to-right rewrite of every word by the (possibly empty —
+    * left join, not cross) one-row winner: candidates → run parity →
+    * keep odd matches, drop each kept match's right neighbour, renumber.
+    * All windows partition by word. */
+  private[graft] def rewrite(next: DataFrame, winner: DataFrame): DataFrame = {
+    val m = next.join(broadcast(winner), lit(true), "left")
+      .withColumn("cand",
+        when(col("sym") === col("l") && col("nxt") === col("r"), 1L)
+          .otherwise(0L))
+    val g = m.withColumn("grp",
+      sum(when(col("cand") === 0, 1L).otherwise(0L)).over(wordW))
+    val h = g.withColumn("take",
+      when(col("cand") === 1 &&
+        row_number().over(Window.partitionBy(col("word"), col("grp"),
+          col("cand")).orderBy(col("pos"))) % 2 === 1, 1L)
+        .otherwise(0L))
+    h.withColumn("ptake", lag(col("take"), 1, 0L).over(wordW))
+      .filter(col("ptake") === 0)
+      .withColumn("sym2",
+        when(col("take") === 1, concat(col("sym"), col("r")))
+          .otherwise(col("sym")))
+      .withColumn("pos2", row_number().over(wordW).cast("long"))
+      .select(col("word"), col("freq"), col("pos2").as("pos"),
+        col("sym2").as("sym"))
+  }
+
+  /** Run the training loop: returns (merge table with 1-based `round`,
+    * final symbol table). Checkpoint ledger mirrors the suffix-array
+    * loop: each round's symbol table is staged and its predecessor
+    * released; winners are one row each and staged for the final union. */
+  private[graft] def trainMerges(sp: SparkSession,
+                                 rounds: Int = Merges): (DataFrame, DataFrame) = {
+    var syms = seedSyms(sp).staged
+    val merges = List.newBuilder[DataFrame]
+    var k = 0
+    var exhausted = false
+    while (k < rounds && !exhausted) {
+      val next = withNext(syms).staged // pair count + rewrite both read it
+      val winner = roundWinner(next).staged // probe + union + rewrite join
+      if (winner.isEmpty) { // O(1)-result probe: zero or one row
+        Checkpoints.unpersist(next)
+        exhausted = true
+      } else {
+        merges += winner.withColumn("round", lit(k + 1L))
+        val rewritten = rewrite(next, winner).staged
+        Checkpoints.unpersist(next) // rewritten is eager; transient dead
+        Checkpoints.unpersist(syms)
+        syms = rewritten
+        k += 1
+      }
+    }
+    val mergeTable = merges.result() match {
+      case Nil =>
+        seedSyms(sp).select(lit(0L).as("round"), col("sym").as("l"),
+          col("sym").as("r"), col("freq").as("pair_freq")).filter(lit(false))
+      case parts => parts.reduce(_.unionByName(_))
+    }
+    (mergeTable, syms)
+  }
+
+  /** DuckDB oracle: the same loop with each round unrolled into one CTE
+    * chain (pairs → winner → candidates → run parity → rewrite) —
+    * generated programmatically so the two engines can never drift on
+    * round count. `LEFT JOIN ... ON TRUE` mirrors the Spark side's
+    * empty-winner guard. */
+  private def oracleRound(k: Int): String = {
+    val i = s"syms$k"
+    s"""pairs$k AS (
+       |  SELECT a.sym AS l, b.sym AS r, CAST(SUM(a.freq) AS BIGINT) AS c
+       |  FROM $i a JOIN $i b ON a.word = b.word AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2),
+       |win$k AS (SELECT l, r, c FROM pairs$k ORDER BY c DESC, l, r LIMIT 1),
+       |m$k AS (
+       |  SELECT s.word, s.freq, s.pos, s.sym, w.l, w.r,
+       |    CASE WHEN s.sym = w.l AND
+       |              LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = w.r
+       |         THEN 1 ELSE 0 END AS cand
+       |  FROM $i s LEFT JOIN win$k w ON TRUE),
+       |g$k AS (
+       |  SELECT *, SUM(CASE WHEN cand = 0 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY word ORDER BY pos) AS grp
+       |  FROM m$k),
+       |h$k AS (
+       |  SELECT *, CASE WHEN cand = 1 AND
+       |      ROW_NUMBER() OVER (PARTITION BY word, grp, cand ORDER BY pos) % 2 = 1
+       |    THEN 1 ELSE 0 END AS take
+       |  FROM g$k),
+       |syms${k + 1} AS (
+       |  SELECT word, freq,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+       |    CASE WHEN take = 1 THEN sym || r ELSE sym END AS sym
+       |  FROM (SELECT *, COALESCE(LAG(take) OVER (PARTITION BY word ORDER BY pos), 0)
+       |          AS ptake FROM h$k) z
+       |  WHERE ptake = 0)""".stripMargin
+  }
+
+  private def oracleCtes(rounds: Int): String = {
+    val seed =
+      """words0 AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+        |  GROUP BY word),
+        |syms0 AS (
+        |  SELECT word, freq, CAST(i AS BIGINT) AS pos, word[i] AS sym
+        |  FROM words0, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) u)"""
+        .stripMargin
+    (seed +: (0 until rounds).map(oracleRound)).mkString(",\n")
+  }
+
+  /** The learned merge table itself — round, pair, merged token, corpus-
+    * weighted pair frequency. THE artifact a tokenizer trainer ships. */
+  val q401BpeMerges: QuerySpec = QuerySpec(
+    "q401_bpe_merges",
+    s"""WITH ${oracleCtes(Merges)},
+       |merges AS (${(0 until Merges)
+        .map(k => s"SELECT ${k + 1} AS round, l, r, c FROM win$k")
+        .mkString(" UNION ALL ")})
+       |SELECT CAST(round AS BIGINT) AS round, l AS left_sym, r AS right_sym,
+       |       l || r AS merged, c AS pair_freq
+       |FROM merges ORDER BY round""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (mergeTable, finalSyms) = trainMerges(sp)
+    Checkpoints.unpersist(finalSyms)
+    mergeTable.select(col("round"), col("l").as("left_sym"),
+      col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
+      col("pair_freq"))
+      .orderBy(col("round"))
+  }
+
+  /** Corpus compression achieved by the learned merges: exact
+    * corpus-weighted token counts before (characters) and after, the
+    * surviving subword vocabulary, and the compression ratio — the
+    * quality signal a tokenizer-training sweep tunes K against.
+    * Single-row exact-integer aggregate over the final symbol table. */
+  val q402BpeCompression: QuerySpec = QuerySpec(
+    "q402_bpe_compression",
+    s"""WITH ${oracleCtes(Merges)},
+       |per_word AS (
+       |  SELECT word, MAX(freq) AS freq, CAST(COUNT(*) AS BIGINT) AS n_syms,
+       |         CAST(LEN(word) AS BIGINT) AS n_chars
+       |  FROM syms$Merges GROUP BY word)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS vocab_words,
+       |  CAST((SELECT COUNT(DISTINCT sym) FROM syms$Merges) AS BIGINT)
+       |    AS distinct_syms,
+       |  CAST(SUM(freq * n_chars) AS BIGINT) AS tokens_before,
+       |  CAST(SUM(freq * n_syms) AS BIGINT) AS tokens_after,
+       |  CAST(ROUND(SUM(freq * n_syms) * 1e6 / SUM(freq * n_chars)) AS BIGINT)
+       |    AS compression_e6
+       |FROM per_word""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (mergeTable, finalSyms) = trainMerges(sp)
+    Checkpoints.unpersist(mergeTable)
+    val perWord = finalSyms.groupBy(col("word"))
+      .agg(max(col("freq")).as("freq"), count(lit(1)).as("n_syms"))
+      .withColumn("n_chars", length(col("word")).cast("long"))
+    val vocab = finalSyms.agg(
+      countDistinct(col("sym")).as("distinct_syms"))
+    perWord.agg(
+      count(lit(1)).as("vocab_words"),
+      sum(col("freq") * col("n_chars")).as("tokens_before"),
+      sum(col("freq") * col("n_syms")).as("tokens_after"),
+      round(sum(col("freq") * col("n_syms")).cast("double") * 1e6
+        / sum(col("freq") * col("n_chars")).cast("double"))
+        .cast("long").as("compression_e6"))
+      .crossJoin(broadcast(vocab))
+      .select(col("vocab_words"), col("distinct_syms"), col("tokens_before"),
+        col("tokens_after"), col("compression_e6"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q401BpeMerges, q402BpeCompression)
+}

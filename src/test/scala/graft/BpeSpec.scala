@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the distributed BPE trainer (llmops.BpeTokenizer): greedy
+  * left-to-right overlap parity, the deterministic tie-break, the
+  * empty-winner stop, and the invariant that the symbol table always
+  * re-concatenates to the original words — the properties the q401
+  * DuckDB oracle relies on matching bit-for-bit. */
+class BpeSpec extends EngineSuite {
+
+  /** A session whose `documents` view is the given (doc_id, text)
+    * rows — isolated temp-view registry, shared SparkContext. */
+  private def docs(texts: String*) = {
+    val sp = spark.newSession()
+    import sp.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    sp
+  }
+
+  private def symsOf(finalSyms: org.apache.spark.sql.DataFrame,
+                     word: String): Seq[String] =
+    finalSyms.filter(col("word") === word).orderBy(col("pos"))
+      .select(col("sym")).collect().map(_.getString(0)).toSeq
+
+  test("greedy left-to-right merge is non-overlapping: aaaa -> [aa, aa]") {
+    val sp = docs("aaaa aaa ab")
+    val (merges, finalSyms) = llmops.BpeTokenizer.trainMerges(sp, rounds = 1)
+    val m = merges.collect()
+    assert(m.length == 1)
+    // (a,a) count: aaaa has 3 adjacent occurrences, aaa has 2 -> 5 > (a,b)'s 1
+    assert(m(0).getAs[String]("l") == "a" && m(0).getAs[String]("r") == "a")
+    assert(m(0).getAs[Long]("pair_freq") == 5L)
+    assert(symsOf(finalSyms, "aaaa") == Seq("aa", "aa"),
+      "overlapping candidates must merge at odd run positions only")
+    assert(symsOf(finalSyms, "aaa") == Seq("aa", "a"))
+    assert(symsOf(finalSyms, "ab") == Seq("a", "b"))
+  }
+
+  test("winner tie-break is count DESC then (l, r) lexicographic") {
+    // (a,b) and (b,c) both occur exactly twice; (a,b) must win
+    val sp = docs("ab ab bc bc")
+    val (merges, _) = llmops.BpeTokenizer.trainMerges(sp, rounds = 1)
+    val m = merges.collect()
+    assert(m.length == 1)
+    assert(m(0).getAs[String]("l") == "a" && m(0).getAs[String]("r") == "b")
+    assert(m(0).getAs[Long]("pair_freq") == 2L)
+  }
+
+  test("training stops when no adjacent pair remains (empty-winner guard)") {
+    val sp = docs("a b c a b")
+    val (merges, finalSyms) = llmops.BpeTokenizer.trainMerges(sp, rounds = 6)
+    assert(merges.count() == 0L, "single-char words admit no merge")
+    assert(finalSyms.count() == 3L, "seed symbol table survives untouched")
+  }
+
+  test("final symbol table re-concatenates to the original words (fixture)") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val (merges, finalSyms) = llmops.BpeTokenizer.trainMerges(sp)
+    assert(merges.count() == 6L, "fixture vocabulary supports all 6 merges")
+    val rebuilt = finalSyms
+      .groupBy(col("word"))
+      .agg(array_join(transform(array_sort(
+        collect_list(struct(col("pos"), col("sym")))), s => s.getField("sym")),
+        "").as("re"))
+      .filter(col("re") =!= col("word"))
+    assert(rebuilt.count() == 0L,
+      "every word must re-concatenate from its merged symbols")
+  }
+
+  test("q402 compression invariants hold on the fixture") {
+    val row = SparkEntry.queries("q402_bpe_compression")(spark, sfDir)
+      .collect()(0)
+    val before = row.getAs[Long]("tokens_before")
+    val after = row.getAs[Long]("tokens_after")
+    val vocab = row.getAs[Long]("vocab_words")
+    assert(after <= before, "merges never grow the token count")
+    assert(after >= vocab, "every word keeps at least one symbol")
+    assert(row.getAs[Long]("compression_e6") <= 1000000L)
+    assert(row.getAs[Long]("distinct_syms") >= 1L)
+  }
+}
