@@ -508,7 +508,86 @@ object Retrieval {
     }
   }
 
+  /** Positional-postings PHRASE search — the exact-phrase leg a lexical
+    * index needs next to the bag-of-words scoring of [[q202Bm25]]: the
+    * corpus's positional inverted index is the (doc_id, pos, word)
+    * relation, and a k-word phrase query is the k-way intersection of
+    * its words' posting lists joined on (doc, consecutive positions) —
+    * the classic positional-index merge (Manning et al., IR book §2.4),
+    * expressed as (doc_id, pos)-co-partitioned equi-joins. The searched
+    * phrase is derived from the corpus itself (its most frequent
+    * trigram — count DESC, then lexicographic; a map-side-combined
+    * n-gram groupBy + TopN) so the operator is parameter-free and
+    * meaningful at any corpus; in production the phrase arrives as a
+    * query parameter and ONLY the filtered posting arms are read —
+    * which is exactly how the hit path below is shaped: each arm
+    * filters the token relation by one broadcast phrase word BEFORE
+    * joining, so the intersection touches three posting lists, never
+    * the corpus. Per-source hit/doc rollup attaches source once,
+    * after the intersection. */
+  val q403PhraseSearch: QuerySpec = QuerySpec(
+    "q403_phrase_search",
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |           FROM documents),
+      |t AS (SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
+      |             unnest(w) AS word FROM d),
+      |tri AS (SELECT a.doc_id, a.pos, a.word AS w1, b.word AS w2, c.word AS w3
+      |        FROM t a
+      |        JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |        JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |top1 AS (SELECT w1, w2, w3 FROM tri
+      |         GROUP BY w1, w2, w3 ORDER BY COUNT(*) DESC, w1, w2, w3 LIMIT 1),
+      |hits AS (SELECT h.doc_id, h.w1, h.w2, h.w3
+      |         FROM tri h JOIN top1 USING (w1, w2, w3))
+      |SELECT h.w1 || ' ' || h.w2 || ' ' || h.w3 AS phrase, d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS hits,
+      |  CAST(COUNT(DISTINCT h.doc_id) AS BIGINT) AS docs,
+      |  CAST(MIN(h.doc_id) AS BIGINT) AS first_doc
+      |FROM hits h JOIN (SELECT DISTINCT doc_id, source FROM d) d
+      |  ON h.doc_id = d.doc_id
+      |GROUP BY phrase, d.source
+      |ORDER BY d.source""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val toks = sp.table("documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("word"))
+      .staged // trigram stats + all three filtered posting arms read it
+    // phrase parameter: the corpus's most frequent trigram — a
+    // map-side-combined n-gram rollup over (doc,pos)-co-partitioned
+    // consecutive-position joins, then a TopN with a total tie-break
+    val tri = toks.select(col("doc_id"), col("pos"), col("word").as("w1"))
+      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("word").as("w2")), Seq("doc_id", "pos"))
+      .join(toks.select(col("doc_id"), (col("pos") - 2).as("pos"),
+        col("word").as("w3")), Seq("doc_id", "pos"))
+    val top1 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3")).limit(1)
+      .select(col("w1"), col("w2"), col("w3"))
+    // the phrase-search path proper: word-FILTERED posting lists
+    // intersected on (doc, consecutive pos) — three bounded arms, never
+    // a corpus-grain all-trigrams pass
+    val p1 = toks.join(broadcast(top1), col("word") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"), col("w3"))
+    val hits = p1
+      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("word").as("m2")), Seq("doc_id", "pos"))
+      .filter(col("m2") === col("w2"))
+      .join(toks.select(col("doc_id"), (col("pos") - 2).as("pos"),
+        col("word").as("m3")), Seq("doc_id", "pos"))
+      .filter(col("m3") === col("w3"))
+    hits.join(sp.table("documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"),
+        col("source"))
+      .agg(count(lit(1)).as("hits"), countDistinct(col("doc_id")).as("docs"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats, q230RrfHybrid,
-      q237RetrievalEval, q337RocchioPrf.benched)
+      q237RetrievalEval, q337RocchioPrf.benched, q403PhraseSearch)
 }

@@ -376,9 +376,61 @@ object Sharding {
       |  CAST(ROUND(raw_ney * 1e4) AS BIGINT) AS raw_neyman_e4
       |FROM k ORDER BY lang""".stripMargin)
 
+  /** Sequence PACKING audit — the concatenate-and-chunk batching every
+    * causal-LM pre-training pipeline runs between "shuffled corpus" and
+    * "fixed-length training batches" (documents are laid end to end in
+    * a deterministic order and cut into context-window chunks; a doc
+    * whose span crosses a chunk boundary is split across training
+    * sequences). Context length 64 words here (a spec parameter — the
+    * production value is the model's context size). Per source: how
+    * many documents, how many tokens, how many docs get SPLIT across a
+    * boundary, and how many chunk slots the source's docs touch — the
+    * numbers a data engineer tunes shuffle granularity against (a
+    * source whose docs are mostly split loses attention locality).
+    *
+    * Scale shape: each doc's global token offset is ONE range-
+    * partitioned prefix sum over the doc-grain relation
+    * ([[graft.operators.Prefix.prefixSums]] — never a single-task
+    * window); everything after is per-row integer arithmetic and one
+    * map-side-combined rollup. Exact BIGINT throughout. */
+  val q404PackSequences: QuerySpec = QuerySpec(
+    "q404_pack_sequences",
+    """WITH d AS (SELECT doc_id, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |o AS (SELECT doc_id, source, n,
+      |        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS off
+      |      FROM d),
+      |per AS (SELECT source, n,
+      |          (off + n - 1) // 64 - off // 64 AS extra
+      |        FROM o)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(n) AS BIGINT) AS tokens,
+      |  CAST(SUM(CASE WHEN extra > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS boundary_docs,
+      |  CAST(SUM(extra + 1) AS BIGINT) AS chunk_slots
+      |FROM per GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val sp = QuerySpec.prepared(s, dir)
+    val d = sp.table("documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val cum = graft.operators.Prefix.prefixSums(
+      d, Seq(col("doc_id")), Seq((col("n"), "cum")))
+    cum.withColumn("off", col("cum") - col("n"))
+      .withColumn("extra", expr("(off + n - 1) div 64 - off div 64"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n")).as("tokens"),
+        sum(when(col("extra") > 0, 1L).otherwise(0L)).as("boundary_docs"),
+        sum(col("extra") + 1).as("chunk_slots"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q336NeymanAllocation,
     q165PipelineCurate,
     q130SplitTrainValTest, q131ShuffleShards, q135SourceMix, q170TemperatureMix,
-    q150WeightedSample, q174DsirResample.benched, q326GroupSplitLeakage)
+    q150WeightedSample, q174DsirResample.benched, q326GroupSplitLeakage,
+    q404PackSequences)
 }
