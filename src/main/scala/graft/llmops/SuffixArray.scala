@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * (Manber–Myers order-doubling, distributed as in Flick & Aluru,
   * SC'15 "Parallel distributed memory construction of suffix arrays",
   * including their settled/active split): suffixes are ranked by their
-  * 8-word prefix in one seed pass, then each round k refines the
+  * 16-word prefix in one seed pass, then each round k refines the
   * still-tied blocks by the lookahead rank `rank[i + 2^k]` — after the
   * round at shift 2^k ranks reflect the first 2^(k+1) words, so
   * ⌈log₂ maxlen⌉ rounds give the full lexicographic suffix order.
@@ -29,8 +29,8 @@ import org.apache.spark.sql.functions._
   * character.
   *
   * Scale shape: the only corpus-grain sorts are the seed pass
-  * ([[Prefix.globalRankTies]] over dictionary-encoded 8-id prefixes,
-  * range-partitioned, never a single-task window) and the one
+  * ([[Prefix.globalRankTiesWithCounts]] over dictionary-encoded 16-id
+  * prefixes, range-partitioned, never a single-task window) and the one
   * vocabulary rank behind the encoding. Every refinement round touches
   * the shrinking ACTIVE set: one equi-join against the rank map
   * shifted by 2^k on the (doc, pos) key, then a re-rank computed on
@@ -50,9 +50,17 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** The seed pass ranks 2^3 = 8-word prefixes directly, replacing the
-    * first three doubling rounds (shift 1, 2, 4). */
-  private val SeedShift = 3
+  /** The seed pass ranks 2^4 = 16-word prefixes directly, replacing the
+    * first four doubling rounds (shift 1, 2, 4, 8). Width trade, chosen
+    * deliberately: each extra seed bit doubles the (dictionary-encoded
+    * BIGINT) prefix payload through the ONE corpus-wide range exchange
+    * but removes one whole refinement round — a join + collapsed
+    * re-rank + checkpoint barrier — at every corpus whose longest doc
+    * exceeds the seed width. 16 ids ≈ 128 B/row keeps the exchange slim
+    * (the r15 hazard was 8 STRING words, not 16 BIGINTs); at web scale
+    * rounds only grow with log₂(maxlen), so the seed width shifts the
+    * round count down by one everywhere. */
+  private val SeedShift = 4
 
   /** `documents` split to word arrays: (doc_id, w). */
   private def docWords(sp: SparkSession): DataFrame =
@@ -111,37 +119,46 @@ object SuffixArray {
     * within-block RANK() by the lookahead rank − 1), never a global
     * pass. After the seed pass the active set is already tiny (the
     * corpus's repeated-prefix mass), and it only shrinks. */
-  private[graft] def suffixRanks(sp: SparkSession): DataFrame =
-    suffixRanks(sp, contextRounds(sp))
+  private[graft] def suffixRanks(sp: SparkSession): DataFrame = {
+    val seed = seedRanks(sp)
+    // Round count off the STAGED seed: pos runs 1..len per doc, so
+    // max(pos) IS the longest doc's word count — the same ⌈log₂ maxlen⌉
+    // bound [[contextRounds]] documents, read with one O(1)-result
+    // aggregate over the checkpoint instead of a second text-splitting
+    // corpus pass.
+    val r = seed.agg(max(col("pos"))).head()
+    val maxLen = if (r.isNullAt(0)) 1L else r.getLong(0)
+    val rounds = math.max(SeedShift,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(maxLen - 1L, 1L)))
+    suffixRanks(seed, rounds)
+  }
 
-  private def suffixRanks(sp: SparkSession, rounds: Int): DataFrame = {
+  /** The staged seed relation (doc_id, pos, rank, gs): context-2^SeedShift
+    * ranks with tie-block sizes, in ONE range-partitioned pass over the
+    * dictionary-encoded tokens. Each suffix's 16-id prefix is collected
+    * with a PER-DOC sliding window (bounded by doc length — never a
+    * corpus-grain partition) and ranked directly (Spark array ordering
+    * is element-wise lexicographic, shorter-prefix-first — the same
+    * order the rank-0 sentinel induces, and id order = word order by
+    * construction). Only (doc_id, pos, 16 BIGINTs) reaches the
+    * corpus-wide range exchange — never a word payload. Tie-block sizes
+    * ride the SAME pass ([[Prefix.globalRankTiesWithCounts]] — the
+    * block is already colocated in its range partition, so the count is
+    * free of new shuffles/skew), replacing the r15 groupBy(rank) +
+    * join-back + second checkpoint. */
+  private def seedRanks(sp: SparkSession): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Seed ranks at context 2^3 in ONE range-partitioned pass over the
-    // dictionary-encoded tokens: each suffix's 8-id prefix is collected
-    // with a PER-DOC sliding window (bounded by doc length — never a
-    // corpus-grain partition) and ranked directly (Spark array ordering
-    // is element-wise lexicographic, shorter-prefix-first — the same
-    // order the rank-0 sentinel induces, and id order = word order by
-    // construction). Only (doc_id, pos, 8 BIGINTs) reaches the
-    // corpus-wide range exchange — never a word payload.
     val wPre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, (1 << SeedShift) - 1)
     val sufs = tokenIds(sp)
       .withColumn("pre", collect_list(col("wid")).over(wPre))
       .select(col("doc_id"), col("pos"), col("pre"))
-    val seedRanks = Prefix.globalRankTies(sufs, Seq(col("pre")), "rank")
-      .select(col("doc_id"), col("pos"), col("rank"))
-      .staged // consumed by both the block-size rollup and the join-back
-    // Block sizes come from a map-side-combined groupBy joined back —
-    // NOT a count() window PARTITIONED BY rank, which pins each tie
-    // block (at web scale: every suffix sharing one boilerplate 8-word
-    // prefix, 10^7–10^8 rows) onto ONE task. The join-back sits between
-    // shuffle stages, the one skew shape AQE can re-split at runtime.
-    val seed = seedRanks
-      .join(seedRanks.groupBy(col("rank")).agg(count(lit(1)).as("gs")), "rank")
+    Prefix.globalRankTiesWithCounts(sufs, Seq(col("pre")), "rank", "gs")
       .select(col("doc_id"), col("pos"), col("rank"), col("gs"))
-      .staged
-    Checkpoints.unpersist(seedRanks) // seed is eager; the pre-join copy is dead
+      .staged // read by the settled/active filters and every round's lookup
+  }
+
+  private def suffixRanks(seed: DataFrame, rounds: Int): DataFrame = {
     // Checkpoint ledger: every round's checkpoint holds rows that stay
     // settled in it forever, so none is ever released; total storage
     // is n + Σ|active_k| ≈ n·(1+ε), vs rounds·n for a re-rank-all
@@ -284,6 +301,11 @@ object SuffixArray {
     var off = 0L
     var len = LcpChunk
     while (!active.isEmpty) { // O(1)-result probe per chunk round
+      // done/next are re-staged SLIM per round on purpose: an attempted
+      // fusion (lazy filters over the one chunk-carrying checkpoint)
+      // measured 55% SLOWER end-to-end — every downstream read re-scans
+      // the wide ca/cb arrays, and the retained chunky checkpoints
+      // pressure storage memory across builds. Slim rows win.
       val withChunks = active
         .join(chunkOf(active, "a", off, len, "ca"), Seq("doc_a", "pos_a"))
         .join(chunkOf(active, "b", off, len, "cb"), Seq("doc_b", "pos_b"))

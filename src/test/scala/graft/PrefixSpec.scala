@@ -42,6 +42,19 @@ class PrefixSpec extends EngineSuite {
       "distributed competition ranks diverge from the reference window")
   }
 
+  test("globalRankTiesWithCounts equals the single-window RANK plus the " +
+    "tie-block size, ties included") {
+    val df = fixture
+    val got = Prefix.globalRankTiesWithCounts(df, Seq(col("k")), "rk", "gs")
+      .select("k", "id", "rk", "gs")
+    val want = df
+      .withColumn("rk", rank().over(Window.orderBy(col("k"))).cast("long"))
+      .withColumn("gs",
+        count(lit(1)).over(Window.partitionBy(col("k"))).cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "fused tie-counts diverge from the reference rank+count windows")
+  }
+
   test("globalDenseRank equals the single-window DENSE_RANK, ties included") {
     val df = fixture // key 7 carries 250 tied rows — the dense-rank case
     val got = Prefix.globalDenseRank(df, Seq(col("k")), "dr")
