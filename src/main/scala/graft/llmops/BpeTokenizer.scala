@@ -43,9 +43,16 @@ import org.apache.spark.sql.functions._
   *
   * The reference has no tokenizer trainer (it is a SQL frontend); this
   * is part of the training-data-pipeline surface the build adds on top
-  * (SURVEY §2 LLM-ops block), next to the fixed-vocab token counting of
-  * q90 (TextAnalysis.scala) which ASSUMES a tokenizer this operator
-  * produces. */
+  * (SURVEY §2 LLM-ops block). Relation to the existing BPE queries:
+  * [[TextAnalysis.q163BpeMerges]] pins the fixpoint machinery of the
+  * FIRST TWO merge rounds in a sentinel-spaced string-replace
+  * formulation; [[TextAnalysis.q167BpeEncode]] APPLIES a pretrained
+  * merge table. This module is the full TRAINER between them — the
+  * k-round loop with the empty-winner stop, producing the ordered
+  * merge-table artifact (q401) an encoder consumes and the compression
+  * metric (q402) a training sweep tunes K against — in a purely
+  * relational formulation (run-parity windows, no string surgery)
+  * whose per-round cost is independent of symbol text lengths. */
 object BpeTokenizer {
 
   /** Number of merges to learn. A SPEC PARAMETER of the operator (the
