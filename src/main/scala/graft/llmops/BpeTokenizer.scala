@@ -190,7 +190,7 @@ object BpeTokenizer {
        |      ROW_NUMBER() OVER (PARTITION BY word, grp, cand ORDER BY pos) % 2 = 1
        |    THEN 1 ELSE 0 END AS take
        |  FROM g$k),
-       |syms${k + 1} AS (
+       |syms${k + 1} AS MATERIALIZED (
        |  SELECT word, freq,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
        |    CASE WHEN take = 1 THEN sym || r ELSE sym END AS sym
@@ -205,7 +205,10 @@ object BpeTokenizer {
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
         |  GROUP BY word),
-        |syms0 AS (
+        |syms0 AS MATERIALIZED (
+        |  -- each round reads its syms 3x (both pair arms + the rewrite):
+        |  -- MATERIALIZED stops the inlining from compounding 3^rounds
+        |  -- (the q325 exponential-CTE trap)
         |  SELECT word, freq, CAST(i AS BIGINT) AS pos, word[i] AS sym
         |  FROM words0, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) u)"""
         .stripMargin

@@ -531,7 +531,10 @@ object Retrieval {
       |           FROM documents),
       |t AS (SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
       |             unnest(w) AS word FROM d),
-      |tri AS (SELECT a.doc_id, a.pos, a.word AS w1, b.word AS w2, c.word AS w3
+      |tri AS MATERIALIZED (
+      |        -- read twice (top1 + hits); MATERIALIZED stops the 3-way
+      |        -- positional join from inlining twice
+      |        SELECT a.doc_id, a.pos, a.word AS w1, b.word AS w2, c.word AS w3
       |        FROM t a
       |        JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       |        JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
