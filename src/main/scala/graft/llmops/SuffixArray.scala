@@ -225,9 +225,10 @@ object SuffixArray {
   /** Adjacent suffix pairs in suffix-array order with their LCP (number
     * of leading words the neighbours share). `(idx, doc_a/pos_a,
     * doc_b/pos_b, lcp)` where b is the suffix directly AFTER a in SA
-    * order. The global adjacency index comes from [[Prefix.globalRank]]
-    * over (rank, doc_id, pos) — a total order, range-partitioned — and
-    * "adjacent" is an equi-join on idx = idx+1, not a window. The LCP
+    * order. Adjacency comes from [[Prefix.adjacentBySort]] over
+    * (rank, doc_id, pos) — a total order, range-partitioned, paired
+    * inside each range with a boundary stitch, not a global window and
+    * not a self-join; `idx` is the earlier suffix's SA position. The LCP
     * of ANY two suffixes is the min of the adjacent LCPs between them,
     * so the longest repeated passage anywhere in the corpus is realized
     * by some adjacent pair — max(lcp) here IS the corpus answer. */
@@ -238,11 +239,12 @@ object SuffixArray {
 
   /** `(idx, doc_a, pos_a, doc_b, pos_b, lcp)` for adjacent SA pairs.
     *
-    * The global adjacency index is computed over the SLIM
-    * (rank, doc_id, pos) relation — the word payload must not ride
-    * through the range exchange, its boundary sampling, and the
-    * checkpoint inside globalRank; "adjacent" is an equi-join on
-    * idx = idx+1, not a window. LCPs then come from CHUNKED
+    * Adjacency is computed over the SLIM (rank, doc_id, pos) relation —
+    * the word payload must not ride through the range exchange, its
+    * boundary sampling, and the checkpoint — via ONE
+    * [[Prefix.adjacentBySort]] pass (within-range lead() + the tiny
+    * boundary stitch), never a global window and never the two-arm
+    * idx = idx+1 self-join. LCPs then come from CHUNKED
     * re-comparison ([[chunkedLcp]]): the r15 build attached an
     * up-to-2^rounds-word slice to EVERY suffix (O(tokens·maxdoc) pair
     * bytes — q381 was 4× the cost of any other bench query, and a
@@ -252,14 +254,18 @@ object SuffixArray {
     * same shrinking-active-set discipline as the rank doubling —
     * fetch doubling continuation chunks. */
   private[graft] def adjacentLcp(sp: SparkSession): DataFrame = {
-    val g = Prefix.globalRank(suffixRanks(sp),
+    // Adjacency via Prefix.adjacentBySort: ONE range exchange over the
+    // slim (rank, doc, pos) triples, pairs from within-range lead() plus
+    // the tiny boundary stitch — the r15 shape (globalRank → checkpoint
+    // → two-arm self-join on idx = idx+1) cost two extra corpus shuffles
+    // and a checkpoint for the same n−1 pairs.
+    val pairs0 = Prefix.adjacentBySort(
+      suffixRanks(sp).select(col("rank"), col("doc_id"), col("pos")),
       Seq(col("rank"), col("doc_id"), col("pos")), "idx")
-      .select(col("idx"), col("doc_id"), col("pos"))
-      .staged // both pair arms (idx and idx+1) read the slim index
-    val a = g.select(col("idx"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
-    val b = g.select((col("idx") - 1).as("idx"), col("doc_id").as("doc_b"),
-      col("pos").as("pos_b"))
-    chunkedLcp(sp, a.join(b, "idx"))
+      .select(col("idx"),
+        col("a.doc_id").as("doc_a"), col("a.pos").as("pos_a"),
+        col("b.doc_id").as("doc_b"), col("b.pos").as("pos_b"))
+    chunkedLcp(sp, pairs0)
   }
 
   /** Chunked LCP of suffix pairs: each round attaches the next chunk

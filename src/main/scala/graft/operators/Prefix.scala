@@ -132,6 +132,55 @@ object Prefix {
   def globalDenseRank(df: DataFrame, sort: Seq[Column], rankCol: String): DataFrame =
     offsetComposed(df, sort, rankCol, dense_rank(), offsetFromLocalMax = true)
 
+  /** Consecutive-row pairs under a TOTAL order, without a global window
+    * and without the globalRank → self-join-on-idx two-shuffle shape:
+    * ONE range exchange (staged), pairs inside each range via `lead()`
+    * over the partition, and the P−1 boundary pairs (each range's last
+    * row with the next range's first) stitched from a per-partition
+    * head/tail/count rollup — a ≤`shuffle.partitions`-row relation, the
+    * same tiny-global-window envelope as the offsets rollup every rank
+    * builder already uses. Output: `idxCol` = the earlier row's global
+    * row number (1-based), `a` = that row's payload struct, `b` = its
+    * successor's; exactly n−1 rows. The caller must pass a total order
+    * (the within-range `lead` and the head/tail `min_by`/`max_by` are
+    * deterministic only up to the provided keys). */
+  def adjacentBySort(df: DataFrame, sort: Seq[Column],
+                     idxCol: String): DataFrame = {
+    val parts = ranged(df, sort)
+    val payloadCols = parts.columns.filter(_ != "__pid").toIndexedSeq.map(col)
+    val payload = struct(payloadCols: _*)
+    val sortKey = struct(sort: _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(sort: _*)
+    // per-range head/tail/count in ONE map-side-combinable rollup — no
+    // extra window pass over the corpus
+    val perPid = parts.groupBy("__pid").agg(
+      count(lit(1)).as("__pn"),
+      min_by(payload, sortKey).as("__h"),
+      max_by(payload, sortKey).as("__t"))
+    val wOff = Window.orderBy("__pid")
+    val offsets = perPid.withColumn("__off", coalesce(
+      sum("__pn").over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L)))
+    val inner = parts
+      .withColumn("__lrk", row_number().over(w).cast("long"))
+      .withColumn("__s", payload)
+      .withColumn("__nxt", lead(col("__s"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .join(broadcast(offsets.select(col("__pid"), col("__off"))), "__pid")
+      .select((col("__off") + col("__lrk")).as(idxCol),
+        col("__s").as("a"), col("__nxt").as("b"))
+    // boundary pairs: range p's tail with the NEXT NON-EMPTY range's
+    // head (spark_partition_id only labels ranges that hold rows, so
+    // `lead` over the present pids skips gaps); idx = off(p) + pn(p),
+    // the tail's own global row number
+    val stitched = offsets
+      .withColumn("__nh", lead(col("__h"), 1).over(wOff))
+      .filter(col("__nh").isNotNull)
+      .select((col("__off") + col("__pn")).as(idxCol),
+        col("__t").as("a"), col("__nh").as("b"))
+    inner.unionByName(stitched)
+  }
+
   /** Exact inclusive running sums
     * `SUM(expr) OVER (ORDER BY sort ROWS UNBOUNDED PRECEDING)` for each
     * `(expr, alias)` without a single-task window. One range shuffle

@@ -55,6 +55,26 @@ class PrefixSpec extends EngineSuite {
       "fused tie-counts diverge from the reference rank+count windows")
   }
 
+  test("adjacentBySort equals the single-window LEAD pairing, boundary " +
+    "pairs included") {
+    val df = fixture
+    val got = Prefix.adjacentBySort(df, Seq(col("k"), col("id")), "idx")
+      .select(col("idx"), col("a.k").as("ak"), col("a.id").as("aid"),
+        col("b.k").as("bk"), col("b.id").as("bid"))
+    val w = Window.orderBy(col("k"), col("id"))
+    val want = df
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("nk", lead(col("k"), 1).over(w))
+      .withColumn("nid", lead(col("id"), 1).over(w))
+      .filter(col("nk").isNotNull)
+      .select(col("idx"), col("k").as("ak"), col("id").as("aid"),
+        col("nk").as("bk"), col("nid").as("bid"))
+    val n = df.count()
+    assert(got.count() == n - 1, "exactly n-1 consecutive pairs")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "distributed adjacency diverges from the reference LEAD pairing")
+  }
+
   test("globalDenseRank equals the single-window DENSE_RANK, ties included") {
     val df = fixture // key 7 carries 250 tied rows — the dense-rank case
     val got = Prefix.globalDenseRank(df, Seq(col("k")), "dr")
