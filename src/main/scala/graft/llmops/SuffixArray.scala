@@ -259,13 +259,39 @@ object SuffixArray {
     // the tiny boundary stitch — the r15 shape (globalRank → checkpoint
     // → two-arm self-join on idx = idx+1) cost two extra corpus shuffles
     // and a checkpoint for the same n−1 pairs.
-    val pairs0 = Prefix.adjacentBySort(
+    val adj = Prefix.adjacentBySort(
       suffixRanks(sp).select(col("rank"), col("doc_id"), col("pos")),
       Seq(col("rank"), col("doc_id"), col("pos")), "idx")
-      .select(col("idx"),
+      .select(col("idx"), col("a.rank").as("rank_a"),
         col("a.doc_id").as("doc_a"), col("a.pos").as("pos_a"),
+        col("b.rank").as("rank_b"),
         col("b.doc_id").as("doc_b"), col("b.pos").as("pos_b"))
-    chunkedLcp(sp, pairs0)
+      .staged // the tied and untied branches below both read it
+    // EQUAL final rank ⟺ IDENTICAL suffixes (the doubling resolves every
+    // real difference, and the rank-0 end sentinel strictly orders a
+    // prefix before its extensions — so rank ties are byte-equal,
+    // equal-length suffixes). Their LCP is the suffix length itself: no
+    // word comparison needed, so they bypass the chunk loop entirely.
+    // This is the dominant adjacent-pair class exactly where it hurts —
+    // a boilerplate-heavy corpus (every duplicated doc makes ALL its
+    // suffixes rank-tied with its twins') — and turns the chunk loop's
+    // round-1 explode into a pass over only the genuinely-distinct
+    // neighbour pairs.
+    val lens = docWords(sp)
+      .select(col("doc_id"), size(col("w")).cast("long").as("__n"))
+    val tied = adj.filter(col("rank_a") === col("rank_b"))
+      .join(lens.select(col("doc_id").as("doc_a"), col("__n").as("__na")),
+        "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("__n").as("__nb")),
+        "doc_b")
+      .select(col("idx"), col("doc_a"), col("pos_a"), col("doc_b"),
+        col("pos_b"),
+        (least(col("__na") - col("pos_a"), col("__nb") - col("pos_b")) + 1L)
+          .as("lcp"))
+    val untied = adj.filter(col("rank_a") =!= col("rank_b"))
+      .select(col("idx"), col("doc_a"), col("pos_a"), col("doc_b"),
+        col("pos_b"))
+    chunkedLcp(sp, untied).unionByName(tied)
   }
 
   /** Chunked LCP of suffix pairs: each round attaches the next chunk
