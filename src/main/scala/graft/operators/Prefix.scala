@@ -56,11 +56,21 @@ object Prefix {
     * row window, and broadcast-join them back. */
   private def offsetComposed(df: DataFrame, sort: Seq[Column], rankCol: String,
                              localFn: => Column,
-                             offsetFromLocalMax: Boolean): DataFrame = {
+                             offsetFromLocalMax: Boolean,
+                             cntCol: Option[String] = None): DataFrame = {
     val parts = ranged(df, sort)
-    val local = parts.withColumn("__lrk",
+    val ranked = parts.withColumn("__lrk",
       localFn.over(Window.partitionBy(col("__pid")).orderBy(sort: _*))
         .cast("long"))
+    // Optional fused tie-block size: count over (__pid, local rank). A
+    // tie block shares one sort key and equal keys never span a range
+    // boundary, so the block is ALREADY colocated (and already ranked
+    // serially) in its range partition — the count adds no shuffle and
+    // no new skew class, where a caller-side groupBy(rank) + join-back
+    // costs a corpus shuffle and a second checkpoint.
+    val local = cntCol.fold(ranked)(c => ranked.withColumn(c,
+      count(lit(1)).over(Window.partitionBy(col("__pid"), col("__lrk")))
+        .cast("long")))
     val perPid =
       if (offsetFromLocalMax) local.groupBy("__pid").agg(max("__lrk").as("__pn"))
       else parts.groupBy("__pid").agg(count(lit(1)).as("__pn"))
@@ -90,34 +100,13 @@ object Prefix {
     offsetComposed(df, sort, rankCol, rank(), offsetFromLocalMax = false)
 
   /** [[globalRankTies]] plus each row's TIE-BLOCK SIZE as `cntCol` —
-    * fused into the same local pass instead of the groupBy(rank) +
-    * join-back a caller would otherwise run (one corpus shuffle and one
-    * checkpoint fewer). The count window partitions by (__pid, local
-    * rank): a tie block shares one sort key, equal keys never span a
-    * range boundary, so the block is ALREADY colocated in its range
-    * partition and already processed serially by the rank window — the
-    * extra count adds no task, no shuffle, and no new skew class beyond
-    * what ranking that block inherently costs. (Contrast with a count
-    * window partitioned by the GLOBAL rank on an arbitrary relation,
-    * which re-shuffles a 10⁸-row block onto one task — the r15 suffix-
-    * array hazard. Here the rows are at their ranking home already.) */
+    * fused into the same local pass (see the offsetComposed note on why
+    * the fused count adds no shuffle and no new skew class) instead of
+    * the groupBy(rank) + join-back a caller would otherwise run. */
   def globalRankTiesWithCounts(df: DataFrame, sort: Seq[Column],
-                               rankCol: String, cntCol: String): DataFrame = {
-    val parts = ranged(df, sort)
-    val w = Window.partitionBy(col("__pid")).orderBy(sort: _*)
-    val local = parts
-      .withColumn("__lrk", rank().over(w).cast("long"))
-      .withColumn(cntCol, count(lit(1))
-        .over(Window.partitionBy(col("__pid"), col("__lrk"))).cast("long"))
-    val offsets = parts.groupBy("__pid").agg(count(lit(1)).as("__pn"))
-      .withColumn("__off", coalesce(
-        sum("__pn").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
-    local.join(broadcast(offsets), "__pid")
-      .withColumn(rankCol, col("__off") + col("__lrk"))
-      .drop("__pid", "__lrk", "__off")
-  }
+                               rankCol: String, cntCol: String): DataFrame =
+    offsetComposed(df, sort, rankCol, rank(), offsetFromLocalMax = false,
+      cntCol = Some(cntCol))
 
   /** Exact global `DENSE_RANK() OVER (ORDER BY sort)` as `rankCol`
     * (BIGINT, 1-based) without a single-task window and without
