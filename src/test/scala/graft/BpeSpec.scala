@@ -55,6 +55,14 @@ class BpeSpec extends EngineSuite {
     assert(finalSyms.count() == 3L, "seed symbol table survives untouched")
   }
 
+  test("empty tokens from doubled separators are guarded (Spark's " +
+    "sequence(1, 0) would throw where DuckDB's range is just empty)") {
+    val sp = docs("a  b") // splits to [a, '', b]
+    val (merges, finalSyms) = llmops.BpeTokenizer.trainMerges(sp, rounds = 2)
+    assert(merges.count() == 0L)
+    assert(finalSyms.count() == 2L, "the empty token carries no symbols")
+  }
+
   test("final symbol table re-concatenates to the original words (fixture)") {
     val sp = QuerySpec.prepared(spark, sfDir)
     val (merges, finalSyms) = llmops.BpeTokenizer.trainMerges(sp)
