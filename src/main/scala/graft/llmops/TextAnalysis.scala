@@ -2,6 +2,7 @@ package graft.llmops
 
 import graft.llmops.Checkpoints.Stageable
 import graft.QuerySpec
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation — language ID,
@@ -906,6 +907,49 @@ object TextAnalysis {
     }
     state
   }
+
+  /** Stateless greedy BPE ENCODE of one word as a SINGLE expression —
+    * the [[bpeEncodeState]] loop with identical semantics (per round,
+    * replace every occurrence of the lowest-rank merge-table pair
+    * present in the sentinel-spaced symbol string) but zero joins, zero
+    * shuffles, zero state: an `aggregate` over the round sequence whose
+    * lambda picks the first applicable rule via `filter` over the
+    * broadcast-free RULE LITERAL. Lambda variables give the expression
+    * LET semantics, so the accumulator is referenced, never re-expanded
+    * — a naive unrolled WHEN/replace chain would grow ~21^rounds nodes.
+    * Because it is one per-row expression it runs identically over
+    * batch rows and a structured stream (the tokenizer stage of a
+    * streaming ingestion pipeline — see
+    * [[graft.streaming.EventStreams.tokenizedDocs]]); StreamingSpec
+    * pins stream ≡ batch and the vocab-grain token counts ≡ q167's
+    * join-based state loop. Takes the word as a Column so it composes
+    * under an outer per-document `transform` lambda. */
+  private[graft] def bpeEncodeExpr(word: Column): Column = {
+    val rules = array(BpeMerges.sortBy(_._2).map { case (p, _) =>
+      struct(lit(" " + p.replace(" ", "  ") + " ").as("pat"),
+        lit(" " + p.replace(" ", "") + " ").as("rep"))
+    }: _*)
+    val seed = concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(word)),
+        i => substr(word, i, lit(1))), "  "),
+      lit(" "))
+    aggregate(sequence(lit(1), lit(BpeRounds)), seed, (acc, _) => {
+      val applicable = filter(rules, r => acc.contains(r.getField("pat")))
+      when(size(applicable) > 0,
+        replace(acc, element_at(applicable, 1).getField("pat"),
+          element_at(applicable, 1).getField("rep")))
+        .otherwise(acc)
+    })
+  }
+
+  /** Document text → BPE token array via [[bpeEncodeExpr]]: split to
+    * words (empty tokens from doubled separators guarded — Spark's
+    * sequence(1, 0) throws), encode each word under a lambda, flatten.
+    * Pure per-row expression — batch and streaming alike. */
+  private[graft] def bpeTokensExpr(text: Column): Column =
+    flatten(transform(
+      filter(split(text, " "), w => w =!= ""),
+      w => split(trim(bpeEncodeExpr(w)), "  ")))
 
   val q167BpeEncode: QuerySpec = {
     val oracleText: String = bpeOracleUnroll +

@@ -642,6 +642,20 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming TOKENIZER stage: a document stream → (doc_id, tokens,
+    * n_tokens) through the pretrained-merge-table BPE encode expressed
+    * as one stateless per-row expression
+    * ([[graft.llmops.TextAnalysis.bpeTokensExpr]]) — no join, no
+    * shuffle, no state, so it composes under any output mode and holds
+    * no watermark state; at 100 TB it is a map-only stage whose
+    * throughput scales with input partitions. StreamingSpec pins
+    * stream ≡ batch and the vocab-grain token counts ≡ the q167
+    * join-based encode loop. */
+  def tokenizedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.llmops.TextAnalysis.bpeTokensExpr(col("text")).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+
   /** Streaming corpus curation — the streaming twin of the release
     * pipeline's gate stages (q165's quality gate + exact dedup, scored
     * by q169's classifier): each arriving document is scored map-side

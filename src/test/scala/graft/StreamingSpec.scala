@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 
@@ -322,6 +323,54 @@ class StreamingSpec extends EngineSuite {
     val ids = s.table("dedup_out").select("event_id")
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(ids == Seq(10L, 11L), s"expected one row per id, got $ids")
+  }
+
+
+  test("tokenizedDocs: the stateless BPE encode matches batch, the q167 " +
+    "state loop, and the known merge chain") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val texts = Seq(
+      DocRow(1L, "table scan  table"), // doubled separator on purpose
+      DocRow(2L, "the customer stable"))
+    // batch run of the same transform
+    val batch = EventStreams.tokenizedDocs(texts.toDF())
+      .orderBy("doc_id").collect().toSeq
+    // streaming run
+    val mem = MemoryStream[DocRow]
+    mem.addData(texts: _*)
+    val q = EventStreams.tokenizedDocs(mem.toDF())
+      .writeStream.format("memory").queryName("tok_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.table("tok_out").orderBy("doc_id").collect().toSeq
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq),
+      "stream and batch tokenizations diverge")
+    // the pretrained table's 4-deep chain re-fuses 'table' into ONE
+    // token, 'scan' likewise; 'er' (rank 1) fires inside 'customer'
+    val tok1 = batch.head.getAs[scala.collection.Seq[String]]("tokens")
+    assert(tok1 == Seq("table", "scan", "table"), s"got $tok1")
+    val tok2 = batch(1).getAs[scala.collection.Seq[String]]("tokens")
+    assert(tok2.contains("er") || tok2.exists(_.contains("er")),
+      s"rank-1 'e r' merge must fire inside 'customer': $tok2")
+    // vocab-grain parity with the q167 join-based state loop on the
+    // REAL fixture corpus: identical token-count table, row for row
+    val viaExpr = QuerySpec.prepared(s, sfDir).table("documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(explode(llmops.TextAnalysis.bpeTokensExpr(col("word"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = viaExpr
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
+      .filter(col("rnk") <= 30)
+      .select(col("rnk"), col("token"), col("cnt"))
+    val q167 = SparkEntry.queries("q167_text_bpe_encode")(s, sfDir)
+      .select(col("rnk"), col("token"), col("cnt"))
+    assert(ranked.exceptAll(q167).isEmpty && q167.exceptAll(ranked).isEmpty,
+      "expression encode and the q167 state loop disagree on token counts")
   }
 
   test("clickToPurchase: stream-stream interval join matches the batch join") {
