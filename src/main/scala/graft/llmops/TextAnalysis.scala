@@ -951,15 +951,20 @@ object TextAnalysis {
       filter(split(text, " "), w => w =!= ""),
       w => split(trim(bpeEncodeExpr(w)), "  ")))
 
+  /** The unrolled-replay oracle for the BPE ENCODE output grain (top-30
+    * token counts) — shared by the join-based loop (q167) and the
+    * stateless expression path (q405): both must reproduce it exactly. */
+  private def bpeEncodeOracleText: String = bpeOracleUnroll +
+    s"""
+       |SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
+       |  SELECT token, SUM(n) AS cnt,
+       |         ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, token) AS rnk
+       |  FROM (SELECT unnest(string_split(trim(seq), '  ')) AS token, n FROM s$BpeRounds) t
+       |  GROUP BY token) z
+       |WHERE rnk <= 30 ORDER BY rnk""".stripMargin
+
   val q167BpeEncode: QuerySpec = {
-    val oracleText: String = bpeOracleUnroll +
-      s"""
-         |SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
-         |  SELECT token, SUM(n) AS cnt,
-         |         ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, token) AS rnk
-         |  FROM (SELECT unnest(string_split(trim(seq), '  ')) AS token, n FROM s$BpeRounds) t
-         |  GROUP BY token) z
-         |WHERE rnk <= 30 ORDER BY rnk""".stripMargin
+    val oracleText: String = bpeEncodeOracleText
     QuerySpec("q167_text_bpe_encode", oracleText) { (s, dir) =>
       val sp = QuerySpec.prepared(s, dir)
       // the ONLY corpus scan (vocab build), checkpointed as in q163
@@ -977,6 +982,33 @@ object TextAnalysis {
           |WHERE rnk <= 30 ORDER BY rnk""".stripMargin)
     }
   }
+
+  /** The STATELESS-EXPRESSION encode path under the oracle gate: q167
+    * pins the join-based per-round state loop; this query pins
+    * [[bpeTokensExpr]] — the exact code path the streaming tokenizer
+    * stage ([[graft.streaming.EventStreams.tokenizedDocs]]) runs per
+    * row — against the SAME unrolled DuckDB replay. Two independent
+    * Spark formulations and one oracle: the strongest cross-check the
+    * harness offers that the greedy-merge algebra is right. Scale
+    * shape: the encode is a pure per-row expression over the distinct
+    * word relation (zero joins), the rollup is vocab-grain and
+    * map-side combined, and the top-30 window is rank-limited. */
+  val q405BpeEncodeExprQ: QuerySpec =
+    QuerySpec("q405_bpe_encode_expr", bpeEncodeOracleText) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sp = QuerySpec.prepared(s, dir)
+      sp.table("documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .select(explode(bpeTokensExpr(col("word"))).as("token"), col("n"))
+        .groupBy(col("token")).agg(sum(col("n")).as("cnt"))
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
+        .filter(col("rnk") <= 30)
+        .select(col("rnk"), col("token"), col("cnt"))
+        .orderBy(col("rnk"))
+    }
 
   /** Tokenizer fertility report — tokens-per-word and chars-per-token by
     * language, the standard metric for how well a tokenizer serves each
@@ -1826,7 +1858,7 @@ object TextAnalysis {
     q123Repetition, q125PackBatches, q138Vocab, q146Boilerplate,
     q158ChunkOverlap, q159PiiRedact, q160SubstringDedup,
     q175SubstringRemove.benched, q162UnigramLm, q177PerplexityBuckets,
-    q163BpeMerges, q166UrlCanonicalize, q167BpeEncode,
+    q163BpeMerges, q166UrlCanonicalize, q167BpeEncode, q405BpeEncodeExprQ,
     q176TokenizerFertility, q169ModelQuality, q183DupNgramCoverage,
     q184BigramLm.benched, q196PmiCollocations, q218KneserNey,
     q222CharEntropy)
