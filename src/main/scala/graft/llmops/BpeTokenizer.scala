@@ -61,8 +61,12 @@ object BpeTokenizer {
     * loop also stops on its own the round no adjacent pair is left
     * anywhere (every word fully merged), so no corpus can run it off
     * the end. Real trainings use K≈30k–100k; the loop cost is K·(one
-    * vocab-grain groupBy + one TopN + one broadcast-join rewrite). */
-  private val Merges = 6
+    * vocab-grain groupBy + one TopN + one broadcast-join rewrite).
+    * The K-SEQUENTIAL envelope this implies (30k–100k driver-barrier
+    * rounds at production K) is what [[trainMergesBatched]] bounds:
+    * its per-round top-m non-interacting batch cuts the round count to
+    * K/m with the SAME per-round plan shape. */
+  private[graft] val Merges = 6
 
   /** Corpus words with total occurrence counts — the ONLY corpus-grain
     * pass in the whole training (one map-side-combinable groupBy). */
@@ -107,15 +111,19 @@ object BpeTokenizer {
       .select(col("sym").as("l"), col("nxt").as("r"), col("pair_freq"))
       .orderBy(col("pair_freq").desc, col("l"), col("r")).limit(1)
 
-  /** Greedy left-to-right rewrite of every word by the (possibly empty —
-    * left join, not cross) one-row winner: candidates → run parity →
-    * keep odd matches, drop each kept match's right neighbour, renumber.
-    * All windows partition by word. */
+  /** Greedy left-to-right rewrite of every word by the winner relation —
+    * ONE row (the textbook trainer) or a NON-INTERACTING batch of m
+    * (the q407 batched trainer; no two rules share a symbol, so each
+    * position matches at most one rule and candidates of different
+    * rules can never be consecutive — consecutive candidates are always
+    * the same (s, s) rule, which keeps the run-parity algebra exact):
+    * candidates → run parity → keep odd matches, drop each kept match's
+    * right neighbour, renumber. All windows partition by word. An empty
+    * winner relation leaves every word untouched (equality left join). */
   private[graft] def rewrite(next: DataFrame, winner: DataFrame): DataFrame = {
-    val m = next.join(broadcast(winner), lit(true), "left")
-      .withColumn("cand",
-        when(col("sym") === col("l") && col("nxt") === col("r"), 1L)
-          .otherwise(0L))
+    val m = next.join(broadcast(winner.select(col("l"), col("r"))),
+        col("sym") === col("l") && col("nxt") === col("r"), "left")
+      .withColumn("cand", when(col("l").isNotNull, 1L).otherwise(0L))
     val g = m.withColumn("grp",
       sum(when(col("cand") === 0, 1L).otherwise(0L)).over(wordW))
     val h = g.withColumn("take",
@@ -148,6 +156,7 @@ object BpeTokenizer {
       val winner = roundWinner(next).staged // probe + union + rewrite join
       if (winner.isEmpty) { // O(1)-result probe: zero or one row
         Checkpoints.unpersist(next)
+        Checkpoints.unpersist(winner) // empty, but staged — release it too
         exhausted = true
       } else {
         merges += winner.withColumn("round", lit(k + 1L))
@@ -203,22 +212,24 @@ object BpeTokenizer {
        |  WHERE ptake = 0)""".stripMargin
   }
 
-  private def oracleCtes(rounds: Int): String = {
-    val seed =
-      """words0 AS (
-        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
-        |  WHERE word != ''
-        |  GROUP BY word),
-        |syms0 AS MATERIALIZED (
-        |  -- each round reads its syms 3x (both pair arms + the rewrite):
-        |  -- MATERIALIZED stops the inlining from compounding 3^rounds
-        |  -- (the q325 exponential-CTE trap)
-        |  SELECT word, freq, CAST(i AS BIGINT) AS pos, word[i] AS sym
-        |  FROM words0, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) u)"""
-        .stripMargin
-    (seed +: (0 until rounds).map(oracleRound)).mkString(",\n")
-  }
+  /** Seed CTEs (words0 + syms0) shared by the textbook-loop oracle and
+    * the batched-trainer oracle. */
+  private def oracleSeed: String =
+    """words0 AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+      |  WHERE word != ''
+      |  GROUP BY word),
+      |syms0 AS MATERIALIZED (
+      |  -- each round reads its syms 3x (both pair arms + the rewrite):
+      |  -- MATERIALIZED stops the inlining from compounding 3^rounds
+      |  -- (the q325 exponential-CTE trap)
+      |  SELECT word, freq, CAST(i AS BIGINT) AS pos, word[i] AS sym
+      |  FROM words0, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) u)"""
+      .stripMargin
+
+  private def oracleCtes(rounds: Int): String =
+    (oracleSeed +: (0 until rounds).map(oracleRound)).mkString(",\n")
 
   /** The learned merge table itself — round, pair, merged token, corpus-
     * weighted pair frequency. THE artifact a tokenizer trainer ships. */
@@ -280,7 +291,238 @@ object BpeTokenizer {
         col("tokens_after"), col("compression_e6"))
   }
 
+  // ---------------------------------------------------------------------
+  // q406 — the train → encode composition: the q401-LEARNED merge table
+  // is the tokenizer artifact; this query APPLIES it.
+  // ---------------------------------------------------------------------
+
+  /** Encode the corpus, per source split, with the merge table q401
+    * LEARNED — the composition that makes the trainer a tokenizer
+    * pipeline (train → ship artifact → encode) instead of two halves
+    * that never meet. The encoder is [[TextAnalysis.bpeEncodeStateWith]]
+    * (the q167 greedy lowest-rank-first loop) fed the TRAINED table,
+    * not the static literal; per-source compression is the held-out
+    * signal (the table was learned on the FULL corpus, each source is
+    * encoded as its own split). [[Merges]] encode rounds suffice: each
+    * round applies one rule per word, so a word needs at most one round
+    * per distinct applicable rule.
+    *
+    * Scale shape: training is the q401 envelope (vocab-grain rounds);
+    * the encode adds one corpus-grain (word, source) rollup — the only
+    * new corpus pass — then vocab-grain broadcast-join rounds (the
+    * learned table is K rows — a few MB at K=100k) and one grouped
+    * join back to the rollup. BpeSpec pins that encoding the TRAINING
+    * corpus with the learned table reproduces the trainer's own final
+    * symbol table (the standard BPE replay property; it can break only
+    * when a later merge recreates an earlier rule's pair string —
+    * impossible at this K on single-character-seeded text). */
+  val q406BpeTrainedEncode: QuerySpec = QuerySpec(
+    "q406_bpe_trained_encode",
+    s"""WITH ${oracleCtes(Merges)},
+       |mt AS (SELECT l || ' ' || r AS pair, rank FROM (${(0 until Merges)
+        .map(k => s"SELECT l, r, ${k + 1} AS rank FROM win$k")
+        .mkString(" UNION ALL ")}) u),
+       |ws AS (SELECT word, source, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |             FROM documents) x
+       |       WHERE word != '' GROUP BY word, source),
+       |ev AS (SELECT word, CAST(SUM(n) AS BIGINT) AS n FROM ws GROUP BY word),
+       |${TextAnalysis.bpeEncodeUnrollCtes("mt", "ev", Merges)},
+       |tk AS (SELECT word,
+       |         CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(word) AS BIGINT) AS n_chars
+       |       FROM s$Merges)
+       |SELECT ws.source,
+       |  CAST(SUM(ws.n) AS BIGINT) AS n_words,
+       |  CAST(SUM(ws.n * tk.n_chars) AS BIGINT) AS tokens_before,
+       |  CAST(SUM(ws.n * tk.n_tokens) AS BIGINT) AS tokens_after,
+       |  CAST(ROUND(SUM(ws.n * tk.n_tokens) * 1e6 / SUM(ws.n * tk.n_chars))
+       |    AS BIGINT) AS compression_e6
+       |FROM ws JOIN tk USING (word)
+       |GROUP BY ws.source ORDER BY ws.source""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (mergeTable, finalSyms) = trainMerges(sp)
+    Checkpoints.unpersist(finalSyms)
+    val learned = mergeTable.select(
+      concat_ws(" ", col("l"), col("r")).as("pair"), col("round").as("rank"))
+    val ws = sp.table("documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"), col("source")).agg(count(lit(1)).as("n"))
+      .staged // the encode vocab AND the per-source report both read it
+    val vocab = ws.groupBy("word").agg(sum(col("n")).as("n"))
+    val enc = TextAnalysis.bpeEncodeStateWith(sp, vocab, learned, Merges)
+    val tk = enc.selectExpr("word",
+      "cast(size(split(trim(seq), '  ')) as long) AS n_tokens",
+      "cast(length(word) as long) AS n_chars")
+    ws.join(tk, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_chars")).as("tokens_before"),
+        sum(col("n") * col("n_tokens")).as("tokens_after"),
+        round(sum(col("n") * col("n_tokens")).cast("double") * 1e6
+          / sum(col("n") * col("n_chars")).cast("double"))
+          .cast("long").as("compression_e6"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q407 — the BATCHED trainer: top-m non-interacting merges per round,
+  // bounding the K-sequential envelope to K/m rounds.
+  // ---------------------------------------------------------------------
+
+  /** Batch size: merges applied per round. K merges need K/m rounds. */
+  private[graft] val BatchM = 3
+
+  /** Candidate-pool depth the per-round batch is selected from — a
+    * documented cap: a pair blocked only by candidates BELOW the pool
+    * cut cannot be selected this round (it returns in a later round, so
+    * no merge is ever lost, only deferred). Pool² drives the blocking
+    * self-join: 16² = 256 comparisons, broadcast-trivial. */
+  private[graft] val BatchPool = 16
+
+  /** Batched training rounds for q407: 2 × [[BatchM]] = the same merge
+    * budget as q401's K = 6, in one third the rounds. */
+  private[graft] val BatchRounds = 2
+
+  /** The round's batch of up to m NON-INTERACTING winners, selected
+    * from the top-[[BatchPool]] candidate pairs: ranked by corpus-
+    * weighted count DESC then (l, r), a candidate is kept iff NO
+    * higher-ranked candidate in the pool shares a symbol with it
+    * (rank-blind blocking — a pure per-pair predicate over the pool,
+    * fully parallel; kept-aware greedy would chain sequentially).
+    * Because kept rules share no symbol, every position matches at most
+    * one rule and all batch counts/candidates are consistently
+    * evaluated against the ROUND-START state — the documented batched-
+    * BPE variant (cf. the m=1 case, which IS the textbook trainer:
+    * rank 1 is never blocked, so the first batch member of round 1
+    * equals q401's first merge). Returns (l, r, pair_freq, brk) with
+    * brk the 1-based in-batch rank. */
+  private[graft] def batchWinners(next: DataFrame, m: Int, pool: Int): DataFrame = {
+    val counts = next.filter(col("nxt").isNotNull)
+      .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("pair_freq"))
+      .select(col("sym").as("l"), col("nxt").as("r"), col("pair_freq"))
+    // TakeOrdered pool, then windows over the ≤pool-row relation only
+    val pooled = counts
+      .orderBy(col("pair_freq").desc, col("l"), col("r")).limit(pool)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pair_freq").desc, col("l"), col("r"))))
+    val blockers = pooled.select(col("rk").as("q_rk"), col("l").as("q_l"),
+      col("r").as("q_r"))
+    pooled.join(blockers,
+        col("q_rk") < col("rk") &&
+          (col("q_l") === col("l") || col("q_l") === col("r") ||
+            col("q_r") === col("l") || col("q_r") === col("r")),
+        "left_anti")
+      .orderBy(col("rk")).limit(m)
+      .withColumn("brk", row_number().over(Window.orderBy(col("rk"))))
+      .select(col("l"), col("r"), col("pair_freq"), col("brk"))
+  }
+
+  /** The batched training loop: identical ledger discipline to
+    * [[trainMerges]], but each round applies a batch of up to `m`
+    * non-interacting winners through the SAME [[rewrite]] algebra —
+    * K merges in K/m driver-barrier rounds, the fix for the trainer's
+    * one production-parameter gap (at K ≈ 30k, 30k sequential Spark
+    * job rounds are hours of pure stage latency at ANY corpus size;
+    * m = 256 makes that ~120 rounds). Returns (merge table with
+    * 1-based `round` and in-batch `brk`, final symbol table). */
+  private[graft] def trainMergesBatched(
+      sp: SparkSession, rounds: Int = BatchRounds, m: Int = BatchM,
+      pool: Int = BatchPool): (DataFrame, DataFrame) = {
+    var syms = seedSyms(sp).staged
+    val merges = List.newBuilder[DataFrame]
+    var k = 0
+    var exhausted = false
+    while (k < rounds && !exhausted) {
+      val next = withNext(syms).staged
+      val winners = batchWinners(next, m, pool).staged
+      if (winners.isEmpty) { // O(1)-result probe: ≤ m rows
+        Checkpoints.unpersist(next)
+        Checkpoints.unpersist(winners)
+        exhausted = true
+      } else {
+        merges += winners.withColumn("round", lit(k + 1L))
+        val rewritten = rewrite(next, winners).staged
+        Checkpoints.unpersist(next)
+        Checkpoints.unpersist(syms)
+        syms = rewritten
+        k += 1
+      }
+    }
+    val mergeTable = merges.result() match {
+      case Nil =>
+        seedSyms(sp).select(col("sym").as("l"), col("sym").as("r"),
+          col("freq").as("pair_freq"), lit(0L).as("brk"),
+          lit(0L).as("round")).filter(lit(false))
+      case parts => parts.reduce(_.unionByName(_))
+    }
+    (mergeTable, syms)
+  }
+
+  /** One batched round, unrolled for DuckDB — the same candidate pool,
+    * rank-blind blocking, top-m batch, and run-parity rewrite. */
+  private def batchedOracleRound(k: Int, m: Int, pool: Int): String = {
+    val i = if (k == 0) "syms0" else s"bs$k"
+    s"""bn$k AS (SELECT word, freq, pos, sym,
+       |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM $i),
+       |bp$k AS (SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS c
+       |  FROM bn$k WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |bpool$k AS (SELECT l, r, c, ROW_NUMBER() OVER (ORDER BY c DESC, l, r) AS rk
+       |            FROM bp$k ORDER BY c DESC, l, r LIMIT $pool),
+       |bw$k AS (
+       |  SELECT l, r, c, ROW_NUMBER() OVER (ORDER BY rk) AS brk FROM (
+       |    SELECT p.l, p.r, p.c, p.rk FROM bpool$k p WHERE NOT EXISTS (
+       |      SELECT 1 FROM bpool$k q WHERE q.rk < p.rk AND
+       |        (q.l = p.l OR q.l = p.r OR q.r = p.l OR q.r = p.r))
+       |    ORDER BY rk LIMIT $m) z),
+       |bm$k AS (
+       |  SELECT s.word, s.freq, s.pos, s.sym, w.l, w.r,
+       |    CASE WHEN w.l IS NOT NULL THEN 1 ELSE 0 END AS cand
+       |  FROM bn$k s LEFT JOIN bw$k w ON s.sym = w.l AND s.nxt = w.r),
+       |bg$k AS (
+       |  SELECT *, SUM(CASE WHEN cand = 0 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY word ORDER BY pos) AS grp
+       |  FROM bm$k),
+       |bh$k AS (
+       |  SELECT *, CASE WHEN cand = 1 AND
+       |      ROW_NUMBER() OVER (PARTITION BY word, grp, cand ORDER BY pos) % 2 = 1
+       |    THEN 1 ELSE 0 END AS take
+       |  FROM bg$k),
+       |bs${k + 1} AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+       |    CASE WHEN take = 1 THEN sym || r ELSE sym END AS sym
+       |  FROM (SELECT *, COALESCE(LAG(take) OVER (PARTITION BY word ORDER BY pos), 0)
+       |          AS ptake FROM bh$k) z
+       |  WHERE ptake = 0)""".stripMargin
+  }
+
+  /** The batched merge table — q401's artifact shape plus the in-batch
+    * rank. q401 stays the textbook semantics pin; this is the variant
+    * that survives production K. */
+  val q407BpeBatchedMerges: QuerySpec = QuerySpec(
+    "q407_bpe_batched_merges",
+    s"""WITH ${(oracleSeed +: (0 until BatchRounds)
+        .map(batchedOracleRound(_, BatchM, BatchPool))).mkString(",\n")},
+       |merges AS (${(0 until BatchRounds)
+        .map(k => s"SELECT ${k + 1} AS round, brk, l, r, c FROM bw$k")
+        .mkString(" UNION ALL ")})
+       |SELECT CAST(round AS BIGINT) AS round, CAST(brk AS BIGINT) AS batch_rank,
+       |       l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_freq
+       |FROM merges ORDER BY round, batch_rank""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (mergeTable, finalSyms) = trainMergesBatched(sp)
+    Checkpoints.unpersist(finalSyms)
+    mergeTable.select(col("round"), col("brk").cast("long").as("batch_rank"),
+      col("l").as("left_sym"), col("r").as("right_sym"),
+      concat(col("l"), col("r")).as("merged"), col("pair_freq"))
+      .orderBy(col("round"), col("batch_rank"))
+  }
+
   // q401 joins the bench headline set: it exercises the iterative
   // checkpointed-loop envelope (like q325/q381) at the vocab grain
-  val all: Seq[QuerySpec] = Seq(q401BpeMerges.benched, q402BpeCompression)
+  val all: Seq[QuerySpec] = Seq(q401BpeMerges.benched, q402BpeCompression,
+    q406BpeTrainedEncode, q407BpeBatchedMerges)
 }

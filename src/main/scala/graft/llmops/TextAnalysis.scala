@@ -726,9 +726,19 @@ object TextAnalysis {
       val words =
         if (spark) "SELECT explode(split(text, ' ')) AS word FROM documents"
         else "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+      // POSITION-based character seeds, not a regexp split: regex `.`
+      // excludes line terminators (and Spark's Java regex excludes MORE
+      // of them than DuckDB's RE2), so a newline-bearing word would seed
+      // differently across engines AND across the engine's own three
+      // encode formulations. substring/word[i] index characters
+      // identically everywhere — the one seeding convention shared with
+      // [[bpeEncodeState]], [[bpeEncodeExpr]] and the BpeTokenizer
+      // trainer (BpeSpec pins the parity on a newline-bearing word).
       val chars =
-        if (spark) "concat_ws('  ', regexp_extract_all(word, '.', 0))"
-        else "array_to_string(regexp_extract_all(word, '.'), '  ')"
+        if (spark)
+          "concat_ws('  ', transform(sequence(1, length(word)), i -> substring(word, i, 1)))"
+        else
+          "array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '  ')"
       def syms(src: String) =
         if (spark) s"split(trim($src), '  ')" else s"string_split(trim($src), '  ')"
       def pairs(rel: String): String =
@@ -750,7 +760,7 @@ object TextAnalysis {
              |  GROUP BY pair""".stripMargin
       val wCte =
         if (spark) "" // Spark reads the checkpointed vocab view instead
-        else s"WITH w AS (SELECT word, COUNT(*) AS n FROM ($words) x GROUP BY word),\n"
+        else s"WITH w AS (SELECT word, COUNT(*) AS n FROM ($words) x WHERE word != '' GROUP BY word),\n"
       val wRel = if (spark) "g_bpe_vocab" else "w"
       s"""${wCte}${if (spark) "WITH " else ""}s0 AS (SELECT word, n, ' ' || $chars || ' ' AS seq FROM $wRel),
          |p1 AS (
@@ -784,6 +794,7 @@ object TextAnalysis {
       sp.sql(
         """SELECT word, COUNT(*) AS n
           |FROM (SELECT explode(split(text, ' ')) AS word FROM documents) x
+          |WHERE word != ''
           |GROUP BY word""".stripMargin)
         .staged
         .createOrReplaceTempView("g_bpe_vocab")
@@ -830,20 +841,25 @@ object TextAnalysis {
   // merge-table-sized, never corpus-sized).
   private val BpeRounds = BpeMerges.size
 
-  /** The [[BpeRounds]]-unrolled DuckDB replay of the greedy BPE encode:
-    * CTEs m (merge table), w (word vocab), s0..s[[BpeRounds]] (per-round
-    * states). The caller appends a final SELECT over s[[BpeRounds]]. */
-  private def bpeOracleUnroll: String = {
-    val mergeValues = BpeMerges.map { case (p, r) => s"('$p', $r)" }.mkString(", ")
+  /** DuckDB CTE text (no leading WITH) for a `rounds`-unrolled greedy
+    * BPE encode reading `$mergeRel(pair, rank)` and `$vocabRel(word, n)`:
+    * emits s0..s`rounds` (per-round states) and a0..a`rounds−1` (the
+    * per-word lowest-rank applicable rule). Parameterized over the merge
+    * relation so the SAME replay text serves the static pretrained table
+    * (q167/q405/q176) and the q401-LEARNED table (q406 — the train →
+    * encode composition). The caller appends a final SELECT over
+    * s`rounds`. */
+  private[graft] def bpeEncodeUnrollCtes(
+      mergeRel: String, vocabRel: String, rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH m(pair, rank) AS (VALUES $mergeValues),
-              |w AS (SELECT word, COUNT(*) AS n
-              |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) x
-              |      WHERE word != '' GROUP BY word),
-              |s0 AS (SELECT word, n,
-              |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seq
-              |       FROM w)""".stripMargin
-    for (r <- 0 until BpeRounds) {
+    sb ++= s"""s0 AS (SELECT word, n,
+              |         -- position-based seeds (NOT regexp `.`, which drops
+              |         -- line terminators — and differently per engine):
+              |         -- the one seeding convention of every encode path
+              |         ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+              |                                               i -> word[i]), '  ') || ' ' AS seq
+              |       FROM $vocabRel)""".stripMargin
+    for (r <- 0 until rounds) {
       sb ++= s""",
                 |a$r AS (
                 |  SELECT word, pair FROM (
@@ -852,7 +868,7 @@ object TextAnalysis {
                 |    FROM (SELECT word, unnest(list_transform(range(len(ss) - 1),
                 |            i -> ss[i + 1] || ' ' || ss[i + 2])) AS pair
                 |          FROM (SELECT word, string_split(trim(seq), '  ') AS ss FROM s$r) q) t
-                |    JOIN m ON m.pair = t.pair) z
+                |    JOIN $mergeRel m ON m.pair = t.pair) z
                 |  WHERE rn = 1),
                 |s${r + 1} AS (
                 |  SELECT s.word, s.n,
@@ -864,21 +880,51 @@ object TextAnalysis {
     sb.toString
   }
 
+  /** The [[BpeRounds]]-unrolled DuckDB replay of the greedy BPE encode
+    * over the STATIC pretrained table: CTEs m (merge table), w (word
+    * vocab), s0..s[[BpeRounds]] (per-round states). The caller appends
+    * a final SELECT over s[[BpeRounds]]. */
+  private def bpeOracleUnroll: String = {
+    val mergeValues = BpeMerges.map { case (p, r) => s"('$p', $r)" }.mkString(", ")
+    s"""WITH m(pair, rank) AS (VALUES $mergeValues),
+       |w AS (SELECT word, COUNT(*) AS n
+       |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) x
+       |      WHERE word != '' GROUP BY word),
+       |${bpeEncodeUnrollCtes("m", "w", BpeRounds)}""".stripMargin
+  }
+
   /** The Spark-side greedy BPE encode loop over a `(word, n)` vocab
-    * DataFrame: [[BpeRounds]] broadcast-join rounds, per-round
-    * localCheckpoint with superseded-state release ([[Checkpoints]]).
-    * Returns the final `(word, n, seq)` state. */
-  private def bpeEncodeState(
+    * DataFrame with the static pretrained [[BpeMerges]] table. */
+  private[graft] def bpeEncodeState(
       sp: org.apache.spark.sql.SparkSession,
       vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, explode, expr, min, struct, when}
     import sp.implicits._
-    val mdf = BpeMerges.toDF("pair", "rank")
+    bpeEncodeStateWith(sp, vocab, BpeMerges.toDF("pair", "rank"), BpeRounds)
+  }
+
+  /** Greedy BPE encode over a `(word, n)` vocab with an ARBITRARY
+    * `(pair, rank)` merge table — the static literal (q167/q176) or the
+    * q401-trained artifact (q406): `rounds` broadcast-join rounds,
+    * per-round localCheckpoint with superseded-state release
+    * ([[Checkpoints]]). Per word per round, the LOWEST-rank pair present
+    * in the sentinel-spaced symbol string is replaced at every
+    * occurrence (left-to-right non-overlapping — the trainer's own
+    * parity). Returns the final `(word, n, seq)` state. */
+  private[graft] def bpeEncodeStateWith(
+      sp: org.apache.spark.sql.SparkSession,
+      vocab: org.apache.spark.sql.DataFrame,
+      mdf: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, explode, expr, min, struct, when}
     var state = vocab
+      // position-based seeds (callers filter word != '' — sequence(1, 0)
+      // throws): identical characters to the DuckDB oracle's word[i] and
+      // to [[bpeEncodeExpr]]'s substr seeds, newlines included — a regexp
+      // '.' seed would silently diverge on newline-bearing words
       .selectExpr("word", "n",
-        "concat(' ', concat_ws('  ', regexp_extract_all(word, '.', 0)), ' ') AS seq")
+        "concat(' ', concat_ws('  ', transform(sequence(1, length(word)), i -> substring(word, i, 1))), ' ') AS seq")
       .staged
-    for (_ <- 1 to BpeRounds) {
+    for (_ <- 1 to rounds) {
       // per word: the lowest-rank merge-table pair present in its
       // current symbol sequence (broadcast join, vocab-sized)
       val applicable = state

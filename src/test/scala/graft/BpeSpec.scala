@@ -77,6 +77,98 @@ class BpeSpec extends EngineSuite {
       "every word must re-concatenate from its merged symbols")
   }
 
+  test("newline-bearing words encode identically in the state loop and " +
+    "the stateless expression (position-based seeds, not regexp '.')") {
+    val sp = spark.newSession()
+    import sp.implicits._
+    val vocab = Seq(("er\ner", 1L), ("ta\nble", 1L), ("table", 2L))
+      .toDF("word", "n")
+    val viaState = llmops.TextAnalysis.bpeEncodeState(sp, vocab)
+      .select(col("word"), expr("split(trim(seq), '  ')").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val viaExpr = vocab
+      .select(col("word"),
+        llmops.TextAnalysis.bpeTokensExpr(col("word")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(viaState == viaExpr,
+      s"state loop and expression diverge on newline words: $viaState vs $viaExpr")
+    // the newline is a symbol of its own — a regexp '.' seed would have
+    // silently dropped it (differently in Spark and DuckDB, breaking
+    // the three-way formulation parity the oracles pin)
+    assert(viaState("er\ner") == List("er", "\n", "er"))
+    assert(viaState("table") == List("table"))
+  }
+
+  test("q406 replay: encoding the training corpus with the LEARNED table " +
+    "reproduces the trainer's own final symbol table") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val (mergeTable, finalSyms) = llmops.BpeTokenizer.trainMerges(sp)
+    val learned = mergeTable.select(
+      concat_ws(" ", col("l"), col("r")).as("pair"), col("round").as("rank"))
+    val vocab = finalSyms.groupBy("word").agg(max(col("freq")).as("n"))
+    val enc = llmops.TextAnalysis.bpeEncodeStateWith(
+      sp, vocab, learned, llmops.BpeTokenizer.Merges)
+    val encToks = enc.select(col("word"),
+      expr("split(trim(seq), '  ')").as("toks"))
+    val trainToks = finalSyms.groupBy("word")
+      .agg(array_sort(collect_list(struct(col("pos"), col("sym")))).as("ps"))
+      .select(col("word"), expr("transform(ps, s -> s.sym)").as("toks"))
+    assert(encToks.exceptAll(trainToks).isEmpty &&
+      trainToks.exceptAll(encToks).isEmpty,
+      "greedy lowest-rank-first encode must replay the training segmentation")
+  }
+
+  test("q407 batch is non-interacting: (b,c) is blocked by the " +
+    "higher-ranked (a,b) sharing 'b'") {
+    val sp = docs("ab ab bc bc")
+    val (merges, _) = llmops.BpeTokenizer.trainMergesBatched(
+      sp, rounds = 1, m = 2, pool = 16)
+    val m = merges.collect()
+    assert(m.length == 1,
+      s"(b,c) shares 'b' with (a,b) and must not join the batch: ${m.toSeq}")
+    assert(m(0).getAs[String]("l") == "a" && m(0).getAs[String]("r") == "b")
+  }
+
+  test("q407 batched rewrite keeps the greedy overlap parity: aaaa -> [aa, aa]") {
+    val sp = docs("aaaa aaa ab")
+    val (merges, finalSyms) = llmops.BpeTokenizer.trainMergesBatched(
+      sp, rounds = 1, m = 2, pool = 16)
+    // (a,b) shares 'a' with the winner (a,a): batch of 1
+    assert(merges.count() == 1L)
+    assert(symsOf(finalSyms, "aaaa") == Seq("aa", "aa"))
+    assert(symsOf(finalSyms, "aaa") == Seq("aa", "a"))
+  }
+
+  test("q407 on the fixture: first batch member = q401's first merge; " +
+    "every batch non-interacting; words re-concatenate") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val (bm, bSyms) = llmops.BpeTokenizer.trainMergesBatched(sp)
+    val batched = bm.orderBy(col("round"), col("brk")).collect()
+    assert(batched.nonEmpty && batched.length <=
+      llmops.BpeTokenizer.BatchRounds * llmops.BpeTokenizer.BatchM)
+    val (tm, _) = llmops.BpeTokenizer.trainMerges(sp, rounds = 1)
+    val first = tm.collect()(0)
+    assert(batched(0).getAs[String]("l") == first.getAs[String]("l") &&
+      batched(0).getAs[String]("r") == first.getAs[String]("r"),
+      "rank 1 is never blocked: batch round 1 must open with the textbook merge")
+    batched.groupBy(_.getAs[Long]("round")).values.foreach { rows =>
+      val pairs = rows.map(r => (r.getAs[String]("l"), r.getAs[String]("r")))
+      for (i <- pairs.indices; j <- 0 until i) {
+        val a = Set(pairs(i)._1, pairs(i)._2)
+        val b = Set(pairs(j)._1, pairs(j)._2)
+        assert(a.intersect(b).isEmpty,
+          s"interacting batch members: ${pairs(j)} vs ${pairs(i)}")
+      }
+    }
+    val rebuilt = bSyms.groupBy(col("word"))
+      .agg(array_join(transform(array_sort(
+        collect_list(struct(col("pos"), col("sym")))), s => s.getField("sym")),
+        "").as("re"))
+      .filter(col("re") =!= col("word"))
+    assert(rebuilt.count() == 0L,
+      "every word must re-concatenate from its batched-merge symbols")
+  }
+
   test("q402 compression invariants hold on the fixture") {
     val row = SparkEntry.queries("q402_bpe_compression")(spark, sfDir)
       .collect()(0)

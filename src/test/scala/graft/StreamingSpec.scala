@@ -333,7 +333,10 @@ class StreamingSpec extends EngineSuite {
     implicit val sqlCtx = s.sqlContext
     val texts = Seq(
       DocRow(1L, "table scan  table"), // doubled separator on purpose
-      DocRow(2L, "the customer stable"))
+      DocRow(2L, "the customer stable"),
+      DocRow(3L, "er\ner stable")) // newline INSIDE a word: splitting is
+    // on single spaces, so "er\ner" is one word — position-based seeds
+    // keep \n as a symbol where a regexp '.' seed would drop it
     // batch run of the same transform
     val batch = EventStreams.tokenizedDocs(texts.toDF())
       .orderBy("doc_id").collect().toSeq
@@ -354,6 +357,10 @@ class StreamingSpec extends EngineSuite {
     val tok2 = batch(1).getAs[scala.collection.Seq[String]]("tokens")
     assert(tok2.contains("er") || tok2.exists(_.contains("er")),
       s"rank-1 'e r' merge must fire inside 'customer': $tok2")
+    // the newline word: \n survives as its own symbol (position-based
+    // seeds), 'er' merges on both sides of it, 'stable' re-fuses
+    val tok3 = batch(2).getAs[scala.collection.Seq[String]]("tokens")
+    assert(tok3 == Seq("er", "\n", "er", "s", "table"), s"got $tok3")
     // vocab-grain parity with the q167 join-based state loop on the
     // REAL fixture corpus: identical token-count table, row for row
     val viaExpr = QuerySpec.prepared(s, sfDir).table("documents")
