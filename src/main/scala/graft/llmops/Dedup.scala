@@ -2121,7 +2121,36 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val sp = QuerySpec.prepared(s, dir)
-    val t = 0.95
+    val (sets, _, candLen) = prefixFilterCandidates(sp, t = 0.95)
+    candLen
+      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a")),
+        Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b")),
+        Seq("id_b"))
+      .withColumn("inter_tokens",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("long"))
+      .withColumn("un", col("m_a") + col("m_b") - col("inter_tokens"))
+      .filter(col("inter_tokens") >= lit(0.95) * col("un"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter_tokens"),
+        round(col("inter_tokens") * 1e6 / col("un")).cast("long").as("jacc_e6"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The q400 candidate pipeline: returns (token sets with sizes,
+    * raw prefix-filter candidates, candidates after the PPJoin LENGTH
+    * filter). The length filter is the lemma |x| ≥ t·|y| ∧ |y| ≥ t·|x|
+    * (J(x, y) ≥ t ⇒ inter ≥ t·un ≥ t·max(|x|, |y|), and inter ≤
+    * min(|x|, |y|)): it rejects candidates on two SLIM integer joins
+    * BEFORE the verify stage ships either document's full token-set
+    * array through a shuffle — at a near-dup-heavy corpus the
+    * candidate × 2·avg-doc-tokens verify bytes are the dominant cost,
+    * and the filter cuts them with zero false negatives (the lemma is
+    * exact; LlmOpsSpec pins both the reduction and the unchanged
+    * result). */
+  private[graft] def prefixFilterCandidates(
+      sp: SparkSession, t: Double): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val toks = sp.table("documents")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -2138,19 +2167,16 @@ object Dedup {
       pref.select(col("tok").as("bkey"), col("doc_id").as("id")), cap = 256)
     val sets = toks.groupBy("doc_id")
       .agg(collect_set(col("tok")).as("s"), count(lit(1)).as("m"))
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a"),
-        col("m").as("m_a")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b"),
-        col("m").as("m_b")), Seq("id_b"))
-      .withColumn("inter_tokens",
-        size(array_intersect(col("s_a"), col("s_b"))).cast("long"))
-      .withColumn("un", col("m_a") + col("m_b") - col("inter_tokens"))
-      .filter(col("inter_tokens") >= lit(t) * col("un"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        col("inter_tokens"),
-        round(col("inter_tokens") * 1e6 / col("un")).cast("long").as("jacc_e6"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .staged // the slim length arms + both verify set arms read it
+    val lens = sets.select(col("doc_id"), col("m"))
+    val candLen = cand
+      .join(lens.select(col("doc_id").as("id_a"), col("m").as("m_a")),
+        Seq("id_a"))
+      .join(lens.select(col("doc_id").as("id_b"), col("m").as("m_b")),
+        Seq("id_b"))
+      .filter(col("m_b") >= lit(t) * col("m_a") &&
+        col("m_a") >= lit(t) * col("m_b"))
+    (sets, cand, candLen)
   }
 
   val all: Seq[QuerySpec] = Seq(

@@ -2,6 +2,7 @@ package graft.llmops
 
 import graft.llmops.Checkpoints.Stageable
 import graft.QuerySpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -590,7 +591,126 @@ object Retrieval {
       .orderBy(col("source"))
   }
 
+  /** The anchor-join core of [[q408MultiPhraseSearch]]: a positional
+    * postings relation `(doc_id, pos, word)` × a phrase-word relation
+    * `phrases(phrase, plen, k, word)` (k = 1-based position in phrase)
+    * → one row per phrase occurrence `(phrase, doc_id, anchor)`. A
+    * posting at (doc, p) matching phrase word k proposes the anchor
+    * p − k; an anchor is a HIT iff ALL plen phrase positions proposed
+    * it (count-distinct-k == plen) — the k-way positional intersection
+    * of Manning §2.4 for EVERY phrase at once, with no per-arm join
+    * chain and no length-specific code. The phrase side is tiny by
+    * construction (query parameters), so the ONE corpus-grain join is
+    * a broadcast hash join that reads only postings of phrase words —
+    * the plan LlmOpsSpec pins. Duplicate words inside a phrase are
+    * handled by the DISTINCT-k count (word w at phrase positions 1 and
+    * 3 proposes two anchors per posting, each needing the other
+    * positions to confirm). */
+  private[graft] def phraseAnchorHits(toks: DataFrame,
+                                      phrases: DataFrame): DataFrame = {
+    val pw = phrases
+      .select(col("phrase"), posexplode(split(col("phrase"), " "))
+        .as(Seq("k0", "word")))
+      .select(col("phrase"), (col("k0") + 1).cast("long").as("k"),
+        col("word"))
+      .withColumn("plen",
+        size(split(col("phrase"), " ")).cast("long"))
+    toks.join(broadcast(pw), "word")
+      .withColumn("anchor", col("pos") - col("k"))
+      .groupBy(col("phrase"), col("plen"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("k")).as("nk"))
+      .filter(col("nk") === col("plen"))
+      .select(col("phrase"), col("doc_id"), col("anchor"))
+  }
+
+  /** Multi-phrase positional search — [[q403PhraseSearch]] generalized
+    * from one hardcoded trigram to a phrase RELATION: k phrases of
+    * arbitrary, mixed lengths resolved in ONE bipartite pass
+    * ([[phraseAnchorHits]]), the shape a production query API needs
+    * (phrases arrive as parameters; only the phrase words' postings are
+    * read, via one broadcast join — never an all-n-grams corpus pass on
+    * the search path). The fixture's phrase set is corpus-derived to
+    * stay parameter-free: the top-2 bigrams and the top trigram
+    * (count DESC, then lexicographic), lengths 2, 2 and 3 — the
+    * derivation is the only corpus-grain n-gram pass and exists solely
+    * to pick the parameter, exactly like q403's trigram derivation.
+    * Per-(phrase, source) rollup: occurrences, distinct docs, first
+    * doc. */
+  val q408MultiPhraseSearch: QuerySpec = QuerySpec(
+    "q408_multi_phrase_search",
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |           FROM documents),
+      |t AS MATERIALIZED (
+      |      -- read by the bigram pass, the trigram pass, and the
+      |      -- anchor join: MATERIALIZED stops compounding inlining
+      |      SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
+      |             unnest(w) AS word FROM d),
+      |big AS (SELECT a.word AS w1, b.word AS w2, COUNT(*) AS c
+      |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |        GROUP BY 1, 2),
+      |top2 AS (SELECT w1 || ' ' || w2 AS phrase FROM big
+      |         ORDER BY c DESC, w1, w2 LIMIT 2),
+      |tri AS (SELECT a.word AS w1, b.word AS w2, c.word AS w3, COUNT(*) AS c
+      |        FROM t a
+      |        JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |        JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |        GROUP BY 1, 2, 3),
+      |top1 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS phrase FROM tri
+      |         ORDER BY c DESC, w1, w2, w3 LIMIT 1),
+      |phrases AS (SELECT phrase FROM top2 UNION ALL SELECT phrase FROM top1),
+      |pw AS (SELECT phrase, CAST(len(ws) AS BIGINT) AS plen,
+      |              CAST(generate_subscripts(ws, 1) AS BIGINT) AS k,
+      |              unnest(ws) AS word
+      |       FROM (SELECT phrase, string_split(phrase, ' ') AS ws
+      |             FROM phrases) z),
+      |h AS (SELECT pw.phrase, pw.plen, t.doc_id, t.pos - pw.k AS anchor,
+      |             COUNT(DISTINCT pw.k) AS nk
+      |      FROM t JOIN pw USING (word)
+      |      GROUP BY 1, 2, 3, 4),
+      |hits AS (SELECT phrase, doc_id FROM h WHERE nk = plen)
+      |SELECT h.phrase, d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS hits,
+      |  CAST(COUNT(DISTINCT h.doc_id) AS BIGINT) AS docs,
+      |  CAST(MIN(h.doc_id) AS BIGINT) AS first_doc
+      |FROM hits h JOIN (SELECT DISTINCT doc_id, source FROM d) d
+      |  ON h.doc_id = d.doc_id
+      |GROUP BY h.phrase, d.source
+      |ORDER BY h.phrase, d.source""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val toks = sp.table("documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("word"))
+      .staged // n-gram derivation passes + the anchor join read it
+    // phrase parameters: top-2 bigrams + top trigram (corpus-derived,
+    // like q403 — in production this relation arrives with the query)
+    val big = toks.select(col("doc_id"), col("pos"), col("word").as("w1"))
+      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("word").as("w2")), Seq("doc_id", "pos"))
+    val top2 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(2)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("phrase"))
+    val tri = big
+      .join(toks.select(col("doc_id"), (col("pos") - 2).as("pos"),
+        col("word").as("w3")), Seq("doc_id", "pos"))
+    val top1 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3")).limit(1)
+      .select(concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))
+    val phrases = top2.unionByName(top1)
+    phraseAnchorHits(toks, phrases)
+      .join(sp.table("documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("phrase"), col("source"))
+      .agg(count(lit(1)).as("hits"), countDistinct(col("doc_id")).as("docs"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("phrase"), col("source"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats, q230RrfHybrid,
-      q237RetrievalEval, q337RocchioPrf.benched, q403PhraseSearch)
+      q237RetrievalEval, q337RocchioPrf.benched, q403PhraseSearch,
+      q408MultiPhraseSearch)
 }

@@ -66,21 +66,21 @@ object SuffixArray {
   private def docWords(sp: SparkSession): DataFrame =
     sp.table("documents").select(col("doc_id"), split(col("text"), " ").as("w"))
 
-  /** ⌈log₂(longest doc in words)⌉ (floored at [[SeedShift]]) — the
-    * doubling-round count after which ranks reflect the FULL suffix
-    * order. Derived from the corpus with ONE O(1)-result aggregate (a
-    * documented driver-side probe, like the loop's `isEmpty`): the r15
-    * compile-time `Rounds = 7` was calibrated to the 99-word fixture
-    * and would have silently under-ranked any corpus with a >128-word
-    * document (ties beyond the cap left unresolved, diverging from the
-    * oracle with no guard). 20 rounds cover a million-word document —
-    * the count grows only with the log of the longest doc. */
-  private[graft] def contextRounds(sp: SparkSession): Int = {
-    val r = docWords(sp).agg(max(size(col("w"))).as("m")).head()
-    val maxLen = if (r.isNullAt(0)) 1L else r.getInt(0).toLong
+  /** ⌈log₂(maxLen)⌉ (floored at [[SeedShift]]) — the doubling-round
+    * count after which ranks reflect the FULL suffix order for a
+    * corpus whose longest document is `maxLen` words. THE one bound:
+    * the build derives maxLen from the staged seed's max(pos) (one
+    * O(1)-result aggregate — a documented driver-side probe, like the
+    * loop's `isEmpty`) and feeds it here; the spec pins the formula
+    * directly. The r15 compile-time `Rounds = 7` was calibrated to the
+    * 99-word fixture and would have silently under-ranked any corpus
+    * with a >128-word document (ties beyond the cap left unresolved,
+    * diverging from the oracle with no guard); 20 rounds cover a
+    * million-word document — the count grows only with the log of the
+    * longest doc. */
+  private[graft] def roundsForMaxLen(maxLen: Long): Int =
     math.max(SeedShift,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(maxLen - 1L, 1L)))
-  }
 
   /** Tokens with order-preserving dictionary ids: (doc_id, pos, wid)
     * where `wid` is the 1-based rank of the word in the SORTED distinct
@@ -122,15 +122,13 @@ object SuffixArray {
   private[graft] def suffixRanks(sp: SparkSession): DataFrame = {
     val seed = seedRanks(sp)
     // Round count off the STAGED seed: pos runs 1..len per doc, so
-    // max(pos) IS the longest doc's word count — the same ⌈log₂ maxlen⌉
-    // bound [[contextRounds]] documents, read with one O(1)-result
-    // aggregate over the checkpoint instead of a second text-splitting
-    // corpus pass.
+    // max(pos) IS the longest doc's word count — fed to the ONE
+    // ⌈log₂ maxlen⌉ bound ([[roundsForMaxLen]]), read with one
+    // O(1)-result aggregate over the checkpoint instead of a second
+    // text-splitting corpus pass.
     val r = seed.agg(max(col("pos"))).head()
     val maxLen = if (r.isNullAt(0)) 1L else r.getLong(0)
-    val rounds = math.max(SeedShift,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(maxLen - 1L, 1L)))
-    suffixRanks(seed, rounds)
+    suffixRanks(seed, roundsForMaxLen(maxLen))
   }
 
   /** The staged seed relation (doc_id, pos, rank, gs): context-2^SeedShift

@@ -805,4 +805,53 @@ class LlmOpsSpec extends EngineSuite {
         s"(|brute|=${brute.size}, |got|=${got.size})")
     assert(brute.nonEmpty, "fixture must exercise the join (threshold too high)")
   }
+
+  test("q400 PPJoin length filter cuts length-mismatched candidates " +
+    "BEFORE the verify join ships token sets — losslessly") {
+    // docs 1 and 2 share the globally rarest token 'q' (both prefixes =
+    // {q} at t=0.95), so they form a RAW candidate — but |1|=2 vs |2|=4
+    // fails t·|y| ≤ |x|, so no J ≥ 0.95 is possible and the length
+    // filter must cut the pair without touching either token set. Docs
+    // 3 and 4 are identical and must survive end to end.
+    val sp = spark.newSession()
+    import sp.implicits._
+    Seq((1L, "q z"), (2L, "q m n o"), (3L, "z m n o"), (4L, "z m n o"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val (_, raw, filtered) = llmops.Dedup.prefixFilterCandidates(sp, t = 0.95)
+    val rawSet = raw.select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rawSet == Set((1L, 2L), (3L, 4L)),
+      s"both prefix buckets must emit their candidate: $rawSet")
+    val kept = filtered.select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((3L, 4L)),
+      s"the length-mismatched (1, 2) candidate must be cut: $kept")
+  }
+
+  test("q408 anchor join: mixed-length phrase relation, overlapping and " +
+    "duplicate-word matches, and a broadcast-only search path") {
+    val sp = spark.newSession()
+    import sp.implicits._
+    val docs = Seq((1L, "a b a b a"), (2L, "x a b y")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("word"))
+    // "a b a" carries the SAME word at phrase positions 1 and 3: the
+    // distinct-k count must demand all three positions per anchor
+    val phrases = Seq("a b a", "a b").toDF("phrase")
+    val hits = llmops.Retrieval.phraseAnchorHits(toks, phrases)
+    val got = hits.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("a b", 1L, 0L), ("a b", 1L, 2L), ("a b", 2L, 1L),
+      ("a b a", 1L, 0L), ("a b a", 1L, 2L)), // overlapping occurrences
+      s"got $got")
+    // the search path's ONE corpus-grain join broadcasts the phrase
+    // words — the production contract: only phrase-word postings move
+    val p = hits.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the phrase-word side must broadcast, not shuffle")
+  }
 }

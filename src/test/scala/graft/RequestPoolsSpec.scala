@@ -128,6 +128,44 @@ class RequestPoolsSpec extends EngineSuite {
     assert(p.admitQuery("queueA", 0, 0, tiny) == Admitted)
   }
 
+  test("admitQuery verdicts match on a fresh plan and the SAME plan " +
+    "after execution (AQE query stages) — the under-admit drill") {
+    // The end-to-end admission form of the executed-AQE estimate pin:
+    // post-collect, the plan's exchanges are QueryStageExec leaves; if
+    // the estimator returned ~0 there, a pool whose cap sits below the
+    // fresh estimate would Reject the fresh plan and silently ADMIT the
+    // executed one — the exact under-admit hazard the recursion fixes.
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    QuerySpec.prepared(s, sfDir)
+    val df = s.table("orders")
+      .join(s.table("customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    val fresh = graft.engine.ResourceEstimates.of(df).perHostBytes
+    assert(fresh > 0, "the drill needs a positive fresh estimate")
+    def poolWithCap(mb: Long) =
+      RequestPools.fromXml(allocXml.replace("1024 mb", s"$mb mb"))
+    val belowMb = fresh / 2 / (1L << 20) // 0 if the fixture estimate < 2 MB
+    val aboveMb = fresh / (1L << 20) + 1
+    val freshBelow = Option.when(belowMb > 0)(
+      poolWithCap(belowMb).admitQuery("queueA", 0, 0, df))
+    freshBelow.foreach(v => assert(v.isInstanceOf[Rejected],
+      s"a cap below the fresh estimate must reject: $v"))
+    assert(poolWithCap(aboveMb).admitQuery("queueA", 0, 0, df) == Admitted)
+    discard(df.collect()) // materialize: exchanges become query stages
+    val executed = graft.engine.ResourceEstimates.of(df).perHostBytes
+    freshBelow.foreach { v =>
+      val after = poolWithCap(belowMb).admitQuery("queueA", 0, 0, df)
+      assert(after.getClass == v.getClass,
+        s"executed plan under-admits: fresh=$v executed=$after " +
+          s"(estimates $fresh vs $executed)")
+    }
+    assert(poolWithCap(aboveMb).admitQuery("queueA", 0, 0, df) == Admitted)
+    // the executed estimate itself must not collapse toward zero
+    assert(executed >= fresh / 2,
+      s"executed estimate collapsed: $executed vs fresh $fresh")
+  }
+
   test("assign binds the resolved pool to the thread's fair-scheduler slot") {
     val sc = spark.sparkContext
     val before = sc.getLocalProperty("spark.scheduler.pool")

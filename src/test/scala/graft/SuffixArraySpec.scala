@@ -127,17 +127,22 @@ class SuffixArraySpec extends EngineSuite {
       "collapsed re-rank must equal the windowed formulation exactly")
   }
 
-  test("contextRounds derives from the corpus and resolves ties past " +
-    "the r15 128-word cap") {
+  test("the round bound derives from the longest doc and resolves ties " +
+    "past the r15 128-word cap") {
     // Two docs agreeing through 140 words then diverging: a 128-word
     // context (the r15 compile-time Rounds = 7) ranks their pos-1
     // suffixes as a TIE; the true order is alpha < beta. 141-word docs
-    // need ceil(log2 141) = 8 rounds.
+    // need ceil(log2 141) = 8 rounds. roundsForMaxLen is the ONE bound
+    // — the build feeds it max(pos) off the staged seed.
+    assert(llmops.SuffixArray.roundsForMaxLen(141L) == 8)
+    assert(llmops.SuffixArray.roundsForMaxLen(128L) == 7)
+    assert(llmops.SuffixArray.roundsForMaxLen(129L) == 8)
+    assert(llmops.SuffixArray.roundsForMaxLen(1L) == 4) // SeedShift floor
+    assert(llmops.SuffixArray.roundsForMaxLen(1000000L) == 20)
     val shared = (1 to 140).map(_ => "w").mkString(" ")
     val sp = syntheticDocs(Seq(
       (1L, "s", s"$shared alpha"),
       (2L, "s", s"$shared beta")))
-    assert(llmops.SuffixArray.contextRounds(sp) == 8)
     val sa = llmops.SuffixArray.suffixRanks(sp)
       .filter(col("pos") === 1).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
