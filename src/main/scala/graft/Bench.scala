@@ -57,7 +57,12 @@ object Bench {
     // 13s after the q258 rollup, warm unchanged at 0.75s) — a System.gc
     // between cold timings keeps each cold number its own.
     val cold = names.map { n => System.gc(); n -> run(n) }
-    val warmRuns = Seq.fill(3)(names.map(n => n -> run(n)).toMap)
+    // scale drills on 10x fixtures can't always afford best-of-3 on a
+    // multi-minute query — SPARK_GRAFT_BENCH_WARMS trims the warm-run
+    // count for those runs only (the driver's bench keeps the default 3)
+    val warms = sys.env.get("SPARK_GRAFT_BENCH_WARMS")
+      .map(_.toInt.max(1)).getOrElse(3)
+    val warmRuns = Seq.fill(warms)(names.map(n => n -> run(n)).toMap)
     val warm = names.map { n =>
       val ok = warmRuns.map(_(n)).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)

@@ -107,6 +107,7 @@ object ImpalaFunctions {
     }
     add("cosine_pairs") { case Seq(ls, rs, t, sm) => CosinePairs(ls, rs, t, sm) }
     add("long_pairs") { case Seq(ls, rs, sm) => LongPairs(ls, rs, sm) }
+    add("long_pairs_len") { case Seq(ls, rs, sm, t) => LongPairsLen(ls, rs, sm, t) }
 
     // --- pattern matching: iregexp = case-insensitive regexp ---
     add("iregexp") { case Seq(s, p) =>

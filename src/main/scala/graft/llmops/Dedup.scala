@@ -55,7 +55,16 @@ object Dedup {
     * inside the full q81/q217 pipelines) — never read by planning. */
   private[graft] val saltedExpansions = new java.util.concurrent.atomic.AtomicLong
 
-  def boundedPairs(keyed: DataFrame, cap: Int): DataFrame = {
+  /** `lenFilterE6 = Some(t·1e6)` switches the block expansion to
+    * [[graft.functions.LongPairsLen]] over PACKED `(m << 40) | id`
+    * values: the Jaccard length filter runs INSIDE the compiled
+    * expansion loop (sorted block + sliding window), so
+    * length-incompatible pairs are never generated, never distinct-ed,
+    * never shuffled — the AllPairs length-ordering optimization. The
+    * caller packs and unpacks; everything else (staging, salting, caps,
+    * dedup) is unchanged. */
+  def boundedPairs(keyed: DataFrame, cap: Int,
+                   lenFilterE6: Option[Long] = None): DataFrame = {
     // materialize the blocking keys once: they are consumed twice (block
     // sizes + the expansion), and the upstream is typically the corpus
     // scan + signature pipeline — without this the whole shingle/minhash
@@ -86,10 +95,14 @@ object Dedup {
             collect_list(when(col("g") === col("bj"), col("id"))).as("rs"))
           .select(col("ls"), col("rs"), (col("bi") === col("bj")).as("same"))
       }
-    // codegen'd block expansion (graft.functions.LongPairs) — diagonal
-    // sub-blocks (same, ls = rs) emit each unordered pair once
+    // codegen'd block expansion (graft.functions.LongPairs[Len]) —
+    // diagonal sub-blocks (same, ls = rs) emit each unordered pair once
+    val pairExpr = lenFilterE6 match {
+      case Some(t) => s"long_pairs_len(ls, rs, same, CAST($t AS BIGINT))"
+      case None => "long_pairs(ls, rs, same)"
+    }
     blocks
-      .select(explode(expr("long_pairs(ls, rs, same)")).as("p"))
+      .select(explode(expr(pairExpr)).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
@@ -2121,7 +2134,7 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val sp = QuerySpec.prepared(s, dir)
-    val (sets, _, candLen) = prefixFilterCandidates(sp, t = 0.95)
+    val (sets, candLen) = prefixFilterCandidates(sp, t = 0.95)
     candLen
       .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a")),
         Seq("id_a"))
@@ -2137,19 +2150,26 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The q400 candidate pipeline: returns (token sets with sizes,
-    * raw prefix-filter candidates, candidates after the PPJoin LENGTH
-    * filter). The length filter is the lemma |x| ≥ t·|y| ∧ |y| ≥ t·|x|
-    * (J(x, y) ≥ t ⇒ inter ≥ t·un ≥ t·max(|x|, |y|), and inter ≤
-    * min(|x|, |y|)): it rejects candidates on two SLIM integer joins
-    * BEFORE the verify stage ships either document's full token-set
-    * array through a shuffle — at a near-dup-heavy corpus the
-    * candidate × 2·avg-doc-tokens verify bytes are the dominant cost,
-    * and the filter cuts them with zero false negatives (the lemma is
-    * exact; LlmOpsSpec pins both the reduction and the unchanged
-    * result). */
+  /** The q400 candidate pipeline: returns (token sets, candidate pairs
+    * with both documents' token-set sizes attached). The PPJoin LENGTH
+    * filter — the lemma t·|x| ≤ |y| ∧ t·|y| ≤ |x| (J(x, y) ≥ t ⇒
+    * inter ≥ t·un ≥ t·max(|x|, |y|), and inter ≤ min(|x|, |y|)) — runs
+    * INSIDE the compiled pair expansion: each document's set size m is
+    * packed into its id's high bits ((m << 40) | doc_id) and
+    * [[graft.functions.LongPairsLen]] sorts each block by m and slides
+    * a window, so length-incompatible pairs are never generated, never
+    * distinct-ed, never shuffled, and the verify stage ships token-set
+    * arrays only for pairs that could possibly reach t. On the fresh
+    * 10× drill fixture the filter keeps 25% of the raw candidate mass
+    * (339M of 1.35B — measured, BENCH_SF1.json); zero false negatives
+    * (the lemma is exact; LlmOpsSpec pins both the reduction and the
+    * unchanged result). Packing contract: doc_id < 2⁴⁰, distinct-token
+    * count < 2²³ — web documents are orders of magnitude inside both.
+    * `lengthFilter = false` keeps the raw expansion (the spec's
+    * reduction-measurement arm). */
   private[graft] def prefixFilterCandidates(
-      sp: SparkSession, t: Double): (DataFrame, DataFrame, DataFrame) = {
+      sp: SparkSession, t: Double,
+      lengthFilter: Boolean = true): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val toks = sp.table("documents")
       .select(col("doc_id"),
@@ -2163,20 +2183,23 @@ object Dedup {
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("r") <= col("m") - ceil(lit(t) * col("m")) + 1)
-    val cand = boundedPairs(
-      pref.select(col("tok").as("bkey"), col("doc_id").as("id")), cap = 256)
+    val packed = pref.select(col("tok").as("bkey"),
+      (expr("shiftleft(m, 40)") + col("doc_id")).as("id"))
+    val tE6 = math.round(t * 1e6)
+    val cand = boundedPairs(packed, cap = 256,
+      lenFilterE6 = if (lengthFilter) Some(tE6) else None)
+    val unpacked = cand.selectExpr(
+      "id_a & 1099511627775 AS da", "shiftrightunsigned(id_a, 40) AS ma",
+      "id_b & 1099511627775 AS db", "shiftrightunsigned(id_b, 40) AS mb")
+      .select(
+        least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"),
+        when(col("da") < col("db"), col("ma")).otherwise(col("mb")).as("m_a"),
+        when(col("da") < col("db"), col("mb")).otherwise(col("ma")).as("m_b"))
     val sets = toks.groupBy("doc_id")
-      .agg(collect_set(col("tok")).as("s"), count(lit(1)).as("m"))
-      .staged // the slim length arms + both verify set arms read it
-    val lens = sets.select(col("doc_id"), col("m"))
-    val candLen = cand
-      .join(lens.select(col("doc_id").as("id_a"), col("m").as("m_a")),
-        Seq("id_a"))
-      .join(lens.select(col("doc_id").as("id_b"), col("m").as("m_b")),
-        Seq("id_b"))
-      .filter(col("m_b") >= lit(t) * col("m_a") &&
-        col("m_a") >= lit(t) * col("m_b"))
-    (sets, cand, candLen)
+      .agg(collect_set(col("tok")).as("s"))
+      .staged // both verify set arms read it
+    (sets, unpacked)
   }
 
   val all: Seq[QuerySpec] = Seq(

@@ -120,6 +120,34 @@ class CodegenParitySpec extends EngineSuite {
           |FROM g_parity_p""".stripMargin)
       g == i
     })
+    // long_pairs_len: packed (m << 40 | id) blocks, codegen ≡ interpreted
+    check("long_pairs_len")(Prop.forAll(
+      Gen.listOfN(5, Gen.zip(Gen.choose(0L, 50L), Gen.choose(1L, 12L))),
+      Gen.listOfN(5, Gen.zip(Gen.choose(0L, 50L), Gen.choose(1L, 12L)))) { (la, ra) =>
+      val pack = (p: (Long, Long)) => (p._2 << 40) | p._1
+      val ls = la.map(pack)
+      val rs = ra.map(pack)
+      val setup = () => Seq((ls, rs)).toDF("ls", "rs")
+        .createOrReplaceTempView("g_parity_pl")
+      val (g, i) = bothModes(setup,
+        """SELECT long_pairs_len(ls, rs, true, CAST(950000 AS BIGINT)),
+          |       long_pairs_len(ls, rs, false, CAST(950000 AS BIGINT))
+          |FROM g_parity_pl""".stripMargin)
+      g == i
+    })
+    // deterministic set-equivalence: with tE6 = 0 (every size window
+    // open — raw unpacked ids carry m = 0) the sorted-window expansion
+    // emits EXACTLY long_pairs' multiset, diagonal and cross
+    val eq = spark.sql(
+      """SELECT array_sort(long_pairs_len(array(3L, 1L, 2L), array(3L, 1L, 2L),
+        |                                 true, CAST(0 AS BIGINT)))
+        |       = array_sort(long_pairs(array(3L, 1L, 2L), array(3L, 1L, 2L), true)) AS d,
+        |       array_sort(long_pairs_len(array(5L, 9L), array(7L, 9L, 1L),
+        |                                 false, CAST(0 AS BIGINT)))
+        |       = array_sort(long_pairs(array(5L, 9L), array(7L, 9L, 1L), false)) AS x
+        |""".stripMargin).collect()(0)
+    assert(eq.getBoolean(0) && eq.getBoolean(1),
+      "tE6 = 0 long_pairs_len must degenerate to long_pairs exactly")
     // cosine_pairs: id+vector struct blocks, diagonal and cross
     val blockGen = Gen.listOfN(4,
       Gen.zip(Gen.choose(0L, 20L), Gen.listOfN(8, dblGen)))

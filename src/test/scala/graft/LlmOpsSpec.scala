@@ -807,25 +807,30 @@ class LlmOpsSpec extends EngineSuite {
   }
 
   test("q400 PPJoin length filter cuts length-mismatched candidates " +
-    "BEFORE the verify join ships token sets — losslessly") {
+    "INSIDE the pair expansion — losslessly") {
     // docs 1 and 2 share the globally rarest token 'q' (both prefixes =
     // {q} at t=0.95), so they form a RAW candidate — but |1|=2 vs |2|=4
-    // fails t·|y| ≤ |x|, so no J ≥ 0.95 is possible and the length
-    // filter must cut the pair without touching either token set. Docs
-    // 3 and 4 are identical and must survive end to end.
-    val sp = spark.newSession()
+    // fails t·|y| ≤ |x|, so no J ≥ 0.95 is possible and the in-expansion
+    // length window must never emit the pair. Docs 3 and 4 are identical
+    // and must survive end to end. The raw arm (lengthFilter = false)
+    // measures the reduction; m sizes must come through the packing
+    // intact on both arms.
+    val sp = QuerySpec.prepared(spark.newSession(), sfDir)
     import sp.implicits._
     Seq((1L, "q z"), (2L, "q m n o"), (3L, "z m n o"), (4L, "z m n o"))
       .toDF("doc_id", "text").createOrReplaceTempView("documents")
-    val (_, raw, filtered) = llmops.Dedup.prefixFilterCandidates(sp, t = 0.95)
-    val rawSet = raw.select(col("id_a"), col("id_b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(rawSet == Set((1L, 2L), (3L, 4L)),
-      s"both prefix buckets must emit their candidate: $rawSet")
-    val kept = filtered.select(col("id_a"), col("id_b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(kept == Set((3L, 4L)),
-      s"the length-mismatched (1, 2) candidate must be cut: $kept")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id_a"), col("id_b"), col("m_a"), col("m_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val (_, raw) =
+      llmops.Dedup.prefixFilterCandidates(sp, t = 0.95, lengthFilter = false)
+    assert(pairsOf(raw) == Set((1L, 2L, 2L, 4L), (3L, 4L, 4L, 4L)),
+      s"both prefix buckets must emit their candidate with true sizes: ${pairsOf(raw)}")
+    val (_, filtered) = llmops.Dedup.prefixFilterCandidates(sp, t = 0.95)
+    assert(pairsOf(filtered) == Set((3L, 4L, 4L, 4L)),
+      s"the length-mismatched (1, 2) candidate must be cut: ${pairsOf(filtered)}")
   }
 
   test("q408 anchor join: mixed-length phrase relation, overlapping and " +
