@@ -652,7 +652,133 @@ object SuffixArray {
 
   // q381 is the bench sentinel: it executes the full doubling build
   // PLUS the global adjacency pass — the heaviest path in the family
+  /** Cross-split TRAIN → TEST decontamination, exact at arbitrary
+    * length (Lee et al. 2022 §6.2 "train-test overlap" on the suffix
+    * array): for every held-out document, the length of the LONGEST
+    * contiguous token run it shares with ANY training document, plus
+    * the per-source contamination rollup an eval-set audit reads. The
+    * fixed-n overlap matrix (q180) answers "how many n-grams collide"
+    * at one n; this answers "how LONG is the longest literal copy" at
+    * every length, which is the metric that decides whether an eval
+    * score is memorization.
+    *
+    * Algorithm — the classic SA identity lcp(sᵢ, sⱼ) =
+    * min(adjacent-lcp[i..j−1]) makes the nearest train suffix in SA
+    * order the BEST one on its side, so per test suffix the answer is
+    * max(down, up) where down/up are running mins of the adjacent-LCP
+    * array since the previous/next TRAIN suffix. Distributed shape:
+    * the suffix sequence and its adjacent LCPs come from the one SA
+    * build ([[adjacentLcp]]); the train-counts that delimit segments
+    * are ONE range-partitioned prefix sum (Prefix.prefixSums — never a
+    * global window); the two directional running mins are windows
+    * PARTITIONED BY SEGMENT (a segment = one maximal run of
+    * consecutive held-out suffixes in SA order — bounded by the
+    * held-out split's dup-run mass, the same envelope as the per-doc
+    * windows elsewhere; a pathological all-identical held-out split
+    * lengthens it, and such a split is exactly what q80's exact dedup
+    * removes first). The held-out split is doc_id % 10 = 0 — a
+    * deterministic fixture parameter; in production the split label
+    * arrives as a column. */
+  val q409Decontamination: QuerySpec = QuerySpec(
+    "q409_sa_decontamination",
+    s"""WITH $oracleLcpCtes,
+       |so AS (SELECT doc_id, pos,
+       |         ROW_NUMBER() OVER (ORDER BY suf, doc_id, pos) AS idx
+       |       FROM s),
+       |sg AS (SELECT idx, doc_id, (doc_id % 10 != 0) AS is_train,
+       |         CAST(SUM(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END)
+       |           OVER (ORDER BY idx) AS BIGINT) AS segd,
+       |         CAST(SUM(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END)
+       |           OVER (ORDER BY idx DESC) AS BIGINT) AS segu
+       |       FROM so),
+       |lc AS (SELECT so.idx - 1 AS j, p.lcp
+       |       FROM p JOIN so ON p.doc_id = so.doc_id AND p.pos = so.pos),
+       |lg AS (SELECT lc.j, lc.lcp, a.segd AS gl, b.segu AS gu
+       |       FROM lc JOIN sg a ON a.idx = lc.j
+       |       JOIN sg b ON b.idx = lc.j + 1),
+       |mins AS (SELECT j,
+       |    MIN(lcp) OVER (PARTITION BY gl ORDER BY j
+       |                   ROWS UNBOUNDED PRECEDING) AS dm,
+       |    MIN(lcp) OVER (PARTITION BY gu ORDER BY j DESC
+       |                   ROWS UNBOUNDED PRECEDING) AS um
+       |  FROM lg),
+       |best AS (SELECT t.doc_id,
+       |    GREATEST(CASE WHEN t.segd >= 1 THEN COALESCE(d.dm, 0) ELSE 0 END,
+       |             CASE WHEN t.segu >= 1 THEN COALESCE(u.um, 0) ELSE 0 END)
+       |      AS b
+       |  FROM sg t
+       |  LEFT JOIN mins d ON d.j = t.idx - 1
+       |  LEFT JOIN mins u ON u.j = t.idx
+       |  WHERE NOT t.is_train),
+       |pd AS (SELECT doc_id, MAX(b) AS mo FROM best GROUP BY doc_id)
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS test_docs,
+       |  CAST(SUM(CASE WHEN mo >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS contaminated_docs,
+       |  CAST(MAX(mo) AS BIGINT) AS max_overlap_words,
+       |  CAST(SUM(mo) AS BIGINT) AS sum_max_overlap
+       |FROM pd JOIN (SELECT DISTINCT doc_id, source FROM documents) d
+       |  USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    decontaminationReport(QuerySpec.prepared(s, dir))
+  }
+
+  /** The q409 body on an attached session — split out so
+    * SuffixArraySpec can pin the shadowed-suffix case (two identical
+    * held-out docs whose suffixes are SA-adjacent to EACH OTHER, not to
+    * the train copy — the running-min scan must credit both, where a
+    * naive adjacent-pair-to-train check credits neither). */
+  private[graft] def decontaminationReport(sp: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = adjacentLcp(sp)
+      .select(col("idx"), col("doc_a"), col("doc_b"), col("lcp"))
+      .staged // the suffix sequence and the segment-labeled scans read it
+    // the n-suffix sequence in SA order, rebuilt from the pair relation
+    // itself (a-sides + the final b-side; interior rows identical)
+    val sufs = pairs.select(col("idx"), col("doc_a").as("doc"))
+      .unionByName(pairs.select((col("idx") + 1L).as("idx"),
+        col("doc_b").as("doc")))
+      .groupBy(col("idx")).agg(min(col("doc")).as("doc"))
+      .withColumn("is_train", col("doc") % 10 =!= 0)
+    val seg = Prefix.prefixSums(sufs, Seq(col("idx")),
+      Seq((when(col("is_train"), 1L).otherwise(0L), "segd")))
+      .staged // the total, both lcp-label joins, and the test arm read it
+    val total = seg.agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("__tt"))
+    val seg2 = seg.crossJoin(broadcast(total))
+      .withColumn("segu", col("__tt") - col("segd") +
+        when(col("is_train"), 1L).otherwise(0L))
+    val lc = pairs.select(col("idx").as("j"), col("lcp"))
+      .join(seg2.select(col("idx").as("j"), col("segd").as("gl")), Seq("j"))
+      .join(seg2.select((col("idx") - 1L).as("j"), col("segu").as("gu")),
+        Seq("j"))
+    val dW = Window.partitionBy(col("gl")).orderBy(col("j"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val uW = Window.partitionBy(col("gu")).orderBy(col("j").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mins = lc.withColumn("dm", min(col("lcp")).over(dW))
+      .withColumn("um", min(col("lcp")).over(uW))
+      .staged // both directional joins below read it
+    val best = seg2.filter(!col("is_train"))
+      .join(mins.select((col("j") + 1L).as("idx"), col("dm")), Seq("idx"),
+        "left")
+      .join(mins.select(col("j").as("idx"), col("um")), Seq("idx"), "left")
+      .withColumn("b", greatest(
+        when(col("segd") >= 1, coalesce(col("dm"), lit(0L))).otherwise(0L),
+        when(col("segu") >= 1, coalesce(col("um"), lit(0L))).otherwise(0L)))
+    val perDoc = best.groupBy(col("doc")).agg(max(col("b")).as("mo"))
+    perDoc
+      .join(sp.table("documents").select(col("doc_id").as("doc"),
+        col("source")), "doc")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("test_docs"),
+        sum(when(col("mo") >= 8, 1L).otherwise(0L)).as("contaminated_docs"),
+        max(col("mo")).as("max_overlap_words"),
+        sum(col("mo")).as("sum_max_overlap"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q380SuffixRanks, q381LcpStats.benched, q382DupCoverage,
-      q396SubstringRemoveSa)
+      q396SubstringRemoveSa, q409Decontamination)
 }

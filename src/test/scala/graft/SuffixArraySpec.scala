@@ -173,4 +173,27 @@ class SuffixArraySpec extends EngineSuite {
         "the r15 positional encode kept doc 2 instead")
     assert(out(0).getAs[Long]("removed_tokens") == 8L)
   }
+
+  test("q409 credits SHADOWED held-out suffixes: identical test twins " +
+    "both reach the train copy through the running-min scan") {
+    // Both held-out docs ARE a 10-word chunk of the train doc. In SA
+    // order each twin suffix sits adjacent to its TWIN first (rank-tied),
+    // with the train suffix beyond it — a naive adjacent-pair-to-train
+    // check credits at most one twin; the segmented running min must
+    // credit BOTH with the full 10 words. Doc 30 shares nothing and
+    // must report 0.
+    val chunk = (1 to 10).map(i => s"p$i").mkString(" ")
+    val sp = syntheticDocs(Seq(
+      (10L, "s1", chunk), (20L, "s1", chunk), // held-out twins (% 10 == 0)
+      (1L, "s1", s"x1 x2 $chunk y1"), // train carrier
+      (11L, "s2", "z1 z2 z3"), // unrelated train
+      (30L, "s2", "q1 q2 q3"))) // clean held-out
+    val out = llmops.SuffixArray.decontaminationReport(sp)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // s1: twins 10 and 20, both contaminated at length 10 ⇒ sum 20
+    assert(out("s1") == ((2L, 2L, 10L, 20L)), s"s1 row: ${out("s1")}")
+    // s2: doc 30 only, clean
+    assert(out("s2") == ((1L, 0L, 0L, 0L)), s"s2 row: ${out("s2")}")
+  }
 }
