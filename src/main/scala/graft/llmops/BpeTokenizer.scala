@@ -142,24 +142,36 @@ object BpeTokenizer {
   }
 
   /** Run the training loop: returns (merge table with 1-based `round`,
-    * final symbol table). Checkpoint ledger mirrors the suffix-array
-    * loop: each round's symbol table is staged and its predecessor
-    * released; winners are one row each and staged for the final union. */
+    * final symbol table). Per-round state checkpoint ledger mirrors the
+    * suffix-array loop: each round's symbol table is staged and its
+    * predecessor released. The round's winner is COLLECTED (the same
+    * documented O(1)-result driver probe the old `isEmpty` was — ≤ 1
+    * row) and fed back as a LITERAL relation, so the rewrite joins a
+    * local table instead of a checkpointed frame and the merge-table
+    * artifact is a local relation: at production K ≈ 30k the loop
+    * retains ZERO winner checkpoints (the old shape kept one tiny
+    * staged frame per round for the final union — O(K) block-manager
+    * entries for a K×4 artifact that fits on the driver by
+    * definition). */
   private[graft] def trainMerges(sp: SparkSession,
                                  rounds: Int = Merges): (DataFrame, DataFrame) = {
+    import sp.implicits._
     var syms = seedSyms(sp).staged
-    val merges = List.newBuilder[DataFrame]
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
     var k = 0
     var exhausted = false
     while (k < rounds && !exhausted) {
       val next = withNext(syms).staged // pair count + rewrite both read it
-      val winner = roundWinner(next).staged // probe + union + rewrite join
-      if (winner.isEmpty) { // O(1)-result probe: zero or one row
+      val win = roundWinner(next).collect() // O(1)-result probe: ≤ 1 row
+      if (win.isEmpty) {
         Checkpoints.unpersist(next)
-        Checkpoints.unpersist(winner) // empty, but staged — release it too
         exhausted = true
       } else {
-        merges += winner.withColumn("round", lit(k + 1L))
+        val w = win(0)
+        merges += ((k + 1L, w.getAs[String]("l"), w.getAs[String]("r"),
+          w.getAs[Long]("pair_freq")))
+        val winner = Seq((w.getAs[String]("l"), w.getAs[String]("r")))
+          .toDF("l", "r")
         val rewritten = rewrite(next, winner).staged
         Checkpoints.unpersist(next) // rewritten is eager; transient dead
         Checkpoints.unpersist(syms)
@@ -167,12 +179,8 @@ object BpeTokenizer {
         k += 1
       }
     }
-    val mergeTable = merges.result() match {
-      case Nil =>
-        seedSyms(sp).select(lit(0L).as("round"), col("sym").as("l"),
-          col("sym").as("r"), col("freq").as("pair_freq")).filter(lit(false))
-      case parts => parts.reduce(_.unionByName(_))
-    }
+    val mergeTable = merges.result()
+      .toDF("round", "l", "r", "pair_freq")
     (mergeTable, syms)
   }
 
@@ -415,7 +423,8 @@ object BpeTokenizer {
             col("q_r") === col("l") || col("q_r") === col("r")),
         "left_anti")
       .orderBy(col("rk")).limit(m)
-      .withColumn("brk", row_number().over(Window.orderBy(col("rk"))))
+      .withColumn("brk",
+        row_number().over(Window.orderBy(col("rk"))).cast("long"))
       .select(col("l"), col("r"), col("pair_freq"), col("brk"))
   }
 
@@ -430,19 +439,26 @@ object BpeTokenizer {
   private[graft] def trainMergesBatched(
       sp: SparkSession, rounds: Int = BatchRounds, m: Int = BatchM,
       pool: Int = BatchPool): (DataFrame, DataFrame) = {
+    import sp.implicits._
     var syms = seedSyms(sp).staged
-    val merges = List.newBuilder[DataFrame]
+    val merges = Seq.newBuilder[(Long, Long, String, String, Long)]
     var k = 0
     var exhausted = false
     while (k < rounds && !exhausted) {
       val next = withNext(syms).staged
-      val winners = batchWinners(next, m, pool).staged
-      if (winners.isEmpty) { // O(1)-result probe: ≤ m rows
+      val win = batchWinners(next, m, pool).collect() // O(1)-result: ≤ m rows
+      if (win.isEmpty) {
         Checkpoints.unpersist(next)
-        Checkpoints.unpersist(winners)
         exhausted = true
       } else {
-        merges += winners.withColumn("round", lit(k + 1L))
+        merges ++= win.map(w => (k + 1L, w.getAs[Long]("brk"),
+          w.getAs[String]("l"), w.getAs[String]("r"),
+          w.getAs[Long]("pair_freq")))
+        // the rewrite joins the ≤ m-row batch as a LITERAL relation —
+        // same zero-retained-checkpoints ledger as [[trainMerges]]
+        val winners = win.toSeq
+          .map(w => (w.getAs[String]("l"), w.getAs[String]("r")))
+          .toDF("l", "r")
         val rewritten = rewrite(next, winners).staged
         Checkpoints.unpersist(next)
         Checkpoints.unpersist(syms)
@@ -450,13 +466,8 @@ object BpeTokenizer {
         k += 1
       }
     }
-    val mergeTable = merges.result() match {
-      case Nil =>
-        seedSyms(sp).select(col("sym").as("l"), col("sym").as("r"),
-          col("freq").as("pair_freq"), lit(0L).as("brk"),
-          lit(0L).as("round")).filter(lit(false))
-      case parts => parts.reduce(_.unionByName(_))
-    }
+    val mergeTable = merges.result()
+      .toDF("round", "brk", "l", "r", "pair_freq")
     (mergeTable, syms)
   }
 
