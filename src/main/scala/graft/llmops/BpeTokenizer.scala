@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   * only windows PARTITIONED BY word — each partition is one word's
   * symbols, bounded by the longest word's character count, so no tie
   * block, boilerplate or otherwise, can pin a task (the q383/suffix-
-  * array skew discipline). Round state is localCheckpoint-ed and
-  * transients released, like the suffix-array doubling loop; the
-  * per-round `isEmpty` on the one-row winner is the same documented
-  * O(1)-result driver probe.
+  * array skew discipline). Per-round SYMBOL state is localCheckpoint-ed
+  * and transients released, like the suffix-array doubling loop; the
+  * round's winner is COLLECTED (≤ m rows — the documented O(1)-result
+  * driver probe) and rejoined as a literal relation, so no winner
+  * checkpoint is ever retained and the K-row merge-table artifact is a
+  * local relation.
   *
   * Greedy left-to-right on "aaaa" with winner (a,a) must yield
   * [aa, aa] — NOT three overlapping matches. Encoded without any
