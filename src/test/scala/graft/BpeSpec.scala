@@ -139,6 +139,41 @@ class BpeSpec extends EngineSuite {
     assert(symsOf(finalSyms, "aaa") == Seq("aa", "a"))
   }
 
+  test("q407 packs a full batch of disjoint winners into ONE round") {
+    val sp = docs("ab cd ef", "ab cd ef")
+    val (merges, _) = llmops.BpeTokenizer.trainMergesBatched(
+      sp, rounds = 1, m = 3, pool = 16)
+    val m = merges.collect()
+    assert(m.length == 3, s"three disjoint pairs must all merge: ${m.toSeq}")
+    assert(m.map(_.getAs[Long]("round")).toSet == Set(1L))
+    assert(m.map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSet ==
+      Set(("a", "b"), ("c", "d"), ("e", "f")))
+  }
+
+  test("encoding with the BATCHED-learned table reproduces the batched " +
+    "trainer's final symbol table (the q407 -> encoder composition)") {
+    // rank = the flattened (round, brk) order; within a batch the rules
+    // are symbol-disjoint, so the encoder's one-rule-per-round replay
+    // commutes with the trainer's simultaneous application
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val (bm, bSyms) = llmops.BpeTokenizer.trainMergesBatched(sp)
+    val learned = bm.select(
+      concat_ws(" ", col("l"), col("r")).as("pair"),
+      ((col("round") - 1L) * llmops.BpeTokenizer.BatchM + col("brk"))
+        .as("rank"))
+    val vocab = bSyms.groupBy("word").agg(max(col("freq")).as("n"))
+    val enc = llmops.TextAnalysis.bpeEncodeStateWith(sp, vocab, learned,
+      llmops.BpeTokenizer.BatchRounds * llmops.BpeTokenizer.BatchM)
+    val encToks = enc.select(col("word"),
+      expr("split(trim(seq), '  ')").as("toks"))
+    val trainToks = bSyms.groupBy("word")
+      .agg(array_sort(collect_list(struct(col("pos"), col("sym")))).as("ps"))
+      .select(col("word"), expr("transform(ps, s -> s.sym)").as("toks"))
+    assert(encToks.exceptAll(trainToks).isEmpty &&
+      trainToks.exceptAll(encToks).isEmpty,
+      "the batched merge table must replay through the greedy encoder")
+  }
+
   test("q407 on the fixture: first batch member = q401's first merge; " +
     "every batch non-interacting; words re-concatenate") {
     val sp = QuerySpec.prepared(spark, sfDir)
