@@ -2133,25 +2133,55 @@ object Dedup {
       |WHERE inter_tokens >= 0.95 * un
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val sp = QuerySpec.prepared(s, dir)
-    val (sets, candLen) = prefixFilterCandidates(sp, t = 0.95)
-    candLen
-      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a")),
+    prefixFilterJoin(QuerySpec.prepared(s, dir), t = 0.95)
+  }
+
+  /** The full q400 operator on an attached session: candidates at the
+    * REPRESENTATIVE grain ([[prefixFilterCandidates]]), exact-Jaccard
+    * verify, then the identical-set expansion that restores the full
+    * pair set — cross-group rep pairs fan out to all member
+    * combinations (identical sets ⇒ identical Jaccard), and each
+    * multi-member group emits its own all-pairs at Jaccard exactly 1
+    * through the same capped salted expansion as every block here. */
+  private[graft] def prefixFilterJoin(sp: SparkSession, t: Double): DataFrame = {
+    val (repSets, candLen, members) = prefixFilterCandidates(sp, t)
+    val repPairs = candLen
+      .join(repSets.select(col("doc_id").as("id_a"), col("s").as("s_a")),
         Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b")),
+      .join(repSets.select(col("doc_id").as("id_b"), col("s").as("s_b")),
         Seq("id_b"))
       .withColumn("inter_tokens",
         size(array_intersect(col("s_a"), col("s_b"))).cast("long"))
       .withColumn("un", col("m_a") + col("m_b") - col("inter_tokens"))
-      .filter(col("inter_tokens") >= lit(0.95) * col("un"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        col("inter_tokens"),
-        round(col("inter_tokens") * 1e6 / col("un")).cast("long").as("jacc_e6"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("inter_tokens") >= lit(t) * col("un"))
+      .select(col("id_a"), col("id_b"), col("inter_tokens"),
+        round(col("inter_tokens") * 1e6 / col("un")).cast("long")
+          .as("jacc_e6"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("doc").as("da")),
+        Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("doc").as("db")),
+        Seq("id_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("inter_tokens"), col("jacc_e6"))
+    // within-group pairs: identical token sets, Jaccard exactly 1;
+    // packed ids keep doc order (equal m ⇒ packed order = doc order)
+    val withinPacked = members.filter(col("g") >= 2)
+      .select(col("rep").as("bkey"),
+        (expr("shiftleft(m, 40)") + col("doc")).as("id"))
+    val within = boundedPairs(withinPacked, cap = 256)
+      .selectExpr("id_a & 1099511627775 AS doc_a",
+        "id_b & 1099511627775 AS doc_b",
+        "shiftrightunsigned(id_a, 40) AS inter_tokens")
+      .select(col("doc_a"), col("doc_b"), col("inter_tokens"),
+        lit(1000000L).as("jacc_e6"))
+    cross.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The q400 candidate pipeline: returns (token sets, candidate pairs
-    * with both documents' token-set sizes attached). The PPJoin LENGTH
+  /** The q400 candidate pipeline at the REPRESENTATIVE grain: returns
+    * (rep token sets, rep candidate pairs with both set sizes attached,
+    * group membership (rep, g, m, doc)). The PPJoin LENGTH
     * filter — the lemma t·|x| ≤ |y| ∧ t·|y| ≤ |x| (J(x, y) ≥ t ⇒
     * inter ≥ t·un ≥ t·max(|x|, |y|), and inter ≤ min(|x|, |y|)) — runs
     * INSIDE the compiled pair expansion: each document's set size m is
@@ -2169,16 +2199,36 @@ object Dedup {
     * reduction-measurement arm). */
   private[graft] def prefixFilterCandidates(
       sp: SparkSession, t: Double,
-      lengthFilter: Boolean = true): (DataFrame, DataFrame) = {
+      lengthFilter: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val toks = sp.table("documents")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .staged // consumed by df counts, the prefix build, and the verify
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .staged // consumed by the set-grouping and the rep-grain pipeline
+    // Identical-set collapse: docs whose DISTINCT token sets are EQUAL
+    // are interchangeable for every candidate and verify decision, so
+    // the pipeline runs on ONE representative per set and the caller
+    // expands the verified pairs back ([[prefixFilterJoin]]) — the
+    // production "exact dedup first" advice folded inside the operator:
+    // on a corpus with d-fold duplication, candidate and verify work
+    // drop d² while the (inherently quadratic-in-d) duplicate pairs are
+    // restored as pure output expansion. Measured on the 10× replicated
+    // drill fixture (every doc × 10): warm 109 s → the rep pipeline
+    // runs at the base corpus's size.
+    val grouped = toks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("s"))
+      .groupBy(col("s")).agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("docs"), count(lit(1)).as("g"))
+      .staged // repSets, members, and the rep-token semi-join read it
+    val repSets = grouped.select(col("rep").as("doc_id"), col("s"))
+    val members = grouped.select(col("rep"), col("g"),
+      size(col("s")).cast("long").as("m"), explode(col("docs")).as("doc"))
+    val repToks = toks.join(grouped.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val dfreq = repToks.groupBy("tok").agg(count(lit(1)).as("df"))
     // rarest-first prefix: per-doc window (bounded by doc length);
     // prefix length m − ⌈t·m⌉ + 1 per the AllPairs lemma
-    val pref = toks.join(dfreq, "tok")
+    val pref = repToks.join(dfreq, "tok")
       .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
@@ -2196,10 +2246,7 @@ object Dedup {
         greatest(col("da"), col("db")).as("id_b"),
         when(col("da") < col("db"), col("ma")).otherwise(col("mb")).as("m_a"),
         when(col("da") < col("db"), col("mb")).otherwise(col("ma")).as("m_b"))
-    val sets = toks.groupBy("doc_id")
-      .agg(collect_set(col("tok")).as("s"))
-      .staged // both verify set arms read it
-    (sets, unpacked)
+    (repSets, unpacked, members)
   }
 
   val all: Seq[QuerySpec] = Seq(

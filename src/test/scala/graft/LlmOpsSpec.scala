@@ -806,31 +806,44 @@ class LlmOpsSpec extends EngineSuite {
     assert(brute.nonEmpty, "fixture must exercise the join (threshold too high)")
   }
 
-  test("q400 PPJoin length filter cuts length-mismatched candidates " +
-    "INSIDE the pair expansion — losslessly") {
-    // docs 1 and 2 share the globally rarest token 'q' (both prefixes =
-    // {q} at t=0.95), so they form a RAW candidate — but |1|=2 vs |2|=4
-    // fails t·|y| ≤ |x|, so no J ≥ 0.95 is possible and the in-expansion
-    // length window must never emit the pair. Docs 3 and 4 are identical
-    // and must survive end to end. The raw arm (lengthFilter = false)
-    // measures the reduction; m sizes must come through the packing
-    // intact on both arms.
+  test("q400 length filter cuts candidates INSIDE the pair expansion, " +
+    "identical-set docs collapse to one rep, and the expansion restores " +
+    "their pairs — all losslessly") {
+    // Docs 5, 6 and 7 carry the SAME token set {a,b,c,d} (different
+    // orders/multiplicity) ⇒ ONE representative (5) runs the pipeline;
+    // their three pairs come back through the within-group expansion at
+    // Jaccard exactly 1. Docs 1 and 5 share the prefix token 'a' ⇒ a
+    // raw rep candidate — but |1|=2 vs |5|=4 fails t·|y| ≤ |x|, so the
+    // in-expansion length window must never emit it. Doc 2 shares no
+    // prefix bucket with anyone.
     val sp = QuerySpec.prepared(spark.newSession(), sfDir)
     import sp.implicits._
-    Seq((1L, "q z"), (2L, "q m n o"), (3L, "z m n o"), (4L, "z m n o"))
+    Seq((1L, "q a"), (2L, "q b c d"), (5L, "a b c d"), (6L, "b a d c d"),
+      (7L, "a b c d"))
       .toDF("doc_id", "text").createOrReplaceTempView("documents")
     def pairsOf(df: org.apache.spark.sql.DataFrame) = df
       .select(col("id_a"), col("id_b"), col("m_a"), col("m_b"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    val (_, raw) =
+    val (_, raw, members) =
       llmops.Dedup.prefixFilterCandidates(sp, t = 0.95, lengthFilter = false)
-    assert(pairsOf(raw) == Set((1L, 2L, 2L, 4L), (3L, 4L, 4L, 4L)),
-      s"both prefix buckets must emit their candidate with true sizes: ${pairsOf(raw)}")
-    val (_, filtered) = llmops.Dedup.prefixFilterCandidates(sp, t = 0.95)
-    assert(pairsOf(filtered) == Set((3L, 4L, 4L, 4L)),
-      s"the length-mismatched (1, 2) candidate must be cut: ${pairsOf(filtered)}")
+    assert(pairsOf(raw) == Set((1L, 5L, 2L, 4L)),
+      s"the rep-grain prefix bucket must emit (1, 5) with true sizes: ${pairsOf(raw)}")
+    val (_, filtered, _) = llmops.Dedup.prefixFilterCandidates(sp, t = 0.95)
+    assert(pairsOf(filtered).isEmpty,
+      s"the length-mismatched (1, 5) candidate must be cut: ${pairsOf(filtered)}")
+    // the identical-set group holds docs 5, 6, 7 under rep 5
+    val grp = members.filter(col("g") === 3)
+      .select(col("rep"), col("doc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grp == Set((5L, 5L), (5L, 6L), (5L, 7L)), s"group: $grp")
+    // end to end: exactly the three within-group pairs, Jaccard 1
+    val out = llmops.Dedup.prefixFilterJoin(sp, t = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set((5L, 6L, 4L, 1000000L), (5L, 7L, 4L, 1000000L),
+      (6L, 7L, 4L, 1000000L)), s"got $out")
   }
 
   test("q408 anchor join: mixed-length phrase relation, overlapping and " +
