@@ -28,6 +28,7 @@ object SparkEntry {
       llmops.TextAnalysis.all ++
       llmops.SuffixArray.all ++
       llmops.BpeTokenizer.all ++
+      llmops.UnigramTokenizer.all ++
       llmops.Multimodal.all ++
       llmops.Clustering.all ++
       llmops.Retrieval.all ++

@@ -1,0 +1,486 @@
+package graft.llmops
+
+import graft.QuerySpec
+import graft.llmops.Checkpoints.Stageable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed UNIGRAM-LM tokenizer (Kudo 2018, "Subword Regularization:
+  * Improving Neural Network Translation Models with Multiple Subword
+  * Candidates" — the SentencePiece algorithm), the second production
+  * tokenizer family next to the BPE trainer ([[BpeTokenizer]]): instead
+  * of learning a merge ORDER, a unigram model scores every subword with
+  * a log-probability and each word is segmented by VITERBI — the
+  * maximum-likelihood path through the word's subword lattice — with
+  * training as EM re-estimation of the probabilities from the
+  * segmentations themselves.
+  *
+  * Both halves run as pure DataFrame algebra at the DISTINCT-WORD grain
+  * (the [[BpeTokenizer]] scale discipline: the corpus is touched exactly
+  * once, for word frequencies):
+  *  - the subword LATTICE is a per-word explode of all substrings up to
+  *    [[SubMaxLen]] characters (≤ len·[[SubMaxLen]] edges per word),
+  *    joined to the vocabulary on the subword — vocab-grain, never
+  *    corpus-grain;
+  *  - the Viterbi DP is ONE per-row expression: an `aggregate` over the
+  *    word's positions whose accumulator is the dp array (best score,
+  *    backpointer, path), each step an `array_max` over the lattice
+  *    edges ending at that position — zero joins, zero shuffles, zero
+  *    iterative rounds, bounded by word length × [[SubMaxLen]]
+  *    comparisons (contrast the BPE trainer's K driver-barrier rounds:
+  *    Viterbi segmentation is embarrassingly parallel);
+  *  - EM's M-step is one vocab-grain rollup of segmentation usage
+  *    counts, re-normalized — subwords the Viterbi paths never use drop
+  *    out (the algorithm's implicit pruning; Kudo prunes by likelihood
+  *    loss, this hard-EM variant by usage), and coverage survives
+  *    because every word's previous segmentation remains available.
+  *
+  * Determinism across engines is the design center: log-probabilities
+  * are QUANTIZED to fixed-point e6 BIGINTs (`round(ln(cnt/total)·1e6)`,
+  * the house jacc_e6/compression_e6 idiom) ONCE per vocab entry, so the
+  * DP sums and compares exact integers — no float-accumulation argmax
+  * hazard on any partitioning or engine. Ties break on the larger start
+  * position (the SHORTER final token), which identifies the edge
+  * uniquely; the struct-max encodes exactly that order.
+  *
+  * The reference is a SQL frontend with no tokenizer surface; this
+  * module is part of the training-data-pipeline layer the build adds
+  * (SURVEY §2 LLM-ops block), completing the tokenizer-family story:
+  * BPE train (q401/q407) / encode (q167/q405/q406) learn and apply
+  * MERGES; unigram-LM (q410/q411) learns and applies PROBABILITIES. */
+object UnigramTokenizer {
+
+  /** Maximum subword length in the seed vocabulary — the standard
+    * lattice bound (SentencePiece's --max_sentencepiece_length). */
+  private[graft] val SubMaxLen = 4
+
+  /** Seed-vocab frequency cutoff: substrings with corpus-weighted count
+    * below this are not candidates — EXCEPT single characters, which are
+    * always kept so every word has at least one full segmentation (the
+    * coverage guarantee the DP's reachability rests on). */
+  private[graft] val MinFreq = 2L
+
+  /** Oracle unroll bound on word length. The Spark side is generic (the
+    * DP iterates `sequence(1, length(word))`); the DuckDB replay unrolls
+    * one CTE per position, so it must stop somewhere — 16 doubles the
+    * fixture corpus's maximum word length of 8 (FixtureGuardSpec pins
+    * the bound, so a fixture drift fails loudly instead of silently
+    * truncating the oracle's DP). */
+  private[graft] val MaxWordLen = 16
+
+  /** Corpus words with total occurrence counts — the ONLY corpus-grain
+    * pass (empty tokens guarded: Spark's sequence(1, 0) throws where
+    * DuckDB's range is just empty). */
+  private def wordFreqs(sp: SparkSession): DataFrame =
+    sp.table("documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** The subword lattice of every distinct word: one row per (start j,
+    * end i, substring) with 1 ≤ i − j ≤ [[SubMaxLen]] — at most
+    * len·[[SubMaxLen]] rows per word. Position-based `substring` (not a
+    * regex) so Spark and the DuckDB oracle's `word[a:b]` slice index
+    * characters identically, line terminators included (the BPE-family
+    * seeding convention). */
+  private[graft] def edges(wf: DataFrame): DataFrame =
+    wf.selectExpr("word", "freq",
+      s"""inline(flatten(transform(sequence(0, length(word) - 1), j ->
+         |  transform(sequence(1, least($SubMaxLen, length(word) - j)), l ->
+         |    named_struct('j', j, 'i', j + l,
+         |                 'sub', substring(word, j + 1, l))))))""".stripMargin)
+
+  /** Fixed-point e6 log-probabilities over a (sub, cnt) count relation:
+    * lp = round(ln(cnt / Σcnt)·1e6) as BIGINT — quantized ONCE here so
+    * every downstream comparison is exact integer arithmetic. The 1-row
+    * total is an explicit broadcast. */
+  private def withLogProbs(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("cnt")).cast("double").as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("sub"), col("cnt"),
+        round(ln(col("cnt").cast("double") / col("tot")) * 1e6)
+          .cast("long").as("lp"))
+  }
+
+  /** Seed vocabulary: corpus-weighted substring counts off the lattice
+    * (occurrences at every position, the suffix-array-style seed Kudo
+    * uses), cut at [[MinFreq]] with the single-character coverage
+    * exemption, then e6 log-probs over the KEPT mass. */
+  private[graft] def seedVocab(ed: DataFrame): DataFrame =
+    withLogProbs(
+      ed.groupBy(col("sub")).agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= MinFreq || length(col("sub")) === 1))
+
+  /** Viterbi-segment every distinct word under a `(sub, lp)` vocabulary:
+    * returns (word, freq, score, toks). The whole DP is ONE per-row
+    * expression — `aggregate` over positions 1..len builds the dp array
+    * (index p holds the best score into position p, its backpointer, and
+    * the path so far); each step is an `array_max` over the ≤[[SubMaxLen]]
+    * lattice edges ending at p whose START position is reachable
+    * (unreachable positions hold NULL — possible under a pruned EM
+    * vocabulary; the word's own previous segmentation keeps the FINAL
+    * position reachable). The struct-max order (score, start j, path)
+    * is the exact tie-break: highest score, then the largest start —
+    * the shortest final token — which identifies the edge uniquely, so
+    * the path field never decides. Scores are e6-quantized BIGINTs:
+    * exact sums, engine- and partitioning-independent argmax. */
+  private[graft] def viterbi(ed: DataFrame, vocab: DataFrame): DataFrame =
+    ed.join(vocab.select(col("sub"), col("lp")), Seq("sub"))
+      .groupBy(col("word"), col("freq"))
+      .agg(collect_list(struct(col("i"), col("j"), col("lp"), col("sub")))
+        .as("es"))
+      .selectExpr("word", "freq",
+        """element_at(
+          |  aggregate(sequence(1, length(word)),
+          |    array(named_struct('score', CAST(0 AS BIGINT), 'bt', -1,
+          |                       'path', '')),
+          |    (acc, p) -> concat(acc, array(
+          |      array_max(transform(
+          |        filter(es, e -> e.i = p
+          |                        AND element_at(acc, e.j + 1) IS NOT NULL),
+          |        e -> named_struct(
+          |          'score', element_at(acc, e.j + 1).score + e.lp,
+          |          'bt', e.j,
+          |          'path', concat(element_at(acc, e.j + 1).path, ' ',
+          |                         e.sub))))))),
+          |  length(word) + 1) AS dp""".stripMargin)
+      .selectExpr("word", "freq", "dp.score AS score",
+        "split(trim(dp.path), ' ') AS toks")
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle: the identical DP with one CTE per word position —
+  // dp{tag}p = the argmax row per word into position p, selected from the
+  // ≤ SubMaxLen predecessor states. MATERIALIZED throughout: each dp CTE
+  // is referenced by up to SubMaxLen later ones (4^16 if inlined — the
+  // q325 exponential-CTE trap).
+  // ---------------------------------------------------------------------
+
+  private def oracleSeed: String =
+    s"""wf AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+       |  WHERE word != '' GROUP BY word),
+       |ed AS MATERIALIZED (
+       |  SELECT word, freq, CAST(j AS INT) AS j, CAST(j + l AS INT) AS i,
+       |         word[j + 1 : j + l] AS sub
+       |  FROM wf,
+       |    LATERAL (SELECT unnest(range(0, len(word))) AS j) a,
+       |    LATERAL (SELECT unnest(range(1, least($SubMaxLen, len(word) - j) + 1)) AS l) b),
+       |sc0 AS MATERIALIZED (
+       |  SELECT sub, CAST(SUM(freq) AS BIGINT) AS cnt FROM ed GROUP BY sub),
+       |ksc0 AS (SELECT sub, cnt FROM sc0 WHERE cnt >= $MinFreq OR len(sub) = 1),
+       |tot0 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM ksc0),
+       |vc0 AS MATERIALIZED (
+       |  SELECT sub, cnt,
+       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |  FROM ksc0 CROSS JOIN tot0),
+       |lat0 AS MATERIALIZED (
+       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+       |  FROM ed e JOIN vc0 v USING (sub))""".stripMargin
+
+  /** The positionally-unrolled Viterbi chain `dp{tag}0..dp{tag}MaxWordLen`
+    * over lattice `latRel`, ending in `seg{tag}(word, freq, score, path)`. */
+  private def dpChain(tag: String, latRel: String): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""dp${tag}0 AS (SELECT word, freq, 0 AS pos,
+                |  CAST(0 AS BIGINT) AS score, '' AS path FROM wf)""".stripMargin
+    for (p <- 1 to MaxWordLen) {
+      val prevs = (math.max(0, p - SubMaxLen) until p)
+        .map(q => s"SELECT word, freq, pos, score, path FROM dp$tag$q")
+        .mkString(" UNION ALL ")
+      parts += s"""dp$tag$p AS MATERIALIZED (
+                  |  SELECT word, freq, pos, score, path FROM (
+                  |    SELECT e.word, e.freq, $p AS pos, d.score + e.lp AS score,
+                  |           d.path || ' ' || e.sub AS path,
+                  |           ROW_NUMBER() OVER (PARTITION BY e.word
+                  |             ORDER BY d.score + e.lp DESC, e.j DESC) AS rn
+                  |    FROM $latRel e JOIN ($prevs) d
+                  |      ON e.word = d.word AND e.j = d.pos
+                  |    WHERE e.i = $p) z
+                  |  WHERE rn = 1)""".stripMargin
+    }
+    val finals = (1 to MaxWordLen)
+      .map(p => s"SELECT word, freq, pos, score, path FROM dp$tag$p")
+      .mkString(" UNION ALL ")
+    parts += s"""seg$tag AS MATERIALIZED (
+                |  SELECT d.word, d.freq, d.score, trim(d.path) AS path
+                |  FROM ($finals) d
+                |  JOIN (SELECT word AS w2, len(word) AS lw FROM wf) x
+                |    ON d.word = x.w2 AND d.pos = x.lw)""".stripMargin
+    parts.result().mkString(",\n")
+  }
+
+  /** Viterbi segmentation under the SEED model — the inference half: the
+    * corpus-weighted top-30 subword tokens of the maximum-likelihood
+    * segmentations (the q167/q405 output grain, so the two tokenizer
+    * families report comparably). */
+  val q410UnigramViterbi: QuerySpec = QuerySpec(
+    "q410_unigram_viterbi",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")}
+       |SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
+       |  SELECT token, SUM(freq) AS cnt,
+       |         ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, token) AS rnk
+       |  FROM (SELECT unnest(string_split(path, ' ')) AS token, freq FROM sega) t
+       |  GROUP BY token) z
+       |WHERE rnk <= 30 ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val ed = edges(wordFreqs(sp)).staged // vocab counts + lattice read it
+    viterbi(ed, seedVocab(ed))
+      .select(explode(col("toks")).as("token"), col("freq"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
+      // rank-limited global window over the BOUNDED subword vocab (the
+      // q405 precedent)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
+      .filter(col("rnk") <= 30)
+      .select(col("rnk"), col("token"), col("cnt"))
+      .orderBy(col("rnk"))
+  }
+
+  /** One Viterbi-EM training round — the learning half: M-step counts
+    * subword usage over the round-0 segmentations (corpus-weighted),
+    * re-normalizes into a new model (unused seeds drop out — hard-EM's
+    * implicit pruning), and re-segments. The per-round report (vocab
+    * size, corpus token count, exact e6 corpus log-likelihood) is the
+    * signal a training sweep watches: the LL must not decrease and the
+    * vocabulary shrinks toward the useful subwords. All exact BIGINTs —
+    * the LL is a sum of quantized scores, so the report is bit-stable
+    * under any partitioning. */
+  val q411UnigramEm: QuerySpec = QuerySpec(
+    "q411_unigram_em",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")},
+       |uc AS MATERIALIZED (
+       |  SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(path, ' ')) AS token, freq FROM sega) t
+       |  GROUP BY token),
+       |tot1 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM uc),
+       |vc1 AS MATERIALIZED (
+       |  SELECT sub, cnt,
+       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |  FROM uc CROSS JOIN tot1),
+       |lat1 AS MATERIALIZED (
+       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+       |  FROM ed e JOIN vc1 v USING (sub)),
+       |${dpChain("b", "lat1")},
+       |r0 AS (SELECT CAST(0 AS BIGINT) AS round,
+       |              (SELECT CAST(COUNT(*) AS BIGINT) FROM vc0) AS vocab_size,
+       |              CAST(SUM(freq * len(string_split(path, ' '))) AS BIGINT)
+       |                AS tokens_total,
+       |              CAST(SUM(freq * score) AS BIGINT) AS ll_e6
+       |       FROM sega),
+       |r1 AS (SELECT CAST(1 AS BIGINT) AS round,
+       |              (SELECT CAST(COUNT(*) AS BIGINT) FROM vc1) AS vocab_size,
+       |              CAST(SUM(freq * len(string_split(path, ' '))) AS BIGINT)
+       |                AS tokens_total,
+       |              CAST(SUM(freq * score) AS BIGINT) AS ll_e6
+       |       FROM segb)
+       |SELECT * FROM r0 UNION ALL SELECT * FROM r1 ORDER BY round""".stripMargin) {
+    (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val ed = edges(wordFreqs(sp)).staged // vc0 counts + both lattices
+      val vc0 = seedVocab(ed).staged // round-0 lattice + vocab_size
+      val seg0 = viterbi(ed, vc0).staged // usage counts + the r0 report
+      val vc1 = withLogProbs(
+        seg0.select(explode(col("toks")).as("sub"), col("freq"))
+          .groupBy(col("sub")).agg(sum(col("freq")).as("cnt")))
+        .staged // round-1 lattice + vocab_size
+      val seg1 = viterbi(ed, vc1)
+      def report(seg: DataFrame, vc: DataFrame, r: Int): DataFrame =
+        seg.agg(
+          sum(col("freq") * size(col("toks"))).as("tokens_total"),
+          sum(col("freq") * col("score")).as("ll_e6"))
+          .crossJoin(broadcast(vc.agg(count(lit(1)).as("vocab_size"))))
+          .select(lit(r.toLong).as("round"), col("vocab_size"),
+            col("tokens_total"), col("ll_e6"))
+      report(seg0, vc0, 0).unionByName(report(seg1, vc1, 1))
+        .orderBy(col("round"))
+  }
+
+  /** The unigram train → encode COMPOSITION (the [[BpeTokenizer
+    * .q406BpeTrainedEncode]] analogue): segment each source split with
+    * the EM-TRAINED model (vc1 — the round-1 probabilities, the artifact
+    * a unigram trainer ships) and report per-source compression. Encode
+    * IS Viterbi under the trained vocab, so the composition adds exactly
+    * one corpus-grain (word, source) rollup to the q411 envelope — the
+    * trained table is applied, not just learned. */
+  val q412UnigramTrainedEncode: QuerySpec = QuerySpec(
+    "q412_unigram_trained_encode",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")},
+       |uc AS MATERIALIZED (
+       |  SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(path, ' ')) AS token, freq FROM sega) t
+       |  GROUP BY token),
+       |tot1 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM uc),
+       |vc1 AS MATERIALIZED (
+       |  SELECT sub, cnt,
+       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |  FROM uc CROSS JOIN tot1),
+       |lat1 AS MATERIALIZED (
+       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+       |  FROM ed e JOIN vc1 v USING (sub)),
+       |${dpChain("b", "lat1")},
+       |ws AS (SELECT word, source, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |             FROM documents) x
+       |       WHERE word != '' GROUP BY word, source),
+       |tk AS (SELECT word,
+       |         CAST(len(string_split(path, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(word) AS BIGINT) AS n_chars
+       |       FROM segb)
+       |SELECT ws.source,
+       |  CAST(SUM(ws.n) AS BIGINT) AS n_words,
+       |  CAST(SUM(ws.n * tk.n_chars) AS BIGINT) AS tokens_before,
+       |  CAST(SUM(ws.n * tk.n_tokens) AS BIGINT) AS tokens_after,
+       |  CAST(ROUND(SUM(ws.n * tk.n_tokens) * 1e6 / SUM(ws.n * tk.n_chars))
+       |    AS BIGINT) AS compression_e6
+       |FROM ws JOIN tk USING (word)
+       |GROUP BY ws.source ORDER BY ws.source""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val ed = edges(wordFreqs(sp)).staged // seed counts + both lattices
+    val seg0 = viterbi(ed, seedVocab(ed))
+    val vc1 = withLogProbs(
+      seg0.select(explode(col("toks")).as("sub"), col("freq"))
+        .groupBy(col("sub")).agg(sum(col("freq")).as("cnt")))
+    val tk = viterbi(ed, vc1).select(col("word"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      length(col("word")).cast("long").as("n_chars"))
+    sp.table("documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"), col("source")).agg(count(lit(1)).as("n"))
+      .join(tk, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_chars")).as("tokens_before"),
+        sum(col("n") * col("n_tokens")).as("tokens_after"),
+        round(sum(col("n") * col("n_tokens")).cast("double") * 1e6
+          / sum(col("n") * col("n_chars")).cast("double"))
+          .cast("long").as("compression_e6"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q413 — the STATELESS-EXPRESSION encode over a static pretrained
+  // vocab: the unigram analogue of the BPE q405/streaming-stage pair.
+  // ---------------------------------------------------------------------
+
+  /** Pretrained static vocabulary (subword → e6 log-prob LITERAL — no
+    * LN anywhere, so the cross-engine replay has zero float surface)
+    * for the expression encode and the streaming tokenizer stage: all
+    * 26 lowercase letters cover letter-only words; the multi-char
+    * entries are priced so they beat their single-char spellings (one
+    * 4-char token at −6.5 vs four singles ≈ −13). A word containing
+    * ANY character outside the cover (digits, uppercase, punctuation)
+    * has no full lattice path and encodes as `<unk>` — the
+    * SentencePiece UNK contract. */
+  private[graft] val StaticVocab: Seq[(String, Long)] = {
+    val singles = "abcdefghijklmnopqrstuvwxyz".map(c =>
+      c.toString -> -3200000L)
+    val multi = Seq(
+      "er" -> -4000000L, "an" -> -4200000L, "or" -> -4300000L,
+      "scan" -> -6500000L, "tabl" -> -6600000L, "wind" -> -6700000L,
+      "colu" -> -6800000L, "sort" -> -6900000L, "merg" -> -7000000L,
+      "row" -> -5500000L, "join" -> -6400000L)
+    singles ++ multi
+  }
+
+  /** The UNK token emitted for words with no full lattice path. */
+  private[graft] val Unk = "<unk>"
+
+  /** Stateless unigram ENCODE of a document as a SINGLE per-row
+    * expression: the exact [[viterbi]] DP — same dp-array accumulator,
+    * same e6-integer scores, same (score, larger-start) struct-max
+    * tie-break — but the lattice is derived INLINE per position and the
+    * vocabulary is a literal map, so there are zero joins, zero
+    * shuffles, zero state. Runs identically over batch rows and a
+    * structured stream (the tokenizer stage of a streaming ingestion
+    * pipeline — [[graft.streaming.EventStreams.unigramTokenizedDocs]]);
+    * words without a full path emit [[Unk]]. */
+  private[graft] def unigramTokensExpr(text: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column = {
+    val vocabMap = map_from_arrays(
+      array(StaticVocab.map(kv => lit(kv._1)): _*),
+      array(StaticVocab.map(kv => lit(kv._2)): _*))
+    def wordToks(w: org.apache.spark.sql.Column) = {
+      val dp = aggregate(
+        sequence(lit(1), length(w)),
+        array(struct(lit(0L).as("score"), lit(-1).as("bt"), lit("").as("path"))),
+        (acc, p) => concat(acc, array(
+          array_max(filter(
+            transform(sequence(greatest(lit(0), p - SubMaxLen), p - 1), j =>
+              struct(
+                (element_at(acc, j + 1).getField("score") +
+                  element_at(vocabMap, substr(w, j + 1, p - j))).as("score"),
+                j.as("bt"),
+                concat(element_at(acc, j + 1).getField("path"), lit(" "),
+                  substr(w, j + 1, p - j)).as("path"))),
+            c => c.getField("score").isNotNull)))))
+      val fin = element_at(dp, length(w) + 1)
+      when(fin.isNull, array(lit(Unk)))
+        .otherwise(split(trim(fin.getField("path")), " "))
+    }
+    flatten(transform(
+      filter(split(text, " "), w => w =!= ""),
+      w => wordToks(w)))
+  }
+
+  /** The expression encode under the oracle gate (the q405 analogue):
+    * corpus-weighted top-30 tokens — `<unk>` included — of the static-
+    * vocab segmentations. The DuckDB replay runs the SAME positional DP
+    * over a VALUES lattice, with uncovered words LEFT-JOIN-defaulted to
+    * [[Unk]]; two independent formulations of the DP (per-row expression
+    * here, lattice-join in UnigramSpec's parity pin) against one
+    * replay. */
+  val q413UnigramEncodeExpr: QuerySpec = {
+    val vals = StaticVocab.map { case (s2, l) => s"('$s2', CAST($l AS BIGINT))" }
+      .mkString(", ")
+    QuerySpec(
+      "q413_unigram_encode_expr",
+      s"""WITH wf AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+         |  WHERE word != '' GROUP BY word),
+         |ed AS MATERIALIZED (
+         |  SELECT word, freq, CAST(j AS INT) AS j, CAST(j + l AS INT) AS i,
+         |         word[j + 1 : j + l] AS sub
+         |  FROM wf,
+         |    LATERAL (SELECT unnest(range(0, len(word))) AS j) a,
+         |    LATERAL (SELECT unnest(range(1, least($SubMaxLen, len(word) - j) + 1)) AS l) b),
+         |vcs(sub, lp) AS (VALUES $vals),
+         |lats AS MATERIALIZED (
+         |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+         |  FROM ed e JOIN vcs v USING (sub)),
+         |${dpChain("s", "lats")},
+         |enc AS (SELECT w.word, w.freq, COALESCE(s.path, '$Unk') AS path
+         |        FROM wf w LEFT JOIN segs s USING (word))
+         |SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
+         |  SELECT token, SUM(freq) AS cnt,
+         |         ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, token) AS rnk
+         |  FROM (SELECT unnest(string_split(path, ' ')) AS token, freq FROM enc) t
+         |  GROUP BY token) z
+         |WHERE rnk <= 30 ORDER BY rnk""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      sp.table("documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(explode(unigramTokensExpr(col("word"))).as("token"),
+          col("freq"))
+        .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
+        .filter(col("rnk") <= 30)
+        .select(col("rnk"), col("token"), col("cnt"))
+        .orderBy(col("rnk"))
+    }
+  }
+
+  // q411 joins the bench headline set: it is the per-row-DP family's
+  // representative (two Viterbi passes + the EM rollup)
+  val all: Seq[QuerySpec] = Seq(q410UnigramViterbi, q411UnigramEm.benched,
+    q412UnigramTrainedEncode, q413UnigramEncodeExpr)
+}

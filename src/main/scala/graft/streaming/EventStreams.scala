@@ -656,6 +656,18 @@ object EventStreams {
       graft.llmops.TextAnalysis.bpeTokensExpr(col("text")).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
 
+  /** Streaming UNIGRAM tokenizer stage — [[tokenizedDocs]] for the
+    * second tokenizer family: stateless per-row Viterbi segmentation
+    * under the static pretrained vocabulary (the q413 expression,
+    * [[graft.llmops.UnigramTokenizer.unigramTokensExpr]]); words
+    * without a full lattice path emit `<unk>`. Same scale shape:
+    * map-only, no join/shuffle/state, batch ≡ stream by construction
+    * (StreamingSpec pins it plus the known segmentations). */
+  def unigramTokenizedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.llmops.UnigramTokenizer.unigramTokensExpr(col("text")).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+
   /** Streaming corpus curation — the streaming twin of the release
     * pipeline's gate stages (q165's quality gate + exact dedup, scored
     * by q169's classifier): each arriving document is scored map-side

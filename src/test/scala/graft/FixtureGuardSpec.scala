@@ -49,6 +49,22 @@ class FixtureGuardSpec extends EngineSuite {
     }
   }
 
+  test("max word length fits the q410/q411 oracle's positional DP unroll") {
+    // UnigramTokenizer's DuckDB replay unrolls one Viterbi-DP CTE per
+    // word position up to MaxWordLen; a longer word would silently fall
+    // out of the oracle's segmentation (no dp row at pos = len) while
+    // the Spark side still segments it — an inscrutable hash mismatch.
+    for (dir <- sfDirs) {
+      val maxLen = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(max(length(col("w")))).collect()(0).getInt(0)
+      assert(maxLen <= llmops.UnigramTokenizer.MaxWordLen,
+        s"$dir: max word length $maxLen exceeds the oracle unroll bound " +
+          s"${llmops.UnigramTokenizer.MaxWordLen} — raise MaxWordLen in " +
+          "UnigramTokenizer.scala")
+    }
+  }
+
   test("the fixture satisfies the q210 data contract (all expectations pass)") {
     // q210's value is detecting violations; the healthy fixture must
     // report zero everywhere, or its rules no longer describe the data.

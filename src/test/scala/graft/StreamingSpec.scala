@@ -380,6 +380,40 @@ class StreamingSpec extends EngineSuite {
       "expression encode and the q167 state loop disagree on token counts")
   }
 
+  test("unigramTokenizedDocs: the stateless Viterbi encode matches batch " +
+    "and the known segmentations, OOV words emit <unk>") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val texts = Seq(
+      DocRow(1L, "scan order  scan"), // doubled separator on purpose
+      DocRow(2L, "x9z window"), // digit outside the vocab cover -> <unk>
+      DocRow(3L, "scanner"))
+    val batch = EventStreams.unigramTokenizedDocs(texts.toDF())
+      .orderBy("doc_id").collect().toSeq
+    val mem = MemoryStream[DocRow]
+    mem.addData(texts: _*)
+    val q = EventStreams.unigramTokenizedDocs(mem.toDF())
+      .writeStream.format("memory").queryName("unitok_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.table("unitok_out").orderBy("doc_id").collect().toSeq
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq),
+      "stream and batch unigram tokenizations diverge")
+    // 'scan' is one vocab token (-6.5 beats four singles at -12.8);
+    // 'order' = or+d+er (-11.5, the DP's best path over the lattice)
+    val tok1 = batch.head.getAs[scala.collection.Seq[String]]("tokens")
+    assert(tok1 == Seq("scan", "or", "d", "er", "scan"), s"got $tok1")
+    // the digit word has no full path -> whole-word <unk>; 'window'
+    // still segments (wind + ow as o+w singles)
+    val tok2 = batch(1).getAs[scala.collection.Seq[String]]("tokens")
+    assert(tok2.head == "<unk>" && tok2.tail == Seq("wind", "o", "w"),
+      s"got $tok2")
+    // 'scanner' reuses the scan token then n + er
+    val tok3 = batch(2).getAs[scala.collection.Seq[String]]("tokens")
+    assert(tok3 == Seq("scan", "n", "er"), s"got $tok3")
+  }
+
   test("clickToPurchase: stream-stream interval join matches the batch join") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the unigram-LM tokenizer (llmops.UnigramTokenizer): the Viterbi
+  * DP against an independent reference implementation on the real
+  * fixture, the deterministic tie-break, the pruned-vocab reachability
+  * guard, the coverage invariant, and the EM round's pruning/likelihood
+  * behavior — the properties the q410/q411 DuckDB oracles rely on
+  * matching bit-for-bit. */
+class UnigramSpec extends EngineSuite {
+
+  private val SubMax = 4
+
+  /** The e6 quantization exactly as both engines compute it: HALF_UP
+    * (away from zero — math.round would round -2.5 toward +inf). */
+  private def lpE6(cnt: Long, tot: Double): Long =
+    BigDecimal(math.log(cnt / tot) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Independent reference: word frequencies, seed vocab, and the
+    * Viterbi DP re-implemented directly in Scala (the Python-prototype
+    * formulation), including the (score, largest-start) tie-break. */
+  private def referenceViterbi(): (Map[String, Long], Map[String, Long],
+      String => (Long, List[String])) = {
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- words; j <- 0 until w.length;
+         l <- 1 to math.min(SubMax, w.length - j)) {
+      val s = w.substring(j, j + l)
+      cnt(s) = cnt.getOrElse(s, 0L) + f
+    }
+    val kept = cnt.filter { case (s, c) => c >= 2L || s.length == 1 }.toMap
+    val tot = kept.values.sum.toDouble
+    val lp = kept.map { case (s, c) => s -> lpE6(c, tot) }
+    def vit(w: String): (Long, List[String]) = {
+      val dp = Array.fill[Option[(Long, Int, List[String])]](w.length + 1)(None)
+      dp(0) = Some((0L, -1, Nil))
+      for (p <- 1 to w.length) {
+        var best: Option[(Long, Int, List[String])] = None
+        for (j <- math.max(0, p - SubMax) until p) {
+          val s = w.substring(j, p)
+          (lp.get(s), dp(j)) match {
+            case (Some(l), Some((sc, _, path))) =>
+              val cand = (sc + l, j, path :+ s)
+              val better = best.forall(b =>
+                cand._1 > b._1 || (cand._1 == b._1 && cand._2 > b._2))
+              if (better) best = Some(cand)
+            case _ => ()
+          }
+        }
+        dp(p) = best
+      }
+      val (sc, _, path) = dp(w.length).get
+      (sc, path)
+    }
+    (words, lp, vit)
+  }
+
+  test("the Viterbi DP reproduces an independent reference on the full " +
+    "fixture corpus (scores AND segmentations, every word)") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val (words, _, vit) = referenceViterbi()
+    val ed = llmops.UnigramTokenizer.edges(
+      sp.table("documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val got = llmops.UnigramTokenizer
+      .viterbi(ed, llmops.UnigramTokenizer.seedVocab(ed))
+      .collect()
+      .map(r => r.getAs[String]("word") ->
+        ((r.getAs[Long]("score"), r.getSeq[String](r.fieldIndex("toks")).toList)))
+      .toMap
+    assert(got.keySet == words.keySet, "every distinct word segments")
+    for ((w, _) <- words) {
+      val (sc, path) = vit(w)
+      assert(got(w) == ((sc, path)),
+        s"word '$w': DP gave ${got(w)}, reference gives ($sc, $path)")
+    }
+  }
+
+  test("score ties break to the larger start position (the shorter " +
+    "final token): [a, b] beats [ab] at equal total score") {
+    val sp = spark.newSession()
+    import sp.implicits._
+    val ed = llmops.UnigramTokenizer.edges(
+      Seq(("ab", 1L)).toDF("word", "freq"))
+    val vocab = Seq(("a", -2L), ("b", -2L), ("ab", -4L)).toDF("sub", "lp")
+    val r = llmops.UnigramTokenizer.viterbi(ed, vocab).collect()(0)
+    assert(r.getAs[Long]("score") == -4L)
+    assert(r.getSeq[String](r.fieldIndex("toks")) == Seq("a", "b"),
+      "equal score must resolve to the largest backpointer (j = 1)")
+  }
+
+  test("unreachable interior positions (pruned vocab) hold NULL and the " +
+    "DP still finds the global optimum through them") {
+    val sp = spark.newSession()
+    import sp.implicits._
+    val ed = llmops.UnigramTokenizer.edges(
+      Seq(("abc", 1L)).toDF("word", "freq"))
+    // no 'a', no 'c': position 1 is unreachable; [ab, c] is impossible
+    // even though ab scores better than abc — only [abc] covers
+    val vocab = Seq(("ab", -1L), ("abc", -5L)).toDF("sub", "lp")
+    val r = llmops.UnigramTokenizer.viterbi(ed, vocab).collect()(0)
+    assert(r.getSeq[String](r.fieldIndex("toks")) == Seq("abc"))
+    assert(r.getAs[Long]("score") == -5L)
+  }
+
+  test("every fixture word re-concatenates from its segmentation " +
+    "(coverage: single characters always survive the seed cut)") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val ed = llmops.UnigramTokenizer.edges(
+      sp.table("documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val bad = llmops.UnigramTokenizer
+      .viterbi(ed, llmops.UnigramTokenizer.seedVocab(ed))
+      .filter(concat_ws("", col("toks")) =!= col("word"))
+    assert(bad.count() == 0L, "a segmentation must cover its word exactly")
+  }
+
+  test("the EM round prunes unused seeds and does not degrade the " +
+    "corpus likelihood on the fixture") {
+    val rows = llmops.UnigramTokenizer.q411UnigramEm
+      .run(spark, sfDir).collect()
+    assert(rows.length == 2)
+    val r0 = rows(0); val r1 = rows(1)
+    assert(r0.getAs[Long]("round") == 0L && r1.getAs[Long]("round") == 1L)
+    assert(r1.getAs[Long]("vocab_size") < r0.getAs[Long]("vocab_size"),
+      "hard-EM must drop seed subwords the Viterbi paths never use")
+    assert(r1.getAs[Long]("ll_e6") > r0.getAs[Long]("ll_e6"),
+      "re-estimated model must improve the corpus log-likelihood here")
+    assert(r0.getAs[Long]("tokens_total") > 0L &&
+      r1.getAs[Long]("tokens_total") > 0L)
+  }
+
+  test("the per-row expression encode equals the lattice-join Viterbi " +
+    "under the static vocab on the full fixture corpus") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    import sp.implicits._
+    val wf = sp.table("documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val viaJoin = llmops.UnigramTokenizer
+      .viterbi(llmops.UnigramTokenizer.edges(wf),
+        llmops.UnigramTokenizer.StaticVocab.toDF("sub", "lp"))
+      .collect()
+      .map(r => r.getAs[String]("word") ->
+        r.getSeq[String](r.fieldIndex("toks")).toList).toMap
+    val viaExpr = wf
+      .select(col("word"),
+        llmops.UnigramTokenizer.unigramTokensExpr(col("word")).as("toks"))
+      .collect()
+      .map(r => r.getAs[String]("word") ->
+        r.getSeq[String](r.fieldIndex("toks")).toList).toMap
+    assert(viaJoin == viaExpr,
+      "the two Viterbi formulations disagree on some word")
+  }
+
+  test("the trained-model encode compresses every source split " +
+    "(tokens strictly under characters — multi-char subwords fire)") {
+    val rows = llmops.UnigramTokenizer.q412UnigramTrainedEncode
+      .run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_after") < r.getAs[Long]("tokens_before"),
+        s"source ${r.getAs[String]("source")} gained nothing from training")
+      assert(r.getAs[Long]("compression_e6") < 1000000L)
+    }
+  }
+}
