@@ -25,17 +25,30 @@ def main(argv):
             mode = "out"
         elif mode == "out":
             out = a
+            mode = None  # exactly one path follows --out
+        elif mode is None:
+            sys.exit(f"unexpected argument '{a}': file paths must follow "
+                     "--sf01, --sf1 or --out")
         else:
             mode.append(a)
     base_c, base_w, one_c, one_w = {}, {}, {}, {}
+
+    def load(f, cold, warm):
+        d = json.load(open(f))
+        # Bench writes -1.0 for a FAILED query (see Bench.scala) — storing
+        # it would put negative seconds and negative ratios in the artifact
+        bad = sorted(q for q, v in d["queries"].items() if v < 0)
+        bad += sorted(q for q, v in d["queries_warm"].items() if v < 0)
+        if bad:
+            sys.exit(f"{f}: failed-query sentinel (-1) present for "
+                     f"{sorted(set(bad))} — re-run the drill before merging")
+        cold.update(d["queries"])
+        warm.update(d["queries_warm"])
+
     for f in sf01:
-        d = json.load(open(f))
-        base_c.update(d["queries"])
-        base_w.update(d["queries_warm"])
+        load(f, base_c, base_w)
     for f in sf1:
-        d = json.load(open(f))
-        one_c.update(d["queries"])
-        one_w.update(d["queries_warm"])
+        load(f, one_c, one_w)
     art = json.load(open(out))
     rows = art.setdefault("queries", {})
     for q in sorted(set(base_c) | set(one_c)):

@@ -47,6 +47,15 @@ object Bench {
           -1.0
       }
     }
+    // Warm-run count parsed BEFORE any timed run: a malformed value must
+    // fail fast, not throw after the cold timings of a multi-hour drill
+    // were already paid. (Scale drills on 10x fixtures can't always
+    // afford best-of-3 on a multi-minute query — this env var trims the
+    // warm-run count for those runs only; the driver keeps the default.)
+    val warms = sys.env.get("SPARK_GRAFT_BENCH_WARMS")
+      .map(s => s.trim.toIntOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_BENCH_WARMS must be an integer, got '$s'")).max(1))
+      .getOrElse(3)
     // cold = first execution (includes planning + codegen, the
     // interactive-latency number); warm = best of three post-cold
     // executions (steady state — the min filters scheduler/GC noise so
@@ -57,11 +66,6 @@ object Bench {
     // 13s after the q258 rollup, warm unchanged at 0.75s) — a System.gc
     // between cold timings keeps each cold number its own.
     val cold = names.map { n => System.gc(); n -> run(n) }
-    // scale drills on 10x fixtures can't always afford best-of-3 on a
-    // multi-minute query — SPARK_GRAFT_BENCH_WARMS trims the warm-run
-    // count for those runs only (the driver's bench keeps the default 3)
-    val warms = sys.env.get("SPARK_GRAFT_BENCH_WARMS")
-      .map(_.toInt.max(1)).getOrElse(3)
     val warmRuns = Seq.fill(warms)(names.map(n => n -> run(n)).toMap)
     val warm = names.map { n =>
       val ok = warmRuns.map(_(n)).filter(_ >= 0)

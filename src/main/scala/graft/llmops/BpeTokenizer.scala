@@ -355,25 +355,14 @@ object BpeTokenizer {
     Checkpoints.unpersist(finalSyms)
     val learned = mergeTable.select(
       concat_ws(" ", col("l"), col("r")).as("pair"), col("round").as("rank"))
-    val ws = sp.table("documents")
-      .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word"), col("source")).agg(count(lit(1)).as("n"))
+    val ws = TextAnalysis.perSourceWordCounts(sp)
       .staged // the encode vocab AND the per-source report both read it
     val vocab = ws.groupBy("word").agg(sum(col("n")).as("n"))
     val enc = TextAnalysis.bpeEncodeStateWith(sp, vocab, learned, Merges)
     val tk = enc.selectExpr("word",
       "cast(size(split(trim(seq), '  ')) as long) AS n_tokens",
       "cast(length(word) as long) AS n_chars")
-    ws.join(tk, "word")
-      .groupBy(col("source"))
-      .agg(sum(col("n")).as("n_words"),
-        sum(col("n") * col("n_chars")).as("tokens_before"),
-        sum(col("n") * col("n_tokens")).as("tokens_after"),
-        round(sum(col("n") * col("n_tokens")).cast("double") * 1e6
-          / sum(col("n") * col("n_chars")).cast("double"))
-          .cast("long").as("compression_e6"))
-      .orderBy(col("source"))
+    TextAnalysis.perSourceCompression(ws, tk)
   }
 
   // ---------------------------------------------------------------------

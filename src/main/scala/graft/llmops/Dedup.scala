@@ -2168,8 +2168,7 @@ object Dedup {
     // within-group pairs: identical token sets, Jaccard exactly 1;
     // packed ids keep doc order (equal m ⇒ packed order = doc order)
     val withinPacked = members.filter(col("g") >= 2)
-      .select(col("rep").as("bkey"),
-        (expr("shiftleft(m, 40)") + col("doc")).as("id"))
+      .select(col("rep").as("bkey"), packSized(col("m"), col("doc")).as("id"))
     val within = boundedPairs(withinPacked, cap = 256)
       .selectExpr("id_a & 1099511627775 AS doc_a",
         "id_b & 1099511627775 AS doc_b",
@@ -2178,6 +2177,18 @@ object Dedup {
         lit(1000000L).as("jacc_e6"))
     cross.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** `(m << 40) | id` packing for the compiled length-filtered pair
+    * expansion — enforcing the documented contract LOUDLY (id < 2⁴⁰,
+    * set size m < 2²³, both non-negative): a violating id would bleed
+    * into the size bits and make [[graft.functions.LongPairsLen]]'s
+    * sliding window silently DROP true candidate pairs — a false
+    * negative in an operator whose whole contract is exactness. */
+  private def packSized(m: Column, id: Column): Column =
+    when(id >= lit(1L << 40) || id < 0 || m >= lit(1L << 23) || m < 0,
+      expr("raise_error('q400 packed-id contract violated: need 0 <= id < 2^40 and 0 <= token-set size < 2^23')")
+        .cast("long"))
+      .otherwise(shiftleft(m.cast("long"), 40) + id)
 
   /** The q400 candidate pipeline at the REPRESENTATIVE grain: returns
     * (rep token sets, rep candidate pairs with both set sizes attached,
@@ -2234,7 +2245,7 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("r") <= col("m") - ceil(lit(t) * col("m")) + 1)
     val packed = pref.select(col("tok").as("bkey"),
-      (expr("shiftleft(m, 40)") + col("doc_id")).as("id"))
+      packSized(col("m"), col("doc_id")).as("id"))
     val tE6 = math.round(t * 1e6)
     val cand = boundedPairs(packed, cap = 256,
       lenFilterE6 = if (lengthFilter) Some(tE6) else None)

@@ -727,7 +727,16 @@ object SuffixArray {
     * SuffixArraySpec can pin the shadowed-suffix case (two identical
     * held-out docs whose suffixes are SA-adjacent to EACH OTHER, not to
     * the train copy — the running-min scan must credit both, where a
-    * naive adjacent-pair-to-train check credits neither). */
+    * naive adjacent-pair-to-train check credits neither).
+    *
+    * Precondition: the corpus has ≥ 2 suffixes (i.e. more than one
+    * word in total). The suffix sequence is rebuilt from the ADJACENT-
+    * PAIR relation (a-sides + the final b-side), which is empty on a
+    * single-suffix corpus — there the report returns no rows while the
+    * oracle would emit one zero-overlap row. Any real corpus (and the
+    * driver fixtures, by the q210 contract) is far inside the bound;
+    * documented rather than special-cased to keep the degenerate
+    * branch out of the hot plan. */
   private[graft] def decontaminationReport(sp: SparkSession): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = adjacentLcp(sp)

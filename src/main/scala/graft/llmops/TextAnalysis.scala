@@ -849,6 +849,53 @@ object TextAnalysis {
     * (q167/q405/q176) and the q401-LEARNED table (q406 — the train →
     * encode composition). The caller appends a final SELECT over
     * s`rounds`. */
+  /** The corpus (word, source) rollup feeding a train → encode
+    * composition's per-source report — ONE definition for both
+    * tokenizer families (q406 BPE, q412 unigram) so their reports stay
+    * guaranteed-comparable, not convention-comparable. */
+  private[graft] def perSourceWordCounts(sp: org.apache.spark.sql.SparkSession):
+      org.apache.spark.sql.DataFrame =
+    sp.table("documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"), col("source")).agg(count(lit(1)).as("n"))
+
+  /** Per-source compression report over a `(word, n_tokens, n_chars)`
+    * relation joined to [[perSourceWordCounts]]'s rollup: word count,
+    * exact char/token totals, e6 compression ratio — the shared output
+    * grain of the q406/q412 train → encode compositions. */
+  private[graft] def perSourceCompression(
+      ws: org.apache.spark.sql.DataFrame,
+      tk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ws.join(tk, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_chars")).as("tokens_before"),
+        sum(col("n") * col("n_tokens")).as("tokens_after"),
+        round(sum(col("n") * col("n_tokens")).cast("double") * 1e6
+          / sum(col("n") * col("n_chars")).cast("double"))
+          .cast("long").as("compression_e6"))
+      .orderBy(col("source"))
+
+  /** The DuckDB tail of the per-source compression report — the `ws`
+    * rollup plus the final SELECT, parameterized over the caller's
+    * `tk(word, n_tokens, n_chars)` CTE text (the only part the two
+    * tokenizer families' replays differ in). */
+  private[graft] def perSourceCompressionSqlTail(tkCte: String): String =
+    s"""ws AS (SELECT word, source, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |             FROM documents) x
+       |       WHERE word != '' GROUP BY word, source),
+       |$tkCte
+       |SELECT ws.source,
+       |  CAST(SUM(ws.n) AS BIGINT) AS n_words,
+       |  CAST(SUM(ws.n * tk.n_chars) AS BIGINT) AS tokens_before,
+       |  CAST(SUM(ws.n * tk.n_tokens) AS BIGINT) AS tokens_after,
+       |  CAST(ROUND(SUM(ws.n * tk.n_tokens) * 1e6 / SUM(ws.n * tk.n_chars))
+       |    AS BIGINT) AS compression_e6
+       |FROM ws JOIN tk USING (word)
+       |GROUP BY ws.source ORDER BY ws.source""".stripMargin
+
   private[graft] def bpeEncodeUnrollCtes(
       mergeRel: String, vocabRel: String, rounds: Int): String = {
     val sb = new StringBuilder

@@ -124,17 +124,31 @@ object UnigramTokenizer {
     * is the exact tie-break: highest score, then the largest start —
     * the shortest final token — which identifies the edge uniquely, so
     * the path field never decides. Scores are e6-quantized BIGINTs:
-    * exact sums, engine- and partitioning-independent argmax. */
-  private[graft] def viterbi(ed: DataFrame, vocab: DataFrame): DataFrame =
-    ed.join(vocab.select(col("sub"), col("lp")), Seq("sub"))
+    * exact sums, engine- and partitioning-independent argmax.
+    *
+    * EVERY word of `ed` comes back: a word with no full lattice path
+    * under a non-covering vocabulary (digits/uppercase outside a static
+    * cover, or an aggressively pruned model) returns toks = [[[Unk]]]
+    * with a NULL score — the same UNK contract as the expression path
+    * [[unigramTokensExpr]], so the two formulations can never silently
+    * diverge (and a downstream `size(toks)` rollup can never swallow a
+    * NULL). Under the seed/EM vocabularies the single-char coverage
+    * guarantee makes the UNK arm unreachable (spec-pinned). */
+  private[graft] def viterbi(ed: DataFrame, vocab: DataFrame): DataFrame = {
+    val dp = ed.join(vocab.select(col("sub"), col("lp")), Seq("sub"))
       .groupBy(col("word"), col("freq"))
       .agg(collect_list(struct(col("i"), col("j"), col("lp"), col("sub")))
         .as("es"))
       .selectExpr("word", "freq",
         """element_at(
           |  aggregate(sequence(1, length(word)),
-          |    array(named_struct('score', CAST(0 AS BIGINT), 'bt', -1,
-          |                       'path', '')),
+          |    -- the CAST sets containsNull on the accumulator's array
+          |    -- type: unreachable positions append NULL elements, and a
+          |    -- containsNull=false zero would let codegen skip the null
+          |    -- check on the final element (NPE under the UNK arm)
+          |    CAST(array(named_struct('score', CAST(0 AS BIGINT), 'bt', -1,
+          |                            'path', ''))
+          |         AS ARRAY<STRUCT<score: BIGINT, bt: INT, path: STRING>>),
           |    (acc, p) -> concat(acc, array(
           |      array_max(transform(
           |        filter(es, e -> e.i = p
@@ -147,6 +161,13 @@ object UnigramTokenizer {
           |  length(word) + 1) AS dp""".stripMargin)
       .selectExpr("word", "freq", "dp.score AS score",
         "split(trim(dp.path), ' ') AS toks")
+    // vocab-grain word spine off the lattice itself: words whose every
+    // substring misses the vocab drop out of the DP join entirely, and
+    // covered words can still lack a FULL path — both land on the UNK arm
+    ed.select(col("word"), col("freq")).distinct()
+      .join(dp, Seq("word", "freq"), "left")
+      .withColumn("toks", coalesce(col("toks"), array(lit(Unk))))
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracle: the identical DP with one CTE per word position —
@@ -211,6 +232,25 @@ object UnigramTokenizer {
     parts.result().mkString(",\n")
   }
 
+  /** The EM M-step CTE block shared VERBATIM by the q411 and q412
+    * oracles: usage counts over the round-0 segmentations (`uc`),
+    * re-normalized into the trained model (`vc1`) and its lattice
+    * (`lat1`). One definition so a quantization change can never drift
+    * between the two replays. */
+  private def emRetrainCtes: String =
+    s"""uc AS MATERIALIZED (
+       |  SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(path, ' ')) AS token, freq FROM sega) t
+       |  GROUP BY token),
+       |tot1 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM uc),
+       |vc1 AS MATERIALIZED (
+       |  SELECT sub, cnt,
+       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |  FROM uc CROSS JOIN tot1),
+       |lat1 AS MATERIALIZED (
+       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+       |  FROM ed e JOIN vc1 v USING (sub))""".stripMargin
+
   /** Viterbi segmentation under the SEED model — the inference half: the
     * corpus-weighted top-30 subword tokens of the maximum-likelihood
     * segmentations (the q167/q405 output grain, so the two tokenizer
@@ -252,18 +292,7 @@ object UnigramTokenizer {
     "q411_unigram_em",
     s"""WITH $oracleSeed,
        |${dpChain("a", "lat0")},
-       |uc AS MATERIALIZED (
-       |  SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(string_split(path, ' ')) AS token, freq FROM sega) t
-       |  GROUP BY token),
-       |tot1 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM uc),
-       |vc1 AS MATERIALIZED (
-       |  SELECT sub, cnt,
-       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
-       |  FROM uc CROSS JOIN tot1),
-       |lat1 AS MATERIALIZED (
-       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
-       |  FROM ed e JOIN vc1 v USING (sub)),
+       |$emRetrainCtes,
        |${dpChain("b", "lat1")},
        |r0 AS (SELECT CAST(0 AS BIGINT) AS round,
        |              (SELECT CAST(COUNT(*) AS BIGINT) FROM vc0) AS vocab_size,
@@ -310,35 +339,13 @@ object UnigramTokenizer {
     "q412_unigram_trained_encode",
     s"""WITH $oracleSeed,
        |${dpChain("a", "lat0")},
-       |uc AS MATERIALIZED (
-       |  SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(string_split(path, ' ')) AS token, freq FROM sega) t
-       |  GROUP BY token),
-       |tot1 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM uc),
-       |vc1 AS MATERIALIZED (
-       |  SELECT sub, cnt,
-       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
-       |  FROM uc CROSS JOIN tot1),
-       |lat1 AS MATERIALIZED (
-       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
-       |  FROM ed e JOIN vc1 v USING (sub)),
+       |$emRetrainCtes,
        |${dpChain("b", "lat1")},
-       |ws AS (SELECT word, source, CAST(COUNT(*) AS BIGINT) AS n
-       |       FROM (SELECT source, unnest(string_split(text, ' ')) AS word
-       |             FROM documents) x
-       |       WHERE word != '' GROUP BY word, source),
-       |tk AS (SELECT word,
-       |         CAST(len(string_split(path, ' ')) AS BIGINT) AS n_tokens,
-       |         CAST(len(word) AS BIGINT) AS n_chars
-       |       FROM segb)
-       |SELECT ws.source,
-       |  CAST(SUM(ws.n) AS BIGINT) AS n_words,
-       |  CAST(SUM(ws.n * tk.n_chars) AS BIGINT) AS tokens_before,
-       |  CAST(SUM(ws.n * tk.n_tokens) AS BIGINT) AS tokens_after,
-       |  CAST(ROUND(SUM(ws.n * tk.n_tokens) * 1e6 / SUM(ws.n * tk.n_chars))
-       |    AS BIGINT) AS compression_e6
-       |FROM ws JOIN tk USING (word)
-       |GROUP BY ws.source ORDER BY ws.source""".stripMargin) { (s, dir) =>
+       |${TextAnalysis.perSourceCompressionSqlTail(
+          s"""tk AS (SELECT word,
+             |         CAST(len(string_split(path, ' ')) AS BIGINT) AS n_tokens,
+             |         CAST(len(word) AS BIGINT) AS n_chars
+             |       FROM segb)""".stripMargin)}""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val ed = edges(wordFreqs(sp)).staged // seed counts + both lattices
     val seg0 = viterbi(ed, seedVocab(ed))
@@ -348,19 +355,8 @@ object UnigramTokenizer {
     val tk = viterbi(ed, vc1).select(col("word"),
       size(col("toks")).cast("long").as("n_tokens"),
       length(col("word")).cast("long").as("n_chars"))
-    sp.table("documents")
-      .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word"), col("source")).agg(count(lit(1)).as("n"))
-      .join(tk, "word")
-      .groupBy(col("source"))
-      .agg(sum(col("n")).as("n_words"),
-        sum(col("n") * col("n_chars")).as("tokens_before"),
-        sum(col("n") * col("n_tokens")).as("tokens_after"),
-        round(sum(col("n") * col("n_tokens")).cast("double") * 1e6
-          / sum(col("n") * col("n_chars")).cast("double"))
-          .cast("long").as("compression_e6"))
-      .orderBy(col("source"))
+    TextAnalysis.perSourceCompression(
+      TextAnalysis.perSourceWordCounts(sp), tk)
   }
 
   // ---------------------------------------------------------------------
@@ -408,7 +404,9 @@ object UnigramTokenizer {
     def wordToks(w: org.apache.spark.sql.Column) = {
       val dp = aggregate(
         sequence(lit(1), length(w)),
-        array(struct(lit(0L).as("score"), lit(-1).as("bt"), lit("").as("path"))),
+        // containsNull cast — same NPE guard as [[viterbi]]'s zero
+        array(struct(lit(0L).as("score"), lit(-1).as("bt"), lit("").as("path")))
+          .cast("array<struct<score: bigint, bt: int, path: string>>"),
         (acc, p) => concat(acc, array(
           array_max(filter(
             transform(sequence(greatest(lit(0), p - SubMaxLen), p - 1), j =>

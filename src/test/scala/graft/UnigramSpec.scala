@@ -110,6 +110,24 @@ class UnigramSpec extends EngineSuite {
     assert(r.getAs[Long]("score") == -5L)
   }
 
+  test("words with no full lattice path take the <unk> arm in BOTH " +
+    "formulations — covered-but-pathless AND fully uncovered") {
+    val sp = spark.newSession()
+    import sp.implicits._
+    // 'abc' is partially covered (ab) but has no full path; 'zzz' has
+    // no vocab edge at all and would otherwise vanish from the DP join
+    val ed = llmops.UnigramTokenizer.edges(
+      Seq(("abc", 2L), ("zzz", 1L)).toDF("word", "freq"))
+    val vocab = Seq(("ab", -1L)).toDF("sub", "lp")
+    val got = llmops.UnigramTokenizer.viterbi(ed, vocab).collect()
+      .map(r => r.getAs[String]("word") ->
+        ((Option(r.get(r.fieldIndex("score"))),
+          r.getSeq[String](r.fieldIndex("toks")).toList))).toMap
+    assert(got.keySet == Set("abc", "zzz"), "every word must come back")
+    assert(got("abc") == ((None, List("<unk>"))))
+    assert(got("zzz") == ((None, List("<unk>"))))
+  }
+
   test("every fixture word re-concatenates from its segmentation " +
     "(coverage: single characters always survive the seed cut)") {
     val sp = QuerySpec.prepared(spark, sfDir)
