@@ -360,6 +360,97 @@ object UnigramTokenizer {
   }
 
   // ---------------------------------------------------------------------
+  // q414 — prune to a TARGET vocabulary (SentencePiece's vocab_size
+  // knob): the step between EM and shipping the artifact.
+  // ---------------------------------------------------------------------
+
+  /** Multi-character entries kept after pruning — the target-size knob.
+    * Single characters are ALWAYS kept (SentencePiece's required
+    * character coverage), so the full vocab is |chars| + this. */
+  private[graft] val TargetMulti = 8
+
+  /** The usage-count floor for characters that appear in the corpus but
+    * were never a round-1 token on their own (covered only inside
+    * multi-char subwords): they must survive pruning for coverage, and
+    * a zero count has no log-probability — the standard smoothing
+    * floor. */
+  private[graft] val CharFloor = 1L
+
+  /** Prune the EM-trained model to a TARGET vocabulary and re-segment —
+    * the artifact-shipping step of a unigram trainer: keep every single
+    * character (those absent from the trained model enter at the
+    * [[CharFloor]] count, so NO word can become unsegmentable), keep
+    * the top-[[TargetMulti]] multi-char subwords by corpus-weighted
+    * usage (ties lexicographic), re-normalize, Viterbi-resegment, and
+    * emit the top-30 of the FINAL vocabulary with usage counts and e6
+    * log-probs — the (token, prob) table a tokenizer release ships.
+    * Same grain discipline as the rest of the family: one corpus pass,
+    * vocab-grain everything else; the multi-char rank is a
+    * WindowGroupLimit (rank-limited top-m, never a global sort). */
+  val q414UnigramPruneTarget: QuerySpec = QuerySpec(
+    "q414_unigram_prune_target",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")},
+       |$emRetrainCtes,
+       |mk AS (SELECT sub, cnt,
+       |         ROW_NUMBER() OVER (ORDER BY cnt DESC, sub) AS rk
+       |       FROM uc WHERE len(sub) > 1),
+       |chfloor AS (SELECT sub, CAST($CharFloor AS BIGINT) AS cnt
+       |            FROM (SELECT DISTINCT sub FROM ed WHERE len(sub) = 1) s
+       |            WHERE sub NOT IN (SELECT sub FROM uc)),
+       |keep AS (SELECT sub, cnt FROM uc WHERE len(sub) = 1
+       |         UNION ALL SELECT sub, cnt FROM mk WHERE rk <= $TargetMulti
+       |         UNION ALL SELECT sub, cnt FROM chfloor),
+       |tot2 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM keep),
+       |vc2 AS MATERIALIZED (
+       |  SELECT sub, cnt,
+       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |  FROM keep CROSS JOIN tot2),
+       |lat2 AS MATERIALIZED (
+       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+       |  FROM ed e JOIN vc2 v USING (sub)),
+       |${dpChain("c", "lat2")},
+       |uc2 AS (SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(string_split(path, ' ')) AS token, freq
+       |              FROM segc) t
+       |        GROUP BY token)
+       |SELECT CAST(rnk AS INT) AS rnk, sub AS token, cnt, lp AS lp_e6 FROM (
+       |  SELECT u.sub, u.cnt, v.lp,
+       |         ROW_NUMBER() OVER (ORDER BY u.cnt DESC, u.sub) AS rnk
+       |  FROM uc2 u JOIN vc2 v USING (sub)) z
+       |WHERE rnk <= 30 ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val ed = edges(wordFreqs(sp)).staged // seed counts + all three lattices
+    val seg0 = viterbi(ed, seedVocab(ed))
+    val uc = seg0.select(explode(col("toks")).as("sub"), col("freq"))
+      .groupBy(col("sub")).agg(sum(col("freq")).as("cnt"))
+      .staged // singles arm, multi rank arm, and the floor anti-join
+    val topMulti = uc.filter(length(col("sub")) > 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("sub"))))
+      .filter(col("rk") <= TargetMulti)
+      .select(col("sub"), col("cnt"))
+    val floorSingles = ed.select(col("sub")).filter(length(col("sub")) === 1)
+      .distinct()
+      .join(uc.select(col("sub")), Seq("sub"), "left_anti")
+      .select(col("sub"), lit(CharFloor).as("cnt"))
+    val vc2 = withLogProbs(
+      uc.filter(length(col("sub")) === 1).select(col("sub"), col("cnt"))
+        .unionByName(topMulti).unionByName(floorSingles))
+      .staged // the lattice join + the final lp attach both read it
+    val uc2 = viterbi(ed, vc2)
+      .select(explode(col("toks")).as("sub"), col("freq"))
+      .groupBy(col("sub")).agg(sum(col("freq")).as("cnt"))
+    uc2.join(vc2.select(col("sub"), col("lp")), "sub")
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("sub"))).cast("int"))
+      .filter(col("rnk") <= 30)
+      .select(col("rnk"), col("sub").as("token"), col("cnt"),
+        col("lp").as("lp_e6"))
+      .orderBy(col("rnk"))
+  }
+
+  // ---------------------------------------------------------------------
   // q413 — the STATELESS-EXPRESSION encode over a static pretrained
   // vocab: the unigram analogue of the BPE q405/streaming-stage pair.
   // ---------------------------------------------------------------------
@@ -480,5 +571,5 @@ object UnigramTokenizer {
   // q411 joins the bench headline set: it is the per-row-DP family's
   // representative (two Viterbi passes + the EM rollup)
   val all: Seq[QuerySpec] = Seq(q410UnigramViterbi, q411UnigramEm.benched,
-    q412UnigramTrainedEncode, q413UnigramEncodeExpr)
+    q412UnigramTrainedEncode, q413UnigramEncodeExpr, q414UnigramPruneTarget)
 }

@@ -157,6 +157,24 @@ class UnigramSpec extends EngineSuite {
       r1.getAs[Long]("tokens_total") > 0L)
   }
 
+  test("pruning to the target vocab keeps at most TargetMulti multi-char " +
+    "tokens and the coverage floor prevents any <unk>") {
+    val rows = llmops.UnigramTokenizer.q414UnigramPruneTarget
+      .run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val multis = rows.map(_.getAs[String]("token")).filter(_.length > 1)
+    assert(multis.length <= llmops.UnigramTokenizer.TargetMulti,
+      s"more multi-char tokens than the target allows: ${multis.toSeq}")
+    assert(!rows.exists(_.getAs[String]("token") == "<unk>"),
+      "single-char coverage (incl. the CharFloor arm) must make every " +
+        "word segmentable under the pruned vocab")
+    // the artifact carries the model: every row's lp is a negative e6
+    // log-prob and usage counts are positive
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lp_e6") < 0L && r.getAs[Long]("cnt") > 0L)
+    }
+  }
+
   test("the per-row expression encode equals the lattice-join Viterbi " +
     "under the static vocab on the full fixture corpus") {
     val sp = QuerySpec.prepared(spark, sfDir)
