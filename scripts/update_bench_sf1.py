@@ -17,12 +17,10 @@ def main(argv):
     sf01, sf1, out = [], [], "BENCH_SF1.json"
     mode = None
     for a in argv:
-        if a == "--sf01":
-            mode = sf01
-        elif a == "--sf1":
-            mode = sf1
-        elif a == "--out":
-            mode = "out"
+        if a in ("--sf01", "--sf1", "--out"):
+            if mode == "out":
+                sys.exit("--out requires a path before the next flag")
+            mode = {"--sf01": sf01, "--sf1": sf1, "--out": "out"}[a]
         elif mode == "out":
             out = a
             mode = None  # exactly one path follows --out
@@ -31,6 +29,8 @@ def main(argv):
                      "--sf01, --sf1 or --out")
         else:
             mode.append(a)
+    if mode == "out":
+        sys.exit("--out requires a path")
     base_c, base_w, one_c, one_w = {}, {}, {}, {}
 
     def load(f, cold, warm):

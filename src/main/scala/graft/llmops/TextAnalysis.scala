@@ -841,14 +841,6 @@ object TextAnalysis {
   // merge-table-sized, never corpus-sized).
   private val BpeRounds = BpeMerges.size
 
-  /** DuckDB CTE text (no leading WITH) for a `rounds`-unrolled greedy
-    * BPE encode reading `$mergeRel(pair, rank)` and `$vocabRel(word, n)`:
-    * emits s0..s`rounds` (per-round states) and a0..a`rounds−1` (the
-    * per-word lowest-rank applicable rule). Parameterized over the merge
-    * relation so the SAME replay text serves the static pretrained table
-    * (q167/q405/q176) and the q401-LEARNED table (q406 — the train →
-    * encode composition). The caller appends a final SELECT over
-    * s`rounds`. */
   /** The corpus (word, source) rollup feeding a train → encode
     * composition's per-source report — ONE definition for both
     * tokenizer families (q406 BPE, q412 unigram) so their reports stay
@@ -879,8 +871,11 @@ object TextAnalysis {
 
   /** The DuckDB tail of the per-source compression report — the `ws`
     * rollup plus the final SELECT, parameterized over the caller's
-    * `tk(word, n_tokens, n_chars)` CTE text (the only part the two
-    * tokenizer families' replays differ in). */
+    * `tk(word, n_tokens, n_chars)` CTE text. Consumed by q412; q406's
+    * replay inlines its own byte-identical copy because its `ws` CTE
+    * ALSO feeds the encode vocabulary (`ev`) and so must precede the
+    * encode unroll — keep the two texts in sync (the SPARK side of
+    * both families does share [[perSourceCompression]]). */
   private[graft] def perSourceCompressionSqlTail(tkCte: String): String =
     s"""ws AS (SELECT word, source, CAST(COUNT(*) AS BIGINT) AS n
        |       FROM (SELECT source, unnest(string_split(text, ' ')) AS word
@@ -896,6 +891,14 @@ object TextAnalysis {
        |FROM ws JOIN tk USING (word)
        |GROUP BY ws.source ORDER BY ws.source""".stripMargin
 
+  /** DuckDB CTE text (no leading WITH) for a `rounds`-unrolled greedy
+    * BPE encode reading `$mergeRel(pair, rank)` and `$vocabRel(word, n)`:
+    * emits s0..s`rounds` (per-round states) and a0..a`rounds−1` (the
+    * per-word lowest-rank applicable rule). Parameterized over the merge
+    * relation so the SAME replay text serves the static pretrained table
+    * (q167/q405/q176) and the q401-LEARNED table (q406 — the train →
+    * encode composition). The caller appends a final SELECT over
+    * s`rounds`. */
   private[graft] def bpeEncodeUnrollCtes(
       mergeRel: String, vocabRel: String, rounds: Int): String = {
     val sb = new StringBuilder

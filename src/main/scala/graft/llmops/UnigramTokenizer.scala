@@ -130,10 +130,16 @@ object UnigramTokenizer {
     * under a non-covering vocabulary (digits/uppercase outside a static
     * cover, or an aggressively pruned model) returns toks = [[[Unk]]]
     * with a NULL score — the same UNK contract as the expression path
-    * [[unigramTokensExpr]], so the two formulations can never silently
-    * diverge (and a downstream `size(toks)` rollup can never swallow a
-    * NULL). Under the seed/EM vocabularies the single-char coverage
-    * guarantee makes the UNK arm unreachable (spec-pinned). */
+    * [[unigramTokensExpr]], so the two SPARK formulations can never
+    * silently diverge, and a downstream `size(toks)` rollup can never
+    * swallow a NULL. Scope honestly: the score stays NULL on the UNK
+    * arm (no likelihood is defined for an unsegmentable word — q411's
+    * ll_e6 would drop such a word, which is why q414 guards coverage
+    * LOUDLY in-plan), and the dpChain ORACLES assume a covering
+    * vocabulary (exactly what every oracle-gated query runs; q413's
+    * replay is the one that models UNK, via its COALESCE spine). Under
+    * the seed/EM vocabularies the single-char coverage guarantee makes
+    * the UNK arm unreachable (spec-pinned). */
   private[graft] def viterbi(ed: DataFrame, vocab: DataFrame): DataFrame = {
     val dp = ed.join(vocab.select(col("sub"), col("lp")), Seq("sub"))
       .groupBy(col("word"), col("freq"))
@@ -161,10 +167,14 @@ object UnigramTokenizer {
           |  length(word) + 1) AS dp""".stripMargin)
       .selectExpr("word", "freq", "dp.score AS score",
         "split(trim(dp.path), ' ') AS toks")
-    // vocab-grain word spine off the lattice itself: words whose every
-    // substring misses the vocab drop out of the DP join entirely, and
-    // covered words can still lack a FULL path — both land on the UNK arm
-    ed.select(col("word"), col("freq")).distinct()
+    // word spine off the lattice itself, AGGREGATION-FREE: every word
+    // has exactly one (j = 0, length-1) edge, so a filter IS the
+    // distinct-word relation (no second corpus pass, no shuffle).
+    // Words whose every substring misses the vocab drop out of the DP
+    // join entirely, and covered words can still lack a FULL path —
+    // both land on the UNK arm
+    ed.filter(col("j") === 0 && col("i") === 1)
+      .select(col("word"), col("freq"))
       .join(dp, Seq("word", "freq"), "left")
       .withColumn("toks", coalesce(col("toks"), array(lit(Unk))))
   }
@@ -441,7 +451,15 @@ object UnigramTokenizer {
     val uc2 = viterbi(ed, vc2)
       .select(explode(col("toks")).as("sub"), col("freq"))
       .groupBy(col("sub")).agg(sum(col("freq")).as("cnt"))
-    uc2.join(vc2.select(col("sub"), col("lp")), "sub")
+    // LEFT join + loud guard, not an inner join: an inner join would
+    // silently DROP a token outside the pruned vocab (<unk>, or a bug
+    // in the keep arms) — the one failure mode a coverage pin must
+    // surface, not mask
+    uc2.join(vc2.select(col("sub"), col("lp")), Seq("sub"), "left")
+      .withColumn("lp", when(col("lp").isNull,
+        expr("raise_error('q414 coverage violated: a token outside the " +
+          "pruned vocab reached the final segmentation')").cast("long"))
+        .otherwise(col("lp")))
       .withColumn("rnk", row_number()
         .over(Window.orderBy(col("cnt").desc, col("sub"))).cast("int"))
       .filter(col("rnk") <= 30)

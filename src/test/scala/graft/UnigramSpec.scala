@@ -165,6 +165,11 @@ class UnigramSpec extends EngineSuite {
     val multis = rows.map(_.getAs[String]("token")).filter(_.length > 1)
     assert(multis.length <= llmops.UnigramTokenizer.TargetMulti,
       s"more multi-char tokens than the target allows: ${multis.toSeq}")
+    // coverage is guarded IN-PLAN: q414's final join is a LEFT join
+    // with raise_error on a missing vocab row, so an <unk> (or any
+    // token outside the pruned vocab) fails the run loudly instead of
+    // being silently dropped by an inner join — this run completing IS
+    // the coverage assertion
     assert(!rows.exists(_.getAs[String]("token") == "<unk>"),
       "single-char coverage (incl. the CharFloor arm) must make every " +
         "word segmentable under the pruned vocab")
