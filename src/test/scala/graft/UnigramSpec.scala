@@ -157,6 +157,58 @@ class UnigramSpec extends EngineSuite {
       r1.getAs[Long]("tokens_total") > 0L)
   }
 
+  test("fuzz: the lattice-join DP matches the reference on random words " +
+    "under a random tie-heavy vocab") {
+    // Deterministic seed; lp values drawn from a SMALL set of multiples
+    // so equal-score paths across different start positions are common —
+    // the one argmax surface the hand cases cover only once.
+    val rnd = new scala.util.Random(1234567L)
+    val alphabet = "abc"
+    val words = Seq.fill(60)(
+      (1 to (1 + rnd.nextInt(10))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+      .distinct
+    val subs = (for {
+      w <- words; j <- 0 until w.length
+      l <- 1 to math.min(4, w.length - j)
+    } yield w.substring(j, j + l)).distinct
+    // every single char kept (coverage); multis kept with ~60% chance
+    val vocab = subs.filter(s => s.length == 1 || rnd.nextDouble() < 0.6)
+      .map(s => s -> -1000000L * (1 + rnd.nextInt(4)))
+    val lp = vocab.toMap
+    def ref(w: String): (Long, List[String]) = {
+      val dp = Array.fill[Option[(Long, Int, List[String])]](w.length + 1)(None)
+      dp(0) = Some((0L, -1, Nil))
+      for (p <- 1 to w.length) {
+        var best: Option[(Long, Int, List[String])] = None
+        for (j <- math.max(0, p - 4) until p) {
+          (lp.get(w.substring(j, p)), dp(j)) match {
+            case (Some(l), Some((sc, _, path))) =>
+              val cand = (sc + l, j, path :+ w.substring(j, p))
+              if (best.forall(b => cand._1 > b._1 ||
+                  (cand._1 == b._1 && cand._2 > b._2))) best = Some(cand)
+            case _ => ()
+          }
+        }
+        dp(p) = best
+      }
+      dp(w.length).map { case (sc, _, path) => (sc, path) }
+        .getOrElse((0L, List("<unk>")))
+    }
+    val sp = spark.newSession()
+    import sp.implicits._
+    val wf = words.map(w => (w, 1L)).toDF("word", "freq")
+    val got = llmops.UnigramTokenizer
+      .viterbi(llmops.UnigramTokenizer.edges(wf), vocab.toDF("sub", "lp"))
+      .collect()
+      .map(r => r.getAs[String]("word") ->
+        r.getSeq[String](r.fieldIndex("toks")).toList).toMap
+    assert(got.keySet == words.toSet)
+    for (w <- words) {
+      val (_, path) = ref(w)
+      assert(got(w) == path, s"word '$w': DP gave ${got(w)}, reference $path")
+    }
+  }
+
   test("pruning to the target vocab keeps at most TargetMulti multi-char " +
     "tokens and the coverage floor prevents any <unk>") {
     val rows = llmops.UnigramTokenizer.q414UnigramPruneTarget
