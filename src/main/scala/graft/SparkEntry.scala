@@ -29,6 +29,7 @@ object SparkEntry {
       llmops.SuffixArray.all ++
       llmops.BpeTokenizer.all ++
       llmops.UnigramTokenizer.all ++
+      llmops.TokenizerCompare.all ++
       llmops.Multimodal.all ++
       llmops.Clustering.all ++
       llmops.Retrieval.all ++

@@ -238,7 +238,7 @@ object BpeTokenizer {
       |  FROM words0, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) u)"""
       .stripMargin
 
-  private def oracleCtes(rounds: Int): String =
+  private[llmops] def oracleCtes(rounds: Int): String =
     (oracleSeed +: (0 until rounds).map(oracleRound)).mkString(",\n")
 
   /** The learned merge table itself — round, pair, merged token, corpus-

@@ -72,7 +72,7 @@ object UnigramTokenizer {
   /** Corpus words with total occurrence counts — the ONLY corpus-grain
     * pass (empty tokens guarded: Spark's sequence(1, 0) throws where
     * DuckDB's range is just empty). */
-  private def wordFreqs(sp: SparkSession): DataFrame =
+  private[llmops] def wordFreqs(sp: SparkSession): DataFrame =
     sp.table("documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -95,7 +95,7 @@ object UnigramTokenizer {
     * lp = round(ln(cnt / Σcnt)·1e6) as BIGINT — quantized ONCE here so
     * every downstream comparison is exact integer arithmetic. The 1-row
     * total is an explicit broadcast. */
-  private def withLogProbs(counts: DataFrame): DataFrame = {
+  private[llmops] def withLogProbs(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("cnt")).cast("double").as("tot"))
     counts.crossJoin(broadcast(tot))
       .select(col("sub"), col("cnt"),
@@ -187,7 +187,7 @@ object UnigramTokenizer {
   // q325 exponential-CTE trap).
   // ---------------------------------------------------------------------
 
-  private def oracleSeed: String =
+  private[llmops] def oracleSeed: String =
     s"""wf AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
@@ -212,7 +212,7 @@ object UnigramTokenizer {
 
   /** The positionally-unrolled Viterbi chain `dp{tag}0..dp{tag}MaxWordLen`
     * over lattice `latRel`, ending in `seg{tag}(word, freq, score, path)`. */
-  private def dpChain(tag: String, latRel: String): String = {
+  private[llmops] def dpChain(tag: String, latRel: String): String = {
     val parts = Seq.newBuilder[String]
     parts += s"""dp${tag}0 AS (SELECT word, freq, 0 AS pos,
                 |  CAST(0 AS BIGINT) AS score, '' AS path FROM wf)""".stripMargin
@@ -247,7 +247,7 @@ object UnigramTokenizer {
     * re-normalized into the trained model (`vc1`) and its lattice
     * (`lat1`). One definition so a quantization change can never drift
     * between the two replays. */
-  private def emRetrainCtes: String =
+  private[llmops] def emRetrainCtes: String =
     s"""uc AS MATERIALIZED (
        |  SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(string_split(path, ' ')) AS token, freq FROM sega) t

@@ -232,6 +232,20 @@ class UnigramSpec extends EngineSuite {
     }
   }
 
+  test("the tokenizer comparison report agrees on the corpus it measures " +
+    "(identical char totals across families) and both compress") {
+    val rows = llmops.TokenizerCompare.q415TokenizerCompare
+      .run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("family")).toSeq == Seq("bpe", "unigram"))
+    val before = rows.map(_.getAs[Long]("tokens_before")).distinct
+    assert(before.length == 1,
+      s"both families measure the SAME corpus — chars must agree: ${before.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("compression_e6") < 1000000L &&
+        r.getAs[Long]("tokens_after") > 0L && r.getAs[Long]("vocab_used") > 0L)
+    }
+  }
+
   test("the per-row expression encode equals the lattice-join Viterbi " +
     "under the static vocab on the full fixture corpus") {
     val sp = QuerySpec.prepared(spark, sfDir)
