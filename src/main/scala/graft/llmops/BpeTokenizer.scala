@@ -100,18 +100,35 @@ object BpeTokenizer {
     * consumed by both the pair count and the rewrite, so staged by the
     * caller. The window partitions by WORD: bounded by the longest
     * word's length, never a corpus- or vocab-grain partition. */
-  private def withNext(syms: DataFrame): DataFrame =
+  private[graft] def withNext(syms: DataFrame): DataFrame =
     syms.withColumn("nxt", lead(col("sym"), 1).over(wordW))
+
+  /** Corpus-weighted adjacent-pair counts (l, r, pair_freq) off a
+    * neighbour-attached symbol table — the relation every winner
+    * selection ranks. GroupBy is map-side combined; the relation is
+    * PAIR-grain (distinct adjacent pairs), far below the symbol grain. */
+  private[graft] def pairCounts(next: DataFrame): DataFrame =
+    next.filter(col("nxt").isNotNull)
+      .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("pair_freq"))
+      .select(col("sym").as("l"), col("nxt").as("r"), col("pair_freq"))
 
   /** The round's winning pair (l, r, pair_freq) — corpus-weighted count
     * DESC, ties broken lexicographically on (l, r). Empty iff no word
     * has ≥ 2 symbols left. GroupBy is map-side combined; the top-1 is
     * TakeOrdered, not a sort. */
   private[graft] def roundWinner(next: DataFrame): DataFrame =
-    next.filter(col("nxt").isNotNull)
-      .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("pair_freq"))
-      .select(col("sym").as("l"), col("nxt").as("r"), col("pair_freq"))
+    pairCounts(next)
       .orderBy(col("pair_freq").desc, col("l"), col("r")).limit(1)
+
+  /** Winner-candidate marking: each position's (sym, nxt) equality-left-
+    * joined against the (≤ m-row, broadcast) winner relation; `cand` = 1
+    * iff the position opens a match. Shared by [[rewriteMarked]] and the
+    * incremental trainer's delta accounting (which also needs the
+    * per-WORD touched flag off the same join). */
+  private[graft] def mark(next: DataFrame, winner: DataFrame): DataFrame =
+    next.join(broadcast(winner.select(col("l"), col("r"))),
+        col("sym") === col("l") && col("nxt") === col("r"), "left")
+      .withColumn("cand", when(col("l").isNotNull, 1L).otherwise(0L))
 
   /** Greedy left-to-right rewrite of every word by the winner relation —
     * ONE row (the textbook trainer) or a NON-INTERACTING batch of m
@@ -122,10 +139,15 @@ object BpeTokenizer {
     * candidates → run parity → keep odd matches, drop each kept match's
     * right neighbour, renumber. All windows partition by word. An empty
     * winner relation leaves every word untouched (equality left join). */
-  private[graft] def rewrite(next: DataFrame, winner: DataFrame): DataFrame = {
-    val m = next.join(broadcast(winner.select(col("l"), col("r"))),
-        col("sym") === col("l") && col("nxt") === col("r"), "left")
-      .withColumn("cand", when(col("l").isNotNull, 1L).otherwise(0L))
+  private[graft] def rewrite(next: DataFrame, winner: DataFrame): DataFrame =
+    rewriteMarked(mark(next, winner), Nil)
+
+  /** The rewrite proper, over a [[mark]]-ed relation; `carry` names
+    * extra columns to thread through to the output (the incremental
+    * trainer carries its per-word `touched` flag so the post-rewrite
+    * pair deltas can filter to the touched slice without re-deriving
+    * it). */
+  private def rewriteMarked(m: DataFrame, carry: Seq[String]): DataFrame = {
     val g = m.withColumn("grp",
       sum(when(col("cand") === 0, 1L).otherwise(0L)).over(wordW))
     val h = g.withColumn("take",
@@ -133,14 +155,14 @@ object BpeTokenizer {
         row_number().over(Window.partitionBy(col("word"), col("grp"),
           col("cand")).orderBy(col("pos"))) % 2 === 1, 1L)
         .otherwise(0L))
-    h.withColumn("ptake", lag(col("take"), 1, 0L).over(wordW))
+    val out = h.withColumn("ptake", lag(col("take"), 1, 0L).over(wordW))
       .filter(col("ptake") === 0)
       .withColumn("sym2",
         when(col("take") === 1, concat(col("sym"), col("r")))
           .otherwise(col("sym")))
       .withColumn("pos2", row_number().over(wordW).cast("long"))
-      .select(col("word"), col("freq"), col("pos2").as("pos"),
-        col("sym2").as("sym"))
+    out.select((Seq(col("word"), col("freq"), col("pos2").as("pos"),
+      col("sym2").as("sym")) ++ carry.map(col)): _*)
   }
 
   /** Run the training loop: returns (merge table with 1-based `round`,
@@ -397,10 +419,15 @@ object BpeTokenizer {
     * rank 1 is never blocked, so the first batch member of round 1
     * equals q401's first merge). Returns (l, r, pair_freq, brk) with
     * brk the 1-based in-batch rank. */
-  private[graft] def batchWinners(next: DataFrame, m: Int, pool: Int): DataFrame = {
-    val counts = next.filter(col("nxt").isNotNull)
-      .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("pair_freq"))
-      .select(col("sym").as("l"), col("nxt").as("r"), col("pair_freq"))
+  private[graft] def batchWinners(next: DataFrame, m: Int, pool: Int): DataFrame =
+    batchWinnersFromCounts(pairCounts(next), m, pool)
+
+  /** Batch selection off an ALREADY-COUNTED pair relation — the form the
+    * incremental trainer ([[trainMergesIncremental]]) ranks its staged
+    * delta-maintained counts with (no per-round recount anywhere in its
+    * selection path). */
+  private[graft] def batchWinnersFromCounts(counts: DataFrame, m: Int,
+                                            pool: Int): DataFrame = {
     // TakeOrdered pool, then windows over the ≤pool-row relation only
     val pooled = counts
       .orderBy(col("pair_freq").desc, col("l"), col("r")).limit(pool)
@@ -462,6 +489,121 @@ object BpeTokenizer {
     (mergeTable, syms)
   }
 
+  // ---------------------------------------------------------------------
+  // q416 — the INCREMENTAL trainer: the pair-count relation is staged
+  // across rounds and updated with +/- deltas from only the words the
+  // previous batch rewrote. q407 bounded the round COUNT (K/m); this
+  // bounds per-round COST — the classic incremental-BPE bookkeeping
+  // (Sennrich's reference trainer keeps a pair-statistics dict updated
+  // in place) re-expressed as relational delta maintenance.
+  // ---------------------------------------------------------------------
+
+  /** q416's merge budget: rounds × m = 48 merges — 8× q401's K, the
+    * "larger K" drill point where per-round recount cost separates from
+    * per-round delta cost. */
+  private[graft] val IncRounds = 6
+  private[graft] val IncM = 8
+  private[graft] val IncPool = 32
+
+  /** The batched loop with INCREMENTAL pair-count maintenance. Exactly
+    * [[trainMergesBatched]]'s semantics (same [[batchWinnersFromCounts]]
+    * ranking, same [[rewriteMarked]] algebra — BpeSpec pins the merge
+    * tables equal), but each round's counts come from the staged
+    * pair-count relation of the previous round plus two TOUCHED-SLICE
+    * deltas: −(old pairs of words containing a winner) and +(new pairs
+    * of the same words after the rewrite). Untouched words' pairs are
+    * untouched by the rewrite, so the maintained relation equals a full
+    * recount ALGEBRAICALLY (exact integer +/−; the spec pins the
+    * equality after the full run).
+    *
+    * Why this is the production-K shape: at K ≈ 30k–100k (K/m ≈ 120–400
+    * rounds) the full-recount trainer pays a SYMBOL-grain shuffle
+    * (groupBy(sym, nxt) over the whole table) every round — hundreds of
+    * full passes where only a shrinking slice changed. Here the
+    * per-round shuffle mass is (a) the two touched-slice aggregations —
+    * bounded by the words the last batch matched, the slice that
+    * shrinks as training moves down the frequency curve — and (b) the
+    * PAIR-grain counts merge (distinct adjacent pairs ≪ symbols). The
+    * rewrite itself stays a narrow word-partitioned window pass over
+    * the cached table with NO shuffle: rewriting only touched words and
+    * unioning back would break the hash(word) co-partitioning every
+    * window round reuses, re-introducing a full exchange — in Spark's
+    * cost model the shuffle, not the cached narrow pass, is the scarce
+    * resource, so the delta design moves exactly the shuffles.
+    *
+    * The per-word `touched` flag is a word-partitioned window max over
+    * the [[mark]] join (no shuffle on the cached hash(word) layout) and
+    * rides through the rewrite so the +delta filters the ALREADY-
+    * renumbered table without a re-derive.
+    *
+    * Returns (merge table, final symbol table, final maintained counts
+    * — the spec's recount-equality handle). All three are live staged
+    * relations; the caller releases what it does not keep. */
+  private[graft] def trainMergesIncremental(
+      sp: SparkSession, rounds: Int = IncRounds, m: Int = IncM,
+      pool: Int = IncPool): (DataFrame, DataFrame, DataFrame) = {
+    import sp.implicits._
+    var syms = seedSyms(sp).staged
+    var next = withNext(syms).staged // marked join + (via counts) ranking
+    var counts = pairCounts(next).staged // the maintained relation
+    val merges = Seq.newBuilder[(Long, Long, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < rounds && !exhausted) {
+      val win = batchWinnersFromCounts(counts, m, pool)
+        .collect() // O(1)-result probe: ≤ m rows
+      if (win.isEmpty) exhausted = true
+      else {
+        merges ++= win.map(w => (k + 1L, w.getAs[Long]("brk"),
+          w.getAs[String]("l"), w.getAs[String]("r"),
+          w.getAs[Long]("pair_freq")))
+        val winners = win.toSeq
+          .map(w => (w.getAs[String]("l"), w.getAs[String]("r")))
+          .toDF("l", "r")
+        val marked = mark(next, winners)
+          .withColumn("touched",
+            max(col("cand")).over(Window.partitionBy(col("word"))))
+          .staged // the −delta AND the rewrite read it
+        // −delta: every adjacent pair of the words the batch will
+        // rewrite, at round-START state
+        val negd = marked
+          .filter(col("touched") === 1L && col("nxt").isNotNull)
+          .groupBy(col("sym"), col("nxt"))
+          .agg((-sum(col("freq"))).as("pair_freq"))
+          .select(col("sym").as("l"), col("nxt").as("r"), col("pair_freq"))
+        val syms2 = rewriteMarked(marked, carry = Seq("touched")).staged
+        val next2 = withNext(syms2).staged
+        // +delta: the same words' pairs AFTER the rewrite
+        val posd = next2
+          .filter(col("touched") === 1L && col("nxt").isNotNull)
+          .groupBy(col("sym"), col("nxt"))
+          .agg(sum(col("freq")).as("pair_freq"))
+          .select(col("sym").as("l"), col("nxt").as("r"), col("pair_freq"))
+        // pair-grain merge; a pair whose count reaches 0 drops out (it
+        // re-enters as a fresh row if a later round recreates it)
+        val counts2 = counts.unionByName(negd).unionByName(posd)
+          .groupBy(col("l"), col("r"))
+          .agg(sum(col("pair_freq")).as("pair_freq"))
+          .filter(col("pair_freq") > 0)
+          .staged
+        Checkpoints.unpersist(marked)
+        Checkpoints.unpersist(next)
+        Checkpoints.unpersist(syms)
+        Checkpoints.unpersist(counts)
+        syms = syms2
+        next = next2
+        counts = counts2
+        k += 1
+      }
+    }
+    Checkpoints.unpersist(next) // final syms/counts returned; next is not
+    val mergeTable = merges.result()
+      .toDF("round", "brk", "l", "r", "pair_freq")
+    // the carried touched flag is loop bookkeeping, not part of the
+    // symbol-table contract (drop is a no-op on a zero-round run)
+    (mergeTable, syms.drop("touched"), counts)
+  }
+
   /** One batched round, unrolled for DuckDB — the same candidate pool,
     * rank-blind blocking, top-m batch, and run-parity rewrite. */
   private def batchedOracleRound(k: Int, m: Int, pool: Int): String = {
@@ -503,7 +645,11 @@ object BpeTokenizer {
 
   /** The batched merge table — q401's artifact shape plus the in-batch
     * rank. q401 stays the textbook semantics pin; this is the variant
-    * that survives production K. */
+    * that survives production K. Since r18 the gated runner is the
+    * INCREMENTAL loop ([[trainMergesIncremental]]) — delta-maintained
+    * counts are algebraically a full recount, so the unrolled
+    * full-recount oracle gates it unchanged (and the spec pins the
+    * incremental table equal to [[trainMergesBatched]]'s). */
   val q407BpeBatchedMerges: QuerySpec = QuerySpec(
     "q407_bpe_batched_merges",
     s"""WITH ${(oracleSeed +: (0 until BatchRounds)
@@ -515,8 +661,35 @@ object BpeTokenizer {
        |       l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_freq
        |FROM merges ORDER BY round, batch_rank""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    val (mergeTable, finalSyms) = trainMergesBatched(sp)
+    val (mergeTable, finalSyms, finalCounts) =
+      trainMergesIncremental(sp, BatchRounds, BatchM, BatchPool)
     Checkpoints.unpersist(finalSyms)
+    Checkpoints.unpersist(finalCounts)
+    mergeTable.select(col("round"), col("brk").cast("long").as("batch_rank"),
+      col("l").as("left_sym"), col("r").as("right_sym"),
+      concat(col("l"), col("r")).as("merged"), col("pair_freq"))
+      .orderBy(col("round"), col("batch_rank"))
+  }
+
+  /** The larger-K incremental drill under the oracle gate: 48 merges
+    * ([[IncRounds]] × [[IncM]] — 8× q401's budget) through the delta-
+    * maintained loop, against the SAME programmatically-unrolled
+    * full-recount oracle at (m = 8, pool = 32). Benched: per-round cost
+    * at this K is the number the incremental design exists for. */
+  val q416BpeIncrementalMerges: QuerySpec = QuerySpec(
+    "q416_bpe_incremental_merges",
+    s"""WITH ${(oracleSeed +: (0 until IncRounds)
+        .map(batchedOracleRound(_, IncM, IncPool))).mkString(",\n")},
+       |merges AS (${(0 until IncRounds)
+        .map(k => s"SELECT ${k + 1} AS round, brk, l, r, c FROM bw$k")
+        .mkString(" UNION ALL ")})
+       |SELECT CAST(round AS BIGINT) AS round, CAST(brk AS BIGINT) AS batch_rank,
+       |       l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_freq
+       |FROM merges ORDER BY round, batch_rank""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (mergeTable, finalSyms, finalCounts) = trainMergesIncremental(sp)
+    Checkpoints.unpersist(finalSyms)
+    Checkpoints.unpersist(finalCounts)
     mergeTable.select(col("round"), col("brk").cast("long").as("batch_rank"),
       col("l").as("left_sym"), col("r").as("right_sym"),
       concat(col("l"), col("r")).as("merged"), col("pair_freq"))
@@ -524,7 +697,9 @@ object BpeTokenizer {
   }
 
   // q401 joins the bench headline set: it exercises the iterative
-  // checkpointed-loop envelope (like q325/q381) at the vocab grain
+  // checkpointed-loop envelope (like q325/q381) at the vocab grain;
+  // q416 benches the incremental loop at the 48-merge budget
   val all: Seq[QuerySpec] = Seq(q401BpeMerges.benched, q402BpeCompression,
-    q406BpeTrainedEncode, q407BpeBatchedMerges)
+    q406BpeTrainedEncode, q407BpeBatchedMerges,
+    q416BpeIncrementalMerges.benched)
 }

@@ -204,6 +204,54 @@ class BpeSpec extends EngineSuite {
       "every word must re-concatenate from its batched-merge symbols")
   }
 
+  test("q416 incremental == full-recount batched: identical merge table " +
+    "at the q407 parameters on the fixture") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val (bm, bSyms) = llmops.BpeTokenizer.trainMergesBatched(sp)
+    val (im, iSyms, iCounts) = llmops.BpeTokenizer.trainMergesIncremental(
+      sp, llmops.BpeTokenizer.BatchRounds, llmops.BpeTokenizer.BatchM,
+      llmops.BpeTokenizer.BatchPool)
+    val b = bm.orderBy(col("round"), col("brk")).collect().toSeq
+    val i = im.orderBy(col("round"), col("brk")).collect().toSeq
+    assert(b == i,
+      s"delta-maintained counts must reproduce the full recount: $b vs $i")
+    // and the final symbol tables agree row-for-row
+    val cols = Seq("word", "freq", "pos", "sym").map(col)
+    val ic = iSyms.select(cols: _*); val bc = bSyms.select(cols: _*)
+    assert(ic.exceptAll(bc).isEmpty && bc.exceptAll(ic).isEmpty)
+    llmops.Checkpoints.unpersist(bSyms)
+    llmops.Checkpoints.unpersist(iSyms)
+    llmops.Checkpoints.unpersist(iCounts)
+  }
+
+  test("q416 maintained pair counts equal a full recount of the final " +
+    "symbol table after the full multi-round run") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val (im, iSyms, iCounts) = llmops.BpeTokenizer.trainMergesIncremental(sp)
+    assert(im.count() >= 2L, "the equality must be exercised past round 1")
+    val full = llmops.BpeTokenizer.pairCounts(
+      llmops.BpeTokenizer.withNext(iSyms))
+    val maintained = iCounts.select(col("l"), col("r"), col("pair_freq"))
+    assert(maintained.exceptAll(full).isEmpty && full.exceptAll(maintained).isEmpty,
+      "the delta-maintained relation drifted from ground truth")
+    llmops.Checkpoints.unpersist(iSyms)
+    llmops.Checkpoints.unpersist(iCounts)
+  }
+
+  test("incremental at m = 1, pool = 1 degenerates to the textbook loop") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val (im, iSyms, iCounts) = llmops.BpeTokenizer.trainMergesIncremental(
+      sp, rounds = llmops.BpeTokenizer.Merges, m = 1, pool = 1)
+    val (tm, tSyms) = llmops.BpeTokenizer.trainMerges(sp)
+    val i = im.orderBy(col("round"))
+      .select(col("round"), col("l"), col("r"), col("pair_freq")).collect().toSeq
+    val t = tm.orderBy(col("round")).collect().toSeq
+    assert(i == t, s"m=1 incremental is not the textbook trainer: $i vs $t")
+    llmops.Checkpoints.unpersist(iSyms)
+    llmops.Checkpoints.unpersist(iCounts)
+    llmops.Checkpoints.unpersist(tSyms)
+  }
+
   test("q402 compression invariants hold on the fixture") {
     val row = SparkEntry.queries("q402_bpe_compression")(spark, sfDir)
       .collect()(0)
