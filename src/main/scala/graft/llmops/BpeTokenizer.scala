@@ -516,20 +516,30 @@ object BpeTokenizer {
     * recount ALGEBRAICALLY (exact integer +/−; the spec pins the
     * equality after the full run).
     *
-    * Why this is the production-K shape: at K ≈ 30k–100k (K/m ≈ 120–400
-    * rounds) the full-recount trainer pays a SYMBOL-grain shuffle
-    * (groupBy(sym, nxt) over the whole table) every round — hundreds of
-    * full passes where only a shrinking slice changed. Here the
-    * per-round shuffle mass is (a) the two touched-slice aggregations —
-    * bounded by the words the last batch matched, the slice that
-    * shrinks as training moves down the frequency curve — and (b) the
-    * PAIR-grain counts merge (distinct adjacent pairs ≪ symbols). The
-    * rewrite itself stays a narrow word-partitioned window pass over
-    * the cached table with NO shuffle: rewriting only touched words and
-    * unioning back would break the hash(word) co-partitioning every
-    * window round reuses, re-introducing a full exchange — in Spark's
-    * cost model the shuffle, not the cached narrow pass, is the scarce
-    * resource, so the delta design moves exactly the shuffles.
+    * MEASURED OUTCOME (r18, the reason this is NOT the production
+    * path): the classic incremental trainer's win does not transfer to
+    * the relational formulation. The hypothesis was that the full
+    * recount pays a symbol-grain pass per round where only a shrinking
+    * slice changed; measured at K = 48 (6 rounds × m = 8, BpeDrill,
+    * local[32], warm), the delta loop is the SLOWER one —
+    * 31-word fixture vocab (sf0.1): recount 2.9–4.7 s vs delta
+    * 3.9–4.5 s; synthetic 200k-word vocab (~1.4M-row symbol table):
+    * recount 11.4–12.6 s vs delta 15.4 s. Two mechanisms: (a) the
+    * recount's groupBy is map-side combined, so its SHUFFLE is already
+    * pair-grain — the full pass the delta scheme saves is one narrow
+    * scan of a cached relation; (b) the rewrite + neighbour windows are
+    * themselves O(symbols) passes every round (identifying candidates
+    * IS a scan without a pair→word index, which a relational plan
+    * cannot maintain without breaking the hash(word) co-partitioning
+    * the window rounds reuse), so the delta bookkeeping ADDS two
+    * touched-slice aggregations, a pair-grain merge, and one extra
+    * checkpoint per round while removing only (a)'s cheap scan. Per-
+    * round cost is dominated by FIXED stage latency at every vocab size
+    * tested (~0.5 s/round at 31 words, ~2 s/round at 200k words for a
+    * 6500× vocab growth) — the production-K axis that actually matters
+    * is the ROUND COUNT, owned by the m-batching (q407). Kept, spec-
+    * pinned and oracle-gated (q416), as the measured-and-documented
+    * alternative.
     *
     * The per-word `touched` flag is a word-partitioned window max over
     * the [[mark]] join (no shuffle on the cached hash(word) layout) and
@@ -645,11 +655,10 @@ object BpeTokenizer {
 
   /** The batched merge table — q401's artifact shape plus the in-batch
     * rank. q401 stays the textbook semantics pin; this is the variant
-    * that survives production K. Since r18 the gated runner is the
-    * INCREMENTAL loop ([[trainMergesIncremental]]) — delta-maintained
-    * counts are algebraically a full recount, so the unrolled
-    * full-recount oracle gates it unchanged (and the spec pins the
-    * incremental table equal to [[trainMergesBatched]]'s). */
+    * that survives production K (and, per the r18 measurement recorded
+    * on [[trainMergesIncremental]], the PRODUCTION path outright: the
+    * full-recount batched loop measured faster than delta maintenance
+    * at every vocabulary size this container can hold). */
   val q407BpeBatchedMerges: QuerySpec = QuerySpec(
     "q407_bpe_batched_merges",
     s"""WITH ${(oracleSeed +: (0 until BatchRounds)
@@ -661,10 +670,8 @@ object BpeTokenizer {
        |       l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_freq
        |FROM merges ORDER BY round, batch_rank""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    val (mergeTable, finalSyms, finalCounts) =
-      trainMergesIncremental(sp, BatchRounds, BatchM, BatchPool)
+    val (mergeTable, finalSyms) = trainMergesBatched(sp)
     Checkpoints.unpersist(finalSyms)
-    Checkpoints.unpersist(finalCounts)
     mergeTable.select(col("round"), col("brk").cast("long").as("batch_rank"),
       col("l").as("left_sym"), col("r").as("right_sym"),
       concat(col("l"), col("r")).as("merged"), col("pair_freq"))
@@ -674,8 +681,10 @@ object BpeTokenizer {
   /** The larger-K incremental drill under the oracle gate: 48 merges
     * ([[IncRounds]] × [[IncM]] — 8× q401's budget) through the delta-
     * maintained loop, against the SAME programmatically-unrolled
-    * full-recount oracle at (m = 8, pool = 32). Benched: per-round cost
-    * at this K is the number the incremental design exists for. */
+    * full-recount oracle at (m = 8, pool = 32). Benched: this is the
+    * delta variant's standing measurement next to q401/q407 — the
+    * number behind the measured-outcome note on
+    * [[trainMergesIncremental]]. */
   val q416BpeIncrementalMerges: QuerySpec = QuerySpec(
     "q416_bpe_incremental_merges",
     s"""WITH ${(oracleSeed +: (0 until IncRounds)

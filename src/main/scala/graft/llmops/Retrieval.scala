@@ -509,6 +509,40 @@ object Retrieval {
     }
   }
 
+  /** Doc-id bound of the phrase-DERIVATION slice in q403/q408: the
+    * fixture phrase parameters come from the n-grams of the first 100
+    * documents only, so the derivation is a BOUNDED setup step — a
+    * pushed `doc_id < 100` parquet scan whose cost is fixed at any
+    * corpus size — and the gated plans' scale behavior is the SEARCH
+    * path's (broadcast-only posting intersection), not an all-corpus
+    * n-gram pass (the r17 finding: the 10× drills were measuring the
+    * scaffold). In production the phrases arrive with the query and
+    * the slice disappears entirely. */
+  private[graft] val PhraseDeriveDocs = 100L
+
+  /** The corpus's positional-postings relation (doc_id, pos, word) —
+    * the inverted index both phrase-search queries intersect. */
+  private[graft] def postings(sp: org.apache.spark.sql.SparkSession): DataFrame =
+    sp.table("documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("word"))
+
+  /** The BOUNDED phrase-derivation slice: postings of the first
+    * [[PhraseDeriveDocs]] documents, off its OWN scan so the
+    * `doc_id < 100` predicate reaches the parquet reader (LlmOpsSpec
+    * pins the pushed filter) — the setup step's cost is fixed at any
+    * corpus size. */
+  private[graft] def phraseDeriveSlice(
+      sp: org.apache.spark.sql.SparkSession): DataFrame =
+    sp.table("documents")
+      .filter(col("doc_id") < PhraseDeriveDocs)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("word"))
+
   /** Positional-postings PHRASE search — the exact-phrase leg a lexical
     * index needs next to the bag-of-words scoring of [[q202Bm25]]: the
     * corpus's positional inverted index is the (doc_id, pos, word)
@@ -516,33 +550,39 @@ object Retrieval {
     * its words' posting lists joined on (doc, consecutive positions) —
     * the classic positional-index merge (Manning et al., IR book §2.4),
     * expressed as (doc_id, pos)-co-partitioned equi-joins. The searched
-    * phrase is derived from the corpus itself (its most frequent
-    * trigram — count DESC, then lexicographic; a map-side-combined
-    * n-gram groupBy + TopN) so the operator is parameter-free and
-    * meaningful at any corpus; in production the phrase arrives as a
-    * query parameter and ONLY the filtered posting arms are read —
-    * which is exactly how the hit path below is shaped: each arm
-    * filters the token relation by one broadcast phrase word BEFORE
-    * joining, so the intersection touches three posting lists, never
-    * the corpus. Per-source hit/doc rollup attaches source once,
-    * after the intersection. */
+    * phrase is derived from the corpus itself (the most frequent
+    * trigram of the [[PhraseDeriveDocs]]-bounded slice — count DESC,
+    * then lexicographic) so the operator is parameter-free and
+    * meaningful at any corpus while the derivation stays a scale-free
+    * setup step; in production the phrase arrives as a query parameter
+    * and ONLY the filtered posting arms are read — which is exactly how
+    * the hit path below is shaped: each arm filters the token relation
+    * by one broadcast phrase word BEFORE joining, so the intersection
+    * touches three posting lists, never the corpus. Per-source hit/doc
+    * rollup attaches source once, after the intersection. */
   val q403PhraseSearch: QuerySpec = QuerySpec(
     "q403_phrase_search",
-    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
       |           FROM documents),
-      |t AS (SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
+      |t AS MATERIALIZED (
+      |      -- read by all three posting arms; MATERIALIZED stops the
+      |      -- intersection from inlining the unnest three times
+      |      SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
       |             unnest(w) AS word FROM d),
-      |tri AS MATERIALIZED (
-      |        -- read twice (top1 + hits); MATERIALIZED stops the 3-way
-      |        -- positional join from inlining twice
-      |        SELECT a.doc_id, a.pos, a.word AS w1, b.word AS w2, c.word AS w3
-      |        FROM t a
-      |        JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      |        JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |td AS (SELECT * FROM t WHERE doc_id < $PhraseDeriveDocs),
+      |tri AS (SELECT a.word AS w1, b.word AS w2, c.word AS w3
+      |        FROM td a
+      |        JOIN td b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |        JOIN td c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
       |top1 AS (SELECT w1, w2, w3 FROM tri
       |         GROUP BY w1, w2, w3 ORDER BY COUNT(*) DESC, w1, w2, w3 LIMIT 1),
-      |hits AS (SELECT h.doc_id, h.w1, h.w2, h.w3
-      |         FROM tri h JOIN top1 USING (w1, w2, w3))
+      |hits AS (SELECT p1.doc_id, p1.w1, p1.w2, p1.w3
+      |         FROM (SELECT t.doc_id, t.pos, o.w1, o.w2, o.w3
+      |               FROM t JOIN top1 o ON t.word = o.w1) p1
+      |         JOIN t m2 ON m2.doc_id = p1.doc_id AND m2.pos = p1.pos + 1
+      |                  AND m2.word = p1.w2
+      |         JOIN t m3 ON m3.doc_id = p1.doc_id AND m3.pos = p1.pos + 2
+      |                  AND m3.word = p1.w3)
       |SELECT h.w1 || ' ' || h.w2 || ' ' || h.w3 AS phrase, d.source,
       |  CAST(COUNT(*) AS BIGINT) AS hits,
       |  CAST(COUNT(DISTINCT h.doc_id) AS BIGINT) AS docs,
@@ -552,19 +592,17 @@ object Retrieval {
       |GROUP BY phrase, d.source
       |ORDER BY d.source""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    val toks = sp.table("documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        col("word"))
-      .staged // trigram stats + all three filtered posting arms read it
-    // phrase parameter: the corpus's most frequent trigram — a
-    // map-side-combined n-gram rollup over (doc,pos)-co-partitioned
-    // consecutive-position joins, then a TopN with a total tie-break
-    val tri = toks.select(col("doc_id"), col("pos"), col("word").as("w1"))
-      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+    val toks = postings(sp)
+      .staged // all three filtered posting arms read it
+    // phrase parameter: most frequent trigram of the BOUNDED derivation
+    // slice — never the staged corpus relation, so the setup cost is
+    // fixed at any corpus size
+    val derToks = phraseDeriveSlice(sp)
+      .staged // three self-join arms of the trigram rollup read it
+    val tri = derToks.select(col("doc_id"), col("pos"), col("word").as("w1"))
+      .join(derToks.select(col("doc_id"), (col("pos") - 1).as("pos"),
         col("word").as("w2")), Seq("doc_id", "pos"))
-      .join(toks.select(col("doc_id"), (col("pos") - 2).as("pos"),
+      .join(derToks.select(col("doc_id"), (col("pos") - 2).as("pos"),
         col("word").as("w3")), Seq("doc_id", "pos"))
     val top1 = tri.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c"))
@@ -630,30 +668,31 @@ object Retrieval {
     * (phrases arrive as parameters; only the phrase words' postings are
     * read, via one broadcast join — never an all-n-grams corpus pass on
     * the search path). The fixture's phrase set is corpus-derived to
-    * stay parameter-free: the top-2 bigrams and the top trigram
-    * (count DESC, then lexicographic), lengths 2, 2 and 3 — the
-    * derivation is the only corpus-grain n-gram pass and exists solely
-    * to pick the parameter, exactly like q403's trigram derivation.
-    * Per-(phrase, source) rollup: occurrences, distinct docs, first
-    * doc. */
+    * stay parameter-free: the top-2 bigrams and the top trigram of the
+    * [[PhraseDeriveDocs]]-bounded slice (count DESC, then
+    * lexicographic), lengths 2, 2 and 3 — a scale-free setup step off
+    * its own pushed-filter scan, exactly like q403's trigram
+    * derivation. Per-(phrase, source) rollup: occurrences, distinct
+    * docs, first doc. */
   val q408MultiPhraseSearch: QuerySpec = QuerySpec(
     "q408_multi_phrase_search",
-    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
       |           FROM documents),
       |t AS MATERIALIZED (
-      |      -- read by the bigram pass, the trigram pass, and the
-      |      -- anchor join: MATERIALIZED stops compounding inlining
+      |      -- read by the derivation slice and the anchor join:
+      |      -- MATERIALIZED stops compounding inlining
       |      SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
       |             unnest(w) AS word FROM d),
+      |td AS (SELECT * FROM t WHERE doc_id < $PhraseDeriveDocs),
       |big AS (SELECT a.word AS w1, b.word AS w2, COUNT(*) AS c
-      |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |        FROM td a JOIN td b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       |        GROUP BY 1, 2),
       |top2 AS (SELECT w1 || ' ' || w2 AS phrase FROM big
       |         ORDER BY c DESC, w1, w2 LIMIT 2),
       |tri AS (SELECT a.word AS w1, b.word AS w2, c.word AS w3, COUNT(*) AS c
-      |        FROM t a
-      |        JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      |        JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |        FROM td a
+      |        JOIN td b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |        JOIN td c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
       |        GROUP BY 1, 2, 3),
       |top1 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS phrase FROM tri
       |         ORDER BY c DESC, w1, w2, w3 LIMIT 1),
@@ -677,23 +716,22 @@ object Retrieval {
       |GROUP BY h.phrase, d.source
       |ORDER BY h.phrase, d.source""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    val toks = sp.table("documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        col("word"))
-      .staged // n-gram derivation passes + the anchor join read it
-    // phrase parameters: top-2 bigrams + top trigram (corpus-derived,
-    // like q403 — in production this relation arrives with the query)
-    val big = toks.select(col("doc_id"), col("pos"), col("word").as("w1"))
-      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+    val toks = postings(sp)
+      .staged // the anchor join reads it
+    // phrase parameters: top-2 bigrams + top trigram of the BOUNDED
+    // derivation slice, off its own pushed-filter scan (q403's setup
+    // shape — in production this relation arrives with the query)
+    val derToks = phraseDeriveSlice(sp)
+      .staged // bigram + trigram derivation arms read it
+    val big = derToks.select(col("doc_id"), col("pos"), col("word").as("w1"))
+      .join(derToks.select(col("doc_id"), (col("pos") - 1).as("pos"),
         col("word").as("w2")), Seq("doc_id", "pos"))
     val top2 = big.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w1"), col("w2")).limit(2)
       .select(concat_ws(" ", col("w1"), col("w2")).as("phrase"))
     val tri = big
-      .join(toks.select(col("doc_id"), (col("pos") - 2).as("pos"),
+      .join(derToks.select(col("doc_id"), (col("pos") - 2).as("pos"),
         col("word").as("w3")), Seq("doc_id", "pos"))
     val top1 = tri.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c"))

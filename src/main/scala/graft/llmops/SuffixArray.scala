@@ -676,21 +676,25 @@ object SuffixArray {
     * held-out split's dup-run mass, the same envelope as the per-doc
     * windows elsewhere; a pathological all-identical held-out split
     * lengthens it, and such a split is exactly what q80's exact dedup
-    * removes first). The held-out split is doc_id % 10 = 0 — a
-    * deterministic fixture parameter; in production the split label
-    * arrives as a column. */
+    * removes first). The split label arrives as a DATA COLUMN (the
+    * `splits` relation of [[decontaminationReport]] — the production
+    * contract, exercised with arbitrary labels by SuffixArraySpec and
+    * with a source-driven split by q418); the fixture parameter here is
+    * only the one line DERIVING that relation: held-out = doc_id % 10
+    * = 0. */
   val q409Decontamination: QuerySpec = QuerySpec(
     "q409_sa_decontamination",
     s"""WITH $oracleLcpCtes,
+       |spl AS (SELECT doc_id, (doc_id % 10 != 0) AS is_train FROM documents),
        |so AS (SELECT doc_id, pos,
        |         ROW_NUMBER() OVER (ORDER BY suf, doc_id, pos) AS idx
        |       FROM s),
-       |sg AS (SELECT idx, doc_id, (doc_id % 10 != 0) AS is_train,
-       |         CAST(SUM(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END)
-       |           OVER (ORDER BY idx) AS BIGINT) AS segd,
-       |         CAST(SUM(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END)
-       |           OVER (ORDER BY idx DESC) AS BIGINT) AS segu
-       |       FROM so),
+       |sg AS (SELECT so.idx, so.doc_id, spl.is_train,
+       |         CAST(SUM(CASE WHEN spl.is_train THEN 1 ELSE 0 END)
+       |           OVER (ORDER BY so.idx) AS BIGINT) AS segd,
+       |         CAST(SUM(CASE WHEN spl.is_train THEN 1 ELSE 0 END)
+       |           OVER (ORDER BY so.idx DESC) AS BIGINT) AS segu
+       |       FROM so JOIN spl USING (doc_id)),
        |lc AS (SELECT so.idx - 1 AS j, p.lcp
        |       FROM p JOIN so ON p.doc_id = so.doc_id AND p.pos = so.pos),
        |lg AS (SELECT lc.j, lc.lcp, a.segd AS gl, b.segu AS gu
@@ -720,14 +724,81 @@ object SuffixArray {
        |FROM pd JOIN (SELECT DISTINCT doc_id, source FROM documents) d
        |  USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
-    decontaminationReport(QuerySpec.prepared(s, dir))
+    val sp = QuerySpec.prepared(s, dir)
+    // the fixture's split DERIVATION — the only doc_id arithmetic; the
+    // report itself consumes only the column
+    decontaminationReport(sp,
+      sp.table("documents").select(col("doc_id").as("doc"),
+        (col("doc_id") % 10 =!= 0).as("is_train")))
   }
 
-  /** The q409 body on an attached session — split out so
-    * SuffixArraySpec can pin the shadowed-suffix case (two identical
-    * held-out docs whose suffixes are SA-adjacent to EACH OTHER, not to
-    * the train copy — the running-min scan must credit both, where a
-    * naive adjacent-pair-to-train check credits neither).
+  /** q418's held-out provenance labels. */
+  private[graft] val HoldOutSources = Seq("src17", "src18", "src19")
+  private def holdOutSql: String =
+    HoldOutSources.map(s => s"'$s'").mkString(", ")
+
+  /** [[q409Decontamination]] with the split arriving from the `source`
+    * COLUMN — held-out = the [[HoldOutSources]] splits, train =
+    * everything else: the production decontamination call (an eval-set
+    * audit holds out by dataset provenance, not id arithmetic), gated
+    * by the same oracle with only the one-line split CTE swapped. */
+  val q418DecontaminationBySource: QuerySpec = QuerySpec(
+    "q418_sa_decontamination_by_source",
+    s"""WITH $oracleLcpCtes,
+       |spl AS (SELECT doc_id, source NOT IN ($holdOutSql) AS is_train
+       |        FROM documents),
+       |so AS (SELECT doc_id, pos,
+       |         ROW_NUMBER() OVER (ORDER BY suf, doc_id, pos) AS idx
+       |       FROM s),
+       |sg AS (SELECT so.idx, so.doc_id, spl.is_train,
+       |         CAST(SUM(CASE WHEN spl.is_train THEN 1 ELSE 0 END)
+       |           OVER (ORDER BY so.idx) AS BIGINT) AS segd,
+       |         CAST(SUM(CASE WHEN spl.is_train THEN 1 ELSE 0 END)
+       |           OVER (ORDER BY so.idx DESC) AS BIGINT) AS segu
+       |       FROM so JOIN spl USING (doc_id)),
+       |lc AS (SELECT so.idx - 1 AS j, p.lcp
+       |       FROM p JOIN so ON p.doc_id = so.doc_id AND p.pos = so.pos),
+       |lg AS (SELECT lc.j, lc.lcp, a.segd AS gl, b.segu AS gu
+       |       FROM lc JOIN sg a ON a.idx = lc.j
+       |       JOIN sg b ON b.idx = lc.j + 1),
+       |mins AS (SELECT j,
+       |    MIN(lcp) OVER (PARTITION BY gl ORDER BY j
+       |                   ROWS UNBOUNDED PRECEDING) AS dm,
+       |    MIN(lcp) OVER (PARTITION BY gu ORDER BY j DESC
+       |                   ROWS UNBOUNDED PRECEDING) AS um
+       |  FROM lg),
+       |best AS (SELECT t.doc_id,
+       |    GREATEST(CASE WHEN t.segd >= 1 THEN COALESCE(d.dm, 0) ELSE 0 END,
+       |             CASE WHEN t.segu >= 1 THEN COALESCE(u.um, 0) ELSE 0 END)
+       |      AS b
+       |  FROM sg t
+       |  LEFT JOIN mins d ON d.j = t.idx - 1
+       |  LEFT JOIN mins u ON u.j = t.idx
+       |  WHERE NOT t.is_train),
+       |pd AS (SELECT doc_id, MAX(b) AS mo FROM best GROUP BY doc_id)
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS test_docs,
+       |  CAST(SUM(CASE WHEN mo >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS contaminated_docs,
+       |  CAST(MAX(mo) AS BIGINT) AS max_overlap_words,
+       |  CAST(SUM(mo) AS BIGINT) AS sum_max_overlap
+       |FROM pd JOIN (SELECT DISTINCT doc_id, source FROM documents) d
+       |  USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    decontaminationReport(sp,
+      sp.table("documents").select(col("doc_id").as("doc"),
+        (!col("source").isin(HoldOutSources: _*)).as("is_train")))
+  }
+
+  /** The q409/q418 body on an attached session, parameterized over the
+    * SPLIT relation `splits(doc, is_train)` — the split is DATA, never
+    * id arithmetic (SuffixArraySpec drives it with labels following no
+    * doc_id pattern) — split out so the spec can also pin the
+    * shadowed-suffix case (two identical held-out docs whose suffixes
+    * are SA-adjacent to EACH OTHER, not to the train copy — the
+    * running-min scan must credit both, where a naive
+    * adjacent-pair-to-train check credits neither).
     *
     * Precondition: the corpus has ≥ 2 suffixes (i.e. more than one
     * word in total). The suffix sequence is rebuilt from the ADJACENT-
@@ -737,18 +808,22 @@ object SuffixArray {
     * driver fixtures, by the q210 contract) is far inside the bound;
     * documented rather than special-cased to keep the degenerate
     * branch out of the hot plan. */
-  private[graft] def decontaminationReport(sp: SparkSession): DataFrame = {
+  private[graft] def decontaminationReport(sp: SparkSession,
+                                           splits: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = adjacentLcp(sp)
       .select(col("idx"), col("doc_a"), col("doc_b"), col("lcp"))
       .staged // the suffix sequence and the segment-labeled scans read it
     // the n-suffix sequence in SA order, rebuilt from the pair relation
-    // itself (a-sides + the final b-side; interior rows identical)
+    // itself (a-sides + the final b-side; interior rows identical);
+    // split labels attach by doc — a doc-grain side against the
+    // suffix-grain spine (AQE broadcasts it at these sizes; at corpus
+    // scale it is a doc-keyed shuffle join, dwarfed by the SA build)
     val sufs = pairs.select(col("idx"), col("doc_a").as("doc"))
       .unionByName(pairs.select((col("idx") + 1L).as("idx"),
         col("doc_b").as("doc")))
       .groupBy(col("idx")).agg(min(col("doc")).as("doc"))
-      .withColumn("is_train", col("doc") % 10 =!= 0)
+      .join(splits.select(col("doc"), col("is_train")), Seq("doc"))
     val seg = Prefix.prefixSums(sufs, Seq(col("idx")),
       Seq((when(col("is_train"), 1L).otherwise(0L), "segd")))
       .staged // the total, both lcp-label joins, and the test arm read it
@@ -789,5 +864,6 @@ object SuffixArray {
 
   val all: Seq[QuerySpec] =
     Seq(q380SuffixRanks, q381LcpStats.benched, q382DupCoverage,
-      q396SubstringRemoveSa, q409Decontamination)
+      q396SubstringRemoveSa, q409Decontamination,
+      q418DecontaminationBySource)
 }

@@ -327,10 +327,19 @@ object UnigramTokenizer {
           .groupBy(col("sub")).agg(sum(col("freq")).as("cnt")))
         .staged // round-1 lattice + vocab_size
       val seg1 = viterbi(ed, vc1)
+      // the LL is only defined under a COVERING vocab (an UNK word has a
+      // NULL score, which a bare SUM would silently SKIP — under-counting
+      // the LL where the oracle drops the word entirely: two different
+      // silent behaviors). Seed/EM vocabs cover by construction
+      // (spec-pinned); this in-plan guard turns any future coverage
+      // regression into a loud failure, the q414 raise_error discipline.
       def report(seg: DataFrame, vc: DataFrame, r: Int): DataFrame =
         seg.agg(
           sum(col("freq") * size(col("toks"))).as("tokens_total"),
-          sum(col("freq") * col("score")).as("ll_e6"))
+          sum(col("freq") * when(col("score").isNull,
+            expr("raise_error('q411 coverage violated: NULL Viterbi " +
+              "score (an <unk> word) reached the log-likelihood rollup')")
+              .cast("long")).otherwise(col("score"))).as("ll_e6"))
           .crossJoin(broadcast(vc.agg(count(lit(1)).as("vocab_size"))))
           .select(lit(r.toLong).as("round"), col("vocab_size"),
             col("tokens_total"), col("ll_e6"))
@@ -386,23 +395,13 @@ object UnigramTokenizer {
     * floor. */
   private[graft] val CharFloor = 1L
 
-  /** Prune the EM-trained model to a TARGET vocabulary and re-segment —
-    * the artifact-shipping step of a unigram trainer: keep every single
-    * character (those absent from the trained model enter at the
-    * [[CharFloor]] count, so NO word can become unsegmentable), keep
-    * the top-[[TargetMulti]] multi-char subwords by corpus-weighted
-    * usage (ties lexicographic), re-normalize, Viterbi-resegment, and
-    * emit the top-30 of the FINAL vocabulary with usage counts and e6
-    * log-probs — the (token, prob) table a tokenizer release ships.
-    * Same grain discipline as the rest of the family: one corpus pass,
-    * vocab-grain everything else; the multi-char rank is a
-    * WindowGroupLimit (rank-limited top-m, never a global sort). */
-  val q414UnigramPruneTarget: QuerySpec = QuerySpec(
-    "q414_unigram_prune_target",
-    s"""WITH $oracleSeed,
-       |${dpChain("a", "lat0")},
-       |$emRetrainCtes,
-       |mk AS (SELECT sub, cnt,
+  /** The DuckDB CTE block deriving the PRUNED target model `vc2` and
+    * its lattice `lat2` from the EM round's usage counts (`uc`/`ed` of
+    * [[emRetrainCtes]]/[[oracleSeed]]) — shared VERBATIM by the q414
+    * and q417 oracles so the artifact the two replays price can never
+    * drift. */
+  private[llmops] def prunedModelCtes: String =
+    s"""mk AS (SELECT sub, cnt,
        |         ROW_NUMBER() OVER (ORDER BY cnt DESC, sub) AS rk
        |       FROM uc WHERE len(sub) > 1),
        |chfloor AS (SELECT sub, CAST($CharFloor AS BIGINT) AS cnt
@@ -418,19 +417,14 @@ object UnigramTokenizer {
        |  FROM keep CROSS JOIN tot2),
        |lat2 AS MATERIALIZED (
        |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
-       |  FROM ed e JOIN vc2 v USING (sub)),
-       |${dpChain("c", "lat2")},
-       |uc2 AS (SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
-       |        FROM (SELECT unnest(string_split(path, ' ')) AS token, freq
-       |              FROM segc) t
-       |        GROUP BY token)
-       |SELECT CAST(rnk AS INT) AS rnk, sub AS token, cnt, lp AS lp_e6 FROM (
-       |  SELECT u.sub, u.cnt, v.lp,
-       |         ROW_NUMBER() OVER (ORDER BY u.cnt DESC, u.sub) AS rnk
-       |  FROM uc2 u JOIN vc2 v USING (sub)) z
-       |WHERE rnk <= 30 ORDER BY rnk""".stripMargin) { (s, dir) =>
-    val sp = QuerySpec.prepared(s, dir)
-    val ed = edges(wordFreqs(sp)).staged // seed counts + all three lattices
+       |  FROM ed e JOIN vc2 v USING (sub))""".stripMargin
+
+  /** The Spark side of the pruned target model: (staged lattice `ed`,
+    * staged pruned vocab `vc2`) — q414's derivation split out so q417
+    * (the artifact-encode composition) and the UnigramSpec artifact
+    * pins consume the IDENTICAL model. Caller owns both staged handles. */
+  private[graft] def prunedModelParts(sp: SparkSession): (DataFrame, DataFrame) = {
+    val ed = edges(wordFreqs(sp)).staged // seed counts + all lattices
     val seg0 = viterbi(ed, seedVocab(ed))
     val uc = seg0.select(explode(col("toks")).as("sub"), col("freq"))
       .groupBy(col("sub")).agg(sum(col("freq")).as("cnt"))
@@ -448,6 +442,40 @@ object UnigramTokenizer {
       uc.filter(length(col("sub")) === 1).select(col("sub"), col("cnt"))
         .unionByName(topMulti).unionByName(floorSingles))
       .staged // the lattice join + the final lp attach both read it
+    Checkpoints.unpersist(uc) // folded into the eager vc2
+    (ed, vc2)
+  }
+
+  /** Prune the EM-trained model to a TARGET vocabulary and re-segment —
+    * the artifact-shipping step of a unigram trainer: keep every single
+    * character (those absent from the trained model enter at the
+    * [[CharFloor]] count, so NO word can become unsegmentable), keep
+    * the top-[[TargetMulti]] multi-char subwords by corpus-weighted
+    * usage (ties lexicographic), re-normalize, Viterbi-resegment, and
+    * emit the top-30 of the FINAL vocabulary with usage counts and e6
+    * log-probs — the (token, prob) table a tokenizer release ships
+    * (and q417 APPLIES, closing the family's train → ship → encode
+    * loop). Same grain discipline as the rest of the family: one corpus
+    * pass, vocab-grain everything else; the multi-char rank is a
+    * WindowGroupLimit (rank-limited top-m, never a global sort). */
+  val q414UnigramPruneTarget: QuerySpec = QuerySpec(
+    "q414_unigram_prune_target",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")},
+       |$emRetrainCtes,
+       |$prunedModelCtes,
+       |${dpChain("c", "lat2")},
+       |uc2 AS (SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(string_split(path, ' ')) AS token, freq
+       |              FROM segc) t
+       |        GROUP BY token)
+       |SELECT CAST(rnk AS INT) AS rnk, sub AS token, cnt, lp AS lp_e6 FROM (
+       |  SELECT u.sub, u.cnt, v.lp,
+       |         ROW_NUMBER() OVER (ORDER BY u.cnt DESC, u.sub) AS rnk
+       |  FROM uc2 u JOIN vc2 v USING (sub)) z
+       |WHERE rnk <= 30 ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (ed, vc2) = prunedModelParts(sp)
     val uc2 = viterbi(ed, vc2)
       .select(explode(col("toks")).as("sub"), col("freq"))
       .groupBy(col("sub")).agg(sum(col("freq")).as("cnt"))
@@ -506,10 +534,23 @@ object UnigramTokenizer {
     * pipeline — [[graft.streaming.EventStreams.unigramTokenizedDocs]]);
     * words without a full path emit [[Unk]]. */
   private[graft] def unigramTokensExpr(text: org.apache.spark.sql.Column):
-      org.apache.spark.sql.Column = {
+      org.apache.spark.sql.Column =
+    unigramTokensExprWith(text, StaticVocab)
+
+  /** [[unigramTokensExpr]] parameterized over the vocabulary — the form
+    * a SHIPPED artifact feeds (q417 applies the q414-trained pruned
+    * model; [[StaticVocab]] is just the default instance). The vocab
+    * rides as a map LITERAL: exactly right for a pruned target model,
+    * which is SMALL by construction (the vocab_size knob — tens of k
+    * entries, a few hundred KB; at that size Spark ships it inside the
+    * plan like any broadcast parameter, and the per-row DP stays
+    * join-free on every executor). */
+  private[graft] def unigramTokensExprWith(
+      text: org.apache.spark.sql.Column,
+      vocab: Seq[(String, Long)]): org.apache.spark.sql.Column = {
     val vocabMap = map_from_arrays(
-      array(StaticVocab.map(kv => lit(kv._1)): _*),
-      array(StaticVocab.map(kv => lit(kv._2)): _*))
+      array(vocab.map(kv => lit(kv._1)): _*),
+      array(vocab.map(kv => lit(kv._2)): _*))
     def wordToks(w: org.apache.spark.sql.Column) = {
       val dp = aggregate(
         sequence(lit(1), length(w)),
@@ -586,8 +627,58 @@ object UnigramTokenizer {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q417 — the artifact-ENCODE composition: the q414-trained pruned
+  // model, applied through the stateless per-row expression.
+  // ---------------------------------------------------------------------
+
+  /** Encode the corpus per source split with the PRUNED target model
+    * q414 ships, through the STATELESS expression encoder — the unigram
+    * family's full train → prune → ship → encode loop in one gated
+    * query (q413's "pretrained vocab" story with the trainer's own
+    * artifact instead of a hand platter, closing the r17 finding that
+    * the static prices were fixture-tuned literals). The (token, lp_e6)
+    * artifact is COLLECTED (bounded by the TARGET SIZE by construction
+    * — |chars| + [[TargetMulti]] + floor; the vocab_size knob IS the
+    * bound, the same ship-an-artifact probe class as the BPE merge
+    * table) and fed to [[unigramTokensExprWith]], so the encode path is
+    * the streaming-deployable zero-join form. Per-source compression is
+    * the held-out signal, exactly the q412 report shape. The char floor
+    * makes vc2 covering, so the UNK arm is unreachable here (pinned by
+    * UnigramSpec; the oracle's segc spine relies on it the same way
+    * q412's does). */
+  val q417UnigramArtifactEncode: QuerySpec = QuerySpec(
+    "q417_unigram_artifact_encode",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")},
+       |$emRetrainCtes,
+       |$prunedModelCtes,
+       |${dpChain("c", "lat2")},
+       |${TextAnalysis.perSourceCompressionSqlTail(
+          s"""tk AS (SELECT word,
+             |         CAST(len(string_split(path, ' ')) AS BIGINT) AS n_tokens,
+             |         CAST(len(word) AS BIGINT) AS n_chars
+             |       FROM segc)""".stripMargin)}""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (ed, vc2) = prunedModelParts(sp)
+    val artifact = vc2.select(col("sub"), col("lp"))
+      .collect() // the shipped model: ≤ target-size rows by construction
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    Checkpoints.unpersist(ed) // the encode below is vocab-literal —
+    Checkpoints.unpersist(vc2) // neither staged relation feeds it
+    val ws = TextAnalysis.perSourceWordCounts(sp)
+      .staged // the encode vocab AND the per-source report both read it
+    val tk = ws.groupBy("word").agg(sum(col("n")).as("n"))
+      .select(col("word"),
+        size(unigramTokensExprWith(col("word"), artifact))
+          .cast("long").as("n_tokens"),
+        length(col("word")).cast("long").as("n_chars"))
+    TextAnalysis.perSourceCompression(ws, tk)
+  }
+
   // q411 joins the bench headline set: it is the per-row-DP family's
   // representative (two Viterbi passes + the EM rollup)
   val all: Seq[QuerySpec] = Seq(q410UnigramViterbi, q411UnigramEm.benched,
-    q412UnigramTrainedEncode, q413UnigramEncodeExpr, q414UnigramPruneTarget)
+    q412UnigramTrainedEncode, q413UnigramEncodeExpr, q414UnigramPruneTarget,
+    q417UnigramArtifactEncode)
 }

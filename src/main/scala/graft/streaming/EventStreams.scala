@@ -658,14 +658,23 @@ object EventStreams {
 
   /** Streaming UNIGRAM tokenizer stage — [[tokenizedDocs]] for the
     * second tokenizer family: stateless per-row Viterbi segmentation
-    * under the static pretrained vocabulary (the q413 expression,
-    * [[graft.llmops.UnigramTokenizer.unigramTokensExpr]]); words
-    * without a full lattice path emit `<unk>`. Same scale shape:
-    * map-only, no join/shuffle/state, batch ≡ stream by construction
-    * (StreamingSpec pins it plus the known segmentations). */
-  def unigramTokenizedDocs(docs: DataFrame): DataFrame =
+    * under a pretrained vocabulary (the q413 expression,
+    * [[graft.llmops.UnigramTokenizer.unigramTokensExprWith]]); words
+    * without a full lattice path emit `<unk>`. The vocab defaults to
+    * the static platter but accepts a SHIPPED artifact — q414's pruned
+    * (token, lp_e6) model — which is how a production ingest deploys
+    * the trainer's output (UnigramSpec pins the stage under the q414
+    * artifact against batch Viterbi under the same model). Same scale
+    * shape: map-only, no join/shuffle/state, batch ≡ stream by
+    * construction (StreamingSpec pins it plus the known
+    * segmentations). */
+  def unigramTokenizedDocs(
+      docs: DataFrame,
+      vocab: Seq[(String, Long)] =
+        graft.llmops.UnigramTokenizer.StaticVocab): DataFrame =
     docs.select(col("doc_id"),
-      graft.llmops.UnigramTokenizer.unigramTokensExpr(col("text")).as("tokens"))
+      graft.llmops.UnigramTokenizer.unigramTokensExprWith(col("text"), vocab)
+        .as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
 
   /** Streaming corpus curation — the streaming twin of the release

@@ -872,4 +872,28 @@ class LlmOpsSpec extends EngineSuite {
     assert(!p.contains("SortMergeJoin"),
       "the phrase-word side must broadcast, not shuffle")
   }
+
+  test("q403/q408 phrase derivation is a BOUNDED setup step: the slice " +
+    "scan pushes doc_id to parquet and the gated search plan carries " +
+    "no n-gram derivation pass") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    // the derivation slice reads its OWN scan with the doc-id bound
+    // pushed to the parquet reader — the setup cost is fixed at any
+    // corpus size (r17 finding: the 10x drills measured the scaffold)
+    val scan = llmops.Retrieval.phraseDeriveSlice(sp)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains(s"LessThan(doc_id,${llmops.Retrieval.PhraseDeriveDocs}"),
+      s"derivation slice must push its doc_id bound to parquet:\n$scan")
+    // above the staging boundary the gated plans are the SEARCH path
+    // only: no tokenization of document text (postings and the
+    // derivation slice are both staged setup relations) — q408's one
+    // surviving explode is over the ≤3-row PHRASE relation, never text
+    for (q <- Seq(llmops.Retrieval.q403PhraseSearch,
+        llmops.Retrieval.q408MultiPhraseSearch)) {
+      val plan = q.run(sp, sfDir).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("split(text"),
+        s"${q.name}: the gated plan re-tokenizes the corpus:\n$plan")
+    }
+  }
 }

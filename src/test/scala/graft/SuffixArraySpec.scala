@@ -188,12 +188,50 @@ class SuffixArraySpec extends EngineSuite {
       (1L, "s1", s"x1 x2 $chunk y1"), // train carrier
       (11L, "s2", "z1 z2 z3"), // unrelated train
       (30L, "s2", "q1 q2 q3"))) // clean held-out
-    val out = llmops.SuffixArray.decontaminationReport(sp)
+    val out = llmops.SuffixArray.decontaminationReport(sp,
+        sp.table("documents").select(col("doc_id").as("doc"),
+          (col("doc_id") % 10 =!= 0).as("is_train")))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // s1: twins 10 and 20, both contaminated at length 10 ⇒ sum 20
     assert(out("s1") == ((2L, 2L, 10L, 20L)), s"s1 row: ${out("s1")}")
     // s2: doc 30 only, clean
     assert(out("s2") == ((1L, 0L, 0L, 0L)), s"s2 row: ${out("s2")}")
+  }
+
+  test("q409 split is DATA: labels following no doc_id arithmetic drive " +
+    "the report (production column-driven split)") {
+    // Same corpus shape as the twins case but the split labels are
+    // deliberately scrambled relative to the ids: 7 and 42 are the
+    // held-out twins, 3/9/100 train — no modulus or range recovers
+    // this assignment, so any residual id arithmetic in the report
+    // would misclassify a doc and fail the expectations.
+    val chunk = (1 to 10).map(i => s"p$i").mkString(" ")
+    val sp = syntheticDocs(Seq(
+      (7L, "s1", chunk), (42L, "s1", chunk), // held-out twins
+      (3L, "s1", s"x1 x2 $chunk y1"), // train carrier
+      (9L, "s2", "z1 z2 z3"), // train (odd id, still train)
+      (100L, "s2", "q1 q2 q3"))) // held-out, clean (even, % 10 == 0 twice over)
+    import sp.implicits._
+    val splits = Seq((7L, false), (42L, false), (3L, true), (9L, true),
+      (100L, false)).toDF("doc", "is_train")
+    val out = llmops.SuffixArray.decontaminationReport(sp, splits)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("s1") == ((2L, 2L, 10L, 20L)), s"s1 row: ${out("s1")}")
+    assert(out("s2") == ((1L, 0L, 0L, 0L)), s"s2 row: ${out("s2")}")
+  }
+
+  test("q418: the source-driven split holds out exactly the HoldOut " +
+    "sources and reports every one of them") {
+    val rows = SparkEntry.queries("q418_sa_decontamination_by_source")(
+      spark, sfDir).collect()
+    val got = rows.map(_.getString(0)).toSeq
+    assert(got == llmops.SuffixArray.HoldOutSources,
+      s"held-out rollup must cover exactly the held-out sources: $got")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("test_docs") > 0L)
+      assert(r.getAs[Long]("contaminated_docs") <= r.getAs[Long]("test_docs"))
+    }
   }
 }

@@ -281,4 +281,72 @@ class UnigramSpec extends EngineSuite {
       assert(r.getAs[Long]("compression_e6") < 1000000L)
     }
   }
+
+  test("q417: the streaming tokenizer stage under the q414 ARTIFACT " +
+    "matches batch Viterbi under vc2 on every fixture document") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val (ed, vc2) = llmops.UnigramTokenizer.prunedModelParts(sp)
+    val artifact = vc2.select(col("sub"), col("lp")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // batch Viterbi (lattice-join formulation) under the same model
+    val perWord = llmops.UnigramTokenizer.viterbi(ed, vc2).collect()
+      .map(r => r.getAs[String]("word") ->
+        r.getSeq[String](r.fieldIndex("toks")).toList).toMap
+    assert(!perWord.valuesIterator.exists(_ == List("<unk>")),
+      "the char floor must make the pruned model covering")
+    val docs = sp.table("documents").select(col("doc_id"), col("text"))
+    val staged = streaming.EventStreams.unigramTokenizedDocs(docs, artifact)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](r.fieldIndex("tokens")).toList).toMap
+    val texts = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    for ((id, text) <- texts) {
+      val want = text.split(" ").filter(_.nonEmpty).toList.flatMap(perWord)
+      assert(staged(id) == want,
+        s"doc $id: stage gave ${staged(id).take(12)}…, batch $want")
+    }
+    llmops.Checkpoints.unpersist(ed)
+    llmops.Checkpoints.unpersist(vc2)
+  }
+
+  test("ADVICE r17: every learned log-prob is bounded away from the " +
+    ".5 rounding boundary (a 1-ulp cross-engine LN drift cannot flip " +
+    "any quantized lp on the fixtures)") {
+    // The q410-q415/q417 oracles re-derive ROUND(LN(cnt/tot)*1e6)
+    // independently on the JVM and in DuckDB; because those quantized
+    // values feed the Viterbi ARGMAX, a flip at an exact .5e-6 boundary
+    // could diverge whole segmentation paths, not just a report column.
+    // Pin: on the fixture every entry of every learned vocab (seed vc0,
+    // EM vc1, pruned vc2) sits > 1e-6 from the nearest .5 boundary —
+    // ~500x the worst double-ulp drift at these magnitudes, so both
+    // engines provably round identically.
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val ed = llmops.UnigramTokenizer.edges(
+      sp.table("documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val vc0 = llmops.UnigramTokenizer.seedVocab(ed)
+    val seg0 = llmops.UnigramTokenizer.viterbi(ed, vc0)
+    val uc1 = seg0.select(explode(col("toks")).as("sub"), col("freq"))
+      .groupBy(col("sub")).agg(sum(col("freq")).as("cnt"))
+    val (ed2, vc2) = llmops.UnigramTokenizer.prunedModelParts(sp)
+    def check(label: String, counts: Seq[Long]): Unit = {
+      val tot = counts.sum.toDouble
+      counts.foreach { c =>
+        val x = math.log(c / tot) * 1e6
+        val frac = x - math.floor(x)
+        val dist = math.abs(frac - 0.5)
+        assert(dist > 1e-6,
+          f"$label: lp $x%.9f for cnt=$c sits $dist%.2e from the .5 " +
+            "boundary — cross-engine rounding is no longer provably stable")
+      }
+    }
+    check("vc0", vc0.select(col("cnt")).collect().map(_.getLong(0)).toSeq)
+    check("vc1", uc1.select(col("cnt")).collect().map(_.getLong(0)).toSeq)
+    check("vc2", vc2.select(col("cnt")).collect().map(_.getLong(0)).toSeq)
+    llmops.Checkpoints.unpersist(ed2)
+    llmops.Checkpoints.unpersist(vc2)
+  }
 }
