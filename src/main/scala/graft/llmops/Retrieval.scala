@@ -661,6 +661,51 @@ object Retrieval {
       .select(col("phrase"), col("doc_id"), col("anchor"))
   }
 
+  /** The q408/q419 fixture phrase parameters: top-2 bigrams + the top
+    * trigram of the BOUNDED derivation slice, off its own pushed-filter
+    * scan (q403's setup shape — in production this 3-row relation
+    * arrives with the query). */
+  private def derivedPhraseParams(
+      sp: org.apache.spark.sql.SparkSession): DataFrame = {
+    val derToks = phraseDeriveSlice(sp)
+      .staged // bigram + trigram derivation arms read it
+    val big = derToks.select(col("doc_id"), col("pos"), col("word").as("w1"))
+      .join(derToks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("word").as("w2")), Seq("doc_id", "pos"))
+    val top2 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(2)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("phrase"))
+    val tri = big
+      .join(derToks.select(col("doc_id"), (col("pos") - 2).as("pos"),
+        col("word").as("w3")), Seq("doc_id", "pos"))
+    val top1 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3")).limit(1)
+      .select(concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))
+    top2.unionByName(top1)
+  }
+
+  /** The phrase-parameter CTE block of the q408/q419 oracles (through
+    * `phrases`), shared verbatim so the two replays can never drift on
+    * the fixture parameters. Expects `t` (the postings CTE) upstream. */
+  private def oraclePhraseParamCtes: String =
+    s"""td AS (SELECT * FROM t WHERE doc_id < $PhraseDeriveDocs),
+      |big AS (SELECT a.word AS w1, b.word AS w2, COUNT(*) AS c
+      |        FROM td a JOIN td b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |        GROUP BY 1, 2),
+      |top2 AS (SELECT w1 || ' ' || w2 AS phrase FROM big
+      |         ORDER BY c DESC, w1, w2 LIMIT 2),
+      |tri AS (SELECT a.word AS w1, b.word AS w2, c.word AS w3, COUNT(*) AS c
+      |        FROM td a
+      |        JOIN td b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |        JOIN td c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |        GROUP BY 1, 2, 3),
+      |top1 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS phrase FROM tri
+      |         ORDER BY c DESC, w1, w2, w3 LIMIT 1),
+      |phrases AS (SELECT phrase FROM top2 UNION ALL SELECT phrase FROM top1)"""
+      .stripMargin
+
   /** Multi-phrase positional search — [[q403PhraseSearch]] generalized
     * from one hardcoded trigram to a phrase RELATION: k phrases of
     * arbitrary, mixed lengths resolved in ONE bipartite pass
@@ -683,20 +728,7 @@ object Retrieval {
       |      -- MATERIALIZED stops compounding inlining
       |      SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
       |             unnest(w) AS word FROM d),
-      |td AS (SELECT * FROM t WHERE doc_id < $PhraseDeriveDocs),
-      |big AS (SELECT a.word AS w1, b.word AS w2, COUNT(*) AS c
-      |        FROM td a JOIN td b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      |        GROUP BY 1, 2),
-      |top2 AS (SELECT w1 || ' ' || w2 AS phrase FROM big
-      |         ORDER BY c DESC, w1, w2 LIMIT 2),
-      |tri AS (SELECT a.word AS w1, b.word AS w2, c.word AS w3, COUNT(*) AS c
-      |        FROM td a
-      |        JOIN td b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      |        JOIN td c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-      |        GROUP BY 1, 2, 3),
-      |top1 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS phrase FROM tri
-      |         ORDER BY c DESC, w1, w2, w3 LIMIT 1),
-      |phrases AS (SELECT phrase FROM top2 UNION ALL SELECT phrase FROM top1),
+      |$oraclePhraseParamCtes,
       |pw AS (SELECT phrase, CAST(len(ws) AS BIGINT) AS plen,
       |              CAST(generate_subscripts(ws, 1) AS BIGINT) AS k,
       |              unnest(ws) AS word
@@ -718,26 +750,7 @@ object Retrieval {
     val sp = QuerySpec.prepared(s, dir)
     val toks = postings(sp)
       .staged // the anchor join reads it
-    // phrase parameters: top-2 bigrams + top trigram of the BOUNDED
-    // derivation slice, off its own pushed-filter scan (q403's setup
-    // shape — in production this relation arrives with the query)
-    val derToks = phraseDeriveSlice(sp)
-      .staged // bigram + trigram derivation arms read it
-    val big = derToks.select(col("doc_id"), col("pos"), col("word").as("w1"))
-      .join(derToks.select(col("doc_id"), (col("pos") - 1).as("pos"),
-        col("word").as("w2")), Seq("doc_id", "pos"))
-    val top2 = big.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w1"), col("w2")).limit(2)
-      .select(concat_ws(" ", col("w1"), col("w2")).as("phrase"))
-    val tri = big
-      .join(derToks.select(col("doc_id"), (col("pos") - 2).as("pos"),
-        col("word").as("w3")), Seq("doc_id", "pos"))
-    val top1 = tri.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3")).limit(1)
-      .select(concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))
-    val phrases = top2.unionByName(top1)
+    val phrases = derivedPhraseParams(sp)
     phraseAnchorHits(toks, phrases)
       .join(sp.table("documents").select(col("doc_id"), col("source")),
         "doc_id")
@@ -747,8 +760,89 @@ object Retrieval {
       .orderBy(col("phrase"), col("source"))
   }
 
+  /** Phrase-BLOCKLIST redaction — the removal composition of the
+    * positional machinery: every occurrence of every blocklisted phrase
+    * is located by the [[phraseAnchorHits]] anchor join and its token
+    * span is cut from the document, emitting the q396 rewrite report
+    * (doc_id, removed_tokens, new_text). This is the contaminant /
+    * banned-phrase scrubbing stage of a training-data pipeline (eval-
+    * set canaries, boilerplate sentences, PII phrases): q408 ANSWERS
+    * "where does the phrase occur", this one SHIPS the corpus with the
+    * occurrences gone — overlapping and nested spans collapse through
+    * the same exists-over-spans filter as the SA-based q396 removal.
+    *
+    * Scale shape: hits come from the one broadcast anchor join (only
+    * blocklist-word postings move); spans are hit-grain; the rewrite is
+    * one doc-keyed join of the span lists onto the corpus with a
+    * per-row filter — no n-gram pass, no window over the corpus. The
+    * fixture blocklist is the q408 phrase-parameter relation (bounded
+    * derivation slice); production passes the blocklist as data. */
+  val q419PhraseRedaction: QuerySpec = QuerySpec(
+    "q419_phrase_redaction",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |t AS MATERIALIZED (
+      |      SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
+      |             unnest(w) AS word FROM d),
+      |$oraclePhraseParamCtes,
+      |pw AS (SELECT phrase, CAST(len(ws) AS BIGINT) AS plen,
+      |              CAST(generate_subscripts(ws, 1) AS BIGINT) AS k,
+      |              unnest(ws) AS word
+      |       FROM (SELECT phrase, string_split(phrase, ' ') AS ws
+      |             FROM phrases) z),
+      |h AS (SELECT pw.phrase, pw.plen, t.doc_id, t.pos - pw.k AS anchor,
+      |             COUNT(DISTINCT pw.k) AS nk
+      |      FROM t JOIN pw USING (word)
+      |      GROUP BY 1, 2, 3, 4),
+      |spans AS (SELECT doc_id, anchor + 1 AS st, anchor + 1 + plen AS en
+      |          FROM h WHERE nk = plen),
+      |ivs AS (SELECT doc_id, list({'st': st, 'en': en}) AS spans
+      |        FROM spans GROUP BY doc_id),
+      |rec AS (SELECT d.doc_id,
+      |          list_filter(d.w, (x, i) ->
+      |            len(list_filter(ivs.spans,
+      |                s -> i >= s.st AND i < s.en)) = 0) AS kept,
+      |          len(d.w) AS n0
+      |        FROM d JOIN ivs USING (doc_id))
+      |SELECT doc_id,
+      |  CAST(n0 - len(kept) AS BIGINT) AS removed_tokens,
+      |  COALESCE(array_to_string(kept, ' '), '') AS new_text
+      |FROM rec WHERE n0 > len(kept)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val toks = postings(sp).staged // the anchor join reads it
+    val phrases = derivedPhraseParams(sp)
+      .staged // the anchor join AND the span-length attach read it
+    phraseRedact(
+      sp.table("documents").select(col("doc_id"), split(col("text"), " ").as("w")),
+      toks, phrases)
+  }
+
+  /** The q419 redaction body over explicit relations — docs (doc_id,
+    * w: word array), postings, and the phrase blocklist — split out so
+    * LlmOpsSpec can pin overlapping/nested-span collapse on synthetic
+    * rows. */
+  private[graft] def phraseRedact(docs: DataFrame, toks: DataFrame,
+                                  phrases: DataFrame): DataFrame = {
+    val spans = phraseAnchorHits(toks, phrases)
+      .withColumn("plen", size(split(col("phrase"), " ")).cast("long"))
+      .select(col("doc_id"), (col("anchor") + 1L).as("st"),
+        (col("anchor") + 1L + col("plen")).as("en"))
+    val ivs = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("st"), col("en"))).as("spans"))
+    docs
+      .join(ivs, Seq("doc_id"))
+      .withColumn("kept", expr(
+        "filter(w, (x, i) -> NOT exists(spans, s -> i + 1 >= s.st AND i + 1 < s.en))"))
+      .filter(size(col("w")) > size(col("kept")))
+      .select(col("doc_id"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        array_join(col("kept"), " ").as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats, q230RrfHybrid,
       q237RetrievalEval, q337RocchioPrf.benched, q403PhraseSearch,
-      q408MultiPhraseSearch)
+      q408MultiPhraseSearch, q419PhraseRedaction)
 }

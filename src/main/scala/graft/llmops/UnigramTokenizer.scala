@@ -628,6 +628,131 @@ object UnigramTokenizer {
   }
 
   // ---------------------------------------------------------------------
+  // q420 — 2-BEST Viterbi segmentation: the n-best lattice core of
+  // subword REGULARIZATION (Kudo 2018 §3 — sampling segmentations needs
+  // the l-best paths, not just the argmax).
+  // ---------------------------------------------------------------------
+
+  /** Top-2 segmentations per word under a `(sub, lp)` vocabulary —
+    * the standard k-best Viterbi DP (k = 2), still ONE per-row
+    * expression: the accumulator holds, per position, the ordered
+    * array of up to 2 (score, path) states; each step flattens
+    * (edges into p) × (predecessor states with their rank), sorts by
+    * the TOTAL candidate order (score DESC, start j DESC, predecessor
+    * rank ASC — (j, rank) identifies a candidate uniquely, so the
+    * order is total and the emitted paths are distinct derivations),
+    * and keeps the first two. Rank 1 is exactly [[viterbi]]'s argmax
+    * path (same tie-break prefix — UnigramSpec pins it and fuzzes the
+    * whole thing against an independent reference). Unreachable
+    * positions are naturally EMPTY arrays (no NULL arm needed: an
+    * empty predecessor state contributes no candidates). Returns
+    * (word, freq, best2: array of (score, path)). Same scale shape as
+    * [[viterbi]]: zero joins/shuffles/rounds past the lattice join —
+    * the 2-best bookkeeping multiplies the per-step constant by ≤ 2,
+    * nothing else. */
+  private[graft] def viterbi2Best(ed: DataFrame, vocab: DataFrame): DataFrame =
+    ed.join(vocab.select(col("sub"), col("lp")), Seq("sub"))
+      .groupBy(col("word"), col("freq"))
+      .agg(collect_list(struct(col("i"), col("j"), col("lp"), col("sub")))
+        .as("es"))
+      .selectExpr("word", "freq",
+        """element_at(
+          |  aggregate(sequence(1, length(word)),
+          |    CAST(array(array(named_struct('score', CAST(0 AS BIGINT),
+          |                                  'path', '')))
+          |         AS ARRAY<ARRAY<STRUCT<score: BIGINT, path: STRING>>>),
+          |    (acc, p) -> concat(acc, array(
+          |      transform(
+          |        slice(
+          |          -- total candidate order: score DESC, j DESC, pred
+          |          -- rank ASC — encoded as an ascending natural struct
+          |          -- sort on (-score, -j, r)
+          |          array_sort(
+          |            flatten(transform(
+          |              filter(es, e -> e.i = p),
+          |              e -> transform(element_at(acc, e.j + 1), (d, r) ->
+          |                named_struct(
+          |                  'nscore', -(d.score + e.lp),
+          |                  'nj', -e.j,
+          |                  'r', r,
+          |                  'score', d.score + e.lp,
+          |                  'path', concat(d.path, ' ', e.sub)))))),
+          |          1, 2),
+          |        c -> named_struct('score', c.score, 'path', c.path))))),
+          |  length(word) + 1) AS best2""".stripMargin)
+
+  /** The 2-best DP chain unrolled for DuckDB: `dp2{p}` holds up to TWO
+    * rows per word into position p (rn 1..2), candidates ranked by the
+    * same total order as the expression side. */
+  private def dp2Chain(latRel: String, spine: String): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""dp2x0 AS (SELECT word, freq, 0 AS pos,
+                |  CAST(0 AS BIGINT) AS score, '' AS path, 1 AS rn
+                |  FROM $spine)""".stripMargin
+    for (p <- 1 to MaxWordLen) {
+      val prevs = (math.max(0, p - SubMaxLen) until p)
+        .map(q => s"SELECT word, freq, pos, score, path, rn FROM dp2x$q")
+        .mkString(" UNION ALL ")
+      parts += s"""dp2x$p AS MATERIALIZED (
+                  |  SELECT word, freq, pos, score, path, rn FROM (
+                  |    SELECT e.word, e.freq, $p AS pos, d.score + e.lp AS score,
+                  |           d.path || ' ' || e.sub AS path,
+                  |           ROW_NUMBER() OVER (PARTITION BY e.word
+                  |             ORDER BY d.score + e.lp DESC, e.j DESC, d.rn ASC)
+                  |             AS rn
+                  |    FROM $latRel e JOIN ($prevs) d
+                  |      ON e.word = d.word AND e.j = d.pos
+                  |    WHERE e.i = $p) z
+                  |  WHERE rn <= 2)""".stripMargin
+    }
+    val finals = (1 to MaxWordLen)
+      .map(p => s"SELECT word, freq, pos, score, path, rn FROM dp2x$p")
+      .mkString(" UNION ALL ")
+    parts += s"""seg2 AS (
+                |  SELECT d.word, d.freq, d.rn, d.score, trim(d.path) AS path
+                |  FROM ($finals) d
+                |  JOIN (SELECT word AS w2, len(word) AS lw FROM wf) x
+                |    ON d.word = x.w2 AND d.pos = x.lw)""".stripMargin
+    parts.result().mkString(",\n")
+  }
+
+  /** 2-best segmentations of the 10 most frequent corpus words under
+    * the seed model — per word: both paths with exact e6 scores, the
+    * relation a subword-regularization sampler draws from (Kudo's
+    * l-best with l = 2; the score GAP is the sampling temperature
+    * signal). The DP runs on the report's words only (a TakeOrdered
+    * 10-word spine semi-joins the lattice — the operator itself is
+    * corpus-generic and embarrassingly parallel). */
+  val q420Unigram2Best: QuerySpec = QuerySpec(
+    "q420_unigram_2best",
+    s"""WITH $oracleSeed,
+       |top10 AS (SELECT word, freq FROM wf ORDER BY freq DESC, word LIMIT 10),
+       |latt AS MATERIALIZED (
+       |  SELECT l.word, l.freq, l.j, l.i, l.sub, l.lp
+       |  FROM lat0 l JOIN top10 USING (word)),
+       |${dp2Chain("latt", "top10")}
+       |SELECT s.word, s.freq, CAST(s.rn AS INT) AS rnk,
+       |       s.score AS score_e6, s.path AS seg
+       |FROM seg2 s
+       |ORDER BY s.freq DESC, s.word, rnk""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val ed = edges(wordFreqs(sp)).staged // vocab counts + spine + lattice
+    val vc0 = seedVocab(ed)
+    // the 10-word report spine: TakeOrdered off the aggregation-free
+    // word relation (the j=0 length-1 edge — the q410 spine idiom)
+    val top10 = ed.filter(col("j") === 0 && col("i") === 1)
+      .select(col("word"), col("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(10)
+    viterbi2Best(ed.join(broadcast(top10.select(col("word"))), Seq("word"),
+        "left_semi"), vc0)
+      .select(col("word"), col("freq"),
+        posexplode(col("best2")).as(Seq("r0", "e")))
+      .select(col("word"), col("freq"), (col("r0") + 1).cast("int").as("rnk"),
+        col("e.score").as("score_e6"), trim(col("e.path")).as("seg"))
+      .orderBy(col("freq").desc, col("word"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------------
   // q417 — the artifact-ENCODE composition: the q414-trained pruned
   // model, applied through the stateless per-row expression.
   // ---------------------------------------------------------------------
@@ -680,5 +805,5 @@ object UnigramTokenizer {
   // representative (two Viterbi passes + the EM rollup)
   val all: Seq[QuerySpec] = Seq(q410UnigramViterbi, q411UnigramEm.benched,
     q412UnigramTrainedEncode, q413UnigramEncodeExpr, q414UnigramPruneTarget,
-    q417UnigramArtifactEncode)
+    q417UnigramArtifactEncode, q420Unigram2Best)
 }

@@ -896,4 +896,26 @@ class LlmOpsSpec extends EngineSuite {
         s"${q.name}: the gated plan re-tokenizes the corpus:\n$plan")
     }
   }
+
+  test("q419 redaction: overlapping and nested blocklist spans collapse; " +
+    "untouched docs stay out of the report") {
+    val sp = spark.newSession()
+    import sp.implicits._
+    val docs = Seq((1L, "a b a b a"), (2L, "x a b y"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("word"))
+    // "a b" hits doc1 at anchors 0/2 (spans [1,3)/[3,5)) and doc2 at 1;
+    // "a b a" hits doc1 at 0/2 (spans [1,4)/[3,6)) — together they
+    // cover all 5 words of doc1 through overlapping AND nested spans
+    val phrases = Seq("a b", "a b a").toDF("phrase")
+    val out = llmops.Retrieval.phraseRedact(
+        docs.select(col("doc_id"), split(col("text"), " ").as("w")),
+        toks, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 5L, ""), (2L, 2L, "x y")),
+      s"got ${out.toSeq}")
+  }
 }

@@ -310,6 +310,83 @@ class UnigramSpec extends EngineSuite {
     llmops.Checkpoints.unpersist(vc2)
   }
 
+  test("q420 fuzz: the 2-best DP matches an independent k-best reference " +
+    "on random words under a tie-heavy vocab, and rank 1 IS the Viterbi " +
+    "path") {
+    val rnd = new scala.util.Random(7654321L)
+    val alphabet = "abc"
+    val words = Seq.fill(60)(
+      (1 to (1 + rnd.nextInt(10))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+      .distinct
+    val subs = (for {
+      w <- words; j <- 0 until w.length
+      l <- 1 to math.min(4, w.length - j)
+    } yield w.substring(j, j + l)).distinct
+    val vocab = subs.filter(s => s.length == 1 || rnd.nextDouble() < 0.6)
+      .map(s => s -> -1000000L * (1 + rnd.nextInt(4)))
+    val lp = vocab.toMap
+    // independent reference: per position the ordered top-2
+    // (score, j, predRank) states, candidate order (score DESC, j DESC,
+    // predRank ASC)
+    def ref2(w: String): List[(Long, List[String])] = {
+      val dp = Array.fill[List[(Long, Int, Int, List[String])]](w.length + 1)(Nil)
+      dp(0) = List((0L, -1, 0, Nil))
+      for (p <- 1 to w.length) {
+        val cands = for {
+          j <- math.max(0, p - 4) until p
+          l0 <- lp.get(w.substring(j, p)).toList
+          ((sc, _, _, path), r) <- dp(j).zipWithIndex
+        } yield (sc + l0, j, r, path :+ w.substring(j, p))
+        dp(p) = cands.sortBy(c => (-c._1, -c._2, c._3)).take(2).toList
+      }
+      dp(w.length).map { case (sc, _, _, path) => (sc, path) }
+    }
+    val sp = spark.newSession()
+    import sp.implicits._
+    val wf = words.map(w => (w, 1L)).toDF("word", "freq")
+    val got = llmops.UnigramTokenizer
+      .viterbi2Best(llmops.UnigramTokenizer.edges(wf), vocab.toDF("sub", "lp"))
+      .collect()
+      .map { r =>
+        val arr = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("best2"))
+        r.getAs[String]("word") -> arr.map(e =>
+          (e.getAs[Long]("score"),
+            e.getAs[String]("path").trim.split(" ").toList)).toList
+      }.toMap
+    // viterbi rank-1 agreement on the same vocab
+    val vit = llmops.UnigramTokenizer
+      .viterbi(llmops.UnigramTokenizer.edges(wf), vocab.toDF("sub", "lp"))
+      .collect()
+      .map(r => r.getAs[String]("word") ->
+        r.getSeq[String](r.fieldIndex("toks")).toList).toMap
+    for (w <- words) {
+      val want = ref2(w)
+      assert(got(w) == want, s"word '$w': DP gave ${got(w)}, reference $want")
+      assert(got(w).head._2 == vit(w),
+        s"word '$w': 2-best rank 1 ${got(w).head._2} != viterbi ${vit(w)}")
+    }
+  }
+
+  test("q420 on the fixture: 10 words, ranks dense from 1, rank-2 never " +
+    "beats rank-1, segs re-concatenate") {
+    val rows = llmops.UnigramTokenizer.q420Unigram2Best
+      .run(spark, sfDir).collect()
+    val byWord = rows.groupBy(_.getAs[String]("word"))
+    assert(byWord.size == 10, s"expected 10 report words, got ${byWord.size}")
+    byWord.foreach { case (w, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(ranked.map(_.getAs[Int]("rnk")).toSeq ==
+        (1 to ranked.length), s"$w: ranks not dense")
+      if (ranked.length == 2)
+        assert(ranked(0).getAs[Long]("score_e6") >=
+          ranked(1).getAs[Long]("score_e6"), s"$w: rank order broken")
+      ranked.foreach { r =>
+        assert(r.getAs[String]("seg").replace(" ", "") == w,
+          s"$w: seg does not re-concatenate")
+      }
+    }
+  }
+
   test("ADVICE r17: every learned log-prob is bounded away from the " +
     ".5 rounding boundary (a 1-ulp cross-engine LN drift cannot flip " +
     "any quantized lp on the fixtures)") {
