@@ -521,10 +521,10 @@ object BpeTokenizer {
     * the relational formulation. The hypothesis was that the full
     * recount pays a symbol-grain pass per round where only a shrinking
     * slice changed; measured at K = 48 (6 rounds × m = 8, BpeDrill,
-    * local[32], warm), the delta loop is the SLOWER one —
-    * 31-word fixture vocab (sf0.1): recount 2.9–4.7 s vs delta
-    * 3.9–4.5 s; synthetic 200k-word vocab (~1.4M-row symbol table):
-    * recount 11.4–12.6 s vs delta 15.4 s. Two mechanisms: (a) the
+    * local[32], warm), the delta loop is the SLOWER one at BOTH ends —
+    * ~1.3× on the 31-word fixture vocab (sf0.1) and ~1.2× on a
+    * synthetic 200k-word vocab (~1.4M-row symbol table; recount ~12.5 s
+    * vs delta ~14.6 s). Two mechanisms: (a) the
     * recount's groupBy is map-side combined, so its SHUFFLE is already
     * pair-grain — the full pass the delta scheme saves is one narrow
     * scan of a cached relation; (b) the rewrite + neighbour windows are
@@ -553,8 +553,11 @@ object BpeTokenizer {
       sp: SparkSession, rounds: Int = IncRounds, m: Int = IncM,
       pool: Int = IncPool): (DataFrame, DataFrame, DataFrame) = {
     import sp.implicits._
-    var syms = seedSyms(sp).staged
-    var next = withNext(syms).staged // marked join + (via counts) ranking
+    // ONE staged relation carries the symbol state per round: the
+    // neighbour-attached table (`next`). The bare symbol table is a
+    // projection of it, so staging both (the trainMergesBatched ledger)
+    // would checkpoint the same rows twice per round.
+    var next = withNext(seedSyms(sp)).staged
     var counts = pairCounts(next).staged // the maintained relation
     val merges = Seq.newBuilder[(Long, Long, String, String, Long)]
     var k = 0
@@ -581,8 +584,8 @@ object BpeTokenizer {
           .groupBy(col("sym"), col("nxt"))
           .agg((-sum(col("freq"))).as("pair_freq"))
           .select(col("sym").as("l"), col("nxt").as("r"), col("pair_freq"))
-        val syms2 = rewriteMarked(marked, carry = Seq("touched")).staged
-        val next2 = withNext(syms2).staged
+        val next2 = withNext(rewriteMarked(marked, carry = Seq("touched")))
+          .staged // the +delta AND the next round both read it
         // +delta: the same words' pairs AFTER the rewrite
         val posd = next2
           .filter(col("touched") === 1L && col("nxt").isNotNull)
@@ -598,20 +601,18 @@ object BpeTokenizer {
           .staged
         Checkpoints.unpersist(marked)
         Checkpoints.unpersist(next)
-        Checkpoints.unpersist(syms)
         Checkpoints.unpersist(counts)
-        syms = syms2
         next = next2
         counts = counts2
         k += 1
       }
     }
-    Checkpoints.unpersist(next) // final syms/counts returned; next is not
     val mergeTable = merges.result()
       .toDF("round", "brk", "l", "r", "pair_freq")
-    // the carried touched flag is loop bookkeeping, not part of the
-    // symbol-table contract (drop is a no-op on a zero-round run)
-    (mergeTable, syms.drop("touched"), counts)
+    // the final symbol table is the neighbour/bookkeeping projection of
+    // the live `next` state (both extra columns absent on a zero-round
+    // run, where drop is a no-op)
+    (mergeTable, next.drop("nxt").drop("touched"), counts)
   }
 
   /** One batched round, unrolled for DuckDB — the same candidate pool,

@@ -1619,7 +1619,28 @@ class PlanSpec extends EngineSuite {
       case _ => false
     }
 
-    def bounded(plan: LogicalPlan): Boolean = plan match {
+    // Memoized by plan IDENTITY (children are stable object refs inside
+    // one query's tree): boundedImpl branches into the same subtrees up
+    // to three times per Join (bounded(left) && bounded(right), then the
+    // pkAttach arms) — un-memoized that is exponential in join depth,
+    // and the r18 retrieval/tokenizer plans made the sweep burn CPU for
+    // the better part of an hour. With the cache every node is proven
+    // once.
+    val boundedMemo = new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]()
+    // same identity-keyed memo discipline for the value prover
+    val boundedValuesMemo =
+      scala.collection.mutable.HashMap.empty[(Int, Set[ExprId]), Boolean]
+    def bounded(plan: LogicalPlan): Boolean = {
+      val hit = boundedMemo.get(plan)
+      if (hit != null) hit.booleanValue()
+      else {
+        val r = boundedImpl(plan)
+        boundedMemo.put(plan, r)
+        r
+      }
+    }
+
+    def boundedImpl(plan: LogicalPlan): Boolean = plan match {
       case p if p.maxRows.exists(_ <= 1000000L) => true // literal grids/limits
       case a: Aggregate =>
         a.groupingExpressions.isEmpty || bounded(a.child) ||
@@ -1707,6 +1728,11 @@ class PlanSpec extends EngineSuite {
       * grouped on it — or to literals / partition ids (value domains
       * bounded by config, not data). */
     def boundedValues(plan: LogicalPlan, ids: Set[ExprId]): Boolean = {
+      val key = (System.identityHashCode(plan), ids)
+      boundedValuesMemo.getOrElseUpdate(key, boundedValuesImpl(plan, ids))
+    }
+
+    def boundedValuesImpl(plan: LogicalPlan, ids: Set[ExprId]): Boolean = {
       if (ids.isEmpty) return true
       plan match {
         case p if bounded(p) => true
