@@ -327,25 +327,34 @@ object UnigramTokenizer {
           .groupBy(col("sub")).agg(sum(col("freq")).as("cnt")))
         .staged // round-1 lattice + vocab_size
       val seg1 = viterbi(ed, vc1)
-      // the LL is only defined under a COVERING vocab (an UNK word has a
-      // NULL score, which a bare SUM would silently SKIP — under-counting
-      // the LL where the oracle drops the word entirely: two different
-      // silent behaviors). Seed/EM vocabs cover by construction
-      // (spec-pinned); this in-plan guard turns any future coverage
-      // regression into a loud failure, the q414 raise_error discipline.
-      def report(seg: DataFrame, vc: DataFrame, r: Int): DataFrame =
-        seg.agg(
-          sum(col("freq") * size(col("toks"))).as("tokens_total"),
-          sum(col("freq") * when(col("score").isNull,
-            expr("raise_error('q411 coverage violated: NULL Viterbi " +
-              "score (an <unk> word) reached the log-likelihood rollup')")
-              .cast("long")).otherwise(col("score"))).as("ll_e6"))
-          .crossJoin(broadcast(vc.agg(count(lit(1)).as("vocab_size"))))
-          .select(lit(r.toLong).as("round"), col("vocab_size"),
-            col("tokens_total"), col("ll_e6"))
-      report(seg0, vc0, 0).unionByName(report(seg1, vc1, 1))
+      emReport(seg0, vc0, 0).unionByName(emReport(seg1, vc1, 1))
         .orderBy(col("round"))
   }
+
+  /** Corpus-weighted subword usage counts of a segmentation relation —
+    * EM's M-step rollup, shared by q411/q412/q414/q421. */
+  private def usageCounts(seg: DataFrame): DataFrame =
+    seg.select(explode(col("toks")).as("sub"), col("freq"))
+      .groupBy(col("sub")).agg(sum(col("freq")).as("cnt"))
+
+  /** The per-EM-round report row (q411/q421): vocab size, corpus token
+    * count, exact e6 log-likelihood. The LL is only defined under a
+    * COVERING vocab (an UNK word has a NULL score, which a bare SUM
+    * would silently SKIP — under-counting the LL where the oracle drops
+    * the word entirely: two different silent behaviors). Seed/EM vocabs
+    * cover by construction (spec-pinned); the in-plan guard turns any
+    * future coverage regression into a loud failure, the q414
+    * raise_error discipline. */
+  private def emReport(seg: DataFrame, vc: DataFrame, r: Int): DataFrame =
+    seg.agg(
+      sum(col("freq") * size(col("toks"))).as("tokens_total"),
+      sum(col("freq") * when(col("score").isNull,
+        expr("raise_error('unigram EM coverage violated: NULL Viterbi " +
+          "score (an <unk> word) reached the log-likelihood rollup')")
+          .cast("long")).otherwise(col("score"))).as("ll_e6"))
+      .crossJoin(broadcast(vc.agg(count(lit(1)).as("vocab_size"))))
+      .select(lit(r.toLong).as("round"), col("vocab_size"),
+        col("tokens_total"), col("ll_e6"))
 
   /** The unigram train → encode COMPOSITION (the [[BpeTokenizer
     * .q406BpeTrainedEncode]] analogue): segment each source split with
@@ -627,6 +636,70 @@ object UnigramTokenizer {
     }
   }
 
+  /** TWO Viterbi-EM training rounds — q411's loop iterated (the shape a
+    * real training sweep runs until the LL plateaus): round 2 re-counts
+    * usage over the round-1 segmentations, re-normalizes, re-segments.
+    * The per-round report is q411's exactly, extended one row; the
+    * monotonicity contract (hard-EM's LL never decreases — each
+    * re-estimated model scores its OWN training segmentations at least
+    * as well, and the new Viterbi pass only improves on fixed
+    * probabilities) now spans both steps, spec-pinned. Envelope: one
+    * more vocab-grain rollup + one more per-row DP pass over the same
+    * staged lattice — the round count multiplies only the
+    * embarrassingly-parallel segmentation work, never a driver
+    * barrier. */
+  val q421UnigramEm2: QuerySpec = QuerySpec(
+    "q421_unigram_em2",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")},
+       |$emRetrainCtes,
+       |${dpChain("b", "lat1")},
+       |ucb AS MATERIALIZED (
+       |  SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(path, ' ')) AS token, freq FROM segb) t
+       |  GROUP BY token),
+       |totb AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM ucb),
+       |vcb AS MATERIALIZED (
+       |  SELECT sub, cnt,
+       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |  FROM ucb CROSS JOIN totb),
+       |latb AS MATERIALIZED (
+       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+       |  FROM ed e JOIN vcb v USING (sub)),
+       |${dpChain("c", "latb")},
+       |r0 AS (SELECT CAST(0 AS BIGINT) AS round,
+       |              (SELECT CAST(COUNT(*) AS BIGINT) FROM vc0) AS vocab_size,
+       |              CAST(SUM(freq * len(string_split(path, ' '))) AS BIGINT)
+       |                AS tokens_total,
+       |              CAST(SUM(freq * score) AS BIGINT) AS ll_e6
+       |       FROM sega),
+       |r1 AS (SELECT CAST(1 AS BIGINT) AS round,
+       |              (SELECT CAST(COUNT(*) AS BIGINT) FROM vc1) AS vocab_size,
+       |              CAST(SUM(freq * len(string_split(path, ' '))) AS BIGINT)
+       |                AS tokens_total,
+       |              CAST(SUM(freq * score) AS BIGINT) AS ll_e6
+       |       FROM segb),
+       |r2 AS (SELECT CAST(2 AS BIGINT) AS round,
+       |              (SELECT CAST(COUNT(*) AS BIGINT) FROM vcb) AS vocab_size,
+       |              CAST(SUM(freq * len(string_split(path, ' '))) AS BIGINT)
+       |                AS tokens_total,
+       |              CAST(SUM(freq * score) AS BIGINT) AS ll_e6
+       |       FROM segc)
+       |SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |ORDER BY round""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val ed = edges(wordFreqs(sp)).staged // seed counts + all three lattices
+    val vc0 = seedVocab(ed).staged
+    val seg0 = viterbi(ed, vc0).staged // round-1 M-step + the r0 report
+    val vc1 = withLogProbs(usageCounts(seg0)).staged
+    val seg1 = viterbi(ed, vc1).staged // round-2 M-step + the r1 report
+    val vc2 = withLogProbs(usageCounts(seg1)).staged
+    val seg2 = viterbi(ed, vc2)
+    emReport(seg0, vc0, 0).unionByName(emReport(seg1, vc1, 1))
+      .unionByName(emReport(seg2, vc2, 2))
+      .orderBy(col("round"))
+  }
+
   // ---------------------------------------------------------------------
   // q420 — 2-BEST Viterbi segmentation: the n-best lattice core of
   // subword REGULARIZATION (Kudo 2018 §3 — sampling segmentations needs
@@ -805,5 +878,5 @@ object UnigramTokenizer {
   // representative (two Viterbi passes + the EM rollup)
   val all: Seq[QuerySpec] = Seq(q410UnigramViterbi, q411UnigramEm.benched,
     q412UnigramTrainedEncode, q413UnigramEncodeExpr, q414UnigramPruneTarget,
-    q417UnigramArtifactEncode, q420Unigram2Best)
+    q417UnigramArtifactEncode, q420Unigram2Best, q421UnigramEm2)
 }

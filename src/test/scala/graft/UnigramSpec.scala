@@ -310,6 +310,19 @@ class UnigramSpec extends EngineSuite {
     llmops.Checkpoints.unpersist(vc2)
   }
 
+  test("q421: two EM rounds — the LL never decreases across EITHER step " +
+    "and the vocabulary never grows") {
+    val rows = llmops.UnigramTokenizer.q421UnigramEm2
+      .run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("round")).toSeq == Seq(0L, 1L, 2L))
+    val ll = rows.map(_.getAs[Long]("ll_e6"))
+    assert(ll(1) >= ll(0) && ll(2) >= ll(1),
+      s"hard-EM log-likelihood decreased: ${ll.toSeq}")
+    val vs = rows.map(_.getAs[Long]("vocab_size"))
+    assert(vs(1) <= vs(0) && vs(2) <= vs(1),
+      s"usage-pruned vocabulary grew: ${vs.toSeq}")
+  }
+
   test("q420 fuzz: the 2-best DP matches an independent k-best reference " +
     "on random words under a tie-heavy vocab, and rank 1 IS the Viterbi " +
     "path") {
