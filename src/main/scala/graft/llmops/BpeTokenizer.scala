@@ -654,6 +654,22 @@ object BpeTokenizer {
        |  WHERE ptake = 0)""".stripMargin
   }
 
+  /** The full batched-trainer oracle text at an arbitrary (rounds, m,
+    * pool) budget — the programmatically-unrolled full-recount replay,
+    * shared VERBATIM by q407 (textbook budget), q416 (the delta
+    * variant at the 48-merge budget) and q422 (the production recount
+    * path at the same 48-merge budget), so no two gates can drift on
+    * the batching semantics. */
+  private def batchedMergesOracle(rounds: Int, m: Int, pool: Int): String =
+    s"""WITH ${(oracleSeed +: (0 until rounds)
+        .map(batchedOracleRound(_, m, pool))).mkString(",\n")},
+       |merges AS (${(0 until rounds)
+        .map(k => s"SELECT ${k + 1} AS round, brk, l, r, c FROM bw$k")
+        .mkString(" UNION ALL ")})
+       |SELECT CAST(round AS BIGINT) AS round, CAST(brk AS BIGINT) AS batch_rank,
+       |       l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_freq
+       |FROM merges ORDER BY round, batch_rank""".stripMargin
+
   /** The batched merge table — q401's artifact shape plus the in-batch
     * rank. q401 stays the textbook semantics pin; this is the variant
     * that survives production K (and, per the r18 measurement recorded
@@ -662,14 +678,7 @@ object BpeTokenizer {
     * at every vocabulary size this container can hold). */
   val q407BpeBatchedMerges: QuerySpec = QuerySpec(
     "q407_bpe_batched_merges",
-    s"""WITH ${(oracleSeed +: (0 until BatchRounds)
-        .map(batchedOracleRound(_, BatchM, BatchPool))).mkString(",\n")},
-       |merges AS (${(0 until BatchRounds)
-        .map(k => s"SELECT ${k + 1} AS round, brk, l, r, c FROM bw$k")
-        .mkString(" UNION ALL ")})
-       |SELECT CAST(round AS BIGINT) AS round, CAST(brk AS BIGINT) AS batch_rank,
-       |       l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_freq
-       |FROM merges ORDER BY round, batch_rank""".stripMargin) { (s, dir) =>
+    batchedMergesOracle(BatchRounds, BatchM, BatchPool)) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val (mergeTable, finalSyms) = trainMergesBatched(sp)
     Checkpoints.unpersist(finalSyms)
@@ -688,14 +697,7 @@ object BpeTokenizer {
     * [[trainMergesIncremental]]. */
   val q416BpeIncrementalMerges: QuerySpec = QuerySpec(
     "q416_bpe_incremental_merges",
-    s"""WITH ${(oracleSeed +: (0 until IncRounds)
-        .map(batchedOracleRound(_, IncM, IncPool))).mkString(",\n")},
-       |merges AS (${(0 until IncRounds)
-        .map(k => s"SELECT ${k + 1} AS round, brk, l, r, c FROM bw$k")
-        .mkString(" UNION ALL ")})
-       |SELECT CAST(round AS BIGINT) AS round, CAST(brk AS BIGINT) AS batch_rank,
-       |       l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_freq
-       |FROM merges ORDER BY round, batch_rank""".stripMargin) { (s, dir) =>
+    batchedMergesOracle(IncRounds, IncM, IncPool)) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     val (mergeTable, finalSyms, finalCounts) = trainMergesIncremental(sp)
     Checkpoints.unpersist(finalSyms)
@@ -706,10 +708,35 @@ object BpeTokenizer {
       .orderBy(col("round"), col("batch_rank"))
   }
 
+  /** The PRODUCTION trainer at the 48-merge drill budget: the full-
+    * recount batched loop ([[trainMergesBatched]]) at q416's exact
+    * (rounds = [[IncRounds]], m = [[IncM]], pool = [[IncPool]])
+    * parameters, under the SAME unrolled oracle — the two trainers are
+    * algebraically equal (BpeSpec pins the merge tables), so the gate
+    * text is shared verbatim. This is the query the BENCH set times
+    * (r18 VERDICT: the bench must track the path a production run
+    * takes; q416's delta variant is the measured-slower alternative,
+    * kept oracle-gated for its own correctness but no longer the
+    * family's timing sentinel — a recount-path regression was
+    * previously invisible). */
+  val q422BpeBatchedMergesK48: QuerySpec = QuerySpec(
+    "q422_bpe_batched_merges_k48",
+    batchedMergesOracle(IncRounds, IncM, IncPool)) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (mergeTable, finalSyms) =
+      trainMergesBatched(sp, rounds = IncRounds, m = IncM, pool = IncPool)
+    Checkpoints.unpersist(finalSyms)
+    mergeTable.select(col("round"), col("brk").cast("long").as("batch_rank"),
+      col("l").as("left_sym"), col("r").as("right_sym"),
+      concat(col("l"), col("r")).as("merged"), col("pair_freq"))
+      .orderBy(col("round"), col("batch_rank"))
+  }
+
   // q401 joins the bench headline set: it exercises the iterative
   // checkpointed-loop envelope (like q325/q381) at the vocab grain;
-  // q416 benches the incremental loop at the 48-merge budget
+  // q422 benches the PRODUCTION (full-recount batched) loop at the
+  // 48-merge budget — q416's delta variant stays oracle-gated only
   val all: Seq[QuerySpec] = Seq(q401BpeMerges.benched, q402BpeCompression,
     q406BpeTrainedEncode, q407BpeBatchedMerges,
-    q416BpeIncrementalMerges.benched)
+    q416BpeIncrementalMerges, q422BpeBatchedMergesK48.benched)
 }

@@ -800,6 +800,11 @@ object SuffixArray {
     * running-min scan must credit both, where a naive
     * adjacent-pair-to-train check credits neither).
     *
+    * `splits` must label every corpus doc exactly once; both halves of
+    * that contract are enforced IN-PLAN (raise_error on an unlabeled or
+    * multiply-labeled doc), since a violation would otherwise shift the
+    * idx-based prefix sums into a quietly wrong report.
+    *
     * Precondition: the corpus has ≥ 2 suffixes (i.e. more than one
     * word in total). The suffix sequence is rebuilt from the ADJACENT-
     * PAIR relation (a-sides + the final b-side), which is empty on a
@@ -819,11 +824,30 @@ object SuffixArray {
     // split labels attach by doc — a doc-grain side against the
     // suffix-grain spine (AQE broadcasts it at these sizes; at corpus
     // scale it is a doc-keyed shuffle join, dwarfed by the SA build)
+    // The split side must be TOTAL and UNIQUE on doc: an inner join
+    // would silently DROP suffixes of an unlabeled doc and a duplicated
+    // label would silently DUPLICATE them — either shifts the idx-based
+    // prefix sums into a quietly wrong report (ADVICE r18). Both are
+    // guarded loudly: uniqueness by a doc-grain rollup of the (small)
+    // split relation, totality by a left join + raise_error — the
+    // q414/emReport loud-guard discipline.
+    val spl = splits
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("__n"), first(col("is_train")).as("is_train"))
+      .withColumn("is_train", when(col("__n") > 1,
+        expr("raise_error('decontamination split relation is not unique: " +
+          "a doc_id carries more than one is_train label')").cast("boolean"))
+        .otherwise(col("is_train")))
+      .select(col("doc"), col("is_train"))
     val sufs = pairs.select(col("idx"), col("doc_a").as("doc"))
       .unionByName(pairs.select((col("idx") + 1L).as("idx"),
         col("doc_b").as("doc")))
       .groupBy(col("idx")).agg(min(col("doc")).as("doc"))
-      .join(splits.select(col("doc"), col("is_train")), Seq("doc"))
+      .join(spl, Seq("doc"), "left")
+      .withColumn("is_train", when(col("is_train").isNull,
+        expr("raise_error('decontamination split relation is not total: " +
+          "a corpus doc_id has no is_train label')").cast("boolean"))
+        .otherwise(col("is_train")))
     val seg = Prefix.prefixSums(sufs, Seq(col("idx")),
       Seq((when(col("is_train"), 1L).otherwise(0L), "segd")))
       .staged // the total, both lcp-label joins, and the test arm read it

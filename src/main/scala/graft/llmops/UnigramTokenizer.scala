@@ -140,31 +140,48 @@ object UnigramTokenizer {
     * replay is the one that models UNK, via its COALESCE spine). Under
     * the seed/EM vocabularies the single-char coverage guarantee makes
     * the UNK arm unreachable (spec-pinned). */
-  private[graft] def viterbi(ed: DataFrame, vocab: DataFrame): DataFrame = {
-    val dp = ed.join(vocab.select(col("sub"), col("lp")), Seq("sub"))
+  private[graft] def viterbi(ed: DataFrame, vocab: DataFrame): DataFrame =
+    viterbiLat(ed, latticeOf(ed, vocab))
+
+  /** The lattice join behind [[viterbi]]/[[viterbiScoreWithout]]: the
+    * word edges carrying their vocab log-probs — split out so callers
+    * that feed BOTH consumers (q423) can stage it once. */
+  private[graft] def latticeOf(ed: DataFrame, vocab: DataFrame): DataFrame =
+    ed.join(vocab.select(col("sub"), col("lp")), Seq("sub"))
+
+  /** The per-position argmax DP as ONE SQL expression over the
+    * collected edge list `es` of one word — shared verbatim by
+    * [[viterbiLat]] (keyed by word) and [[viterbiScoreWithout]] (keyed
+    * by (word, excluded-token)), so the two DPs can never drift. */
+  private val viterbiDpExpr: String =
+    """element_at(
+      |  aggregate(sequence(1, length(word)),
+      |    -- the CAST sets containsNull on the accumulator's array
+      |    -- type: unreachable positions append NULL elements, and a
+      |    -- containsNull=false zero would let codegen skip the null
+      |    -- check on the final element (NPE under the UNK arm)
+      |    CAST(array(named_struct('score', CAST(0 AS BIGINT), 'bt', -1,
+      |                            'path', ''))
+      |         AS ARRAY<STRUCT<score: BIGINT, bt: INT, path: STRING>>),
+      |    (acc, p) -> concat(acc, array(
+      |      array_max(transform(
+      |        filter(es, e -> e.i = p
+      |                        AND element_at(acc, e.j + 1) IS NOT NULL),
+      |        e -> named_struct(
+      |          'score', element_at(acc, e.j + 1).score + e.lp,
+      |          'bt', e.j,
+      |          'path', concat(element_at(acc, e.j + 1).path, ' ',
+      |                         e.sub))))))),
+      |  length(word) + 1) AS dp""".stripMargin
+
+  /** [[viterbi]] over an already-joined lattice (`(word, freq, j, i,
+    * sub, lp)` — [[latticeOf]]'s shape); `ed` supplies the word spine. */
+  private def viterbiLat(ed: DataFrame, lat: DataFrame): DataFrame = {
+    val dp = lat
       .groupBy(col("word"), col("freq"))
       .agg(collect_list(struct(col("i"), col("j"), col("lp"), col("sub")))
         .as("es"))
-      .selectExpr("word", "freq",
-        """element_at(
-          |  aggregate(sequence(1, length(word)),
-          |    -- the CAST sets containsNull on the accumulator's array
-          |    -- type: unreachable positions append NULL elements, and a
-          |    -- containsNull=false zero would let codegen skip the null
-          |    -- check on the final element (NPE under the UNK arm)
-          |    CAST(array(named_struct('score', CAST(0 AS BIGINT), 'bt', -1,
-          |                            'path', ''))
-          |         AS ARRAY<STRUCT<score: BIGINT, bt: INT, path: STRING>>),
-          |    (acc, p) -> concat(acc, array(
-          |      array_max(transform(
-          |        filter(es, e -> e.i = p
-          |                        AND element_at(acc, e.j + 1) IS NOT NULL),
-          |        e -> named_struct(
-          |          'score', element_at(acc, e.j + 1).score + e.lp,
-          |          'bt', e.j,
-          |          'path', concat(element_at(acc, e.j + 1).path, ' ',
-          |                         e.sub))))))),
-          |  length(word) + 1) AS dp""".stripMargin)
+      .selectExpr("word", "freq", viterbiDpExpr)
       .selectExpr("word", "freq", "dp.score AS score",
         "split(trim(dp.path), ' ') AS toks")
     // word spine off the lattice itself, AGGREGATION-FREE: every word
@@ -178,6 +195,31 @@ object UnigramTokenizer {
       .join(dp, Seq("word", "freq"), "left")
       .withColumn("toks", coalesce(col("toks"), array(lit(Unk))))
   }
+
+  /** Best Viterbi score per (word, excluded token): the exact DP of
+    * [[viterbi]], but run on the word's lattice with ALL edges of one
+    * candidate token removed — the inner computation of Kudo 2018
+    * §3.2's likelihood-loss pruning criterion ("how much does the
+    * corpus LL drop if token x leaves the vocabulary?"), answered
+    * exactly against the current Viterbi segmentations. `cand(word,
+    * ex)` enumerates the pairs to price (a token is only priced
+    * against words whose BEST path uses it — elsewhere its removal
+    * changes nothing). Returns (word, ex, score_wo); score_wo is NULL
+    * when the word has no full path without `ex` — the token is
+    * load-bearing for coverage and must never be pruned. Scale shape:
+    * one (word)-keyed join fans the word-grain lattice out to the
+    * (word, used-token) grain — avg tokens-per-word × word-grain rows,
+    * embarrassingly parallel, one shuffle on the (word, ex) group
+    * key, zero rounds. */
+  private[graft] def viterbiScoreWithout(lat: DataFrame,
+                                         cand: DataFrame): DataFrame =
+    lat.join(cand.select(col("word"), col("ex")), Seq("word"))
+      .filter(col("sub") =!= col("ex"))
+      .groupBy(col("word"), col("ex"))
+      .agg(collect_list(struct(col("i"), col("j"), col("lp"), col("sub")))
+        .as("es"))
+      .selectExpr("word", "ex", viterbiDpExpr)
+      .select(col("word"), col("ex"), col("dp.score").as("score_wo"))
 
   // ---------------------------------------------------------------------
   // DuckDB oracle: the identical DP with one CTE per word position —
@@ -236,6 +278,42 @@ object UnigramTokenizer {
       .mkString(" UNION ALL ")
     parts += s"""seg$tag AS MATERIALIZED (
                 |  SELECT d.word, d.freq, d.score, trim(d.path) AS path
+                |  FROM ($finals) d
+                |  JOIN (SELECT word AS w2, len(word) AS lw FROM wf) x
+                |    ON d.word = x.w2 AND d.pos = x.lw)""".stripMargin
+    parts.result().mkString(",\n")
+  }
+
+  /** The (word, excluded-token)-KEYED Viterbi chain for the q423
+    * oracle — [[dpChain]] with the composite key: `latRel` carries an
+    * extra `ex` column and the chain tracks the best score per (word,
+    * ex) into each position, ending in `segx(word, ex, score)` with a
+    * (word, ex) pair ABSENT when the word has no full path without
+    * `ex` (the Spark side's NULL score_wo arm). Score-only: the pruner
+    * prices paths, it never ships them. */
+  private def dpChainKeyed(latRel: String, spine: String): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""dpk0 AS (SELECT word, ex, 0 AS pos,
+                |  CAST(0 AS BIGINT) AS score FROM $spine)""".stripMargin
+    for (p <- 1 to MaxWordLen) {
+      val prevs = (math.max(0, p - SubMaxLen) until p)
+        .map(q => s"SELECT word, ex, pos, score FROM dpk$q")
+        .mkString(" UNION ALL ")
+      parts += s"""dpk$p AS MATERIALIZED (
+                  |  SELECT word, ex, pos, score FROM (
+                  |    SELECT e.word, e.ex, $p AS pos, d.score + e.lp AS score,
+                  |           ROW_NUMBER() OVER (PARTITION BY e.word, e.ex
+                  |             ORDER BY d.score + e.lp DESC, e.j DESC) AS rn
+                  |    FROM $latRel e JOIN ($prevs) d
+                  |      ON e.word = d.word AND e.ex = d.ex AND e.j = d.pos
+                  |    WHERE e.i = $p) z
+                  |  WHERE rn = 1)""".stripMargin
+    }
+    val finals = (1 to MaxWordLen)
+      .map(p => s"SELECT word, ex, pos, score FROM dpk$p")
+      .mkString(" UNION ALL ")
+    parts += s"""segx AS MATERIALIZED (
+                |  SELECT d.word, d.ex, d.score
                 |  FROM ($finals) d
                 |  JOIN (SELECT word AS w2, len(word) AS lw FROM wf) x
                 |    ON d.word = x.w2 AND d.pos = x.lw)""".stripMargin
@@ -506,6 +584,169 @@ object UnigramTokenizer {
   }
 
   // ---------------------------------------------------------------------
+  // q423 — LIKELIHOOD-LOSS pruning (Kudo 2018 §3.2): the criterion
+  // SentencePiece actually prunes by, next to q414's usage-rank prune.
+  // ---------------------------------------------------------------------
+
+  /** One prune-EM iteration by LIKELIHOOD-LOSS rank — Kudo 2018 §3.2's
+    * pruning criterion, exact under hard-EM: for every multi-char token
+    * x of the EM-trained model, the corpus-LL drop if x left the
+    * vocabulary is Σ_w freq(w) · (score(w) − score_without_x(w)) over
+    * the words whose CURRENT best path uses x (elsewhere the optimum
+    * cannot change), with score_without_x an exact re-run of the same
+    * Viterbi DP on the word's lattice minus x's edges
+    * ([[viterbiScoreWithout]]). Keep the [[TargetMulti]] multi-char
+    * tokens whose removal hurts MOST (essential tokens — whose removal
+    * leaves some word with NO full path — rank above every finite
+    * loss), re-normalize with the q414 keep arms (singles + char
+    * floor), re-segment, and re-estimate: one full prune→EM step.
+    * UnigramSpec pins that the kept set genuinely DIFFERS from q414's
+    * usage-ranked choice on a constructed fixture (high-usage ≠
+    * irreplaceable: a token whose words all have near-equal alternate
+    * paths is cheap to drop no matter how often it is used).
+    *
+    * Report: the kept tokens by loss rank with their exact e6 loss
+    * (NULL for an essential token — no finite loss is defined) and
+    * their post-re-EM usage/log-prob (NULL when re-segmentation
+    * abandons a kept token). Scale shape: everything is word- or
+    * (word, used-token)-grain and embarrassingly parallel — the ONE
+    * new cost over q414 is the removal DP's fan-out (avg
+    * tokens-per-word × distinct words, one shuffle); the rank windows
+    * stay on the bounded vocab relation. */
+  /** The LL-loss ranking core of q423, over explicit relations so
+    * UnigramSpec can drive it with a constructed model: `uc(sub, cnt)`
+    * is the model's support with usage counts (the ranked DOMAIN —
+    * multi-char rows only are ranked), `lat1` the model lattice
+    * ([[latticeOf]]), `segb(word, freq, score, toks)` the current
+    * Viterbi segmentations under it. Returns every multi-char token
+    * with (ex, cnt, ess, ll_loss, rnk): rnk orders essential tokens
+    * first (removal breaks coverage for some word — ll_loss NULL, no
+    * finite loss exists), then finite loss DESC, then token; a token
+    * no current best path uses has loss 0 exactly (removing it cannot
+    * move any optimum). */
+  private[graft] def llLossRanked(uc: DataFrame, lat1: DataFrame,
+                                  segb: DataFrame): DataFrame = {
+    val cand = segb
+      .select(col("word"), col("freq"), explode(col("toks")).as("ex"))
+      .filter(length(col("ex")) > 1)
+      .distinct()
+      .staged // the keyed DP and both sides of the loss join read it
+    val wo = viterbiScoreWithout(lat1, cand)
+    val perTok = cand
+      .join(segb.select(col("word"), col("score")), Seq("word"))
+      .join(wo, Seq("word", "ex"), "left")
+      .groupBy(col("ex"))
+      .agg(max(when(col("score_wo").isNull, 1).otherwise(0)).as("ess"),
+        sum(when(col("score_wo").isNotNull,
+          col("freq") * (col("score") - col("score_wo")))).as("loss_raw"))
+    val dom = uc.filter(length(col("sub")) > 1)
+      .select(col("sub").as("ex"), col("cnt"))
+      .join(perTok, Seq("ex"), "left")
+      .select(col("ex"), col("cnt"),
+        coalesce(col("ess"), lit(0)).as("ess"),
+        when(coalesce(col("ess"), lit(0)) === 1, lit(null).cast("long"))
+          .otherwise(coalesce(col("loss_raw"), lit(0L))).as("ll_loss"))
+    // rank-limited window over the BOUNDED multi-char vocab (the q414
+    // WindowGroupLimit precedent)
+    dom.withColumn("rnk", row_number().over(
+      Window.orderBy(col("ess").desc, col("ll_loss").desc_nulls_last,
+        col("ex"))).cast("int"))
+  }
+
+  val q423UnigramPruneLlLoss: QuerySpec = QuerySpec(
+    "q423_unigram_prune_llloss",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")},
+       |$emRetrainCtes,
+       |${dpChain("b", "lat1")},
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT word, freq, token AS ex
+       |  FROM (SELECT word, freq, unnest(string_split(path, ' ')) AS token
+       |        FROM segb) t
+       |  WHERE len(token) > 1),
+       |latx AS MATERIALIZED (
+       |  SELECT c.word, c.ex, l.j, l.i, l.sub, l.lp
+       |  FROM cand c JOIN lat1 l USING (word)
+       |  WHERE l.sub != c.ex),
+       |${dpChainKeyed("latx", "cand")},
+       |pw AS (SELECT c.ex, c.freq, sb.score, sx.score AS score_wo
+       |       FROM cand c JOIN segb sb USING (word)
+       |       LEFT JOIN segx sx ON sx.word = c.word AND sx.ex = c.ex),
+       |pt AS (SELECT ex,
+       |         MAX(CASE WHEN score_wo IS NULL THEN 1 ELSE 0 END) AS ess,
+       |         CAST(SUM(CASE WHEN score_wo IS NOT NULL
+       |                       THEN freq * (score - score_wo) END) AS BIGINT)
+       |           AS loss_raw
+       |       FROM pw GROUP BY ex),
+       |dom AS (SELECT u.sub AS ex, u.cnt, COALESCE(pt.ess, 0) AS ess,
+       |          CASE WHEN COALESCE(pt.ess, 0) = 1 THEN NULL
+       |               ELSE COALESCE(pt.loss_raw, 0) END AS ll_loss
+       |        FROM uc u LEFT JOIN pt ON pt.ex = u.sub
+       |        WHERE len(u.sub) > 1),
+       |rkm AS (SELECT ex, cnt, ess, ll_loss,
+       |          ROW_NUMBER() OVER (ORDER BY ess DESC,
+       |            ll_loss DESC NULLS LAST, ex) AS rnk
+       |        FROM dom),
+       |keepm AS (SELECT * FROM rkm WHERE rnk <= $TargetMulti),
+       |chfloor3 AS (SELECT sub, CAST($CharFloor AS BIGINT) AS cnt
+       |             FROM (SELECT DISTINCT sub FROM ed WHERE len(sub) = 1) s
+       |             WHERE sub NOT IN (SELECT sub FROM uc)),
+       |keep3 AS (SELECT sub, cnt FROM uc WHERE len(sub) = 1
+       |          UNION ALL SELECT ex AS sub, cnt FROM keepm
+       |          UNION ALL SELECT sub, cnt FROM chfloor3),
+       |tot3 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM keep3),
+       |vc3 AS MATERIALIZED (
+       |  SELECT sub, cnt,
+       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |  FROM keep3 CROSS JOIN tot3),
+       |lat3 AS MATERIALIZED (
+       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+       |  FROM ed e JOIN vc3 v USING (sub)),
+       |${dpChain("c", "lat3")},
+       |uc4 AS (SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(string_split(path, ' ')) AS token, freq
+       |              FROM segc) t
+       |        GROUP BY token),
+       |tot4 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM uc4),
+       |vc4 AS (SELECT sub, cnt,
+       |          CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |        FROM uc4 CROSS JOIN tot4)
+       |SELECT CAST(k.rnk AS INT) AS rnk, k.ex AS token,
+       |  CAST(k.ll_loss AS BIGINT) AS ll_loss_e6,
+       |  CAST(v.cnt AS BIGINT) AS cnt2, v.lp AS lp2_e6
+       |FROM keepm k LEFT JOIN vc4 v ON v.sub = k.ex
+       |ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val ed = edges(wordFreqs(sp))
+      .staged // seed counts, every lattice, and the char floor read it
+    val seg0 = viterbi(ed, seedVocab(ed))
+    val uc = usageCounts(seg0)
+      .staged // vc1, the multi domain, the keep arms, the floor anti-join
+    val lat1 = latticeOf(ed, withLogProbs(uc))
+      .staged // segb's DP AND the keyed removal DP read it
+    val segb = viterbiLat(ed, lat1)
+      .staged // the candidate explode AND the loss join read it
+    val keepm = llLossRanked(uc, lat1, segb)
+      .filter(col("rnk") <= TargetMulti)
+      .staged // the keep arms AND the final report read it
+    val floorSingles = ed.select(col("sub")).filter(length(col("sub")) === 1)
+      .distinct()
+      .join(uc.select(col("sub")), Seq("sub"), "left_anti")
+      .select(col("sub"), lit(CharFloor).as("cnt"))
+    val vc3 = withLogProbs(
+      uc.filter(length(col("sub")) === 1).select(col("sub"), col("cnt"))
+        .unionByName(keepm.select(col("ex").as("sub"), col("cnt")))
+        .unionByName(floorSingles))
+    val vc4 = withLogProbs(usageCounts(viterbi(ed, vc3)))
+    keepm
+      .join(vc4.select(col("sub").as("ex"), col("cnt").as("cnt2"),
+        col("lp").as("lp2_e6")), Seq("ex"), "left")
+      .select(col("rnk"), col("ex").as("token"),
+        col("ll_loss").as("ll_loss_e6"), col("cnt2"), col("lp2_e6"))
+      .orderBy(col("rnk"))
+  }
+
+  // ---------------------------------------------------------------------
   // q413 — the STATELESS-EXPRESSION encode over a static pretrained
   // vocab: the unigram analogue of the BPE q405/streaming-stage pair.
   // ---------------------------------------------------------------------
@@ -717,14 +958,20 @@ object UnigramTokenizer {
     * and keeps the first two. Rank 1 is exactly [[viterbi]]'s argmax
     * path (same tie-break prefix — UnigramSpec pins it and fuzzes the
     * whole thing against an independent reference). Unreachable
-    * positions are naturally EMPTY arrays (no NULL arm needed: an
-    * empty predecessor state contributes no candidates). Returns
-    * (word, freq, best2: array of (score, path)). Same scale shape as
-    * [[viterbi]]: zero joins/shuffles/rounds past the lattice join —
-    * the 2-best bookkeeping multiplies the per-step constant by ≤ 2,
-    * nothing else. */
-  private[graft] def viterbi2Best(ed: DataFrame, vocab: DataFrame): DataFrame =
-    ed.join(vocab.select(col("sub"), col("lp")), Seq("sub"))
+    * INTERMEDIATE positions are naturally EMPTY arrays (no NULL arm
+    * needed: an empty predecessor state contributes no candidates);
+    * a word UNREACHABLE at its final position under a non-covering
+    * vocabulary returns the same UNK contract as [[viterbi]] — one
+    * element (score = NULL, path = [[Unk]]) — via a left-joined word
+    * spine, so a caller under a pruned vocab can never silently lose
+    * words (ADVICE r18: the previous empty-array return vanished
+    * through posexplode). Returns (word, freq, best2: array of
+    * (score, path)). Same scale shape as [[viterbi]]: zero
+    * joins/shuffles/rounds past the lattice join — the 2-best
+    * bookkeeping multiplies the per-step constant by ≤ 2, nothing
+    * else. */
+  private[graft] def viterbi2Best(ed: DataFrame, vocab: DataFrame): DataFrame = {
+    val dp = ed.join(vocab.select(col("sub"), col("lp")), Seq("sub"))
       .groupBy(col("word"), col("freq"))
       .agg(collect_list(struct(col("i"), col("j"), col("lp"), col("sub")))
         .as("es"))
@@ -753,6 +1000,17 @@ object UnigramTokenizer {
           |          1, 2),
           |        c -> named_struct('score', c.score, 'path', c.path))))),
           |  length(word) + 1) AS best2""".stripMargin)
+    // word spine, left-joined (the [[viterbi]] idiom): words dropped by
+    // the vocab join or with an empty final state land on the UNK arm
+    ed.filter(col("j") === 0 && col("i") === 1)
+      .select(col("word"), col("freq"))
+      .join(dp, Seq("word", "freq"), "left")
+      .withColumn("best2",
+        when(col("best2").isNull || size(col("best2")) === 0,
+          array(struct(lit(null).cast("long").as("score"),
+            lit(Unk).as("path"))))
+          .otherwise(col("best2")))
+  }
 
   /** The 2-best DP chain unrolled for DuckDB: `dp2{p}` holds up to TWO
     * rows per word into position p (rn 1..2), candidates ranked by the
@@ -874,9 +1132,197 @@ object UnigramTokenizer {
     TextAnalysis.perSourceCompression(ws, tk)
   }
 
+  // ---------------------------------------------------------------------
+  // q424 — unigram fertility by language: the q176 report over the
+  // q414/q417 pruned-model ARTIFACT (the family comparison a
+  // multilingual tokenizer decision needs — q415 compares totals, this
+  // compares per-language cost).
+  // ---------------------------------------------------------------------
+
+  /** Tokens-per-word and chars-per-token by language under the
+    * PRUNED unigram artifact — the unigram twin of
+    * [[TextAnalysis.q176TokenizerFertility]] (which prices the BPE
+    * encoder): high fertility = the tokenizer fragments that language,
+    * inflating its effective training cost. The model is the q414
+    * artifact applied exactly as q417 ships it — collected (bounded by
+    * the target size BY CONSTRUCTION) and fed to the stateless
+    * expression encoder, so the fertility table prices the model a
+    * release would actually deploy. Same envelope as q176: ONE corpus
+    * scan builds the (word, lang, n) rollup (staged — it feeds both
+    * the encode word relation and the report join); the encode runs on
+    * the vocabulary-sized word relation; the report joins the two at
+    * the word grain. */
+  val q424UnigramFertility: QuerySpec = QuerySpec(
+    "q424_unigram_fertility",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")},
+       |$emRetrainCtes,
+       |$prunedModelCtes,
+       |${dpChain("c", "lat2")},
+       |wl AS (SELECT word, lang, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |             FROM documents) x
+       |       WHERE word != '' GROUP BY word, lang),
+       |tk AS (SELECT word,
+       |         CAST(len(string_split(path, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(word) AS BIGINT) AS n_chars
+       |       FROM segc)
+       |SELECT lang,
+       |       CAST(SUM(wl.n) AS BIGINT) AS n_words,
+       |       CAST(SUM(wl.n * tk.n_tokens) AS BIGINT) AS n_tokens,
+       |       ROUND(CAST(SUM(wl.n * tk.n_tokens) AS DOUBLE)
+       |             / CAST(SUM(wl.n) AS DOUBLE), 6) AS fertility,
+       |       ROUND(CAST(SUM(wl.n * tk.n_chars) AS DOUBLE)
+       |             / CAST(SUM(wl.n * tk.n_tokens) AS DOUBLE), 6)
+       |         AS chars_per_token
+       |FROM wl JOIN tk USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (ed, vc2) = prunedModelParts(sp)
+    val artifact = vc2.select(col("sub"), col("lp"))
+      .collect() // the shipped model: ≤ target-size rows by construction
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    Checkpoints.unpersist(ed) // the encode below is vocab-literal
+    Checkpoints.unpersist(vc2)
+    val wl = sp.table("documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"), col("lang")).agg(count(lit(1)).as("n"))
+      .staged // the encode word relation AND the report join read it
+    val tk = wl.groupBy("word").agg(sum(col("n")).as("n"))
+      .select(col("word"),
+        size(unigramTokensExprWith(col("word"), artifact))
+          .cast("long").as("n_tokens"),
+        length(col("word")).cast("long").as("n_chars"))
+    wl.join(tk, "word")
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_tokens")).as("n_tokens"),
+        round(sum(col("n") * col("n_tokens")).cast("double") /
+          sum(col("n")).cast("double"), 6).as("fertility"),
+        round(sum(col("n") * col("n_chars")).cast("double") /
+          sum(col("n") * col("n_tokens")).cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q425 — SAMPLED (subword-regularization) encode: Kudo 2018 §3's
+  // point — train-time segmentations are SAMPLED from the l-best set,
+  // not argmax'd — composed over the q420 2-best lattice core.
+  // ---------------------------------------------------------------------
+
+  /** Sampling temperature α (Kudo's smoothing exponent): P(rank k) ∝
+    * exp(α·score_k). Small α flattens toward uniform; α → ∞ degenerates
+    * to the argmax (spec-pinned). */
+  private[graft] val SampleAlpha = 0.5
+
+  /** The frozen per-(doc, word) sampling coordinate in [0, 1e6): the
+    * q130/q95 multiplicative doc_id hash salted with three exact word
+    * features (length, first and last code point) — pure 64-bit-safe
+    * integer arithmetic (product < 2^52, addends < 2^17), so the draw
+    * is identical on any engine, partitioning, or rerun: RNG-free,
+    * oracle-replayable determinism (the q130-family discipline). The
+    * TEXT is engine-portable — length/substring/ascii evaluate
+    * identically on Spark and DuckDB — and shared verbatim by both
+    * sides. */
+  private[graft] val SampleHashSql: String =
+    "((doc_id % 1000003) * 2654435761 + length(word) * 1009 + " +
+      "ascii(word) * 31 + ascii(substring(word, length(word), 1))) % 1000000"
+
+  /** Per-(doc, word) sampling decisions under the seed model: each
+    * distinct word of each document draws between its 2-best
+    * segmentations ([[viterbi2Best]]) with P(rank 1) =
+    * softmax(α·score)₁ = 1 / (1 + exp(α·(s₂−s₁)/1e6)), quantized to e6
+    * and compared against the frozen hash coordinate — deterministic,
+    * replayable, and partitioning-independent (the one float surface,
+    * exp/round, is guarded by a UnigramSpec boundary-distance pin, the
+    * LN-quantization discipline). Single-path words (no rank 2) keep
+    * their only segmentation. Returns (doc_id, word, nocc, u_e6,
+    * p1_e6, path). Scale shape: ONE corpus-grain (doc, word) rollup,
+    * one word-keyed join against the word-grain 2-best relation (AQE
+    * broadcasts the small side), then pure per-row arithmetic — no
+    * windows, no rounds, no state. */
+  private[graft] def sampledSegments(sp: SparkSession,
+                                     alpha: Double): DataFrame = {
+    val ed = edges(wordFreqs(sp))
+      .staged // seed-vocab counts AND the 2-best lattice read it
+    val b2 = viterbi2Best(ed, seedVocab(ed))
+      .select(col("word"),
+        element_at(col("best2"), 1).getField("score").as("s1"),
+        trim(element_at(col("best2"), 1).getField("path")).as("p1"),
+        element_at(col("best2"), 2).getField("score").as("s2"),
+        trim(element_at(col("best2"), 2).getField("path")).as("p2"))
+    val dw = sp.table("documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("nocc"))
+    dw.join(b2, Seq("word"))
+      .withColumn("u_e6", expr(SampleHashSql))
+      .withColumn("p1_e6",
+        when(col("s2").isNull, lit(1000000L))
+          .otherwise(round(lit(1e6) / (lit(1.0) +
+            exp(lit(alpha) * (col("s2") - col("s1")).cast("double") /
+              lit(1e6)))).cast("long")))
+      .withColumn("path",
+        when(col("s2").isNull || col("u_e6") < col("p1_e6"), col("p1"))
+          .otherwise(col("p2")))
+  }
+
+  /** The sampled-encode report: corpus-weighted top-30 tokens of the
+    * SAMPLED segmentations — the token distribution a subword-
+    * regularized training run feeds the model (vs q410's argmax
+    * distribution; the delta between the two reports is the
+    * regularization mass). The DuckDB replay runs the same 2-best
+    * chain, the same frozen hash (textually identical — the formula is
+    * engine-portable), and the same e6-quantized softmax gate.
+    * Coverage note: like every dpChain oracle this assumes the seed
+    * vocabulary covers (single-char floor — spec-pinned); an UNK word
+    * would take the Spark <unk> arm but drop from the replay's spine. */
+  val q425UnigramSampledEncode: QuerySpec = QuerySpec(
+    "q425_unigram_sampled_encode",
+    s"""WITH $oracleSeed,
+       |${dp2Chain("lat0", "wf")},
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS nocc
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents) u
+       |  WHERE word != '' GROUP BY doc_id, word),
+       |b1 AS (SELECT word, score AS s1, path AS p1 FROM seg2 WHERE rn = 1),
+       |b2 AS (SELECT word, score AS s2, path AS p2 FROM seg2 WHERE rn = 2),
+       |ch AS (SELECT dw.doc_id, dw.word, dw.nocc, b1.s1, b1.p1, b2.s2, b2.p2,
+       |         ($SampleHashSql) AS u_e6,
+       |         CASE WHEN b2.s2 IS NULL THEN 1000000
+       |              ELSE CAST(ROUND(1e6 / (1 + EXP($SampleAlpha
+       |                * CAST(b2.s2 - b1.s1 AS DOUBLE) / 1e6))) AS BIGINT)
+       |         END AS p1_e6
+       |       FROM dw JOIN b1 USING (word) LEFT JOIN b2 USING (word)),
+       |pick AS (SELECT doc_id, word, nocc,
+       |           CASE WHEN s2 IS NULL OR u_e6 < p1_e6 THEN p1 ELSE p2 END
+       |             AS path
+       |         FROM ch)
+       |SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
+       |  SELECT token, SUM(nocc) AS cnt,
+       |         ROW_NUMBER() OVER (ORDER BY SUM(nocc) DESC, token) AS rnk
+       |  FROM (SELECT unnest(string_split(path, ' ')) AS token, nocc
+       |        FROM pick) t
+       |  GROUP BY token) z
+       |WHERE rnk <= 30 ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    sampledSegments(sp, SampleAlpha)
+      .select(explode(split(col("path"), " ")).as("token"), col("nocc"))
+      .groupBy(col("token")).agg(sum(col("nocc")).as("cnt"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
+      .filter(col("rnk") <= 30)
+      .select(col("rnk"), col("token"), col("cnt"))
+      .orderBy(col("rnk"))
+  }
+
   // q411 joins the bench headline set: it is the per-row-DP family's
   // representative (two Viterbi passes + the EM rollup)
   val all: Seq[QuerySpec] = Seq(q410UnigramViterbi, q411UnigramEm.benched,
     q412UnigramTrainedEncode, q413UnigramEncodeExpr, q414UnigramPruneTarget,
-    q417UnigramArtifactEncode, q420Unigram2Best, q421UnigramEm2)
+    q417UnigramArtifactEncode, q420Unigram2Best, q421UnigramEm2,
+    q423UnigramPruneLlLoss, q424UnigramFertility, q425UnigramSampledEncode)
 }

@@ -1627,9 +1627,14 @@ class PlanSpec extends EngineSuite {
     // the better part of an hour. With the cache every node is proven
     // once.
     val boundedMemo = new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]()
-    // same identity-keyed memo discipline for the value prover
+    // same identity-keyed memo discipline for the value prover — keyed
+    // by REFERENCE identity (an IdentityHashMap of per-node sub-maps),
+    // not System.identityHashCode: identity hashes are not unique, and
+    // a collision between two distinct nodes carrying the same ids set
+    // would silently serve a stale verdict (ADVICE r18)
     val boundedValuesMemo =
-      scala.collection.mutable.HashMap.empty[(Int, Set[ExprId]), Boolean]
+      new java.util.IdentityHashMap[LogicalPlan,
+        scala.collection.mutable.HashMap[Set[ExprId], Boolean]]()
     def bounded(plan: LogicalPlan): Boolean = {
       val hit = boundedMemo.get(plan)
       if (hit != null) hit.booleanValue()
@@ -1728,8 +1733,12 @@ class PlanSpec extends EngineSuite {
       * grouped on it — or to literals / partition ids (value domains
       * bounded by config, not data). */
     def boundedValues(plan: LogicalPlan, ids: Set[ExprId]): Boolean = {
-      val key = (System.identityHashCode(plan), ids)
-      boundedValuesMemo.getOrElseUpdate(key, boundedValuesImpl(plan, ids))
+      var sub = boundedValuesMemo.get(plan)
+      if (sub == null) {
+        sub = scala.collection.mutable.HashMap.empty[Set[ExprId], Boolean]
+        boundedValuesMemo.put(plan, sub)
+      }
+      sub.getOrElseUpdate(ids, boundedValuesImpl(plan, ids))
     }
 
     def boundedValuesImpl(plan: LogicalPlan, ids: Set[ExprId]): Boolean = {

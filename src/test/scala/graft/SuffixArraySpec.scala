@@ -222,6 +222,36 @@ class SuffixArraySpec extends EngineSuite {
     assert(out("s2") == ((1L, 0L, 0L, 0L)), s"s2 row: ${out("s2")}")
   }
 
+  test("ADVICE r18: a non-total or non-unique split relation fails " +
+    "LOUDLY instead of silently shifting the prefix sums") {
+    val chunk = (1 to 10).map(i => s"p$i").mkString(" ")
+    val sp = syntheticDocs(Seq(
+      (7L, "s1", chunk), (42L, "s1", chunk),
+      (3L, "s1", s"x1 x2 $chunk y1"), (9L, "s2", "z1 z2 z3")))
+    import sp.implicits._
+    // doc 9 unlabeled: an inner join would silently drop its suffixes
+    val partial = Seq((7L, false), (42L, false), (3L, true))
+      .toDF("doc", "is_train")
+    def chainContains(t: Throwable, needle: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(c => Option(c.getMessage).exists(_.contains(needle)))
+    val eTotal = intercept[Exception] {
+      graft.discard(
+        llmops.SuffixArray.decontaminationReport(sp, partial).collect())
+    }
+    assert(chainContains(eTotal, "not total"),
+      s"expected the totality raise_error, got: ${eTotal.getMessage}")
+    // doc 3 labeled twice: would silently duplicate its suffixes
+    val dup = Seq((7L, false), (42L, false), (3L, true), (3L, false),
+      (9L, true)).toDF("doc", "is_train")
+    val eUnique = intercept[Exception] {
+      graft.discard(
+        llmops.SuffixArray.decontaminationReport(sp, dup).collect())
+    }
+    assert(chainContains(eUnique, "not unique"),
+      s"expected the uniqueness raise_error, got: ${eUnique.getMessage}")
+  }
+
   test("q418: the source-driven split holds out exactly the HoldOut " +
     "sources and reports every one of them") {
     val rows = SparkEntry.queries("q418_sa_decontamination_by_source")(

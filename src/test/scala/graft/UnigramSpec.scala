@@ -400,6 +400,30 @@ class UnigramSpec extends EngineSuite {
     }
   }
 
+  test("ADVICE r18: viterbi2Best under a NON-covering vocab emits the " +
+    "viterbi <unk> contract — no word silently vanishes") {
+    val sp = spark.newSession()
+    import sp.implicits._
+    // 'abc' is partially covered (ab) but has no full path; 'zzz' has
+    // no vocab edge at all (dropped by the lattice join); 'ab' is fully
+    // covered with exactly one path — the mixed fixture of the viterbi
+    // UNK pin, replayed against the 2-best formulation
+    val ed = llmops.UnigramTokenizer.edges(
+      Seq(("abc", 2L), ("zzz", 1L), ("ab", 3L)).toDF("word", "freq"))
+    val vocab = Seq(("ab", -1L)).toDF("sub", "lp")
+    val got = llmops.UnigramTokenizer.viterbi2Best(ed, vocab).collect()
+      .map { r =>
+        val arr = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("best2"))
+        r.getAs[String]("word") -> arr.map(e =>
+          (Option(e.get(e.fieldIndex("score"))),
+            e.getAs[String]("path").trim)).toList
+      }.toMap
+    assert(got.keySet == Set("abc", "zzz", "ab"), "every word must come back")
+    assert(got("abc") == List((None, "<unk>")))
+    assert(got("zzz") == List((None, "<unk>")))
+    assert(got("ab") == List((Some(-1L), "ab")))
+  }
+
   test("ADVICE r17: every learned log-prob is bounded away from the " +
     ".5 rounding boundary (a 1-ulp cross-engine LN drift cannot flip " +
     "any quantized lp on the fixtures)") {
@@ -438,5 +462,116 @@ class UnigramSpec extends EngineSuite {
     check("vc2", vc2.select(col("cnt")).collect().map(_.getLong(0)).toSeq)
     llmops.Checkpoints.unpersist(ed2)
     llmops.Checkpoints.unpersist(vc2)
+  }
+
+  test("q423: LL-loss rank is NOT usage rank — a constructed model " +
+    "where the heaviest-used token is the cheapest to remove, and an " +
+    "essential token outranks every finite loss") {
+    val sp = spark.newSession()
+    import sp.implicits._
+    // Three words, one multi-char token each:
+    //  'xy' (freq 100): token "xy" lp -2e6; alternative x+y costs only
+    //    1 e6-unit more per occurrence -> loss 100 (HIGH usage, LOW loss)
+    //  'ab' (freq 1): token "ab" lp -1e6; alternative a+b costs 15e6
+    //    more -> loss 15e6 (LOW usage, HIGH loss)
+    //  'cd' (freq 1): token "cd" has NO single-char fallback in the
+    //    model -> essential (removal leaves cd unsegmentable)
+    val ed = llmops.UnigramTokenizer.edges(
+      Seq(("xy", 100L), ("ab", 1L), ("cd", 1L)).toDF("word", "freq"))
+    val vocab = Seq(
+      ("xy", 100L, -2000000L), ("x", 50L, -1000000L), ("y", 50L, -1000001L),
+      ("ab", 1L, -1000000L), ("a", 1L, -8000000L), ("b", 1L, -8000000L),
+      ("cd", 1L, -1000000L)).toDF("sub", "cnt", "lp")
+    val lat = llmops.UnigramTokenizer.latticeOf(ed, vocab)
+    val segb = llmops.UnigramTokenizer.viterbi(ed, vocab)
+    val got = llmops.UnigramTokenizer
+      .llLossRanked(vocab.select(col("sub"), col("cnt")), lat, segb)
+      .collect()
+      .map(r => r.getAs[String]("ex") ->
+        ((r.getAs[Int]("rnk"), r.getAs[Int]("ess"),
+          Option(r.get(r.fieldIndex("ll_loss"))))))
+      .toMap
+    // loss rank: cd (essential) > ab (15e6) > xy (100)
+    assert(got("cd") == ((1, 1, None)), s"cd: ${got("cd")}")
+    assert(got("ab") == ((2, 0, Some(15000000L))), s"ab: ${got("ab")}")
+    assert(got("xy") == ((3, 0, Some(100L))), s"xy: ${got("xy")}")
+    // usage rank would be xy (100) > ab = cd (1): the two criteria
+    // order the SAME tokens differently — LL-loss is not renamed usage
+    val usageOrder = Seq("xy", "ab", "cd") // cnt DESC, sub ASC
+    val lossOrder = Seq("cd", "ab", "xy")
+    assert(usageOrder != lossOrder)
+  }
+
+  test("q425: the sampler is a deterministic exact replay — every " +
+    "(doc, word) decision reproduces from the frozen hash + quantized " +
+    "softmax, both branches occur, and alpha -> infinity degenerates " +
+    "to the argmax on strict-gap words") {
+    val rows = llmops.UnigramTokenizer
+      .sampledSegments(QuerySpec.prepared(spark, sfDir),
+        llmops.UnigramTokenizer.SampleAlpha)
+      .select(col("doc_id"), col("word"), col("u_e6"), col("p1_e6"),
+        col("s1"), col("s2"), col("p1"), col("p2"), col("path"))
+      .collect()
+    assert(rows.nonEmpty)
+    var rank2 = 0
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      val doc = r.getAs[Long]("doc_id")
+      // frozen-hash replay (the SampleHashSql formula, in Scala)
+      val expU = ((doc % 1000003L) * 2654435761L + w.length * 1009L +
+        w.head.toLong * 31L + w.last.toLong) % 1000000L
+      assert(r.getAs[Long]("u_e6") == expU, s"($doc,$w): hash drifted")
+      val s2 = Option(r.get(r.fieldIndex("s2"))).map(_.asInstanceOf[Long])
+      val expP1 = s2 match {
+        case None => 1000000L
+        case Some(v) =>
+          val s1 = r.getAs[Long]("s1")
+          BigDecimal(1e6 / (1 + math.exp(
+            llmops.UnigramTokenizer.SampleAlpha * (v - s1).toDouble / 1e6)))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      assert(r.getAs[Long]("p1_e6") == expP1, s"($doc,$w): p1 drifted")
+      val expPath = if (s2.isEmpty || expU < expP1)
+        r.getAs[String]("p1") else r.getAs[String]("p2")
+      assert(r.getAs[String]("path") == expPath, s"($doc,$w): pick drifted")
+      if (s2.nonEmpty && r.getAs[String]("path") == r.getAs[String]("p2"))
+        rank2 += 1
+    }
+    assert(rank2 > 0, "no rank-2 pick on the whole fixture — the " +
+      "sampler is degenerate and regularizes nothing")
+    // alpha -> infinity: every strict-gap word picks the argmax path
+    val degen = llmops.UnigramTokenizer
+      .sampledSegments(QuerySpec.prepared(spark, sfDir), 1e9)
+      .filter(col("s2").isNotNull && col("s2") < col("s1"))
+      .filter(col("path") =!= col("p1"))
+    assert(degen.count() == 0L,
+      "alpha=1e9 must reduce to argmax wherever the gap is strict")
+  }
+
+  test("q425 boundary pin: on the fixture every sampling comparison is " +
+    "bounded away from both float hazards (u never adjacent to p1; p1 " +
+    "pre-round value never near a .5 boundary)") {
+    // The one float surface of the sampler is EXP/ROUND in p1_e6; a
+    // 1-ulp cross-engine drift could flip the rounded value only at a
+    // .5 boundary, and a flipped p1_e6 only flips a PICK when u_e6
+    // sits exactly at the old/new value. Pin both distances.
+    val rows = llmops.UnigramTokenizer
+      .sampledSegments(QuerySpec.prepared(spark, sfDir),
+        llmops.UnigramTokenizer.SampleAlpha)
+      .filter(col("s2").isNotNull)
+      .select(col("u_e6"), col("p1_e6"), col("s1"), col("s2"))
+      .collect()
+    rows.foreach { r =>
+      val gap = math.abs(r.getAs[Long]("u_e6") - r.getAs[Long]("p1_e6"))
+      assert(gap >= 2,
+        s"u_e6 within 1 of p1_e6 (${r.mkString(",")}) — a 1-ulp p1 " +
+          "drift could flip this pick")
+      val x = 1e6 / (1 + math.exp(llmops.UnigramTokenizer.SampleAlpha *
+        (r.getAs[Long]("s2") - r.getAs[Long]("s1")).toDouble / 1e6))
+      val frac = x - math.floor(x)
+      assert(math.abs(frac - 0.5) > 1e-6,
+        f"p1 pre-round $x%.9f sits at a .5 boundary — rounding is no " +
+          "longer provably cross-engine stable")
+    }
   }
 }
