@@ -682,10 +682,13 @@ object SuffixArray {
     * with a source-driven split by q418); the fixture parameter here is
     * only the one line DERIVING that relation: held-out = doc_id % 10
     * = 0. */
-  val q409Decontamination: QuerySpec = QuerySpec(
-    "q409_sa_decontamination",
+  /** The decontamination replay shared VERBATIM by q409/q418/q426 —
+    * the split CTE is the ONLY line that differs between the three
+    * gates (id-derived, source-derived, and artifact-read answers must
+    * all reproduce the same algebra). */
+  private def decontaminationOracleSql(splCte: String): String =
     s"""WITH $oracleLcpCtes,
-       |spl AS (SELECT doc_id, (doc_id % 10 != 0) AS is_train FROM documents),
+       |spl AS ($splCte),
        |so AS (SELECT doc_id, pos,
        |         ROW_NUMBER() OVER (ORDER BY suf, doc_id, pos) AS idx
        |       FROM s),
@@ -723,7 +726,15 @@ object SuffixArray {
        |  CAST(SUM(mo) AS BIGINT) AS sum_max_overlap
        |FROM pd JOIN (SELECT DISTINCT doc_id, source FROM documents) d
        |  USING (doc_id)
-       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** The q409 fixture split CTE (held-out = doc_id % 10 = 0). */
+  private def modSplitCte: String =
+    "SELECT doc_id, (doc_id % 10 != 0) AS is_train FROM documents"
+
+  val q409Decontamination: QuerySpec = QuerySpec(
+    "q409_sa_decontamination",
+    decontaminationOracleSql(modSplitCte)) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     // the fixture's split DERIVATION — the only doc_id arithmetic; the
     // report itself consumes only the column
@@ -744,47 +755,9 @@ object SuffixArray {
     * by the same oracle with only the one-line split CTE swapped. */
   val q418DecontaminationBySource: QuerySpec = QuerySpec(
     "q418_sa_decontamination_by_source",
-    s"""WITH $oracleLcpCtes,
-       |spl AS (SELECT doc_id, source NOT IN ($holdOutSql) AS is_train
-       |        FROM documents),
-       |so AS (SELECT doc_id, pos,
-       |         ROW_NUMBER() OVER (ORDER BY suf, doc_id, pos) AS idx
-       |       FROM s),
-       |sg AS (SELECT so.idx, so.doc_id, spl.is_train,
-       |         CAST(SUM(CASE WHEN spl.is_train THEN 1 ELSE 0 END)
-       |           OVER (ORDER BY so.idx) AS BIGINT) AS segd,
-       |         CAST(SUM(CASE WHEN spl.is_train THEN 1 ELSE 0 END)
-       |           OVER (ORDER BY so.idx DESC) AS BIGINT) AS segu
-       |       FROM so JOIN spl USING (doc_id)),
-       |lc AS (SELECT so.idx - 1 AS j, p.lcp
-       |       FROM p JOIN so ON p.doc_id = so.doc_id AND p.pos = so.pos),
-       |lg AS (SELECT lc.j, lc.lcp, a.segd AS gl, b.segu AS gu
-       |       FROM lc JOIN sg a ON a.idx = lc.j
-       |       JOIN sg b ON b.idx = lc.j + 1),
-       |mins AS (SELECT j,
-       |    MIN(lcp) OVER (PARTITION BY gl ORDER BY j
-       |                   ROWS UNBOUNDED PRECEDING) AS dm,
-       |    MIN(lcp) OVER (PARTITION BY gu ORDER BY j DESC
-       |                   ROWS UNBOUNDED PRECEDING) AS um
-       |  FROM lg),
-       |best AS (SELECT t.doc_id,
-       |    GREATEST(CASE WHEN t.segd >= 1 THEN COALESCE(d.dm, 0) ELSE 0 END,
-       |             CASE WHEN t.segu >= 1 THEN COALESCE(u.um, 0) ELSE 0 END)
-       |      AS b
-       |  FROM sg t
-       |  LEFT JOIN mins d ON d.j = t.idx - 1
-       |  LEFT JOIN mins u ON u.j = t.idx
-       |  WHERE NOT t.is_train),
-       |pd AS (SELECT doc_id, MAX(b) AS mo FROM best GROUP BY doc_id)
-       |SELECT d.source,
-       |  CAST(COUNT(*) AS BIGINT) AS test_docs,
-       |  CAST(SUM(CASE WHEN mo >= 8 THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS contaminated_docs,
-       |  CAST(MAX(mo) AS BIGINT) AS max_overlap_words,
-       |  CAST(SUM(mo) AS BIGINT) AS sum_max_overlap
-       |FROM pd JOIN (SELECT DISTINCT doc_id, source FROM documents) d
-       |  USING (doc_id)
-       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    decontaminationOracleSql(
+      s"SELECT doc_id, source NOT IN ($holdOutSql) AS is_train " +
+        "FROM documents")) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
     decontaminationReport(sp,
       sp.table("documents").select(col("doc_id").as("doc"),
@@ -814,11 +787,27 @@ object SuffixArray {
     * documented rather than special-cased to keep the degenerate
     * branch out of the hot plan. */
   private[graft] def decontaminationReport(sp: SparkSession,
-                                           splits: DataFrame): DataFrame = {
+                                           splits: DataFrame): DataFrame =
+    decontaminationFromPairs(sp,
+      adjacentLcp(sp)
+        .select(col("idx"), col("doc_a"), col("doc_b"), col("lcp"))
+        .staged, // the suffix sequence and the segment-labeled scans read it
+      splits)
+
+  /** The decontamination body over an EXPLICIT adjacent-pair relation
+    * `pairs(idx, doc_a, doc_b, lcp)` — either the in-plan SA build
+    * ([[decontaminationReport]] stages [[adjacentLcp]]) or the
+    * PERSISTED artifact ([[saPairs]], q426): at corpus scale the SA
+    * build is a once-per-release job whose output downstream audits
+    * read, so the report must be answerable from the stored relation
+    * alone. The three reads of `pairs` below are plain scans of
+    * whatever the caller passes (a checkpointed RDD in-plan; idx-
+    * clustered parquet from the artifact — cheap, column-pruned,
+    * re-read rather than re-built). */
+  private[graft] def decontaminationFromPairs(sp: SparkSession,
+                                              pairs: DataFrame,
+                                              splits: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = adjacentLcp(sp)
-      .select(col("idx"), col("doc_a"), col("doc_b"), col("lcp"))
-      .staged // the suffix sequence and the segment-labeled scans read it
     // the n-suffix sequence in SA order, rebuilt from the pair relation
     // itself (a-sides + the final b-side; interior rows identical);
     // split labels attach by doc — a doc-grain side against the
@@ -886,8 +875,54 @@ object SuffixArray {
       .orderBy(col("source"))
   }
 
+  /** Per-(JVM, source-dir) location of the persisted SA adjacency
+    * artifact. */
+  private[graft] def saPairsDir(dir: String): String =
+    s"${graft.operators.Layout.keyedDir("sa", dir)}/pairs"
+
+  /** The suffix-array adjacency relation `(idx, doc_a, doc_b, lcp)` as
+    * a PERSISTED artifact: built once per (JVM, source dir) — gated by
+    * the `_SUCCESS` marker, the Layout write-once discipline — and
+    * read back from parquet. At 100 TB the SA build is a once-per-
+    * release job (hours of prefix-doubling over the whole corpus);
+    * every audit that follows (decontamination per eval set, dup-share
+    * reports, removal candidates) should READ its output, not re-run
+    * it — exactly the q417 ship-an-artifact story at the corpus grain.
+    * The write range-partitions + sorts on `idx`, so the stored files
+    * are idx-clustered: downstream ordered scans prune by footer
+    * min/max and a reader wanting one SA range touches only its
+    * files. */
+  private[graft] def saPairs(sp: SparkSession, dir: String): DataFrame = {
+    val path = saPairsDir(dir)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      adjacentLcp(sp)
+        .select(col("idx"), col("doc_a"), col("doc_b"), col("lcp"))
+        .repartitionByRange(col("idx"))
+        .sortWithinPartitions(col("idx"))
+        .write.mode("overwrite").parquet(path)
+    sp.read.parquet(path)
+  }
+
+  /** q409's decontamination answered from the PERSISTED artifact
+    * (r18 VERDICT item): the gated plan contains NO suffix-array
+    * build — the pair relation arrives as an idx-clustered parquet
+    * read ([[saPairs]]) and only the segment/prefix-sum/running-min
+    * report algebra runs. Same oracle as q409 verbatim: the stored
+    * and in-plan answers must be indistinguishable (SuffixArraySpec
+    * pins the equality on a synthetic corpus too). This is the
+    * production shape — the q409/q418-class per-audit cost collapses
+    * to the read side once the release job has shipped the array. */
+  val q426DecontaminationArtifact: QuerySpec = QuerySpec(
+    "q426_sa_decontamination_artifact",
+    decontaminationOracleSql(modSplitCte)) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    decontaminationFromPairs(sp, saPairs(sp, dir),
+      sp.table("documents").select(col("doc_id").as("doc"),
+        (col("doc_id") % 10 =!= 0).as("is_train")))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q380SuffixRanks, q381LcpStats.benched, q382DupCoverage,
       q396SubstringRemoveSa, q409Decontamination,
-      q418DecontaminationBySource)
+      q418DecontaminationBySource, q426DecontaminationArtifact)
 }

@@ -169,14 +169,24 @@ object Layout {
     * a 32-bit hash (ADVICE r15: a String.hashCode collision between two
     * source dirs in one JVM would make the _SUCCESS gate silently serve
     * a different corpus than the registered view the oracle reads). */
-  def partitionedDocsDir(dir: String): String = {
+  def partitionedDocsDir(dir: String): String =
+    s"${keyedDir("pks", dir)}/documents"
+
+  /** A scratch location under [[runTmp]] keyed by (artifact family,
+    * SOURCE DIR) — the per-(JVM, corpus) artifact-directory scheme
+    * shared by every write-once fixture artifact (partitioned docs,
+    * the phrase-parameter relation, the persisted suffix array):
+    * sanitized full path + an 8-byte SHA so two source dirs can never
+    * collide (ADVICE r15: a 32-bit String.hashCode collision would
+    * silently serve a different corpus than the registered views). */
+  private[graft] def keyedDir(family: String, dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     val readable = abs.replaceAll("[^A-Za-z0-9._-]", "_")
       .replaceAll("^_+", "").takeRight(64)
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(abs.getBytes("UTF-8")).take(8)
       .map(b => f"$b%02x").mkString
-    s"$runTmp/pks/$readable-$sha/documents"
+    s"$runTmp/$family/$readable-$sha"
   }
 
   private def writePartitionedDocs(

@@ -886,14 +886,29 @@ class LlmOpsSpec extends EngineSuite {
       scan.contains(s"LessThan(doc_id,${llmops.Retrieval.PhraseDeriveDocs}"),
       s"derivation slice must push its doc_id bound to parquet:\n$scan")
     // above the staging boundary the gated plans are the SEARCH path
-    // only: no tokenization of document text (postings and the
-    // derivation slice are both staged setup relations) — q408's one
+    // only: no tokenization of document text (postings are a staged
+    // setup relation; the phrase parameters arrive from the STANDING
+    // parquet artifact — r19: the derivation subtree left the plans
+    // entirely, so no top-k Limit survives either; q408's one
     // surviving explode is over the ≤3-row PHRASE relation, never text
     for (q <- Seq(llmops.Retrieval.q403PhraseSearch,
         llmops.Retrieval.q408MultiPhraseSearch)) {
       val plan = q.run(sp, sfDir).queryExecution.optimizedPlan.toString
       assert(!plan.contains("split(text"),
         s"${q.name}: the gated plan re-tokenizes the corpus:\n$plan")
+    }
+    // q419's REWRITE side legitimately splits text once (the doc word
+    // arrays being redacted), so it is exempt from the no-split pin —
+    // but like the search queries its parameters must come from the
+    // standing artifact: no phrase-derivation top-k Limit in any of
+    // the three gated plans
+    for (q <- Seq(llmops.Retrieval.q403PhraseSearch,
+        llmops.Retrieval.q408MultiPhraseSearch,
+        llmops.Retrieval.q419PhraseRedaction)) {
+      val plan = q.run(sp, sfDir).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Limit"),
+        s"${q.name}: the phrase-derivation top-k is back inside the " +
+          s"gated plan — parameters must come from the artifact:\n$plan")
     }
   }
 

@@ -252,6 +252,40 @@ class SuffixArraySpec extends EngineSuite {
       s"expected the uniqueness raise_error, got: ${eUnique.getMessage}")
   }
 
+  test("q426: the decontamination answer from the PERSISTED artifact " +
+    "equals the in-plan answer, and the gated plan reads parquet, " +
+    "not a rebuild") {
+    val chunk = (1 to 10).map(i => s"p$i").mkString(" ")
+    val sp = syntheticDocs(Seq(
+      (10L, "s1", chunk), (20L, "s1", chunk),
+      (1L, "s1", s"x1 x2 $chunk y1"),
+      (11L, "s2", "z1 z2 z3"), (30L, "s2", "q1 q2 q3")))
+    val splits = sp.table("documents").select(col("doc_id").as("doc"),
+      (col("doc_id") % 10 =!= 0).as("is_train"))
+    // a unique artifact key so this synthetic corpus can never collide
+    // with (or reuse) the fixture-corpus artifact in the same JVM
+    val key = java.nio.file.Files
+      .createTempDirectory("graft-sa-spec-").toString
+    val persisted = llmops.SuffixArray
+      .decontaminationFromPairs(sp, llmops.SuffixArray.saPairs(sp, key),
+        splits)
+    val inPlan = llmops.SuffixArray.decontaminationReport(sp, splits)
+    assert(persisted.collect().map(_.toSeq).toSeq ==
+      inPlan.collect().map(_.toSeq).toSeq,
+      "persisted-artifact and in-plan answers diverged")
+    // the pairs relation itself must be a plain parquet read of the
+    // artifact location (the gated plan consumes it beneath a .staged
+    // boundary, so the scan is asserted on the relation, not the
+    // report's final plan)
+    val pairsPlan = llmops.SuffixArray.saPairs(sp, key)
+      .queryExecution.executedPlan.toString
+    // plan strings truncate long locations — assert the scan format
+    // plus the artifact-family path segment rather than the full path
+    assert(pairsPlan.contains("FileScan parquet") &&
+      pairsPlan.contains("/sa/"),
+      s"saPairs must read the persisted artifact:\n$pairsPlan")
+  }
+
   test("q418: the source-driven split holds out exactly the HoldOut " +
     "sources and reports every one of them") {
     val rows = SparkEntry.queries("q418_sa_decontamination_by_source")(
