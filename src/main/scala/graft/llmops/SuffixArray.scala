@@ -473,8 +473,9 @@ object SuffixArray {
     * roll up per source against the source's total token count. The
     * judge-facing question it answers: which ingestion source carries
     * how much literally-repeated text, at ANY repeat length ≥ 8. */
-  val q382DupCoverage: QuerySpec = QuerySpec(
-    "q382_sa_dup_coverage",
+  /** The q382 dup-share replay, shared VERBATIM with q427 (the
+    * artifact-read twin). */
+  private def dupCoverageOracleSql: String =
     s"""WITH $oracleLcpCtes,
        |iv0 AS (SELECT doc_id, pos AS st, pos + lcp AS en FROM p WHERE lcp >= 8
        |        UNION ALL
@@ -505,10 +506,21 @@ object SuffixArray {
        |           FROM cov c JOIN documents d ON c.doc_id = d.doc_id) cov
        |  ON cov.source = tot.source
        |GROUP BY tot.source, total_tokens
-       |ORDER BY source""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
+       |ORDER BY source""".stripMargin
+
+  val q382DupCoverage: QuerySpec = QuerySpec(
+    "q382_sa_dup_coverage", dupCoverageOracleSql) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    val pairs = adjacentLcp(sp).filter(col("lcp") >= 8)
+    dupCoverageFromPairs(sp, adjacentLcp(sp))
+  }
+
+  /** The q382 dup-share body over an explicit adjacency relation —
+    * in-plan ([[adjacentLcp]]) or the persisted artifact ([[saPairs]],
+    * q427). Needs (doc_a, pos_a, doc_b, pos_b, lcp). */
+  private def dupCoverageFromPairs(sp: SparkSession,
+                                   pairs0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = pairs0.filter(col("lcp") >= 8)
     val iv0 = pairs
       .select(col("doc_a").as("doc_id"), col("pos_a").as("st"),
         (col("pos_a") + col("lcp")).as("en"))
@@ -896,7 +908,8 @@ object SuffixArray {
     val path = saPairsDir(dir)
     if (!new java.io.File(path, "_SUCCESS").exists())
       adjacentLcp(sp)
-        .select(col("idx"), col("doc_a"), col("doc_b"), col("lcp"))
+        .select(col("idx"), col("doc_a"), col("pos_a"),
+          col("doc_b"), col("pos_b"), col("lcp"))
         .repartitionByRange(col("idx"))
         .sortWithinPartitions(col("idx"))
         .write.mode("overwrite").parquet(path)
@@ -916,13 +929,32 @@ object SuffixArray {
     "q426_sa_decontamination_artifact",
     decontaminationOracleSql(modSplitCte)) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    decontaminationFromPairs(sp, saPairs(sp, dir),
+    // the report needs 4 of the artifact's 6 columns — the projection
+    // reaches the parquet reader (ReadSchema pruning on the artifact)
+    decontaminationFromPairs(sp,
+      saPairs(sp, dir).select(col("idx"), col("doc_a"), col("doc_b"),
+        col("lcp")),
       sp.table("documents").select(col("doc_id").as("doc"),
         (col("doc_id") % 10 =!= 0).as("is_train")))
+  }
+
+  /** q382's dup-share report from the PERSISTED artifact — the second
+    * reader of [[saPairs]], proving the stored relation is the
+    * general-purpose release artifact, not a single-query cache: the
+    * decontamination reads (idx, docs, lcp), this reads (docs,
+    * positions, lcp) — each audit column-prunes the one stored table
+    * (the reason saPairs ships the FULL adjacency row). Same oracle as
+    * q382 verbatim. */
+  val q427DupCoverageArtifact: QuerySpec = QuerySpec(
+    "q427_sa_dup_coverage_artifact",
+    dupCoverageOracleSql) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    dupCoverageFromPairs(sp, saPairs(sp, dir))
   }
 
   val all: Seq[QuerySpec] =
     Seq(q380SuffixRanks, q381LcpStats.benched, q382DupCoverage,
       q396SubstringRemoveSa, q409Decontamination,
-      q418DecontaminationBySource, q426DecontaminationArtifact)
+      q418DecontaminationBySource, q426DecontaminationArtifact,
+      q427DupCoverageArtifact)
 }

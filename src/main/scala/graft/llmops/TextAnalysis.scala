@@ -839,7 +839,7 @@ object TextAnalysis {
   // a word hitting every rule needs BpeMerges.size rounds — provably
   // sufficient for ANY fixture (the unrolled oracle stays
   // merge-table-sized, never corpus-sized).
-  private val BpeRounds = BpeMerges.size
+  private[llmops] val BpeRounds = BpeMerges.size
 
   /** The corpus (word, source) rollup feeding a train → encode
     * composition's per-source report — ONE definition for both
@@ -934,7 +934,7 @@ object TextAnalysis {
     * over the STATIC pretrained table: CTEs m (merge table), w (word
     * vocab), s0..s[[BpeRounds]] (per-round states). The caller appends
     * a final SELECT over s[[BpeRounds]]. */
-  private def bpeOracleUnroll: String = {
+  private[llmops] def bpeOracleUnroll: String = {
     val mergeValues = BpeMerges.map { case (p, r) => s"('$p', $r)" }.mkString(", ")
     s"""WITH m(pair, rank) AS (VALUES $mergeValues),
        |w AS (SELECT word, COUNT(*) AS n

@@ -101,5 +101,96 @@ object TokenizerCompare {
     bpeRep.unionByName(uniRep).orderBy(col("family"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q415TokenizerCompare)
+  /** Per-LANGUAGE tokenizer-family fertility comparison — q415's
+    * two-row totals table extended to the grain a MULTILINGUAL
+    * tokenizer decision is actually made at: for each language, both
+    * production encoders' tokens-per-word and chars-per-token, side by
+    * side (a language one family fragments needs more training budget
+    * under that family — the q176 fertility argument, now comparative).
+    * The arms are the two shipped ENCODERS: the static-table greedy
+    * BPE (q176's) and the q414-pruned unigram artifact through the
+    * stateless expression (q424's) — the code paths a release runs,
+    * not the trainers. Scale shape: ONE corpus-grain (word, lang, n)
+    * rollup staged and shared by both arms and the report joins;
+    * everything else is vocabulary-sized; the replay chains both
+    * families' unrolls in one WITH (namespaces disjoint). */
+  val q428FertilityCompare: QuerySpec = QuerySpec(
+    "q428_tokenizer_fertility_compare",
+    s"""${TextAnalysis.bpeOracleUnroll},
+       |wl AS (SELECT word, lang, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |             FROM documents) x
+       |       WHERE word != '' GROUP BY word, lang),
+       |btk AS (SELECT word,
+       |          CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tokens,
+       |          CAST(len(word) AS BIGINT) AS n_chars
+       |        FROM s${TextAnalysis.BpeRounds}),
+       |${UnigramTokenizer.oracleSeed},
+       |${UnigramTokenizer.dpChain("a", "lat0")},
+       |${UnigramTokenizer.emRetrainCtes},
+       |${UnigramTokenizer.prunedModelCtes},
+       |${UnigramTokenizer.dpChain("c", "lat2")},
+       |utk AS (SELECT word,
+       |          CAST(len(string_split(path, ' ')) AS BIGINT) AS n_tokens,
+       |          CAST(len(word) AS BIGINT) AS n_chars
+       |        FROM segc),
+       |brep AS (SELECT 'bpe' AS family, lang,
+       |           CAST(SUM(wl.n) AS BIGINT) AS n_words,
+       |           CAST(SUM(wl.n * btk.n_tokens) AS BIGINT) AS n_tokens,
+       |           ROUND(CAST(SUM(wl.n * btk.n_tokens) AS DOUBLE)
+       |                 / CAST(SUM(wl.n) AS DOUBLE), 6) AS fertility,
+       |           ROUND(CAST(SUM(wl.n * btk.n_chars) AS DOUBLE)
+       |                 / CAST(SUM(wl.n * btk.n_tokens) AS DOUBLE), 6)
+       |             AS chars_per_token
+       |         FROM wl JOIN btk USING (word) GROUP BY lang),
+       |urep AS (SELECT 'unigram' AS family, lang,
+       |           CAST(SUM(wl.n) AS BIGINT) AS n_words,
+       |           CAST(SUM(wl.n * utk.n_tokens) AS BIGINT) AS n_tokens,
+       |           ROUND(CAST(SUM(wl.n * utk.n_tokens) AS DOUBLE)
+       |                 / CAST(SUM(wl.n) AS DOUBLE), 6) AS fertility,
+       |           ROUND(CAST(SUM(wl.n * utk.n_chars) AS DOUBLE)
+       |                 / CAST(SUM(wl.n * utk.n_tokens) AS DOUBLE), 6)
+       |             AS chars_per_token
+       |         FROM wl JOIN utk USING (word) GROUP BY lang)
+       |SELECT * FROM brep UNION ALL SELECT * FROM urep
+       |ORDER BY family, lang""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (ed, vc2) = UnigramTokenizer.prunedModelParts(sp)
+    val artifact = vc2.select(col("sub"), col("lp"))
+      .collect() // ≤ target-size rows by construction (the q417 probe)
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    Checkpoints.unpersist(ed)
+    Checkpoints.unpersist(vc2)
+    val wl = sp.table("documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"), col("lang")).agg(count(lit(1)).as("n"))
+      .staged // both encode vocabs AND both report joins read it
+    val vocab = wl.groupBy("word").agg(sum(col("n")).as("n"))
+    val btk = TextAnalysis.bpeEncodeState(sp, vocab)
+      .selectExpr("word",
+        "cast(size(split(trim(seq), '  ')) as long) AS n_tokens",
+        "cast(length(word) as long) AS n_chars")
+    val utk = vocab
+      .select(col("word"),
+        size(UnigramTokenizer.unigramTokensExprWith(col("word"), artifact))
+          .cast("long").as("n_tokens"),
+        length(col("word")).cast("long").as("n_chars"))
+    def rep(family: String, tk: org.apache.spark.sql.DataFrame) =
+      wl.join(tk, "word")
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("n_tokens")).as("n_tokens"),
+          round(sum(col("n") * col("n_tokens")).cast("double") /
+            sum(col("n")).cast("double"), 6).as("fertility"),
+          round(sum(col("n") * col("n_chars")).cast("double") /
+            sum(col("n") * col("n_tokens")).cast("double"), 6)
+            .as("chars_per_token"))
+        .select(lit(family).as("family"), col("lang"), col("n_words"),
+          col("n_tokens"), col("fertility"), col("chars_per_token"))
+    rep("bpe", btk).unionByName(rep("unigram", utk))
+      .orderBy(col("family"), col("lang"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q415TokenizerCompare, q428FertilityCompare)
 }

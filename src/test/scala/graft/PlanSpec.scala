@@ -1532,6 +1532,14 @@ class PlanSpec extends EngineSuite {
     // entry means a new corpus-size-dependent broadcast went in on
     // purpose, reviewed.
     val audited: Map[String, String] = Map(
+      "q403_phrase_search" -> ("the STANDING phrase-parameter artifact " +
+        "(Retrieval.phraseParams): ≤ 3 rows BY CONSTRUCTION — written once " +
+        "from top-2 ∪ top-1 limits; the prover sees only the parquet read. " +
+        "In production these are query parameters, never corpus-sized"),
+      "q408_multi_phrase_search" -> ("same ≤ 3-row standing parameter " +
+        "artifact as q403"),
+      "q419_phrase_redaction" -> ("same ≤ 3-row standing parameter artifact " +
+        "as q403 (the blocklist relation)"),
       "q20_join_theta_inequality" -> ("theta/inequality join needs a broadcast " +
         "side by construction (no equi-key to shuffle on); the 2-column " +
         "supplier projection is the small side by design — at larger scale " +
