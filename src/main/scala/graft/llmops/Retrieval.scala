@@ -861,6 +861,40 @@ object Retrieval {
       .orderBy(col("doc_id"))
   }
 
+  /** The blocklist-COVERED word positions (1-based) of one document's
+    * word array, as ONE stateless expression over a LITERAL blocklist —
+    * the per-row form of [[phraseRedact]]'s span algebra for the
+    * streaming scrubbing stage ([[graft.streaming.EventStreams
+    * .redactedDocs]]): per phrase, anchors are the positions where all
+    * its words match consecutively (the conjunction is generated at
+    * expression-build time — the blocklist is a parameter, ≤ a few
+    * rows, exactly what [[phraseParams]] stores); covered = the union
+    * of every anchored span, overlap/nesting collapsing in the final
+    * membership test exactly as the batch exists-over-spans filter
+    * does. Zero joins, zero shuffles, zero state — identical over
+    * batch rows and a structured stream. Callers should materialize
+    * this ONCE per row (a withColumn) and test membership against the
+    * materialized column, not inline it inside a per-element lambda. */
+  private[graft] def coveredPositionsExpr(
+      w: org.apache.spark.sql.Column,
+      phrases: Seq[String]): org.apache.spark.sql.Column = {
+    val perPhrase = phrases.map { p =>
+      val pw = p.split(" ").toSeq
+      val plen = pw.length
+      // sequence(1, 0) is DESCENDING in Spark, not empty — guard the
+      // too-short-doc case explicitly
+      val anchors = filter(
+        when(size(w) >= plen, sequence(lit(1), size(w) - plen + 1))
+          .otherwise(array().cast("array<int>")),
+        a => pw.zipWithIndex.map { case (word, k) =>
+          element_at(w, a + k) === lit(word)
+        }.reduce(_ && _))
+      flatten(transform(anchors, a => sequence(a, a + plen - 1)))
+    }
+    if (perPhrase.isEmpty) array().cast("array<int>")
+    else concat(perPhrase: _*)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q200RagChunks, q201TfidfTopk, q202Bm25, q203IndexStats, q230RrfHybrid,
       q237RetrievalEval, q337RocchioPrf.benched, q403PhraseSearch,

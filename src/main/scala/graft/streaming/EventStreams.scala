@@ -677,6 +677,32 @@ object EventStreams {
         .as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
 
+  /** Streaming phrase-blocklist redaction — the streaming twin of
+    * q419's scrubbing stage: every arriving document is shipped with
+    * every blocklisted-phrase occurrence cut (eval-set canaries,
+    * boilerplate sentences, PII phrases), via the SAME span algebra as
+    * the batch rewrite re-expressed as stateless per-row expressions
+    * ([[graft.llmops.Retrieval.coveredPositionsExpr]] — the blocklist
+    * is a ≤ few-row parameter, exactly what the standing
+    * phrase-parameter artifact stores, collected into the expression).
+    * Covered positions are materialized ONCE per row and the kept
+    * filter tests membership against that column, so the per-word
+    * work is one array probe. Emits EVERY doc (a scrubbing stage
+    * ships the whole corpus; removed_tokens = 0 marks the untouched) —
+    * zero joins, zero shuffles, zero streaming state: StreamingSpec
+    * pins stream ≡ batch ≡ the q419 relational rewrite. */
+  def redactedDocs(docs: DataFrame, phrases: Seq[String]): DataFrame =
+    docs
+      .withColumn("__w", split(col("text"), " "))
+      .withColumn("__cov",
+        graft.llmops.Retrieval.coveredPositionsExpr(col("__w"), phrases))
+      .withColumn("__kept", filter(col("__w"),
+        (_, i) => !array_contains(col("__cov"), i + 1)))
+      .select(col("doc_id"),
+        (size(col("__w")) - size(col("__kept"))).cast("long")
+          .as("removed_tokens"),
+        array_join(col("__kept"), " ").as("new_text"))
+
   /** Streaming corpus curation — the streaming twin of the release
     * pipeline's gate stages (q165's quality gate + exact dedup, scored
     * by q169's classifier): each arriving document is scored map-side

@@ -380,6 +380,48 @@ class StreamingSpec extends EngineSuite {
       "expression encode and the q167 state loop disagree on token counts")
   }
 
+  test("redactedDocs: the stateless streaming redaction matches batch, " +
+    "matches the q419 relational rewrite, and keeps untouched docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // doc 1: overlapping + nested spans cover all 5 words; doc 2: one
+    // hit mid-doc; doc 3: untouched (the q419 LlmOpsSpec fixture, plus
+    // a doc shorter than the longest phrase — the sequence(1,0) guard)
+    val texts = Seq(DocRow(1L, "a b a b a"), DocRow(2L, "x a b y"),
+      DocRow(3L, "c c c"), DocRow(4L, "a"))
+    val phrases = Seq("a b", "a b a")
+    val batch = EventStreams.redactedDocs(texts.toDF(), phrases)
+      .orderBy("doc_id").collect().toSeq
+    assert(batch.map(r => (r.getLong(0), r.getLong(1), r.getString(2))) ==
+      Seq((1L, 5L, ""), (2L, 2L, "x y"), (3L, 0L, "c c c"), (4L, 0L, "a")),
+      s"batch rows: $batch")
+    // the q419 relational rewrite agrees on every TOUCHED doc (it
+    // emits only those, by contract)
+    val docs = texts.toDF().select(col("doc_id"),
+      split(col("text"), " ").as("w"))
+    val toks = texts.toDF().select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("word"))
+    val relational = llmops.Retrieval.phraseRedact(docs, toks,
+        phrases.toDF("phrase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(relational ==
+      batch.filter(_.getLong(1) > 0L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))),
+      s"relational rewrite diverges: $relational")
+    val mem = MemoryStream[DocRow]
+    mem.addData(texts: _*)
+    val q = EventStreams.redactedDocs(mem.toDF(), phrases)
+      .writeStream.format("memory").queryName("redact_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.table("redact_out").orderBy("doc_id").collect().toSeq
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq),
+      "stream and batch redactions diverge")
+  }
+
   test("unigramTokenizedDocs: the stateless Viterbi encode matches batch " +
     "and the known segmentations, OOV words emit <unk>") {
     val s = spark
