@@ -1247,7 +1247,17 @@ object UnigramTokenizer {
                                      alpha: Double): DataFrame = {
     val ed = edges(wordFreqs(sp))
       .staged // seed-vocab counts AND the 2-best lattice read it
-    val b2 = viterbi2Best(ed, seedVocab(ed))
+    sampledSegmentsUnder(sp, ed, seedVocab(ed), alpha)
+  }
+
+  /** [[sampledSegments]] under an EXPLICIT `(sub, lp)` model — the form
+    * a SHIPPED artifact feeds (q429 samples under the q414-pruned
+    * model; the seed model is just the default instance). `ed` is the
+    * corpus lattice ([[edges]], typically staged by the caller). */
+  private[graft] def sampledSegmentsUnder(sp: SparkSession, ed: DataFrame,
+                                          vocab: DataFrame,
+                                          alpha: Double): DataFrame = {
+    val b2 = viterbi2Best(ed, vocab)
       .select(col("word"),
         element_at(col("best2"), 1).getField("score").as("s1"),
         trim(element_at(col("best2"), 1).getField("path")).as("p1"),
@@ -1309,7 +1319,13 @@ object UnigramTokenizer {
        |  GROUP BY token) z
        |WHERE rnk <= 30 ORDER BY rnk""".stripMargin) { (s, dir) =>
     val sp = QuerySpec.prepared(s, dir)
-    sampledSegments(sp, SampleAlpha)
+    sampledTop30(sampledSegments(sp, SampleAlpha))
+  }
+
+  /** The sampled-encode report rollup shared by q425/q429: top-30
+    * tokens of the sampled segmentations, occurrence-weighted. */
+  private def sampledTop30(segments: DataFrame): DataFrame =
+    segments
       .select(explode(split(col("path"), " ")).as("token"), col("nocc"))
       .groupBy(col("token")).agg(sum(col("nocc")).as("cnt"))
       .withColumn("rnk", row_number()
@@ -1317,6 +1333,50 @@ object UnigramTokenizer {
       .filter(col("rnk") <= 30)
       .select(col("rnk"), col("token"), col("cnt"))
       .orderBy(col("rnk"))
+
+  /** The sampler under the SHIPPED model — the production
+    * subword-regularization path end-to-end: train → prune (q414) →
+    * ship → SAMPLE. Same frozen-hash/quantized-softmax gate as q425,
+    * but the 2-best lattice runs under the pruned target model (whose
+    * char floor keeps it covering — the q414/q417 guarantee, so the
+    * UNK arm stays unreachable and the replay's spine is total). The
+    * only addition to q425's envelope is the vocab-grain prune
+    * derivation q414 already prices. */
+  val q429UnigramSampledArtifact: QuerySpec = QuerySpec(
+    "q429_unigram_sampled_artifact",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")},
+       |$emRetrainCtes,
+       |$prunedModelCtes,
+       |${dp2Chain("lat2", "wf")},
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS nocc
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents) u
+       |  WHERE word != '' GROUP BY doc_id, word),
+       |b1 AS (SELECT word, score AS s1, path AS p1 FROM seg2 WHERE rn = 1),
+       |b2 AS (SELECT word, score AS s2, path AS p2 FROM seg2 WHERE rn = 2),
+       |ch AS (SELECT dw.doc_id, dw.word, dw.nocc, b1.s1, b1.p1, b2.s2, b2.p2,
+       |         ($SampleHashSql) AS u_e6,
+       |         CASE WHEN b2.s2 IS NULL THEN 1000000
+       |              ELSE CAST(ROUND(1e6 / (1 + EXP($SampleAlpha
+       |                * CAST(b2.s2 - b1.s1 AS DOUBLE) / 1e6))) AS BIGINT)
+       |         END AS p1_e6
+       |       FROM dw JOIN b1 USING (word) LEFT JOIN b2 USING (word)),
+       |pick AS (SELECT doc_id, word, nocc,
+       |           CASE WHEN s2 IS NULL OR u_e6 < p1_e6 THEN p1 ELSE p2 END
+       |             AS path
+       |         FROM ch)
+       |SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
+       |  SELECT token, SUM(nocc) AS cnt,
+       |         ROW_NUMBER() OVER (ORDER BY SUM(nocc) DESC, token) AS rnk
+       |  FROM (SELECT unnest(string_split(path, ' ')) AS token, nocc
+       |        FROM pick) t
+       |  GROUP BY token) z
+       |WHERE rnk <= 30 ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val (ed, vc2) = prunedModelParts(sp)
+    sampledTop30(sampledSegmentsUnder(sp, ed, vc2, SampleAlpha))
   }
 
   // q411 joins the bench headline set: it is the per-row-DP family's
@@ -1324,5 +1384,6 @@ object UnigramTokenizer {
   val all: Seq[QuerySpec] = Seq(q410UnigramViterbi, q411UnigramEm.benched,
     q412UnigramTrainedEncode, q413UnigramEncodeExpr, q414UnigramPruneTarget,
     q417UnigramArtifactEncode, q420Unigram2Best, q421UnigramEm2,
-    q423UnigramPruneLlLoss, q424UnigramFertility, q425UnigramSampledEncode)
+    q423UnigramPruneLlLoss, q424UnigramFertility, q425UnigramSampledEncode,
+    q429UnigramSampledArtifact)
 }

@@ -548,30 +548,44 @@ class UnigramSpec extends EngineSuite {
       "alpha=1e9 must reduce to argmax wherever the gap is strict")
   }
 
-  test("q425 boundary pin: on the fixture every sampling comparison is " +
-    "bounded away from both float hazards (u never adjacent to p1; p1 " +
-    "pre-round value never near a .5 boundary)") {
+  test("q425/q429 boundary pin: on the fixture every sampling comparison " +
+    "is bounded away from both float hazards (u never adjacent to p1; " +
+    "p1 pre-round value never near a .5 boundary) — under the seed AND " +
+    "the shipped artifact model") {
     // The one float surface of the sampler is EXP/ROUND in p1_e6; a
     // 1-ulp cross-engine drift could flip the rounded value only at a
     // .5 boundary, and a flipped p1_e6 only flips a PICK when u_e6
-    // sits exactly at the old/new value. Pin both distances.
-    val rows = llmops.UnigramTokenizer
-      .sampledSegments(QuerySpec.prepared(spark, sfDir),
-        llmops.UnigramTokenizer.SampleAlpha)
-      .filter(col("s2").isNotNull)
-      .select(col("u_e6"), col("p1_e6"), col("s1"), col("s2"))
-      .collect()
-    rows.foreach { r =>
-      val gap = math.abs(r.getAs[Long]("u_e6") - r.getAs[Long]("p1_e6"))
-      assert(gap >= 2,
-        s"u_e6 within 1 of p1_e6 (${r.mkString(",")}) — a 1-ulp p1 " +
-          "drift could flip this pick")
-      val x = 1e6 / (1 + math.exp(llmops.UnigramTokenizer.SampleAlpha *
-        (r.getAs[Long]("s2") - r.getAs[Long]("s1")).toDouble / 1e6))
-      val frac = x - math.floor(x)
-      assert(math.abs(frac - 0.5) > 1e-6,
-        f"p1 pre-round $x%.9f sits at a .5 boundary — rounding is no " +
-          "longer provably cross-engine stable")
+    // sits exactly at the old/new value. Pin both distances, for both
+    // gated models (q425 seed, q429 pruned artifact — different gap
+    // surfaces).
+    val sp = QuerySpec.prepared(spark, sfDir)
+    def check(label: String,
+              segs: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = segs
+        .filter(col("s2").isNotNull)
+        .select(col("u_e6"), col("p1_e6"), col("s1"), col("s2"))
+        .collect()
+      assert(rows.nonEmpty, s"$label: no two-path words on the fixture")
+      rows.foreach { r =>
+        val gap = math.abs(r.getAs[Long]("u_e6") - r.getAs[Long]("p1_e6"))
+        assert(gap >= 2,
+          s"$label: u_e6 within 1 of p1_e6 (${r.mkString(",")}) — a " +
+            "1-ulp p1 drift could flip this pick")
+        val x = 1e6 / (1 + math.exp(llmops.UnigramTokenizer.SampleAlpha *
+          (r.getAs[Long]("s2") - r.getAs[Long]("s1")).toDouble / 1e6))
+        val frac = x - math.floor(x)
+        assert(math.abs(frac - 0.5) > 1e-6,
+          f"$label: p1 pre-round $x%.9f sits at a .5 boundary — " +
+            "rounding is no longer provably cross-engine stable")
+      }
     }
+    check("seed (q425)", llmops.UnigramTokenizer
+      .sampledSegments(sp, llmops.UnigramTokenizer.SampleAlpha))
+    val (ed, vc2) = llmops.UnigramTokenizer.prunedModelParts(sp)
+    check("artifact (q429)", llmops.UnigramTokenizer
+      .sampledSegmentsUnder(sp, ed, vc2,
+        llmops.UnigramTokenizer.SampleAlpha))
+    llmops.Checkpoints.unpersist(ed)
+    llmops.Checkpoints.unpersist(vc2)
   }
 }
