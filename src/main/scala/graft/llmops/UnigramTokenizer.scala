@@ -291,15 +291,16 @@ object UnigramTokenizer {
     * (word, ex) pair ABSENT when the word has no full path without
     * `ex` (the Spark side's NULL score_wo arm). Score-only: the pruner
     * prices paths, it never ships them. */
-  private def dpChainKeyed(latRel: String, spine: String): String = {
+  private def dpChainKeyed(latRel: String, spine: String,
+                           tag: String = ""): String = {
     val parts = Seq.newBuilder[String]
-    parts += s"""dpk0 AS (SELECT word, ex, 0 AS pos,
+    parts += s"""dpk${tag}0 AS (SELECT word, ex, 0 AS pos,
                 |  CAST(0 AS BIGINT) AS score FROM $spine)""".stripMargin
     for (p <- 1 to MaxWordLen) {
       val prevs = (math.max(0, p - SubMaxLen) until p)
-        .map(q => s"SELECT word, ex, pos, score FROM dpk$q")
+        .map(q => s"SELECT word, ex, pos, score FROM dpk$tag$q")
         .mkString(" UNION ALL ")
-      parts += s"""dpk$p AS MATERIALIZED (
+      parts += s"""dpk$tag$p AS MATERIALIZED (
                   |  SELECT word, ex, pos, score FROM (
                   |    SELECT e.word, e.ex, $p AS pos, d.score + e.lp AS score,
                   |           ROW_NUMBER() OVER (PARTITION BY e.word, e.ex
@@ -310,9 +311,9 @@ object UnigramTokenizer {
                   |  WHERE rn = 1)""".stripMargin
     }
     val finals = (1 to MaxWordLen)
-      .map(p => s"SELECT word, ex, pos, score FROM dpk$p")
+      .map(p => s"SELECT word, ex, pos, score FROM dpk$tag$p")
       .mkString(" UNION ALL ")
-    parts += s"""segx AS MATERIALIZED (
+    parts += s"""segx$tag AS MATERIALIZED (
                 |  SELECT d.word, d.ex, d.score
                 |  FROM ($finals) d
                 |  JOIN (SELECT word AS w2, len(word) AS lw FROM wf) x
@@ -653,6 +654,37 @@ object UnigramTokenizer {
         col("ex"))).cast("int"))
   }
 
+  /** ONE LL-loss prune round — the iterable unit of Kudo's pruning
+    * schedule, shared by q423 (one round) and q430 (two rounds): given
+    * the corpus lattice `ed` and the current model's usage counts `uc`
+    * (support + weights — the model itself is its re-normalization),
+    * Viterbi-segment under it, rank every multi-char token by exact
+    * removal loss ([[llLossRanked]]), keep the top `target`,
+    * re-normalize with the q414 keep arms (singles + char floor — so
+    * the pruned model stays covering by construction), re-segment, and
+    * re-estimate. Returns (the staged kept-token relation with loss
+    * ranks, the NEXT model's usage counts — feed them back in to
+    * iterate). Caller owns the staged handle. */
+  private[graft] def llLossPruneRound(ed: DataFrame, uc: DataFrame,
+                                      target: Int): (DataFrame, DataFrame) = {
+    val lat = latticeOf(ed, withLogProbs(uc))
+      .staged // the segmentation DP AND the keyed removal DP read it
+    val segb = viterbiLat(ed, lat)
+      .staged // the candidate explode AND the loss join read it
+    val keepm = llLossRanked(uc, lat, segb)
+      .filter(col("rnk") <= target)
+      .staged // the keep arms AND the caller's report read it
+    val floorSingles = ed.select(col("sub")).filter(length(col("sub")) === 1)
+      .distinct()
+      .join(uc.select(col("sub")), Seq("sub"), "left_anti")
+      .select(col("sub"), lit(CharFloor).as("cnt"))
+    val vcP = withLogProbs(
+      uc.filter(length(col("sub")) === 1).select(col("sub"), col("cnt"))
+        .unionByName(keepm.select(col("ex").as("sub"), col("cnt")))
+        .unionByName(floorSingles))
+    (keepm, usageCounts(viterbi(ed, vcP)))
+  }
+
   val q423UnigramPruneLlLoss: QuerySpec = QuerySpec(
     "q423_unigram_prune_llloss",
     s"""WITH $oracleSeed,
@@ -719,28 +751,174 @@ object UnigramTokenizer {
     val sp = QuerySpec.prepared(s, dir)
     val ed = edges(wordFreqs(sp))
       .staged // seed counts, every lattice, and the char floor read it
-    val seg0 = viterbi(ed, seedVocab(ed))
-    val uc = usageCounts(seg0)
+    val uc = usageCounts(viterbi(ed, seedVocab(ed)))
       .staged // vc1, the multi domain, the keep arms, the floor anti-join
-    val lat1 = latticeOf(ed, withLogProbs(uc))
-      .staged // segb's DP AND the keyed removal DP read it
-    val segb = viterbiLat(ed, lat1)
-      .staged // the candidate explode AND the loss join read it
-    val keepm = llLossRanked(uc, lat1, segb)
-      .filter(col("rnk") <= TargetMulti)
-      .staged // the keep arms AND the final report read it
-    val floorSingles = ed.select(col("sub")).filter(length(col("sub")) === 1)
-      .distinct()
-      .join(uc.select(col("sub")), Seq("sub"), "left_anti")
-      .select(col("sub"), lit(CharFloor).as("cnt"))
-    val vc3 = withLogProbs(
-      uc.filter(length(col("sub")) === 1).select(col("sub"), col("cnt"))
-        .unionByName(keepm.select(col("ex").as("sub"), col("cnt")))
-        .unionByName(floorSingles))
-    val vc4 = withLogProbs(usageCounts(viterbi(ed, vc3)))
+    val (keepm, ucNext) = llLossPruneRound(ed, uc, TargetMulti)
     keepm
-      .join(vc4.select(col("sub").as("ex"), col("cnt").as("cnt2"),
-        col("lp").as("lp2_e6")), Seq("ex"), "left")
+      .join(withLogProbs(ucNext)
+        .select(col("sub").as("ex"), col("cnt").as("cnt2"),
+          col("lp").as("lp2_e6")), Seq("ex"), "left")
+      .select(col("rnk"), col("ex").as("token"),
+        col("ll_loss").as("ll_loss_e6"), col("cnt2"), col("lp2_e6"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Round-2 target of the ITERATED prune (q430) — Kudo's schedule
+    * drops a fraction per round until vocab_size; the fixture schedule
+    * is [[TargetMulti]] → this. */
+  private[graft] val TargetMulti2 = 4
+
+  /** TWO LL-loss prune rounds — q423's step ITERATED, which is how
+    * SentencePiece actually reaches its target (prune an α-fraction,
+    * re-EM, repeat; Kudo 2018 §3.2): round 2 re-ranks by removal loss
+    * UNDER THE RE-ESTIMATED MODEL (losses shift as probabilities
+    * re-normalize over the shrunken support — the reason the loop
+    * cannot be replaced by one deeper truncation of round 1's ranking)
+    * and keeps [[TargetMulti2]] < [[TargetMulti]]. Round-2 candidates
+    * live inside round-1's kept set by construction (the new model's
+    * multi support IS what round 1 kept and round-1's re-segmentation
+    * used), so the vocabulary shrinks monotonically — spec-pinned.
+    * Report: round 2's kept tokens in its own loss order with their
+    * post-final-EM usage/log-prob. Envelope: exactly 2× q423's round
+    * cost (every stage word- or vocab-grain, zero driver barriers
+    * beyond the staged round boundary). */
+  val q430UnigramPruneLlLoss2: QuerySpec = QuerySpec(
+    "q430_unigram_prune_llloss2",
+    s"""WITH $oracleSeed,
+       |${dpChain("a", "lat0")},
+       |$emRetrainCtes,
+       |${dpChain("b", "lat1")},
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT word, freq, token AS ex
+       |  FROM (SELECT word, freq, unnest(string_split(path, ' ')) AS token
+       |        FROM segb) t
+       |  WHERE len(token) > 1),
+       |latx AS MATERIALIZED (
+       |  SELECT c.word, c.ex, l.j, l.i, l.sub, l.lp
+       |  FROM cand c JOIN lat1 l USING (word)
+       |  WHERE l.sub != c.ex),
+       |${dpChainKeyed("latx", "cand")},
+       |pw AS (SELECT c.ex, c.freq, sb.score, sx.score AS score_wo
+       |       FROM cand c JOIN segb sb USING (word)
+       |       LEFT JOIN segx sx ON sx.word = c.word AND sx.ex = c.ex),
+       |pt AS (SELECT ex,
+       |         MAX(CASE WHEN score_wo IS NULL THEN 1 ELSE 0 END) AS ess,
+       |         CAST(SUM(CASE WHEN score_wo IS NOT NULL
+       |                       THEN freq * (score - score_wo) END) AS BIGINT)
+       |           AS loss_raw
+       |       FROM pw GROUP BY ex),
+       |dom AS (SELECT u.sub AS ex, u.cnt, COALESCE(pt.ess, 0) AS ess,
+       |          CASE WHEN COALESCE(pt.ess, 0) = 1 THEN NULL
+       |               ELSE COALESCE(pt.loss_raw, 0) END AS ll_loss
+       |        FROM uc u LEFT JOIN pt ON pt.ex = u.sub
+       |        WHERE len(u.sub) > 1),
+       |rkm AS (SELECT ex, cnt, ess, ll_loss,
+       |          ROW_NUMBER() OVER (ORDER BY ess DESC,
+       |            ll_loss DESC NULLS LAST, ex) AS rnk
+       |        FROM dom),
+       |keepm AS (SELECT * FROM rkm WHERE rnk <= $TargetMulti),
+       |chfloor3 AS (SELECT sub, CAST($CharFloor AS BIGINT) AS cnt
+       |             FROM (SELECT DISTINCT sub FROM ed WHERE len(sub) = 1) s
+       |             WHERE sub NOT IN (SELECT sub FROM uc)),
+       |keep3 AS (SELECT sub, cnt FROM uc WHERE len(sub) = 1
+       |          UNION ALL SELECT ex AS sub, cnt FROM keepm
+       |          UNION ALL SELECT sub, cnt FROM chfloor3),
+       |tot3 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM keep3),
+       |vc3 AS MATERIALIZED (
+       |  SELECT sub, cnt,
+       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |  FROM keep3 CROSS JOIN tot3),
+       |lat3 AS MATERIALIZED (
+       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+       |  FROM ed e JOIN vc3 v USING (sub)),
+       |${dpChain("c", "lat3")},
+       |uc4 AS MATERIALIZED (
+       |  SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(path, ' ')) AS token, freq
+       |        FROM segc) t
+       |  GROUP BY token),
+       |tot4 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM uc4),
+       |vc4 AS MATERIALIZED (
+       |  SELECT sub, cnt,
+       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |  FROM uc4 CROSS JOIN tot4),
+       |lat4 AS MATERIALIZED (
+       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+       |  FROM ed e JOIN vc4 v USING (sub)),
+       |${dpChain("d", "lat4")},
+       |cand2 AS MATERIALIZED (
+       |  SELECT DISTINCT word, freq, token AS ex
+       |  FROM (SELECT word, freq, unnest(string_split(path, ' ')) AS token
+       |        FROM segd) t
+       |  WHERE len(token) > 1),
+       |latx2 AS MATERIALIZED (
+       |  SELECT c.word, c.ex, l.j, l.i, l.sub, l.lp
+       |  FROM cand2 c JOIN lat4 l USING (word)
+       |  WHERE l.sub != c.ex),
+       |${dpChainKeyed("latx2", "cand2", "b")},
+       |pw2 AS (SELECT c.ex, c.freq, sb.score, sx.score AS score_wo
+       |        FROM cand2 c JOIN segd sb USING (word)
+       |        LEFT JOIN segxb sx ON sx.word = c.word AND sx.ex = c.ex),
+       |pt2 AS (SELECT ex,
+       |          MAX(CASE WHEN score_wo IS NULL THEN 1 ELSE 0 END) AS ess,
+       |          CAST(SUM(CASE WHEN score_wo IS NOT NULL
+       |                        THEN freq * (score - score_wo) END) AS BIGINT)
+       |            AS loss_raw
+       |        FROM pw2 GROUP BY ex),
+       |dom2 AS (SELECT u.sub AS ex, u.cnt, COALESCE(pt2.ess, 0) AS ess,
+       |           CASE WHEN COALESCE(pt2.ess, 0) = 1 THEN NULL
+       |                ELSE COALESCE(pt2.loss_raw, 0) END AS ll_loss
+       |         FROM uc4 u LEFT JOIN pt2 ON pt2.ex = u.sub
+       |         WHERE len(u.sub) > 1),
+       |rkm2 AS (SELECT ex, cnt, ess, ll_loss,
+       |           ROW_NUMBER() OVER (ORDER BY ess DESC,
+       |             ll_loss DESC NULLS LAST, ex) AS rnk
+       |         FROM dom2),
+       |keepm2 AS (SELECT * FROM rkm2 WHERE rnk <= $TargetMulti2),
+       |chfloor5 AS (SELECT sub, CAST($CharFloor AS BIGINT) AS cnt
+       |             FROM (SELECT DISTINCT sub FROM ed WHERE len(sub) = 1) s
+       |             WHERE sub NOT IN (SELECT sub FROM uc4)),
+       |keep5 AS (SELECT sub, cnt FROM uc4 WHERE len(sub) = 1
+       |          UNION ALL SELECT ex AS sub, cnt FROM keepm2
+       |          UNION ALL SELECT sub, cnt FROM chfloor5),
+       |tot5 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM keep5),
+       |vc5 AS MATERIALIZED (
+       |  SELECT sub, cnt,
+       |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |  FROM keep5 CROSS JOIN tot5),
+       |lat5 AS MATERIALIZED (
+       |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+       |  FROM ed e JOIN vc5 v USING (sub)),
+       |${dpChain("e", "lat5")},
+       |uc6 AS (SELECT token AS sub, CAST(SUM(freq) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(string_split(path, ' ')) AS token, freq
+       |              FROM sege) t
+       |        GROUP BY token),
+       |tot6 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM uc6),
+       |vc6 AS (SELECT sub, cnt,
+       |          CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+       |        FROM uc6 CROSS JOIN tot6)
+       |SELECT CAST(k.rnk AS INT) AS rnk, k.ex AS token,
+       |  CAST(k.ll_loss AS BIGINT) AS ll_loss_e6,
+       |  CAST(v.cnt AS BIGINT) AS cnt2, v.lp AS lp2_e6
+       |FROM keepm2 k LEFT JOIN vc6 v ON v.sub = k.ex
+       |ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val ed = edges(wordFreqs(sp))
+      .staged // seed counts, every lattice, and both char floors read it
+    val uc1 = usageCounts(viterbi(ed, seedVocab(ed)))
+      .staged // round-1 model, domain, keep arms, floor anti-join
+    val (keep1, ucNext) = llLossPruneRound(ed, uc1, TargetMulti)
+    val uc2 = ucNext
+      .staged // round-2 model, domain, keep arms, floor anti-join
+    // safe to release only AFTER uc2 is materialized — ucNext's plan
+    // reads the kept relation (the vcP keep arm)
+    Checkpoints.unpersist(keep1)
+    val (keep2, ucFinal) = llLossPruneRound(ed, uc2, TargetMulti2)
+    keep2
+      .join(withLogProbs(ucFinal)
+        .select(col("sub").as("ex"), col("cnt").as("cnt2"),
+          col("lp").as("lp2_e6")), Seq("ex"), "left")
       .select(col("rnk"), col("ex").as("token"),
         col("ll_loss").as("ll_loss_e6"), col("cnt2"), col("lp2_e6"))
       .orderBy(col("rnk"))
@@ -1385,5 +1563,5 @@ object UnigramTokenizer {
     q412UnigramTrainedEncode, q413UnigramEncodeExpr, q414UnigramPruneTarget,
     q417UnigramArtifactEncode, q420Unigram2Best, q421UnigramEm2,
     q423UnigramPruneLlLoss, q424UnigramFertility, q425UnigramSampledEncode,
-    q429UnigramSampledArtifact)
+    q429UnigramSampledArtifact, q430UnigramPruneLlLoss2)
 }

@@ -502,6 +502,37 @@ class UnigramSpec extends EngineSuite {
     assert(usageOrder != lossOrder)
   }
 
+  test("q430: the iterated prune shrinks monotonically — round-2 kept " +
+    "multi tokens are a strict subset of round-1's, and round 2 ranks " +
+    "under the RE-ESTIMATED model's support") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val ed = llmops.UnigramTokenizer.edges(
+      sp.table("documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val seg0 = llmops.UnigramTokenizer.viterbi(ed,
+      llmops.UnigramTokenizer.seedVocab(ed))
+    val uc1 = seg0.select(explode(col("toks")).as("sub"), col("freq"))
+      .groupBy(col("sub")).agg(sum(col("freq")).as("cnt"))
+    val (keep1, ucNext) = llmops.UnigramTokenizer
+      .llLossPruneRound(ed, uc1, llmops.UnigramTokenizer.TargetMulti)
+    val uc2 = ucNext
+    val (keep2, _) = llmops.UnigramTokenizer
+      .llLossPruneRound(ed, uc2, llmops.UnigramTokenizer.TargetMulti2)
+    val k1 = keep1.select(col("ex")).collect().map(_.getString(0)).toSet
+    val k2 = keep2.select(col("ex")).collect().map(_.getString(0)).toSet
+    assert(k2.subsetOf(k1),
+      s"round-2 keep $k2 escaped round-1's kept set $k1")
+    assert(k2.size < k1.size, "the schedule must actually shrink")
+    // the round-2 ranking DOMAIN is the re-estimated model's multi
+    // support — which is exactly (a subset of) what round 1 kept
+    val m2 = uc2.filter(length(col("sub")) > 1)
+      .select(col("sub")).collect().map(_.getString(0)).toSet
+    assert(m2.subsetOf(k1),
+      s"re-EM'd multi support $m2 escaped round-1's kept set $k1")
+  }
+
   test("q425: the sampler is a deterministic exact replay — every " +
     "(doc, word) decision reproduces from the frozen hash + quantized " +
     "softmax, both branches occur, and alpha -> infinity degenerates " +
