@@ -952,9 +952,27 @@ object SuffixArray {
     dupCoverageFromPairs(sp, saPairs(sp, dir))
   }
 
+  /** q418's by-PROVENANCE decontamination from the PERSISTED artifact —
+    * completing the (split source × pair source) matrix: the production
+    * eval-audit call (hold out by dataset provenance) against the
+    * released array. Same oracle as q418 verbatim; the artifact is the
+    * one [[saPairs]] relation q426/q427 already read. */
+  val q431DecontaminationBySourceArtifact: QuerySpec = QuerySpec(
+    "q431_sa_decontamination_by_source_artifact",
+    decontaminationOracleSql(
+      s"SELECT doc_id, source NOT IN ($holdOutSql) AS is_train " +
+        "FROM documents")) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    decontaminationFromPairs(sp,
+      saPairs(sp, dir).select(col("idx"), col("doc_a"), col("doc_b"),
+        col("lcp")),
+      sp.table("documents").select(col("doc_id").as("doc"),
+        (!col("source").isin(HoldOutSources: _*)).as("is_train")))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q380SuffixRanks, q381LcpStats.benched, q382DupCoverage,
       q396SubstringRemoveSa, q409Decontamination,
       q418DecontaminationBySource, q426DecontaminationArtifact,
-      q427DupCoverageArtifact)
+      q427DupCoverageArtifact, q431DecontaminationBySourceArtifact)
 }
