@@ -700,8 +700,9 @@ object Retrieval {
   private[graft] def phraseParams(
       sp: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val path = phraseParamsDir(dir)
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    graft.operators.Layout.writeOnce(sp, path) {
       derivedPhraseParams(sp).write.mode("overwrite").parquet(path)
+    }
     sp.read.parquet(path)
   }
 

@@ -785,10 +785,12 @@ object SuffixArray {
     * running-min scan must credit both, where a naive
     * adjacent-pair-to-train check credits neither).
     *
-    * `splits` must label every corpus doc exactly once; both halves of
-    * that contract are enforced IN-PLAN (raise_error on an unlabeled or
-    * multiply-labeled doc), since a violation would otherwise shift the
-    * idx-based prefix sums into a quietly wrong report.
+    * `splits` must label every corpus doc, with ONE label per doc
+    * (duplicate agreeing rows collapse; conflicting labels raise);
+    * both halves of that contract are enforced IN-PLAN (raise_error on
+    * an unlabeled or conflictingly-labeled doc), since a violation
+    * would otherwise shift the idx-based prefix sums into a quietly
+    * wrong report.
     *
     * Precondition: the corpus has ≥ 2 suffixes (i.e. more than one
     * word in total). The suffix sequence is rebuilt from the ADJACENT-
@@ -825,19 +827,24 @@ object SuffixArray {
     // split labels attach by doc — a doc-grain side against the
     // suffix-grain spine (AQE broadcasts it at these sizes; at corpus
     // scale it is a doc-keyed shuffle join, dwarfed by the SA build)
-    // The split side must be TOTAL and UNIQUE on doc: an inner join
-    // would silently DROP suffixes of an unlabeled doc and a duplicated
-    // label would silently DUPLICATE them — either shifts the idx-based
-    // prefix sums into a quietly wrong report (ADVICE r18). Both are
-    // guarded loudly: uniqueness by a doc-grain rollup of the (small)
-    // split relation, totality by a left join + raise_error — the
-    // q414/emReport loud-guard discipline.
+    // The split side must be TOTAL and label-CONSISTENT on doc: an
+    // inner join would silently DROP suffixes of an unlabeled doc and
+    // conflicting labels would silently pick one — either shifts the
+    // idx-based prefix sums into a quietly wrong report (ADVICE r18).
+    // Both are guarded loudly: consistency by a doc-grain rollup of
+    // the (small) split relation, totality by a left join +
+    // raise_error — the q414/emReport loud-guard discipline. Duplicate
+    // rows whose labels AGREE are semantically safe and simply
+    // collapse (ADVICE r19: a caller handing a non-deduplicated but
+    // consistent split must not be refused) — only a doc carrying BOTH
+    // labels has no right answer and raises.
     val spl = splits
       .groupBy(col("doc"))
-      .agg(count(lit(1)).as("__n"), first(col("is_train")).as("is_train"))
+      .agg(countDistinct(col("is_train")).as("__n"),
+        first(col("is_train")).as("is_train"))
       .withColumn("is_train", when(col("__n") > 1,
         expr("raise_error('decontamination split relation is not unique: " +
-          "a doc_id carries more than one is_train label')").cast("boolean"))
+          "a doc_id carries conflicting is_train labels')").cast("boolean"))
         .otherwise(col("is_train")))
       .select(col("doc"), col("is_train"))
     val sufs = pairs.select(col("idx"), col("doc_a").as("doc"))
@@ -906,13 +913,14 @@ object SuffixArray {
     * files. */
   private[graft] def saPairs(sp: SparkSession, dir: String): DataFrame = {
     val path = saPairsDir(dir)
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    graft.operators.Layout.writeOnce(sp, path) {
       adjacentLcp(sp)
         .select(col("idx"), col("doc_a"), col("pos_a"),
           col("doc_b"), col("pos_b"), col("lcp"))
         .repartitionByRange(col("idx"))
         .sortWithinPartitions(col("idx"))
         .write.mode("overwrite").parquet(path)
+    }
     sp.read.parquet(path)
   }
 
@@ -973,6 +981,6 @@ object SuffixArray {
   val all: Seq[QuerySpec] =
     Seq(q380SuffixRanks, q381LcpStats.benched, q382DupCoverage,
       q396SubstringRemoveSa, q409Decontamination,
-      q418DecontaminationBySource, q426DecontaminationArtifact,
-      q427DupCoverageArtifact, q431DecontaminationBySourceArtifact)
+      q418DecontaminationBySource, q426DecontaminationArtifact.benched,
+      q427DupCoverageArtifact.benched, q431DecontaminationBySourceArtifact)
 }

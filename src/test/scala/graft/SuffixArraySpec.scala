@@ -241,15 +241,28 @@ class SuffixArraySpec extends EngineSuite {
     }
     assert(chainContains(eTotal, "not total"),
       s"expected the totality raise_error, got: ${eTotal.getMessage}")
-    // doc 3 labeled twice: would silently duplicate its suffixes
+    // doc 3 labeled with BOTH values: no right answer — must raise
     val dup = Seq((7L, false), (42L, false), (3L, true), (3L, false),
       (9L, true)).toDF("doc", "is_train")
     val eUnique = intercept[Exception] {
       graft.discard(
         llmops.SuffixArray.decontaminationReport(sp, dup).collect())
     }
-    assert(chainContains(eUnique, "not unique"),
+    assert(chainContains(eUnique, "conflicting is_train labels"),
       s"expected the uniqueness raise_error, got: ${eUnique.getMessage}")
+    // ADVICE r19: duplicate rows whose labels AGREE are consistent —
+    // they collapse instead of raising, and the report matches the
+    // deduplicated split's answer exactly
+    val agree = Seq((7L, false), (7L, false), (42L, false), (3L, true),
+      (3L, true), (9L, true)).toDF("doc", "is_train")
+    val clean = Seq((7L, false), (42L, false), (3L, true), (9L, true))
+      .toDF("doc", "is_train")
+    val got = llmops.SuffixArray.decontaminationReport(sp, agree)
+      .collect().map(_.toSeq).toSet
+    val want = llmops.SuffixArray.decontaminationReport(sp, clean)
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"agreeing-duplicate split diverged from the deduplicated one: $got vs $want")
   }
 
   test("q426: the decontamination answer from the PERSISTED artifact " +
