@@ -1396,17 +1396,39 @@ object UnigramTokenizer {
   private[graft] val SampleAlpha = 0.5
 
   /** The frozen per-(doc, word) sampling coordinate in [0, 1e6): the
-    * q130/q95 multiplicative doc_id hash salted with three exact word
-    * features (length, first and last code point) — pure 64-bit-safe
-    * integer arithmetic (product < 2^52, addends < 2^17), so the draw
-    * is identical on any engine, partitioning, or rerun: RNG-free,
-    * oracle-replayable determinism (the q130-family discipline). The
-    * TEXT is engine-portable — length/substring/ascii evaluate
-    * identically on Spark and DuckDB — and shared verbatim by both
-    * sides. */
-  private[graft] val SampleHashSql: String =
-    "((doc_id % 1000003) * 2654435761 + length(word) * 1009 + " +
-      "ascii(word) * 31 + ascii(substring(word, length(word), 1))) % 1000000"
+    * q130/q95 multiplicative doc_id hash salted with a rolling
+    * polynomial over ALL the word's code points — pure 64-bit-safe
+    * integer arithmetic (doc term < 2^51, poly < 2^20 so poly·131 <
+    * 2^27; the sum stays far under 2^63 — and under 2^52, so even a
+    * DOUBLE engine would be exact), making the draw identical on any
+    * engine, partitioning, or rerun: RNG-free, oracle-replayable
+    * determinism (the q130-family discipline). The polynomial replaces
+    * the r19 (length, first, last) salt, whose draws were CORRELATED —
+    * same-shape words ('cat'/'cot') shared one coordinate, biasing the
+    * regularization mass relative to Kudo 2018's independent
+    * per-occurrence sampling (ADVICE r19); the rolling fold
+    * `acc·31 + cp (mod 1000003)` separates any two distinct words with
+    * overwhelming probability while staying exactly replayable.
+    *
+    * The fold needs a lambda, and lambda dialects differ — so the
+    * coordinate ships as TWO texts computing the SAME integer (Spark
+    * `aggregate` over a `sequence` of positions; DuckDB `list_reduce`
+    * with a prepended 0 seed over the char split). Any drift between
+    * them flips a sampling pick and fails the q425/q429 oracle gate —
+    * the texts are cross-checked by construction, and the Scala replay
+    * in UnigramSpec pins the formula a third time. */
+  private[graft] val WordPolySqlSpark: String =
+    "aggregate(transform(sequence(1, length(word)), " +
+      "i -> CAST(ascii(substring(word, i, 1)) AS BIGINT)), " +
+      "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000003)"
+  private[graft] val WordPolySqlDuck: String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(word, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000003)"
+  private def sampleHashSql(poly: String): String =
+    s"((doc_id % 1000003) * 2654435761 + ($poly) * 131) % 1000000"
+  private[graft] val SampleHashSqlSpark: String = sampleHashSql(WordPolySqlSpark)
+  private[graft] val SampleHashSqlDuck: String = sampleHashSql(WordPolySqlDuck)
 
   /** Per-(doc, word) sampling decisions under the seed model: each
     * distinct word of each document draws between its 2-best
@@ -1446,7 +1468,7 @@ object UnigramTokenizer {
       .filter(col("word") =!= "")
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("nocc"))
     dw.join(b2, Seq("word"))
-      .withColumn("u_e6", expr(SampleHashSql))
+      .withColumn("u_e6", expr(SampleHashSqlSpark))
       .withColumn("p1_e6",
         when(col("s2").isNull, lit(1000000L))
           .otherwise(round(lit(1e6) / (lit(1.0) +
@@ -1462,8 +1484,9 @@ object UnigramTokenizer {
     * regularized training run feeds the model (vs q410's argmax
     * distribution; the delta between the two reports is the
     * regularization mass). The DuckDB replay runs the same 2-best
-    * chain, the same frozen hash (textually identical — the formula is
-    * engine-portable), and the same e6-quantized softmax gate.
+    * chain, the same frozen hash (its own lambda dialect computing the
+    * same integer — see [[WordPolySqlDuck]]), and the same e6-quantized
+    * softmax gate.
     * Coverage note: like every dpChain oracle this assumes the seed
     * vocabulary covers (single-char floor — spec-pinned); an UNK word
     * would take the Spark <unk> arm but drop from the replay's spine. */
@@ -1479,7 +1502,7 @@ object UnigramTokenizer {
        |b1 AS (SELECT word, score AS s1, path AS p1 FROM seg2 WHERE rn = 1),
        |b2 AS (SELECT word, score AS s2, path AS p2 FROM seg2 WHERE rn = 2),
        |ch AS (SELECT dw.doc_id, dw.word, dw.nocc, b1.s1, b1.p1, b2.s2, b2.p2,
-       |         ($SampleHashSql) AS u_e6,
+       |         ($SampleHashSqlDuck) AS u_e6,
        |         CASE WHEN b2.s2 IS NULL THEN 1000000
        |              ELSE CAST(ROUND(1e6 / (1 + EXP($SampleAlpha
        |                * CAST(b2.s2 - b1.s1 AS DOUBLE) / 1e6))) AS BIGINT)
@@ -1535,7 +1558,7 @@ object UnigramTokenizer {
        |b1 AS (SELECT word, score AS s1, path AS p1 FROM seg2 WHERE rn = 1),
        |b2 AS (SELECT word, score AS s2, path AS p2 FROM seg2 WHERE rn = 2),
        |ch AS (SELECT dw.doc_id, dw.word, dw.nocc, b1.s1, b1.p1, b2.s2, b2.p2,
-       |         ($SampleHashSql) AS u_e6,
+       |         ($SampleHashSqlDuck) AS u_e6,
        |         CASE WHEN b2.s2 IS NULL THEN 1000000
        |              ELSE CAST(ROUND(1e6 / (1 + EXP($SampleAlpha
        |                * CAST(b2.s2 - b1.s1 AS DOUBLE) / 1e6))) AS BIGINT)

@@ -548,9 +548,11 @@ class UnigramSpec extends EngineSuite {
     rows.foreach { r =>
       val w = r.getAs[String]("word")
       val doc = r.getAs[Long]("doc_id")
-      // frozen-hash replay (the SampleHashSql formula, in Scala)
-      val expU = ((doc % 1000003L) * 2654435761L + w.length * 1009L +
-        w.head.toLong * 31L + w.last.toLong) % 1000000L
+      // frozen-hash replay (the SampleHashSql formula, in Scala): the
+      // rolling code-point polynomial over the WHOLE word (ADVICE r19:
+      // the old (length, first, last) salt correlated same-shape words)
+      val poly = w.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 1000003L)
+      val expU = ((doc % 1000003L) * 2654435761L + poly * 131L) % 1000000L
       assert(r.getAs[Long]("u_e6") == expU, s"($doc,$w): hash drifted")
       val s2 = Option(r.get(r.fieldIndex("s2"))).map(_.asInstanceOf[Long])
       val expP1 = s2 match {
