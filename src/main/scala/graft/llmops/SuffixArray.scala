@@ -62,9 +62,16 @@ object SuffixArray {
     * round count down by one everywhere. */
   private val SeedShift = 4
 
+  /** A `(doc_id, text)` corpus split to word arrays: (doc_id, w). The
+    * build chain below is parameterized over this relation so the
+    * versioned release path ([[adjacentLcpOf]], q432) can index a
+    * corpus SNAPSHOT — the registered view is just the default. */
+  private def docWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+
   /** `documents` split to word arrays: (doc_id, w). */
   private def docWords(sp: SparkSession): DataFrame =
-    sp.table("documents").select(col("doc_id"), split(col("text"), " ").as("w"))
+    docWords(sp.table("documents"))
 
   /** ⌈log₂(maxLen)⌉ (floored at [[SeedShift]]) — the doubling-round
     * count after which ranks reflect the FULL suffix order for a
@@ -94,8 +101,8 @@ object SuffixArray {
     * The vocab join broadcasts at runtime via AQE when the vocabulary
     * fits; hot common words in the fallback shuffle join are the
     * SMJ-between-stages shape AQE's skew split re-plans. */
-  private def tokenIds(sp: SparkSession): DataFrame = {
-    val toks = docWords(sp)
+  private def tokenIds(docs: DataFrame): DataFrame = {
+    val toks = docWords(docs)
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "word")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("word"))
     val vocab = Prefix.globalRank(
@@ -119,8 +126,12 @@ object SuffixArray {
     * within-block RANK() by the lookahead rank − 1), never a global
     * pass. After the seed pass the active set is already tiny (the
     * corpus's repeated-prefix mass), and it only shrinks. */
-  private[graft] def suffixRanks(sp: SparkSession): DataFrame = {
-    val seed = seedRanks(sp)
+  private[graft] def suffixRanks(sp: SparkSession): DataFrame =
+    suffixRanksOf(sp.table("documents"))
+
+  /** [[suffixRanks]] over an EXPLICIT `(doc_id, text)` corpus. */
+  private[graft] def suffixRanksOf(docs: DataFrame): DataFrame = {
+    val seed = seedRanks(docs)
     // Round count off the STAGED seed: pos runs 1..len per doc, so
     // max(pos) IS the longest doc's word count — fed to the ONE
     // ⌈log₂ maxlen⌉ bound ([[roundsForMaxLen]]), read with one
@@ -144,11 +155,11 @@ object SuffixArray {
     * block is already colocated in its range partition, so the count is
     * free of new shuffles/skew), replacing the r15 groupBy(rank) +
     * join-back + second checkpoint. */
-  private def seedRanks(sp: SparkSession): DataFrame = {
+  private def seedRanks(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wPre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, (1 << SeedShift) - 1)
-    val sufs = tokenIds(sp)
+    val sufs = tokenIds(docs)
       .withColumn("pre", collect_list(col("wid")).over(wPre))
       .select(col("doc_id"), col("pos"), col("pre"))
     Prefix.globalRankTiesWithCounts(sufs, Seq(col("pre")), "rank", "gs")
@@ -251,14 +262,21 @@ object SuffixArray {
     * only the still-equal pairs — the corpus's deep-repeat mass, the
     * same shrinking-active-set discipline as the rank doubling —
     * fetch doubling continuation chunks. */
-  private[graft] def adjacentLcp(sp: SparkSession): DataFrame = {
+  private[graft] def adjacentLcp(sp: SparkSession): DataFrame =
+    adjacentLcpOf(sp.table("documents"))
+
+  /** [[adjacentLcp]] over an EXPLICIT `(doc_id, text)` corpus — the
+    * build the versioned release path runs: each corpus release indexes
+    * its own document snapshot (q432 publishes the result through
+    * [[graft.streaming.EventStreams.publishArtifact]]). */
+  private[graft] def adjacentLcpOf(docs: DataFrame): DataFrame = {
     // Adjacency via Prefix.adjacentBySort: ONE range exchange over the
     // slim (rank, doc, pos) triples, pairs from within-range lead() plus
     // the tiny boundary stitch — the r15 shape (globalRank → checkpoint
     // → two-arm self-join on idx = idx+1) cost two extra corpus shuffles
     // and a checkpoint for the same n−1 pairs.
     val adj = Prefix.adjacentBySort(
-      suffixRanks(sp).select(col("rank"), col("doc_id"), col("pos")),
+      suffixRanksOf(docs).select(col("rank"), col("doc_id"), col("pos")),
       Seq(col("rank"), col("doc_id"), col("pos")), "idx")
       .select(col("idx"), col("a.rank").as("rank_a"),
         col("a.doc_id").as("doc_a"), col("a.pos").as("pos_a"),
@@ -275,7 +293,7 @@ object SuffixArray {
     // suffixes rank-tied with its twins') — and turns the chunk loop's
     // round-1 explode into a pass over only the genuinely-distinct
     // neighbour pairs.
-    val lens = docWords(sp)
+    val lens = docWords(docs)
       .select(col("doc_id"), size(col("w")).cast("long").as("__n"))
     val tied = adj.filter(col("rank_a") === col("rank_b"))
       .join(lens.select(col("doc_id").as("doc_a"), col("__n").as("__na")),
@@ -289,7 +307,7 @@ object SuffixArray {
     val untied = adj.filter(col("rank_a") =!= col("rank_b"))
       .select(col("idx"), col("doc_a"), col("pos_a"), col("doc_b"),
         col("pos_b"))
-    chunkedLcp(sp, untied).unionByName(tied)
+    chunkedLcp(docs, untied).unionByName(tied)
   }
 
   /** Chunked LCP of suffix pairs: each round attaches the next chunk
@@ -309,8 +327,8 @@ object SuffixArray {
     * the whole corpus. The per-round `isEmpty` is the same documented
     * O(1)-result driver probe as the rank loop's.
     * Input: (idx, doc_a, pos_a, doc_b, pos_b); output adds `lcp`. */
-  private def chunkedLcp(sp: SparkSession, pairs0: DataFrame): DataFrame = {
-    val docs = docWords(sp)
+  private def chunkedLcp(corpus: DataFrame, pairs0: DataFrame): DataFrame = {
+    val docs = docWords(corpus)
     val keys = Seq("idx", "doc_a", "pos_a", "doc_b", "pos_b").map(col)
     // first-mismatch position inside the current chunk: zip_with pads
     // the shorter side with null ⇒ coalesce(=, false) marks the pad a
@@ -911,15 +929,20 @@ object SuffixArray {
     * are idx-clustered: downstream ordered scans prune by footer
     * min/max and a reader wanting one SA range touches only its
     * files. */
+  /** The full 6-column adjacency row, idx-clustered for storage: the
+    * shared release layout of the `_SUCCESS`-gated fixture artifact
+    * ([[saPairs]]) and the versioned releases ([[q432]]). */
+  private def clusteredPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("idx"), col("doc_a"), col("pos_a"),
+        col("doc_b"), col("pos_b"), col("lcp"))
+      .repartitionByRange(col("idx"))
+      .sortWithinPartitions(col("idx"))
+
   private[graft] def saPairs(sp: SparkSession, dir: String): DataFrame = {
     val path = saPairsDir(dir)
     graft.operators.Layout.writeOnce(sp, path) {
-      adjacentLcp(sp)
-        .select(col("idx"), col("doc_a"), col("pos_a"),
-          col("doc_b"), col("pos_b"), col("lcp"))
-        .repartitionByRange(col("idx"))
-        .sortWithinPartitions(col("idx"))
-        .write.mode("overwrite").parquet(path)
+      clusteredPairs(adjacentLcp(sp)).write.mode("overwrite").parquet(path)
     }
     sp.read.parquet(path)
   }
@@ -978,9 +1001,71 @@ object SuffixArray {
         (!col("source").isin(HoldOutSources: _*)).as("is_train")))
   }
 
+  /** Per-(JVM, source-dir) root of the VERSIONED SA release table —
+    * where [[q432DecontaminationVersioned]] publishes each corpus
+    * release's adjacency relation through the manifest protocol. */
+  private[graft] def saReleaseDir(dir: String): String =
+    s"${graft.operators.Layout.keyedDir("sarel", dir)}/pairs"
+
+  /** The fixture's "previous release" corpus: the docs that were
+    * already present before the simulated append (`doc_id % 7 = 1`
+    * arrives with the NEXT crawl). Deliberately unaligned with both
+    * split conventions (`% 10` eval split, hold-out sources) so the
+    * old release carries both train and test docs. */
+  private[graft] def oldReleaseDocs(sp: SparkSession): DataFrame =
+    sp.table("documents").filter(col("doc_id") % 7 =!= 1)
+      .select(col("doc_id"), col("text"))
+
+  /** Ensure the fixture release table holds release 1 (the pre-append
+    * corpus) and release 2 (the full corpus after the append), each
+    * published ATOMICALLY through the versioned-manifest protocol —
+    * serialized per table root, and a no-op once both exist (so the
+    * cold/warm bench runs and the spec all share the two publishes). */
+  private[graft] def ensureSaReleases(sp: SparkSession, dir: String): String = {
+    val root = saReleaseDir(dir)
+    graft.operators.Layout.locked(root) {
+      import graft.streaming.EventStreams
+      if (EventStreams.versions(sp, root).isEmpty)
+        graft.discard(EventStreams.publishArtifact(root)(
+          clusteredPairs(adjacentLcpOf(oldReleaseDocs(sp)))))
+      if (EventStreams.versions(sp, root).size < 2)
+        graft.discard(EventStreams.publishArtifact(root)(
+          clusteredPairs(adjacentLcpOf(
+            sp.table("documents").select(col("doc_id"), col("text"))))))
+    }
+    root
+  }
+
+  /** Decontamination answered from the VERSIONED release artifact —
+    * the lifecycle the q426 `_SUCCESS`-gated artifact lacked (r19
+    * VERDICT item 2): a corpus re-release publishes the suffix-array
+    * relation as version v+1 atomically through the
+    * [[graft.streaming.EventStreams.publishArtifact]] manifest commit
+    * (the q72/q73 time-travel/retention machinery), current audits
+    * answer from `readLatest`, and an in-flight audit PINS the version
+    * it started on — SuffixArraySpec proves the pinned old version
+    * still answers the OLD corpus after the append. Here: release 1 is
+    * the corpus minus the `doc_id % 7 = 1` docs, release 2 is the full
+    * corpus after that append; the gated query reads LATEST, so its
+    * oracle is q409's verbatim. The publishes are once-per-release
+    * jobs (gated like the fixture artifact); the audit itself is the
+    * same column-pruned artifact read as q426. */
+  val q432DecontaminationVersioned: QuerySpec = QuerySpec(
+    "q432_sa_decontamination_versioned",
+    decontaminationOracleSql(modSplitCte)) { (s, dir) =>
+    val sp = QuerySpec.prepared(s, dir)
+    val root = ensureSaReleases(sp, dir)
+    decontaminationFromPairs(sp,
+      graft.streaming.EventStreams.readLatest(sp, root)
+        .select(col("idx"), col("doc_a"), col("doc_b"), col("lcp")),
+      sp.table("documents").select(col("doc_id").as("doc"),
+        (col("doc_id") % 10 =!= 0).as("is_train")))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q380SuffixRanks, q381LcpStats.benched, q382DupCoverage,
       q396SubstringRemoveSa, q409Decontamination,
       q418DecontaminationBySource, q426DecontaminationArtifact.benched,
-      q427DupCoverageArtifact.benched, q431DecontaminationBySourceArtifact)
+      q427DupCoverageArtifact.benched, q431DecontaminationBySourceArtifact,
+      q432DecontaminationVersioned)
 }

@@ -1185,6 +1185,52 @@ object EventStreams {
     manifestDf(spark, fs, root, version)
   }
 
+  /** Publish a whole-relation RELEASE ARTIFACT as the next version of a
+    * versioned-manifest table — the [[upsertLatest]] commit protocol
+    * (immutable data directories, atomic `_commit_<n>` manifest rename
+    * as the commit point, retention sweeping unreferenced versions)
+    * applied at the FULL-REWRITE grain instead of the keyed-merge one:
+    * each release writes its complete relation as one fresh data
+    * directory and commits; no merge, no carry-forward. This is the
+    * lifecycle a once-per-release corpus artifact needs (r19 VERDICT
+    * item: the suffix-array pair relation, phrase parameters — built
+    * when the corpus re-releases, read by every audit until the next
+    * release): a re-release publishes v+1 ATOMICALLY (a crash before
+    * the manifest rename leaves v current — the table is never absent,
+    * never half-written), while a long-running audit PINS the version
+    * it started on via [[readVersion]] and keeps answering against the
+    * corpus it was run on. Readers are the standard table readers —
+    * [[readLatest]] (current release), [[readVersion]] (pinned
+    * release), [[versions]] (the retained horizon). Cluster the
+    * DataFrame before publishing (e.g. repartitionByRange + sort) —
+    * the layout is written as given. Returns the committed version.
+    * Concurrent publishers to one table race on the manifest rename:
+    * exactly one wins, the loser fails loudly (the [[compact]]
+    * discipline) — serialize callers per table. */
+  def publishArtifact(tableDir: String, retainVersions: Int = 3)(
+      df: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    require(retainVersions >= 1,
+      "retainVersions must keep at least the current committed version")
+    val sp = df.sparkSession
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val ver = committedVersion(fs, root).map(_ + 1L).getOrElse(0L)
+    // one data directory per release, named like a single-bucket table
+    // so retention's referenced-directory sweep applies unchanged
+    val rel = s"v_$ver/__bucket=0"
+    // overwrite clears debris from a publish that crashed pre-commit
+    df.write.mode("overwrite").parquet(new Path(root, rel).toString)
+    writeManifest(fs, root, ver, Manifest(1, df.schema.toDDL, Map(0 -> rel)))
+    val committed = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_commit_") =>
+        n.stripPrefix("_commit_").toLong }
+      .sorted.toIndexedSeq
+    retentionSweep(fs, root, committed, retainVersions, curStage = "")
+    ver
+  }
+
   /** Keyed DELETE — the Kudu-model mutation (the q73 DELETE statement's
     * maintenance twin, analysis/DeleteStmt semantics) against the upsert
     * table: rows of the given keys are dropped by rewriting ONLY the

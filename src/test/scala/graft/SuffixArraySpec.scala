@@ -299,6 +299,55 @@ class SuffixArraySpec extends EngineSuite {
       s"saPairs must read the persisted artifact:\n$pairsPlan")
   }
 
+  test("q432: a corpus re-release publishes SA v+1 atomically and a " +
+    "PINNED old version still answers the OLD corpus after the append") {
+    val chunk = (1 to 10).map(i => s"p$i").mkString(" ")
+    // OLD release: held-out doc 10's chunk has NO train twin yet —
+    // its report is clean. The APPEND brings doc 21, a train twin of
+    // the chunk — the new release's report must flag doc 10.
+    val oldRows = Seq(
+      (10L, "s1", chunk), // held-out (10 % 10 == 0)
+      (1L, "s1", "a1 a2 a3"), // train, unrelated
+      (11L, "s2", "z1 z2 z3")) // train, unrelated
+    val newRows = oldRows :+ ((21L, "s1", chunk)) // the appended crawl
+    val sp = syntheticDocs(newRows) // registered view = corpus AFTER append
+    import sp.implicits._
+    def docsDf(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text").select($"doc_id", $"text")
+    val splits = newRows.map { case (id, _, _) => (id, id % 10 != 0) }
+      .toDF("doc", "is_train")
+    import graft.streaming.EventStreams
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sarel-spec-").toString + "/pairs"
+    val v1 = EventStreams.publishArtifact(root)(
+      llmops.SuffixArray.adjacentLcpOf(docsDf(oldRows)))
+    val v2 = EventStreams.publishArtifact(root)(
+      llmops.SuffixArray.adjacentLcpOf(docsDf(newRows)))
+    assert(EventStreams.versions(sp, root) == Seq(v1, v2),
+      "both releases must stay readable inside the retention horizon")
+    def report(pairs: org.apache.spark.sql.DataFrame): Map[String, Seq[Any]] =
+      llmops.SuffixArray.decontaminationFromPairs(sp,
+          pairs.select(col("idx"), col("doc_a"), col("doc_b"), col("lcp")),
+          splits)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // the pinned old version answers the OLD corpus — identical to a
+    // fresh in-plan build over the pre-append snapshot, and clean
+    val pinned = report(EventStreams.readVersion(sp, root, v1))
+    val oldDirect = report(llmops.SuffixArray.adjacentLcpOf(docsDf(oldRows)))
+    assert(pinned == oldDirect,
+      s"pinned v1 drifted from the old-corpus build: $pinned vs $oldDirect")
+    assert(pinned("s1")(1) == 0L, // (test_docs, CONTAMINATED, max, sum)
+      s"the old release must be clean for s1 (no twin yet): $pinned")
+    // the latest version answers the NEW corpus — the append made the
+    // chunk contaminated, so pinning vs latest is a REAL distinction
+    val latest = report(EventStreams.readLatest(sp, root))
+    val newDirect = report(llmops.SuffixArray.adjacentLcpOf(docsDf(newRows)))
+    assert(latest == newDirect,
+      s"latest drifted from the new-corpus build: $latest vs $newDirect")
+    assert(latest("s1")(1) == 1L,
+      s"the appended twin must contaminate doc 10 in the new release: $latest")
+  }
+
   test("q418: the source-driven split holds out exactly the HoldOut " +
     "sources and reports every one of them") {
     val rows = SparkEntry.queries("q418_sa_decontamination_by_source")(
