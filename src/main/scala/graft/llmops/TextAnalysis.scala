@@ -831,7 +831,7 @@ object TextAnalysis {
   // BPE-application queries q167 and q176: exercises chained merges
   // (ranks 2-5 rebuild 'table'; 6-8 rebuild 'scan') and in-word priority
   // (rank 1 'e r' beats rank 9 's t')
-  private val BpeMerges: Seq[(String, Int)] = Seq(
+  private[graft] val BpeMerges: Seq[(String, Int)] = Seq(
     "e r" -> 1, "t a" -> 2, "ta b" -> 3, "tab l" -> 4, "tabl e" -> 5,
     "s c" -> 6, "a n" -> 7, "sc an" -> 8, "s t" -> 9, "o w" -> 10)
   // Each round applies ONE merge rule per word, so the per-word round
@@ -839,7 +839,7 @@ object TextAnalysis {
   // a word hitting every rule needs BpeMerges.size rounds — provably
   // sufficient for ANY fixture (the unrolled oracle stays
   // merge-table-sized, never corpus-sized).
-  private[llmops] val BpeRounds = BpeMerges.size
+  private[graft] val BpeRounds = BpeMerges.size
 
   /** The corpus (word, source) rollup feeding a train → encode
     * composition's per-source report — ONE definition for both
@@ -1036,6 +1036,156 @@ object TextAnalysis {
           element_at(applicable, 1).getField("rep")))
         .otherwise(acc)
     })
+  }
+
+  // ---------------------------------------------------------------------
+  // q433 — BPE-dropout (Provilkov et al. 2020 "BPE-Dropout: Simple and
+  // Effective Subword Regularization"): during encode, each merge rule
+  // is DROPPED for a given (doc, word) with probability p, so the same
+  // word segments differently across documents — the BPE-family twin of
+  // q425's unigram subword regularization, under the same frozen-hash
+  // (RNG-free, oracle-replayable) discipline.
+  // ---------------------------------------------------------------------
+
+  /** Dropout probability, e6-quantized (p = 0.1 — the paper's
+    * recommended training value). */
+  private[graft] val BpeDropPE6 = 100000L
+
+  /** The frozen per-(doc, word, merge-rank) drop coordinate in
+    * [0, 1e6): the q425 sampling hash salted with the rule rank —
+    * 64-bit-safe (doc term < 2^52, wp·131 < 2^27, rank·524287 < 2^23),
+    * identical on any engine/partitioning/rerun. `wp` is the rolling
+    * code-point polynomial ([[UnigramTokenizer.WordPolySqlSpark]]),
+    * computed once per (doc, word) row and passed in — never
+    * re-folded per rule per round. A coordinate below the threshold
+    * means the rule is dropped for the WHOLE encode of that (doc,
+    * word): the draw is per merge rule, frozen up front, which keeps
+    * the unrolled DuckDB replay a plain join filter (a per-application
+    * re-draw would need the replay to thread round state through the
+    * hash). */
+  private def dropCoordinate(docId: Column, wp: Column, rank: Column): Column =
+    ((docId % 1000003L) * 2654435761L + wp * 131L + rank * 524287L) % 1000000L
+
+  /** The DuckDB text of [[dropCoordinate]] over columns `doc_id`, `wp`
+    * and `m.rank` — kept textually parallel so the two sides can be
+    * eyeballed against each other; any drift fails the q433 oracle. */
+  private def dropCoordinateSql: String =
+    "((doc_id % 1000003) * 2654435761 + wp * 131 + m.rank * 524287) % 1000000"
+
+  /** Greedy BPE encode of one word under BPE-dropout: identical to
+    * [[bpeEncodeExpr]] except the rule literal is first filtered to the
+    * rules whose frozen (doc, word, rank) coordinate clears the drop
+    * threshold — per round, the lowest-rank SURVIVING pair present in
+    * the symbol string is applied. p = 0 keeps every rule and reduces
+    * exactly to the greedy encode (spec-pinned). Still one pure per-row
+    * expression: zero joins, zero shuffles, streaming-safe. */
+  private[graft] def bpeDropoutEncodeExpr(docId: Column, word: Column,
+                                          wp: Column, pE6: Long): Column = {
+    val rules = array(BpeMerges.sortBy(_._2).map { case (p, r) =>
+      struct(lit(" " + p.replace(" ", "  ") + " ").as("pat"),
+        lit(" " + p.replace(" ", "") + " ").as("rep"),
+        lit(r.toLong).as("rank"))
+    }: _*)
+    val kept = filter(rules, r =>
+      dropCoordinate(docId, wp, r.getField("rank")) >= lit(pE6))
+    val seed = concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(word)),
+        i => substr(word, i, lit(1))), "  "),
+      lit(" "))
+    aggregate(sequence(lit(1), lit(BpeRounds)), seed, (acc, _) => {
+      val applicable = filter(kept, r => acc.contains(r.getField("pat")))
+      when(size(applicable) > 0,
+        replace(acc, element_at(applicable, 1).getField("pat"),
+          element_at(applicable, 1).getField("rep")))
+        .otherwise(acc)
+    })
+  }
+
+  /** The [[bpeEncodeUnrollCtes]] replay at the (doc_id, word) grain
+    * with the dropout filter on the merge join: `dwp(doc_id, word,
+    * nocc, wp)` seeds s0, and each round's applicable-rule pick keeps
+    * only rules clearing the frozen coordinate. Every per-round state
+    * is MATERIALIZED — s_r is referenced twice (a_r and s_{r+1}), and
+    * at the (doc, word) grain DuckDB's inline expansion would go
+    * exponential in the round count (the q325 lesson). */
+  private def bpeDropoutUnrollCtes(rounds: Int, pE6: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""s0 AS MATERIALIZED (SELECT doc_id, word, nocc, wp,
+              |         ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+              |                                               i -> word[i]), '  ') || ' ' AS seq
+              |       FROM dwp)""".stripMargin
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+                |a$r AS (
+                |  SELECT doc_id, word, pair FROM (
+                |    SELECT t.doc_id, t.word, m.pair,
+                |      ROW_NUMBER() OVER (PARTITION BY t.doc_id, t.word
+                |                         ORDER BY m.rank) AS rn
+                |    FROM (SELECT doc_id, word, wp,
+                |            unnest(list_transform(range(len(ss) - 1),
+                |              i -> ss[i + 1] || ' ' || ss[i + 2])) AS pair
+                |          FROM (SELECT doc_id, word, wp,
+                |                  string_split(trim(seq), '  ') AS ss
+                |                FROM s$r) q) t
+                |    JOIN m ON m.pair = t.pair
+                |    WHERE ($dropCoordinateSql) >= $pE6) z
+                |  WHERE rn = 1),
+                |s${r + 1} AS MATERIALIZED (
+                |  SELECT s.doc_id, s.word, s.nocc, s.wp,
+                |    CASE WHEN a.pair IS NULL THEN s.seq
+                |         ELSE replace(s.seq, ' ' || replace(a.pair, ' ', '  ') || ' ',
+                |                      ' ' || replace(a.pair, ' ', '') || ' ') END AS seq
+                |  FROM s$r s LEFT JOIN a$r a USING (doc_id, word))""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** BPE-dropout encode report: occurrence-weighted top-30 tokens of
+    * the regularized segmentations (q425's output grain — the delta
+    * against q405's greedy top-30 is the regularization mass the
+    * dropout injects on the BPE side). Scale shape: ONE corpus-grain
+    * (doc, word) rollup, then a pure per-row encode expression — no
+    * joins on the corpus spine, no windows except the rank-limited
+    * top-30; the rollup dominates and is map-side combined. */
+  val q433BpeDropoutEncode: QuerySpec = {
+    val mergeValues = BpeMerges.map { case (p, r) => s"('$p', $r)" }.mkString(", ")
+    val oracleText =
+      s"""WITH m(pair, rank) AS (VALUES $mergeValues),
+         |dw AS MATERIALIZED (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS nocc
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents) u
+         |  WHERE word != '' GROUP BY doc_id, word),
+         |dwp AS (SELECT doc_id, word, nocc,
+         |          (${graft.llmops.UnigramTokenizer.WordPolySqlDuck}) AS wp
+         |        FROM dw),
+         |${bpeDropoutUnrollCtes(BpeRounds, BpeDropPE6)}
+         |SELECT CAST(rnk AS INT) AS rnk, token, CAST(cnt AS BIGINT) AS cnt FROM (
+         |  SELECT token, SUM(nocc) AS cnt,
+         |         ROW_NUMBER() OVER (ORDER BY SUM(nocc) DESC, token) AS rnk
+         |  FROM (SELECT unnest(string_split(trim(seq), '  ')) AS token, nocc
+         |        FROM s$BpeRounds) t
+         |  GROUP BY token) z
+         |WHERE rnk <= 30 ORDER BY rnk""".stripMargin
+    QuerySpec("q433_bpe_dropout_encode", oracleText) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sp = QuerySpec.prepared(s, dir)
+      sp.table("documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("nocc"))
+        .withColumn("wp",
+          expr(graft.llmops.UnigramTokenizer.WordPolySqlSpark))
+        .select(explode(split(trim(bpeDropoutEncodeExpr(col("doc_id"),
+          col("word"), col("wp"), BpeDropPE6)), "  ")).as("token"),
+          col("nocc"))
+        .groupBy(col("token")).agg(sum(col("nocc")).as("cnt"))
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
+        .filter(col("rnk") <= 30)
+        .select(col("rnk"), col("token"), col("cnt"))
+        .orderBy(col("rnk"))
+    }
   }
 
   /** Document text → BPE token array via [[bpeEncodeExpr]]: split to
@@ -1955,7 +2105,8 @@ object TextAnalysis {
     q158ChunkOverlap, q159PiiRedact, q160SubstringDedup,
     q175SubstringRemove.benched, q162UnigramLm, q177PerplexityBuckets,
     q163BpeMerges, q166UrlCanonicalize, q167BpeEncode, q405BpeEncodeExprQ,
-    q176TokenizerFertility, q169ModelQuality, q183DupNgramCoverage,
+    q176TokenizerFertility, q433BpeDropoutEncode, q169ModelQuality,
+    q183DupNgramCoverage,
     q184BigramLm.benched, q196PmiCollocations, q218KneserNey,
     q222CharEntropy)
 }

@@ -252,6 +252,93 @@ class BpeSpec extends EngineSuite {
     llmops.Checkpoints.unpersist(tSyms)
   }
 
+  /** The q433 frozen drop coordinate, replayed in Scala (a THIRD
+    * formulation next to the Spark expression and the DuckDB text). */
+  private def dropCoord(docId: Long, wp: Long, rank: Long): Long =
+    ((docId % 1000003L) * 2654435761L + wp * 131L + rank * 524287L) % 1000000L
+
+  private def wordPoly(w: String): Long =
+    w.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 1000003L)
+
+  /** Scala reference of the greedy sentinel-string encode under an
+    * explicit surviving-rule list (rank-ascending). */
+  private def greedyWith(word: String, rules: Seq[(String, Int)]): String = {
+    var acc = " " + word.map(_.toString).mkString("  ") + " "
+    for (_ <- 1 to llmops.TextAnalysis.BpeRounds)
+      rules.sortBy(_._2).map { case (p, _) =>
+        (" " + p.replace(" ", "  ") + " ", " " + p.replace(" ", "") + " ")
+      }.find { case (pat, _) => acc.contains(pat) }
+        .foreach { case (pat, rep) => acc = acc.replace(pat, rep) }
+    acc.trim
+  }
+
+  test("q433 BPE-dropout: p=0 reduces exactly to the greedy encode, " +
+    "p=0.1 actually fires on the fixture, and every changed " +
+    "segmentation replays from the frozen hash + rule-subset encode") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val dw = sp.table("documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .withColumn("wp", expr(llmops.UnigramTokenizer.WordPolySqlSpark))
+    // p = 0: every rule survives — bit-identical to bpeEncodeExpr
+    val p0Diff = dw.select(
+        trim(llmops.TextAnalysis.bpeDropoutEncodeExpr(
+          col("doc_id"), col("word"), col("wp"), 0L)).as("d"),
+        trim(llmops.TextAnalysis.bpeEncodeExpr(col("word"))).as("g"))
+      .filter(col("d") =!= col("g"))
+    assert(p0Diff.count() == 0L, "p=0 must reduce to the greedy encode")
+    // p = 0.1: the regularization is non-degenerate on the fixture,
+    // and each changed row replays exactly from the Scala reference
+    val diffs = dw.select(col("doc_id"), col("word"), col("wp"),
+        trim(llmops.TextAnalysis.bpeDropoutEncodeExpr(col("doc_id"),
+          col("word"), col("wp"), llmops.TextAnalysis.BpeDropPE6)).as("d"),
+        trim(llmops.TextAnalysis.bpeEncodeExpr(col("word"))).as("g"))
+      .filter(col("d") =!= col("g"))
+      .limit(200).collect()
+    assert(diffs.nonEmpty,
+      "p=0.1 must change at least one fixture segmentation")
+    diffs.foreach { r =>
+      val doc = r.getAs[Long]("doc_id"); val w = r.getAs[String]("word")
+      val wp = r.getAs[Long]("wp")
+      assert(wp == wordPoly(w), s"($doc,$w): wp drifted")
+      val kept = llmops.TextAnalysis.BpeMerges.filter { case (_, rank) =>
+        dropCoord(doc, wp, rank.toLong) >= llmops.TextAnalysis.BpeDropPE6
+      }
+      assert(kept.size < llmops.TextAnalysis.BpeMerges.size,
+        s"($doc,$w): segmentation changed but no rule was dropped")
+      assert(r.getAs[String]("d") == greedyWith(w, kept),
+        s"($doc,$w): dropout encode diverged from the rule-subset replay")
+    }
+  }
+
+  test("q433 planted case: dropping the chain-root merge 't a' leaves " +
+    "'tablet' at the character floor while the greedy encode reaches " +
+    "'table t'") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    import sp.implicits._
+    val wp = wordPoly("tablet")
+    // scan for a doc id whose frozen coordinate drops rank 2 ('t a') —
+    // the root of the ta→tab→tabl→table chain — and ONLY that rank
+    // among the ranks applicable to 'tablet' (2..5 chain)
+    val docId = (0L to 200000L).find { d =>
+      dropCoord(d, wp, 2L) < llmops.TextAnalysis.BpeDropPE6 &&
+        Seq(3L, 4L, 5L).forall(rk =>
+          dropCoord(d, wp, rk) >= llmops.TextAnalysis.BpeDropPE6)
+    }.getOrElse(fail("no planted doc id in 200k — hash degenerate"))
+    val out = Seq((docId, "tablet"))
+      .toDF("doc_id", "word").withColumn("wp", lit(wp))
+      .select(
+        trim(llmops.TextAnalysis.bpeDropoutEncodeExpr(col("doc_id"),
+          col("word"), col("wp"), llmops.TextAnalysis.BpeDropPE6)).as("d"),
+        trim(llmops.TextAnalysis.bpeEncodeExpr(col("word"))).as("g"))
+      .collect()(0)
+    assert(out.getAs[String]("g") == "table  t",
+      s"greedy must reach 'table t': got '${out.getAs[String]("g")}'")
+    assert(out.getAs[String]("d") == "t  a  b  l  e  t",
+      "with 't a' dropped the chain never starts: " +
+        s"got '${out.getAs[String]("d")}'")
+  }
+
   test("q402 compression invariants hold on the fixture") {
     val row = SparkEntry.queries("q402_bpe_compression")(spark, sfDir)
       .collect()(0)
