@@ -95,7 +95,7 @@ object UnigramTokenizer {
     * lp = round(ln(cnt / Σcnt)·1e6) as BIGINT — quantized ONCE here so
     * every downstream comparison is exact integer arithmetic. The 1-row
     * total is an explicit broadcast. */
-  private[llmops] def withLogProbs(counts: DataFrame): DataFrame = {
+  private[graft] def withLogProbs(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("cnt")).cast("double").as("tot"))
     counts.crossJoin(broadcast(tot))
       .select(col("sub"), col("cnt"),
@@ -925,6 +925,158 @@ object UnigramTokenizer {
   }
 
   // ---------------------------------------------------------------------
+  // q434 — the VOCAB-SIZE SWEEP decision table: the LL-loss prune at
+  // several size budgets in ONE pass, reported at q424's per-language
+  // fertility grain — the table a tokenizer release decision actually
+  // reads (size vs per-language cost).
+  // ---------------------------------------------------------------------
+
+  /** The swept multi-token budgets, largest first ([[TargetMulti]] is
+    * the q423 release budget; the smaller rungs price what tightening
+    * the vocabulary costs each language). */
+  private[graft] val SweepMultis = Seq(TargetMulti, TargetMulti2, 2)
+
+  /** Per-size × per-language fertility/compression table (r19 VERDICT
+    * item 5): for every budget in [[SweepMultis]], prune the EM-trained
+    * model to the top-k multi-char tokens by LL-loss rank, re-segment,
+    * and report q424's fertility grain with the budget as a key column.
+    *
+    * The sweep SHARES everything budget-independent — that is the
+    * operator: (a) the removal-loss RANKING runs ONCE ([[llLossRanked]]
+    * — a budget only cuts a prefix of the one rank order, so pricing 3
+    * budgets costs one keyed removal DP, not three); (b) the (word,
+    * lang, n) corpus rollup is staged ONCE and every budget's report
+    * joins it; (c) the corpus lattice `ed` is staged ONCE and each
+    * budget's re-segmentation is a vocabulary join + word-grain DP over
+    * it. Per added budget the marginal cost is one bounded-vocab model
+    * build and one word-grain Viterbi — never a corpus rescan. */
+  val q434UnigramVocabSweep: QuerySpec = {
+    val perSizeCtes = SweepMultis.map { k =>
+      s"""keep_$k AS (SELECT sub, cnt FROM uc WHERE len(sub) = 1
+         |            UNION ALL SELECT ex AS sub, cnt FROM rkm WHERE rnk <= $k
+         |            UNION ALL SELECT sub, cnt FROM chfloor),
+         |tot_$k AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM keep_$k),
+         |vc_$k AS MATERIALIZED (
+         |  SELECT sub, cnt,
+         |         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / tot) * 1e6) AS BIGINT) AS lp
+         |  FROM keep_$k CROSS JOIN tot_$k),
+         |lat_$k AS MATERIALIZED (
+         |  SELECT e.word, e.freq, e.j, e.i, e.sub, v.lp
+         |  FROM ed e JOIN vc_$k v USING (sub)),
+         |${dpChain(s"m$k", s"lat_$k")},
+         |rep_$k AS (
+         |  SELECT $k AS vocab_multi, wl.lang,
+         |         CAST(SUM(wl.n) AS BIGINT) AS n_words,
+         |         CAST(SUM(wl.n * tk.n_tokens) AS BIGINT) AS n_tokens,
+         |         ROUND(CAST(SUM(wl.n * tk.n_tokens) AS DOUBLE)
+         |               / CAST(SUM(wl.n) AS DOUBLE), 6) AS fertility,
+         |         ROUND(CAST(SUM(wl.n * tk.n_chars) AS DOUBLE)
+         |               / CAST(SUM(wl.n * tk.n_tokens) AS DOUBLE), 6)
+         |           AS chars_per_token
+         |  FROM wl JOIN (SELECT word,
+         |                  CAST(len(string_split(path, ' ')) AS BIGINT)
+         |                    AS n_tokens,
+         |                  CAST(len(word) AS BIGINT) AS n_chars
+         |                FROM segm$k) tk USING (word)
+         |  GROUP BY wl.lang)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = SweepMultis
+      .map(k => s"SELECT * FROM rep_$k").mkString(" UNION ALL ")
+    QuerySpec("q434_unigram_vocab_sweep",
+      s"""WITH $oracleSeed,
+         |${dpChain("a", "lat0")},
+         |$emRetrainCtes,
+         |${dpChain("b", "lat1")},
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT word, freq, token AS ex
+         |  FROM (SELECT word, freq, unnest(string_split(path, ' ')) AS token
+         |        FROM segb) t
+         |  WHERE len(token) > 1),
+         |latx AS MATERIALIZED (
+         |  SELECT c.word, c.ex, l.j, l.i, l.sub, l.lp
+         |  FROM cand c JOIN lat1 l USING (word)
+         |  WHERE l.sub != c.ex),
+         |${dpChainKeyed("latx", "cand")},
+         |pw AS (SELECT c.ex, c.freq, sb.score, sx.score AS score_wo
+         |       FROM cand c JOIN segb sb USING (word)
+         |       LEFT JOIN segx sx ON sx.word = c.word AND sx.ex = c.ex),
+         |pt AS (SELECT ex,
+         |         MAX(CASE WHEN score_wo IS NULL THEN 1 ELSE 0 END) AS ess,
+         |         CAST(SUM(CASE WHEN score_wo IS NOT NULL
+         |                       THEN freq * (score - score_wo) END) AS BIGINT)
+         |           AS loss_raw
+         |       FROM pw GROUP BY ex),
+         |dom AS (SELECT u.sub AS ex, u.cnt, COALESCE(pt.ess, 0) AS ess,
+         |          CASE WHEN COALESCE(pt.ess, 0) = 1 THEN NULL
+         |               ELSE COALESCE(pt.loss_raw, 0) END AS ll_loss
+         |        FROM uc u LEFT JOIN pt ON pt.ex = u.sub
+         |        WHERE len(u.sub) > 1),
+         |rkm AS (SELECT ex, cnt, ess, ll_loss,
+         |          ROW_NUMBER() OVER (ORDER BY ess DESC,
+         |            ll_loss DESC NULLS LAST, ex) AS rnk
+         |        FROM dom),
+         |chfloor AS (SELECT sub, CAST($CharFloor AS BIGINT) AS cnt
+         |            FROM (SELECT DISTINCT sub FROM ed WHERE len(sub) = 1) s
+         |            WHERE sub NOT IN (SELECT sub FROM uc)),
+         |wl AS MATERIALIZED (
+         |  SELECT word, lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |        FROM documents) x
+         |  WHERE word != '' GROUP BY word, lang),
+         |$perSizeCtes
+         |SELECT CAST(vocab_multi AS INT) AS vocab_multi, lang, n_words,
+         |       n_tokens, fertility, chars_per_token
+         |FROM ($unionAll) z
+         |ORDER BY vocab_multi, lang""".stripMargin) { (s, dir) =>
+      val sp = QuerySpec.prepared(s, dir)
+      val ed = edges(wordFreqs(sp))
+        .staged // seed counts, every budget's lattice, the char floor
+      val uc = usageCounts(viterbi(ed, seedVocab(ed)))
+        .staged // the domain, every budget's keep arms, the floor anti-join
+      // the ONE shared ranking (budget-independent)
+      val lat = latticeOf(ed, withLogProbs(uc))
+        .staged // the segmentation DP AND the keyed removal DP read it
+      val segb = viterbiLat(ed, lat)
+        .staged // the candidate explode AND the loss join read it
+      val ranked = llLossRanked(uc, lat, segb)
+        .staged // every budget cuts a prefix of it
+      // the ONE shared corpus rollup (q424's grain)
+      val wl = sp.table("documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"), col("lang")).agg(count(lit(1)).as("n"))
+        .staged // every budget's report joins it
+      val floorSingles = ed.select(col("sub"))
+        .filter(length(col("sub")) === 1).distinct()
+        .join(uc.select(col("sub")), Seq("sub"), "left_anti")
+        .select(col("sub"), lit(CharFloor).as("cnt"))
+      SweepMultis.map { k =>
+        val vcK = withLogProbs(
+          uc.filter(length(col("sub")) === 1).select(col("sub"), col("cnt"))
+            .unionByName(ranked.filter(col("rnk") <= k)
+              .select(col("ex").as("sub"), col("cnt")))
+            .unionByName(floorSingles))
+        val tk = viterbi(ed, vcK)
+          .select(col("word"), size(col("toks")).cast("long").as("n_tokens"),
+            length(col("word")).cast("long").as("n_chars"))
+        wl.join(tk, "word")
+          .groupBy(col("lang"))
+          .agg(sum(col("n")).as("n_words"),
+            sum(col("n") * col("n_tokens")).as("n_tokens"),
+            round(sum(col("n") * col("n_tokens")).cast("double") /
+              sum(col("n")).cast("double"), 6).as("fertility"),
+            round(sum(col("n") * col("n_chars")).cast("double") /
+              sum(col("n") * col("n_tokens")).cast("double"), 6)
+              .as("chars_per_token"))
+          .withColumn("vocab_multi", lit(k).cast("int"))
+      }.reduce(_.unionByName(_))
+        .select(col("vocab_multi"), col("lang"), col("n_words"),
+          col("n_tokens"), col("fertility"), col("chars_per_token"))
+        .orderBy(col("vocab_multi"), col("lang"))
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // q413 — the STATELESS-EXPRESSION encode over a static pretrained
   // vocab: the unigram analogue of the BPE q405/streaming-stage pair.
   // ---------------------------------------------------------------------
@@ -1586,5 +1738,6 @@ object UnigramTokenizer {
     q412UnigramTrainedEncode, q413UnigramEncodeExpr, q414UnigramPruneTarget,
     q417UnigramArtifactEncode, q420Unigram2Best, q421UnigramEm2,
     q423UnigramPruneLlLoss, q424UnigramFertility, q425UnigramSampledEncode,
-    q429UnigramSampledArtifact, q430UnigramPruneLlLoss2)
+    q429UnigramSampledArtifact, q430UnigramPruneLlLoss2,
+    q434UnigramVocabSweep)
 }

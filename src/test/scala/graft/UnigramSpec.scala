@@ -502,6 +502,50 @@ class UnigramSpec extends EngineSuite {
     assert(usageOrder != lossOrder)
   }
 
+  test("q434: the sweep grid is complete, the corpus grain is " +
+    "budget-invariant, and each budget's kept set equals the " +
+    "single-budget prune's") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val rows = SparkEntry.queries("q434_unigram_vocab_sweep")(spark, sfDir)
+      .collect()
+    val multis = rows.map(_.getAs[Int]("vocab_multi")).distinct.sorted.toSeq
+    assert(multis == llmops.UnigramTokenizer.SweepMultis.sorted,
+      s"swept budgets drifted: $multis")
+    // every budget reports every language, and n_words per language is
+    // IDENTICAL across budgets — the report reads ONE corpus rollup,
+    // not one rescan per size
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.length == multis.length, s"$lang: missing budget rows")
+      assert(rs.map(_.getAs[Long]("n_words")).distinct.length == 1,
+        s"$lang: n_words varies by budget — the corpus grain leaked")
+    }
+    // prefix-consistency: the sweep cuts prefixes of ONE ranking; an
+    // independent single-budget prune run must keep the same tokens
+    // (also pins that the rank order is deterministic across builds)
+    val ed = llmops.UnigramTokenizer.edges(
+      sp.table("documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val uc1 = llmops.UnigramTokenizer
+      .viterbi(ed, llmops.UnigramTokenizer.seedVocab(ed))
+      .select(explode(col("toks")).as("sub"), col("freq"))
+      .groupBy(col("sub")).agg(sum(col("freq")).as("cnt"))
+    val lat = llmops.UnigramTokenizer.latticeOf(ed,
+      llmops.UnigramTokenizer.withLogProbs(uc1))
+    val ranked = llmops.UnigramTokenizer
+      .llLossRanked(uc1, lat, llmops.UnigramTokenizer.viterbi(ed,
+        llmops.UnigramTokenizer.withLogProbs(uc1)))
+    val k = llmops.UnigramTokenizer.TargetMulti2
+    val sweepKept = ranked.filter(col("rnk") <= k)
+      .select(col("ex")).collect().map(_.getString(0)).toSet
+    val (single, _) = llmops.UnigramTokenizer.llLossPruneRound(ed, uc1, k)
+    val singleKept = single.select(col("ex")).collect()
+      .map(_.getString(0)).toSet
+    assert(sweepKept == singleKept,
+      s"budget-$k kept set diverged: sweep $sweepKept vs single $singleKept")
+  }
+
   test("q430: the iterated prune shrinks monotonically — round-2 kept " +
     "multi tokens are a strict subset of round-1's, and round 2 ranks " +
     "under the RE-ESTIMATED model's support") {
