@@ -1606,20 +1606,27 @@ object UnigramTokenizer {
     * a SHIPPED artifact feeds (q429 samples under the q414-pruned
     * model; the seed model is just the default instance). `ed` is the
     * corpus lattice ([[edges]], typically staged by the caller). */
-  private[graft] def sampledSegmentsUnder(sp: SparkSession, ed: DataFrame,
-                                          vocab: DataFrame,
-                                          alpha: Double): DataFrame = {
-    val b2 = viterbi2Best(ed, vocab)
+  /** The flattened 2-best relation `(word, s1, p1, s2, p2)` under a
+    * model — what a release SHIPS for the sampling path (the q417
+    * artifact story at the distinct-word grain): built once per
+    * release, read by the batch sampler AND the streaming stage
+    * ([[graft.streaming.EventStreams.sampledTokenizedDocs]]). s2/p2
+    * are NULL for single-path words. */
+  private[graft] def best2Under(ed: DataFrame, vocab: DataFrame): DataFrame =
+    viterbi2Best(ed, vocab)
       .select(col("word"),
         element_at(col("best2"), 1).getField("score").as("s1"),
         trim(element_at(col("best2"), 1).getField("path")).as("p1"),
         element_at(col("best2"), 2).getField("score").as("s2"),
         trim(element_at(col("best2"), 2).getField("path")).as("p2"))
-    val dw = sp.table("documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("nocc"))
-    dw.join(b2, Seq("word"))
+
+  /** The stateless per-row sampling PICK over a relation carrying
+    * (doc_id, word, s1, p1, s2, p2): frozen hash + e6-quantized softmax
+    * gate, adding (u_e6, p1_e6, path). ONE definition shared by the
+    * batch sampler and the streaming stage so the two can never drift
+    * on the draw. */
+  private[graft] def samplePick(joined: DataFrame, alpha: Double): DataFrame =
+    joined
       .withColumn("u_e6", expr(SampleHashSqlSpark))
       .withColumn("p1_e6",
         when(col("s2").isNull, lit(1000000L))
@@ -1629,6 +1636,15 @@ object UnigramTokenizer {
       .withColumn("path",
         when(col("s2").isNull || col("u_e6") < col("p1_e6"), col("p1"))
           .otherwise(col("p2")))
+
+  private[graft] def sampledSegmentsUnder(sp: SparkSession, ed: DataFrame,
+                                          vocab: DataFrame,
+                                          alpha: Double): DataFrame = {
+    val dw = sp.table("documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("nocc"))
+    samplePick(dw.join(best2Under(ed, vocab), Seq("word")), alpha)
   }
 
   /** The sampled-encode report: corpus-weighted top-30 tokens of the

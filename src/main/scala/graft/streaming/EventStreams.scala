@@ -677,6 +677,35 @@ object EventStreams {
         .as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
 
+  /** Streaming SAMPLED (subword-regularization) tokenizer stage — the
+    * q425/q429 sampler for a live ingest, completing the
+    * train → prune → ship → sample loop on the streaming path (r19
+    * VERDICT item 6): the shipped model's flattened 2-best relation
+    * `b2(word, s1, p1, s2, p2)`
+    * ([[graft.llmops.UnigramTokenizer.best2Under]] — built once per
+    * release, like the SA artifact) joins each arriving document's
+    * exploded words STREAM-STATIC (broadcast at these sizes — no
+    * shuffle on the stream side, no watermark state), and the frozen-
+    * hash pick ([[graft.llmops.UnigramTokenizer.samplePick]] — the ONE
+    * shared definition) chooses each occurrence's segmentation. The
+    * draw is deterministic per (doc, word), so stream ≡ batch and a
+    * replayed micro-batch emits identical rows — exactly why the
+    * sampler is RNG-free. A word outside the shipped relation (drifted
+    * live traffic) emits the `<unk>` contract, never a silent drop.
+    * Output grain: one row per (doc_id, pos, word) occurrence with its
+    * sampled `path`. */
+  def sampledTokenizedDocs(docs: DataFrame, b2: DataFrame,
+                           alpha: Double): DataFrame =
+    graft.llmops.UnigramTokenizer.samplePick(
+      docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(col("word") =!= "")
+        .join(b2, Seq("word"), "left"), alpha)
+      .withColumn("path", coalesce(col("path"),
+        lit(graft.llmops.UnigramTokenizer.Unk)))
+      .select(col("doc_id"), col("pos"), col("word"), col("path"))
+
   /** Streaming phrase-blocklist redaction — the streaming twin of
     * q419's scrubbing stage: every arriving document is shipped with
     * every blocklisted-phrase occurrence cut (eval-set canaries,

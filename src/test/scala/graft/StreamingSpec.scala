@@ -456,6 +456,66 @@ class StreamingSpec extends EngineSuite {
     assert(tok3 == Seq("scan", "n", "er"), s"got $tok3")
   }
 
+  test("sampledTokenizedDocs: the stream-static sampled encode matches " +
+    "batch row-for-row, and a word outside the shipped relation emits " +
+    "<unk>") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // the shipped 2-best relation: seed model over a tiny training
+    // corpus (docs 1-2); doc 3 carries an out-of-relation word
+    val trainTexts = Seq(
+      DocRow(1L, "scan order scan scanner"),
+      DocRow(2L, "scanner window order scan"))
+    val texts = trainTexts :+ DocRow(3L, "zzzz scan")
+    val wf = trainTexts.toDF()
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val ed = llmops.UnigramTokenizer.edges(wf)
+    val b2 = llmops.UnigramTokenizer
+      .best2Under(ed, llmops.UnigramTokenizer.seedVocab(ed))
+      .localCheckpoint() // a static relation, not a per-batch rebuild
+    val alpha = llmops.UnigramTokenizer.SampleAlpha
+    val batch = EventStreams.sampledTokenizedDocs(texts.toDF(), b2, alpha)
+      .orderBy("doc_id", "pos").collect().toSeq
+    val mem = MemoryStream[DocRow]
+    mem.addData(texts: _*)
+    val q = EventStreams.sampledTokenizedDocs(mem.toDF(), b2, alpha)
+      .writeStream.format("memory").queryName("sampled_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.table("sampled_out").orderBy("doc_id", "pos")
+      .collect().toSeq
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq),
+      "stream and batch sampled segmentations diverge")
+    // the out-of-relation word takes the <unk> contract, in both modes
+    val oov = batch.filter(_.getAs[String]("word") == "zzzz")
+    assert(oov.nonEmpty && oov.forall(_.getAs[String]("path") == "<unk>"),
+      s"OOV word must emit <unk>: $oov")
+    // every in-relation path re-concatenates to its word (coverage)
+    batch.filter(_.getAs[String]("word") != "zzzz").foreach { r =>
+      assert(r.getAs[String]("path").replace(" ", "") ==
+        r.getAs[String]("word"),
+        s"path must re-concatenate to the word: $r")
+    }
+    // the pick agrees with the batch sampler's on the SHARED corpus:
+    // same frozen hash, same quantized gate, same (doc, word) key
+    val batchPick = llmops.UnigramTokenizer
+      .samplePick(
+        texts.toDF().select(col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .join(b2, Seq("word")), alpha)
+      .select(col("doc_id"), col("word"), col("path"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    streamed.filter(_.getAs[String]("word") != "zzzz").foreach { r =>
+      val key = (r.getAs[Long]("doc_id"), r.getAs[String]("word"))
+      assert(batchPick(key) == r.getAs[String]("path"),
+        s"stream pick diverged from the batch sampler at $key")
+    }
+  }
+
   test("clickToPurchase: stream-stream interval join matches the batch join") {
     val s = spark
     import s.implicits._
