@@ -912,6 +912,33 @@ class LlmOpsSpec extends EngineSuite {
     }
   }
 
+  test("phrase parameters flow through the versioned release lifecycle: " +
+    "a re-release publishes v+1 atomically and a pinned audit still " +
+    "reads its release's phrases") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    import sp.implicits._
+    import graft.streaming.EventStreams
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-phrase-rel-").toString + "/params"
+    // release 1: the fixture's derived parameter relation (≤ 3 rows)
+    val params1 = llmops.Retrieval.phraseParams(sp, sfDir)
+      .collect().map(_.getString(0)).toSet
+    val v1 = EventStreams.publishArtifact(root)(
+      llmops.Retrieval.phraseParams(sp, sfDir))
+    // release 2: a revised blocklist (the corpus re-release re-derives)
+    val v2 = EventStreams.publishArtifact(root)(
+      Seq("brand new phrase").toDF("phrase"))
+    assert(EventStreams.versions(sp, root) == Seq(v1, v2))
+    val pinned = EventStreams.readVersion(sp, root, v1)
+      .collect().map(_.getString(0)).toSet
+    assert(pinned == params1,
+      s"pinned v1 must still serve release 1's phrases: $pinned vs $params1")
+    val latest = EventStreams.readLatest(sp, root)
+      .collect().map(_.getString(0)).toSet
+    assert(latest == Set("brand new phrase"),
+      s"latest must serve the re-released parameters: $latest")
+  }
+
   test("q419 redaction: overlapping and nested blocklist spans collapse; " +
     "untouched docs stay out of the report") {
     val sp = spark.newSession()
