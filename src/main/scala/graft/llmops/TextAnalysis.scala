@@ -1101,6 +1101,42 @@ object TextAnalysis {
     })
   }
 
+  /** The greedy encode of one word PLUS the ranks it actually applied:
+    * `struct(seq, applied)` — the [[bpeEncodeExpr]] loop with the
+    * accumulator widened to carry the applied-rank list. The applied
+    * set is what makes the dropout encode cheap at corpus scale
+    * ([[q433BpeDropoutEncode]]): dropping a rule the greedy encode
+    * never APPLIED cannot change the segmentation (by induction the
+    * state evolves identically round for round — the greedy pick at
+    * each round is the lowest-rank applicable rule, which is applied
+    * and therefore kept), so only (doc, word) pairs whose frozen
+    * coordinate drops an APPLIED rank need their own encode; the rest
+    * reuse the word-grain greedy result. */
+  private[graft] def bpeEncodeWithAppliedExpr(word: Column): Column = {
+    val rules = array(BpeMerges.sortBy(_._2).map { case (p, r) =>
+      struct(lit(" " + p.replace(" ", "  ") + " ").as("pat"),
+        lit(" " + p.replace(" ", "") + " ").as("rep"),
+        lit(r.toLong).as("rank"))
+    }: _*)
+    val seed = struct(
+      concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(word)),
+          i => substr(word, i, lit(1))), "  "),
+        lit(" ")).as("seq"),
+      typedLit(Seq.empty[Long]).as("applied"))
+    aggregate(sequence(lit(1), lit(BpeRounds)), seed, (acc, _) => {
+      val applicable = filter(rules,
+        r => acc.getField("seq").contains(r.getField("pat")))
+      when(size(applicable) > 0, struct(
+        replace(acc.getField("seq"),
+          element_at(applicable, 1).getField("pat"),
+          element_at(applicable, 1).getField("rep")).as("seq"),
+        concat(acc.getField("applied"),
+          array(element_at(applicable, 1).getField("rank"))).as("applied")))
+        .otherwise(acc)
+    })
+  }
+
   /** The [[bpeEncodeUnrollCtes]] replay at the (doc_id, word) grain
     * with the dropout filter on the merge join: `dwp(doc_id, word,
     * nocc, wp)` seeds s0, and each round's applicable-rule pick keeps
@@ -1170,14 +1206,33 @@ object TextAnalysis {
     QuerySpec("q433_bpe_dropout_encode", oracleText) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val sp = QuerySpec.prepared(s, dir)
-      sp.table("documents")
+      val dw = sp.table("documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("nocc"))
         .withColumn("wp",
           expr(graft.llmops.UnigramTokenizer.WordPolySqlSpark))
-        .select(explode(split(trim(bpeDropoutEncodeExpr(col("doc_id"),
-          col("word"), col("wp"), BpeDropPE6)), "  ")).as("token"),
+      // the encode grain is (doc, word) — per-document draws are the
+      // point — but the EXPENSIVE loop only runs where a draw can
+      // matter: the greedy encode + its APPLIED ranks are computed
+      // once per DISTINCT WORD ([[bpeEncodeWithAppliedExpr]]), joined
+      // back (vocab-sized side, AQE broadcasts), and a pair re-encodes
+      // only when its frozen coordinate drops an APPLIED rank —
+      // dropping a never-applied rule provably changes nothing. The
+      // `when` evaluates the dropout loop lazily per row, so most
+      // pairs pay one small array probe, not ten merge rounds.
+      val wg = dw.select(col("word")).distinct()
+        .withColumn("g", bpeEncodeWithAppliedExpr(col("word")))
+        .select(col("word"), col("g.seq").as("gseq"),
+          col("g.applied").as("gapplied"))
+      dw.join(wg, Seq("word"))
+        .withColumn("seq",
+          when(exists(col("gapplied"), rk =>
+            dropCoordinate(col("doc_id"), col("wp"), rk) < lit(BpeDropPE6)),
+            bpeDropoutEncodeExpr(col("doc_id"), col("word"), col("wp"),
+              BpeDropPE6))
+            .otherwise(col("gseq")))
+        .select(explode(split(trim(col("seq")), "  ")).as("token"),
           col("nocc"))
         .groupBy(col("token")).agg(sum(col("nocc")).as("cnt"))
         .withColumn("rnk", row_number()

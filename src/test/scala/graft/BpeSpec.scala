@@ -311,6 +311,45 @@ class BpeSpec extends EngineSuite {
     }
   }
 
+  test("q433 selective encode is LOSSLESS: wherever no greedy-APPLIED " +
+    "rank is dropped the full dropout loop equals the word-grain " +
+    "greedy result, and the majority of fixture pairs take the cheap " +
+    "arm") {
+    val sp = QuerySpec.prepared(spark, sfDir)
+    val dw = sp.table("documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .withColumn("wp", expr(llmops.UnigramTokenizer.WordPolySqlSpark))
+    val wg = dw.select(col("word")).distinct()
+      .withColumn("g", llmops.TextAnalysis.bpeEncodeWithAppliedExpr(col("word")))
+      .select(col("word"), col("g.seq").as("gseq"),
+        col("g.applied").as("gapplied"))
+    val joined = dw.join(wg, Seq("word"))
+      .withColumn("needs", exists(col("gapplied"), rk =>
+        ((col("doc_id") % 1000003L) * 2654435761L + col("wp") * 131L +
+          rk * 524287L) % 1000000L < lit(llmops.TextAnalysis.BpeDropPE6)))
+      .withColumn("full", llmops.TextAnalysis.bpeDropoutEncodeExpr(
+        col("doc_id"), col("word"), col("wp"),
+        llmops.TextAnalysis.BpeDropPE6))
+    // the induction claim, checked empirically on every fixture pair:
+    // no dropped APPLIED rank => the dropout loop reproduces greedy
+    val broken = joined.filter(!col("needs") && col("full") =!= col("gseq"))
+    assert(broken.count() == 0L,
+      "a pair with no dropped applied rank diverged from greedy — the " +
+        "selective-encode prune would be lossy")
+    // the applied-rank set also matches the plain greedy sequence
+    val seqDrift = wg.join(
+      dw.select(col("word")).distinct()
+        .withColumn("plain", llmops.TextAnalysis.bpeEncodeExpr(col("word"))),
+      Seq("word")).filter(col("gseq") =!= col("plain"))
+    assert(seqDrift.count() == 0L,
+      "bpeEncodeWithAppliedExpr's seq drifted from bpeEncodeExpr")
+    // and the prune actually bites: the cheap arm is the majority
+    val n = joined.count(); val needsN = joined.filter(col("needs")).count()
+    assert(needsN * 2 < n,
+      s"selective prune degenerate: $needsN of $n pairs re-encode")
+  }
+
   test("q433 planted case: dropping the chain-root merge 't a' leaves " +
     "'tablet' at the character floor while the greedy encode reaches " +
     "'table t'") {
