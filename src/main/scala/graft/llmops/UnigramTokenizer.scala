@@ -1619,15 +1619,25 @@ object UnigramTokenizer {
         trim(element_at(col("best2"), 1).getField("path")).as("p1"),
         element_at(col("best2"), 2).getField("score").as("s2"),
         trim(element_at(col("best2"), 2).getField("path")).as("p2"))
+      // the word polynomial of the sampling coordinate rides the
+      // word-grain relation: folding it here (once per distinct word)
+      // instead of per (doc, word) row leaves the pair grain pure
+      // integer arithmetic
+      .withColumn("wp", expr(WordPolySqlSpark))
 
   /** The stateless per-row sampling PICK over a relation carrying
-    * (doc_id, word, s1, p1, s2, p2): frozen hash + e6-quantized softmax
-    * gate, adding (u_e6, p1_e6, path). ONE definition shared by the
-    * batch sampler and the streaming stage so the two can never drift
-    * on the draw. */
+    * (doc_id, wp, s1, p1, s2, p2) — `wp` the word polynomial
+    * [[best2Under]] pre-folds at the word grain: frozen hash +
+    * e6-quantized softmax gate, adding (u_e6, p1_e6, path). ONE
+    * definition shared by the batch sampler and the streaming stage so
+    * the two can never drift on the draw; u_e6 here is the same value
+    * [[SampleHashSqlSpark]] folds inline (the q425 oracle and the
+    * UnigramSpec Scala replay pin the equality). */
   private[graft] def samplePick(joined: DataFrame, alpha: Double): DataFrame =
     joined
-      .withColumn("u_e6", expr(SampleHashSqlSpark))
+      .withColumn("u_e6",
+        ((col("doc_id") % 1000003L) * 2654435761L + col("wp") * 131L)
+          % 1000000L)
       .withColumn("p1_e6",
         when(col("s2").isNull, lit(1000000L))
           .otherwise(round(lit(1e6) / (lit(1.0) +
