@@ -926,6 +926,60 @@ class StreamingSpec extends EngineSuite {
     assert(view._3 == 7L && view._4 == 0L && !view._5, s"uniform profile flagged: $view")
   }
 
+  test("publishArtifact: releases version atomically, retention prunes " +
+    "beyond the horizon, and a pruned version throws naming the " +
+    "retained horizon") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft_artifact_rel_${System.nanoTime()}"
+    // five releases under retainVersions = 3: the horizon slides
+    val vs = (1 to 5).map { i =>
+      EventStreams.publishArtifact(dir, retainVersions = 3)(
+        Seq((i.toLong, s"release $i")).toDF("id", "payload"))
+    }
+    assert(vs == vs.sorted && vs.distinct == vs,
+      s"versions must ratchet strictly: $vs")
+    assert(EventStreams.versions(s, dir) == vs.takeRight(3),
+      "retention must keep exactly the newest retainVersions releases")
+    // latest and each retained pin read their own release's rows
+    assert(EventStreams.readLatest(s, dir)
+      .collect().map(_.getString(1)).toSeq == Seq("release 5"))
+    vs.takeRight(3).zip(Seq(3, 4, 5)).foreach { case (v, i) =>
+      assert(EventStreams.readVersion(s, dir, v)
+        .collect().map(_.getString(1)).toSeq == Seq(s"release $i"))
+    }
+    // a pruned release refuses loudly, naming the horizon
+    val e = intercept[IllegalStateException](
+      EventStreams.readVersion(s, dir, vs.head))
+    assert(e.getMessage.contains("retained versions"), e.getMessage)
+    // no orphan data directories survive the sweep
+    val live = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v_")).toSet
+    assert(live == vs.takeRight(3).map(v => s"v_$v").toSet,
+      s"pruned releases must leave no data directories: $live")
+  }
+
+  test("writeOnce: concurrent first readers of one artifact path share " +
+    "ONE build (ADVICE r19: the unsynchronized check-then-write raced)") {
+    val s = spark
+    val path = s"/tmp/graft_write_once_${System.nanoTime()}"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(): Unit = graft.operators.Layout.writeOnce(s, path) {
+      builds.incrementAndGet()
+      // simulate the committer: data then the _SUCCESS marker
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      Thread.sleep(50) // widen the race window
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(path, "_SUCCESS"))
+    }
+    val threads = (1 to 8).map(_ => new Thread(() => build()))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(builds.get() == 1,
+      s"${builds.get()} concurrent builds ran — the per-path lock failed")
+    build() // and the gate stays closed for later callers
+    assert(builds.get() == 1)
+  }
+
   test("upsertLatest: torn commits on either side of the commit point replay to exactly-once") {
     val s = spark
     import s.implicits._
