@@ -516,6 +516,41 @@ class StreamingSpec extends EngineSuite {
     }
   }
 
+  test("sampledTokenizedDocs under the SHIPPED pruned artifact: stream " +
+    "≡ batch on fixture documents — the full train → prune → ship → " +
+    "sample loop on the ingest path, coverage total (no <unk>)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sp = QuerySpec.prepared(s, sfDir)
+    val (ed, vc2) = llmops.UnigramTokenizer.prunedModelParts(sp)
+    val b2 = llmops.UnigramTokenizer.best2Under(ed, vc2).localCheckpoint()
+    llmops.Checkpoints.unpersist(ed)
+    llmops.Checkpoints.unpersist(vc2)
+    val alpha = llmops.UnigramTokenizer.SampleAlpha
+    val docs = sp.table("documents").select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(6).collect()
+      .map(r => DocRow(r.getLong(0), r.getString(1))).toSeq
+    val batch = EventStreams
+      .sampledTokenizedDocs(docs.toDF("doc_id", "text"), b2, alpha)
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(batch.nonEmpty)
+    val mem = MemoryStream[DocRow]
+    mem.addData(docs: _*)
+    val q = EventStreams.sampledTokenizedDocs(mem.toDF(), b2, alpha)
+      .writeStream.format("memory").queryName("sampled_art_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.table("sampled_art_out").orderBy("doc_id", "pos")
+      .collect().toSeq
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq),
+      "stream and batch diverge under the shipped artifact model")
+    // the q414/q417 coverage guarantee holds on the ingest path: the
+    // pruned model's char floor keeps every fixture word segmentable
+    assert(batch.forall(_.getAs[String]("path") != "<unk>"),
+      "a fixture word fell out of the shipped model's coverage")
+  }
+
   test("clickToPurchase: stream-stream interval join matches the batch join") {
     val s = spark
     import s.implicits._
