@@ -1563,12 +1563,15 @@ object UnigramTokenizer {
     * overwhelming probability while staying exactly replayable.
     *
     * The fold needs a lambda, and lambda dialects differ — so the
-    * coordinate ships as TWO texts computing the SAME integer (Spark
-    * `aggregate` over a `sequence` of positions; DuckDB `list_reduce`
-    * with a prepended 0 seed over the char split). Any drift between
-    * them flips a sampling pick and fails the q425/q429 oracle gate —
-    * the texts are cross-checked by construction, and the Scala replay
-    * in UnigramSpec pins the formula a third time. */
+    * polynomial ships as TWO texts computing the SAME integer (Spark
+    * `aggregate` over a `sequence` of positions, folded at the WORD
+    * grain by [[best2Under]] so the (doc, word) pair grain is pure
+    * arithmetic ([[samplePick]]); DuckDB `list_reduce` with a
+    * prepended 0 seed over the char split, inlined in the full
+    * coordinate [[SampleHashSqlDuck]]). Any drift between them flips a
+    * sampling pick and fails the q425/q429 oracle gate — the texts are
+    * cross-checked by construction, and the Scala replay in
+    * UnigramSpec pins the formula a third time. */
   private[graft] val WordPolySqlSpark: String =
     "aggregate(transform(sequence(1, length(word)), " +
       "i -> CAST(ascii(substring(word, i, 1)) AS BIGINT)), " +
@@ -1577,10 +1580,8 @@ object UnigramTokenizer {
     "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(word, ''), " +
       "c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000003)"
-  private def sampleHashSql(poly: String): String =
-    s"((doc_id % 1000003) * 2654435761 + ($poly) * 131) % 1000000"
-  private[graft] val SampleHashSqlSpark: String = sampleHashSql(WordPolySqlSpark)
-  private[graft] val SampleHashSqlDuck: String = sampleHashSql(WordPolySqlDuck)
+  private[graft] val SampleHashSqlDuck: String =
+    s"((doc_id % 1000003) * 2654435761 + ($WordPolySqlDuck) * 131) % 1000000"
 
   /** Per-(doc, word) sampling decisions under the seed model: each
     * distinct word of each document draws between its 2-best
@@ -1630,9 +1631,9 @@ object UnigramTokenizer {
     * [[best2Under]] pre-folds at the word grain: frozen hash +
     * e6-quantized softmax gate, adding (u_e6, p1_e6, path). ONE
     * definition shared by the batch sampler and the streaming stage so
-    * the two can never drift on the draw; u_e6 here is the same value
-    * [[SampleHashSqlSpark]] folds inline (the q425 oracle and the
-    * UnigramSpec Scala replay pin the equality). */
+    * the two can never drift on the draw; u_e6 is the same value the
+    * oracle's [[SampleHashSqlDuck]] folds inline (the q425 oracle gate
+    * and the UnigramSpec Scala replay pin the equality). */
   private[graft] def samplePick(joined: DataFrame, alpha: Double): DataFrame =
     joined
       .withColumn("u_e6",
