@@ -33,13 +33,15 @@ object Bench {
       case None => SparkEntry.benchQueries
     }
     // Release artifacts are once-per-release jobs: the artifact-read
-    // audits (q426/q427/q431) time the production PER-AUDIT path, so
-    // the suffix-array artifact is published before any timed run —
-    // q381 stays in the set as the build-cost sentinel (r19 VERDICT
-    // #1: the bench should price what a deployment runs daily, not
-    // fold the release job into the first audit's cold slot).
+    // audits (q426/q427/q431, and q432's versioned release 2 which
+    // publishes FROM the same persisted relation) time the production
+    // PER-AUDIT path, so the suffix-array artifact is published before
+    // any timed run — q381 stays in the set as the build-cost sentinel
+    // (r19 VERDICT #1: the bench should price what a deployment runs
+    // daily, not fold the release job into the first audit's cold
+    // slot).
     if (names.exists(n => n.startsWith("q426") || n.startsWith("q427") ||
-        n.startsWith("q431")))
+        n.startsWith("q431") || n.startsWith("q432")))
       discard(graft.llmops.SuffixArray
         .saPairs(QuerySpec.prepared(spark, sfDir), sfDir).count())
 

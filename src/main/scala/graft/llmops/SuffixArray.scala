@@ -854,15 +854,20 @@ object SuffixArray {
     // raise_error — the q414/emReport loud-guard discipline. Duplicate
     // rows whose labels AGREE are semantically safe and simply
     // collapse (ADVICE r19: a caller handing a non-deduplicated but
-    // consistent split must not be refused) — only a doc carrying BOTH
-    // labels has no right answer and raises.
+    // consistent split must not be refused) — a doc carrying BOTH
+    // labels has no right answer and raises, and so does a NULL label
+    // (neither train nor test; countDistinct alone would SKIP the NULL
+    // row and let first() resolve the doc non-deterministically —
+    // r20 review finding).
     val spl = splits
       .groupBy(col("doc"))
       .agg(countDistinct(col("is_train")).as("__n"),
+        sum(when(col("is_train").isNull, 1L).otherwise(0L)).as("__nulls"),
         first(col("is_train")).as("is_train"))
-      .withColumn("is_train", when(col("__n") > 1,
+      .withColumn("is_train", when(col("__n") > 1 || col("__nulls") > 0,
         expr("raise_error('decontamination split relation is not unique: " +
-          "a doc_id carries conflicting is_train labels')").cast("boolean"))
+          "a doc_id carries conflicting or NULL is_train labels')")
+          .cast("boolean"))
         .otherwise(col("is_train")))
       .select(col("doc"), col("is_train"))
     val sufs = pairs.select(col("idx"), col("doc_a").as("doc"))
@@ -1020,7 +1025,13 @@ object SuffixArray {
     * corpus) and release 2 (the full corpus after the append), each
     * published ATOMICALLY through the versioned-manifest protocol —
     * serialized per table root, and a no-op once both exist (so the
-    * cold/warm bench runs and the spec all share the two publishes). */
+    * cold/warm bench runs and the spec all share the two publishes).
+    * Release 2's content is byte-identical to the [[saPairs]] fixture
+    * artifact (both are clusteredPairs of the full corpus), so it
+    * publishes FROM that persisted relation instead of rebuilding the
+    * suite's most expensive job a second time per JVM (r20 review
+    * finding) — if the artifact isn't built yet, saPairs builds it
+    * once and both consumers share the one build. */
   private[graft] def ensureSaReleases(sp: SparkSession, dir: String): String = {
     val root = saReleaseDir(dir)
     graft.operators.Layout.locked(root) {
@@ -1029,9 +1040,7 @@ object SuffixArray {
         graft.discard(EventStreams.publishArtifact(root)(
           clusteredPairs(adjacentLcpOf(oldReleaseDocs(sp)))))
       if (EventStreams.versions(sp, root).size < 2)
-        graft.discard(EventStreams.publishArtifact(root)(
-          clusteredPairs(adjacentLcpOf(
-            sp.table("documents").select(col("doc_id"), col("text"))))))
+        graft.discard(EventStreams.publishArtifact(root)(saPairs(sp, dir)))
     }
     root
   }

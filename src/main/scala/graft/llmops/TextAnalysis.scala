@@ -1212,6 +1212,13 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("nocc"))
         .withColumn("wp",
           expr(graft.llmops.UnigramTokenizer.WordPolySqlSpark))
+      // dw is DELIBERATELY not staged although both the word-grain
+      // side and the join probe read it: a localCheckpoint here
+      // materializes the corpus-grain (doc, word) rollup, and that
+      // measured 2.4x SLOWER at 10x (7.4 s vs 3.0 s warm at sf1) than
+      // letting the cheap codegen'd explode + map-side-combined rollup
+      // run twice — the q167-family lesson that slim recomputation
+      // beats chunky checkpoints, re-measured here (r20).
       // the encode grain is (doc, word) — per-document draws are the
       // point — but the EXPENSIVE loop only runs where a draw can
       // matter: the greedy encode + its APPLIED ranks are computed

@@ -511,6 +511,30 @@ object UnigramTokenizer {
     * staged pruned vocab `vc2`) — q414's derivation split out so q417
     * (the artifact-encode composition) and the UnigramSpec artifact
     * pins consume the IDENTICAL model. Caller owns both staged handles. */
+  /** The re-normalized PRUNED model over the q414 keep arms — the ONE
+    * definition of "prune to (model singles + `keptMulti`) with the
+    * char-floor coverage guarantee": every single character of the
+    * corpus stays segmentable (model singles at their counts; corpus
+    * chars absent from the model enter at [[CharFloor]]), the kept
+    * multi-char tokens ride at their counts, and the union
+    * re-normalizes. Shared by the usage prune (q414/q417/q424/q429),
+    * the LL-loss prune rounds (q423/q430), and every budget of the
+    * vocab-size sweep (q434) so the coverage/re-normalization
+    * semantics can never drift between the pruning criteria (r20
+    * review finding: the arms existed as three copies). `keptMulti`
+    * is a (sub, cnt) relation of multi-char tokens. */
+  private[graft] def prunedVocab(ed: DataFrame, uc: DataFrame,
+                                 keptMulti: DataFrame): DataFrame = {
+    val floorSingles = ed.select(col("sub")).filter(length(col("sub")) === 1)
+      .distinct()
+      .join(uc.select(col("sub")), Seq("sub"), "left_anti")
+      .select(col("sub"), lit(CharFloor).as("cnt"))
+    withLogProbs(
+      uc.filter(length(col("sub")) === 1).select(col("sub"), col("cnt"))
+        .unionByName(keptMulti)
+        .unionByName(floorSingles))
+  }
+
   private[graft] def prunedModelParts(sp: SparkSession): (DataFrame, DataFrame) = {
     val ed = edges(wordFreqs(sp)).staged // seed counts + all lattices
     val seg0 = viterbi(ed, seedVocab(ed))
@@ -522,13 +546,7 @@ object UnigramTokenizer {
         Window.orderBy(col("cnt").desc, col("sub"))))
       .filter(col("rk") <= TargetMulti)
       .select(col("sub"), col("cnt"))
-    val floorSingles = ed.select(col("sub")).filter(length(col("sub")) === 1)
-      .distinct()
-      .join(uc.select(col("sub")), Seq("sub"), "left_anti")
-      .select(col("sub"), lit(CharFloor).as("cnt"))
-    val vc2 = withLogProbs(
-      uc.filter(length(col("sub")) === 1).select(col("sub"), col("cnt"))
-        .unionByName(topMulti).unionByName(floorSingles))
+    val vc2 = prunedVocab(ed, uc, topMulti)
       .staged // the lattice join + the final lp attach both read it
     Checkpoints.unpersist(uc) // folded into the eager vc2
     (ed, vc2)
@@ -674,14 +692,8 @@ object UnigramTokenizer {
     val keepm = llLossRanked(uc, lat, segb)
       .filter(col("rnk") <= target)
       .staged // the keep arms AND the caller's report read it
-    val floorSingles = ed.select(col("sub")).filter(length(col("sub")) === 1)
-      .distinct()
-      .join(uc.select(col("sub")), Seq("sub"), "left_anti")
-      .select(col("sub"), lit(CharFloor).as("cnt"))
-    val vcP = withLogProbs(
-      uc.filter(length(col("sub")) === 1).select(col("sub"), col("cnt"))
-        .unionByName(keepm.select(col("ex").as("sub"), col("cnt")))
-        .unionByName(floorSingles))
+    val vcP = prunedVocab(ed, uc,
+      keepm.select(col("ex").as("sub"), col("cnt")))
     (keepm, usageCounts(viterbi(ed, vcP)))
   }
 
@@ -1046,16 +1058,9 @@ object UnigramTokenizer {
         .filter(col("word") =!= "")
         .groupBy(col("word"), col("lang")).agg(count(lit(1)).as("n"))
         .staged // every budget's report joins it
-      val floorSingles = ed.select(col("sub"))
-        .filter(length(col("sub")) === 1).distinct()
-        .join(uc.select(col("sub")), Seq("sub"), "left_anti")
-        .select(col("sub"), lit(CharFloor).as("cnt"))
       SweepMultis.map { k =>
-        val vcK = withLogProbs(
-          uc.filter(length(col("sub")) === 1).select(col("sub"), col("cnt"))
-            .unionByName(ranked.filter(col("rnk") <= k)
-              .select(col("ex").as("sub"), col("cnt")))
-            .unionByName(floorSingles))
+        val vcK = prunedVocab(ed, uc, ranked.filter(col("rnk") <= k)
+          .select(col("ex").as("sub"), col("cnt")))
         val tk = viterbi(ed, vcK)
           .select(col("word"), size(col("toks")).cast("long").as("n_tokens"),
             length(col("word")).cast("long").as("n_chars"))

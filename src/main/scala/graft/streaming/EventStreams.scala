@@ -1233,11 +1233,15 @@ object EventStreams {
     * release), [[versions]] (the retained horizon). Cluster the
     * DataFrame before publishing (e.g. repartitionByRange + sort) —
     * the layout is written as given. Returns the committed version.
-    * Concurrent publishers to one table race on the manifest rename:
-    * exactly one wins, the loser fails loudly (the [[compact]]
-    * discipline) — serialize callers per table. */
+    * Publishers are SERIALIZED per table within the JVM (the
+    * Layout.locked per-path monitor — two in-JVM callers computing the
+    * same next version would otherwise overwrite each other's data
+    * directory, and the local filesystem's rename does not refuse an
+    * existing destination, r20 review finding); cross-PROCESS
+    * publishers must coordinate externally, as a release job naturally
+    * does (one publisher per release). */
   def publishArtifact(tableDir: String, retainVersions: Int = 3)(
-      df: DataFrame): Long = {
+      df: DataFrame): Long = graft.operators.Layout.locked(tableDir) {
     import org.apache.hadoop.fs.Path
     require(retainVersions >= 1,
       "retainVersions must keep at least the current committed version")

@@ -248,8 +248,20 @@ class SuffixArraySpec extends EngineSuite {
       graft.discard(
         llmops.SuffixArray.decontaminationReport(sp, dup).collect())
     }
-    assert(chainContains(eUnique, "conflicting is_train labels"),
+    assert(chainContains(eUnique, "conflicting or NULL is_train labels"),
       s"expected the uniqueness raise_error, got: ${eUnique.getMessage}")
+    // a NULL label is neither train nor test — raise, never resolve
+    // the doc by whichever row the shuffle delivers first (r20 review
+    // finding: countDistinct alone skips NULLs)
+    val withNull = Seq((7L, Some(false)), (42L, Some(false)),
+      (3L, Some(true)), (3L, None: Option[Boolean]), (9L, Some(true)))
+      .toDF("doc", "is_train")
+    val eNull = intercept[Exception] {
+      graft.discard(
+        llmops.SuffixArray.decontaminationReport(sp, withNull).collect())
+    }
+    assert(chainContains(eNull, "conflicting or NULL"),
+      s"expected the NULL-label raise_error, got: ${eNull.getMessage}")
     // ADVICE r19: duplicate rows whose labels AGREE are consistent —
     // they collapse instead of raising, and the report matches the
     // deduplicated split's answer exactly
