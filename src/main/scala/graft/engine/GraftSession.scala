@@ -45,6 +45,14 @@ object GraftSession {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.parquet.compression.codec", "snappy")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    // Whole-stage-codegen class cache (static conf, default 100 entries).
+    // The iterative operators (suffix-array doubling, BPE rounds, k-core
+    // peeling) each compile dozens of distinct codegen units per
+    // execution; at 100 entries the suite thrashes the cache and warm
+    // runs re-Janino-compile every stage. 4096 entries ≈ a few hundred
+    // MB ceiling of generated classes — scale-independent (driver-side
+    // only), same knob a production cluster would set.
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
 
   /** Local session sized for this container; on a real cluster use
     * `configure(SparkSession.builder())` with cluster master/conf. */

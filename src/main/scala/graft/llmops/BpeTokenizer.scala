@@ -185,20 +185,23 @@ object BpeTokenizer {
     var k = 0
     var exhausted = false
     while (k < rounds && !exhausted) {
-      val next = withNext(syms).staged // pair count + rewrite both read it
+      // NOT staged: the lead() window re-evaluates in the rewrite's own
+      // word-partitioned sort (same partition key, one pipeline), so
+      // re-deriving it from the checkpointed symbol table is cheaper
+      // than a third per-round materialization — the winner probe and
+      // the rewrite each read the checkpoint once (r20 measurement:
+      // one fewer job + checkpoint write per round, every round).
+      val next = withNext(syms)
       val win = roundWinner(next).collect() // O(1)-result probe: ≤ 1 row
-      if (win.isEmpty) {
-        Checkpoints.unpersist(next)
-        exhausted = true
-      } else {
+      if (win.isEmpty) exhausted = true
+      else {
         val w = win(0)
         merges += ((k + 1L, w.getAs[String]("l"), w.getAs[String]("r"),
           w.getAs[Long]("pair_freq")))
         val winner = Seq((w.getAs[String]("l"), w.getAs[String]("r")))
           .toDF("l", "r")
         val rewritten = rewrite(next, winner).staged
-        Checkpoints.unpersist(next) // rewritten is eager; transient dead
-        Checkpoints.unpersist(syms)
+        Checkpoints.unpersist(syms) // rewritten is eager; input is dead
         syms = rewritten
         k += 1
       }
@@ -463,12 +466,14 @@ object BpeTokenizer {
     var k = 0
     var exhausted = false
     while (k < rounds && !exhausted) {
-      val next = withNext(syms).staged
+      // NOT staged — same one-materialization-per-round ledger as
+      // [[trainMerges]]: the winner probe and the rewrite each derive
+      // the lead() column from the checkpointed symbol table in their
+      // own (already word-sorted) pipeline.
+      val next = withNext(syms)
       val win = batchWinners(next, m, pool).collect() // O(1)-result: ≤ m rows
-      if (win.isEmpty) {
-        Checkpoints.unpersist(next)
-        exhausted = true
-      } else {
+      if (win.isEmpty) exhausted = true
+      else {
         merges ++= win.map(w => (k + 1L, w.getAs[Long]("brk"),
           w.getAs[String]("l"), w.getAs[String]("r"),
           w.getAs[Long]("pair_freq")))
@@ -478,8 +483,7 @@ object BpeTokenizer {
           .map(w => (w.getAs[String]("l"), w.getAs[String]("r")))
           .toDF("l", "r")
         val rewritten = rewrite(next, winners).staged
-        Checkpoints.unpersist(next)
-        Checkpoints.unpersist(syms)
+        Checkpoints.unpersist(syms) // rewritten is eager; input is dead
         syms = rewritten
         k += 1
       }

@@ -192,11 +192,15 @@ object SuffixArray {
       val joined = active.join(lookup, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("rank").as("r1"),
           coalesce(col("r2"), lit(0L)).as("r2"))
-        .staged // consumed by both the collapsed re-rank and the join-back
+      // joined is NOT staged: both consumers (the collapsed re-rank and
+      // the join-back) sit in ONE query execution, where Spark's
+      // ReuseExchange shares the lookahead join's shuffle — a per-round
+      // checkpoint write+read of the active set bought nothing (r20
+      // measurement; the r16 staging predated the single-execution
+      // shape).
       val refined = joined.join(refineBlocks(joined), Seq("r1", "r2"))
         .select(col("doc_id"), col("pos"), col("rank"), col("gs"))
         .staged
-      Checkpoints.unpersist(joined) // refined is eager; the transient is dead
       settled = settled.unionByName(
         refined.filter(col("gs") === 1)
           .select(col("doc_id"), col("pos"), col("rank")))
@@ -242,9 +246,24 @@ object SuffixArray {
     * so the longest repeated passage anywhere in the corpus is realized
     * by some adjacent pair — max(lcp) here IS the corpus answer. */
   /** First chunk length of the chunked LCP comparison (words). Chunk
-    * lengths double each round, so a pair with LCP L is resolved in
-    * O(log(L/16)) rounds touching O(L) words total. */
+    * lengths grow [[LcpGrowth]]× each round, so a pair with LCP L is
+    * resolved in O(log_g(L/16)) rounds touching O(L·g/(g−1)) words
+    * total. */
   private val LcpChunk = 16
+
+  /** Per-round chunk growth factor. The first 16-word chunk resolves
+    * the corpus's shallow-repeat mass (96%+ of adjacent pairs at every
+    * fixture SF — and rank-TIED pairs, the exact-dup mass, bypass the
+    * loop entirely); each further round re-explodes the tokens of every
+    * still-active doc, so ROUND COUNT, not slice width, is the cost
+    * driver on both ends (driver barriers + checkpoint per round at
+    * scale, fixed job overhead at bench scale). Growing 8× per round
+    * (16, 128, 1024, …) reaches LCP depth L in log₈(L/16) rounds —
+    * 3× fewer barriers than doubling — while the geometric-series bound
+    * on words shipped per surviving pair only moves from 4·L to
+    * (8/7)·8·L ≈ 9·L, still O(L) and still paid ONLY by the deep-repeat
+    * survivors (r20: 3 chunk rounds → 2 at sf0.1). */
+  private val LcpGrowth = 8
 
   /** `(idx, doc_a, pos_a, doc_b, pos_b, lcp)` for adjacent SA pairs.
     *
@@ -345,39 +364,40 @@ object SuffixArray {
           expr(s"slice(w, p0 + 1 + $off, $len)").as(out))
     }
     var active = pairs0.staged // round 0's probe + join read it twice
+    var firstRound = true
     val resolved = List.newBuilder[DataFrame]
     var off = 0L
     var len = LcpChunk
     while (!active.isEmpty) { // O(1)-result probe per chunk round
-      // done/next are re-staged SLIM per round on purpose: an attempted
-      // fusion (lazy filters over the one chunk-carrying checkpoint)
-      // measured 55% SLOWER end-to-end — every downstream read re-scans
-      // the wide ca/cb arrays, and the retained chunky checkpoints
-      // pressure storage memory across builds. Slim rows win.
-      val withChunks = active
+      // ONE slim materialization per round: keys + the resolved lcp
+      // (NULL ⇔ chunk-equal and not ended ⇔ still active). The wide
+      // ca/cb chunk arrays are projected away BEFORE the checkpoint, so
+      // the lazy done/next filters below re-scan only slim rows — the
+      // r16 fusion that measured 55% slower checkpointed the CHUNKY
+      // relation and re-scanned the arrays per read; staging the slim
+      // projection keeps that fix while dropping two of the three
+      // per-round materializations (r20). Ledger: each round's step is
+      // read by the next round's filters AND by the final union, so
+      // steps stay persisted until the build completes — total retained
+      // mass is Σ|active_k| slim rows, the same shrinking-active-set
+      // envelope as the rank loop's settled argument.
+      val step = active
         .join(chunkOf(active, "a", off, len, "ca"), Seq("doc_a", "pos_a"))
         .join(chunkOf(active, "b", off, len, "cb"), Seq("doc_b", "pos_b"))
         .withColumn("__p", p)
-        .withColumn("__ends", // both suffixes end inside this chunk
-          size(col("ca")) < len && size(col("cb")) < len)
-        .staged
-      Checkpoints.unpersist(active) // withChunks is eager; input is dead
-      val done = withChunks
-        .filter(col("__p") > 0 || col("__ends"))
-        .select(keys :+ (lit(off) + when(col("__p") > 0, col("__p") - 1)
-          .otherwise(least(size(col("ca")), size(col("cb")))))
+        .select(keys :+ when(col("__p") > 0, lit(off) + col("__p") - 1)
+          .when(size(col("ca")) < len && size(col("cb")) < len,
+            // both suffixes end inside this chunk: min-length cutoff
+            lit(off) + least(size(col("ca")), size(col("cb"))))
           .cast("long").as("lcp"): _*)
-        .staged // kept until the final union — never released
-      val next = withChunks.filter(col("__p") === 0 && !col("__ends"))
-        .select(keys: _*)
         .staged
-      Checkpoints.unpersist(withChunks) // both successors materialized
-      resolved += done
-      active = next
+      if (firstRound) Checkpoints.unpersist(active) // pairs0 input is dead
+      firstRound = false
+      resolved += step.filter(col("lcp").isNotNull)
+      active = step.filter(col("lcp").isNull).select(keys: _*)
       off += len
-      len *= 2
+      len *= LcpGrowth
     }
-    Checkpoints.unpersist(active)
     resolved.result() match {
       case Nil => pairs0.withColumn("lcp", lit(0L)).filter(lit(false))
       case parts => parts.reduce(_.unionByName(_))
@@ -870,10 +890,17 @@ object SuffixArray {
           .cast("boolean"))
         .otherwise(col("is_train")))
       .select(col("doc"), col("is_train"))
+    // a-sides enumerate idx 1..n−1; the b-side of the LAST pair is the
+    // one suffix (idx n) they miss — every interior b duplicates the
+    // next pair's a (same suffix). Appending that single row replaces
+    // the r19 shape's 2×-the-pairs union + groupBy(idx) dedup — one
+    // full shuffle of the suffix sequence — with a scan plus a
+    // broadcast max-idx filter (r20).
+    val lastIdx = pairs.agg(max(col("idx")).as("__mi"))
     val sufs = pairs.select(col("idx"), col("doc_a").as("doc"))
-      .unionByName(pairs.select((col("idx") + 1L).as("idx"),
-        col("doc_b").as("doc")))
-      .groupBy(col("idx")).agg(min(col("doc")).as("doc"))
+      .unionByName(pairs.crossJoin(broadcast(lastIdx))
+        .filter(col("idx") === col("__mi"))
+        .select((col("idx") + 1L).as("idx"), col("doc_b").as("doc")))
       .join(spl, Seq("doc"), "left")
       .withColumn("is_train", when(col("is_train").isNull,
         expr("raise_error('decontamination split relation is not total: " +

@@ -152,9 +152,42 @@ object TpcdsShapes {
   /** TPC-DS Q67 shape: ROLLUP over the (type, brand, year) hierarchy,
     * then a windowed rank WITHIN type by rolled-up sales, keep the top
     * slice. ROW_NUMBER with a total tie-break keeps the hash stable
-    * where RANK would admit order ties. */
-  val q258RollupRank: QuerySpec = QuerySpec.sql(
+    * where RANK would admit order ties.
+    *
+    * The Spark text pre-aggregates to the FINEST grouping set before
+    * the ROLLUP (optimization guide §2.3 "aggregate before you
+    * shuffle"): Spark plans ROLLUP as an Expand that multiplies every
+    * input row by the number of grouping sets (×4 here) BEFORE the
+    * partial aggregate, so rolling up the fact rows directly pushes
+    * 4×|lineitem| rows through the hash — the bench's single heaviest
+    * TPC-DS stage (r20: 2.3 s in one scan-fused task). Summing partial
+    * sums re-associates an exact DECIMAL(19,8) aggregate — bit-identical
+    * by definition — so the oracle text (the direct ROLLUP) stays the
+    * authoritative semantics and the driver hash-checks the equivalence
+    * every round. The Expand now runs over the (type, brand, year)
+    * group grain — vocabulary-sized, corpus-size-independent. */
+  val q258RollupRank: QuerySpec = QuerySpec.sql2(
     "q258_dss_rollup_rank",
+    s"""WITH base AS (
+       |  SELECT p_type, p_brand, YEAR(l_shipdate) AS d_year,
+       |         SUM($Vol) AS s
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_type, p_brand, YEAR(l_shipdate)),
+       |agg AS (
+       |  SELECT p_type, p_brand, d_year,
+       |         SUM(s) AS sumsales
+       |  FROM base
+       |  GROUP BY ROLLUP(p_type, p_brand, d_year)),
+       |r AS (
+       |  SELECT p_type, p_brand, d_year, CAST(sumsales AS DOUBLE) AS sumsales,
+       |    ROW_NUMBER() OVER (PARTITION BY p_type
+       |                       ORDER BY sumsales DESC,
+       |                                p_brand ASC NULLS FIRST,
+       |                                d_year ASC NULLS FIRST) AS rk
+       |  FROM agg)
+       |SELECT p_type, p_brand, d_year, sumsales, rk
+       |FROM r WHERE rk <= 5
+       |ORDER BY p_type NULLS FIRST, rk""".stripMargin,
     s"""WITH agg AS (
        |  SELECT p_type, p_brand, YEAR(l_shipdate) AS d_year,
        |         SUM($Vol) AS sumsales
