@@ -1890,14 +1890,22 @@ object Dedup {
         .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
         .staged
       for (_ <- 1 to 6) {
+        // keep is NOT staged: both semi-joins consume the SAME degree
+        // rollup subtree inside the round's one staged execution, and
+        // its exchange (broadcast or shuffle-by-doc_id — both joins key
+        // on keep.doc_id) canonicalizes identically, so ReuseExchange
+        // computes it once. One materialization per peel round instead
+        // of two (r20; verified via the Profile job ledger).
         val keep = e.select(col("a").as("doc_id"))
           .unionAll(e.select(col("b").as("doc_id")))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 2).select(col("doc_id"))
-          .staged
-        e = e.join(keep.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+        val peeled = e
+          .join(keep.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
           .staged
+        Checkpoints.unpersist(e) // peeled is eager; the input round is dead
+        e = peeled
       }
       e.select(col("a").as("doc_id")).unionAll(e.select(col("b").as("doc_id")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("core_deg"))

@@ -448,14 +448,17 @@ object Retrieval {
          |WHERE rk <= 15 ORDER BY rk""".stripMargin) { (s, dir) =>
       val sp = QuerySpec.prepared(s, dir)
       val w = Window
-      val docs = sp.table("documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .staged
-      val tok = docs.select(col("doc_id"), explode(col("ws")).as("word"))
+      // tok is the ONE corpus pass (staged for its three consumers); the
+      // doc count comes straight off the table — staging the split word
+      // arrays just to count rows checkpointed the whole tokenized
+      // corpus for nothing (r20; the r16 docs stage predated tok being
+      // the only word-grain consumer).
+      val tok = sp.table("documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
         .staged // round-1 scoring, expansion discovery, round-2 scoring
       val dfr = tok.groupBy(col("word")).agg(count(lit(1)).as("df")).staged
-      val stats = docs.agg(count(lit(1)).as("n"))
+      val stats = sp.table("documents").agg(count(lit(1)).as("n"))
       def idfScore(weighted: org.apache.spark.sql.Column) =
         sum((weighted * col("tf")
           * log(col("n").cast("double") / col("df"))).cast("decimal(38,18)"))

@@ -328,7 +328,59 @@ object Sharding {
          |FROM s WHERE rnk <= 50
          |ORDER BY rnk""".stripMargin
     }
-    QuerySpec.sql2("q174_dsir_resample", text(spark = true), text(spark = false))
+    // The Spark side runs as DataFrame code with the bigram-bucket
+    // relation staged ONCE: as shared SQL, Spark inlines the `b` CTE
+    // into BOTH consumers (the histogram and the per-doc scoring join),
+    // re-running the corpus explode + FNV hash — the q116 CTE-inlining
+    // trap, caught by the r20 profiling pass. Same algebra term for
+    // term; the DuckDB oracle text (which materializes CTEs) is
+    // unchanged, so the driver hash-checks the equivalence.
+    QuerySpec(
+      "q174_dsir_resample",
+      Some(text(spark = false)),
+      { (s, dir) =>
+        import graft.llmops.Checkpoints.Stageable
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val sp = QuerySpec.prepared(s, dir)
+        val b = sp.table("documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(ws) >= 2
+              |     THEN transform(sequence(0, size(ws) - 2),
+              |            i -> concat(ws[i], ' ', ws[i + 1]))
+              |     ELSE array() END""".stripMargin)).as("bg"))
+          .select(col("doc_id"),
+            expr("pmod(fnv_hash(bg), 1024)").as("bucket"))
+          .staged // the histogram and the scoring join both read it
+        val hist = b.groupBy(col("bucket")).agg(
+          count(lit(1)).as("cs"),
+          sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)).as("ct"))
+        // smoothing totals: window sums over the ≤1024-row histogram
+        val r = hist
+          .withColumn("lr", log(
+            ((col("ct") + 1) / (sum(col("ct")).over(Window.partitionBy())
+              .cast("double") + 1024.0))
+              / ((col("cs") + 1) / (sum(col("cs")).over(Window.partitionBy())
+                .cast("double") + 1024.0))))
+          .select(col("bucket"), col("lr"))
+        val d = b.join(broadcast(r), "bucket")
+          .groupBy(col("doc_id")).agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(col("lr").cast("decimal(27,18)")).as("lsum"))
+        val g = d
+          .withColumn("logw", col("lsum").cast("double"))
+          .withColumn("gkey", col("logw")
+            - log(-log(((((col("doc_id") % 999983) * 40503) % 65536)
+              .cast("double") + 1.0) / 65537.0)))
+        g.withColumn("rnk", row_number().over(
+            Window.orderBy(col("gkey").desc, col("doc_id"))))
+          .filter(col("rnk") <= 50)
+          .select(col("rnk").cast("int").as("rnk"), col("doc_id"),
+            col("n_bigrams").cast("long").as("n_bigrams"),
+            round(col("logw"), 6).as("logw"))
+          .orderBy(col("rnk"))
+      })
   }
 
   /** Neyman-optimal labeling-budget allocation across language strata —

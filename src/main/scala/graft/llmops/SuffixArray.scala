@@ -159,12 +159,21 @@ object SuffixArray {
     import org.apache.spark.sql.expressions.Window
     val wPre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, (1 << SeedShift) - 1)
+    // staged BEFORE the range exchange: repartitionByRange's
+    // RangePartitioner runs a separate sampling job over its child, so
+    // an unstaged child executes the collect_list window (the heaviest
+    // per-token compute of the build) twice — once for the boundary
+    // sketch, once for the shuffle. One checkpoint write is cheaper
+    // than re-sorting and re-collecting the corpus (r20).
     val sufs = tokenIds(docs)
       .withColumn("pre", collect_list(col("wid")).over(wPre))
       .select(col("doc_id"), col("pos"), col("pre"))
-    Prefix.globalRankTiesWithCounts(sufs, Seq(col("pre")), "rank", "gs")
+      .staged
+    val seed = Prefix.globalRankTiesWithCounts(sufs, Seq(col("pre")), "rank", "gs")
       .select(col("doc_id"), col("pos"), col("rank"), col("gs"))
       .staged // read by the settled/active filters and every round's lookup
+    Checkpoints.unpersist(sufs) // the ranked seed is eager; input is dead
+    seed
   }
 
   private def suffixRanks(seed: DataFrame, rounds: Int): DataFrame = {

@@ -1093,7 +1093,10 @@ object TpcdsShapes {
       .groupBy(col("l_partkey").as("pk"))
       .agg(round(sum(vol).cast("double") / count(lit(1)) * 1e2)
         .cast("long").as("avg_rev_c"))
-      .staged // consumed by both rank directions
+      .staged // consumed by both rank directions — and the PlanSpec pin
+      // (one fact pass, never a per-consumer rescan) holds by plan
+      // construction, not by trusting AQE stage reuse (r20: an unstaged
+      // variant measured neutral at sf0.1 and was reverted)
     import org.apache.spark.sql.expressions.Window
     val best = perf.orderBy(col("avg_rev_c").desc, col("pk")).limit(10)
       .withColumn("rnk", row_number().over(
