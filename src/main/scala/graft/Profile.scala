@@ -92,13 +92,19 @@ object Profile {
       val warm = (System.nanoTime() - t1) / 1e9
       sampling = false
       val gcDelta = gcMs - gc0
+      // the listener bus is async: give trailing onJobEnd events a beat
+      // to drain before snapshotting, or the last jobs report totalMs=-1
+      // (ADVICE r20)
+      Thread.sleep(300)
       spark.sparkContext.removeSparkListener(listener)
       println("[profile] driver-sample histogram (20ms ticks): " +
         samples.asScala.toSeq.sortBy(-_._2.intValue)
           .map { case (k, v) => s"$k=$v" }.mkString(" "))
       println(f"[profile] ===== $name cold=$cold%.2fs warm=$warm%.2fs gc=${gcDelta}ms =====")
       val snap = jobs.synchronized(jobs.values.toVector)
-      println(f"[profile] jobs=${snap.size} jobTimeSum=${snap.map(_.totalMs).sum / 1e3}%.2fs")
+      // jobs still missing their end event report -1 — exclude them from
+      // the sum instead of subtracting (ADVICE r20)
+      println(f"[profile] jobs=${snap.size} jobTimeSum=${snap.map(_.totalMs).filter(_ >= 0).sum / 1e3}%.2fs")
       snap.sortBy(-_.totalMs).take(40).foreach { j =>
         println(f"[profile]  ${j.totalMs}%6dms tasks=${j.tasks}%3d job#${j.id}%-4d ${j.name.take(110)}")
       }

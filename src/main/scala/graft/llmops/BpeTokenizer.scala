@@ -1,8 +1,8 @@
 package graft.llmops
 
 import graft.QuerySpec
-import graft.llmops.Checkpoints.Stageable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.llmops.Checkpoints.{obsLong, obsRows, Stageable}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,15 +168,15 @@ object BpeTokenizer {
   /** Run the training loop: returns (merge table with 1-based `round`,
     * final symbol table). Per-round state checkpoint ledger mirrors the
     * suffix-array loop: each round's symbol table is staged and its
-    * predecessor released. The round's winner is COLLECTED (the same
-    * documented O(1)-result driver probe the old `isEmpty` was — ≤ 1
-    * row) and fed back as a LITERAL relation, so the rewrite joins a
-    * local table instead of a checkpointed frame and the merge-table
-    * artifact is a local relation: at production K ≈ 30k the loop
-    * retains ZERO winner checkpoints (the old shape kept one tiny
-    * staged frame per round for the final union — O(K) block-manager
-    * entries for a K×4 artifact that fits on the driver by
-    * definition). */
+    * predecessor released. The round's winner is selected INSIDE the
+    * rewrite's own execution (the TopN relation joins the rewrite as a
+    * broadcast subtree) and its one row is read back as OBSERVED METRICS
+    * off the round's checkpoint job — ONE execution per round instead of
+    * the r20 shape's two (winner collect + rewrite checkpoint), the same
+    * probe-fusing as the suffix-array loops (r21; guide §2.4 fewer
+    * barriers). The merge table is reconstructed on the driver from the
+    * per-round observations, so it stays a local relation and the loop
+    * still retains ZERO winner checkpoints. */
   private[graft] def trainMerges(sp: SparkSession,
                                  rounds: Int = Merges): (DataFrame, DataFrame) = {
     import sp.implicits._
@@ -188,19 +188,24 @@ object BpeTokenizer {
       // NOT staged: the lead() window re-evaluates in the rewrite's own
       // word-partitioned sort (same partition key, one pipeline), so
       // re-deriving it from the checkpointed symbol table is cheaper
-      // than a third per-round materialization — the winner probe and
-      // the rewrite each read the checkpoint once (r20 measurement:
-      // one fewer job + checkpoint write per round, every round).
+      // than a third per-round materialization (r20). The winner's
+      // pairCounts subtree re-derives it once more on the broadcast side
+      // of the SAME execution — the same two reads of the checkpoint the
+      // two-execution shape paid, minus one driver barrier.
       val next = withNext(syms)
-      val win = roundWinner(next).collect() // O(1)-result probe: ≤ 1 row
-      if (win.isEmpty) exhausted = true
-      else {
-        val w = win(0)
-        merges += ((k + 1L, w.getAs[String]("l"), w.getAs[String]("r"),
-          w.getAs[Long]("pair_freq")))
-        val winner = Seq((w.getAs[String]("l"), w.getAs[String]("r")))
-          .toDF("l", "r")
-        val rewritten = rewrite(next, winner).staged
+      val obs = Observation()
+      val winner = roundWinner(next)
+        .observe(obs, max(col("l")).as("__l"), max(col("r")).as("__r"),
+          max(col("pair_freq")).as("__f"), count(lit(1)).as("__n"))
+      val rewritten = rewrite(next, winner).staged
+      if (obsLong(obs, "__n", 0L) == 0L) {
+        // no adjacent pair anywhere: the rewrite was an identity copy —
+        // release it, keep the previous state, record no merge
+        Checkpoints.unpersist(rewritten)
+        exhausted = true
+      } else {
+        merges += ((k + 1L, obs.get("__l").toString,
+          obs.get("__r").toString, obsLong(obs, "__f", 0L)))
         Checkpoints.unpersist(syms) // rewritten is eager; input is dead
         syms = rewritten
         k += 1
@@ -467,22 +472,27 @@ object BpeTokenizer {
     var exhausted = false
     while (k < rounds && !exhausted) {
       // NOT staged — same one-materialization-per-round ledger as
-      // [[trainMerges]]: the winner probe and the rewrite each derive
+      // [[trainMerges]]: the batch selection and the rewrite each derive
       // the lead() column from the checkpointed symbol table in their
-      // own (already word-sorted) pipeline.
+      // own (already word-sorted) pipeline, within ONE execution.
       val next = withNext(syms)
-      val win = batchWinners(next, m, pool).collect() // O(1)-result: ≤ m rows
-      if (win.isEmpty) exhausted = true
-      else {
+      // the ≤ m-row batch is selected inside the rewrite's execution
+      // (broadcast subtree) and read back as ONE observed collect_list
+      // metric — no separate winner-collect execution per round (r21)
+      val obs = Observation()
+      val winners = batchWinners(next, m, pool)
+        .observe(obs, collect_list(struct(col("brk"), col("l"), col("r"),
+          col("pair_freq"))).as("__ws"))
+      val rewritten = rewrite(next, winners).staged
+      // collect_list order is nondeterministic — brk restores batch rank
+      val win = obsRows(obs, "__ws").sortBy(_.getAs[Long]("brk"))
+      if (win.isEmpty) {
+        Checkpoints.unpersist(rewritten) // identity copy; keep prior state
+        exhausted = true
+      } else {
         merges ++= win.map(w => (k + 1L, w.getAs[Long]("brk"),
           w.getAs[String]("l"), w.getAs[String]("r"),
           w.getAs[Long]("pair_freq")))
-        // the rewrite joins the ≤ m-row batch as a LITERAL relation —
-        // same zero-retained-checkpoints ledger as [[trainMerges]]
-        val winners = win.toSeq
-          .map(w => (w.getAs[String]("l"), w.getAs[String]("r")))
-          .toDF("l", "r")
-        val rewritten = rewrite(next, winners).staged
         Checkpoints.unpersist(syms) // rewritten is eager; input is dead
         syms = rewritten
         k += 1
@@ -567,20 +577,25 @@ object BpeTokenizer {
     var k = 0
     var exhausted = false
     while (k < rounds && !exhausted) {
-      val win = batchWinnersFromCounts(counts, m, pool)
-        .collect() // O(1)-result probe: ≤ m rows
-      if (win.isEmpty) exhausted = true
-      else {
+      // batch selected inside the marked relation's execution (broadcast
+      // subtree over the staged counts) and read back as one observed
+      // metric — no separate winner-collect execution per round (r21)
+      val obs = Observation()
+      val winners = batchWinnersFromCounts(counts, m, pool)
+        .observe(obs, collect_list(struct(col("brk"), col("l"), col("r"),
+          col("pair_freq"))).as("__ws"))
+      val marked = mark(next, winners)
+        .withColumn("touched",
+          max(col("cand")).over(Window.partitionBy(col("word"))))
+        .staged // the −delta AND the rewrite read it
+      val win = obsRows(obs, "__ws").sortBy(_.getAs[Long]("brk"))
+      if (win.isEmpty) {
+        Checkpoints.unpersist(marked) // no winner: round never happened
+        exhausted = true
+      } else {
         merges ++= win.map(w => (k + 1L, w.getAs[Long]("brk"),
           w.getAs[String]("l"), w.getAs[String]("r"),
           w.getAs[Long]("pair_freq")))
-        val winners = win.toSeq
-          .map(w => (w.getAs[String]("l"), w.getAs[String]("r")))
-          .toDF("l", "r")
-        val marked = mark(next, winners)
-          .withColumn("touched",
-            max(col("cand")).over(Window.partitionBy(col("word"))))
-          .staged // the −delta AND the rewrite read it
         // −delta: every adjacent pair of the words the batch will
         // rewrite, at round-START state
         val negd = marked

@@ -76,6 +76,37 @@ private[graft] object Checkpoints {
     def staged: DataFrame = stage(df)
   }
 
+  /** A Long observed metric with NULL (empty observed input) mapped to
+    * `default`. Observations ride the checkpoint job that materializes
+    * the observed relation — the r21 fuse that folds per-round
+    * O(1)-result driver probes (`isEmpty`, max-pos, winner rows) into
+    * the job the round already runs, instead of a separate barrier+AQE
+    * execution per probe (guide §2.4: each execution is a cluster-wide
+    * barrier at 100 TB; ~0.2–0.4 s of driver fixed cost each at bench
+    * scale). `Observation.get` blocks until the observed plan's action
+    * completes — always call it AFTER the eager stage()/checkpoint.
+    * A MISSING key (not just a NULL value) also maps to `default`:
+    * when the observed relation materializes empty, AQE's
+    * empty-relation propagation can replace the subtree — CollectMetrics
+    * node included — with an empty LocalRelation, so the metric never
+    * reports; emptiness is exactly what every caller's default
+    * encodes. */
+  def obsLong(obs: org.apache.spark.sql.Observation, key: String,
+              default: Long): Long =
+    obs.get.get(key).flatMap(Option(_)).fold(default) {
+      case l: java.lang.Long => l.longValue
+      case other => other.toString.toLong
+    }
+
+  /** The observed rows of a collect_list(struct(…)) metric — empty when
+    * the observed relation was empty (including the AQE-pruned case
+    * [[obsLong]] documents). */
+  def obsRows(obs: org.apache.spark.sql.Observation,
+              key: String): Seq[org.apache.spark.sql.Row] =
+    obs.get.get(key).flatMap(Option(_))
+      .map(_.asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]].toSeq)
+      .getOrElse(Seq.empty)
+
   /** Releases the block-manager storage behind a localCheckpoint-ed
     * DataFrame (the checkpointed RDD sits inside the plan's LogicalRDD
     * leaf, which Dataset offers no public handle to — matched by class

@@ -1863,6 +1863,22 @@ object Dedup {
     * classic distributed peel, O(rounds·E), nothing global; each
     * round's survivor set is staged so no round re-executes the last.
     * Output: surviving docs with their within-core degree. */
+  /** One k=2 peel round: degree rollup + two semi-joins. `keep` is NOT
+    * staged: both semi-joins consume the SAME degree rollup subtree,
+    * whose exchange canonicalizes identically, so ReuseExchange
+    * computes it once per execution (r20; verified via the Profile job
+    * ledger). */
+  private[graft] def kCorePeel(edges: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val keep = edges.select(col("a").as("doc_id"))
+      .unionAll(edges.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2).select(col("doc_id"))
+    edges
+      .join(keep.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+  }
+
   val q325KCore: QuerySpec = {
     // AS MATERIALIZED (DuckDB-only text): each round references the
     // previous edge relation 5× — inlined, the 6-round unroll expands
@@ -1889,21 +1905,18 @@ object Dedup {
       var e = nearDupJaccard(sp)
         .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
         .staged
+      // ONE materialization per peel round. Chaining TWO rounds per
+      // checkpoint (kCorePeel(kCorePeel(e))) was tried in r21 (guide
+      // §2.4 fewer barriers) and measured NET-NEGATIVE in the isolated
+      // A/B (warm 2.95 → 3.38 s, cold 11.0 → 15.8 s at sf0.1): the
+      // chained inner round's un-shared semi-join probes re-evaluate 3×
+      // under the outer round's consumers and the per-round plan
+      // doubles in codegen size — more than the saved barrier buys.
+      // RankStatsSpec still pins the chained≡sequential equality and
+      // the degree-rollup exchange reuse (the ADVICE-r20 invariant this
+      // round's shape relies on).
       for (_ <- 1 to 6) {
-        // keep is NOT staged: both semi-joins consume the SAME degree
-        // rollup subtree inside the round's one staged execution, and
-        // its exchange (broadcast or shuffle-by-doc_id — both joins key
-        // on keep.doc_id) canonicalizes identically, so ReuseExchange
-        // computes it once. One materialization per peel round instead
-        // of two (r20; verified via the Profile job ledger).
-        val keep = e.select(col("a").as("doc_id"))
-          .unionAll(e.select(col("b").as("doc_id")))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= 2).select(col("doc_id"))
-        val peeled = e
-          .join(keep.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
-          .staged
+        val peeled = kCorePeel(e).staged
         Checkpoints.unpersist(e) // peeled is eager; the input round is dead
         e = peeled
       }

@@ -1,6 +1,7 @@
 package graft.llmops
 
 import graft.QuerySpec
+import org.apache.spark.sql.functions._
 
 /** Annotation-reliability and data-governance statistics — the layer a
   * curation pipeline needs once labels come from MULTIPLE cheap sources:
@@ -311,7 +312,52 @@ object Reliability {
          |       ELSE CAST(ROUND(2.0 * hom * com / (hom + com) * 1e6) AS BIGINT)
          |       END AS v_measure_e6
          |FROM f""".stripMargin
-    QuerySpec.sql2("q313_v_measure", text(spark = true), text(spark = false))
+    // Spark side is DataFrame code staging the contingency table ONCE
+    // (oracle text unchanged): Spark inlines a multi-referenced CTE, so
+    // the shared-SQL form re-ran the langid corpus pass per `ct`
+    // reference — Scan[documents]=10 in the registry fingerprint (the
+    // q174 trap, r21 guide §2.4/§6). Every expression below copies the
+    // SQL text verbatim so the arithmetic (and its coercions) is
+    // bit-identical to the shared form the oracle gates.
+    QuerySpec("q313_v_measure", text(spark = false)) { (s, dir) =>
+      import graft.llmops.Checkpoints.Stageable
+      val sp = QuerySpec.prepared(s, dir)
+      val ct = sp.sql(
+        s"""SELECT lang, pred_lang, COUNT(*) AS nij
+           |FROM (${TextAnalysis.langidPredSql(spark = true)}) p
+           |GROUP BY lang, pred_lang""".stripMargin)
+        .staged // the ONE corpus pass; 6 readers below are cell-grain
+      val n = ct.selectExpr("CAST(SUM(nij) AS BIGINT) AS n")
+      val a = ct.groupBy(col("lang"))
+        .agg(expr("CAST(SUM(nij) AS BIGINT)").as("ai"))
+      val b = ct.groupBy(col("pred_lang"))
+        .agg(expr("CAST(SUM(nij) AS BIGINT)").as("bj"))
+      val hc = a.crossJoin(n).selectExpr(
+        "CAST(SUM(CAST(-(ai / CAST(n AS DOUBLE)) * LN(ai / CAST(n AS DOUBLE))" +
+          " AS DECIMAL(27,18))) AS DOUBLE) AS h")
+      val hk = b.crossJoin(n).selectExpr(
+        "CAST(SUM(CAST(-(bj / CAST(n AS DOUBLE)) * LN(bj / CAST(n AS DOUBLE))" +
+          " AS DECIMAL(27,18))) AS DOUBLE) AS h")
+      val hck = ct.join(b, "pred_lang").crossJoin(n).selectExpr(
+        "CAST(SUM(CAST(-(nij / CAST(n AS DOUBLE)) * LN(nij / CAST(bj AS DOUBLE))" +
+          " AS DECIMAL(27,18))) AS DOUBLE) AS h")
+      val hkc = ct.join(a, "lang").crossJoin(n).selectExpr(
+        "CAST(SUM(CAST(-(nij / CAST(n AS DOUBLE)) * LN(nij / CAST(ai AS DOUBLE))" +
+          " AS DECIMAL(27,18))) AS DOUBLE) AS h")
+      val f = hc.select(col("h").as("hch"))
+        .crossJoin(hk.select(col("h").as("hkh")))
+        .crossJoin(hck.select(col("h").as("hckh")))
+        .crossJoin(hkc.select(col("h").as("hkch")))
+        .selectExpr(
+          "CASE WHEN hch = 0.0 THEN 1.0 ELSE 1.0 - hckh / hch END AS hom",
+          "CASE WHEN hkh = 0.0 THEN 1.0 ELSE 1.0 - hkch / hkh END AS com")
+      f.selectExpr(
+        "CAST(ROUND(hom * 1e6) AS BIGINT) AS homogeneity_e6",
+        "CAST(ROUND(com * 1e6) AS BIGINT) AS completeness_e6",
+        "CASE WHEN hom + com = 0.0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(ROUND(2.0 * hom * com / (hom + com) * 1e6) AS BIGINT) " +
+          "END AS v_measure_e6")
+    }
   }
 
   /** Population stability index of the length distribution between two
@@ -325,7 +371,9 @@ object Reliability {
     * below each score against the broadcast 9-row boundary relation.
     * +1/+10 Laplace smoothing keeps ln finite on empty bins; every
     * term is a fixed DOUBLE tree through DECIMAL(27,18). */
-  val q314PsiDrift: QuerySpec = QuerySpec.sql(
+  val q314PsiDrift: QuerySpec = psiDriftSpec
+
+  private def psiDriftSpec: QuerySpec = QuerySpec(
     "q314_psi_drift",
     """WITH sc AS (SELECT source, n_chars AS score, COUNT(*) AS cnt
       |            FROM documents WHERE source IN ('src0', 'src1')
@@ -363,7 +411,51 @@ object Reliability {
       |  CASE WHEN psi < 0.1 THEN 'stable'
       |       WHEN psi < 0.25 THEN 'moderate'
       |       ELSE 'shifted' END AS verdict
-      |FROM m""".stripMargin)
+      |FROM m""".stripMargin) { (s, dir) =>
+    // Spark side in DataFrame form (oracle text above unchanged): the
+    // shared-SQL form inlined the multi-referenced `sc`/`bd` CTEs and
+    // the correlated bin subquery into Scan[documents]=12 + 32 shuffles
+    // (registry fingerprint) — the q174 trap (r21; guide §2.4/§6). One
+    // staged corpus rollup; the correlated COUNT(*) becomes a ≤9-row
+    // broadcast join counted per (source, score) — identical algebra
+    // ((source, score) is unique in sc, so counting matches then
+    // summing cnt per (source, bin) IS the original grouping). All
+    // arithmetic fragments are copied verbatim from the SQL text.
+    import graft.llmops.Checkpoints.Stageable
+    val sp = QuerySpec.prepared(s, dir)
+    val sc = sp.sql(
+      """SELECT source, n_chars AS score, COUNT(*) AS cnt
+        |FROM documents WHERE source IN ('src0', 'src1')
+        |GROUP BY source, n_chars""".stripMargin)
+      .staged // the ONE corpus pass; ref + binned read it
+    val ref = sc.filter("source = 'src0'").selectExpr("score",
+      "CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS cdf",
+      "CAST(SUM(cnt) OVER () AS BIGINT) AS n")
+    val ks = sp.sql("SELECT explode(sequence(1, 9)) AS k")
+    val bd = ref.crossJoin(ks).filter(expr("cdf * 10 >= k * n"))
+      .groupBy(col("k")).agg(min(col("score")).as("b"))
+    val binned = sc.join(broadcast(bd), col("b") < col("score"), "left")
+      .groupBy(col("source"), col("score"), col("cnt"))
+      .agg(count(col("b")).as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(expr("CAST(SUM(cnt) AS BIGINT)").as("cnt"))
+    val grid = binned.select(col("bin")).distinct()
+    val pq = grid.join(binned, Seq("bin"), "left")
+      .groupBy(col("bin")).agg(
+        expr("CAST(COALESCE(MAX(CASE WHEN source = 'src0' THEN cnt END), 0)" +
+          " AS BIGINT)").as("p0"),
+        expr("CAST(COALESCE(MAX(CASE WHEN source = 'src1' THEN cnt END), 0)" +
+          " AS BIGINT)").as("q0"))
+    val t = pq.selectExpr("CAST(SUM(p0) AS BIGINT) AS np",
+      "CAST(SUM(q0) AS BIGINT) AS nq", "COUNT(*) AS nb")
+    val m = pq.crossJoin(t).selectExpr(
+      "CAST(SUM(CAST(((p0 + 1.0) / (np + nb) - (q0 + 1.0) / (nq + nb))" +
+        " * LN(((p0 + 1.0) / (np + nb)) / ((q0 + 1.0) / (nq + nb)))" +
+        " AS DECIMAL(27,18))) AS DOUBLE) AS psi")
+    m.selectExpr("CAST(ROUND(psi * 1e6) AS BIGINT) AS psi_e6",
+      "CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate' " +
+        "ELSE 'shifted' END AS verdict")
+  }
 
   /** McNemar's test for PAIRED classifier comparison: do the length
     * flag and the token-count flag differ in accuracy against the weak
@@ -437,7 +529,42 @@ object Reliability {
          |         AS BIGINT) END AS kendall_tau_b_e6
          |FROM f""".stripMargin
     }
-    QuerySpec.sql2("q316_kendall_tau", text(spark = true), text(spark = false))
+    // Spark side in DataFrame form (oracle text unchanged): the
+    // shared-SQL form inlined the multi-referenced joint-cell CTE `j`
+    // into Scan[documents]=5 — five corpus passes each recomputing the
+    // array_distinct tokenization (the q174 trap; r21, guide §2.4/§6).
+    // One staged cell rollup; the self-join and the marginals read the
+    // checkpoint. Expressions copied verbatim from the SQL text.
+    QuerySpec("q316_kendall_tau", text(spark = false)) { (s, dir) =>
+      import graft.llmops.Checkpoints.Stageable
+      val sp = QuerySpec.prepared(s, dir)
+      val j = sp.sql(
+        """SELECT x, y, COUNT(*) AS c FROM
+          |  (SELECT n_chars AS x, size(array_distinct(split(text, ' '))) AS y
+          |   FROM documents) d
+          |GROUP BY x, y""".stripMargin)
+        .staged // the ONE corpus pass; pair arms + marginals read it
+      val pr = broadcast(j.as("a")).join(j.as("b"), expr("a.x < b.x"))
+        .selectExpr(
+          "CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT)" +
+            " AS conc",
+          "CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT)" +
+            " AS disc")
+      val tx = j.groupBy(col("x")).agg(expr("CAST(SUM(c) AS BIGINT)").as("cx"))
+        .selectExpr("CAST(SUM(cx * (cx - 1)) AS BIGINT) AS t1x2")
+      val ty = j.groupBy(col("y")).agg(expr("CAST(SUM(c) AS BIGINT)").as("cy"))
+        .selectExpr("CAST(SUM(cy * (cy - 1)) AS BIGINT) AS t1y2")
+      val tot = j.selectExpr("CAST(SUM(c) AS BIGINT) AS n")
+      val f = pr.crossJoin(tx).crossJoin(ty).crossJoin(tot)
+        .selectExpr("n", "conc", "disc",
+          "CAST(n AS DOUBLE) * (n - 1) - t1x2 AS dx2",
+          "CAST(n AS DOUBLE) * (n - 1) - t1y2 AS dy2")
+      f.selectExpr("CAST(n AS BIGINT) AS n_docs", "conc AS concordant",
+        "disc AS discordant",
+        "CASE WHEN dx2 = 0.0 OR dy2 = 0.0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(ROUND(2.0 * (conc - disc) / SQRT(dx2 * dy2) * 1e6)" +
+          " AS BIGINT) END AS kendall_tau_b_e6")
+    }
   }
 
   /** The three CONTINUOUS per-doc quality scores shared by q329/q330:

@@ -3,7 +3,7 @@ package graft.llmops
 import graft.QuerySpec
 import graft.llmops.Checkpoints.Stageable
 import graft.operators.Prefix
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed suffix-array construction and the duplicate-text
@@ -50,17 +50,19 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** The seed pass ranks 2^4 = 16-word prefixes directly, replacing the
-    * first four doubling rounds (shift 1, 2, 4, 8). Width trade, chosen
-    * deliberately: each extra seed bit doubles the (dictionary-encoded
-    * BIGINT) prefix payload through the ONE corpus-wide range exchange
-    * but removes one whole refinement round — a join + collapsed
-    * re-rank + checkpoint barrier — at every corpus whose longest doc
-    * exceeds the seed width. 16 ids ≈ 128 B/row keeps the exchange slim
-    * (the r15 hazard was 8 STRING words, not 16 BIGINTs); at web scale
-    * rounds only grow with log₂(maxlen), so the seed width shifts the
-    * round count down by one everywhere. */
-  private val SeedShift = 4
+  /** The seed pass ranks 2^5 = 32-word prefixes directly, replacing the
+    * first five doubling rounds (shift 1, 2, 4, 8, 16). Width trade,
+    * re-measured for the radix-4 refinement rounds (r21): each extra
+    * seed bit doubles the (dictionary-encoded BIGINT) prefix payload
+    * through the ONE corpus-wide range exchange, but widens the context
+    * the barrier-bound refinement loop starts from AND shrinks the
+    * post-seed active mass every later round re-shuffles. 32 ids ≈
+    * 256 B/row is still a slim exchange (the r15 hazard was STRING
+    * words); the isolated sf0.1 A/B measured 4→5 at 7.27 → 6.26 s warm,
+    * 20.0 → 17.4 s cold (one fewer radix-4 round on short-doc corpora;
+    * at maxlen ~10^6 the radix-4 round count is 8 either way, so the
+    * width costs nothing at depth). */
+  private val SeedShift = 5
 
   /** A `(doc_id, text)` corpus split to word arrays: (doc_id, w). The
     * build chain below is parameterized over this relation so the
@@ -76,9 +78,9 @@ object SuffixArray {
   /** ⌈log₂(maxLen)⌉ (floored at [[SeedShift]]) — the doubling-round
     * count after which ranks reflect the FULL suffix order for a
     * corpus whose longest document is `maxLen` words. THE one bound:
-    * the build derives maxLen from the staged seed's max(pos) (one
-    * O(1)-result aggregate — a documented driver-side probe, like the
-    * loop's `isEmpty`) and feeds it here; the spec pins the formula
+    * the build derives maxLen from the staged seed's max(pos)
+    * (observed on the seed's own checkpoint job — no separate probe
+    * execution, r21) and feeds it here; the spec pins the formula
     * directly. The r15 compile-time `Rounds = 7` was calibrated to the
     * 99-word fixture and would have silently under-ranked any corpus
     * with a >128-word document (ties beyond the cap left unresolved,
@@ -88,6 +90,8 @@ object SuffixArray {
   private[graft] def roundsForMaxLen(maxLen: Long): Int =
     math.max(SeedShift,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(maxLen - 1L, 1L)))
+
+  import Checkpoints.obsLong
 
   /** Tokens with order-preserving dictionary ids: (doc_id, pos, wid)
     * where `wid` is the 1-based rank of the word in the SORTED distinct
@@ -131,15 +135,12 @@ object SuffixArray {
 
   /** [[suffixRanks]] over an EXPLICIT `(doc_id, text)` corpus. */
   private[graft] def suffixRanksOf(docs: DataFrame): DataFrame = {
-    val seed = seedRanks(docs)
-    // Round count off the STAGED seed: pos runs 1..len per doc, so
-    // max(pos) IS the longest doc's word count — fed to the ONE
-    // ⌈log₂ maxlen⌉ bound ([[roundsForMaxLen]]), read with one
-    // O(1)-result aggregate over the checkpoint instead of a second
-    // text-splitting corpus pass.
-    val r = seed.agg(max(col("pos"))).head()
-    val maxLen = if (r.isNullAt(0)) 1L else r.getLong(0)
-    suffixRanks(seed, roundsForMaxLen(maxLen))
+    // Round count and the round-0 active-set size both ride the seed's
+    // OWN checkpoint job as observed metrics (max(pos) IS the longest
+    // doc's word count — pos runs 1..len per doc): no separate
+    // aggregate-probe execution and no pre-loop isEmpty job (r21).
+    val (seed, maxLen, nActive) = seedRanks(docs)
+    suffixRanks(seed, roundsForMaxLen(maxLen), nActive)
   }
 
   /** The staged seed relation (doc_id, pos, rank, gs): context-2^SeedShift
@@ -155,7 +156,7 @@ object SuffixArray {
     * block is already colocated in its range partition, so the count is
     * free of new shuffles/skew), replacing the r15 groupBy(rank) +
     * join-back + second checkpoint. */
-  private def seedRanks(docs: DataFrame): DataFrame = {
+  private def seedRanks(docs: DataFrame): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     val wPre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, (1 << SeedShift) - 1)
@@ -169,14 +170,28 @@ object SuffixArray {
       .withColumn("pre", collect_list(col("wid")).over(wPre))
       .select(col("doc_id"), col("pos"), col("pre"))
       .staged
-    val seed = Prefix.globalRankTiesWithCounts(sufs, Seq(col("pre")), "rank", "gs")
+    // maxLen (round-count bound) and the round-0 active size observed on
+    // the checkpoint job itself — two driver probes fused away (r21)
+    val obs = Observation()
+    val (ranked, parts) = Prefix.globalRankTiesWithCountsStaged(
+      sufs, Seq(col("pre")), "rank", "gs")
+    val seed = ranked
       .select(col("doc_id"), col("pos"), col("rank"), col("gs"))
+      .observe(obs, max(col("pos")).as("__maxpos"),
+        sum(when(col("gs") > 1, 1L).otherwise(0L)).as("__nactive"))
       .staged // read by the settled/active filters and every round's lookup
     Checkpoints.unpersist(sufs) // the ranked seed is eager; input is dead
-    seed
+    // the rank pass's internal range partition still carries the FULL
+    // 2^SeedShift-id prefix arrays — the widest retained relation of
+    // the whole build; dead once the slim seed is eager (r21: ~0.5 GB
+    // per build left behind otherwise, compounding per query in a
+    // multi-query JVM / per release job on a long-lived cluster)
+    Checkpoints.unpersist(parts)
+    (seed, obsLong(obs, "__maxpos", 1L), obsLong(obs, "__nactive", 0L))
   }
 
-  private def suffixRanks(seed: DataFrame, rounds: Int): DataFrame = {
+  private def suffixRanks(seed: DataFrame, rounds: Int,
+                          nActive0: Long): DataFrame = {
     // Checkpoint ledger: every round's checkpoint holds rows that stay
     // settled in it forever, so none is ever released; total storage
     // is n + Σ|active_k| ≈ n·(1+ε), vs rounds·n for a re-rank-all
@@ -187,60 +202,92 @@ object SuffixArray {
       .select(col("doc_id"), col("pos"), col("rank"))
     var active = seed.filter(col("gs") > 1)
       .select(col("doc_id"), col("pos"), col("rank"))
+    var nActive = nActive0 // maintained by each round's observed metric
     var k = SeedShift // context 2^SeedShift already covered by the seed
-    while (k < rounds && !active.isEmpty) { // O(1)-result probe per round
+    while (k < rounds && nActive > 0) { // probe fused into the round's job
       val shift = 1L << k
-      // lookahead: rank of the suffix 2^k words later in the same doc
-      // (settled or active — always the CURRENT numbering); 0 (less
-      // than every real rank ≥ 1) when past the end — the sentinel
-      // that sorts a shorter suffix before its extensions, matching
-      // list-lexicographic shorter-prefix-first
+      // RADIX-4 round: the ranks 2^k, 2·2^k and 3·2^k words later attach
+      // in ONE pass, so each round multiplies the resolved context by 4
+      // — two doubling rounds fused into one driver-barrier execution
+      // (r21; guide §2.4 — the serial-round structure is the 100 TB
+      // bottleneck, each round a cluster-wide barrier). Correctness is
+      // the doubling argument applied twice inside one round: within a
+      // tie block (identical first-2^k words), equal r2 means the two
+      // +2^k suffixes share THEIR first 2^k words (same block), so r3
+      // (= +2·2^k) is the valid continuation, then r4; the 0 sentinel
+      // (past the end, less than every real rank ≥ 1) still sorts a
+      // shorter suffix before its extensions — and a shorter suffix
+      // never ties a longer one (shorter-prefix-first seed order), so
+      // sentinel arms only ever compare equal on identical suffixes.
+      // All three lookups arrive through ONE (doc, pos) equi-join — the
+      // arms union into a single exchange (same bytes as three separate
+      // joins, a third of the exchanges) and the pivot back to one row
+      // per suffix reuses the join's hash(doc, pos) partitioning, so it
+      // adds NO exchange. No per-row window anywhere.
       val lookup = settled.unionByName(active)
-        .select(col("doc_id"), (col("pos") - shift).as("pos"),
-          col("rank").as("r2"))
-      val joined = active.join(lookup, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("rank").as("r1"),
-          coalesce(col("r2"), lit(0L)).as("r2"))
+      val arms = Seq(1, 2, 3).map(i => lookup.select(col("doc_id"),
+          (col("pos") - shift * i).as("pos"), lit(i).as("__a"),
+          col("rank").as("__r")))
+        .reduce(_.unionByName(_))
+      val joined = active.select(col("doc_id"), col("pos"),
+          col("rank").as("r1"))
+        .join(arms, Seq("doc_id", "pos"), "left")
+        .groupBy(col("doc_id"), col("pos"), col("r1"))
+        .agg(
+          coalesce(max(when(col("__a") === 1, col("__r"))), lit(0L)).as("r2"),
+          coalesce(max(when(col("__a") === 2, col("__r"))), lit(0L)).as("r3"),
+          coalesce(max(when(col("__a") === 3, col("__r"))), lit(0L)).as("r4"))
       // joined is NOT staged: both consumers (the collapsed re-rank and
       // the join-back) sit in ONE query execution, where Spark's
-      // ReuseExchange shares the lookahead join's shuffle — a per-round
-      // checkpoint write+read of the active set bought nothing (r20
+      // ReuseExchange shares the lookahead joins' shuffles (r20
       // measurement; the r16 staging predated the single-execution
-      // shape).
-      val refined = joined.join(refineBlocks(joined), Seq("r1", "r2"))
+      // shape). The next round's active size rides the checkpoint job
+      // as an observed metric — no per-round isEmpty execution (r21).
+      val obs = Observation()
+      val refined = joined
+        .join(refineBlocks(joined), Seq("r1", "r2", "r3", "r4"))
         .select(col("doc_id"), col("pos"), col("rank"), col("gs"))
+        .observe(obs, sum(when(col("gs") > 1, 1L).otherwise(0L)).as("__na"))
         .staged
       settled = settled.unionByName(
         refined.filter(col("gs") === 1)
           .select(col("doc_id"), col("pos"), col("rank")))
       active = refined.filter(col("gs") > 1)
         .select(col("doc_id"), col("pos"), col("rank"))
-      k += 1
+      nActive = obsLong(obs, "__na", 0L)
+      k += 2 // context ×4 per round
     }
     settled.unionByName(active)
   }
 
   /** One refinement round's re-rank, collapsed before the window: the
-    * new rank is a function of (r1 = current tie-block rank,
-    * r2 = lookahead rank) ALONE, so it is computed on the DISTINCT
-    * (r1, r2) relation — sized by the distinct lookahead ranks per
-    * block, not the block's row count.
-    *   new rank = r1 − 1 + within-block RANK() by r2
-    *            = r1 + (exclusive running sum of (r1, r2) group counts),
-    * and the new rank's tie block IS the (r1, r2) group, so gs is that
-    * group's count. Both per-row windows of the r15 formulation
+    * new rank is a function of (r1 = current tie-block rank, the
+    * lookahead ranks r2, r3, …) ALONE, so it is computed on the
+    * DISTINCT lookahead-combination relation — sized by the distinct
+    * lookahead tuples per block, not the block's row count.
+    *   new rank = r1 − 1 + within-block RANK() by (r2, r3, …)
+    *            = r1 + (exclusive running sum of combination counts),
+    * and the new rank's tie block IS the combination group, so gs is
+    * that group's count. Both per-row windows of the r15 formulation
     * (rank() and count() PARTITIONED BY the tie block — each pinning a
     * 10^8-row boilerplate block onto ONE task) disappear: rows touch
     * only a map-side-combined groupBy here and an AQE-splittable
-    * equi-join back in the caller. SuffixArraySpec pins the collapse
-    * (the window's input is the aggregate, row count = distinct pairs)
-    * against a 30%-skew fixture. */
+    * equi-join back in the caller. Generalized over however many
+    * `r<i>` lookahead columns ride `joined` (the radix-4 round passes
+    * three, r21); the window ordering is the lexicographic composite,
+    * which IS iterated doubling — see the loop comment.
+    * SuffixArraySpec pins the collapse (the window's input is the
+    * aggregate, row count = distinct pairs) against a 30%-skew
+    * fixture. */
   private[graft] def refineBlocks(joined: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    joined.groupBy(col("r1"), col("r2"))
+    val rcols = joined.columns.filter(_.matches("r\\d+"))
+      .sortBy(_.drop(1).toInt).map(col).toIndexedSeq
+    joined.groupBy(rcols: _*)
       .agg(count(lit(1)).as("gs"))
       .withColumn("rank", col("r1") + coalesce(
-        sum(col("gs")).over(Window.partitionBy(col("r1")).orderBy(col("r2"))
+        sum(col("gs")).over(Window.partitionBy(col("r1"))
+          .orderBy(rcols.tail: _*)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
   }
 
@@ -303,14 +350,23 @@ object SuffixArray {
     // the tiny boundary stitch — the r15 shape (globalRank → checkpoint
     // → two-arm self-join on idx = idx+1) cost two extra corpus shuffles
     // and a checkpoint for the same n−1 pairs.
-    val adj = Prefix.adjacentBySort(
+    // the untied-pair count rides adj's own staging job as an observed
+    // metric, so the chunk loop needs no round-0 staging/probe of its
+    // own — the untied branch is a cheap filter re-scan of this
+    // checkpoint (r21; replaces one execution + one retained checkpoint)
+    val obs = Observation()
+    val (adjRaw, adjParts) = Prefix.adjacentBySortStaged(
       suffixRanksOf(docs).select(col("rank"), col("doc_id"), col("pos")),
       Seq(col("rank"), col("doc_id"), col("pos")), "idx")
+    val adj = adjRaw
       .select(col("idx"), col("a.rank").as("rank_a"),
         col("a.doc_id").as("doc_a"), col("a.pos").as("pos_a"),
         col("b.rank").as("rank_b"),
         col("b.doc_id").as("doc_b"), col("b.pos").as("pos_b"))
+      .observe(obs, sum(when(col("rank_a") =!= col("rank_b"), 1L)
+        .otherwise(0L)).as("__nuntied"))
       .staged // the tied and untied branches below both read it
+    Checkpoints.unpersist(adjParts) // pairs are eager; the range copy is dead
     // EQUAL final rank ⟺ IDENTICAL suffixes (the doubling resolves every
     // real difference, and the rank-0 end sentinel strictly orders a
     // prefix before its extensions — so rank ties are byte-equal,
@@ -335,7 +391,8 @@ object SuffixArray {
     val untied = adj.filter(col("rank_a") =!= col("rank_b"))
       .select(col("idx"), col("doc_a"), col("pos_a"), col("doc_b"),
         col("pos_b"))
-    chunkedLcp(docs, untied).unionByName(tied)
+    chunkedLcp(docs, untied, obsLong(obs, "__nuntied", 0L))
+      .unionByName(tied)
   }
 
   /** Chunked LCP of suffix pairs: each round attaches the next chunk
@@ -352,10 +409,15 @@ object SuffixArray {
     * at the (doc, pos) grain (one row per token, like every n-gram
     * operator here), so no single doc's boilerplate pins a task; the
     * doc-level left_semi prune keeps later rounds from re-exploding
-    * the whole corpus. The per-round `isEmpty` is the same documented
-    * O(1)-result driver probe as the rank loop's.
+    * the whole corpus. The per-round active count rides each round's
+    * checkpoint job as an observed metric (no isEmpty executions);
+    * `n0` is pairs0's row count, observed by the caller on the staging
+    * job pairs0 filters — pairs0 itself must be cheap to re-scan (it is
+    * a filter over the caller's adjacency checkpoint), because round 1
+    * reads it three times (join probe + both arms' doc prunes).
     * Input: (idx, doc_a, pos_a, doc_b, pos_b); output adds `lcp`. */
-  private def chunkedLcp(corpus: DataFrame, pairs0: DataFrame): DataFrame = {
+  private def chunkedLcp(corpus: DataFrame, pairs0: DataFrame,
+                         n0: Long): DataFrame = {
     val docs = docWords(corpus)
     val keys = Seq("idx", "doc_a", "pos_a", "doc_b", "pos_b").map(col)
     // first-mismatch position inside the current chunk: zip_with pads
@@ -372,12 +434,12 @@ object SuffixArray {
         .select(col(s"doc_$arm"), (col("p0") + 1).cast("long").as(s"pos_$arm"),
           expr(s"slice(w, p0 + 1 + $off, $len)").as(out))
     }
-    var active = pairs0.staged // round 0's probe + join read it twice
-    var firstRound = true
+    var active = pairs0
+    var nActive = n0
     val resolved = List.newBuilder[DataFrame]
     var off = 0L
     var len = LcpChunk
-    while (!active.isEmpty) { // O(1)-result probe per chunk round
+    while (nActive > 0) { // probe fused into each round's checkpoint job
       // ONE slim materialization per round: keys + the resolved lcp
       // (NULL ⇔ chunk-equal and not ended ⇔ still active). The wide
       // ca/cb chunk arrays are projected away BEFORE the checkpoint, so
@@ -390,6 +452,7 @@ object SuffixArray {
       // steps stay persisted until the build completes — total retained
       // mass is Σ|active_k| slim rows, the same shrinking-active-set
       // envelope as the rank loop's settled argument.
+      val obs = Observation()
       val step = active
         .join(chunkOf(active, "a", off, len, "ca"), Seq("doc_a", "pos_a"))
         .join(chunkOf(active, "b", off, len, "cb"), Seq("doc_b", "pos_b"))
@@ -399,11 +462,11 @@ object SuffixArray {
             // both suffixes end inside this chunk: min-length cutoff
             lit(off) + least(size(col("ca")), size(col("cb"))))
           .cast("long").as("lcp"): _*)
+        .observe(obs, sum(when(col("lcp").isNull, 1L).otherwise(0L)).as("__na"))
         .staged
-      if (firstRound) Checkpoints.unpersist(active) // pairs0 input is dead
-      firstRound = false
       resolved += step.filter(col("lcp").isNotNull)
       active = step.filter(col("lcp").isNull).select(keys: _*)
+      nActive = obsLong(obs, "__na", 0L)
       off += len
       len *= LcpGrowth
     }
@@ -680,9 +743,10 @@ object SuffixArray {
       .select(col("idx"), col("doc_a"), col("pos_a"),
         col("doc_b"), col("pos_b"), col("lcp"))
       .withColumn("brk", when(col("lcp") < 8, 1L).otherwise(0L))
-    val withRun = Prefix.prefixSums(pairs, Seq(col("idx")),
+    val (withRun, runParts) = Prefix.prefixSumsStaged(pairs, Seq(col("idx")),
       Seq((col("brk"), "run")))
     val nb = withRun.filter(col("brk") === 0).staged // stats + members
+    Checkpoints.unpersist(runParts) // nb is eager; the range copy is dead
     val runs = nb.groupBy(col("run")).agg(min(col("lcp")).as("l"))
     val members = nb.select(col("run"), col("doc_a").as("doc"),
         col("pos_a").as("pos"))
@@ -904,7 +968,15 @@ object SuffixArray {
     // next pair's a (same suffix). Appending that single row replaces
     // the r19 shape's 2×-the-pairs union + groupBy(idx) dedup — one
     // full shuffle of the suffix sequence — with a scan plus a
-    // broadcast max-idx filter (r20).
+    // broadcast max-idx filter (r20). CONTRACT (ADVICE r20): this
+    // rebuild assumes the pair relation carries one row per idx with
+    // idx contiguous from 1 — true of every producer ([[adjacentLcp]]
+    // emits exactly n−1 adjacent pairs; [[saPairs]]/the versioned
+    // releases persist that relation verbatim). A filtered or
+    // corrupted artifact with idx gaps would drop suffixes silently
+    // here where the old union+dedup shape still enumerated every
+    // row — readers of a NON-release pair relation must re-validate
+    // contiguity themselves.
     val lastIdx = pairs.agg(max(col("idx")).as("__mi"))
     val sufs = pairs.select(col("idx"), col("doc_a").as("doc"))
       .unionByName(pairs.crossJoin(broadcast(lastIdx))
@@ -915,9 +987,11 @@ object SuffixArray {
         expr("raise_error('decontamination split relation is not total: " +
           "a corpus doc_id has no is_train label')").cast("boolean"))
         .otherwise(col("is_train")))
-    val seg = Prefix.prefixSums(sufs, Seq(col("idx")),
+    val (segRaw, segParts) = Prefix.prefixSumsStaged(sufs, Seq(col("idx")),
       Seq((when(col("is_train"), 1L).otherwise(0L), "segd")))
+    val seg = segRaw
       .staged // the total, both lcp-label joins, and the test arm read it
+    Checkpoints.unpersist(segParts) // seg is eager; the range copy is dead
     val total = seg.agg(
       sum(when(col("is_train"), 1L).otherwise(0L)).as("__tt"))
     val seg2 = seg.crossJoin(broadcast(total))
@@ -931,9 +1005,14 @@ object SuffixArray {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val uW = Window.partitionBy(col("gu")).orderBy(col("j").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NOT staged (r21): both directional joins consume mins inside the
+    // report's ONE final execution, where the two reads are identical
+    // subtrees — their exchanges canonicalize identically and
+    // ReuseExchange computes the window chain once; the checkpoint
+    // write+read bought nothing but one more driver barrier (recompute-
+    // only risk, same class as the k-core rollup note).
     val mins = lc.withColumn("dm", min(col("lcp")).over(dW))
       .withColumn("um", min(col("lcp")).over(uW))
-      .staged // both directional joins below read it
     val best = seg2.filter(!col("is_train"))
       .join(mins.select((col("j") + 1L).as("idx"), col("dm")), Seq("idx"),
         "left")

@@ -1063,7 +1063,38 @@ object Events {
          |FROM p CROSS JOIN den
          |ORDER BY lag""".stripMargin
     }
-    QuerySpec.sql2("q283_events_acf", text(spark = true), text(spark = false))
+    // Spark side in DataFrame form (oracle text unchanged): the
+    // shared-SQL form inlined the multi-referenced day-series CTE `x`
+    // into Scan[events]=5 — five full event-table rollups (the q174
+    // trap; r21, guide §2.4/§6). One staged ≤|days|-row series; the
+    // mean, denominator and all 7 lag arms read the checkpoint.
+    // Expressions copied verbatim from the SQL text.
+    QuerySpec("q283_events_acf", text(spark = false)) { (s, dir) =>
+      import graft.llmops.Checkpoints.Stageable
+      val sp = QuerySpec.prepared(s, dir)
+      val x = sp.sql(
+        """SELECT datediff(day, DATE '2024-01-01') AS i, c FROM
+          |  (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+          |   FROM events GROUP BY CAST(ts AS DATE)) d""".stripMargin)
+        .staged // the ONE events pass; m/den/both lag arms read it
+      val m = x.selectExpr("COUNT(*) AS n",
+        "CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu")
+      val den = x.crossJoin(m).selectExpr(
+        "CAST(SUM(CAST((c - mu) * (c - mu) AS DECIMAL(27,18))) AS DOUBLE)" +
+          " AS d2")
+      val k = sp.sql("SELECT explode(sequence(1, 7)) AS lag")
+      val p = k.crossJoin(x.as("a"))
+        .join(x.as("b"), expr("b.i = a.i + lag"))
+        .crossJoin(m)
+        .groupBy(col("lag"))
+        .agg(expr("CAST(SUM(CAST((a.c - mu) * (b.c - mu) AS DECIMAL(27,18)))" +
+          " AS DOUBLE)").as("num"),
+          count(lit(1)).as("n_pairs"))
+      p.crossJoin(den).selectExpr("CAST(lag AS INT) AS lag",
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(ROUND(num / d2 * 1e6) AS BIGINT) AS acf_e6")
+        .orderBy(col("lag"))
+    }
   }
 
   /** Theil–Sen robust slope of the daily event-count series — the
@@ -1189,7 +1220,52 @@ object Events {
          |  CAST(ROUND((m1 - m0) * 1e6) AS BIGINT) AS level_shift_e6
          |FROM p CROSS JOIN k""".stripMargin
     }
-    QuerySpec.sql2("q293_piecewise_trend", text(spark = true), text(spark = false))
+    // Spark side in DataFrame form (oracle text unchanged): the
+    // shared-SQL form inlined the multi-referenced day-series CTE `x`
+    // into Scan[events]=5 (the q174 trap; r21, guide §2.4/§6). One
+    // staged ≤|days|-row series; the mean, the CUSUM argmax and the
+    // per-side fits read the checkpoint. The CUSUM windows are global
+    // but series-sized — the same shape the shared SQL planned.
+    // Expressions copied verbatim from the SQL text.
+    QuerySpec("q293_piecewise_trend", text(spark = false)) { (s, dir) =>
+      import graft.llmops.Checkpoints.Stageable
+      val sp = QuerySpec.prepared(s, dir)
+      val x = sp.sql(
+        """SELECT day, datediff(day, DATE '2024-01-01') AS i, c FROM
+          |  (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+          |   FROM events GROUP BY CAST(ts AS DATE)) d""".stripMargin)
+        .staged // the ONE events pass
+      val m = x.selectExpr("CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu")
+      val cs = x.crossJoin(m).selectExpr("day",
+        "CAST(SUM(c) OVER (ORDER BY day) AS DOUBLE)" +
+          " - ROW_NUMBER() OVER (ORDER BY day) * mu AS cusum")
+      val kk = cs.selectExpr("day",
+        "ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, day) AS rn")
+        .filter("rn = 1").selectExpr("day AS kd")
+      val seg = x.crossJoin(kk).selectExpr(
+        "CASE WHEN day <= kd THEN 0 ELSE 1 END AS sg", "i", "c")
+      val fit = seg.groupBy(col("sg")).agg(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(i) AS BIGINT)").as("sx"),
+        expr("CAST(SUM(i * i) AS BIGINT)").as("sx2"),
+        expr("CAST(SUM(c) AS BIGINT)").as("sy"),
+        expr("CAST(SUM(i * c) AS BIGINT)").as("sxy"))
+      val p = fit.selectExpr(
+        "MAX(CASE WHEN sg = 0 THEN n END) AS n0",
+        "MAX(CASE WHEN sg = 1 THEN n END) AS n1",
+        "MAX(CASE WHEN sg = 0 THEN (n * sxy - sx * sy)" +
+          " / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx) END) AS b0",
+        "MAX(CASE WHEN sg = 1 THEN (n * sxy - sx * sy)" +
+          " / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx) END) AS b1",
+        "MAX(CASE WHEN sg = 0 THEN CAST(sy AS DOUBLE) / n END) AS m0",
+        "MAX(CASE WHEN sg = 1 THEN CAST(sy AS DOUBLE) / n END) AS m1")
+      p.crossJoin(kk).selectExpr("kd AS change_day",
+        "CAST(n0 AS BIGINT) AS n_before", "CAST(n1 AS BIGINT) AS n_after",
+        "CAST(ROUND(b0 * 1e6) AS BIGINT) AS slope_before_e6",
+        "CAST(ROUND(b1 * 1e6) AS BIGINT) AS slope_after_e6",
+        "CAST(ROUND((b1 - b0) * 1e6) AS BIGINT) AS slope_delta_e6",
+        "CAST(ROUND((m1 - m0) * 1e6) AS BIGINT) AS level_shift_e6")
+    }
   }
 
   /** Rolling-origin one-step forecast backtest of the three classical

@@ -57,7 +57,25 @@ object Prefix {
   private def offsetComposed(df: DataFrame, sort: Seq[Column], rankCol: String,
                              localFn: => Column,
                              offsetFromLocalMax: Boolean,
-                             cntCol: Option[String] = None): DataFrame = {
+                             cntCol: Option[String] = None): DataFrame =
+    offsetComposedStaged(df, sort, rankCol, localFn, offsetFromLocalMax,
+      cntCol)._1
+
+  /** [[offsetComposed]] plus the INTERNAL staged range partition it is
+    * lazily derived from: a caller that materializes the result into
+    * its own checkpoint can (and should) release the internal staging
+    * afterwards — it is the WIDEST relation of the whole pass (it still
+    * carries the sort payload), and leaving one behind per call is the
+    * r21 bench finding: the suffix-array family's per-build prefix
+    * checkpoints accumulated ~0.5 GB each across a multi-query JVM,
+    * inflating every later query's GC (Checkpoints scaladoc: the same
+    * leak class is executor memory on a long-running 100 TB job). */
+  private def offsetComposedStaged(df: DataFrame, sort: Seq[Column],
+                                   rankCol: String,
+                                   localFn: => Column,
+                                   offsetFromLocalMax: Boolean,
+                                   cntCol: Option[String] = None):
+      (DataFrame, DataFrame) = {
     val parts = ranged(df, sort)
     val ranked = parts.withColumn("__lrk",
       localFn.over(Window.partitionBy(col("__pid")).orderBy(sort: _*))
@@ -79,9 +97,9 @@ object Prefix {
         sum("__pn").over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__off")
-    local.join(broadcast(offsets), "__pid")
+    (local.join(broadcast(offsets), "__pid")
       .withColumn(rankCol, col("__off") + col("__lrk"))
-      .drop("__pid", "__lrk", "__off")
+      .drop("__pid", "__lrk", "__off"), parts)
   }
 
   /** Exact global `ROW_NUMBER() OVER (ORDER BY sort)` as `rankCol`
@@ -107,6 +125,16 @@ object Prefix {
                                rankCol: String, cntCol: String): DataFrame =
     offsetComposed(df, sort, rankCol, rank(), offsetFromLocalMax = false,
       cntCol = Some(cntCol))
+
+  /** [[globalRankTiesWithCounts]] plus the internal staged range
+    * partition (see [[offsetComposedStaged]]): the caller owns the
+    * second handle and must release it once the ranked output is
+    * materialized. */
+  def globalRankTiesWithCountsStaged(df: DataFrame, sort: Seq[Column],
+                                     rankCol: String, cntCol: String):
+      (DataFrame, DataFrame) =
+    offsetComposedStaged(df, sort, rankCol, rank(),
+      offsetFromLocalMax = false, cntCol = Some(cntCol))
 
   /** Exact global `DENSE_RANK() OVER (ORDER BY sort)` as `rankCol`
     * (BIGINT, 1-based) without a single-task window and without
@@ -134,7 +162,14 @@ object Prefix {
     * (the within-range `lead` and the head/tail `min_by`/`max_by` are
     * deterministic only up to the provided keys). */
   def adjacentBySort(df: DataFrame, sort: Seq[Column],
-                     idxCol: String): DataFrame = {
+                     idxCol: String): DataFrame =
+    adjacentBySortStaged(df, sort, idxCol)._1
+
+  /** [[adjacentBySort]] plus the internal staged range partition (see
+    * [[offsetComposedStaged]]): the caller owns the second handle and
+    * must release it once the pair output is materialized. */
+  def adjacentBySortStaged(df: DataFrame, sort: Seq[Column],
+                           idxCol: String): (DataFrame, DataFrame) = {
     val parts = ranged(df, sort)
     val payloadCols = parts.columns.filter(_ != "__pid").toIndexedSeq.map(col)
     val payload = struct(payloadCols: _*)
@@ -167,7 +202,7 @@ object Prefix {
       .filter(col("__nh").isNotNull)
       .select((col("__off") + col("__pn")).as(idxCol),
         col("__t").as("a"), col("__nh").as("b"))
-    inner.unionByName(stitched)
+    (inner.unionByName(stitched), parts)
   }
 
   /** Exact inclusive running sums
@@ -175,7 +210,15 @@ object Prefix {
     * `(expr, alias)` without a single-task window. One range shuffle
     * serves every requested sum. */
   def prefixSums(df: DataFrame, sort: Seq[Column],
-                 sums: Seq[(Column, String)]): DataFrame = {
+                 sums: Seq[(Column, String)]): DataFrame =
+    prefixSumsStaged(df, sort, sums)._1
+
+  /** [[prefixSums]] plus the internal staged range partition (see
+    * [[offsetComposedStaged]]): the caller owns the second handle and
+    * must release it once the summed output is materialized. */
+  def prefixSumsStaged(df: DataFrame, sort: Seq[Column],
+                       sums: Seq[(Column, String)]):
+      (DataFrame, DataFrame) = {
     val parts = ranged(df, sort)
     val w = Window.partitionBy(col("__pid")).orderBy(sort: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -194,7 +237,8 @@ object Prefix {
       case (acc, ((_, alias), i)) =>
         acc.withColumn(alias, col(s"__o$i") + col(s"__l$i"))
     }
-    withCums.drop(
-      "__pid" +: sums.indices.flatMap(i => Seq(s"__l$i", s"__o$i")): _*)
+    (withCums.drop(
+      "__pid" +: sums.indices.flatMap(i => Seq(s"__l$i", s"__o$i")): _*),
+      parts)
   }
 }

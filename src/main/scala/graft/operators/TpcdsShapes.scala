@@ -1733,7 +1733,7 @@ object TpcdsShapes {
     * screened against the base year's all-channel average line value.
     * The average enters as an exact cross-multiplication (sum·n > tot·n
     * avoids engine-specific AVG(DECIMAL) result scales). */
-  val q385CrossChannelCommon: QuerySpec = QuerySpec.sql(
+  val q385CrossChannelCommon: QuerySpec = QuerySpec(
     "q385_dss_cross_channel_common",
     s"""WITH cross_items AS (
        |  SELECT l_partkey AS pk FROM lineitem
@@ -1757,7 +1757,50 @@ object TpcdsShapes {
        |GROUP BY l_returnflag, p_brand
        |HAVING CAST(SUM($Vol) AS DECIMAL(30,8)) * (SELECT cnt FROM base)
        |     > (SELECT tot FROM base) * COUNT(*)
-       |ORDER BY channel, p_brand""".stripMargin)
+       |ORDER BY channel, p_brand""".stripMargin) { (s, dir) =>
+    // Spark side in DataFrame form (oracle text unchanged): the
+    // shared-SQL form scanned lineitem SEVEN times (3 INTERSECT
+    // branches + the two base scalar refs + the main query — Spark
+    // inlines every CTE/subquery reference; registry fingerprint
+    // Scan[lineitem]=7). One staged slim two-year slice
+    // (yr, l_returnflag, l_partkey, vol ≈ 21 B/row); the 3-way
+    // INTERSECT collapses to one grouped flag pass over it, `base` is
+    // one aggregate of it, and the 1997 side joins part once (r21;
+    // guide §2.4/§6 — at 100 TB each redundant pass is a full fact
+    // read). Volume/HAVING fragments copied verbatim so the decimal
+    // algebra is identical.
+    import graft.llmops.Checkpoints.Stageable
+    val sp = QuerySpec.prepared(s, dir)
+    val li = sp.table("lineitem")
+      .filter(expr("YEAR(l_shipdate) IN (1996, 1997)"))
+      .selectExpr("YEAR(l_shipdate) AS yr", "l_returnflag", "l_partkey",
+        s"$Vol AS vol")
+      .staged // the ONE fact pass; cross_items, base and main read it
+    // parts sold through ALL THREE channels in 1996: the INTERSECT
+    // chain as one grouped pass (INTERSECT is set semantics — the
+    // grouped distinct-by-partkey output matches exactly)
+    val crossItems = li
+      .filter(col("yr") === 1996 && col("l_returnflag").isin("N", "A", "R"))
+      .groupBy(col("l_partkey"))
+      .agg(max(when(col("l_returnflag") === "N", 1).otherwise(0)).as("hn"),
+        max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("ha"),
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("hr"))
+      .filter(col("hn") === 1 && col("ha") === 1 && col("hr") === 1)
+      .select(col("l_partkey"))
+    val base = li.filter(col("yr") === 1996)
+      .selectExpr("CAST(SUM(vol) AS DECIMAL(30,8)) AS tot", "COUNT(*) AS cnt")
+    li.filter(col("yr") === 1997)
+      .join(crossItems, Seq("l_partkey"), "left_semi")
+      .join(sp.table("part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_returnflag"), col("p_brand"))
+      .agg(expr("CAST(SUM(vol) AS DOUBLE)").as("sales"),
+        count(lit(1)).as("n_lines"),
+        expr("CAST(SUM(vol) AS DECIMAL(30,8))").as("__sd"))
+      .crossJoin(broadcast(base))
+      .filter(expr("__sd * cnt > tot * n_lines"))
+      .selectExpr("l_returnflag AS channel", "p_brand", "sales", "n_lines")
+      .orderBy(col("channel"), col("p_brand"))
+  }
 
   /** TPC-DS Q23 shape: frequent items × best customers — parts bought
     * ≥ 8 times in the base year (HAVING screen), customers in the base

@@ -1079,6 +1079,12 @@ class PlanSpec extends EngineSuite {
       "q250_loso_influence" -> "window over the |sources| relation (≤ tens of rows)",
       "q294_ks_drift_fdr" -> ("BH adjustment windows over the |sources| p-value " +
         "relation and the 50-row KS series grid"),
+      "q293_piecewise_trend" -> ("CUSUM windows over the staged ≤|days|-row " +
+        "day series (r21 single-pass rewrite: the corpus collapsed BELOW " +
+        "the checkpoint, which the collapse tracer cannot see through)"),
+      "q314_psi_drift" -> ("decile-CDF windows over the staged " +
+        "value-cardinality (source, n_chars) rollup (r21 single-pass " +
+        "rewrite: the corpus collapsed below the checkpoint)"),
       "q336_neyman_allocation" -> ("largest-remainder rank over the per-LANG " +
         "aggregate relation (|languages| rows — bounded label-set cardinality), " +
         "ordered by the computed fractional part so the collapse tracer can't " +
@@ -1441,13 +1447,27 @@ class PlanSpec extends EngineSuite {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"),
         s"$n planned an unbroadcast cartesian:\n" + p.take(1200))
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$n planned a nested loop:\n" + p.take(1200))
+      // q385's r21 single-pass rewrite attaches the ONE-ROW base
+      // aggregate with a broadcast cross (the HAVING's two scalar
+      // subqueries, fused) — a bounded nested loop, not a blowup
+      if (n != "q385_dss_cross_channel_common")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$n planned a nested loop:\n" + p.take(1200))
     }
-    // q385: the 3-way INTERSECT plus the IN-subquery all plan semi joins
+    // q385 (r21): ONE staged fact pass replaces the 7-scan shape — the
+    // 3-way INTERSECT is one grouped flag pass (no semi chain left to
+    // pin), the IN-subquery membership stays a semi join, and the base
+    // attach is the broadcast cross of a 1-row aggregate
     val p385 = plan("q385_dss_cross_channel_common")
-    assert("LeftSemi".r.findAllIn(p385).size >= 3,
-      "q385: INTERSECT chain lost its semi joins\n" + p385.take(1500))
+    assert("LeftSemi".r.findAllIn(p385).size == 1,
+      "q385: the cross_items membership must stay ONE semi join\n" +
+        p385.take(1500))
+    assert(!p385.contains("lineitem"),
+      "q385: every fact read must come through the ONE staged slice " +
+        "(no direct lineitem scan may survive in the final plan)\n" +
+        p385.take(1500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p385).size <= 1,
+      "q385: only the 1-row base attach may nested-loop\n" + p385.take(1500))
     // q386: the best-customer list stays a TopN
     val p386 = plan("q386_dss_frequent_best_spend")
     assert(p386.contains("TakeOrderedAndProject"),

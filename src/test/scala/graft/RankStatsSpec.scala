@@ -204,6 +204,37 @@ class RankStatsSpec extends EngineSuite {
     assert(math.abs(q * 1e6 - r.getAs[Long]("q_e6")) <= 1, s"q=$q")
   }
 
+  test("q325 chained peel: two fused rounds equal two sequential rounds " +
+    "and the round's plan reuses the degree-rollup exchange (ADVICE r20)") {
+    val sp = spark
+    import sp.implicits._
+    // a graph where the two rounds peel DIFFERENT vertices: a 4-cycle
+    // (stable 2-core) + a pendant path 1-2-3 off the cycle — round 1
+    // peels leaf 3's edge, round 2 peels the now-degree-1 vertex 2's
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), // the 2-core
+      (10L, 2L), (2L, 3L)) // pendant path: peels in two rounds
+      .toDF("a", "b")
+    def edgeSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val fused = llmops.Dedup.kCorePeel(llmops.Dedup.kCorePeel(edges))
+    val sequential = {
+      val r1 = edgeSet(llmops.Dedup.kCorePeel(edges).collect())
+      llmops.Dedup.kCorePeel(r1.toSeq.toDF("a", "b"))
+    }
+    val got = edgeSet(fused.collect())
+    val want = edgeSet(sequential.collect())
+    assert(got == want, s"fused $got != sequential $want")
+    assert(got == Set((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)),
+      s"two rounds must strip the pendant path: $got")
+    // the r20 perf invariant, now pinned (ADVICE r20): within one
+    // execution the duplicated peel subtrees resolve to REUSED
+    // exchanges, not recomputation
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"peel-round plan lost exchange reuse:\n$plan")
+  }
+
   test("q325 k-core reached its fixpoint at fixture scale") {
     // the query replays a FIXED 6 peeling rounds; parity with the oracle
     // holds regardless, but the NUMBER is only "the 2-core" if the

@@ -137,7 +137,7 @@ class SuffixArraySpec extends EngineSuite {
     assert(llmops.SuffixArray.roundsForMaxLen(141L) == 8)
     assert(llmops.SuffixArray.roundsForMaxLen(128L) == 7)
     assert(llmops.SuffixArray.roundsForMaxLen(129L) == 8)
-    assert(llmops.SuffixArray.roundsForMaxLen(1L) == 4) // SeedShift floor
+    assert(llmops.SuffixArray.roundsForMaxLen(1L) == 5) // SeedShift floor (r21: seed widened to 32 words)
     assert(llmops.SuffixArray.roundsForMaxLen(1000000L) == 20)
     val shared = (1 to 140).map(_ => "w").mkString(" ")
     val sp = syntheticDocs(Seq(
